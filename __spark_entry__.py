@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: ``osm2vdv462_spark`` — see SURVEY.md §2 for the operator map.
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the osm2vdv462_spark package to executors (the local-mode
+    equivalent of ``spark-submit --py-files``). Without this, Python
+    workers launched from a different cwd cannot unpickle our UDFs."""
+    from osm2vdv462_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: H3-style two-phase PIP
+    assignment of geotagged points to stop-area polygons, rolled up with
+    the nearest-quay kNN match (the BASELINE.json north-star pair)."""
+    from pyspark.sql import functions as F
+
+    from osm2vdv462_spark.operators.knn import knn_join_broadcast
+    from osm2vdv462_spark.operators.spatial_join import pip_join_broadcast
+    from osm2vdv462_spark.pipeline import datagen
+
+    _ensure_shipped(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+
+    assigned = pip_join_broadcast(
+        pts,
+        polys,
+        point_keep=["event_id"],
+        poly_id="relation_id",
+        poly_wkb="geom",
+        res=12,
+    )
+    nearest = knn_join_broadcast(
+        pts,
+        quays,
+        point_keep=["event_id"],
+        target_id="quay_id",
+        k=1,
+        res=8,
+        max_rings=3,
+    )
+    return (
+        assigned.join(nearest, "event_id")
+        .select(
+            "event_id",
+            "relation_id",
+            "quay_id",
+            F.round("dist_m", 0).cast("long").alias("dist_m_round"),
+        )
+        .orderBy("event_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from osm2vdv462_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query."""
+    from osm2vdv462_spark import queries as q
+
+    return q.oracle_sql()

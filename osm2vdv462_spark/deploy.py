@@ -1,0 +1,34 @@
+"""Executor deployment: ship this package to Python workers.
+
+Local-mode equivalent of ``spark-submit --py-files`` (the north-rule launch
+mode): workers launched from any cwd must be able to unpickle our pandas
+UDFs, which reference ``osm2vdv462_spark.*`` modules.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="osm2vdv462_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)

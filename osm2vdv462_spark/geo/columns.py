@@ -1,0 +1,137 @@
+"""Spark column-level geo helpers: Arrow-vectorized pandas UDFs over the
+numpy kernel. These are the ONLY places geometry crosses the JVM/Python
+boundary; everything else stays in Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import cells as _cells
+from . import kernel as _kernel
+from . import wkb as _wkb
+
+
+def cell_of(lon_col, lat_col, res: int):
+    """Column: grid cell id of a (lon, lat) point at resolution ``res``."""
+
+    @F.pandas_udf(LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = _cells.cell_of_points(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        return pd.Series(out)
+
+    return _cell(lon_col, lat_col)
+
+
+def cover_cells(wkb_col, res: int, pad_cells: int = 0):
+    """Column: array<long> of grid cells covering the geometry's bbox at
+    ``res`` (superset cover — exact predicate filters later). ``pad_cells``
+    dilates the bbox by that many cells (for dwithin-style joins).
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(wkbs: pd.Series) -> pd.Series:
+        out = []
+        pad = pad_cells * _cells._deg_per_cell(res)
+        for b in wkbs:
+            if b is None:
+                out.append([])
+                continue
+            g = _wkb.decode(bytes(b))
+            minx, miny, maxx, maxy = g.bbox()
+            ids = _cells.cells_of_bbox(minx - pad, miny - pad, maxx + pad, maxy + pad, res)
+            out.append(ids.tolist())
+        return pd.Series(out)
+
+    return _cover(wkb_col)
+
+
+def geom_type(wkb_col):
+    """Column: geometry type name (replaces stored-type reads of
+    ST_GeometryType, ref stop_places.sql:596)."""
+
+    @F.pandas_udf(StringType())
+    def _t(wkbs: pd.Series) -> pd.Series:
+        return wkbs.map(lambda b: None if b is None else _wkb.geom_type_name(bytes(b)))
+
+    return _t(wkb_col)
+
+
+_CENTROID_TYPE = StructType(
+    [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+)
+
+
+def centroid(wkb_col):
+    """Column: struct<lon,lat> planar centroid (ST_Centroid, ref SP:167-177)."""
+
+    @F.pandas_udf(_CENTROID_TYPE)
+    def _c(wkbs: pd.Series) -> pd.DataFrame:
+        lons, lats = [], []
+        for b in wkbs:
+            if b is None:
+                lons.append(None)
+                lats.append(None)
+                continue
+            x, y = _kernel.centroid(_wkb.decode(bytes(b)))
+            lons.append(x)
+            lats.append(y)
+        return pd.DataFrame({"lon": lons, "lat": lats})
+
+    return _c(wkb_col)
+
+
+def geodesic_length_m(wkb_col):
+    """Column: geodesic length in meters (calculate_Distance, ref SP:8-14)."""
+
+    @F.pandas_udf(DoubleType())
+    def _len(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append(None)
+                continue
+            g = _wkb.decode(bytes(b))
+            total = 0.0
+            for i in range(g.nrings):
+                total += _kernel.polyline_length_m(g.ring(i))
+            out.append(total)
+        return pd.Series(out, dtype="float64")
+
+    return _len(wkb_col)
+
+
+def haversine_col(lon1, lat1, lon2, lat2):
+    """Pure-Catalyst haversine (meters) — no Python at all, whole-stage
+    codegen friendly. Used in kNN exact phase on billions of pairs.
+    """
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return 2.0 * _kernel.EARTH_R * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def point_wkb(lon_col, lat_col):
+    """Column: WKB point from lon/lat (ST_GeomFromText POINT, ref ppr.py:119)."""
+
+    @F.pandas_udf(BinaryType())
+    def _pt(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_wkb.encode_point(x, y) for x, y in zip(lon, lat)], dtype=object
+        )
+
+    return _pt(lon_col, lat_col)

@@ -1,0 +1,447 @@
+"""Vectorized geometry math (numpy) — the engine's PostGIS replacement.
+
+Each function notes the PostGIS call it replaces in the reference
+(/root/reference/pipeline/stop_places/sql/stop_places.sql, abbreviated SP).
+Everything operates on numpy arrays so batches of geometries are processed
+without per-row Python in the Spark hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import Geom, POLYGON, MULTIPOLYGON, LINESTRING, POINT
+
+EARTH_R = 6_371_008.8  # mean earth radius, meters
+
+
+# ------------------------------------------------------------- distances
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, fully vectorized.
+
+    Replaces ``calculate_Distance`` / ``ST_Length::geography`` (SP:8-14).
+    Agrees with geodesic lengths to ~0.3% (sufficient: consumers round to
+    whole meters or use distances ordinally for kNN).
+    """
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def polyline_length_m(coords: np.ndarray) -> float:
+    """Geodesic length of one polyline (SP:8-14 on LineStrings)."""
+    if len(coords) < 2:
+        return 0.0
+    return float(
+        haversine_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]).sum()
+    )
+
+
+def polylines_length_m(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Lengths of many polylines stored flat (offsets delimit)."""
+    if len(coords) == 0:
+        return np.zeros(len(offsets) - 1)
+    seg = haversine_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1])
+    # zero out segments that bridge two different polylines
+    mask = np.ones(len(seg), bool)
+    mask[offsets[1:-1] - 1] = False
+    seg = seg * mask
+    out = np.add.reduceat(np.concatenate([seg, [0.0]]), offsets[:-1])
+    # reduceat quirk: empty ranges copy the element — fix via lengths
+    lens = np.diff(offsets)
+    out[lens < 2] = 0.0
+    return out
+
+
+# -------------------------------------------------------- point in polygon
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast: True where (px,py) is inside the ring.
+
+    Vectorized over points (px/py arrays) x ring edges. Points exactly on
+    an edge may land either side (documented: engine PIP semantics are
+    ST_Intersects-like on boundaries; synthetic fixtures avoid exact-edge
+    points). Replaces the containment core of ST_Contains-based membership.
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    cond = (y0[None, :] > py) != (y1[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (py - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
+            x1[None, :] - x0[None, :]
+        )
+    crossings = cond & (px < xint)
+    return crossings.sum(axis=1) % 2 == 1
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geom) -> np.ndarray:
+    """PIP against a (Multi)Polygon Geom — holes handled by parity."""
+    inside = np.zeros(len(px), dtype=bool)
+    if poly.gtype == POLYGON or poly.gtype == MULTIPOLYGON:
+        parity = np.zeros(len(px), dtype=np.int64)
+        for i in range(poly.nrings):
+            parity += points_in_ring(px, py, poly.ring(i)).astype(np.int64)
+        inside = parity % 2 == 1
+    return inside
+
+
+# ------------------------------------------------------------- centroids
+
+
+def centroid(geom: Geom) -> tuple[float, float]:
+    """Planar centroid, matching ST_Centroid semantics (SP:167-177):
+
+    polygons -> area-weighted; linestrings -> length-weighted; points ->
+    mean. (PostGIS is planar on 4326 too, so this matches the reference.)
+    """
+    if geom.gtype == POINT:
+        return float(geom.coords[0, 0]), float(geom.coords[0, 1])
+    if geom.gtype in (POLYGON, MULTIPOLYGON):
+        # translate to a local origin for numerical stability (shoelace
+        # cancels catastrophically at lon~100, polygon size ~1e-3 deg)
+        ox, oy = geom.coords[0]
+        A2, cx, cy = 0.0, 0.0, 0.0
+        for i in range(geom.nrings):
+            r = geom.ring(i)
+            x0, y0 = r[:-1, 0] - ox, r[:-1, 1] - oy
+            x1, y1 = r[1:, 0] - ox, r[1:, 1] - oy
+            cross = x0 * y1 - x1 * y0
+            A2 += cross.sum()
+            cx += ((x0 + x1) * cross).sum()
+            cy += ((y0 + y1) * cross).sum()
+        if abs(A2) > 1e-30:
+            return ox + cx / (3.0 * A2), oy + cy / (3.0 * A2)
+        # degenerate polygon -> fall through to length weighting
+    if geom.gtype in (LINESTRING, POLYGON, MULTIPOLYGON) or geom.nrings >= 1:
+        wx, wy, wl = 0.0, 0.0, 0.0
+        for i in range(geom.nrings):
+            r = geom.ring(i)
+            if len(r) < 2:
+                continue
+            dx = r[1:] - r[:-1]
+            seg = np.hypot(dx[:, 0], dx[:, 1])
+            mid = (r[1:] + r[:-1]) / 2.0
+            wx += (mid[:, 0] * seg).sum()
+            wy += (mid[:, 1] * seg).sum()
+            wl += seg.sum()
+        if wl > 0:
+            return wx / wl, wy / wl
+    m = geom.coords.mean(axis=0)
+    return float(m[0]), float(m[1])
+
+
+# -------------------------------------------------- hull / envelope / width
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns CCW hull (closed not included)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def oriented_envelope(points: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated rectangle (rotating calipers over the hull).
+
+    Replaces ST_OrientedEnvelope (SP:981). Returns 5 points (closed ring).
+    """
+    hull = convex_hull(points)
+    if len(hull) < 3:
+        mn, mx = points.min(axis=0), points.max(axis=0)
+        return np.array([[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]], [mn[0], mn[1]]])
+    edges = hull[np.r_[1 : len(hull), 0]] - hull
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2.0))
+    best = None
+    for a in angles:
+        rot = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
+        r = hull @ rot.T
+        mn, mx = r.min(axis=0), r.max(axis=0)
+        area = (mx[0] - mn[0]) * (mx[1] - mn[1])
+        if best is None or area < best[0]:
+            best = (area, a, mn, mx)
+    _, a, mn, mx = best
+    rect = np.array(
+        [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]], [mn[0], mn[1]]]
+    )
+    inv = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    return rect @ inv.T
+
+
+def envelope_sides_m(rect: np.ndarray) -> tuple[float, float]:
+    """(short, long) side lengths in meters of a closed 5-pt rectangle.
+
+    Replaces the ST_DumpSegments + MIN/MAX plan (SP:975-996).
+    """
+    d = haversine_m(rect[:-1, 0], rect[:-1, 1], rect[1:, 0], rect[1:, 1])
+    return float(d.min()), float(d.max())
+
+
+# -------------------------------------------------------------- simplify
+
+
+def simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on one ring/linestring (planar tolerance, degrees).
+
+    Replaces ST_SimplifyPreserveTopology(geom, 1e-6) (SP:984) for the
+    pre-subdivision cleanup; at tol=1e-6 deg topology changes are not
+    reachable for OSM-scale rings, so plain DP is semantically adequate.
+    """
+    closed = bool(np.all(coords[0] == coords[-1])) and len(coords) > 3
+    pts = coords[:-1] if closed else coords
+    keep = np.zeros(len(pts), bool)
+    keep[[0, len(pts) - 1]] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        ln = np.hypot(*seg)
+        sub = pts[i + 1 : j]
+        if ln == 0:
+            d = np.hypot(sub[:, 0] - pts[i][0], sub[:, 1] - pts[i][1])
+        else:
+            d = np.abs(np.cross(seg, sub - pts[i])) / ln
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.extend([(i, i + 1 + k), (i + 1 + k, j)])
+    out = pts[keep]
+    if closed:
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+# ------------------------------------------------------- clip / subdivide
+
+
+def clip_ring_by_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sutherland-Hodgman clip of one ring by an axis rect; closed output."""
+    poly = ring[:-1] if len(ring) > 1 and np.all(ring[0] == ring[-1]) else ring
+
+    def clip_edge(pts, inside, intersect):
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside(prev)
+        for p in pts:
+            cur_in = inside(p)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, p))
+                out.append(p)
+            elif prev_in:
+                out.append(intersect(prev, p))
+            prev, prev_in = p, cur_in
+        return np.array(out) if out else np.empty((0, 2))
+
+    def ix(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return np.array([x, a[1] + t * (b[1] - a[1])])
+
+    def iy(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), y])
+
+    pts = poly
+    pts = clip_edge(pts, lambda p: p[0] >= minx, lambda a, b: ix(a, b, minx))
+    pts = clip_edge(pts, lambda p: p[0] <= maxx, lambda a, b: ix(a, b, maxx))
+    pts = clip_edge(pts, lambda p: p[1] >= miny, lambda a, b: iy(a, b, miny))
+    pts = clip_edge(pts, lambda p: p[1] <= maxy, lambda a, b: iy(a, b, maxy))
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+def subdivide(ring: np.ndarray, max_vertices: int = 5, _depth: int = 0) -> list[np.ndarray]:
+    """Recursive quadtree split of a polygon ring until each part has
+    <= max_vertices distinct vertices. Replaces ST_Subdivide(geom, 5)
+    (SP:982-985) — semantics (parts cover the input, vertex cap) match;
+    exact part boundaries are implementation-defined in PostGIS too.
+    """
+    distinct = len(ring) - 1
+    if distinct <= max_vertices or _depth > 16:
+        return [ring]
+    minx, miny = ring[:, 0].min(), ring[:, 1].min()
+    maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+    if maxx - minx >= maxy - miny:
+        mid = (minx + maxx) / 2.0
+        boxes = [(minx, miny, mid, maxy), (mid, miny, maxx, maxy)]
+    else:
+        mid = (miny + maxy) / 2.0
+        boxes = [(minx, miny, maxx, mid), (minx, mid, maxx, maxy)]
+    out = []
+    for bx in boxes:
+        part = clip_ring_by_rect(ring, *bx)
+        if len(part) >= 4:
+            out.extend(subdivide(part, max_vertices, _depth + 1))
+    return out if out else [ring]
+
+
+# ---------------------------------------------------- pairwise predicates
+
+
+def _segments_intersect(a0, a1, b0, b1) -> np.ndarray:
+    """Vectorized proper+improper segment intersection (arrays of segs)."""
+
+    def orient(p, q, r):
+        return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    d1 = orient(b0, b1, a0)
+    d2 = orient(b0, b1, a1)
+    d3 = orient(a0, a1, b0)
+    d4 = orient(a0, a1, b1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(p, q, r):
+        return (
+            (np.minimum(p[..., 0], q[..., 0]) <= r[..., 0])
+            & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+            & (np.minimum(p[..., 1], q[..., 1]) <= r[..., 1])
+            & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+        )
+
+    collinear = (
+        ((d1 == 0) & on_seg(b0, b1, a0))
+        | ((d2 == 0) & on_seg(b0, b1, a1))
+        | ((d3 == 0) & on_seg(a0, a1, b0))
+        | ((d4 == 0) & on_seg(a0, a1, b1))
+    )
+    return proper | collinear
+
+
+def _all_segments(g: Geom) -> tuple[np.ndarray, np.ndarray]:
+    s0, s1 = [], []
+    for i in range(g.nrings):
+        r = g.ring(i)
+        if len(r) >= 2:
+            s0.append(r[:-1])
+            s1.append(r[1:])
+    if not s0:
+        z = np.empty((0, 2))
+        return z, z
+    return np.concatenate(s0), np.concatenate(s1)
+
+
+def boundaries_intersect(a: Geom, b: Geom) -> bool:
+    a0, a1 = _all_segments(a)
+    b0, b1 = _all_segments(b)
+    if len(a0) == 0 or len(b0) == 0:
+        return False
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+    return bool(_segments_intersect(A0, A1, B0, B1).any())
+
+
+def geoms_intersect(a: Geom, b: Geom) -> bool:
+    """ST_Intersects for the type combos the reference uses (SP:1034,1062):
+    polygon/polygon, polygon/line, polygon/point, line/line, point/any.
+    bbox reject -> boundary crossing -> containment.
+    """
+    abb, bbb = a.bbox(), b.bbox()
+    if abb[0] > bbb[2] or bbb[0] > abb[2] or abb[1] > bbb[3] or bbb[1] > abb[3]:
+        return False
+    if a.gtype == POINT:
+        return _point_on(a.coords[0], b)
+    if b.gtype == POINT:
+        return _point_on(b.coords[0], a)
+    if boundaries_intersect(a, b):
+        return True
+    # containment: any vertex of one strictly inside the other polygon
+    if b.gtype in (POLYGON, MULTIPOLYGON):
+        if points_in_polygon(a.coords[:1, 0], a.coords[:1, 1], b)[0]:
+            return True
+    if a.gtype in (POLYGON, MULTIPOLYGON):
+        if points_in_polygon(b.coords[:1, 0], b.coords[:1, 1], a)[0]:
+            return True
+    return False
+
+
+def _point_on(p: np.ndarray, g: Geom) -> bool:
+    if g.gtype in (POLYGON, MULTIPOLYGON):
+        if points_in_polygon(np.array([p[0]]), np.array([p[1]]), g)[0]:
+            return True
+    s0, s1 = _all_segments(g)
+    if len(s0) == 0:
+        return bool(np.any(np.all(g.coords == p, axis=1)))
+    P = np.broadcast_to(p, s0.shape)
+    return bool(_segments_intersect(s0, s1, P, P).any())
+
+
+def touches(a: Geom, b: Geom) -> bool:
+    """ST_Touches approximation (SP:1034 platform x platform_edge):
+    geometries intersect but interiors do not.
+
+    Interior-overlap test: any vertex of one strictly inside the other, or
+    any *proper* (non-collinear) boundary crossing. Exact for the
+    polygon-boundary/linestring cases the reference exercises.
+    """
+    if not geoms_intersect(a, b):
+        return False
+    # probe points (vertices + segment midpoints) strictly interior?
+    for g, h in ((a, b), (b, a)):
+        if h.gtype in (POLYGON, MULTIPOLYGON):
+            s0g, s1g = _all_segments(g)
+            probes = g.coords
+            if len(s0g):
+                probes = np.vstack([probes, (s0g + s1g) / 2.0])
+            inside = points_in_polygon(probes[:, 0], probes[:, 1], h)
+            if inside.any():
+                # "strictly": drop probes that lie on h's boundary
+                s0, s1 = _all_segments(h)
+                for idx in np.nonzero(inside)[0]:
+                    p = probes[idx]
+                    P = np.broadcast_to(p, s0.shape)
+                    if not _segments_intersect(s0, s1, P, P).any():
+                        return False
+    # proper crossing of boundaries => interiors meet
+    a0, a1 = _all_segments(a)
+    b0, b1 = _all_segments(b)
+    if len(a0) and len(b0):
+        A0, A1 = a0[:, None, :], a1[:, None, :]
+        B0, B1 = b0[None, :, :], b1[None, :, :]
+
+        def orient(p, q, r):
+            return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+                q[..., 1] - p[..., 1]
+            ) * (r[..., 0] - p[..., 0])
+
+        d1, d2 = orient(B0, B1, A0), orient(B0, B1, A1)
+        d3, d4 = orient(A0, A1, B0), orient(A0, A1, B1)
+        proper = (
+            ((d1 > 0) != (d2 > 0))
+            & ((d3 > 0) != (d4 > 0))
+            & (d1 != 0)
+            & (d2 != 0)
+            & (d3 != 0)
+            & (d4 != 0)
+        )
+        if proper.any():
+            return False
+    return True

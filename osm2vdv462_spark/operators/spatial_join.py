@@ -1,0 +1,328 @@
+"""Two-phase spatial joins: grid-cell prefilter -> exact vectorized predicate.
+
+Replaces the reference's PostGIS spatial plans:
+
+* point-in-polygon assignment of elements to stop areas (the membership
+  semantics behind /root/reference/pipeline/stop_places/sql/
+  stop_places.sql:1072-1077 and the north-star ST_Contains op);
+* ``ST_Touches`` platform x platform_edge attach (stop_places.sql:1031-1036).
+
+Two physical strategies, chosen by the caller:
+
+1. **broadcast** (default; dimension side fits in executor memory, e.g.
+   stop-area polygons): the polygon set is compiled into a cell->polygon
+   CSR index, broadcast once, and the fact side (10^12 geotagged images)
+   is matched map-side in one ``mapInPandas`` pass — ZERO shuffle of the
+   big table, no join exchange at all. This is the 100 TB plan.
+2. **shuffle** (both sides huge): explode polygons to their cover cells,
+   equi-join on cell with optional salting of hot cells (dense urban
+   clusters), then the exact predicate. AQE skew-join splitting stays on
+   as a second line of defense.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType, LongType, StringType
+
+from ..geo import cells as _cells
+from ..geo import kernel as _kernel
+from ..geo import wkb as _wkb
+from ..geo.columns import cover_cells
+
+
+# ------------------------------------------------------------ poly index
+
+
+@dataclass
+class PolyIndex:
+    """Broadcastable cell -> polygon CSR index (built on the driver)."""
+
+    res: int
+    sorted_cells: np.ndarray  # unique cells, sorted
+    offsets: np.ndarray  # CSR offsets into poly_idx
+    poly_idx: np.ndarray  # polygon ordinals per cell
+    poly_ids: list  # user polygon ids (any hashable)
+    geoms: list  # decoded Geom per polygon
+
+    def lookup(self, point_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_ordinal, poly_ordinal) candidate pairs for points."""
+        pos = np.searchsorted(self.sorted_cells, point_cells)
+        pos = np.clip(pos, 0, len(self.sorted_cells) - 1)
+        hit = self.sorted_cells[pos] == point_cells
+        pts = np.nonzero(hit)[0]
+        pos = pos[hit]
+        counts = self.offsets[pos + 1] - self.offsets[pos]
+        point_ord = np.repeat(pts, counts)
+        if len(pos) == 0:
+            return point_ord, np.empty(0, np.int64)
+        starts = np.repeat(self.offsets[pos], counts)
+        within = np.arange(len(starts)) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        poly_ord = self.poly_idx[starts + within]
+        return point_ord, poly_ord
+
+
+def build_poly_index(rows: list[tuple], res: int) -> PolyIndex:
+    """rows: [(poly_id, wkb_bytes)] -> PolyIndex at resolution ``res``."""
+    poly_ids, geoms, cell_list, ord_list = [], [], [], []
+    for ordinal, (pid, blob) in enumerate(rows):
+        g = _wkb.decode(bytes(blob))
+        poly_ids.append(pid)
+        geoms.append(g)
+        minx, miny, maxx, maxy = g.bbox()
+        ids = _cells.cells_of_bbox(minx, miny, maxx, maxy, res)
+        cell_list.append(ids)
+        ord_list.append(np.full(len(ids), ordinal, np.int64))
+    if cell_list:
+        all_cells = np.concatenate(cell_list)
+        all_ords = np.concatenate(ord_list)
+    else:
+        all_cells = np.empty(0, np.int64)
+        all_ords = np.empty(0, np.int64)
+    order = np.argsort(all_cells, kind="stable")
+    all_cells, all_ords = all_cells[order], all_ords[order]
+    uniq, starts = np.unique(all_cells, return_index=True)
+    offsets = np.concatenate([starts, [len(all_cells)]]).astype(np.int64)
+    return PolyIndex(res, uniq, offsets, all_ords, poly_ids, geoms)
+
+
+def choose_poly_resolution(polys_df: DataFrame, wkb_col: str = "geom") -> int:
+    """Pick the join resolution from polygon bbox statistics: finest res
+    where the *median* polygon bbox spans <= ~4 cells. One tiny agg job.
+    """
+    import pandas as _pd
+
+    @F.pandas_udf("double")
+    def _span(wkbs: _pd.Series) -> _pd.Series:
+        out = []
+        for b in wkbs:
+            g = _wkb.decode(bytes(b))
+            minx, miny, maxx, maxy = g.bbox()
+            out.append(max(maxx - minx, maxy - miny))
+        return _pd.Series(out)
+
+    med = (
+        polys_df.select(F.percentile_approx(_span(F.col(wkb_col)), 0.5).alias("m"))
+        .collect()[0]["m"]
+    )
+    if not med or med <= 0:
+        return 14
+    import math
+
+    # cell side (deg) ~ median span -> polygon covers ~1-4 cells
+    r = int(math.floor(math.log2(180.0 / med)))
+    return max(4, min(r, _cells.MAX_RES))
+
+
+# ---------------------------------------------------- broadcast PIP join
+
+
+def pip_join_broadcast(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    *,
+    point_keep: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    poly_wkb: str = "geom",
+    res: int | None = None,
+    poly_id_type=LongType(),
+) -> DataFrame:
+    """Assign each point to every polygon containing it. Map-side only.
+
+    Returns points' ``point_keep`` columns + the matched polygon id as
+    ``poly_id``'s name. Points in no polygon are dropped (inner-join
+    semantics, matching the reference's membership INNER JOIN at
+    stop_places.sql:1072-1077).
+    """
+    spark = points_df.sparkSession
+    if res is None:
+        res = choose_poly_resolution(polys_df, poly_wkb)
+    rows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    index = build_poly_index(rows, res)
+    bc = spark.sparkContext.broadcast(index)
+
+    in_schema = points_df.select(*point_keep, lon, lat).schema
+    out_schema = StructType(
+        [f for f in in_schema if f.name in point_keep]
+        + [StructField(poly_id, poly_id_type)]
+    )
+    keep = list(point_keep)
+
+    def _match(batches):
+        idx: PolyIndex = bc.value
+        pid_arr = np.asarray(idx.poly_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lons = pdf[lon].to_numpy(np.float64)
+            lats = pdf[lat].to_numpy(np.float64)
+            pc = _cells.cell_of_points(lons, lats, idx.res)
+            pt_ord, pl_ord = idx.lookup(pc)
+            if len(pt_ord) == 0:
+                continue
+            # exact phase: group candidate pairs by polygon, PIP vectorized
+            order = np.argsort(pl_ord, kind="stable")
+            pt_ord, pl_ord = pt_ord[order], pl_ord[order]
+            bounds = np.nonzero(np.diff(pl_ord))[0] + 1
+            keep_pt, keep_pl = [], []
+            for seg_pts, seg_pl in zip(
+                np.split(pt_ord, bounds), np.split(pl_ord, bounds)
+            ):
+                g = idx.geoms[seg_pl[0]]
+                ok = _kernel.points_in_polygon(lons[seg_pts], lats[seg_pts], g)
+                keep_pt.append(seg_pts[ok])
+                keep_pl.append(seg_pl[:1].repeat(int(ok.sum())))
+            kp = np.concatenate(keep_pt) if keep_pt else np.empty(0, np.int64)
+            kl = np.concatenate(keep_pl) if keep_pl else np.empty(0, np.int64)
+            if len(kp) == 0:
+                continue
+            out = pdf.iloc[kp][keep].reset_index(drop=True)
+            out[poly_id] = pid_arr[kl]
+            yield out
+
+    return points_df.select(*point_keep, lon, lat).mapInPandas(_match, out_schema)
+
+
+# ------------------------------------------------------ shuffle PIP join
+
+
+def pip_join_shuffle(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    *,
+    point_keep: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    poly_wkb: str = "geom",
+    res: int = 14,
+    salt: int = 0,
+) -> DataFrame:
+    """PIP join when BOTH sides are too big to broadcast.
+
+    Plan: polygons explode to cover cells; points compute one cell; shuffle
+    equi-join on cell (salted when ``salt`` > 0 to split hot urban cells:
+    the point side appends ``pmod(xxhash64(point), salt)``, the polygon
+    side replicates each cover-cell row ``salt`` times); exact PIP on the
+    joined candidates via mapInPandas grouped by polygon bytes.
+    """
+    from ..geo.columns import cell_of
+
+    pts = points_df.select(*point_keep, lon, lat).withColumn(
+        "_cell", cell_of(F.col(lon), F.col(lat), res)
+    )
+    pl = polys_df.select(
+        F.col(poly_id).alias("_pid"),
+        F.col(poly_wkb).alias("_pwkb"),
+        F.explode(cover_cells(F.col(poly_wkb), res)).alias("_cell"),
+    )
+    # this operator exists for the polys-NOT-broadcastable case: force a
+    # shuffled hash join so the plan we test is the plan that runs at scale
+    # (without the hint Catalyst happily broadcasts whichever side is
+    # small at sf0.x — including the POINT side, which would be fatal)
+    pl = pl.hint("shuffle_hash")
+    if salt > 0:
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in point_keep]), F.lit(salt)).cast("int"),
+        )
+        pl = pl.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        cand = pts.join(pl, ["_cell", "_salt"])
+    else:
+        cand = pts.join(pl, "_cell")
+
+    in_schema = cand.schema
+    out_fields = [f for f in in_schema if f.name in point_keep] + [
+        StructField(poly_id, [f for f in pl.schema if f.name == "_pid"][0].dataType)
+    ]
+    out_schema = StructType(out_fields)
+    keep = list(point_keep)
+
+    def _exact(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lons = pdf[lon].to_numpy(np.float64)
+            lats = pdf[lat].to_numpy(np.float64)
+            codes, uniq = pd.factorize(pdf["_pwkb"].map(bytes))
+            mask = np.zeros(len(pdf), bool)
+            for u in range(len(uniq)):
+                sel = np.nonzero(codes == u)[0]
+                g = _wkb.decode(uniq[u])
+                mask[sel] = _kernel.points_in_polygon(lons[sel], lats[sel], g)
+            out = pdf.loc[mask, keep + ["_pid"]].rename(columns={"_pid": poly_id})
+            if len(out):
+                yield out
+
+    return cand.mapInPandas(_exact, out_schema)
+
+
+# ------------------------------------------------------------ touches join
+
+
+def touches_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    *,
+    left_id: str,
+    left_wkb: str,
+    right_id: str,
+    right_wkb: str,
+    res: int = 16,
+    predicate: str = "touches",
+) -> DataFrame:
+    """Spatial theta-join on ST_Touches / ST_Intersects (ref J4,
+    stop_places.sql:1031-1036: platform x platform_edge ON ST_Touches).
+
+    Both sides explode to cover cells, equi-join on cell, exact predicate,
+    then dedup (a pair can meet in several cells).
+    Returns distinct (left_id, right_id).
+    """
+    l = left_df.select(
+        F.col(left_id).alias("_lid"), F.col(left_wkb).alias("_lwkb")
+    ).withColumn("_cell", F.explode(cover_cells(F.col(left_wkb), res)))
+    r = right_df.select(
+        F.col(right_id).alias("_rid"), F.col(right_wkb).alias("_rwkb")
+    ).withColumn("_cell", F.explode(cover_cells(F.col(right_wkb), res)))
+    cand = l.join(r, "_cell").dropDuplicates(["_lid", "_rid"])
+
+    lid_t = [f for f in l.schema if f.name == "_lid"][0].dataType
+    rid_t = [f for f in r.schema if f.name == "_rid"][0].dataType
+    out_schema = StructType(
+        [StructField(left_id, lid_t), StructField(right_id, rid_t)]
+    )
+    pred_fn = _kernel.touches if predicate == "touches" else _kernel.geoms_intersect
+
+    def _exact(batches):
+        cache: dict[bytes, object] = {}
+
+        def dec(b):
+            g = cache.get(b)
+            if g is None:
+                g = _wkb.decode(b)
+                cache[b] = g
+            return g
+
+        for pdf in batches:
+            keep = []
+            for i in range(len(pdf)):
+                a = dec(bytes(pdf["_lwkb"].iloc[i]))
+                b = dec(bytes(pdf["_rwkb"].iloc[i]))
+                if pred_fn(a, b):
+                    keep.append(i)
+            if keep:
+                out = pdf.iloc[keep][["_lid", "_rid"]]
+                out.columns = [left_id, right_id]
+                yield out
+
+    return cand.mapInPandas(_exact, out_schema)

@@ -1,0 +1,121 @@
+"""Deterministic synthetic geo layers derived from the driver's parquet
+tables (TESTDATA.md) — no external data, no RNG state.
+
+Two families:
+
+1. **Oracle-checkable layers** (this module): geotagged points from
+   ``events``, stop-area octagon polygons from ``nation``, quay sites from
+   ``supplier``. Every derivation is simple integer/float arithmetic so a
+   DuckDB SQL oracle can reproduce it bit-for-bit; the Spark side runs the
+   REAL engine operators (cell index + exact kernel) against those shapes.
+
+2. **OSM-world fixtures** (``synth_world``): richer layered world
+   (platforms with multi-IFOPT, touching edges, entrances, ...) mirroring
+   the reference's example extracts (/root/reference/example_data/) for
+   the stop-places pipeline tests, checked against brute-force oracles in
+   pytest rather than SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..geo import wkb as _wkb
+
+# ---- geotagged points from `events` --------------------------------------
+# lon/lat in [-0.25, 0.25): pure integer LCG on event_id, identical in
+# Spark SQL and DuckDB SQL (all intermediates < 2^31, no float ambiguity
+# beyond IEEE-exact small-integer division).
+
+SQL_POINTS = """
+SELECT
+  event_id,
+  -0.25 + (((event_id * 37 + 11) % 2000) / 4000.0) AS lon,
+  -0.25 + (((event_id * 73 + 29) % 2000) / 4000.0) AS lat
+FROM events
+"""
+
+
+def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        (F.lit(-0.25) + ((F.col("event_id") * 37 + 11) % 2000) / 4000.0).alias("lon"),
+        (F.lit(-0.25) + ((F.col("event_id") * 73 + 29) % 2000) / 4000.0).alias("lat"),
+    )
+
+
+# ---- stop-area octagons from `nation` -------------------------------------
+# 25 nations -> 5x5 grid of octagons (intersection of a box and a diamond:
+# |dx|<=A, |dy|<=A, |dx|+|dy|<=B). Non-rectangular, so the generic ray-cast
+# PIP is genuinely exercised, while the SQL oracle stays exact algebra.
+
+OCT_A = 0.0299
+OCT_B = 0.0451
+GRID_STEP = 0.1
+GRID_LON0 = -0.2
+GRID_LAT0 = -0.2
+
+SQL_OCTAGON_PRED = (
+    "abs(p.lon - ({cx})) < {A} AND abs(p.lat - ({cy})) < {A} "
+    "AND abs(p.lon - ({cx})) + abs(p.lat - ({cy})) < {B}"
+)
+
+SQL_OCTAGONS_JOIN = f"""
+JOIN nation n ON
+  abs(p.lon - (-0.2 + 0.1 * (n.n_nationkey % 5))) < {OCT_A}
+  AND abs(p.lat - (-0.2 + 0.1 * (n.n_nationkey // 5))) < {OCT_A}
+  AND abs(p.lon - (-0.2 + 0.1 * (n.n_nationkey % 5)))
+    + abs(p.lat - (-0.2 + 0.1 * (n.n_nationkey // 5))) < {OCT_B}
+"""
+
+
+def _octagon_ring(cx: float, cy: float, a: float = OCT_A, b: float = OCT_B) -> np.ndarray:
+    c = b - a  # corner cut
+    ring = np.array(
+        [
+            [cx - c, cy - a],
+            [cx + c, cy - a],
+            [cx + a, cy - c],
+            [cx + a, cy + c],
+            [cx + c, cy + a],
+            [cx - c, cy + a],
+            [cx - a, cy + c],
+            [cx - a, cy - c],
+            [cx - c, cy - a],
+        ]
+    )
+    return ring
+
+
+def stop_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One octagonal 'stop area' polygon per nation row (WKB)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    rows = []
+    for r in nat:
+        key = r["n_nationkey"]
+        cx = GRID_LON0 + GRID_STEP * (key % 5)
+        cy = GRID_LAT0 + GRID_STEP * (key // 5)
+        rows.append((int(key), bytearray(_wkb.encode_polygon([_octagon_ring(cx, cy)]))))
+    return spark.createDataFrame(rows, "relation_id int, geom binary")
+
+
+# ---- quay sites from `supplier` -------------------------------------------
+
+SQL_QUAYS = """
+SELECT
+  s_suppkey AS quay_id,
+  -0.22 + 0.043 * s_suppkey AS lon,
+  -0.09 + 0.017 * s_suppkey AS lat
+FROM supplier
+"""
+
+
+def quay_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return sup.select(
+        F.col("s_suppkey").alias("quay_id"),
+        (F.lit(-0.22) + 0.043 * F.col("s_suppkey")).alias("lon"),
+        (F.lit(-0.09) + 0.017 * F.col("s_suppkey")).alias("lat"),
+    )

@@ -1,0 +1,180 @@
+"""Geospatial queries: the engine's flagship operators run against
+oracle-checkable synthetic layers (datagen.py).
+
+Each Spark callable exercises the REAL engine machinery (grid cell index,
+two-phase join, exact numpy kernel); the oracle reproduces the *result* by
+plain algebra in DuckDB SQL — never the same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.knn import knn_join_broadcast
+from ..operators.spatial_join import pip_join_broadcast, pip_join_shuffle
+from ..pipeline import datagen
+from . import register
+
+_POINTS_CTE = f"WITH p AS ({datagen.SQL_POINTS})"
+
+
+# --------------------------------------------------------------------- PIP
+
+
+@register(
+    "pip_assign",
+    f"""
+    {_POINTS_CTE}
+    SELECT p.event_id, n.n_nationkey AS relation_id
+    FROM p {datagen.SQL_OCTAGONS_JOIN}
+    """,
+)
+def pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon assignment: geotagged points -> stop-area octagons.
+
+    North-star op (BASELINE.json): H3-style cell prefilter -> exact
+    ray-cast PIP, broadcast plan (zero shuffle of the point table).
+    Reference semantics: ST_Contains membership, stop_places.sql:1072-1077.
+    """
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    out = pip_join_broadcast(
+        pts,
+        polys,
+        point_keep=["event_id"],
+        poly_id="relation_id",
+        poly_wkb="geom",
+        res=12,
+    )
+    from pyspark.sql.types import IntegerType
+
+    return out.select("event_id", F.col("relation_id").cast(IntegerType()))
+
+
+@register(
+    "pip_assign_shuffle",
+    f"""
+    {_POINTS_CTE}
+    SELECT p.event_id, n.n_nationkey AS relation_id
+    FROM p {datagen.SQL_OCTAGONS_JOIN}
+    """,
+)
+def pip_assign_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as pip_assign but on the shuffle plan with salted
+    hot cells — the both-sides-huge strategy (SURVEY.md §4 item 3)."""
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    out = pip_join_shuffle(
+        pts,
+        polys,
+        point_keep=["event_id"],
+        poly_id="relation_id",
+        poly_wkb="geom",
+        res=12,
+        salt=4,
+    )
+    return out.select("event_id", F.col("relation_id").cast("int"))
+
+
+@register(
+    "pip_density",
+    f"""
+    {_POINTS_CTE}
+    SELECT n.n_nationkey AS relation_id, count(*) AS n_images
+    FROM p {datagen.SQL_OCTAGONS_JOIN}
+    GROUP BY 1
+    """,
+)
+def pip_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile/stop-area image density: PIP join + partial-aggregated count
+    (the tiling rollup half of the north star)."""
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    out = pip_join_broadcast(
+        pts, polys, point_keep=["event_id"], poly_id="relation_id", poly_wkb="geom", res=12
+    )
+    return out.groupBy(F.col("relation_id").cast("int").alias("relation_id")).agg(
+        F.count("*").alias("n_images")
+    )
+
+
+# --------------------------------------------------------------------- kNN
+
+_HAVERSINE_SQL = (
+    "2 * 6371008.8 * asin(sqrt(least(1.0, "
+    "pow(sin((radians(t.lat) - radians(p.lat)) / 2), 2) "
+    "+ cos(radians(p.lat)) * cos(radians(t.lat)) "
+    "* pow(sin((radians(t.lon) - radians(p.lon)) / 2), 2))))"
+)
+
+
+@register(
+    "knn_nearest_quay",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
+    d AS (
+      SELECT p.event_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT event_id, quay_id, CAST(round(dist, 0) AS BIGINT) AS dist_m_round
+    FROM d WHERE rn = 1
+    """,
+)
+def knn_nearest_quay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star kNN: nearest quay per geotagged image via cell
+    ring-expansion + exact haversine (top-1, ties by id). Distance is
+    rounded to whole meters in the comparison so cross-library ulp noise
+    can't flip the hash."""
+    pts = datagen.geo_points(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = knn_join_broadcast(
+        pts,
+        quays,
+        point_keep=["event_id"],
+        target_id="quay_id",
+        k=1,
+        res=8,
+        max_rings=3,
+    )
+    return out.select(
+        "event_id",
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )
+
+
+@register(
+    "knn_top3",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
+    d AS (
+      SELECT p.event_id, t.quay_id,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT event_id, quay_id, CAST(rn AS INT) AS knn_rank
+    FROM d WHERE rn <= 3
+    """,
+)
+def knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 variant: proves the ring-expansion terminates with the correct
+    k-th neighbor, not just the nearest."""
+    pts = datagen.geo_points(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = knn_join_broadcast(
+        pts,
+        quays,
+        point_keep=["event_id"],
+        target_id="quay_id",
+        k=3,
+        res=8,
+        max_rings=3,
+    )
+    return out.select("event_id", "quay_id", "knn_rank")

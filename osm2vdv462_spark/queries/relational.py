@@ -1,0 +1,245 @@
+"""Relational operator-parity queries (SURVEY.md §2.2-2.7) over the
+driver's TPC-H-ish tables. Each exercises one reference operator family;
+the reference file:line it mirrors is in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register(
+    "membership_join",
+    """
+    SELECT o.o_orderstatus, c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi inner join + hash agg (ref stop_places.sql:1072-1077:
+    platforms_merged JOIN stop_areas_members_ref). Dimension side is
+    broadcast — verify with .explain(): BroadcastHashJoin."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "left_join_coalesce",
+    """
+    SELECT o.o_orderkey,
+           coalesce(c.c_mktsegment, '(none)') AS segment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+    """,
+)
+def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left outer join + COALESCE fallback (ref stop_places.sql:
+    1102-1107: access_spaces LEFT JOIN pois, '{}' fallback)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment")
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A8 grouped aggregation with pushed-down filter (TPC-H Q1 shape;
+    ref min/max agg pattern stop_places.sql:975-977)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top1_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+             ) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rn = 1
+    """,
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W2/J7 first-row-per-group: DISTINCT ON / LATERAL ... LIMIT 1
+    (ref stop_places.sql:972-996 envelope pick, 1198-1201 org match)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "edge_pairs",
+    """
+    SELECT a.s_nationkey AS relation_id,
+           a.s_suppkey AS from_id, b.s_suppkey AS to_id
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey
+    """,
+)
+def edge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 self cross-pair join: all ordered pairs per group (ref
+    stop_places.sql:1126-1146 stop_area_edges quay x quay)."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") != F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_nationkey").alias("relation_id"),
+            F.col("a.s_suppkey").alias("from_id"),
+            F.col("b.s_suppkey").alias("to_id"),
+        )
+    )
+
+
+@register(
+    "tag_access",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k
+    FROM events
+    WHERE CAST(props ->> 'k' AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def tag_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 tag-map predicate + accessor (ref lua/utils.lua:91-114 and
+    tags->>'key' throughout stop_places.sql): JSON props parsed to a map,
+    key access pushed through filter + agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
+    "lateral_posexplode",
+    """
+    SELECT p_partkey,
+           unnest(string_split(p_type, ' ')) AS word,
+           CAST(unnest(generate_series(1, len(string_split(p_type, ' '))))
+                AS INT) AS pos
+    FROM part
+    """,
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F9 lateral explode WITH ORDINALITY (ref stop_places.sql:1017-1030
+    CROSS JOIN string_to_table(IFOPT, ';') WITH ORDINALITY)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos0", "word")
+    ).select("p_partkey", "word", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@register(
+    "map_last_wins",
+    """
+    SELECT user_id, arg_max(CAST(props ->> 'k' AS BIGINT), event_id) AS final_k
+    FROM events GROUP BY user_id
+    """,
+)
+def map_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 jsonb_combine: last-key-wins tag-map fold with a pinned order
+    (ref stop_places.sql:935-939; order pinned by event_id — the engine's
+    normative tie-break, SURVEY.md §7 'order-sensitive merges').
+
+    Implemented as the scalable distributed map-merge (the A1 pattern used
+    throughout the engine): explode map entries with their ordinal, window
+    top-1 per (group, key) by ordinal desc, re-assemble with
+    map_from_entries. No driver collect, no unbounded state per group.
+    """
+    e = _t(spark, sf_dir, "events")
+    tags = F.from_json("props", "map<string,string>")
+    entries = e.select(
+        "user_id", F.col("event_id").alias("ord"), F.explode(tags).alias("key", "val")
+    )
+    w = Window.partitionBy("user_id", "key").orderBy(F.col("ord").desc())
+    merged = (
+        entries.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("key", "val"))).alias("merged"))
+    )
+    return merged.select(
+        "user_id", F.element_at("merged", "k").cast("long").alias("final_k")
+    )
+
+
+@register(
+    "union_all_levels",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS id, 'ORDER' AS category FROM orders
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT) AS id, 'CUSTOMER' AS category FROM customer
+    """,
+)
+def union_all_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3 UNION ALL with aligned schema + literal category column (ref
+    stop_places.sql:1294-1317 export_data union of 4 element kinds)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("id"), F.lit("ORDER").alias("category")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"), F.lit("CUSTOMER").alias("category")
+    )
+    return o.unionByName(c)

