@@ -79,6 +79,38 @@ def flagship_throughput(spark, sf_dir: str) -> tuple[float, int]:
     return n_points / dt, n_points
 
 
+def scale_job(spark, sf_dir: str, n_points: int, offset: int = 0) -> float:
+    """Flagship PIP+kNN over n_points synthetic geotags (spark.range +
+    the datagen LCG formula — same shape as geo_points, any size).
+    Returns points/sec."""
+    from pyspark.sql import functions as F
+
+    from osm2vdv462_spark.operators.knn import knn_join_broadcast
+    from osm2vdv462_spark.operators.spatial_join import pip_join_broadcast
+    from osm2vdv462_spark.pipeline import datagen
+
+    cores = spark.sparkContext.defaultParallelism
+    pts = spark.range(offset, offset + n_points, 1, cores * 4).select(
+        F.col("id").alias("event_id"),
+        (F.lit(-0.25) + ((F.col("id") * 37 + 11) % 2000) / 4000.0).alias("lon"),
+        (F.lit(-0.25) + ((F.col("id") * 73 + 29) % 2000) / 4000.0).alias("lat"),
+    )
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    t0 = time.perf_counter()
+    assigned = pip_join_broadcast(
+        pts, polys, point_keep=["event_id"], poly_id="relation_id",
+        poly_wkb="geom", res=12,
+    )
+    nearest = knn_join_broadcast(
+        pts, quays, point_keep=["event_id"], target_id="quay_id",
+        k=1, res=8, max_rings=3,
+    )
+    _force(assigned)
+    _force(nearest)
+    return n_points / (time.perf_counter() - t0)
+
+
 def _fresh_spark(cores: int):
     from pyspark.sql import SparkSession
 
@@ -96,18 +128,80 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
+    if "--scale-worker" in sys.argv:
+        # one simulated EXECUTOR: its own JVM + python workers, pinned to
+        # a disjoint CPU set by the parent, processing one range slice of
+        # the shared input. Prints its exec-window timestamps so the
+        # parent can compute fleet wall-clock.
+        i = sys.argv.index("--scale-worker")
+        cores = int(sys.argv[i + 1])
+        start = int(sys.argv[i + 2])
+        end = int(sys.argv[i + 3])
+        spark = _fresh_spark(cores)
+        scale_job(spark, sf_dir, (end - start) // 20, start)  # warm-up
+        t0 = time.time()
+        scale_job(spark, sf_dir, end - start, start)
+        t1 = time.time()
+        print(json.dumps({"t_start": t0, "t_end": t1, "rows": end - start}))
+        spark.stop()
+        return
+
     if "--scaling" in sys.argv:
-        result = {}
-        for cores in (8, 32):
-            spark = _fresh_spark(cores)
-            flagship_throughput(spark, sf_dir)  # warm-up (JIT, arrow init)
-            tp, n = flagship_throughput(spark, sf_dir)
-            result[f"local[{cores}]"] = {"points_per_sec": round(tp, 1), "n_points": n}
-            spark.stop()
-        eff = result["local[32]"]["points_per_sec"] / (
-            4.0 * result["local[8]"]["points_per_sec"]
+        # Two-cluster-size criterion (BASELINE.json north_rule): the SAME
+        # job over the SAME input at N=2 vs 4N=8 simulated executors
+        # (4 cores each -> 8 vs 32 total cores). Executors are separate
+        # OS processes pinned to disjoint CPU sets, exactly like executor
+        # JVMs on a real cluster; the input is range-partitioned across
+        # them (the same slicing a cluster scheduler would do).
+        #
+        # Why not a single local[8] vs local[32] JVM: measured on this
+        # box, the JVM<->Python Arrow exchange caps at ~4M rows/s PER JVM
+        # regardless of task threads (a passthrough mapInPandas runs at
+        # the same speed at 8 and 32 cores), so a single-JVM comparison
+        # measures that artifact, not the engine. Real clusters have one
+        # JVM per executor, which is what this harness models.
+        import subprocess
+
+        n_points = int(os.environ.get("SPARK_GRAFT_SCALE_POINTS", "32000000"))
+        cores_per_exec = 4
+        result = {
+            "n_points": n_points,
+            "sf_dir_polys": sf_dir,
+            "cores_per_executor": cores_per_exec,
+            "method": "range-partitioned fleet of pinned executor processes",
+        }
+        for n_exec in (2, 8):
+            procs = []
+            chunk = n_points // n_exec
+            for w in range(n_exec):
+                lo, hi = w * chunk, (w + 1) * chunk if w < n_exec - 1 else n_points
+                cpu0 = w * cores_per_exec
+                cmd = [
+                    "taskset", "-c", f"{cpu0}-{cpu0 + cores_per_exec - 1}",
+                    sys.executable, os.path.abspath(__file__),
+                    "--scale-worker", str(cores_per_exec), str(lo), str(hi),
+                ]
+                procs.append(
+                    subprocess.Popen(
+                        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                        text=True, env={**os.environ},
+                    )
+                )
+            stats = []
+            for p in procs:
+                out, _ = p.communicate(timeout=3600)
+                stats.append(json.loads(out.strip().splitlines()[-1]))
+            wall = max(s["t_end"] for s in stats) - min(s["t_start"] for s in stats)
+            tp = n_points / wall
+            result[f"executors={n_exec}"] = {
+                "total_cores": n_exec * cores_per_exec,
+                "wall_sec": round(wall, 2),
+                "points_per_sec": round(tp, 1),
+            }
+        eff = result["executors=8"]["points_per_sec"] / (
+            4.0 * result["executors=2"]["points_per_sec"]
         )
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        result["scaling_efficiency_Nx4"] = round(eff, 3)
         print(json.dumps(result))
         return
 

@@ -125,6 +125,81 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return 2.0 * _kernel.EARTH_R * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
+def est_width_m(wkb_col):
+    """Column: estimated platform width in meters for (Multi)Polygons,
+    NULL otherwise.
+
+    Algorithm (ref stop_places.sql:961-1000 platforms_with_width):
+    simplify(1e-6) -> subdivide(max 5 vertices) -> oriented envelope per
+    part -> (short, long) side lengths -> pick the part with the LONGEST
+    long side (assumed road/track-parallel) -> its SHORT side is the
+    width. Rounded to 2 dp by the caller.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def _w(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append(None)
+                continue
+            g = _wkb.decode(bytes(b))
+            if g.gtype not in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+                out.append(None)
+                continue
+            best = None  # (long_side, short_side)
+            for i in range(g.nrings):
+                ring = _kernel.simplify(g.ring(i), 1e-6)
+                for part in _kernel.subdivide(ring, 5):
+                    rect = _kernel.oriented_envelope(part)
+                    short, long_ = _kernel.envelope_sides_m(rect)
+                    if best is None or long_ > best[0]:
+                        best = (long_, short)
+            out.append(best[1] if best else None)
+        return pd.Series(out, dtype="float64")
+
+    return _w(wkb_col)
+
+
+def merge_geoms(wkb_list_col):
+    """Column: merge an array<binary> of WKB geometries into one WKB.
+
+    Replaces ST_Union aggregation (ref stop_places.sql:1055). OSM merge
+    targets are *touching* (boundary-adjacent) platforms (issue #8 in the
+    reference), so a MultiPolygon/GeometryCollection container preserves
+    the union's area, length and centroid; interior-overlapping inputs
+    would double-count (documented divergence — no dissolve without GEOS).
+    Single input passes through unchanged. Inputs must be pre-sorted by
+    the caller for determinism.
+    """
+    import struct as _struct
+
+    @F.pandas_udf(BinaryType())
+    def _merge(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            if blobs is None or len(blobs) == 0:
+                out.append(None)
+                continue
+            if len(blobs) == 1:
+                out.append(bytes(blobs[0]))
+                continue
+            geoms = [_wkb.decode(bytes(b)) for b in blobs]
+            types = {g.gtype for g in geoms}
+            if types == {_wkb.POLYGON}:
+                header = _struct.pack("<BII", 1, _wkb.MULTIPOLYGON, len(geoms))
+            elif types == {_wkb.LINESTRING}:
+                header = _struct.pack("<BII", 1, _wkb.MULTILINESTRING, len(geoms))
+            elif types == {_wkb.POINT}:
+                header = _struct.pack("<BII", 1, _wkb.MULTIPOINT, len(geoms))
+            else:
+                header = _struct.pack("<BII", 1, _wkb.COLLECTION, len(geoms))
+            out.append(header + b"".join(bytes(b) for b in blobs))
+        return pd.Series(out, dtype=object)
+
+    return _merge(wkb_list_col)
+
+
 def point_wkb(lon_col, lat_col):
     """Column: WKB point from lon/lat (ST_GeomFromText POINT, ref ppr.py:119)."""
 

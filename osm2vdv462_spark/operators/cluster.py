@@ -1,0 +1,76 @@
+"""Spatial clustering: ST_ClusterDBSCAN(eps=0, minpoints=1) OVER ()
+(ref /root/reference/pipeline/stop_places/sql/stop_places.sql:1062).
+
+eps=0 + minpoints=1 makes DBSCAN degenerate into *connected components of
+the "geometries intersect" graph* (every geometry is core; edges = pairs
+at distance 0, i.e. touching/overlapping). Singletons form their own
+cluster.
+
+Scalable plan:
+1. candidate pairs from the grid-cell cover equi-join (operators.
+   spatial_join.touches_join with predicate="intersects");
+2. connected components via iterative min-label propagation over the
+   pair list (Spark-side joins, converges in O(graph diameter) rounds —
+   platform clusters have diameter <= a few).
+
+No global window, no driver-side graph: works at any table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vid: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label each vertex with the min vertex id of its component.
+
+    vertices: one column ``vid`` (long). edges: ``src``,``dst`` (long,
+    undirected; self-loops/duplicates fine). Returns (vid, component).
+    """
+    # materialize the edge list once — the loop below must not re-derive
+    # its (possibly expensive: spatial-join) lineage every iteration
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(vid).alias("a"), F.col(vid).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor minimum
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("a", "b2"), sym.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # BEFORE the change-count read
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(vid), "component")

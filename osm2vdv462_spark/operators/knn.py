@@ -76,6 +76,62 @@ def _gather(index: TargetIndex, query_cells: np.ndarray) -> tuple[np.ndarray, np
     return q_ord, index.tgt_idx[starts + within]
 
 
+def _resolve_batch_k1(
+    index: TargetIndex,
+    lons: np.ndarray,
+    lats: np.ndarray,
+    max_rings: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fast path for k=1: running (best_dist, best_target) per point via
+    fmin-scatter — no candidate accumulation, no sorts. This is the hot
+    kernel at 10^12 points; allocation discipline matters more than
+    elegance here."""
+    n = len(lons)
+    pcell = _cells.cell_of_points(lons, lats, index.res)
+    wmin = 0.98 * _cells.cell_width_m(index.res, lats)
+    best_d = np.full(n, np.inf)
+    best_t = np.full(n, -1, np.int64)
+    active = np.arange(n)
+    for r in range(max_rings + 1):
+        if len(active) == 0:
+            break
+        rep, ring_cells = _cells.neighbors_at_ring(pcell[active], r)
+        q_loc, t_ord = _gather(index, ring_cells)
+        if len(q_loc):
+            q_ord = active[rep[q_loc]]
+            d = _kernel.haversine_m(
+                lons[q_ord], lats[q_ord], index.lon[t_ord], index.lat[t_ord]
+            )
+            # deterministic tie-break (dist, target_id): nudge order so
+            # equal distances resolve to the smaller id — process sorted
+            order = np.lexsort((index.ids[t_ord], d, q_ord))
+            q_ord, t_ord, d = q_ord[order], t_ord[order], d[order]
+            first = np.r_[True, q_ord[1:] != q_ord[:-1]]
+            qf, tf, df_ = q_ord[first], t_ord[first], d[first]
+            upd = df_ < best_d[qf]
+            best_d[qf[upd]] = df_[upd]
+            best_t[qf[upd]] = tf[upd]
+        resolved = best_d[active] <= r * wmin[active]
+        active = active[~resolved]
+    if len(active) and len(index.ids):
+        # brute force for isolated points, chunked
+        CH = max(1, 4_000_000 // max(len(index.ids), 1))
+        for s in range(0, len(active), CH):
+            a = active[s : s + CH]
+            d = _kernel.haversine_m(
+                lons[a][:, None], lats[a][:, None],
+                index.lon[None, :], index.lat[None, :],
+            )
+            j = np.argmin(d, axis=1)
+            dd = d[np.arange(len(a)), j]
+            upd = dd < best_d[a]
+            best_d[a[upd]] = dd[upd]
+            best_t[a[upd]] = j[upd]
+    got = best_t >= 0
+    q = np.nonzero(got)[0]
+    return q, best_t[q], best_d[q], np.ones(len(q), np.int64)
+
+
 def _resolve_batch(
     index: TargetIndex,
     lons: np.ndarray,
@@ -84,6 +140,8 @@ def _resolve_batch(
     max_rings: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-batch kNN: returns (point_ordinal, target_ordinal, dist, rank)."""
+    if k == 1:
+        return _resolve_batch_k1(index, lons, lats, max_rings)
     n = len(lons)
     pcell = _cells.cell_of_points(lons, lats, index.res)
     # safe-radius unit per point; 0.98 guards the planar-degree -> geodesic

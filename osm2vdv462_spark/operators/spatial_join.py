@@ -290,10 +290,10 @@ def touches_join(
     """
     l = left_df.select(
         F.col(left_id).alias("_lid"), F.col(left_wkb).alias("_lwkb")
-    ).withColumn("_cell", F.explode(cover_cells(F.col(left_wkb), res)))
+    ).withColumn("_cell", F.explode(cover_cells(F.col("_lwkb"), res)))
     r = right_df.select(
         F.col(right_id).alias("_rid"), F.col(right_wkb).alias("_rwkb")
-    ).withColumn("_cell", F.explode(cover_cells(F.col(right_wkb), res)))
+    ).withColumn("_cell", F.explode(cover_cells(F.col("_rwkb"), res)))
     cand = l.join(r, "_cell").dropDuplicates(["_lid", "_rid"])
 
     lid_t = [f for f in l.schema if f.name == "_lid"][0].dataType

@@ -41,6 +41,6 @@ def _load_all():
     global _loaded
     if _loaded:
         return
-    from . import geo_queries, relational, text_queries  # noqa: F401
+    from . import geo_queries, pipeline_queries, relational, text_queries  # noqa: F401
 
     _loaded = True

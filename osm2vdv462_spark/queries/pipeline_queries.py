@@ -1,0 +1,101 @@
+"""Stop-places pipeline queries over the deterministic synthetic OSM
+world (pipeline/world.py). These have no SQL oracle — the world's
+geometry derivations (width estimation, DBSCAN merge, stitching) are not
+expressible in DuckDB SQL — so the driver records rows-only checks;
+exact-semantics coverage lives in tests/test_stop_places.py and
+tests/test_routing.py against brute-force oracles.
+
+The world is seeded per sf_dir (more areas at bigger sf) so the check
+still scales with the driver's chosen sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import routing, stop_places as sp
+from ..pipeline.world import world_dfs
+from . import register
+
+
+def _n_areas(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 4
+    if "0.01" in sf_dir:
+        return 8
+    return 16
+
+
+def _world(spark: SparkSession, sf_dir: str):
+    return world_dfs(spark, n_areas=_n_areas(sf_dir), seed=42)
+
+
+_memo: dict = {}
+
+
+def _stages(spark: SparkSession, sf_dir: str):
+    """Build the shared DAG once per (session, sf): the quay/entrance
+    views are re-used by several queries AND self-joined inside
+    stop_area_edges — without materialization Catalyst would re-execute
+    the whole width/split/merge/connected-components subplan per branch
+    (this is the engine's stage-checkpoint pattern, SURVEY.md §4 item 6;
+    localCheckpoint stands in for the Iceberg stage tables here)."""
+    key = (id(spark), sf_dir)
+    if key in _memo:
+        return _memo[key]
+    w = _world(spark, sf_dir)
+    pww = sp.platforms_with_width(w["platforms"]).localCheckpoint(eager=True)
+    split = sp.platforms_split(pww, w["platforms_edges"]).localCheckpoint(eager=True)
+    merged = sp.platforms_merged(split).localCheckpoint(eager=True)
+    fq = sp.final_quays(merged, w["stop_areas_members_ref"]).localCheckpoint(eager=True)
+    fe = sp.final_entrances(
+        w["entrances"], w["stop_areas_members_ref"]
+    ).localCheckpoint(eager=True)
+    edges = routing.stop_area_edges(fq, fe).localCheckpoint(eager=True)
+    links, access, refs = routing.stitch_path_links(routing.synthesize_routes(edges))
+    links = links.localCheckpoint(eager=True)
+    access = access.localCheckpoint(eager=True)
+    refs = refs.localCheckpoint(eager=True)
+    out = {"world": w, "merged": merged, "fq": fq, "fe": fe, "edges": edges,
+           "links": links, "access": access, "refs": refs}
+    _memo[key] = out
+    return out
+
+
+@register("final_quays_pipeline", None)
+def final_quays_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full platform DAG: width -> split -> DBSCAN merge -> membership
+    join (ref stop_places.sql:961-1077)."""
+    fq = _stages(spark, sf_dir)["fq"]
+    return fq.select(
+        "relation_id",
+        "osm_id",
+        "osm_type",
+        "IFOPT",
+        "level",
+        F.element_at("tags", "est_width").alias("est_width"),
+    ).orderBy("relation_id", "IFOPT")
+
+
+@register("path_links_pipeline", None)
+def path_links_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges fan-out -> synth routes -> R1-R5 stitcher (ref ppr.py)."""
+    links = _stages(spark, sf_dir)["links"]
+    return links.select(
+        "stop_area_relation_id",
+        F.col("edge.fromIFOPT").alias("from_ifopt"),
+        F.col("edge.toIFOPT").alias("to_ifopt"),
+        F.col("edge.fromType").alias("from_type"),
+        F.col("edge.toType").alias("to_type"),
+        "level",
+    ).orderBy("stop_area_relation_id", "from_ifopt", "to_ifopt")
+
+
+@register("access_spaces_pipeline", None)
+def access_spaces_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived access spaces with (node_id, level) PK dedup
+    (ref ppr.py:99-125 + 02_setup.sql:90-97)."""
+    access = _stages(spark, sf_dir)["access"]
+    return access.select("relation_id", "node_id", "level", "IFOPT").orderBy(
+        "relation_id", "node_id", "level"
+    )
