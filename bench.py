@@ -85,8 +85,7 @@ def scale_job(spark, sf_dir: str, n_points: int, offset: int = 0) -> float:
     Returns points/sec."""
     from pyspark.sql import functions as F
 
-    from osm2vdv462_spark.operators.knn import knn_join_broadcast
-    from osm2vdv462_spark.operators.spatial_join import pip_join_broadcast
+    from osm2vdv462_spark.operators.fused import pip_knn_assign
     from osm2vdv462_spark.pipeline import datagen
 
     cores = spark.sparkContext.defaultParallelism
@@ -98,16 +97,15 @@ def scale_job(spark, sf_dir: str, n_points: int, offset: int = 0) -> float:
     polys = datagen.stop_area_octagons(spark, sf_dir)
     quays = datagen.quay_sites(spark, sf_dir)
     t0 = time.perf_counter()
-    assigned = pip_join_broadcast(
-        pts, polys, point_keep=["event_id"], poly_id="relation_id",
-        poly_wkb="geom", res=12,
+    # fused PIP + kNN: ONE pass over the point table (the 10^12-row plan —
+    # scanning the fact table twice would double the dominant cost)
+    _force(
+        pip_knn_assign(
+            pts, polys, quays, point_keep=["event_id"],
+            poly_id="relation_id", target_id="quay_id",
+            poly_res=12, target_res=8, max_rings=3,
+        )
     )
-    nearest = knn_join_broadcast(
-        pts, quays, point_keep=["event_id"], target_id="quay_id",
-        k=1, res=8, max_rings=3,
-    )
-    _force(assigned)
-    _force(nearest)
     return n_points / (time.perf_counter() - t0)
 
 
@@ -128,17 +126,73 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
+    if "--kernel-worker" in sys.argv:
+        # one executor's COMPUTE slice: the fused PIP+kNN kernel over a
+        # range of synthetic geotags, no Spark harness. Used by
+        # --scaling's kernel fleet (engine-code scaling isolated from the
+        # sandbox's per-JVM Python-channel ceiling; see BENCH/BASELINE.md).
+        import numpy as np
+
+        from osm2vdv462_spark.geo import cells as _cells, kernel as _kernel
+        from osm2vdv462_spark.geo import wkb as _wkb
+        from osm2vdv462_spark.operators.knn import (
+            _resolve_batch_k1,
+            build_target_index,
+        )
+        from osm2vdv462_spark.operators.spatial_join import build_poly_index
+        from osm2vdv462_spark.pipeline.datagen import _octagon_ring
+
+        i = sys.argv.index("--kernel-worker")
+        start, end = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        polys = []
+        for key in range(25):
+            cx, cy = -0.2 + 0.1 * (key % 5), -0.2 + 0.1 * (key // 5)
+            polys.append((key, _wkb.encode_polygon([_octagon_ring(cx, cy)])))
+        pidx = build_poly_index(polys, 12)
+        tidx = build_target_index(
+            [(k, -0.22 + 0.043 * k, -0.09 + 0.017 * k) for k in range(10)], 8
+        )
+        ids = np.arange(start, end)
+        lon = -0.25 + ((ids * 37 + 11) % 2000) / 4000.0
+        lat = -0.25 + ((ids * 73 + 29) % 2000) / 4000.0
+        B = 65536
+        t0 = time.time()
+        for s in range(0, end - start, B):
+            lons, lats = lon[s : s + B], lat[s : s + B]
+            pc = _cells.cell_of_points(lons, lats, pidx.res)
+            pt_ord, pl_ord = pidx.lookup(pc)
+            if len(pt_ord):
+                order = np.argsort(pl_ord, kind="stable")
+                pt_ord, pl_ord = pt_ord[order], pl_ord[order]
+                bounds = np.nonzero(np.diff(pl_ord))[0] + 1
+                for seg_pts, seg_pl in zip(
+                    np.split(pt_ord, bounds), np.split(pl_ord, bounds)
+                ):
+                    _kernel.points_in_polygon(
+                        lons[seg_pts], lats[seg_pts], pidx.geoms[seg_pl[0]]
+                    )
+            _resolve_batch_k1(tidx, lons, lats, 3)
+        print(json.dumps({"t_start": t0, "t_end": time.time()}))
+        return
+
     if "--scale-worker" in sys.argv:
         # one simulated EXECUTOR: its own JVM + python workers, pinned to
         # a disjoint CPU set by the parent, processing one range slice of
-        # the shared input. Prints its exec-window timestamps so the
-        # parent can compute fleet wall-clock.
+        # the shared input. A file barrier aligns all executors' measured
+        # windows (JVM boot + warm-up times vary; without the barrier the
+        # fleet wall-clock is inflated by stagger, not by work).
         i = sys.argv.index("--scale-worker")
         cores = int(sys.argv[i + 1])
         start = int(sys.argv[i + 2])
         end = int(sys.argv[i + 3])
+        barrier_dir = sys.argv[i + 4]
+        n_workers = int(sys.argv[i + 5])
+        wid = sys.argv[i + 6]
         spark = _fresh_spark(cores)
         scale_job(spark, sf_dir, (end - start) // 20, start)  # warm-up
+        open(os.path.join(barrier_dir, f"ready_{wid}"), "w").write("1")
+        while len([f for f in os.listdir(barrier_dir) if f.startswith("ready_")]) < n_workers:
+            time.sleep(0.05)
         t0 = time.time()
         scale_job(spark, sf_dir, end - start, start)
         t1 = time.time()
@@ -170,7 +224,10 @@ def main() -> None:
             "cores_per_executor": cores_per_exec,
             "method": "range-partitioned fleet of pinned executor processes",
         }
+        import tempfile
+
         for n_exec in (2, 8):
+            barrier_dir = tempfile.mkdtemp(prefix=f"scale_barrier_{n_exec}_")
             procs = []
             chunk = n_points // n_exec
             for w in range(n_exec):
@@ -180,11 +237,13 @@ def main() -> None:
                     "taskset", "-c", f"{cpu0}-{cpu0 + cores_per_exec - 1}",
                     sys.executable, os.path.abspath(__file__),
                     "--scale-worker", str(cores_per_exec), str(lo), str(hi),
+                    barrier_dir, str(n_exec), str(w),
                 ]
                 procs.append(
                     subprocess.Popen(
                         cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                        text=True, env={**os.environ},
+                        text=True,
+                        env={**os.environ, "SPARK_DRIVER_MEM": "3g"},
                     )
                 )
             stats = []
@@ -202,6 +261,44 @@ def main() -> None:
             4.0 * result["executors=2"]["points_per_sec"]
         )
         result["scaling_efficiency_Nx4"] = round(eff, 3)
+
+        # engine-kernel fleet (no Spark harness): isolates the engine's
+        # own scaling from the sandbox's per-JVM Python-channel ceiling
+        # and the multi-JVM kernel-mode collapse documented in
+        # BENCH/BASELINE.md. One pinned process per executor.
+        def kernel_fleet(n_exec: int, pts: int) -> float:
+            procs = []
+            chunk = pts // n_exec
+            for w in range(n_exec):
+                lo = w * chunk
+                hi = (w + 1) * chunk if w < n_exec - 1 else pts
+                cmd = [
+                    "taskset", "-c", str(w),
+                    sys.executable, os.path.abspath(__file__),
+                    "--kernel-worker", str(lo), str(hi),
+                ]
+                procs.append(
+                    subprocess.Popen(
+                        cmd, stdout=subprocess.PIPE,
+                        stderr=subprocess.DEVNULL, text=True,
+                    )
+                )
+            stats = [
+                json.loads(p.communicate(timeout=1800)[0].strip().splitlines()[-1])
+                for p in procs
+            ]
+            wall = max(s["t_end"] for s in stats) - min(s["t_start"] for s in stats)
+            return pts / wall
+
+        kpts = n_points // 4
+        kern = {}
+        for n_exec in (2, 8, 4, 16):
+            kern[n_exec] = round(kernel_fleet(n_exec, kpts * max(n_exec // 2, 1)), 1)
+        result["kernel_fleet_points_per_sec"] = {
+            f"executors={k}": v for k, v in sorted(kern.items())
+        }
+        result["kernel_scaling_efficiency_2_to_8"] = round(kern[8] / (4 * kern[2]), 3)
+        result["kernel_scaling_efficiency_4_to_16"] = round(kern[16] / (4 * kern[4]), 3)
         print(json.dumps(result))
         return
 

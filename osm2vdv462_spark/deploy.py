@@ -22,6 +22,14 @@ def ensure_shipped(spark: SparkSession) -> None:
     # jsonb_concat right-wins semantics for map_concat (ref
     # stop_places.sql:935-939)
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # a 200-partition shuffle default is pathological for the engine's
+    # many small dimension-side stages (and for a default 1g driver heap
+    # in local mode); only override when the caller left the default
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:
+        pass
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return

@@ -200,6 +200,30 @@ def merge_geoms(wkb_list_col):
     return _merge(wkb_list_col)
 
 
+def poslist(wkb_col, precision: int = 8):
+    """Column: gml posList content — 'lat lon lat lon ...' at <=precision
+    decimals, trailing zeros trimmed (ST_AsGML(3, geom, 8, 22, '') +
+    xpath('//posList'), ref stop_places.sql:184-200)."""
+
+    @F.pandas_udf(StringType())
+    def _pl(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append(None)
+                continue
+            g = _wkb.decode(bytes(b))
+            parts = []
+            for lon, lat in g.coords:
+                for v in (lat, lon):  # lat-lon order (GML option 16)
+                    s = f"{v:.{precision}f}".rstrip("0").rstrip(".")
+                    parts.append(s if s not in ("", "-0") else "0")
+            out.append(" ".join(parts))
+        return pd.Series(out, dtype=object)
+
+    return _pl(wkb_col)
+
+
 def point_wkb(lon_col, lat_col):
     """Column: WKB point from lon/lat (ST_GeomFromText POINT, ref ppr.py:119)."""
 

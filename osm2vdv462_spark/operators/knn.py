@@ -102,15 +102,16 @@ def _resolve_batch_k1(
             d = _kernel.haversine_m(
                 lons[q_ord], lats[q_ord], index.lon[t_ord], index.lat[t_ord]
             )
-            # deterministic tie-break (dist, target_id): nudge order so
-            # equal distances resolve to the smaller id — process sorted
-            order = np.lexsort((index.ids[t_ord], d, q_ord))
-            q_ord, t_ord, d = q_ord[order], t_ord[order], d[order]
-            first = np.r_[True, q_ord[1:] != q_ord[:-1]]
-            qf, tf, df_ = q_ord[first], t_ord[first], d[first]
-            upd = df_ < best_d[qf]
-            best_d[qf[upd]] = df_[upd]
-            best_t[qf[upd]] = tf[upd]
+            # sort-free per-point minimum: scatter-min distances, then a
+            # second scatter-min on target id among exact-dist ties
+            # (deterministic (dist, id) tie-break without a lexsort)
+            np.minimum.at(best_d, q_ord, d)
+            is_best = d == best_d[q_ord]
+            qb, tb = q_ord[is_best], t_ord[is_best]
+            tmp = np.full(n, np.iinfo(np.int64).max)
+            np.minimum.at(tmp, qb, index.ids[tb].astype(np.int64))
+            chosen = tmp[qb] == index.ids[tb]
+            best_t[qb[chosen]] = tb[chosen]
         resolved = best_d[active] <= r * wmin[active]
         active = active[~resolved]
     if len(active) and len(index.ids):
@@ -140,7 +141,7 @@ def _resolve_batch(
     max_rings: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-batch kNN: returns (point_ordinal, target_ordinal, dist, rank)."""
-    if k == 1:
+    if k == 1 and np.issubdtype(np.asarray(index.ids).dtype, np.number):
         return _resolve_batch_k1(index, lons, lats, max_rings)
     n = len(lons)
     pcell = _cells.cell_of_points(lons, lats, index.res)

@@ -43,6 +43,11 @@ def _stages(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key in _memo:
         return _memo[key]
+    # the synthetic world is town-sized (10^1..10^2 rows per table): wide
+    # shuffles only add task/metadata overhead (and blow a default 1g
+    # local-mode heap across the DAG's ~200 stages). Scope a small
+    # parallelism to this DAG; restored by the caller session's next set.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     w = _world(spark, sf_dir)
     pww = sp.platforms_with_width(w["platforms"]).localCheckpoint(eager=True)
     split = sp.platforms_split(pww, w["platforms_edges"]).localCheckpoint(eager=True)
@@ -89,6 +94,43 @@ def path_links_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("edge.toType").alias("to_type"),
         "level",
     ).orderBy("stop_area_relation_id", "from_ifopt", "to_ifopt")
+
+
+@register("netex_stop_places_xml", None)
+def netex_stop_places_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full export DAG to per-stop-place NeTEx XML fragments (ref
+    stop_places.sql:1325-1449 + export.sql). Returns (relation_id,
+    n_chars, n_quays) — stable scalars derived from the XML so the
+    rows-only check is meaningful and deterministic."""
+    from ..pipeline import export as ex_mod
+
+    st = _stages(spark, sf_dir)
+    w = st["world"]
+    facc = sp.final_access_spaces(st["access"], w["pois"]).localCheckpoint(eager=True)
+    fspl = routing.final_site_path_links(
+        st["links"], st["refs"], w["highways"]
+    ).localCheckpoint(eager=True)
+    spo = ex_mod.stop_places_with_organisations(w["stop_areas"], w["organisations"])
+    spg = ex_mod.stop_places_with_geometry(
+        spo, w["stop_areas_members_ref"], w["platforms"]
+    )
+    fsp = ex_mod.final_stop_places(spg, st["fq"], st["fe"], facc).localCheckpoint(
+        eager=True
+    )
+    # the XML build is a very large expression tree (DELFI ladders inline
+    # the parsers many times); cutting lineage here keeps the optimizer +
+    # codegen within a default-sized (1g) driver heap
+    ed = ex_mod.export_data(fsp, st["fq"], st["fe"], facc, fspl).localCheckpoint(
+        eager=True
+    )
+    xml = ex_mod.xml_stop_places(ed)
+    return xml.select(
+        "relation_id",
+        F.length("xml").alias("n_chars"),
+        (F.length("xml") - F.length(F.replace("xml", F.lit("<Quay "), F.lit(""))))
+        .cast("long")
+        .alias("quay_tag_chars"),
+    ).orderBy("relation_id")
 
 
 @register("access_spaces_pipeline", None)

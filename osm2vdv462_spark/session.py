@@ -35,13 +35,27 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # jsonb_concat semantics: right operand wins on duplicate keys
         # (ref stop_places.sql:935-939 jsonb_combine) — map_concat must
         # not throw on dup keys
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # size JVM thread pools for the PINNED core count, not the
+        # machine's (GC/safepoint storms otherwise when taskset-pinned)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                f"-XX:ActiveProcessorCount={cores} "
+                f"-XX:ParallelGCThreads={max(cores // 2, 2)} "
+                f"-XX:ConcGCThreads={max(cores // 4, 1)}",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
