@@ -1,0 +1,157 @@
+"""The images table (BASELINE.json input_hint) + image operators.
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash bigint, lon double, lat double) — synthesized
+deterministically from the driver's `events` rows (geotags via the same
+LCG as datagen.geo_points, pixels via functions.imagecodec.synth_pixels)
+so every stage is reproducible with no external data.
+
+Operators (all Arrow-batched, fmt-agnostic plumbing):
+* ``with_decode_verify``: decode -> PSNR vs the deterministic reference
+  pixels + caption equality + phash recompute (the input_hint per-row
+  invariant);
+* ``with_resized_phash``: box-resize (real numpy) -> phash of thumbnail;
+* ``frame_sample_stub``: video frame sampling — STUB (no video codec in
+  container), deterministic fake frames keep the batch shapes real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import imagecodec as ic
+from . import datagen
+
+
+def images_df(spark: SparkSession, sf_dir: str, size: int = 32) -> DataFrame:
+    """One PNG image per `events` row, geotagged by the oracle LCG."""
+    pts = datagen.geo_points(spark, sf_dir)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for eid, lon, lat in zip(pdf["event_id"], pdf["lon"], pdf["lat"]):
+                px = ic.synth_pixels(int(eid), size, size)
+                out.append(
+                    (
+                        f"img_{int(eid):09d}",
+                        ic.encode_png(px),
+                        size,
+                        size,
+                        "png",
+                        f"caption for image {int(eid)}",
+                        ic.phash64(px),
+                        float(lon),
+                        float(lat),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash", "lon", "lat",
+                ],
+            )
+
+    return pts.mapInPandas(
+        _gen,
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string, phash long, lon double, lat double",
+    )
+
+
+def with_decode_verify(images: DataFrame) -> DataFrame:
+    """Per-row invariant (input_hint): decoded-pixel PSNR >= 40 dB vs the
+    reference pixels (lossless PNG -> expect inf), caption equality,
+    phash recompute equality. Adds pixel_ok / caption_ok / phash_ok /
+    psnr columns."""
+
+    def _verify(batches):
+        for pdf in batches:
+            psnr, pok, cok, hok = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                eid = int(row.image_id.split("_")[1])
+                ref = ic.synth_pixels(eid, row.w, row.h)
+                try:
+                    got = ic.decode_image(bytes(row.bytes), row.fmt)
+                    p = ic.psnr_db(ref, got)
+                except NotImplementedError:
+                    got, p = None, float("nan")
+                psnr.append(p)
+                pok.append(bool(p >= 40.0) if p == p else False)
+                cok.append(row.caption == f"caption for image {eid}")
+                hok.append(
+                    got is not None and ic.phash64(got) == row.phash
+                )
+            out = pdf.copy()
+            out["psnr"] = psnr
+            out["pixel_ok"] = pok
+            out["caption_ok"] = cok
+            out["phash_ok"] = hok
+            yield out
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string, phash long, lon double, lat double,"
+        " psnr double, pixel_ok boolean, caption_ok boolean,"
+        " phash_ok boolean"
+    )
+    return images.mapInPandas(_verify, schema)
+
+
+def box_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Simple box (area-average) resize, pure numpy."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, c), np.uint8)
+    f = px.astype(np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = f[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(axis=(0, 1))
+    return out
+
+
+def with_resized_phash(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Thumbnail + thumbnail-phash: (image_id, thumb binary, thumb_phash)."""
+
+    def _resize(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    px = ic.decode_image(bytes(row.bytes), row.fmt)
+                except NotImplementedError:
+                    out.append((row.image_id, None, None))
+                    continue
+                th = box_resize(px, out_w, out_h)
+                out.append((row.image_id, ic.encode_png(th), ic.phash64(th)))
+            yield pd.DataFrame(out, columns=["image_id", "thumb", "thumb_phash"])
+
+    return images.mapInPandas(
+        _resize, "image_id string, thumb binary, thumb_phash long"
+    )
+
+
+def frame_sample_stub(videos: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling — decode STUBBED (no video codec in this
+    container, task brief): emits deterministic fake frames so the
+    distributed plumbing (explode shape, per-frame schema) is real and
+    testable; swap `_fake_frame` for a real decoder on a cluster."""
+
+    def _fake_frame(vid: str, k: int) -> bytes:
+        return ic.encode_png(ic.synth_pixels(hash((vid, k)) & 0x7FFFFFFF, 16, 16))
+
+    def _sample(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                for k in range(n_frames):
+                    out.append((row.video_id, k, _fake_frame(row.video_id, k)))
+            yield pd.DataFrame(out, columns=["video_id", "frame_no", "frame_png"])
+
+    return videos.mapInPandas(
+        _sample, "video_id string, frame_no int, frame_png binary"
+    )

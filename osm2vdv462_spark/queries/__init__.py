@@ -41,6 +41,12 @@ def _load_all():
     global _loaded
     if _loaded:
         return
-    from . import geo_queries, pipeline_queries, relational, text_queries  # noqa: F401
+    from . import (  # noqa: F401
+        geo_queries,
+        media_queries,
+        pipeline_queries,
+        relational,
+        text_queries,
+    )
 
     _loaded = True

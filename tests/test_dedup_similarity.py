@@ -1,0 +1,127 @@
+"""MinHash-LSH / SimHash dedup and LSH-ANN similarity vs exact oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2vdv462_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark, sf_dir):
+    """Real documents + injected near-duplicates (one word changed)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        )
+    )
+    return docs.unionByName(dups).cache()
+
+
+class TestMinHash:
+    def test_lsh_finds_injected_dups(self, spark, near_dup_docs):
+        pairs = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.7).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {(i, i + 100000) for i in range(20)}
+        missing = expected - found
+        assert len(missing) <= 2, f"LSH missed {missing}"  # prob. guarantee
+        for r in pairs:
+            assert r["jaccard"] >= 0.7
+
+    def test_lsh_vs_bruteforce_no_false_positives(self, spark, near_dup_docs):
+        # every emitted pair's jaccard is verified exactly; cross-check a
+        # few against a python oracle
+        pairs = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.7).collect()
+        texts = {r["doc_id"]: r["text"] for r in near_dup_docs.collect()}
+        for r in pairs[:10]:
+            sa = set(texts[r["id_a"]].split())
+            sb = set(texts[r["id_b"]].split())
+            j = len(sa & sb) / len(sa | sb)
+            assert abs(j - r["jaccard"]) < 1e-3
+
+    def test_signatures_deterministic(self, spark, near_dup_docs):
+        s1 = dedup.minhash_signatures(near_dup_docs).orderBy("doc_id").collect()
+        s2 = dedup.minhash_signatures(near_dup_docs).orderBy("doc_id").collect()
+        assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+
+class TestSimHash:
+    def test_near_pairs_injected(self, spark, near_dup_docs):
+        pairs = dedup.simhash_near_pairs(near_dup_docs, max_hamming=8).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {(i, i + 100000) for i in range(20)}
+        assert len(expected & found) >= 15  # one-word edits stay close
+        for r in pairs:
+            assert 0 <= r["hamming"] <= 8
+
+    def test_hamming_exact(self, spark, near_dup_docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(near_dup_docs).collect()}
+        pairs = dedup.simhash_near_pairs(near_dup_docs, max_hamming=8).collect()
+        for r in pairs[:10]:
+            expect = bin((sh[r["id_a"]] ^ sh[r["id_b"]]) & ((1 << 64) - 1)).count("1")
+            assert expect == r["hamming"]
+
+
+class TestANN:
+    @staticmethod
+    def _recall(exact_rows, ann_rows):
+        ex, an = {}, {}
+        for r in exact_rows:
+            ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+        for r in ann_rows:
+            an.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return np.mean([len(ex[q] & an.get(q, set())) / len(ex[q]) for q in ex])
+
+    def test_lsh_recall_random_data(self, spark, sf_dir):
+        # driver embeddings are i.i.d. random (intra/inter-label cosine
+        # both ~0): hyperplane LSH has little to exploit, so only a weak
+        # floor is asserted — the structured-data test below is the real
+        # quality gate
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = similarity.cosine_topk_exact(emb, queries, k=5).collect()
+        ann = similarity.cosine_topk_lsh(
+            emb, queries, k=5, n_planes=4, multiprobe=4
+        ).collect()
+        assert self._recall(exact, ann) >= 0.15
+
+    def test_lsh_recall_clustered_data(self, spark):
+        # 20 tight clusters x 25 vectors: the regime LSH exists for
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((20, 64)) * 3
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(25):
+                v = c + rng.standard_normal(64) * 0.3
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = similarity.cosine_topk_exact(emb, queries, k=5).collect()
+        ann = similarity.cosine_topk_lsh(
+            emb, queries, k=5, n_planes=8, multiprobe=8
+        ).collect()
+        assert self._recall(exact, ann) >= 0.9
+
+    def test_exact_topk_selfconsistent(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        rows = similarity.cosine_topk_exact(emb, queries, k=3).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos_sim"]))
+        for q, lst in by_q.items():
+            lst.sort()
+            sims = [s for _, s in lst]
+            assert sims == sorted(sims, reverse=True)
+            assert len(lst) == 3

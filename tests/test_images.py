@@ -1,0 +1,84 @@
+"""Image codec + images-table tests (input_hint invariant)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2vdv462_spark.functions import imagecodec as ic
+from osm2vdv462_spark.pipeline import images as im
+
+
+class TestCodec:
+    def test_png_roundtrip_exact(self):
+        px = ic.synth_pixels(42, 32, 32)
+        data = ic.encode_png(px)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        got = ic.decode_png(data)
+        np.testing.assert_array_equal(got, px)
+        assert ic.psnr_db(px, got) == float("inf")
+
+    def test_png_filters_decode(self):
+        # exercise filter reconstruction against a tiny hand-filtered image
+        import struct, zlib
+
+        w = h = 4
+        px = ic.synth_pixels(7, w, h)
+        # encode with filter type 2 (Up) manually
+        rows = []
+        prev = np.zeros(w * 3, np.uint8)
+        for y in range(h):
+            line = px[y].reshape(-1)
+            rows.append(b"\x02" + ((line.astype(np.int64) - prev) % 256).astype(np.uint8).tobytes())
+            prev = line
+        raw = b"".join(rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"IDAT", zlib.compress(raw))
+            + ic._chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(ic.decode_png(data), px)
+
+    def test_jpeg_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            ic.decode_image(b"\xff\xd8\xff", "jpeg")
+
+    def test_phash_stability_and_sensitivity(self):
+        a = ic.synth_pixels(1)
+        assert ic.phash64(a) == ic.phash64(a.copy())
+        b = ic.synth_pixels(2)
+        assert ic.phash64(a) != ic.phash64(b)
+
+    def test_psnr(self):
+        a = ic.synth_pixels(3)
+        noisy = a.astype(np.int16).copy()
+        noisy[0, 0, 0] += 5
+        p = ic.psnr_db(a, np.clip(noisy, 0, 255).astype(np.uint8))
+        assert 40 < p < 100
+
+
+class TestImagesTable:
+    def test_schema_and_invariant(self, spark, sf_dir):
+        df = im.images_df(spark, sf_dir)
+        v = im.with_decode_verify(df)
+        rows = v.select("pixel_ok", "caption_ok", "phash_ok", "psnr").collect()
+        assert len(rows) == 1000
+        assert all(r["pixel_ok"] and r["caption_ok"] and r["phash_ok"] for r in rows)
+        assert all(r["psnr"] == float("inf") for r in rows)  # lossless
+
+    def test_resize_plumbing(self, spark, sf_dir):
+        df = im.images_df(spark, sf_dir).limit(20)
+        th = im.with_resized_phash(df, 8, 8).collect()
+        assert len(th) == 20
+        for r in th:
+            px = ic.decode_png(bytes(r["thumb"]))
+            assert px.shape == (8, 8, 3)
+            assert r["thumb_phash"] is not None
+
+    def test_frame_sample_stub(self, spark):
+        vids = spark.createDataFrame([("v1",), ("v2",)], "video_id string")
+        out = im.frame_sample_stub(vids, n_frames=3).collect()
+        assert len(out) == 6
+        for r in out:
+            assert ic.decode_png(bytes(r["frame_png"])).shape == (16, 16, 3)
