@@ -84,21 +84,13 @@ def parse_incline_pct(col: Column) -> Column:
     tan(radians(n))*100; 'up'/'down' and unitless => NULL."""
     s = col
     last = F.substring(s, -1, 1)
-    head = F.expr(f"substring({_sql(s)}, 1, length({_sql(s)}) - 1)")
+    head = s.substr(F.lit(1), F.length(s) - F.lit(1))
     n = _numcast(head)
     return (
         F.when(s.isin("up", "down"), F.lit(None).cast("double"))
         .when(last == "%", n)
         .when(last == "°", F.tan(F.radians(n)) * 100.0)
     )
-
-
-def _sql(col: Column) -> str:
-    # stable SQL text for a column reference used inside F.expr
-    from pyspark.sql.column import Column as C
-
-    assert isinstance(col, C)
-    return col._jc.toString()
 
 
 def get_level(tags: Column) -> Column:

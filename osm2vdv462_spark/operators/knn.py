@@ -227,6 +227,87 @@ def _resolve_batch(
     return aq[keep], at[keep], ad[keep], rank[keep] + 1
 
 
+def dwithin_join_broadcast(
+    points_df: DataFrame,
+    targets_df: DataFrame,
+    *,
+    point_keep: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    target_id: str = "target_id",
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+    distance_m: float = 1000.0,
+    res: int | None = None,
+) -> DataFrame:
+    """ST_DWithin join (north-star op): every (point, target) pair within
+    ``distance_m`` meters. Map-side: broadcast cell index, fixed ring
+    radius ceil(D / cell_min_width), exact haversine filter.
+
+    Output: point_keep..., <target_id>, dist_m.
+    """
+    spark = points_df.sparkSession
+    rows = [
+        (r[0], r[1], r[2])
+        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+    ]
+    if res is None:
+        # cell ≥ D so ring radius stays ≤ 2 at any latitude we cover
+        res = _cells.choose_resolution(distance_m)
+    index = build_target_index(rows, res)
+    bc = spark.sparkContext.broadcast(index)
+
+    from pyspark.sql.types import StructField, StructType
+
+    in_schema = points_df.select(*point_keep, lon, lat).schema
+    tid_field = targets_df.select(target_id).schema[0]
+    out_schema = StructType(
+        [f for f in in_schema if f.name in point_keep]
+        + [StructField(target_id, tid_field.dataType),
+           StructField("dist_m", DoubleType())]
+    )
+    keep = list(point_keep)
+    D = float(distance_m)
+
+    def _dw(batches):
+        idx: TargetIndex = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lons = pdf[lon].to_numpy(np.float64)
+            lats = pdf[lat].to_numpy(np.float64)
+            pcell = _cells.cell_of_points(lons, lats, idx.res)
+            wmin = 0.98 * _cells.cell_width_m(idx.res, lats)
+            max_r = int(np.ceil(D / max(float(wmin.min()), 1.0))) + 1
+            qs, ts, ds = [], [], []
+            for r in range(max_r + 1):
+                rep, ring_cells = _cells.neighbors_at_ring(pcell, r)
+                q_loc, t_ord = _gather(idx, ring_cells)
+                if len(q_loc) == 0:
+                    continue
+                q_ord = rep[q_loc]
+                d = _kernel.haversine_m(
+                    lons[q_ord], lats[q_ord], idx.lon[t_ord], idx.lat[t_ord]
+                )
+                ok = d <= D
+                qs.append(q_ord[ok])
+                ts.append(t_ord[ok])
+                ds.append(d[ok])
+            if not qs:
+                continue
+            q = np.concatenate(qs)
+            t = np.concatenate(ts)
+            d = np.concatenate(ds)
+            if len(q) == 0:
+                continue
+            out = pdf.iloc[q][keep].reset_index(drop=True)
+            out[target_id] = idx.ids[t]
+            out["dist_m"] = d
+            yield out
+
+    return points_df.select(*point_keep, lon, lat).mapInPandas(_dw, out_schema)
+
+
 def knn_join_broadcast(
     points_df: DataFrame,
     targets_df: DataFrame,

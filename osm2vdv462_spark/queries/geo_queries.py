@@ -178,3 +178,30 @@ def knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rings=3,
     )
     return out.select("event_id", "quay_id", "knn_rank")
+
+
+@register(
+    "dwithin_pairs",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS})
+    SELECT p.event_id, t.quay_id,
+           CAST(round({_HAVERSINE_SQL}, 0) AS BIGINT) AS dist_m_round
+    FROM p CROSS JOIN t
+    WHERE {_HAVERSINE_SQL} <= 8000.0
+    """,
+)
+def dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin join (north-star op): all (image, quay) pairs within
+    8 km, via fixed-radius cell ring search + exact haversine."""
+    from ..operators.knn import dwithin_join_broadcast
+
+    pts = datagen.geo_points(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = dwithin_join_broadcast(
+        pts, quays, point_keep=["event_id"], target_id="quay_id",
+        distance_m=8000.0,
+    )
+    return out.select(
+        "event_id", "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )

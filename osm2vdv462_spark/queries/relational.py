@@ -243,3 +243,79 @@ def union_all_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("id"), F.lit("CUSTOMER").alias("category")
     )
     return o.unionByName(c)
+
+
+@register(
+    "unit_parsers",
+    """
+    SELECT p_partkey,
+           CAST(CASE
+             WHEN p_partkey % 5 = 0 THEN (p_size % 9 + 1) * 100.0
+             WHEN p_partkey % 5 = 1 THEN CAST(p_size AS DOUBLE)
+             WHEN p_partkey % 5 = 2 THEN (p_size % 9 + 0.5) * 100.0
+             ELSE NULL
+           END AS DOUBLE) AS len_cm,
+           CAST(CASE
+             WHEN p_partkey % 3 = 0 THEN (p_size % 40 + 1) * 1.0
+             WHEN p_partkey % 3 = 1 THEN (p_size % 5 + 1) * 1000.0
+             ELSE NULL
+           END AS DOUBLE) AS weight_kg,
+           CAST(CASE
+             WHEN p_partkey % 4 = 0 THEN (p_size % 20 + 1) * 60.0
+             WHEN p_partkey % 4 = 1 THEN 3600.0 + (p_size % 60) * 60.0
+             ELSE NULL
+           END AS DOUBLE) AS dur_s,
+           CAST(CASE
+             WHEN p_partkey % 6 = 0 THEN CAST(p_size % 30 AS DOUBLE)
+             ELSE NULL
+           END AS DOUBLE) AS incline_pct
+    FROM part
+    """,
+)
+def unit_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F5 unit parsers (ref stop_places.sql:21-139) applied to
+    deterministically synthesized tag strings; the oracle computes the
+    expected numeric results directly (never via string parsing), so the
+    parsers' unit/shape handling is what's actually under test."""
+    from ..functions.parsers import (
+        parse_duration_s,
+        parse_incline_pct,
+        parse_length_cm,
+        parse_weight_kg,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    sz = F.col("p_size")
+    len_str = (
+        F.when(k % 5 == 0, F.concat((sz % 9 + 1).cast("string"), F.lit(" m")))
+        .when(k % 5 == 1, F.concat(sz.cast("string"), F.lit(" cm")))
+        .when(k % 5 == 2, F.concat((sz % 9).cast("string"), F.lit(".5 m")))
+        .when(k % 5 == 3, F.lit("junk"))
+        .otherwise(F.concat(sz.cast("string"), F.lit(" furlong")))
+    )
+    wt_str = (
+        F.when(k % 3 == 0, F.concat((sz % 40 + 1).cast("string"), F.lit(" kg")))
+        .when(k % 3 == 1, F.concat((sz % 5 + 1).cast("string"), F.lit(" t")))
+        .otherwise(F.lit("heavy"))
+    )
+    dur_str = (
+        F.when(k % 4 == 0, (sz % 20 + 1).cast("string"))
+        .when(
+            k % 4 == 1,
+            F.concat(F.lit("01:"), F.lpad((sz % 60).cast("string"), 2, "0")),
+        )
+        .otherwise(F.lit("soon"))
+    )
+    inc_str = (
+        F.when(k % 6 == 0, F.concat((sz % 30).cast("string"), F.lit("%")))
+        .when(k % 6 == 1, F.lit("up"))
+        .otherwise(F.lit("5"))  # unitless -> NULL per reference
+    )
+    return p.select(
+        "p_partkey",
+        parse_length_cm(len_str).alias("len_cm"),
+        parse_weight_kg(wt_str).alias("weight_kg"),
+        parse_duration_s(dur_str).alias("dur_s"),
+        parse_incline_pct(inc_str).alias("incline_pct"),
+    )
