@@ -144,6 +144,9 @@ def main() -> None:
 
         i = sys.argv.index("--kernel-worker")
         start, end = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        barrier_dir = sys.argv[i + 3]
+        n_workers = int(sys.argv[i + 4])
+        wid = sys.argv[i + 5]
         polys = []
         for key in range(25):
             cx, cy = -0.2 + 0.1 * (key % 5), -0.2 + 0.1 * (key // 5)
@@ -156,6 +159,9 @@ def main() -> None:
         lon = -0.25 + ((ids * 37 + 11) % 2000) / 4000.0
         lat = -0.25 + ((ids * 73 + 29) % 2000) / 4000.0
         B = 65536
+        open(os.path.join(barrier_dir, f"ready_{wid}"), "w").write("1")
+        while len([f for f in os.listdir(barrier_dir) if f.startswith("ready_")]) < n_workers:
+            time.sleep(0.02)
         t0 = time.time()
         for s in range(0, end - start, B):
             lons, lats = lon[s : s + B], lat[s : s + B]
@@ -267,6 +273,7 @@ def main() -> None:
         # and the multi-JVM kernel-mode collapse documented in
         # BENCH/BASELINE.md. One pinned process per executor.
         def kernel_fleet(n_exec: int, pts: int) -> float:
+            bdir = tempfile.mkdtemp(prefix=f"kb_{n_exec}_")
             procs = []
             chunk = pts // n_exec
             for w in range(n_exec):
@@ -276,6 +283,7 @@ def main() -> None:
                     "taskset", "-c", str(w),
                     sys.executable, os.path.abspath(__file__),
                     "--kernel-worker", str(lo), str(hi),
+                    bdir, str(n_exec), str(w),
                 ]
                 procs.append(
                     subprocess.Popen(
@@ -290,10 +298,10 @@ def main() -> None:
             wall = max(s["t_end"] for s in stats) - min(s["t_start"] for s in stats)
             return pts / wall
 
-        kpts = n_points // 4
         kern = {}
         for n_exec in (2, 8, 4, 16):
-            kern[n_exec] = round(kernel_fleet(n_exec, kpts * max(n_exec // 2, 1)), 1)
+            # ~20s of per-core work at ~600k pts/s/core
+            kern[n_exec] = round(kernel_fleet(n_exec, 12_000_000 * n_exec), 1)
         result["kernel_fleet_points_per_sec"] = {
             f"executors={k}": v for k, v in sorted(kern.items())
         }

@@ -176,3 +176,74 @@ def embedding_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 4).cast("double").alias("cos_sim"),
         )
     )
+
+
+@register("lang_id_heuristic", None)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID heuristic over documents (rows-only check;
+    accuracy on real sentences tested in tests/test_textops.py)."""
+    from ..operators.textops import lang_id_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id_ngram(d).orderBy("doc_id")
+
+
+@register("doc_fingerprint_pairs", None)
+def doc_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap pairs (rolling-hash document
+    fingerprinting; shared-substring guarantee tested in
+    tests/test_textops.py)."""
+    from ..operators.textops import fingerprint_match_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("prefix text "), F.col("text")).alias("text"),
+    )
+    # corpus is small-vocabulary word salad: long k-grams + a high
+    # shared-print bar keep the pair set meaningful (true containment)
+    return fingerprint_match_pairs(
+        d.unionByName(dups), k=24, window=8, min_shared=12
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+             AS window_start_epoch,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling-window aggregation,
+    drained hermetically with Trigger.AvailableNow; the oracle is the
+    exact batch semantics (time_bucket in DuckDB). Proves stream==batch
+    convergence through the driver gate, not just in pytest."""
+    import os
+    import tempfile
+
+    from ..streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="stream_q_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet"))
+    out = os.path.join(work, "out")
+    se.run_available_now(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        out,
+        os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(out).select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+    )
