@@ -36,8 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     the nearest-quay kNN match (the BASELINE.json north-star pair)."""
     from pyspark.sql import functions as F
 
-    from osm2vdv462_spark.operators.knn import knn_join_broadcast
-    from osm2vdv462_spark.operators.spatial_join import pip_join_broadcast
+    from osm2vdv462_spark.operators.fused import pip_knn_assign
     from osm2vdv462_spark.pipeline import datagen
 
     _ensure_shipped(spark)
@@ -46,25 +45,21 @@ def entry(spark: SparkSession) -> DataFrame:
     polys = datagen.stop_area_octagons(spark, sf_dir)
     quays = datagen.quay_sites(spark, sf_dir)
 
-    assigned = pip_join_broadcast(
+    # fused single-pass PIP + kNN (operators/fused.py): the point table is
+    # scanned exactly once, map-side only — the 10^12-row plan shape
+    out = pip_knn_assign(
         pts,
         polys,
-        point_keep=["event_id"],
-        poly_id="relation_id",
-        poly_wkb="geom",
-        res=12,
-    )
-    nearest = knn_join_broadcast(
-        pts,
         quays,
         point_keep=["event_id"],
+        poly_id="relation_id",
         target_id="quay_id",
-        k=1,
-        res=8,
+        poly_res=12,
+        target_res=8,
         max_rings=3,
     )
     return (
-        assigned.join(nearest, "event_id")
+        out.filter(F.col("relation_id").isNotNull())
         .select(
             "event_id",
             "relation_id",
