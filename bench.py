@@ -26,11 +26,14 @@ HEADLINE = [
     "pip_assign_shuffle",
     "knn_nearest_quay",
     "knn_top3",
+    "dwithin_pairs",
     "membership_join",
     "pricing_summary",
     "top1_per_group",
     "dedup_exact",
+    "minhash_dup_pairs",
     "embedding_top1",
+    "image_integrity",
 ]
 
 
@@ -55,10 +58,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def flagship_throughput(spark, sf_dir: str) -> tuple[float, int]:
-    """Geotagged-points/sec through the two-phase PIP join + kNN top-1
+    """Geotagged-points/sec through the fused single-pass PIP + kNN
     (the BASELINE.json metric). Returns (points_per_sec, n_points)."""
-    from osm2vdv462_spark.operators.knn import knn_join_broadcast
-    from osm2vdv462_spark.operators.spatial_join import pip_join_broadcast
+    from osm2vdv462_spark.operators.fused import pip_knn_assign
     from osm2vdv462_spark.pipeline import datagen
 
     pts = datagen.geo_points(spark, sf_dir)
@@ -66,15 +68,13 @@ def flagship_throughput(spark, sf_dir: str) -> tuple[float, int]:
     polys = datagen.stop_area_octagons(spark, sf_dir)
     quays = datagen.quay_sites(spark, sf_dir)
     t0 = time.perf_counter()
-    assigned = pip_join_broadcast(
-        pts, polys, point_keep=["event_id"], poly_id="relation_id",
-        poly_wkb="geom", res=12,
+    _force(
+        pip_knn_assign(
+            pts, polys, quays, point_keep=["event_id"],
+            poly_id="relation_id", target_id="quay_id",
+            poly_res=12, target_res=8, max_rings=3,
+        )
     )
-    nearest = knn_join_broadcast(
-        pts, quays, point_keep=["event_id"], target_id="quay_id",
-        k=1, res=8, max_rings=3,
-    )
-    _force(assigned.join(nearest, "event_id"))
     dt = time.perf_counter() - t0
     return n_points / dt, n_points
 

@@ -27,7 +27,11 @@ from . import datagen
 
 def images_df(spark: SparkSession, sf_dir: str, size: int = 32) -> DataFrame:
     """One PNG image per `events` row, geotagged by the oracle LCG."""
-    pts = datagen.geo_points(spark, sf_dir)
+    # the source parquet is one split at small SF — repartition so the
+    # per-image python work (encode/decode/phash ~1ms each) parallelizes
+    pts = datagen.geo_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
 
     def _gen(batches):
         for pdf in batches:

@@ -53,6 +53,24 @@ class TestCheckpoint:
         # recomputation is bit-identical
         assert st["path_links"]["content_hash"] == out1["stats"]["path_links"]["content_hash"]
 
+    def test_two_parallelism_levels_byte_identical(self, spark, tmp_path):
+        # SURVEY §5 determinism gate: same input at two parallelism
+        # levels -> identical content hashes and identical document
+        # (guards the order-sensitive merges A1/A6/A8)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = run_full_pipeline(spark, str(tmp_path / "p3"), n_areas=2, seed=42)
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = run_full_pipeline(spark, str(tmp_path / "p17"), n_areas=2, seed=42)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        for name in a["stats"]:
+            assert (
+                a["stats"][name]["content_hash"] == b["stats"][name]["content_hash"]
+            ), name
+        assert open(a["document"]).read() == open(b["document"]).read()
+
     def test_input_change_invalidates(self, spark, first_run):
         wd, _ = first_run
         out = run_full_pipeline(spark, wd, n_areas=3, seed=42)  # new generator
