@@ -59,6 +59,63 @@ def _bucket_udf(planes: np.ndarray, col_name: str):
     return _b(F.col(col_name))
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    *,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    bands: int = 2,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Banded hyperplane LSH: ``bands`` independent plane sets; vectors
+    colliding in ANY band become candidates (near-identical vectors
+    collide in all bands with overwhelming probability), then exact
+    cosine verification. Shuffle key = (band, bucket), never the vector.
+    """
+    rng = np.random.default_rng(seed)
+    planes = [rng.standard_normal((n_planes, dim)) for _ in range(bands)]
+
+    v = vectors.select(vec_id, F.col(vec_col).cast("array<double>").alias("v"))
+    for b in range(bands):
+        v = v.withColumn(f"_b{b}", _bucket_udf(planes[b], "v"))
+    banded = v.select(
+        vec_id,
+        "v",
+        F.posexplode(F.array(*[F.col(f"_b{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{vec_id}") < F.col(f"y.{vec_id}")),
+        )
+        .select(
+            F.col(f"x.{vec_id}").alias("id_a"),
+            F.col(f"y.{vec_id}").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

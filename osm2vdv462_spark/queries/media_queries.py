@@ -74,3 +74,23 @@ def ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(
         emb, queries, k=3, n_planes=4, multiprobe=4
     ).orderBy("q_id", "rank")
+
+
+@register("embedding_near_dup", None)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
+    candidates + exact cosine >= 0.98, over embeddings plus injected
+    noisy copies of vec_id < 10 (recall tested in
+    tests/test_dedup_similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noisy = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * 1.0001 + 0.00001
+        ).alias("embedding"),
+    )
+    return similarity.cosine_near_dup_pairs(
+        emb.unionByName(noisy), threshold=0.98
+    ).orderBy("id_a", "id_b")

@@ -125,3 +125,38 @@ class TestANN:
             sims = [s for _, s in lst]
             assert sims == sorted(sims, reverse=True)
             assert len(lst) == 3
+
+
+class TestCosineNearDup:
+    def test_injected_near_dups_found(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        noisy = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 300000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.0001 + 0.00001).alias(
+                "embedding"
+            ),
+        )
+        pairs = similarity.cosine_near_dup_pairs(
+            emb.unionByName(noisy), threshold=0.98
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {(i, i + 300000) for i in range(10)}
+        assert len(expected & found) >= 9  # LSH recall on near-identical
+        for r in pairs:
+            assert r["cos_sim"] >= 0.98
+
+    def test_no_false_positives_vs_exact(self, spark, sf_dir):
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = similarity.cosine_near_dup_pairs(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            threshold=0.5,
+        ).collect()
+        rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        for r in pairs[:20]:
+            a, b = rows[r["id_a"]], rows[r["id_b"]]
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(exact - r["cos_sim"]) < 1e-4
