@@ -78,23 +78,42 @@ class StageCheckpoint:
             os.path.join(self.base_dir, f"{name}.manifest.json"),
         )
 
-    def _partition_metrics(self, data_path: str) -> list[dict]:
+    def _metrics_one_job(self, out) -> tuple[list[dict], int, int]:
+        """(per-file partition metrics, total rows, content hash) in ONE
+        Spark job: groupBy(input_file_name) with count + hash-sum."""
+        from pyspark.sql.types import MapType
+
+        cols = []
+        for f_ in out.schema.fields:
+            c = F.col(f_.name)
+            if isinstance(f_.dataType, MapType):
+                c = F.array_sort(F.map_entries(c))
+            cols.append(c)
+        per_file = (
+            out.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.pmod(F.xxhash64(*cols), F.lit(2**61 - 1)).cast("decimal(38,0)")
+                ).alias("h"),
+            )
+            .collect()
+        )
+        rows_by_file = {r["f"]: r["rows"] for r in per_file}
+        total_rows = sum(rows_by_file.values())
+        chash = int(sum(int(r["h"] or 0) for r in per_file)) % (2**63)
+        return rows_by_file, total_rows, chash
+
+    def _partition_files(self, data_path: str, rows_by_file: dict) -> list[dict]:
         files = []
         for f in sorted(os.listdir(data_path)):
             if f.endswith(".parquet"):
                 full = os.path.join(data_path, f)
-                files.append({"file": f, "bytes": os.path.getsize(full)})
-        if files:
-            per_file = {
-                r["f"]: r["rows"]
-                for r in self.spark.read.parquet(data_path)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            }
-            for entry in files:
-                match = [v for k, v in per_file.items() if k.endswith(entry["file"])]
-                entry["rows"] = match[0] if match else 0
+                match = [v for k, v in rows_by_file.items() if k.endswith(f)]
+                files.append(
+                    {"file": f, "bytes": os.path.getsize(full),
+                     "rows": match[0] if match else 0}
+                )
         return files
 
     def materialize(
@@ -128,14 +147,12 @@ class StageCheckpoint:
         df = df_fn()
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
+        rows_by_file, total_rows, chash = self._metrics_one_job(out)
+        partitions = self._partition_files(data_path, rows_by_file)
         metrics = {
-            "rows": out.count(),
-            "bytes": sum(
-                os.path.getsize(os.path.join(data_path, f))
-                for f in os.listdir(data_path)
-                if f.endswith(".parquet")
-            ),
-            "content_hash": content_hash(out),
+            "rows": total_rows,
+            "bytes": sum(p["bytes"] for p in partitions),
+            "content_hash": chash,
             "wall_sec": round(time.time() - t0, 3),
         }
         manifest = {
@@ -143,7 +160,7 @@ class StageCheckpoint:
             "created_unix": int(t0),
             "input_snapshots": input_snapshots,
             "metrics": metrics,
-            "partitions": self._partition_metrics(data_path),
+            "partitions": partitions,
         }
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)

@@ -60,9 +60,9 @@ class TestCheckpoint:
         old = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "3")
-            a = run_full_pipeline(spark, str(tmp_path / "p3"), n_areas=2, seed=42)
+            a = run_full_pipeline(spark, str(tmp_path / "p3"), n_areas=1, seed=42)
             spark.conf.set("spark.sql.shuffle.partitions", "17")
-            b = run_full_pipeline(spark, str(tmp_path / "p17"), n_areas=2, seed=42)
+            b = run_full_pipeline(spark, str(tmp_path / "p17"), n_areas=1, seed=42)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         for name in a["stats"]:
@@ -73,6 +73,6 @@ class TestCheckpoint:
 
     def test_input_change_invalidates(self, spark, first_run):
         wd, _ = first_run
-        out = run_full_pipeline(spark, wd, n_areas=3, seed=42)  # new generator
+        out = run_full_pipeline(spark, wd, n_areas=1, seed=7)  # new generator
         assert not out["stats"]["world_platforms"]["skipped"]
         assert not out["stats"]["final_quays"]["skipped"]
