@@ -13,7 +13,7 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_shipped(spark: SparkSession) -> None:
@@ -22,6 +22,10 @@ def ensure_shipped(spark: SparkSession) -> None:
     # jsonb_concat right-wins semantics for map_concat (ref
     # stop_places.sql:935-939)
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # timestamp literals (pricing_summary's shipdate bound) must resolve in
+    # the same zone the parquet fixtures were written in; DuckDB timestamps
+    # are zone-naive so a non-UTC driver box would shift the boundary
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # a 200-partition shuffle default is pathological for the engine's
     # many small dimension-side stages (and for a default 1g driver heap
     # in local mode); only override when the caller left the default
@@ -30,7 +34,9 @@ def ensure_shipped(spark: SparkSession) -> None:
             spark.conf.set("spark.sql.shuffle.partitions", "64")
     except Exception:
         pass
-    key = id(spark.sparkContext)
+    # applicationId is unique per context; id() can be reused after a stopped
+    # context is garbage-collected (bench.py recreates sessions in-process)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

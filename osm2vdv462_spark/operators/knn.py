@@ -91,6 +91,11 @@ def _resolve_batch_k1(
     wmin = 0.98 * _cells.cell_width_m(index.res, lats)
     best_d = np.full(n, np.inf)
     best_t = np.full(n, -1, np.int64)
+    # running winner id: the normative tie-break is (dist, target_id), and
+    # it must hold ACROSS rings — a later ring's equal-distance candidate
+    # may only win with a strictly smaller id
+    id_max = np.iinfo(np.int64).max
+    best_id = np.full(n, id_max)
     active = np.arange(n)
     for r in range(max_rings + 1):
         if len(active) == 0:
@@ -102,20 +107,24 @@ def _resolve_batch_k1(
             d = _kernel.haversine_m(
                 lons[q_ord], lats[q_ord], index.lon[t_ord], index.lat[t_ord]
             )
-            # sort-free per-point minimum: scatter-min distances, then a
-            # second scatter-min on target id among exact-dist ties
-            # (deterministic (dist, id) tie-break without a lexsort)
+            # sort-free per-point minimum: scatter-min distances; points
+            # whose best STRICTLY improved forfeit their old winner id,
+            # then a second scatter-min picks the smallest id among ties
+            pb = best_d[q_ord]
             np.minimum.at(best_d, q_ord, d)
+            improved = best_d[q_ord] < pb
+            best_id[q_ord[improved]] = id_max
             is_best = d == best_d[q_ord]
             qb, tb = q_ord[is_best], t_ord[is_best]
-            tmp = np.full(n, np.iinfo(np.int64).max)
-            np.minimum.at(tmp, qb, index.ids[tb].astype(np.int64))
-            chosen = tmp[qb] == index.ids[tb]
+            ids_tb = index.ids[tb].astype(np.int64)
+            np.minimum.at(best_id, qb, ids_tb)
+            chosen = best_id[qb] == ids_tb
             best_t[qb[chosen]] = tb[chosen]
         resolved = best_d[active] <= r * wmin[active]
         active = active[~resolved]
     if len(active) and len(index.ids):
-        # brute force for isolated points, chunked
+        # brute force for isolated points, chunked; same (dist, id) order
+        ids_all = index.ids.astype(np.int64)
         CH = max(1, 4_000_000 // max(len(index.ids), 1))
         for s in range(0, len(active), CH):
             a = active[s : s + CH]
@@ -123,11 +132,15 @@ def _resolve_batch_k1(
                 lons[a][:, None], lats[a][:, None],
                 index.lon[None, :], index.lat[None, :],
             )
-            j = np.argmin(d, axis=1)
-            dd = d[np.arange(len(a)), j]
-            upd = dd < best_d[a]
+            dd = d.min(axis=1)
+            tie = d == dd[:, None]
+            j = np.argmin(np.where(tie, ids_all[None, :], id_max), axis=1)
+            upd = (dd < best_d[a]) | (
+                (dd == best_d[a]) & (ids_all[j] < best_id[a])
+            )
             best_d[a[upd]] = dd[upd]
             best_t[a[upd]] = j[upd]
+            best_id[a[upd]] = ids_all[j[upd]]
     got = best_t >= 0
     q = np.nonzero(got)[0]
     return q, best_t[q], best_d[q], np.ones(len(q), np.int64)

@@ -129,20 +129,27 @@ def synthesize_routes(edges: DataFrame, way_pool: DataFrame | None = None) -> Da
         pool = bpool.value
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
-                h = hash((row.start_IFOPT, row.end_IFOPT)) & 0x7FFFFFFF
-                # deterministic across runs: python hash of str is salted,
-                # so derive from content instead
-                import zlib
+            import hashlib
 
-                h = zlib.crc32(f"{row.start_IFOPT}|{row.end_IFOPT}".encode())
+            for row in pdf.itertuples(index=False):
+                # deterministic across runs AND reproducible in ANSI SQL
+                # (DuckDB: strtol(substr(md5(s||'|'||t),1,15),16)) so the
+                # driver's oracle can derive the same variants/node ids
+                h = int(
+                    hashlib.md5(
+                        f"{row.start_IFOPT}|{row.end_IFOPT}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
                 variant = h % 3
                 key = f"{row.relation_id}|{row.start_IFOPT}|{row.end_IFOPT}"
                 a = np.array([row.start_lon, row.start_lat])
                 b = np.array([row.end_lon, row.end_lat])
                 m1 = a + (b - a) / 3.0
                 m2 = a + 2.0 * (b - a) / 3.0
-                nbase = 9_000_000 + (h % 900_000) * 10
+                # wide id space: (node, level) access-space dedup must not
+                # collide across routes (birthday bound ~1e-5 at 10^3 edges)
+                nbase = 9_000_000 + (h % 900_000_000) * 10
                 ways = pool.get(row.relation_id, [])
                 w1 = ways[h % len(ways)] if ways else 8_000_000 + h % 100_000
                 w2 = ways[(h + 1) % len(ways)] if ways else w1 + 1

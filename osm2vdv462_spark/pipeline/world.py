@@ -32,19 +32,19 @@ def _rect(cx, cy, w_m, h_m, angle_deg=0.0):
     return base @ rot.T + [cx, cy]
 
 
-class _Ids:
-    def __init__(self):
-        self.n = 0
-
-    def __call__(self):
-        self.n += 1
-        return 100_000 + self.n
-
-
 def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
-    """Python-side row lists per table (see FIXTURES.md §2 schemas)."""
+    """Python-side row lists per table (see FIXTURES.md §2 schemas).
+
+    OSM ids are STRUCTURED — ``100_000 + area_index*1000 + slot`` with a
+    fixed slot per role (platform A=1, B=2/3, C=4, edges=5/6, D=7, stop
+    position=10, entrances=20+k, pois=30+j, highways=40+j, parking=50) —
+    and platform rectangles are axis-aligned, so every pipeline output
+    (ids, IFOPTs, widths, access-space nodes) has a closed form that the
+    driver's DuckDB oracles reproduce with CASE arithmetic (the datagen.py
+    technique applied to the pipeline world). Rotated/pathological
+    geometry coverage lives in tests/test_geo_kernel.py instead.
+    """
     rng = np.random.default_rng(seed)
-    nid = _Ids()
     stop_areas, members, platforms, platform_edges = [], [], [], []
     stop_positions, entrances, pois, highways, parking = [], [], [], [], []
 
@@ -59,6 +59,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
 
     for i in range(n_areas):
         rel = 1000 + i
+        base = 100_000 + i * 1000
         cx = 11.50 + (i % 4) * 0.01
         cy = 48.10 + (i // 4) * 0.01
         ifopt = f"de:09162:{i}"
@@ -74,9 +75,9 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
         def member(osm_id, osm_type):
             members.append((rel, osm_id, osm_type))
 
-        # platform A: plain polygon, rotated rect ~30x5 m
-        pa = nid()
-        ga = _wkb.encode_polygon([_rect(cx - 40 * M, cy, 30, 5, angle_deg=20.0 + i)])
+        # platform A: plain axis-aligned polygon, 30x5 m
+        pa = base + 1
+        ga = _wkb.encode_polygon([_rect(cx - 40 * M, cy, 30, 5)])
         platforms.append(
             (pa, "W", f"{ifopt}:1",
              {"public_transport": "platform", "ref": "1", "level": "0",
@@ -85,9 +86,9 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
         member(pa, "W")
 
         # platform B: TWO touching polygons, SAME IFOPT -> must merge
-        pb1, pb2 = nid(), nid()
-        r1 = _rect(cx + 30 * M, cy, 16, 5)
-        r2 = _rect(cx + 30 * M + 16 * M, cy, 16, 5)  # shares the x edge
+        pb1, pb2 = base + 2, base + 3
+        r1 = _rect(cx + 30 * M, cy, 16, 6)
+        r2 = _rect(cx + 30 * M + 16 * M, cy, 16, 6)  # shares the x edge
         platforms.append(
             (pb1, "W", f"{ifopt}:2",
              {"public_transport": "platform", "ref": "2", "level": "0",
@@ -103,7 +104,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
         # platform C (every other area): multi-IFOPT island platform with
         # two platform_edge linestrings on its long sides
         if i % 2 == 0:
-            pc = nid()
+            pc = base + 4
             rc = _rect(cx, cy + 30 * M, 40, 8)
             platforms.append(
                 (pc, "W", f"{ifopt}:3;{ifopt}:4",
@@ -112,7 +113,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
             )
             member(pc, "W")
             # edges along south (ref 3) and north (ref 4) boundary sides
-            e3, e4 = nid(), nid()
+            e3, e4 = base + 5, base + 6
             platform_edges.append(
                 (e3, "W", {"railway": "platform_edge", "ref": "3"},
                  _wkb.encode_linestring(rc[0:2]))
@@ -124,7 +125,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
 
         # platform D (every third area): node platform
         if i % 3 == 0:
-            pd_ = nid()
+            pd_ = base + 7
             platforms.append(
                 (pd_, "N", f"{ifopt}:9",
                  {"public_transport": "platform", "ref": "9", "level": "-1",
@@ -134,7 +135,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
             member(pd_, "N")
 
         # stop positions
-        sp = nid()
+        sp = base + 10
         stop_positions.append(
             (sp, f"{ifopt}:1",
              {"public_transport": "stop_position", "bus": "yes"},
@@ -144,7 +145,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
 
         # entrances
         for k in range(1 + i % 2):
-            en = nid()
+            en = base + 20 + k
             entrances.append(
                 (en,
                  {"entrance": "main" if k == 0 else "yes", "door": "yes",
@@ -154,9 +155,9 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
             member(en, "N")
 
         # pois near the area (bench / shelter / ticket machine)
-        for kind in (("amenity", "bench"), ("amenity", "shelter"),
-                     ("amenity", "vending_machine")):
-            po = nid()
+        for j, kind in enumerate((("amenity", "bench"), ("amenity", "shelter"),
+                                  ("amenity", "vending_machine"))):
+            po = base + 30 + j
             pois.append(
                 (po, "N", {kind[0]: kind[1], "level": "0"},
                  _wkb.encode_point(
@@ -166,7 +167,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
             )
 
         # footways: platform A -> entrance zone, with parseable tags
-        hw1, hw2, hw3 = nid(), nid(), nid()
+        hw1, hw2, hw3 = base + 40, base + 41, base + 42
         highways.append(
             (hw1, "W",
              {"highway": "footway", "surface": "asphalt", "width": "2 m",
@@ -190,7 +191,7 @@ def build_world(n_areas: int = 8, seed: int = 42) -> dict[str, list]:
         )
 
         # parking
-        pk = nid()
+        pk = base + 50
         parking.append(
             (pk, "W",
              {"amenity": "parking", "parking": "surface", "capacity": "20",

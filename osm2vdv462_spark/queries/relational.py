@@ -19,7 +19,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT o.o_orderstatus, c.c_mktsegment,
            count(*) AS n_orders,
-           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -35,7 +35,12 @@ def membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"),
+            # sum in exact decimal: float addition is non-associative, so a
+            # double sum near a .005 rounding boundary can flip between
+            # Spark's and DuckDB's partial-agg orders (ADVICE r1)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -63,8 +68,9 @@ def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE)
              AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
@@ -80,8 +86,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            # exact-decimal sums, order-independent across engines (ADVICE r1);
+            # the per-row product is rounded to 4dp BEFORE the decimal cast so
+            # both engines quantize the same double value
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                    "decimal(18,4)"
+                )
+            )
             .cast("double")
             .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
@@ -152,7 +167,7 @@ def edge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE CAST(props ->> 'k' AS BIGINT) > 50
     GROUP BY event_type

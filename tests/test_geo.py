@@ -223,3 +223,46 @@ class TestKernel:
         out = kernel.polylines_length_m(coords, offsets)
         assert abs(out[0] - kernel.haversine_m(0, 0, 0, 1)) < 1e-6
         assert abs(out[1] - 2 * kernel.haversine_m(10, 10, 10, 11)) < 1.0
+
+
+class TestKnnTieBreak:
+    """The normative kNN tie-break is (distance, target_id) — it must hold
+    across ring boundaries AND in the brute-force fallback (VERDICT r1 #9:
+    a later ring's equal-distance candidate must not displace an earlier
+    smaller-id winner)."""
+
+    def _index(self, rows, res):
+        from osm2vdv462_spark.operators.knn import build_target_index
+
+        return build_target_index(rows, res)
+
+    def test_equal_distance_across_rings_keeps_min_id(self):
+        from osm2vdv462_spark.operators.knn import _resolve_batch_k1
+
+        res = 12
+        h = cells._deg_per_cell(res)
+        # point exactly on a cell boundary: the +0.99h target shares its
+        # cell (ring 0), the -0.99h target sits in ring 1, distances are
+        # bit-identical (same |dlat|, dlon = 0)
+        d = 0.99 * h
+        for north_id, south_id in ((3, 9), (9, 3)):
+            idx = self._index([(north_id, 0.0, d), (south_id, 0.0, -d)], res)
+            q, t, dist, rank = _resolve_batch_k1(
+                idx, np.array([0.0]), np.array([0.0]), max_rings=4
+            )
+            assert len(q) == 1
+            assert idx.ids[t[0]] == min(north_id, south_id)
+
+    def test_bruteforce_fallback_ties_by_id_not_ordinal(self):
+        from osm2vdv462_spark.operators.knn import _resolve_batch_k1
+
+        res = 12
+        h = cells._deg_per_cell(res)
+        # both targets far outside ring range -> pure fallback; array order
+        # puts the LARGER id first so an argmin-by-ordinal would pick it
+        idx = self._index([(9, 0.0, 30 * h), (3, 0.0, -30 * h)], res)
+        q, t, dist, rank = _resolve_batch_k1(
+            idx, np.array([0.0]), np.array([0.0]), max_rings=1
+        )
+        assert len(q) == 1
+        assert idx.ids[t[0]] == 3
