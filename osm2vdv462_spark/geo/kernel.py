@@ -445,3 +445,102 @@ def touches(a: Geom, b: Geom) -> bool:
         if proper.any():
             return False
     return True
+
+
+def predicate_pairs(
+    geoms: list, ai: np.ndarray, bi: np.ndarray, predicate: str = "intersects"
+) -> np.ndarray:
+    """Vectorized ST_Intersects / ST_Touches over candidate PAIRS
+    (replaces per-row scalar calls in the spatial join's exact phase —
+    VERDICT r1 #4). ``geoms``: decoded unique geometries; ``ai``/``bi``:
+    pair ordinals into it. Semantics identical to geoms_intersect() /
+    touches() per pair (tests compare against the scalar oracles).
+
+    Vectorization layout: one bbox reject over ALL pairs, then per unique
+    LEFT geometry one segment-crossing evaluation of its segments against
+    the CONCATENATION of all its candidates' segments (reduceat per
+    candidate). Containment tails run on pre-decoded geometries; the
+    touches interior refinement runs only on pairs that already
+    intersect (≈ true matches, not candidates).
+    """
+    n = len(ai)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    boxes = np.asarray([g.bbox() for g in geoms], np.float64)
+    ab, bb = boxes[ai], boxes[bi]
+    alive = ~(
+        (ab[:, 0] > bb[:, 2])
+        | (bb[:, 0] > ab[:, 2])
+        | (ab[:, 1] > bb[:, 3])
+        | (bb[:, 1] > ab[:, 3])
+    )
+    idx = np.nonzero(alive)[0]
+    if len(idx) == 0:
+        return out
+
+    seg_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def segs(o: int) -> tuple[np.ndarray, np.ndarray]:
+        s = seg_cache.get(o)
+        if s is None:
+            s = _all_segments(geoms[o])
+            seg_cache[o] = s
+        return s
+
+    order = idx[np.argsort(ai[idx], kind="stable")]
+    starts = np.nonzero(np.r_[True, ai[order][1:] != ai[order][:-1]])[0]
+    bounds = np.r_[starts, len(order)]
+    inter = np.zeros(n, bool)
+    for gi in range(len(starts)):
+        rows = order[bounds[gi] : bounds[gi + 1]]
+        a = geoms[ai[rows[0]]]
+        # point cases mirror geoms_intersect's early exits (rare; scalar)
+        if a.gtype == POINT:
+            for r in rows:
+                inter[r] = _point_on(a.coords[0], geoms[bi[r]])
+            continue
+        pt_rows = [r for r in rows if geoms[bi[r]].gtype == POINT]
+        for r in pt_rows:
+            inter[r] = _point_on(geoms[bi[r]].coords[0], a)
+        rows = np.array([r for r in rows if geoms[bi[r]].gtype != POINT])
+        if len(rows) == 0:
+            continue
+        a0, a1 = segs(ai[rows[0]])
+        bsegs = [segs(bi[r]) for r in rows]
+        sizes = np.array([len(s[0]) for s in bsegs], np.int64)
+        if len(a0) and sizes.sum():
+            B0 = np.concatenate([s[0] for s in bsegs if len(s[0])])
+            B1 = np.concatenate([s[1] for s in bsegs if len(s[1])])
+            hit_cols = _segments_intersect(
+                a0[:, None, :], a1[:, None, :], B0[None, :, :], B1[None, :, :]
+            ).any(axis=0)
+            offs = np.r_[0, np.cumsum(sizes)[:-1]]
+            nz = sizes > 0
+            per_b = np.zeros(len(rows), bool)
+            if nz.any():
+                red = np.add.reduceat(
+                    np.concatenate([hit_cols, [False]]), offs[nz]
+                )
+                per_b[nz] = red > 0
+            inter[rows] = per_b
+        # containment tails (first-vertex probes), matching the scalar
+        # order: b-in-a batched in one PIP call; a-in-b per polygon b
+        rest = rows[~inter[rows]]
+        if len(rest):
+            if a.gtype in (POLYGON, MULTIPOLYGON):
+                bx = np.array([geoms[bi[r]].coords[0, 0] for r in rest])
+                by = np.array([geoms[bi[r]].coords[0, 1] for r in rest])
+                inter[rest] |= points_in_polygon(bx, by, a)
+            for r in rest[~inter[rest]]:
+                b = geoms[bi[r]]
+                if b.gtype in (POLYGON, MULTIPOLYGON):
+                    inter[r] = bool(
+                        points_in_polygon(a.coords[:1, 0], a.coords[:1, 1], b)[0]
+                    )
+    if predicate == "intersects":
+        return inter
+    # touches refinement on actual intersecting pairs only
+    for r in np.nonzero(inter)[0]:
+        out[r] = touches(geoms[ai[r]], geoms[bi[r]])
+    return out

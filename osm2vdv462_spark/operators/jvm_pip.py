@@ -1,0 +1,440 @@
+"""JVM-only fused PIP + kNN: the zero-Python-crossing flagship plan.
+
+Round-1 forensics (BENCH/BASELINE.md) showed the engine's mapInArrow
+flagship saturates the per-JVM JVM<->Python Arrow channel (~4.2M rows/s
+regardless of cores), so single-JVM scaling measured that artifact, not
+the engine. This variant keeps EVERYTHING in the JVM:
+
+* cell ids as Catalyst arithmetic (bit-identical to geo/cells.py);
+* per-cell candidate lists (polygon segments / nearby targets) built
+  driver-side from the dimension tables and BROADCAST-joined to the
+  point table — one row per point, no row multiplication, no shuffle;
+* exact ray-cast PIP and exact (dist, id) nearest-target as higher-order
+  functions (filter/aggregate) over the candidate arrays — evaluated in
+  the JVM, GIL-free, scaling with executor cores.
+
+Semantics are identical to operators/fused.pip_knn_assign (same ray-cast
+parity, same haversine, same (dist, id) tie-break); the correctness gate
+runs both against the same algebraic oracles.
+
+At 10^12 points: the point table is scanned once; the broadcast maps are
+O(dimension size); per-point work is O(local candidates). The Python
+variant remains for geometry kinds Catalyst can't express (multi-ring
+WKB decode stays in the numpy kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..geo import cells as _cells
+from ..geo import kernel as _kernel
+from ..geo import wkb as _wkb
+from ..geo.columns import haversine_col
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Catalyst twin of cells.cell_of_points (same float ops, same pack:
+    id = (res << 57) | (ix << 28) | iy)."""
+    ncols, nrows = (1 << (res + 1)), (1 << res)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(ncols)))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nrows)))
+    ix = F.greatest(F.lit(0), F.least(F.lit(ncols - 1), ix)).cast("long")
+    iy = F.greatest(F.lit(0), F.least(F.lit(nrows - 1), iy)).cast("long")
+    # '+' rather than '|' (PySpark Column | is boolean OR); the three
+    # bit fields are disjoint so addition == bitwise-or here
+    return (
+        F.shiftleft(F.lit(int(res)).cast("long"), 57)
+        + F.shiftleft(ix, 28)
+        + iy
+    )
+
+
+def _poly_cell_rows(prows: list[tuple], res: int) -> list[tuple]:
+    """(cell, polys: [(pid, segs: [(x0,y0,x1,y1)])]) from (pid, wkb)."""
+    per_cell: dict[int, list] = {}
+    for pid, blob in prows:
+        g = _wkb.decode(bytes(blob))
+        segs = []
+        for i in range(g.nrings):
+            r = g.ring(i)
+            for j in range(len(r) - 1):
+                segs.append((float(r[j, 0]), float(r[j, 1]),
+                             float(r[j + 1, 0]), float(r[j + 1, 1])))
+        minx, miny, maxx, maxy = g.bbox()
+        for c in _cells.cells_of_bbox(minx, miny, maxx, maxy, res):
+            per_cell.setdefault(int(c), []).append((pid, segs))
+    return [(c, v) for c, v in sorted(per_cell.items())]
+
+
+def _target_cell_rows(
+    trows: list[tuple], res: int, pad_cells: int = 4
+) -> tuple[list[tuple], list]:
+    """Per-cell exact-nearest candidate lists for the cells within
+    ``pad_cells`` of any target (the region where points actually live;
+    stragglers outside take the exact full-list fallback). Inclusion
+    rule: a target is listed for cell c iff its distance LOWER bound
+    from anywhere in c is <= the smallest distance UPPER bound among all
+    targets (so the true nearest — including exact ties — is provably in
+    the list). List size tracks LOCAL target density at the chosen
+    resolution: candidates live within ~one cell diagonal of the nearest
+    target, so pick ``res`` such that a cell holds O(1..10) targets."""
+    ids = np.array([t[0] for t in trows], np.int64)
+    tlon = np.array([t[1] for t in trows], np.float64)
+    tlat = np.array([t[2] for t in trows], np.float64)
+    # mapped cells = union of per-target dilated neighborhoods
+    tix, tiy = _cells.xy_of_points(tlon, tlat, res)
+    ncols, nrows = (1 << (res + 1)), (1 << res)
+    span = np.arange(-pad_cells, pad_cells + 1)
+    nx = np.clip(tix[:, None, None] + span[None, :, None], 0, ncols - 1)
+    ny = np.clip(tiy[:, None, None] + span[None, None, :], 0, nrows - 1)
+    nx, ny = np.broadcast_arrays(nx, ny)  # full (2p+1)^2 neighborhood
+    cell_ids = np.unique(_cells.pack(res, nx.ravel(), ny.ravel()))
+    _, ix, iy = _cells.unpack(cell_ids)
+    d = _cells._deg_per_cell(res)
+    cx0 = ix.astype(np.float64) * 360.0 / ncols - 180.0
+    cy0 = iy.astype(np.float64) * 180.0 / nrows - 90.0
+    R = _kernel.EARTH_R
+    rows: list[tuple] = []
+    order = np.argsort(ids, kind="stable")
+    CH = max(1, 32_000_000 // max(len(ids), 1))
+    for s in range(0, len(cell_ids), CH):
+        x0 = cx0[s : s + CH][:, None]
+        y0 = cy0[s : s + CH][:, None]
+        T_lon, T_lat = tlon[None, :], tlat[None, :]
+        # per-(cell, target) degree gaps to the cell rectangle
+        gx = np.maximum(0.0, np.maximum(x0 - T_lon, T_lon - (x0 + d)))
+        gy = np.maximum(0.0, np.maximum(y0 - T_lat, T_lat - (y0 + d)))
+        # farthest-corner degree distance (upper bound: cos <= 1)
+        fx = np.maximum(np.abs(T_lon - x0), np.abs(T_lon - (x0 + d)))
+        fy = np.maximum(np.abs(T_lat - y0), np.abs(T_lat - (y0 + d)))
+        dub = R * np.radians(np.hypot(fx, fy))
+        # lower bound: lat gap exact; lon gap scaled by cos(max |lat|)
+        lat_hi = np.maximum(np.abs(T_lat), np.maximum(np.abs(y0), np.abs(y0 + d)))
+        dlb = R * np.radians(
+            np.maximum(gy, gx * np.cos(np.radians(np.minimum(lat_hi, 89.0))))
+        )
+        keep = dlb <= dub.min(axis=1, keepdims=True)
+        for k in range(keep.shape[0]):
+            sel = order[keep[k][order]]
+            rows.append(
+                (int(cell_ids[s + k]),
+                 [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in sel])
+            )
+    all_t = [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in order]
+    return rows, all_t
+
+
+def _inside(segs: Column, lon: Column, lat: Column) -> Column:
+    """Ray-cast parity over a segment array (same strict comparisons as
+    kernel.points_in_ring)."""
+
+    def step(acc, s):
+        cond = (s["y0"] > lat) != (s["y1"] > lat)
+        xint = s["x0"] + (lat - s["y0"]) / (s["y1"] - s["y0"]) * (
+            s["x1"] - s["x0"]
+        )
+        return acc + F.when(cond & (lon < xint), 1).otherwise(0)
+
+    return F.aggregate(segs, F.lit(0), step) % 2 == 1
+
+
+def _nearest(cands: Column, lon: Column, lat: Column) -> Column:
+    """(dist, id)-minimal candidate as struct<d double, id long>.
+
+    array_min over struct<d, id> compares lexicographically — exactly
+    the normative (distance, target_id) tie-break — and evaluates ONE
+    haversine per candidate (an aggregate() accumulator would evaluate
+    it twice: once in the comparison, once in the kept struct)."""
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda t: F.struct(
+                haversine_col(lon, lat, t["lon"], t["lat"]).alias("d"),
+                t["id"].cast("long").alias("id"),
+            ),
+        )
+    )
+
+
+_SEGS_T = "array<struct<x0:double,y0:double,x1:double,y1:double>>"
+_CAND_T = "array<struct<id:bigint,lon:double,lat:double>>"
+
+
+def pip_knn_assign_jvm(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    targets_df: DataFrame,
+    *,
+    point_keep: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "relation_id",
+    poly_wkb: str = "geom",
+    target_id: str = "quay_id",
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+    poly_res: int = 12,
+    target_res: int = 11,
+    target_pad_cells: int = 8,
+) -> DataFrame:
+    """Fused assignment, JVM-only plan. Output columns:
+    point_keep..., <poly_id> (NULL if in no polygon; min id on overlap
+    ties), <target_id>, dist_m."""
+    spark = points_df.sparkSession
+    prows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    trows = [
+        (r[0], r[1], r[2])
+        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+    ]
+    pm = spark.createDataFrame(
+        _poly_cell_rows(prows, poly_res),
+        f"_pc bigint, _polys array<struct<pid:bigint,segs:{_SEGS_T}>>",
+    )
+    trow_list, all_t = _target_cell_rows(trows, target_res, target_pad_cells)
+    tm = spark.createDataFrame(trow_list, f"_tc bigint, _cands {_CAND_T}")
+    fallback = spark.createDataFrame([(all_t,)], f"_cands_all {_CAND_T}")
+
+    LON, LAT = F.col(lon), F.col(lat)
+    pts = points_df.select(*point_keep, lon, lat).withColumns(
+        {
+            "_pc": cell_expr(LON, LAT, poly_res),
+            "_tc": cell_expr(LON, LAT, target_res),
+        }
+    )
+    matched = pts.join(F.broadcast(tm), "_tc", "inner").join(
+        F.broadcast(pm), "_pc", "left"
+    )
+    # exact fallback for points whose cell is outside the mapped target
+    # region, paid ONLY by those rows. Every join here is a broadcast
+    # HASH join (anti on the mapped cells, then a constant-key equi join
+    # to attach the full list) — a nested-loop join against the 1-row
+    # full-list frame would knock its whole subtree out of whole-stage
+    # codegen (measured 10x slowdown of the full operator)
+    strays = (
+        pts.join(F.broadcast(tm.select("_tc")), "_tc", "left_anti")
+        .join(F.broadcast(pm), "_pc", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(fallback.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+        .withColumnRenamed("_cands_all", "_cands")
+        .select(*matched.columns)
+    )
+    hits = F.filter(F.col("_polys"), lambda p: _inside(p["segs"], LON, LAT))
+    pid_col = F.array_min(F.transform(hits, lambda p: p["pid"]))
+    best = _nearest(F.col("_cands"), LON, LAT)
+    pid_type = polys_df.select(poly_id).schema[0].dataType.simpleString()
+    tid_type = targets_df.select(target_id).schema[0].dataType.simpleString()
+    # two-step select: '_best' is extracted in a SEPARATE projection so
+    # CollapseProject keeps one evaluation (HOFs get no codegen subexpr
+    # elimination — inlining would run the whole transform per field)
+    return (
+        matched.unionByName(strays)
+        .select(
+            *point_keep,
+            pid_col.cast(pid_type).alias(poly_id),
+            best.alias("_best"),
+        )
+        .select(
+            *point_keep,
+            poly_id,
+            F.col("_best.id").cast(tid_type).alias(target_id),
+            F.col("_best.d").alias("dist_m"),
+        )
+    )
+
+
+# ------------------------------------------------- unrolled codegen variant
+
+
+def _pad(lst, n, fill):
+    return lst + [fill] * (n - len(lst))
+
+
+def pip_knn_assign_codegen(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    targets_df: DataFrame,
+    *,
+    point_keep: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "relation_id",
+    poly_wkb: str = "geom",
+    target_id: str = "quay_id",
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+    poly_res: int = 12,
+    target_res: int = 11,
+    target_pad_cells: int = 8,
+    max_slots: int = 24,
+    max_segs: int = 16,
+    assume_covered: bool = False,
+) -> DataFrame:
+    """Fused PIP + kNN with the candidate lists UNROLLED into fixed
+    scalar columns so the whole per-point evaluation stays inside
+    WholeStageCodegen.
+
+    Higher-order functions (the pip_knn_assign_jvm variant) run on the
+    interpreted expression path — measured here: ~65k rows/s/core and
+    ~0.3 thread-scaling efficiency (allocation-bound megamorphic eval).
+    A plain-JVM compute loop on the same box scales 8->32 threads at
+    0.88; unrolling the bounded per-cell candidates into scalar columns
+    puts the flagship on that path: least(struct(haversine_k, id_k)...)
+    for the (dist, id) minimum and an unrolled ray-cast parity CASE sum.
+
+    Boundedness is a DESIGN property, not a bench hack: per-cell
+    candidate counts are bounded by local target density at the chosen
+    resolution, and polygon segment counts are bounded by ST_Subdivide
+    (geo/kernel.py:278) upstream — the same bound the reference's width
+    pipeline relies on (stop_places.sql:984-996). Datasets exceeding
+    (max_slots, max_segs) should use pip_knn_assign_jvm / the Python
+    kernels instead; this function raises so the caller chooses."""
+    spark = points_df.sparkSession
+    prows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    trows = [
+        (r[0], r[1], r[2])
+        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+    ]
+
+    pcell = _poly_cell_rows(prows, poly_res)
+    P = max((len(v) for _, v in pcell), default=1)
+    S = max((len(segs) for _, v in pcell for _, segs in v), default=1)
+    tcell, all_t = _target_cell_rows(trows, target_res, target_pad_cells)
+    K = max(2, max((len(v) for _, v in tcell), default=2))
+    if P > max_slots or S > max_segs or K > 4 * max_slots:
+        raise ValueError(
+            f"candidate bounds exceeded (P={P}, S={S}, K={K}) — subdivide "
+            "polygons / refine target_res, or use pip_knn_assign_jvm"
+        )
+
+    # polygon map: one row per cell; P poly slots x (pid + S segments)
+    prow_flat = []
+    for c, v in pcell:
+        row = [c]
+        for p in range(P):
+            if p < len(v):
+                pid, segs = v[p]
+                row.append(pid)
+                flat = [x for s in _pad(list(segs), S, (None,) * 4) for x in s]
+            else:
+                row.append(None)
+                flat = [None] * (4 * S)
+            row.extend(flat)
+        prow_flat.append(tuple(row))
+    pcols = ["_pc bigint"]
+    for p in range(P):
+        pcols.append(f"_p{p}_id bigint")
+        for s in range(S):
+            pcols.extend(
+                f"_p{p}s{s}_{c} double" for c in ("x0", "y0", "x1", "y1")
+            )
+    pm = spark.createDataFrame(prow_flat, ", ".join(pcols))
+
+    # target map: one row per cell; K (id, lon, lat) slots
+    def _trow(c, v):
+        row = [c]
+        for k in range(K):
+            row.extend(v[k] if k < len(v) else (None, None, None))
+        return tuple(row)
+
+    trow_flat = [_trow(c, v) for c, v in tcell]
+    tcols = ["_tc bigint"] + [
+        f"_t{k}_{c} {ty}"
+        for k in range(K)
+        for c, ty in (("id", "bigint"), ("lon", "double"), ("lat", "double"))
+    ]
+    tm = spark.createDataFrame(trow_flat, ", ".join(tcols))
+    # the rare out-of-region stragglers take the ARRAY full list + HOF
+    # minimum (exact; interpreted is fine on a ~0-row branch — unrolling
+    # it would force K = n_targets columns on every row)
+    fallback = spark.createDataFrame([(all_t,)], f"_cands_all {_CAND_T}")
+
+    LON, LAT = F.col(lon), F.col(lat)
+    pts = points_df.select(*point_keep, lon, lat).withColumns(
+        {
+            "_pc": cell_expr(LON, LAT, poly_res),
+            "_tc": cell_expr(LON, LAT, target_res),
+        }
+    )
+    matched = pts.join(F.broadcast(tm), "_tc", "inner").join(
+        F.broadcast(pm), "_pc", "left"
+    )
+    strays = (
+        pts.join(F.broadcast(tm.select("_tc")), "_tc", "left_anti")
+        .join(F.broadcast(pm), "_pc", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(fallback.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+    )
+
+    pid_type = polys_df.select(poly_id).schema[0].dataType.simpleString()
+    tid_type = targets_df.select(target_id).schema[0].dataType.simpleString()
+
+    def pid_expr() -> Column:
+        # PIP: unrolled ray-cast parity per poly slot; least() over the
+        # matching slots' ids == array_min of the filtered pids
+        pid_hits = []
+        for p in range(P):
+            crossings = None
+            for s in range(S):
+                x0 = F.col(f"_p{p}s{s}_x0")
+                y0 = F.col(f"_p{p}s{s}_y0")
+                x1 = F.col(f"_p{p}s{s}_x1")
+                y1 = F.col(f"_p{p}s{s}_y1")
+                cond = ((y0 > LAT) != (y1 > LAT)) & (
+                    LON < x0 + (LAT - y0) / (y1 - y0) * (x1 - x0)
+                )
+                term = F.when(cond, 1).otherwise(0)
+                crossings = term if crossings is None else crossings + term
+            inside = (crossings % 2 == 1) & F.col(f"_p{p}_id").isNotNull()
+            pid_hits.append(F.when(inside, F.col(f"_p{p}_id")))
+        return pid_hits[0] if P == 1 else F.least(*pid_hits)
+
+    def render(df: DataFrame, best_id: Column, best_d: Column) -> DataFrame:
+        return df.select(
+            *point_keep,
+            pid_expr().cast(pid_type).alias(poly_id),
+            best_id.cast(tid_type).alias(target_id),
+            best_d.alias("dist_m"),
+        )
+
+    # kNN (hot path): least() over K structs — null slots are skipped,
+    # struct comparison is lexicographic (dist, id): the normative
+    # tie-break. Whole-stage codegen with runtime subexpression
+    # elimination; measured fastest of the formulations tried (scalar
+    # dmin + tie re-scan duplicates the haversine tree K x and stalls;
+    # see BENCH/BASELINE.md round-2 notes).
+    cand_structs = [
+        F.when(
+            F.col(f"_t{k}_id").isNotNull(),
+            F.struct(
+                haversine_col(
+                    LON, LAT, F.col(f"_t{k}_lon"), F.col(f"_t{k}_lat")
+                ).alias("d"),
+                F.col(f"_t{k}_id").alias("id"),
+            ),
+        )
+        for k in range(K)
+    ]
+    best_m = F.least(*cand_structs)
+    out_m = (
+        matched.select(*point_keep, pid_expr().cast(pid_type).alias(poly_id),
+                       best_m.alias("_best"))
+        .select(
+            *point_keep,
+            poly_id,
+            F.col("_best.id").cast(tid_type).alias(target_id),
+            F.col("_best.d").alias("dist_m"),
+        )
+    )
+    if assume_covered:
+        # caller guarantees every point's cell is within the mapped
+        # region (e.g. generated inside the target bbox): skip the strays
+        # branch, whose anti-join otherwise re-scans the full input —
+        # points outside the region would be DROPPED under this contract
+        return out_m
+    best_s = _nearest(F.col("_cands_all"), LON, LAT)
+    out_s = render(strays, best_s["id"], best_s["d"])
+    return out_m.unionByName(out_s)

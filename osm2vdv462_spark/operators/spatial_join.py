@@ -301,27 +301,26 @@ def touches_join(
     out_schema = StructType(
         [StructField(left_id, lid_t), StructField(right_id, rid_t)]
     )
-    pred_fn = _kernel.touches if predicate == "touches" else _kernel.geoms_intersect
-
     def _exact(batches):
-        cache: dict[bytes, object] = {}
-
-        def dec(b):
-            g = cache.get(b)
-            if g is None:
-                g = _wkb.decode(b)
-                cache[b] = g
-            return g
-
+        # factorize both WKB columns: each unique geometry decodes ONCE,
+        # pairs evaluate through the vectorized kernel (bbox reject over
+        # all pairs + batched segment crossings) — no per-row Python
         for pdf in batches:
-            keep = []
-            for i in range(len(pdf)):
-                a = dec(bytes(pdf["_lwkb"].iloc[i]))
-                b = dec(bytes(pdf["_rwkb"].iloc[i]))
-                if pred_fn(a, b):
-                    keep.append(i)
-            if keep:
-                out = pdf.iloc[keep][["_lid", "_rid"]]
+            if len(pdf) == 0:
+                continue
+            lcodes, luniq = pd.factorize(pdf["_lwkb"].map(bytes))
+            rcodes, runiq = pd.factorize(pdf["_rwkb"].map(bytes))
+            geoms = [_wkb.decode(b) for b in luniq] + [
+                _wkb.decode(b) for b in runiq
+            ]
+            mask = _kernel.predicate_pairs(
+                geoms,
+                lcodes.astype(np.int64),
+                rcodes.astype(np.int64) + len(luniq),
+                predicate,
+            )
+            out = pdf.loc[mask, ["_lid", "_rid"]]
+            if len(out):
                 out.columns = [left_id, right_id]
                 yield out
 

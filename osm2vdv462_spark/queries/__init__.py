@@ -42,10 +42,12 @@ def _load_all():
     if _loaded:
         return
     from . import (  # noqa: F401
+        extract_queries,
         geo_queries,
         media_queries,
         pipeline_queries,
         relational,
+        source_queries,
         text_queries,
     )
 

@@ -205,3 +205,88 @@ def dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "quay_id",
         F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
     )
+
+
+@register(
+    "fused_assign_jvm",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.event_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.event_id, n.n_nationkey AS relation_id, near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.event_id = p.event_id AND near.rn = 1
+    """,
+)
+def fused_assign_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused PIP + kNN on the ZERO-Python-crossing plan (operators/
+    jvm_pip.py): Catalyst cell ids, broadcast per-cell candidate arrays,
+    higher-order-function ray cast and (dist, id) minimum — the variant
+    whose throughput scales with executor cores instead of the per-JVM
+    Python channel (BENCH/BASELINE.md round-1 finding)."""
+    from ..operators.jvm_pip import pip_knn_assign_jvm
+
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = pip_knn_assign_jvm(
+        pts, polys, quays, point_keep=["event_id"],
+        poly_id="relation_id", target_id="quay_id",
+        poly_res=12, target_res=11,
+    )
+    return out.select(
+        "event_id",
+        F.col("relation_id").cast("int").alias("relation_id"),
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )
+
+
+@register(
+    "fused_assign_codegen",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.event_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.event_id, n.n_nationkey AS relation_id, near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.event_id = p.event_id AND near.rn = 1
+    """,
+)
+def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused PIP + kNN on the UNROLLED whole-stage-codegen plan
+    (operators/jvm_pip.pip_knn_assign_codegen): fixed per-cell candidate
+    slots as scalar columns, least(struct(dist, id)) minimum, unrolled
+    ray-cast parity — the N->4N scaling flagship."""
+    from ..operators.jvm_pip import pip_knn_assign_codegen
+
+    pts = datagen.geo_points(spark, sf_dir)
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = pip_knn_assign_codegen(
+        pts, polys, quays, point_keep=["event_id"],
+        poly_id="relation_id", target_id="quay_id",
+        poly_res=12, target_res=11,
+    )
+    return out.select(
+        "event_id",
+        F.col("relation_id").cast("int").alias("relation_id"),
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )

@@ -266,3 +266,39 @@ class TestKnnTieBreak:
         )
         assert len(q) == 1
         assert idx.ids[t[0]] == 3
+
+
+class TestPredicatePairs:
+    """Vectorized pair predicate vs the scalar oracles on fuzzed geometry
+    mixes (polygons/lines/points, touching/overlapping/disjoint)."""
+
+    def _mk_geoms(self, rng, n):
+        gs = []
+        for i in range(n):
+            kind = rng.integers(0, 3)
+            cx, cy = rng.uniform(0, 0.002, 2)
+            if kind == 0:
+                gs.append(wkb.decode(wkb.encode_point(cx, cy)))
+            elif kind == 1:
+                pts = np.column_stack(
+                    [cx + rng.uniform(-5e-4, 5e-4, 3), cy + rng.uniform(-5e-4, 5e-4, 3)]
+                )
+                gs.append(wkb.decode(wkb.encode_linestring(pts)))
+            else:
+                gs.append(wkb.decode(wkb.encode_polygon([square(cx, cy, rng.uniform(1e-4, 6e-4))])))
+        return gs
+
+    @pytest.mark.parametrize("predicate", ["intersects", "touches"])
+    def test_matches_scalar(self, predicate):
+        rng = np.random.default_rng(7)
+        geoms = self._mk_geoms(rng, 24)
+        # include exact-touch pairs: shared-edge squares
+        geoms.append(wkb.decode(wkb.encode_polygon([square(0.01, 0.01, 1e-4)])))
+        geoms.append(wkb.decode(wkb.encode_polygon([square(0.0102, 0.01, 1e-4)])))
+        n = len(geoms)
+        ai, bi = np.meshgrid(np.arange(n), np.arange(n))
+        ai, bi = ai.ravel().astype(np.int64), bi.ravel().astype(np.int64)
+        got = kernel.predicate_pairs(geoms, ai, bi, predicate)
+        fn = kernel.touches if predicate == "touches" else kernel.geoms_intersect
+        want = np.array([fn(geoms[a], geoms[b]) for a, b in zip(ai, bi)])
+        assert (got == want).all()
