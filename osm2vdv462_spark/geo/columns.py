@@ -149,7 +149,7 @@ def est_width_m(wkb_col):
                 continue
             best = None  # (long_side, short_side)
             for i in range(g.nrings):
-                ring = _kernel.simplify(g.ring(i), 1e-6)
+                ring = _kernel.simplify_preserve(g.ring(i), 1e-6)
                 for part in _kernel.subdivide(ring, 5):
                     rect = _kernel.oriented_envelope(part)
                     short, long_ = _kernel.envelope_sides_m(rect)

@@ -201,12 +201,9 @@ def envelope_sides_m(rect: np.ndarray) -> tuple[float, float]:
 
 
 def simplify(coords: np.ndarray, tol: float) -> np.ndarray:
-    """Douglas-Peucker on one ring/linestring (planar tolerance, degrees).
-
-    Replaces ST_SimplifyPreserveTopology(geom, 1e-6) (SP:984) for the
-    pre-subdivision cleanup; at tol=1e-6 deg topology changes are not
-    reachable for OSM-scale rings, so plain DP is semantically adequate.
-    """
+    """Plain Douglas-Peucker on one ring/linestring (planar tolerance,
+    degrees). May self-intersect concave rings at large tolerances — use
+    simplify_preserve for ST_SimplifyPreserveTopology semantics."""
     closed = bool(np.all(coords[0] == coords[-1])) and len(coords) > 3
     pts = coords[:-1] if closed else coords
     keep = np.zeros(len(pts), bool)
@@ -230,6 +227,36 @@ def simplify(coords: np.ndarray, tol: float) -> np.ndarray:
     out = pts[keep]
     if closed:
         out = np.vstack([out, out[:1]])
+    return out
+
+
+def ring_self_intersects(ring: np.ndarray) -> bool:
+    """True when any two NON-adjacent segments of a closed ring intersect
+    (adjacent segments legitimately share a vertex)."""
+    s0, s1 = ring[:-1], ring[1:]
+    n = len(s0)
+    if n < 4:
+        return False
+    hit = _segments_intersect(
+        s0[:, None, :], s1[:, None, :], s0[None, :, :], s1[None, :, :]
+    )
+    idx = np.arange(n)
+    adj = (np.abs(idx[:, None] - idx[None, :]) <= 1) | (
+        np.abs(idx[:, None] - idx[None, :]) == n - 1
+    )
+    return bool((hit & ~adj).any())
+
+
+def simplify_preserve(coords: np.ndarray, tol: float) -> np.ndarray:
+    """ST_SimplifyPreserveTopology(geom, tol) semantics (SP:984): plain
+    DP, but a simplification that would self-intersect the ring (possible
+    on concave rings when tol spans a neck) is REJECTED — the original
+    ring is returned rather than an invalid one. Conservative in the
+    same direction as GEOS: never produces a new invalid geometry."""
+    out = simplify(coords, tol)
+    closed = bool(np.all(coords[0] == coords[-1])) and len(coords) > 3
+    if closed and ring_self_intersects(out):
+        return coords
     return out
 
 

@@ -5,40 +5,75 @@ Plan shapes (all shuffle-on-short-keys, never on document text):
 * MinHash+LSH: shingle -> 64 minhashes (vectorized numpy, universal
   hashing) -> band into b buckets of r rows -> equi-join on
   (band, band_hash) -> exact Jaccard verify on candidate pairs. The
-  shuffle key is a 16-byte band hash; each document's text crosses the
+  shuffle key is an 8-byte band hash; each document's text crosses the
   wire only for final verification of candidate pairs.
-* SimHash: 64-bit signature; near-dups = Hamming distance <= k found by
-  banding the signature into k+1 chunks (pigeonhole: any pair within
-  distance k shares at least one exact chunk).
+* SimHash: 64/128-bit signature; near-dups = Hamming distance <= k via
+  multi-table block blocking (Manku et al., WWW'07): split the
+  signature into B = k + 2 blocks and key each of the C(B, 2) tables on
+  a PAIR of blocks — any pair within distance k leaves >= 2 blocks
+  untouched (pigeonhole), so recall is 1 by construction, with pair
+  keys ~2x64/B bits (vs the single-chunk scheme's 64/(k+1) bits, whose
+  buckets explode at corpus scale; VERDICT r1 #5).
+
+All content hashes are md5-derived (first N hex chars as an integer) so
+the driver's DuckDB oracles can reproduce signatures, candidates, and
+verified pairs exactly in SQL — and they are computed ONCE PER UNIQUE
+token/gram per Arrow batch (pandas factorize), not per occurrence.
 """
 
 from __future__ import annotations
 
+import hashlib
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 _MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash coefficients small enough that a*h + b never
+    overflows int64 for 28-bit gram hashes (a,b < 2^31, h < 2^28 ->
+    a*h + b < 2^60): both numpy and the SQL oracle compute the SAME
+    exact values, no wrap-around semantics involved."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, n_hashes, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, n_hashes, dtype=np.int64)
     return a, b
 
 
-def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < shingle:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-    import zlib
+def _md5_int(s: str, hexdigits: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hexdigits], 16)
 
-    return np.unique(
-        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64)
+
+def _doc_grams(texts, shingle: int) -> tuple[list[str], np.ndarray]:
+    """All word-shingle grams of a batch, flat, plus doc offsets."""
+    grams: list[str] = []
+    offsets = [0]
+    for text in texts:
+        toks = (text or "").split()
+        if len(toks) < shingle:
+            grams.append(" ".join(toks))
+        else:
+            grams.extend(
+                " ".join(toks[i : i + shingle])
+                for i in range(len(toks) - shingle + 1)
+            )
+        offsets.append(len(grams))
+    return grams, np.asarray(offsets, np.int64)
+
+
+def _hash_stream(strings: list[str], hexdigits: int) -> np.ndarray:
+    """md5-derived int hash per string; one md5 per UNIQUE string."""
+    if not strings:
+        return np.empty(0, np.int64)
+    codes, uniq = pd.factorize(np.asarray(strings, dtype=object))
+    uh = np.fromiter(
+        (_md5_int(u, hexdigits) for u in uniq), np.int64, count=len(uniq)
     )
+    return uh[codes]
 
 
 def minhash_signatures(
@@ -50,19 +85,22 @@ def minhash_signatures(
     shingle: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) — vectorized minhash over word shingles."""
+    """(id, sig array<long>) — vectorized minhash over word shingles.
+    Gram hash = int(md5(gram)[:7], 16) (28 bits, oracle-reproducible)."""
     a, b = _hash_params(n_hashes, seed)
 
     def _sig(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(text or "", shingle)
-                # universal hash: (a*x + b) mod p, min over shingles
-                vals = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).tolist())
-                ids.append(did)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            grams, offsets = _doc_grams(pdf[text_col], shingle)
+            h = _hash_stream(grams, 7)
+            # (n_grams, n_hashes) universal hashes; per-doc column mins
+            # via reduceat (duplicate grams can't change a minimum, so
+            # no per-doc unique pass is needed)
+            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            mins = np.minimum.reduceat(vals, offsets[:-1], axis=0)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": list(mins.tolist())}
+            )
 
     return docs.select(id_col, text_col).mapInPandas(
         _sig, f"{id_col} long, sig array<long>"
@@ -132,36 +170,118 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_batch(texts, bits: int) -> np.ndarray:
+    """(n_docs, bits//64) int64 signature words, vectorized: one md5 per
+    unique token, per-bit +/-1 contributions summed with reduceat."""
+    toks: list[str] = []
+    offsets = [0]
+    for text in texts:
+        ts = (text or "").split()
+        toks.extend(ts)
+        offsets.append(len(toks))
+    offsets = np.asarray(offsets, np.int64)
+    n_docs = len(offsets) - 1
+    words = bits // 64
+    out = np.zeros((n_docs, words), np.int64)
+    if not toks:
+        return out
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    digs = [hashlib.md5(u.encode()).hexdigest() for u in uniq]
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in range(words):
+        uh = np.array(
+            [int(d[w * 16 : (w + 1) * 16], 16) for d in digs], dtype=np.uint64
+        )
+        pm = (
+            ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            * 2
+            - 1
+        )  # (uniq, 64) in {-1, +1}
+        acc = np.add.reduceat(
+            np.concatenate([pm[codes], np.zeros((1, 64), np.int32)]),
+            offsets[:-1],
+            axis=0,
+        )
+        acc[np.diff(offsets) == 0] = 0  # reduceat quirk on empty docs
+        bits_set = (acc > 0).astype(np.uint64)
+        out[:, w] = (bits_set << shifts[None, :]).sum(axis=1).astype(np.uint64).view(np.int64)
+    return out
+
+
 def simhash64(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash long): sign of per-bit weighted token-hash sums."""
+    """(id, simhash long): sign of per-bit token-hash sums; token hash =
+    first 64 bits of md5 (oracle-reproducible)."""
 
     def _sh(batches):
-        import zlib
-
         for pdf in batches:
-            ids, hs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
-                acc = np.zeros(64, np.int64)
-                for tok in toks:
-                    h = np.uint64(
-                        zlib.crc32(tok.encode())
-                        | (zlib.crc32(tok.encode()[::-1]) << 32)
-                    )
-                    bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                        np.int64
-                    )
-                    acc += 2 * bits - 1
-                v = int("".join("1" if x > 0 else "0" for x in acc), 2)
-                hs.append(v - (1 << 64) if v >= 1 << 63 else v)
-                ids.append(did)
-            yield pd.DataFrame({id_col: ids, "simhash": hs})
+            sig = _simhash_batch(pdf[text_col], 64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sig[:, 0]})
 
     return docs.select(id_col, text_col).mapInPandas(
         _sh, f"{id_col} long, simhash long"
     )
+
+
+def simhash128(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh_hi, sh_lo): 128-bit signature = both md5 words. Wider
+    fingerprints keep block keys >= 16 bits at the same Hamming budget —
+    the corpus-scale variant (VERDICT r1 #5)."""
+
+    def _sh(batches):
+        for pdf in batches:
+            sig = _simhash_batch(pdf[text_col], 128)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh_hi": sig[:, 0], "sh_lo": sig[:, 1]}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _sh, f"{id_col} long, sh_hi long, sh_lo long"
+    )
+
+
+def _pair_block_candidates(
+    sigs: DataFrame, id_col: str, words: list[str], max_hamming: int
+):
+    """Manku-style blocking: B = k + 2 blocks, one table per block PAIR;
+    any signature pair within Hamming k collides in >= 1 table."""
+    total_bits = 64 * len(words)
+    n_blocks = max_hamming + 2
+    # keep blocks inside 64-bit words: round block count up per word
+    per_word = int(np.ceil(n_blocks / len(words)))
+    specs = []
+    for wi, wname in enumerate(words):
+        base, extra = divmod(64, per_word)
+        pos = 0
+        for i in range(per_word):
+            width = base + (1 if i < extra else 0)
+            specs.append((wname, pos, width))
+            pos += width
+    n_blocks = len(specs)
+
+    def block_col(spec):
+        wname, shift, width = spec
+        return F.shiftrightunsigned(F.col(wname), shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    tables = list(combinations(range(n_blocks), 2))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                block_col(specs[i]).alias("b1"),
+                block_col(specs[j]).alias("b2"),
+            )
+            for t, (i, j) in enumerate(tables)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), *words, F.explode(keys).alias("k")
+    ).select(id_col, *words, "k.tbl", "k.b1", "k.b2")
 
 
 def simhash_near_pairs(
@@ -171,31 +291,17 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via chunk banding
-    (k+1 16-bit chunks => any pair within distance k collides on one)."""
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    """64-bit pairs with Hamming <= max_hamming; recall 1 by pigeonhole
+    over C(k+2, 2) block-pair tables."""
     sh = simhash64(docs, id_col=id_col, text_col=text_col)
-    chunks = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_no", "chunk"),
-    )
+    ex = _pair_block_candidates(sh, id_col, ["simhash"], max_hamming)
     cand = (
-        chunks.alias("x")
+        ex.alias("x")
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_no") == F.col("y.chunk_no"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
+            ex.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.b1") == F.col("y.b1"))
+            & (F.col("x.b2") == F.col("y.b2"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
@@ -207,6 +313,46 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def simhash_near_pairs128(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """128-bit variant: block-pair keys are ~25 bits, so background
+    bucket collisions stay ~linear in corpus size (the 10^12-doc path)."""
+    sh = simhash128(docs, id_col=id_col, text_col=text_col)
+    ex = _pair_block_candidates(sh, id_col, ["sh_hi", "sh_lo"], max_hamming)
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.b1") == F.col("y.b1"))
+            & (F.col("x.b2") == F.col("y.b2"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.sh_hi").alias("hi_a"),
+            F.col("x.sh_lo").alias("lo_a"),
+            F.col("y.sh_hi").alias("hi_b"),
+            F.col("y.sh_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -35,11 +35,62 @@ def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_resized_phash(imgs, 8, 8).select("image_id", "thumb_phash")
 
 
-@register("minhash_dup_pairs", None)
+def _minhash_oracle() -> str:
+    """Full SQL replication of the minhash pipeline: md5-28 gram hashes,
+    the same universal-hash coefficients (embedded as literals), band
+    slices compared directly (Spark bands on xxhash64 OF the slice —
+    candidate sets agree up to 64-bit hash collisions), exact Jaccard
+    verify."""
+    from ..operators.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(64, 42)
+    A = "[" + ",".join(str(x) for x in a) + "]"
+    B = "[" + ",".join(str(x) for x in b) + "]"
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    d2 AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extraword'
+           FROM base WHERE doc_id < 20),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+    grams AS (SELECT doc_id,
+       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+            ELSE list_transform(range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' '))
+       END AS gs FROM toks),
+    gh AS (SELECT doc_id,
+       list_transform(gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hs
+       FROM grams),
+    sig AS (SELECT doc_id, list_transform(range(1, 65),
+         j -> list_min(list_transform(hs,
+                h -> (h * ({A})[j] + ({B})[j]) % {_MERSENNE}))) AS s
+       FROM gh),
+    bands AS (SELECT doc_id, b, s[4*b+1:4*b+4] AS bs
+              FROM sig, range(0, 16) t(b)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id),
+    tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM d2),
+    j AS (SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / (len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks))) AS jac
+          FROM cand c
+          JOIN tk ta ON ta.doc_id = c.id_a
+          JOIN tk tb ON tb.doc_id = c.id_b)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard
+    FROM j WHERE jac >= 0.7 ORDER BY 1, 2
+    """
+
+
+@register("minhash_dup_pairs", _minhash_oracle())
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents + injected duplicates
-    (1 appended word). Non-SQL-expressible: exactness vs brute-force
-    Jaccard in tests/test_dedup_similarity.py."""
+    (1 appended word). The oracle replicates the WHOLE pipeline in SQL
+    (signatures, banding, verification) — md5-derived hashes make both
+    engines computable; brute-force Jaccard recall is additionally
+    tested in tests/test_dedup_similarity.py."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -50,23 +101,108 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_pairs", None)
+def _simhash_oracle() -> str:
+    """Brute-force oracle: the block-pair tables guarantee recall 1
+    (pigeonhole over C(k+2,2) tables), so the exact answer IS the
+    all-pairs Hamming filter — computed from SQL-replicated 128-bit
+    signatures (per-bit +/-1 sums of md5 token hashes)."""
+    hi_bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (hhi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(64)
+    )
+    lo_bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (hlo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(64)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    d2 AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extraword'
+           FROM base WHERE doc_id < 20),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d2),
+    th AS (SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hhi,
+             ('0x' || substr(md5(w), 17, 16))::UBIGINT AS hlo
+           FROM tok),
+    sig AS (SELECT doc_id, ({hi_bits}) AS hi, ({lo_bits}) AS lo
+            FROM th GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+    ORDER BY 1, 2
+    """
+
+
+@register("simhash_near_pairs", _simhash_oracle())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 8) via chunk banding."""
+    """128-bit SimHash near-dup pairs (Hamming <= 8) via Manku block-pair
+    tables (C(10,2) tables, ~25-bit keys — the corpus-scale blocking,
+    VERDICT r1 #5). Recall is 1 by pigeonhole, so the brute-force SQL
+    oracle is exact."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
     )
-    return dedup.simhash_near_pairs(docs.unionByName(dups), max_hamming=8).orderBy(
-        "id_a", "id_b"
+    return dedup.simhash_near_pairs128(
+        docs.unionByName(dups), max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+def _plane_lit(p) -> str:
+    return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+
+def _bucket_sql(planes, v: str) -> str:
+    """SQL twin of similarity._bucket_udf: plane 0 is the highest bit.
+    Sign agreement between numpy's matmul and DuckDB's sequential dot is
+    robust (random-plane dots are O(1), float error ~1e-15)."""
+    n = len(planes)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({v}, {_plane_lit(planes[i])}) > 0"
+        f" THEN {1 << (n - 1 - i)} ELSE 0 END)"
+        for i in range(n)
     )
 
 
-@register("ann_cosine_top3", None)
+def _ann_oracle() -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((4, 64))
+    b = _bucket_sql(planes, "v")
+    probes = ", ".join(f"xor(bucket0, {1 << i})" for i in range(4))
+    dot = "list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))"
+    return f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    vb AS (SELECT vec_id, v, {b} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS q, {b} AS bucket0
+          FROM e WHERE vec_id < 10),
+    qp AS (SELECT q_id, q, unnest([bucket0, {probes}]) AS bucket FROM q),
+    cand AS (SELECT DISTINCT vb.vec_id, qp.q_id, vb.v, qp.q
+             FROM vb JOIN qp ON vb.bucket = qp.bucket
+                            AND vb.vec_id <> qp.q_id),
+    sims AS (SELECT q_id, vec_id, {dot} AS cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {dot} DESC, vec_id) AS rank
+             FROM cand)
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM sims WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+
+@register("ann_cosine_top3", _ann_oracle())
 def ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-3 cosine neighbors (the scale path;
-    exact baseline embedding_top1 has a full SQL oracle)."""
+    """Hyperplane-LSH approximate top-3 cosine neighbors (the scale
+    path). The oracle replicates buckets (plane literals), multiprobe,
+    and the exact-cosine rerank in SQL; recall vs the exact operator is
+    additionally measured in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -76,12 +212,47 @@ def ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-@register("embedding_near_dup", None)
+def _near_dup_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    planes = [rng.standard_normal((10, 64)) for _ in range(2)]
+    b0 = _bucket_sql(planes[0], "v")
+    b1 = _bucket_sql(planes[1], "v")
+    dot = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH base AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+    d2 AS (SELECT vec_id, v FROM base
+           UNION ALL
+           SELECT vec_id + 300000,
+                  list_transform(v, x -> x * 1.0001 + 0.00001)
+           FROM base WHERE vec_id < 10),
+    vb AS (SELECT vec_id, v,
+             unnest([{b0}, {b1}]) AS bucket,
+             unnest([0, 1]) AS band
+           FROM d2),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM vb x JOIN vb y
+               ON x.band = y.band AND x.bucket = y.bucket
+              AND x.vec_id < y.vec_id)
+    SELECT c.id_a, c.id_b, round({dot}, 6) AS cos_sim
+    FROM cand c JOIN d2 a ON a.vec_id = c.id_a JOIN d2 b ON b.vec_id = c.id_b
+    WHERE round({dot}, 6) >= 0.98
+    ORDER BY 1, 2
+    """
+
+
+@register("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
     candidates + exact cosine >= 0.98, over embeddings plus injected
-    noisy copies of vec_id < 10 (recall tested in
-    tests/test_dedup_similarity.py)."""
+    noisy copies of vec_id < 10. Oracle replicates banding + verify in
+    SQL (recall additionally tested in tests/test_dedup_similarity.py)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

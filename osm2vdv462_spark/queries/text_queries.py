@@ -178,21 +178,80 @@ def embedding_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_heuristic", None)
+def _lang_id_oracle() -> str:
+    """Marker-trigram scores recomputed relationally: non-overlapping
+    substring counts via the length/replace identity, argmax with
+    first-profile-wins ties, score = hits * 1000 / len (both engines
+    compute the identical IEEE doubles — no rounding needed)."""
+    from ..operators.textops import _PROFILES
+
+    score_cols = []
+    for lang, grams in _PROFILES.items():
+        hits = " + ".join(
+            f"(length(s) - length(replace(s, '{g}', ''))) // 3" for g in grams
+        )
+        score_cols.append(f"({hits}) * 1000.0 / n AS s_{lang}")
+    langs = list(_PROFILES)
+    pred = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s,
+                      greatest(length(text), 1) AS n
+               FROM documents),
+    sc AS (SELECT doc_id, {", ".join(score_cols)} FROM t),
+    mx AS (SELECT *, greatest({", ".join("s_" + l for l in langs)}) AS m
+           FROM sc)
+    SELECT doc_id,
+           CASE WHEN m <= 0 THEN 'und' {pred} END AS lang_pred,
+           CASE WHEN m > 0 THEN m ELSE 0.0 END AS lang_score
+    FROM mx ORDER BY doc_id
+    """
+
+
+@register("lang_id_heuristic", _lang_id_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram language-ID heuristic over documents (rows-only check;
-    accuracy on real sentences tested in tests/test_textops.py)."""
+    """n-gram language-ID heuristic over documents; the oracle recomputes
+    the trigram hit rates relationally (accuracy on real sentences is
+    additionally tested in tests/test_textops.py)."""
     from ..operators.textops import lang_id_ngram
 
     d = _t(spark, sf_dir, "documents")
     return lang_id_ngram(d).orderBy("doc_id")
 
 
-@register("doc_fingerprint_pairs", None)
+_FP_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents),
+d2 AS (SELECT doc_id, lower(text) AS s FROM base
+       UNION ALL
+       SELECT doc_id + 200000, lower('prefix text ' || text)
+       FROM base WHERE doc_id < 10),
+kg AS (SELECT doc_id,
+         unnest(range(1, greatest(length(s) - 24 + 2, 1))) AS i, s
+       FROM d2),
+kh AS (SELECT doc_id, i,
+         ('0x' || substr(md5(substr(s, CAST(i AS INT), 24)), 1, 15))::BIGINT
+           AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_h
+       FROM kg),
+wins AS (SELECT doc_id, i, n_h,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+         FROM kh),
+fp AS (SELECT DISTINCT doc_id, mh FROM wins WHERE i <= n_h - 7
+       UNION
+       SELECT doc_id, min(h) AS mh FROM kh GROUP BY doc_id HAVING count(*) < 8)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 12
+ORDER BY 1, 2
+"""
+
+
+@register("doc_fingerprint_pairs", _FP_ORACLE)
 def doc_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint overlap pairs (rolling-hash document
-    fingerprinting; shared-substring guarantee tested in
-    tests/test_textops.py)."""
+    fingerprinting); the oracle replicates k-gram hashing (md5-60),
+    window minima, per-doc dedup, and the shared-print count in SQL.
+    The shared-substring guarantee is tested in tests/test_textops.py."""
     from ..operators.textops import fingerprint_match_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

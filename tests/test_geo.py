@@ -302,3 +302,47 @@ class TestPredicatePairs:
         fn = kernel.touches if predicate == "touches" else kernel.geoms_intersect
         want = np.array([fn(geoms[a], geoms[b]) for a, b in zip(ai, bi)])
         assert (got == want).all()
+
+
+class TestSimplifyPreserve:
+    """ST_SimplifyPreserveTopology parity (ref stop_places.sql:984):
+    simplification must never create a self-intersecting ring."""
+
+    def _star(self, rng, n_arms, r_out, r_in):
+        angles = np.linspace(0, 2 * np.pi, 2 * n_arms, endpoint=False)
+        radii = np.where(np.arange(2 * n_arms) % 2 == 0, r_out, r_in)
+        radii = radii * rng.uniform(0.8, 1.2, len(radii))
+        pts = np.column_stack([radii * np.cos(angles), radii * np.sin(angles)])
+        return np.vstack([pts, pts[:1]])
+
+    def test_fuzzed_stars_never_self_intersect(self):
+        rng = np.random.default_rng(5)
+        for trial in range(60):
+            ring = self._star(rng, int(rng.integers(4, 10)),
+                              rng.uniform(5e-4, 2e-3), rng.uniform(5e-5, 3e-4))
+            # tolerances up to the outer radius: plain DP WILL cut necks
+            tol = rng.uniform(1e-6, 1e-3)
+            out = kernel.simplify_preserve(ring, tol)
+            assert not kernel.ring_self_intersects(out), (trial, tol)
+            # closed in == closed out
+            assert (out[0] == out[-1]).all()
+
+    def test_guard_bites_on_neck_collapse(self):
+        # bottom edge dips to -2s at x=5s; a finger from the top reaches
+        # into the dip (tip at -1s). Plain DP at tol >= 2s straightens
+        # the bottom, cutting the finger — the classic topology break.
+        s = 1e-4
+        ring = np.array([
+            [0, 0], [5, -2], [10, 0], [10, 5], [6, 5], [5, -1], [4, 5],
+            [0, 5], [0, 0],
+        ], dtype=np.float64) * s
+        tol = 2.01 * s
+        assert kernel.ring_self_intersects(kernel.simplify(ring, tol))
+        out = kernel.simplify_preserve(ring, tol)
+        assert not kernel.ring_self_intersects(out)
+        assert np.allclose(out, ring)  # conservative: original returned
+
+    def test_rectangle_unchanged(self):
+        rect = square(0.01, 0.01, 1e-4)
+        out = kernel.simplify_preserve(rect, 1e-6)
+        assert np.allclose(out, rect)
