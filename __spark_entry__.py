@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     the nearest-quay kNN match (the BASELINE.json north-star pair)."""
     from pyspark.sql import functions as F
 
-    from osm2vdv462_spark.operators.fused import pip_knn_assign
+    from osm2vdv462_spark.operators.jvm_pip import pip_knn_assign_codegen
     from osm2vdv462_spark.pipeline import datagen
 
     _ensure_shipped(spark)
@@ -45,9 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
     polys = datagen.stop_area_octagons(spark, sf_dir)
     quays = datagen.quay_sites(spark, sf_dir)
 
-    # fused single-pass PIP + kNN (operators/fused.py): the point table is
-    # scanned exactly once, map-side only — the 10^12-row plan shape
-    out = pip_knn_assign(
+    # fused single-pass PIP + kNN on the whole-stage-codegen plan
+    # (operators/jvm_pip.py): the point table is scanned exactly once,
+    # map-side only, zero Python crossings — the 10^12-row plan shape
+    # (the Arrow/numpy variant lives in operators/fused.py and is gated
+    # by the same oracles via fused_assign_jvm/_codegen)
+    out = pip_knn_assign_codegen(
         pts,
         polys,
         quays,
@@ -55,8 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
         poly_id="relation_id",
         target_id="quay_id",
         poly_res=12,
-        target_res=8,
-        max_rings=3,
+        target_res=11,
     )
     return (
         out.filter(F.col("relation_id").isNotNull())

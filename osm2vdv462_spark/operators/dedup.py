@@ -90,14 +90,23 @@ def minhash_signatures(
     a, b = _hash_params(n_hashes, seed)
 
     def _sig(batches):
+        tmp = np.empty(0, np.int64)
         for pdf in batches:
             grams, offsets = _doc_grams(pdf[text_col], shingle)
             h = _hash_stream(grams, 7)
-            # (n_grams, n_hashes) universal hashes; per-doc column mins
-            # via reduceat (duplicate grams can't change a minimum, so
-            # no per-doc unique pass is needed)
-            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-            mins = np.minimum.reduceat(vals, offsets[:-1], axis=0)
+            # one reused 1-D buffer per hash function instead of a fresh
+            # (n_grams, 64) matrix: duplicate grams can't change a min
+            # (no per-doc unique needed), and fresh page-faulted arrays
+            # are 10-25 ms/MB on this sandbox kernel
+            if len(tmp) < len(h):
+                tmp = np.empty(len(h), np.int64)
+            t = tmp[: len(h)]
+            mins = np.empty((len(offsets) - 1, n_hashes), np.int64)
+            for j in range(n_hashes):
+                np.multiply(h, a[j], out=t)
+                t += b[j]
+                np.mod(t, _MERSENNE, out=t)
+                mins[:, j] = np.minimum.reduceat(t, offsets[:-1])
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "sig": list(mins.tolist())}
             )

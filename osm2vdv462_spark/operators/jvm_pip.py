@@ -95,32 +95,62 @@ def _target_cell_rows(
     d = _cells._deg_per_cell(res)
     cx0 = ix.astype(np.float64) * 360.0 / ncols - 180.0
     cy0 = iy.astype(np.float64) * 180.0 / nrows - 90.0
-    R = _kernel.EARTH_R
     rows: list[tuple] = []
     order = np.argsort(ids, kind="stable")
-    CH = max(1, 32_000_000 // max(len(ids), 1))
+    ids_o = ids[order]
+    lon_o, lat_o = tlon[order], tlat[order]
+    T_lon, T_lat = tlon[None, :], tlat[None, :]
+    abs_tlat = np.abs(tlat)[None, :]
+    # preallocated, REUSED chunk buffers with out= everywhere: on this
+    # sandbox kernel first-touch page faults cost ~10-25 ms/MB, so fresh
+    # (cells x targets) temporaries dominated the whole map build
+    CH = min(4096, max(1, len(cell_ids)))
+    nt = len(ids)
+    fx = np.empty((CH, nt))
+    fy = np.empty((CH, nt))
+    t1 = np.empty((CH, nt))
+    t2 = np.empty((CH, nt))
     for s in range(0, len(cell_ids), CH):
-        x0 = cx0[s : s + CH][:, None]
-        y0 = cy0[s : s + CH][:, None]
-        T_lon, T_lat = tlon[None, :], tlat[None, :]
-        # per-(cell, target) degree gaps to the cell rectangle
-        gx = np.maximum(0.0, np.maximum(x0 - T_lon, T_lon - (x0 + d)))
-        gy = np.maximum(0.0, np.maximum(y0 - T_lat, T_lat - (y0 + d)))
-        # farthest-corner degree distance (upper bound: cos <= 1)
-        fx = np.maximum(np.abs(T_lon - x0), np.abs(T_lon - (x0 + d)))
-        fy = np.maximum(np.abs(T_lat - y0), np.abs(T_lat - (y0 + d)))
-        dub = R * np.radians(np.hypot(fx, fy))
-        # lower bound: lat gap exact; lon gap scaled by cos(max |lat|)
-        lat_hi = np.maximum(np.abs(T_lat), np.maximum(np.abs(y0), np.abs(y0 + d)))
-        dlb = R * np.radians(
-            np.maximum(gy, gx * np.cos(np.radians(np.minimum(lat_hi, 89.0))))
-        )
-        keep = dlb <= dub.min(axis=1, keepdims=True)
-        for k in range(keep.shape[0]):
-            sel = order[keep[k][order]]
+        m = min(CH, len(cell_ids) - s)
+        x0 = cx0[s : s + m][:, None]
+        y0 = cy0[s : s + m][:, None]
+        a, b, u, v = fx[:m], fy[:m], t1[:m], t2[:m]
+        # farthest-edge degree distances; gaps follow as f - d clipped
+        # (R*radians is linear: every bound compares in degree^2 space)
+        np.subtract(T_lon, x0, out=a)
+        np.subtract(x0 + d, T_lon, out=u)
+        np.maximum(a, u, out=a)
+        np.subtract(T_lat, y0, out=b)
+        np.subtract(y0 + d, T_lat, out=u)
+        np.maximum(b, u, out=b)
+        np.multiply(a, a, out=u)
+        np.multiply(b, b, out=v)
+        u += v
+        d2ub = u.min(axis=1, keepdims=True)
+        # gaps
+        np.subtract(a, d, out=a)
+        np.maximum(a, 0.0, out=a)
+        np.subtract(b, d, out=b)
+        np.maximum(b, 0.0, out=b)
+        # lower bound: lat gap exact; lon gap scaled by cos of an upper
+        # bound on |lat| over cell+target (|y0|+d dominates the cell's
+        # lats; targets past the gap only shrink cos further)
+        np.maximum(abs_tlat, np.abs(y0) + d, out=u)
+        np.minimum(u, 89.0, out=u)
+        np.radians(u, out=u)
+        np.cos(u, out=u)
+        a *= u
+        np.maximum(a, b, out=a)
+        np.multiply(a, a, out=a)
+        keep_sorted = a[:, order] <= d2ub
+        ck, ti = np.nonzero(keep_sorted)
+        starts = np.searchsorted(ck, np.arange(m + 1))
+        for k in range(m):
+            sel = ti[starts[k] : starts[k + 1]]
             rows.append(
                 (int(cell_ids[s + k]),
-                 [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in sel])
+                 [(int(ids_o[i]), float(lon_o[i]), float(lat_o[i]))
+                  for i in sel])
             )
     all_t = [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in order]
     return rows, all_t
@@ -183,10 +213,17 @@ def pip_knn_assign_jvm(
     point_keep..., <poly_id> (NULL if in no polygon; min id on overlap
     ties), <target_id>, dist_m."""
     spark = points_df.sparkSession
-    prows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    from ._guard import collect_dim
+
+    prows = [
+        (r[0], r[1])
+        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
+    ]
     trows = [
         (r[0], r[1], r[2])
-        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+        for r in collect_dim(
+            targets_df.select(target_id, target_lon, target_lat), "targets"
+        )
     ]
     pm = spark.createDataFrame(
         _poly_cell_rows(prows, poly_res),
@@ -292,10 +329,17 @@ def pip_knn_assign_codegen(
     (max_slots, max_segs) should use pip_knn_assign_jvm / the Python
     kernels instead; this function raises so the caller chooses."""
     spark = points_df.sparkSession
-    prows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    from ._guard import collect_dim
+
+    prows = [
+        (r[0], r[1])
+        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
+    ]
     trows = [
         (r[0], r[1], r[2])
-        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+        for r in collect_dim(
+            targets_df.select(target_id, target_lon, target_lat), "targets"
+        )
     ]
 
     pcell = _poly_cell_rows(prows, poly_res)

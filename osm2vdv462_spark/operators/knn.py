@@ -260,9 +260,13 @@ def dwithin_join_broadcast(
     Output: point_keep..., <target_id>, dist_m.
     """
     spark = points_df.sparkSession
+    from ._guard import collect_dim
+
     rows = [
         (r[0], r[1], r[2])
-        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+        for r in collect_dim(
+            targets_df.select(target_id, target_lon, target_lat), "targets"
+        )
     ]
     if res is None:
         # cell ≥ D so ring radius stays ≤ 2 at any latitude we cover
@@ -341,9 +345,13 @@ def knn_join_broadcast(
     Map-side only — no shuffle of the point table.
     """
     spark = points_df.sparkSession
+    from ._guard import collect_dim
+
     rows = [
         (r[0], r[1], r[2])
-        for r in targets_df.select(target_id, target_lon, target_lat).collect()
+        for r in collect_dim(
+            targets_df.select(target_id, target_lon, target_lat), "targets"
+        )
     ]
     if res is None:
         # density heuristic: ~>=2 targets expected per ring-1 disk

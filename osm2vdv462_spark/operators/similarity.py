@@ -175,3 +175,123 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(q_id, vec_id, F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def kmeans_centroids(
+    mat: np.ndarray, n_cells: int, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd k-means (numpy, seeded init) -> L2-normalized
+    centroids. Runs driver-side on a bounded sample — the coarse
+    quantizer of an IVF index is dimension-table-sized by design."""
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)
+    cents = mat[np.sort(init)].copy()
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            sel = mat[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        cents = cents / np.where(norms == 0, 1.0, norms)
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_col: str = "q_emb",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_limit: int = 100_000,
+    seed: int = 5,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (driver-side on a
+    bounded sample), JVM-side cell assignment (argmax of dot products
+    against centroid literals — codegen-friendly, no Python workers),
+    queries probe their n_probe nearest cells, exact cosine rerank on
+    the probed inverted lists. Same output schema as cosine_topk_exact.
+
+    The scale shape: the fact table shuffles on an int cell id (or not
+    at all — assignment is a map); centroids are O(n_cells x dim).
+    Pass ``centroids`` to pin a pre-trained quantizer (e.g. for
+    cross-engine reproducibility); default trains k-means on a sample.
+    """
+    if centroids is not None:
+        cents = np.asarray(centroids, np.float64)
+    else:
+        sample = np.array(
+            [
+                r[0]
+                for r in vectors.select(
+                    F.col(vec_col).cast("array<double>")
+                ).limit(sample_limit).collect()
+            ],
+            dtype=np.float64,
+        )
+        cents = kmeans_centroids(sample, n_cells, seed=seed)
+
+    def _cell_expr(vcol: str) -> F.Column:
+        # argmax over centroid dot products, smallest cell id on ties:
+        # array_min over struct(-dot, cell)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-_dot(
+                            F.col(vcol),
+                            F.array(*[F.lit(float(x)) for x in cents[c]]),
+                        )).alias("negdot"),
+                        F.lit(c).alias("cell"),
+                    )
+                    for c in range(len(cents))
+                ]
+            )
+        )["cell"]
+
+    def _probe_cells(vcol: str) -> F.Column:
+        # n_probe best cells: sort struct(-dot, cell), take cell of first n
+        arr = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-_dot(
+                            F.col(vcol),
+                            F.array(*[F.lit(float(x)) for x in cents[c]]),
+                        )).alias("negdot"),
+                        F.lit(c).alias("cell"),
+                    )
+                    for c in range(len(cents))
+                ]
+            )
+        )
+        return F.transform(F.slice(arr, 1, n_probe), lambda s: s["cell"])
+
+    v = vectors.select(
+        vec_id, F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", _cell_expr("v"))
+    q = queries.select(
+        q_id, F.col(q_col).cast("array<double>").alias("q")
+    ).withColumn("cell", F.explode(_probe_cells("q")))
+    cand = v.join(q, "cell").filter(F.col(vec_id) != F.col(q_id))
+    sim = _dot(F.col("v"), F.col("q")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(vec_id))
+    return (
+        cand.withColumn("cos_sim", sim)
+        .dropDuplicates([q_id, vec_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, vec_id, F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -145,7 +145,12 @@ def pip_join_broadcast(
     spark = points_df.sparkSession
     if res is None:
         res = choose_poly_resolution(polys_df, poly_wkb)
-    rows = [(r[0], r[1]) for r in polys_df.select(poly_id, poly_wkb).collect()]
+    from ._guard import collect_dim
+
+    rows = [
+        (r[0], r[1])
+        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
+    ]
     index = build_poly_index(rows, res)
     bc = spark.sparkContext.broadcast(index)
 
@@ -214,10 +219,13 @@ def pip_join_shuffle(
     side replicates each cover-cell row ``salt`` times); exact PIP on the
     joined candidates via mapInPandas grouped by polygon bytes.
     """
-    from ..geo.columns import cell_of
+    # JVM cell arithmetic (bit-identical to cells.cell_of_points): no
+    # Python crossing on the point side, and no pandas-UDF double
+    # evaluation under the join's null filter (round-1 wart)
+    from .jvm_pip import cell_expr
 
     pts = points_df.select(*point_keep, lon, lat).withColumn(
-        "_cell", cell_of(F.col(lon), F.col(lat), res)
+        "_cell", cell_expr(F.col(lon), F.col(lat), res)
     )
     pl = polys_df.select(
         F.col(poly_id).alias("_pid"),

@@ -265,3 +265,75 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(
         emb.unionByName(noisy), threshold=0.98
     ).orderBy("id_a", "id_b")
+
+
+def _ivf_centroids():
+    """Fixed seeded quantizer for the gate query: sf-independent (the
+    embeddings tables differ per sf, so k-means-trained centroids could
+    not be embedded in ONE oracle string). The k-means training path is
+    covered by tests/test_dedup_similarity.py recall tests."""
+    import numpy as np
+
+    c = np.random.default_rng(5).standard_normal((16, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    cl = [_plane_lit(c) for c in cents]
+    # assignment: argmin of struct(-dot, cell) == argmax dot, min cell on
+    # ties — replicate via list_min over structs
+    def cell_expr(v):
+        items = ", ".join(
+            f"{{'negdot': -list_dot_product({v}, {cl[c]}), 'cell': {c}}}"
+            for c in range(len(cents))
+        )
+        return f"list_min([{items}])['cell']"
+
+    def probe_expr(v, n_probe=4):
+        items = ", ".join(
+            f"{{'negdot': -list_dot_product({v}, {cl[c]}), 'cell': {c}}}"
+            for c in range(len(cents))
+        )
+        return (
+            f"list_transform(list_sort([{items}])[1:{n_probe}],"
+            " s -> s['cell'])"
+        )
+
+    dot = (
+        "list_dot_product(v, q) / (sqrt(list_dot_product(v, v))"
+        " * sqrt(list_dot_product(q, q)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    vb AS (SELECT vec_id, v, {cell_expr('v')} AS cell FROM e),
+    q AS (SELECT vec_id AS q_id, v AS q,
+                 unnest({probe_expr('v')}) AS cell
+          FROM e WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT vb.vec_id, q.q_id, vb.v, q.q
+             FROM vb JOIN q ON vb.cell = q.cell AND vb.vec_id <> q.q_id),
+    sims AS (SELECT q_id, vec_id, {dot} AS cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {dot} DESC, vec_id) AS rank
+             FROM cand)
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM sims WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+
+@register("ivf_cosine_top3", _ivf_oracle())
+def ivf_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 cosine neighbors (coarse quantizer cells +
+    n_probe inverted lists + exact rerank — the second ANN family from
+    the task brief alongside hyperplane LSH). Oracle replicates cell
+    assignment, probing, and rerank with centroid literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=3, n_cells=16, n_probe=4,
+        centroids=_ivf_centroids(),
+    ).orderBy("q_id", "rank")

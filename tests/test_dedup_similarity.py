@@ -220,3 +220,34 @@ class TestSimhashBlockingScale:
         # and stay near-LINEAR in n, not quadratic
         assert new_bg < old_bg / 1000, (old_bg, new_bg)
         assert new_bg < 2 * n, new_bg
+
+
+class TestIVF:
+    def test_kmeans_ivf_recall_vs_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = similarity.cosine_topk_exact(emb, queries, k=3)
+        got_e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        # trained-quantizer path (no pinned centroids)
+        ivf = similarity.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4)
+        got_i = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+        recall = len(got_e & got_i) / len(got_e)
+        assert recall >= 0.5, recall  # probing half the cells
+
+    def test_kmeans_centroids_deterministic_and_normalized(self):
+        import numpy as np
+
+        from osm2vdv462_spark.operators.similarity import kmeans_centroids
+
+        rng = np.random.default_rng(1)
+        m = rng.standard_normal((500, 16))
+        c1 = kmeans_centroids(m, 8)
+        c2 = kmeans_centroids(m, 8)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
