@@ -306,3 +306,20 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "user_sessions",
+    __import__(
+        "osm2vdv462_spark.streaming.sessions", fromlist=["sessionize_oracle_sql"]
+    ).sessionize_oracle_sql(360),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (6h inactivity gap) — the exact
+    batch semantics of the stateful streaming sessionizer
+    (streaming/sessions.py, applyInPandasWithState); stream==batch
+    convergence is tested in tests/test_streaming.py."""
+    from ..streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e, 360).orderBy("user_id", "session_start")

@@ -53,3 +53,61 @@ class TestStreaming:
             tuple(r) for r in spark.read.parquet(out).collect()
         )
         assert first == second
+
+
+class TestSessionize:
+    """Stateful sessionizer (applyInPandasWithState) vs batch
+    gaps-and-islands: every emitted session must be byte-equal to a batch
+    session, and sessions provably closed by the watermark must emit."""
+
+    def _split_src(self, spark, sf_dir, tmp_path):
+        # two chronological file groups -> two microbatches, so the
+        # watermark advances between them and event-time timeouts fire
+        from pyspark.sql import functions as F
+
+        d = tmp_path / "sess_src"
+        d.mkdir()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        split = ev.selectExpr("percentile_approx(ts, 0.7) AS s").collect()[0]["s"]
+        ev.filter(F.col("ts") <= F.lit(split)).coalesce(1).write.parquet(
+            str(d / "a")
+        )
+        ev.filter(F.col("ts") > F.lit(split)).coalesce(1).write.parquet(
+            str(d / "b")
+        )
+        return str(d) + "/*"
+
+    def test_stream_sessions_match_batch(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.streaming import sessions as ss
+
+        src = self._split_src(spark, sf_dir, tmp_path)
+        out = str(tmp_path / "sess_out")
+        ckpt = str(tmp_path / "sess_ckpt")
+        ss.run_sessionize_available_now(
+            spark, src, SCHEMA, out, ckpt, gap_minutes=360, watermark="1 hour"
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in ss.sessionize_batch(ev, 360).collect()
+        }
+        # exactness: everything the stream emitted is a true session
+        assert got <= batch, got - batch
+        # completeness up to the watermark: sessions that closed before
+        # the first microbatch's watermark must have been emitted
+        split = ev.selectExpr("percentile_approx(ts, 0.7) AS s").collect()[0]["s"]
+        import datetime
+
+        wm1 = split - datetime.timedelta(hours=1)
+        must_emit = {
+            s for s in batch
+            if s[2] + datetime.timedelta(minutes=360) < wm1
+        }
+        assert must_emit <= got, len(must_emit - got)
+        assert len(got) > 0
