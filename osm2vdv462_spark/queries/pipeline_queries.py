@@ -299,3 +299,58 @@ def access_spaces_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return access.select("relation_id", "node_id", "level", "IFOPT").orderBy(
         "relation_id", "node_id", "level"
     )
+
+
+_EXPORT_STATS_SQL = (
+    "WITH "
+    + _ROUTES
+    + """,
+per_rel AS (
+  SELECT rel,
+         sum(CASE WHEN v = 2 THEN 1 ELSE 3 END) AS n_links,
+         2 * sum(CASE WHEN v <> 2 THEN 1 ELSE 0 END) AS n_access
+  FROM routes GROUP BY rel
+),
+counts AS (
+  SELECT p.rel AS relation_id, 'QUAY' AS category,
+         CAST(2 + 2 * CAST(i % 2 = 0 AS INT) + CAST(i % 3 = 0 AS INT)
+              AS BIGINT) AS n
+  FROM p
+  UNION ALL
+  SELECT p.rel, 'ENTRANCE', CAST(1 + i % 2 AS BIGINT) FROM p
+  UNION ALL
+  SELECT rel, 'ACCESS_SPACE', CAST(n_access AS BIGINT) FROM per_rel
+  UNION ALL
+  SELECT rel, 'SITE_PATH_LINK', CAST(n_links AS BIGINT) FROM per_rel
+)
+SELECT relation_id, category, n FROM counts
+ORDER BY relation_id, category
+"""
+)
+
+
+@register("export_data_stats", _EXPORT_STATS_SQL)
+def export_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural gate on the export assembly (ref stop_places.sql:
+    1290-1320 export_data): element counts per (stop place, category)
+    after the full 4-way union + area join, checked against the world's
+    closed forms. The XML rendering itself stays pytest-checked
+    (netex_stop_places_xml rows-only)."""
+    from ..pipeline import export as ex_mod
+
+    st = _stages(spark, sf_dir)
+    w = st["world"]
+    facc = sp.final_access_spaces(st["access"], w["pois"])
+    fspl = routing.final_site_path_links(st["links"], st["refs"], w["highways"])
+    spo = ex_mod.stop_places_with_organisations(w["stop_areas"], w["organisations"])
+    spg = ex_mod.stop_places_with_geometry(
+        spo, w["stop_areas_members_ref"], w["platforms"]
+    )
+    fsp = ex_mod.final_stop_places(spg, st["fq"], st["fe"], facc)
+    ed = ex_mod.export_data(fsp, st["fq"], st["fe"], facc, fspl)
+    return (
+        ed.filter(F.col("category") != "STOP_PLACE")
+        .groupBy("relation_id", "category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("relation_id", "category")
+    )
