@@ -68,9 +68,9 @@ def _poly_cell_rows(prows: list[tuple], res: int) -> list[tuple]:
     return [(c, v) for c, v in sorted(per_cell.items())]
 
 
-def _target_cell_rows(
+def _target_cell_arrays(
     trows: list[tuple], res: int, pad_cells: int = 4
-) -> tuple[list[tuple], list]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
     """Per-cell exact-nearest candidate lists for the cells within
     ``pad_cells`` of any target (the region where points actually live;
     stragglers outside take the exact full-list fallback). Inclusion
@@ -79,7 +79,12 @@ def _target_cell_rows(
     targets (so the true nearest — including exact ties — is provably in
     the list). List size tracks LOCAL target density at the chosen
     resolution: candidates live within ~one cell diagonal of the nearest
-    target, so pick ``res`` such that a cell holds O(1..10) targets."""
+    target, so pick ``res`` such that a cell holds O(1..10) targets.
+
+    Returns (cell_ids[n], ids[n,K] with -1 padding, lon[n,K], lat[n,K]
+    NaN-padded, all_targets) — numpy end to end so the caller can hand
+    the broadcast map to Spark as one Arrow table (the per-cell Python
+    tuple build used to dominate the whole operator's wall time)."""
     ids = np.array([t[0] for t in trows], np.int64)
     tlon = np.array([t[1] for t in trows], np.float64)
     tlat = np.array([t[2] for t in trows], np.float64)
@@ -144,16 +149,45 @@ def _target_cell_rows(
         np.multiply(a, a, out=a)
         keep_sorted = a[:, order] <= d2ub
         ck, ti = np.nonzero(keep_sorted)
-        starts = np.searchsorted(ck, np.arange(m + 1))
-        for k in range(m):
-            sel = ti[starts[k] : starts[k + 1]]
-            rows.append(
-                (int(cell_ids[s + k]),
-                 [(int(ids_o[i]), float(lon_o[i]), float(lat_o[i]))
-                  for i in sel])
-            )
+        rows.append((ck + s, ti))
+    if rows:
+        ck = np.concatenate([r[0] for r in rows])
+        ti = np.concatenate([r[1] for r in rows])
+    else:
+        ck = ti = np.empty(0, np.int64)
+    # np.nonzero is row-major: within each cell ti ascends over the
+    # id-sorted targets, so slot order is id-ascending (as documented)
+    counts = np.bincount(ck, minlength=len(cell_ids))
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    K = int(counts.max()) if len(counts) else 0
+    pos = np.arange(len(ck)) - starts[ck]
+    ids_mat = np.full((len(cell_ids), K), -1, np.int64)
+    lon_mat = np.full((len(cell_ids), K), np.nan)
+    lat_mat = np.full((len(cell_ids), K), np.nan)
+    ids_mat[ck, pos] = ids_o[ti]
+    lon_mat[ck, pos] = lon_o[ti]
+    lat_mat[ck, pos] = lat_o[ti]
     all_t = [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in order]
-    return rows, all_t
+    return cell_ids, ids_mat, lon_mat, lat_mat, all_t
+
+
+def _target_cell_rows(
+    trows: list[tuple], res: int, pad_cells: int = 4
+) -> tuple[list[tuple], list]:
+    """Tuple-row view of _target_cell_arrays (the array-of-struct map
+    used by pip_knn_assign_jvm)."""
+    cell_ids, ids_mat, lon_mat, lat_mat, all_t = _target_cell_arrays(
+        trows, res, pad_cells
+    )
+    out: list[tuple] = []
+    for i in range(len(cell_ids)):
+        k = ids_mat[i] >= 0
+        out.append(
+            (int(cell_ids[i]),
+             [(int(a), float(b), float(c))
+              for a, b, c in zip(ids_mat[i][k], lon_mat[i][k], lat_mat[i][k])])
+        )
+    return out, all_t
 
 
 def _inside(segs: Column, lon: Column, lat: Column) -> Column:
@@ -207,7 +241,7 @@ def pip_knn_assign_jvm(
     target_lat: str = "lat",
     poly_res: int = 12,
     target_res: int = 11,
-    target_pad_cells: int = 8,
+    target_pad_cells: int = 4,
 ) -> DataFrame:
     """Fused assignment, JVM-only plan. Output columns:
     point_keep..., <poly_id> (NULL if in no polygon; min id on overlap
@@ -304,7 +338,7 @@ def pip_knn_assign_codegen(
     target_lat: str = "lat",
     poly_res: int = 12,
     target_res: int = 11,
-    target_pad_cells: int = 8,
+    target_pad_cells: int = 4,
     max_slots: int = 24,
     max_segs: int = 16,
     assume_covered: bool = False,
@@ -345,8 +379,10 @@ def pip_knn_assign_codegen(
     pcell = _poly_cell_rows(prows, poly_res)
     P = max((len(v) for _, v in pcell), default=1)
     S = max((len(segs) for _, v in pcell for _, segs in v), default=1)
-    tcell, all_t = _target_cell_rows(trows, target_res, target_pad_cells)
-    K = max(2, max((len(v) for _, v in tcell), default=2))
+    tc_ids, tc_id_mat, tc_lon_mat, tc_lat_mat, all_t = _target_cell_arrays(
+        trows, target_res, target_pad_cells
+    )
+    K = max(2, tc_id_mat.shape[1])
     if P > max_slots or S > max_segs or K > 4 * max_slots:
         raise ValueError(
             f"candidate bounds exceeded (P={P}, S={S}, K={K}) — subdivide "
@@ -376,20 +412,24 @@ def pip_knn_assign_codegen(
             )
     pm = spark.createDataFrame(prow_flat, ", ".join(pcols))
 
-    # target map: one row per cell; K (id, lon, lat) slots
-    def _trow(c, v):
-        row = [c]
-        for k in range(K):
-            row.extend(v[k] if k < len(v) else (None, None, None))
-        return tuple(row)
+    # target map: one row per cell; K (id, lon, lat) slots. Built as ONE
+    # Arrow table straight from the numpy matrices — no per-row Python
+    # tuples (that conversion used to cost more than the query itself)
+    import pyarrow as pa
 
-    trow_flat = [_trow(c, v) for c, v in tcell]
-    tcols = ["_tc bigint"] + [
-        f"_t{k}_{c} {ty}"
-        for k in range(K)
-        for c, ty in (("id", "bigint"), ("lon", "double"), ("lat", "double"))
-    ]
-    tm = spark.createDataFrame(trow_flat, ", ".join(tcols))
+    n_cells = len(tc_ids)
+    tdata: dict = {"_tc": pa.array(tc_ids.astype(np.int64), type=pa.int64())}
+    for k in range(K):
+        if k < tc_id_mat.shape[1]:
+            col = tc_id_mat[:, k]
+            tdata[f"_t{k}_id"] = pa.array(col, mask=col < 0, type=pa.int64())
+            tdata[f"_t{k}_lon"] = pa.array(tc_lon_mat[:, k], type=pa.float64())
+            tdata[f"_t{k}_lat"] = pa.array(tc_lat_mat[:, k], type=pa.float64())
+        else:  # K floor of 2 (least() needs two operands): all-null slot
+            tdata[f"_t{k}_id"] = pa.nulls(n_cells, pa.int64())
+            tdata[f"_t{k}_lon"] = pa.nulls(n_cells, pa.float64())
+            tdata[f"_t{k}_lat"] = pa.nulls(n_cells, pa.float64())
+    tm = spark.createDataFrame(pa.table(tdata))
     # the rare out-of-region stragglers take the ARRAY full list + HOF
     # minimum (exact; interpreted is fine on a ~0-row branch — unrolling
     # it would force K = n_targets columns on every row)
