@@ -27,6 +27,43 @@ def image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("image_id", "pixel_ok", "caption_ok", "phash_ok")
 
 
+_AUDIO_ORACLE = """
+WITH k AS (SELECT range AS k FROM range(1600)),
+s AS (
+  SELECT d.doc_id, k.k,
+         ((d.doc_id * 7919 + k.k * 104729 + 12345) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN k
+),
+x AS (
+  SELECT doc_id, k, v, CAST(k // 400 AS INT) AS frame_idx,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM s
+)
+SELECT doc_id, frame_idx,
+       round(sqrt(sum(v * v) / 400.0), 3) AS rms,
+       CAST(sum(CASE WHEN k % 400 <> 0 AND (v < 0) <> (pv < 0)
+                     THEN 1 ELSE 0 END) AS INT) AS zcr,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM x
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("audio_frame_features", _AUDIO_ORACLE)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: synthesize PCM-s16le binary clips from
+    `documents` (pipeline/audio.py), decode the binary in a second
+    Arrow-batched pass, extract framed RMS / zero-crossings / peak. The
+    waveform is integer-LCG so the DuckDB oracle recomputes every sample
+    bit-exactly (a float waveform would tie the gate to libm ULPs)."""
+    from ..pipeline import audio as au
+
+    return au.with_frame_features(au.audio_df(spark, sf_dir)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @register("image_thumb_phash", None)
 def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> box-resize -> thumbnail phash (multimodal feature
