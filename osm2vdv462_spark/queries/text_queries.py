@@ -309,6 +309,36 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_docs",
+    """
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py): incremental
+    content-hash dedup with a deterministic canonical representative
+    (min doc_id), drained hermetically with Trigger.AvailableNow; the
+    oracle is the exact batch semantics."""
+    import os
+    import tempfile
+
+    from ..streaming import dedup as sd
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        f"{sf_dir}/documents.parquet", os.path.join(src, "part-0.parquet")
+    )
+    out = os.path.join(work, "out")
+    sd.run_available_now(spark, src, out, os.path.join(work, "ckpt"))
+    return spark.read.parquet(out)
+
+
+@register(
     "user_sessions",
     __import__(
         "osm2vdv462_spark.streaming.sessions", fromlist=["sessionize_oracle_sql"]

@@ -55,6 +55,38 @@ class TestStreaming:
         assert first == second
 
 
+class TestStreamingDedup:
+    def test_stream_dedup_equals_batch_with_injected_dups(
+        self, spark, sf_dir, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.streaming import dedup as sd
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # inject exact copies under new ids: canonical must stay the min
+        dups = docs.limit(20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        both = docs.unionByName(dups)
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        both.coalesce(1).write.mode("overwrite").parquet(str(src / "p"))
+        srcdir = str(src / "p")
+        out = str(tmp_path / "dedup_out")
+        sd.run_available_now(spark, srcdir, out, str(tmp_path / "dedup_ckpt"))
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in sd.dedup_batch(spark.read.parquet(srcdir)).collect()
+        )
+        assert got == want and len(got) > 0
+        assert sum(r[2] for r in got) == both.count()  # all rows accounted
+        assert any(r[2] > 1 for r in got)  # the copies collapsed
+        for r in got:
+            assert r[1] < 10_000_000  # canonical is always an original
+
+
 class TestSessionize:
     """Stateful sessionizer (applyInPandasWithState) vs batch
     gaps-and-islands: every emitted session must be byte-equal to a batch
