@@ -131,20 +131,28 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """8x8 average-hash -> signed int64 (stable, public aHash scheme)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
+    """8x8 average-hash -> signed int64 (stable, public aHash scheme).
+
+    For 8-divisible sizes the bit predicate is pure int64 arithmetic
+    (64 * block_channel_sum > total — scale-invariant, so identical to
+    the block-mean-vs-mean comparison except at float-ULP ties, which
+    the integer form resolves deterministically). That exactness is what
+    lets the DuckDB gate oracle (image_thumb_phash) recompute the hash
+    closed-form. Odd sizes keep the float path."""
+    h, w, _ = pixels.shape
     if h % 8 == 0 and w % 8 == 0:
-        # vectorized box reduce (hot path: synthetic sizes are 8-divisible)
-        cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        t = pixels.astype(np.int64).sum(axis=2)
+        cells = t.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        bits = (cells * 64 > cells.sum()).ravel()
     else:
+        gray = pixels.astype(np.float64).mean(axis=2)
         ys = (np.arange(8 + 1) * h) // 8
         xs = (np.arange(8 + 1) * w) // 8
         cells = np.empty((8, 8))
         for i in range(8):
             for j in range(8):
                 cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
-    bits = (cells > cells.mean()).ravel()
+        bits = (cells > cells.mean()).ravel()
     v = 0
     for b in bits:
         v = (v << 1) | int(b)

@@ -25,13 +25,18 @@ from ..functions import imagecodec as ic
 from . import datagen
 
 
-def images_df(spark: SparkSession, sf_dir: str, size: int = 32) -> DataFrame:
-    """One PNG image per `events` row, geotagged by the oracle LCG."""
+def images_df(
+    spark: SparkSession, sf_dir: str, size: int = 32, every: int = 1
+) -> DataFrame:
+    """One PNG image per `events` row, geotagged by the oracle LCG.
+    ``every`` keeps a deterministic 1/every subset (event_id % every == 0),
+    filtered BEFORE the encode UDF so the skipped rows cost nothing."""
+    pts = datagen.geo_points(spark, sf_dir)
+    if every > 1:
+        pts = pts.filter(F.col("event_id") % every == 0)
     # the source parquet is one split at small SF — repartition so the
     # per-image python work (encode/decode/phash ~1ms each) parallelizes
-    pts = datagen.geo_points(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism * 2
-    )
+    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
 
     def _gen(batches):
         for pdf in batches:

@@ -64,11 +64,46 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_thumb_phash", None)
+_THUMB_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+ij AS (SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j),
+yx AS (SELECT y.range AS dy, x.range AS dx FROM range(4) y, range(4) x),
+px AS (
+  SELECT e.event_id, i, j,
+     (sum(((4*j+dx)*7  + e.event_id*13) % 256) // 16)
+   + (sum(((4*i+dy)*11 + e.event_id*29) % 256) // 16)
+   + (sum((((4*j+dx)+(4*i+dy))*5 + e.event_id*53) % 256) // 16) AS t
+  FROM e CROSS JOIN ij CROSS JOIN yx
+  GROUP BY e.event_id, i, j
+),
+b AS (
+  SELECT event_id, i, j,
+         CASE WHEN 64*t > sum(t) OVER (PARTITION BY event_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+),
+v AS (
+  SELECT event_id,
+         sum(CAST(bit AS HUGEINT)
+             * (CAST(1 AS HUGEINT) << CAST(63 - (8*i+j) AS INT))) AS u
+  FROM b GROUP BY event_id
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                 THEN u - (CAST(1 AS HUGEINT) << 64)
+                 ELSE u END AS BIGINT) AS thumb_phash
+FROM v ORDER BY image_id
+"""
+
+
+@register("image_thumb_phash", _THUMB_ORACLE)
 def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> box-resize -> thumbnail phash (multimodal feature
-    extraction plumbing; rows-only check, exactness in tests)."""
-    imgs = im.images_df(spark, sf_dir).limit(200)
+    """Decode -> box-resize -> thumbnail aHash over a deterministic
+    1/50 subset. The oracle replays the whole chain closed-form: the
+    LCG pixel pattern, the 4x4 box means (exact dyadic floats -> floor),
+    the integer-exact aHash bit rule (64*cell > total), and the signed
+    int64 bit packing (HUGEINT in DuckDB)."""
+    imgs = im.images_df(spark, sf_dir, every=50)
     return im.with_resized_phash(imgs, 8, 8).select("image_id", "thumb_phash")
 
 
