@@ -26,6 +26,21 @@ def ensure_shipped(spark: SparkSession) -> None:
     # the same zone the parquet fixtures were written in; DuckDB timestamps
     # are zone-naive so a non-UTC driver box would shift the boundary
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # HotSpot refuses to JIT-compile methods over 8 KB of bytecode
+    # (DontCompileHugeMethods, on by default): a whole-stage-codegen
+    # method past that line runs INTERPRETED — measured 8-20x on the
+    # unrolled flagship (operators/jvm_pip.py). If this JVM wasn't
+    # launched with the flag disabled (session.get_spark does that;
+    # spark.executor.extraJavaOptions on a real cluster), cap Spark's
+    # own codegen limit at the same 8000 so oversized plans fall back to
+    # per-expression compiled code (JIT-able) instead of a giant
+    # never-compiled method.
+    try:
+        jvm_opts = spark.conf.get("spark.driver.extraJavaOptions", "") or ""
+        if "-XX:-DontCompileHugeMethods" not in jvm_opts:
+            spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    except Exception:
+        pass
     # a 200-partition shuffle default is pathological for the engine's
     # many small dimension-side stages (and for a default 1g driver heap
     # in local mode); only override when the caller left the default

@@ -102,8 +102,18 @@ def stop_places_with_geometry(
         (m["member_id"] == p["osm_id"]) & (m["osm_type"] == p["osm_type"]),
     ).select("relation_id", "geom")
     c = joined.select("relation_id", centroid(F.col("geom")).alias("c"))
+    # avg over DECIMAL, not double: float addition is non-associative and
+    # the partial-agg order varies with task scheduling, so a double avg
+    # makes the document differ by ULPs between runs (A3/A6 determinism
+    # invariant). decimal(38,25) holds the member centroids' magnitude
+    # with deterministic rounding; the sum/divide is exact.
     agg = c.groupBy("relation_id").agg(
-        F.avg("c.lon").alias("area_lon"), F.avg("c.lat").alias("area_lat")
+        F.avg(F.col("c.lon").cast("decimal(38,25)"))
+        .cast("double")
+        .alias("area_lon"),
+        F.avg(F.col("c.lat").cast("decimal(38,25)"))
+        .cast("double")
+        .alias("area_lat"),
     )
     return with_orgs.join(agg, "relation_id")  # inner, like the reference
 

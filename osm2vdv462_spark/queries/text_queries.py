@@ -82,6 +82,72 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             greatest(len(toks) - 2, 0) AS n3,
+             len(list_distinct(
+               [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                FOR i IN range(greatest(len(toks) - 2, 0))]
+             )) AS n3_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n3 AS BIGINT) AS n3,
+           CAST(n3_distinct AS BIGINT) AS n3_distinct,
+           CAST(CASE WHEN n3 > 0
+                     THEN round(1.0 - CAST(n3_distinct AS DOUBLE) / n3, 4)
+                     ELSE 0.0 END AS DOUBLE) AS dup_frac
+    FROM g
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word
+    trigrams per document (1 - distinct/total). Entirely JVM-side
+    (split / transform / array_distinct inside codegen) — no shuffle,
+    no Python: the per-document cost model that holds at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.col("toks"), F.size("toks").alias("n")
+    )
+    tri = F.transform(
+        F.sequence(F.lit(0), F.col("n") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    tri = F.when(F.col("n") >= 3, tri).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = base.select(
+        "doc_id",
+        F.greatest(F.col("n") - 2, F.lit(0)).cast("long").alias("n3"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n3_distinct"),
+    )
+    return out.select(
+        "doc_id",
+        "n3",
+        "n3_distinct",
+        F.when(
+            F.col("n3") > 0,
+            F.round(1.0 - F.col("n3_distinct") / F.col("n3"), 4),
+        )
+        .otherwise(0.0)
+        .alias("dup_frac"),
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -46,14 +46,22 @@ def get_spark(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # size JVM thread pools for the PINNED core count, not the
-        # machine's (GC/safepoint storms otherwise when taskset-pinned)
+        # machine's (GC/safepoint storms otherwise when taskset-pinned).
+        # -XX:-DontCompileHugeMethods: whole-stage-codegen methods for
+        # wide unrolled expressions (operators/jvm_pip.py) can exceed
+        # HotSpot's 8 KB bytecode compile cutoff — without the flag they
+        # run INTERPRETED forever (measured 8-20x on the flagship). On a
+        # real cluster this goes in spark.executor.extraJavaOptions; for
+        # arbitrary sessions without it, deploy.ensure_shipped caps
+        # spark.sql.codegen.hugeMethodLimit instead (JIT-able fallback).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JVM_OPTS",
                 f"-XX:ActiveProcessorCount={cores} "
                 f"-XX:ParallelGCThreads={max(cores // 2, 2)} "
-                f"-XX:ConcGCThreads={max(cores // 4, 1)}",
+                f"-XX:ConcGCThreads={max(cores // 4, 1)} "
+                "-XX:-DontCompileHugeMethods",
             ),
         )
         .config("spark.ui.enabled", "false")
