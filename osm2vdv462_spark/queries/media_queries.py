@@ -107,19 +107,16 @@ def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_resized_phash(imgs, 8, 8).select("image_id", "thumb_phash")
 
 
-def _minhash_oracle() -> str:
-    """Full SQL replication of the minhash pipeline: md5-28 gram hashes,
-    the same universal-hash coefficients (embedded as literals), band
-    slices compared directly (Spark bands on xxhash64 OF the slice —
-    candidate sets agree up to 64-bit hash collisions), exact Jaccard
-    verify."""
+def _minhash_body() -> str:
+    """The shared CTE chain of the minhash pipeline replication (through
+    the verified pair set `j`); used by the pairs oracle and the
+    dedup-clusters oracle."""
     from ..operators.dedup import _MERSENNE, _hash_params
 
     a, b = _hash_params(64, 42)
     A = "[" + ",".join(str(x) for x in a) + "]"
     B = "[" + ",".join(str(x) for x in b) + "]"
-    return f"""
-    WITH base AS (SELECT doc_id, text FROM documents),
+    return f"""base AS (SELECT doc_id, text FROM documents),
     d2 AS (SELECT doc_id, text FROM base
            UNION ALL
            SELECT doc_id + 100000, text || ' extraword'
@@ -150,9 +147,44 @@ def _minhash_oracle() -> str:
                - len(list_intersect(ta.toks, tb.toks))) AS jac
           FROM cand c
           JOIN tk ta ON ta.doc_id = c.id_a
-          JOIN tk tb ON tb.doc_id = c.id_b)
+          JOIN tk tb ON tb.doc_id = c.id_b)"""
+
+
+def _minhash_oracle() -> str:
+    """Full SQL replication of the minhash pipeline: md5-28 gram hashes,
+    the same universal-hash coefficients (embedded as literals), band
+    slices compared directly (Spark bands on xxhash64 OF the slice —
+    candidate sets agree up to 64-bit hash collisions), exact Jaccard
+    verify."""
+    return f"""
+    WITH {_minhash_body()}
     SELECT id_a, id_b, round(jac, 4) AS jaccard
     FROM j WHERE jac >= 0.7 ORDER BY 1, 2
+    """
+
+
+def _cluster_oracle() -> str:
+    """Min-label connected components over the verified minhash pair
+    graph, via transitive closure in a recursive CTE (exact on the
+    gate-scale graph; the Spark side is the iterative min-label
+    propagation of operators/cluster.py)."""
+    return f"""
+    WITH RECURSIVE {_minhash_body()},
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.7),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ),
+    lbl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS n_members
+    FROM lbl ORDER BY doc_id
     """
 
 
@@ -170,6 +202,43 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.minhash_lsh_pairs(docs.unionByName(dups), threshold=0.7).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register("dedup_clusters", _cluster_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph (iterative min-label propagation — Spark
+    joins, no global window, no driver-side graph), labeled with the
+    min doc_id and the component size. This is the form a dedup job
+    actually consumes: keep one representative per cluster."""
+    from ..operators.cluster import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs.unionByName(dups), threshold=0.7
+    ).select("id_a", "id_b")
+    verts = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    cc = connected_components(verts, pairs, vid="id", src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster"),
+            "n_members",
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -82,6 +82,58 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // 1024 AS BIGINT) AS bin_id
+    FROM t ORDER BY source, doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-batch assembly): docs are
+    packed contiguously into ~1024-token bins per source, bin_id =
+    floor(prefix_token_sum / budget). Window is PARTITIONED by source —
+    no global ordering, so the plan shuffles once on the partition key
+    and scales with source cardinality (at 100 TB you'd sub-bucket big
+    sources; the shape is the same)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("_cum_prev"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            # integer `div`: exact floor division, same as DuckDB's //
+            F.expr("_cum_prev div 1024").cast("long").alias("bin_id"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
     "repetition_stats",
     """
     WITH t AS (
