@@ -144,6 +144,34 @@ def with_resized_phash(images: DataFrame, out_w: int = 8, out_h: int = 8) -> Dat
     )
 
 
+def with_pixel_stats(images: DataFrame) -> DataFrame:
+    """Decode -> per-image brightness/contrast stats: mean gray in e-4
+    fixed point (floor(total*10000 / (3*w*h)) — INTEGER arithmetic, not
+    rounded floats: Python banker's vs SQL half-away rounding diverge at
+    exact half boundaries) and the min/max per-pixel channel sum. The
+    DuckDB oracle (image_pixel_stats) reproduces every value exactly."""
+
+    def _stats(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                total = int(t.sum())
+                mean_gray_e4 = (total * 10000) // (3 * row.w * row.h)
+                out.append(
+                    (row.image_id, mean_gray_e4, int(t.max()), int(t.min()))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "mean_gray_e4", "t_max", "t_min"]
+            )
+
+    return images.mapInPandas(
+        _stats,
+        "image_id string, mean_gray_e4 bigint, t_max int, t_min int",
+    )
+
+
 def frame_sample_stub(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling — decode STUBBED (no video codec in this
     container, task brief): emits deterministic fake frames so the

@@ -205,6 +205,35 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIXEL_STATS_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id,
+         ((x*7 + e.event_id*13) % 256)
+       + ((y*11 + e.event_id*29) % 256)
+       + (((x+y)*5 + e.event_id*53) % 256) AS t
+  FROM e CROSS JOIN yx
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST((sum(t) * 10000) // 3072 AS BIGINT) AS mean_gray_e4,
+       CAST(max(t) AS INT) AS t_max,
+       CAST(min(t) AS INT) AS t_min
+FROM px GROUP BY event_id ORDER BY image_id
+"""
+
+
+@register("image_pixel_stats", _PIXEL_STATS_ORACLE)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image analytics through the REAL decode path: PNG decode -> per-
+    image brightness (e-4 fixed-point mean gray) + contrast extrema, on
+    the deterministic 1/50 subset; the oracle recomputes from the pixel
+    closed form. Integer arithmetic end-to-end (no float rounding-mode
+    parity traps)."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_pixel_stats(imgs).orderBy("image_id")
+
+
 @register("dedup_clusters", _cluster_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified
