@@ -82,6 +82,51 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                  1, 7))::BIGINT % 100 AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM t ORDER BY doc_id
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5): bucket =
+    md5('split:'||doc_id) mod 100. Hash-based (not random) so the split
+    is stable under reruns, repartitions, and incremental appends — the
+    property a training pipeline actually needs. Pure Catalyst: one
+    projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sequence_packing",
     """
     WITH t AS (
