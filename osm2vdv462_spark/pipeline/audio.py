@@ -90,24 +90,60 @@ def with_frame_features(audio: DataFrame, frame: int = FRAME) -> DataFrame:
     peak int  max |sample|). One map-side pass over the audio table —
     no shuffle; at 10^12 clips this parallelizes per input split."""
 
+    def _group_feat(doc_ids: np.ndarray, m3: np.ndarray, frame: int):
+        """One vectorized pass over a (clips, n_frames, frame) int64
+        stack; returns the per-frame feature frame."""
+        nc, nf, _ = m3.shape
+        rms = np.round(np.sqrt((m3 * m3).sum(2) / float(frame)), 3)
+        neg = m3 < 0
+        zcr = (neg[:, :, 1:] != neg[:, :, :-1]).sum(2)
+        peak = np.abs(m3).max(2)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, nf),
+                "frame_idx": np.tile(np.arange(nf, dtype=np.int32), nc),
+                "rms": rms.ravel(),
+                "zcr": zcr.ravel().astype(np.int32),
+                "peak": peak.ravel().astype(np.int32),
+            }
+        )
+
     def _feat(batches):
         for pdf in batches:
-            rows = []
+            # decode is a zero-copy frombuffer view per clip; the feature
+            # math runs ONE vectorized pass per (codec, length) group —
+            # no per-row Python in the compute
+            by_shape: dict = {}
             for row in pdf.itertuples(index=False):
-                v = decode_pcm(bytes(row.pcm), row.codec).astype(np.int64)
+                v = decode_pcm(bytes(row.pcm), row.codec)
                 nf = len(v) // frame
-                m = v[: nf * frame].reshape(nf, frame)
-                rms = np.round(np.sqrt((m * m).sum(1) / float(frame)), 3)
-                neg = m < 0
-                zcr = (neg[:, 1:] != neg[:, :-1]).sum(1)
-                peak = np.abs(m).max(1)
-                for f in range(nf):
-                    rows.append(
-                        (int(row.doc_id), f, float(rms[f]), int(zcr[f]),
-                         int(peak[f]))
-                    )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "rms", "zcr", "peak"]
+                if nf == 0:
+                    continue
+                by_shape.setdefault(nf, ([], []))
+                by_shape[nf][0].append(int(row.doc_id))
+                by_shape[nf][1].append(v[: nf * frame])
+            parts = [
+                _group_feat(
+                    np.asarray(ids, np.int64),
+                    np.stack(clips).astype(np.int64).reshape(
+                        len(clips), nf, frame
+                    ),
+                    frame,
+                )
+                for nf, (ids, clips) in sorted(by_shape.items())
+            ]
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "frame_idx": pd.Series(dtype="int32"),
+                        "rms": pd.Series(dtype="float64"),
+                        "zcr": pd.Series(dtype="int32"),
+                        "peak": pd.Series(dtype="int32"),
+                    }
+                )
             )
 
     return audio.mapInPandas(
