@@ -98,6 +98,61 @@ def pip_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tile_pyramid",
+    f"""
+    {_POINTS_CTE},
+    levels AS (SELECT UNNEST([8, 10, 12]) AS res),
+    c AS (
+      SELECT res,
+        (CAST(res AS BIGINT) << 57)
+        + (CAST(least(greatest(floor((lon + 180.0) / 360.0
+                                     * pow(2.0, res + 1)), 0),
+                      pow(2.0, res + 1) - 1) AS BIGINT) << 28)
+        + CAST(least(greatest(floor((lat + 90.0) / 180.0
+                                    * pow(2.0, res)), 0),
+                     pow(2.0, res) - 1) AS BIGINT) AS cell
+      FROM p CROSS JOIN levels
+    )
+    SELECT res, cell, count(*) AS n_points
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (web-map pyramid): per-point cell
+    ids at 3 zoom levels in ONE scan (explode x levels -> partial-agg
+    count). Cell arithmetic is the same Catalyst expression the codegen
+    flagship uses (jvm_pip.cell_expr — bit-identical to the numpy
+    kernel); the shuffle key is (res, cell), 16 bytes, and map-side
+    combine collapses to the distinct-cell count per partition."""
+    from ..operators.jvm_pip import cell_expr
+
+    pts = datagen.geo_points(spark, sf_dir)
+    levels = [8, 10, 12]
+    stacked = pts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        cell_expr(F.col("lon"), F.col("lat"), r).alias(
+                            "cell"
+                        ),
+                    )
+                    for r in levels
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        stacked.groupBy(
+            F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell")
+        )
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("res", "cell")
+    )
+
+
 # --------------------------------------------------------------------- kNN
 
 _HAVERSINE_SQL = (
