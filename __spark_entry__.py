@@ -57,8 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
         point_keep=["event_id"],
         poly_id="relation_id",
         target_id="quay_id",
-        poly_res=12,
-        target_res=11,
+        poly_res=12,  # target_res auto-sized from target density
     )
     return (
         out.filter(F.col("relation_id").isNotNull())

@@ -108,9 +108,13 @@ def _target_cell_arrays(
     abs_tlat = np.abs(tlat)[None, :]
     # preallocated, REUSED chunk buffers with out= everywhere: on this
     # sandbox kernel first-touch page faults cost ~10-25 ms/MB, so fresh
-    # (cells x targets) temporaries dominated the whole map build
-    CH = min(4096, max(1, len(cell_ids)))
+    # (cells x targets) temporaries dominated the whole map build.
+    # Buffer size is bounded by ELEMENT COUNT (not row count): 4 x 512k
+    # doubles = 16 MB total regardless of target count — a row-count cap
+    # alone made the buffers 131 MB at 1000 targets and the first-touch
+    # faults alone cost ~2 s
     nt = len(ids)
+    CH = max(64, min(4096, max(1, len(cell_ids)), 524288 // max(nt, 1)))
     fx = np.empty((CH, nt))
     fy = np.empty((CH, nt))
     t1 = np.empty((CH, nt))
@@ -222,6 +226,56 @@ def _nearest(cands: Column, lon: Column, lat: Column) -> Column:
     )
 
 
+def _pad_for(res: int) -> int:
+    """Pad doubles per resolution step so the mapped region keeps a
+    roughly constant ABSOLUTE size (~2 cells of slack at res 9)."""
+    return max(2, 1 << max(0, res - 9))
+
+
+def _auto_target_res(
+    trows: list[tuple],
+    min_res: int = 8,
+    max_res: int = 14,
+    k_target: int = 16,
+    cell_budget: int = 200_000,
+) -> tuple[int, int]:
+    """Pick the target-grid resolution FROM THE DATA: refine until the
+    measured max candidate-list length K is small — K drives both the
+    generated-code size (JIT-compilable methods) and the haversines
+    evaluated per point — or until the dilated map would blow the
+    broadcast budget. The probe builds the (vectorized) map per
+    resolution; coarse-resolution builds are tiny. A fixed
+    resolution is wrong at scale: target density varies orders of
+    magnitude between a rural region and a metro core (same auto-sizing
+    requirement as the ANN operator's hyperplane count)."""
+    choice, _ = _auto_target_build(
+        trows, min_res, max_res, k_target, cell_budget
+    )
+    return choice, _pad_for(choice)
+
+
+def _auto_target_build(
+    trows: list[tuple],
+    min_res: int = 8,
+    max_res: int = 14,
+    k_target: int = 16,
+    cell_budget: int = 200_000,
+) -> tuple[int, tuple]:
+    """_auto_target_res that also RETURNS the accepted build, so the
+    caller doesn't rebuild the map it just probed."""
+    choice, built = min_res, None
+    for res in range(min_res, max_res + 1):
+        b = _target_cell_arrays(trows, res, _pad_for(res))
+        if res > min_res and len(b[0]) > cell_budget:
+            break
+        choice, built = res, b
+        if b[1].shape[1] <= k_target:
+            break
+    if built is None:
+        built = _target_cell_arrays(trows, choice, _pad_for(choice))
+    return choice, built
+
+
 _SEGS_T = "array<struct<x0:double,y0:double,x1:double,y1:double>>"
 _CAND_T = "array<struct<id:bigint,lon:double,lat:double>>"
 
@@ -240,8 +294,8 @@ def pip_knn_assign_jvm(
     target_lon: str = "lon",
     target_lat: str = "lat",
     poly_res: int = 12,
-    target_res: int = 11,
-    target_pad_cells: int = 4,
+    target_res: int | None = None,
+    target_pad_cells: int | None = None,
 ) -> DataFrame:
     """Fused assignment, JVM-only plan. Output columns:
     point_keep..., <poly_id> (NULL if in no polygon; min id on overlap
@@ -259,6 +313,12 @@ def pip_knn_assign_jvm(
             targets_df.select(target_id, target_lon, target_lat), "targets"
         )
     ]
+    if target_res is None:
+        target_res, auto_pad = _auto_target_res(trows)
+        if target_pad_cells is None:
+            target_pad_cells = auto_pad
+    elif target_pad_cells is None:
+        target_pad_cells = _pad_for(target_res)
     pm = spark.createDataFrame(
         _poly_cell_rows(prows, poly_res),
         f"_pc bigint, _polys array<struct<pid:bigint,segs:{_SEGS_T}>>",
@@ -337,8 +397,8 @@ def pip_knn_assign_codegen(
     target_lon: str = "lon",
     target_lat: str = "lat",
     poly_res: int = 12,
-    target_res: int = 11,
-    target_pad_cells: int = 4,
+    target_res: int | None = None,
+    target_pad_cells: int | None = None,
     max_slots: int = 24,
     max_segs: int = 16,
     assume_covered: bool = False,
@@ -375,13 +435,21 @@ def pip_knn_assign_codegen(
             targets_df.select(target_id, target_lon, target_lat), "targets"
         )
     ]
+    if target_res is None:
+        target_res, built = _auto_target_build(trows)
+        if target_pad_cells is None:
+            target_pad_cells = _pad_for(target_res)
+        else:
+            built = _target_cell_arrays(trows, target_res, target_pad_cells)
+    else:
+        if target_pad_cells is None:
+            target_pad_cells = _pad_for(target_res)
+        built = _target_cell_arrays(trows, target_res, target_pad_cells)
 
     pcell = _poly_cell_rows(prows, poly_res)
     P = max((len(v) for _, v in pcell), default=1)
     S = max((len(segs) for _, v in pcell for _, segs in v), default=1)
-    tc_ids, tc_id_mat, tc_lon_mat, tc_lat_mat, all_t = _target_cell_arrays(
-        trows, target_res, target_pad_cells
-    )
+    tc_ids, tc_id_mat, tc_lon_mat, tc_lat_mat, all_t = built
     K = max(2, tc_id_mat.shape[1])
     if P > max_slots or S > max_segs or K > 4 * max_slots:
         raise ValueError(

@@ -295,7 +295,7 @@ def fused_assign_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pip_knn_assign_jvm(
         pts, polys, quays, point_keep=["event_id"],
         poly_id="relation_id", target_id="quay_id",
-        poly_res=12, target_res=11,
+        poly_res=12,  # target_res: auto-sized from target density
     )
     return out.select(
         "event_id",
@@ -337,7 +337,7 @@ def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pip_knn_assign_codegen(
         pts, polys, quays, point_keep=["event_id"],
         poly_id="relation_id", target_id="quay_id",
-        poly_res=12, target_res=11,
+        poly_res=12,  # target_res: auto-sized from target density
     )
     return out.select(
         "event_id",
