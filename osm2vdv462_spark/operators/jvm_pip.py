@@ -227,15 +227,19 @@ def _nearest(cands: Column, lon: Column, lat: Column) -> Column:
 
 
 def _pad_for(res: int) -> int:
-    """Pad doubles per resolution step so the mapped region keeps a
-    roughly constant ABSOLUTE size (~2 cells of slack at res 9)."""
-    return max(2, 1 << max(0, res - 9))
+    """Dilation around each target, in cells — constant across
+    resolutions: the mapped region tracks where the targets (and hence
+    the points that match them) actually are, while points farther out
+    take the exact full-list fallback. A pad that grew with resolution
+    (constant absolute size) made fine-resolution maps explode
+    quadratically and capped how far the auto-probe could refine."""
+    return 8
 
 
 def _auto_target_res(
     trows: list[tuple],
     min_res: int = 8,
-    max_res: int = 14,
+    max_res: int = 18,
     k_target: int = 16,
     cell_budget: int = 200_000,
 ) -> tuple[int, int]:
@@ -257,7 +261,7 @@ def _auto_target_res(
 def _auto_target_build(
     trows: list[tuple],
     min_res: int = 8,
-    max_res: int = 14,
+    max_res: int = 18,
     k_target: int = 16,
     cell_budget: int = 200_000,
 ) -> tuple[int, tuple]:

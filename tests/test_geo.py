@@ -346,3 +346,71 @@ class TestSimplifyPreserve:
         rect = square(0.01, 0.01, 1e-4)
         out = kernel.simplify_preserve(rect, 1e-6)
         assert np.allclose(out, rect)
+
+
+class TestAutoTargetRes:
+    def _grid(self, n_side, spacing_deg, base=10.0):
+        return [
+            (i * n_side + j, base + j * spacing_deg, base + i * spacing_deg)
+            for i in range(n_side)
+            for j in range(n_side)
+        ]
+
+    def test_denser_targets_pick_finer_res(self):
+        from osm2vdv462_spark.operators.jvm_pip import _auto_target_res
+
+        sparse = self._grid(10, 0.5)    # 100 targets, 0.5 deg apart
+        dense = self._grid(10, 0.005)   # 100 targets, 0.005 deg apart
+        rs, _ = _auto_target_res(sparse)
+        rd, _ = _auto_target_res(dense)
+        assert rd > rs
+
+    def test_k_bound_holds_at_chosen_res(self):
+        from osm2vdv462_spark.operators.jvm_pip import (
+            _auto_target_res,
+            _target_cell_arrays,
+        )
+
+        for spacing in (0.5, 0.05, 0.005):
+            t = self._grid(8, spacing)
+            res, pad = _auto_target_res(t)
+            _, idm, _, _, _ = _target_cell_arrays(t, res, pad)
+            assert idm.shape[1] <= 16, (spacing, res, idm.shape)
+
+    def test_exactness_is_res_independent(self, spark):
+        # the chosen resolution must never change RESULTS — only cost.
+        # brute-force nearest vs the codegen operator at auto res, on a
+        # deliberately clustered layout (auto picks a fine res)
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.operators.jvm_pip import pip_knn_assign_codegen
+
+        t = self._grid(5, 0.004)
+        targets = spark.createDataFrame(t, "quay_id long, lon double, lat double")
+        polys = spark.createDataFrame(
+            [], "relation_id long, geom binary"
+        )
+        pts = spark.range(0, 500).select(
+            F.col("id").alias("event_id"),
+            (F.lit(9.99) + ((F.col("id") * 37) % 100) / 2000.0).alias("lon"),
+            (F.lit(9.99) + ((F.col("id") * 73) % 100) / 2000.0).alias("lat"),
+        )
+        out = {
+            r["event_id"]: r["quay_id"]
+            for r in pip_knn_assign_codegen(
+                pts, polys, targets, point_keep=["event_id"],
+                poly_id="relation_id", target_id="quay_id",
+            ).collect()
+        }
+        tl = np.array([[x[1], x[2]] for x in t])
+        ids = np.array([x[0] for x in t])
+        from osm2vdv462_spark.geo.kernel import haversine_m
+
+        for r in pts.collect():
+            d = haversine_m(
+                np.full(len(t), r["lon"]), np.full(len(t), r["lat"]),
+                tl[:, 0], tl[:, 1],
+            )
+            best = np.lexsort((ids, d))[0]
+            assert out[r["event_id"]] == ids[best], r["event_id"]
