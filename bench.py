@@ -38,6 +38,19 @@ HEADLINE = [
 ]
 
 
+def _page_fault_ms_per_mb(sz_mb: int = 128) -> float:
+    """First-touch page-fault cost on this box RIGHT NOW. Measured
+    5-25 ms/MB at different times of day on identical code (Firecracker
+    kernel pathology, BENCH/BASELINE.md); the suite total tracks it, so
+    every bench artifact carries its own calibration."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(sz_mb * 1024 * 1024 // 8)
+    a[:] = 1.0
+    return (time.perf_counter() - t0) * 1000.0 / sz_mb
+
+
 def _force(df) -> int:
     """Fully evaluate a DataFrame (noop sink evaluates every column —
     count() alone could prune work)."""
@@ -421,6 +434,7 @@ def main() -> None:
         print(json.dumps(result))
         return
 
+    pf_ms = _page_fault_ms_per_mb()
     spark = _fresh_spark(cpus)
     # warm-up: tiny end-to-end pass so JIT/Arrow setup isn't billed to q1
     flagship_throughput(spark, "/root/testdata/sf0.001")
@@ -444,6 +458,7 @@ def main() -> None:
                 "flagship_codegen_points_per_sec_warm_32M": round(tp_cg_warm, 1),
                 "flagship_n_points": n_points,
                 "cores": cpus,
+                "page_fault_ms_per_mb": round(pf_ms, 1),
             }
         )
     )
