@@ -258,6 +258,9 @@ def _auto_target_res(
     return choice, _pad_for(choice)
 
 
+_AUTO_BUILD_CACHE: dict = {}
+
+
 def _auto_target_build(
     trows: list[tuple],
     min_res: int = 8,
@@ -266,7 +269,13 @@ def _auto_target_build(
     cell_budget: int = 200_000,
 ) -> tuple[int, tuple]:
     """_auto_target_res that also RETURNS the accepted build, so the
-    caller doesn't rebuild the map it just probed."""
+    caller doesn't rebuild the map it just probed. Memoized per target
+    set (one small entry; benches/sessions call the operator repeatedly
+    on the same dimension table)."""
+    key = (hash(tuple(trows)), min_res, max_res, k_target, cell_budget)
+    hit = _AUTO_BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit
     choice, built = min_res, None
     for res in range(min_res, max_res + 1):
         b = _target_cell_arrays(trows, res, _pad_for(res))
@@ -277,6 +286,8 @@ def _auto_target_build(
             break
     if built is None:
         built = _target_cell_arrays(trows, choice, _pad_for(choice))
+    _AUTO_BUILD_CACHE.clear()  # keep exactly one entry (maps can be MBs)
+    _AUTO_BUILD_CACHE[key] = (choice, built)
     return choice, built
 
 
