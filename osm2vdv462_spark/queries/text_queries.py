@@ -82,6 +82,80 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cleaning",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '[ \\t]+', ' ', 'g')) AS cleaned
+      FROM documents
+    )
+    SELECT doc_id, cleaned,
+           CAST(length(cleaned) AS BIGINT) AS n_chars_clean
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate cleaning: strip tag-like runs, collapse horizontal
+    whitespace, trim — pure Catalyst regexp_replace (JVM-side, no
+    Python). The patterns stay in the character-class subset where Java
+    regex and RE2 (DuckDB) agree exactly."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "<[^>]*>", " "),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, c, count(*) AS n,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS tot
+      FROM ch WHERE c <> '' GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(round(-sum((n / CAST(tot AS DOUBLE))
+                           * ln(n / CAST(tot AS DOUBLE))), 4)
+                AS DOUBLE) AS entropy_nats
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (a cheap
+    gibberish/compression-quality signal): explode chars -> per-doc
+    char frequencies -> -sum(p ln p). All JVM-side; one shuffle keyed
+    (doc_id, char)."""
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    f = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = f.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        f.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dataset_split",
     """
     WITH t AS (
