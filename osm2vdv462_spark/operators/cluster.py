@@ -46,6 +46,22 @@ def connected_components(
     labels = vertices.select(
         F.col(vid).alias("a"), F.col(vid).alias("component")
     ).localCheckpoint(eager=True)
+    # size the per-iteration shuffles to the GRAPH, not the session
+    # default: at gate scale a 100-edge graph under a 64-partition
+    # default burns hundreds of empty tasks per iteration; at 10^12
+    # edges the same formula scales the partition count with the data
+    n_edges = sym.count()
+    parts = str(max(2, min(2048, n_edges // 500_000 + 2)))
+    spark = edges.sparkSession
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        return _cc_loop(sym, labels, vid, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _cc_loop(sym, labels, vid: str, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # neighbor minimum
         nbr_min = (
