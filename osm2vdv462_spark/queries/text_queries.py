@@ -82,6 +82,89 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> x = 'the')) AS n_stop,
+             greatest(len(toks) - 2, 0) AS n3,
+             len(list_distinct(
+               [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                FOR i IN range(greatest(len(toks) - 2, 0))]
+             )) AS n3d
+      FROM t
+    )
+    SELECT doc_id,
+           (n_chars BETWEEN 100 AND 20000) AS len_ok,
+           (n_tok >= 10) AS tok_ok,
+           (n_stop * 100 >= n_tok) AS stop_ok,
+           (n3 = 0 OR (n3 - n3d) * 5 <= n3) AS rep_ok,
+           ((n_chars BETWEEN 100 AND 20000) AND n_tok >= 10
+            AND n_stop * 100 >= n_tok
+            AND (n3 = 0 OR (n3 - n3d) * 5 <= n3)) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite Gopher/C4-style keep/drop decision a training
+    pipeline actually ships: length gate AND >=10 tokens AND stopword
+    rate >= 1% AND duplicate-trigram fraction <= 20%. Every predicate is
+    INTEGER arithmetic (n_stop*100 >= n_tok, (n3-n3d)*5 <= n3) — no
+    float ratios to disagree across engines — and the whole thing is
+    one codegen projection per document, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda x: x == "the")).alias("n_stop"),
+    )
+    tri = F.when(
+        F.col("n_tok") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = base.select(
+        "doc_id",
+        "n_chars",
+        "n_tok",
+        "n_stop",
+        F.greatest(F.col("n_tok") - 2, F.lit(0)).alias("n3"),
+        F.size(F.array_distinct(tri)).alias("n3d"),
+    )
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)
+    tok_ok = F.col("n_tok") >= 10
+    stop_ok = F.col("n_stop") * 100 >= F.col("n_tok")
+    rep_ok = (F.col("n3") == 0) | (
+        (F.col("n3") - F.col("n3d")) * 5 <= F.col("n3")
+    )
+    return s.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        tok_ok.alias("tok_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        (len_ok & tok_ok & stop_ok & rep_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_cleaning",
     """
     WITH c AS (
