@@ -436,6 +436,53 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_normalize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+                      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS ss,
+             list_sum(list_transform(embedding[1:8],
+                      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS ss8
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(round(sqrt(ss), 4) AS DOUBLE) AS l2_norm,
+           CAST(round(CASE WHEN ss > 0 THEN ss8 / ss ELSE 0 END, 4)
+                AS DOUBLE) AS head8_energy
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + matryoshka-truncation diagnostics: the
+    L2 norm and the fraction of L2 energy the first 8 dims retain (what
+    you check before truncating stored vectors). Elements are cast to
+    DOUBLE before squaring on BOTH engines and summed in array order,
+    so the floats agree bit-for-bit; all JVM-side, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = lambda v: F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    s = e.select(
+        "vec_id",
+        sq(F.col("embedding")).alias("ss"),
+        sq(F.slice("embedding", 1, 8)).alias("ss8"),
+    )
+    return s.select(
+        "vec_id",
+        F.round(F.sqrt("ss"), 4).alias("l2_norm"),
+        F.round(
+            F.when(F.col("ss") > 0, F.col("ss8") / F.col("ss")).otherwise(
+                0.0
+            ),
+            4,
+        ).alias("head8_energy"),
+    ).orderBy("vec_id")
+
+
+@register(
     "embedding_top1",
     """
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
