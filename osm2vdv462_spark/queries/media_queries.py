@@ -107,6 +107,100 @@ def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_resized_phash(imgs, 8, 8).select("image_id", "thumb_phash")
 
 
+_PHASH_NEARDUP_ORACLE = (
+    _THUMB_ORACLE.split("SELECT 'img_'")[0]
+    + """,
+bb AS (
+  SELECT event_id, r.range AS band,
+         CAST((u >> CAST(16 * r.range AS INT)) & 65535 AS BIGINT) AS bv
+  FROM v CROSS JOIN range(4) r
+),
+cand AS (
+  SELECT DISTINCT x.event_id AS ea, y.event_id AS eb
+  FROM bb x JOIN bb y
+    ON x.band = y.band AND x.bv = y.bv AND x.event_id < y.event_id
+),
+hx AS (
+  SELECT c.ea, c.eb, CAST(sum(bit_count(xor(p.bv, q.bv))) AS INT) AS ham
+  FROM cand c
+  JOIN bb p ON p.event_id = c.ea
+  JOIN bb q ON q.event_id = c.eb AND q.band = p.band
+  GROUP BY c.ea, c.eb
+)
+SELECT 'img_' || lpad(CAST(ea AS VARCHAR), 9, '0') AS image_id_a,
+       'img_' || lpad(CAST(eb AS VARCHAR), 9, '0') AS image_id_b,
+       ham AS hamming
+FROM hx WHERE ham <= 6 ORDER BY 1, 2
+"""
+)
+
+
+@register("image_phash_neardup", _PHASH_NEARDUP_ORACLE)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: decode -> thumbnail aHash -> 4x16-bit
+    banded blocking -> exact Hamming verify (<= 6 bits) on candidates
+    only. All-integer arithmetic (unsigned band slices, per-band
+    popcounts), so the oracle replays it exactly from the pixel closed
+    form. Blocking note: 4 bands guarantee recall 1 only for Hamming
+    <= 3 (pigeonhole); the SimHash operator's Manku block-pair tables
+    (operators/dedup.py) are the recall-1 construction — this query is
+    the image-axis integration of the same pipeline shape."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    ph = im.with_resized_phash(imgs, 8, 8).select("image_id", "thumb_phash")
+    bands = ph.select(
+        "image_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("thumb_phash", 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("image_id", "s.band", "s.bv")
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("ia"), F.col("b.image_id").alias("ib")
+        )
+        .distinct()
+    )
+    ham = (
+        cand.join(bands.alias("p"), F.col("ia") == F.col("p.image_id"))
+        .join(
+            bands.alias("q"),
+            (F.col("ib") == F.col("q.image_id"))
+            & (F.col("p.band") == F.col("q.band")),
+        )
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.bit_count(F.col("p.bv").bitwiseXOR(F.col("q.bv"))))
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    return (
+        ham.filter("hamming <= 6")
+        .select(
+            F.col("ia").alias("image_id_a"),
+            F.col("ib").alias("image_id_b"),
+            "hamming",
+        )
+        .orderBy("image_id_a", "image_id_b")
+    )
+
+
 def _minhash_body() -> str:
     """The shared CTE chain of the minhash pipeline replication (through
     the verified pair set `j`); used by the pairs oracle and the
