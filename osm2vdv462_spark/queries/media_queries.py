@@ -476,6 +476,60 @@ def ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def _ann_recall_oracle() -> str:
+    """ANN-vs-exact recall@3 per query, fully in SQL: the ANN candidate
+    chain (same plane literals) joined against the brute-force top-3."""
+    ann = _ann_oracle().strip().rstrip()
+    # reuse the ANN oracle as a subquery; exact side is a windowed scan
+    return f"""
+    WITH ann AS ({ann}),
+    e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10),
+    ex AS (
+      SELECT q.q_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_dot_product(e.v, q.q)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.q, q.q))) DESC,
+                        e.vec_id
+             ) AS rank
+      FROM e JOIN q ON e.vec_id <> q.q_id
+    )
+    SELECT ex.q_id,
+           CAST(count(ann.vec_id) AS INT) AS hits_at_3
+    FROM ex LEFT JOIN ann
+      ON ann.q_id = ex.q_id AND ann.vec_id = ex.vec_id
+    WHERE ex.rank <= 3
+    GROUP BY ex.q_id ORDER BY ex.q_id
+    """
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH ANN against the exact top-3, per
+    query — the quality/efficiency trade a production ANN deployment
+    monitors, computed THROUGH the gate (both sides SQL-replicated)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ann = similarity.cosine_topk_lsh(
+        emb, queries, k=3, n_planes=4, multiprobe=4
+    ).select("q_id", "vec_id")
+    exact = similarity.cosine_topk_exact(emb, queries, k=3).select(
+        "q_id", "vec_id"
+    )
+    return (
+        exact.join(ann.withColumn("_hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("_hit").cast("int").alias("hits_at_3"))
+        .orderBy("q_id")
+    )
+
+
 def _near_dup_oracle() -> str:
     import numpy as np
 
