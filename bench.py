@@ -344,6 +344,7 @@ def main() -> None:
         import subprocess
 
         result = {"primary": primary}
+        n_points = int(os.environ.get("SPARK_GRAFT_SCALE_POINTS", "32000000"))
         cores_per_exec = 4
         result.update(
             {

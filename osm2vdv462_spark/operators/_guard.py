@@ -17,14 +17,15 @@ MAX_DIM_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_DIM_ROWS", "10000000"))
 
 
 def collect_dim(df: DataFrame, what: str) -> list:
-    """collect() with a fail-fast cardinality guard: reads one row past
-    the cap via limit() before collecting (no full count of a huge
-    table)."""
-    probe = df.limit(MAX_DIM_ROWS + 1).collect()
-    if len(probe) > MAX_DIM_ROWS:
+    """collect() with a fail-fast cardinality guard: probes cardinality
+    with a LIMIT'd count first (cheap, no driver materialization), and
+    only collects once the cap check passes — an oversized dimension
+    must raise the clear error below, not OOM the driver building 10M+1
+    Row objects under a 1g plain-session heap."""
+    if df.limit(MAX_DIM_ROWS + 1).count() > MAX_DIM_ROWS:
         raise ValueError(
             f"{what}: dimension side exceeds {MAX_DIM_ROWS} rows — this "
             "side is collected+broadcast; use the shuffle variant "
             "(pip_join_shuffle) or raise SPARK_GRAFT_MAX_DIM_ROWS"
         )
-    return probe
+    return df.collect()

@@ -129,8 +129,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Candidate generation via LSH banding; exact word-shingle Jaccard
-    verification on candidates only.
+    Candidate generation via LSH banding over word-shingle MinHash
+    signatures; verification computes exact unique-TOKEN Jaccard
+    (``array_distinct(split(text, " "))``) on candidates only — a
+    coarser set than the shingles used for banding, intentionally: the
+    signature stage recalls shingle-similar pairs, the verify stage
+    applies the user-facing token-set threshold.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(
@@ -166,14 +170,15 @@ def minhash_lsh_pairs(
     )
     ta = texts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = texts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size("toks_a") + F.size("toks_b") - F.size(
-        F.array_intersect("toks_a", "toks_b")
-    )
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("jaccard", inter / union)
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -179,7 +179,12 @@ def frame_sample_stub(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     testable; swap `_fake_frame` for a real decoder on a cluster."""
 
     def _fake_frame(vid: str, k: int) -> bytes:
-        return ic.encode_png(ic.synth_pixels(hash((vid, k)) & 0x7FFFFFFF, 16, 16))
+        # md5-derived seed: Python hash() is PYTHONHASHSEED-salted per
+        # process, so two executors would emit different frames
+        import hashlib
+
+        seed = int(hashlib.md5(f"{vid}|{k}".encode()).hexdigest()[:8], 16)
+        return ic.encode_png(ic.synth_pixels(seed & 0x7FFFFFFF, 16, 16))
 
     def _sample(batches):
         for pdf in batches:

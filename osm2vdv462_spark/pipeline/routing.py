@@ -121,7 +121,9 @@ def synthesize_routes(edges: DataFrame, way_pool: DataFrame | None = None) -> Da
     """
     pool = {}
     if way_pool is not None:
-        for r in way_pool.collect():
+        from ..operators._guard import collect_dim
+
+        for r in collect_dim(way_pool, "synthesize_routes way_pool"):
             pool.setdefault(r[0], []).append(int(r[1]))
     bpool = edges.sparkSession.sparkContext.broadcast(pool)
 

@@ -91,6 +91,7 @@ def sessionize_stream(
     schema: str,
     gap_minutes: int = 360,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming sessionizer. State per user: (session_start, last_ts,
     n). New events extend or roll the session; the event-time timeout
@@ -136,7 +137,18 @@ def sessionize_stream(
             elif t - last_us > gap_us:
                 out.append((user_id, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
+            elif start_us - t > gap_us:
+                # watermark-admitted straggler older than the open
+                # session by more than the gap: in batch gaps-and-islands
+                # it is its own earlier island — emit it standalone (it
+                # can never merge with the open session, and anything
+                # older was already closed)
+                out.append((user_id, t, t, 1))
             else:
+                # in-gap event on either side of the open session:
+                # extend the nearest boundary (start for stragglers that
+                # predate session_start — the batch semantics)
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
         state.update((int(start_us), int(last_us), int(n)))
@@ -155,7 +167,10 @@ def sessionize_stream(
                 }
             )
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -177,8 +192,11 @@ def run_sessionize_available_now(
     checkpoint_dir: str,
     gap_minutes: int = 360,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> None:
-    df = sessionize_stream(spark, source_dir, schema, gap_minutes, watermark)
+    df = sessionize_stream(
+        spark, source_dir, schema, gap_minutes, watermark, max_files_per_trigger
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)

@@ -143,3 +143,56 @@ class TestSessionize:
         }
         assert must_emit <= got, len(must_emit - got)
         assert len(got) > 0
+
+    def test_out_of_order_stragglers_converge_to_batch(
+        self, spark, tmp_path
+    ):
+        """Watermark-admitted events OLDER than the open session must
+        follow batch gaps-and-islands: in-gap stragglers extend
+        session_start; stragglers more than a gap before it become
+        their own (earlier) island (ADVICE r2)."""
+        import datetime as dt
+
+        from osm2vdv462_spark.streaming import sessions as ss
+
+        def _write(name, rows, mtime):
+            p = tmp_path / "ooo_src"
+            p.mkdir(exist_ok=True)
+            df = spark.createDataFrame(
+                [
+                    (i, dt.datetime(2024, 1, 1, h, m), 1, "c", 0.0, "{}")
+                    for i, (h, m) in enumerate(rows)
+                ],
+                SCHEMA,
+            )
+            f = p / name
+            df.coalesce(1).write.mode("overwrite").parquet(str(f))
+            os.utime(f, (mtime, mtime))
+            return str(p)
+
+        # batch A: session opens [10:00, 10:10] (gap=10min)
+        # batch B: 09:55 (in-gap straggler -> start extends to 09:55),
+        #          09:30 (> gap before start -> standalone island)
+        # batch C: 14:00 pushes watermark past 10:10+gap -> closes session
+        _write("a", [(10, 0), (10, 10)], 1_000_000)
+        _write("b", [(9, 55), (9, 30)], 1_000_100)
+        src = _write("c", [(14, 0)], 1_000_200)
+        out = str(tmp_path / "ooo_out")
+        ckpt = str(tmp_path / "ooo_ckpt")
+        ss.run_sessionize_available_now(
+            spark,
+            src + "/*",
+            SCHEMA,
+            out,
+            ckpt,
+            gap_minutes=10,
+            watermark="1 hour",
+            max_files_per_trigger=1,
+        )
+        got = {
+            (r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        assert (t(9, 30), t(9, 30), 1) in got, got
+        assert (t(9, 55), t(10, 10), 3) in got, got
