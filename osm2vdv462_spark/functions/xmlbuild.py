@@ -56,12 +56,26 @@ def xmlconcat(*parts: Column) -> Column:
     return F.when(joined != "", joined)
 
 
+def fixed_trim(col: Column, precision: int) -> Column:
+    """Fixed-precision float rendering, trailing zeros trimmed — the
+    ONLY way floats enter XML text. Raw double->string casting is
+    banned on this path: Java's Double.toString and other engines'
+    shortest-repr algorithms disagree on some values, which would make
+    the emitted document unreproducible by the DuckDB gate oracle
+    (CLAUDE.md float discipline). Matches geo.columns.poslist's Python
+    formatter and DuckDB's rtrim(rtrim(printf('%.Nf', x),'0'),'.')
+    byte-for-byte."""
+    s = F.format_string(f"%.{precision}f", col.cast("double"))
+    s = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "\\.$", "")
+    return F.when(s.isin("-0", ""), F.lit("0")).otherwise(s)
+
+
 def _num_str(col: Column) -> Column:
     """Postgres-numeric-ish rendering: integral values without decimals."""
     d = col.cast("double")
     return F.when(
         d == F.floor(d), d.cast("long").cast("string")
-    ).otherwise(d.cast("string"))
+    ).otherwise(fixed_trim(d, 6))
 
 
 def key_value(key: str, value: Column) -> Column:
@@ -121,8 +135,8 @@ def ex_centroid(lon: Column, lat: Column) -> Column:
     return F.when(
         lon.isNotNull() & lat.isNotNull(),
         F.concat(
-            F.lit("<Centroid><Location><Longitude>"), lon.cast("string"),
-            F.lit("</Longitude><Latitude>"), lat.cast("string"),
+            F.lit("<Centroid><Location><Longitude>"), fixed_trim(lon, 8),
+            F.lit("</Longitude><Latitude>"), fixed_trim(lat, 8),
             F.lit("</Latitude></Location></Centroid>"),
         ),
     )
@@ -271,10 +285,15 @@ def ex_number_of_steps(tags: Column) -> Column:
 
 
 def ex_distance(length_m: Column) -> Column:
-    """ex_Distance (SP:207-213): geodesic length, float32 rendering."""
+    """ex_Distance (SP:207-213): float32-rounded (the reference column
+    is float4), rendered fixed-precision trimmed (see fixed_trim)."""
     return F.when(
         length_m.isNotNull(),
-        F.concat(F.lit("<Distance>"), _num_str(F.round(length_m.cast("float"), 6)), F.lit("</Distance>")),
+        F.concat(
+            F.lit("<Distance>"),
+            fixed_trim(length_m.cast("float").cast("double"), 6),
+            F.lit("</Distance>"),
+        ),
     )
 
 

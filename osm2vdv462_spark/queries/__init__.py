@@ -15,6 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+# Physical-plan variants and derivative reports whose SEMANTICS are
+# already hash-gated by a sibling REGISTRY row. The driver's correctness
+# gate runs at most GATE_BUDGET queries (CORRECTNESS_r02: exactly the
+# first 50 of 55 registered, in registration order — a count cap), so
+# these run only through the local pytest mirror
+# (tests/test_oracle_parity.py), which checks them against the SAME
+# DuckDB oracles.
+EXTRA_REGISTRY: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {}
+
+GATE_BUDGET = 50
+
 
 def register(name: str, oracle: str | None):
     def deco(fn):
@@ -24,14 +37,36 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def register_extra(name: str, oracle: str | None):
+    def deco(fn):
+        EXTRA_REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
+    assert len(REGISTRY) <= GATE_BUDGET, (
+        f"driver gate runs only the first {GATE_BUDGET} registered queries "
+        f"({len(REGISTRY)} registered) — demote variants to register_extra"
+    )
     return {k: v[0] for k, v in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {k: v[0] for k, v in EXTRA_REGISTRY.items()}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {k: v[1] for k, v in EXTRA_REGISTRY.items() if v[1] is not None}
 
 
 _loaded = False

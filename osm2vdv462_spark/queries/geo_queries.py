@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.knn import knn_join_broadcast
 from ..operators.spatial_join import pip_join_broadcast, pip_join_shuffle
 from ..pipeline import datagen
-from . import register
+from . import register, register_extra
 
 _POINTS_CTE = f"WITH p AS ({datagen.SQL_POINTS})"
 
@@ -51,7 +51,7 @@ def pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("relation_id").cast(IntegerType()))
 
 
-@register(
+@register_extra(
     "pip_assign_shuffle",
     f"""
     {_POINTS_CTE}
@@ -163,7 +163,7 @@ _HAVERSINE_SQL = (
 )
 
 
-@register(
+@register_extra(
     "knn_nearest_quay",
     f"""
     {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -262,7 +262,7 @@ def dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "fused_assign_jvm",
     f"""
     {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, similarity
 from ..pipeline import images as im
-from . import register
+from . import register, register_extra
 
 
 @register(
@@ -507,7 +507,7 @@ def _ann_recall_oracle() -> str:
     """
 
 
-@register("ann_recall_report", _ann_recall_oracle())
+@register_extra("ann_recall_report", _ann_recall_oracle())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the hyperplane-LSH ANN against the exact top-3, per
     query — the quality/efficiency trade a production ANN deployment

@@ -354,3 +354,49 @@ def export_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("relation_id", "category")
     )
+
+
+def _ft8(expr: str) -> str:
+    """DuckDB twin of xmlbuild.fixed_trim(col, 8)."""
+    s = f"rtrim(rtrim(printf('%.8f', {expr}), '0'), '.')"
+    return f"(CASE WHEN {s} IN ('-0', '') THEN '0' ELSE {s} END)"
+
+
+_PARKINGS_SQL = (
+    "WITH "
+    + _P
+    + f""",
+geo AS (
+  SELECT rel, base,
+         11.50 + (i % 4) * 0.01 AS cx,
+         48.10 + (i // 4) * 0.01 AS cy
+  FROM p
+)
+SELECT rel AS relation_id,
+       '<Parking id="W' || CAST(base + 50 AS VARCHAR)
+       || '" version="any">'
+       || '<Centroid><Location><Longitude>'
+       || {_ft8("cx - 80.0 / 111320.0")}
+       || '</Longitude><Latitude>'
+       || {_ft8("cy - 40.0 / 111320.0")}
+       || '</Latitude></Location></Centroid>'
+       || '<ParkingType>undefined</ParkingType>'
+       || '<ParkingLayout>openSpace</ParkingLayout>'
+       || '<TotalCapacity>20</TotalCapacity></Parking>' AS xml
+FROM geo ORDER BY relation_id
+"""
+)
+
+
+@register("parkings_pipeline", _PARKINGS_SQL)
+def parkings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parkings document DAG end-to-end (ref
+    parkings.sql:60-85): membership join -> level -> per-parking NeTEx
+    Parking fragment. The oracle rebuilds the exact XML (centroid at the
+    world rect's closed-form center, fixed-8dp trimmed rendering) from
+    the area enumeration, so the document body is value-hash gated."""
+    from ..pipeline import export as ex_mod
+
+    w = _stages(spark, sf_dir)["world"]
+    epd = ex_mod.export_parkings_data(w["parking"], w["stop_areas_members_ref"])
+    return ex_mod.xml_parkings(epd).orderBy("relation_id")

@@ -42,3 +42,67 @@ def organisations_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = write_csv(render_rows(nations))
     return read_organisations(spark, path)
+
+
+# XML escaping as DuckDB SQL (mirror of functions/xmlbuild.py::esc)
+def _esc(expr: str) -> str:
+    return (
+        "replace(replace(replace(replace(" + expr + ","
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+    )
+
+
+_ORG_XML_ORACLE = f"""
+WITH o AS (
+  SELECT 'Q' || CAST(1000 + n_nationkey AS VARCHAR) AS id,
+         n_name || ', "Verkehr"' AS label,
+         n_name || ' GmbH' AS official_name,
+         substr(n_name, 1, 3) AS short_name,
+         'https://' || lower(n_name) || '.example' AS website,
+         CASE WHEN n_nationkey % 2 = 0
+              THEN 'info@' || lower(n_name) || '.example' END AS email,
+         '+49 ' || CAST(n_nationkey AS VARCHAR) AS phone,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'operator'
+              ELSE 'authority' END AS type
+  FROM nation
+),
+b AS (
+  SELECT type, id,
+         CASE WHEN type = 'operator' THEN 'Operator'
+              ELSE 'Authority' END AS el,
+         '<Name>' || {_esc("label")} || '</Name>'
+         || '<ShortName>' || {_esc("short_name")} || '</ShortName>'
+         || '<LegalName>' || {_esc("official_name")} || '</LegalName>'
+         || '<ContactDetails>'
+         || coalesce('<Email>' || {_esc("email")} || '</Email>', '')
+         || '<Phone>' || {_esc("phone")} || '</Phone>'
+         || '<Url>' || {_esc("website")} || '</Url>'
+         || '</ContactDetails>'
+         || '<OrganisationType>' || type || '</OrganisationType>' AS body
+  FROM o
+)
+SELECT type, id,
+       '<' || el || ' id="' || {_esc("id")} || '" version="any">'
+       || body || '</' || el || '>' AS xml
+FROM b ORDER BY id
+"""
+
+
+@register("xml_organisations", _ORG_XML_ORACLE)
+def xml_organisations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's organisations document DAG end-to-end (ref
+    organisations.sql:9-92): CSV source -> DISTINCT ON (id) -> per-org
+    Operator/Authority NeTEx fragment. The oracle rebuilds the exact XML
+    strings from the nation view (the CSV's closed-form seed), so the
+    whole document body is value-hash gated — strings only, no floats."""
+    from ..pipeline import export as ex_mod
+
+    nations = [
+        (int(r[0]), str(r[1]))
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .collect()
+    ]
+    path = write_csv(render_rows(nations))
+    orgs = read_organisations(spark, path)
+    return ex_mod.xml_organisations(orgs).orderBy("id")

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import register
+from . import register, register_extra
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,22 +35,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_stats",
     """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, ''), x -> x <> '') AS cs
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, text, cs,
+             CAST(len(cs) AS DOUBLE) AS tot,
+             list_sort(list_distinct(cs)) AS dist
+      FROM t
+    )
     SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                 AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_exact
-    FROM documents
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(round(-list_sum(list_transform(dist,
+                c -> (len(list_filter(cs, x -> x = c)) / tot)
+                     * ln(len(list_filter(cs, x -> x = c)) / tot))), 4)
+                AS DOUBLE) AS entropy_nats
+    FROM u
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) + length — text-analysis
-    primitives for quality filtering."""
+    """Token counting (whitespace tokenizer) + length + character-level
+    Shannon entropy (gibberish / compressibility signal) — text-analysis
+    primitives for quality filtering, all per-row JVM expressions with NO
+    shuffle (the 10^12-doc cost shape; char_entropy in the extra tier is
+    the shuffle formulation of the same entropy, oracle-checked in
+    pytest). Entropy sums over SORTED distinct chars so the float
+    addition order is pinned across engines."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
-    return d.select(
+    base = d.select(
+        "doc_id",
+        "text",
+        F.filter(F.split("text", ""), lambda c: c != "").alias("cs"),
+    ).select(
+        "doc_id",
+        "text",
+        "cs",
+        F.size("cs").cast("double").alias("tot"),
+        F.array_sort(F.array_distinct("cs")).alias("dist"),
+    )
+    n_c = lambda c: F.size(F.filter(F.col("cs"), lambda x: x == c))  # noqa: E731
+    ent = -F.aggregate(
+        F.col("dist"),
+        F.lit(0.0),
+        lambda acc, c: acc + (n_c(c) / F.col("tot")) * F.log(n_c(c) / F.col("tot")),
+    )
+    return base.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_exact"),
+        F.round(ent, 4).alias("entropy_nats"),
     )
 
 
@@ -81,7 +119,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "quality_filter",
     """
     WITH t AS (
@@ -199,7 +237,7 @@ def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "char_entropy",
     """
     WITH ch AS (
@@ -435,7 +473,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "embedding_normalize",
     """
     WITH s AS (

@@ -49,8 +49,11 @@ def _canon(rows, cols):
 def all_cases():
     from osm2vdv462_spark import queries as q
 
-    qs = q.queries()
-    os_ = q.oracle_sql()
+    # both tiers: the driver gate runs the main REGISTRY (<= GATE_BUDGET
+    # rows); the extra tier (physical variants / derivative reports) is
+    # held to the same oracle standard here
+    qs = {**q.queries(), **q.extra_queries()}
+    os_ = {**q.oracle_sql(), **q.extra_oracle_sql()}
     return [(name, qs[name], os_.get(name)) for name in sorted(qs)]
 
 
