@@ -65,9 +65,14 @@ def fixed_trim(col: Column, precision: int) -> Column:
     (CLAUDE.md float discipline). Matches geo.columns.poslist's Python
     formatter and DuckDB's rtrim(rtrim(printf('%.Nf', x),'0'),'.')
     byte-for-byte."""
+    # format_string renders a NULL arg as the string "null": gate on
+    # isNotNull so STRICT null propagation (key_value skipping) survives
     s = F.format_string(f"%.{precision}f", col.cast("double"))
     s = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "\\.$", "")
-    return F.when(s.isin("-0", ""), F.lit("0")).otherwise(s)
+    return F.when(
+        col.isNotNull(),
+        F.when(s.isin("-0", ""), F.lit("0")).otherwise(s),
+    )
 
 
 def _num_str(col: Column) -> Column:

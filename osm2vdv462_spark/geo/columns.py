@@ -213,12 +213,8 @@ def poslist(wkb_col, precision: int = 8):
                 out.append(None)
                 continue
             g = _wkb.decode(bytes(b))
-            parts = []
-            for lon, lat in g.coords:
-                for v in (lat, lon):  # lat-lon order (GML option 16)
-                    s = f"{v:.{precision}f}".rstrip("0").rstrip(".")
-                    parts.append(s if s not in ("", "-0") else "0")
-            out.append(" ".join(parts))
+            # lat-lon order (GML option 16); shared canonical formatter
+            out.append(_kernel.poslist_str(g.coords, precision))
         return pd.Series(out, dtype=object)
 
     return _pl(wkb_col)

@@ -32,6 +32,20 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * EARTH_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+def poslist_str(coords, precision: int = 8) -> str:
+    """gml posList content ('lat lon lat lon ...') at <=precision
+    decimals, trailing zeros trimmed — THE canonical fixed-precision
+    coordinate rendering (shared by the geo.columns.poslist UDF, the
+    path-link content-hash id in pipeline.routing, and the DuckDB gate
+    oracles, which replicate it as rtrim(rtrim(printf(...),'0'),'.'))."""
+    parts = []
+    for lon, lat in coords:
+        for v in (lat, lon):
+            s = f"{v:.{precision}f}".rstrip("0").rstrip(".")
+            parts.append(s if s not in ("", "-0") else "0")
+    return " ".join(parts)
+
+
 def polyline_length_m(coords: np.ndarray) -> float:
     """Geodesic length of one polyline (SP:8-14 on LineStrings)."""
     if len(coords) < 2:

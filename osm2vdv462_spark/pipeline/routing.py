@@ -293,13 +293,22 @@ def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     def emit_link(to_ifopt, to_type, lvl_delta):
         coords = np.asarray(path, dtype=np.float64)
         wkb = _wkb.encode_linestring(coords)
-        import zlib
+        import hashlib
+
+        from ..geo.kernel import poslist_str
 
         # content hash replacing SERIAL (SURVEY.md §1.3): stable across
-        # runs/retries, fits in positive int64
-        pid = ((zlib.crc32(
-            f"{prev_ifopt}|{to_ifopt}|{prev_type}|{to_type}".encode()
-        ) & 0x7FFFFFFF) << 32) | zlib.crc32(wkb)
+        # runs/retries, fits in positive int64. md5 over the link's TEXT
+        # content (endpoints + the canonical fixed-8dp posList) rather
+        # than the WKB bytes, so the driver's DuckDB oracle can derive
+        # the same id in plain SQL (('0x'||substr(md5(k),1,15))::BIGINT)
+        pid = int(
+            hashlib.md5(
+                f"{prev_ifopt}|{to_ifopt}|{prev_type}|{to_type}|"
+                f"{poslist_str(coords)}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
         links.append(
             (int(pid), relation_id, prev_ifopt, to_ifopt, prev_type, to_type,
              float(lvl_delta), wkb)
@@ -349,14 +358,23 @@ def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows.append(
             ("ref", r[0], None, None, None, None, None, None, None, None, r[1], r[2])
         )
-    return pd.DataFrame(
+    # dtype=object at construction: mixed int/None columns otherwise
+    # coerce to float64 IMMEDIATELY, silently rounding int64 ids above
+    # 2^53 (the 60-bit content-hash path ids!) before any cast could
+    # save them; Int64 from object keeps them exact for Arrow
+    out = pd.DataFrame(
         rows,
         columns=[
             "kind", "path_id", "stop_area_relation_id", "from_ifopt", "to_ifopt",
             "from_type", "to_type", "level", "geom", "node_id", "osm_type",
             "osm_id",
         ],
+        dtype=object,
     )
+    for c in ("path_id", "stop_area_relation_id", "node_id", "osm_id"):
+        out[c] = out[c].astype("Int64")
+    out["level"] = out["level"].astype("float64")
+    return out
 
 
 _TALL_SCHEMA = (

@@ -254,12 +254,18 @@ def path_links_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stop_area_relation_id", "from_ifopt", "to_ifopt")
 
 
-@register("netex_stop_places_xml", None)
+from .netex_oracle import build_netex_oracle_sql
+
+
+@register("netex_stop_places_xml", build_netex_oracle_sql())
 def netex_stop_places_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full export DAG to per-stop-place NeTEx XML fragments (ref
-    stop_places.sql:1325-1449 + export.sql). Returns (relation_id,
-    n_chars, n_quays) — stable scalars derived from the XML so the
-    rows-only check is meaningful and deterministic."""
+    """Full export DAG to the per-stop-place NeTEx document (ref
+    stop_places.sql:1325-1449 + export.sql:5-44) — the engine's actual
+    deliverable, value-hash gated BYTE-FOR-BYTE: the oracle
+    (queries/netex_oracle.py) rebuilds the complete XML string per
+    relation (quays/entrances/access spaces/path links, DELFI key
+    lists, levels, centroids, content-hash link ids) from the
+    closed-form world in plain DuckDB SQL."""
     from ..pipeline import export as ex_mod
 
     st = _stages(spark, sf_dir)
@@ -282,13 +288,7 @@ def netex_stop_places_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     xml = ex_mod.xml_stop_places(ed)
-    return xml.select(
-        "relation_id",
-        F.length("xml").alias("n_chars"),
-        (F.length("xml") - F.length(F.replace("xml", F.lit("<Quay "), F.lit(""))))
-        .cast("long")
-        .alias("quay_tag_chars"),
-    ).orderBy("relation_id")
+    return xml.select("relation_id", "xml").orderBy("relation_id")
 
 
 @register("access_spaces_pipeline", _ACCESS_SQL)
@@ -334,8 +334,8 @@ def export_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural gate on the export assembly (ref stop_places.sql:
     1290-1320 export_data): element counts per (stop place, category)
     after the full 4-way union + area join, checked against the world's
-    closed forms. The XML rendering itself stays pytest-checked
-    (netex_stop_places_xml rows-only)."""
+    closed forms (the XML rendering itself is byte-gated by
+    netex_stop_places_xml)."""
     from ..pipeline import export as ex_mod
 
     st = _stages(spark, sf_dir)
