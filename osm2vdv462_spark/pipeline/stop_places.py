@@ -66,7 +66,6 @@ def platforms_split(pww: DataFrame, platforms_edges: DataFrame) -> DataFrame:
         left_wkb="geom",
         right_id="_ek",
         right_wkb="geom",
-        res=16,
         predicate="touches",
     )
 
@@ -125,7 +124,6 @@ def platforms_merged(split: DataFrame) -> DataFrame:
         left_wkb="geom",
         right_id="dst",
         right_wkb="geom",
-        res=16,
         predicate="intersects",
     )
     comp = connected_components(

@@ -72,3 +72,45 @@ class TestSkew:
         counts = [r["count"] for r in per_key]
         assert len(counts) == 8  # hot cell split into 8 shuffle keys
         assert max(counts) < top["count"] * 0.25  # no residual hot key
+
+class TestTouchesJoinPlanShape:
+    def test_dedup_exchange_carries_ids_only(self, spark):
+        """The pair dedup must run AFTER the exact predicate, so its
+        Exchange carries only (left_id, right_id) — never the WKB
+        payloads (VERDICT r2: at 100x scale the polygon blobs are the
+        dominant byte volume of a dedup-before-predicate plan)."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from osm2vdv462_spark.geo import wkb as _wkb
+        from osm2vdv462_spark.operators.spatial_join import touches_join
+
+        def rect(cx, cy, w=1e-4, h=1e-4):
+            return bytearray(_wkb.encode_polygon([np.array([
+                [cx - w, cy - h], [cx + w, cy - h], [cx + w, cy + h],
+                [cx - w, cy + h], [cx - w, cy - h]])]))
+
+        rows = [Row(gid=i, geom=rect(11.5 + i * 1e-4, 48.1)) for i in range(6)]
+        df = spark.createDataFrame(rows, "gid long, geom binary")
+        out = touches_join(
+            df.select(F.col("gid").alias("a"), "geom"),
+            df.select(F.col("gid").alias("b"), "geom"),
+            left_id="a", left_wkb="geom", right_id="b", right_wkb="geom",
+            predicate="intersects",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every hashpartitioning over the id pair must hash a 2-column
+        # stream (the mapInPandas output), and no Exchange line may
+        # mention a wkb column
+        import re
+
+        dedup_ex = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning(a#" in ln.replace(" ", "")
+            or re.search(r"Exchange hashpartitioning\(a#\d+L?, b#\d+", ln)
+        ]
+        assert dedup_ex, plan
+        assert all("wkb" not in ln and "geom" not in ln for ln in dedup_ex), dedup_ex
+        # correctness: each rect intersects itself + neighbors
+        got = {(r["a"], r["b"]) for r in out.collect()}
+        assert (0, 0) in got and (0, 1) in got and (0, 5) not in got
