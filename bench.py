@@ -35,6 +35,7 @@ HEADLINE = [
     "embedding_top1",
     "image_integrity",
     "fused_assign_codegen",
+    "netex_stop_places_xml",
 ]
 
 
@@ -58,17 +59,31 @@ def _force(df) -> int:
     return 0
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(
+    spark, sf_dir: str, reps: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(median-of-reps, cold-first-run) seconds per headline query.
+    Serialized medians: this box's page-fault weather inflates single
+    runs 2-3x (BENCH/BASELINE.md), so one-shot timings flagged six
+    phantom regressions in round 2. netex_stop_places_xml memoizes its
+    stage DAG per session, so only its cold time is meaningful (reps=1).
+    """
     from osm2vdv462_spark import queries as q
 
-    qs = q.queries()
-    out: dict[str, float] = {}
+    qs = {**q.queries(), **q.extra_queries()}
+    med: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        times = []
+        n = 1 if name == "netex_stop_places_xml" else reps
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        cold[name] = round(times[0], 3)
+        med[name] = round(sorted(times)[len(times) // 2], 3)
+    return med, cold
 
 
 def flagship_throughput(spark, sf_dir: str) -> tuple[float, int]:
@@ -440,8 +455,9 @@ def main() -> None:
     # warm-up: tiny end-to-end pass so JIT/Arrow setup isn't billed to q1
     flagship_throughput(spark, "/root/testdata/sf0.001")
     t_total0 = time.perf_counter()
-    queries = run_queries(spark, sf_dir)
-    total = round(time.perf_counter() - t_total0, 3)
+    queries, queries_cold = run_queries(spark, sf_dir)
+    total = round(sum(queries.values()), 3)
+    wall_3rep = round(time.perf_counter() - t_total0, 3)
     tp, n_points = flagship_throughput(spark, sf_dir)
     tp_cg = flagship_throughput_codegen(spark, sf_dir)
     tp_cg_warm = flagship_throughput_codegen_warm(spark, sf_dir)
@@ -453,6 +469,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_cold_first_run": queries_cold,
+                "bench_wall_3rep_sec": wall_3rep,
+                "note": "queries = serialized median of 3 (r2 verdict:"
+                " one-shot timings tracked page-fault weather, not code)",
                 "sf": sf,
                 "flagship_points_per_sec": round(tp, 1),
                 "flagship_codegen_points_per_sec": round(tp_cg, 1),
