@@ -270,24 +270,38 @@ def netex_stop_places_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _stages(spark, sf_dir)
     w = st["world"]
-    facc = sp.final_access_spaces(st["access"], w["pois"]).localCheckpoint(eager=True)
-    fspl = routing.final_site_path_links(
-        st["links"], st["refs"], w["highways"]
-    ).localCheckpoint(eager=True)
-    spo = ex_mod.stop_places_with_organisations(w["stop_areas"], w["organisations"])
-    spg = ex_mod.stop_places_with_geometry(
-        spo, w["stop_areas_members_ref"], w["platforms"]
-    )
-    fsp = ex_mod.final_stop_places(spg, st["fq"], st["fe"], facc).localCheckpoint(
-        eager=True
-    )
-    # the XML build is a very large expression tree (DELFI ladders inline
-    # the parsers many times); cutting lineage here keeps the optimizer +
-    # codegen within a default-sized (1g) driver heap
-    ed = ex_mod.export_data(fsp, st["fq"], st["fe"], facc, fspl).localCheckpoint(
-        eager=True
-    )
-    xml = ex_mod.xml_stop_places(ed)
+    # same small-parallelism scoping as _stages: the export phase runs
+    # ~6 eager jobs on a town-sized world — under the driver's plain
+    # session (200 shuffle partitions) task scheduling, not work,
+    # dominates. Every stage ends in an eager localCheckpoint, so the
+    # setting never leaks past this function.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        facc = sp.final_access_spaces(st["access"], w["pois"]).localCheckpoint(
+            eager=True
+        )
+        fspl = routing.final_site_path_links(
+            st["links"], st["refs"], w["highways"]
+        ).localCheckpoint(eager=True)
+        spo = ex_mod.stop_places_with_organisations(
+            w["stop_areas"], w["organisations"]
+        )
+        spg = ex_mod.stop_places_with_geometry(
+            spo, w["stop_areas_members_ref"], w["platforms"]
+        )
+        fsp = ex_mod.final_stop_places(spg, st["fq"], st["fe"], facc).localCheckpoint(
+            eager=True
+        )
+        # the XML build is a very large expression tree (DELFI ladders
+        # inline the parsers many times); cutting lineage here keeps the
+        # optimizer + codegen within a default-sized (1g) driver heap
+        ed = ex_mod.export_data(fsp, st["fq"], st["fe"], facc, fspl).localCheckpoint(
+            eager=True
+        )
+        xml = ex_mod.xml_stop_places(ed).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return xml.select("relation_id", "xml").orderBy("relation_id")
 
 
