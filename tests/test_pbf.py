@@ -1,0 +1,118 @@
+"""Real .osm.pbf scan (sources/pbf.py) against the reference's own
+example extracts — the ingest stage the reference feeds to osm2pgsql
+(main.lua:12-35), decoded from scratch from the public PBF format."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2vdv462_spark.sources import pbf
+
+TU = "/root/reference/example_data/tu-campus_technopark.osm.pbf"
+CHEMNITZ = "/root/reference/example_data/chemnitz-bernsdorf.osm.pbf"
+
+
+@pytest.fixture(scope="module")
+def tu_df(spark):
+    return pbf.read_pbf(spark, TU).cache()
+
+
+class TestPbfScan:
+    def test_counts_and_types(self, tu_df):
+        counts = {
+            r["element_type"]: r["count"]
+            for r in tu_df.groupBy("element_type").count().collect()
+        }
+        # real-extract invariants: nodes >> ways >> relations
+        assert counts["node"] > counts["way"] > counts["relation"] > 0
+
+    def test_coordinates_are_chemnitz(self, tu_df):
+        r = tu_df.filter(F.col("element_type") == "node").agg(
+            F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+        ).collect()[0]
+        assert 12.8 < r[0] <= r[1] < 13.0   # TU Chemnitz campus
+        assert 50.7 < r[2] <= r[3] < 50.9
+
+    def test_ids_unique_per_type(self, tu_df):
+        n = tu_df.count()
+        assert tu_df.select("element_type", "osm_id").distinct().count() == n
+
+    def test_real_transit_tags(self, tu_df):
+        pt = tu_df.filter(F.element_at("tags", "public_transport").isNotNull())
+        vals = {
+            r[0]
+            for r in pt.select(
+                F.element_at("tags", "public_transport")
+            ).distinct().collect()
+        }
+        assert {"platform", "stop_position", "stop_area"} <= vals
+
+    def test_relation_members_resolve(self, tu_df, spark):
+        """stop_area members must reference nodes/ways that exist in the
+        extract (spot-check on node members — extracts clip ways less
+        consistently)."""
+        sa = tu_df.filter(
+            (F.col("element_type") == "relation")
+            & (F.element_at("tags", "public_transport") == "stop_area")
+        )
+        assert sa.count() >= 5
+        members = sa.select(
+            F.explode(F.arrays_zip("member_types", "member_refs")).alias("m")
+        ).select(
+            F.col("m.member_types").alias("mt"), F.col("m.member_refs").alias("mr")
+        )
+        node_members = members.filter(F.col("mt") == "node")
+        nodes = tu_df.filter(F.col("element_type") == "node").select(
+            F.col("osm_id").alias("mr")
+        )
+        n_mem = node_members.count()
+        n_resolved = node_members.join(nodes, "mr").count()
+        assert n_mem > 0 and n_resolved / n_mem > 0.9
+
+    def test_way_refs_nonempty(self, tu_df):
+        ways = tu_df.filter(F.col("element_type") == "way")
+        n = ways.count()
+        # the extract is bbox-clipped: a few boundary ways keep a single
+        # node; every way must still carry >=1 decoded ref and >=95%
+        # the usual >=2
+        assert ways.filter(F.size("refs") < 1).count() == 0
+        assert ways.filter(F.size("refs") >= 2).count() / n > 0.95
+
+    def test_partition_invariance(self, spark):
+        a = pbf.read_pbf(spark, TU, partitions=1)
+        b = pbf.read_pbf(spark, TU, partitions=3)
+        ka = sorted((r[0], r[1]) for r in a.select("element_type", "osm_id").collect())
+        kb = sorted((r[0], r[1]) for r in b.select("element_type", "osm_id").collect())
+        assert ka == kb
+
+
+class TestPbfDispatch:
+    def test_dispatch_on_real_extract(self, spark, tu_df):
+        """S1 end-to-end on real data: the scan feeds the first-match
+        dispatch; counts must agree with direct tag filters."""
+        from osm2vdv462_spark.pipeline.extract import dispatch
+
+        out = dispatch(pbf.elements_for_dispatch(tu_df)).cache()
+        by_table = {
+            r["target_table"]: r["count"]
+            for r in out.groupBy("target_table").count().collect()
+        }
+        ifopt_platforms = tu_df.filter(
+            F.element_at("tags", "ref:IFOPT").isNotNull()
+            & (
+                F.element_at("tags", "public_transport").isin("platform")
+                | F.element_at("tags", "highway").isin("platform")
+                | F.element_at("tags", "railway").isin("platform")
+            )
+        ).count()
+        assert by_table.get("platforms", 0) == ifopt_platforms > 0
+        assert by_table.get("stop_areas", 0) > 0
+        # first-match: nothing lands in two tables (one row per element)
+        assert out.count() == tu_df.count()
+
+    def test_chemnitz_bernsdorf_scale(self, spark):
+        df = pbf.read_pbf(spark, CHEMNITZ)
+        assert df.count() > 50_000
+        sa = df.filter(
+            F.element_at("tags", "public_transport") == "stop_area"
+        ).count()
+        assert sa >= 50
