@@ -23,7 +23,11 @@ import xml.etree.ElementTree as ET
 import pandas as pd
 from pyspark.sql import DataFrame
 
-_REQ_QUAY = ("Name", "Centroid", "LevelRef", "QuayType")
+# Name is OPTIONAL on StopPlace/Quay in the NeTEx XSD (real extracts
+# contain unnamed stop areas); the engine guarantees a fallback Name
+# for Entrance ("Eingang") and AccessSpace ("Zwischenpunkt"), so it IS
+# required there.
+_REQ_QUAY = ("Centroid", "LevelRef", "QuayType")
 _REQ_ENTRANCE = ("Name", "Centroid", "LevelRef", "EntranceType")
 _REQ_ACCESS = ("Name", "Centroid", "LevelRef")
 _REQ_LINK = ("Distance", "From", "To", "TransferDuration")
@@ -60,8 +64,6 @@ def validate_stop_place_element(root) -> list[str]:
         errs.append("StopPlace missing id attribute")
     if root.get("version") is None:
         errs.append("StopPlace missing version attribute")
-    if root.find("Name") is None:
-        errs.append("StopPlace missing Name")
     cen = root.find("Centroid/Location")
     if cen is None or cen.find("Longitude") is None or cen.find("Latitude") is None:
         errs.append("StopPlace missing Centroid/Location lon+lat")
