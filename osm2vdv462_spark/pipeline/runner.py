@@ -24,11 +24,36 @@ def run_full_pipeline(
     n_areas: int = 4,
     seed: int = 42,
     timestamp: str = "2024-01-01T00:00:00",
+    pbf_path: str | None = None,
 ) -> dict:
-    """Returns {'document': path, 'stats': per-stage stats dict}."""
+    """Returns {'document': path, 'stats': per-stage stats dict}.
+
+    ``pbf_path``: ingest from a REAL .osm.pbf extract (sources/pbf.py
+    scan + dispatch + way-geometry assembly) instead of the synthetic
+    world — the reference's production scenario; organisations then
+    start empty (supply the CSV source separately if available)."""
     os.makedirs(workdir, exist_ok=True)
     ck = StageCheckpoint(spark, workdir)
-    gen = {"generator": f"world:n={n_areas}:seed={seed}"}
+    if pbf_path is not None:
+        gen = {"generator": f"pbf:{os.path.abspath(pbf_path)}"}
+
+        def _source(name):
+            from . import osm_world
+
+            if name == "organisations":
+                return spark.createDataFrame(
+                    [],
+                    "id string, label string, alternatives string,"
+                    " official_name string, short_name string,"
+                    " website string, email string, phone string,"
+                    " address string, type string",
+                )
+            return osm_world.world_from_pbf(spark, pbf_path)[name]
+    else:
+        gen = {"generator": f"world:n={n_areas}:seed={seed}"}
+
+        def _source(name):
+            return world_dfs(spark, n_areas, seed)[name]
 
     world = {}
 
@@ -36,7 +61,7 @@ def run_full_pipeline(
         # world tables materialized once (the 'osm2pgsql ingest' stage)
         if name not in world:
             world[name] = ck.materialize(
-                f"world_{name}", lambda: world_dfs(spark, n_areas, seed)[name], gen
+                f"world_{name}", lambda: _source(name), gen
             )
         return world[name]
 
@@ -45,6 +70,8 @@ def run_full_pipeline(
         "entrances", "pois", "highways", "parking", "organisations",
     ]:
         w(t)
+    if pbf_path is not None:
+        spark.catalog.clearCache()  # the raw scan cache served its purpose
 
     dep = lambda *names: {n: ck.snapshot_of(f"world_{n}") for n in names}
 

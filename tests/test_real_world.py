@@ -116,3 +116,20 @@ class TestRealPipeline:
         assert len(res) >= 40  # 45 member-bearing stop areas in the extract
         bad = [(r["relation_id"], r["errors"]) for r in res if not r["ok"]]
         assert not bad, bad[:3]
+
+
+class TestRunnerOnPbf:
+    def test_checkpointed_runner_real_extract(self, spark, tmp_path):
+        """spark-submit entry body on a real extract: scan -> full DAG ->
+        assembled PublicationDelivery (validates clean), and a rerun
+        resumes from the per-stage manifests without recompute."""
+        from osm2vdv462_spark.pipeline.runner import run_full_pipeline
+
+        pbf = "/root/reference/example_data/tu-campus_technopark.osm.pbf"
+        out = run_full_pipeline(spark, str(tmp_path / "run"), pbf_path=pbf)
+        doc = open(out["document"]).read()
+        assert V.validate_document(doc) == []
+        assert "de:14511:" in doc  # genuine Chemnitz IFOPTs in the output
+        out2 = run_full_pipeline(spark, str(tmp_path / "run"), pbf_path=pbf)
+        stats = out2["stats"]
+        assert all(v.get("skipped") for v in stats.values()), stats
