@@ -46,12 +46,18 @@ def register_extra(name: str, oracle: str | None):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The gate registry, hard-capped at GATE_BUDGET entries (insertion
+    order — the same order the driver truncates at). Never raises: an
+    over-budget registry must degrade to the first 50, not kill the
+    whole gate; tests/test_oracle_parity.py asserts the exact count so
+    over-registration still fails CI."""
     _load_all()
-    assert len(REGISTRY) <= GATE_BUDGET, (
-        f"driver gate runs only the first {GATE_BUDGET} registered queries "
-        f"({len(REGISTRY)} registered) — demote variants to register_extra"
-    )
-    return {k: v[0] for k, v in REGISTRY.items()}
+    out = {}
+    for k, v in REGISTRY.items():
+        if len(out) >= GATE_BUDGET:
+            break
+        out[k] = v[0]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
