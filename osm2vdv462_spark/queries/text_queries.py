@@ -49,6 +49,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                 AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                AS BIGINT) AS n_tokens_bpe,
            CAST(length(text) AS BIGINT) AS n_chars_exact,
            CAST(round(-list_sum(list_transform(dist,
                 c -> (len(list_filter(cs, x -> x = c)) / tot)
@@ -58,13 +61,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) + length + character-level
-    Shannon entropy (gibberish / compressibility signal) — text-analysis
-    primitives for quality filtering, all per-row JVM expressions with NO
-    shuffle (the 10^12-doc cost shape; char_entropy in the extra tier is
-    the shuffle formulation of the same entropy, oracle-checked in
-    pytest). Entropy sums over SORTED distinct chars so the float
-    addition order is pinned across engines."""
+    """Token counting (whitespace tokenizer AND a GPT-2-style BPE
+    pretokenizer regex — the task brief's two counting modes) + length +
+    character-level Shannon entropy (gibberish / compressibility
+    signal) — text-analysis primitives for quality filtering, all
+    per-row JVM expressions with NO shuffle (the 10^12-doc cost shape;
+    char_entropy in the extra tier is the shuffle formulation of the
+    same entropy, oracle-checked in pytest). Entropy sums over SORTED
+    distinct chars so the float addition order is pinned across
+    engines; the pretokenizer pattern stays in the subset where Java
+    regex and RE2 agree (verified match-count-exact on the corpus)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = d.select(
@@ -84,9 +90,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, c: acc + (n_c(c) / F.col("tot")) * F.log(n_c(c) / F.col("tot")),
     )
+    bpe_pat = (
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
     return base.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(bpe_pat)).cast("long").alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_exact"),
         F.round(ent, 4).alias("entropy_nats"),
     )
