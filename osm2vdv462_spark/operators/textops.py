@@ -154,3 +154,62 @@ def fingerprint_match_pairs(
         .filter(F.col("shared_fps") >= min_shared)
     )
     return pairs
+
+
+def bigram_lm_scores(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CCNet-style n-gram LM quality scoring: train a bigram model on
+    the corpus itself, score each document by its per-bigram
+    cross-entropy under that model (low = typical corpus text, high =
+    outlier/gibberish — the filtering signal CCNet computes with a
+    pretrained KenLM; here the model trains in the same job).
+
+    Scale shape: token/bigram counting is one partial-aggregated
+    shuffle each; scoring is a shuffle join on the compact (w1, w2) key
+    (at corpus scale the model tables are the small side and broadcast).
+    Floats: each term -log2((c12+0.5)/(c1+0.5V)) is computed from
+    integer counts identically on any engine; the per-doc sum runs in
+    DECIMAL(38,18) so it is independent of addition order, divided and
+    rounded at the end (4 dp).
+
+    Returns (id_col, n_bigrams, xent) for docs with >= 2 tokens.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("w1"),
+                    F.element_at("toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = pairs.select(F.col("w2").alias("w")).union(
+        pairs.select("w1")
+    ).distinct().count()
+
+    term = -F.log2(
+        (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * float(vocab))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"]).join(uni, "w1")
+        .select(id_col, term.cast("decimal(38,18)").alias("t"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("t").alias("s"))
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            (F.col("s").cast("double") / F.col("n_bigrams")), 4
+        ).alias("xent"),
+    )

@@ -768,3 +768,42 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return sessionize_batch(e, 360).orderBy("user_id", "session_start")
+
+
+_BIGRAM_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM base, unnest(range(0, len(toks) - 1)) AS u(i)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+v AS (SELECT count(*) AS vocab FROM
+      (SELECT w2 AS w FROM pairs UNION SELECT w1 FROM pairs)),
+scored AS (
+  SELECT p.doc_id,
+         CAST(-log2((big.c12 + 0.5) / (uni.c1 + 0.5 * v.vocab))
+              AS DECIMAL(38,18)) AS term
+  FROM pairs p JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS DOUBLE)
+         AS xent
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register_extra("bigram_lm_score", _BIGRAM_LM_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/textops.py::
+    bigram_lm_scores): self-trained bigram model, per-doc cross-entropy
+    with add-0.5 smoothing; DECIMAL term sums keep the float pipeline
+    order-independent across engines."""
+    from ..operators.textops import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).orderBy("doc_id")
