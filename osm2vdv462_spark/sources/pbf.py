@@ -162,7 +162,27 @@ def _decode_primitive_block(block: bytes) -> list[tuple]:
 
     for g in groups:
         for fno, wt, v in _fields(g):
-            if fno == 2 and wt == 2:  # DenseNodes
+            if fno == 1 and wt == 2:  # plain (non-dense) Node
+                nid, keys, vals, nlat, nlon = 0, (), (), 0, 0
+                for f2, w2, p in _fields(v):
+                    if f2 == 1:
+                        nid = _unzigzag(np.array([p], np.int64))[0]
+                    elif f2 == 2:
+                        keys = decode_packed_varints(p)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(p)
+                    elif f2 == 8:
+                        nlat = _unzigzag(np.array([p], np.int64))[0]
+                    elif f2 == 9:
+                        nlon = _unzigzag(np.array([p], np.int64))[0]
+                tags = {
+                    strings[k]: strings[x] for k, x in zip(keys, vals)
+                } or None
+                rows.append(
+                    ("node", int(nid), coord(lon_off, int(nlon)),
+                     coord(lat_off, int(nlat)), tags, None, None, None, None)
+                )
+            elif fno == 2 and wt == 2:  # DenseNodes
                 ids = lats = lons = None
                 kv = np.empty(0, np.int64)
                 for f2, w2, p in _fields(v):

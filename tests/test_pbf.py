@@ -116,3 +116,67 @@ class TestPbfDispatch:
             F.element_at("tags", "public_transport") == "stop_area"
         ).count()
         assert sa >= 50
+
+
+class TestWireFormat:
+    """Hand-encoded protobuf blobs exercise paths the reference
+    fixtures don't use (plain non-dense Nodes, raw uncompressed
+    payloads)."""
+
+    @staticmethod
+    def _vi(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    @classmethod
+    def _field(cls, fno, wire, payload):
+        key = cls._vi((fno << 3) | wire)
+        if wire == 0:
+            return key + cls._vi(payload)
+        return key + cls._vi(len(payload)) + payload
+
+    @classmethod
+    def _zz(cls, n):
+        return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+    def test_plain_node_and_raw_blob(self, tmp_path):
+        import struct
+
+        from osm2vdv462_spark.sources import pbf
+
+        f = self._field
+        vi = self._vi
+        st = f(1, 2, b"") + f(1, 2, b"name") + f(1, 2, b"Plain Stop")
+        node = (
+            f(1, 0, self._zz(4242))          # id sint64
+            + f(2, 2, vi(1))                  # keys: [1]
+            + f(3, 2, vi(2))                  # vals: [2]
+            + f(8, 0, self._zz(508100000))   # lat raw (gran 100 -> 50.81)
+            + f(9, 0, self._zz(129200000))   # lon raw -> 12.92
+        )
+        group = f(1, 2, node)
+        block = f(1, 2, st) + f(2, 2, group)
+        blob = f(1, 2, block)  # raw (uncompressed) payload, field 1
+        hdr = f(1, 2, b"OSMData") + f(3, 0, len(blob))
+        path = tmp_path / "tiny.osm.pbf"
+        with open(path, "wb") as fh:
+            fh.write(struct.pack(">I", len(hdr)) + hdr + blob)
+
+        descs = pbf.scan_blob_descriptors(str(path))
+        assert descs == [(4 + len(hdr), len(blob), "OSMData")]
+        with open(path, "rb") as fh:
+            fh.seek(descs[0][0])
+            raw = fh.read(descs[0][1])
+        rows = pbf._decode_primitive_block(pbf._blob_payload(raw))
+        assert len(rows) == 1
+        t, oid, lon, lat, tags = rows[0][:5]
+        assert (t, oid) == ("node", 4242)
+        assert abs(lon - 12.92) < 1e-9 and abs(lat - 50.81) < 1e-9
+        assert tags == {"name": "Plain Stop"}
