@@ -295,15 +295,27 @@ _COLS = [
 
 
 def read_pbf(
-    spark: SparkSession, path: str, partitions: int | None = None
+    spark: SparkSession,
+    path: str | list[str],
+    partitions: int | None = None,
 ) -> DataFrame:
-    """Distributed scan of one .osm.pbf: blob descriptors (driver
+    """Distributed scan of .osm.pbf input: blob descriptors (driver
     metadata walk) -> one task per blob batch decoding its byte
-    ranges."""
-    path = os.path.abspath(path)
+    ranges. ``path`` may be one file, a glob, or a list (planet-scale
+    OSM data ships sharded; blobs from all files pool into one
+    descriptor list, so task balancing is file-agnostic)."""
+    import glob as _glob
+
+    if isinstance(path, str):
+        paths = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+    else:
+        paths = list(path)
+    if not paths:
+        raise FileNotFoundError(f"no .pbf input matches {path!r}")
     descs = [
-        (path, off, size)
-        for off, size, btype in scan_blob_descriptors(path)
+        (os.path.abspath(p), off, size)
+        for p in paths
+        for off, size, btype in scan_blob_descriptors(os.path.abspath(p))
         if btype == "OSMData"
     ]
     if partitions is None:

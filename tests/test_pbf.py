@@ -180,3 +180,17 @@ class TestWireFormat:
         assert (t, oid) == ("node", 4242)
         assert abs(lon - 12.92) < 1e-9 and abs(lat - 50.81) < 1e-9
         assert tags == {"name": "Plain Stop"}
+
+    def test_multi_file_scan(self, spark):
+        """Sharded input: a glob over two extracts pools their blobs."""
+        df = pbf.read_pbf(
+            spark,
+            ["/root/reference/example_data/tu-campus_technopark.osm.pbf",
+             "/root/reference/example_data/magdeburg-hbf.pbf"],
+        )
+        n = df.count()
+        a = pbf.read_pbf(spark, TU).count()
+        b = pbf.read_pbf(
+            spark, "/root/reference/example_data/magdeburg-hbf.pbf"
+        ).count()
+        assert n == a + b
