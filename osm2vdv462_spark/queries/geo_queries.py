@@ -345,3 +345,51 @@ def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quay_id",
         F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
     )
+
+
+_ZONAL_ORACLE = """
+WITH o AS (SELECT n_nationkey AS k,
+        -0.2 + 0.1 * (n_nationkey % 5) AS cx,
+        -0.2 + 0.1 * (n_nationkey // 5) AS cy FROM nation),
+tx AS (SELECT k, cx, cy, unnest(range(
+        CAST(floor((cx - 0.0299 + 180.0) / 360.0 * 8192) AS BIGINT),
+        CAST(floor((cx + 0.0299 + 180.0) / 360.0 * 8192) AS BIGINT) + 1))
+          AS ix FROM o),
+txy AS (SELECT *, unnest(range(
+        CAST(floor((cy - 0.0299 + 90.0) / 180.0 * 4096) AS BIGINT),
+        CAST(floor((cy + 0.0299 + 90.0) / 180.0 * 4096) AS BIGINT) + 1))
+          AS iy FROM tx),
+cellz AS (SELECT k, cx, cy, ix, iy,
+        (CAST(12 AS BIGINT) << 57) | (ix << 28) | iy AS cell FROM txy),
+pix AS (SELECT *, unnest(range(0, 16)) AS i FROM cellz),
+pxy AS (SELECT *, unnest(range(0, 16)) AS j FROM pix),
+pts AS (SELECT k, cell, i, j, cx, cy,
+        -180.0 + (ix + (j + 0.5) / 16) * 360.0 / 8192 AS lon,
+        -90.0 + (iy + (i + 0.5) / 16) * 180.0 / 4096 AS lat FROM pxy),
+inside AS (SELECT k, cell, i, j FROM pts
+           WHERE abs(lon - cx) < 0.0299 AND abs(lat - cy) < 0.0299
+             AND abs(lon - cx) + abs(lat - cy) < 0.0451),
+v AS (SELECT k, (j * 7 + i * 11 + (cell % 9973) * 13) % 256 AS val
+      FROM inside)
+SELECT k AS relation_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) AS BIGINT) AS sum_v,
+       CAST(round(CAST(sum(val) AS DOUBLE) / count(*), 4) AS DOUBLE)
+         AS mean_v
+FROM v GROUP BY k ORDER BY k
+"""
+
+
+@register_extra("zonal_stats_octagons", _ZONAL_ORACLE)
+def zonal_stats_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: zonal statistics of a synthetic tile raster
+    (res 12, 16x16 px, closed-form band) over the stop-area octagons —
+    the north rule's raster<->vector capability through the oracle
+    standard. One raster scan; vector side broadcast through the cell
+    equi-join; the oracle re-derives tiles, pixel centers, the exact
+    octagon PIP algebra and the band values in SQL."""
+    from ..operators.raster import synth_tile_table, zonal_stats
+
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    tiles = synth_tile_table(polys, res=12, px=16)
+    return zonal_stats(tiles, polys, res=12, px=16).orderBy("relation_id")
