@@ -32,7 +32,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # --------------------------------------------------------- wire format
 
@@ -362,3 +362,179 @@ def elements_for_dispatch(pbf_df: DataFrame) -> DataFrame:
             F.col("tags"), F.create_map().cast("map<string,string>")
         ).alias("tags"),
     )
+
+
+# ----------------------------------------------------------------- sink
+
+
+def _enc_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_field(fno: int, wire: int, payload) -> bytes:
+    key = _enc_varint((fno << 3) | wire)
+    if wire == 0:
+        return key + _enc_varint(payload)
+    return key + _enc_varint(len(payload)) + payload
+
+
+def _zig(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _enc_packed(vals) -> bytes:
+    return b"".join(_enc_varint(int(v)) for v in vals)
+
+
+def _encode_primitive_block(rows: list[tuple]) -> bytes:
+    """Element tuples (reader layout) -> one PrimitiveBlock with its own
+    string table; nodes emit as DenseNodes (zigzag deltas), ways and
+    relations with packed key/val/ref/member streams."""
+    strings: dict[str, int] = {"": 0}
+
+    def sid(s: str) -> int:
+        if s not in strings:
+            strings[s] = len(strings)
+        return strings[s]
+
+    nodes = [r for r in rows if r[0] == "node"]
+    groups = b""
+    if nodes:
+        ids, lats, lons, kv = [], [], [], []
+        pid = plat = plon = 0
+        for r in nodes:
+            ids.append(_zig(r[1] - pid))
+            rlat = int(round(r[3] * 1e7))  # granularity 100, 1e-9 base
+            rlon = int(round(r[2] * 1e7))
+            lats.append(_zig(rlat - plat))
+            lons.append(_zig(rlon - plon))
+            pid, plat, plon = r[1], rlat, rlon
+            for k, v in (r[4] or {}).items():
+                kv.extend((sid(k), sid(v)))
+            kv.append(0)
+        dense = (
+            _enc_field(1, 2, _enc_packed(ids))
+            + _enc_field(8, 2, _enc_packed(lats))
+            + _enc_field(9, 2, _enc_packed(lons))
+            + _enc_field(10, 2, _enc_packed(kv))
+        )
+        groups += _enc_field(2, 2, _enc_field(2, 2, dense))
+    for r in rows:
+        if r[0] == "way":
+            keys = [sid(k) for k in (r[4] or {})]
+            vals = [sid(v) for v in (r[4] or {}).values()]
+            deltas, prev = [], 0
+            for ref in r[5] or []:
+                deltas.append(_zig(ref - prev))
+                prev = ref
+            way = (
+                _enc_field(1, 0, r[1])
+                + _enc_field(2, 2, _enc_packed(keys))
+                + _enc_field(3, 2, _enc_packed(vals))
+                + _enc_field(8, 2, _enc_packed(deltas))
+            )
+            groups += _enc_field(2, 2, _enc_field(3, 2, way))
+        elif r[0] == "relation":
+            keys = [sid(k) for k in (r[4] or {})]
+            vals = [sid(v) for v in (r[4] or {}).values()]
+            tmap = {"node": 0, "way": 1, "relation": 2}
+            roles = [sid(x) for x in (r[8] or [])]
+            types = [tmap[x] for x in (r[6] or [])]
+            deltas, prev = [], 0
+            for m in r[7] or []:
+                deltas.append(_zig(m - prev))
+                prev = m
+            rel = (
+                _enc_field(1, 0, r[1])
+                + _enc_field(2, 2, _enc_packed(keys))
+                + _enc_field(3, 2, _enc_packed(vals))
+                + _enc_field(8, 2, _enc_packed(roles))
+                + _enc_field(9, 2, _enc_packed(deltas))
+                + _enc_field(10, 2, _enc_packed(types))
+            )
+            groups += _enc_field(2, 2, _enc_field(4, 2, rel))
+    st = b"".join(
+        _enc_field(1, 2, s.encode())
+        for s in sorted(strings, key=strings.get)
+    )
+    return _enc_field(1, 2, st) + groups
+
+
+def write_pbf(df: DataFrame, path: str) -> int:
+    """Write an element DataFrame (read_pbf layout) as .osm.pbf.
+
+    Spark-first: each partition encodes its elements into one
+    zlib-compressed Blob IN PARALLEL (mapInPandas emitting blob bytes);
+    the driver only concatenates framed blobs — per-blob string tables
+    make blobs independent, which is exactly why the format
+    parallelizes both ways. Elements are range-partitioned by
+    (type, id) so output is deterministic. Returns element count."""
+    order = {"node": 0, "way": 1, "relation": 2}
+    src = (
+        df.select(
+            F.when(F.col("element_type") == "node", 0)
+            .when(F.col("element_type") == "way", 1)
+            .otherwise(2)
+            .alias("_ord"),
+            "*",
+        )
+        .repartitionByRange(max(df.rdd.getNumPartitions(), 1), "_ord", "osm_id")
+        .sortWithinPartitions("_ord", "osm_id")
+        .drop("_ord")
+    )
+
+    def _enc(batches):
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    (
+                        r.element_type,
+                        int(r.osm_id),
+                        r.lon,
+                        r.lat,
+                        dict(r.tags) if r.tags is not None else None,
+                        list(r.refs) if r.refs is not None else None,
+                        list(r.member_types) if r.member_types is not None else None,
+                        [int(x) for x in r.member_refs] if r.member_refs is not None else None,
+                        list(r.member_roles) if r.member_roles is not None else None,
+                    )
+                )
+        if not rows:
+            return
+        block = _encode_primitive_block(rows)
+        blob = _enc_field(2, 0, len(block)) + _enc_field(
+            3, 2, zlib.compress(block)
+        )
+        first = min((order[r[0]], r[1]) for r in rows)
+        yield pd.DataFrame(
+            [(first[0], first[1], blob, len(rows))],
+            columns=["ord", "first_id", "blob", "n"],
+        )
+
+    parts = src.mapInPandas(
+        _enc, "ord int, first_id long, blob binary, n long"
+    ).collect()
+    parts.sort(key=lambda r: (r["ord"], r["first_id"]))
+    n_total = 0
+    with open(path, "wb") as fh:
+        header = _enc_field(4, 2, b"OsmSchema-V0.6") + _enc_field(
+            16, 2, b"osm2vdv462_spark"
+        )
+        hdr_blob = _enc_field(1, 2, header)
+        bh = _enc_field(1, 2, b"OSMHeader") + _enc_field(3, 0, len(hdr_blob))
+        fh.write(struct.pack(">I", len(bh)) + bh + hdr_blob)
+        for r in parts:
+            blob = bytes(r["blob"])
+            bh = _enc_field(1, 2, b"OSMData") + _enc_field(3, 0, len(blob))
+            fh.write(struct.pack(">I", len(bh)) + bh + blob)
+            n_total += r["n"]
+    return n_total

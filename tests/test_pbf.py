@@ -194,3 +194,31 @@ class TestWireFormat:
             spark, "/root/reference/example_data/magdeburg-hbf.pbf"
         ).count()
         assert n == a + b
+
+    def test_round_trip_real_extract(self, spark, tu_df, tmp_path):
+        """write_pbf(read_pbf(x)) == read_pbf(x): full-fidelity
+        round-trip of a real extract through the from-scratch encoder
+        (parallel per-partition blob encode, driver concatenates)."""
+        out = str(tmp_path / "roundtrip.osm.pbf")
+        n = pbf.write_pbf(tu_df, out)
+        assert n == tu_df.count()
+        back = pbf.read_pbf(spark, out)
+
+        def canon(df):
+            rows = {}
+            for r in df.collect():
+                rows[(r["element_type"], r["osm_id"])] = (
+                    None if r["lon"] is None else round(r["lon"], 7),
+                    None if r["lat"] is None else round(r["lat"], 7),
+                    dict(r["tags"]) if r["tags"] else None,
+                    list(r["refs"]) if r["refs"] else None,
+                    list(r["member_types"]) if r["member_types"] else None,
+                    list(r["member_refs"]) if r["member_refs"] else None,
+                    list(r["member_roles"]) if r["member_roles"] else None,
+                )
+            return rows
+
+        a, b = canon(tu_df), canon(back)
+        assert a.keys() == b.keys()
+        diff = [(k, a[k], b[k]) for k in a if a[k] != b[k]]
+        assert not diff, diff[:2]
