@@ -119,13 +119,27 @@ def scan_blob_descriptors(path: str) -> list[tuple[int, int, str]]:
     return out
 
 
+_BLOB_CODECS = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+
+
 def _blob_payload(raw: bytes) -> bytes:
-    data = b""
+    """Blob -> uncompressed PrimitiveBlock bytes. Only raw (field 1)
+    and zlib (field 3) are in-sandbox; any other compression (lzma /
+    bzip2 / lz4 / zstd, fields 4-7) raises rather than silently
+    yielding zero elements."""
+    data = None
     for fno, wt, v in _fields(raw):
         if fno == 1 and wt == 2:
             data = v
         elif fno == 3 and wt == 2:
             data = zlib.decompress(v)
+        elif fno in _BLOB_CODECS and wt == 2:
+            raise ValueError(
+                f"unsupported PBF Blob compression {_BLOB_CODECS[fno]!r}"
+                f" (field {fno}); only raw/zlib blobs are readable here"
+            )
+    if data is None:
+        raise ValueError("PBF Blob carries no raw or zlib payload")
     return data
 
 
@@ -301,13 +315,19 @@ def read_pbf(
 ) -> DataFrame:
     """Distributed scan of .osm.pbf input: blob descriptors (driver
     metadata walk) -> one task per blob batch decoding its byte
-    ranges. ``path`` may be one file, a glob, or a list (planet-scale
-    OSM data ships sharded; blobs from all files pool into one
-    descriptor list, so task balancing is file-agnostic)."""
+    ranges. ``path`` may be one file, a glob, a directory (e.g. a
+    sharded write_pbf output), or a list (planet-scale OSM data ships
+    sharded; blobs from all files pool into one descriptor list, so
+    task balancing is file-agnostic)."""
     import glob as _glob
 
     if isinstance(path, str):
-        paths = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+        if os.path.isdir(path):
+            paths = sorted(_glob.glob(os.path.join(path, "*.pbf")))
+        elif _glob.has_magic(path):
+            paths = sorted(_glob.glob(path))
+        else:
+            paths = [path]
     else:
         paths = list(path)
     if not paths:
@@ -365,6 +385,21 @@ def elements_for_dispatch(pbf_df: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------------------- sink
+#
+# The encoder mirrors the decoder's vectorization: packed varint
+# streams are emitted by a <=10-step numpy scatter (exact inverse of
+# decode_packed_varints), zigzag/delta are whole-array ops, and the
+# per-partition work ships compressed Blobs — never raw elements — to
+# the sink. Two write shapes:
+#   * sharded (the at-scale path): each task writes its own
+#     part-NNNNN.osm.pbf executor-side; nothing flows to the driver
+#     but per-part counts. read_pbf accepts the output directory.
+#   * single-file: framed blobs stream through toLocalIterator() one
+#     partition at a time (bounded driver memory), concatenated in
+#     range-partition order.
+# Blocks respect the PBF spec's limits: <=8000 elements and <=16 MiB
+# uncompressed per Blob (chunked inside each partition), and the
+# OSMHeader declares the required DenseNodes feature.
 
 
 def _enc_varint(n: int) -> bytes:
@@ -386,18 +421,95 @@ def _enc_field(fno: int, wire: int, payload) -> bytes:
     return key + _enc_varint(len(payload)) + payload
 
 
-def _zig(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+def encode_packed_varints(vals: np.ndarray) -> bytes:
+    """Vectorized inverse of decode_packed_varints: uint64 array ->
+    packed varint bytes via per-byte-position numpy scatter. Pass
+    count is bounded by the largest value's byte length (not a fixed
+    10); arrays too small to amortize numpy setup take a plain loop —
+    per-way ref lists are ~10 values, the dense-node streams are
+    thousands."""
+    u = np.ascontiguousarray(vals, np.uint64)
+    if not len(u):
+        return b""
+    if len(u) < 64:
+        out = bytearray()
+        for n in u.tolist():
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+    max_bytes = max(1, (int(u.max()).bit_length() + 6) // 7)
+    nb = np.ones(len(u), np.int64)
+    for k in range(1, max_bytes):
+        nb += (u >> np.uint64(7 * k)) != 0
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), np.uint8)
+    starts = ends - nb
+    for k in range(max_bytes):
+        live = nb > k
+        pos = starts[live] + k
+        byte = ((u[live] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[live] > k + 1).astype(np.uint8) << np.uint8(7)
+        out[pos] = byte | cont
+    return out.tobytes()
 
 
-def _enc_packed(vals) -> bytes:
-    return b"".join(_enc_varint(int(v)) for v in vals)
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zigzag (inverse of _unzigzag)."""
+    s = np.asarray(v, np.int64)
+    return (s.view(np.uint64) << np.uint64(1)) ^ (s >> np.int64(63)).view(
+        np.uint64
+    )
+
+
+def _delta_zigzag(v) -> bytes:
+    if len(v) < 64:  # per-way ref lists: skip numpy setup entirely
+        out = bytearray()
+        prev = 0
+        for x in (v.tolist() if isinstance(v, np.ndarray) else v):
+            d = int(x) - prev
+            prev = int(x)
+            n = (d << 1) ^ (d >> 63) if d < 0 else d << 1
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+    a = np.asarray(v, np.int64)
+    return encode_packed_varints(_zigzag(np.diff(a, prepend=np.int64(0))))
+
+
+def _packed_ids(vals) -> bytes:
+    vals = list(vals)
+    if len(vals) < 64:
+        out = bytearray()
+        for n in vals:
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+    return encode_packed_varints(np.asarray(vals, np.uint64))
 
 
 def _encode_primitive_block(rows: list[tuple]) -> bytes:
     """Element tuples (reader layout) -> one PrimitiveBlock with its own
     string table; nodes emit as DenseNodes (zigzag deltas), ways and
-    relations with packed key/val/ref/member streams."""
+    relations with packed key/val/ref/member streams. All packed
+    streams go through the vectorized varint encoder."""
     strings: dict[str, int] = {"": 0}
 
     def sid(s: str) -> int:
@@ -406,79 +518,139 @@ def _encode_primitive_block(rows: list[tuple]) -> bytes:
         return strings[s]
 
     nodes = [r for r in rows if r[0] == "node"]
-    groups = b""
+    parts: list[bytes] = []
     if nodes:
-        ids, lats, lons, kv = [], [], [], []
-        pid = plat = plon = 0
+        ids = np.fromiter((r[1] for r in nodes), np.int64, len(nodes))
+        # granularity 100, 1e-9 base -> raw unit 1e-7 degrees
+        lats = np.fromiter(
+            (round(r[3] * 1e7) for r in nodes), np.int64, len(nodes)
+        )
+        lons = np.fromiter(
+            (round(r[2] * 1e7) for r in nodes), np.int64, len(nodes)
+        )
+        kv: list[int] = []
         for r in nodes:
-            ids.append(_zig(r[1] - pid))
-            rlat = int(round(r[3] * 1e7))  # granularity 100, 1e-9 base
-            rlon = int(round(r[2] * 1e7))
-            lats.append(_zig(rlat - plat))
-            lons.append(_zig(rlon - plon))
-            pid, plat, plon = r[1], rlat, rlon
             for k, v in (r[4] or {}).items():
-                kv.extend((sid(k), sid(v)))
+                kv.append(sid(k))
+                kv.append(sid(v))
             kv.append(0)
         dense = (
-            _enc_field(1, 2, _enc_packed(ids))
-            + _enc_field(8, 2, _enc_packed(lats))
-            + _enc_field(9, 2, _enc_packed(lons))
-            + _enc_field(10, 2, _enc_packed(kv))
+            _enc_field(1, 2, _delta_zigzag(ids))
+            + _enc_field(8, 2, _delta_zigzag(lats))
+            + _enc_field(9, 2, _delta_zigzag(lons))
+            + _enc_field(10, 2, _packed_ids(kv))
         )
-        groups += _enc_field(2, 2, _enc_field(2, 2, dense))
+        parts.append(_enc_field(2, 2, _enc_field(2, 2, dense)))
+    tmap = {"node": 0, "way": 1, "relation": 2}
     for r in rows:
         if r[0] == "way":
-            keys = [sid(k) for k in (r[4] or {})]
-            vals = [sid(v) for v in (r[4] or {}).values()]
-            deltas, prev = [], 0
-            for ref in r[5] or []:
-                deltas.append(_zig(ref - prev))
-                prev = ref
             way = (
                 _enc_field(1, 0, r[1])
-                + _enc_field(2, 2, _enc_packed(keys))
-                + _enc_field(3, 2, _enc_packed(vals))
-                + _enc_field(8, 2, _enc_packed(deltas))
+                + _enc_field(2, 2, _packed_ids(sid(k) for k in (r[4] or {})))
+                + _enc_field(
+                    3, 2, _packed_ids(sid(v) for v in (r[4] or {}).values())
+                )
+                + _enc_field(8, 2, _delta_zigzag(r[5] or []))
             )
-            groups += _enc_field(2, 2, _enc_field(3, 2, way))
+            parts.append(_enc_field(2, 2, _enc_field(3, 2, way)))
         elif r[0] == "relation":
-            keys = [sid(k) for k in (r[4] or {})]
-            vals = [sid(v) for v in (r[4] or {}).values()]
-            tmap = {"node": 0, "way": 1, "relation": 2}
-            roles = [sid(x) for x in (r[8] or [])]
-            types = [tmap[x] for x in (r[6] or [])]
-            deltas, prev = [], 0
-            for m in r[7] or []:
-                deltas.append(_zig(m - prev))
-                prev = m
             rel = (
                 _enc_field(1, 0, r[1])
-                + _enc_field(2, 2, _enc_packed(keys))
-                + _enc_field(3, 2, _enc_packed(vals))
-                + _enc_field(8, 2, _enc_packed(roles))
-                + _enc_field(9, 2, _enc_packed(deltas))
-                + _enc_field(10, 2, _enc_packed(types))
+                + _enc_field(2, 2, _packed_ids(sid(k) for k in (r[4] or {})))
+                + _enc_field(
+                    3, 2, _packed_ids(sid(v) for v in (r[4] or {}).values())
+                )
+                + _enc_field(8, 2, _packed_ids(sid(x) for x in (r[8] or [])))
+                + _enc_field(9, 2, _delta_zigzag(r[7] or []))
+                + _enc_field(10, 2, _packed_ids(tmap[x] for x in (r[6] or [])))
             )
-            groups += _enc_field(2, 2, _enc_field(4, 2, rel))
+            parts.append(_enc_field(2, 2, _enc_field(4, 2, rel)))
     st = b"".join(
         _enc_field(1, 2, s.encode())
         for s in sorted(strings, key=strings.get)
     )
-    return _enc_field(1, 2, st) + groups
+    return _enc_field(1, 2, st) + b"".join(parts)
 
 
-def write_pbf(df: DataFrame, path: str) -> int:
-    """Write an element DataFrame (read_pbf layout) as .osm.pbf.
+# PBF spec: recommended <=8000 entities per block; a Blob MUST be
+# <16 MiB compressed / <32 MiB uncompressed. Chunk well under both.
+_MAX_BLOCK_ELEMENTS = 8000
+_MAX_BLOCK_BYTES = 8 << 20  # estimated uncompressed payload per block
 
-    Spark-first: each partition encodes its elements into one
-    zlib-compressed Blob IN PARALLEL (mapInPandas emitting blob bytes);
-    the driver only concatenates framed blobs — per-blob string tables
-    make blobs independent, which is exactly why the format
-    parallelizes both ways. Elements are range-partitioned by
-    (type, id) so output is deterministic. Returns element count."""
-    order = {"node": 0, "way": 1, "relation": 2}
-    src = (
+
+def _header_bytes() -> bytes:
+    """Framed OSMHeader blob declaring the features the file uses
+    (required_features must include DenseNodes — we emit them)."""
+    header = (
+        _enc_field(4, 2, b"OsmSchema-V0.6")
+        + _enc_field(4, 2, b"DenseNodes")
+        + _enc_field(16, 2, b"osm2vdv462_spark")
+    )
+    hdr_blob = _enc_field(1, 2, header)
+    bh = _enc_field(1, 2, b"OSMHeader") + _enc_field(3, 0, len(hdr_blob))
+    return struct.pack(">I", len(bh)) + bh + hdr_blob
+
+
+def _frame_blob(block: bytes) -> bytes:
+    blob = _enc_field(2, 0, len(block)) + _enc_field(3, 2, zlib.compress(block))
+    bh = _enc_field(1, 2, b"OSMData") + _enc_field(3, 0, len(blob))
+    return struct.pack(">I", len(bh)) + bh + blob
+
+
+def _rows_from_pandas(pdf: pd.DataFrame) -> list[tuple]:
+    return [
+        (
+            r.element_type,
+            int(r.osm_id),
+            r.lon,
+            r.lat,
+            dict(r.tags) if r.tags is not None else None,
+            list(r.refs) if r.refs is not None else None,
+            list(r.member_types) if r.member_types is not None else None,
+            [int(x) for x in r.member_refs]
+            if r.member_refs is not None
+            else None,
+            list(r.member_roles) if r.member_roles is not None else None,
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+
+
+def _row_weight(r: tuple) -> int:
+    """Cheap upper-ish estimate of a row's uncompressed encoded size,
+    used only to keep blocks under the spec's Blob limits."""
+    w = 24
+    if r[4]:
+        for k, v in r[4].items():
+            w += len(k) + len(v) + 8
+    for xs in (r[5], r[7]):
+        if xs:
+            w += 10 * len(xs)
+    if r[8]:
+        w += sum(len(x) + 4 for x in r[8])
+    return w
+
+
+def _chunk_blocks(rows: list[tuple]):
+    """Split a partition's rows into spec-compliant block chunks
+    (<=8000 elements, ~<=8 MiB estimated uncompressed each)."""
+    i, n = 0, len(rows)
+    while i < n:
+        j, w = i, 0
+        while j < n and j - i < _MAX_BLOCK_ELEMENTS:
+            w += _row_weight(rows[j])
+            j += 1
+            if w >= _MAX_BLOCK_BYTES:
+                break
+        yield rows[i:j]
+        i = j
+
+
+def _sorted_source(df: DataFrame, partitions: int | None) -> DataFrame:
+    """Range-partition + sort by (type order, id) so output blocks —
+    and therefore files — are in canonical OSM order."""
+    nparts = partitions or max(df.rdd.getNumPartitions(), 1)
+    return (
         df.select(
             F.when(F.col("element_type") == "node", 0)
             .when(F.col("element_type") == "way", 1)
@@ -486,55 +658,71 @@ def write_pbf(df: DataFrame, path: str) -> int:
             .alias("_ord"),
             "*",
         )
-        .repartitionByRange(max(df.rdd.getNumPartitions(), 1), "_ord", "osm_id")
+        .repartitionByRange(nparts, "_ord", "osm_id")
         .sortWithinPartitions("_ord", "osm_id")
         .drop("_ord")
     )
 
-    def _enc(batches):
-        rows = []
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                rows.append(
-                    (
-                        r.element_type,
-                        int(r.osm_id),
-                        r.lon,
-                        r.lat,
-                        dict(r.tags) if r.tags is not None else None,
-                        list(r.refs) if r.refs is not None else None,
-                        list(r.member_types) if r.member_types is not None else None,
-                        [int(x) for x in r.member_refs] if r.member_refs is not None else None,
-                        list(r.member_roles) if r.member_roles is not None else None,
-                    )
-                )
-        if not rows:
-            return
-        block = _encode_primitive_block(rows)
-        blob = _enc_field(2, 0, len(block)) + _enc_field(
-            3, 2, zlib.compress(block)
-        )
-        first = min((order[r[0]], r[1]) for r in rows)
-        yield pd.DataFrame(
-            [(first[0], first[1], blob, len(rows))],
-            columns=["ord", "first_id", "blob", "n"],
-        )
 
-    parts = src.mapInPandas(
-        _enc, "ord int, first_id long, blob binary, n long"
-    ).collect()
-    parts.sort(key=lambda r: (r["ord"], r["first_id"]))
+def write_pbf(
+    df: DataFrame,
+    path: str,
+    sharded: bool = False,
+    partitions: int | None = None,
+) -> int:
+    """Write an element DataFrame (read_pbf layout) as .osm.pbf.
+
+    ``sharded=True`` is the at-scale shape: ``path`` becomes a
+    directory of part-NNNNN.osm.pbf files, each written BY ITS OWN
+    TASK (executor-side, like a parquet sink) — only per-part counts
+    return to the driver. ``sharded=False`` writes one file, streaming
+    framed blobs through ``toLocalIterator()`` so the driver holds at
+    most one partition's blobs at a time. Either way each partition
+    encodes vectorized (numpy delta/zigzag/varint) and chunks into
+    spec-compliant <=8000-element / <=16 MiB blocks. Elements are
+    range-partitioned by (type, id) so output is deterministic and in
+    canonical order. Returns element count."""
+    src = _sorted_source(df, partitions)
+
+    if sharded:
+        os.makedirs(path, exist_ok=True)
+        out_dir = os.path.abspath(path)
+
+        def _write_part(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows: list[tuple] = []
+            for pdf in batches:
+                rows.extend(_rows_from_pandas(pdf))
+            if not rows:
+                return
+            part = os.path.join(out_dir, f"part-{pid:05d}.osm.pbf")
+            tmp = part + ".inprogress"
+            with open(tmp, "wb") as fh:
+                fh.write(_header_bytes())
+                for chunk in _chunk_blocks(rows):
+                    fh.write(_frame_blob(_encode_primitive_block(chunk)))
+            os.replace(tmp, part)
+            yield pd.DataFrame({"part": [part], "n": [len(rows)]})
+
+        counts = src.mapInPandas(_write_part, "part string, n long").collect()
+        return int(sum(r["n"] for r in counts))
+
+    def _enc(batches):
+        rows: list[tuple] = []
+        for pdf in batches:
+            rows.extend(_rows_from_pandas(pdf))
+        for chunk in _chunk_blocks(rows):
+            framed = _frame_blob(_encode_primitive_block(chunk))
+            yield pd.DataFrame({"framed": [framed], "n": [len(chunk)]})
+
     n_total = 0
     with open(path, "wb") as fh:
-        header = _enc_field(4, 2, b"OsmSchema-V0.6") + _enc_field(
-            16, 2, b"osm2vdv462_spark"
-        )
-        hdr_blob = _enc_field(1, 2, header)
-        bh = _enc_field(1, 2, b"OSMHeader") + _enc_field(3, 0, len(hdr_blob))
-        fh.write(struct.pack(">I", len(bh)) + bh + hdr_blob)
-        for r in parts:
-            blob = bytes(r["blob"])
-            bh = _enc_field(1, 2, b"OSMData") + _enc_field(3, 0, len(blob))
-            fh.write(struct.pack(">I", len(bh)) + bh + blob)
-            n_total += r["n"]
+        fh.write(_header_bytes())
+        # toLocalIterator preserves partition order == range order;
+        # one partition's frames in driver memory at a time.
+        for r in src.mapInPandas(_enc, "framed binary, n long").toLocalIterator():
+            fh.write(bytes(r["framed"]))
+            n_total += int(r["n"])
     return n_total
