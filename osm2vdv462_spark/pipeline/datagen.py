@@ -91,7 +91,12 @@ def _octagon_ring(cx: float, cy: float, a: float = OCT_A, b: float = OCT_B) -> n
 
 def stop_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One octagonal 'stop area' polygon per nation row (WKB)."""
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    from ..operators._guard import collect_dim
+
+    nat = collect_dim(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey"),
+        "stop_area_octagons nation dim",
+    )
     rows = []
     for r in nat:
         key = r["n_nationkey"]

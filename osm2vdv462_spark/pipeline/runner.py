@@ -36,6 +36,11 @@ def run_full_pipeline(
     ck = StageCheckpoint(spark, workdir)
     if pbf_path is not None:
         gen = {"generator": f"pbf:{os.path.abspath(pbf_path)}"}
+        # world_from_pbf runs the scan + dispatch + the ref->node
+        # geometry-assembly shuffle (THE big shuffle of any OSM
+        # ingest) — run it once and index into the memoized dict, not
+        # once per world table.
+        pbf_world: dict = {}
 
         def _source(name):
             from . import osm_world
@@ -48,7 +53,9 @@ def run_full_pipeline(
                     " website string, email string, phone string,"
                     " address string, type string",
                 )
-            return osm_world.world_from_pbf(spark, pbf_path)[name]
+            if not pbf_world:
+                pbf_world.update(osm_world.world_from_pbf(spark, pbf_path))
+            return pbf_world[name]
     else:
         gen = {"generator": f"world:n={n_areas}:seed={seed}"}
 

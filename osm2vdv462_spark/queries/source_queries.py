@@ -8,8 +8,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators._guard import collect_dim
 from ..sources.organisations import read_organisations, render_rows, write_csv
 from . import register
+
+
+def _nation_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str]]:
+    return [
+        (int(r[0]), str(r[1]))
+        for r in collect_dim(
+            spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                "n_nationkey", "n_name"
+            ),
+            "nation dim (CSV render)",
+        )
+    ]
 
 _ORACLE = """
 SELECT 'Q' || CAST(1000 + n_nationkey AS VARCHAR) AS id,
@@ -34,12 +47,7 @@ def organisations_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render -> write -> spark.read.csv round-trip. The collect is the
     25-row nation dimension (driver-side render stands in for the curl;
     the SCAN is the operator under test)."""
-    nations = [
-        (int(r[0]), str(r[1]))
-        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
-        .select("n_nationkey", "n_name")
-        .collect()
-    ]
+    nations = _nation_rows(spark, sf_dir)
     path = write_csv(render_rows(nations))
     return read_organisations(spark, path)
 
@@ -97,12 +105,7 @@ def xml_organisations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole document body is value-hash gated — strings only, no floats."""
     from ..pipeline import export as ex_mod
 
-    nations = [
-        (int(r[0]), str(r[1]))
-        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
-        .select("n_nationkey", "n_name")
-        .collect()
-    ]
+    nations = _nation_rows(spark, sf_dir)
     path = write_csv(render_rows(nations))
     orgs = read_organisations(spark, path)
     return ex_mod.xml_organisations(orgs).orderBy("id")
