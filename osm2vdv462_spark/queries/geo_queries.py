@@ -262,7 +262,7 @@ def dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "fused_assign_jvm",
     f"""
     {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -380,7 +380,7 @@ FROM v GROUP BY k ORDER BY k
 """
 
 
-@register_extra("zonal_stats_octagons", _ZONAL_ORACLE)
+@register("zonal_stats_octagons", _ZONAL_ORACLE)
 def zonal_stats_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster -> vector: zonal statistics of a synthetic tile raster
     (res 12, 16x16 px, closed-form band) over the stop-area octagons —

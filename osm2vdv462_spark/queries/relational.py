@@ -7,14 +7,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import register
+from . import register, register_extra
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-@register(
+@register_extra(
     "membership_join",
     """
     SELECT o.o_orderstatus, c.c_mktsegment,
@@ -45,7 +45,7 @@ def membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "left_join_coalesce",
     """
     SELECT o.o_orderkey,
@@ -104,7 +104,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "top1_per_group",
     """
     SELECT c_custkey, o_orderkey, o_totalprice FROM (
@@ -206,7 +206,7 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "word", (F.col("pos0") + 1).cast("int").alias("pos"))
 
 
-@register(
+@register_extra(
     "map_last_wins",
     """
     SELECT user_id, arg_max(CAST(props ->> 'k' AS BIGINT), event_id) AS final_k
@@ -240,7 +240,7 @@ def map_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "union_all_levels",
     """
     SELECT CAST(o_custkey AS BIGINT) AS id, 'ORDER' AS category FROM orders

@@ -129,7 +129,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "quality_filter",
     """
     WITH t AS (
@@ -483,7 +483,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "embedding_normalize",
     """
     WITH s AS (
@@ -797,7 +797,7 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@register_extra("bigram_lm_score", _BIGRAM_LM_ORACLE)
+@register("bigram_lm_score", _BIGRAM_LM_ORACLE)
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/textops.py::
     bigram_lm_scores): self-trained bigram model, per-doc cross-entropy
