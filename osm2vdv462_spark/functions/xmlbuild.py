@@ -3,8 +3,11 @@
 Re-implements the reference's ~30 xmlelement-based SQL functions
 (/root/reference/pipeline/stop_places/sql/stop_places.sql:167-939, "SP";
 parkings.sql:11-54; organisations.sql:9-56) as string-building columns —
-whole-stage-codegen friendly, no Python in the loop (the only UDF is the
-posList coordinate formatter in geo.columns).
+whole-stage-codegen friendly. The only Python in the loop is float
+RENDERING (fixed_trim and the posList formatter in geo.columns): both
+must round decimal-midpoint ties half-even on the exact binary value to
+stay byte-identical with the DuckDB oracle, which Java's formatter
+cannot do (see _render_udf).
 
 Null semantics mirror the reference: STRICT functions -> NULL on NULL
 input (concat propagates null); xmlforest-style "skip empty" -> when().
@@ -56,6 +59,36 @@ def xmlconcat(*parts: Column) -> Column:
     return F.when(joined != "", joined)
 
 
+_RENDER_UDFS: dict = {}
+
+
+def _render_udf(precision: int):
+    """Per-precision cached Arrow-batched renderer. Python's float
+    formatting rounds the EXACT binary value half-even — the same rule
+    DuckDB's printf ({fmt}) and geo.kernel.poslist_str use. Java's
+    format_string instead rounds the shortest-repr decimal HALF_UP, so
+    doubles landing exactly on a decimal midpoint (dyadic values, e.g.
+    100.0078125 at %.6f — reachable from real float32 Distances) render
+    one ulp high, breaking the byte-for-byte document guarantee
+    (ADVICE r3). All engine-side float rendering therefore goes through
+    Python."""
+    if precision not in _RENDER_UDFS:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _render(s):
+            def one(v):
+                if pd.isna(v):
+                    return None
+                txt = f"{v:.{precision}f}".rstrip("0").rstrip(".")
+                return "0" if txt in ("", "-0") else txt
+
+            return s.map(one)
+
+        _RENDER_UDFS[precision] = pandas_udf(_render, "string")
+    return _RENDER_UDFS[precision]
+
+
 def fixed_trim(col: Column, precision: int) -> Column:
     """Fixed-precision float rendering, trailing zeros trimmed — the
     ONLY way floats enter XML text. Raw double->string casting is
@@ -64,15 +97,9 @@ def fixed_trim(col: Column, precision: int) -> Column:
     the emitted document unreproducible by the DuckDB gate oracle
     (CLAUDE.md float discipline). Matches geo.columns.poslist's Python
     formatter and DuckDB's rtrim(rtrim(printf('%.Nf', x),'0'),'.')
-    byte-for-byte."""
-    # format_string renders a NULL arg as the string "null": gate on
-    # isNotNull so STRICT null propagation (key_value skipping) survives
-    s = F.format_string(f"%.{precision}f", col.cast("double"))
-    s = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "\\.$", "")
-    return F.when(
-        col.isNotNull(),
-        F.when(s.isin("-0", ""), F.lit("0")).otherwise(s),
-    )
+    byte-for-byte, INCLUDING decimal-midpoint ties (round-half-even on
+    the exact binary value — see _render_udf)."""
+    return _render_udf(precision)(col.cast("double"))
 
 
 def _num_str(col: Column) -> Column:
@@ -81,6 +108,29 @@ def _num_str(col: Column) -> Column:
     return F.when(
         d == F.floor(d), d.cast("long").cast("string")
     ).otherwise(fixed_trim(d, 6))
+
+
+def fixed_trim_jvm(col: Column, precision: int) -> Column:
+    """format_string-based render for higher-order-function lambdas,
+    where Catalyst forbids Python UDFs. ONLY safe for values exactly
+    representable at <= precision decimals (e.g. parse_level outputs:
+    k or k.5) — no rounding then occurs at the cut, so Java's
+    HALF_UP-on-shortest-repr cannot diverge from the oracle's
+    half-even. Everything else must use fixed_trim."""
+    s = F.format_string(f"%.{precision}f", col.cast("double"))
+    s = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "\\.$", "")
+    return F.when(
+        col.isNotNull(),
+        F.when(s.isin("-0", ""), F.lit("0")).otherwise(s),
+    )
+
+
+def _num_str_lambda(col: Column) -> Column:
+    """_num_str for HOF-lambda contexts (see fixed_trim_jvm caveat)."""
+    d = col.cast("double")
+    return F.when(
+        d == F.floor(d), d.cast("long").cast("string")
+    ).otherwise(fixed_trim_jvm(d, 6))
 
 
 def key_value(key: str, value: Column) -> Column:

@@ -353,7 +353,9 @@ def xml_stop_places(export_df: DataFrame) -> DataFrame:
                     F.lit('<Level id="'),
                     create_level_id(F.col("relation_id"), e["key"]),
                     F.lit('" version="any"><ShortName>'),
-                    X.esc(F.coalesce(e["value"], X._num_str(e["key"]))),
+                    # inside a HOF lambda: Python-UDF render is banned;
+                    # level keys are k / k.5 so the JVM render is exact
+                    X.esc(F.coalesce(e["value"], X._num_str_lambda(e["key"]))),
                     F.lit("</ShortName></Level>"),
                 ),
             ),
