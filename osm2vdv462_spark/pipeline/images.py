@@ -25,12 +25,41 @@ from ..functions import imagecodec as ic
 from . import datagen
 
 
+JPEG_QUALITY = 92  # worst synth-smooth PSNR 43+ dB — clears the 40 dB bar
+
+
+def _synth_row(eid: int, size: int, mixed_formats: bool):
+    """One deterministic image row. With ``mixed_formats``, odd event
+    ids emit real baseline JPEG (smooth sinusoid pattern — see
+    imagecodec.synth_pixels_smooth) and even ids lossless PNG; the
+    stored phash is always the hash of the STORED image content (for
+    JPEG: pixels after a decode round-trip), so phash recompute from
+    bytes is exact for both formats."""
+    if mixed_formats and eid % 2 == 1:
+        from ..functions import jpegcodec
+
+        px = ic.synth_pixels_smooth(eid, size, size)
+        data = jpegcodec.encode_jpeg(px, quality=JPEG_QUALITY)
+        stored_px = jpegcodec.decode_jpeg(data)
+        return data, "jpeg", ic.phash64(stored_px)
+    px = ic.synth_pixels(eid, size, size)
+    return ic.encode_png(px), "png", ic.phash64(px)
+
+
 def images_df(
-    spark: SparkSession, sf_dir: str, size: int = 32, every: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = 32,
+    every: int = 1,
+    mixed_formats: bool = False,
 ) -> DataFrame:
-    """One PNG image per `events` row, geotagged by the oracle LCG.
+    """One image per `events` row, geotagged by the oracle LCG.
     ``every`` keeps a deterministic 1/every subset (event_id % every == 0),
-    filtered BEFORE the encode UDF so the skipped rows cost nothing."""
+    filtered BEFORE the encode UDF so the skipped rows cost nothing.
+    ``mixed_formats`` makes odd event ids real baseline JPEG (the
+    corpus-realistic shape); default stays all-PNG because the
+    pixel-exact oracles (thumb phash, pixel stats, phash near-dup)
+    re-derive values closed-form from the lossless pattern."""
     pts = datagen.geo_points(spark, sf_dir)
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
@@ -42,16 +71,17 @@ def images_df(
         for pdf in batches:
             out = []
             for eid, lon, lat in zip(pdf["event_id"], pdf["lon"], pdf["lat"]):
-                px = ic.synth_pixels(int(eid), size, size)
+                eid = int(eid)
+                data, fmt, ph = _synth_row(eid, size, mixed_formats)
                 out.append(
                     (
-                        f"img_{int(eid):09d}",
-                        ic.encode_png(px),
+                        f"img_{eid:09d}",
+                        data,
                         size,
                         size,
-                        "png",
-                        f"caption for image {int(eid)}",
-                        ic.phash64(px),
+                        fmt,
+                        f"caption for image {eid}",
+                        ph,
                         float(lon),
                         float(lat),
                     )
@@ -82,7 +112,12 @@ def with_decode_verify(images: DataFrame) -> DataFrame:
             psnr, pok, cok, hok = [], [], [], []
             for row in pdf.itertuples(index=False):
                 eid = int(row.image_id.split("_")[1])
-                ref = ic.synth_pixels(eid, row.w, row.h)
+                gen = (
+                    ic.synth_pixels_smooth
+                    if row.fmt in ("jpeg", "jpg")
+                    else ic.synth_pixels
+                )
+                ref = gen(eid, row.w, row.h)
                 try:
                     got = ic.decode_image(bytes(row.bytes), row.fmt)
                     p = ic.psnr_db(ref, got)

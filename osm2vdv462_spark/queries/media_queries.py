@@ -13,18 +13,23 @@ from . import register, register_extra
     "image_integrity",
     """
     SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CASE WHEN event_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt,
            true AS pixel_ok, true AS caption_ok, true AS phash_ok
     FROM events
     """,
 )
 def image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The input_hint per-row invariant as a query: every synthesized
-    image must decode to pixels identical to the reference generator
-    (PSNR=inf for lossless PNG), with caption equality and phash
-    recompute equality. The oracle asserts ALL rows pass."""
-    imgs = im.images_df(spark, sf_dir)
+    """The input_hint per-row invariant as a query, over a MIXED
+    PNG+JPEG corpus (odd event ids are real baseline JPEG through the
+    from-scratch DCT codec, r4): every image must decode with
+    PSNR >= 40 dB vs the reference generator (inf for lossless PNG,
+    43+ dB for JPEG q92), with caption equality and phash recompute
+    equality. The oracle asserts ALL rows pass and pins which rows are
+    JPEG — a decoder regression (or a silently skipped format) flips
+    pixel_ok/phash_ok to false and hash-fails."""
+    imgs = im.images_df(spark, sf_dir, mixed_formats=True)
     v = im.with_decode_verify(imgs)
-    return v.select("image_id", "pixel_ok", "caption_ok", "phash_ok")
+    return v.select("image_id", "fmt", "pixel_ok", "caption_ok", "phash_ok")
 
 
 _AUDIO_ORACLE = """

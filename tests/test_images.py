@@ -40,8 +40,15 @@ class TestCodec:
         )
         np.testing.assert_array_equal(ic.decode_png(data), px)
 
-    def test_jpeg_stubbed(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_real_since_r4(self):
+        # decode_image routes jpeg to the from-scratch baseline codec
+        from osm2vdv462_spark.functions import jpegcodec as J
+
+        px = ic.synth_pixels_smooth(11, 16, 16)
+        dec = ic.decode_image(J.encode_jpeg(px, quality=95), "jpeg")
+        assert ic.psnr_db(px, dec) >= 40.0
+        # truncated stream fails loudly, not with a random IndexError
+        with pytest.raises(ValueError):
             ic.decode_image(b"\xff\xd8\xff", "jpeg")
 
     def test_phash_stability_and_sensitivity(self):
