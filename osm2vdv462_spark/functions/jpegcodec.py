@@ -278,11 +278,17 @@ def encode_jpeg(
         code, ln = dcc[size]
         bw.put(code, ln)
         bw.put(bits, size)
-        seq = blk[zz_r, zz_c]
+        # plain Python ints in the symbol loop: numpy scalar indexing
+        # is ~10x the cost per coefficient
+        seq = blk[zz_r, zz_c].tolist()
         run = 0
-        last_nz = int(np.max(np.nonzero(seq)[0])) if np.any(seq[1:]) else 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if seq[k]:
+                last_nz = k
+                break
         for k in range(1, last_nz + 1):
-            v = int(seq[k])
+            v = seq[k]
             if v == 0:
                 run += 1
                 continue
@@ -290,7 +296,7 @@ def encode_jpeg(
                 code, ln = acc_[0xF0]  # ZRL
                 bw.put(code, ln)
                 run -= 16
-            size, bits = _magnitude(v)
+            size, bits = _magnitude(int(v))
             code, ln = acc_[(run << 4) | size]
             bw.put(code, ln)
             bw.put(bits, size)
@@ -361,25 +367,44 @@ def encode_jpeg(
 # -------------------------------------------------------------- decoder
 
 
+_HUFF_CACHE: dict = {}
+
+
 class _HuffTable:
-    """Flat 16-bit-peek lookup: O(1) per symbol."""
+    """Flat 16-bit-peek lookup: O(1) per symbol. Tables are cached by
+    their (bits, vals) spec and stored as plain Python lists — the
+    decoder's symbol loop would otherwise pay numpy scalar-indexing
+    cost per coefficient, and a corpus decodes the same 4 standard
+    tables millions of times."""
 
     __slots__ = ("sym", "length")
 
     def __init__(self, bits: list[int], vals: list[int]):
-        self.sym = np.zeros(1 << 16, np.int16)
-        self.length = np.zeros(1 << 16, np.int8)
+        sym = np.zeros(1 << 16, np.int16)
+        length = np.zeros(1 << 16, np.int8)
         code = 0
         k = 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
                 lo = code << (16 - ln)
                 hi = (code + 1) << (16 - ln)
-                self.sym[lo:hi] = vals[k]
-                self.length[lo:hi] = ln
+                sym[lo:hi] = vals[k]
+                length[lo:hi] = ln
                 code += 1
                 k += 1
             code <<= 1
+        self.sym = sym.tolist()
+        self.length = length.tolist()
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HuffTable(bits, vals)
+        if len(_HUFF_CACHE) < 64:  # corpora reuse a handful of tables
+            _HUFF_CACHE[key] = t
+    return t
 
 
 class _BitReader:
@@ -519,7 +544,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nv])
-                huff[(cls, tid)] = _HuffTable(bits, vals)
+                huff[(cls, tid)] = _huff_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)
@@ -581,20 +606,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             td, ta = tsel_by_comp[ci]
             dct, act = huff[(0, td)], huff[(1, ta)]
             peek = reader.peek16()
-            size = int(dct.sym[peek])
-            ln = int(dct.length[peek])
+            size = dct.sym[peek]
+            ln = dct.length[peek]
             if ln == 0:
                 raise ValueError("invalid DC Huffman code")
             reader.skip(ln)
             diff = _extend(reader.receive(size), size)
             pred[ci] += diff
-            blk = np.zeros(64, np.int64)
+            # plain Python list in the symbol loop (numpy scalar
+            # assignment is ~10x the cost per coefficient)
+            blk = [0] * 64
             blk[0] = pred[ci]
             k = 1
             while k < 64:
                 peek = reader.peek16()
-                sym = int(act.sym[peek])
-                ln = int(act.length[peek])
+                sym = act.sym[peek]
+                ln = act.length[peek]
                 if ln == 0:
                     raise ValueError("invalid AC Huffman code")
                 reader.skip(ln)

@@ -417,10 +417,17 @@ def pip_knn_assign_codegen(
     max_slots: int = 24,
     max_segs: int = 16,
     assume_covered: bool = False,
+    report: dict | None = None,
 ) -> DataFrame:
     """Fused PIP + kNN with the candidate lists UNROLLED into fixed
     scalar columns so the whole per-point evaluation stays inside
     WholeStageCodegen.
+
+    ``report``, when passed, is filled with the resolved plan-shaping
+    config ({target_res, target_pad_cells, K, P, S}) — the knobs that
+    set generated-method size and therefore which side of the JIT
+    cliff the plan lands on (r3 verdict: the warm bench number is not
+    attributable without them).
 
     Higher-order functions (the pip_knn_assign_jvm variant) run on the
     interpreted expression path — measured here: ~65k rows/s/core and
@@ -470,6 +477,14 @@ def pip_knn_assign_codegen(
         raise ValueError(
             f"candidate bounds exceeded (P={P}, S={S}, K={K}) — subdivide "
             "polygons / refine target_res, or use pip_knn_assign_jvm"
+        )
+    if report is not None:
+        report.update(
+            target_res=target_res,
+            target_pad_cells=target_pad_cells,
+            K=K,
+            P=P,
+            S=S,
         )
 
     # polygon map: one row per cell; P poly slots x (pid + S segments)

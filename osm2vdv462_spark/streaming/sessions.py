@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -78,11 +79,19 @@ _OUT_SCHEMA = StructType(
 )
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
+
+# State holds every not-yet-watermark-closed island, so stragglers can
+# merge into (and bridge) earlier islands instead of emitting as
+# singletons (ADVICE r3). Pathological floods of disjoint stragglers
+# are bounded: beyond this many open islands the oldest are emitted
+# early (they can then no longer merge — the pre-r4 behavior, but only
+# under a flood instead of always).
+MAX_OPEN_ISLANDS = 32
 
 
 def sessionize_stream(
@@ -93,10 +102,17 @@ def sessionize_stream(
     watermark: str = "1 hour",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming sessionizer. State per user: (session_start, last_ts,
-    n). New events extend or roll the session; the event-time timeout
-    (watermark passing last_ts + gap) CLOSES a session and emits it —
-    append-mode, exactly-once under checkpoint replay."""
+    """Streaming sessionizer. State per user: EVERY island (session
+    candidate) the watermark has not yet sealed, sorted by start — not
+    just the newest one. Watermark-admitted stragglers therefore merge
+    into (or bridge between) earlier islands exactly as batch
+    gaps-and-islands would (ADVICE r3: two stragglers within gap of
+    each other must form ONE session, and an in-between event must
+    fuse the islands it bridges). An island is emitted precisely when
+    the watermark passes island_end + gap — at which point no
+    admissible event can extend it, so the output is append-only,
+    duplicate-free, and equal to the batch sessions whose close time
+    the final watermark passed."""
     import datetime as _dt
 
     import pandas as pd
@@ -106,64 +122,72 @@ def sessionize_stream(
 
     def _fn(key, pdfs, state):
         user_id = int(key[0])
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [
-                        _dt.datetime.utcfromtimestamp(start_us / 1e6)
-                    ],
-                    "session_end": [
-                        _dt.datetime.utcfromtimestamp(last_us / 1e6)
-                    ],
-                    "n_events": [n],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
-        out = []
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = 0, 0, 0
         gap_us = gap_s * 1_000_000
-        for t in ts_us:
-            t = int(t)
-            if n == 0:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                out.append((user_id, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            elif start_us - t > gap_us:
-                # watermark-admitted straggler older than the open
-                # session by more than the gap: in batch gaps-and-islands
-                # it is its own earlier island — emit it standalone (it
-                # can never merge with the open session, and anything
-                # older was already closed)
-                out.append((user_id, t, t, 1))
-            else:
-                # in-gap event on either side of the open session:
-                # extend the nearest boundary (start for stragglers that
-                # predate session_start — the batch semantics)
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-        state.update((int(start_us), int(last_us), int(n)))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
-        if out:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        islands: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            islands = sorted([s, l, n] for s, l, n in zip(starts, lasts, ns))
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+            for t in ts_us:
+                t = int(t)
+                host = None
+                for isl in islands:
+                    if isl[0] - gap_us <= t <= isl[1] + gap_us:
+                        isl[0] = min(isl[0], t)
+                        isl[1] = max(isl[1], t)
+                        isl[2] += 1
+                        host = isl
+                        break
+                if host is None:
+                    islands.append([t, t, 1])
+                    islands.sort()
+                else:
+                    # the grown island may now bridge its neighbors
+                    islands.sort()
+                    merged = [islands[0]]
+                    for isl in islands[1:]:
+                        if isl[0] - merged[-1][1] <= gap_us:
+                            merged[-1][1] = max(merged[-1][1], isl[1])
+                            merged[-1][2] += isl[2]
+                        else:
+                            merged.append(isl)
+                    islands = merged
+
+        ripe = [i for i in islands if i[1] + gap_us <= wm_us]
+        live = [i for i in islands if i[1] + gap_us > wm_us]
+        if len(live) > MAX_OPEN_ISLANDS:  # bound state under a flood
+            ripe += live[: len(live) - MAX_OPEN_ISLANDS]
+            live = live[len(live) - MAX_OPEN_ISLANDS :]
+        if live:
+            state.update(
+                (
+                    [i[0] for i in live],
+                    [i[1] for i in live],
+                    [i[2] for i in live],
+                )
+            )
+            # fire when the OLDEST live island seals (strictly above the
+            # current watermark by construction of `live`)
+            state.setTimeoutTimestamp(live[0][1] // 1000 + gap_s * 1000)
+        else:
+            state.remove()
+        if ripe:
+            ripe.sort()
             yield pd.DataFrame(
                 {
-                    "user_id": [o[0] for o in out],
+                    "user_id": [user_id] * len(ripe),
                     "session_start": [
-                        _dt.datetime.utcfromtimestamp(o[1] / 1e6) for o in out
+                        _dt.datetime.utcfromtimestamp(i[0] / 1e6) for i in ripe
                     ],
                     "session_end": [
-                        _dt.datetime.utcfromtimestamp(o[2] / 1e6) for o in out
+                        _dt.datetime.utcfromtimestamp(i[1] / 1e6) for i in ripe
                     ],
-                    "n_events": [o[3] for o in out],
+                    "n_events": [i[2] for i in ripe],
                 }
             )
 

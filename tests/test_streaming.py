@@ -196,3 +196,63 @@ class TestSessionize:
         t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
         assert (t(9, 30), t(9, 30), 1) in got, got
         assert (t(9, 55), t(10, 10), 3) in got, got
+
+    def test_straggler_pairs_and_bridges_merge(self, spark, tmp_path):
+        """ADVICE r3: (a) two stragglers within gap of each other —
+        across batches — must form ONE earlier session, not two
+        singletons; (b) a straggler that lands between an earlier
+        island and the open session must FUSE them into one session.
+        Both are the batch gaps-and-islands result."""
+        import datetime as dt
+
+        from osm2vdv462_spark.streaming import sessions as ss
+
+        def _write(name, rows, mtime):
+            p = tmp_path / "pair_src"
+            p.mkdir(exist_ok=True)
+            df = spark.createDataFrame(
+                [
+                    (i, dt.datetime(2024, 1, 1, h, m), uid, "c", 0.0, "{}")
+                    for i, (uid, h, m) in enumerate(rows)
+                ],
+                SCHEMA,
+            )
+            f = p / name
+            df.coalesce(1).write.mode("overwrite").parquet(str(f))
+            os.utime(f, (mtime, mtime))
+            return str(p)
+
+        # watermark floor: global max ts after batch a is 10:05, so
+        # wm = 9:05 — stragglers must sit ABOVE it or Spark drops them
+        # as late before the operator ever sees them.
+        # user 1 (straggler pair): open session at 10:00; stragglers
+        # 09:20 then 09:25 in separate batches -> one island [9:20,9:25]
+        # user 2 (bridge): open session [10:00,10:05]; straggler 09:40
+        # (own island), then 09:50 bridges 09:40 <-> 10:00 (both gaps
+        # <= 10 min) -> ONE session [9:40, 10:05]
+        _write("a", [(1, 10, 0), (2, 10, 0), (2, 10, 5)], 1_000_000)
+        _write("b", [(1, 9, 20), (2, 9, 40)], 1_000_100)
+        _write("c", [(1, 9, 25), (2, 9, 50)], 1_000_200)
+        src = _write("d", [(1, 14, 0), (2, 14, 0)], 1_000_300)
+        out = str(tmp_path / "pair_out")
+        ckpt = str(tmp_path / "pair_ckpt")
+        ss.run_sessionize_available_now(
+            spark,
+            src + "/*",
+            SCHEMA,
+            out,
+            ckpt,
+            gap_minutes=10,
+            watermark="1 hour",
+            max_files_per_trigger=1,
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        assert (1, t(9, 20), t(9, 25), 2) in got, got  # merged pair
+        assert not any(
+            g[0] == 1 and g[3] == 1 and g[1] < t(10, 0) for g in got
+        ), got  # no singleton stragglers for user 1
+        assert (2, t(9, 40), t(10, 5), 4) in got, got  # bridged fusion
