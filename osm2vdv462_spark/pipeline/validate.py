@@ -32,6 +32,35 @@ _REQ_ENTRANCE = ("Name", "Centroid", "LevelRef", "EntranceType")
 _REQ_ACCESS = ("Name", "Centroid", "LevelRef")
 _REQ_LINK = ("Distance", "From", "To", "TransferDuration")
 
+# NeTEx xsd:sequence orders (r4: ordering is schema-fatal, so an A6
+# ordering regression must fail validation, not only the byte hash).
+# These mirror the reference's emission order (stop_places.sql
+# xmlelement nesting), which the XSD prescribes.
+_ORDER_STOP_PLACE = (
+    "keyList", "Name", "ShortName", "Description", "Centroid",
+    "alternativeNames", "OperatorRef", "AuthorityRef", "levels",
+    "entrances", "quays", "accessSpaces", "pathLinks",
+)
+_ORDER_QUAY = ("keyList", "Name", "ShortName", "Centroid", "LevelRef", "QuayType")
+_ORDER_ENTRANCE = ("keyList", "Name", "Centroid", "LevelRef", "EntranceType")
+_ORDER_ACCESS = ("keyList", "Name", "Centroid", "LevelRef", "AccessSpaceType")
+_ORDER_LINK = (
+    "keyList", "Distance", "LineString", "From", "To",
+    "NumberOfSteps", "AccessFeatureType", "TransferDuration",
+)
+
+
+def _check_order(e, order, what, ident, errs) -> None:
+    """xsd:sequence check: known child tags must appear in `order`."""
+    rank = {t: i for i, t in enumerate(order)}
+    seen = [(rank[c.tag], c.tag) for c in e if c.tag in rank]
+    for (ra, ta), (rb, tb) in zip(seen, seen[1:]):
+        if rb < ra:
+            errs.append(
+                f"{what} {ident}: <{tb}> out of sequence (must precede <{ta}>)"
+            )
+            return
+
 
 def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
@@ -76,7 +105,9 @@ def validate_stop_place_element(root) -> list[str]:
     if not levels:
         errs.append("no levels declared")
 
-    def check_elem(e, required, what, ident):
+    _check_order(root, _ORDER_STOP_PLACE, "StopPlace", sp_id, errs)
+
+    def check_elem(e, required, order, what, ident):
         for tag in required:
             if e.find(tag) is None:
                 errs.append(f"{what} {ident}: missing {tag}")
@@ -85,21 +116,23 @@ def validate_stop_place_element(root) -> list[str]:
         ref = e.find("LevelRef")
         if ref is not None and ref.get("ref") not in levels:
             errs.append(f"{what} {ident}: LevelRef {ref.get('ref')} undeclared")
+        _check_order(e, order, what, ident, errs)
 
     place_ids = {sp_id} if sp_id else set()
     entrance_ids = set()
     for e in root.findall("entrances/Entrance"):
-        check_elem(e, _REQ_ENTRANCE, "Entrance", e.get("id"))
+        check_elem(e, _REQ_ENTRANCE, _ORDER_ENTRANCE, "Entrance", e.get("id"))
         entrance_ids.add(e.get("id"))
     for q in root.findall("quays/Quay"):
-        check_elem(q, _REQ_QUAY, "Quay", q.get("id"))
+        check_elem(q, _REQ_QUAY, _ORDER_QUAY, "Quay", q.get("id"))
         place_ids.add(q.get("id"))
     for a in root.findall("accessSpaces/AccessSpace"):
-        check_elem(a, _REQ_ACCESS, "AccessSpace", a.get("id"))
+        check_elem(a, _REQ_ACCESS, _ORDER_ACCESS, "AccessSpace", a.get("id"))
         place_ids.add(a.get("id"))
 
     for l in root.findall("pathLinks/SitePathLink"):
         lid = l.get("id")
+        _check_order(l, _ORDER_LINK, "SitePathLink", lid, errs)
         for tag in _REQ_LINK:
             if l.find(tag) is None:
                 errs.append(f"SitePathLink {lid}: missing {tag}")

@@ -53,6 +53,38 @@ class TestValidator:
             for e in V.validate_stop_place_xml(damaged)
         )
 
+    def test_reordered_sequence_is_caught(self, spark, pipeline_xml):
+        """NeTEx sequences are ordered (r3 verdict #8): a deliberately
+        reordered fragment must fail validation, not just the byte
+        hash."""
+        import re
+
+        frag = pipeline_xml.limit(1).collect()[0]["xml"]
+        assert V.validate_stop_place_xml(frag) == []
+
+        # swap an element's Centroid after its LevelRef (the negative
+        # lookahead pins the match inside ONE element — a lazy .*? would
+        # backtrack across element boundaries)
+        m = re.search(
+            r"(<Centroid>(?:(?!</Centroid>).)*</Centroid>)(<LevelRef [^>]*/>)",
+            frag,
+        )
+        assert m is not None
+        swapped = frag[: m.start()] + m.group(2) + m.group(1) + frag[m.end():]
+        errs = V.validate_stop_place_xml(swapped)
+        assert any("out of sequence" in e for e in errs), errs
+
+        # move the StopPlace <levels> block after <quays>
+        lv = re.search(r"<levels>.*?</levels>", frag)
+        assert lv is not None
+        no_levels = frag[: lv.start()] + frag[lv.end():]
+        qend = no_levels.index("</quays>") + len("</quays>")
+        moved = no_levels[:qend] + lv.group(0) + no_levels[qend:]
+        errs2 = V.validate_stop_place_xml(moved)
+        assert any(
+            "out of sequence" in e and "levels" in e for e in errs2
+        ), errs2
+
     def test_assembled_document_validates(self, spark):
         doc, _ = build_document(spark)
         errs = V.validate_document(doc)
