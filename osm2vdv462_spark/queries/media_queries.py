@@ -407,6 +407,50 @@ def _simhash_oracle() -> str:
     """
 
 
+def _simhash64_oracle() -> str:
+    """64-bit variant oracle: same ±1 per-bit token-hash sums, one md5
+    word, exact all-pairs Hamming filter (blocking recall is 1)."""
+    bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (hhi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(64)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    d2 AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extraword'
+           FROM base WHERE doc_id < 20),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d2),
+    th AS (SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hhi
+           FROM tok),
+    sig AS (SELECT doc_id, ({bits}) AS h FROM th GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 4
+    ORDER BY 1, 2
+    """
+
+
+@register_extra("simhash_near_pairs64", _simhash64_oracle())
+def simhash_near_pairs64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming <= 4) — the r2/r3 verdict
+    item: this parameterization (one md5 word, C(6,2) block tables) was
+    pytest-only; now held to its own SQL oracle in the parity tier."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return dedup.simhash_near_pairs(
+        docs.unionByName(dups), max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
 @register("simhash_near_pairs", _simhash_oracle())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash near-dup pairs (Hamming <= 8) via Manku block-pair
@@ -659,4 +703,45 @@ def ivf_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=3, n_cells=16, n_probe=4,
         centroids=_ivf_centroids(),
+    ).orderBy("q_id", "rank")
+
+
+def _ivf_auto_oracle() -> str:
+    """With n_probe == n_cells every inverted list is probed, so the
+    auto-trained quantizer's answer must equal EXACT top-k cosine — an
+    oracle that needs no centroid literals, exercising the bounded-
+    sample k-means training + JVM assignment + rerank end-to-end (any
+    assignment/rerank bug surfaces; probe-miss behavior is gated by the
+    pinned-centroid sibling row)."""
+    dot = (
+        "list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) *"
+        " sqrt(list_dot_product(q, q)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10),
+    sims AS (SELECT q_id, e.vec_id, {dot} AS cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {dot} DESC, e.vec_id) AS rank
+             FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM sims WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+
+@register_extra("ivf_auto_kmeans_top3", _ivf_auto_oracle())
+def ivf_auto_kmeans_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the AUTO-TRAINED quantizer (bounded-sample k-means,
+    seed-pinned) — the r2/r3 verdict item: this path was pytest-only.
+    Probing all cells makes the exact top-k the oracle, so the
+    training + assignment + rerank chain is verified without centroid
+    literals in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=8,
     ).orderBy("q_id", "rank")
