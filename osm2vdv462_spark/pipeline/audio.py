@@ -12,10 +12,11 @@ codec string).
 
 Operators:
 * ``audio_df``: one 0.1 s clip per `documents` row;
-* ``decode_pcm``: binary -> int16 sample vector (raises
-  NotImplementedError for compressed codecs — no audio libs in this
-  container, per brief; the Spark-side plumbing is identical for a real
-  decoder);
+* ``decode_pcm``: binary -> int16 sample vector. Since r4 the codec
+  column is real: 'mulaw' (G.711) and 'ima_adpcm' (4-bit blocks) route
+  through the from-scratch numpy codecs in functions/audiocodec.py;
+  only modern perceptual codecs (mp3/aac/opus) remain a
+  NotImplementedError boundary (no audio libs in this container);
 * ``with_frame_features``: framed feature extraction (RMS,
   zero-crossing count, peak) — the audio analog of the reference's
   per-element geometry measurements, and the shape a training-data
@@ -28,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import audiocodec
 
 SR = 16000
 N_SAMPLES = 1600  # 0.1 s per clip keeps small-SF tests cheap
@@ -42,18 +45,66 @@ def synth_samples(doc_id: int, n: int = N_SAMPLES) -> np.ndarray:
     return v.astype(np.int16)
 
 
-def decode_pcm(blob: bytes, codec: str) -> np.ndarray:
-    """binary -> int16 samples. Compressed codecs are STUBBED (no
-    libsndfile/ffmpeg in this container — task brief): the distributed
-    plumbing (binary column in, ndarray out) is what a real decoder
-    would plug into."""
-    if codec != "pcm_s16le":
-        raise NotImplementedError(f"no decoder for codec {codec!r}")
-    return np.frombuffer(blob, dtype="<i2")
+def decode_pcm(
+    blob: bytes,
+    codec: str,
+    n_samples: int | None = None,
+    spb: int = audiocodec.SPB,
+) -> np.ndarray:
+    """binary -> int16 samples. Real decoders since r4: raw s16le,
+    G.711 mu-law, and IMA ADPCM (functions/audiocodec.py — from-scratch
+    numpy codecs). Modern perceptual codecs (mp3/aac/opus) remain a
+    NotImplementedError boundary (no audio libs in this container —
+    task brief); the distributed plumbing is codec-agnostic."""
+    if codec == "pcm_s16le":
+        return np.frombuffer(blob, dtype="<i2")
+    if codec == "mulaw":
+        return audiocodec.mulaw_decode(np.frombuffer(blob, dtype=np.uint8))
+    if codec == "ima_adpcm":
+        if n_samples is None:
+            raise ValueError("ima_adpcm decode needs n_samples")
+        return audiocodec.adpcm_decode(blob, n_samples, spb=spb)
+    raise NotImplementedError(f"no decoder for codec {codec!r}")
 
 
-def audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One PCM clip per `documents` row (binary + typed metadata)."""
+def _decode_group(
+    blobs: list[bytes],
+    codec: str,
+    n_samples: int,
+    spb: int = audiocodec.SPB,
+) -> np.ndarray:
+    """Batch decode of same-(codec, length) clips -> (clips, n) int64.
+    All three codecs decode clip-vectorized (the ADPCM state loop runs
+    lockstep across the clip axis — see functions/audiocodec.py)."""
+    if codec == "pcm_s16le":
+        m = np.frombuffer(b"".join(blobs), dtype="<i2")
+        return m.reshape(len(blobs), n_samples).astype(np.int64)
+    if codec == "mulaw":
+        m = audiocodec.mulaw_decode(
+            np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        )
+        return m.reshape(len(blobs), n_samples).astype(np.int64)
+    if codec == "ima_adpcm":
+        return audiocodec.adpcm_decode_batch(blobs, n_samples, spb=spb).astype(
+            np.int64
+        )
+    raise NotImplementedError(f"no decoder for codec {codec!r}")
+
+
+def audio_df(
+    spark: SparkSession,
+    sf_dir: str,
+    codec: str = "pcm_s16le",
+    n_samples: int = N_SAMPLES,
+    spb: int = audiocodec.SPB,
+) -> DataFrame:
+    """One clip per `documents` row (binary + typed metadata).
+
+    codec selects the stored wire format: 'pcm_s16le' (raw), 'mulaw'
+    (G.711-companded), or 'ima_adpcm' (4-bit blocks) — the latter two
+    run the real from-scratch ENCODERS (functions/audiocodec.py), so
+    downstream decode queries exercise genuine compressed blobs."""
+
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
@@ -62,18 +113,27 @@ def audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _gen(batches):
         for pdf in batches:
-            out = [
-                (
-                    int(did),
-                    synth_samples(int(did)).tobytes(),
-                    SR,
-                    N_SAMPLES,
-                    "pcm_s16le",
-                )
-                for did in pdf["doc_id"]
-            ]
+            ids = [int(d) for d in pdf["doc_id"]]
+            if not ids:
+                continue
+            raw = np.stack([synth_samples(d, n_samples) for d in ids])
+            if codec == "pcm_s16le":
+                blobs = [r.tobytes() for r in raw]
+            elif codec == "mulaw":
+                enc = audiocodec.mulaw_encode(raw)
+                blobs = [r.tobytes() for r in enc]
+            elif codec == "ima_adpcm":
+                blobs = audiocodec.adpcm_encode_batch(raw, spb=spb)
+            else:
+                raise NotImplementedError(f"no encoder for codec {codec!r}")
             yield pd.DataFrame(
-                out, columns=["doc_id", "pcm", "sr", "n_samples", "codec"]
+                {
+                    "doc_id": ids,
+                    "pcm": blobs,
+                    "sr": SR,
+                    "n_samples": n_samples,
+                    "codec": codec,
+                }
             )
 
     return docs.mapInPandas(
@@ -82,7 +142,9 @@ def audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def with_frame_features(audio: DataFrame, frame: int = FRAME) -> DataFrame:
+def with_frame_features(
+    audio: DataFrame, frame: int = FRAME, spb: int = audiocodec.SPB
+) -> DataFrame:
     """Framed RMS / zero-crossings / peak per clip.
 
     Output: (doc_id bigint, frame_idx int, rms double  round 3dp,
@@ -110,28 +172,29 @@ def with_frame_features(audio: DataFrame, frame: int = FRAME) -> DataFrame:
 
     def _feat(batches):
         for pdf in batches:
-            # decode is a zero-copy frombuffer view per clip; the feature
-            # math runs ONE vectorized pass per (codec, length) group —
-            # no per-row Python in the compute
-            by_shape: dict = {}
+            # batch decode per (codec, length) group (the ADPCM state
+            # loop runs lockstep across the clip axis), then ONE
+            # vectorized feature pass per group — no per-row Python in
+            # decode or compute
+            by_key: dict = {}
             for row in pdf.itertuples(index=False):
-                v = decode_pcm(bytes(row.pcm), row.codec)
-                nf = len(v) // frame
+                key = (row.codec, int(row.n_samples))
+                by_key.setdefault(key, ([], []))
+                by_key[key][0].append(int(row.doc_id))
+                by_key[key][1].append(bytes(row.pcm))
+            parts = []
+            for (codec, n), (ids, blobs) in sorted(by_key.items()):
+                nf = n // frame
                 if nf == 0:
                     continue
-                by_shape.setdefault(nf, ([], []))
-                by_shape[nf][0].append(int(row.doc_id))
-                by_shape[nf][1].append(v[: nf * frame])
-            parts = [
-                _group_feat(
-                    np.asarray(ids, np.int64),
-                    np.stack(clips).astype(np.int64).reshape(
-                        len(clips), nf, frame
-                    ),
-                    frame,
+                mat = _decode_group(blobs, codec, n, spb)[:, : nf * frame]
+                parts.append(
+                    _group_feat(
+                        np.asarray(ids, np.int64),
+                        mat.reshape(len(blobs), nf, frame),
+                        frame,
+                    )
                 )
-                for nf, (ids, clips) in sorted(by_shape.items())
-            ]
             yield (
                 pd.concat(parts, ignore_index=True)
                 if parts

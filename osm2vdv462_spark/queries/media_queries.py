@@ -69,6 +69,175 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G.711 mu-law is memoryless companding, so the encode->decode
+# composition is a closed-form per-sample expression the oracle
+# replicates exactly: mag = min(|v|,32635)+132; segment = floor(log2
+# mag)-7 (exact — log2 of an exactly-representable int never rounds
+# across an integer); decoded = ±(((mant*8+132)<<seg)-132).
+_MULAW_ORACLE = """
+WITH k AS (SELECT range AS k FROM range(1600)),
+s AS (
+  SELECT d.doc_id, k.k,
+         ((d.doc_id * 7919 + k.k * 104729 + 12345) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN k
+),
+e AS (
+  SELECT doc_id, k, v < 0 AS neg,
+         CAST(floor(log2(LEAST(abs(v), 32635) + 132)) AS INT) - 7 AS expo,
+         LEAST(abs(v), 32635) + 132 AS mag
+  FROM s
+),
+dv AS (
+  SELECT doc_id, k,
+         CASE WHEN neg
+              THEN -((((((mag >> (expo + 3)) & 15)) * 8 + 132) << expo) - 132)
+              ELSE (((((mag >> (expo + 3)) & 15)) * 8 + 132) << expo) - 132
+         END AS v
+  FROM e
+),
+x AS (
+  SELECT doc_id, k, v, CAST(k // 400 AS INT) AS frame_idx,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM dv
+)
+SELECT doc_id, frame_idx,
+       round(sqrt(sum(v * v) / 400.0), 3) AS rms,
+       CAST(sum(CASE WHEN k % 400 <> 0 AND (v < 0) <> (pv < 0)
+                     THEN 1 ELSE 0 END) AS INT) AS zcr,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM x
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("audio_mulaw_features", _MULAW_ORACLE)
+def audio_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio modality end-to-end (r4): clips are stored as
+    genuine G.711 mu-law blobs (the real from-scratch encoder,
+    functions/audiocodec.py), decoded back to linear PCM inside the
+    framed-feature pass (clip-vectorized numpy), features on the
+    DECODED waveform. The oracle recomputes the full encode->decode
+    companding closed-form in SQL, so a single wrong bit in either
+    direction of the codec hash-fails the gate."""
+    from ..pipeline import audio as au
+
+    return au.with_frame_features(
+        au.audio_df(spark, sf_dir, codec="mulaw")
+    ).orderBy("doc_id", "frame_idx")
+
+
+_ADPCM_N, _ADPCM_SPB, _ADPCM_FRAME = 400, 101, 100
+
+# IMA ADPCM is a stateful per-sample machine (adaptive step index +
+# predictor), so the oracle replicates the EXACT encoder/decoder state
+# recurrence with a recursive CTE: one iteration per sample carrying
+# (pred, idx) per doc; block starts (k % spb = 0) reset pred to the raw
+# header sample while the step index runs on — exactly the wire format
+# adpcm_encode_batch emits. The decoded stream IS the predictor
+# sequence (IMA's encoder predicts from reconstructed values, so
+# encode and decode share one state machine). Layered subqueries name
+# each intermediate once: DuckDB evaluates the recursive term without
+# common-subexpression elimination, and the naive expanded tree is ~10x
+# slower. Step-table lookup is an inline list index (a join per
+# iteration doubles the per-iteration planning cost).
+_ADPCM_STEPS = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE
+dec AS (
+  SELECT d.doc_id, 0 AS k,
+         CAST(((d.doc_id * 7919 + 12345) % 65536) - 32768 AS BIGINT) AS pred,
+         0 AS idx
+  FROM documents d
+  UNION ALL
+  SELECT doc_id, k,
+         CASE WHEN blk THEN v ELSE
+           GREATEST(-32768, LEAST(32767,
+             pred + CASE WHEN neg THEN -diffq ELSE diffq END)) END AS pred,
+         CASE WHEN blk THEN idx ELSE
+           GREATEST(0, LEAST(88,
+             idx + CASE WHEN delta >= 4 THEN (delta-3)*2 ELSE -1 END)) END AS idx
+  FROM (
+    SELECT *, 4*CAST(b2 AS INT) + 2*CAST(b1 AS INT) + CAST(b0 AS INT) AS delta,
+           step // 8 + CASE WHEN b2 THEN step ELSE 0 END
+                     + CASE WHEN b1 THEN step // 2 ELSE 0 END
+                     + CASE WHEN b0 THEN step // 4 ELSE 0 END AS diffq
+    FROM (
+      SELECT *, r2 >= step // 2 AS b1,
+             r2 - CASE WHEN r2 >= step // 2 THEN step // 2 ELSE 0 END
+               >= step // 4 AS b0
+      FROM (
+        SELECT *, ad >= step AS b2,
+               ad - CASE WHEN ad >= step THEN step ELSE 0 END AS r2
+        FROM (
+          SELECT dec.doc_id, dec.k + 1 AS k, dec.pred, dec.idx,
+                 CAST(({_ADPCM_STEPS})[dec.idx+1] AS BIGINT) AS step,
+                 (dec.k + 1) % {_ADPCM_SPB} = 0 AS blk,
+                 (((dec.doc_id * 7919 + (dec.k+1) * 104729 + 12345)
+                   % 65536) - 32768) AS v,
+                 abs((((dec.doc_id * 7919 + (dec.k+1) * 104729 + 12345)
+                   % 65536) - 32768) - dec.pred) AS ad,
+                 ((((dec.doc_id * 7919 + (dec.k+1) * 104729 + 12345)
+                   % 65536) - 32768) - dec.pred) < 0 AS neg
+          FROM dec
+          WHERE dec.k + 1 < {_ADPCM_N}
+        )
+      )
+    )
+  )
+),
+x AS (
+  SELECT doc_id, k, pred AS v, CAST(k // {_ADPCM_FRAME} AS INT) AS frame_idx,
+         lag(pred) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM dec
+)
+SELECT doc_id, frame_idx,
+       round(sqrt(sum(v * v) / {_ADPCM_FRAME}.0), 3) AS rms,
+       CAST(sum(CASE WHEN k % {_ADPCM_FRAME} <> 0 AND (v < 0) <> (pv < 0)
+                     THEN 1 ELSE 0 END) AS INT) AS zcr,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM x
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("audio_adpcm_features", _ADPCM_ORACLE)
+def audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL compressed-audio codec end-to-end (r4): clips stored as
+    real IMA ADPCM blocks (4-byte header + packed nibbles;
+    functions/audiocodec.py), decoded clip-vectorized (the state
+    loop runs lockstep across the Arrow batch's clip axis), framed
+    features on the decoded waveform. The DuckDB twin replicates the
+    codec's adaptive-step state machine sample-by-sample with a
+    recursive CTE, so the 4-bit quantizer, both clamps, the index
+    adaptation AND the block-header restarts are all hash-fatal. Short
+    clips (n=400, spb=101 -> 4 block restarts) keep the oracle's
+    recursion depth bounded — the SQL cost is per-iteration, not
+    per-row."""
+    from ..pipeline import audio as au
+
+    return au.with_frame_features(
+        au.audio_df(
+            spark,
+            sf_dir,
+            codec="ima_adpcm",
+            n_samples=_ADPCM_N,
+            spb=_ADPCM_SPB,
+        ),
+        frame=_ADPCM_FRAME,
+        spb=_ADPCM_SPB,
+    ).orderBy("doc_id", "frame_idx")
+
+
 _THUMB_ORACLE = """
 WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
 ij AS (SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j),

@@ -162,7 +162,11 @@ def edge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # r4 rotation: demoted to the parity tier after three driver-green
+    # rounds (r01-r03); P1/P2 semantics stay transitively hash-gated by
+    # every pipeline row's tag predicates, and this exact oracle still
+    # runs in tests/test_oracle_parity.py.
     "tag_access",
     """
     SELECT event_type,
@@ -187,7 +191,10 @@ def tag_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # r4 rotation: demoted after three driver-green rounds; J5/F9
+    # explode-with-ordinality is exercised inside the gated pipeline
+    # rows (platforms_split), and the oracle stays parity-tested.
     "lateral_posexplode",
     """
     SELECT p_partkey,

@@ -53,3 +53,104 @@ class TestFrameFeatures:
         assert row["n_samples"] == au.N_SAMPLES
         assert row["codec"] == "pcm_s16le"
         assert len(bytes(row["pcm"])) == 2 * au.N_SAMPLES
+
+
+class TestCompressedCodecs:
+    """From-scratch G.711 mu-law + IMA ADPCM (functions/audiocodec.py)."""
+
+    def test_mulaw_roundtrip_error_bounded(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        x = np.stack([au.synth_samples(d) for d in range(8)])
+        d = ac.mulaw_decode(ac.mulaw_encode(x))
+        err = np.abs(
+            d.astype(np.int32)
+            - np.clip(x, -32635, 32635).astype(np.int32)
+        )
+        # top segment spacing is 1024; encode truncates the mantissa and
+        # decode reconstructs mid-step, so worst error is half a step
+        assert err.max() <= 512
+        # decoded values are a fixed point of the codec (-0 collapses to
+        # +0, so compare values, not codes)
+        np.testing.assert_array_equal(
+            ac.mulaw_decode(ac.mulaw_encode(d)), d
+        )
+
+    def test_mulaw_full_code_space(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        # decode every possible code and re-encode: identity on codes
+        codes = np.arange(256, dtype=np.uint8)
+        dec = ac.mulaw_decode(codes)
+        # +/-0 collapse: 0xFF and 0x7F both decode to 0, which encodes
+        # to the positive code
+        re = ac.mulaw_encode(dec)
+        flip = codes == 0x7F  # negative zero
+        np.testing.assert_array_equal(re[~flip], codes[~flip])
+        assert re[flip][0] == 0xFF
+
+    def test_adpcm_scalar_equals_batch(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        x = np.stack([au.synth_samples(d, 700) for d in range(6)])
+        blobs = ac.adpcm_encode_batch(x, spb=101)
+        scalar = np.stack(
+            [ac.adpcm_decode(b, 700, spb=101) for b in blobs]
+        )
+        batch = ac.adpcm_decode_batch(blobs, 700, spb=101)
+        np.testing.assert_array_equal(scalar, batch)
+
+    def test_adpcm_wire_format(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        x = np.stack([au.synth_samples(3, 400)])
+        blobs = ac.adpcm_encode_batch(x, spb=101)
+        b = blobs[0]
+        # 4 blocks: 3 full (4 + 50 bytes) + final 97-sample (4 + 48)
+        assert len(b) == 3 * 54 + 52
+        # block 0 header: predictor = first raw sample, index 0
+        assert int.from_bytes(b[0:2], "little", signed=True) == int(x[0, 0])
+        assert b[2] == 0 and b[3] == 0
+        # header predictors equal the raw block-start samples
+        pos = 0
+        for blk, t0 in enumerate((0, 101, 202, 303)):
+            pred = int.from_bytes(b[pos : pos + 2], "little", signed=True)
+            assert pred == int(x[0, t0])
+            pos += 4 + ((min(101, 400 - t0) - 1) + 1) // 2
+
+    def test_adpcm_index_runs_across_blocks(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        # a loud signal drives the step index up; block 2's header must
+        # snapshot a nonzero running index (not restart at 0)
+        x = (np.arange(400) % 2 * 20000 - 10000).astype(np.int16)[None, :]
+        blobs = ac.adpcm_encode_batch(x, spb=101)
+        b = blobs[0]
+        second_header_idx = b[4 + 50 + 2]
+        assert second_header_idx > 0
+
+    def test_adpcm_tracks_smooth_signal(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        t = np.arange(1600)
+        s = (3000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)[None, :]
+        dec = ac.adpcm_decode_batch(ac.adpcm_encode_batch(s), 1600)
+        snr = 10 * np.log10(
+            float((s.astype(float) ** 2).sum())
+            / float(((s - dec).astype(float) ** 2).sum())
+        )
+        assert snr > 20.0
+
+    def test_decode_pcm_dispatches_compressed(self):
+        from osm2vdv462_spark.functions import audiocodec as ac
+
+        v = au.synth_samples(9, 400)
+        mu = ac.mulaw_encode(v[None, :])[0].tobytes()
+        np.testing.assert_array_equal(
+            au.decode_pcm(mu, "mulaw"), ac.mulaw_decode(np.frombuffer(mu, np.uint8))
+        )
+        blob = ac.adpcm_encode_batch(v[None, :], spb=101)[0]
+        np.testing.assert_array_equal(
+            au.decode_pcm(blob, "ima_adpcm", n_samples=400, spb=101),
+            ac.adpcm_decode(blob, 400, spb=101),
+        )
