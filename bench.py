@@ -35,6 +35,10 @@ HEADLINE = [
     "embedding_top1",
     "image_integrity",
     "fused_assign_codegen",
+    # r4 additions (headline grew 14 -> 16 rows; compare r3 totals on the
+    # shared 14, per-query dict is the apples-to-apples surface)
+    "audio_adpcm_features",
+    "video_frame_stats",
 ]
 
 # reported separately from the headline total: the document DAG at

@@ -10,9 +10,11 @@ Operators (all Arrow-batched, fmt-agnostic plumbing):
 * ``with_decode_verify``: decode -> PSNR vs the deterministic reference
   pixels + caption equality + phash recompute (the input_hint per-row
   invariant);
-* ``with_resized_phash``: box-resize (real numpy) -> phash of thumbnail;
-* ``frame_sample_stub``: video frame sampling — STUB (no video codec in
-  container), deterministic fake frames keep the batch shapes real.
+* ``with_resized_phash``: box-resize (real numpy) -> phash of thumbnail.
+
+Video frame sampling lives in pipeline/video.py since r4 (the round-2/3
+``frame_sample_stub`` is superseded by the real RIFF/AVI decode path —
+functions/videocodec.py + video.sample_frames).
 """
 
 from __future__ import annotations
@@ -207,28 +209,3 @@ def with_pixel_stats(images: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_stub(videos: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling — decode STUBBED (no video codec in this
-    container, task brief): emits deterministic fake frames so the
-    distributed plumbing (explode shape, per-frame schema) is real and
-    testable; swap `_fake_frame` for a real decoder on a cluster."""
-
-    def _fake_frame(vid: str, k: int) -> bytes:
-        # md5-derived seed: Python hash() is PYTHONHASHSEED-salted per
-        # process, so two executors would emit different frames
-        import hashlib
-
-        seed = int(hashlib.md5(f"{vid}|{k}".encode()).hexdigest()[:8], 16)
-        return ic.encode_png(ic.synth_pixels(seed & 0x7FFFFFFF, 16, 16))
-
-    def _sample(batches):
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                for k in range(n_frames):
-                    out.append((row.video_id, k, _fake_frame(row.video_id, k)))
-            yield pd.DataFrame(out, columns=["video_id", "frame_no", "frame_png"])
-
-    return videos.mapInPandas(
-        _sample, "video_id string, frame_no int, frame_png binary"
-    )

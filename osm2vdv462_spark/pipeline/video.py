@@ -1,0 +1,186 @@
+"""The videos table + video operators (multimodal axis, video modality).
+
+Same contract as pipeline/images.py / pipeline/audio.py: media ride as
+opaque ``binary`` columns with typed metadata, per-clip compute is
+Arrow-batched ``mapInPandas``, and the synthesis is deterministic
+closed-form arithmetic so a DuckDB oracle can recompute frame features
+bit-exactly.
+
+Schema: (video_id string, bytes binary  complete .avi file, w int,
+h int, fps int, n_frames int, codec string).
+
+Clip synthesis: one AVI per sampled `events` row; frame ``k`` of event
+``e`` renders ``imagecodec.synth_pixels(e * n_frames + k)`` (rawdib,
+lossless — oracle-exact) or ``synth_pixels_smooth`` (mjpeg rows in
+``mixed_codecs`` mode — lossy, PSNR-gated in pytest). The container is
+the from-scratch RIFF/AVI codec in functions/videocodec.py.
+
+Scale design — the whole point of the module: ``parse_avi`` reads only
+chunk headers, so sampling k of n frames decodes exactly k payloads.
+``with_frame_stats``/``sample_frames`` are single map-side passes (no
+shuffle, no collect); output rows = clips x sampled frames. At 100 TB
+of video the selective decode is the difference between touching 25%
+and 100% of every blob. The reference has no video surface (it is a
+geodata exporter — see SURVEY.md §2 note on the LLM-pipeline mandate);
+this is the video analog of pipeline/images.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import imagecodec as ic
+from ..functions import videocodec as vc
+from . import datagen
+
+N_FRAMES = 8
+SIZE = 32
+FPS = 10
+MJPEG_QUALITY = 92  # matches images.JPEG_QUALITY: smooth synth > 40 dB
+
+
+def synth_frame(event_id: int, k: int, size: int = SIZE, smooth: bool = False):
+    """Deterministic RGB pixels for frame ``k`` of clip ``event_id``.
+    Seed ``event_id * N_FRAMES + k`` keeps the closed form one integer
+    expression the DuckDB oracle reproduces verbatim."""
+    seed = event_id * N_FRAMES + k
+    fn = ic.synth_pixels_smooth if smooth else ic.synth_pixels
+    return fn(seed, size, size)
+
+
+def _synth_clip(eid: int, n_frames: int, size: int, mixed: bool):
+    if mixed and eid % 2 == 1:
+        frames = [synth_frame(eid, k, size, smooth=True) for k in range(n_frames)]
+        return vc.encode_avi(frames, fps=FPS, codec="mjpeg", quality=MJPEG_QUALITY), "mjpeg"
+    frames = [synth_frame(eid, k, size) for k in range(n_frames)]
+    return vc.encode_avi(frames, fps=FPS, codec="rawdib"), "rawdib"
+
+
+def videos_df(
+    spark: SparkSession,
+    sf_dir: str,
+    n_frames: int = N_FRAMES,
+    size: int = SIZE,
+    every: int = 100,
+    mixed_codecs: bool = False,
+) -> DataFrame:
+    """One AVI clip per ``events`` row with event_id % every == 0,
+    filtered BEFORE the encode UDF. ``mixed_codecs`` makes odd event
+    ids Motion-JPEG (the corpus-realistic lossy shape); default stays
+    all-rawdib because the frame-stat oracle needs lossless pixels."""
+    pts = datagen.geo_points(spark, sf_dir).select("event_id")
+    if every > 1:
+        pts = pts.filter(F.col("event_id") % every == 0)
+    pts = pts.repartition(spark.sparkContext.defaultParallelism)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                data, codec = _synth_clip(eid, n_frames, size, mixed_codecs)
+                out.append(
+                    (f"vid_{eid:09d}", data, size, size, FPS, n_frames, codec)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "video_id", "bytes", "w", "h", "fps", "n_frames", "codec",
+                ],
+            )
+
+    return pts.mapInPandas(
+        _gen,
+        "video_id string, bytes binary, w int, h int, fps int,"
+        " n_frames int, codec string",
+    )
+
+
+def with_header_scan(videos: DataFrame) -> DataFrame:
+    """Container metadata via the header/chunk-index scan ONLY — frame
+    payloads are never touched (the 100 TB 'stat the corpus' query).
+    Cross-checks the header frame count against the movi scan (parse_avi
+    raises on mismatch, surfacing truncated blobs as task errors rather
+    than silent undercounts)."""
+
+    def _scan(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = vc.parse_avi(bytes(row.bytes))
+                out.append(
+                    (row.video_id, m["codec"], m["w"], m["h"], m["fps"],
+                     m["n_frames"], len(bytes(row.bytes)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "codec", "w", "h", "fps", "n_frames",
+                         "total_bytes"],
+            )
+
+    return videos.mapInPandas(
+        _scan,
+        "video_id string, codec string, w int, h int, fps int,"
+        " n_frames int, total_bytes bigint",
+    )
+
+
+def with_frame_stats(videos: DataFrame, stride: int = 2) -> DataFrame:
+    """Per-sampled-frame brightness/contrast stats, frames 0, stride,
+    2*stride, ...: header scan -> decode ONLY the sampled frames ->
+    integer stats (same fixed-point arithmetic as images.with_pixel_stats
+    so the oracle has no float rounding-mode traps)."""
+
+    def _stats(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.bytes)
+                meta = vc.parse_avi(blob)
+                npx = 3 * meta["w"] * meta["h"]
+                for k in range(0, meta["n_frames"], stride):
+                    px = vc.decode_frame(blob, meta, k).astype(np.int64)
+                    t = px.sum(axis=2)
+                    total = int(t.sum())
+                    out.append(
+                        (row.video_id, k, (total * 10000) // npx,
+                         int(t.max()), int(t.min()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "frame_no", "mean_gray_e4", "t_max",
+                         "t_min"],
+            )
+
+    return videos.mapInPandas(
+        _stats,
+        "video_id string, frame_no int, mean_gray_e4 bigint, t_max int,"
+        " t_min int",
+    )
+
+
+def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
+    """Materialize sampled frames as PNG rows (the dataset shape a
+    multimodal training pipeline feeds downstream): header scan ->
+    decode only frames 0, stride, 2*stride, ... -> lossless re-encode.
+    Replaces the round-2/3 ``images.frame_sample_stub`` with the real
+    decode path."""
+
+    def _sample(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.bytes)
+                meta = vc.parse_avi(blob)
+                for k in range(0, meta["n_frames"], stride):
+                    px = vc.decode_frame(blob, meta, k)
+                    out.append((row.video_id, k, ic.encode_png(px)))
+            yield pd.DataFrame(
+                out, columns=["video_id", "frame_no", "frame_png"]
+            )
+
+    return videos.mapInPandas(
+        _sample, "video_id string, frame_no int, frame_png binary"
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, similarity
 from ..pipeline import images as im
+from ..pipeline import video as vid
 from . import register, register_extra
 
 
@@ -914,3 +915,64 @@ def ivf_auto_kmeans_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=3, n_cells=8, n_probe=8,
     ).orderBy("q_id", "rank")
+
+
+# ---- video (multimodal axis, video modality — pipeline/video.py) ----------
+
+_VIDEO_STATS_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 100 = 0),
+k AS (SELECT CAST(range AS INT) * 2 AS fno FROM range(4)),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id, k.fno,
+         ((x*7  + (e.event_id*8 + k.fno)*13) % 256)
+       + ((y*11 + (e.event_id*8 + k.fno)*29) % 256)
+       + (((x+y)*5 + (e.event_id*8 + k.fno)*53) % 256) AS t
+  FROM e CROSS JOIN k CROSS JOIN yx
+)
+SELECT 'vid_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS video_id,
+       fno AS frame_no,
+       CAST((sum(t) * 10000) // 3072 AS BIGINT) AS mean_gray_e4,
+       CAST(max(t) AS INT) AS t_max,
+       CAST(min(t) AS INT) AS t_min
+FROM px GROUP BY event_id, fno ORDER BY video_id, frame_no
+"""
+
+
+@register("video_frame_stats", _VIDEO_STATS_ORACLE)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video analytics through the REAL container path (new r4, closing
+    the last media stub): synthesize rawdib RIFF/AVI clips (8 frames,
+    from-scratch functions/videocodec.py), then header/chunk-index scan
+    -> decode ONLY frames 0/2/4/6 -> integer brightness/contrast stats.
+    The oracle recomputes every value from the frame-pixel closed form
+    (seed = event_id*8 + frame_no). Selective decode is the 100 TB
+    design point: 4 of 8 payloads touched per blob."""
+    vids = vid.videos_df(spark, sf_dir, every=100)
+    return vid.with_frame_stats(vids, stride=2).orderBy(
+        "video_id", "frame_no"
+    )
+
+
+_VIDEO_HEADER_ORACLE = """
+SELECT 'vid_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS video_id,
+       CASE WHEN event_id % 2 = 1 THEN 'mjpeg' ELSE 'rawdib' END AS codec,
+       32 AS w, 32 AS h, 10 AS fps, 8 AS n_frames
+FROM events WHERE event_id % 200 = 0 ORDER BY video_id
+"""
+
+
+@register_extra("video_header_scan", _VIDEO_HEADER_ORACLE)
+def video_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container metadata over a MIXED rawdib+Motion-JPEG corpus via the
+    payload-free header scan (parse_avi never reads frame chunks). Gates
+    that the writer emits spec-shaped hdrl/movi/idx1 for BOTH codecs and
+    the parser's header<->movi frame-count cross-check holds. Lossy
+    MJPEG pixel fidelity is PSNR-gated in tests/test_video.py (no
+    closed-form oracle for JPEG output bytes)."""
+    vids = vid.videos_df(spark, sf_dir, every=200, mixed_codecs=True)
+    return (
+        vid.with_header_scan(vids)
+        .select("video_id", "codec", "w", "h", "fps", "n_frames")
+        .orderBy("video_id")
+    )

@@ -133,7 +133,7 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "edge_pairs",
     """
     SELECT a.s_nationkey AS relation_id,
@@ -144,7 +144,9 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def edge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 self cross-pair join: all ordered pairs per group (ref
-    stop_places.sql:1126-1146 stop_area_edges quay x quay)."""
+    stop_places.sql:1126-1146 stop_area_edges quay x quay). Parity tier
+    since r4 (driver-green r1-r3; the same pair join runs inside the
+    gated path_links_pipeline) — rotated out for video_frame_stats."""
     s = _t(spark, sf_dir, "supplier")
     a = s.alias("a")
     b = s.alias("b")

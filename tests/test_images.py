@@ -83,28 +83,5 @@ class TestImagesTable:
             assert px.shape == (8, 8, 3)
             assert r["thumb_phash"] is not None
 
-    def test_frame_sample_stub(self, spark):
-        vids = spark.createDataFrame([("v1",), ("v2",)], "video_id string")
-        out = im.frame_sample_stub(vids, n_frames=3).collect()
-        assert len(out) == 6
-        for r in out:
-            assert ic.decode_png(bytes(r["frame_png"])).shape == (16, 16, 3)
-
-
-class TestFrameDeterminism:
-    def test_frames_identical_across_parallelism(self, spark):
-        """md5-derived frame seeds: byte-identical output regardless of
-        partitioning / worker process (VERDICT r2 wrong #2 — Python
-        hash() is PYTHONHASHSEED-salted per process)."""
-        vids = spark.createDataFrame(
-            [(f"v{i}",) for i in range(8)], "video_id string"
-        )
-        a = {
-            (r["video_id"], r["frame_no"]): bytes(r["frame_png"])
-            for r in im.frame_sample_stub(vids.repartition(1), 2).collect()
-        }
-        b = {
-            (r["video_id"], r["frame_no"]): bytes(r["frame_png"])
-            for r in im.frame_sample_stub(vids.repartition(8), 2).collect()
-        }
-        assert a == b
+    # video frame sampling moved to pipeline/video.py in r4 (real
+    # RIFF/AVI decode path) — see tests/test_video.py
