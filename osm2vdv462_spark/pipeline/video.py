@@ -41,20 +41,39 @@ FPS = 10
 MJPEG_QUALITY = 92  # matches images.JPEG_QUALITY: smooth synth > 40 dB
 
 
-def synth_frame(event_id: int, k: int, size: int = SIZE, smooth: bool = False):
+CUT_SEED_JUMP = 1_000_003  # decorrelates the sawtooth phases across a cut
+
+
+def synth_frame(
+    event_id: int,
+    k: int,
+    size: int = SIZE,
+    smooth: bool = False,
+    cut_at: int | None = None,
+):
     """Deterministic RGB pixels for frame ``k`` of clip ``event_id``.
     Seed ``event_id * N_FRAMES + k`` keeps the closed form one integer
-    expression the DuckDB oracle reproduces verbatim."""
+    expression the DuckDB oracle reproduces verbatim. With ``cut_at``,
+    frames >= cut_at jump the seed by CUT_SEED_JUMP — a synthetic shot
+    boundary (adjacent-seed frames drift smoothly in the modular
+    sawtooth; the jump decorrelates them like a real cut)."""
     seed = event_id * N_FRAMES + k
+    if cut_at is not None and k >= cut_at:
+        seed += CUT_SEED_JUMP
     fn = ic.synth_pixels_smooth if smooth else ic.synth_pixels
     return fn(seed, size, size)
 
 
-def _synth_clip(eid: int, n_frames: int, size: int, mixed: bool):
+def _synth_clip(
+    eid: int, n_frames: int, size: int, mixed: bool, cut_at: int | None
+):
     if mixed and eid % 2 == 1:
-        frames = [synth_frame(eid, k, size, smooth=True) for k in range(n_frames)]
+        frames = [
+            synth_frame(eid, k, size, smooth=True, cut_at=cut_at)
+            for k in range(n_frames)
+        ]
         return vc.encode_avi(frames, fps=FPS, codec="mjpeg", quality=MJPEG_QUALITY), "mjpeg"
-    frames = [synth_frame(eid, k, size) for k in range(n_frames)]
+    frames = [synth_frame(eid, k, size, cut_at=cut_at) for k in range(n_frames)]
     return vc.encode_avi(frames, fps=FPS, codec="rawdib"), "rawdib"
 
 
@@ -65,11 +84,13 @@ def videos_df(
     size: int = SIZE,
     every: int = 100,
     mixed_codecs: bool = False,
+    cut_at: int | None = None,
 ) -> DataFrame:
     """One AVI clip per ``events`` row with event_id % every == 0,
     filtered BEFORE the encode UDF. ``mixed_codecs`` makes odd event
     ids Motion-JPEG (the corpus-realistic lossy shape); default stays
-    all-rawdib because the frame-stat oracle needs lossless pixels."""
+    all-rawdib because the frame-stat oracle needs lossless pixels.
+    ``cut_at`` injects a synthetic shot boundary (see synth_frame)."""
     pts = datagen.geo_points(spark, sf_dir).select("event_id")
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
@@ -80,7 +101,9 @@ def videos_df(
             out = []
             for eid in pdf["event_id"]:
                 eid = int(eid)
-                data, codec = _synth_clip(eid, n_frames, size, mixed_codecs)
+                data, codec = _synth_clip(
+                    eid, n_frames, size, mixed_codecs, cut_at
+                )
                 out.append(
                     (f"vid_{eid:09d}", data, size, size, FPS, n_frames, codec)
                 )
@@ -183,4 +206,41 @@ def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
 
     return videos.mapInPandas(
         _sample, "video_id string, frame_no int, frame_png binary"
+    )
+
+
+SCENE_CUT_SAD = 230_000  # 32x32x3 frames: adjacent-seed SAD <= ~198k,
+#                          cross-cut SAD >= ~264k (measured over the seed
+#                          space) — threshold sits in the dead band.
+#                          Per-pixel-channel mean ~75: rescale for other
+#                          resolutions as 75 * 3 * w * h.
+
+
+def with_scene_cuts(videos: DataFrame, threshold: int = SCENE_CUT_SAD) -> DataFrame:
+    """Shot-boundary detection: per consecutive frame pair, the sum of
+    absolute per-channel differences (SAD — the classic cut metric) and
+    an is_cut flag. One sequential decode pass per clip (each frame
+    decoded once, rolling previous), map-side only. At 100 TB this is
+    the curation pass that segments clips into shots before sampling;
+    integer arithmetic throughout so the DuckDB oracle is exact."""
+
+    def _cuts(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.bytes)
+                meta = vc.parse_avi(blob)
+                prev = vc.decode_frame(blob, meta, 0).astype(np.int64)
+                for k in range(1, meta["n_frames"]):
+                    cur = vc.decode_frame(blob, meta, k).astype(np.int64)
+                    sad = int(np.abs(cur - prev).sum())
+                    out.append((row.video_id, k, sad, sad > threshold))
+                    prev = cur
+            yield pd.DataFrame(
+                out, columns=["video_id", "frame_no", "sad_total", "is_cut"]
+            )
+
+    return videos.mapInPandas(
+        _cuts,
+        "video_id string, frame_no int, sad_total bigint, is_cut boolean",
     )

@@ -976,3 +976,44 @@ def video_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("video_id", "codec", "w", "h", "fps", "n_frames")
         .orderBy("video_id")
     )
+
+
+_SCENE_CUT_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 200 = 0),
+k AS (SELECT CAST(range AS INT) AS fno FROM range(7)),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id, k.fno, yx.y, yx.x,
+         e.event_id*8 + k.fno
+           + CASE WHEN k.fno     >= 4 THEN 1000003 ELSE 0 END AS s,
+         e.event_id*8 + k.fno + 1
+           + CASE WHEN k.fno + 1 >= 4 THEN 1000003 ELSE 0 END AS s2
+  FROM e CROSS JOIN k CROSS JOIN yx
+),
+sad AS (
+  SELECT event_id, fno + 1 AS frame_no,
+         sum( abs(((x*7 + s*13) % 256)     - ((x*7 + s2*13) % 256))
+            + abs(((y*11 + s*29) % 256)    - ((y*11 + s2*29) % 256))
+            + abs((((x+y)*5 + s*53) % 256) - (((x+y)*5 + s2*53) % 256))
+         ) AS sad_total
+  FROM px GROUP BY event_id, fno
+)
+SELECT 'vid_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS video_id,
+       CAST(frame_no AS INT) AS frame_no,
+       CAST(sad_total AS BIGINT) AS sad_total,
+       sad_total > 230000 AS is_cut
+FROM sad ORDER BY video_id, frame_no
+"""
+
+
+@register_extra("video_scene_cuts", _SCENE_CUT_ORACLE)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (the curation pass that segments clips
+    into shots before sampling): per consecutive frame pair, integer
+    SAD + an is_cut flag, over clips with a synthetic cut injected at
+    frame 4 (seed jump decorrelates the sawtooth). The oracle
+    recomputes every SAD from the pixel closed form; exactly the (3,4)
+    pair crosses the threshold (adjacent-seed SAD <= ~198k, cross-cut
+    >= ~264k — see pipeline/video.py::SCENE_CUT_SAD)."""
+    vids = vid.videos_df(spark, sf_dir, every=200, cut_at=4)
+    return vid.with_scene_cuts(vids).orderBy("video_id", "frame_no")

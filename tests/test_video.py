@@ -129,3 +129,34 @@ class TestVideoPipeline:
             assert np.array_equal(
                 ic.decode_png(png), pv.synth_frame(eid, k)
             )
+
+
+class TestSceneCuts:
+    def test_cut_detected_only_at_injected_boundary(self, spark, sf_dir):
+        rows = pv.with_scene_cuts(
+            pv.videos_df(spark, sf_dir, every=200, cut_at=4)
+        ).collect()
+        assert rows  # sf0.001: 5 clips x 7 pairs
+        by_clip = {}
+        for r in rows:
+            by_clip.setdefault(r["video_id"], []).append(r)
+        for vid_id, rs in by_clip.items():
+            assert len(rs) == 7
+            cuts = {r["frame_no"] for r in rs if r["is_cut"]}
+            assert cuts == {4}, (vid_id, cuts)
+
+    def test_sad_matches_numpy_reference(self, spark, sf_dir):
+        rows = pv.with_scene_cuts(
+            pv.videos_df(spark, sf_dir, every=200, cut_at=4)
+        ).collect()
+        for r in rows[:14]:
+            eid = int(r["video_id"][4:])
+            a = pv.synth_frame(eid, r["frame_no"] - 1, cut_at=4).astype(np.int64)
+            b = pv.synth_frame(eid, r["frame_no"], cut_at=4).astype(np.int64)
+            assert r["sad_total"] == int(np.abs(a - b).sum())
+
+    def test_no_cut_without_injection(self, spark, sf_dir):
+        rows = pv.with_scene_cuts(
+            pv.videos_df(spark, sf_dir, every=200)
+        ).collect()
+        assert rows and not any(r["is_cut"] for r in rows)
