@@ -65,7 +65,12 @@ def synth_frame(
 
 
 def _synth_clip(
-    eid: int, n_frames: int, size: int, mixed: bool, cut_at: int | None
+    eid: int,
+    n_frames: int,
+    size: int,
+    mixed: bool,
+    cut_at: int | None,
+    jitter_last: bool = False,
 ):
     if mixed and eid % 2 == 1:
         frames = [
@@ -74,6 +79,11 @@ def _synth_clip(
         ]
         return vc.encode_avi(frames, fps=FPS, codec="mjpeg", quality=MJPEG_QUALITY), "mjpeg"
     frames = [synth_frame(eid, k, size, cut_at=cut_at) for k in range(n_frames)]
+    if jitter_last:
+        # the clip trimmed one frame later: last frame is the NEXT frame
+        # of the underlying sequence (seed n_frames, not n_frames-1) —
+        # the classic near-duplicate shape of a re-cut/re-encoded clip
+        frames[-1] = synth_frame(eid, n_frames, size, cut_at=cut_at)
     return vc.encode_avi(frames, fps=FPS, codec="rawdib"), "rawdib"
 
 
@@ -85,12 +95,16 @@ def videos_df(
     every: int = 100,
     mixed_codecs: bool = False,
     cut_at: int | None = None,
+    jitter_period: int | None = None,
 ) -> DataFrame:
     """One AVI clip per ``events`` row with event_id % every == 0,
     filtered BEFORE the encode UDF. ``mixed_codecs`` makes odd event
     ids Motion-JPEG (the corpus-realistic lossy shape); default stays
     all-rawdib because the frame-stat oracle needs lossless pixels.
-    ``cut_at`` injects a synthetic shot boundary (see synth_frame)."""
+    ``cut_at`` injects a synthetic shot boundary (see synth_frame).
+    ``jitter_period`` makes clips with event_id % period >= period//2
+    trailing-frame-jittered (see _synth_clip) so the corpus contains
+    genuine near-duplicates, not just mod-256 exact ones."""
     pts = datagen.geo_points(spark, sf_dir).select("event_id")
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
@@ -101,8 +115,12 @@ def videos_df(
             out = []
             for eid in pdf["event_id"]:
                 eid = int(eid)
+                jit = (
+                    jitter_period is not None
+                    and eid % jitter_period >= jitter_period // 2
+                )
                 data, codec = _synth_clip(
-                    eid, n_frames, size, mixed_codecs, cut_at
+                    eid, n_frames, size, mixed_codecs, cut_at, jit
                 )
                 out.append(
                     (f"vid_{eid:09d}", data, size, size, FPS, n_frames, codec)
@@ -243,4 +261,80 @@ def with_scene_cuts(videos: DataFrame, threshold: int = SCENE_CUT_SAD) -> DataFr
     return videos.mapInPandas(
         _cuts,
         "video_id string, frame_no int, sad_total bigint, is_cut boolean",
+    )
+
+
+def with_frame_hashes(videos: DataFrame) -> DataFrame:
+    """Per-frame perceptual hash: (video_id, frame_no, fhash int64).
+    The sequence of frame aHashes IS the clip signature — fixed-width
+    (8 bytes/frame), so every downstream join/shuffle carries hashes,
+    never pixel payloads. One map-side decode pass per clip."""
+
+    def _h(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.bytes)
+                meta = vc.parse_avi(blob)
+                for k in range(meta["n_frames"]):
+                    px = vc.decode_frame(blob, meta, k)
+                    out.append((row.video_id, k, ic.phash64(px)))
+            yield pd.DataFrame(out, columns=["video_id", "frame_no", "fhash"])
+
+    return videos.mapInPandas(
+        _h, "video_id string, frame_no int, fhash long"
+    )
+
+
+VIDEO_NEARDUP_HAM = 48  # <= 0.75 of one frame-hash width: admits clips
+#                         differing by about one drifted/re-cut frame
+#                         (measured trailing-frame jitter: 10-37 bits)
+
+
+def clip_neardup(videos: DataFrame, max_ham: int = VIDEO_NEARDUP_HAM) -> DataFrame:
+    """Clip-level near-duplicate pairs — the video analog of
+    image_phash_neardup (the curation pass that collapses re-encoded /
+    re-cut copies in a 100 TB video corpus).
+
+    Candidate generation: exact equality on (frame_no, fhash) — a pair
+    is a candidate iff >= 1 aligned frame hashes identically (any
+    re-cut copy shares most frames verbatim at hash level). That is a
+    shuffle on 12-byte keys, never pixels; like every banded dedup here
+    it is quadratic only inside identical-hash buckets (inherent to
+    dup-heavy corpora — same caveat as MinHash bands).
+    Verify: total Hamming distance over aligned frame hashes <= max_ham,
+    all-integer (xor + bit_count, JVM-side), so the DuckDB oracle
+    replays every value from the pixel closed form."""
+    fh = with_frame_hashes(videos)
+    a, b = fh.alias("a"), fh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_no") == F.col("b.frame_no"))
+            & (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.video_id") < F.col("b.video_id")),
+        )
+        .select(
+            F.col("a.video_id").alias("va"), F.col("b.video_id").alias("vb")
+        )
+        .distinct()
+    )
+    ham = (
+        cand.join(fh.alias("p"), F.col("va") == F.col("p.video_id"))
+        .join(
+            fh.alias("q"),
+            (F.col("vb") == F.col("q.video_id"))
+            & (F.col("p.frame_no") == F.col("q.frame_no")),
+        )
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(F.expr("bit_count(p.fhash ^ q.fhash)"))
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= max_ham).select(
+        F.col("va").alias("video_id_a"),
+        F.col("vb").alias("video_id_b"),
+        "hamming",
     )

@@ -1017,3 +1017,75 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= ~264k — see pipeline/video.py::SCENE_CUT_SAD)."""
     vids = vid.videos_df(spark, sf_dir, every=200, cut_at=4)
     return vid.with_scene_cuts(vids).orderBy("video_id", "frame_no")
+
+
+_VIDEO_NEARDUP_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 400 = 0),
+k AS (SELECT CAST(range AS INT) AS k FROM range(8)),
+sd AS (
+  SELECT e.event_id, k.k,
+         e.event_id*8 + k.k
+           + CASE WHEN k.k = 7 AND e.event_id % 1600 >= 800
+                  THEN 1 ELSE 0 END AS s
+  FROM e CROSS JOIN k
+),
+ij AS (SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j),
+yx AS (SELECT y.range AS dy, x.range AS dx FROM range(4) y, range(4) x),
+px AS (
+  SELECT sd.event_id, sd.k, i, j,
+         sum( ((4*j+dx)*7 + s*13) % 256
+            + ((4*i+dy)*11 + s*29) % 256
+            + (((4*j+dx)+(4*i+dy))*5 + s*53) % 256 ) AS cell
+  FROM sd CROSS JOIN ij CROSS JOIN yx
+  GROUP BY sd.event_id, sd.k, i, j
+),
+b AS (
+  SELECT event_id, k, i, j,
+         CASE WHEN 64*cell > sum(cell) OVER (PARTITION BY event_id, k)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+),
+v AS (
+  SELECT event_id, k,
+         CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                   THEN u - (CAST(1 AS HUGEINT) << 64)
+                   ELSE u END AS BIGINT) AS fhash
+  FROM (
+    SELECT event_id, k,
+           sum(CAST(bit AS HUGEINT)
+               * (CAST(1 AS HUGEINT) << CAST(63 - (8*i+j) AS INT))) AS u
+    FROM b GROUP BY event_id, k
+  )
+),
+cand AS (
+  SELECT DISTINCT x.event_id AS ea, y.event_id AS eb
+  FROM v x JOIN v y
+    ON x.k = y.k AND x.fhash = y.fhash AND x.event_id < y.event_id
+),
+hx AS (
+  SELECT c.ea, c.eb,
+         CAST(sum(bit_count(xor(p.fhash, q.fhash))) AS INT) AS hamming
+  FROM cand c
+  JOIN v p ON p.event_id = c.ea
+  JOIN v q ON q.event_id = c.eb AND q.k = p.k
+  GROUP BY c.ea, c.eb
+)
+SELECT 'vid_' || lpad(CAST(ea AS VARCHAR), 9, '0') AS video_id_a,
+       'vid_' || lpad(CAST(eb AS VARCHAR), 9, '0') AS video_id_b,
+       hamming
+FROM hx WHERE hamming <= 48 ORDER BY 1, 2
+"""
+
+
+@register_extra("video_phash_neardup", _VIDEO_NEARDUP_ORACLE)
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level perceptual near-dup: per-frame aHash signatures ->
+    exact (frame_no, hash) banding -> aligned-frame Hamming verify.
+    The corpus mixes exact duplicates (the sawtooth's mod-256
+    periodicity makes event ids 800 apart render identical frames) with
+    genuine near-duplicates (jitter_period=1600 trims half the clips
+    one frame later -> pairs at hamming 10-37). The oracle replays the
+    whole chain closed-form: per-frame 4x4-cell integer aHash, banding,
+    xor/popcount -- every hamming value hash-fatal."""
+    vids = vid.videos_df(spark, sf_dir, every=400, jitter_period=1600)
+    return vid.clip_neardup(vids).orderBy("video_id_a", "video_id_b")

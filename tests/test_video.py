@@ -160,3 +160,53 @@ class TestSceneCuts:
             pv.videos_df(spark, sf_dir, every=200)
         ).collect()
         assert rows and not any(r["is_cut"] for r in rows)
+
+
+class TestClipNearDup:
+    def test_pairs_classify_exact_vs_jittered(self, spark, sf_dir):
+        rows = pv.clip_neardup(
+            pv.videos_df(spark, sf_dir, every=400, jitter_period=1600)
+        ).collect()
+        assert rows
+        for r in rows:
+            ea, eb = int(r["video_id_a"][4:]), int(r["video_id_b"][4:])
+            # candidates only arise inside a mod-32 (frame-identical) class
+            assert ea % 32 == eb % 32
+            same_epoch = (ea % 1600 >= 800) == (eb % 1600 >= 800)
+            if same_epoch:
+                assert r["hamming"] == 0, (ea, eb)
+            else:
+                assert 1 <= r["hamming"] <= 48, (ea, eb, r["hamming"])
+
+    def test_hamming_matches_numpy_reference(self, spark, sf_dir):
+        rows = pv.clip_neardup(
+            pv.videos_df(spark, sf_dir, every=400, jitter_period=1600)
+        ).collect()
+        def frame_hash(e, k):
+            if k == pv.N_FRAMES - 1 and e % 1600 >= 800:
+                k = pv.N_FRAMES  # trailing-frame jitter
+            return ic.phash64(pv.synth_frame(e, k))
+
+        for r in rows[:6]:
+            ea, eb = int(r["video_id_a"][4:]), int(r["video_id_b"][4:])
+            ham = sum(
+                bin(
+                    (frame_hash(ea, k) ^ frame_hash(eb, k)) & ((1 << 64) - 1)
+                ).count("1")
+                for k in range(pv.N_FRAMES)
+            )
+            assert ham == r["hamming"], (ea, eb)
+
+    def test_signature_is_payload_hash_only(self, spark, sf_dir):
+        fh = pv.with_frame_hashes(
+            pv.videos_df(spark, sf_dir, every=400)
+        )
+        assert [f.name for f in fh.schema.fields] == [
+            "video_id", "frame_no", "fhash",
+        ]
+        rows = fh.collect()
+        eids = {int(r["video_id"][4:]) for r in rows}
+        for r in rows[:16]:
+            eid = int(r["video_id"][4:])
+            assert r["fhash"] == ic.phash64(pv.synth_frame(eid, r["frame_no"]))
+        assert len(rows) == len(eids) * pv.N_FRAMES
