@@ -45,6 +45,26 @@ def synth_samples(doc_id: int, n: int = N_SAMPLES) -> np.ndarray:
     return v.astype(np.int16)
 
 
+VAD_REGION = 400  # silence-gate granularity (samples)
+
+
+def synth_samples_gated(
+    doc_id: int, n: int = N_SAMPLES, region: int = VAD_REGION
+) -> np.ndarray:
+    """The LCG waveform with deterministic silence: regions of ``region``
+    samples where ((doc_id*31 + region_idx*17) % 5) < 2 are attenuated
+    64x. The attenuation divides the NON-NEGATIVE raw LCG value before
+    centering (``raw//64 - 512``) — division semantics on negatives
+    differ between numpy (floor) and DuckDB (truncate), so the closed
+    form stays on non-negative operands. The *17 stepping mod 5 gives
+    each clip a doc_id-dependent silent-frame pattern (0-2 of its 4
+    regions), so segment counts and boundaries genuinely vary."""
+    k = np.arange(n, dtype=np.int64)
+    raw = (doc_id * 7919 + k * 104729 + 12345) % 65536
+    silent = (doc_id * 31 + (k // region) * 17) % 5 < 2
+    return np.where(silent, raw // 64 - 512, raw - 32768).astype(np.int16)
+
+
 def decode_pcm(
     blob: bytes,
     codec: str,
@@ -97,13 +117,15 @@ def audio_df(
     codec: str = "pcm_s16le",
     n_samples: int = N_SAMPLES,
     spb: int = audiocodec.SPB,
+    gated: bool = False,
 ) -> DataFrame:
     """One clip per `documents` row (binary + typed metadata).
 
     codec selects the stored wire format: 'pcm_s16le' (raw), 'mulaw'
     (G.711-companded), or 'ima_adpcm' (4-bit blocks) — the latter two
     run the real from-scratch ENCODERS (functions/audiocodec.py), so
-    downstream decode queries exercise genuine compressed blobs."""
+    downstream decode queries exercise genuine compressed blobs.
+    ``gated`` switches to the silence-gated waveform (VAD corpus)."""
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -116,7 +138,8 @@ def audio_df(
             ids = [int(d) for d in pdf["doc_id"]]
             if not ids:
                 continue
-            raw = np.stack([synth_samples(d, n_samples) for d in ids])
+            synth = synth_samples_gated if gated else synth_samples
+            raw = np.stack([synth(d, n_samples) for d in ids])
             if codec == "pcm_s16le":
                 blobs = [r.tobytes() for r in raw]
             elif codec == "mulaw":
@@ -211,4 +234,76 @@ def with_frame_features(
 
     return audio.mapInPandas(
         _feat, "doc_id bigint, frame_idx int, rms double, zcr int, peak int"
+    )
+
+
+VAD_THRESHOLD = 1_600_000  # sum|sample| per 400-sample frame: full-scale
+#                            LCG ~6.5M, attenuated ~0.1M, half-loud ~3.3M
+#                            -> speech iff >= 1 of the frame's 2 gate
+#                            regions is loud. Rescale as ~4000 * frame.
+
+
+def with_vad_segments(
+    audio: DataFrame,
+    frame: int = FRAME,
+    threshold: int = VAD_THRESHOLD,
+    spb: int = audiocodec.SPB,
+) -> DataFrame:
+    """Energy VAD + segmentation: per-frame integer loudness
+    (sum |sample|) -> speech flag -> consecutive speech frames merged
+    into segments. The run merge is CLIP-LOCAL (a clip's frames all
+    live in its own row), so the whole pass is map-side — no shuffle,
+    no window exchange; at 10^12 clips this is the speech-segmentation
+    curation pass before transcription/packing. All-integer arithmetic,
+    so the DuckDB oracle (audio_vad_segments) replays every loudness
+    and boundary exactly.
+
+    Output: (doc_id, seg_idx, start_frame, end_frame, n_frames,
+    loud_total) — one row per maximal run of speech frames."""
+
+    def _vad(batches):
+        for pdf in batches:
+            by_key: dict = {}
+            for row in pdf.itertuples(index=False):
+                key = (row.codec, int(row.n_samples))
+                by_key.setdefault(key, ([], []))
+                by_key[key][0].append(int(row.doc_id))
+                by_key[key][1].append(bytes(row.pcm))
+            out = []
+            for (codec, n), (ids, blobs) in sorted(by_key.items()):
+                nf = n // frame
+                if nf == 0:
+                    continue
+                mat = _decode_group(blobs, codec, n, spb)[:, : nf * frame]
+                loud = np.abs(mat.reshape(len(blobs), nf, frame)).sum(2)
+                speech = loud > threshold
+                for ci, did in enumerate(ids):
+                    row_sp = speech[ci]
+                    # run boundaries: pad with False, diff flags edges
+                    edges = np.flatnonzero(
+                        np.diff(np.r_[False, row_sp, False])
+                    ).reshape(-1, 2)
+                    for si, (a, b) in enumerate(edges):
+                        out.append(
+                            (
+                                did,
+                                si,
+                                int(a),
+                                int(b - 1),
+                                int(b - a),
+                                int(loud[ci, a:b].sum()),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "seg_idx", "start_frame", "end_frame",
+                    "n_frames", "loud_total",
+                ],
+            )
+
+    return audio.mapInPandas(
+        _vad,
+        "doc_id bigint, seg_idx int, start_frame int, end_frame int,"
+        " n_frames int, loud_total bigint",
     )

@@ -1089,3 +1089,55 @@ def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     xor/popcount -- every hamming value hash-fatal."""
     vids = vid.videos_df(spark, sf_dir, every=400, jitter_period=1600)
     return vid.clip_neardup(vids).orderBy("video_id_a", "video_id_b")
+
+
+_VAD_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+k AS (SELECT CAST(range AS INT) AS k FROM range(1600)),
+s AS (
+  SELECT d.doc_id, k.k,
+         (d.doc_id*7919 + k.k*104729 + 12345) % 65536 AS raw,
+         (d.doc_id*31 + (k.k//400)*17) % 5 < 2 AS silent
+  FROM d CROSS JOIN k
+),
+f AS (
+  SELECT doc_id, k//400 AS frame_idx,
+         sum(abs(CASE WHEN silent THEN raw//64 - 512
+                      ELSE raw - 32768 END)) AS sum_abs
+  FROM s GROUP BY doc_id, k//400
+),
+sp AS (
+  SELECT doc_id, frame_idx, sum_abs,
+         frame_idx - row_number()
+           OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+  FROM f WHERE sum_abs > 1600000
+),
+seg AS (
+  SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+         count(*) AS n, sum(sum_abs) AS loud_total
+  FROM sp GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+            AS INT) AS seg_idx,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(end_frame AS INT) AS end_frame,
+       CAST(n AS INT) AS n_frames,
+       CAST(loud_total AS BIGINT) AS loud_total
+FROM seg ORDER BY doc_id, seg_idx
+"""
+
+
+@register_extra("audio_vad_segments", _VAD_ORACLE)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy VAD + speech segmentation over the silence-gated corpus
+    (the curation pass that trims silence before transcription/packing).
+    Per-frame integer loudness -> threshold -> clip-local run merge
+    (map-side only, zero shuffle — see pipeline/audio.py). The oracle
+    rebuilds the gated waveform closed-form and re-derives every
+    segment with SQL gaps-and-islands; loudness totals and boundaries
+    are all hash-fatal."""
+    from ..pipeline import audio as au
+
+    clips = au.audio_df(spark, sf_dir, gated=True)
+    return au.with_vad_segments(clips).orderBy("doc_id", "seg_idx")

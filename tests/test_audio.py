@@ -154,3 +154,50 @@ class TestCompressedCodecs:
             au.decode_pcm(blob, "ima_adpcm", n_samples=400, spb=101),
             ac.adpcm_decode(blob, 400, spb=101),
         )
+
+
+class TestVadSegments:
+    def _ref_segments(self, doc_id):
+        v = au.synth_samples_gated(doc_id).astype(np.int64)
+        loud = np.abs(v.reshape(-1, au.FRAME)).sum(1)
+        sp = loud > au.VAD_THRESHOLD
+        edges = np.flatnonzero(np.diff(np.r_[False, sp, False])).reshape(-1, 2)
+        return [
+            (doc_id, si, int(a), int(b - 1), int(b - a), int(loud[a:b].sum()))
+            for si, (a, b) in enumerate(edges)
+        ]
+
+    def test_segments_match_numpy_reference(self, spark, sf_dir):
+        rows = au.with_vad_segments(
+            au.audio_df(spark, sf_dir, gated=True)
+        ).collect()
+        assert rows
+        got = sorted(tuple(r) for r in rows)
+        ids = {r["doc_id"] for r in rows}
+        ref = sorted(t for d in ids for t in self._ref_segments(d))
+        assert got == ref
+
+    def test_segments_are_maximal_runs(self, spark, sf_dir):
+        rows = au.with_vad_segments(
+            au.audio_df(spark, sf_dir, gated=True)
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        multi = 0
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["seg_idx"])
+            for i, r in enumerate(rs):
+                assert r["seg_idx"] == i
+                assert r["end_frame"] - r["start_frame"] + 1 == r["n_frames"]
+                if i:
+                    # maximal: a silent frame separates consecutive runs
+                    assert r["start_frame"] > rs[i - 1]["end_frame"] + 1
+            multi += len(rs) > 1
+        assert multi  # the gate pattern produces split clips
+
+    def test_gated_waveform_has_real_silence(self):
+        v = au.synth_samples_gated(1).astype(np.int64)
+        loud = np.abs(v.reshape(-1, au.FRAME)).sum(1)
+        assert loud.min() < au.VAD_THRESHOLD // 10
+        assert loud.max() > au.VAD_THRESHOLD * 2
