@@ -191,6 +191,64 @@ def flagship_throughput_codegen_warm(
     return sorted(rates)[1], config
 
 
+def flagship_images_throughput(spark, sf_dir: str) -> dict:
+    """The BASELINE.json headline taken LITERALLY: geotagged-IMAGES/sec
+    through the H3-style PIP + kNN join over the image+caption table
+    (input_hint schema: image_id, bytes, w, h, fmt, caption, phash +
+    lon/lat geotag).
+
+    Setup (not timed, reported separately): synthesize the table once
+    and write it to parquet — the small-scale stand-in for the
+    10^12-row Iceberg image table. Timed: the codegen join reading ONLY
+    (image_id, lon, lat) back from the columnar file — pruning keeps
+    the KB-scale `bytes` payload out of the scan (plan-asserted in
+    tests/test_pushdown.py), which is exactly why the metric stays
+    compute-bound instead of payload-IO-bound at 100 TB."""
+    import shutil
+    import tempfile
+
+    from osm2vdv462_spark.operators.jvm_pip import pip_knn_assign_codegen
+    from osm2vdv462_spark.pipeline import datagen, images as im
+
+    out: dict = {}
+    tdir = tempfile.mkdtemp(prefix="bench_images_")
+    path = os.path.join(tdir, "images.parquet")
+    try:
+        t0 = time.perf_counter()
+        im.images_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+        out["table_build_sec"] = round(time.perf_counter() - t0, 3)
+        out["table_bytes"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+        imgs = spark.read.parquet(path).select("image_id", "lon", "lat")
+        n = imgs.count()
+        out["n_images"] = n
+        polys = datagen.stop_area_octagons(spark, sf_dir)
+        quays = datagen.quay_sites(spark, sf_dir)
+        df = pip_knn_assign_codegen(
+            imgs, polys, quays, point_keep=["image_id"],
+            poly_id="relation_id", target_id="quay_id", poly_res=12,
+        )
+        _force(df)  # warm-up (JIT + broadcast build)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(df)
+            reps.append(n / (time.perf_counter() - t0))
+        out["images_per_sec"] = round(sorted(reps)[1], 1)
+        out["pruned_scan_columns"] = ["image_id", "lon", "lat"]
+        out["note"] = (
+            "literal headline over the literal table; at sf0.1 the join"
+            " finishes in ~0.1s so per-job fixed costs dominate —"
+            " flagship_codegen_points_per_sec_warm_32M is the sustained"
+            " per-32-core rate of the same plan"
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 CHEMNITZ_PBF = "/root/reference/example_data/chemnitz-bernsdorf.osm.pbf"
 
 
@@ -545,6 +603,7 @@ def main() -> None:
     tp, n_points = flagship_throughput(spark, sf_dir)
     tp_cg = flagship_throughput_codegen(spark, sf_dir)
     tp_cg_warm, warm_config = flagship_throughput_codegen_warm(spark, sf_dir)
+    images_flagship = flagship_images_throughput(spark, sf_dir)
     real_world = real_data_bench(spark)
     print(
         json.dumps(
@@ -565,6 +624,7 @@ def main() -> None:
                 "flagship_codegen_points_per_sec_warm_32M": round(tp_cg_warm, 1),
                 "flagship_warm_config": warm_config,
                 "flagship_n_points": n_points,
+                "flagship_images_table": images_flagship,
                 "real_data_chemnitz": real_world,
                 "cores": cpus,
                 "page_fault_ms_per_mb": round(pf_ms, 1),

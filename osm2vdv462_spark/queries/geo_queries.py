@@ -347,6 +347,79 @@ def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ image-table flagship
+
+# The BASELINE.json headline, taken literally: the PIP + kNN join runs
+# over the image+caption table itself (input_hint schema + lon/lat
+# geotag), not a points projection of `events`. image_id and caption are
+# deterministic functions of event_id, so the oracle re-derives the
+# whole table closed-form.
+_IMAGES_CTE = """
+WITH p AS (
+  SELECT
+    'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+    'caption for image ' || CAST(event_id AS VARCHAR) AS caption,
+    -0.25 + (((event_id * 37 + 11) % 2000) / 4000.0) AS lon,
+    -0.25 + (((event_id * 73 + 29) % 2000) / 4000.0) AS lat
+  FROM events WHERE event_id % 10 = 0
+)
+"""
+
+
+@register_extra(
+    "image_geo_assign",
+    f"""
+    {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.image_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.image_id, p.caption, n.n_nationkey AS relation_id,
+           near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.image_id = p.image_id AND near.rn = 1
+    """,
+)
+def image_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline metric end-to-end: geotagged IMAGES (full input_hint
+    table, binary payloads and all) -> fused PIP stop-area assignment +
+    nearest-quay kNN on the zero-Python codegen plan, with image_id and
+    caption carried through the join (the caption-equality half of the
+    per-row invariant is hash-fatal here).
+
+    At 100 TB the image table is columnar (Iceberg/parquet) and this
+    join reads only (image_id, caption, lon, lat) — the multi-KB
+    `bytes` column never leaves the scan (plan-asserted in
+    tests/test_pushdown.py on a parquet materialization). Extra tier:
+    the join semantics are gate-covered by fused_assign_codegen; this
+    row pins the image-table shape on top of them."""
+    from ..operators.jvm_pip import pip_knn_assign_codegen
+    from ..pipeline import images as im
+
+    imgs = im.images_df(spark, sf_dir, every=10).select(
+        "image_id", "caption", "lon", "lat"
+    )
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = pip_knn_assign_codegen(
+        imgs, polys, quays, point_keep=["image_id", "caption"],
+        poly_id="relation_id", target_id="quay_id", poly_res=12,
+    )
+    return out.select(
+        "image_id",
+        "caption",
+        F.col("relation_id").cast("int").alias("relation_id"),
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )
+
+
 _ZONAL_ORACLE = """
 WITH o AS (SELECT n_nationkey AS k,
         -0.2 + 0.1 * (n_nationkey % 5) AS cx,

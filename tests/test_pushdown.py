@@ -33,6 +33,36 @@ class TestScanEfficiency:
         assert "doc_id" in rs and "text" in rs
         assert "source" not in rs and "lang" not in rs, rs
 
+    def test_image_table_join_prunes_bytes(self, spark, sf_dir, tmp_path):
+        """The headline join (geotagged images -> PIP+kNN) over a parquet
+        materialization of the image+caption table must scan ONLY
+        (image_id, lon, lat): the KB-scale `bytes` payload and caption
+        never leave the columnar file. This is what keeps the metric
+        compute-bound at the 10^12-image scale BASELINE.json names."""
+        from osm2vdv462_spark.operators.jvm_pip import pip_knn_assign_codegen
+        from osm2vdv462_spark.pipeline import datagen, images as im
+
+        path = str(tmp_path / "images.parquet")
+        im.images_df(spark, sf_dir, every=50).write.parquet(path)
+        imgs = spark.read.parquet(path).select("image_id", "lon", "lat")
+        polys = datagen.stop_area_octagons(spark, sf_dir)
+        quays = datagen.quay_sites(spark, sf_dir)
+        df = pip_knn_assign_codegen(
+            imgs, polys, quays, point_keep=["image_id"],
+            poly_id="relation_id", target_id="quay_id", poly_res=12,
+        )
+        # the plan printer truncates long paths, so identify the image
+        # scan by its ReadSchema content (the only scan with image_id)
+        img_scan_lines = [
+            ln for ln in _scan_lines(df)
+            if "ReadSchema:" in ln and "image_id" in ln.split("ReadSchema:")[1]
+        ]
+        assert img_scan_lines, _scan_lines(df)
+        rs = img_scan_lines[0].split("ReadSchema:")[1]
+        assert "image_id" in rs and "lon" in rs and "lat" in rs, rs
+        assert "bytes" not in rs and "caption" not in rs and "phash" not in rs, rs
+        assert df.count() > 0
+
     def test_registry_scan_prunes(self, spark, sf_dir):
         """A registry query's scan must not read unused columns
         (pricing_summary touches 7 of lineitem's 16)."""
