@@ -1,0 +1,289 @@
+"""Snapshot table format: from-scratch manifest/snapshot layout with
+file-level column statistics and manifest-driven scan pruning.
+
+The north rule runs the engine "over Iceberg tables" of image+caption
+pairs. No table-format runtime ships in this sandbox, so this module
+implements the three properties that make that design work at 10^12
+rows, from scratch on plain parquet + JSON (layout modeled on the
+PUBLIC Apache Iceberg spec's HadoopCatalog mode — metadata/version
+files + a version hint — reimplemented, not ported):
+
+* **Snapshot isolation + atomic commits.** Data files are written and
+  fsynced first; a commit is a single atomic ``os.replace`` of the
+  ``version-hint.text`` pointer. Readers resolve the pointer once and
+  then read an immutable file list — a concurrent append can never
+  tear a scan, and a crashed write leaves only invisible orphan files.
+* **O(new-data) appends + time travel.** Snapshot N+1's manifest is
+  snapshot N's file list plus the new files; nothing is rewritten.
+  Every snapshot stays readable (``read_table(..., snapshot=n)``).
+* **Manifest-driven file pruning.** The manifest records per-file row
+  counts, bytes, and per-column min/max (harvested from parquet
+  footers via pyarrow — footer-only, the data pages are never read).
+  ``read_table(filters=...)`` drops whole files whose stats cannot
+  match, BEFORE Spark ever lists or opens them. At 100 TB this is the
+  difference between "scan one day's files" and "scan the table":
+  partition pruning that works on any sorted/clustered column, not
+  just directory keys.
+
+Write clustering: ``cluster_by`` range-repartitions + sorts the data
+so each file owns a tight key range (the public Iceberg write
+"sort order" strategy) — that is what makes min/max pruning sharp.
+
+Reference parity note: the reference pipeline stages through Postgres
+tables (docker-compose.yml services + SQL views); this is the
+cluster-shaped analogue of those stage tables, as BASELINE.json's
+north rule prescribes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_HINT = "version-hint.text"
+
+# filter ops understood by the pruner: (col, op, literal)
+_OPS = ("==", "<", "<=", ">", ">=")
+
+
+# --------------------------------------------------------------- stats
+
+
+def _file_stats(path: str) -> dict:
+    """Per-column min/max + rows from the parquet FOOTER (no data-page
+    IO). Columns whose physical type has no usable order (binary
+    payloads, nested) are skipped — they simply never prune."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested field — skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "min": mins,
+        "max": maxs,
+    }
+
+
+def _may_match(f: dict, col: str, op: str, val) -> bool:
+    """Can any row in file f satisfy (col op val)? Missing stats => yes.
+    Null rows never satisfy any comparison, so min/max bounds (which
+    ignore nulls) are sound."""
+    lo = f["stats"]["min"].get(col)
+    hi = f["stats"]["max"].get(col)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:  # cross-type comparison — never prune on it
+        return True
+    return True
+
+
+# --------------------------------------------------------------- write
+
+
+def _write_data_files(
+    df: DataFrame, table_path: str, cluster_by: str | None, files_hint: int
+) -> list[dict]:
+    """Write df as new immutable data files under <table>/data and
+    return their manifest entries (executor-side write; the driver only
+    harvests footers)."""
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    if cluster_by is not None:
+        # tight per-file key ranges -> sharp min/max pruning
+        df = df.repartitionByRange(files_hint, F.col(cluster_by)) \
+               .sortWithinPartitions(cluster_by)
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, name), final)
+        st = _file_stats(final)
+        if st["rows"] == 0:
+            os.remove(final)
+            continue
+        entries.append({"path": os.path.relpath(final, table_path), **{"stats": st}})
+    # clear staging remnants (_SUCCESS, .crc)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return entries
+
+
+def _commit(table_path: str, snapshot: dict) -> int:
+    """Atomically publish a snapshot: write vN.json, then flip the
+    version hint with os.replace (POSIX-atomic)."""
+    meta = os.path.join(table_path, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    version = snapshot["version"]
+    with open(os.path.join(meta, f"v{version}.json"), "w") as fh:
+        json.dump(snapshot, fh)
+    tmp = os.path.join(meta, f"_hint_{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(meta, _HINT))
+    return version
+
+
+def current_version(table_path: str) -> int:
+    with open(os.path.join(table_path, "metadata", _HINT)) as fh:
+        return int(fh.read().strip())
+
+
+def _load_snapshot(table_path: str, version: int) -> dict:
+    with open(os.path.join(table_path, "metadata", f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def create_table(
+    df: DataFrame,
+    table_path: str,
+    *,
+    cluster_by: str | None = None,
+    files_hint: int = 8,
+) -> int:
+    """Create the table at snapshot v1 from df. Returns the version."""
+    os.makedirs(table_path, exist_ok=True)
+    files = _write_data_files(df, table_path, cluster_by, files_hint)
+    snap = {
+        "version": 1,
+        "parent": None,
+        "ts": time.time(),
+        "schema": json.loads(df.schema.json()),
+        "cluster_by": cluster_by,
+        "files": files,
+        "total_rows": sum(f["stats"]["rows"] for f in files),
+    }
+    return _commit(table_path, snap)
+
+
+def append_table(
+    df: DataFrame,
+    table_path: str,
+    *,
+    files_hint: int = 8,
+) -> int:
+    """Append df as a new snapshot: parent's file list + new files only
+    (O(new data) — nothing is rewritten, the parent stays readable)."""
+    parent_v = current_version(table_path)
+    parent = _load_snapshot(table_path, parent_v)
+    new_files = _write_data_files(
+        df, table_path, parent.get("cluster_by"), files_hint
+    )
+    snap = {
+        "version": parent_v + 1,
+        "parent": parent_v,
+        "ts": time.time(),
+        "schema": parent["schema"],
+        "cluster_by": parent.get("cluster_by"),
+        "files": parent["files"] + new_files,
+        "total_rows": parent["total_rows"]
+        + sum(f["stats"]["rows"] for f in new_files),
+    }
+    return _commit(table_path, snap)
+
+
+# ---------------------------------------------------------------- read
+
+
+def plan_scan(
+    table_path: str,
+    *,
+    snapshot: int | None = None,
+    filters: list[tuple] | None = None,
+) -> dict:
+    """Resolve the file list for a scan: snapshot resolution + manifest
+    min/max pruning. Pure metadata — no Spark, no data IO. Returns
+    {files, schema, files_total, files_scanned, rows_skipped}."""
+    version = snapshot if snapshot is not None else current_version(table_path)
+    snap = _load_snapshot(table_path, version)
+    files = snap["files"]
+    total = len(files)
+    if filters:
+        for col, op, val in filters:
+            if op not in _OPS:
+                raise ValueError(f"unsupported pruning op {op!r}")
+            files = [f for f in files if _may_match(f, col, op, val)]
+    return {
+        "version": version,
+        "schema": snap["schema"],
+        "files": [os.path.join(table_path, f["path"]) for f in files],
+        "files_total": total,
+        "files_scanned": len(files),
+        "rows_skipped": snap["total_rows"]
+        - sum(f["stats"]["rows"] for f in files),
+    }
+
+
+def read_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot: int | None = None,
+    filters: list[tuple] | None = None,
+    report: dict | None = None,
+) -> DataFrame:
+    """Scan the table at a snapshot. ``filters`` is a list of
+    (col, op, literal) conjuncts; files whose footer stats cannot match
+    are dropped before Spark ever opens them, and the SAME predicate is
+    re-applied row-level (pruning is a superset guarantee, not the
+    filter itself). ``report`` receives the plan_scan() counters."""
+    plan = plan_scan(table_path, snapshot=snapshot, filters=filters)
+    if report is not None:
+        report.update(
+            {k: plan[k] for k in ("version", "files_total", "files_scanned",
+                                  "rows_skipped")}
+        )
+    schema = StructType.fromJson(plan["schema"])
+    if not plan["files"]:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*plan["files"])
+    for col, op, val in filters or []:
+        c = F.col(col)
+        df = df.filter(
+            {"==": c == val, "<": c < val, "<=": c <= val,
+             ">": c > val, ">=": c >= val}[op]
+        )
+    return df

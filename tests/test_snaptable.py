@@ -1,0 +1,144 @@
+"""Snapshot table format (sources/snaptable.py): atomic commits,
+O(new-data) appends + time travel, and manifest-driven file pruning —
+the from-scratch stand-in for the north rule's Iceberg stage tables."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from osm2vdv462_spark.sources import snaptable as st
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+class TestRoundtrip:
+    def test_create_and_read_back(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t1")
+        v = st.create_table(df, path, cluster_by="event_id")
+        assert v == 1
+        got = st.read_table(spark, path)
+        assert got.count() == df.count()
+        # exact content parity, order-insensitive
+        assert (
+            sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, df.collect()))
+        )
+
+    def test_binary_payload_column_roundtrip(self, spark, sf_dir, tmp_path):
+        """input_hint-shaped table: binary column rides along untouched;
+        stats harvesting skips it (binary has no usable order) but the
+        id column still prunes."""
+        from osm2vdv462_spark.pipeline import images as im
+
+        df = im.images_df(spark, sf_dir, every=100)
+        path = str(tmp_path / "imgs")
+        st.create_table(df, path, cluster_by="image_id", files_hint=4)
+        rep: dict = {}
+        got = st.read_table(spark, path, report=rep)
+        assert got.count() == df.count()
+        assert dict(got.dtypes)["bytes"] == "binary"
+
+
+class TestPruning:
+    def test_point_filter_prunes_files(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t2")
+        st.create_table(df, path, cluster_by="event_id", files_hint=8)
+        some_id = df.agg(F.max("event_id")).collect()[0][0]
+        rep: dict = {}
+        got = st.read_table(
+            spark, path, filters=[("event_id", "==", some_id)], report=rep
+        )
+        assert rep["files_scanned"] < rep["files_total"]
+        assert rep["files_scanned"] >= 1
+        assert got.count() == df.filter(F.col("event_id") == some_id).count()
+
+    def test_range_filter_parity_and_pruning(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t3")
+        st.create_table(df, path, cluster_by="event_id", files_hint=8)
+        cut = df.approxQuantile("event_id", [0.9], 0.01)[0]
+        rep: dict = {}
+        got = st.read_table(
+            spark, path, filters=[("event_id", ">=", cut)], report=rep
+        )
+        assert rep["files_scanned"] < rep["files_total"]
+        assert rep["rows_skipped"] > 0
+        assert got.count() == df.filter(F.col("event_id") >= cut).count()
+
+    def test_impossible_filter_scans_nothing(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t4")
+        st.create_table(df, path, cluster_by="event_id")
+        rep: dict = {}
+        got = st.read_table(
+            spark, path, filters=[("event_id", "<", -1)], report=rep
+        )
+        assert rep["files_scanned"] == 0
+        assert got.count() == 0
+        assert got.columns == df.columns  # schema survives the empty scan
+
+    def test_pruning_is_metadata_only(self, spark, sf_dir, tmp_path):
+        """plan_scan touches only manifest JSON — no Spark, no parquet
+        opens (the 100 TB property: planning cost is O(files), not
+        O(bytes))."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t5")
+        st.create_table(df, path, cluster_by="event_id", files_hint=8)
+        plan = st.plan_scan(path, filters=[("event_id", "==", 1)])
+        assert plan["files_scanned"] <= plan["files_total"]
+        for f in plan["files"]:
+            assert os.path.exists(f)
+
+
+class TestSnapshots:
+    def test_append_and_time_travel(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        half = df.filter(F.col("event_id") % 2 == 0)
+        rest = df.filter(F.col("event_id") % 2 == 1)
+        path = str(tmp_path / "t6")
+        assert st.create_table(half, path, cluster_by="event_id") == 1
+        assert st.append_table(rest, path) == 2
+        assert st.current_version(path) == 2
+        assert st.read_table(spark, path).count() == df.count()
+        # time travel: v1 still sees exactly the first half
+        assert (
+            st.read_table(spark, path, snapshot=1).count() == half.count()
+        )
+
+    def test_orphan_data_file_is_invisible(self, spark, sf_dir, tmp_path):
+        """A crashed writer leaves data files but never flips the version
+        hint — readers must not see them."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t7")
+        st.create_table(df, path, cluster_by="event_id")
+        n = st.read_table(spark, path).count()
+        # simulate a torn write: a real parquet file lands in data/
+        # without a snapshot commit
+        df.limit(10).write.mode("overwrite").parquet(str(tmp_path / "orph"))
+        orphan = [
+            f for f in os.listdir(str(tmp_path / "orph"))
+            if f.endswith(".parquet")
+        ][0]
+        os.replace(
+            str(tmp_path / "orph" / orphan),
+            os.path.join(path, "data", "orphan.parquet"),
+        )
+        assert st.read_table(spark, path).count() == n
+
+    def test_append_keeps_old_files(self, spark, sf_dir, tmp_path):
+        """Appends are O(new data): snapshot 2 reuses snapshot 1's files
+        byte-for-byte (same paths), plus new ones."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "t8")
+        st.create_table(df.limit(100), path, cluster_by="event_id")
+        v1_files = set(st.plan_scan(path, snapshot=1)["files"])
+        st.append_table(df.limit(50), path)
+        v2_files = set(st.plan_scan(path, snapshot=2)["files"])
+        assert v1_files <= v2_files
+        assert len(v2_files) > len(v1_files)
