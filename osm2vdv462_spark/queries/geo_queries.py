@@ -347,6 +347,55 @@ def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "streaming_tile_counts",
+    f"""
+    {_POINTS_CTE.replace("WITH p AS (", "WITH p0 AS (")},
+    p AS (SELECT p0.*, e.ts FROM p0 JOIN events e USING (event_id))
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+             AS window_start_epoch,
+           (CAST(12 AS BIGINT) << 57)
+           + (CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192.0),
+                                  0), 8191.0) AS BIGINT) << 28)
+           + CAST(least(greatest(floor((lat + 90.0) / 180.0 * 4096.0),
+                                 0), 4095.0) AS BIGINT) AS cell,
+           count(*) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tile-density rollup (geo x streaming): a stream of
+    geotagged rows -> JVM-side cell ids -> watermarked tumbling-window
+    counts per tile, drained hermetically with Trigger.AvailableNow.
+    The oracle is the exact batch semantics (time_bucket + the
+    tile_pyramid cell algebra at res 12 in DuckDB) — stream==batch
+    convergence for the north star's tiling rollup. Extra tier: the
+    cell algebra is gate-covered by tile_pyramid, the streaming harness
+    by streaming_windowed_counts."""
+    import os
+    import tempfile
+
+    from ..streaming import geo as sg
+
+    work = tempfile.mkdtemp(prefix="stream_tiles_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet"))
+    out = os.path.join(work, "out")
+    df = sg.windowed_tile_counts_stream(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sg.drain_available_now(df, out, os.path.join(work, "ckpt"))
+    return spark.read.parquet(out).select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "cell",
+        "n",
+    )
+
+
 # ------------------------------------------------ image-table flagship
 
 # The BASELINE.json headline, taken literally: the PIP + kNN join runs
