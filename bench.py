@@ -491,6 +491,59 @@ def main() -> None:
             " cores); a real executor is never sized to 100% of machine"
             " cores, so 4->16 is the faithful N->4N reading",
         }
+        # Strong scaling on the LITERAL image-table job (driver
+        # instruction: "the same job at two parallelism levels on the
+        # same input"): ONE parquet table of geotagged image ids, read +
+        # codegen PIP+kNN at N and at 4N cores. The table carries no
+        # payload column because the timed scan reads only
+        # (image_id, lon, lat) either way — pruning of the real bytes
+        # column is plan-asserted in test_pushdown.py; its size changes
+        # storage, not join cost.
+        import shutil
+        import tempfile
+
+        n_img = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "64000000"))
+        tdir = tempfile.mkdtemp(prefix="scale_images_")
+        tpath = os.path.join(tdir, "images.parquet")
+        sp = _fresh_spark(32)
+        sp.range(0, n_img, 1, 256).select(
+            F.format_string("img_%09d", F.col("id")).alias("image_id"),
+            (F.lit(-0.25) + ((F.col("id") * 37 + 11) % 2000) / 4000.0)
+            .alias("lon"),
+            (F.lit(-0.25) + ((F.col("id") * 73 + 29) % 2000) / 4000.0)
+            .alias("lat"),
+        ).write.mode("overwrite").parquet(tpath)
+        sp.stop()
+
+        def image_job(cores: int) -> float:
+            spark = _fresh_spark(cores)
+            imgs = spark.read.parquet(tpath).select("image_id", "lon", "lat")
+            polys = datagen.stop_area_octagons(spark, sf_dir)
+            quays = datagen.quay_sites(spark, sf_dir)
+            df = pip_knn_assign_codegen(
+                imgs, polys, quays, point_keep=["image_id"],
+                poly_id="relation_id", target_id="quay_id", poly_res=12,
+            )
+            _force(df)  # warm-up (JIT + broadcast build)
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(df)
+                reps.append(n_img / (time.perf_counter() - t0))
+            spark.stop()
+            return sorted(reps)[1]
+
+        i4 = image_job(4)
+        i16 = image_job(16)
+        shutil.rmtree(tdir, ignore_errors=True)
+        primary["image_table_strong_scaling"] = {
+            "job": "parquet image table (pruned scan) -> codegen PIP+kNN",
+            "n_images": n_img,
+            "local4_images_per_sec": round(i4, 1),
+            "local16_images_per_sec": round(i16, 1),
+            "scaling_efficiency_4_to_16": round(i16 / (4.0 * i4), 3),
+        }
+
         if "--scaling-fleet" not in sys.argv:
             print(json.dumps(primary))
             return

@@ -262,7 +262,7 @@ def dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "fused_assign_jvm",
     f"""
     {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -347,7 +347,7 @@ def fused_assign_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "streaming_tile_counts",
     f"""
     {_POINTS_CTE.replace("WITH p AS (", "WITH p0 AS (")},
@@ -369,9 +369,9 @@ def streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per tile, drained hermetically with Trigger.AvailableNow.
     The oracle is the exact batch semantics (time_bucket + the
     tile_pyramid cell algebra at res 12 in DuckDB) — stream==batch
-    convergence for the north star's tiling rollup. Extra tier: the
-    cell algebra is gate-covered by tile_pyramid, the streaming harness
-    by streaming_windowed_counts."""
+    convergence for the north star's tiling rollup. Gate row (late r4,
+    took quality_score's slot); the cell algebra is also covered by
+    tile_pyramid, the streaming harness by streaming_windowed_counts."""
     import os
     import tempfile
 
@@ -415,7 +415,7 @@ WITH p AS (
 """
 
 
-@register_extra(
+@register(
     "image_geo_assign",
     f"""
     {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -445,9 +445,10 @@ def image_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the image table is columnar (Iceberg/parquet) and this
     join reads only (image_id, caption, lon, lat) — the multi-KB
     `bytes` column never leaves the scan (plan-asserted in
-    tests/test_pushdown.py on a parquet materialization). Extra tier:
-    the join semantics are gate-covered by fused_assign_codegen; this
-    row pins the image-table shape on top of them."""
+    tests/test_pushdown.py on a parquet materialization). Gate row
+    (late r4, took fused_assign_jvm's slot): the join semantics are
+    also covered by fused_assign_codegen; this row pins the image-table
+    shape and caption equality on top of them."""
     from ..operators.jvm_pip import pip_knn_assign_codegen
     from ..pipeline import images as im
 

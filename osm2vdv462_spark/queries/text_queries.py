@@ -102,7 +102,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "quality_score",
     """
     SELECT doc_id, lang,
