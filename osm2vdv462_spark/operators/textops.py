@@ -213,3 +213,87 @@ def bigram_lm_scores(docs: DataFrame, *, id_col: str = "doc_id",
             (F.col("s").cast("double") / F.col("n_bigrams")), 4
         ).alias("xent"),
     )
+
+
+# --------------------------------------------------------------- PII
+
+# Detection patterns stay inside the regex subset where Java regex (Spark)
+# and RE2 (the DuckDB oracle) agree: character classes, bounded
+# quantifiers, no backrefs / lookaround. Replacement order matters and is
+# part of the contract: emails first (their local parts contain dots and
+# digits that would otherwise feed the IP pattern), then phones, then
+# IPv4 — counts are taken against the text each pattern actually saw.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_redact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "full_text"
+) -> DataFrame:
+    """PII detection + redaction for training-data pipelines (the
+    C4/Dolma-style scrub pass): count and mask emails, E.164-ish phone
+    numbers, and IPv4 addresses. Pure JVM regexp expressions — per-row,
+    zero shuffle, whole-stage-codegen'd, so the 10^12-doc cost is one
+    scan. Returns (id, n_emails, n_phones, n_ips, redacted_md5); the
+    md5 keeps the gated payload fixed-width while still hash-pinning
+    every byte of the redacted text."""
+    t = F.col(text_col)
+    r1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_PHONE, "<PHONE>")
+    r3 = F.regexp_replace(r2, PII_IPV4, "<IP>")
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(r2, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(r3.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ----------------------------------------------- benchmark contamination
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check (GPT-3/PaLM style): count distinct
+    word n-grams each training document shares with each benchmark
+    document. Candidate generation is an equi-join on the 16-byte
+    md5(n-gram) — the shuffle/broadcast key is fixed-width, never the
+    gram text — and the benchmark side (eval suites: thousands of docs,
+    not billions) is broadcast, so the corpus side is one scan with a
+    map-side join + partial-agg count. Production uses 8..13-grams; n
+    is a parameter (tests use 3 so the tiny synthetic corpus actually
+    overlaps)."""
+
+    def grams(df: DataFrame, out_id: str, idc: str) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        base = df.select(F.col(idc).alias(out_id), toks.alias("t")).filter(
+            F.size("t") >= n
+        )
+        g = F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + k + 1) for k in range(n)]
+            ),
+        )
+        return (
+            base.select(out_id, F.explode(g).alias("g"))
+            .select(out_id, F.md5(F.col("g").cast("binary")).alias("gh"))
+            .distinct()
+        )
+
+    dg = grams(docs, id_col, id_col)
+    bg = grams(bench, bench_id_col, id_col)
+    return (
+        dg.join(F.broadcast(bg), "gh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -403,16 +403,16 @@ def streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # geotag), not a points projection of `events`. image_id and caption are
 # deterministic functions of event_id, so the oracle re-derives the
 # whole table closed-form.
-_IMAGES_CTE = """
-WITH p AS (
+_IMAGES_SELECT = """
   SELECT
     'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
     'caption for image ' || CAST(event_id AS VARCHAR) AS caption,
     -0.25 + (((event_id * 37 + 11) % 2000) / 4000.0) AS lon,
     -0.25 + (((event_id * 73 + 29) % 2000) / 4000.0) AS lat
   FROM events WHERE event_id % 10 = 0
-)
 """
+
+_IMAGES_CTE = f"WITH p AS ({_IMAGES_SELECT})"
 
 
 @register(
@@ -459,6 +459,72 @@ def image_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     quays = datagen.quay_sites(spark, sf_dir)
     out = pip_knn_assign_codegen(
         imgs, polys, quays, point_keep=["image_id", "caption"],
+        poly_id="relation_id", target_id="quay_id", poly_res=12,
+    )
+    return out.select(
+        "image_id",
+        "caption",
+        F.col("relation_id").cast("int").alias("relation_id"),
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )
+
+
+_LON_CUT = 0.1
+
+
+@register_extra(
+    "image_geo_assign_pruned",
+    f"""
+    WITH p AS (SELECT * FROM ({_IMAGES_SELECT}) WHERE lon >= {_LON_CUT}),
+    t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.image_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.image_id, p.caption, n.n_nationkey AS relation_id,
+           near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.image_id = p.image_id AND near.rn = 1
+    """,
+)
+def image_geo_assign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline join over the SNAPSHOT TABLE FORMAT with manifest
+    min/max file pruning (the Iceberg-shaped half of the north rule):
+    materialize the full input_hint image table (bytes and all) as a
+    snaptable clustered by lon, scan it with a lon >= {cut} predicate
+    that drops non-matching data files from manifest stats BEFORE Spark
+    opens them (asserted: files_scanned < files_total), then run the
+    same fused PIP + kNN codegen join on the pruned scan. At 10^12
+    images the predicate is a tile/region restriction and pruning is
+    the difference between scanning a continent and scanning the
+    planet; row-level re-application keeps pruning a superset
+    guarantee, so the oracle is exactly `WHERE lon >= cut`."""
+    import tempfile
+
+    from ..operators.jvm_pip import pip_knn_assign_codegen
+    from ..pipeline import images as im
+    from ..sources import snaptable as st
+
+    imgs = im.images_df(spark, sf_dir, every=10)
+    work = tempfile.mkdtemp(prefix="imgsnap_")
+    st.create_table(imgs, work, cluster_by="lon", files_hint=8)
+    report: dict = {}
+    scan = st.read_table(
+        spark, work, filters=[("lon", ">=", _LON_CUT)], report=report
+    )
+    assert report["files_scanned"] < report["files_total"], report
+    pts = scan.select("image_id", "caption", "lon", "lat")
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = pip_knn_assign_codegen(
+        pts, polys, quays, point_keep=["image_id", "caption"],
         poly_id="relation_id", target_id="quay_id", poly_res=12,
     )
     return out.select(

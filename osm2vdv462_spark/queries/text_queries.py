@@ -807,3 +807,133 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bigram_lm_scores(d).orderBy("doc_id")
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0 THEN ' Contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.org now.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' Call +1-202-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' Host 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 13) % 256 AS VARCHAR) || ' down.' ELSE '' END
+    AS full_text
+  FROM documents
+"""
+
+_PII_ORACLE = rf"""
+WITH aug AS ({_PII_AUG_SQL}),
+red AS (
+  SELECT doc_id, full_text,
+    regexp_replace(full_text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g')
+      AS r1
+  FROM aug
+),
+red2 AS (
+  SELECT doc_id, full_text,
+    regexp_replace(r1,
+      '\+[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS r2
+  FROM red
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(full_text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(full_text,
+    '\+[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(r2,
+    '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(r2, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'))
+    AS redacted_md5
+FROM red2
+"""
+
+
+@register_extra("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/textops.py::pii_redact): email / phone /
+    IPv4 detection counts + redacted-text md5. The synthetic corpus
+    carries no natural PII, so the query deterministically augments each
+    doc with PII-shaped substrings derived from doc_id — IDENTICALLY in
+    Spark and the DuckDB oracle — before scrubbing; the operator under
+    test is the regex redaction itself, which at 10^12 docs is one
+    zero-shuffle codegen'd scan."""
+    from ..operators.textops import pii_redact as _op
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    did.cast("string"),
+                    F.lit("@example.org now."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" Call +1-202-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit("."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" Host 10."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 13) % 256).cast("string"),
+                    F.lit(" down."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("full_text"),
+    )
+    return _op(aug)
+
+
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(t[j] || ' ' || t[j+1] || ' ' || t[j+2]) AS gh
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(j)
+  WHERE len(t) >= 3
+),
+bg AS (SELECT doc_id AS bench_id, gh FROM grams WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id, gh FROM grams WHERE doc_id % 50 <> 0)
+SELECT dg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM dg JOIN bg ON dg.gh = bg.gh
+GROUP BY 1, 2
+"""
+
+
+@register_extra("contamination_check", _CONTAMINATION_ORACLE)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (operators/textops.py::
+    ngram_contamination): every doc_id % 50 == 0 document plays the
+    benchmark suite; report distinct shared word n-grams per
+    (train doc, benchmark doc) pair. Join key is md5(gram) in BOTH
+    engines (fixed-width candidate keys at scale; parity is exact by
+    construction, not modulo collisions)."""
+    from ..operators.textops import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, bench, n=3)
