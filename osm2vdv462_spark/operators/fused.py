@@ -123,4 +123,7 @@ def pip_knn_assign(
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
-    return points_df.select(*point_keep, lon, lat).mapInArrow(_run, out_schema)
+    from .knn import _fan_out_small_scan
+
+    sel = _fan_out_small_scan(points_df.select(*point_keep, lon, lat))
+    return sel.mapInArrow(_run, out_schema)

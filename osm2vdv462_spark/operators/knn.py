@@ -322,7 +322,8 @@ def dwithin_join_broadcast(
             out["dist_m"] = d
             yield out
 
-    return points_df.select(*point_keep, lon, lat).mapInPandas(_dw, out_schema)
+    sel = _fan_out_small_scan(points_df.select(*point_keep, lon, lat))
+    return sel.mapInPandas(_dw, out_schema)
 
 
 def knn_join_broadcast(
@@ -398,4 +399,20 @@ def knn_join_broadcast(
             out["knn_rank"] = rk.astype(np.int32)
             yield out
 
-    return points_df.select(*point_keep, lon, lat).mapInPandas(_knn, out_schema)
+    sel = _fan_out_small_scan(points_df.select(*point_keep, lon, lat))
+    return sel.mapInPandas(_knn, out_schema)
+
+
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """The point side of the broadcast joins is map-side work over
+    whatever partitioning the scan produced. At fleet scale the input is
+    thousands of files and parallelism is free; a SMALL input (one
+    parquet file under maxPartitionBytes — exactly the bench/driver
+    shape) plans as ONE task and serializes the vectorized kernel on a
+    single Python worker. Fan out only in that case — for a big input
+    this is a no-op, so the operator never pays an extra full-table
+    round-trip at 100 TB."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par * 2)
+    return df

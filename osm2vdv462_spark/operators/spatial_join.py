@@ -193,7 +193,10 @@ def pip_join_broadcast(
             out[poly_id] = pid_arr[kl]
             yield out
 
-    return points_df.select(*point_keep, lon, lat).mapInPandas(_match, out_schema)
+    from .knn import _fan_out_small_scan
+
+    sel = _fan_out_small_scan(points_df.select(*point_keep, lon, lat))
+    return sel.mapInPandas(_match, out_schema)
 
 
 # ------------------------------------------------------ shuffle PIP join

@@ -297,3 +297,61 @@ def ngram_contamination(
         .groupBy(id_col, bench_id_col)
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+# ------------------------------------------- chunk-level exact dedup
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    chunk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING dedup at chunk granularity (the Lee et al. 2022
+    'Deduplicating Training Data' shape, chunk-approximated the way
+    production pipelines run it at scale — suffix automata don't
+    distribute; fixed token windows do): split each doc into
+    ``chunk``-token windows, keep the globally FIRST occurrence of each
+    window (first = min (doc_id, idx), a total order, so the result is
+    partitioning-invariant), drop the rest. Emits per-doc chunk/dup
+    counts plus md5 of the cleaned text so the whole reconstruction is
+    hash-pinned.
+
+    Plan: explode windows -> row_number over md5(window) — the 16-byte
+    hash is the only wide-shuffle key; window text rides solely for the
+    reconstruction output (a count-only audit would drop it) -> one
+    groupBy(doc) with an ordered in-group rebuild."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 1)
+    ch = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("t") - 1) / chunk).cast("int")
+        ),
+        lambda i: F.concat_ws(" ", F.slice("t", i * chunk + 1, chunk)),
+    )
+    ex = base.select(id_col, F.posexplode(ch).alias("idx", "chunk"))
+    hashed = ex.select(
+        id_col, "idx", "chunk", F.md5(F.col("chunk").cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "idx")
+    marked = hashed.withColumn("rn", F.row_number().over(w))
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("idx", "chunk"))
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
+        F.md5(kept.cast("binary")).alias("cleaned_md5"),
+    )

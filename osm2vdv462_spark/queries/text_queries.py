@@ -937,3 +937,43 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return ngram_contamination(corpus, bench, n=3)
+
+
+_CHUNK_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS chunk
+  FROM base, unnest(range((len(t) + 9) // 10)) AS u(i)
+),
+r AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, idx
+         ) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       md5(coalesce(
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx),
+         '')) AS cleaned_md5
+FROM r GROUP BY doc_id
+"""
+
+
+@register_extra("chunk_dedup_stats", _CHUNK_DEDUP_ORACLE)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact substring dedup (operators/textops.py::
+    chunk_dedup): 10-token windows, global first-occurrence-wins,
+    per-doc dup counts + cleaned-text md5. The oracle replicates the
+    full window/row_number/rebuild relational program in DuckDB."""
+    from ..operators.textops import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk=10)

@@ -57,3 +57,57 @@ class TestWinnowing:
             for i in range(len(s) - 7)
         }
         assert set(fp) <= all_h and fp
+
+
+class TestPIIRedact:
+    def test_redaction_and_order(self, spark):
+        rows = [
+            (1, "reach me at jane.doe+x@sub.example.co.uk or +44-555-123-4567"),
+            (2, "server 192.168.1.254 and 10.0.0.1 are down"),
+            # the email's local/domain digits+dots must NOT leak into the
+            # IP count (emails are scrubbed first — ordering contract)
+            (3, "mail a1.2.3.4b@h1.2.3.4.example.com about host 8.8.8.8"),
+            (4, "nothing sensitive here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, full_text string")
+        got = {r["doc_id"]: r for r in textops.pii_redact(df).collect()}
+        assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 1, 0)
+        assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 2)
+        assert (got[3]["n_emails"], got[3]["n_ips"]) == (1, 1)
+        assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (0, 0, 0)
+        # fully-clean text hashes to the identity of its own bytes
+        import hashlib
+
+        assert got[4]["redacted_md5"] == hashlib.md5(
+            b"nothing sensitive here"
+        ).hexdigest()
+
+
+class TestChunkDedup:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_wins(self, spark):
+        a = " ".join(f"w{i}" for i in range(10))
+        b = " ".join(f"x{i}" for i in range(10))
+        rows = [(1, a + " " + b), (2, b + " " + a), (3, a)]
+        got = {
+            r["doc_id"]: r
+            for r in textops.chunk_dedup(self._mk(spark, rows), chunk=10).collect()
+        }
+        # doc 1 owns both chunks; docs 2 and 3 only repeat them
+        assert (got[1]["n_chunks"], got[1]["n_dup_chunks"]) == (2, 0)
+        assert (got[2]["n_chunks"], got[2]["n_dup_chunks"]) == (2, 2)
+        assert (got[3]["n_chunks"], got[3]["n_dup_chunks"]) == (1, 1)
+        import hashlib
+
+        assert got[2]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+        assert got[1]["cleaned_md5"] == hashlib.md5(
+            (a + " " + b).encode()
+        ).hexdigest()
+
+    def test_parallelism_invariant(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        one = textops.chunk_dedup(docs.coalesce(1)).collect()
+        many = textops.chunk_dedup(docs.repartition(13)).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
