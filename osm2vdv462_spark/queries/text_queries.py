@@ -977,3 +977,127 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import chunk_dedup
 
     return chunk_dedup(_t(spark, sf_dir, "documents"), chunk=10)
+
+
+_DOMAIN_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_s) AS n, count(*) AS s FROM counts),
+b AS (
+  SELECT d.doc_id, d.source,
+         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 7))::BIGINT % 1000000 AS BIGINT) AS bucket
+  FROM documents d
+)
+SELECT b.doc_id, b.source,
+       (b.bucket * tot.s * c.n_s < tot.n * 1000000) AS kept
+FROM b JOIN counts c ON c.source = b.source CROSS JOIN tot
+"""
+
+
+@register_extra("domain_mix_sample", _DOMAIN_MIX_ORACLE)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample (the DoReMi/Pile data-mixing shape with a
+    uniform target): downsample each source toward an equal share —
+    keep probability p_s = min(1, N / (S * n_s)) — via the same
+    stable-under-append md5 bucketing as dataset_split. The keep
+    decision is the INTEGER cross-multiplication
+    ``bucket * S * n_s < N * 1e6`` (no float ratio to disagree across
+    engines). Per-source counts are an S-row dim: partial-agg shuffle,
+    then broadcast back — the fact table is scanned once and never
+    reshuffled."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    from ..operators._guard import collect_dim
+
+    crows = collect_dim(counts, "domain_mix source counts")
+    n = sum(r["n_s"] for r in crows)
+    s = len(crows)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(counts), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("bucket") * F.lit(int(s)) * F.col("n_s")
+                < F.lit(int(n)) * 1000000
+            ).alias("kept"),
+        )
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+top AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.word
+         ) AS rn
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS DOUBLE)
+         AS tfidf_r4
+FROM top WHERE rn = 1
+"""
+
+
+@register_extra("tfidf_top_term", _TFIDF_ORACLE)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top term by term frequency with its tf-idf score —
+    the keyword-extraction primitive. The RANKING is integer-only
+    (tf desc, word asc): floats never order anything cross-engine; the
+    tf-idf value itself is a single double product rounded to 4 dp
+    (the bigram-LM precedent). Plan: one explode + (doc,word) partial
+    agg; df is a vocab-sized dim broadcast back; top-1 per doc rides
+    the tf shuffle's partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf_r4"),
+        )
+    )
