@@ -8,6 +8,8 @@ plain algebra in DuckDB SQL — never the same code path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.knn import knn_join_broadcast
@@ -582,3 +584,79 @@ def zonal_stats_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = datagen.stop_area_octagons(spark, sf_dir)
     tiles = synth_tile_table(polys, res=12, px=16)
     return zonal_stats(tiles, polys, res=12, px=16).orderBy("relation_id")
+
+
+# ------------------------------------------------- checkpointed image DAG
+
+# One shared workdir per (sf_dir, process): the second query RESUMES from
+# the first one's manifests, so the oracle gate itself exercises the
+# skip-validated-stages path, not just pytest.
+_PIPE_DIRS: dict = {}
+
+
+def _image_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    import tempfile
+
+    from ..pipeline.geopipe import run_image_pipeline
+
+    work = _PIPE_DIRS.setdefault(
+        os.path.abspath(sf_dir), tempfile.mkdtemp(prefix="geopipe_")
+    )
+    return run_image_pipeline(spark, work, sf_dir, every=10)
+
+
+@register_extra(
+    "image_pipeline_join_rows",
+    f"""
+    {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.image_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.image_id, p.caption, n.n_nationkey AS relation_id,
+           near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.image_id = p.image_id AND near.rn = 1
+    """,
+)
+def image_pipeline_join_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`image_geo_assign` re-run THROUGH the checkpoint-resumable image
+    DAG (pipeline/geopipe.py): the join reads the materialized stage-1
+    parquet (pruned scan — bytes never read) and its output is itself a
+    manifest-tracked stage. Same oracle as the gate row; a hash match
+    proves materialize->resume round-trips the rows bit-stably."""
+    return _image_pipeline(spark, sf_dir)["frames"]["join_rows"]
+
+
+@register_extra(
+    "image_pipeline_tile_counts",
+    f"""
+    {_IMAGES_CTE},
+    levels AS (SELECT UNNEST([8, 10, 12]) AS res),
+    c AS (
+      SELECT res,
+        (CAST(res AS BIGINT) << 57)
+        + (CAST(least(greatest(floor((lon + 180.0) / 360.0
+                                     * pow(2.0, res + 1)), 0),
+                      pow(2.0, res + 1) - 1) AS BIGINT) << 28)
+        + CAST(least(greatest(floor((lat + 90.0) / 180.0
+                                    * pow(2.0, res)), 0),
+                     pow(2.0, res) - 1) AS BIGINT) AS cell
+      FROM p CROSS JOIN levels
+    )
+    SELECT res, cell, count(*) AS n_images
+    FROM c GROUP BY 1, 2
+    """,
+)
+def image_pipeline_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-density rollup of the checkpointed DAG's tile_assign stage
+    (per-image cell ids at 3 zooms, materialized + manifest-tracked,
+    then a partial-agg count). The tile arithmetic is jvm_pip.cell_expr
+    — bit-identical to the `tile_pyramid` gate row's."""
+    return _image_pipeline(spark, sf_dir)["frames"]["tile_counts"]
