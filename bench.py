@@ -181,7 +181,22 @@ def flagship_throughput_codegen_warm(
         "spark.sql.codegen.hugeMethodLimit", None
     )
     config["reps"] = 3
-    _force(df)  # warm-up (JIT)
+    # Warm until steady state, not a fixed single pass: the r4 driver run
+    # (page-fault weather 51 ms/MB) measured reps of 1.3M/4.1M/9.4M pts/s
+    # after one warm-up — JIT + page-cache were still warming THROUGH the
+    # measured reps. Warm passes repeat until two consecutive rates agree
+    # within 20% (max 6), then 3 measured reps, median.
+    warmup_rates = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        _force(df)
+        warmup_rates.append(n / (time.perf_counter() - t0))
+        if (
+            len(warmup_rates) >= 2
+            and abs(warmup_rates[-1] / warmup_rates[-2] - 1.0) < 0.2
+        ):
+            break
+    config["warmup_rates_points_per_sec"] = [round(r, 1) for r in warmup_rates]
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -660,3 +660,60 @@ def image_pipeline_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a partial-agg count). The tile arithmetic is jvm_pip.cell_expr
     — bit-identical to the `tile_pyramid` gate row's."""
     return _image_pipeline(spark, sf_dir)["frames"]["tile_counts"]
+
+
+_WDS_DIRS: dict = {}
+
+
+@register_extra(
+    "wds_geo_assign",
+    f"""
+    {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
+    near AS (
+      SELECT p.image_id, t.quay_id, {_HAVERSINE_SQL} AS dist,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY {_HAVERSINE_SQL}, t.quay_id
+             ) AS rn
+      FROM p CROSS JOIN t
+    )
+    SELECT p.image_id, p.caption, n.n_nationkey AS relation_id,
+           near.quay_id,
+           CAST(round(near.dist, 0) AS BIGINT) AS dist_m_round
+    FROM p
+    LEFT {datagen.SQL_OCTAGONS_JOIN}
+    JOIN near ON near.image_id = p.image_id AND near.rn = 1
+    """,
+)
+def wds_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline join fed from WEBDATASET TAR SHARDS (sources/wds.py)
+    instead of parquet: image table -> executor-written tar shard pool
+    -> one-task-per-shard scan -> fused PIP + kNN codegen join. Same
+    DuckDB oracle as `image_geo_assign`, so caption equality and the
+    join rows are hash-gated THROUGH the tar round-trip — the
+    training-loader interchange format can't silently corrupt rows."""
+    import tempfile
+
+    from ..operators.jvm_pip import pip_knn_assign_codegen
+    from ..pipeline import images as im
+    from ..sources import wds
+
+    pool = _WDS_DIRS.get(os.path.abspath(sf_dir))
+    if pool is None:
+        pool = tempfile.mkdtemp(prefix="wdspool_")
+        wds.write_shards(im.images_df(spark, sf_dir, every=10), pool, shards=8)
+        _WDS_DIRS[os.path.abspath(sf_dir)] = pool
+    pts = wds.read_shards(spark, pool).select("image_id", "caption", "lon", "lat")
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir)
+    out = pip_knn_assign_codegen(
+        pts, polys, quays, point_keep=["image_id", "caption"],
+        poly_id="relation_id", target_id="quay_id", poly_res=12,
+    )
+    return out.select(
+        "image_id",
+        "caption",
+        F.col("relation_id").cast("int").alias("relation_id"),
+        "quay_id",
+        F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
+    )
