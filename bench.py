@@ -259,6 +259,23 @@ def flagship_images_throughput(spark, sf_dir: str) -> dict:
             " flagship_codegen_points_per_sec_warm_32M is the sustained"
             " per-32-core rate of the same plan"
         )
+        # tar-shard pool (WebDataset interchange): full-table write +
+        # read-back rate through the task-per-shard sequential scan
+        from osm2vdv462_spark.sources import wds
+
+        pool = os.path.join(tdir, "pool")
+        t0 = time.perf_counter()
+        manifest = wds.write_shards(spark.read.parquet(path), pool, shards=64)
+        wsec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_back = wds.read_shards(spark, pool).count()
+        rsec = time.perf_counter() - t0
+        out["wds_pool"] = {
+            "shards": len(manifest),
+            "pool_bytes": sum(m["bytes"] for m in manifest),
+            "write_images_per_sec": round(n_back / wsec, 1),
+            "read_images_per_sec": round(n_back / rsec, 1),
+        }
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
     return out
