@@ -717,3 +717,45 @@ def wds_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quay_id",
         F.round(F.col("dist_m"), 0).cast("long").alias("dist_m_round"),
     )
+
+
+_INC_DIRS: dict = {}
+
+
+@register_extra(
+    "image_appends_incremental",
+    f"""
+    WITH p AS (
+      SELECT * FROM ({_IMAGES_SELECT})
+      WHERE CAST(substr(image_id, 5) AS BIGINT) % 20 = 10
+    )
+    SELECT image_id, caption, lon, lat FROM p
+    """,
+)
+def image_appends_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style INCREMENTAL read on the snapshot image table:
+    v1 = half the corpus, v2 appends the other half; `since=1` plans
+    exactly v2's appended files from the two immutable manifests (pure
+    metadata — the v1 files are never listed, opened, or row-filtered).
+    The daily-crawl consumption pattern at 10^12 rows: each day's new
+    shards process in O(new data). Oracle = the appended half
+    closed-form, so a file misattributed to either snapshot flips rows
+    AND hash."""
+    import tempfile
+
+    from ..pipeline import images as im
+    from ..sources import snaptable as st
+
+    table = _INC_DIRS.get(os.path.abspath(sf_dir))
+    if table is None:
+        table = tempfile.mkdtemp(prefix="imginc_")
+        imgs = im.images_df(spark, sf_dir, every=10)
+        eid = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        st.create_table(
+            imgs.filter(eid % 20 == 0), table, cluster_by="lon", files_hint=4
+        )
+        st.append_table(imgs.filter(eid % 20 == 10), table, files_hint=4)
+        _INC_DIRS[os.path.abspath(sf_dir)] = table
+    return st.read_table(spark, table, since=1).select(
+        "image_id", "caption", "lon", "lat"
+    )

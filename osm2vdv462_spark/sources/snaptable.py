@@ -232,15 +232,29 @@ def plan_scan(
     table_path: str,
     *,
     snapshot: int | None = None,
+    since: int | None = None,
     filters: list[tuple] | None = None,
 ) -> dict:
     """Resolve the file list for a scan: snapshot resolution + manifest
     min/max pruning. Pure metadata — no Spark, no data IO. Returns
-    {files, schema, files_total, files_scanned, rows_skipped}."""
+    {files, schema, files_total, files_scanned, rows_skipped}.
+
+    ``since``: INCREMENTAL read (public Iceberg "incremental scan"
+    semantics for an append-only table): only files added AFTER
+    snapshot ``since`` up to ``snapshot`` are planned. Because appends
+    never rewrite files, the diff of the two immutable file lists IS
+    the exact changelog — a daily consumer processes each day's new
+    data in O(new files) metadata time, never rescanning the corpus."""
     version = snapshot if snapshot is not None else current_version(table_path)
     snap = _load_snapshot(table_path, version)
     files = snap["files"]
+    if since is not None:
+        if since > version:
+            raise ValueError(f"since={since} is newer than snapshot {version}")
+        base = {f["path"] for f in _load_snapshot(table_path, since)["files"]}
+        files = [f for f in files if f["path"] not in base]
     total = len(files)
+    base_rows = sum(f["stats"]["rows"] for f in files)
     if filters:
         for col, op, val in filters:
             if op not in _OPS:
@@ -252,8 +266,7 @@ def plan_scan(
         "files": [os.path.join(table_path, f["path"]) for f in files],
         "files_total": total,
         "files_scanned": len(files),
-        "rows_skipped": snap["total_rows"]
-        - sum(f["stats"]["rows"] for f in files),
+        "rows_skipped": base_rows - sum(f["stats"]["rows"] for f in files),
     }
 
 
@@ -262,6 +275,7 @@ def read_table(
     table_path: str,
     *,
     snapshot: int | None = None,
+    since: int | None = None,
     filters: list[tuple] | None = None,
     report: dict | None = None,
 ) -> DataFrame:
@@ -269,8 +283,10 @@ def read_table(
     (col, op, literal) conjuncts; files whose footer stats cannot match
     are dropped before Spark ever opens them, and the SAME predicate is
     re-applied row-level (pruning is a superset guarantee, not the
-    filter itself). ``report`` receives the plan_scan() counters."""
-    plan = plan_scan(table_path, snapshot=snapshot, filters=filters)
+    filter itself). ``since`` restricts the scan to files appended
+    after that snapshot (incremental read). ``report`` receives the
+    plan_scan() counters."""
+    plan = plan_scan(table_path, snapshot=snapshot, since=since, filters=filters)
     if report is not None:
         report.update(
             {k: plan[k] for k in ("version", "files_total", "files_scanned",

@@ -142,3 +142,62 @@ class TestSnapshots:
         v2_files = set(st.plan_scan(path, snapshot=2)["files"])
         assert v1_files <= v2_files
         assert len(v2_files) > len(v1_files)
+
+
+class TestIncrementalRead:
+    def _three_snapshots(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "inc")
+        st.create_table(df.filter(F.col("event_id") % 3 == 0), path,
+                        cluster_by="event_id", files_hint=4)
+        st.append_table(df.filter(F.col("event_id") % 3 == 1), path,
+                        files_hint=4)
+        st.append_table(df.filter(F.col("event_id") % 3 == 2), path,
+                        files_hint=4)
+        return df, path
+
+    def test_since_reads_only_appended_rows(self, spark, sf_dir, tmp_path):
+        df, path = self._three_snapshots(spark, sf_dir, tmp_path)
+        inc = st.read_table(spark, path, since=1)
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, df.filter(F.col("event_id") % 3 != 0).collect())
+        )
+        only_last = st.read_table(spark, path, since=2)
+        assert sorted(map(tuple, only_last.collect())) == sorted(
+            map(tuple, df.filter(F.col("event_id") % 3 == 2).collect())
+        )
+
+    def test_since_window_between_snapshots(self, spark, sf_dir, tmp_path):
+        df, path = self._three_snapshots(spark, sf_dir, tmp_path)
+        window = st.read_table(spark, path, snapshot=2, since=1)
+        assert sorted(map(tuple, window.collect())) == sorted(
+            map(tuple, df.filter(F.col("event_id") % 3 == 1).collect())
+        )
+
+    def test_since_current_is_empty_with_schema(self, spark, sf_dir, tmp_path):
+        df, path = self._three_snapshots(spark, sf_dir, tmp_path)
+        cur = st.current_version(path)
+        empty = st.read_table(spark, path, since=cur)
+        assert empty.count() == 0
+        assert empty.schema == st.read_table(spark, path).schema
+
+    def test_since_composes_with_pruning(self, spark, sf_dir, tmp_path):
+        df, path = self._three_snapshots(spark, sf_dir, tmp_path)
+        lo = df.filter(F.col("event_id") % 3 == 2).agg(
+            F.min("event_id")
+        ).collect()[0][0]
+        rep: dict = {}
+        got = st.read_table(
+            spark, path, since=2, filters=[("event_id", "==", int(lo))],
+            report=rep,
+        )
+        assert got.count() == 1
+        # pruning counters are RELATIVE to the appended file set
+        assert rep["files_scanned"] < rep["files_total"] <= 4
+
+    def test_since_newer_than_snapshot_raises(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        _, path = self._three_snapshots(spark, sf_dir, tmp_path)
+        with _pt.raises(ValueError):
+            st.plan_scan(path, snapshot=1, since=3)
