@@ -759,3 +759,45 @@ def image_appends_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.read_table(spark, table, since=1).select(
         "image_id", "caption", "lon", "lat"
     )
+
+
+_ZORD_DIRS: dict = {}
+
+
+@register_extra(
+    "image_bbox_zorder",
+    f"""
+    WITH p AS (
+      SELECT * FROM ({_IMAGES_SELECT})
+      WHERE lon >= 0.0 AND lon <= 0.12 AND lat >= -0.1 AND lat <= 0.15
+    )
+    SELECT image_id, caption, lon, lat FROM p
+    """,
+)
+def image_bbox_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box scan over a Z-ORDER-clustered image snaptable
+    (cluster_by=["lon","lat"] — Morton-interleaved write order, the
+    public Iceberg/Delta Z-ORDER strategy): the 2-D box prunes data
+    files from manifest min/max on BOTH axes before Spark opens them
+    (asserted), then the same predicate re-applies row-level. At 10^12
+    images this is the 'give me one city' scan — metadata-bounded, not
+    corpus-bounded. Oracle = the box closed-form."""
+    import tempfile
+
+    from ..pipeline import images as im
+    from ..sources import snaptable as st
+
+    table = _ZORD_DIRS.get(os.path.abspath(sf_dir))
+    if table is None:
+        table = tempfile.mkdtemp(prefix="imgzord_")
+        st.create_table(
+            im.images_df(spark, sf_dir, every=10), table,
+            cluster_by=["lon", "lat"], files_hint=16,
+        )
+        _ZORD_DIRS[os.path.abspath(sf_dir)] = table
+    report: dict = {}
+    box = [("lon", ">=", 0.0), ("lon", "<=", 0.12),
+           ("lat", ">=", -0.1), ("lat", "<=", 0.15)]
+    scan = st.read_table(spark, table, filters=box, report=report)
+    assert report["files_scanned"] < report["files_total"], report
+    return scan.select("image_id", "caption", "lon", "lat")

@@ -120,15 +120,66 @@ def _may_match(f: dict, col: str, op: str, val) -> bool:
 # --------------------------------------------------------------- write
 
 
+_Z_BITS = 16
+
+
+def _zvalue(df: DataFrame, cols: list[str]):
+    """Morton/Z-order key over numeric columns (public Iceberg/Delta
+    Z-ORDER write strategy, reimplemented): per-column value -> 16-bit
+    bucket between the column's global bounds, buckets bit-interleaved
+    into one long. Pure Catalyst bit arithmetic (whole-stage codegen) —
+    the only driver work is one 1-row bounds aggregate."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    b = df.agg(*aggs).first()  # 1 row by construction
+    top = (1 << _Z_BITS) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = float(b[f"lo_{c}"]), float(b[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        buckets.append(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span) * F.lit(float(top))
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(top),
+            ).cast("long")
+        )
+    n = len(buckets)
+    z = None
+    for i in range(_Z_BITS):
+        for j, bucket in enumerate(buckets):
+            bit = F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            z = bit if z is None else z.bitwiseOR(bit)
+    return z
+
+
 def _write_data_files(
-    df: DataFrame, table_path: str, cluster_by: str | None, files_hint: int
+    df: DataFrame, table_path: str, cluster_by, files_hint: int
 ) -> list[dict]:
     """Write df as new immutable data files under <table>/data and
     return their manifest entries (executor-side write; the driver only
-    harvests footers)."""
+    harvests footers). ``cluster_by``: a column name for 1-D range
+    clustering, or a LIST of numeric columns for Z-order clustering
+    (tight per-file ranges on EVERY listed column -> multi-dimension
+    min/max pruning, e.g. bounding-box scans on (lon, lat))."""
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    if cluster_by is not None:
+    if isinstance(cluster_by, (list, tuple)):
+        df = (
+            df.withColumn("_z", _zvalue(df, list(cluster_by)))
+            .repartitionByRange(files_hint, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_by is not None:
         # tight per-file key ranges -> sharp min/max pruning
         df = df.repartitionByRange(files_hint, F.col(cluster_by)) \
                .sortWithinPartitions(cluster_by)
@@ -181,7 +232,7 @@ def create_table(
     df: DataFrame,
     table_path: str,
     *,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     files_hint: int = 8,
 ) -> int:
     """Create the table at snapshot v1 from df. Returns the version."""

@@ -201,3 +201,54 @@ class TestIncrementalRead:
         _, path = self._three_snapshots(spark, sf_dir, tmp_path)
         with _pt.raises(ValueError):
             st.plan_scan(path, snapshot=1, since=3)
+
+
+class TestZOrder:
+    BOX = [("lon", ">=", 0.0), ("lon", "<=", 0.1),
+           ("lat", ">=", 0.0), ("lat", "<=", 0.1)]
+
+    def _pts(self, spark, sf_dir):
+        from osm2vdv462_spark.pipeline import datagen
+
+        return datagen.geo_points(spark, sf_dir)
+
+    def test_bbox_roundtrip_and_pruning(self, spark, sf_dir, tmp_path):
+        pts = self._pts(spark, sf_dir)
+        path = str(tmp_path / "z")
+        st.create_table(pts, path, cluster_by=["lon", "lat"], files_hint=16)
+        rep: dict = {}
+        got = st.read_table(spark, path, filters=self.BOX, report=rep)
+        expected = pts.filter(
+            (F.col("lon") >= 0.0) & (F.col("lon") <= 0.1)
+            & (F.col("lat") >= 0.0) & (F.col("lat") <= 0.1)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+        assert rep["files_scanned"] < rep["files_total"]
+
+    def test_zorder_prunes_each_dimension_alone(self, spark, tmp_path):
+        """The point of Z-order vs 1-D clustering: BOTH dimensions prune.
+        A lon-range-clustered table cannot prune a lat-only predicate;
+        the z-ordered one prunes lat-only AND lon-only.
+
+        Uses an UNCORRELATED 64x64 grid: geo_points' lon and lat are a
+        bijection of the same LCG cycle, so 1-D lon clustering would
+        accidentally order lat too and the control wouldn't control."""
+        pts = spark.range(64 * 64).select(
+            F.col("id").alias("event_id"),
+            ((F.col("id") % 64) / 64.0 - 0.5).alias("lon"),
+            ((F.col("id") / 64).cast("long") % 64 / 64.0 - 0.5).alias("lat"),
+        )
+        zpath, lpath = str(tmp_path / "z2"), str(tmp_path / "lon1d")
+        st.create_table(pts, zpath, cluster_by=["lon", "lat"], files_hint=16)
+        st.create_table(pts, lpath, cluster_by="lon", files_hint=16)
+        lat_only = [("lat", ">=", 0.15)]
+        lon_only = [("lon", ">=", 0.15)]
+        for filt in (lat_only, lon_only):
+            rep: dict = {}
+            st.read_table(spark, zpath, filters=filt, report=rep)
+            assert rep["files_scanned"] < rep["files_total"], filt
+        rep1d: dict = {}
+        st.read_table(spark, lpath, filters=lat_only, report=rep1d)
+        assert rep1d["files_scanned"] == rep1d["files_total"]  # control
