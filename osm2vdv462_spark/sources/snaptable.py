@@ -267,6 +267,7 @@ def append_table(
         "version": parent_v + 1,
         "parent": parent_v,
         "ts": time.time(),
+        "operation": "append",
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
         "files": parent["files"] + new_files,
@@ -274,6 +275,71 @@ def append_table(
         + sum(f["stats"]["rows"] for f in new_files),
     }
     return _commit(table_path, snap)
+
+
+def compact_table(
+    spark: SparkSession, table_path: str, *, files_hint: int = 8
+) -> int:
+    """Rewrite the current snapshot's data into ~files_hint larger files
+    (public Iceberg ``rewrite_data_files`` semantics): commits an
+    ``operation: replace`` snapshot whose file list is ONLY the new
+    files; content is bit-identical, old files stay on disk so every
+    earlier snapshot remains time-travelable until expire_snapshots.
+
+    The 100 TB motive is the small-file problem: a day of streaming
+    appends leaves thousands of KB-scale files whose per-file open +
+    footer cost dominates scans; compaction re-clusters them (same
+    cluster_by, so min/max pruning sharpens back up) without blocking
+    readers — the hint flip is the only point of mutation."""
+    parent_v = current_version(table_path)
+    parent = _load_snapshot(table_path, parent_v)
+    current = read_table(spark, table_path)
+    new_files = _write_data_files(
+        current, table_path, parent.get("cluster_by"), files_hint
+    )
+    snap = {
+        "version": parent_v + 1,
+        "parent": parent_v,
+        "ts": time.time(),
+        "operation": "replace",
+        "schema": parent["schema"],
+        "cluster_by": parent.get("cluster_by"),
+        "files": new_files,
+        "total_rows": sum(f["stats"]["rows"] for f in new_files),
+    }
+    return _commit(table_path, snap)
+
+
+def expire_snapshots(table_path: str, *, keep_from: int) -> dict:
+    """Garbage-collect history: drop snapshots older than ``keep_from``
+    and delete data files no kept snapshot references (the files a
+    compaction replaced). Returns {snapshots_removed, files_removed,
+    bytes_removed}. Time travel to an expired version raises thereafter;
+    the current snapshot and everything >= keep_from are untouched."""
+    cur = current_version(table_path)
+    keep_from = min(keep_from, cur)
+    meta = os.path.join(table_path, "metadata")
+    versions = sorted(
+        int(n[1:-5]) for n in os.listdir(meta)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    kept_files: set[str] = set()
+    for v in versions:
+        if v >= keep_from:
+            kept_files.update(f["path"] for f in _load_snapshot(table_path, v)["files"])
+    out = {"snapshots_removed": 0, "files_removed": 0, "bytes_removed": 0}
+    for v in versions:
+        if v >= keep_from:
+            continue
+        for f in _load_snapshot(table_path, v)["files"]:
+            full = os.path.join(table_path, f["path"])
+            if f["path"] not in kept_files and os.path.exists(full):
+                out["bytes_removed"] += os.path.getsize(full)
+                os.remove(full)
+                out["files_removed"] += 1
+        os.remove(os.path.join(meta, f"v{v}.json"))
+        out["snapshots_removed"] += 1
+    return out
 
 
 # ---------------------------------------------------------------- read
@@ -302,6 +368,14 @@ def plan_scan(
     if since is not None:
         if since > version:
             raise ValueError(f"since={since} is newer than snapshot {version}")
+        for w in range(since + 1, version + 1):
+            if _load_snapshot(table_path, w).get("operation") == "replace":
+                raise ValueError(
+                    f"incremental read {since}->{version} crosses a"
+                    f" compaction (replace) snapshot v{w}: the file diff"
+                    " is a rewrite, not a changelog — read from"
+                    f" since={w} or use a full scan"
+                )
         base = {f["path"] for f in _load_snapshot(table_path, since)["files"]}
         files = [f for f in files if f["path"] not in base]
     total = len(files)

@@ -252,3 +252,65 @@ class TestZOrder:
         rep1d: dict = {}
         st.read_table(spark, lpath, filters=lat_only, report=rep1d)
         assert rep1d["files_scanned"] == rep1d["files_total"]  # control
+
+
+class TestCompactionAndExpiry:
+    def _frag_table(self, spark, sf_dir, tmp_path):
+        """A fragmented table: create + 3 appends at files_hint=4 -> 16
+        small files (the streaming small-file problem in miniature)."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "frag")
+        st.create_table(df.filter(F.col("event_id") % 4 == 0), path,
+                        cluster_by="event_id", files_hint=4)
+        for r in (1, 2, 3):
+            st.append_table(df.filter(F.col("event_id") % 4 == r), path,
+                            files_hint=4)
+        return df, path
+
+    def test_compact_reduces_files_preserves_content(self, spark, sf_dir, tmp_path):
+        df, path = self._frag_table(spark, sf_dir, tmp_path)
+        before = st.plan_scan(path)
+        v = st.compact_table(spark, path, files_hint=4)
+        after = st.plan_scan(path)
+        assert after["files_total"] < before["files_total"]
+        got = st.read_table(spark, path)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        # pruning is sharp again post-compaction (re-clustered)
+        lo = df.agg(F.min("event_id")).first()[0]
+        rep: dict = {}
+        st.read_table(spark, path, filters=[("event_id", "==", int(lo))],
+                      report=rep)
+        assert rep["files_scanned"] < rep["files_total"]
+        # pre-compaction snapshots still time-travel
+        old = st.read_table(spark, path, snapshot=v - 1)
+        assert old.count() == df.count()
+
+    def test_incremental_refuses_to_cross_compaction(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df, path = self._frag_table(spark, sf_dir, tmp_path)
+        cv = st.compact_table(spark, path, files_hint=4)
+        with _pt.raises(ValueError, match="compaction"):
+            st.plan_scan(path, since=1)
+        # but a window starting AT the compaction is a clean changelog
+        st.append_table(df.limit(10), path, files_hint=1)
+        inc = st.read_table(spark, path, since=cv)
+        assert inc.count() == 10
+
+    def test_expire_snapshots_gc(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df, path = self._frag_table(spark, sf_dir, tmp_path)
+        cv = st.compact_table(spark, path, files_hint=4)
+        ndata = lambda: len(os.listdir(os.path.join(path, "data")))
+        files_before = ndata()
+        out = st.expire_snapshots(path, keep_from=cv)
+        assert out["snapshots_removed"] == cv - 1
+        assert out["files_removed"] > 0 and out["bytes_removed"] > 0
+        assert ndata() == files_before - out["files_removed"]
+        # current read unaffected, expired version unreadable
+        assert st.read_table(spark, path).count() == df.count()
+        with _pt.raises(FileNotFoundError):
+            st.plan_scan(path, snapshot=1)
