@@ -256,3 +256,59 @@ class TestSessionize:
             g[0] == 1 and g[3] == 1 and g[1] < t(10, 0) for g in got
         ), got  # no singleton stragglers for user 1
         assert (2, t(9, 40), t(10, 5), 4) in got, got  # bridged fusion
+
+
+class TestStreamToTable:
+    """streaming/ingest.py: exactly-once streaming appends into the
+    snapshot table (replayed epochs commit nothing, restarts don't
+    duplicate, downstream changelog reads see each row once)."""
+
+    def _drain(self, spark, src, table, ckpt):
+        from osm2vdv462_spark.streaming import ingest
+
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = ingest.stream_to_table(
+            stream, table, ckpt, ingest_id="ev", cluster_by="event_id"
+        )
+        q.awaitTermination(120)
+
+    def test_stream_lands_exactly_in_table(self, spark, sf_dir, tmp_path):
+        from osm2vdv462_spark.sources import snaptable as st
+
+        src = _src_dir(sf_dir, tmp_path)
+        table, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ck")
+        self._drain(spark, src, table, ckpt)
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = st.read_table(spark, table)
+        assert sorted(map(tuple, got.select(*batch.columns).collect())) == \
+            sorted(map(tuple, batch.collect()))
+
+    def test_restart_commits_nothing_new(self, spark, sf_dir, tmp_path):
+        from osm2vdv462_spark.sources import snaptable as st
+
+        src = _src_dir(sf_dir, tmp_path)
+        table, ckpt = str(tmp_path / "tbl2"), str(tmp_path / "ck2")
+        self._drain(spark, src, table, ckpt)
+        v1 = st.current_version(table)
+        # restart from the same checkpoint: no new files -> no new epoch
+        self._drain(spark, src, table, ckpt)
+        assert st.current_version(table) == v1
+
+    def test_replayed_epoch_is_deduped(self, spark, sf_dir, tmp_path):
+        """Simulate crash-replay: deliver the SAME epoch twice directly
+        through the sink function — second call must be a no-op."""
+        from osm2vdv462_spark.sources import snaptable as st
+        from osm2vdv462_spark.streaming import ingest
+
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+        table = str(tmp_path / "tbl3")
+        v = ingest.append_epoch(batch, table, "q1", 0, cluster_by="event_id")
+        assert v == 1
+        assert ingest.append_epoch(batch, table, "q1", 0) is None  # replay
+        assert st.current_version(table) == 1
+        assert st.read_table(spark, table).count() == 100
+        # a NEW epoch from the same query still lands, and the changelog
+        # window between them is exactly that epoch's rows
+        v2 = ingest.append_epoch(batch, table, "q1", 1)
+        assert v2 == 2
+        assert st.read_table(spark, table, since=1).count() == 100
