@@ -238,6 +238,8 @@ def create_table(
     """Create the table at snapshot v1 from df. Returns the version."""
     os.makedirs(table_path, exist_ok=True)
     files = _write_data_files(df, table_path, cluster_by, files_hint)
+    for f in files:
+        f["added_in"] = 1
     snap = {
         "version": 1,
         "parent": None,
@@ -245,6 +247,7 @@ def create_table(
         "schema": json.loads(df.schema.json()),
         "cluster_by": cluster_by,
         "files": files,
+        "deletes": [],
         "total_rows": sum(f["stats"]["rows"] for f in files),
     }
     return _commit(table_path, snap)
@@ -263,6 +266,8 @@ def append_table(
     new_files = _write_data_files(
         df, table_path, parent.get("cluster_by"), files_hint
     )
+    for f in new_files:
+        f["added_in"] = parent_v + 1
     snap = {
         "version": parent_v + 1,
         "parent": parent_v,
@@ -271,6 +276,7 @@ def append_table(
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
         "files": parent["files"] + new_files,
+        "deletes": parent.get("deletes", []),
         "total_rows": parent["total_rows"]
         + sum(f["stats"]["rows"] for f in new_files),
     }
@@ -293,10 +299,12 @@ def compact_table(
     readers — the hint flip is the only point of mutation."""
     parent_v = current_version(table_path)
     parent = _load_snapshot(table_path, parent_v)
-    current = read_table(spark, table_path)
+    current = read_table(spark, table_path)  # applies pending deletes
     new_files = _write_data_files(
         current, table_path, parent.get("cluster_by"), files_hint
     )
+    for f in new_files:
+        f["added_in"] = parent_v + 1
     snap = {
         "version": parent_v + 1,
         "parent": parent_v,
@@ -305,7 +313,73 @@ def compact_table(
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
         "files": new_files,
+        "deletes": [],  # materialized by the rewrite
         "total_rows": sum(f["stats"]["rows"] for f in new_files),
+    }
+    return _commit(table_path, snap)
+
+
+def _fully_covered(f: dict, conds: list) -> bool:
+    """True iff EVERY row the file can contain satisfies every conjunct
+    (file min/max entirely inside the deleted region) — then the file
+    can be dropped from the manifest at delete-commit time, zero IO."""
+    for col, op, val in conds:
+        lo = f["stats"]["min"].get(col)
+        hi = f["stats"]["max"].get(col)
+        if lo is None or hi is None:
+            return False
+        try:
+            ok = {
+                "==": lo == val and hi == val,
+                "<": hi < val,
+                "<=": hi <= val,
+                ">": lo > val,
+                ">=": lo >= val,
+            }[op]
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
+def delete_where(table_path: str, filters: list[tuple]) -> int:
+    """Row-level delete, merge-on-read (public Iceberg v2 equality/
+    predicate-delete semantics, reimplemented): commits a METADATA-ONLY
+    snapshot carrying the delete predicate (AND of ``filters``
+    conjuncts); no data file is rewritten. Readers anti-apply pending
+    deletes at scan time; ``compact_table`` materializes them. The
+    predicate applies to rows present AT THIS VERSION only — files
+    appended later are untouched (each file carries ``added_in``, each
+    delete its commit version). Files whose min/max lie entirely inside
+    the deleted region are dropped from the manifest immediately (the
+    common 'delete an expired day' case costs zero IO)."""
+    for col, op, val in filters:
+        if op not in _OPS:
+            raise ValueError(f"unsupported delete op {op!r}")
+    parent_v = current_version(table_path)
+    parent = _load_snapshot(table_path, parent_v)
+    version = parent_v + 1
+    conds = [list(c) for c in filters]
+    kept, dropped_rows = [], 0
+    for f in parent["files"]:
+        if _fully_covered(f, conds):
+            dropped_rows += f["stats"]["rows"]
+        else:
+            kept.append(f)
+    snap = {
+        "version": version,
+        "parent": parent_v,
+        "ts": time.time(),
+        "operation": "delete",
+        "schema": parent["schema"],
+        "cluster_by": parent.get("cluster_by"),
+        "files": kept,
+        "deletes": parent.get("deletes", [])
+        + [{"at": parent_v, "conds": conds}],
+        # upper bound: partially-covered files keep their full row count
+        # until compaction materializes the delete
+        "total_rows": parent["total_rows"] - dropped_rows,
     }
     return _commit(table_path, snap)
 
@@ -369,11 +443,12 @@ def plan_scan(
         if since > version:
             raise ValueError(f"since={since} is newer than snapshot {version}")
         for w in range(since + 1, version + 1):
-            if _load_snapshot(table_path, w).get("operation") == "replace":
+            op = _load_snapshot(table_path, w).get("operation")
+            if op in ("replace", "delete"):
                 raise ValueError(
                     f"incremental read {since}->{version} crosses a"
-                    f" compaction (replace) snapshot v{w}: the file diff"
-                    " is a rewrite, not a changelog — read from"
+                    f" {op} snapshot v{w}: the file diff is not a pure"
+                    " append changelog there — read from"
                     f" since={w} or use a full scan"
                 )
         base = {f["path"] for f in _load_snapshot(table_path, since)["files"]}
@@ -389,6 +464,8 @@ def plan_scan(
         "version": version,
         "schema": snap["schema"],
         "files": [os.path.join(table_path, f["path"]) for f in files],
+        "entries": files,
+        "deletes": snap.get("deletes", []),
         "files_total": total,
         "files_scanned": len(files),
         "rows_skipped": base_rows - sum(f["stats"]["rows"] for f in files),
@@ -420,11 +497,40 @@ def read_table(
     schema = StructType.fromJson(plan["schema"])
     if not plan["files"]:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*plan["files"])
-    for col, op, val in filters or []:
+
+    def _cmp(col, op, val):
         c = F.col(col)
-        df = df.filter(
-            {"==": c == val, "<": c < val, "<=": c <= val,
-             ">": c > val, ">=": c >= val}[op]
+        return {"==": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val}[op]
+
+    # merge-on-read: bucket files by which pending delete groups apply
+    # (a delete at version V covers files added at or before V), read
+    # each bucket once and anti-apply its groups. Pure appends -> one
+    # bucket with no deletes -> identical plan to before.
+    deletes = plan["deletes"]
+    buckets: dict[tuple, list[str]] = {}
+    for entry in plan["entries"]:
+        added = entry.get("added_in", 0)
+        key = tuple(
+            i for i, g in enumerate(deletes) if added <= g["at"]
         )
+        buckets.setdefault(key, []).append(
+            os.path.join(table_path, entry["path"])
+        )
+    parts = []
+    for key, paths in sorted(buckets.items()):
+        df = spark.read.schema(schema).parquet(*paths)
+        for i in key:
+            cond = None
+            for col, op, val in deletes[i]["conds"]:
+                c = _cmp(col, op, val)
+                cond = c if cond is None else (cond & c)
+            # null comparisons -> null -> not deleted (coalesce False)
+            df = df.filter(~F.coalesce(cond, F.lit(False)))
+        parts.append(df)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    for col, op, val in filters or []:
+        df = df.filter(_cmp(col, op, val))
     return df

@@ -292,7 +292,7 @@ class TestCompactionAndExpiry:
 
         df, path = self._frag_table(spark, sf_dir, tmp_path)
         cv = st.compact_table(spark, path, files_hint=4)
-        with _pt.raises(ValueError, match="compaction"):
+        with _pt.raises(ValueError, match="replace"):
             st.plan_scan(path, since=1)
         # but a window starting AT the compaction is a clean changelog
         st.append_table(df.limit(10), path, files_hint=1)
@@ -314,3 +314,79 @@ class TestCompactionAndExpiry:
         assert st.read_table(spark, path).count() == df.count()
         with _pt.raises(FileNotFoundError):
             st.plan_scan(path, snapshot=1)
+
+
+class TestRowLevelDeletes:
+    def test_delete_parity_and_metadata_only(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "del")
+        st.create_table(df, path, cluster_by="event_id", files_hint=8)
+        data_before = sorted(os.listdir(os.path.join(path, "data")))
+        cut = df.approxQuantile("event_id", [0.5], 0.01)[0]
+        v = st.delete_where(path, [("event_id", ">=", cut)])
+        # metadata-only: no data file written or rewritten
+        assert sorted(os.listdir(os.path.join(path, "data"))) == data_before
+        got = st.read_table(spark, path)
+        want = df.filter(F.col("event_id") < cut)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # fully-covered files were dropped from the manifest at commit
+        assert (
+            st.plan_scan(path)["files_total"]
+            < st.plan_scan(path, snapshot=v - 1)["files_total"]
+        )
+        # time travel still sees everything
+        assert st.read_table(spark, path, snapshot=v - 1).count() == df.count()
+
+    def test_later_appends_survive_the_delete(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "del2")
+        st.create_table(df, path, cluster_by="event_id", files_hint=4)
+        hi = df.agg(F.max("event_id")).first()[0]
+        st.delete_where(path, [("event_id", "<=", hi)])  # delete ALL
+        assert st.read_table(spark, path).count() == 0
+        # rows appended AFTER the delete match the predicate but must
+        # NOT be deleted (delete applies at its sequence point)
+        st.append_table(df.limit(70), path, files_hint=2)
+        assert st.read_table(spark, path).count() == 70
+
+    def test_compaction_materializes_deletes(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "del3")
+        st.create_table(df, path, cluster_by="event_id", files_hint=4)
+        cut = df.approxQuantile("event_id", [0.3], 0.01)[0]
+        st.delete_where(path, [("event_id", "<", cut)])
+        n_live = st.read_table(spark, path).count()
+        cv = st.compact_table(spark, path, files_hint=4)
+        snap = st.plan_scan(path)
+        assert st._load_snapshot(path, cv)["deletes"] == []
+        assert st.read_table(spark, path).count() == n_live
+        assert sum(e["stats"]["rows"] for e in snap["entries"]) == n_live
+
+    def test_incremental_refuses_to_cross_delete(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "del4")
+        st.create_table(df.limit(100), path, files_hint=2)
+        st.append_table(df.limit(150), path, files_hint=2)
+        st.delete_where(path, [("event_id", ">=", 0)])
+        with _pt.raises(ValueError, match="delete"):
+            st.plan_scan(path, since=1)
+
+    def test_delete_composes_with_filters_and_pruning(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "del5")
+        st.create_table(df, path, cluster_by="event_id", files_hint=8)
+        q1, q3 = df.approxQuantile("event_id", [0.25, 0.75], 0.01)
+        st.delete_where(path, [("event_id", "<", q1)])
+        rep: dict = {}
+        got = st.read_table(
+            spark, path, filters=[("event_id", "<=", q3)], report=rep
+        )
+        want = df.filter((F.col("event_id") >= q1) & (F.col("event_id") <= q3))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert rep["files_scanned"] < rep["files_total"]
