@@ -253,16 +253,49 @@ def create_table(
     return _commit(table_path, snap)
 
 
+def _evolve_schema(parent_schema: dict, df, allow: bool) -> dict:
+    """Union the table schema with the appended frame's (public Iceberg
+    schema-evolution rules for the append path): new columns are ADDED
+    to the table schema (old files read them as null), columns the
+    frame omits stay (its files read them as null), and a TYPE change
+    on an existing column always raises — evolution is additive only."""
+    new_fields = json.loads(df.schema.json())["fields"]
+    old = {f["name"]: f for f in parent_schema["fields"]}
+    for f in new_fields:
+        if f["name"] in old and old[f["name"]]["type"] != f["type"]:
+            raise ValueError(
+                f"column {f['name']!r} type change"
+                f" {old[f['name']]['type']!r} -> {f['type']!r}:"
+                " unsupported (rewrite the table instead)"
+            )
+    added = [dict(f, nullable=True) for f in new_fields if f["name"] not in old]
+    missing = [n for n in old if n not in {f["name"] for f in new_fields}]
+    if (added or missing) and not allow:
+        raise ValueError(
+            f"appended schema differs from table schema (new: "
+            f"{[f['name'] for f in added]}, omitted: {missing}); pass"
+            " allow_schema_evolution=True to evolve additively"
+        )
+    if not added:
+        return parent_schema
+    return {**parent_schema, "fields": parent_schema["fields"] + added}
+
+
 def append_table(
     df: DataFrame,
     table_path: str,
     *,
     files_hint: int = 8,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Append df as a new snapshot: parent's file list + new files only
-    (O(new data) — nothing is rewritten, the parent stays readable)."""
+    (O(new data) — nothing is rewritten, the parent stays readable).
+    ``allow_schema_evolution``: accept an additively-different frame
+    schema (see _evolve_schema); off by default so a malformed producer
+    fails fast instead of silently widening the table."""
     parent_v = current_version(table_path)
     parent = _load_snapshot(table_path, parent_v)
+    schema = _evolve_schema(parent["schema"], df, allow_schema_evolution)
     new_files = _write_data_files(
         df, table_path, parent.get("cluster_by"), files_hint
     )
@@ -273,7 +306,7 @@ def append_table(
         "parent": parent_v,
         "ts": time.time(),
         "operation": "append",
-        "schema": parent["schema"],
+        "schema": schema,
         "cluster_by": parent.get("cluster_by"),
         "files": parent["files"] + new_files,
         "deletes": parent.get("deletes", []),

@@ -390,3 +390,53 @@ class TestRowLevelDeletes:
             map(tuple, want.collect())
         )
         assert rep["files_scanned"] < rep["files_total"]
+
+
+class TestSchemaEvolution:
+    def test_add_column_append(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "evo")
+        st.create_table(df.limit(100), path, cluster_by="event_id",
+                        files_hint=2)
+        widened = df.limit(40).withColumn(
+            "score", (F.col("event_id") % 7).cast("double")
+        )
+        st.append_table(widened, path, files_hint=2,
+                        allow_schema_evolution=True)
+        got = st.read_table(spark, path)
+        assert "score" in got.columns
+        assert got.count() == 140
+        # old files read the new column as null; new rows carry values
+        assert got.filter(F.col("score").isNull()).count() == 100
+        assert got.filter(F.col("score") >= 0).count() == 40
+
+    def test_omitted_column_reads_null(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "evo2")
+        st.create_table(df.limit(50), path, files_hint=1)
+        st.append_table(df.limit(20).drop("event_type"), path, files_hint=1,
+                        allow_schema_evolution=True)
+        got = st.read_table(spark, path)
+        assert got.count() == 70
+        assert got.filter(F.col("event_type").isNull()).count() == 20
+
+    def test_mismatch_without_flag_raises(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "evo3")
+        st.create_table(df.limit(10), path, files_hint=1)
+        with _pt.raises(ValueError, match="allow_schema_evolution"):
+            st.append_table(df.limit(5).withColumn("x", F.lit(1)), path)
+
+    def test_type_change_always_raises(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "evo4")
+        st.create_table(df.limit(10), path, files_hint=1)
+        retyped = df.limit(5).withColumn(
+            "event_type", F.lit(3).cast("int")
+        )
+        with _pt.raises(ValueError, match="type change"):
+            st.append_table(retyped, path, allow_schema_evolution=True)
