@@ -310,6 +310,7 @@ def append_table(
         "cluster_by": parent.get("cluster_by"),
         "files": parent["files"] + new_files,
         "deletes": parent.get("deletes", []),
+        "eq_deletes": parent.get("eq_deletes", []),
         "total_rows": parent["total_rows"]
         + sum(f["stats"]["rows"] for f in new_files),
     }
@@ -347,7 +348,67 @@ def compact_table(
         "cluster_by": parent.get("cluster_by"),
         "files": new_files,
         "deletes": [],  # materialized by the rewrite
+        "eq_deletes": [],
         "total_rows": sum(f["stats"]["rows"] for f in new_files),
+    }
+    return _commit(table_path, snap)
+
+
+def upsert_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    key: str | list[str],
+    *,
+    files_hint: int = 8,
+) -> int:
+    """MERGE/upsert by key, merge-on-read (public Iceberg v2
+    EQUALITY-DELETE semantics, reimplemented): one snapshot that (a)
+    writes df as new data files and (b) writes df's distinct key set as
+    an equality-delete FILE applying to all files present before this
+    version — so existing rows with those keys disappear and df's rows
+    replace them, atomically, with no data file rewritten. Readers
+    anti-join applicable delete files (broadcast-sized key sets stay
+    map-side); ``compact_table`` materializes. This is the CDC-apply
+    path at 100 TB: a day of updates commits in O(changed rows)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    parent_v = current_version(table_path)
+    parent = _load_snapshot(table_path, parent_v)
+    version = parent_v + 1
+    for k in keys:
+        if k not in {f["name"] for f in parent["schema"]["fields"]}:
+            raise ValueError(f"upsert key {k!r} not in table schema")
+    del_dir = os.path.join(table_path, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    staging = os.path.join(table_path, f"_delstage_{uuid.uuid4().hex}")
+    df.select(*keys).distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    del_path = os.path.join(del_dir, f"{uuid.uuid4().hex}.parquet")
+    part = next(
+        n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
+    )
+    os.replace(os.path.join(staging, part), del_path)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    new_files = _write_data_files(
+        df, table_path, parent.get("cluster_by"), files_hint
+    )
+    for f in new_files:
+        f["added_in"] = version
+    snap = {
+        "version": version,
+        "parent": parent_v,
+        "ts": time.time(),
+        "operation": "upsert",
+        "schema": parent["schema"],
+        "cluster_by": parent.get("cluster_by"),
+        "files": parent["files"] + new_files,
+        "deletes": parent.get("deletes", []),
+        "eq_deletes": parent.get("eq_deletes", [])
+        + [{"path": os.path.relpath(del_path, table_path),
+            "keys": keys, "at": parent_v}],
+        "total_rows": parent["total_rows"]
+        + sum(f["stats"]["rows"] for f in new_files),
     }
     return _commit(table_path, snap)
 
@@ -410,6 +471,7 @@ def delete_where(table_path: str, filters: list[tuple]) -> int:
         "files": kept,
         "deletes": parent.get("deletes", [])
         + [{"at": parent_v, "conds": conds}],
+        "eq_deletes": parent.get("eq_deletes", []),
         # upper bound: partially-covered files keep their full row count
         # until compaction materializes the delete
         "total_rows": parent["total_rows"] - dropped_rows,
@@ -430,17 +492,22 @@ def expire_snapshots(table_path: str, *, keep_from: int) -> dict:
         int(n[1:-5]) for n in os.listdir(meta)
         if n.startswith("v") and n.endswith(".json")
     )
+    def _paths_of(snap: dict) -> set[str]:
+        out = {f["path"] for f in snap["files"]}
+        out.update(g["path"] for g in snap.get("eq_deletes", []))
+        return out
+
     kept_files: set[str] = set()
     for v in versions:
         if v >= keep_from:
-            kept_files.update(f["path"] for f in _load_snapshot(table_path, v)["files"])
+            kept_files.update(_paths_of(_load_snapshot(table_path, v)))
     out = {"snapshots_removed": 0, "files_removed": 0, "bytes_removed": 0}
     for v in versions:
         if v >= keep_from:
             continue
-        for f in _load_snapshot(table_path, v)["files"]:
-            full = os.path.join(table_path, f["path"])
-            if f["path"] not in kept_files and os.path.exists(full):
+        for rel in sorted(_paths_of(_load_snapshot(table_path, v))):
+            full = os.path.join(table_path, rel)
+            if rel not in kept_files and os.path.exists(full):
                 out["bytes_removed"] += os.path.getsize(full)
                 os.remove(full)
                 out["files_removed"] += 1
@@ -477,7 +544,7 @@ def plan_scan(
             raise ValueError(f"since={since} is newer than snapshot {version}")
         for w in range(since + 1, version + 1):
             op = _load_snapshot(table_path, w).get("operation")
-            if op in ("replace", "delete"):
+            if op in ("replace", "delete", "upsert"):
                 raise ValueError(
                     f"incremental read {since}->{version} crosses a"
                     f" {op} snapshot v{w}: the file diff is not a pure"
@@ -499,6 +566,7 @@ def plan_scan(
         "files": [os.path.join(table_path, f["path"]) for f in files],
         "entries": files,
         "deletes": snap.get("deletes", []),
+        "eq_deletes": snap.get("eq_deletes", []),
         "files_total": total,
         "files_scanned": len(files),
         "rows_skipped": base_rows - sum(f["stats"]["rows"] for f in files),
@@ -538,28 +606,37 @@ def read_table(
 
     # merge-on-read: bucket files by which pending delete groups apply
     # (a delete at version V covers files added at or before V), read
-    # each bucket once and anti-apply its groups. Pure appends -> one
-    # bucket with no deletes -> identical plan to before.
+    # each bucket once, anti-apply its predicate groups and anti-join
+    # its equality-delete files. Pure appends -> one bucket with no
+    # deletes -> identical plan to before.
     deletes = plan["deletes"]
+    eq_deletes = plan["eq_deletes"]
     buckets: dict[tuple, list[str]] = {}
     for entry in plan["entries"]:
         added = entry.get("added_in", 0)
-        key = tuple(
-            i for i, g in enumerate(deletes) if added <= g["at"]
+        key = (
+            tuple(i for i, g in enumerate(deletes) if added <= g["at"]),
+            tuple(i for i, g in enumerate(eq_deletes) if added <= g["at"]),
         )
         buckets.setdefault(key, []).append(
             os.path.join(table_path, entry["path"])
         )
     parts = []
-    for key, paths in sorted(buckets.items()):
+    for (pred_idx, eq_idx), paths in sorted(buckets.items()):
         df = spark.read.schema(schema).parquet(*paths)
-        for i in key:
+        for i in pred_idx:
             cond = None
             for col, op, val in deletes[i]["conds"]:
                 c = _cmp(col, op, val)
                 cond = c if cond is None else (cond & c)
             # null comparisons -> null -> not deleted (coalesce False)
             df = df.filter(~F.coalesce(cond, F.lit(False)))
+        for i in eq_idx:
+            g = eq_deletes[i]
+            dead = spark.read.parquet(os.path.join(table_path, g["path"]))
+            # key sets are O(changed rows) — broadcast keeps the
+            # anti-join map-side at scale
+            df = df.join(F.broadcast(dead), on=g["keys"], how="left_anti")
         parts.append(df)
     df = parts[0]
     for p in parts[1:]:

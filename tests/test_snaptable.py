@@ -440,3 +440,87 @@ class TestSchemaEvolution:
         )
         with _pt.raises(ValueError, match="type change"):
             st.append_table(retyped, path, allow_schema_evolution=True)
+
+
+class TestUpsert:
+    def test_upsert_updates_and_inserts(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up")
+        base = df.filter(F.col("event_id") < 200)
+        st.create_table(base, path, cluster_by="event_id", files_hint=4)
+        # change 50 existing rows + insert 30 brand-new keys
+        changed = (
+            df.filter(F.col("event_id") < 50)
+            .withColumn("event_type", F.lit("UPDATED"))
+        )
+        fresh = df.filter(
+            (F.col("event_id") >= 5000) & (F.col("event_id") < 5030)
+        )
+        st.upsert_table(spark, changed.unionByName(fresh), path, "event_id")
+        got = st.read_table(spark, path)
+        want = (
+            base.filter(F.col("event_id") >= 50)
+            .unionByName(changed)
+            .unionByName(fresh)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # merge-on-read: no pre-existing data file was rewritten
+        assert st.read_table(spark, path, snapshot=1).count() == base.count()
+
+    def test_append_after_upsert_is_not_deleted(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up2")
+        st.create_table(df.filter(F.col("event_id") < 100), path, files_hint=2)
+        st.upsert_table(
+            spark, df.filter(F.col("event_id") < 100), path, "event_id"
+        )
+        # same keys appended AFTER the upsert: sequence point protects them
+        st.append_table(df.filter(F.col("event_id") < 100), path, files_hint=2)
+        n_keys = df.filter(F.col("event_id") < 100).count()
+        assert st.read_table(spark, path).count() == 2 * n_keys
+
+    def test_compact_materializes_upsert(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up3")
+        st.create_table(df.filter(F.col("event_id") < 300), path,
+                        cluster_by="event_id", files_hint=4)
+        upd = df.filter(F.col("event_id") < 80).withColumn(
+            "event_type", F.lit("X")
+        )
+        st.upsert_table(spark, upd, path, "event_id")
+        live = sorted(map(tuple, st.read_table(spark, path).collect()))
+        cv = st.compact_table(spark, path, files_hint=4)
+        assert st._load_snapshot(path, cv)["eq_deletes"] == []
+        assert sorted(map(tuple, st.read_table(spark, path).collect())) == live
+
+    def test_expire_gc_includes_delete_files(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up4")
+        st.create_table(df.limit(100), path, files_hint=2)
+        st.upsert_table(spark, df.limit(40), path, "event_id")
+        cv = st.compact_table(spark, path, files_hint=2)
+        assert os.listdir(os.path.join(path, "deletes"))  # exists pre-GC
+        st.expire_snapshots(path, keep_from=cv)
+        assert os.listdir(os.path.join(path, "deletes")) == []  # GC'd
+        assert st.read_table(spark, path).count() == 100
+
+    def test_incremental_refuses_to_cross_upsert(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up5")
+        st.create_table(df.limit(100), path, files_hint=2)
+        st.upsert_table(spark, df.limit(10), path, "event_id")
+        with _pt.raises(ValueError, match="upsert"):
+            st.plan_scan(path, since=1)
+
+    def test_bad_key_raises(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "up6")
+        st.create_table(df.limit(10), path, files_hint=1)
+        with _pt.raises(ValueError, match="not in table schema"):
+            st.upsert_table(spark, df.limit(5), path, "nope")
