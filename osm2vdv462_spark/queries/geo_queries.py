@@ -801,3 +801,47 @@ def image_bbox_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = st.read_table(spark, table, filters=box, report=report)
     assert report["files_scanned"] < report["files_total"], report
     return scan.select("image_id", "caption", "lon", "lat")
+
+
+_UPS_DIRS: dict = {}
+
+
+@register_extra(
+    "image_upsert_refresh",
+    f"""
+    {_IMAGES_CTE}
+    SELECT image_id, caption, lon, lat FROM p
+    """,
+)
+def image_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert on the snapshot image table (Iceberg v2
+    equality-delete files): v1 is committed with half the captions
+    corrupted ('STALE ...'), then one upsert_table call replaces
+    exactly those keys with corrected rows — merge-on-read, no data
+    file rewritten. The oracle is simply the CANONICAL table: only a
+    correct merge (stale rows anti-joined out, corrected rows in,
+    untouched half intact) can hash-match it."""
+    import tempfile
+
+    from ..pipeline import images as im
+    from ..sources import snaptable as st
+
+    table = _UPS_DIRS.get(os.path.abspath(sf_dir))
+    if table is None:
+        table = tempfile.mkdtemp(prefix="imgups_")
+        imgs = im.images_df(spark, sf_dir, every=10).select(
+            "image_id", "caption", "lon", "lat"
+        )
+        eid = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        stale = imgs.filter(eid % 20 == 0).withColumn(
+            "caption", F.concat(F.lit("STALE "), F.col("caption"))
+        )
+        st.create_table(
+            stale.unionByName(imgs.filter(eid % 20 == 10)), table,
+            cluster_by="lon", files_hint=4,
+        )
+        st.upsert_table(spark, imgs.filter(eid % 20 == 0), table, "image_id")
+        _UPS_DIRS[os.path.abspath(sf_dir)] = table
+    return st.read_table(spark, table).select(
+        "image_id", "caption", "lon", "lat"
+    )
