@@ -845,3 +845,58 @@ def image_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.read_table(spark, table).select(
         "image_id", "caption", "lon", "lat"
     )
+
+
+_IVW_DIRS: dict = {}
+
+
+@register_extra(
+    "image_tiles_incremental",
+    f"""
+    {_IMAGES_CTE},
+    levels AS (SELECT UNNEST([8, 10, 12]) AS res),
+    c AS (
+      SELECT res,
+        (CAST(res AS BIGINT) << 57)
+        + (CAST(least(greatest(floor((lon + 180.0) / 360.0
+                                     * pow(2.0, res + 1)), 0),
+                      pow(2.0, res + 1) - 1) AS BIGINT) << 28)
+        + CAST(least(greatest(floor((lat + 90.0) / 180.0
+                                    * pow(2.0, res)), 0),
+                     pow(2.0, res) - 1) AS BIGINT) AS cell
+      FROM p CROSS JOIN levels
+    )
+    SELECT res, cell, count(*) AS n_images
+    FROM c GROUP BY 1, 2
+    """,
+)
+def image_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view maintenance: the tile rollup is
+    initialized over HALF the image table, the other half is appended,
+    and one `refresh_tile_view` advances the view from the changelog
+    (delta partial-agg + keyed upsert, O(new data)). The oracle states
+    the FULL-corpus rollup closed-form — only base + delta = full, with
+    no key double-counted or missed, can hash-match."""
+    import tempfile
+
+    from ..pipeline import images as im, incremental as iv
+    from ..sources import snaptable as st
+
+    view = _IVW_DIRS.get(os.path.abspath(sf_dir))
+    if view is None:
+        srcdir = tempfile.mkdtemp(prefix="imgivsrc_")
+        view = tempfile.mkdtemp(prefix="imgivw_") + "/view"
+        imgs = im.images_df(spark, sf_dir, every=10).select(
+            "image_id", "caption", "lon", "lat"
+        )
+        eid = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        st.create_table(
+            imgs.filter(eid % 20 == 0), srcdir, cluster_by="lon",
+            files_hint=4,
+        )
+        iv.init_tile_view(spark, srcdir, view)
+        st.append_table(imgs.filter(eid % 20 == 10), srcdir, files_hint=4)
+        out = iv.refresh_tile_view(spark, srcdir, view)
+        assert out["refreshed"], out
+        _IVW_DIRS[os.path.abspath(sf_dir)] = view
+    return st.read_table(spark, view).select("res", "cell", "n_images")

@@ -218,6 +218,12 @@ def _commit(table_path: str, snapshot: dict) -> int:
     return version
 
 
+def table_props(table_path: str, *, snapshot: int | None = None) -> dict:
+    """Free-form properties of a snapshot (default: current)."""
+    v = snapshot if snapshot is not None else current_version(table_path)
+    return _load_snapshot(table_path, v).get("props", {})
+
+
 def current_version(table_path: str) -> int:
     with open(os.path.join(table_path, "metadata", _HINT)) as fh:
         return int(fh.read().strip())
@@ -234,13 +240,17 @@ def create_table(
     *,
     cluster_by: str | list[str] | None = None,
     files_hint: int = 8,
+    props: dict | None = None,
 ) -> int:
-    """Create the table at snapshot v1 from df. Returns the version."""
+    """Create the table at snapshot v1 from df. Returns the version.
+    ``props``: free-form table properties carried on the snapshot
+    (e.g. an incremental view's source watermark)."""
     os.makedirs(table_path, exist_ok=True)
     files = _write_data_files(df, table_path, cluster_by, files_hint)
     for f in files:
         f["added_in"] = 1
     snap = {
+        "props": props or {},
         "version": 1,
         "parent": None,
         "ts": time.time(),
@@ -302,6 +312,7 @@ def append_table(
     for f in new_files:
         f["added_in"] = parent_v + 1
     snap = {
+        "props": parent.get("props", {}),
         "version": parent_v + 1,
         "parent": parent_v,
         "ts": time.time(),
@@ -340,6 +351,7 @@ def compact_table(
     for f in new_files:
         f["added_in"] = parent_v + 1
     snap = {
+        "props": parent.get("props", {}),
         "version": parent_v + 1,
         "parent": parent_v,
         "ts": time.time(),
@@ -361,6 +373,7 @@ def upsert_table(
     key: str | list[str],
     *,
     files_hint: int = 8,
+    props: dict | None = None,
 ) -> int:
     """MERGE/upsert by key, merge-on-read (public Iceberg v2
     EQUALITY-DELETE semantics, reimplemented): one snapshot that (a)
@@ -396,6 +409,7 @@ def upsert_table(
     for f in new_files:
         f["added_in"] = version
     snap = {
+        "props": {**parent.get("props", {}), **(props or {})},
         "version": version,
         "parent": parent_v,
         "ts": time.time(),
@@ -462,6 +476,7 @@ def delete_where(table_path: str, filters: list[tuple]) -> int:
         else:
             kept.append(f)
     snap = {
+        "props": parent.get("props", {}),
         "version": version,
         "parent": parent_v,
         "ts": time.time(),
