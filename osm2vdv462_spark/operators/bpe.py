@@ -44,6 +44,39 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pair_counts(words: DataFrame) -> DataFrame:
+    """One merge round's kernel: adjacent-symbol pair frequencies
+    weighted by word count — (a, b, n). Vocab-sized shuffle with
+    map-side combine; this is the piece a SQL engine can replicate
+    (the `bpe_pair_counts` oracle), the iteration around it cannot."""
+    return (
+        words.select(
+            F.posexplode(
+                F.slice(F.col("symbols"), 1, F.size("symbols") - 1)
+            ).alias("i", "a"),
+            F.col("symbols"),
+            F.col("count"),
+        )
+        .select(
+            F.col("a"),
+            F.element_at(F.col("symbols"), F.col("i") + 2).alias("b"),
+            F.col("count"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("count").alias("n"))
+    )
+
+
+def symbolize(freqs: DataFrame) -> DataFrame:
+    """(word, count) -> (symbols array, count): chars + end-of-word."""
+    return freqs.select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("symbols"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
 def _merge_udf(a: str, b: str):
     """Arrow-batched merge of one adjacent symbol pair in every word."""
 
@@ -81,32 +114,11 @@ def train_bpe(
     deterministic tie-break (count desc, pair asc), merge applied
     distributively, vocab re-cached. Stops early when no pair reaches
     ``min_count``."""
-    spark = freqs.sparkSession
-    words = freqs.select(
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END))
-        ).alias("symbols"),
-        F.col("count").cast("long").alias("count"),
-    ).localCheckpoint()
+    words = symbolize(freqs).localCheckpoint()
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = (
-            words.select(
-                F.posexplode(
-                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1)
-                ).alias("i", "a"),
-                F.col("symbols"),
-                F.col("count"),
-            )
-            .select(
-                F.col("a"),
-                F.element_at(F.col("symbols"), F.col("i") + 2).alias("b"),
-                F.col("count"),
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("count").alias("n"))
-        )
+        pairs = pair_counts(words)
         top = pairs.orderBy(
             F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(1).collect()

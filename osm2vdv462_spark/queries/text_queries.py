@@ -1101,3 +1101,36 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf_r4"),
         )
     )
+
+
+_BPE_PAIR_ORACLE = r"""
+WITH w AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+sym AS (SELECT word, cnt, length(word) AS L FROM w),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS a,
+         substr(word, CAST(i AS INT) + 1, 1) AS b, cnt
+  FROM sym, unnest(range(1, L)) AS t(i)
+  UNION ALL
+  SELECT substr(word, CAST(L AS INT), 1), '</w>', cnt FROM sym
+)
+SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+"""
+
+
+@register_extra("bpe_pair_counts", _BPE_PAIR_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's per-round kernel (operators/bpe.py): word-
+    frequency dict (the trainer's ONE corpus pass) -> symbolize ->
+    adjacent-pair counts weighted by word frequency. SQL-expressible,
+    so this round kernel is oracle-gated; the iterative merge loop
+    around it is verified against a from-scratch serial reference in
+    tests/test_bpe.py (merge lists must be identical)."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe.pair_counts(bpe.symbolize(bpe.word_freqs(docs)))
