@@ -75,6 +75,17 @@ def test_param_change_invalidates_lineage(spark, sf_dir, pipe):
     assert not again["stats"]["tile_counts"]["skipped"]
 
 
+def test_verify_stage_invariant_all_green(spark, pipe):
+    """The materialized per-row invariant verdicts (input_hint: decoded
+    pixels, caption equality, phash recompute) must be ALL true on the
+    synthetic corpus — a decode/caption regression flips rows here."""
+    work, _ = pipe
+    v = spark.read.parquet(os.path.join(work, "verify"))
+    n = v.count()
+    for c in ("pixel_ok", "caption_ok", "phash_ok"):
+        assert v.filter(f"{c} = true").count() == n, c
+
+
 def test_geo_stage_scan_prunes_bytes(spark, pipe):
     work, out = pipe
     imgs = spark.read.parquet(os.path.join(work, "images"))
