@@ -51,6 +51,12 @@ _HINT = "version-hint.text"
 _OPS = ("==", "<", "<=", ">", ">=")
 
 
+class CommitConflict(Exception):
+    """Another writer claimed the target snapshot version first.
+    Data files already staged by the loser remain invisible orphans;
+    append-shaped commits rebase + retry automatically."""
+
+
 # --------------------------------------------------------------- stats
 
 
@@ -204,12 +210,23 @@ def _write_data_files(
 
 
 def _commit(table_path: str, snapshot: dict) -> int:
-    """Atomically publish a snapshot: write vN.json, then flip the
+    """Atomically publish a snapshot: claim vN.json with an EXCLUSIVE
+    create (optimistic concurrency — the public Iceberg commit
+    protocol: first writer of the version file wins, losers raise
+    CommitConflict and must rebase on the new parent), then flip the
     version hint with os.replace (POSIX-atomic)."""
     meta = os.path.join(table_path, "metadata")
     os.makedirs(meta, exist_ok=True)
     version = snapshot["version"]
-    with open(os.path.join(meta, f"v{version}.json"), "w") as fh:
+    vpath = os.path.join(meta, f"v{version}.json")
+    try:
+        fd = os.open(vpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot v{version} was committed concurrently; rebase on"
+            " the new parent and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
         json.dump(snapshot, fh)
     tmp = os.path.join(meta, f"_hint_{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -309,23 +326,40 @@ def append_table(
     new_files = _write_data_files(
         df, table_path, parent.get("cluster_by"), files_hint
     )
-    for f in new_files:
-        f["added_in"] = parent_v + 1
-    snap = {
-        "props": parent.get("props", {}),
-        "version": parent_v + 1,
-        "parent": parent_v,
-        "ts": time.time(),
-        "operation": "append",
-        "schema": schema,
-        "cluster_by": parent.get("cluster_by"),
-        "files": parent["files"] + new_files,
-        "deletes": parent.get("deletes", []),
-        "eq_deletes": parent.get("eq_deletes", []),
-        "total_rows": parent["total_rows"]
-        + sum(f["stats"]["rows"] for f in new_files),
-    }
-    return _commit(table_path, snap)
+    # optimistic concurrency: an append commutes with other appends, so
+    # on CommitConflict rebase onto the new parent (data files are
+    # already durable — only the manifest is rebuilt) and retry.
+    for _ in range(16):
+        for f in new_files:
+            f["added_in"] = parent_v + 1
+        snap = {
+            "props": parent.get("props", {}),
+            "version": parent_v + 1,
+            "parent": parent_v,
+            "ts": time.time(),
+            "operation": "append",
+            "schema": schema,
+            "cluster_by": parent.get("cluster_by"),
+            "files": parent["files"] + new_files,
+            "deletes": parent.get("deletes", []),
+            "eq_deletes": parent.get("eq_deletes", []),
+            "total_rows": parent["total_rows"]
+            + sum(f["stats"]["rows"] for f in new_files),
+        }
+        try:
+            return _commit(table_path, snap)
+        except CommitConflict:
+            # walk forward to the claimed version even if the winner
+            # hasn't flipped the hint yet (claim order IS commit order)
+            try:
+                parent = _load_snapshot(table_path, parent_v + 1)
+                parent_v += 1
+            except (OSError, json.JSONDecodeError):
+                time.sleep(0.05)  # winner mid-write; re-read the hint
+                parent_v = current_version(table_path)
+                parent = _load_snapshot(table_path, parent_v)
+            schema = _evolve_schema(parent["schema"], df, allow_schema_evolution)
+    raise CommitConflict("append could not commit after 16 rebases")
 
 
 def compact_table(

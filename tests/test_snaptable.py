@@ -4,6 +4,7 @@ the from-scratch stand-in for the north rule's Iceberg stage tables."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from osm2vdv462_spark.sources import snaptable as st
@@ -524,3 +525,54 @@ class TestUpsert:
         st.create_table(df.limit(10), path, files_hint=1)
         with _pt.raises(ValueError, match="not in table schema"):
             st.upsert_table(spark, df.limit(5), path, "nope")
+
+
+class TestConcurrentCommits:
+    def test_version_claim_is_exclusive(self, spark, sf_dir, tmp_path):
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "cc")
+        st.create_table(df.limit(50), path, files_hint=1)
+        parent = st._load_snapshot(path, 1)
+        snap_a = dict(parent, version=2, parent=1, operation="append")
+        snap_b = dict(parent, version=2, parent=1, operation="append")
+        st._commit(path, snap_a)
+        with pytest.raises(st.CommitConflict):
+            st._commit(path, snap_b)
+
+    def test_racing_appends_both_land(self, spark, sf_dir, tmp_path):
+        """Two writers appending concurrently: with optimistic
+        concurrency + rebase-retry, NEITHER append is lost."""
+        import threading
+
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "cc2")
+        st.create_table(df.limit(10), path, files_hint=1)
+        b1 = df.filter((F.col("event_id") >= 100) & (F.col("event_id") < 150))
+        b2 = df.filter((F.col("event_id") >= 200) & (F.col("event_id") < 260))
+        n1, n2 = b1.count(), b2.count()
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def _go(frame):
+            try:
+                barrier.wait(30)
+                st.append_table(frame, path, files_hint=1)
+            except Exception as e:  # surface in the main thread
+                errs.append(e)
+
+        ts = [threading.Thread(target=_go, args=(b,)) for b in (b1, b2)]
+        [t.start() for t in ts]
+        [t.join(120) for t in ts]
+        assert not errs, errs
+        assert st.current_version(path) == 3  # two real commits
+        assert st.read_table(spark, path).count() == 10 + n1 + n2
+
+    def test_loser_files_stay_invisible(self, spark, sf_dir, tmp_path):
+        """A claim that loses leaves only orphan data files — readers
+        never see them (same invariant as the torn-write test)."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "cc3")
+        st.create_table(df.limit(20), path, files_hint=1)
+        # stage data files like a loser would, then never commit
+        st._write_data_files(df.limit(5), path, None, 1)
+        assert st.read_table(spark, path).count() == 20
