@@ -36,6 +36,19 @@ class TestCellProperties:
     )
     @settings(max_examples=25, deadline=None)
     def test_bbox_cover_contains_interior_points(self, lon0, lat0, span, res):
+        # bound the cover size BEFORE materializing it: a 0.5-degree
+        # span at res 24 is a ~10^9-cell meshgrid — an unbounded
+        # allocation whenever hypothesis draws big span x fine res
+        # (stalled a full suite run for 20+ min under page-fault
+        # pressure). The property is res-independent; small covers
+        # exercise it completely.
+        from hypothesis import assume
+
+        x0, y0 = cells.xy_of_points(np.array([lon0]), np.array([lat0]), res)
+        x1, y1 = cells.xy_of_points(
+            np.array([lon0 + span]), np.array([lat0 + span]), res
+        )
+        assume((x1[0] - x0[0] + 1) * (y1[0] - y0[0] + 1) <= 4096)
         cover = set(
             cells.cells_of_bbox(lon0, lat0, lon0 + span, lat0 + span, res).tolist()
         )
