@@ -81,13 +81,20 @@ def append_epoch(
     )
     if not new:
         return None
+    for f in new:
+        f["added_in"] = parent_v + 1
     snap = {
+        "props": parent.get("props", {}),
         "version": parent_v + 1, "parent": parent_v,
         "ts": time.time(),
         "operation": "append", "stream_epoch": tag,
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
         "files": parent["files"] + new,
+        # pending merge-on-read state MUST ride along or deleted rows
+        # would resurrect in the newest snapshot
+        "deletes": parent.get("deletes", []),
+        "eq_deletes": parent.get("eq_deletes", []),
         "total_rows": parent["total_rows"]
         + sum(f["stats"]["rows"] for f in new),
     }

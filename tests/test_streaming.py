@@ -312,3 +312,22 @@ class TestStreamToTable:
         v2 = ingest.append_epoch(batch, table, "q1", 1)
         assert v2 == 2
         assert st.read_table(spark, table, since=1).count() == 100
+
+    def test_stream_append_preserves_pending_deletes(self, spark, sf_dir, tmp_path):
+        """Epoch appends must carry pending merge-on-read deletes
+        forward — otherwise streaming into a table after a delete
+        resurrects the deleted rows."""
+        from osm2vdv462_spark.sources import snaptable as st
+        from osm2vdv462_spark.streaming import ingest
+
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type"
+        ).limit(100)
+        table = str(tmp_path / "tbl4")
+        ingest.append_epoch(batch, table, "q2", 0, cluster_by="event_id")
+        hi = batch.agg({"event_id": "max"}).first()[0]
+        st.delete_where(table, [("event_id", "<=", int(hi))])  # delete all
+        assert st.read_table(spark, table).count() == 0
+        ingest.append_epoch(batch, table, "q2", 1)
+        # exactly the new epoch's rows — the old ones stay deleted
+        assert st.read_table(spark, table).count() == 100
