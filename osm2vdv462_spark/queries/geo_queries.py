@@ -78,7 +78,7 @@ def pip_assign_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("relation_id").cast("int"))
 
 
-@register(
+@register_extra(
     "pip_density",
     f"""
     {_POINTS_CTE}
@@ -605,7 +605,7 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> dict:
     return run_image_pipeline(spark, work, sf_dir, every=10)
 
 
-@register_extra(
+@register(
     "image_pipeline_join_rows",
     f"""
     {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -764,7 +764,7 @@ def image_appends_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZORD_DIRS: dict = {}
 
 
-@register_extra(
+@register(
     "image_bbox_zorder",
     f"""
     WITH p AS (

@@ -449,7 +449,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "ngram_jaccard_pairs",
     """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
