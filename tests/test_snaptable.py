@@ -576,3 +576,40 @@ class TestConcurrentCommits:
         # stage data files like a loser would, then never commit
         st._write_data_files(df.limit(5), path, None, 1)
         assert st.read_table(spark, path).count() == 20
+
+
+class TestScanEfficiency:
+    def test_read_table_prunes_columns(self, spark, sf_dir, tmp_path):
+        """The table-format read path must not break Spark's parquet
+        column pruning: selecting 2 of 9 input_hint columns reads only
+        those 2 (the multi-KB bytes column stays on disk)."""
+        from osm2vdv462_spark.pipeline import images as im
+
+        df = im.images_df(spark, sf_dir, every=100)
+        path = str(tmp_path / "prune")
+        st.create_table(df, path, cluster_by="image_id", files_hint=2)
+        plan = (
+            st.read_table(spark, path)
+            .select("image_id", "lon")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ReadSchema" in plan
+        assert "bytes" not in plan and "caption" not in plan
+
+    def test_merge_on_read_still_prunes_columns(self, spark, sf_dir, tmp_path):
+        """Pending deletes add an anti-filter/anti-join on top of the
+        scan — the scan itself must still be column-pruned."""
+        df = _events(spark, sf_dir)
+        path = str(tmp_path / "prune2")
+        st.create_table(df, path, cluster_by="event_id", files_hint=2)
+        st.delete_where(path, [("event_id", "<", 10)])
+        plan = (
+            st.read_table(spark, path)
+            .select("event_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ReadSchema" in plan and "user_id" not in plan
