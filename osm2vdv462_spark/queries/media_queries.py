@@ -1141,3 +1141,54 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = au.audio_df(spark, sf_dir, gated=True)
     return au.with_vad_segments(clips).orderBy("doc_id", "seg_idx")
+
+
+_IMG_CLUSTER_ORACLE = (
+    _PHASH_NEARDUP_ORACLE.replace("WITH ", "WITH RECURSIVE ", 1)
+    .rsplit("SELECT 'img_'", 1)[0]
+    + """,
+pr AS (
+  SELECT 'img_' || lpad(CAST(ea AS VARCHAR), 9, '0') AS a,
+         'img_' || lpad(CAST(eb AS VARCHAR), 9, '0') AS b
+  FROM hx WHERE ham <= 6
+),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+lbl AS (
+  SELECT a AS image_id, least(a, min(b)) AS cluster
+  FROM reach GROUP BY a
+)
+SELECT image_id, cluster,
+       count(*) OVER (PARTITION BY cluster) AS n_members
+FROM lbl
+"""
+)
+
+
+@register_extra("image_dup_clusters", _IMG_CLUSTER_ORACLE)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup CLUSTERS — the form an image dedup job
+    actually consumes (keep one representative per cluster): the banded
+    aHash pair graph (`image_phash_neardup`, gate row) fed through the
+    same distributed min-label connected components as the text-side
+    `dedup_clusters`. Oracle: the full pixel->phash->banding->Hamming
+    pipeline in SQL plus a recursive-CTE transitive closure."""
+    from ..operators.cluster import connected_components
+
+    pairs = image_phash_neardup(spark, sf_dir).select(
+        F.col("image_id_a").alias("a"), F.col("image_id_b").alias("b")
+    )
+    verts = pairs.select(F.col("a").alias("id")).union(
+        pairs.select("b")
+    ).distinct()
+    cc = connected_components(verts, pairs, vid="id", src="a", dst="b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("image_id"),
+        F.col("component").alias("cluster"),
+        "n_members",
+    )
