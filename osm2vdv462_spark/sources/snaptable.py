@@ -29,6 +29,12 @@ Write clustering: ``cluster_by`` range-repartitions + sorts the data
 so each file owns a tight key range (the public Iceberg write
 "sort order" strategy) — that is what makes min/max pruning sharp.
 
+Point lookups: ``bloom_cols`` adds per-file BLOOM FILTERS to the
+manifest (the Iceberg/Parquet bloom metric, manifest-level) so
+equality lookups on keys the clustering scatters (image_id on a
+lon/lat-clustered table) prune to ~1 file instead of scanning the
+corpus — see the blooms section below.
+
 Reference parity note: the reference pipeline stages through Postgres
 tables (docker-compose.yml services + SQL views); this is the
 cluster-shaped analogue of those stage tables, as BASELINE.json's
@@ -37,18 +43,24 @@ north rule prescribes.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import time
 import uuid
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 _HINT = "version-hint.text"
 
-# filter ops understood by the pruner: (col, op, literal)
-_OPS = ("==", "<", "<=", ">", ">=")
+# filter ops understood by the pruner: (col, op, literal). "in" takes a
+# list/tuple/set literal — the batched point-lookup shape: ONE scan
+# whose plan keeps only files where at least one member may live
+# (bloom + min/max probed per member).
+_OPS = ("==", "<", "<=", ">", ">=", "in")
 
 
 class CommitConflict(Exception):
@@ -99,10 +111,155 @@ def _file_stats(path: str) -> dict:
     }
 
 
+# --------------------------------------------------------------- blooms
+#
+# Per-file BLOOM FILTERS in the manifest, for equality lookups on
+# columns min/max cannot prune (the public Iceberg/Parquet bloom-filter
+# metric, reimplemented at the manifest level): a table clustered by
+# (lon, lat) interleaves image_ids across every file, so each file's
+# id min/max spans the whole key range and a point lookup scans the
+# corpus. A per-file bloom answers "is this key DEFINITELY absent?" in
+# O(k) bit probes per file — at 10^12 rows that turns "find one image
+# by id" from a table scan into opening ~1 file. Pruning stays a
+# superset guarantee: a false positive only costs one extra file scan,
+# and read_table re-applies the predicate row-level regardless.
+
+_BLOOM_BITS = 1 << 17  # bits per (file, col); fixed so partials OR-combine
+_BLOOM_K = 7  # hash probes; fpp ~0.5% at ~13k distinct keys per file
+
+
+def _bloom_key_bytes(v) -> bytes:
+    """Canonical hash input per key type — MUST be identical between
+    build (executor) and probe (planner). Floats are excluded: equality
+    pruning on floats is ill-defined across engines."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return str(int(v)).encode()
+    raise TypeError(
+        f"bloom columns take string/integer/binary keys, not {type(v).__name__}"
+    )
+
+
+def _bloom_indices(key: bytes, m: int, k: int) -> list[int]:
+    """k probe positions via double hashing over one md5 (stable across
+    processes/runs, unlike hash())."""
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _harvest_blooms(
+    spark: SparkSession, staging: str, cols: list[str], m: int = _BLOOM_BITS
+) -> dict:
+    """{staged file basename: {col: {m, k, bits(b64)}}} — computed
+    EXECUTOR-side: a column-pruned scan of the staged files builds one
+    partial bitmap per (task, file, col); fixed m makes partials
+    OR-combinable, so the only shuffle carries KB bitmaps, never rows.
+    The data pass this costs is the same class as the write itself and
+    runs before the commit, like Iceberg's write-time metrics."""
+    import pandas as pd
+
+    from ..operators import _guard
+
+    k = _BLOOM_K
+    src = spark.read.parquet(staging).select(
+        F.input_file_name().alias("f"), *cols
+    )
+
+    def _partials(batches):
+        # self-contained closure (no module-global references): the
+        # snaptable API must work under a PLAIN session with no shipped
+        # package — nested defs are what cloudpickle serializes by
+        # value. Hash scheme kept in lockstep with _bloom_key_bytes /
+        # _bloom_indices; TestBloom round-trips build against probe.
+        import hashlib as _hl
+
+        import numpy as _np
+
+        def _key(v):
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            return str(int(v)).encode()
+
+        acc: dict = {}
+        for pdf in batches:
+            for fname, grp in pdf.groupby("f"):
+                base = os.path.basename(fname)
+                for c in cols:
+                    bits = acc.get((base, c))
+                    if bits is None:
+                        bits = acc[(base, c)] = _np.zeros(m // 8, _np.uint8)
+                    for v in grp[c].dropna().unique():
+                        d = _hl.md5(_key(v)).digest()
+                        h1 = int.from_bytes(d[:8], "little")
+                        h2 = int.from_bytes(d[8:], "little") | 1
+                        for i in range(k):
+                            idx = (h1 + i * h2) % m
+                            bits[idx >> 3] |= _np.uint8(1 << (idx & 7))
+        yield pd.DataFrame(
+            [(f, c, b.tobytes()) for (f, c), b in acc.items()],
+            columns=["f", "col", "bits"],
+        )
+
+    def _combine(pdf):
+        import numpy as _np
+
+        import pandas as _pd
+
+        out = _np.zeros(m // 8, _np.uint8)
+        for b in pdf["bits"]:
+            out |= _np.frombuffer(b, _np.uint8)
+        return _pd.DataFrame(
+            [(pdf["f"].iloc[0], pdf["col"].iloc[0], out.tobytes())],
+            columns=["f", "col", "bits"],
+        )
+
+    rows = _guard.collect_dim(
+        src.mapInPandas(_partials, "f string, col string, bits binary")
+        .groupBy("f", "col")
+        .applyInPandas(_combine, "f string, col string, bits binary"),
+        "snaptable bloom manifests (files x bloom_cols rows)",
+    )
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["f"], {})[r["col"]] = {
+            "m": m,
+            "k": k,
+            "bits": base64.b64encode(r["bits"]).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_may_contain(f: dict, col: str, val) -> bool:
+    """False iff the file's bloom PROVES the key absent."""
+    bl = f.get("blooms", {}).get(col)
+    if bl is None:
+        return True
+    try:
+        key = _bloom_key_bytes(val)
+    except TypeError:
+        return True
+    bits = np.frombuffer(base64.b64decode(bl["bits"]), np.uint8)
+    for idx in _bloom_indices(key, bl["m"], bl["k"]):
+        if not (int(bits[idx >> 3]) >> (idx & 7)) & 1:
+            return False
+    return True
+
+
 def _may_match(f: dict, col: str, op: str, val) -> bool:
     """Can any row in file f satisfy (col op val)? Missing stats => yes.
     Null rows never satisfy any comparison, so min/max bounds (which
     ignore nulls) are sound."""
+    if op == "in":
+        return any(_may_match(f, col, "==", v) for v in val)
+    if op == "==" and not _bloom_may_contain(f, col, val):
+        return False
     lo = f["stats"]["min"].get(col)
     hi = f["stats"]["max"].get(col)
     if lo is None or hi is None:
@@ -168,14 +325,18 @@ def _zvalue(df: DataFrame, cols: list[str]):
 
 
 def _write_data_files(
-    df: DataFrame, table_path: str, cluster_by, files_hint: int
+    df: DataFrame, table_path: str, cluster_by, files_hint: int,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df as new immutable data files under <table>/data and
     return their manifest entries (executor-side write; the driver only
     harvests footers). ``cluster_by``: a column name for 1-D range
     clustering, or a LIST of numeric columns for Z-order clustering
     (tight per-file ranges on EVERY listed column -> multi-dimension
-    min/max pruning, e.g. bounding-box scans on (lon, lat))."""
+    min/max pruning, e.g. bounding-box scans on (lon, lat)).
+    ``bloom_cols``: columns that additionally get per-file bloom
+    filters in the manifest (equality pruning on keys the clustering
+    scatters — see the blooms section)."""
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
     if isinstance(cluster_by, (list, tuple)):
@@ -191,6 +352,18 @@ def _write_data_files(
                .sortWithinPartitions(cluster_by)
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    blooms: dict = {}
+    want = [c for c in (bloom_cols or []) if c in df.columns]
+    if want:
+        hashable = {"string", "binary", "byte", "short", "integer", "long"}
+        for fld in df.schema.fields:
+            if fld.name in want and fld.dataType.typeName() not in hashable:
+                raise ValueError(
+                    f"bloom column {fld.name!r} has type"
+                    f" {fld.dataType.typeName()!r}; blooms support"
+                    " string/integral/binary keys only"
+                )
+        blooms = _harvest_blooms(df.sparkSession, staging, want)
     entries = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -201,7 +374,10 @@ def _write_data_files(
         if st["rows"] == 0:
             os.remove(final)
             continue
-        entries.append({"path": os.path.relpath(final, table_path), **{"stats": st}})
+        entry = {"path": os.path.relpath(final, table_path), "stats": st}
+        if name in blooms:
+            entry["blooms"] = blooms[name]
+        entries.append(entry)
     # clear staging remnants (_SUCCESS, .crc)
     for name in os.listdir(staging):
         os.remove(os.path.join(staging, name))
@@ -256,14 +432,18 @@ def create_table(
     table_path: str,
     *,
     cluster_by: str | list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     files_hint: int = 8,
     props: dict | None = None,
 ) -> int:
     """Create the table at snapshot v1 from df. Returns the version.
     ``props``: free-form table properties carried on the snapshot
-    (e.g. an incremental view's source watermark)."""
+    (e.g. an incremental view's source watermark). ``bloom_cols``:
+    table-level setting (inherited by appends/compaction/upserts, like
+    ``cluster_by``) — these columns get per-file bloom filters for
+    equality-lookup pruning."""
     os.makedirs(table_path, exist_ok=True)
-    files = _write_data_files(df, table_path, cluster_by, files_hint)
+    files = _write_data_files(df, table_path, cluster_by, files_hint, bloom_cols)
     for f in files:
         f["added_in"] = 1
     snap = {
@@ -273,6 +453,7 @@ def create_table(
         "ts": time.time(),
         "schema": json.loads(df.schema.json()),
         "cluster_by": cluster_by,
+        "bloom_cols": bloom_cols,
         "files": files,
         "deletes": [],
         "total_rows": sum(f["stats"]["rows"] for f in files),
@@ -324,7 +505,8 @@ def append_table(
     parent = _load_snapshot(table_path, parent_v)
     schema = _evolve_schema(parent["schema"], df, allow_schema_evolution)
     new_files = _write_data_files(
-        df, table_path, parent.get("cluster_by"), files_hint
+        df, table_path, parent.get("cluster_by"), files_hint,
+        parent.get("bloom_cols"),
     )
     # optimistic concurrency: an append commutes with other appends, so
     # on CommitConflict rebase onto the new parent (data files are
@@ -340,6 +522,7 @@ def append_table(
             "operation": "append",
             "schema": schema,
             "cluster_by": parent.get("cluster_by"),
+            "bloom_cols": parent.get("bloom_cols"),
             "files": parent["files"] + new_files,
             "deletes": parent.get("deletes", []),
             "eq_deletes": parent.get("eq_deletes", []),
@@ -380,7 +563,8 @@ def compact_table(
     parent = _load_snapshot(table_path, parent_v)
     current = read_table(spark, table_path)  # applies pending deletes
     new_files = _write_data_files(
-        current, table_path, parent.get("cluster_by"), files_hint
+        current, table_path, parent.get("cluster_by"), files_hint,
+        parent.get("bloom_cols"),
     )
     for f in new_files:
         f["added_in"] = parent_v + 1
@@ -392,6 +576,7 @@ def compact_table(
         "operation": "replace",
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
+        "bloom_cols": parent.get("bloom_cols"),
         "files": new_files,
         "deletes": [],  # materialized by the rewrite
         "eq_deletes": [],
@@ -438,7 +623,8 @@ def upsert_table(
         os.remove(os.path.join(staging, name))
     os.rmdir(staging)
     new_files = _write_data_files(
-        df, table_path, parent.get("cluster_by"), files_hint
+        df, table_path, parent.get("cluster_by"), files_hint,
+        parent.get("bloom_cols"),
     )
     for f in new_files:
         f["added_in"] = version
@@ -450,6 +636,7 @@ def upsert_table(
         "operation": "upsert",
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
+        "bloom_cols": parent.get("bloom_cols"),
         "files": parent["files"] + new_files,
         "deletes": parent.get("deletes", []),
         "eq_deletes": parent.get("eq_deletes", [])
@@ -471,13 +658,16 @@ def _fully_covered(f: dict, conds: list) -> bool:
         if lo is None or hi is None:
             return False
         try:
-            ok = {
-                "==": lo == val and hi == val,
-                "<": hi < val,
-                "<=": hi <= val,
-                ">": lo > val,
-                ">=": lo >= val,
-            }[op]
+            if op == "in":
+                ok = lo == hi and lo in val
+            else:
+                ok = {
+                    "==": lo == val and hi == val,
+                    "<": hi < val,
+                    "<=": hi <= val,
+                    ">": lo > val,
+                    ">=": lo >= val,
+                }[op]
         except TypeError:
             return False
         if not ok:
@@ -517,6 +707,7 @@ def delete_where(table_path: str, filters: list[tuple]) -> int:
         "operation": "delete",
         "schema": parent["schema"],
         "cluster_by": parent.get("cluster_by"),
+        "bloom_cols": parent.get("bloom_cols"),
         "files": kept,
         "deletes": parent.get("deletes", [])
         + [{"at": parent_v, "conds": conds}],
@@ -650,6 +841,8 @@ def read_table(
 
     def _cmp(col, op, val):
         c = F.col(col)
+        if op == "in":
+            return c.isin(list(val))
         return {"==": c == val, "<": c < val, "<=": c <= val,
                 ">": c > val, ">=": c >= val}[op]
 
