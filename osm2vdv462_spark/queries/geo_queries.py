@@ -806,7 +806,7 @@ def image_bbox_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLM_DIRS: dict = {}
 
 
-@register_extra(
+@register(
     "image_id_lookup_bloom",
     f"""
     {_IMAGES_CTE}

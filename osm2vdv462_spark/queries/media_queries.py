@@ -56,7 +56,11 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@register("audio_frame_features", _AUDIO_ORACLE)
+# driver-green r01-r03; demoted to the parity tier late r4 to free a
+# gate row for image_id_lookup_bloom (rotation policy: every query
+# earns a driver row at least once, doubly-covered rows stand aside —
+# the mulaw/adpcm gate rows exercise this same decode path end-to-end)
+@register_extra("audio_frame_features", _AUDIO_ORACLE)
 def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality end-to-end: synthesize PCM-s16le binary clips from
     `documents` (pipeline/audio.py), decode the binary in a second

@@ -712,3 +712,13 @@ class TestBloom:
             st.create_table(
                 df, str(tmp_path / "bad"), bloom_cols=["score"]
             )
+
+    def test_delete_where_in_op(self, spark, sf_dir, tmp_path):
+        """The batched 'in' op composes with merge-on-read deletes:
+        the anti-filter drops exactly the listed keys."""
+        df, path = self._table(spark, sf_dir, tmp_path, bloom=True)
+        doomed = [r.event_id for r in df.limit(3).collect()]
+        st.delete_where(path, [("event_id", "in", doomed)])
+        got = st.read_table(spark, path)
+        assert got.filter(F.col("event_id").isin(doomed)).count() == 0
+        assert got.count() == df.count() - len(doomed)
