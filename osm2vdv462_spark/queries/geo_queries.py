@@ -472,6 +472,43 @@ def image_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_sql_expr(level: int) -> str:
+    from ..functions import s2cells
+
+    return s2cells.s2_sql("lon", "lat", level)
+
+
+@register_extra(
+    "s2_cell_counts",
+    f"""
+    {_IMAGES_CTE}
+    SELECT {_s2_sql_expr(12)} AS s2_cell,
+           count(*) AS n_images
+    FROM p GROUP BY 1
+    """,
+)
+def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell image density on the S2-STYLE cube-face Hilbert index
+    (functions/s2cells.py) — the cell family BASELINE.json's north rule
+    names ("H3/S2 cell-indexed"), complementing the equal-angle tile
+    grid the flagship joins use. The index expression is pure Catalyst
+    bit arithmetic (whole-stage codegen, zero Python — plan-asserted in
+    tests/test_s2cells.py), so at 10^12 rows this is one map pass plus
+    a partial-agg count shuffle of (cell, count) pairs. Oracle = the
+    SAME unrolled Hilbert recurrence generated as DuckDB SQL — all
+    three twins (numpy / Catalyst / SQL) are bit-identical on fuzzed
+    globes before this query ever runs."""
+    from ..functions import s2cells
+    from ..pipeline import images as im
+
+    geo = im.images_df(spark, sf_dir, every=10).select("lon", "lat")
+    return (
+        s2cells.with_s2_cell(geo, "lon", "lat", 12)
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
 _LON_CUT = 0.1
 
 
