@@ -509,6 +509,53 @@ def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "s2_pyramid",
+    f"""
+    {_IMAGES_CTE},
+    c AS (SELECT {_s2_sql_expr(12)} AS s2_cell FROM p),
+    l12 AS (SELECT 12 AS level, s2_cell, count(*) AS n_images
+            FROM c GROUP BY 2),
+    l10 AS (SELECT 10 AS level, s2_cell >> 4 AS s2_cell,
+            CAST(sum(n_images) AS BIGINT) AS n_images FROM l12 GROUP BY 2),
+    l8 AS (SELECT 8 AS level, s2_cell >> 4 AS s2_cell,
+           CAST(sum(n_images) AS BIGINT) AS n_images FROM l10 GROUP BY 2)
+    SELECT * FROM l12 UNION ALL SELECT * FROM l10 UNION ALL SELECT * FROM l8
+    """,
+)
+def s2_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical image-density pyramid on the S2-style index: the
+    corpus is scanned ONCE (level-12 cells + partial-agg counts); every
+    coarser level re-aggregates the PREVIOUS level's counts after an
+    integer shift (parent = cell >> 2 per level), never the corpus.
+    That is the scale recurrence tile_pyramid uses, but with zero
+    re-projection work per level — at 10^12 rows levels 11..0 together
+    cost less than one extra corpus scan. Oracle = the same recurrence
+    in SQL on the shared Hilbert unroll."""
+    from ..functions import s2cells
+    from ..pipeline import images as im
+
+    geo = im.images_df(spark, sf_dir, every=10).select("lon", "lat")
+    l12 = (
+        s2cells.with_s2_cell(geo, "lon", "lat", 12)
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_images"))
+    )
+    levels = [l12.withColumn("level", F.lit(12))]
+    prev = l12
+    for lev in (10, 8):
+        prev = (
+            prev.withColumn("s2_cell", F.shiftright("s2_cell", 4))
+            .groupBy("s2_cell")
+            .agg(F.sum("n_images").alias("n_images"))
+        )
+        levels.append(prev.withColumn("level", F.lit(lev)))
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out.select("level", "s2_cell", "n_images")
+
+
 _LON_CUT = 0.1
 
 
