@@ -206,6 +206,34 @@ def flagship_throughput_codegen_warm(
     return sorted(rates)[1], config
 
 
+def s2_index_rate(spark, n: int = 32_000_000) -> float:
+    """Cells/sec through the S2-style cube-face Hilbert index
+    (functions/s2cells.py, level 12) on the 32M synthetic LCG points —
+    a second JVM-only metric: pure whole-stage-codegen map pass + one
+    count-distinct-free partial agg to force evaluation. Warm single
+    pass, then median of 3 (the warm discipline of the codegen
+    flagship)."""
+    from pyspark.sql import functions as F
+
+    from osm2vdv462_spark.functions.s2cells import with_s2_cell
+
+    cores = spark.sparkContext.defaultParallelism
+    pts = spark.range(0, n, 1, cores * 8).select(
+        (F.lit(-0.25) + ((F.col("id") * 37 + 11) % 2000) / 4000.0).alias("lon"),
+        (F.lit(-0.25) + ((F.col("id") * 73 + 29) % 2000) / 4000.0).alias("lat"),
+    )
+    df = with_s2_cell(pts, "lon", "lat", 12).agg(
+        F.max("s2_cell"), F.min("s2_cell")
+    )
+    _force(df)  # warm: JIT + codegen compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(df)
+        rates.append(n / (time.perf_counter() - t0))
+    return sorted(rates)[1]
+
+
 def flagship_images_throughput(spark, sf_dir: str) -> dict:
     """The BASELINE.json headline taken LITERALLY: geotagged-IMAGES/sec
     through the H3-style PIP + kNN join over the image+caption table
@@ -689,6 +717,7 @@ def main() -> None:
     tp_cg = flagship_throughput_codegen(spark, sf_dir)
     tp_cg_warm, warm_config = flagship_throughput_codegen_warm(spark, sf_dir)
     images_flagship = flagship_images_throughput(spark, sf_dir)
+    s2_rate = s2_index_rate(spark)
     real_world = real_data_bench(spark)
     print(
         json.dumps(
@@ -710,6 +739,7 @@ def main() -> None:
                 "flagship_warm_config": warm_config,
                 "flagship_n_points": n_points,
                 "flagship_images_table": images_flagship,
+                "s2_index_cells_per_sec_warm_32M": round(s2_rate, 1),
                 "real_data_chemnitz": real_world,
                 "cores": cpus,
                 "page_fault_ms_per_mb": round(pf_ms, 1),
