@@ -269,6 +269,122 @@ def union_all_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(c)
 
 
+@register_extra(
+    "window_frame_moving",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS moving_cents,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_n
+    FROM events
+    """,
+)
+def window_frame_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (ROWS BETWEEN): sliding 3-row sum + running
+    count per user, ordered by event_id. Closes the SURVEY §2.5 'frame
+    specs absent in reference' note with a first-class, oracle-gated
+    implementation. Values summed in integer cents so the sliding partial
+    sums are order- and engine-independent. One Exchange on user_id; the
+    frame itself is evaluated inside the sort, no extra shuffle."""
+    e = _t(spark, sf_dir, "events")
+    # floor, not a bare cast: Spark's double->long cast truncates toward
+    # zero while DuckDB's rounds to nearest — floor is identical in both
+    cents = F.floor(F.col("value") * 100).cast("long")
+    frame3 = (
+        Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, Window.currentRow)
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(frame3).cast("long").alias("moving_cents"),
+        F.count(F.lit(1)).over(running).cast("long").alias("running_n"),
+    )
+
+
+@register_extra(
+    "grouping_sets_rollup",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP hierarchy totals (SURVEY §2.6 'absent in
+    reference' note, now first-class): per (status, priority), per status,
+    and grand total in ONE aggregation pass — Spark expands the rollup
+    into grouping sets inside a single Exchange (one shuffle, not three
+    unioned aggs). GROUPING() ids disambiguate genuine NULL keys from
+    subtotal rows; revenue in exact decimal for engine-order independence."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register_extra(
+    "intersect_except_keys",
+    """
+    SELECT 'both' AS side, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+      INTERSECT
+      SELECT o_custkey AS k FROM orders
+    )
+    UNION ALL
+    SELECT 'cust_only' AS side, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+      EXCEPT
+      SELECT o_custkey AS k FROM orders
+    )
+    """,
+)
+def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (SURVEY §2.7 'absent in reference'
+    note, now first-class). Both are DISTINCT-semantics set ops — Spark
+    plans them as left-semi / left-anti joins after a distinct, exactly
+    the shape a hand-written dedup+join would produce, in one query."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = c.intersect(o).select(F.lit("both").alias("side"), "k")
+    only = c.subtract(o).select(F.lit("cust_only").alias("side"), "k")
+    return both.unionByName(only)
+
+
 @register(
     "unit_parsers",
     """
