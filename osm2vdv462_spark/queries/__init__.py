@@ -89,6 +89,7 @@ def _load_all():
         pipeline_queries,
         relational,
         source_queries,
+        temporal_queries,
         text_queries,
     )
 

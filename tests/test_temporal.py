@@ -1,0 +1,123 @@
+"""Plan-shape + semantics guards for the temporal operator family
+(queries/temporal_queries.py). Value parity vs DuckDB is covered by
+tests/test_oracle_parity.py; these tests pin the PHYSICAL shape the
+docstrings promise — the whole point of the bucketed/union forms is
+what they avoid (nested-loop joins, extra shuffles, distinct jobs).
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row, Window, functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    from osm2vdv462_spark.queries.temporal_queries import range_join_windows
+
+    plan = _plan(range_join_windows(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # candidate generation must be a hash-able equi join on (user, bucket)
+    assert "Join" in plan
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    from osm2vdv462_spark.queries.temporal_queries import asof_join_state
+
+    plan = _plan(asof_join_state(spark, sf_dir))
+    assert "Join" not in plan  # union + window form: no join operator at all
+    # one Exchange for the state dedup agg + one for the window sort is the
+    # ceiling; the probe side must not add its own third repartition
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pivot_pinned_values_runs_no_distinct_job(spark, sf_dir):
+    from osm2vdv462_spark.queries.temporal_queries import pivot_order_matrix
+
+    # Pinned pivot values: building the plan must not trigger the eager
+    # distinct() value-discovery job an unpinned pivot() runs over the
+    # fact table. The parquet read itself may schedule listing jobs, so
+    # measure the DELTA of each variant against the shared read.
+    tracker = spark.sparkContext.statusTracker()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def jobs() -> int:
+        return len(tracker.getJobIdsForGroup() or [])
+
+    before = jobs()
+    pinned = o.groupBy("o_orderpriority").pivot(
+        "o_orderstatus", ["O", "F", "P"]
+    ).agg(F.count(F.lit(1)))
+    pinned_delta = jobs() - before
+
+    before = jobs()
+    o.groupBy("o_orderpriority").pivot("o_orderstatus").agg(F.count(F.lit(1)))
+    unpinned_delta = jobs() - before
+
+    assert pinned_delta == 0, "pivot() with pinned values must stay lazy"
+    assert unpinned_delta >= 1, "unpinned pivot() should eagerly discover values"
+    assert "Exchange" in _plan(pivot_order_matrix(spark, sf_dir))
+
+
+def test_asof_inclusive_boundary_and_tie():
+    """An event that IS a state change matches itself (>= boundary), and
+    a probe older than every state row gets NULL — the ASOF LEFT
+    semantics DuckDB implements natively."""
+    from osm2vdv462_spark.session import get_spark
+
+    spark = get_spark("tests", cores=4)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, sec, typ, val):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(seconds=sec),
+            user_id=1,
+            event_type=typ,
+            value=float(val),
+            props="{}",
+        )
+
+    rows = [
+        ev(1, 0, "click", 1.0),  # before any view -> NULL
+        ev(2, 10, "view", 5.0),  # self-match -> 5.0
+        ev(3, 10, "click", 2.0),  # tie with the view at t=10 -> 5.0
+        ev(4, 20, "view", 7.0),
+        ev(5, 30, "click", 3.0),  # latest prior view -> 7.0
+    ]
+    df = spark.createDataFrame(rows)
+    state = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_val"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            "state_val",
+        )
+    )
+    probes = df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("double").alias("state_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["last_view_value"]
+        for r in probes.unionByName(state)
+        .withColumn("last_view_value", F.last("state_val", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .collect()
+    }
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0}
