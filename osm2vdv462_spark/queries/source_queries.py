@@ -109,3 +109,58 @@ def xml_organisations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_csv(render_rows(nations))
     orgs = read_organisations(spark, path)
     return ex_mod.xml_organisations(orgs).orderBy("id")
+
+
+_JSONL_DIRS: dict = {}
+
+_JSONL_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def _register_jsonl():
+    from . import register_extra
+
+    @register_extra("jsonl_docs_roundtrip", _JSONL_ORACLE)
+    def jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSONL source/sink round-trip: the documents table written as
+        gzipped sharded JSON-lines (the dominant training-data
+        interchange format) via Spark's native sink, read back with a
+        PINNED schema, and every row hash-compared (md5 of the full
+        text) against the parquet original — JSON string escaping
+        (newlines, quotes, unicode) can't silently corrupt a byte.
+        Scale notes: the sink writes one .json.gz part per partition
+        executor-side (nothing rows through the driver); the pinned
+        read schema skips spark.read.json's schema-INFERENCE pass,
+        which is a full extra scan of a 100 TB corpus; gzip splits per
+        FILE, so shard count (not file size) sets read parallelism."""
+        import os as _os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        key = _os.path.abspath(sf_dir)
+        pool = _JSONL_DIRS.get(key)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if pool is None:
+            pool = tempfile.mkdtemp(prefix="jsonlpool_")
+            (
+                docs.repartition(8)
+                .write.mode("overwrite")
+                .option("compression", "gzip")
+                .json(pool)
+            )
+            _JSONL_DIRS[key] = pool
+        back = spark.read.schema(docs.schema).json(pool)
+        return back.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+
+_register_jsonl()

@@ -1134,3 +1134,99 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return bpe.pair_counts(bpe.symbolize(bpe.word_freqs(docs)))
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+q(query_id, word) AS (
+  VALUES ('q1','hash'),('q1','join'),
+         ('q2','vector'),('q2','scan'),('q2','filter'),
+         ('q3','spark'),('q3','stream')
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks
+  WHERE word IN (SELECT word FROM q) GROUP BY 1, 2
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+term AS (
+  SELECT q.query_id, tf.doc_id,
+         round(
+           (ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+            * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+           4) AS s
+  FROM tf JOIN dfreq USING (word) JOIN q USING (word)
+          JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT query_id, doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(s AS DECIMAL(18,4))) AS DOUBLE) AS bm25_r4
+FROM term GROUP BY 1, 2
+"""
+
+
+@register_extra("bm25_retrieval", _BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of 3 fixed multi-term
+    queries against the documents corpus — the inverted-index primitive
+    behind retrieval-based dedup/contamination checks. Scale shape: the
+    corpus is tokenized ONCE and immediately left-semi-joined to the
+    (broadcast) query vocabulary, so tf/df aggregates touch only
+    postings for query terms — the inverted-index access pattern,
+    never a full-vocab aggregate; corpus stats (n_docs, avgdl =
+    exact-integer sum(dl)/count) ride a broadcast 1-row cross join,
+    no driver collect. Float discipline: each term's score is one
+    IEEE-exact product/division chain off a single ln() (the tfidf_r4
+    precedent), rounded to 4 dp PER TERM, then summed as exact
+    DECIMAL(18,4) — the cross-query sum is order- and
+    engine-independent by construction."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    dl = d.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [
+            ("q1", "hash"), ("q1", "join"),
+            ("q2", "vector"), ("q2", "scan"), ("q2", "filter"),
+            ("q3", "spark"), ("q3", "stream"),
+        ],
+        "query_id string, word string",
+    )
+    toks = d.select("doc_id", F.explode(words).alias("word"))
+    postings = toks.join(
+        F.broadcast(qterms.select("word").distinct()), "word", "left_semi"
+    )
+    tf = postings.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    term = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round((idf * (F.col("tf") * 2.2)) / denom, 4).alias("s"),
+        )
+    )
+    return term.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.col("s").cast("decimal(18,4)")).cast("double").alias("bm25_r4"),
+    )
