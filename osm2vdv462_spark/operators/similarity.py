@@ -295,3 +295,145 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, vec_id, F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+# ---- product quantization (IVF-PQ's compression half) ----------------------
+
+
+def pq_codebooks(seed: int = 7, m: int = 8, k: int = 16, dsub: int = 8) -> np.ndarray:
+    """Seeded random PQ codebooks, shape (m, k, dsub) — sf-independent,
+    so they can be embedded as literals in ONE oracle string (the
+    _ivf_centroids precedent). Random codebooks quantize worse than
+    trained ones (tests assert that), but the encode/ADC machinery under
+    test is identical."""
+    return np.random.default_rng(seed).standard_normal((m, k, dsub))
+
+
+def pq_train(
+    mat: np.ndarray, m: int = 8, k: int = 16, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Per-subspace L2 Lloyd k-means on a bounded sample (driver-side:
+    a PQ codebook is m*k*dsub doubles — dimension-table-sized by
+    design, like the IVF coarse quantizer)."""
+    n, d = mat.shape
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]
+        init = rng.choice(n, size=min(k, n), replace=False)
+        cents = sub[np.sort(init)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                sel = sub[assign == c]
+                if len(sel):
+                    cents[c] = sel.mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def _pq_dims(codebooks: np.ndarray) -> tuple[int, int, int]:
+    m, k, dsub = codebooks.shape
+    return m, k, dsub
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector into m uint codes (argmin L2 per subspace,
+    smallest code on ties). All JVM-side: per subspace the distance to
+    code j is the fixed-order expression -2*dot(s, C[m][j]) + |C[m][j]|^2
+    (the |s|^2 term is constant across j and dropped), so the argmin is
+    bit-reproducible against the SQL twin. Codes are 1/64th the bytes of
+    the raw doubles — the compressed-scan payload of IVF-PQ. One
+    projection per subspace keeps each codegen method small (the janino
+    1g-heap discipline from pipeline/export.py)."""
+    m, k, dsub = _pq_dims(codebooks)
+    c2 = (codebooks**2).sum(axis=2)  # (m, k) exact-input literals
+    out = vectors.select(vec_id, F.col(vec_col).cast("array<double>").alias("v"))
+    for mi in range(m):
+        s = F.slice(F.col("v"), mi * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(-2.0)
+                        * _dot(s, F.array(*[F.lit(float(x)) for x in codebooks[mi, j]]))
+                        + F.lit(float(c2[mi, j]))
+                    ).alias("d"),
+                    F.lit(j).alias("code"),
+                )
+                for j in range(k)
+            ]
+        )
+        out = out.withColumn(f"_c{mi}", F.array_min(cands)["code"])
+    return out.select(
+        vec_id,
+        "v",
+        F.array(*[F.col(f"_c{mi}") for mi in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_col: str = "q_emb",
+    k: int = 3,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries stay exact, vectors are
+    their m codes; ADC(q, v) = sum_m |q_m - C[m][code_m]|^2 with the
+    per-subspace terms summed in fixed order (engine-reproducible).
+    This is the compression half of IVF-PQ — at 100 TB the codes table
+    is ~1/64th the scan bytes of raw embeddings and the codebook lookup
+    is a literal (no join); compose with ivf_topk's cell pruning for
+    the full index. Output: (q_id, vec_id, adc_r6, rank)."""
+    m, kk, dsub = _pq_dims(codebooks)
+    c2 = (codebooks**2).sum(axis=2)
+    clit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in codebooks[mi, j]])
+                    for j in range(kk)
+                ]
+            )
+            for mi in range(m)
+        ]
+    )
+    c2lit = F.array(
+        *[F.array(*[F.lit(float(c2[mi, j])) for j in range(kk)]) for mi in range(m)]
+    )
+    enc = pq_encode(vectors, codebooks, vec_id=vec_id, vec_col=vec_col).select(
+        vec_id, "codes"
+    )
+    q = queries.select(q_id, F.col(q_col).cast("array<double>").alias("q"))
+    j = enc.crossJoin(F.broadcast(q)).filter(F.col(vec_id) != F.col(q_id))
+    adc = None
+    for mi in range(m):
+        qm = F.slice(F.col("q"), mi * dsub + 1, dsub)
+        code1 = F.element_at("codes", mi + 1) + 1
+        cvec = F.element_at(F.element_at(clit, mi + 1), code1)
+        term = (
+            _dot(qm, qm)
+            - F.lit(2.0) * _dot(qm, cvec)
+            + F.element_at(F.element_at(c2lit, mi + 1), code1)
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(vec_id))
+    return (
+        j.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, vec_id, F.round("adc", 6).alias("adc_r6"), "rank")
+    )

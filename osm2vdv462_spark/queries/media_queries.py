@@ -1196,3 +1196,80 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster"),
         "n_members",
     )
+
+
+def _pq_oracle() -> str:
+    """SQL twin of similarity.pq_encode + pq_adc_topk with the pinned
+    seeded codebooks as literals (the _ivf_centroids pattern). Every
+    float expression mirrors the Spark operator's evaluation order
+    exactly — -2*dot(s,c)+|c|^2 argmin per subspace, then the ADC terms
+    summed left-to-right — so the doubles are bit-identical and the
+    float-ordered rank is engine-safe."""
+    from ..operators.similarity import pq_codebooks
+
+    books = pq_codebooks()  # (8, 16, 8)
+    m, k, dsub = books.shape
+    c2 = (books**2).sum(axis=2)
+
+    def code_expr(mi: int) -> str:
+        lo, hi = mi * dsub + 1, mi * dsub + dsub
+        items = ", ".join(
+            f"{{'d': -2*list_dot_product(v[{lo}:{hi}],"
+            f" {_plane_lit(books[mi, j])}) + {float(c2[mi, j])!r},"
+            f" 'code': {j}}}"
+            for j in range(k)
+        )
+        return f"list_min([{items}])['code']"
+
+    codes = ", ".join(code_expr(mi) for mi in range(m))
+
+    def term_expr(mi: int) -> str:
+        lo, hi = mi * dsub + 1, mi * dsub + dsub
+        cm = "[" + ", ".join(_plane_lit(books[mi, j]) for j in range(k)) + "]"
+        c2m = "[" + ", ".join(repr(float(c2[mi, j])) for j in range(k)) + "]"
+        qm = f"q[{lo}:{hi}]"
+        return (
+            f"(list_dot_product({qm}, {qm})"
+            f" - 2.0*list_dot_product({qm}, ({cm})[codes[{mi + 1}]+1])"
+            f" + ({c2m})[codes[{mi + 1}]+1])"
+        )
+
+    adc = " + ".join(term_expr(mi) for mi in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    enc AS (SELECT vec_id, [{codes}] AS codes FROM e),
+    q AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, enc.vec_id, {adc} AS adc
+      FROM enc CROSS JOIN q WHERE enc.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(adc, 6) AS adc_r6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+
+@register_extra("pq_adc_top3", _pq_oracle())
+def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 — the COMPRESSION half of IVF-PQ,
+    completing the ANN ladder (exact -> hyperplane LSH -> IVF -> PQ).
+    Vectors are encoded to 8 codes (argmin L2 per 8-dim subspace against
+    pinned codebooks); queries stay exact and scan the code table with
+    asymmetric distances. At 100 TB the codes are ~1/64th the scan bytes
+    of raw embeddings and the codebook is a literal (no join); compose
+    with ivf_topk cells for the full index. Training path (per-subspace
+    Lloyd) is pytest-gated in tests/test_dedup_similarity.py."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_adc_topk(emb, queries, pq_codebooks(), k=3).orderBy("q_id", "rank")
