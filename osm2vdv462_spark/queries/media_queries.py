@@ -1273,3 +1273,46 @@ def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return pq_adc_topk(emb, queries, pq_codebooks(), k=3).orderBy("q_id", "rank")
+
+
+def _sharpness_oracle() -> str:
+    """Closed-form twin of images.with_sharpness over the synth pixel
+    pattern (t(x,y) = sum of the three per-channel LCG formulas): the
+    Laplacian at each interior pixel is expanded inline as 4*t(x,y)
+    minus its 4 neighbors — pure BIGINT arithmetic, no floats."""
+
+    def t(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*7 + event_id*13) % 256)"
+            f" + ((({ye})*11 + event_id*29) % 256)"
+            f" + (((({xe}) + ({ye}))*5 + event_id*53) % 256)"
+        )
+
+    lap = (
+        f"4*({t('x', 'y')}) - ({t('x', 'y-1')}) - ({t('x', 'y+1')})"
+        f" - ({t('x-1', 'y')}) - ({t('x+1', 'y')})"
+    )
+    return f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+    yx AS (SELECT 1 + y.range AS y, 1 + x.range AS x
+           FROM range(30) y, range(30) x),
+    lap AS (SELECT e.event_id, {lap} AS l FROM e CROSS JOIN yx)
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(sum(l) AS BIGINT) AS lap_sum,
+           CAST(sum(l*l) AS BIGINT) AS lap_sum2,
+           CAST((count(*)*sum(l*l) - sum(l)*sum(l)) * 10000
+                // (count(*)*count(*)) AS BIGINT) AS lap_var_e4
+    FROM lap GROUP BY event_id ORDER BY image_id
+    """
+
+
+@register_extra("image_sharpness", _sharpness_oracle())
+def image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur detection through the REAL PNG decode path: variance of the
+    4-neighbor Laplacian (e-4 fixed point, integer end-to-end) — the
+    corpus-quality filter that drops out-of-focus images. Oracle
+    recomputes every value from the pixel closed form; the
+    blur-monotonicity property (box-blurred copy scores strictly
+    lower) is pytest-gated in tests/test_images.py."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_sharpness(imgs).orderBy("image_id")

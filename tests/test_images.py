@@ -85,3 +85,42 @@ class TestImagesTable:
 
     # video frame sampling moved to pipeline/video.py in r4 (real
     # RIFF/AVI decode path) — see tests/test_video.py
+
+
+class TestSharpness:
+    def _lap_var_e4(self, t: np.ndarray) -> int:
+        t = t.astype(np.int64)
+        lap = (
+            4 * t[1:-1, 1:-1]
+            - t[:-2, 1:-1]
+            - t[2:, 1:-1]
+            - t[1:-1, :-2]
+            - t[1:-1, 2:]
+        )
+        n = lap.size
+        s1, s2 = int(lap.sum()), int((lap * lap).sum())
+        return (n * s2 - s1 * s1) * 10000 // (n * n)
+
+    def test_blur_lowers_score(self):
+        """The whole point of the metric: a box-blurred copy of the
+        same image must score strictly lower."""
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (32, 32, 3)).astype(np.int64)
+        t = px.sum(axis=2)
+        blurred = (
+            t[:-2, :-2] + t[:-2, 1:-1] + t[:-2, 2:]
+            + t[1:-1, :-2] + t[1:-1, 1:-1] + t[1:-1, 2:]
+            + t[2:, :-2] + t[2:, 1:-1] + t[2:, 2:]
+        ) // 9
+        assert self._lap_var_e4(blurred) < self._lap_var_e4(t) // 4
+
+    def test_matches_decode_path(self, spark, sf_dir):
+        """with_sharpness through the real PNG decode == the metric on
+        the closed-form reference pixels."""
+        df = im.images_df(spark, sf_dir, every=100).limit(10)
+        got = {r["image_id"]: r["lap_var_e4"] for r in im.with_sharpness(df).collect()}
+        assert got
+        for image_id, v in got.items():
+            eid = int(image_id.split("_")[1])
+            ref = ic.synth_pixels(eid, 32, 32).astype(np.int64).sum(axis=2)
+            assert v == self._lap_var_e4(ref), image_id
