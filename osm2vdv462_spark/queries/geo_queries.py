@@ -1045,3 +1045,99 @@ def image_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert out["refreshed"], out
         _IVW_DIRS[os.path.abspath(sf_dir)] = view
     return st.read_table(spark, view).select("res", "cell", "n_images")
+
+
+def _bearing_oracle() -> str:
+    """SQL twin of geo_bearing_project. Degree<->radian conversions are
+    written as explicit multiplications by (pi()/180.0) / (180.0/pi())
+    on BOTH engines — Java's toRadians computes x/180*PI while DuckDB's
+    radians() computes x*(PI/180), a 1-ulp divergence this sidesteps;
+    remaining trig-libm ulps are absorbed by the 5/6-dp rounding."""
+    phi1 = "(p.lat * (pi()/180.0))"
+    lam1 = "(p.lon * (pi()/180.0))"
+    phi2 = "(t.lat * (pi()/180.0))"
+    dlam = f"((t.lon * (pi()/180.0)) - {lam1})"
+    br = (
+        f"atan2(sin({dlam}) * cos({phi2}),"
+        f" cos({phi1}) * sin({phi2})"
+        f" - sin({phi1}) * cos({phi2}) * cos({dlam}))"
+    )
+    delta = "(1000.0 / 6371008.8)"
+    phid = (
+        f"asin(sin({phi1}) * cos({delta})"
+        f" + cos({phi1}) * sin({delta}) * cos(br))"
+    )
+    lamd = (
+        f"({lam1} + atan2(sin(br) * sin({delta}) * cos({phi1}),"
+        f" cos({delta}) - sin({phi1}) * sin(phid)))"
+    )
+    return f"""
+    WITH p AS ({datagen.SQL_POINTS}),
+    t AS ({datagen.SQL_QUAYS}),
+    j AS (
+      SELECT p.event_id, t.quay_id, {br} AS br,
+             p.lon AS plon, p.lat AS plat, t.lon AS tlon, t.lat AS tlat
+      FROM p JOIN t ON t.quay_id = p.event_id % 7
+      WHERE p.event_id % 10 = 0
+    ),
+    d AS (
+      SELECT event_id, quay_id, br, plon, plat,
+             {phid.replace('p.lat', 'plat').replace('p.lon', 'plon')} AS phid
+      FROM j
+    )
+    SELECT event_id, quay_id,
+           round(((br * (180.0/pi())) + 360.0) % 360.0, 5) AS bearing_r5,
+           round({lamd.replace('p.lat', 'plat').replace('p.lon', 'plon')}
+                 * (180.0/pi()), 6) AS dest_lon,
+           round(phid * (180.0/pi()), 6) AS dest_lat
+    FROM d
+    """
+
+
+@register_extra("geo_bearing_project", _bearing_oracle())
+def geo_bearing_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic direction functions (ST_Azimuth / ST_Project analogs):
+    forward bearing from each point to its assigned quay, plus the
+    destination point 1000 m along that bearing (spherical direct
+    problem). Pure built-in trig — whole-stage codegen, a zero-shuffle
+    map over the fact side with a broadcast 7-row dim join; at 100 TB
+    this is scan-bound, exactly what a direction/offset feature column
+    should be. Degree/radian conversions are explicit *(pi/180)
+    multiplications so both engines evaluate identical IEEE chains
+    (see _bearing_oracle)."""
+    import math
+
+    RAD = math.pi / 180.0
+    pts = datagen.geo_points(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    quays = datagen.quay_sites(spark, sf_dir).select(
+        "quay_id", F.col("lon").alias("tlon"), F.col("lat").alias("tlat")
+    )
+    j = pts.join(
+        F.broadcast(quays), quays.quay_id == pts.event_id % 7
+    )
+    phi1 = F.col("lat") * F.lit(RAD)
+    lam1 = F.col("lon") * F.lit(RAD)
+    phi2 = F.col("tlat") * F.lit(RAD)
+    dlam = F.col("tlon") * F.lit(RAD) - lam1
+    br = F.atan2(
+        F.sin(dlam) * F.cos(phi2),
+        F.cos(phi1) * F.sin(phi2) - F.sin(phi1) * F.cos(phi2) * F.cos(dlam),
+    )
+    delta = F.lit(1000.0 / 6371008.8)
+    j = j.withColumn("br", br)
+    phid = F.asin(
+        F.sin(phi1) * F.cos(delta) + F.cos(phi1) * F.sin(delta) * F.cos(F.col("br"))
+    )
+    j = j.withColumn("phid", phid)
+    lamd = lam1 + F.atan2(
+        F.sin(F.col("br")) * F.sin(delta) * F.cos(phi1),
+        F.cos(delta) - F.sin(phi1) * F.sin(F.col("phid")),
+    )
+    DEG = F.lit(180.0 / math.pi)
+    return j.select(
+        "event_id",
+        "quay_id",
+        F.round((F.col("br") * DEG + 360.0) % 360.0, 5).alias("bearing_r5"),
+        F.round(lamd * DEG, 6).alias("dest_lon"),
+        F.round(F.col("phid") * DEG, 6).alias("dest_lat"),
+    )
