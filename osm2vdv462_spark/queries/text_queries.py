@@ -1230,3 +1230,48 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_terms"),
         F.sum(F.col("s").cast("decimal(18,4)")).cast("double").alias("bm25_r4"),
     )
+
+
+@register_extra(
+    "streaming_interval_join",
+    """
+    SELECT er.event_id AS error_id, c.event_id AS click_id
+    FROM events er JOIN events c
+      ON c.user_id = er.user_id AND c.event_type = 'click'
+     AND c.ts >= er.ts AND c.ts < er.ts + INTERVAL 2 HOUR
+    WHERE er.event_type = 'error'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py) drained with
+    Trigger.AvailableNow — the STREAMING twin of range_join_windows.
+    Both sides carry watermarks and the join condition is an event-time
+    range, so Spark bounds the retained state (clicks older than
+    watermark + 10 min evicted) — the property that lets the join run
+    forever at production rates. Oracle is the exact batch inner range
+    join; multi-microbatch state retention (click arriving a batch
+    after its error) is pytest-gated in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from ..streaming import joins as sj
+
+    work = tempfile.mkdtemp(prefix="stream_ij_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet"))
+    out = os.path.join(work, "out")
+    # 2-hour window: denser pair set at gate scale (the 10-min default
+    # yields only ~4 sf0.01 pairs; the batch-twin 10-min semantics stay
+    # gated by range_join_windows)
+    sj.run_available_now(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        out,
+        os.path.join(work, "ckpt"),
+        gap="2 hours",
+        watermark="4 hours",
+    )
+    return spark.read.parquet(out)

@@ -331,3 +331,74 @@ class TestStreamToTable:
         ingest.append_epoch(batch, table, "q2", 1)
         # exactly the new epoch's rows — the old ones stay deleted
         assert st.read_table(spark, table).count() == 100
+
+
+class TestIntervalJoin:
+    def test_pairs_match_batch(self, spark, sf_dir, tmp_path):
+        from osm2vdv462_spark.streaming import joins as sj
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        os.symlink(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+        out = str(tmp_path / "out")
+        sj.run_available_now(spark, str(src), schema, out, str(tmp_path / "ck"))
+        got = {
+            (r["error_id"], r["click_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            (r["error_id"], r["click_id"])
+            for r in sj.interval_join_pairs_batch(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        assert got == want
+
+    def test_state_survives_across_microbatches(self, spark, tmp_path):
+        """A click arriving a MICROBATCH after its error must still pair
+        (the error waits in join state); a click outside the 10-min
+        window must not."""
+        import datetime as dt
+
+        from osm2vdv462_spark.streaming import joins as sj
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(eid, sec, typ):
+            return (eid, t0 + dt.timedelta(seconds=sec), 1, typ, 0.0, "{}")
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        # batch 1: the error (plus a same-batch matching click)
+        spark.createDataFrame([ev(1, 0, "error"), ev(2, 60, "click")], schema)\
+            .coalesce(1).write.parquet(str(tmp_path / "a"))
+        # batch 2: a late in-window click + an out-of-window click
+        spark.createDataFrame([ev(3, 300, "click"), ev(4, 4000, "click")], schema)\
+            .coalesce(1).write.parquet(str(tmp_path / "b"))
+        import glob
+        import shutil
+        import time
+
+        for i, d in enumerate(["a", "b"]):
+            (part,) = glob.glob(str(tmp_path / d / "part-*.parquet"))
+            dst = src / f"{d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+        out = str(tmp_path / "out")
+        sj.run_available_now(
+            spark, str(src), schema, out, str(tmp_path / "ck"),
+            max_files_per_trigger=1,
+        )
+        got = {
+            (r["error_id"], r["click_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(1, 2), (1, 3)}
