@@ -227,3 +227,101 @@ def percentile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+@register_extra(
+    "unpivot_order_longform",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (n_open, n_filled, n_pending))
+    """,
+)
+def unpivot_order_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of pivot_order_matrix): the
+    pivoted status-count matrix melted back to (priority, metric, n)
+    rows via stack() — a zero-shuffle generator expression (each input
+    row expands in place; no explode of a built array, no join).
+    DuckDB's native UNPIVOT is the oracle twin."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.col("O").cast("long").alias("n_open"),
+            F.col("F").cast("long").alias("n_filled"),
+            F.col("P").cast("long").alias("n_pending"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'n_open', n_open, 'n_filled', n_filled,"
+            " 'n_pending', n_pending) AS (metric, n)"
+        ),
+    )
+
+
+@register_extra(
+    "timeseries_gapfill",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM b
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM bounds
+      ) g
+    )
+    SELECT grid.event_type, grid.h AS hour_epoch,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN b
+      ON b.event_type = grid.event_type AND b.h = grid.h
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly event counts per
+    type over the FULL dense hour grid (empty hours materialized as 0) —
+    the densification step before any rolling/forecast feature. The
+    dense grid is generated with sequence() off a 1-row global-bounds
+    aggregate (broadcast cross join, no driver round-trip) and exploded
+    against the distinct-type dim; observed counts left-join in. Scale
+    shape: grid size is types x hours (tiny vs the fact table); the
+    fact side aggregates BEFORE the join, so the join carries one row
+    per (type, hour), never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"),
+    )
+    return grid.join(b, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
