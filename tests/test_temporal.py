@@ -121,3 +121,117 @@ def test_asof_inclusive_boundary_and_tie():
         .collect()
     }
     assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0}
+
+
+def test_randomized_ties_vs_bruteforce(spark):
+    """Seeded random events with DELIBERATE timestamp collisions (50
+    distinct seconds across 400 events) — the as-of union-window form
+    and the bucketed range join must both match an O(n^2) Python
+    reference, including inclusive boundaries and ties. The range join
+    runs with a TIGHT 7-second bucket == gap so bucket-boundary cases
+    are hit constantly (the gate query's 600 s never stresses them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "error"]
+    rows = [
+        Row(
+            event_id=i,
+            ts=t0 + dt.timedelta(seconds=int(rng.integers(0, 50))),
+            user_id=int(rng.integers(0, 5)),
+            event_type=types[int(rng.integers(0, 3))],
+            value=float(rng.integers(0, 100)),
+            props="{}",
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # ---- as-of: union + last(ignore_nulls) window ----
+    state = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_val"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            "state_val",
+        )
+    )
+    probes = df.select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("double").alias("state_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got_asof = {
+        r["event_id"]: r["v"]
+        for r in probes.unionByName(state)
+        .withColumn("v", F.last("state_val", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .collect()
+    }
+    # brute force
+    st_rows = {}
+    for r in rows:
+        if r.event_type == "view":
+            k = (r.user_id, r.ts)
+            st_rows[k] = max(st_rows.get(k, -1.0), r.value)
+    for r in rows:
+        cands = [
+            (ts, v) for (u, ts), v in st_rows.items()
+            if u == r.user_id and ts <= r.ts
+        ]
+        want = max(cands)[1] if cands else None
+        assert got_asof[r.event_id] == want, r.event_id
+
+    # ---- range join: 7 s buckets == 7 s gap ----
+    B = 7
+    err = df.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("ts") / B),
+                F.floor(F.unix_timestamp("ts") / B) + 1,
+            )
+        ).alias("bucket"),
+    )
+    clk = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp("ts") / B).alias("cb"),
+    )
+    cond = (
+        (err.user_id == clk.cu)
+        & (err.bucket == clk.cb)
+        & (clk.cts >= err.ets)
+        & (clk.cts < err.ets + F.expr(f"INTERVAL {B} SECONDS"))
+    )
+    got_rj = {
+        r["error_id"]: r["n"]
+        for r in err.join(clk, cond, "left")
+        .groupBy("error_id")
+        .agg(F.count("click_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        if r.event_type != "error":
+            continue
+        want = sum(
+            1
+            for c in rows
+            if c.event_type == "click"
+            and c.user_id == r.user_id
+            and r.ts <= c.ts < r.ts + dt.timedelta(seconds=B)
+        )
+        assert got_rj[r.event_id] == want, r.event_id
