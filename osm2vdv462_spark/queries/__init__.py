@@ -88,6 +88,7 @@ def _load_all():
         media_queries,
         pipeline_queries,
         relational,
+        sketch_queries,
         source_queries,
         temporal_queries,
         text_queries,

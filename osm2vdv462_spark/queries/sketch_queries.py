@@ -1,0 +1,230 @@
+"""Sketch-aggregation queries: HLL distinct counting, count-min heavy
+hitters, fixed-point PageRank (operators/sketches.py).
+
+The 100 TB rationale lives in the operator module; these queries pin
+the cross-engine determinism contract: every hash is md5-derived, HLL
+register math is exact-integer until one final division, count-min and
+PageRank are integers end-to-end — so the DuckDB oracles replicate the
+full computation (not just the answer) and the value-hash gate verifies
+the sketch algebra itself.
+
+All extra-tier (the 50-row driver gate is full — CLAUDE.md invariant);
+held to the same oracles by tests/test_oracle_parity.py. Candidates for
+the round-5 gate rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import sketches as sk
+from . import register_extra
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register_extra(
+    "hll_distinct_combos",
+    f"""
+    WITH base AS (
+      SELECT event_type, user_id || ':' || props AS item FROM events
+    ),
+    h AS (
+      SELECT event_type, item,
+             ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS h60
+      FROM base
+    ),
+    r AS (
+      SELECT event_type, h60 % 1024 AS b,
+             CASE WHEN h60 // 1024 = 0 THEN 51
+                  ELSE 51 - length(bin(h60 // 1024)) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT coalesce(event_type, 'ALL') AS grp, b, max(rho) AS reg
+      FROM r GROUP BY GROUPING SETS ((event_type, b), (b))
+    ),
+    agg AS (
+      SELECT grp,
+             sum(1::BIGINT << CAST(51 - reg AS INT)) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT grp,
+             {sk.HLL_NUMERATOR!r} /
+               CAST(s_present + (1024 - nb) * 2251799813685248 AS DOUBLE)
+               AS e_raw,
+             1024 - nb AS v
+      FROM agg
+    ),
+    ex AS (
+      SELECT coalesce(event_type, 'ALL') AS grp,
+             count(DISTINCT item) AS exact_distinct
+      FROM base GROUP BY GROUPING SETS ((event_type), ())
+    )
+    SELECT est.grp AS grp,
+           CAST(round(CASE WHEN v > 0 AND e_raw <= 2560.0
+                           THEN 1024.0 * ln(1024.0 / v)
+                           ELSE e_raw END, 4) AS DOUBLE) AS hll_estimate,
+           ex.exact_distinct AS exact_distinct
+    FROM est JOIN ex USING (grp)
+    ORDER BY grp
+    """,
+)
+def hll_distinct_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (user, context) combinations per event_type
+    plus a global 'ALL' row, via one GROUPING SETS pass over the HLL
+    rho stream — per-type rows land in the linear-counting regime and
+    the global row in the raw-estimator regime, so both correction
+    branches are oracle-gated. The exact count column is for
+    demonstration only (at 10^12 rows you would NOT compute it — that
+    exact distinct is precisely what the sketch replaces)."""
+    base = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("props")).alias(
+            "item"
+        ),
+    )
+    rho = sk.hll_rho(base, "item").select("event_type", "hll_bucket", "hll_rho")
+    regs = (
+        rho.groupingSets(
+            [["event_type", "hll_bucket"], ["hll_bucket"]],
+            "event_type",
+            "hll_bucket",
+        )
+        .agg(F.max("hll_rho").alias("hll_reg"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("grp"),
+            "hll_bucket",
+            "hll_reg",
+        )
+    )
+    est = sk.hll_estimate(regs, ["grp"])
+    exact = (
+        base.groupingSets([["event_type"], []], "event_type")
+        .agg(F.countDistinct("item").alias("exact_distinct"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("grp"), "exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "grp").orderBy("grp")
+
+
+@register_extra(
+    "cmsketch_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    ids AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    h AS (
+      SELECT token, i,
+             ('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':' || token),
+                             1, 7))::BIGINT % 64 AS b
+      FROM toks CROSS JOIN ids
+    ),
+    sk AS (SELECT i, b, count(*) AS c FROM h GROUP BY 1, 2),
+    exact AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1),
+    probes AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token LIMIT 12
+    ),
+    ph AS (
+      SELECT p.token, p.exact_cnt, ids.i,
+             ('0x' || substr(md5('cm' || CAST(ids.i AS VARCHAR) || ':' || p.token),
+                             1, 7))::BIGINT % 64 AS b
+      FROM probes p CROSS JOIN ids
+    )
+    SELECT ph.token AS token, ph.exact_cnt AS exact_cnt,
+           min(sk.c) AS cm_est
+    FROM ph JOIN sk ON sk.i = ph.i AND sk.b = ph.b
+    GROUP BY 1, 2
+    ORDER BY exact_cnt DESC, token
+    """,
+)
+def cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min (d=4, w=64) frequency estimates for the corpus's
+    top-12 exact tokens. w=64 is deliberately under-sized for the demo
+    so bucket collisions actually inflate some estimates and the
+    min-over-d-rows algebra is exercised (cm_est >= exact_cnt always —
+    pytest-gated); in production w = ceil(e/eps) for target error eps.
+    The exact side (vocabulary-sized state) exists only to pick probes
+    and show the error; the sketch side shuffles d*w = 256 cells total
+    regardless of corpus size."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    sketch = sk.cm_sketch(toks, "token", d=4, w=64)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "token").limit(12)
+    return sk.cm_lookup(sketch, probes, "token", d=4, w=64).orderBy(
+        F.desc("exact_cnt"), "token"
+    )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST(150000000000 +
+                  (85 * coalesce(sum(r.rank_e12 // d.outdeg), 0)) // 100
+                  AS BIGINT) AS rank_e12
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN deg d ON d.src = e.src
+      LEFT JOIN {prev} r ON r.node = e.src
+      GROUP BY n.node
+    )"""
+
+
+@register_extra(
+    "pagerank_userweb",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT user_id % 200 AS src,
+             ('0x' || substr(md5('pr:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_e12 FROM nodes),
+    """
+    + ",".join(_pr_iter_sql(p, o) for p, o in [("r0", "i1"), ("i1", "i2"), ("i2", "i3")])
+    + """
+    SELECT node, rank_e12 FROM i3 ORDER BY node
+    """,
+)
+def pagerank_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a deterministic interaction graph
+    synthesized from the event log (src = user bucket, dst = md5-derived
+    target bucket — the hash makes the graph reproducible in both
+    engines with no external data, per the brief). e12 fixed point +
+    truncating division keep every iteration bit-identical across
+    engines and aggregation orders; the DuckDB oracle unrolls the same
+    three iterations as CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.pmod(F.col("user_id"), F.lit(200)).alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pr:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 200
+        ).alias("dst"),
+    )
+    return sk.pagerank_e12(edges, iters=3).orderBy("node")

@@ -1,0 +1,117 @@
+"""Sketch operators (operators/sketches.py): HLL mergeability +
+accuracy, count-min upper-bound + fixed-size state, PageRank vs a
+from-scratch numpy fixed-point oracle. Cross-engine value parity is
+covered by tests/test_oracle_parity.py (extra tier)."""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm2vdv462_spark.operators import sketches as sk
+
+
+def _items(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.col("props")
+            ).alias("item"),
+            "event_id",
+        )
+    )
+
+
+def test_hll_merge_equals_whole(spark, sf_dir):
+    """max-merging register tables built on two disjoint slices must
+    equal the registers built on the union — the associativity that
+    lets per-partition/per-day sketches roll up without a rescan."""
+    base = _items(spark, sf_dir)
+    whole = sk.hll_registers(base, [], "item")
+    a = sk.hll_registers(base.filter(F.col("event_id") % 2 == 0), [], "item")
+    b = sk.hll_registers(base.filter(F.col("event_id") % 2 == 1), [], "item")
+    merged = sk.hll_merge(a, b)
+    w = {(r.hll_bucket): r.hll_reg for r in whole.collect()}
+    m = {(r.hll_bucket): r.hll_reg for r in merged.collect()}
+    assert w == m
+
+
+def test_hll_accuracy_and_state_bound(spark, sf_dir):
+    base = _items(spark, sf_dir)
+    regs = sk.hll_registers(base, [], "item")
+    n_regs = regs.count()
+    assert n_regs <= sk.HLL_M  # the sketch state is bounded by m
+    est = sk.hll_estimate(regs, []).collect()[0].hll_estimate
+    exact = base.select("item").distinct().count()
+    # m=1024 -> std error ~3.2%; 4 sigma bound keeps the test stable
+    assert abs(est - exact) / exact < 0.13, (est, exact)
+
+
+def test_cm_upper_bound_and_fixed_state(spark, sf_dir):
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "token"
+            )
+        )
+    )
+    d, w = 4, 64
+    sketch = sk.cm_sketch(toks, "token", d=d, w=w)
+    assert sketch.count() <= d * w  # state is d*w cells, not vocab-sized
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    out = sk.cm_lookup(sketch, exact, "token", d=d, w=w).collect()
+    assert len(out) > 0
+    for r in out:  # count-min never underestimates
+        assert r.cm_est >= r.exact_cnt, (r.token, r.cm_est, r.exact_cnt)
+
+
+def test_pagerank_matches_numpy_fixed_point(spark, sf_dir):
+    """Replicate the exact integer semantics (e12 fixed point,
+    truncating div, dangling leak) in numpy and compare bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id")
+    edges_df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(200)).alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pr:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 200
+        ).alias("dst"),
+    )
+    got = {
+        r.node: r.rank_e12 for r in sk.pagerank_e12(edges_df, iters=3).collect()
+    }
+
+    # independent edge derivation: hashlib, not Spark
+    rows = ev.collect()
+    edges = set()
+    for r in rows:
+        src = int(r.user_id) % 200
+        dst = int(hashlib.md5(f"pr:{int(r.event_id)}".encode()).hexdigest()[:7], 16) % 200
+        if src != dst:
+            edges.add((src, dst))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    rank = np.full(len(nodes), sk.PR_ONE_E12, dtype=np.int64)
+    for _ in range(3):
+        contrib = np.zeros(len(nodes), dtype=np.int64)
+        for s, d in edges:
+            contrib[idx[d]] += rank[idx[s]] // outdeg[idx[s]]
+        rank = sk.PR_BASE_E12 + (85 * contrib) // 100
+    want = {n: int(rank[idx[n]]) for n in nodes}
+    assert got == want
