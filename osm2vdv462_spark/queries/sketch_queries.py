@@ -164,6 +164,79 @@ def cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "hdr_quantile_sketch",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT priority,
+             CASE WHEN cents < 32 THEN cents
+                  ELSE CAST(length(bin(cents)) AS BIGINT) * 32 +
+                       ((cents >> (length(bin(cents)) - 6)) & 31) END AS bid,
+             CASE WHEN cents < 32 THEN cents
+                  ELSE (32 + ((cents >> (length(bin(cents)) - 6)) & 31))
+                       << (length(bin(cents)) - 6) END AS lb
+      FROM c
+    ),
+    h AS (
+      SELECT priority, bid, lb, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT priority, lb, cnt,
+             sum(cnt) OVER (PARTITION BY priority ORDER BY bid
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY priority) AS n
+      FROM h
+    ),
+    est AS (
+      SELECT priority,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS BIGINT)
+               AS p50_est,
+             CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN lb END) AS BIGINT)
+               AS p95_est,
+             CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS BIGINT)
+               AS p99_est
+      FROM w GROUP BY 1
+    ),
+    ex AS (
+      SELECT o_orderpriority AS priority,
+             CAST(quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT),
+                                0.5) AS DOUBLE) AS exact_p50
+      FROM orders GROUP BY 1
+    )
+    SELECT est.priority AS priority, est.n, est.p50_est, est.p95_est,
+           est.p99_est, ex.exact_p50
+    FROM est JOIN ex USING (priority)
+    ORDER BY priority
+    """,
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order value (integer cents) per
+    priority via the mergeable HDR histogram — the sketch that replaces
+    exact per-group quantile sorts at 10^12 rows (state: <= ~700 integer
+    buckets per group, merged by sum; relative error < 2^-5). The
+    exact_p50 column (a real per-group sort) is demonstration-only, to
+    show the error; q in {.5} interpolates at binary-exact midpoints so
+    Spark percentile == DuckDB quantile_cont byte-for-byte."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = sk.hdr_histogram(cents, ["priority"], "cents")
+    est = sk.hdr_quantiles(hist, ["priority"], [0.5, 0.95, 0.99])
+    exact = cents.groupBy("priority").agg(
+        F.expr("percentile(cents, 0.5)").cast("double").alias("exact_p50")
+    )
+    return est.join(F.broadcast(exact), "priority").orderBy("priority")
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (

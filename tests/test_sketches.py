@@ -67,6 +67,35 @@ def test_cm_upper_bound_and_fixed_state(spark, sf_dir):
         assert r.cm_est >= r.exact_cnt, (r.token, r.cm_est, r.exact_cnt)
 
 
+def test_hdr_histogram_merge_and_error_bound(spark, sf_dir):
+    """Sum-merging histograms from two disjoint slices equals the whole
+    histogram, and every quantile estimate is a lower bound within the
+    2^-5 relative-error guarantee of the exact quantile."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    whole = sk.hdr_histogram(o, [], "cents")
+    a = sk.hdr_histogram(o.filter(F.col("o_orderkey") % 2 == 0), [], "cents")
+    b = sk.hdr_histogram(o.filter(F.col("o_orderkey") % 2 == 1), [], "cents")
+    merged = (
+        a.unionByName(b)
+        .groupBy("hdr_bid", "hdr_lb")
+        .agg(F.sum("hdr_cnt").alias("hdr_cnt"))
+    )
+    w = {(r.hdr_bid, r.hdr_lb): r.hdr_cnt for r in whole.collect()}
+    m = {(r.hdr_bid, r.hdr_lb): r.hdr_cnt for r in merged.collect()}
+    assert w == m
+
+    est = sk.hdr_quantiles(whole, [], [0.5, 0.95, 0.99]).collect()[0]
+    vals = sorted(r.cents for r in o.collect())
+    import math
+
+    for q, got in [(0.5, est.p50_est), (0.95, est.p95_est), (0.99, est.p99_est)]:
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert got <= exact < got * (1 + 2**-5), (q, got, exact)
+
+
 def test_pagerank_matches_numpy_fixed_point(spark, sf_dir):
     """Replicate the exact integer semantics (e12 fixed point,
     truncating div, dangling leak) in numpy and compare bit-for-bit."""
