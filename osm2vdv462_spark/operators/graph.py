@@ -1,0 +1,82 @@
+"""Distributed graph analytics beyond connected components
+(operators/cluster.py) and PageRank (operators/sketches.py):
+triangle counting with degree-ordered orientation.
+
+The naive triangle join (edges x edges on the shared endpoint, then
+verify the closing edge) explodes on skew: a hub of degree d generates
+C(d,2) candidate wedges, and web-scale graphs have d ~ millions.
+Degree-ordered orientation (Suri & Vassilvitskii 2011, the canonical
+MapReduce formulation) fixes this: orient every undirected edge from
+its lower-(degree, id) endpoint to the higher one. The resulting DAG
+has max out-degree O(sqrt(m)) REGARDLESS of the original degree
+distribution, every triangle has exactly one node with two out-edges
+into it (so each is counted once, no /3 or /6 correction), and the
+wedge fan-out is bounded at sum C(outdeg, 2) = O(m^1.5) total — the
+skew is structurally gone, not salted around.
+
+Plan shape: two shuffles (degree count, wedge-closing equi-join on the
+composite (v, w) key) — no inequality joins, no cartesian products.
+Pure integer column ops; deterministic for any input edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Directed/noisy pairs -> simple undirected edge list (a < b),
+    self-loops dropped, duplicates collapsed."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Undirected simple edges (a < b) -> (node, tri_cnt): the number
+    of triangles each node participates in. Nodes in no triangle are
+    absent (inner semantics — matches the SQL oracle's 3-way join)."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the lower (deg, node) endpoint to the higher
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    e = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    # wedges: two out-edges of the same src, ordered by the SAME total
+    # order ((deg, node) ascending) so each wedge is generated once
+    lo = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v")
+    )
+    hi = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w")
+    )
+    wedges = lo.join(hi, "src").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    # close the wedge: the oriented edge v -> w must exist
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    nodes = (
+        tris.select(F.col("src").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))

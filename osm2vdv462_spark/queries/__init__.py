@@ -85,6 +85,7 @@ def _load_all():
     from . import (  # noqa: F401
         extract_queries,
         geo_queries,
+        graph_queries,
         media_queries,
         pipeline_queries,
         relational,

@@ -1,0 +1,77 @@
+"""Graph-analytics queries (operators/graph.py): triangle counting.
+
+The Spark side runs the degree-ordered-orientation algorithm (skew-
+bounded, each triangle generated exactly once); the DuckDB oracle is
+the INDEPENDENT naive formulation — a 3-way self-join with a < b < c
+canonical ordering — so the two derivations cross-check each other,
+not just the arithmetic. Same md5-derived deterministic event graph
+discipline as pagerank_userweb (no external data, per the brief).
+
+Extra-tier (the 50-row driver gate is full — CLAUDE.md invariant);
+held to the oracle by tests/test_oracle_parity.py. Round-5 rotation
+candidate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import graph as G
+from . import register_extra
+
+
+@register_extra(
+    "triangle_counts_userweb",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 400 AS u,
+             ('0x' || substr(md5('tri:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 400 AS v
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    n AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS tri_cnt FROM n GROUP BY 1 ORDER BY node
+    """,
+)
+def triangle_counts_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the md5-derived event
+    interaction graph. Spark runs degree-ordered orientation (max
+    out-degree O(sqrt(m)) whatever the degree skew — see
+    operators/graph.py); the oracle counts the same triangles with the
+    textbook a<b<c 3-way join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(400)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("tri:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 400
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v")
+    return G.triangle_counts(edges).orderBy("node")
