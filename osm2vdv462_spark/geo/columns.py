@@ -112,6 +112,23 @@ def geodesic_length_m(wkb_col):
     return _len(wkb_col)
 
 
+def spherical_area_m2(wkb_col):
+    """Column: spherical polygon area in m^2 (outer rings minus holes;
+    kernel.ring_area_m2's cylindrical-equal-area shoelace)."""
+
+    @F.pandas_udf(DoubleType())
+    def _area(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append(None)
+                continue
+            out.append(_kernel.spherical_area_m2(_wkb.decode(bytes(b))))
+        return pd.Series(out, dtype="float64")
+
+    return _area(wkb_col)
+
+
 def haversine_col(lon1, lat1, lon2, lat2):
     """Pure-Catalyst haversine (meters) — no Python at all, whole-stage
     codegen friendly. Used in kNN exact phase on billions of pairs.

@@ -55,6 +55,38 @@ def polyline_length_m(coords: np.ndarray) -> float:
     )
 
 
+DEG2RAD = 0.017453292519943295  # explicit literal: mirrored verbatim in
+# the SQL oracles so both engines multiply by the identical double
+# (radians() implementations may fold pi/180 differently).
+
+
+def ring_area_m2(ring: np.ndarray) -> float:
+    """Spherical area of one ring via the cylindrical-equal-area
+    shoelace: |sum dlambda * (sin phi_i + sin phi_i+1)| / 2 * R^2 — the
+    trapezoid rule for the contour integral of sin(phi) dlambda, whose
+    loop value is the enclosed solid angle. Exact when edges are linear
+    in (lon, sin lat); for geodesic edges it is a small-extent
+    approximation, the same regime as the reference's planar PostGIS
+    areas in a local projection (SP's ST_Area usage)."""
+    if len(ring) < 4:
+        return 0.0
+    lam = ring[:, 0] * DEG2RAD
+    s = np.sin(ring[:, 1] * DEG2RAD)
+    dl = lam[1:] - lam[:-1]
+    return abs(float(np.sum(dl * (s[:-1] + s[1:])))) * 0.5 * EARTH_R * EARTH_R
+
+
+def spherical_area_m2(geom: Geom) -> float:
+    """Polygon / multipolygon area: per part, outer ring minus holes."""
+    total = 0.0
+    for p in range(len(geom.parts) - 1):
+        r0, r1 = geom.parts[p], geom.parts[p + 1]
+        for i in range(r0, r1):
+            a = ring_area_m2(geom.ring(i))
+            total += a if i == r0 else -a
+    return total
+
+
 def polylines_length_m(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Lengths of many polylines stored flat (offsets delimit)."""
     if len(coords) == 0:

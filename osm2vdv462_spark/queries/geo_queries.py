@@ -1141,3 +1141,58 @@ def geo_bearing_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lamd * DEG, 6).alias("dest_lon"),
         F.round(F.col("phid") * DEG, 6).alias("dest_lat"),
     )
+
+
+@register_extra(
+    "geodesic_area_octagons",
+    """
+    WITH offs AS (
+      SELECT * FROM (VALUES
+        (0, -(0.0451 - 0.0299), -0.0299),
+        (1,  (0.0451 - 0.0299), -0.0299),
+        (2,  0.0299, -(0.0451 - 0.0299)),
+        (3,  0.0299,  (0.0451 - 0.0299)),
+        (4,  (0.0451 - 0.0299), 0.0299),
+        (5, -(0.0451 - 0.0299), 0.0299),
+        (6, -0.0299,  (0.0451 - 0.0299)),
+        (7, -0.0299, -(0.0451 - 0.0299)),
+        (8, -(0.0451 - 0.0299), -0.0299)
+      ) AS t(idx, dx, dy)
+    ),
+    v AS (
+      SELECT n.n_nationkey AS relation_id, o.idx,
+             (-0.2 + 0.1 * (n.n_nationkey % 5)) + o.dx AS lon,
+             (-0.2 + 0.1 * (n.n_nationkey // 5)) + o.dy AS lat
+      FROM nation n CROSS JOIN offs o
+    ),
+    e AS (
+      SELECT v1.relation_id,
+             (v2.lon * 0.017453292519943295
+              - v1.lon * 0.017453292519943295)
+             * (sin(v1.lat * 0.017453292519943295)
+                + sin(v2.lat * 0.017453292519943295)) AS term
+      FROM v v1
+      JOIN v v2 ON v2.relation_id = v1.relation_id AND v2.idx = v1.idx + 1
+    )
+    SELECT relation_id,
+           CAST(round(abs(sum(term)) * 0.5 * 6371008.8 * 6371008.8, 1)
+                AS DOUBLE) AS area_m2
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def geodesic_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical area of every stop-area octagon through the real WKB
+    decode path (geo/columns.py::spherical_area_m2 — the ST_Area
+    analogue, completing the geodesic family: length, bearing,
+    destination, now area). The oracle rebuilds the closed-form ring
+    vertices and replays the identical cylindrical-equal-area shoelace
+    (same DEG2RAD literal, same operation order), so the hash gates the
+    formula itself; only sin() may differ by an ulp across libms, far
+    under the 1-dp rounding."""
+    from ..geo import columns as geo_cols
+
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    return polys.select(
+        "relation_id",
+        F.round(geo_cols.spherical_area_m2(F.col("geom")), 1).alias("area_m2"),
+    ).orderBy("relation_id")

@@ -414,3 +414,44 @@ class TestAutoTargetRes:
             )
             best = np.lexsort((ids, d))[0]
             assert out[r["event_id"]] == ids[best], r["event_id"]
+
+
+class TestSphericalArea:
+    def test_octagon_matches_planar_closed_form(self):
+        """At small extents the spherical shoelace must converge to the
+        planar octagon area scaled to meters (box minus 4 corner cuts),
+        with the cos(lat) meridian convergence of the center."""
+        import math
+
+        import numpy as np
+
+        from osm2vdv462_spark.geo import kernel
+        from osm2vdv462_spark.pipeline.datagen import OCT_A, OCT_B, _octagon_ring
+
+        deg_m = kernel.EARTH_R * math.pi / 180.0
+        for cy in (0.0, 0.2, 45.0):
+            ring = _octagon_ring(0.05, cy)
+            got = kernel.ring_area_m2(ring)
+            c = OCT_B - OCT_A
+            planar_deg2 = (2 * OCT_A) ** 2 - 2 * (OCT_A - c) ** 2
+            want = planar_deg2 * deg_m * deg_m * math.cos(math.radians(cy))
+            assert abs(got - want) / want < 2e-4, (cy, got, want)
+
+    def test_holes_subtract_and_winding_invariance(self):
+        import numpy as np
+
+        from osm2vdv462_spark.geo import kernel, wkb
+
+        outer = np.array(
+            [[0, 0], [0.1, 0], [0.1, 0.1], [0, 0.1], [0, 0]], dtype="float64"
+        )
+        hole = np.array(
+            [[0.02, 0.02], [0.05, 0.02], [0.05, 0.05], [0.02, 0.05], [0.02, 0.02]],
+            dtype="float64",
+        )
+        g = wkb.decode(wkb.encode_polygon([outer, hole]))
+        got = kernel.spherical_area_m2(g)
+        want = kernel.ring_area_m2(outer) - kernel.ring_area_m2(hole)
+        assert abs(got - want) < 1e-6
+        # reversed winding: |.| makes ring area orientation-free
+        assert abs(kernel.ring_area_m2(outer[::-1]) - kernel.ring_area_m2(outer)) < 1e-9
