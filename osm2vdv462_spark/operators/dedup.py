@@ -372,3 +372,87 @@ def simhash_near_pairs128(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+# --------------------------------------------------- prefix filtering
+
+
+def prefix_filter_jaccard_join(
+    docsets: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "s",
+    theta_num: int = 3,
+    theta_den: int = 5,
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join (Jaccard >= num/den)
+    via prefix filtering — the PPJoin/all-pairs candidate generation
+    (Xiao et al., WWW'08; Bayardo et al., WWW'07) that complements the
+    probabilistic MinHash/SimHash paths above with a recall-1,
+    precision-1 result.
+
+    Why it scales where the naive O(n^2) join cannot: sort each set by
+    a GLOBAL rarity order (document frequency asc); any pair meeting
+    the threshold must share its min-ranked intersection element
+    within BOTH prefixes of length |x| - ceil(theta*|x|) + 1
+    (pigeonhole — if all prefix elements missed the other set, fewer
+    than ceil(theta*|x|) could intersect). So candidates come from an
+    equi-join on PREFIX postings only, and because the order puts the
+    RAREST elements first, posting lists in the join are the shortest
+    ones in the corpus. Threshold math is all-integer
+    (ceil(a*n/b) = (a*n + b - 1) div b; verify den*|I| >= num*|U|), so
+    the result is engine-exact.
+
+    Input: one row per set — (id_col, set_col: array of distinct
+    elements). Output: (doc_a, doc_b, inter, union) for qualifying
+    pairs, doc_a < doc_b.
+
+    Plan: vocabulary-sized rank dim (broadcast back), one explode of
+    prefixes (a theta-fraction of the corpus tokens), an equi-join on
+    the prefix element, then verification joins that carry the rank
+    ARRAYS (ints), never the original text."""
+    from pyspark.sql import Window
+
+    sets = docsets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s"))
+    elems = sets.select("_id", F.explode("_s").alias("_e"))
+    # global rarity order: a vocabulary-sized single-partition sort —
+    # tiny next to the corpus (same trade as bpe.py's merge table); the
+    # rank dim is then BROADCAST back onto the exploded elements.
+    ranks = (
+        elems.groupBy("_e")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .select(
+            "_e",
+            F.row_number().over(Window.orderBy("_df", "_e")).alias("_r"),
+        )
+    )
+    ranked = (
+        elems.join(F.broadcast(ranks), "_e")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_r")).alias("_ranks"))
+    )
+    n = F.size("_ranks")
+    plen = n - F.expr(f"(({theta_num} * size(_ranks) + {theta_den} - 1)) div {theta_den}") + 1
+    prefixes = ranked.select(
+        "_id", F.explode(F.slice("_ranks", 1, plen)).alias("_r")
+    )
+    cand = (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), F.col("x._r") == F.col("y._r"))
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+    ra = ranked.select(F.col("_id").alias("doc_a"), F.col("_ranks").alias("_ra"))
+    rb = ranked.select(F.col("_id").alias("doc_b"), F.col("_ranks").alias("_rb"))
+    verified = (
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ra", "_rb")).alias("inter"),
+            (F.size("_ra") + F.size("_rb") - F.size(F.array_intersect("_ra", "_rb"))).alias("union"),
+        )
+        .filter(F.lit(theta_den) * F.col("inter") >= F.lit(theta_num) * F.col("union"))
+    )
+    return verified

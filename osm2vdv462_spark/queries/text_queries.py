@@ -1275,3 +1275,61 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="4 hours",
     )
     return spark.read.parquet(out)
+
+
+@register_extra(
+    "prefix_filter_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i + 1]
+                            for i in range(1, len(w))]) AS s
+      FROM t WHERE len(w) >= 2
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+      FROM d a JOIN d b ON b.doc_id > a.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(i * 1.0 / u, 4) AS DOUBLE) AS jaccard
+    FROM p WHERE 5 * i >= 3 * u
+    ORDER BY doc_a, doc_b
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 self-join over bigram-shingle sets via
+    prefix filtering (operators/dedup.py::prefix_filter_jaccard_join) —
+    recall-1 precision-1, completing the near-dup ladder's exact end
+    (MinHash/SimHash are probabilistic). The oracle is the INDEPENDENT
+    brute-force O(n^2) join, so a hash match proves the prefix-filter
+    candidate generation misses no qualifying pair on this corpus.
+    Threshold compare is all-integer (5*|I| >= 3*|U|); jaccard output
+    is int/int division rounded 4 dp (house float discipline)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    shingled = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 2),"
+            " i -> concat(w[i], ' ', w[i + 1])))"
+        ).alias("s"),
+    )
+    from ..operators.dedup import prefix_filter_jaccard_join
+
+    pairs = prefix_filter_jaccard_join(
+        shingled, id_col="doc_id", set_col="s", theta_num=3, theta_den=5
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("union"), 4)
+        .cast("double")
+        .alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")

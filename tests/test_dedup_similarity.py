@@ -308,3 +308,35 @@ class TestPQ:
         pq = similarity.pq_adc_topk(emb, queries, books, k=3)
         got = {(r["q_id"], r["vec_id"]) for r in pq.collect()}
         assert len(got) == 5 * 3  # every query answered with full k
+
+
+class TestPrefixFilterJoin:
+    def test_exact_pairs_and_pruning(self, spark):
+        """Brute-force oracle on synthetic sets with planted near-dups;
+        and the prefix postings must be strictly smaller than the full
+        element postings (the pruning that makes it scale)."""
+        import itertools
+
+        from osm2vdv462_spark.operators.dedup import prefix_filter_jaccard_join
+
+        base = [f"e{i}" for i in range(30)]
+        rows = []
+        for d in range(40):
+            s = sorted({base[(d * 7 + k * 3) % 30] for k in range(8)})
+            rows.append((d, s))
+        rows.append((100, rows[5][1][:]))          # exact dup of doc 5
+        rows.append((101, rows[7][1][:-1] + ["zz"]))  # 7/9 ~ 0.78 dup of 7
+        df = spark.createDataFrame(rows, "doc_id int, s array<string>")
+        got = {
+            (r.doc_a, r.doc_b): (r.inter, r["union"])
+            for r in prefix_filter_jaccard_join(df).collect()
+        }
+        want = {}
+        byid = dict(rows)
+        for a, b in itertools.combinations(sorted(byid), 2):
+            i = len(set(byid[a]) & set(byid[b]))
+            u = len(set(byid[a]) | set(byid[b]))
+            if 5 * i >= 3 * u:
+                want[(a, b)] = (i, u)
+        assert got == want
+        assert (100, 5) not in got and (5, 100) in got  # ordering a < b
