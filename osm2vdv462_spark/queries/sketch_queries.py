@@ -237,6 +237,77 @@ def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "priority").orderBy("priority")
 
 
+@register_extra(
+    "streaming_hll_windows",
+    f"""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+             user_id || ':' || props AS item
+      FROM events
+    ),
+    h AS (
+      SELECT w, ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS h60
+      FROM base
+    ),
+    r AS (
+      SELECT w, h60 % 1024 AS b,
+             CASE WHEN h60 // 1024 = 0 THEN 51
+                  ELSE 51 - length(bin(h60 // 1024)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT w, b, max(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT w,
+             sum(1::BIGINT << CAST(51 - reg AS INT)) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT w,
+             {sk.HLL_NUMERATOR!r} /
+               CAST(s_present + (1024 - nb) * 2251799813685248 AS DOUBLE)
+               AS e_raw,
+             1024 - nb AS v
+      FROM agg
+    )
+    SELECT CAST(epoch(w) AS BIGINT) AS window_start_epoch,
+           CAST(round(CASE WHEN v > 0 AND e_raw <= 2560.0
+                           THEN 1024.0 * ln(1024.0 / v)
+                           ELSE e_raw END, 4) AS DOUBLE) AS hll_estimate
+    FROM est ORDER BY 1
+    """,
+)
+def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming HLL: approximate distinct (user, context)
+    combinations per tumbling event-time hour, drained hermetically
+    with Trigger.AvailableNow (streaming/sketches.py). State is bounded
+    at m=1024 registers per open window — the property exact streaming
+    distinct (streaming_dedup_docs) fundamentally lacks. The oracle is
+    the exact batch twin of the full register algebra, so the gate
+    proves stream==batch==sketch convergence in one hash."""
+    import os
+    import tempfile
+
+    from ..streaming import sketches as ssk
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet"))
+    out = os.path.join(work, "out")
+    ssk.run_available_now(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        out,
+        os.path.join(work, "ckpt"),
+    )
+    return ssk.estimate_windows(spark.read.parquet(out)).orderBy(
+        "window_start_epoch"
+    )
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (

@@ -402,3 +402,38 @@ class TestIntervalJoin:
             for r in spark.read.parquet(out).collect()
         }
         assert got == {(1, 2), (1, 3)}
+
+
+class TestStreamingHLL:
+    def test_streamed_registers_equal_batch_sketch(self, spark, sf_dir, tmp_path):
+        """Drained streaming registers must equal the batch sketch on
+        the same data (the max-aggregate is associative, so incremental
+        execution IS the merge), and per-window state must stay within
+        the m-register bound."""
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.operators import sketches as sk
+        from osm2vdv462_spark.streaming import sketches as ssk
+
+        src = _src_dir(sf_dir, tmp_path)
+        out = str(tmp_path / "hll_out")
+        ssk.run_available_now(spark, src, SCHEMA, out, str(tmp_path / "hll_ckpt"))
+        regs = spark.read.parquet(out)
+        got = {
+            (r["window_start"], r["hll_bucket"]): r["hll_reg"]
+            for r in regs.collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        items = ev.select(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.col("props")
+            ).alias("item"),
+        )
+        want = {
+            (r["window_start"], r["hll_bucket"]): r["hll_reg"]
+            for r in sk.hll_registers(items, ["window_start"], "item").collect()
+        }
+        assert got == want and len(got) > 0
+        per_window = regs.groupBy("window_start").count().agg(F.max("count")).first()[0]
+        assert per_window <= sk.HLL_M
