@@ -1333,3 +1333,105 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("jaccard"),
     ).orderBy("doc_a", "doc_b")
+
+
+@register_extra(
+    "profile_documents",
+    """
+    WITH long AS (
+      SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+    ),
+    stats AS (
+      SELECT col_name,
+             count(*) AS n_rows,
+             count(*) - count(val) AS n_null,
+             count(DISTINCT val) AS n_distinct,
+             CAST(min(length(val)) AS BIGINT) AS min_len,
+             CAST(max(length(val)) AS BIGINT) AS max_len
+      FROM long GROUP BY 1
+    ),
+    h AS (
+      SELECT col_name,
+             ('0x' || substr(md5('hll:' || val), 1, 15))::BIGINT AS h60
+      FROM long WHERE val IS NOT NULL
+    ),
+    r AS (
+      SELECT col_name, h60 % 1024 AS b,
+             CASE WHEN h60 // 1024 = 0 THEN 51
+                  ELSE 51 - length(bin(h60 // 1024)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT col_name, b, max(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT col_name,
+             sum(1::BIGINT << CAST(51 - reg AS INT)) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT col_name,
+             1.7013287633207432e+21 /
+               CAST(s_present + (1024 - nb) * 2251799813685248 AS DOUBLE)
+               AS e_raw,
+             1024 - nb AS v
+      FROM agg
+    ),
+    hll AS (
+      SELECT col_name,
+             -- double round mirrors the Spark side exactly:
+             -- hll_estimate is 4-dp-rounded, then rounded to integer
+             CAST(round(round(CASE WHEN v > 0 AND e_raw <= 2560.0
+                                   THEN 1024.0 * ln(1024.0 / v)
+                                   ELSE e_raw END, 4), 0) AS BIGINT)
+               AS approx_distinct
+      FROM est
+    )
+    SELECT s.col_name AS col_name, s.n_rows, s.n_null, s.n_distinct,
+           hll.approx_distinct, s.min_len, s.max_len
+    FROM stats s JOIN hll USING (col_name)
+    ORDER BY col_name
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (the warehouse ANALYZE utility): per-column row /
+    null / exact-distinct / HLL-approx-distinct / length bounds over a
+    stack()-longified single scan. At 10^12 rows you'd drop the exact
+    n_distinct column and keep the sketch (same register table the
+    snaptable stats could persist per file); lengths and counts are
+    integer partial aggregates. The oracle replays the stack as UNION
+    ALL and the full register algebra grouped by column name."""
+    from ..operators import sketches as sk
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        pairs += [f"'{c}'", f"CAST({c} AS STRING)"]
+    long = d.select(
+        F.expr(f"stack(5, {', '.join(pairs)}) AS (col_name, val)")
+    )
+    stats = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min(F.length("val")).cast("long").alias("min_len"),
+        F.max(F.length("val")).cast("long").alias("max_len"),
+    )
+    regs = sk.hll_registers(
+        long.filter(F.col("val").isNotNull()), ["col_name"], "val"
+    )
+    est = sk.hll_estimate(regs, ["col_name"]).select(
+        "col_name",
+        F.round("hll_estimate", 0).cast("long").alias("approx_distinct"),
+    )
+    return (
+        stats.join(F.broadcast(est), "col_name")
+        .select(
+            "col_name", "n_rows", "n_null", "n_distinct", "approx_distinct",
+            "min_len", "max_len",
+        )
+        .orderBy("col_name")
+    )
