@@ -201,6 +201,44 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_cell_expr(cents: np.ndarray, vcol: str) -> F.Column:
+    """Argmax over centroid dot products, smallest cell id on ties:
+    array_min over struct(-dot, cell). Pure codegen — no Python."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot(
+                        F.col(vcol),
+                        F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    )).alias("negdot"),
+                    F.lit(c).alias("cell"),
+                )
+                for c in range(len(cents))
+            ]
+        )
+    )["cell"]
+
+
+def ivf_probe_expr(cents: np.ndarray, vcol: str, n_probe: int) -> F.Column:
+    """n_probe best cells: sort struct(-dot, cell), take cell of first n."""
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot(
+                        F.col(vcol),
+                        F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    )).alias("negdot"),
+                    F.lit(c).alias("cell"),
+                )
+                for c in range(len(cents))
+            ]
+        )
+    )
+    return F.transform(F.slice(arr, 1, n_probe), lambda s: s["cell"])
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -242,40 +280,10 @@ def ivf_topk(
         cents = kmeans_centroids(sample, n_cells, seed=seed)
 
     def _cell_expr(vcol: str) -> F.Column:
-        # argmax over centroid dot products, smallest cell id on ties:
-        # array_min over struct(-dot, cell)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (-_dot(
-                            F.col(vcol),
-                            F.array(*[F.lit(float(x)) for x in cents[c]]),
-                        )).alias("negdot"),
-                        F.lit(c).alias("cell"),
-                    )
-                    for c in range(len(cents))
-                ]
-            )
-        )["cell"]
+        return ivf_cell_expr(cents, vcol)
 
     def _probe_cells(vcol: str) -> F.Column:
-        # n_probe best cells: sort struct(-dot, cell), take cell of first n
-        arr = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-_dot(
-                            F.col(vcol),
-                            F.array(*[F.lit(float(x)) for x in cents[c]]),
-                        )).alias("negdot"),
-                        F.lit(c).alias("cell"),
-                    )
-                    for c in range(len(cents))
-                ]
-            )
-        )
-        return F.transform(F.slice(arr, 1, n_probe), lambda s: s["cell"])
+        return ivf_probe_expr(cents, vcol, n_probe)
 
     v = vectors.select(
         vec_id, F.col(vec_col).cast("array<double>").alias("v")
@@ -380,6 +388,84 @@ def pq_encode(
     )
 
 
+def pq_adc_expr(codebooks: np.ndarray) -> F.Column:
+    """ADC(q, codes) = sum_m |q_m - C[m][code_m]|^2 with the per-subspace
+    terms summed in fixed order (engine-reproducible); expects columns
+    ``q`` (array<double>) and ``codes`` (array<int>)."""
+    m, kk, dsub = _pq_dims(codebooks)
+    c2 = (codebooks**2).sum(axis=2)
+    clit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in codebooks[mi, j]])
+                    for j in range(kk)
+                ]
+            )
+            for mi in range(m)
+        ]
+    )
+    c2lit = F.array(
+        *[F.array(*[F.lit(float(c2[mi, j])) for j in range(kk)]) for mi in range(m)]
+    )
+    adc = None
+    for mi in range(m):
+        qm = F.slice(F.col("q"), mi * dsub + 1, dsub)
+        code1 = F.element_at("codes", mi + 1) + 1
+        cvec = F.element_at(F.element_at(clit, mi + 1), code1)
+        term = (
+            _dot(qm, qm)
+            - F.lit(2.0) * _dot(qm, cvec)
+            + F.element_at(F.element_at(c2lit, mi + 1), code1)
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_col: str = "q_emb",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The COMPOSED IVF-PQ index (Jegou et al., PAMI'11): coarse-cell
+    pruning (ivf_cell_expr / ivf_probe_expr) over PQ codes with ADC
+    rerank (pq_adc_expr) — the two halves this module gates separately
+    (ivf_cosine_top3, pq_adc_top3), joined into the plan an actual
+    10^12-vector deployment runs. The scan side carries (cell:int,
+    codes:m bytes) — never raw vectors; queries explode into n_probe
+    cells and the candidate join is a plain equi-join on the cell id.
+    Each vector lives in exactly one cell, so multiprobe generates no
+    duplicate (q, vec) pairs and no dedup pass is needed.
+
+    Recall caveat vs flat PQ: a neighbor outside the probed cells is
+    missed — that is the IVF trade; tests assert the composed result
+    equals pq_adc_topk restricted to the probed-cell candidates."""
+    cents = np.asarray(centroids, np.float64)
+    enc = pq_encode(vectors, codebooks, vec_id=vec_id, vec_col=vec_col)
+    enc = enc.withColumn("cell", ivf_cell_expr(cents, "v")).select(
+        vec_id, "cell", "codes"
+    )
+    q = queries.select(
+        q_id, F.col(q_col).cast("array<double>").alias("q")
+    ).withColumn("cell", F.explode(ivf_probe_expr(cents, "q", n_probe)))
+    cand = enc.join(q, "cell").filter(F.col(vec_id) != F.col(q_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(vec_id))
+    return (
+        cand.withColumn("adc", pq_adc_expr(codebooks))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, vec_id, F.round("adc", 6).alias("adc_r6"), "rank")
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -398,41 +484,14 @@ def pq_adc_topk(
     is ~1/64th the scan bytes of raw embeddings and the codebook lookup
     is a literal (no join); compose with ivf_topk's cell pruning for
     the full index. Output: (q_id, vec_id, adc_r6, rank)."""
-    m, kk, dsub = _pq_dims(codebooks)
-    c2 = (codebooks**2).sum(axis=2)
-    clit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in codebooks[mi, j]])
-                    for j in range(kk)
-                ]
-            )
-            for mi in range(m)
-        ]
-    )
-    c2lit = F.array(
-        *[F.array(*[F.lit(float(c2[mi, j])) for j in range(kk)]) for mi in range(m)]
-    )
     enc = pq_encode(vectors, codebooks, vec_id=vec_id, vec_col=vec_col).select(
         vec_id, "codes"
     )
     q = queries.select(q_id, F.col(q_col).cast("array<double>").alias("q"))
     j = enc.crossJoin(F.broadcast(q)).filter(F.col(vec_id) != F.col(q_id))
-    adc = None
-    for mi in range(m):
-        qm = F.slice(F.col("q"), mi * dsub + 1, dsub)
-        code1 = F.element_at("codes", mi + 1) + 1
-        cvec = F.element_at(F.element_at(clit, mi + 1), code1)
-        term = (
-            _dot(qm, qm)
-            - F.lit(2.0) * _dot(qm, cvec)
-            + F.element_at(F.element_at(c2lit, mi + 1), code1)
-        )
-        adc = term if adc is None else adc + term
     w = Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(vec_id))
     return (
-        j.withColumn("adc", adc)
+        j.withColumn("adc", pq_adc_expr(codebooks))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, vec_id, F.round("adc", 6).alias("adc_r6"), "rank")

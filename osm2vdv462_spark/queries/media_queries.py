@@ -1275,6 +1275,104 @@ def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, pq_codebooks(), k=3).orderBy("q_id", "rank")
 
 
+def _ivfpq_oracle() -> str:
+    """SQL twin of similarity.ivfpq_topk: the _ivf_oracle cell/probe
+    expressions composed with the _pq_oracle encode/ADC expressions —
+    candidates come from the probed-cell equi-join, distances from the
+    code table. Same float-order discipline as both parents."""
+    from ..operators.similarity import pq_codebooks
+
+    cents = _ivf_centroids()
+    cl = [_plane_lit(c) for c in cents]
+
+    def cell_expr(v):
+        items = ", ".join(
+            f"{{'negdot': -list_dot_product({v}, {cl[c]}), 'cell': {c}}}"
+            for c in range(len(cents))
+        )
+        return f"list_min([{items}])['cell']"
+
+    def probe_expr(v, n_probe=4):
+        items = ", ".join(
+            f"{{'negdot': -list_dot_product({v}, {cl[c]}), 'cell': {c}}}"
+            for c in range(len(cents))
+        )
+        return (
+            f"list_transform(list_sort([{items}])[1:{n_probe}],"
+            " s -> s['cell'])"
+        )
+
+    books = pq_codebooks()
+    m, k, dsub = books.shape
+    c2 = (books**2).sum(axis=2)
+
+    def code_expr(mi: int) -> str:
+        lo, hi = mi * dsub + 1, mi * dsub + dsub
+        items = ", ".join(
+            f"{{'d': -2*list_dot_product(v[{lo}:{hi}],"
+            f" {_plane_lit(books[mi, j])}) + {float(c2[mi, j])!r},"
+            f" 'code': {j}}}"
+            for j in range(k)
+        )
+        return f"list_min([{items}])['code']"
+
+    codes = ", ".join(code_expr(mi) for mi in range(m))
+
+    def term_expr(mi: int) -> str:
+        lo, hi = mi * dsub + 1, mi * dsub + dsub
+        cm = "[" + ", ".join(_plane_lit(books[mi, j]) for j in range(k)) + "]"
+        c2m = "[" + ", ".join(repr(float(c2[mi, j])) for j in range(k)) + "]"
+        qm = f"q[{lo}:{hi}]"
+        return (
+            f"(list_dot_product({qm}, {qm})"
+            f" - 2.0*list_dot_product({qm}, ({cm})[codes[{mi + 1}]+1])"
+            f" + ({c2m})[codes[{mi + 1}]+1])"
+        )
+
+    adc = " + ".join(term_expr(mi) for mi in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    enc AS (SELECT vec_id, [{codes}] AS codes, {cell_expr('v')} AS cell
+            FROM e),
+    q AS (SELECT vec_id AS q_id, v AS q,
+                 unnest({probe_expr('v')}) AS cell
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, enc.vec_id, q.q, enc.codes, {adc} AS adc
+      FROM enc JOIN q ON enc.cell = q.cell AND enc.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(adc, 6) AS adc_r6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+
+@register_extra("ivfpq_top3", _ivfpq_oracle())
+def ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF-PQ index: coarse-cell pruning over PQ codes
+    with ADC rerank — the plan a 10^12-vector deployment actually runs
+    (the gate's ivf_cosine_top3 and pq_adc_top3 verify the halves; this
+    row verifies their composition: the scan carries (cell, codes)
+    only, candidates come from the n_probe equi-join, never a full
+    code-table sweep)."""
+    from ..operators.similarity import ivfpq_topk, pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivfpq_topk(
+        emb, queries, _ivf_centroids(), pq_codebooks(), k=3, n_probe=4
+    ).orderBy("q_id", "rank")
+
+
 def _sharpness_oracle() -> str:
     """Closed-form twin of images.with_sharpness over the synth pixel
     pattern (t(x,y) = sum of the three per-channel LCG formulas): the

@@ -340,3 +340,45 @@ class TestPrefixFilterJoin:
                 want[(a, b)] = (i, u)
         assert got == want
         assert (100, 5) not in got and (5, 100) in got  # ordering a < b
+
+
+class TestIvfPqComposition:
+    def test_composed_equals_adc_on_probed_candidates(self, spark, sf_dir):
+        """ivfpq_topk must equal pq_adc_topk re-ranked over exactly the
+        probed-cell candidate set — composition adds pruning, never new
+        arithmetic."""
+        from pyspark.sql import Window, functions as F
+
+        from osm2vdv462_spark.operators import similarity as sim
+        from osm2vdv462_spark.queries.media_queries import _ivf_centroids
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        cents, books = _ivf_centroids(), sim.pq_codebooks()
+        got = {
+            (r.q_id, r.rank): (r.vec_id, r.adc_r6)
+            for r in sim.ivfpq_topk(emb, queries, cents, books, k=3).collect()
+        }
+        # reference: flat ADC over all pairs, filtered to probed cells
+        enc = sim.pq_encode(emb, books).withColumn(
+            "cell", sim.ivf_cell_expr(cents, "v")
+        )
+        q = queries.select(
+            "q_id", F.col("q_emb").cast("array<double>").alias("q")
+        ).withColumn("cells", sim.ivf_probe_expr(cents, "q", 4))
+        cand = enc.crossJoin(q).filter(
+            F.array_contains("cells", F.col("cell"))
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+        want = {
+            (r.q_id, r.rank): (r.vec_id, r.adc_r6)
+            for r in cand.withColumn("adc", sim.pq_adc_expr(books))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("q_id", "vec_id", F.round("adc", 6).alias("adc_r6"), "rank")
+            .collect()
+        }
+        assert got == want and len(got) == 15
