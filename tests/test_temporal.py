@@ -235,3 +235,43 @@ def test_randomized_ties_vs_bruteforce(spark):
             and r.ts <= c.ts < r.ts + dt.timedelta(seconds=B)
         )
         assert got_rj[r.event_id] == want, r.event_id
+
+
+class TestFunnel:
+    def test_order_violations_excluded(self, spark):
+        """A user who views BEFORE signing up must not count for step 2;
+        a purchase between signup and view must not count for step 3."""
+        import datetime as dt
+
+        from osm2vdv462_spark.queries.temporal_queries import funnel_steps
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, typ, hours):
+            return (eid, t0 + dt.timedelta(hours=hours), uid, typ, 0.0, "p")
+
+        rows = [
+            # u1: clean chain signup(1) -> view(2) -> purchase(3)
+            ev(1, 1, "signup", 1), ev(2, 1, "view", 2), ev(3, 1, "purchase", 3),
+            # u2: view before signup, none after -> stops at step 1
+            ev(4, 2, "view", 1), ev(5, 2, "signup", 2),
+            # u3: purchase BETWEEN signup and view -> reaches step 2 (the
+            # view at h3 is after signup) but NOT step 3 (no purchase
+            # at/after the qualifying view)
+            ev(6, 3, "signup", 1), ev(7, 3, "purchase", 2), ev(8, 3, "view", 3),
+            # u4: no signup at all -> counts nowhere
+            ev(9, 4, "view", 1), ev(10, 4, "purchase", 2),
+            # u5: simultaneous signup+view (inclusive >= boundary) then purchase
+            ev(11, 5, "signup", 1), ev(12, 5, "view", 1), ev(13, 5, "purchase", 2),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="funnel_t_")
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r.step: r.n_users for r in funnel_steps(spark, d).collect()}
+        assert got == {1: 4, 2: 3, 3: 2}
