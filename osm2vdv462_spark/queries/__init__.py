@@ -87,6 +87,7 @@ def _load_all():
         geo_queries,
         graph_queries,
         media_queries,
+        mining_queries,
         pipeline_queries,
         relational,
         sketch_queries,
