@@ -237,7 +237,7 @@ def knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "quay_id", "knn_rank")
 
 
-@register(
+@register_extra(
     "dwithin_pairs",
     f"""
     {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS})

@@ -7,9 +7,7 @@ canonical ordering — so the two derivations cross-check each other,
 not just the arithmetic. Same md5-derived deterministic event graph
 discipline as pagerank_userweb (no external data, per the brief).
 
-Extra-tier (the 50-row driver gate is full — CLAUDE.md invariant);
-held to the oracle by tests/test_oracle_parity.py. Round-5 rotation
-candidate.
+Main gate row (late-r4 rotation, fourth swap).
 """
 
 from __future__ import annotations
@@ -17,10 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import graph as G
-from . import register_extra
+from . import register, register_extra
 
 
-@register_extra(
+@register(
     "triangle_counts_userweb",
     """
     WITH d0 AS (

@@ -385,7 +385,7 @@ def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
-@register(
+@register_extra(
     "unit_parsers",
     """
     SELECT p_partkey,

@@ -8,9 +8,9 @@ PageRank are integers end-to-end — so the DuckDB oracles replicate the
 full computation (not just the answer) and the value-hash gate verifies
 the sketch algebra itself.
 
-All extra-tier (the 50-row driver gate is full — CLAUDE.md invariant);
-held to the same oracles by tests/test_oracle_parity.py. Candidates for
-the round-5 gate rotation.
+`hll_distinct_combos` is a MAIN gate row (late-r4 rotation, fourth
+swap); the rest are extra-tier, held to the same oracles by
+tests/test_oracle_parity.py and candidates for the round-5 rotation.
 """
 
 from __future__ import annotations
@@ -18,14 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import sketches as sk
-from . import register_extra
+from . import register, register_extra
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-@register_extra(
+@register(
     "hll_distinct_combos",
     f"""
     WITH base AS (

@@ -13,7 +13,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-@register(
+@register_extra(
     "dedup_exact",
     """
     SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
@@ -1277,7 +1277,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@register_extra(
+@register(
     "prefix_filter_jaccard",
     """
     WITH t AS (
