@@ -1196,3 +1196,123 @@ def geodesic_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation_id",
         F.round(geo_cols.spherical_area_m2(F.col("geom")), 1).alias("area_m2"),
     ).orderBy("relation_id")
+
+
+@register_extra(
+    "tile_clip_areas",
+    """
+    WITH r AS (
+      SELECT p_partkey AS poly_id,
+             ((p_partkey * 7) % 97) * 2 AS x1,
+             ((p_partkey * 11) % 89) * 2 AS y1
+      FROM part
+    ),
+    rr AS (
+      SELECT poly_id, x1, y1,
+             x1 + 3 + poly_id % 7 AS x2,
+             y1 + 2 + poly_id % 5 AS y2
+      FROM r
+    ),
+    tx AS (
+      SELECT rr.*, unnest(range(x1 // 8, x2 // 8 + 1)) AS tile_x FROM rr
+    ),
+    txy AS (
+      SELECT tx.*, unnest(range(y1 // 8, y2 // 8 + 1)) AS tile_y FROM tx
+    ),
+    ov AS (
+      SELECT poly_id, tile_x, tile_y,
+             least(x2, tile_x * 8 + 8) - greatest(x1, tile_x * 8) AS ox,
+             least(y2, tile_y * 8 + 8) - greatest(y1, tile_y * 8) AS oy
+      FROM txy
+    )
+    SELECT poly_id, tile_x, tile_y, CAST(ox * oy AS BIGINT) AS clip_area
+    FROM ov WHERE ox > 0 AND oy > 0
+    ORDER BY poly_id, tile_x, tile_y
+    """,
+)
+def tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection-to-a-tile-grid: every polygon is clipped to each
+    tile of a fixed grid it overlaps, emitting the exact clipped area
+    per (polygon, tile) — the tiling step of any vector-tile /
+    map-reduce overlay pipeline (reference analogue: the subdivide +
+    per-cell geometry work behind its spatial joins, vdv462 export
+    `subdivide` usage).
+
+    Candidate generation is bbox-banded JVM-side (sequence/posexplode
+    over the covering tile range — never polygon x all-tiles); the clip
+    itself is the generic Sutherland-Hodgman kernel
+    (geo/kernel.py::clip_ring_by_rect) + planar shoelace, run per
+    candidate in one Arrow-batched mapInPandas pass with no shuffle
+    after the explode. The gate world uses integer axis-aligned
+    rectangles so the oracle can state the clipped area in closed form
+    (interval-overlap algebra in SQL) while the Spark side still runs
+    the full generic clip; rotated-polygon area conservation through
+    the SAME operator is pytest-gated (test_geo_clip.py)."""
+    import pandas as pd
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rr = part.select(
+        F.col("p_partkey").alias("poly_id"),
+        ((F.col("p_partkey") * 7 % 97) * 2).alias("x1"),
+        ((F.col("p_partkey") * 11 % 89) * 2).alias("y1"),
+    ).select(
+        "poly_id",
+        "x1",
+        "y1",
+        (F.col("x1") + 3 + F.col("poly_id") % 7).alias("x2"),
+        (F.col("y1") + 2 + F.col("poly_id") % 5).alias("y2"),
+    )
+    cand = rr.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("x1") / 8), F.floor(F.col("x2") / 8))
+        ).alias("tile_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("y1") / 8), F.floor(F.col("y2") / 8))
+        ).alias("tile_y"),
+    )
+
+    def _clip(batches):
+        import numpy as np
+
+        from ..geo import kernel
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ring = np.array(
+                    [
+                        [row.x1, row.y1],
+                        [row.x2, row.y1],
+                        [row.x2, row.y2],
+                        [row.x1, row.y2],
+                        [row.x1, row.y1],
+                    ],
+                    dtype=np.float64,
+                )
+                clipped = kernel.clip_ring_by_rect(
+                    ring,
+                    row.tile_x * 8.0,
+                    row.tile_y * 8.0,
+                    row.tile_x * 8.0 + 8.0,
+                    row.tile_y * 8.0 + 8.0,
+                )
+                if len(clipped) < 4:
+                    continue
+                x, y = clipped[:, 0], clipped[:, 1]
+                area = 0.5 * abs(
+                    float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+                )
+                a = int(round(area))
+                if a > 0:
+                    out.append((row.poly_id, row.tile_x, row.tile_y, a))
+            yield pd.DataFrame(
+                out, columns=["poly_id", "tile_x", "tile_y", "clip_area"]
+            )
+
+    return cand.mapInPandas(
+        _clip,
+        "poly_id long, tile_x long, tile_y long, clip_area long",
+    ).orderBy("poly_id", "tile_x", "tile_y")

@@ -1,9 +1,9 @@
 """Warehouse/mining operator family: A-Priori frequent itemset pairs
-(market-basket) and a slowly-changing-dimension type-2 builder.
+(market-basket), a slowly-changing-dimension type-2 builder, a cohort
+retention matrix, and a blocked fuzzy-match (entity-resolution) join.
 
-Both all-integer/timestamp (no float discipline needed), both with
-independent SQL oracles. Extra-tier (the 50-row driver gate is full —
-CLAUDE.md invariant); round-5 rotation candidates.
+All with independent SQL oracles. Extra-tier (the 50-row driver gate is
+full — CLAUDE.md invariant); round-5 rotation candidates.
 """
 
 from __future__ import annotations
@@ -138,3 +138,164 @@ def scd2_user_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_epoch",
         F.col("valid_to_epoch").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from_epoch")
+
+
+@register_extra(
+    "cohort_retention",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx
+      FROM orders
+    ),
+    c AS (SELECT o_custkey, min(midx) AS cidx FROM o GROUP BY o_custkey),
+    act AS (
+      SELECT DISTINCT o.o_custkey, c.cidx, o.midx - c.cidx AS offs
+      FROM o JOIN c USING (o_custkey)
+    ),
+    sz AS (SELECT cidx, count(*) AS n_cohort FROM c GROUP BY cidx),
+    ret AS (SELECT cidx, offs, count(*) AS n_active
+            FROM act GROUP BY cidx, offs)
+    SELECT printf('%04d-%02d', cidx // 12, cidx % 12 + 1) AS cohort_month,
+           offs AS month_offset,
+           n_active,
+           CAST(round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS DOUBLE)
+             AS retention
+    FROM ret JOIN sz USING (cidx)
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort x months-since-signup retention matrix over
+    orders: cohort = a customer's first order month, retention(k) =
+    |customers of that cohort active k months later| / cohort size.
+
+    One shuffle on o_custkey carries both the cohort min and the
+    activity dedup (the join back is on the same key, so AQE plans it
+    shuffle-free after the groupBy); the (cohort, offset) rollup then
+    shuffles only distinct (custkey, offset) pairs — bounded by
+    customers x months, not by order count, so a 10^12-order fact table
+    reduces before the second exchange. The cohort-size side is
+    months-bounded (tiny) and broadcast. Month arithmetic is integer
+    end-to-end; only the final ratio is a rounded double."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("midx"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("midx").alias("cidx"))
+    act = (
+        o.join(c, "o_custkey")
+        .select(
+            "o_custkey", "cidx", (F.col("midx") - F.col("cidx")).alias("offs")
+        )
+        .distinct()
+    )
+    sz = c.groupBy("cidx").agg(F.count(F.lit(1)).alias("n_cohort"))
+    ret = act.groupBy("cidx", "offs").agg(F.count(F.lit(1)).alias("n_active"))
+    return (
+        ret.join(F.broadcast(sz), "cidx")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                (F.col("cidx") / 12).cast("long"),
+                (F.col("cidx") % 12 + 1).cast("long"),
+            ).alias("cohort_month"),
+            F.col("offs").alias("month_offset"),
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+@register_extra(
+    "fuzzy_match_join",
+    """
+    WITH clean AS (SELECT DISTINCT p_name FROM part),
+    dirty AS (
+      SELECT p_partkey AS query_id,
+             concat(
+               substr(p_name, 1,
+                      CAST(p_partkey % length(p_name) AS INT)),
+               substr(p_name,
+                      CAST(p_partkey % length(p_name) AS INT) + 2)
+             ) AS query_name
+      FROM part
+    ),
+    cand AS (
+      SELECT d.query_id, d.query_name, c.p_name AS matched_name,
+             CAST(levenshtein(d.query_name, c.p_name) AS BIGINT) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.query_name, 1, 1) = substr(c.p_name, 1, 1)
+       AND abs(length(d.query_name) - length(c.p_name)) <= 1
+      WHERE levenshtein(d.query_name, c.p_name) <= 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dist, matched_name) AS rn
+      FROM cand
+    )
+    SELECT query_id, query_name, matched_name, dist
+    FROM ranked WHERE rn = 1
+    ORDER BY query_id
+    """,
+)
+def fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity-resolution join: dirty strings (each part name
+    with one deterministically-chosen character dropped) matched back
+    to the clean name dimension via (first-char, length-band) blocking
+    + Levenshtein<=2 verify + best-match top-1.
+
+    The blocking key is the scale story: candidate generation is an
+    equi-join on the block key with a band predicate, never all-pairs —
+    at 10^12 dirty rows the comparison count is rows x block-bucket
+    width, not rows x vocabulary. The clean side is a dimension
+    (broadcast); Levenshtein runs JVM-side (built-in, codegen'd); the
+    top-1 window rides the block join's partitioning. Drops whose first
+    character was the dropped one fall outside the block by design —
+    the recall/cost trade every production blocker makes — and both
+    engines replicate it exactly."""
+    part = _t(spark, sf_dir, "part")
+    clean = part.select("p_name").distinct()
+    dirty = part.select(
+        F.col("p_partkey").alias("query_id"),
+        F.concat(
+            F.expr(
+                "substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"
+            ),
+            F.expr(
+                "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"
+            ),
+        ).alias("query_name"),
+    )
+    c = F.broadcast(clean.select(F.col("p_name").alias("matched_name")))
+    cand = (
+        dirty.join(
+            c,
+            (
+                F.substring("query_name", 1, 1)
+                == F.substring("matched_name", 1, 1)
+            )
+            & (
+                F.abs(F.length("query_name") - F.length("matched_name"))
+                <= 1
+            ),
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein("query_name", "matched_name").cast("long"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "matched_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "query_name", "matched_name", "dist")
+        .orderBy("query_id")
+    )
