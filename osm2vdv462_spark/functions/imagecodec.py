@@ -129,6 +129,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from . import jpegcodec
 
         return jpegcodec.decode_jpeg(data)
+    if fmt == "gif":
+        # palette + variable-width LZW — see functions/gifcodec.py
+        from . import gifcodec
+
+        return gifcodec.decode_gif(data)
     raise ValueError(f"unknown image format {fmt}")
 
 

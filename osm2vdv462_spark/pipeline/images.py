@@ -246,3 +246,66 @@ def with_sharpness(images: DataFrame) -> DataFrame:
     )
 
 
+
+
+# ------------------------------------------------------- GIF corpus (r4)
+
+# 64-entry closed-form palette: channel c of entry i is (i * k_c) % 256
+# with k = (11, 29, 47) — chosen coprime to 256 so entries are distinct
+# and the DuckDB oracle can restate every decoded pixel in one modular
+# expression.
+_GIF_KS = (11, 29, 47)
+
+
+def gif_palette() -> np.ndarray:
+    i = np.arange(64, dtype=np.int64)
+    return np.stack([(i * k) % 256 for k in _GIF_KS], axis=1).astype(
+        np.uint8
+    )
+
+
+def synth_gif_indices(image_id: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic palette indices: (x*3 + y*5 + id*7) % 64."""
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 3 + y * 5 + image_id * 7) % 64).astype(np.uint8)
+
+
+def gif_images_df(
+    spark: SparkSession, sf_dir: str, size: int = 32, every: int = 50
+) -> DataFrame:
+    """GIF corpus (third container format after PNG/JPEG): one
+    palette-indexed GIF per kept `events` row, encoded through the real
+    from-scratch LZW writer (functions/gifcodec.py). Same shape
+    discipline as images_df: the 1/every subset filter runs BEFORE the
+    encode UDF, and the per-image python work is repartitioned across
+    the executors."""
+    from ..functions import gifcodec
+
+    pts = datagen.geo_points(spark, sf_dir)
+    if every > 1:
+        pts = pts.filter(F.col("event_id") % every == 0)
+    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
+    pal = gif_palette()
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                idx = synth_gif_indices(eid, size, size)
+                out.append(
+                    (
+                        f"img_{eid:09d}",
+                        gifcodec.encode_gif(idx, pal),
+                        size,
+                        size,
+                        "gif",
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return pts.mapInPandas(
+        _gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )

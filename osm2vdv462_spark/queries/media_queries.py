@@ -1414,3 +1414,37 @@ def image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower) is pytest-gated in tests/test_images.py."""
     imgs = im.images_df(spark, sf_dir, every=50)
     return im.with_sharpness(imgs).orderBy("image_id")
+
+
+_GIF_STATS_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id,
+         ((x*3 + y*5 + e.event_id*7) % 64) AS i
+  FROM e CROSS JOIN yx
+),
+t AS (
+  SELECT event_id,
+         (i*11) % 256 + (i*29) % 256 + (i*47) % 256 AS t
+  FROM px
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST((sum(t) * 10000) // 3072 AS BIGINT) AS mean_gray_e4,
+       CAST(max(t) AS INT) AS t_max,
+       CAST(min(t) AS INT) AS t_min
+FROM t GROUP BY event_id ORDER BY image_id
+"""
+
+
+@register_extra("image_gif_stats", _GIF_STATS_ORACLE)
+def image_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel stats through the REAL GIF decode path (palette +
+    variable-width LZW, functions/gifcodec.py) — the third container
+    format through the same fmt-agnostic plumbing (with_pixel_stats
+    dispatches on fmt). Bytes are encoded AND decoded inside the plan,
+    so the oracle hash gates the whole LZW writer/parser pair: any
+    bit-level codec defect changes decoded pixels and breaks the
+    closed-form stats. Integer arithmetic end-to-end."""
+    imgs = im.gif_images_df(spark, sf_dir, every=50)
+    return im.with_pixel_stats(imgs).orderBy("image_id")
