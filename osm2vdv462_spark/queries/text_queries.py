@@ -1435,3 +1435,122 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register_extra(
+    "stratified_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)),
+                    1, 1) AS bucket,
+             CASE CAST(substr(source, 4) AS INT) % 3
+               WHEN 0 THEN '4' WHEN 1 THEN '8' ELSE 'c' END AS thr
+      FROM documents
+    )
+    SELECT doc_id, source, bucket
+    FROM d WHERE bucket < thr
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified corpus sampling: each source
+    stratum keeps a fixed fraction (25/50/75% by stratum class) of its
+    documents, membership decided by an md5 bucket of the (doc_id,
+    source) key — NOT by rand(). That determinism is the scale property
+    that matters on a real cluster: rand()-based sampling changes under
+    task retries, partition re-splits, and AQE re-plans (Spark
+    re-executes lost partitions from scratch), silently breaking
+    train/eval hygiene; a content-hash membership test is reproducible
+    under any physical execution, needs no seed-state shuffle, and is a
+    pure stateless filter that pushes to the scan side. Hex-prefix
+    comparison is lexicographic == numeric (fixed width, lowercase in
+    both engines)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("source"),
+                )
+            ),
+            1,
+            1,
+        ).alias("bucket"),
+        F.expr(
+            "CASE CAST(substr(source, 4) AS INT) % 3"
+            " WHEN 0 THEN '4' WHEN 1 THEN '8' ELSE 'c' END"
+        ).alias("thr"),
+    )
+    return (
+        d.filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@register_extra(
+    "source_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_chars) AS tot_chars FROM s),
+    sh AS (
+      SELECT source, n_docs, n_chars,
+             pow(CAST(n_chars AS DOUBLE) / tot_chars, 0.7) AS pw,
+             CAST(n_chars AS DOUBLE) / tot_chars AS share
+      FROM s CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pw) AS zsum FROM sh)
+    SELECT source, n_docs, n_chars,
+           CAST(round(pw / zsum, 4) AS DOUBLE) AS weight,
+           CAST(round(pw / zsum / share, 4) AS DOUBLE) AS upsample
+    FROM sh CROSS JOIN z
+    ORDER BY source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixture weights (the multilingual/
+    multi-source training recipe): per-source sampling weight
+    proportional to share^0.7, i.e. small sources get upsampled,
+    dominant ones damped. Every normalizer (total chars, partition
+    function) is a broadcast 1-row aggregate joined in-plan — no driver
+    collect, so the mixture recomputes correctly however large the
+    corpus. pow() may differ by an ulp across libms (JVM vs C), three
+    orders of magnitude under the 4-dp rounding."""
+    s = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    tot = s.agg(F.sum("n_chars").cast("double").alias("tot_chars"))
+    sh = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.pow(F.col("n_chars") / F.col("tot_chars"), 0.7).alias("pw"),
+        (F.col("n_chars") / F.col("tot_chars")).alias("share"),
+    )
+    z = sh.agg(F.sum("pw").alias("zsum"))
+    return (
+        sh.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("pw") / F.col("zsum"), 4).alias("weight"),
+            F.round(F.col("pw") / F.col("zsum") / F.col("share"), 4).alias(
+                "upsample"
+            ),
+        )
+        .orderBy("source")
+    )
