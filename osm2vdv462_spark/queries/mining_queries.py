@@ -299,3 +299,88 @@ def fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "query_name", "matched_name", "dist")
         .orderBy("query_id")
     )
+
+
+@register_extra(
+    "grouped_trend_lines",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) - 788918400 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y*y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 86400.0, 6)
+                AS DOUBLE) AS slope_per_day,
+           CAST(round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+                AS DOUBLE) AS intercept,
+           CAST(round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+                AS DOUBLE) AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def grouped_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend lines (slope/intercept/r^2 of value vs time
+    per event_type) from closed-form moment sums — the scale lesson is
+    HOW the moments are summed: float sums are addition-order-dependent
+    and Spark's partial-aggregate merge order is nondeterministic, so a
+    naive avg/corr over doubles is not bit-stable run to run (let alone
+    across engines). Every moment here is quantized per-row (a
+    deterministic IEEE product, then a deterministic cast to DECIMAL)
+    and summed EXACTLY in decimal — associative and commutative, so
+    map-side partials merge to identical results whatever the shuffle
+    tree (the bigram-LM discipline, textops.py:172). The x origin is
+    pinned (1995-01-01) to keep x*x inside exact-bigint range; at
+    planet scale you would also center x per group first (documented
+    trade, same algebra). Only the final slope/intercept/r2 arithmetic
+    is double — the same expression shape in both engines, bit-identical
+    from exact inputs."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(788918400)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope * 86400.0, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num
+            * num
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
