@@ -459,3 +459,47 @@ def unit_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_duration_s(dur_str).alias("dur_s"),
         parse_incline_pct(inc_str).alias("incline_pct"),
     )
+
+
+@register_extra(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — completes the multi-dimensional subtotal
+    surface next to grouping_sets_rollup: all four groupings (both
+    keys, each key alone, grand total) expand inside ONE aggregation
+    Exchange rather than four unioned scans. The priority-only slice is
+    the one ROLLUP cannot produce. Same discipline as the rollup row:
+    GROUPING() ids disambiguate subtotal rows from genuine NULL keys,
+    revenue summed in exact decimal for engine/merge-order
+    independence."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
