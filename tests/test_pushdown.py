@@ -72,3 +72,35 @@ class TestScanEfficiency:
         txt = " ".join(_scan_lines(df))
         rs = txt.split("ReadSchema:")[1] if "ReadSchema:" in txt else ""
         assert "l_comment" not in rs and "l_shipmode" not in rs, rs
+
+
+class TestFinalR4PlanShapes:
+    """Guards for the PLANS.md claims of the final-r4 batch."""
+
+    def test_stratified_sample_prunes_and_avoids_exchange(self, spark, sf_dir):
+        from osm2vdv462_spark.queries.text_queries import stratified_sample
+
+        df = stratified_sample(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rs = plan.split("ReadSchema:")[1].splitlines()[0]
+        # scan carries only the two consumed columns, never text
+        assert "doc_id" in rs and "source" in rs and "text" not in rs, rs
+        # stateless filter: the only exchange is the final global sort
+        body = plan.split("Sort")[0] if "Sort" in plan else plan
+        assert "Exchange hashpartitioning" not in body, plan
+
+    def test_tile_clip_no_shuffle_between_explode_and_clip(self, spark, sf_dir):
+        from osm2vdv462_spark.queries.geo_queries import tile_clip_areas
+
+        df = tile_clip_areas(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # candidate fan-out (Generate/explode) and the Arrow clip stage
+        # must share one task pipeline: no Exchange may sit between the
+        # parquet scan and the python mapper (only the final sort
+        # repartitions)
+        mapper_at = plan.find("MapInPandas")
+        scan_at = plan.find("FileScan parquet")
+        assert mapper_at != -1 and scan_at != -1, plan
+        between = plan[mapper_at:scan_at]
+        assert "Exchange" not in between, between
+        assert "Generate explode" in plan, plan
