@@ -1316,3 +1316,78 @@ def tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _clip,
         "poly_id long, tile_x long, tile_y long, clip_area long",
     ).orderBy("poly_id", "tile_x", "tile_y")
+
+
+_DBSCAN_EPS_ORACLE = f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id AS id, lon, lat FROM ({datagen.SQL_POINTS})
+  WHERE event_id % 7 = 0
+),
+e AS (
+  SELECT p.id AS a, t.id AS b
+  FROM pts p JOIN pts t ON p.id <> t.id
+  WHERE {_HAVERSINE_SQL} <= 1200.0
+),
+reach AS (
+  SELECT id, id AS comp FROM pts
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN e ON e.a = r.id
+),
+lab AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+SELECT id AS event_id, cluster, cluster_size, cluster_size = 1 AS is_noise
+FROM lab JOIN sz USING (cluster)
+ORDER BY event_id
+"""
+
+
+@register_extra("dbscan_eps_clusters", _DBSCAN_EPS_ORACLE)
+def dbscan_eps_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ClusterDBSCAN with a REAL radius (eps=1.2 km, minpoints=2) —
+    the general case of the reference's stop-area clustering
+    (sql/stop_places.sql uses eps=0, gated as W1; PostGIS's operator is
+    the eps>0 form). Composition of two already-gated operators:
+    fixed-radius cell-ring dwithin self-join for the eps-neighbor graph
+    (eps picked so the gate world mixes noise, pairs, and chains)
+    (broadcast index, map-side only — at 10^12 points the same graph
+    comes from the cell-bucketed shuffle variant, identical algebra),
+    then iterative min-label connected components (Spark joins, no
+    driver graph). minpoints=2 semantics: singleton components are
+    noise. The oracle is deliberately independent: brute-force pair
+    join + a WITH RECURSIVE transitive min-label closure in DuckDB, so
+    the hash gates candidate completeness (a missed neighbor merges or
+    splits a cluster) as well as the propagation fixpoint."""
+    from ..operators.cluster import connected_components
+    from ..operators.knn import dwithin_join_broadcast
+
+    pts = datagen.geo_points(spark, sf_dir).filter(
+        F.col("event_id") % 7 == 0
+    )
+    nbrs = pts.select(
+        F.col("event_id").alias("nbr_id"), "lon", "lat"
+    )
+    edges = dwithin_join_broadcast(
+        pts,
+        nbrs,
+        point_keep=["event_id"],
+        target_id="nbr_id",
+        distance_m=1200.0,
+    ).filter(F.col("event_id") != F.col("nbr_id"))
+    verts = pts.select(F.col("event_id").alias("id"))
+    cc = connected_components(
+        verts, edges.select("event_id", "nbr_id"),
+        vid="id", src="event_id", dst="nbr_id",
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("event_id"),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("cluster_size") == 1).alias("is_noise"),
+        )
+        .orderBy("event_id")
+    )
