@@ -503,3 +503,44 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register_extra(
+    "equidepth_value_bins",
+    """
+    WITH b AS (
+      SELECT event_type, event_id, value,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM b GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning — the feature-engineering
+    discretizer: ntile(8) per event_type with a PINNED total order
+    (value, event_id), so identical values split between adjacent bins
+    deterministically in both engines (an unpinned ORDER BY value is
+    the classic nondeterminism trap: Spark and DuckDB would tie-break
+    by physical row order and hash-diverge). One shuffle on event_type
+    carries both the window and the per-bin rollup; bin edges (lo/hi)
+    are raw input doubles — no arithmetic, so no rounding discipline
+    needed."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("bin", F.ntile(8).over(w).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
