@@ -1391,3 +1391,73 @@ def dbscan_eps_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register_extra(
+    "idw_interpolation",
+    f"""
+    {_POINTS_CTE}, t AS ({datagen.SQL_QUAYS}),
+    v AS (SELECT quay_id, lon, lat,
+                 CAST((quay_id * 13) % 97 AS DOUBLE) AS quay_value
+          FROM t),
+    d AS (
+      SELECT p.event_id, v.quay_value,
+             greatest({_HAVERSINE_SQL.replace('t.', 'v.')}, 0.5) AS dm,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY {_HAVERSINE_SQL.replace('t.', 'v.')}, v.quay_id
+             ) AS rn
+      FROM p CROSS JOIN v
+    )
+    SELECT event_id,
+           CAST(round(sum(quay_value / (dm * dm)) / sum(1.0 / (dm * dm)), 4)
+                AS DOUBLE) AS idw_value
+    FROM d WHERE rn <= 3
+    GROUP BY event_id ORDER BY event_id
+    """,
+)
+def idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation (power 2, k=3
+    neighbors, 0.5 m distance clamp against exact-coincidence): the
+    standard gridding/imputation operator — estimate a field value at
+    every point from its nearest measured sites. Rides the gated kNN
+    machinery (broadcast cell index, ring expansion, pinned
+    (dist, quay_id) tie order), so the whole plan stays map-side +
+    one per-point aggregation that reuses the kNN output partitioning.
+    numpy and SQL haversine may differ by ulps; the weights divide
+    distances of ~equal magnitude so the ratio error stays ~1e-15,
+    ten orders under the 4-dp rounding."""
+    pts = datagen.geo_points(spark, sf_dir)
+    quays = datagen.quay_sites(spark, sf_dir).select(
+        "quay_id",
+        "lon",
+        "lat",
+        ((F.col("quay_id") * 13) % 97).cast("double").alias("quay_value"),
+    )
+    nn = knn_join_broadcast(
+        pts,
+        quays.select("quay_id", "lon", "lat"),
+        point_keep=["event_id"],
+        target_id="quay_id",
+        k=3,
+        res=8,
+        max_rings=3,
+    )
+    j = nn.join(
+        F.broadcast(quays.select("quay_id", "quay_value")), "quay_id"
+    ).select(
+        "event_id",
+        "quay_value",
+        F.greatest(F.col("dist_m"), F.lit(0.5)).alias("dm"),
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.round(
+                F.sum(F.col("quay_value") / (F.col("dm") * F.col("dm")))
+                / F.sum(F.lit(1.0) / (F.col("dm") * F.col("dm"))),
+                4,
+            ).alias("idw_value")
+        )
+        .orderBy("event_id")
+    )
