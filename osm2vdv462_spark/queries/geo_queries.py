@@ -1461,3 +1461,56 @@ def idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------------------- geohash
+
+
+def _geohash_sql_expr(precision: int) -> str:
+    from ..functions import geohash
+
+    return geohash.geohash_sql("lon", "lat", precision)
+
+
+@register_extra(
+    "geohash_prefix_rollup",
+    f"""
+    {_POINTS_CTE},
+    g AS (SELECT {_geohash_sql_expr(6)} AS gh6 FROM p)
+    SELECT substr(gh6, 1, 4) AS gh4,
+           count(*) AS n_points,
+           count(DISTINCT gh6) AS n_subcells,
+           min(gh6) AS first_cell,
+           max(gh6) AS last_cell
+    FROM g GROUP BY 1
+    """,
+)
+def geohash_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell counts with the STRING-prefix rollup that is the
+    index family's whole point: substr(gh6, 1, 4) IS the precision-4
+    parent, so hierarchy = string prefix and spatial ranges =
+    lexicographic ranges (the property that lets parquet/Iceberg
+    min/max column stats prune by location when the table is sorted by
+    this key). Encoding is the closed-form pure-Catalyst twin
+    (functions/geohash.py — two floors + shift/mask packing, zero
+    Python, one map pass at any scale); the rollup re-aggregates only
+    gh6 cell rows, never the corpus. min/max cells per prefix ride the
+    same partial agg and double as the range-pruning bounds a sorted
+    layout would expose. Oracle = the same closed form generated as
+    DuckDB SQL; all three twins are bit-checked against a classic
+    bisection geohash + the public 'ezs42' vectors before this query
+    runs (tests/test_geohash.py)."""
+    from ..functions import geohash
+
+    pts = datagen.geo_points(spark, sf_dir)
+    g6 = geohash.with_geohash(pts, "lon", "lat", 6, out="gh6")
+    cells = g6.groupBy("gh6").agg(F.count("*").alias("n_points"))
+    return (
+        cells.groupBy(F.substring("gh6", 1, 4).alias("gh4"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.count("*").alias("n_subcells"),
+            F.min("gh6").alias("first_cell"),
+            F.max("gh6").alias("last_cell"),
+        )
+    )
