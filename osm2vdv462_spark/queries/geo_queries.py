@@ -1514,3 +1514,73 @@ def geohash_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gh6").alias("last_cell"),
         )
     )
+
+
+# ------------------------------------------------------------- hex bins
+
+
+def _hexbin_sql_expr(size: float) -> str:
+    from ..functions import hexgrid
+
+    return hexgrid.hexbin_sql("p.lon", "p.lat", size)
+
+
+_HEX_SIZE = 0.01
+
+
+@register_extra(
+    "hexbin_density",
+    f"""
+    {_POINTS_CTE},
+    h AS (SELECT {_hexbin_sql_expr(_HEX_SIZE)} AS hex_id FROM p),
+    c AS (SELECT hex_id, count(*) AS n_points FROM h GROUP BY 1),
+    u AS (SELECT hex_id, n_points,
+                 (hex_id >> 21) - {1 << 20} AS hq,
+                 (hex_id & {(1 << 21) - 1}) - {1 << 20} AS hr
+          FROM c)
+    SELECT hex_id, hq, hr, n_points,
+           round(CAST({_HEX_SIZE!r} AS DOUBLE)
+                 * CAST({__import__('math').sqrt(3.0)!r} AS DOUBLE)
+                 * (hq + hr / 2.0), 6) AS center_x,
+           round(CAST({_HEX_SIZE!r} AS DOUBLE) * CAST(1.5 AS DOUBLE) * hr,
+                 6) AS center_y
+    FROM u
+    """,
+)
+def hexbin_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-bin density — the H3-style hexagonal cell family of the
+    north rule ("H3/S2 cell-indexed") in its closed-form core: axial
+    coordinates + cube rounding (functions/hexgrid.py), pure-Catalyst
+    whole-stage codegen, zero Python, so binning 10^12 rows is one
+    map pass plus a partial-agg (cell, count) shuffle. Hexagons are
+    the density cell of choice because every point is within one
+    circumradius of its center and all cells have equal area —
+    tests/test_hexgrid.py proves the Voronoi property (assigned
+    center is the nearest of the 7 candidate centers) before this
+    query runs. Centers are recovered from the packed id by integer
+    shifts (no second geometry pass). Oracle = the same cube-rounding
+    algebra generated as DuckDB SQL, bit-identical floor(+0.5)
+    rounding in all three twins (engine round() ties disagree)."""
+    from ..functions import hexgrid
+
+    pts = datagen.geo_points(spark, sf_dir)
+    cells = (
+        hexgrid.with_hexbin(pts, "lon", "lat", _HEX_SIZE)
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    q = hexgrid.hex_q(F.col("hex_id")).alias("hq")
+    r = hexgrid.hex_r(F.col("hex_id")).alias("hr")
+    cells = cells.select("hex_id", q, r, "n_points")
+    return cells.select(
+        "hex_id",
+        "hq",
+        "hr",
+        "n_points",
+        F.round(
+            F.lit(_HEX_SIZE) * hexgrid.SQRT3
+            * (F.col("hq") + F.col("hr") / 2.0),
+            6,
+        ).alias("center_x"),
+        F.round(F.lit(_HEX_SIZE) * 1.5 * F.col("hr"), 6).alias("center_y"),
+    )
