@@ -309,3 +309,105 @@ def gif_images_df(
     return pts.mapInPandas(
         _gen, "image_id string, bytes binary, w int, h int, fmt string"
     )
+
+
+# ---------------------------------------------------------- EXIF geotags
+
+
+def exif_images_df(
+    spark: SparkSession, sf_dir: str, size: int = 16, every: int = 5
+) -> DataFrame:
+    """Images whose geotag lives WHERE CRAWLED IMAGES CARRY IT — in the
+    EXIF APP1 GPS IFD — not in a ready-made lon/lat column. Each kept
+    event row becomes a real baseline JPEG (functions/jpegcodec.py)
+    with a spliced GPS APP1 (functions/exif.py): DMS rationals
+    (0 deg, |m-1000|*60/4000 min, 0 sec) built from the SAME LCG the
+    oracle reconstructs closed-form, ref S/W for negative coordinates;
+    odd event ids write big-endian ('MM') TIFF bodies so both byte
+    orders flow through the corpus. Returns (event_id, data)."""
+    from ..functions import exif, jpegcodec
+
+    pts = datagen.geo_points(spark, sf_dir)
+    if every > 1:
+        pts = pts.filter(F.col("event_id") % every == 0)
+    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                m_lon = (eid * 37 + 11) % 2000
+                m_lat = (eid * 73 + 29) % 2000
+                lat_dms = [(0, 1), (abs(m_lat - 1000) * 60, 4000), (0, 1)]
+                lon_dms = [(0, 1), (abs(m_lon - 1000) * 60, 4000), (0, 1)]
+                app1 = exif.build_gps_app1(
+                    "S" if m_lat < 1000 else "N",
+                    lat_dms,
+                    "W" if m_lon < 1000 else "E",
+                    lon_dms,
+                    byte_order="MM" if eid % 2 else "II",
+                )
+                px = ic.synth_pixels_smooth(eid, size, size)
+                data = exif.insert_app1(
+                    jpegcodec.encode_jpeg(px, quality=JPEG_QUALITY), app1
+                )
+                out.append((eid, bytearray(data)))
+            yield pd.DataFrame(out, columns=["event_id", "data"])
+
+    return pts.select("event_id").mapInPandas(
+        _gen, "event_id bigint, data binary"
+    )
+
+
+def with_exif_gps(images: DataFrame, bytes_col: str = "data") -> DataFrame:
+    """Distributed EXIF GPS extraction: one Arrow-batched pass over the
+    bytes column -> refs + minute rationals (exact integers; doubles
+    are derived downstream only where a kernel needs them). Rows
+    without EXIF GPS keep NULL fields."""
+    from ..functions import exif
+
+    keep = [c for c in images.columns if c != bytes_col]
+    extra = [
+        "lat_ref",
+        "lat_min_num",
+        "lat_min_den",
+        "lon_ref",
+        "lon_min_num",
+        "lon_min_den",
+        "lat_deg",
+        "lon_deg",
+    ]
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in images.select(*keep).dtypes)
+        + ", lat_ref string, lat_min_num bigint, lat_min_den bigint"
+        + ", lon_ref string, lon_min_num bigint, lon_min_den bigint"
+        + ", lat_deg double, lon_deg double"
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for vals in zip(*(pdf[c] for c in keep), pdf[bytes_col]):
+                *head, blob = vals
+                gps = exif.parse_gps(bytes(blob)) if blob is not None else None
+                if gps is None:
+                    rows.append((*head,) + (None,) * 8)
+                    continue
+                lat_ref, lat_dms, lon_ref, lon_dms = gps
+                rows.append(
+                    (
+                        *head,
+                        lat_ref,
+                        int(lat_dms[1][0]),
+                        int(lat_dms[1][1]),
+                        lon_ref,
+                        int(lon_dms[1][0]),
+                        int(lon_dms[1][1]),
+                        exif.dms_to_deg(lat_ref, lat_dms),
+                        exif.dms_to_deg(lon_ref, lon_dms),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=keep + extra)
+
+    return images.mapInPandas(_parse, schema)

@@ -1584,3 +1584,71 @@ def hexbin_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("center_x"),
         F.round(F.lit(_HEX_SIZE) * 1.5 * F.col("hr"), 6).alias("center_y"),
     )
+
+
+# ---------------------------------------------------------- EXIF geotags
+
+
+_EXIF_LEFT_OCT_JOIN = datagen.SQL_OCTAGONS_JOIN.replace(
+    "JOIN nation", "LEFT JOIN nation"
+)
+
+
+@register_extra(
+    "image_exif_geotags",
+    f"""
+    WITH p0 AS ({datagen.SQL_POINTS}),
+    d AS (
+      SELECT event_id, lon, lat,
+        CASE WHEN (event_id * 73 + 29) % 2000 < 1000
+             THEN 'S' ELSE 'N' END AS lat_ref,
+        abs((event_id * 73 + 29) % 2000 - 1000) * 60 AS lat_min_num,
+        CAST(4000 AS BIGINT) AS lat_min_den,
+        CASE WHEN (event_id * 37 + 11) % 2000 < 1000
+             THEN 'W' ELSE 'E' END AS lon_ref,
+        abs((event_id * 37 + 11) % 2000 - 1000) * 60 AS lon_min_num,
+        CAST(4000 AS BIGINT) AS lon_min_den
+      FROM p0 WHERE event_id % 5 = 0
+    )
+    SELECT p.event_id, p.lat_ref, p.lat_min_num, p.lat_min_den,
+           p.lon_ref, p.lon_min_num, p.lon_min_den,
+           n.n_nationkey AS relation_id
+    FROM d AS p {_EXIF_LEFT_OCT_JOIN}
+    """,
+)
+def image_exif_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-corpus geotag path end-to-end: JPEGs whose coordinates
+    live in the EXIF APP1 GPS IFD (functions/exif.py — from-scratch
+    TIFF/EXIF wire format, both byte orders in the corpus), parsed
+    DISTRIBUTED from the bytes column (one Arrow-batched pass), then
+    fed straight into the gated PIP machinery (broadcast cell index ->
+    exact ray-cast) as a LEFT join so unassigned images survive with
+    NULL relation_id. Coordinates cross engines as exact integer
+    RATIONALs (minutes num/den) — the oracle reconstructs them
+    closed-form from the synthesis LCG and replays the octagon
+    predicate algebraically, so the hash gates the EXIF writer, the
+    marker/IFD parser, the DMS reconstruction, AND the spatial join at
+    once. Scale shape: synth is test scaffolding; the real path is
+    bytes-scan -> mapInPandas parse -> map-side PIP -> one thin
+    (event_id, relation_id) join — no corpus shuffle."""
+    from pyspark.sql.types import IntegerType
+
+    from ..pipeline import images as im
+
+    dec = im.with_exif_gps(im.exif_images_df(spark, sf_dir, size=16, every=5))
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    assign = pip_join_broadcast(
+        dec.select("event_id", "lon_deg", "lat_deg"),
+        polys,
+        point_keep=["event_id"],
+        lon="lon_deg",
+        lat="lat_deg",
+        poly_id="relation_id",
+        poly_wkb="geom",
+        res=12,
+    )
+    return (
+        dec.drop("lat_deg", "lon_deg")
+        .join(assign, "event_id", "left")
+        .withColumn("relation_id", F.col("relation_id").cast(IntegerType()))
+    )
