@@ -73,3 +73,71 @@ def triangle_counts_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = G.canonical_edges(pairs, "u", "v")
     return G.triangle_counts(edges).orderBy("node")
+
+
+@register_extra(
+    "bfs_hops_userweb",
+    """
+    WITH RECURSIVE d0 AS (
+      SELECT DISTINCT user_id % 300 AS u,
+             ('0x' || substr(md5('bfs:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 300 AS v
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    seeds AS (SELECT DISTINCT s AS node FROM sym WHERE s % 50 = 0),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT sym.d, w.hop + 1
+      FROM walk w JOIN sym ON sym.s = w.node
+      WHERE w.hop < 6
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hops
+    FROM walk GROUP BY 1 ORDER BY node
+    """,
+)
+def bfs_hops_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (min hops from any seed, bound 6) over the
+    md5-derived interaction graph — the traversal member of the graph
+    family next to triangles / PageRank / connected components. Spark
+    runs the Pregel frontier loop (operators/graph.py::bfs_hops: per
+    level one frontier-edge equi-join + one visited anti-join, lineage
+    cut per level); the oracle is an independent WITH RECURSIVE
+    reachability closure with min-hop aggregation. Integer hops, so
+    the hash is exact with no float discipline needed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(300)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bfs:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 300
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v")
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    out = G.bfs_hops(edges, seeds, max_hops=6)
+    return out.select("node", F.col("hops").cast("int").alias("hops")).orderBy(
+        "node"
+    )
