@@ -39,6 +39,9 @@ HEADLINE = [
     # shared 14, per-query dict is the apples-to-apples surface)
     "audio_adpcm_features",
     "video_frame_stats",
+    # late-r4 addition (16 -> 17 rows): the crawl-corpus geotag path —
+    # EXIF APP1 parse over the bytes column into the PIP join
+    "image_exif_geotags",
 ]
 
 # reported separately from the headline total: the document DAG at

@@ -130,3 +130,54 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("n")
     return visited.select(F.col("n").alias(node), "hops")
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int,
+    node: str = "node",
+) -> DataFrame:
+    """Bounded Bellman-Ford over an undirected weighted edge list
+    (a, b, w): minimum path weight from any seed using at most
+    ``rounds`` edges (nodes unreached within the bound are absent).
+
+    Each round is one relax step: current distances join the symmetric
+    edge list, candidate = dist + w, then a min-agg merges candidates
+    with the standing distances. Unlike BFS the frontier cannot be
+    trimmed to "new" nodes only (a longer-hop path may be CHEAPER), so
+    the iterated datum is the full tentative-distance table — still
+    O(nodes) thin rows, never the corpus, and both the join and the
+    min-agg hash on the same node key so the exchanges line up.
+    Integer weights keep every round exact in both engines (the
+    pagerank e12 discipline, without the fixed point)."""
+    sym = (
+        edges.select(
+            F.col("a").alias("s"), F.col("b").alias("d"), F.col("w")
+        )
+        .unionAll(
+            edges.select(
+                F.col("b").alias("s"), F.col("a").alias("d"), F.col("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            dist.join(sym, dist["n"] == sym["s"])
+            .select(F.col("d").alias("n"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("n").alias(node), "dist")

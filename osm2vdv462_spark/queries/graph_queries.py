@@ -141,3 +141,109 @@ def bfs_hops_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("hops").cast("int").alias("hops")).orderBy(
         "node"
     )
+
+
+def _sssp_iter_sql(prev: str, nxt: str) -> str:
+    return f"""{nxt} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT sym.d AS node, p.dist + sym.w AS dist
+        FROM {prev} p JOIN sym ON sym.s = p.node
+      ) GROUP BY node
+    )"""
+
+
+@register_extra(
+    "sssp_rounds_userweb",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 300 AS u,
+             ('0x' || substr(md5('sssp:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 300 AS v
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    w AS (
+      SELECT a, b,
+             CAST(1 + ('0x' || substr(md5('w:' || CAST(a AS VARCHAR) || ':'
+                       || CAST(b AS VARCHAR)), 1, 7))::BIGINT % 9 AS BIGINT)
+               AS w
+      FROM e
+    ),
+    sym AS (SELECT a AS s, b AS d, w FROM w
+            UNION ALL SELECT b, a, w FROM w),
+    seeds AS (SELECT DISTINCT s AS node FROM sym WHERE s % 60 = 0),
+    r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    """
+    + ",".join(
+        _sssp_iter_sql(p, o)
+        for p, o in [("r0", "i1"), ("i1", "i2"), ("i2", "i3"), ("i3", "i4")]
+    )
+    + """
+    SELECT node, dist FROM i4 ORDER BY node
+    """,
+)
+def sssp_rounds_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford single-source-shortest-path (4 relax
+    rounds, md5-derived integer weights 1..9) over the interaction
+    graph — the weighted companion to bfs_hops_userweb. Spark iterates
+    the tentative-distance table (operators/graph.py::sssp_rounds);
+    the oracle unrolls the same four relaxations as CTEs, the pagerank
+    discipline. Integer distances: the hash is exact by construction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(300)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sssp:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 300
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v").withColumn(
+        "w",
+        (
+            F.lit(1)
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("w:"),
+                            F.col("a").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 9
+        ).cast("long"),
+    )
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .filter(F.col("node") % 60 == 0)
+        .distinct()
+    )
+    return (
+        G.sssp_rounds(edges, seeds, rounds=4)
+        .orderBy("node")
+    )

@@ -112,3 +112,77 @@ def test_bfs_random_vs_serial(spark):
         got = _run_bfs(spark, pairs, seeds, max_hops=4)
         want = _bfs_serial(pairs, seeds, 4)
         assert got == want, (trial, got, want)
+
+
+# ----------------------------------------------------------------- SSSP
+
+
+def _bf_serial(wedges, seeds, rounds):
+    """Textbook round-synchronous Bellman-Ford DP (min cost over paths
+    of <= rounds edges) — independent of the DataFrame form."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v, w in wedges:
+        if u != v:
+            adj[u].append((v, w))
+            adj[v].append((u, w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                if v not in new or d + w < new[v]:
+                    new[v] = d + w
+        dist = new
+    return dist
+
+
+def _run_sssp(spark, wedges, seeds, rounds):
+    df = spark.createDataFrame(wedges, ["u", "v", "w0"])
+    edges = (
+        G.canonical_edges(df, "u", "v")
+        .join(
+            df.selectExpr(
+                "least(u, v) AS a", "greatest(u, v) AS b", "w0"
+            ).groupBy("a", "b").agg({"w0": "min"}).withColumnRenamed(
+                "min(w0)", "w"
+            ),
+            ["a", "b"],
+        )
+    )
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    return {
+        r.node: r.dist
+        for r in G.sssp_rounds(edges, sdf, rounds=rounds).collect()
+    }
+
+
+def test_sssp_prefers_cheap_longer_path(spark):
+    # 0-1-2 costs 1+1=2 beats direct 0-2 cost 9 (needs >1 round)
+    wedges = [(0, 1, 1), (1, 2, 1), (0, 2, 9)]
+    assert _run_sssp(spark, wedges, [0], rounds=1) == {0: 0, 1: 1, 2: 9}
+    assert _run_sssp(spark, wedges, [0], rounds=2) == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_random_vs_serial(spark):
+    rng = random.Random(43)
+    for trial in range(2):
+        n = 40
+        wedges = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 10))
+            for _ in range(90)
+        ]
+        # collapse parallel edges to min weight like the operator input
+        seeds = sorted({rng.randrange(n) for _ in range(2)})
+        got = _run_sssp(spark, wedges, seeds, rounds=3)
+        dedup = {}
+        for u, v, w in wedges:
+            if u == v:
+                continue
+            k = (min(u, v), max(u, v))
+            dedup[k] = min(dedup.get(k, 99), w)
+        want = _bf_serial(
+            [(a, b, w) for (a, b), w in dedup.items()], seeds, 3
+        )
+        assert got == want, (trial, got, want)
