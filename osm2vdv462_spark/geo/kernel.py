@@ -620,3 +620,48 @@ def predicate_pairs(
     for r in np.nonzero(inter)[0]:
         out[r] = touches(geoms[ai[r]], geoms[bi[r]])
     return out
+
+
+# ------------------------------------------------------ linear referencing
+
+
+def snap_to_segments(
+    px: np.ndarray,
+    py: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Nearest-segment snap (the ST_ClosestPoint / ST_LineLocatePoint
+    pair) in the planar working frame: for each point, the index of the
+    closest segment (ties -> lowest index), the clamped projection
+    fraction t in [0, 1] along it, and the squared distance.
+
+    Vectorized points x segments; the projection is the textbook
+    t = clamp(((p-a)·(b-a)) / |b-a|^2, 0, 1), degenerate (a == b)
+    segments treated as points (t = 0). The arithmetic is plain IEEE
+    +/*/÷ in a FIXED order so the DuckDB oracle can replay it
+    bit-identically (no trig — distances stay in the working frame;
+    callers convert to meters only for display, after rounding).
+
+    Reference parity: the PPR path stitcher resolves path points onto
+    member edges (routing.py R2-R5 family); this kernel is that
+    resolution step exposed as a first-class linear-referencing op.
+    """
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    ax = np.asarray(ax, np.float64)[None, :]
+    ay = np.asarray(ay, np.float64)[None, :]
+    dx = np.asarray(bx, np.float64)[None, :] - ax
+    dy = np.asarray(by, np.float64)[None, :] - ay
+    seg2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg2
+    t = np.where(seg2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    idx = np.argmin(d2, axis=1)  # first minimum = lowest segment index
+    rows = np.arange(len(idx))
+    return idx, t[rows, idx], d2[rows, idx]

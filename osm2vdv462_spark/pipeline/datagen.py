@@ -124,3 +124,37 @@ def quay_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-0.22) + 0.043 * F.col("s_suppkey")).alias("lon"),
         (F.lit(-0.09) + 0.017 * F.col("s_suppkey")).alias("lat"),
     )
+
+
+# ---- edge segments from `nation` ------------------------------------------
+# 25 short segments with varied (integer-derived, trig-free) directions
+# anchored at the octagon grid centers — the linear-referencing layer
+# (snap/ST_ClosestPoint queries). Quays are deliberately NOT used: the
+# quay formula is collinear, which would degenerate nearest-segment
+# ties.
+
+SQL_EDGE_SEGMENTS = """
+SELECT
+  n_nationkey AS edge_id,
+  CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey % 5) AS ax,
+  CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey // 5) AS ay,
+  CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey % 5)
+    + CAST(0.017 AS DOUBLE) * ((n_nationkey * 7) % 5 - 2) AS bx,
+  CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey // 5)
+    + CAST(0.013 AS DOUBLE) * ((n_nationkey * 3) % 7 - 3) AS by
+FROM nation
+"""
+
+
+def edge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    ax = F.lit(-0.2) + 0.1 * (k % 5)
+    ay = F.lit(-0.2) + 0.1 * F.floor(k / 5)
+    return nat.select(
+        k.alias("edge_id"),
+        ax.alias("ax"),
+        ay.alias("ay"),
+        (ax + 0.017 * ((k * 7) % 5 - 2)).alias("bx"),
+        (ay + 0.013 * ((k * 3) % 7 - 3)).alias("by"),
+    )

@@ -1652,3 +1652,104 @@ def image_exif_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assign, "event_id", "left")
         .withColumn("relation_id", F.col("relation_id").cast(IntegerType()))
     )
+
+
+# ------------------------------------------------------ linear referencing
+
+
+@register_extra(
+    "snap_points_to_edges",
+    f"""
+    {_POINTS_CTE},
+    e AS ({datagen.SQL_EDGE_SEGMENTS}),
+    c AS (
+      SELECT p.event_id, e.edge_id, p.lon, p.lat, e.ax, e.ay,
+             e.bx - e.ax AS dx, e.by - e.ay AS dy
+      FROM p CROSS JOIN e
+    ),
+    t0 AS (SELECT *, dx * dx + dy * dy AS seg2 FROM c),
+    t1 AS (
+      SELECT *, CASE WHEN seg2 = 0 THEN CAST(0 AS DOUBLE)
+        ELSE least(greatest(((lon - ax) * dx + (lat - ay) * dy) / seg2,
+                            CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) END AS t
+      FROM t0
+    ),
+    d AS (
+      SELECT event_id, edge_id, t,
+        (lon - (ax + t * dx)) * (lon - (ax + t * dx))
+        + (lat - (ay + t * dy)) * (lat - (ay + t * dy)) AS d2
+      FROM t1
+    ),
+    r AS (
+      SELECT event_id, edge_id, t, d2,
+        row_number() OVER (PARTITION BY event_id ORDER BY d2, edge_id) AS rn
+      FROM d
+    )
+    SELECT event_id, edge_id, round(t, 6) AS frac,
+           round(sqrt(d2), 7) AS dist_deg
+    FROM r WHERE rn = 1
+    """,
+)
+def snap_points_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing: snap every point to its nearest edge segment
+    — the ST_ClosestPoint / ST_LineLocatePoint pair (map-matching's
+    core step, and the resolution the reference's path stitcher does
+    when it locates path points on member ways). The segment layer is
+    dimension-sized, so the plan is the kNN broadcast shape: edges are
+    collect_dim'd into a vectorized numpy kernel
+    (geo/kernel.py::snap_to_segments — fixed-order IEEE algebra, ties
+    to the lowest edge_id) and the point table is scanned ONCE
+    map-side, no shuffle at all; the rounded (frac, dist) leave the
+    kernel, raw doubles never cross engines. A degenerate (a == b)
+    edge is in the layer on purpose — the point-snap branch is gated
+    too. For fact-sized edge layers the cell-cover candidate join
+    (operators/spatial_join.py) replaces the broadcast, same algebra.
+    Oracle: the identical projection algebra replayed stepwise in SQL
+    over the cross join + row_number top-1."""
+    import pandas as pd
+
+    from ..geo import kernel as K
+    from ..operators._guard import collect_dim
+
+    edges = sorted(
+        (
+            (r["edge_id"], r["ax"], r["ay"], r["bx"], r["by"])
+            for r in collect_dim(
+                datagen.edge_segments(spark, sf_dir),
+                "snap_points_to_edges edge dim",
+            )
+        ),
+    )
+    import numpy as np
+
+    ids = np.array([e[0] for e in edges], dtype=np.int64)
+    ax = np.array([e[1] for e in edges])
+    ay = np.array([e[2] for e in edges])
+    bx = np.array([e[3] for e in edges])
+    by = np.array([e[4] for e in edges])
+
+    pts = datagen.geo_points(spark, sf_dir)
+
+    def _snap(batches):
+        for pdf in batches:
+            idx, t, d2 = K.snap_to_segments(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), ax, ay, bx, by
+            )
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "edge_id": ids[idx],
+                    "t": t,
+                    "d2": d2,
+                }
+            )
+
+    out = pts.mapInPandas(
+        _snap, "event_id bigint, edge_id bigint, t double, d2 double"
+    )
+    return out.select(
+        "event_id",
+        "edge_id",
+        F.round("t", 6).alias("frac"),
+        F.round(F.sqrt("d2"), 7).alias("dist_deg"),
+    )

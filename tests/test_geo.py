@@ -455,3 +455,62 @@ class TestSphericalArea:
         assert abs(got - want) < 1e-6
         # reversed winding: |.| makes ring area orientation-free
         assert abs(kernel.ring_area_m2(outer[::-1]) - kernel.ring_area_m2(outer)) < 1e-9
+
+
+# ------------------------------------------------------ linear referencing
+
+
+class TestSnapToSegments:
+    def test_hand_checked_projection(self):
+        idx, t, d2 = kernel.snap_to_segments(
+            [1.0], [1.0], [0.0], [0.0], [2.0], [0.0]
+        )
+        assert idx[0] == 0 and t[0] == 0.5 and d2[0] == 1.0
+
+    def test_clamps_beyond_endpoints(self):
+        idx, t, d2 = kernel.snap_to_segments(
+            [3.0, -1.0], [0.0, 0.0], [0.0], [0.0], [2.0], [0.0]
+        )
+        assert t.tolist() == [1.0, 0.0] and d2.tolist() == [1.0, 1.0]
+
+    def test_degenerate_segment_is_a_point(self):
+        idx, t, d2 = kernel.snap_to_segments(
+            [1.0], [0.0], [5.0], [5.0], [5.0], [5.0]
+        )
+        assert t[0] == 0.0 and abs(d2[0] - 41.0) < 1e-12
+
+    def test_tie_takes_lowest_index(self):
+        idx, _, _ = kernel.snap_to_segments(
+            [1.0], [1.0], [0.0, 0.0], [0.0, 0.0], [2.0, 2.0], [0.0, 0.0]
+        )
+        assert idx[0] == 0
+
+    def test_random_vs_serial_bruteforce(self):
+        rng = np.random.default_rng(47)
+        n_pts, n_seg = 300, 12
+        px = rng.uniform(-5, 5, n_pts)
+        py = rng.uniform(-5, 5, n_pts)
+        sa = rng.uniform(-5, 5, (n_seg, 2))
+        sb = rng.uniform(-5, 5, (n_seg, 2))
+        sb[3] = sa[3]  # one degenerate
+        idx, t, d2 = kernel.snap_to_segments(
+            px, py, sa[:, 0], sa[:, 1], sb[:, 0], sb[:, 1]
+        )
+        for i in range(n_pts):
+            best = None
+            for j in range(n_seg):
+                axj, ayj = sa[j]
+                bxj, byj = sb[j]
+                dx, dy = bxj - axj, byj - ayj
+                s2 = dx * dx + dy * dy
+                tt = 0.0 if s2 == 0 else min(
+                    max(((px[i] - axj) * dx + (py[i] - ayj) * dy) / s2, 0.0),
+                    1.0,
+                )
+                cx, cy = axj + tt * dx, ayj + tt * dy
+                dd = (px[i] - cx) ** 2 + (py[i] - cy) ** 2
+                if best is None or dd < best[2]:
+                    best = (j, tt, dd)
+            assert idx[i] == best[0]
+            assert abs(t[i] - best[1]) < 1e-12
+            assert abs(d2[i] - best[2]) < 1e-12
