@@ -168,3 +168,137 @@ def zonal_stats(
             F.round(F.col("sum_v") / F.col("n_px"), 4).alias("mean_v"),
         )
     )
+
+
+# ------------------------------------------------------------ focal stats
+
+
+def focal_stats36(tiles: DataFrame, px: int) -> DataFrame:
+    """3x3 focal (neighborhood) mean over a tiled raster with a REAL
+    HALO EXCHANGE — the distributed stencil pattern every focal/
+    convolution raster op needs at scale.
+
+    Input: (cell bigint, band binary) — px*px uint8 tiles on the
+    geo/cells.py grid. Each tile ships its center band to itself and
+    only the adjacent EDGE STRIPS (px bytes) / CORNER PIXELS (1 byte)
+    to its 8 neighbors, so the shuffle carries ~(1 + 4/px) x the
+    raster, not 9x. One groupBy(cell) assembles the (px+2)^2 padded
+    block and the convolution is 9 shifted adds, vectorized.
+
+    Boundary semantics: the mean is over the neighbors PRESENT in the
+    input (map-edge handling). For rectangular tile blocks every pixel
+    has 4, 6, or 9 neighbors — all divide 36 — so the per-pixel focal
+    mean is returned as the EXACT integer ``foc36 = 36 * sum / count``
+    and every aggregate of it is order-independent (the DECIMAL-moment
+    discipline, integer edition). A non-rectangular block (hole in the
+    coverage) can yield counts of 5, 7, or 8; that breaks exactness
+    and raises rather than silently rounding.
+
+    Output: one row per input tile —
+    (cell, n_px, sum_foc36, min_foc36, max_foc36)."""
+    import pandas as pd
+
+    def _emit(batches):
+        for pdf in batches:
+            out = []
+            for cell, band in zip(pdf["cell"], pdf["band"]):
+                cell = int(cell)
+                r, ix, iy = _cells.unpack(np.array([cell], np.int64))
+                r, ix, iy = int(r[0]), int(ix[0]), int(iy[0])
+                arr = np.frombuffer(bytes(band), np.uint8).reshape(px, px)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        tix, tiy = ix - dx, iy - dy
+                        if tix < 0 or tiy < 0:
+                            continue
+                        tgt = int(
+                            _cells.pack(
+                                r,
+                                np.array([tix], np.int64),
+                                np.array([tiy], np.int64),
+                            )[0]
+                        )
+                        isel = (
+                            slice(None)
+                            if dy == 0
+                            else (slice(px - 1, px) if dy == -1 else slice(0, 1))
+                        )
+                        jsel = (
+                            slice(None)
+                            if dx == 0
+                            else (slice(px - 1, px) if dx == -1 else slice(0, 1))
+                        )
+                        out.append(
+                            (tgt, dx, dy, bytearray(arr[isel, jsel].tobytes()))
+                        )
+            yield pd.DataFrame(
+                out, columns=["cell", "dx", "dy", "payload"]
+            )
+
+    msgs = tiles.mapInPandas(
+        _emit, "cell bigint, dx int, dy int, payload binary"
+    )
+
+    def _assemble(pdf):
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            # halo messages addressed to a tile absent from the input
+            empty = np.array([], np.int64)
+            return pd.DataFrame(
+                {
+                    "cell": empty,
+                    "n_px": empty,
+                    "sum_foc36": empty,
+                    "min_foc36": empty,
+                    "max_foc36": empty,
+                }
+            )
+        cell = int(pdf["cell"].iloc[0])
+        val = np.zeros((px + 2, px + 2), np.int64)
+        pres = np.zeros((px + 2, px + 2), bool)
+        for dx, dy, payload in zip(pdf["dx"], pdf["dy"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+            ii = (
+                slice(1, px + 1)
+                if dy == 0
+                else (slice(0, 1) if dy == -1 else slice(px + 1, px + 2))
+            )
+            jj = (
+                slice(1, px + 1)
+                if dx == 0
+                else (slice(0, 1) if dx == -1 else slice(px + 1, px + 2))
+            )
+            h = px if dy == 0 else 1
+            w = px if dx == 0 else 1
+            val[ii, jj] = arr.reshape(h, w)
+            pres[ii, jj] = True
+        acc = np.zeros((px, px), np.int64)
+        cnt = np.zeros((px, px), np.int64)
+        for u in range(3):
+            for v in range(3):
+                acc += val[u : u + px, v : v + px] * pres[u : u + px, v : v + px]
+                cnt += pres[u : u + px, v : v + px]
+        foc36 = acc * 36
+        if (foc36 % cnt).any():
+            raise ValueError(
+                "focal_stats36 requires rectangular tile coverage "
+                "(neighbor counts must divide 36)"
+            )
+        foc36 //= cnt
+        return pd.DataFrame(
+            [
+                (
+                    cell,
+                    px * px,
+                    int(foc36.sum()),
+                    int(foc36.min()),
+                    int(foc36.max()),
+                )
+            ],
+            columns=["cell", "n_px", "sum_foc36", "min_foc36", "max_foc36"],
+        )
+
+    return msgs.groupBy("cell").applyInPandas(
+        _assemble,
+        "cell bigint, n_px bigint, sum_foc36 bigint, "
+        "min_foc36 bigint, max_foc36 bigint",
+    )

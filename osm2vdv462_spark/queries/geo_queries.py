@@ -1753,3 +1753,96 @@ def snap_points_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t", 6).alias("frac"),
         F.round(F.sqrt("d2"), 7).alias("dist_deg"),
     )
+
+
+# ------------------------------------------------------------ focal raster
+
+
+_FOCAL_R, _FOCAL_PX = 12, 16
+_FOCAL_IX0, _FOCAL_IY0 = 4090, 2042  # near (0 deg, 0 deg); no edge wrap
+
+
+@register_extra(
+    "raster_focal_stats",
+    f"""
+    WITH g AS (
+      SELECT CAST({_FOCAL_IX0} + n_nationkey % 5 AS BIGINT) AS ix,
+             CAST({_FOCAL_IY0} + n_nationkey // 5 AS BIGINT) AS iy
+      FROM nation
+    ),
+    pxls AS (
+      SELECT ix * {_FOCAL_PX} + rj.j AS gx, iy * {_FOCAL_PX} + ri.i AS gy,
+             (rj.j * 7 + ri.i * 11
+              + (((CAST({_FOCAL_R} AS BIGINT) << 57) | (ix << 28) | iy)
+                 % 9973) * 13) % 256 AS val
+      FROM g, range({_FOCAL_PX}) rj(j), range({_FOCAL_PX}) ri(i)
+    ),
+    f AS (
+      SELECT p.gx, p.gy,
+             (CAST(sum(n.val) AS BIGINT) * 36) // count(*) AS foc36
+      FROM pxls p JOIN pxls n
+        ON n.gx BETWEEN p.gx - 1 AND p.gx + 1
+       AND n.gy BETWEEN p.gy - 1 AND p.gy + 1
+      GROUP BY 1, 2
+    )
+    SELECT (CAST({_FOCAL_R} AS BIGINT) << 57)
+             | ((gx // {_FOCAL_PX}) << 28) | (gy // {_FOCAL_PX}) AS cell,
+           count(*) AS n_px,
+           round(CAST(sum(foc36) AS DOUBLE) / {36 * _FOCAL_PX * _FOCAL_PX}.0,
+                 4) AS avg_focal,
+           round(CAST(min(foc36) AS DOUBLE) / 36.0, 4) AS min_focal,
+           round(CAST(max(foc36) AS DOUBLE) / 36.0, 4) AS max_focal
+    FROM f GROUP BY 1
+    """,
+)
+def raster_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal mean over a tiled raster through a REAL distributed
+    halo exchange (operators/raster.py::focal_stats36): tiles ship only
+    edge strips/corner pixels to neighbors, one groupBy assembles the
+    padded block, the convolution is 9 shifted adds. The x36 integer
+    focal value makes every aggregate order-independent (counts 4/6/9
+    at rectangle edges all divide 36), so the hash is exact with no
+    float discipline beyond the final display rounding. The 5x5 tile
+    block derives from `nation`; bands are the closed-form synth
+    pattern, so the DuckDB oracle recomputes the whole stencil from
+    scratch on a flat pixel table (range x range self-join) — an
+    implementation with nothing in common with the halo plan."""
+    import pandas as pd
+
+    from ..operators.raster import focal_stats36, synth_band
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    cells_df = nat.select(
+        (
+            F.lit(_FOCAL_R).cast("long") * (1 << 57)
+            + F.shiftleft(F.lit(_FOCAL_IX0).cast("long") + k % 5, 28)
+            + (F.lit(_FOCAL_IY0).cast("long") + F.floor(k / 5))
+        ).alias("cell")
+    )
+
+    def _bands(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "cell": pdf["cell"],
+                    "band": [
+                        bytearray(
+                            synth_band(int(c), _FOCAL_PX).tobytes()
+                        )
+                        for c in pdf["cell"]
+                    ],
+                }
+            )
+
+    tiles = cells_df.mapInPandas(_bands, "cell bigint, band binary")
+    out = focal_stats36(tiles, _FOCAL_PX)
+    return out.select(
+        "cell",
+        "n_px",
+        F.round(
+            F.col("sum_foc36") / float(36 * _FOCAL_PX * _FOCAL_PX), 4
+        ).alias("avg_focal"),
+        F.round(F.col("min_foc36") / 36.0, 4).alias("min_focal"),
+        F.round(F.col("max_foc36") / 36.0, 4).alias("max_focal"),
+    )
