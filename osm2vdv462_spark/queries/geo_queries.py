@@ -1846,3 +1846,128 @@ def raster_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("min_foc36") / 36.0, 4).alias("min_focal"),
         F.round(F.col("max_foc36") / 36.0, 4).alias("max_focal"),
     )
+
+
+@register_extra(
+    "line_interpolate_points",
+    """
+    WITH seg0 AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS line_id, r.i AS seg_i,
+        CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey % 5) AS cx,
+        CAST(-0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (n_nationkey // 5) AS cy,
+        CAST(0.011 AS DOUBLE) * ((n_nationkey * 7 + r.i * 3) % 5 - 2) AS dx,
+        CAST(0.009 AS DOUBLE) * ((n_nationkey * 5 + r.i * 7) % 7 - 3) AS dy
+      FROM nation, range(3) r(i)
+    ),
+    seg AS (
+      SELECT line_id, seg_i, dx, dy,
+        cx + COALESCE(sum(dx) OVER (PARTITION BY line_id ORDER BY seg_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ax,
+        cy + COALESCE(sum(dy) OVER (PARTITION BY line_id ORDER BY seg_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ay,
+        sqrt(dx * dx + dy * dy) AS len,
+        COALESCE(sum(sqrt(dx * dx + dy * dy)) OVER (PARTITION BY line_id
+              ORDER BY seg_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        sum(sqrt(dx * dx + dy * dy))
+          OVER (PARTITION BY line_id) AS total_len
+      FROM seg0
+    ),
+    j AS (
+      SELECT e.event_id, s.line_id, s.seg_i, s.ax, s.ay, s.dx, s.dy,
+             s.len, s.cum,
+             ((e.event_id % 100) / 100.0) * s.total_len AS st
+      FROM events e JOIN seg s ON s.line_id = e.event_id % 25
+    ),
+    q AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seg_i)
+               AS rn
+      FROM j WHERE cum + len >= st
+    ),
+    t AS (
+      SELECT event_id, line_id, seg_i,
+             CASE WHEN len = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (st - cum) / len END AS tt,
+             ax, ay, dx, dy
+      FROM q WHERE rn = 1
+    )
+    SELECT event_id, line_id, CAST(seg_i AS INT) AS seg_i,
+           round(ax + tt * dx, 7) AS px,
+           round(ay + tt * dy, 7) AS py
+    FROM t
+    """,
+)
+def line_interpolate_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineInterpolatePoint: walk each event's fraction (0..0.99)
+    along its assigned 4-vertex polyline — cumulative arc-length
+    search, then linear interpolation inside the found segment. With
+    snap_points_to_edges (ST_ClosestPoint/ST_LineLocatePoint) this
+    completes the linear-referencing pair. ENTIRELY pure Catalyst: the
+    polyline layer is 75 closed-form segment rows (broadcast), the
+    search is a filter + row_number window, and three of the lines
+    carry a zero-length segment on purpose (the CASE len=0 branch is
+    gated). Ordered window sums make the cumulative lengths
+    bit-identical across engines; only the rounded interpolated point
+    leaves the plan. Oracle = the same recurrence in SQL windows."""
+    from pyspark.sql import Window
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    seg0 = nat.select(
+        k.alias("line_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("seg_i"),
+    )
+    i = F.col("seg_i")
+    kk = F.col("line_id")
+    seg0 = seg0.select(
+        "line_id",
+        "seg_i",
+        (F.lit(-0.2) + 0.1 * (kk % 5)).alias("cx"),
+        (F.lit(-0.2) + 0.1 * F.floor(kk / 5)).alias("cy"),
+        (F.lit(0.011) * ((kk * 7 + i * 3) % 5 - 2)).alias("dx"),
+        (F.lit(0.009) * ((kk * 5 + i * 7) % 7 - 3)).alias("dy"),
+    )
+    w_prev = (
+        Window.partitionBy("line_id")
+        .orderBy("seg_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("line_id")
+    ln = F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+    seg = seg0.select(
+        "line_id",
+        "seg_i",
+        "dx",
+        "dy",
+        (F.col("cx") + F.coalesce(F.sum("dx").over(w_prev), F.lit(0.0))).alias(
+            "ax"
+        ),
+        (F.col("cy") + F.coalesce(F.sum("dy").over(w_prev), F.lit(0.0))).alias(
+            "ay"
+        ),
+        ln.alias("len"),
+        F.coalesce(F.sum(ln).over(w_prev), F.lit(0.0)).alias("cum"),
+        F.sum(ln).over(w_all).alias("total_len"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    j = ev.join(
+        F.broadcast(seg), seg["line_id"] == ev["event_id"] % 25
+    ).withColumn(
+        "st", ((F.col("event_id") % 100) / 100.0) * F.col("total_len")
+    )
+    w_pick = Window.partitionBy("event_id").orderBy("seg_i")
+    q = (
+        j.filter(F.col("cum") + F.col("len") >= F.col("st"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+    )
+    tt = F.when(F.col("len") == 0, F.lit(0.0)).otherwise(
+        (F.col("st") - F.col("cum")) / F.col("len")
+    )
+    return q.select(
+        "event_id",
+        "line_id",
+        F.col("seg_i").cast("int").alias("seg_i"),
+        F.round(F.col("ax") + tt * F.col("dx"), 7).alias("px"),
+        F.round(F.col("ay") + tt * F.col("dy"), 7).alias("py"),
+    )

@@ -514,3 +514,34 @@ class TestSnapToSegments:
             assert idx[i] == best[0]
             assert abs(t[i] - best[1]) < 1e-12
             assert abs(d2[i] - best[2]) < 1e-12
+
+
+class TestLineInterpolate:
+    def test_points_lie_on_their_polyline(self, spark, sf_dir):
+        from osm2vdv462_spark.queries.geo_queries import (
+            line_interpolate_points,
+        )
+
+        rows = line_interpolate_points(spark, sf_dir).collect()
+        assert len(rows) > 0
+        # rebuild the vertex chains serially and verify each output
+        # point sits on its selected segment (within rounding) and
+        # f = 0 lands exactly on the first vertex
+        for r in rows[:400]:
+            k = r["line_id"]
+            vx = -0.2 + 0.1 * (k % 5)
+            vy = -0.2 + 0.1 * (k // 5)
+            verts = [(vx, vy)]
+            for i in range(3):
+                vx += 0.011 * ((k * 7 + i * 3) % 5 - 2)
+                vy += 0.009 * ((k * 5 + i * 7) % 7 - 3)
+                verts.append((vx, vy))
+            a = verts[r["seg_i"]]
+            b = verts[r["seg_i"] + 1]
+            _, _, d2 = kernel.snap_to_segments(
+                [r["px"]], [r["py"]], [a[0]], [a[1]], [b[0]], [b[1]]
+            )
+            assert d2[0] < 1e-12
+            if r["event_id"] % 100 == 0:
+                assert abs(r["px"] - verts[0][0]) < 1e-6
+                assert abs(r["py"] - verts[0][1]) < 1e-6
