@@ -411,3 +411,58 @@ def with_exif_gps(images: DataFrame, bytes_col: str = "data") -> DataFrame:
             yield pd.DataFrame(rows, columns=keep + extra)
 
     return images.mapInPandas(_parse, schema)
+
+
+def with_patch_stats(images: DataFrame, patch: int = 8) -> DataFrame:
+    """Decode -> ViT-style patch decomposition: the image splits into a
+    (h/patch) x (w/patch) grid and each patch reports integer stats of
+    the per-pixel channel sum (e-4 fixed-point mean via floor division
+    — the pixel_stats discipline, so the oracle reproduces every value
+    exactly). This is the preprocessing shape of every
+    patch-embedding vision pipeline (ViT/CLIP): one decode, then
+    per-patch reductions, emitted as (image, patch_row, patch_col)
+    rows ready for a downstream embedding stage."""
+
+    def _stats(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(
+                    np.int64
+                )
+                t = px.sum(axis=2)
+                h, w = t.shape
+                for pr in range(h // patch):
+                    for pc in range(w // patch):
+                        blk = t[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        out.append(
+                            (
+                                row.image_id,
+                                pr,
+                                pc,
+                                (int(blk.sum()) * 10000)
+                                // (3 * patch * patch),
+                                int(blk.min()),
+                                int(blk.max()),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id",
+                    "patch_row",
+                    "patch_col",
+                    "mean_gray_e4",
+                    "t_min",
+                    "t_max",
+                ],
+            )
+
+    return images.mapInPandas(
+        _stats,
+        "image_id string, patch_row int, patch_col int,"
+        " mean_gray_e4 bigint, t_min int, t_max int",
+    )

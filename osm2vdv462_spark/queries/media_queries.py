@@ -1448,3 +1448,38 @@ def image_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form stats. Integer arithmetic end-to-end."""
     imgs = im.gif_images_df(spark, sf_dir, every=50)
     return im.with_pixel_stats(imgs).orderBy("image_id")
+
+
+_PATCH_STATS_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id, y // 8 AS patch_row, x // 8 AS patch_col,
+         ((x*7 + e.event_id*13) % 256)
+       + ((y*11 + e.event_id*29) % 256)
+       + (((x+y)*5 + e.event_id*53) % 256) AS t
+  FROM e CROSS JOIN yx
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       CAST((sum(t) * 10000) // 192 AS BIGINT) AS mean_gray_e4,
+       CAST(min(t) AS INT) AS t_min,
+       CAST(max(t) AS INT) AS t_max
+FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+@register_extra("image_patch_stats", _PATCH_STATS_ORACLE)
+def image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch decomposition through the REAL decode path: PNG
+    decode -> 4x4 grid of 8x8 patches -> integer per-patch stats (e-4
+    fixed-point means, floor division — no float parity traps). The
+    preprocessing half of a patch-embedding vision pipeline, emitted as
+    (image, patch_row, patch_col) rows a downstream embedding stage
+    consumes; the oracle recomputes every patch from the pixel closed
+    form. mean_gray_e4 divisor 192 = 3 channels x 64 pixels."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_patch_stats(imgs).orderBy(
+        "image_id", "patch_row", "patch_col"
+    )
