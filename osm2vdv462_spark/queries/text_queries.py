@@ -1554,3 +1554,146 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------- power iteration
+
+
+def _pc_iter_sql(x: str, vprev: str, s: str, w: str, v: str) -> str:
+    """One power-iteration round as CTE text (DECIMAL-exact sums)."""
+    return f"""{s} AS (
+      SELECT x.vec_id,
+             CAST(sum(CAST(x.x * v.w AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM {x} x JOIN {vprev} v ON v.j = x.j GROUP BY 1
+    ),
+    {w} AS (
+      SELECT x.j, sum(CAST(x.x * s.s AS DECIMAL(38,18))) AS wsum
+      FROM {x} x JOIN {s} s ON s.vec_id = x.vec_id GROUP BY 1
+    ),
+    {v} AS (
+      SELECT j, CAST(wsum AS DOUBLE) / (
+        SELECT sqrt(CAST(sum(CAST(
+          CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE)
+          AS DECIMAL(38,18))) AS DOUBLE)) FROM {w}
+      ) AS w
+      FROM {w}
+    )"""
+
+
+@register_extra(
+    "embedding_top_pc_projection",
+    """
+    WITH x AS (
+      SELECT vec_id, label, u.j AS j, embedding[u.j + 1] AS x
+      FROM embeddings, unnest(range(64)) AS u(j)
+    ),
+    v0 AS (SELECT u.j AS j, CAST(0.125 AS DOUBLE) AS w
+           FROM unnest(range(64)) AS u(j)),
+    """
+    + _pc_iter_sql("x", "v0", "s1", "w1", "v1")
+    + ","
+    + _pc_iter_sql("x", "v1", "s2", "w2", "v2")
+    + """,
+    sf AS (
+      SELECT x.vec_id,
+             CAST(sum(CAST(x.x * v.w AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM x JOIN v2 v ON v.j = x.j GROUP BY 1
+    )
+    SELECT e.label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(sf.s AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS mean_proj
+    FROM embeddings e JOIN sf ON sf.vec_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration for the corpus's top principal
+    direction (2 rounds from the exact v0 = 1/8 vector), then per-label
+    mean projections — the iterative-linear-algebra member of the ML
+    family next to k-means (IVF) and PageRank. Every floating sum that
+    crosses a shuffle is per-row quantized to DECIMAL(38,18) and summed
+    exactly (the bigram-LM / trend-line discipline), so each round is
+    bit-reproducible regardless of partitioning, merge order, or
+    engine; the only driver-side datum per round is the 64-long
+    component vector (collect_dim'd — dimension-sized by definition).
+    Scale shape: the exploded corpus is hash-partitioned by vec_id
+    ONCE (lineage-cut); every round's per-vector dot (groupBy vec_id,
+    decimal sums — Spark's decimal SUM preserves scale where a
+    chained decimal `+` would clamp it, which is why the dot is an
+    aggregate and not an F.aggregate array fold) and the s-join reuse
+    that partitioning, so the only per-round Exchange is the 64-key
+    (j, decimal) component aggregation. The oracle unrolls both
+    rounds as CTEs over an indexed unnest."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators._guard import collect_dim
+
+    D = 64
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    # one exploded, vec_id-partitioned form serves every round: the
+    # per-vector dot (groupBy vec_id) and the s-join reuse this
+    # partitioning, so each round's only new Exchange is the 64-key
+    # (j, decimal) component aggregation
+    pe = (
+        emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+        .repartition("vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def s_table(v):
+        vlit = F.array(*[F.lit(float(wj)) for wj in v])
+        prod = (
+            F.col("x").cast("double")
+            * F.element_at(vlit, F.col("j") + 1)
+        ).cast("decimal(38,18)")
+        return (
+            pe.select("vec_id", prod.alias("p"))
+            .groupBy("vec_id")
+            .agg(F.sum("p").cast("double").alias("s"))
+        )
+
+    v = [0.125] * D
+    for _ in range(2):
+        st = s_table(v)
+        sums = (
+            pe.join(st, "vec_id")
+            .select(
+                "j",
+                (F.col("x").cast("double") * F.col("s")).cast(
+                    "decimal(38,18)"
+                ).alias("c"),
+            )
+            .groupBy("j")
+            .agg(F.sum("c").alias("wsum"))
+        )
+        rows = collect_dim(sums, "embedding_top_pc component")
+        wmap = {int(r["j"]): r["wsum"] for r in rows}
+        wd = [float(wmap[j]) for j in range(D)]
+        norm2 = sum(
+            (
+                Decimal(wj * wj).quantize(
+                    Decimal("1e-18"), rounding=ROUND_HALF_UP
+                )
+                for wj in wd
+            ),
+            Decimal(0),
+        )
+        nrm = math.sqrt(float(norm2))
+        v = [wj / nrm for wj in wd]
+
+    proj = emb.select("vec_id", "label").join(s_table(v), "vec_id")
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_proj"),
+        )
+        .orderBy("label")
+    )
