@@ -1971,3 +1971,50 @@ def line_interpolate_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ax") + tt * F.col("dx"), 7).alias("px"),
         F.round(F.col("ay") + tt * F.col("dy"), 7).alias("py"),
     )
+
+
+@register_extra(
+    "streaming_geofence_counts",
+    f"""
+    {_POINTS_CTE.replace("WITH p AS (", "WITH p0 AS (")},
+    p AS (SELECT p0.*, e.ts FROM p0 JOIN events e USING (event_id))
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', p.ts)) AS BIGINT)
+             AS window_start_epoch,
+           n.n_nationkey AS relation_id,
+           count(*) AS n
+    FROM p {datagen.SQL_OCTAGONS_JOIN}
+    GROUP BY 1, 2
+    """,
+)
+def streaming_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofencing (geo x streaming): live geotagged rows
+    stream-static-joined against the octagon fence layer (broadcast
+    theta join, pure Catalyst) -> watermarked per-fence window counts,
+    drained with Trigger.AvailableNow. Complements
+    streaming_tile_counts (cell algebra, no membership) and
+    streaming_interval_join (stream-stream): this row gates the
+    STREAM-STATIC join mode. Oracle = exact batch semantics
+    (time_bucket + the algebraic octagon membership)."""
+    import os
+    import tempfile
+
+    from ..streaming import geo as sg
+
+    work = tempfile.mkdtemp(prefix="stream_fence_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet"))
+    out = os.path.join(work, "out")
+    df = sg.windowed_geofence_counts_stream(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        f"{sf_dir}/nation.parquet",
+    )
+    sg.drain_available_now(df, out, os.path.join(work, "ckpt"))
+    return spark.read.parquet(out).select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "relation_id",
+        "n",
+    )

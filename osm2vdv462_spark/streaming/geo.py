@@ -61,3 +61,57 @@ def drain_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def windowed_geofence_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    nation_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming GEOFENCE rollup: a stream of geotagged rows inner-
+    joined STREAM-STATIC against the stop-area octagon layer (the
+    membership predicate as a broadcast theta join — pure Catalyst, no
+    Python), then watermarked tumbling-window counts per polygon. The
+    stream-static join is the live-enrichment shape (fences/dimensions
+    are slowly changing and broadcastable; Spark re-resolves the static
+    side per micro-batch); state is again two longs per
+    (window, fence). With a fact-sized fence layer the broadcast
+    becomes the cell-index candidate join — same downstream."""
+    from ..pipeline.datagen import GRID_LAT0, GRID_LON0, GRID_STEP, OCT_A, OCT_B
+
+    static = (
+        spark.read.parquet(nation_path)
+        .select(
+            F.col("n_nationkey").cast("int").alias("relation_id"),
+            (F.lit(GRID_LON0) + GRID_STEP * (F.col("n_nationkey") % 5)).alias(
+                "cx"
+            ),
+            (
+                F.lit(GRID_LAT0)
+                + GRID_STEP * F.floor(F.col("n_nationkey") / 5)
+            ).alias("cy"),
+        )
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    lon = F.lit(-0.25) + ((F.col("event_id") * 37 + 11) % 2000) / 4000.0
+    lat = F.lit(-0.25) + ((F.col("event_id") * 73 + 29) % 2000) / 4000.0
+    pts = stream.select("ts", lon.alias("lon"), lat.alias("lat"))
+    dx = F.abs(F.col("lon") - F.col("cx"))
+    dy = F.abs(F.col("lat") - F.col("cy"))
+    j = pts.join(
+        F.broadcast(static),
+        (dx < OCT_A) & (dy < OCT_A) & (dx + dy < OCT_B),
+    )
+    return (
+        j.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "relation_id")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            "relation_id",
+            F.col("count").alias("n"),
+        )
+    )
