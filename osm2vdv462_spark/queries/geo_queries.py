@@ -2018,3 +2018,78 @@ def streaming_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation_id",
         "n",
     )
+
+
+# ------------------------------------------------------- cover compaction
+
+
+@register_extra(
+    "compact_cell_cover",
+    """
+    WITH k AS (SELECT DISTINCT event_id % 144 AS k FROM events),
+    c12 AS (
+      SELECT 4088 + k % 12 AS ix, 2040 + k // 12 AS iy FROM k
+      WHERE ((4088 + k % 12) * 3 + (2040 + k // 12) * 7) % 11 <> 0
+    ),
+    p11 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS n
+            FROM c12 GROUP BY 1, 2),
+    keep12 AS (
+      SELECT (CAST(12 AS BIGINT) << 57) | (ix << 28) | iy AS cell,
+             CAST(12 AS INT) AS res
+      FROM c12
+      WHERE NOT EXISTS (SELECT 1 FROM p11 f WHERE f.n = 4
+                        AND f.ix = c12.ix // 2 AND f.iy = c12.iy // 2)
+    ),
+    c11 AS (SELECT ix, iy FROM p11 WHERE n = 4),
+    p10 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS n
+            FROM c11 GROUP BY 1, 2),
+    keep11 AS (
+      SELECT (CAST(11 AS BIGINT) << 57) | (ix << 28) | iy AS cell,
+             CAST(11 AS INT) AS res
+      FROM c11
+      WHERE NOT EXISTS (SELECT 1 FROM p10 f WHERE f.n = 4
+                        AND f.ix = c11.ix // 2 AND f.iy = c11.iy // 2)
+    ),
+    keep10 AS (
+      SELECT (CAST(10 AS BIGINT) << 57) | (ix << 28) | iy AS cell,
+             CAST(10 AS INT) AS res
+      FROM p10 WHERE n = 4
+    )
+    SELECT cell, res FROM keep12
+    UNION ALL SELECT cell, res FROM keep11
+    UNION ALL SELECT cell, res FROM keep10
+    """,
+)
+def compact_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style covering COMPACTION: a 12x12 res-12 cell block with
+    deterministic holes collapses to its minimal mixed-resolution form
+    (complete 2x2 quads promoted to parents, two levels). Compacted
+    covers are the normalized region-filter representation — 4-64x
+    fewer join keys, identical semantics — and the promotion relation
+    is the same quadtree id shift the pyramids roll up on
+    (operators/spatial_join.py::compact_cells: per level one
+    groupBy(parent) + one anti join, rows only shrink). The oracle
+    replays both levels as grouped counts + tuple anti-membership;
+    pytest proves expansion back to leaves reproduces the input set
+    exactly."""
+    from ..operators.spatial_join import compact_cells
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("k")
+    cover = (
+        ev.select((F.col("event_id") % 144).alias("k"))
+        .distinct()
+        .select(
+            (F.lit(4088).cast("long") + k % 12).alias("ix"),
+            (F.lit(2040).cast("long") + F.floor(k / 12)).alias("iy"),
+        )
+        .filter((F.col("ix") * 3 + F.col("iy") * 7) % 11 != 0)
+        .select(
+            (
+                F.lit(12).cast("long") * (1 << 57)
+                + F.shiftleft("ix", 28)
+                + F.col("iy")
+            ).alias("cell")
+        )
+    )
+    return compact_cells(cover, res=12, min_res=10)

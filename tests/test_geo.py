@@ -545,3 +545,36 @@ class TestLineInterpolate:
             if r["event_id"] % 100 == 0:
                 assert abs(r["px"] - verts[0][0]) < 1e-6
                 assert abs(r["py"] - verts[0][1]) < 1e-6
+
+
+class TestCompactCells:
+    def test_expansion_reproduces_the_leaf_set(self, spark, sf_dir):
+        """Compaction must be lossless: expanding every output cell
+        back to res-12 leaves reproduces the input cover exactly."""
+        from osm2vdv462_spark.queries.geo_queries import compact_cell_cover
+
+        rows = compact_cell_cover(spark, sf_dir).collect()
+        assert len(rows) > 0
+        by_res = {}
+        leaves = set()
+        for r in rows:
+            by_res[r["res"]] = by_res.get(r["res"], 0) + 1
+            res, ix, iy = (
+                r["cell"] >> 57,
+                (r["cell"] >> 28) & ((1 << 29) - 1),
+                r["cell"] & ((1 << 28) - 1),
+            )
+            assert res == r["res"]
+            f = 1 << (12 - res)
+            for a in range(f):
+                for b in range(f):
+                    leaves.add((ix * f + a, iy * f + b))
+        want = {
+            (4088 + k % 12, 2040 + k // 12)
+            for k in range(144)
+            if ((4088 + k % 12) * 3 + (2040 + k // 12) * 7) % 11 != 0
+        }
+        assert leaves == want
+        # compaction actually happened at both levels
+        assert by_res.get(11, 0) > 0 and by_res.get(10, 0) > 0
+        assert sum(by_res.values()) < len(want)
