@@ -417,3 +417,63 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+@register_extra(
+    "ohlc_hourly_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS bucket_epoch,
+             ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket_epoch,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical time-series rollup: per
+    (series, hour) the first value, extremes, and last value. Open and
+    close are ORDER-SENSITIVE selections, so they carry the pinned
+    (ts, event_id) total order (the A7/O1 discipline: an unpinned
+    first_value is nondeterministic under retries and across engines);
+    high/low/count are plain aggregates. No arithmetic touches the
+    values — pure selection — so raw doubles hash bit-identically with
+    no rounding step. One exchange on (event_type, bucket) serves both
+    window sorts and the rollup."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    b = ev.select(
+        "event_type", bucket.alias("bucket_epoch"), "ts", "event_id", "value"
+    )
+    w_a = Window.partitionBy("event_type", "bucket_epoch").orderBy(
+        "ts", "event_id"
+    )
+    w_d = Window.partitionBy("event_type", "bucket_epoch").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = b.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return b.groupBy("event_type", "bucket_epoch").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
