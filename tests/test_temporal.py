@@ -41,21 +41,31 @@ def test_pivot_pinned_values_runs_no_distinct_job(spark, sf_dir):
     # distinct() value-discovery job an unpinned pivot() runs over the
     # fact table. The parquet read itself may schedule listing jobs, so
     # measure the DELTA of each variant against the shared read.
+    # count jobs inside a DEDICATED job group: under the shared suite
+    # session, unrelated async jobs (checkpoint GC, AQE probes from
+    # neighbouring tests) otherwise race the delta and flake it
     tracker = spark.sparkContext.statusTracker()
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sc = spark.sparkContext
 
-    def jobs() -> int:
-        return len(tracker.getJobIdsForGroup() or [])
+    def jobs(group: str) -> int:
+        return len(tracker.getJobIdsForGroup(group) or [])
 
-    before = jobs()
-    pinned = o.groupBy("o_orderpriority").pivot(
-        "o_orderstatus", ["O", "F", "P"]
-    ).agg(F.count(F.lit(1)))
-    pinned_delta = jobs() - before
-
-    before = jobs()
-    o.groupBy("o_orderpriority").pivot("o_orderstatus").agg(F.count(F.lit(1)))
-    unpinned_delta = jobs() - before
+    sc.setJobGroup("pivot_probe_pinned", "pinned pivot laziness probe")
+    try:
+        pinned = o.groupBy("o_orderpriority").pivot(
+            "o_orderstatus", ["O", "F", "P"]
+        ).agg(F.count(F.lit(1)))
+        pinned_delta = jobs("pivot_probe_pinned")
+    finally:
+        sc.setJobGroup("pivot_probe_unpinned", "unpinned pivot probe")
+    try:
+        o.groupBy("o_orderpriority").pivot("o_orderstatus").agg(
+            F.count(F.lit(1))
+        )
+        unpinned_delta = jobs("pivot_probe_unpinned")
+    finally:
+        sc.setJobGroup("", "")
 
     assert pinned_delta == 0, "pivot() with pinned values must stay lazy"
     assert unpinned_delta >= 1, "unpinned pivot() should eagerly discover values"
