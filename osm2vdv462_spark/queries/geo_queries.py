@@ -2093,3 +2093,46 @@ def compact_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return compact_cells(cover, res=12, min_res=10)
+
+
+@register_extra(
+    "image_count_pushdown",
+    f"""
+    SELECT count(*) AS n_rows,
+           TRUE AS meta_files_used,
+           TRUE AS partial_files_scanned
+    FROM ({_IMAGES_SELECT}) WHERE lon >= {_LON_CUT}
+    """,
+)
+def image_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered mostly from MANIFEST METADATA (the public
+    Iceberg/DuckDB aggregate-pushdown optimization,
+    sources/snaptable.py::count_rows): on the lon-clustered image
+    table, files whose min/max prove every row matches `lon >= cut`
+    are counted from footer row counts with ZERO data IO; only the
+    boundary files are scanned with the predicate re-applied. The
+    in-query asserts pin the plan shape — at least one file counted
+    purely from metadata AND fewer files scanned than exist — so the
+    gate fails if the pushdown silently degrades to a full scan. At
+    10^12 rows this is the difference between a dashboard count in
+    manifest-read time and a corpus scan. Oracle = the plain filtered
+    count over the closed-form table."""
+    import tempfile
+
+    from ..pipeline import images as im
+    from ..sources import snaptable as st
+
+    imgs = im.images_df(spark, sf_dir, every=10)
+    work = tempfile.mkdtemp(prefix="imgcount_")
+    st.create_table(imgs, work, cluster_by="lon", files_hint=8)
+    report: dict = {}
+    n = st.count_rows(
+        spark, work, filters=[("lon", ">=", _LON_CUT)], report=report
+    )
+    assert report["files_meta_counted"] > 0, report
+    assert report["files_scanned"] < report["files_total"], report
+    return spark.createDataFrame(
+        [(n, True, True)],
+        "n_rows bigint, meta_files_used boolean,"
+        " partial_files_scanned boolean",
+    )

@@ -886,3 +886,77 @@ def read_table(
     for col, op, val in filters or []:
         df = df.filter(_cmp(col, op, val))
     return df
+
+
+def count_rows(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot: int | None = None,
+    filters: list[tuple] | None = None,
+    report: dict | None = None,
+) -> int:
+    """COUNT(*) with aggregate pushdown into the manifests (the public
+    Iceberg/DuckDB metadata-count optimization): files whose min/max
+    prove EVERY row matches the filters are counted from their footer
+    row counts with zero data IO; only boundary files (stats overlap
+    the predicate) are actually scanned, with the row-level predicate
+    re-applied. Falls back to a full scan-count when merge-on-read
+    deletes are pending (metadata rows would overcount).
+
+    ``report`` receives {files_total, files_meta_counted,
+    files_scanned, rows_from_metadata} so callers can assert the
+    metadata path actually fired."""
+    plan = plan_scan(table_path, snapshot=snapshot, filters=filters)
+    conds = filters or []
+    if plan["deletes"] or plan["eq_deletes"]:
+        df = read_table(
+            spark, table_path, snapshot=snapshot, filters=filters
+        )
+        n = df.count()
+        if report is not None:
+            report.update(
+                {
+                    "files_total": plan["files_total"],
+                    "files_meta_counted": 0,
+                    "files_scanned": plan["files_scanned"],
+                    "rows_from_metadata": 0,
+                    "fallback": "merge-on-read deletes pending",
+                }
+            )
+        return n
+    full = [f for f in plan["entries"] if _fully_covered(f, conds)]
+    full_paths = {f["path"] for f in full}
+    partial = [f for f in plan["entries"] if f["path"] not in full_paths]
+    meta_rows = sum(f["stats"]["rows"] for f in full)
+    n = meta_rows
+    if partial:
+        schema = StructType.fromJson(plan["schema"])
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, f["path"]) for f in partial]
+        )
+        for col, op, val in conds:
+            c = F.col(col)
+            pred = (
+                c.isin(list(val))
+                if op == "in"
+                else {
+                    "==": c == val,
+                    "<": c < val,
+                    "<=": c <= val,
+                    ">": c > val,
+                    ">=": c >= val,
+                }[op]
+            )
+            df = df.filter(pred)
+        n += df.count()
+    if report is not None:
+        report.update(
+            {
+                "files_total": plan["files_total"],
+                "files_meta_counted": len(full),
+                "files_scanned": len(partial),
+                "rows_from_metadata": meta_rows,
+            }
+        )
+    return n

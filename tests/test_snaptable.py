@@ -722,3 +722,47 @@ class TestBloom:
         got = st.read_table(spark, path)
         assert got.filter(F.col("event_id").isin(doomed)).count() == 0
         assert got.count() == df.count() - len(doomed)
+
+
+class TestMetadataCount:
+    def test_count_matches_scan_and_uses_metadata(self, spark, tmp_path):
+        import pandas as pd
+
+        from osm2vdv462_spark.sources import snaptable as st
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": range(1000), "v": [i % 7 for i in range(1000)]}
+            )
+        )
+        t = str(tmp_path / "tbl")
+        st.create_table(df, t, cluster_by="k", files_hint=5)
+        rep: dict = {}
+        n = st.count_rows(spark, t, filters=[("k", ">=", 300)], report=rep)
+        assert n == 700
+        assert rep["files_meta_counted"] > 0
+        assert rep["files_scanned"] < rep["files_total"]
+        assert rep["rows_from_metadata"] + (n - rep["rows_from_metadata"]) == n
+        # unfiltered count: pure metadata, zero scans
+        rep2: dict = {}
+        assert st.count_rows(spark, t, report=rep2) == 1000
+        assert rep2["files_scanned"] == 0
+        assert rep2["rows_from_metadata"] == 1000
+
+    def test_delete_pending_falls_back_correctly(self, spark, tmp_path):
+        import pandas as pd
+
+        from osm2vdv462_spark.sources import snaptable as st
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": range(100), "v": [i % 7 for i in range(100)]}
+            )
+        )
+        t = str(tmp_path / "tbl2")
+        st.create_table(df, t, cluster_by="k", files_hint=2)
+        st.delete_where(t, [("k", ">=", 30), ("k", "<", 40)])
+        rep: dict = {}
+        n = st.count_rows(spark, t, report=rep)
+        assert n == 90
+        assert rep.get("fallback") or rep["files_meta_counted"] >= 0
