@@ -42,6 +42,9 @@ for _d in range(15):
         _ZZ.append((_r, _d - _r))
 ZIGZAG_ROW = np.array([r for r, c in _ZZ], np.int64)
 ZIGZAG_COL = np.array([c for r, c in _ZZ], np.int64)
+# raster flat index -> zigzag position (full.ravel() = blk[_ZZ_INV])
+_ZZ_INV = np.empty(64, np.int64)
+_ZZ_INV[ZIGZAG_ROW * 8 + ZIGZAG_COL] = np.arange(64)
 
 # Annex-K-style base quantization tables (the public JPEG example
 # tables); encoder-only — the decoder always reads tables from DQT.
@@ -140,13 +143,40 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return codes
 
 
+_QUANT_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
 def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """libjpeg-style quality scaling of the base tables."""
+    """libjpeg-style quality scaling of the base tables (cached — a
+    corpus encodes millions of images at a handful of qualities)."""
     q = min(max(int(quality), 1), 100)
+    hit = _QUANT_CACHE.get(q)
+    if hit is not None:
+        return hit
     scale = 5000 // q if q < 50 else 200 - 2 * q
     ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
     qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
-    return ql.astype(np.int64), qc.astype(np.int64)
+    out = (ql.astype(np.int64), qc.astype(np.int64))
+    _QUANT_CACHE[q] = out
+    return out
+
+
+def _code_list(bits: list[int], vals: list[int], size: int) -> list:
+    """Symbol-indexed [(code, length)] list — list indexing in the
+    entropy loop beats a dict probe per symbol."""
+    codes = _canonical_codes(bits, vals)
+    return [codes.get(s, (0, 0)) for s in range(size)]
+
+
+# encoder tables are fixed (embedded in DHT) — build once at import
+_DC_CODES = (
+    _code_list(_DC_LUMA_BITS, _DC_LUMA_VALS, 16),
+    _code_list(_DC_CHROMA_BITS, _DC_CHROMA_VALS, 16),
+)
+_AC_CODES = (
+    _code_list(_AC_LUMA_BITS, _AC_LUMA_VALS, 256),
+    _code_list(_AC_CHROMA_BITS, _AC_CHROMA_VALS, 256),
+)
 
 
 # -------------------------------------------------------------- encoder
@@ -189,8 +219,11 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) float blocks (level-shifted) -> quantized int coeffs."""
-    coeffs = np.einsum("ux,nxy,vy->nuv", _C, plane, _C, optimize=True)
+    """(n, 8, 8) float blocks (level-shifted) -> quantized int coeffs.
+    matmul, not einsum: einsum's per-call path search costs more than
+    the contraction itself on the small block stacks a thumbnail-sized
+    corpus image produces."""
+    coeffs = (_C @ plane) @ _C.T
     return np.round(coeffs / q).astype(np.int64)
 
 
@@ -259,34 +292,57 @@ def encode_jpeg(
         q = ql if ci == 0 else qc
         comp_blocks.append(_fdct_quant(_blocks_of(p - 128.0), q))
 
-    dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
-                _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
-    ac_codes = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
-                _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    # batched zigzag + trailing-nonzero scan per component — the
+    # per-block numpy fancy-index/tolist was the encoder's hottest line
+    zz_flat = (ZIGZAG_ROW * 8 + ZIGZAG_COL).tolist()
+    comp_seqs = []
+    comp_last = []
+    for blocks in comp_blocks:
+        seqs = blocks.reshape(-1, 64)[:, zz_flat]
+        nz = seqs[:, 1:] != 0
+        last = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        comp_seqs.append(seqs.tolist())
+        comp_last.append(last.tolist())
 
-    bw = _BitWriter()
+    out_scan = bytearray()
+    acc = 0
+    nbits = 0
     pred = [0, 0, 0]
-    zz_r, zz_c = ZIGZAG_ROW, ZIGZAG_COL
 
-    def emit_block(blk: np.ndarray, ci: int):
+    def put(value: int, length: int):
+        # inline bit writer (closure state, fused code+extra puts —
+        # method-call overhead per symbol dominated the entropy stage)
+        nonlocal acc, nbits
+        acc = (acc << length) | value
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out_scan.append(b)
+            if b == 0xFF:  # byte stuffing
+                out_scan.append(0)
+        acc &= (1 << nbits) - 1
+
+    def emit_block(seq: list, last_nz: int, ci: int):
+        # the bit writer is inlined here with a DEFERRED drain (bits
+        # accumulate in acc and spill to bytes only when >= 64 are
+        # pending, fully at block end) — a put() call per symbol was
+        # ~30% of encode time
+        nonlocal acc, nbits
         tsel = 0 if ci == 0 else 1
-        dcc, acc_ = dc_codes[tsel], ac_codes[tsel]
-        dc = int(blk[0, 0])
+        dcc, acc_ = _DC_CODES[tsel], _AC_CODES[tsel]
+        dc = seq[0]
         diff = dc - pred[ci]
         pred[ci] = dc
-        size, bits = _magnitude(diff)
+        if diff:
+            size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            bits = diff if diff > 0 else diff + (1 << size) - 1
+        else:
+            size = bits = 0
         code, ln = dcc[size]
-        bw.put(code, ln)
-        bw.put(bits, size)
-        # plain Python ints in the symbol loop: numpy scalar indexing
-        # is ~10x the cost per coefficient
-        seq = blk[zz_r, zz_c].tolist()
+        acc = (acc << (ln + size)) | (code << size) | bits
+        nbits += ln + size
         run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if seq[k]:
-                last_nz = k
-                break
         for k in range(1, last_nz + 1):
             v = seq[k]
             if v == 0:
@@ -294,46 +350,66 @@ def encode_jpeg(
                 continue
             while run > 15:
                 code, ln = acc_[0xF0]  # ZRL
-                bw.put(code, ln)
+                acc = (acc << ln) | code
+                nbits += ln
                 run -= 16
-            size, bits = _magnitude(int(v))
+            size = v.bit_length() if v > 0 else (-v).bit_length()
+            bits = v if v > 0 else v + (1 << size) - 1
             code, ln = acc_[(run << 4) | size]
-            bw.put(code, ln)
-            bw.put(bits, size)
+            acc = (acc << (ln + size)) | (code << size) | bits
+            nbits += ln + size
             run = 0
+            if nbits >= 64:
+                while nbits >= 8:
+                    nbits -= 8
+                    b = (acc >> nbits) & 0xFF
+                    out_scan.append(b)
+                    if b == 0xFF:  # byte stuffing
+                        out_scan.append(0)
+                acc &= (1 << nbits) - 1
         if last_nz < 63:
             code, ln = acc_[0x00]  # EOB
-            bw.put(code, ln)
+            acc = (acc << ln) | code
+            nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out_scan.append(b)
+            if b == 0xFF:  # byte stuffing
+                out_scan.append(0)
+        acc &= (1 << nbits) - 1
 
-    # MCU walk
+    # MCU walk (block indices into the per-component batched arrays)
     bpr = [plane_dims[c][1] // 8 for c in range(3)]
     if subsample == "444":
         mh, mw = (h + 7) // 8, (w + 7) // 8
 
         def mcu_blocks(my, mx):
             for ci in range(3):
-                yield comp_blocks[ci][my * bpr[ci] + mx], ci
+                yield my * bpr[ci] + mx, ci
     else:
         mh, mw = (h + 15) // 16, (w + 15) // 16
 
         def mcu_blocks(my, mx):
             for dy in range(2):
                 for dx in range(2):
-                    yield comp_blocks[0][(my * 2 + dy) * bpr[0] + mx * 2 + dx], 0
-            yield comp_blocks[1][my * bpr[1] + mx], 1
-            yield comp_blocks[2][my * bpr[2] + mx], 2
+                    yield (my * 2 + dy) * bpr[0] + mx * 2 + dx, 0
+            yield my * bpr[1] + mx, 1
+            yield my * bpr[2] + mx, 2
 
     rst = 0
     for idx in range(mh * mw):
         if restart_interval and idx and idx % restart_interval == 0:
-            bw.flush()
-            bw.out += bytes([0xFF, 0xD0 + rst])
+            if nbits:
+                put((1 << (8 - nbits)) - 1, 8 - nbits)  # flush: pad with 1s
+            out_scan += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             pred[0] = pred[1] = pred[2] = 0
         my, mx = divmod(idx, mw)
-        for blk, ci in mcu_blocks(my, mx):
-            emit_block(blk, ci)
-    bw.flush()
+        for bi, ci in mcu_blocks(my, mx):
+            emit_block(comp_seqs[ci][bi], comp_last[ci][bi], ci)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
 
     # ------------------------------------------------ container markers
     def seg(marker: int, payload: bytes) -> bytes:
@@ -342,7 +418,7 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in ((0, ql), (1, qc)):
-        zz = q[zz_r, zz_c].astype(np.uint8).tobytes()
+        zz = q[ZIGZAG_ROW, ZIGZAG_COL].astype(np.uint8).tobytes()
         out += seg(0xFFDB, bytes([tid]) + zz)
     sf = (hs << 4) | vs
     sof = struct.pack(">BHHB", 8, h, w, 3)
@@ -359,7 +435,7 @@ def encode_jpeg(
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
-    out += bw.out
+    out += out_scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -407,74 +483,32 @@ def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
     return t
 
 
-class _BitReader:
-    """MSB-first reader over destuffed entropy bytes."""
-
-    __slots__ = ("data", "pos", "acc", "n")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self):
-        while self.n <= 48:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc = self.acc << 8  # zero-pad past the end
-            self.n += 8
-
-    def peek16(self) -> int:
-        if self.n < 16:
-            self._fill()
-        return (self.acc >> (self.n - 16)) & 0xFFFF
-
-    def skip(self, k: int):
-        self.n -= k
-        self.acc &= (1 << self.n) - 1
-
-    def receive(self, k: int) -> int:
-        if k == 0:
-            return 0
-        if self.n < k:
-            self._fill()
-        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
-        self.skip(k)
-        return v
-
-
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def _destuff(scan: bytes) -> list[bytes]:
     """Entropy-coded bytes -> restart-interval segments, 0xFF00
-    unstuffed, RSTn as boundaries."""
+    unstuffed, RSTn as boundaries. Skips between 0xFF occurrences with
+    bytes.find (0xFF is rare in entropy data — a per-byte Python loop
+    paid ~25ns/byte on marker-free spans)."""
     segs = []
     cur = bytearray()
     i = 0
     n = len(scan)
-    while i < n:
-        b = scan[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+    while True:
+        j = scan.find(0xFF, i)
+        if j < 0:
+            cur += scan[i:]
             break
-        m = scan[i + 1]
+        if j + 1 >= n:
+            cur += scan[i:j]
+            break
+        cur += scan[i:j]
+        m = scan[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:  # real marker terminates the scan
             break
     segs.append(bytes(cur))
@@ -588,43 +622,69 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     segments = _destuff(scan_data)
     mcu_per_seg = restart if restart else mcus_y * mcus_x
-    zz_r, zz_c = ZIGZAG_ROW, ZIGZAG_COL
     mcu_index = 0
     total_mcus = mcus_y * mcus_x
     seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
     pred = [0] * len(comps)
     seg_count = 0
-    idct_blocks: list[tuple[int, int, int, np.ndarray]] = []
+
+    # per-component decode tables hoisted to flat-list locals, and the
+    # bit reader inlined as plain-int loop state: acc carries >= nb
+    # logical stream bits in its low end (peek/receive mask, so stale
+    # high bits are harmless — the fill mask just bounds int size)
+    tabs = []
+    for ci in range(len(comps)):
+        td, ta = tsel_by_comp[ci]
+        dct, act = huff[(0, td)], huff[(1, ta)]
+        tabs.append((dct.sym, dct.length, act.sym, act.length))
+    # zigzag coefficient rows + block-grid coords, batched per component
+    comp_coeffs: list[list[list[int]]] = [[] for _ in comps]
+    comp_by: list[list[int]] = [[] for _ in comps]
+    comp_bx: list[list[int]] = [[] for _ in comps]
+
+    seg = next(seg_iter) + b"\x00" * 64  # zero-pad past the end
+    acc = 0
+    nb = 0
+    pos = 0
     while mcu_index < total_mcus:
         if restart and seg_count == mcu_per_seg:
-            reader = _BitReader(next(seg_iter))
+            seg = next(seg_iter) + b"\x00" * 64
+            acc = nb = pos = 0
             pred = [0] * len(comps)
             seg_count = 0
         my, mx = divmod(mcu_index, mcus_x)
         for ci, dy, dx in order:
-            td, ta = tsel_by_comp[ci]
-            dct, act = huff[(0, td)], huff[(1, ta)]
-            peek = reader.peek16()
-            size = dct.sym[peek]
-            ln = dct.length[peek]
+            dsym, dlen, asym, alen = tabs[ci]
+            # --- DC: one fill guarantees >= 32 bits, enough for the
+            # longest code (16) + magnitude extra bits (<= 15)
+            while nb < 32:
+                acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFFFFFF
+                pos += 1
+                nb += 8
+            peek = (acc >> (nb - 16)) & 0xFFFF
+            ln = dlen[peek]
             if ln == 0:
                 raise ValueError("invalid DC Huffman code")
-            reader.skip(ln)
-            diff = _extend(reader.receive(size), size)
-            pred[ci] += diff
-            # plain Python list in the symbol loop (numpy scalar
-            # assignment is ~10x the cost per coefficient)
+            size = dsym[peek]
+            nb -= ln
+            if size:
+                v = (acc >> (nb - size)) & ((1 << size) - 1)
+                nb -= size
+                pred[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
             blk = [0] * 64
             blk[0] = pred[ci]
             k = 1
             while k < 64:
-                peek = reader.peek16()
-                sym = act.sym[peek]
-                ln = act.length[peek]
+                while nb < 32:
+                    acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFFFFFF
+                    pos += 1
+                    nb += 8
+                peek = (acc >> (nb - 16)) & 0xFFFF
+                ln = alen[peek]
                 if ln == 0:
                     raise ValueError("invalid AC Huffman code")
-                reader.skip(ln)
+                sym = asym[peek]
+                nb -= ln
                 run, size = sym >> 4, sym & 0xF
                 if size == 0:
                     if run == 15:
@@ -634,27 +694,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += run
                 if k > 63:
                     raise ValueError("AC run past end of block")
-                blk[k] = _extend(reader.receive(size), size)
+                v = (acc >> (nb - size)) & ((1 << size) - 1)
+                nb -= size
+                blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 k += 1
-            full = np.zeros((8, 8), np.int64)
-            full[zz_r, zz_c] = blk
-            _, hs, vs, qsel = comps[ci]
-            deq = full * qt[qsel]
-            by = (my * vs + dy) * 8
-            bx = (mx * hs + dx) * 8
-            idct_blocks.append((ci, by, bx, deq))
+            _, hs, vs, _ = comps[ci]
+            comp_coeffs[ci].append(blk)
+            comp_by[ci].append(my * vs + dy)
+            comp_bx[ci].append(mx * hs + dx)
         seg_count += 1
         mcu_index += 1
 
-    # batch IDCT per component (one einsum over all its blocks)
-    by_comp: dict[int, list] = {}
-    for ci, by, bx, deq in idct_blocks:
-        by_comp.setdefault(ci, []).append((by, bx, deq))
-    for ci, items in by_comp.items():
-        stack = np.stack([d for _, _, d in items]).astype(np.float64)
-        spat = np.einsum("xu,nuv,yv->nxy", _C.T, stack, _C.T, optimize=True) + 128.0
-        for (by, bx, _), s in zip(items, spat):
-            planes[ci][by : by + 8, bx : bx + 8] = s
+    # batched dezigzag + dequant + IDCT + scatter per component (the
+    # per-block numpy alloc/fancy-index/einsum-path was ~half the cost)
+    for ci, (cid, hs, vs, qsel) in enumerate(comps):
+        blks = comp_coeffs[ci]
+        if not blks:
+            continue
+        arr = np.array(blks, np.int64)  # (n, 64) in zigzag order
+        deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(-1, 8, 8)
+        spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
+        plane = planes[ci]
+        view = plane.reshape(plane.shape[0] // 8, 8, plane.shape[1] // 8, 8)
+        view[np.asarray(comp_by[ci]), :, np.asarray(comp_bx[ci]), :] = spat
 
     # upsample chroma to full size, crop, color-convert
     full_planes = []
