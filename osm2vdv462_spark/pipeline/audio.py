@@ -237,6 +237,118 @@ def with_frame_features(
     )
 
 
+SPECTRAL_BINS = (1, 2, 3, 5, 8, 13, 21, 34)
+SPECTRAL_SCALE = 16384  # Q14 twiddle fixed point
+
+
+def spectral_twiddles(
+    frame: int = FRAME, bins: tuple = SPECTRAL_BINS
+) -> tuple[np.ndarray, np.ndarray]:
+    """Q14 integer DFT twiddles: wc[i,j] = round(cos(2*pi*bin_i*j/frame)
+    * 16384), ws likewise with sin. The DuckDB oracle regenerates this
+    exact table in SQL with the same operand association
+    ((2*pi())*(bin*j))/frame and the same libm cos/sin on identical
+    doubles, so the per-bin re/im become pure integer sums that hash
+    bit-exactly across engines (tests/test_audio.py pins numpy ==
+    DuckDB twiddle equality so a libm divergence fails loudly, not as
+    a silent oracle mismatch)."""
+    j = np.arange(frame, dtype=np.int64)
+    wc = np.empty((len(bins), frame), np.int64)
+    ws = np.empty((len(bins), frame), np.int64)
+    for i, b in enumerate(bins):
+        angle = (2 * np.pi) * (b * j) / float(frame)
+        wc[i] = np.round(np.cos(angle) * SPECTRAL_SCALE).astype(np.int64)
+        ws[i] = np.round(np.sin(angle) * SPECTRAL_SCALE).astype(np.int64)
+    return wc, ws
+
+
+def with_spectral_bins(
+    audio: DataFrame,
+    frame: int = FRAME,
+    bins: tuple = SPECTRAL_BINS,
+    spb: int = audiocodec.SPB,
+) -> DataFrame:
+    """Framed integer DFT (the spectrogram row a speech/music curation
+    pass filters on): per clip frame and probe bin, the Q14 fixed-point
+    Fourier coefficients re = sum(v * wc), im = -sum(v * ws) and the
+    quantized power floor((re^2 + im^2) / 2^28).
+
+    Scale shape: one map-side pass (decode -> (clips, frames, frame)
+    stack -> ONE int64 matmul against the (bins, frame) twiddle table)
+    — no shuffle, no per-row Python; output rows = clips x frames x
+    bins. At 10^12 clips this is embarrassingly parallel per input
+    split, exactly like with_frame_features. Integer end-to-end: the
+    matmul is exact (|v| <= 2^15, |w| <= 2^14, frame = 400 => |re| <=
+    2.2e14 < 2^63), and the only float step, power quantization, is a
+    single-rounded double expression replayed identically by the
+    oracle."""
+    wc, ws = spectral_twiddles(frame, bins)
+    wct, wst = wc.T.copy(), ws.T.copy()
+    bins_arr = np.asarray(bins, np.int32)
+
+    def _spec(batches):
+        for pdf in batches:
+            by_key: dict = {}
+            for row in pdf.itertuples(index=False):
+                key = (row.codec, int(row.n_samples))
+                by_key.setdefault(key, ([], []))
+                by_key[key][0].append(int(row.doc_id))
+                by_key[key][1].append(bytes(row.pcm))
+            parts = []
+            for (codec, n), (ids, blobs) in sorted(by_key.items()):
+                nf = n // frame
+                if nf == 0:
+                    continue
+                m3 = _decode_group(blobs, codec, n, spb)[:, : nf * frame]
+                m3 = m3.reshape(len(blobs), nf, frame)
+                re = m3 @ wct  # (clips, nf, nbins) exact int64
+                im = -(m3 @ wst)
+                red = re.astype(np.float64)
+                imd = im.astype(np.float64)
+                power_q = np.floor(
+                    (red * red + imd * imd) / 268435456.0
+                ).astype(np.int64)
+                nc = len(ids)
+                nb = len(bins_arr)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(
+                                np.asarray(ids, np.int64), nf * nb
+                            ),
+                            "frame_idx": np.tile(
+                                np.repeat(np.arange(nf, dtype=np.int32), nb),
+                                nc,
+                            ),
+                            "bin": np.tile(bins_arr, nc * nf),
+                            "re": re.ravel(),
+                            "im": im.ravel(),
+                            "power_q": power_q.ravel(),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "frame_idx": pd.Series(dtype="int32"),
+                        "bin": pd.Series(dtype="int32"),
+                        "re": pd.Series(dtype="int64"),
+                        "im": pd.Series(dtype="int64"),
+                        "power_q": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return audio.mapInPandas(
+        _spec,
+        "doc_id bigint, frame_idx int, bin int, re bigint, im bigint,"
+        " power_q bigint",
+    )
+
+
 VAD_THRESHOLD = 1_600_000  # sum|sample| per 400-sample frame: full-scale
 #                            LCG ~6.5M, attenuated ~0.1M, half-loud ~3.3M
 #                            -> speech iff >= 1 of the frame's 2 gate

@@ -1147,6 +1147,56 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return au.with_vad_segments(clips).orderBy("doc_id", "seg_idx")
 
 
+# the twiddle table is REGENERATED in SQL with the same operand
+# association and libm cos/sin as pipeline/audio.spectral_twiddles, so
+# re/im are exact integer sums both engines reproduce bit-for-bit;
+# power_q's one float step is a single-rounded double expression
+# (floor of a positive value — no half-even/half-up divergence)
+_SPECTRAL_ORACLE = """
+WITH j AS (SELECT CAST(range AS BIGINT) AS j FROM range(400)),
+bins AS (SELECT unnest([1, 2, 3, 5, 8, 13, 21, 34]) AS bin),
+tw AS (
+  SELECT bin, j,
+         CAST(round(cos(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS wc,
+         CAST(round(sin(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS ws
+  FROM bins CROSS JOIN j
+),
+k AS (SELECT CAST(range AS BIGINT) AS k FROM range(1600)),
+s AS (
+  SELECT d.doc_id, k.k,
+         ((d.doc_id*7919 + k.k*104729 + 12345) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN k
+),
+c AS (
+  SELECT s.doc_id, CAST(s.k // 400 AS INT) AS frame_idx, tw.bin,
+         sum(s.v * tw.wc) AS re, -sum(s.v * tw.ws) AS im
+  FROM s JOIN tw ON s.k % 400 = tw.j
+  GROUP BY s.doc_id, s.k // 400, tw.bin
+)
+SELECT doc_id, frame_idx, CAST(bin AS INT) AS bin,
+       CAST(re AS BIGINT) AS re, CAST(im AS BIGINT) AS im,
+       CAST(floor((CAST(re AS DOUBLE)*re + CAST(im AS DOUBLE)*im)
+                  / 268435456.0) AS BIGINT) AS power_q
+FROM c ORDER BY doc_id, frame_idx, bin
+"""
+
+
+@register_extra("audio_spectral_bins", _SPECTRAL_ORACLE)
+def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed integer-DFT spectrogram (the spectral-feature pass a
+    speech/music curation pipeline filters on): per clip frame and
+    probe bin, Q14 fixed-point Fourier re/im plus quantized power.
+    One map-side decode + int64 matmul per batch, zero shuffle (see
+    pipeline/audio.with_spectral_bins). The oracle regenerates the
+    twiddle table in SQL and replays the full DFT sum per (doc, frame,
+    bin), so the hash gates the twiddles, the framing, AND the
+    transform arithmetic end-to-end."""
+    from ..pipeline import audio as au
+
+    clips = au.audio_df(spark, sf_dir)
+    return au.with_spectral_bins(clips).orderBy("doc_id", "frame_idx", "bin")
+
+
 _IMG_CLUSTER_ORACLE = (
     _PHASH_NEARDUP_ORACLE.replace("WITH ", "WITH RECURSIVE ", 1)
     .rsplit("SELECT 'img_'", 1)[0]

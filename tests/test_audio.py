@@ -201,3 +201,79 @@ class TestVadSegments:
         loud = np.abs(v.reshape(-1, au.FRAME)).sum(1)
         assert loud.min() < au.VAD_THRESHOLD // 10
         assert loud.max() > au.VAD_THRESHOLD * 2
+
+
+class TestSpectralBins:
+    def test_twiddles_match_duckdb(self):
+        """The oracle regenerates the Q14 twiddle table in SQL; if this
+        box's libm or DuckDB's rounding ever diverges from numpy's, the
+        spectral oracle would hash-mismatch — fail HERE with a pointed
+        message instead."""
+        import duckdb
+
+        wc, ws = au.spectral_twiddles()
+        got = duckdb.sql(
+            """
+            SELECT bin, j,
+                   CAST(round(cos(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS wc,
+                   CAST(round(sin(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS ws
+            FROM (SELECT unnest([1,2,3,5,8,13,21,34]) AS bin)
+            CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(400))
+            ORDER BY bin, j
+            """
+        ).fetchnumpy()
+        order = np.argsort(np.asarray(au.SPECTRAL_BINS))
+        np.testing.assert_array_equal(
+            got["wc"].reshape(8, 400), wc[order],
+            err_msg="DuckDB cos/round twiddles diverge from numpy",
+        )
+        np.testing.assert_array_equal(
+            got["ws"].reshape(8, 400), ws[order],
+            err_msg="DuckDB sin/round twiddles diverge from numpy",
+        )
+
+    def test_impulse_and_constant_signals(self):
+        """DFT ground truths: an impulse at j=0 has re = 16384 (w[0] =
+        cos 0 * 2^14) and im = 0 in every bin; a constant signal sums
+        each twiddle row, which is ~0 for whole-period bins."""
+        wc, ws = au.spectral_twiddles()
+        impulse = np.zeros((1, 1, 400), np.int64)
+        impulse[0, 0, 0] = 1
+        re = impulse @ wc.T.copy()
+        im = -(impulse @ ws.T.copy())
+        assert (re == au.SPECTRAL_SCALE).all()
+        assert (im == 0).all()
+        const = np.ones((1, 1, 400), np.int64)
+        # all probe bins are nonzero integers < 400 -> whole periods
+        assert np.abs(const @ wc.T.copy()).max() <= 8  # rounding residue
+        assert np.abs(const @ ws.T.copy()).max() <= 8
+
+    def test_pure_tone_concentrates_power(self, spark, sf_dir):
+        """A synthetic int16 cosine at bin 8 must put (by far) its
+        largest power_q in bin 8 — end-to-end through the DataFrame op."""
+        import pandas as pd
+
+        j = np.arange(400)
+        tone = np.round(20000 * np.cos(2 * np.pi * 8 * j / 400)).astype(
+            np.int16
+        )
+        pcm = np.tile(tone, 4).tobytes()
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1],
+                    "pcm": [pcm],
+                    "sr": [au.SR],
+                    "n_samples": [1600],
+                    "codec": ["pcm_s16le"],
+                }
+            )
+        )
+        rows = au.with_spectral_bins(df).collect()
+        assert len(rows) == 4 * len(au.SPECTRAL_BINS)
+        for fi in range(4):
+            by_bin = {r["bin"]: r["power_q"] for r in rows if r["frame_idx"] == fi}
+            top = max(by_bin, key=by_bin.get)
+            assert top == 8
+            others = [v for b, v in by_bin.items() if b != 8]
+            assert by_bin[8] > 100 * max(others + [1])
