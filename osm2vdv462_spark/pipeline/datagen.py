@@ -37,12 +37,15 @@ FROM events
 """
 
 
-def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def geo_points(spark: SparkSession, sf_dir: str, keep: tuple = ()) -> DataFrame:
+    """Geotag per event via the oracle LCG; ``keep`` carries extra event
+    columns (e.g. user_id/ts for trajectory queries) through unchanged."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         "event_id",
         (F.lit(-0.25) + ((F.col("event_id") * 37 + 11) % 2000) / 4000.0).alias("lon"),
         (F.lit(-0.25) + ((F.col("event_id") * 73 + 29) % 2000) / 4000.0).alias("lat"),
+        *keep,
     )
 
 

@@ -2136,3 +2136,84 @@ def image_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, meta_files_used boolean,"
         " partial_files_scanned boolean",
     )
+
+
+# trajectory QA: the GPS-outlier pass a geotagged-corpus curation
+# pipeline runs before any spatial aggregation — per-user ordered
+# steps, haversine step length, implied speed, teleport flag. The
+# cross-engine float discipline follows knn_nearest_quay: distances
+# round to whole meters, speeds to 2 dp, and the flag compares the
+# ROUNDED speed so both engines test identical doubles.
+@register_extra(
+    "trajectory_teleports",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             -0.25 + (((event_id * 37 + 11) % 2000) / 4000.0) AS lon,
+             -0.25 + (((event_id * 73 + 29) % 2000) / 4000.0) AS lat
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, lon, lat,
+             lag(ts)  OVER win AS pts,
+             lag(lon) OVER win AS plon,
+             lag(lat) OVER win AS plat
+      FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) - epoch_us(pts) AS dt_us,
+             2 * 6371008.8 * asin(sqrt(least(1.0,
+               pow(sin((radians(lat) - radians(plat)) / 2), 2)
+               + cos(radians(plat)) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians(plon)) / 2), 2)))) AS step
+      FROM w WHERE pts IS NOT NULL
+    )
+    SELECT event_id, user_id,
+           CAST(round(step, 0) AS BIGINT) AS step_m_round,
+           round(dt_us / 1000000.0, 3) AS dt_s,
+           round(step / (dt_us / 1000000.0), 2) AS speed_mps,
+           round(step / (dt_us / 1000000.0), 2) > 40.0 AS is_teleport
+    FROM d ORDER BY event_id
+    """,
+)
+def trajectory_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory step speeds with teleport (GPS outlier)
+    flags: order each user's geotagged events by time, haversine the
+    consecutive steps, and flag implied speeds over 40 m/s — the
+    filter step before trusting geotags for PIP/tiling. Scale shape:
+    ONE window shuffle on user_id (the trajectory key — exactly the
+    partitioning a 10^12-row event log would already be bucketed by),
+    then map-side trig; no joins, no collect. Ties in ts pin on
+    event_id so the merge order is deterministic (CLAUDE.md A1/A6/A8
+    discipline)."""
+    from pyspark.sql import Window
+
+    pts = datagen.geo_points(spark, sf_dir, keep=("user_id", "ts"))
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (
+        pts.withColumn("pts", F.lag("ts").over(win))
+        .withColumn("plon", F.lag("lon").over(win))
+        .withColumn("plat", F.lag("lat").over(win))
+        .filter(F.col("pts").isNotNull())
+    )
+    # events.ts is TIMESTAMP_NTZ (unix_micros rejects it); timestampdiff
+    # gives the exact integer microsecond delta, matching epoch_us diff
+    dt_us = F.expr("timestampdiff(MICROSECOND, pts, ts)")
+    a = (
+        F.pow(F.sin((F.radians("lat") - F.radians("plat")) / 2), 2)
+        + F.cos(F.radians("plat"))
+        * F.cos(F.radians("lat"))
+        * F.pow(F.sin((F.radians("lon") - F.radians("plon")) / 2), 2)
+    )
+    step = F.lit(2.0) * 6371008.8 * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    dt_s = dt_us / F.lit(1000000.0)
+    speed = F.round(step / dt_s, 2)
+    return w.select(
+        "event_id",
+        "user_id",
+        F.round(step, 0).cast("bigint").alias("step_m_round"),
+        F.round(dt_s, 3).alias("dt_s"),
+        speed.alias("speed_mps"),
+        (speed > F.lit(40.0)).alias("is_teleport"),
+    ).orderBy("event_id")
