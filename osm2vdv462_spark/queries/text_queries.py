@@ -1697,3 +1697,72 @@ def embedding_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# sliding-window document chunking: the context-window packing
+# precursor every LLM training pipeline runs (fixed chunk length with
+# stride overlap so no boundary context is lost). All-integer chunk
+# math (ceil via integer div) and whitespace tokens, so both engines
+# emit identical chunk texts byte-for-byte.
+@register_extra(
+    "doc_chunks_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             CAST((greatest(0, n - 32) + 23) // 24 + 1 AS INT) AS nchunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n,
+             CAST(unnest(range(nchunks)) AS INT) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 24 AS INT) AS start_tok,
+           CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS INT)
+             AS n_toks,
+           array_to_string(
+             toks[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, n)], ' '
+           ) AS chunk_text
+    FROM e ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (chunk 32 tokens, stride
+    24): one generator expression per doc — split, integer chunk-count,
+    posexplode over a sequence, slice + rejoin. Zero shuffle and zero
+    Python: at 10^12 docs this is a map-only pass whose output feeds
+    sequence_packing / embedding backfill. The final chunk is the
+    remainder (never empty, never duplicated); docs shorter than one
+    chunk emit exactly one chunk."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nchunks = F.expr("(greatest(0, size(split(text, ' ')) - 32) + 23) div 24 + 1")
+    start = F.col("chunk_idx") * 24
+    end = F.least(start + 32, F.col("n"))
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), (nchunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.cast("int").alias("start_tok"),
+            (end - start).cast("int").alias("n_toks"),
+            F.array_join(
+                F.slice(F.col("toks"), start + 1, end - start), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
