@@ -544,3 +544,59 @@ def equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# 2-D skyline (Pareto frontier): the multi-objective "best tradeoff"
+# query (SKYLINE OF in research SQL dialects). The Spark derivation is
+# the O(n log n) sweep — sort by time DESC per group, a point survives
+# iff no STRICTLY-LATER point has a strictly higher value (running max
+# over a range frame that excludes time ties) — while the oracle is the
+# INDEPENDENT brute-force NOT EXISTS dominance join, so the two
+# derivations cross-check each other (the triangle_counts pattern).
+# Raw value doubles pass through untouched (comparison only, no
+# arithmetic), so the hash needs no rounding.
+@register_extra(
+    "value_skyline",
+    """
+    WITH p AS (
+      SELECT event_id, event_type, value,
+             epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+               AS ts_us
+      FROM events
+    )
+    SELECT event_id, event_type, value, CAST(ts_us AS BIGINT) AS ts_us
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.event_type = p.event_type
+        AND q.value > p.value AND q.ts_us > p.ts_us
+    )
+    ORDER BY event_type, event_id
+    """,
+)
+def value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pareto frontier over (value, recency): a row is
+    on the skyline iff no other row of its type is both later AND
+    higher-valued. Scale shape: ONE window exchange on event_type
+    (the sweep is a running max over a range frame on the integer
+    microsecond axis, so time ties never dominate each other), then a
+    map-side filter — no self-join, no candidate blowup; at 10^12
+    rows this is the canonical replacement for the quadratic
+    dominance join the oracle runs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    p = ev.select("event_id", "event_type", "value", ts_us.alias("ts_us"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts_us").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    mx = F.max("value").over(w)
+    return (
+        p.withColumn("mx_later", mx)
+        .filter(F.col("mx_later").isNull() | (F.col("mx_later") <= F.col("value")))
+        .select("event_id", "event_type", "value", "ts_us")
+        .orderBy("event_type", "event_id")
+    )
