@@ -246,6 +246,49 @@ def with_sharpness(images: DataFrame) -> DataFrame:
     )
 
 
+EDGE_T = 1000  # Sobel L1 magnitude threshold (|gx|+|gy| <= ~6120)
+
+
+def with_edge_stats(images: DataFrame, threshold: int = EDGE_T) -> DataFrame:
+    """Decode -> Sobel edge statistics: L1 gradient magnitude
+    (|gx| + |gy|, 3x3 Sobel kernels on the channel-sum image) over
+    interior pixels — the edge-density signal corpus curation uses
+    next to variance-of-Laplacian (with_sharpness): high density =
+    text/diagram screenshots, near-zero = flat/synthetic fills.
+    INTEGER arithmetic end-to-end (|t| <= 765 so |gx| <= 3060), so the
+    DuckDB closed-form oracle (image_edge_stats) reproduces every
+    magnitude exactly. Map-side mapInPandas pass, no shuffle."""
+
+    def _edges(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                gx = (t[:-2, 2:] + 2 * t[1:-1, 2:] + t[2:, 2:]) - (
+                    t[:-2, :-2] + 2 * t[1:-1, :-2] + t[2:, :-2]
+                )
+                gy = (t[2:, :-2] + 2 * t[2:, 1:-1] + t[2:, 2:]) - (
+                    t[:-2, :-2] + 2 * t[:-2, 1:-1] + t[:-2, 2:]
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                n = mag.size
+                ec = int((mag >= threshold).sum())
+                out.append(
+                    (row.image_id, ec, int(mag.sum()), ec * 10000 // n)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "edge_count", "mag_sum", "edge_density_e4"],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        _edges,
+        "image_id string, edge_count int, mag_sum bigint,"
+        " edge_density_e4 bigint",
+    )
+
+
 
 
 # ------------------------------------------------------- GIF corpus (r4)

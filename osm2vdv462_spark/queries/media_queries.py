@@ -1466,6 +1466,55 @@ def image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_sharpness(imgs).orderBy("image_id")
 
 
+def _edge_oracle() -> str:
+    """Closed-form twin of images.with_edge_stats: both 3x3 Sobel
+    responses expanded inline over the synth pixel sum t(x,y) — pure
+    BIGINT arithmetic (same style as _sharpness_oracle)."""
+
+    def t(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*7 + event_id*13) % 256)"
+            f" + ((({ye})*11 + event_id*29) % 256)"
+            f" + (((({xe}) + ({ye}))*5 + event_id*53) % 256)"
+        )
+
+    gx = (
+        f"(({t('x+1', 'y-1')}) + 2*({t('x+1', 'y')}) + ({t('x+1', 'y+1')}))"
+        f" - (({t('x-1', 'y-1')}) + 2*({t('x-1', 'y')}) + ({t('x-1', 'y+1')}))"
+    )
+    gy = (
+        f"(({t('x-1', 'y+1')}) + 2*({t('x', 'y+1')}) + ({t('x+1', 'y+1')}))"
+        f" - (({t('x-1', 'y-1')}) + 2*({t('x', 'y-1')}) + ({t('x+1', 'y-1')}))"
+    )
+    return f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+    yx AS (SELECT 1 + y.range AS y, 1 + x.range AS x
+           FROM range(30) y, range(30) x),
+    mag AS (SELECT e.event_id, abs({gx}) + abs({gy}) AS m
+            FROM e CROSS JOIN yx)
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(sum(CASE WHEN m >= 1000 THEN 1 ELSE 0 END) AS INT)
+             AS edge_count,
+           CAST(sum(m) AS BIGINT) AS mag_sum,
+           CAST(sum(CASE WHEN m >= 1000 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS edge_density_e4
+    FROM mag GROUP BY event_id ORDER BY image_id
+    """
+
+
+@register_extra("image_edge_stats", _edge_oracle())
+def image_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge density through the REAL PNG decode path: L1 gradient
+    magnitude stats over interior pixels — the busy-image curation
+    signal next to image_sharpness (text/diagram screenshots score
+    high, flat fills near zero). Integer end-to-end; the oracle expands
+    both Sobel responses closed-form over the pixel pattern, so every
+    magnitude, the thresholded count, and the e-4 density are
+    hash-fatal."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_edge_stats(imgs).orderBy("image_id")
+
+
 _GIF_STATS_ORACLE = """
 WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
 yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),

@@ -124,3 +124,51 @@ class TestSharpness:
             eid = int(image_id.split("_")[1])
             ref = ic.synth_pixels(eid, 32, 32).astype(np.int64).sum(axis=2)
             assert v == self._lap_var_e4(ref), image_id
+
+
+class TestEdgeStats:
+    def _mag(self, t: np.ndarray) -> np.ndarray:
+        t = t.astype(np.int64)
+        gx = (t[:-2, 2:] + 2 * t[1:-1, 2:] + t[2:, 2:]) - (
+            t[:-2, :-2] + 2 * t[1:-1, :-2] + t[2:, :-2]
+        )
+        gy = (t[2:, :-2] + 2 * t[2:, 1:-1] + t[2:, 2:]) - (
+            t[:-2, :-2] + 2 * t[:-2, 1:-1] + t[:-2, 2:]
+        )
+        return np.abs(gx) + np.abs(gy)
+
+    def test_flat_image_has_zero_edges(self):
+        t = np.full((32, 32), 300, np.int64)
+        assert self._mag(t).max() == 0
+
+    def test_step_edge_detected_and_blur_lowers_density(self):
+        """A hard vertical step fires the threshold along the step;
+        box-blurring the same image strictly lowers the edge count."""
+        t = np.zeros((32, 32), np.int64)
+        t[:, 16:] = 765
+        mag = self._mag(t)
+        assert (mag >= im.EDGE_T).sum() >= 30  # the step column
+        rng = np.random.default_rng(7)
+        noisy = rng.integers(0, 256, (32, 32)).astype(np.int64) * 3
+        blurred = (
+            noisy[:-2, :-2] + noisy[:-2, 1:-1] + noisy[:-2, 2:]
+            + noisy[1:-1, :-2] + noisy[1:-1, 1:-1] + noisy[1:-1, 2:]
+            + noisy[2:, :-2] + noisy[2:, 1:-1] + noisy[2:, 2:]
+        ) // 9
+        n_sharp = (self._mag(noisy) >= im.EDGE_T).sum()
+        n_blur = (self._mag(blurred) >= im.EDGE_T).sum()
+        assert n_blur < n_sharp // 2
+
+    def test_matches_decode_path(self, spark, sf_dir):
+        df = im.images_df(spark, sf_dir, every=100).limit(10)
+        got = {
+            r["image_id"]: (r["edge_count"], r["mag_sum"])
+            for r in im.with_edge_stats(df).collect()
+        }
+        assert got
+        for image_id, (ec, ms) in got.items():
+            eid = int(image_id.split("_")[1])
+            ref = ic.synth_pixels(eid, 32, 32).astype(np.int64).sum(axis=2)
+            mag = self._mag(ref)
+            assert ec == int((mag >= im.EDGE_T).sum()), image_id
+            assert ms == int(mag.sum()), image_id
