@@ -2217,3 +2217,78 @@ def trajectory_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
         speed.alias("speed_mps"),
         (speed > F.lit(40.0)).alias("is_teleport"),
     ).orderBy("event_id")
+
+
+# STR (sort-tile-recursive) spatial partitioning: the load-balancing
+# step a distributed spatial join runs BEFORE shuffling when the data
+# is skewed — ntile on lon makes equal-count vertical slabs, ntile on
+# lat within each slab makes equal-count cells, so every partition
+# holds n/P rows (+/-1) REGARDLESS of spatial skew (hot urban clusters
+# just get geographically smaller partitions). Both engines replay the
+# same pinned-order ntile pair, so partition ids, counts, and exact
+# bbox doubles hash identically.
+@register_extra(
+    "str_spatial_partition",
+    """
+    WITH p AS (
+      SELECT event_id,
+             -0.25 + (((event_id * 37 + 11) % 2000) / 4000.0) AS lon,
+             -0.25 + (((event_id * 73 + 29) % 2000) / 4000.0) AS lat
+      FROM events
+    ),
+    slab AS (
+      SELECT event_id, lon, lat,
+             ntile(4) OVER (ORDER BY lon, event_id) - 1 AS sx
+      FROM p
+    ),
+    cell AS (
+      SELECT event_id, lon, lat, sx,
+             ntile(4) OVER (PARTITION BY sx ORDER BY lat, event_id) - 1
+               AS sy
+      FROM slab
+    )
+    SELECT CAST(sx * 4 + sy AS INT) AS part_id,
+           count(*) AS n_points,
+           min(lon) AS min_lon, max(lon) AS max_lon,
+           min(lat) AS min_lat, max(lat) AS max_lat
+    FROM cell GROUP BY sx * 4 + sy ORDER BY part_id
+    """,
+)
+def str_spatial_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR packing of the point table into a 4x4 balanced spatial grid:
+    per partition its row count (guaranteed n/P +/-1 by ntile) and its
+    actual bounding box. Scale shape: two window exchanges (the second
+    already partitioned by slab), then one groupBy — at 10^12 rows the
+    production form samples ~1e5 points to learn the slab/cell cut
+    points and broadcasts them (this query IS that learner, run on the
+    sample); the balanced bboxes then drive a skew-free range
+    repartition of the full table. Raw coordinate doubles pass through
+    untouched (min/max selection only), so the hash needs no
+    rounding."""
+    from pyspark.sql import Window
+
+    pts = datagen.geo_points(spark, sf_dir)
+    slab = pts.withColumn(
+        "sx",
+        (F.ntile(4).over(Window.orderBy("lon", "event_id")) - 1),
+    )
+    cell = slab.withColumn(
+        "sy",
+        (
+            F.ntile(4).over(
+                Window.partitionBy("sx").orderBy("lat", "event_id")
+            )
+            - 1
+        ),
+    )
+    return (
+        cell.groupBy((F.col("sx") * 4 + F.col("sy")).cast("int").alias("part_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        )
+        .orderBy("part_id")
+    )
