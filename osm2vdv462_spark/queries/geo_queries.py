@@ -2292,3 +2292,174 @@ def str_spatial_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+# Mapbox Vector Tile sink (functions/mvt.py — from-scratch protobuf
+# wire, reusing the PBF codec's varint primitives): every stop-area
+# polygon is assigned to each 0.2-degree tile its bbox overlaps,
+# quantized to the tile's 4096 extent in PURE INTEGER math (1e-4-degree
+# units, positivity-shifted floor division — no float quantization to
+# diverge across engines), encoded into a real MVT layer, then DECODED
+# BACK through the wire format. The emitted stats come from the decoded
+# bytes, so the hash gates encoder AND decoder; geom_len is the packed
+# geometry payload size, which the oracle recomputes with a SQL varint
+# length ladder over the zigzag deltas.
+@register_extra(
+    "mvt_features",
+    """
+    WITH offs(idx, dx, dy) AS (VALUES
+      (0, -152, -299), (1, 152, -299), (2, 299, -152), (3, 299, 152),
+      (4, 152, 299), (5, -152, 299), (6, -299, 152), (7, -299, -152)
+    ),
+    n AS (
+      SELECT n_nationkey AS rid,
+             -2000 + 1000 * (n_nationkey % 5) AS cx,
+             -2000 + 1000 * (n_nationkey // 5) AS cy
+      FROM nation
+    ),
+    tx AS (
+      SELECT rid, cx, cy,
+             unnest(range((cx - 451 + 20000) // 2000 - 10,
+                          (cx + 451 + 20000) // 2000 - 10 + 1)) AS tile_x
+      FROM n
+    ),
+    txy AS (
+      SELECT rid, cx, cy, tile_x,
+             unnest(range((cy - 451 + 20000) // 2000 - 10,
+                          (cy + 451 + 20000) // 2000 - 10 + 1)) AS tile_y
+      FROM tx
+    ),
+    v AS (
+      SELECT rid, tile_x, tile_y, idx,
+             ((cx + dx - tile_x * 2000 + 8000) * 4096) // 2000 - 16384
+               AS qx,
+             (((tile_y + 1) * 2000 - (cy + dy) + 8000) * 4096) // 2000
+               - 16384 AS qy
+      FROM txy CROSS JOIN offs
+    ),
+    d AS (
+      SELECT rid, tile_x, tile_y, qx, qy,
+             qx - COALESCE(lag(qx) OVER w, 0) AS ddx,
+             qy - COALESCE(lag(qy) OVER w, 0) AS ddy
+      FROM v WINDOW w AS (PARTITION BY rid, tile_x, tile_y ORDER BY idx)
+    ),
+    z AS (
+      SELECT rid, tile_x, tile_y, qx, qy,
+             2 * abs(ddx) - CASE WHEN ddx < 0 THEN 1 ELSE 0 END AS zx,
+             2 * abs(ddy) - CASE WHEN ddy < 0 THEN 1 ELSE 0 END AS zy
+      FROM d
+    )
+    SELECT CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+           CAST(rid AS BIGINT) AS relation_id,
+           CAST(count(*) AS INT) AS n_vertices,
+           CAST(sum(qx) AS BIGINT) AS sum_qx,
+           CAST(sum(qy) AS BIGINT) AS sum_qy,
+           CAST(3 + sum(
+                 CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2
+                      WHEN zx < 2097152 THEN 3 ELSE 4 END
+               + CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2
+                      WHEN zy < 2097152 THEN 3 ELSE 4 END) AS INT)
+             AS geom_len,
+           'rel_' || rid AS name
+    FROM z GROUP BY tile_x, tile_y, rid
+    ORDER BY tile_x, tile_y, relation_id
+    """,
+)
+def mvt_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile export of the stop-area layer: bbox tile assignment
+    (integer grid math), per-tile MVT encode of every overlapping
+    octagon (deterministic feature order), then a decode round-trip —
+    the per-feature rows (vertex counts, quantized coordinate sums,
+    packed geometry payload bytes, property strings) are read from the
+    DECODED tile. Scale shape: one shuffle on the tile key (exactly
+    how a planet tiler parallelizes), each tile group builds its own
+    bytes executor-side; no collect, no cross-tile state. MVT buffer
+    semantics carry geometry past the tile edge, so no clipping is
+    needed here (tile_clip_areas gates the clipping half)."""
+    import pandas as pd
+
+    import numpy as np
+
+    from ..functions import mvt
+    from ..geo import wkb as _wkb
+
+    polys = datagen.stop_area_octagons(spark, sf_dir)
+    k = F.col("relation_id")
+    cxi = (F.lit(-2000) + 1000 * (k % 5)).cast("long")
+    cyi = (F.lit(-2000) + 1000 * F.expr("relation_id div 5")).cast("long")
+    cand = (
+        polys.withColumn("cx", cxi)
+        .withColumn("cy", cyi)
+        .withColumn(
+            "tile_x",
+            F.explode(
+                F.sequence(
+                    F.expr("(cx - 451 + 20000) div 2000") - 10,
+                    F.expr("(cx + 451 + 20000) div 2000") - 10,
+                )
+            ),
+        )
+        .withColumn(
+            "tile_y",
+            F.explode(
+                F.sequence(
+                    F.expr("(cy - 451 + 20000) div 2000") - 10,
+                    F.expr("(cy + 451 + 20000) div 2000") - 10,
+                )
+            ),
+        )
+    )
+
+    def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        feats = []
+        order = sorted(
+            zip(pdf["relation_id"], pdf["geom"]), key=lambda t: int(t[0])
+        )
+        for rid, blob in order:
+            ring = _wkb.decode(bytes(blob)).ring(0)[:-1]
+            lon_i = np.round(ring[:, 0] * 10000).astype(np.int64)
+            lat_i = np.round(ring[:, 1] * 10000).astype(np.int64)
+            qx = ((lon_i - tx * 2000 + 8000) * 4096) // 2000 - 16384
+            qy = (((ty + 1) * 2000 - lat_i + 8000) * 4096) // 2000 - 16384
+            feats.append(
+                (
+                    int(rid),
+                    [np.stack([qx, qy], axis=1)],
+                    {"name": f"rel_{int(rid)}"},
+                )
+            )
+        buf = mvt.encode_tile("stop_areas", feats)
+        out = []
+        for f in mvt.decode_tile(buf)[0]["features"]:
+            ring = f["rings"][0]
+            out.append(
+                (
+                    tx,
+                    ty,
+                    int(f["id"]),
+                    int(len(ring)),
+                    int(ring[:, 0].sum()),
+                    int(ring[:, 1].sum()),
+                    int(f["geom_len"]),
+                    f["props"]["name"],
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "tile_x", "tile_y", "relation_id", "n_vertices",
+                "sum_qx", "sum_qy", "geom_len", "name",
+            ],
+        )
+
+    return (
+        cand.groupBy("tile_x", "tile_y")
+        .applyInPandas(
+            _tile,
+            "tile_x int, tile_y int, relation_id bigint, n_vertices int,"
+            " sum_qx bigint, sum_qy bigint, geom_len int, name string",
+        )
+        .orderBy("tile_x", "tile_y", "relation_id")
+    )
