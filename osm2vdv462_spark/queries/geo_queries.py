@@ -2144,7 +2144,7 @@ def image_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine float discipline follows knn_nearest_quay: distances
 # round to whole meters, speeds to 2 dp, and the flag compares the
 # ROUNDED speed so both engines test identical doubles.
-@register_extra(
+@register(
     "trajectory_teleports",
     """
     WITH p AS (
@@ -2227,7 +2227,7 @@ def trajectory_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
 # just get geographically smaller partitions). Both engines replay the
 # same pinned-order ntile pair, so partition ids, counts, and exact
 # bbox doubles hash identically.
-@register_extra(
+@register(
     "str_spatial_partition",
     """
     WITH p AS (
@@ -2304,7 +2304,7 @@ def str_spatial_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bytes, so the hash gates encoder AND decoder; geom_len is the packed
 # geometry payload size, which the oracle recomputes with a SQL varint
 # length ladder over the zigzag deltas.
-@register_extra(
+@register(
     "mvt_features",
     """
     WITH offs(idx, dx, dy) AS (VALUES

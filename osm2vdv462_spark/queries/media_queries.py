@@ -625,7 +625,7 @@ def simhash_near_pairs64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("simhash_near_pairs", _simhash_oracle())
+@register_extra("simhash_near_pairs", _simhash_oracle())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash near-dup pairs (Hamming <= 8) via Manku block-pair
     tables (C(10,2) tables, ~25-bit keys — the corpus-scale blocking,
@@ -1181,7 +1181,7 @@ FROM c ORDER BY doc_id, frame_idx, bin
 """
 
 
-@register_extra("audio_spectral_bins", _SPECTRAL_ORACLE)
+@register("audio_spectral_bins", _SPECTRAL_ORACLE)
 def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed integer-DFT spectrogram (the spectral-feature pass a
     speech/music curation pipeline filters on): per clip frame and
@@ -1502,7 +1502,7 @@ def _edge_oracle() -> str:
     """
 
 
-@register_extra("image_edge_stats", _edge_oracle())
+@register("image_edge_stats", _edge_oracle())
 def image_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sobel edge density through the REAL PNG decode path: L1 gradient
     magnitude stats over interior pixels — the busy-image curation

@@ -555,7 +555,7 @@ def equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derivations cross-check each other (the triangle_counts pattern).
 # Raw value doubles pass through untouched (comparison only, no
 # arithmetic), so the hash needs no rounding.
-@register_extra(
+@register(
     "value_skyline",
     """
     WITH p AS (

@@ -32,7 +32,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "token_stats",
     """
     WITH t AS (
@@ -530,7 +530,7 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register(
+@register_extra(
     "embedding_top1",
     """
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -622,7 +622,7 @@ def _lang_id_oracle() -> str:
     """
 
 
-@register("lang_id_heuristic", _lang_id_oracle())
+@register_extra("lang_id_heuristic", _lang_id_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID heuristic over documents; the oracle recomputes
     the trigram hit rates relationally (accuracy on real sentences is
@@ -661,7 +661,7 @@ ORDER BY 1, 2
 """
 
 
-@register("doc_fingerprint_pairs", _FP_ORACLE)
+@register_extra("doc_fingerprint_pairs", _FP_ORACLE)
 def doc_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint overlap pairs (rolling-hash document
     fingerprinting); the oracle replicates k-gram hashing (md5-60),
@@ -723,7 +723,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "streaming_dedup_docs",
     """
     SELECT md5(text) AS content_md5,
@@ -753,7 +753,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@register(
+@register_extra(
     "user_sessions",
     __import__(
         "osm2vdv462_spark.streaming.sessions", fromlist=["sessionize_oracle_sql"]
@@ -1704,7 +1704,7 @@ def embedding_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stride overlap so no boundary context is lost). All-integer chunk
 # math (ceil via integer div) and whitespace tokens, so both engines
 # emit identical chunk texts byte-for-byte.
-@register_extra(
+@register(
     "doc_chunks_overlap",
     """
     WITH t AS (
