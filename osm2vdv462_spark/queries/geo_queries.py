@@ -2463,3 +2463,117 @@ def mvt_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile_x", "tile_y", "relation_id")
     )
+
+
+# Local Moran's I hotspot statistic (LISA / Getis-Ord family): the
+# spatial-autocorrelation screen a geo analytics stack runs over a
+# density grid ("is this cell's load correlated with its neighbors,
+# or noise?"). ALL-INTEGER trick: with dev_i = N*x_i - S (N cells,
+# S total events), the local Moran numerator scales to
+# dev_i * sum(dev_j over 8-adjacent observed cells) — exact BIGINTs
+# both engines reproduce bit-for-bit, no means or variances cross
+# engines. Coordinates use 5e-5-degree integer units (lon*20000 =
+# -5000 + 5*m exactly) so cell assignment is pure integer floor-div.
+@register_extra(
+    "local_moran_hotspots",
+    """
+    WITH p AS (
+      SELECT ((-5000 + 5 * ((event_id * 37 + 11) % 2000)) + 1000000)
+               // 1000 - 1000 AS cx,
+             ((-5000 + 5 * ((event_id * 73 + 29) % 2000)) + 1000000)
+               // 1000 - 1000 AS cy
+      FROM events
+    ),
+    cells AS (SELECT cx, cy, count(*) AS x FROM p GROUP BY cx, cy),
+    st AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+    dv AS (
+      SELECT cx, cy, x, st.n * x - st.s AS dev FROM cells CROSS JOIN st
+    ),
+    offs(dx, dy) AS (VALUES
+      (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+    ),
+    nb AS (
+      SELECT a.cx, a.cy,
+             count(b.cx) AS n_neighbors,
+             COALESCE(sum(b.dev), 0) AS nb_dev_sum
+      FROM dv a
+      CROSS JOIN offs o
+      LEFT JOIN dv b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY a.cx, a.cy
+    )
+    SELECT CAST(d.cx AS INT) AS cell_x, CAST(d.cy AS INT) AS cell_y,
+           CAST(d.x AS BIGINT) AS n_events,
+           CAST(d.dev AS BIGINT) AS dev,
+           CAST(nb.n_neighbors AS INT) AS n_neighbors,
+           CAST(nb.nb_dev_sum AS BIGINT) AS nb_dev_sum,
+           CAST(d.dev * nb.nb_dev_sum AS BIGINT) AS i_scaled,
+           d.dev > 0 AND nb.nb_dev_sum > 0 AS hotspot
+    FROM dv d JOIN nb ON nb.cx = d.cx AND nb.cy = d.cy
+    ORDER BY cell_x, cell_y
+    """,
+)
+def local_moran_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell local Moran hotspot screen over the 0.05-degree event
+    grid. Scale shape: one groupBy builds the density grid (rows
+    collapse from 10^12 events to the cell count), the global (N, S)
+    pair rides a broadcast 1-row aggregate, and the neighborhood sum is
+    an 8-way offset explode + self equi-join ON CELL KEYS — grid-sized,
+    never event-sized, the same halo-exchange shape as
+    focal_stats36."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cx = F.expr(
+        "((-5000 + 5 * ((event_id * 37 + 11) % 2000)) + 1000000)"
+        " div 1000 - 1000"
+    )
+    cy = F.expr(
+        "((-5000 + 5 * ((event_id * 73 + 29) % 2000)) + 1000000)"
+        " div 1000 - 1000"
+    )
+    cells = (
+        ev.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("x"))
+    )
+    st = cells.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    dv = cells.crossJoin(F.broadcast(st)).select(
+        "cx", "cy", "x", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    probes = dv.select(
+        "cx",
+        "cy",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+    ).select(
+        "cx", "cy",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = dv.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("dev").alias("ndev")
+    )
+    nb = (
+        probes.join(nbr, ["nx", "ny"], "left")
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("ndev").alias("n_neighbors"),
+            F.coalesce(F.sum("ndev"), F.lit(0)).alias("nb_dev_sum"),
+        )
+    )
+    return (
+        dv.join(nb, ["cx", "cy"])
+        .select(
+            F.col("cx").cast("int").alias("cell_x"),
+            F.col("cy").cast("int").alias("cell_y"),
+            F.col("x").cast("bigint").alias("n_events"),
+            F.col("dev").cast("bigint").alias("dev"),
+            F.col("n_neighbors").cast("int").alias("n_neighbors"),
+            F.col("nb_dev_sum").cast("bigint").alias("nb_dev_sum"),
+            (F.col("dev") * F.col("nb_dev_sum")).cast("bigint").alias("i_scaled"),
+            ((F.col("dev") > 0) & (F.col("nb_dev_sum") > 0)).alias("hotspot"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
