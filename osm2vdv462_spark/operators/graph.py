@@ -181,3 +181,42 @@ def sssp_rounds(
             .localCheckpoint(eager=True)
         )
     return dist.select(F.col("n").alias(node), "dist")
+
+
+def lpa_rounds(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection): labels
+    start as node ids; each round every node adopts the most frequent
+    label among its neighbors, ties to the SMALLEST label — the pinned
+    tie-break that makes synchronous LPA fully deterministic (async
+    LPA's arrival-order sensitivity would be nondeterministic under
+    Spark retries, so it is the wrong variant for a distributed engine).
+
+    Scale shape per round: one edge-sized join (labels are a node-sized
+    table that a 10^12-edge deployment would broadcast or co-bucket),
+    one (node, label) count, one node-sized window pick. K rounds = K
+    passes; no driver-side graph state. Returns (node, lbl)."""
+    from pyspark.sql import Window
+
+    both = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    lab = both.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                lab.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return lab

@@ -247,3 +247,88 @@ def sssp_rounds_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.sssp_rounds(edges, seeds, rounds=4)
         .orderBy("node")
     )
+
+
+def _lpa_iter_sql(prev: str, vout: str, lout: str) -> str:
+    return f"""
+    {vout} AS (
+      SELECT ed.node, l.lbl, count(*) AS c
+      FROM ed JOIN {prev} l ON l.node = ed.nbr
+      GROUP BY ed.node, l.lbl
+    ),
+    {lout} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl)
+                 AS rn
+        FROM {vout}
+      ) WHERE rn = 1
+    )"""
+
+
+# synchronous LPA with the smallest-label tie-break: deterministic
+# under retries and across engines (async LPA is arrival-order
+# dependent — the wrong variant for a distributed engine). The oracle
+# unrolls the same three mode-vote rounds as CTEs.
+@register_extra(
+    "lpa_communities",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 200 AS u,
+             ('0x' || substr(md5('lpa:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS v
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    ed AS (SELECT a AS node, b AS nbr FROM e
+           UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM ed),
+    """
+    + ",".join(
+        _lpa_iter_sql(p, v, o)
+        for p, v, o in [("l0", "v1", "l1"), ("l1", "v2", "l2"), ("l2", "v3", "l3")]
+    )
+    + """
+    SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+    FROM l3 ORDER BY node
+    """,
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label-propagation communities over the
+    md5-derived event interaction graph (operators/graph.py::
+    lpa_rounds) — the scalable community detector next to the
+    min-label connected components (dedup_clusters): mode votes find
+    DENSE groups, not just reachable ones. Every round is one
+    edge-sized join + one node-sized window pick; no driver graph."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(200)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lpa:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 200
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v")
+    return (
+        G.lpa_rounds(edges, rounds=3)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("lbl").cast("bigint").alias("community"),
+        )
+        .orderBy("node")
+    )

@@ -186,3 +186,31 @@ def test_sssp_random_vs_serial(spark):
             [(a, b, w) for (a, b), w in dedup.items()], seeds, 3
         )
         assert got == want, (trial, got, want)
+
+
+class TestLPACommunities:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two K4 cliques joined by one bridge edge must settle into
+        two communities labeled by each clique's minimum node id; the
+        bridge must NOT merge them (mode vote, unlike min-label CC)."""
+        edges = [
+            (a, b) for a, b in itertools.combinations(range(4), 2)
+        ] + [
+            (a, b) for a, b in itertools.combinations(range(10, 14), 2)
+        ] + [(3, 10)]
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = {r["node"]: r["lbl"] for r in G.lpa_rounds(df, rounds=3).collect()}
+        assert {got[n] for n in range(4)} == {0}
+        assert {got[n] for n in range(10, 14)} == {10}
+
+    def test_deterministic_across_runs(self, spark):
+        rng = random.Random(5)
+        edges = list({
+            tuple(sorted((rng.randrange(30), rng.randrange(30))))
+            for _ in range(60)
+        })
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        r1 = sorted(map(tuple, G.lpa_rounds(df, rounds=3).collect()))
+        r2 = sorted(map(tuple, G.lpa_rounds(df.repartition(7), rounds=3).collect()))
+        assert r1 == r2
