@@ -1766,3 +1766,81 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# PMI collocation mining (phrase extraction): the statistic behind
+# "new_york -> one token" merge lists in corpus preprocessing. The PMI
+# ratio c_xy * N_u^2 / (c_x * c_y * N_b) is emitted as a SCALED
+# INTEGER via two floor divisions applied in the same order by both
+# engines (a log() would tie the hash to libm) — so lift > 1 shows as
+# ratio_e6 > 1_000_000 and the hash gates the whole counting pipeline.
+@register_extra(
+    "pmi_collocations",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+    nu AS (SELECT sum(c) AS n_u FROM uni),
+    i AS (
+      SELECT toks, unnest(range(length(toks) - 1)) AS i FROM t
+    ),
+    bg AS (SELECT toks[i + 1] AS x, toks[i + 2] AS y FROM i),
+    big AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y),
+    nb AS (SELECT sum(c_xy) AS n_b FROM big),
+    j AS (
+      SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y, nu.n_u, nb.n_b
+      FROM big b
+      JOIN uni ux ON ux.tok = b.x
+      JOIN uni uy ON uy.tok = b.y
+      CROSS JOIN nu CROSS JOIN nb
+    )
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(((c_xy * 1000000 * n_u) // c_x) * n_u // (c_y * n_b)
+                AS BIGINT) AS ratio_e6
+    FROM j WHERE c_xy >= 20 ORDER BY x, y
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations with integer-scaled PMI lift over the
+    document corpus: unigram + bigram counts (two partial-agg
+    shuffles on token keys), the two grand totals ride broadcast 1-row
+    aggregates, and the scoring join is vocabulary-sized — never
+    corpus-sized. At 10^12 docs this is the standard phrase-mining
+    pass before tokenizer training (the BPE trainer next door shares
+    the counting shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(F.split(F.col("text"), " ").alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_u"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    big = bg.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    nb = big.agg(F.sum("c_xy").alias("n_b"))
+    j = (
+        big.join(uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    ratio = F.expr("((c_xy * 1000000 * n_u) div c_x) * n_u div (c_y * n_b)")
+    return (
+        j.filter(F.col("c_xy") >= 20)
+        .select(
+            "x", "y",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            ratio.cast("bigint").alias("ratio_e6"),
+        )
+        .orderBy("x", "y")
+    )
