@@ -1706,6 +1706,22 @@ def snap_points_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/spatial_join.py) replaces the broadcast, same algebra.
     Oracle: the identical projection algebra replayed stepwise in SQL
     over the cross join + row_number top-1."""
+    out = _snapped_points(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "edge_id",
+        F.round("t", 6).alias("frac"),
+        F.round(F.sqrt("d2"), 7).alias("dist_deg"),
+    )
+
+
+def _snapped_points(
+    spark: SparkSession, sf_dir: str, keep: tuple = ()
+) -> DataFrame:
+    """Shared snap flow for the linear-referencing family: broadcast
+    the dimension-sized edge layer into the vectorized kernel, scan the
+    point table once map-side, carry ``keep`` event columns through."""
+    import numpy as np
     import pandas as pd
 
     from ..geo import kernel as K
@@ -1720,38 +1736,32 @@ def snap_points_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    import numpy as np
-
     ids = np.array([e[0] for e in edges], dtype=np.int64)
     ax = np.array([e[1] for e in edges])
     ay = np.array([e[2] for e in edges])
     bx = np.array([e[3] for e in edges])
     by = np.array([e[4] for e in edges])
 
-    pts = datagen.geo_points(spark, sf_dir)
+    pts = datagen.geo_points(spark, sf_dir, keep=keep)
 
     def _snap(batches):
         for pdf in batches:
             idx, t, d2 = K.snap_to_segments(
                 pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), ax, ay, bx, by
             )
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf["event_id"],
-                    "edge_id": ids[idx],
-                    "t": t,
-                    "d2": d2,
-                }
-            )
+            out = {"event_id": pdf["event_id"]}
+            for k in keep:
+                out[k] = pdf[k]
+            out.update({"edge_id": ids[idx], "t": t, "d2": d2})
+            yield pd.DataFrame(out)
 
-    out = pts.mapInPandas(
-        _snap, "event_id bigint, edge_id bigint, t double, d2 double"
+    keep_schema = "".join(
+        f", {k} {'timestamp_ntz' if k == 'ts' else 'bigint'}" for k in keep
     )
-    return out.select(
-        "event_id",
-        "edge_id",
-        F.round("t", 6).alias("frac"),
-        F.round(F.sqrt("d2"), 7).alias("dist_deg"),
+    return pts.mapInPandas(
+        _snap,
+        f"event_id bigint{keep_schema}, edge_id bigint, t double,"
+        " d2 double",
     )
 
 
@@ -2576,4 +2586,124 @@ def local_moran_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("dev") > 0) & (F.col("nb_dev_sum") > 0)).alias("hotspot"),
         )
         .orderBy("cell_x", "cell_y")
+    )
+
+
+# map matching: the trajectory-level composition of the gated snap
+# (linear referencing) and the gaps-and-islands run merge — per-user
+# ordered GPS points become EDGE TRAVERSAL INTERVALS, the deliverable
+# a routing/ETA pipeline consumes. frac is rounded per point BEFORE
+# the run min/max so both engines aggregate identical doubles.
+@register_extra(
+    "map_match_traversals",
+    f"""
+    WITH p0 AS ({datagen.SQL_POINTS}),
+    p AS (
+      SELECT p0.event_id, p0.lon, p0.lat, e2.user_id, e2.ts
+      FROM p0 JOIN events e2 ON e2.event_id = p0.event_id
+    ),
+    e AS ({datagen.SQL_EDGE_SEGMENTS}),
+    c AS (
+      SELECT p.event_id, p.user_id, p.ts, e.edge_id, p.lon, p.lat,
+             e.ax, e.ay, e.bx - e.ax AS dx, e.by - e.ay AS dy
+      FROM p CROSS JOIN e
+    ),
+    t0 AS (SELECT *, dx * dx + dy * dy AS seg2 FROM c),
+    t1 AS (
+      SELECT *, CASE WHEN seg2 = 0 THEN CAST(0 AS DOUBLE)
+        ELSE least(greatest(((lon - ax) * dx + (lat - ay) * dy) / seg2,
+                            CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) END AS t
+      FROM t0
+    ),
+    d AS (
+      SELECT event_id, user_id, ts, edge_id, t,
+        (lon - (ax + t * dx)) * (lon - (ax + t * dx))
+        + (lat - (ay + t * dy)) * (lat - (ay + t * dy)) AS d2
+      FROM t1
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, edge_id, round(t, 6) AS frac,
+        row_number() OVER (PARTITION BY event_id ORDER BY d2, edge_id)
+          AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, ts, edge_id, frac,
+             epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+               AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, edge_id
+                                  ORDER BY ts, event_id) AS grp
+      FROM r WHERE rn = 1
+    ),
+    runs AS (
+      SELECT user_id, edge_id,
+             count(*) AS n_points,
+             min(frac) AS frac_min, max(frac) AS frac_max,
+             min(ts_us) AS t_start_us, max(ts_us) AS t_end_us
+      FROM s GROUP BY user_id, edge_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY t_start_us) - 1 AS INT)
+             AS run_idx,
+           CAST(edge_id AS BIGINT) AS edge_id,
+           CAST(n_points AS INT) AS n_points,
+           frac_min, frac_max,
+           CAST(t_start_us AS BIGINT) AS t_start_us,
+           CAST(t_end_us AS BIGINT) AS t_end_us
+    FROM runs ORDER BY user_id, run_idx
+    """,
+)
+def map_match_traversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: per-user trajectories snapped onto the edge layer
+    (the gated linear-referencing kernel), consecutive same-edge points
+    merged into traversal runs (gaps-and-islands, order pinned on
+    ts/event_id) with entry/exit fractions and times. Scale shape: the
+    snap is the broadcast map-side pass; the ONLY shuffle is the
+    user_id window — the trajectory key the event log would already be
+    bucketed by. Runs are numbered per user by start time, so the
+    output is the edge-sequence a router replays."""
+    from pyspark.sql import Window
+
+    snapped = _snapped_points(spark, sf_dir, keep=("user_id", "ts"))
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    base = snapped.select(
+        "user_id",
+        "edge_id",
+        F.round("t", 6).alias("frac"),
+        ts_us.alias("ts_us"),
+        "ts",
+        "event_id",
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_edge = Window.partitionBy("user_id", "edge_id").orderBy(
+        "ts", "event_id"
+    )
+    s = base.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_edge)
+    )
+    runs = s.groupBy("user_id", "edge_id", "grp").agg(
+        F.count("*").alias("n_points"),
+        F.min("frac").alias("frac_min"),
+        F.max("frac").alias("frac_max"),
+        F.min("ts_us").alias("t_start_us"),
+        F.max("ts_us").alias("t_end_us"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("t_start_us")
+    return (
+        runs.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            (F.row_number().over(w_run) - 1).cast("int").alias("run_idx"),
+            F.col("edge_id").cast("bigint").alias("edge_id"),
+            F.col("n_points").cast("int").alias("n_points"),
+            "frac_min",
+            "frac_max",
+            F.col("t_start_us").cast("bigint").alias("t_start_us"),
+            F.col("t_end_us").cast("bigint").alias("t_end_us"),
+        )
+        .orderBy("user_id", "run_idx")
     )
