@@ -600,3 +600,86 @@ def value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "ts_us")
         .orderBy("event_type", "event_id")
     )
+
+
+# user-user similarity (the collaborative-filtering neighbor step):
+# cosine over per-user event-type count vectors, ranked by the SQUARED
+# cosine as a scaled integer — dot^2 * 1e6 // (|a|^2 * |b|^2) is
+# monotone in cosine for non-negative counts, so the top-3 ranking is
+# exact while nothing but integers crosses engines.
+@register_extra(
+    "user_similarity_top3",
+    """
+    WITH v AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    nrm AS (SELECT user_id, sum(c * c) AS n2 FROM v GROUP BY user_id),
+    dot AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, sum(a.c * b.c) AS d
+      FROM v a JOIN v b ON a.event_type = b.event_type
+               AND a.user_id <> b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    s AS (
+      SELECT dot.ua, dot.ub,
+             (dot.d * dot.d * 1000000) // (na.n2 * nb.n2) AS cos2_e6
+      FROM dot
+      JOIN nrm na ON na.user_id = dot.ua
+      JOIN nrm nb ON nb.user_id = dot.ub
+    ),
+    r AS (
+      SELECT ua, ub, cos2_e6,
+             row_number() OVER (PARTITION BY ua
+                                ORDER BY cos2_e6 DESC, ub) AS rank
+      FROM s
+    )
+    SELECT CAST(ua AS BIGINT) AS user_id, CAST(rank AS INT) AS rank,
+           CAST(ub AS BIGINT) AS similar_user,
+           CAST(cos2_e6 AS BIGINT) AS cos2_e6
+    FROM r WHERE rank <= 3 ORDER BY user_id, rank
+    """,
+)
+def user_similarity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar users by behavior profile (event-type count
+    vectors). Scale shape: the profile vectors live in TYPE space (a
+    handful of dimensions), so the pair dot products come from one
+    equi-join ON event_type — candidate volume is sum of per-type user
+    counts squared over types, the inverted-index join every
+    item-based CF system uses, never an all-pairs user join. Window
+    top-3 ties pin on user id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    nrm = v.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = v.select(
+        F.col("user_id").alias("ua"), "event_type", F.col("c").alias("ca")
+    )
+    b = v.select(
+        F.col("user_id").alias("ub"), "event_type", F.col("c").alias("cb")
+    )
+    dot = (
+        a.join(b, "event_type")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("d"))
+    )
+    s = (
+        dot.join(nrm.select(F.col("user_id").alias("ua"), F.col("n2").alias("na")), "ua")
+        .join(nrm.select(F.col("user_id").alias("ub"), F.col("n2").alias("nb")), "ub")
+        .select(
+            "ua", "ub",
+            F.expr("(d * d * 1000000) div (na * nb)").alias("cos2_e6"),
+        )
+    )
+    w = Window.partitionBy("ua").orderBy(F.col("cos2_e6").desc(), F.col("ub"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("ua").cast("bigint").alias("user_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("ub").cast("bigint").alias("similar_user"),
+            F.col("cos2_e6").cast("bigint").alias("cos2_e6"),
+        )
+        .orderBy("user_id", "rank")
+    )
