@@ -123,9 +123,9 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
-    if fmt in ("jpeg", "jpg"):
-        # real from-scratch baseline DCT codec (r4): Huffman + dequant +
-        # IDCT + YCbCr, pure numpy — see functions/jpegcodec.py
+    if fmt in ("jpeg", "jpg", "jpeg_prog"):
+        # real from-scratch DCT codec (r4): baseline AND progressive
+        # (SOF2 auto-detected from the bytes) — functions/jpegcodec.py
         from . import jpegcodec
 
         return jpegcodec.decode_jpeg(data)

@@ -6,19 +6,25 @@ not only lossless PNG.
 
 Decoder scope (what a web corpus actually needs):
 * baseline + extended sequential DCT, Huffman (SOF0/SOF1);
+* PROGRESSIVE DCT (SOF2, r4 restart): spectral selection AND
+  successive approximation — DC/AC first + refinement passes, EOB
+  runs, buffered correction bits (the libjpeg phuff protocol every
+  web progressive file interoperates with);
 * 8-bit samples, 1 (grayscale) or 3 (YCbCr) components;
 * arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0);
-* restart intervals (DRI + RSTn), marker-stuffed entropy data;
-* multi-table DQT/DHT segments, APPn/COM skip.
-Progressive (SOF2) and arithmetic coding raise NotImplementedError
-with a clear message — they are rare in training corpora and their
-absence is detected, never silently misdecoded.
+* restart intervals (DRI + RSTn) in sequential scans, marker-stuffed
+  entropy data; multi-table DQT/DHT segments, APPn/COM skip.
+Arithmetic coding / lossless / hierarchical raise NotImplementedError
+with a clear message — their absence is detected, never silently
+misdecoded.
 
-Encoder: quality-scaled Annex-K-style quantization, fixed Huffman
-tables (embedded in DHT, so files are self-describing and readable by
-any external decoder regardless of table choice), 4:4:4 or 4:2:0.
-The block DCT runs vectorized over all blocks (one einsum); only the
-entropy coding is a per-symbol loop, bounded by output size.
+Encoders: baseline (quality-scaled Annex-K-style quantization, fixed
+Huffman tables embedded in DHT, 4:4:4 or 4:2:0) and progressive
+(encode_jpeg_progressive, 9-scan spectral+successive script, 4:4:4)
+— both produce the SAME quantized coefficients at a given quality, so
+decode(progressive) == decode(baseline) exactly (test-pinned). The
+block DCT runs vectorized over all blocks; only the entropy coding is
+a per-symbol loop, bounded by output size.
 
 All steps are deterministic, so decoded pixels (and therefore phash /
 pixel stats computed from them) are reproducible across executors.
@@ -177,6 +183,21 @@ _AC_CODES = (
     _code_list(_AC_LUMA_BITS, _AC_LUMA_VALS, 256),
     _code_list(_AC_CHROMA_BITS, _AC_CHROMA_VALS, 256),
 )
+
+# Progressive AC scans additionally emit EOBn symbols (r<<4, r>=1) for
+# end-of-band runs — the Annex K example tables do NOT contain them
+# (libjpeg ships custom tables in progressive mode for exactly this
+# reason). The progressive encoder embeds this flat fixed-length table
+# in its DHT: every symbol it can emit at 9 bits — a valid canonical
+# prefix code (240 < 511 codewords, the all-ones code stays unused).
+_PROG_AC_VALS = sorted(
+    {r << 4 for r in range(15)}  # EOB0..EOB14
+    | {0xF0}  # ZRL
+    | {(r << 4) | s for r in range(16) for s in range(1, 15)}
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALS)  # all codes are 9 bits long
+_PROG_AC_CODES = _code_list(_PROG_AC_BITS, _PROG_AC_VALS, 256)
 
 
 # -------------------------------------------------------------- encoder
@@ -566,10 +587,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, sf, qsel = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, sf >> 4, sf & 0xF, qsel))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive — separate scan loop
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline sequential only"
+                f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
+                "hierarchical) unsupported — sequential + progressive only"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -718,7 +741,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         view = plane.reshape(plane.shape[0] // 8, 8, plane.shape[1] // 8, 8)
         view[np.asarray(comp_by[ci]), :, np.asarray(comp_bx[ci]), :] = spat
 
-    # upsample chroma to full size, crop, color-convert
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample chroma to full size, crop, color-convert (shared by the
+    baseline and progressive decode paths)."""
     full_planes = []
     for ci, (cid, hs, vs, qsel) in enumerate(comps):
         p = planes[ci]
@@ -736,3 +764,509 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------- progressive (SOF2)
+# Spectral selection + successive approximation, the scan protocol of
+# ITU-T T.81 Annex G.1.2 in its de-facto form (libjpeg's phuff coder —
+# every progressive file on the web interoperates with it). The
+# decoder accumulates per-component coefficient planes across scans;
+# the encoder exists so the decoder has real multi-scan test vectors:
+# both passes (first + refinement) for DC and AC, band splitting, and
+# EOB runs with buffered correction bits are all exercised. Progressive
+# restart intervals are detected and rejected (rare in web corpora).
+
+
+class _Bits:
+    """MSB-first bit reader over one destuffed entropy segment (the
+    progressive path trades the baseline loop's aggressive inlining
+    for clarity — progressive scans are the smaller corpus share)."""
+
+    __slots__ = ("seg", "pos", "acc", "nb")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg + b"\x00" * 64  # zero-pad past the end
+        self.pos = 0
+        self.acc = 0
+        self.nb = 0
+
+    def _fill(self):
+        while self.nb < 25:
+            self.acc = ((self.acc << 8) | self.seg[self.pos]) & 0xFFFFFFFFFF
+            self.pos += 1
+            self.nb += 8
+
+    def huff(self, table: _HuffTable) -> int:
+        if self.nb < 16:
+            self._fill()
+        peek = (self.acc >> (self.nb - 16)) & 0xFFFF
+        ln = table.length[peek]
+        if ln == 0:
+            raise ValueError("invalid Huffman code in progressive scan")
+        self.nb -= ln
+        return table.sym[peek]
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nb < k:
+            self._fill()
+        v = (self.acc >> (self.nb - k)) & ((1 << k) - 1)
+        self.nb -= k
+        return v
+
+    def bit(self) -> int:
+        if self.nb < 1:
+            self._fill()
+        self.nb -= 1
+        return (self.acc >> self.nb) & 1
+
+
+def _scan_end(data: bytes, i: int) -> int:
+    """Index of the 0xFF that terminates the entropy span starting at
+    i (skips byte stuffing and RSTn)."""
+    n = len(data)
+    while True:
+        j = data.find(0xFF, i)
+        if j < 0:
+            return n
+        if j + 1 >= n:
+            return j
+        m = data[j + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps = None
+    h = w = None
+    coefs = None  # per comp: list of 64-lists (zigzag order), padded grid
+    pw = []  # per comp padded block-grid width / height (MCU-aligned)
+    ph = []
+    niw = []  # per comp NON-interleaved block dims (spec A.2.2)
+    nih = []
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    def _init_grids():
+        nonlocal coefs, pw, ph, niw, nih, hmax, vmax, mcus_x, mcus_y
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax > 2 or vmax > 2:
+            raise NotImplementedError("sampling factors > 2 unsupported")
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        coefs = []
+        for cid, hs, vs, qsel in comps:
+            pw.append(mcus_x * hs)
+            ph.append(mcus_y * vs)
+            niw.append(((w * hs + hmax - 1) // hmax + 7) // 8)
+            nih.append(((h * vs + vmax - 1) // vmax + 7) // 8)
+            coefs.append([[0] * 64 for _ in range(pw[-1] * ph[-1])])
+
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        marker = data[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, i)
+        payload = data[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(payload[p : p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(payload[p : p + 128], ">u2").astype(np.int64)
+                    p += 128
+                full = np.zeros((8, 8), np.int64)
+                full[ZIGZAG_ROW, ZIGZAG_COL] = tbl
+                qt[tq] = full
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, sf, qsel = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, sf >> 4, sf & 0xF, qsel))
+            _init_grids()
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits_ = list(payload[p + 1 : p + 17])
+                nv = sum(bits_)
+                huff[(cls, tid)] = _huff_table(
+                    bits_, list(payload[p + 17 : p + 17 + nv])
+                )
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", payload, 0)
+            if restart:
+                raise NotImplementedError(
+                    "progressive + restart intervals unsupported"
+                )
+        elif marker == 0xDA:  # SOS — one scan
+            if comps is None:
+                raise ValueError("progressive SOS before SOF2")
+            ns = payload[0]
+            scomps = []
+            for c in range(ns):
+                cid, tsel = payload[1 + 2 * c : 3 + 2 * c]
+                for ci, (c2, hs, vs, qsel) in enumerate(comps):
+                    if c2 == cid:
+                        scomps.append((ci, tsel >> 4, tsel & 0xF))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            end = _scan_end(data, i)
+            segs = _destuff(data[i:end])
+            i = end
+            bits = _Bits(segs[0])
+            if ss == 0:  # DC scan
+                _scan_dc(bits, coefs, comps, scomps, huff,
+                         pw, niw, nih, mcus_x, mcus_y, ah, al)
+            else:  # AC scan: spec requires a single component
+                if ns != 1:
+                    raise ValueError("progressive AC scan with ns != 1")
+                ci, td, ta = scomps[0]
+                _scan_ac(bits, coefs[ci], huff[(1, ta)],
+                         pw[ci], niw[ci], nih[ci], ss, se, ah, al)
+    if comps is None or coefs is None:
+        raise ValueError("JPEG missing SOF2/SOS")
+
+    planes = []
+    for ci, (cid, hs, vs, qsel) in enumerate(comps):
+        arr = np.array(coefs[ci], np.int64)  # (padded blocks, 64) zigzag
+        deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(-1, 8, 8)
+        spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
+        planes.append(
+            spat.reshape(ph[ci], pw[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph[ci] * 8, pw[ci] * 8)
+        )
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _scan_dc(bits, coefs, comps, scomps, huff, pw, niw, nih,
+             mcus_x, mcus_y, ah, al):
+    """One DC scan (interleaved or single-component), first pass or
+    refinement."""
+    pred = {ci: 0 for ci, td, ta in scomps}
+
+    def _block(ci, bi, td):
+        blk = coefs[ci][bi]
+        if ah == 0:
+            size = bits.huff(huff[(0, td)])
+            if size:
+                v = bits.bits(size)
+                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            else:
+                diff = 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        else:
+            if bits.bit():
+                blk[0] |= 1 << al
+
+    if len(scomps) > 1:  # interleaved MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, td, ta in scomps:
+                    _, hs, vs, _ = comps[ci]
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            _block(
+                                ci,
+                                (my * vs + dy) * pw[ci] + mx * hs + dx,
+                                td,
+                            )
+    else:  # non-interleaved: the component's own block raster
+        ci, td, ta = scomps[0]
+        for by in range(nih[ci]):
+            for bx in range(niw[ci]):
+                _block(ci, by * pw[ci] + bx, td)
+
+
+def _scan_ac(bits, blocks, act, pw_ci, bw, bh, ss, se, ah, al):
+    """One AC scan over a component's block raster (band ss..se),
+    first pass (ah == 0) or refinement — the libjpeg phuff protocol
+    (EOB runs, ZRL, buffered correction bits)."""
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = blocks[by * pw_ci + bx]
+            if ah == 0:  # ---- first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = bits.huff(act)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    v = bits.bits(s)
+                    blk[k] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    ) << al
+                    k += 1
+            else:  # ---- refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = bits.huff(act)
+                        r, s = sym >> 4, sym & 15
+                        if s:
+                            # spec: refinement symbols carry s == 1
+                            val = p1 if bits.bit() else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.bits(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                if bits.bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if bits.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+# ------------------------------------------------ progressive encoder
+
+
+def _default_prog_scans() -> list[tuple]:
+    """libjpeg-style scan script: DC first (Al=1), AC bands first
+    passes (Al=1, luma band split 1-5 / 6-63), then DC + AC refinement
+    to Al=0. Exercises every decoder scan kind."""
+    return [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 1),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_first", 0, 6, 63, 0, 1),
+        ("dc_refine", None, 0, 0, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 92
+) -> bytes:
+    """RGB uint8 -> progressive (SOF2) JFIF, 4:4:4, 9-scan script with
+    spectral selection AND successive approximation. Quantized
+    coefficients are IDENTICAL to encode_jpeg at the same quality, so
+    decode(progressive) must equal decode(baseline) bit-for-bit — the
+    round-trip equivalence tests/test_jpeg.py pins."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w = pixels.shape[:2]
+    ql, qc = quant_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels)
+    zz_flat = (ZIGZAG_ROW * 8 + ZIGZAG_COL).tolist()
+    comp_seqs = []
+    for ci in range(3):
+        p = _pad_to(ycc[..., ci], 8, 8)
+        q = ql if ci == 0 else qc
+        blocks = _fdct_quant(_blocks_of(p - 128.0), q)
+        comp_seqs.append(blocks.reshape(-1, 64)[:, zz_flat].tolist())
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    nblocks = bw_blocks * bh_blocks
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, ql), (1, qc)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + q[ZIGZAG_ROW, ZIGZAG_COL].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC2, sof)
+    for cls, tid, bits_, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 2, _PROG_AC_BITS, _PROG_AC_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits_) + bytes(vals))
+
+    for kind, ci, ss, se, ah, al in _default_prog_scans():
+        bw = _BitWriter()
+        if kind == "dc_first":
+            sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se, (ah << 4) | al])
+            pred = [0, 0, 0]
+            for bi in range(nblocks):
+                for c in range(3):
+                    dc = comp_seqs[c][bi][0] >> al
+                    diff = dc - pred[c]
+                    pred[c] = dc
+                    if diff:
+                        size = (
+                            diff.bit_length() if diff > 0 else (-diff).bit_length()
+                        )
+                        bval = diff if diff > 0 else diff + (1 << size) - 1
+                    else:
+                        size = bval = 0
+                    code, ln = _DC_CODES[0 if c == 0 else 1][size]
+                    bw.put(code, ln)
+                    bw.put(bval, size)
+        elif kind == "dc_refine":
+            sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, ss, se, (ah << 4) | al])
+            for bi in range(nblocks):
+                for c in range(3):
+                    bw.put((comp_seqs[c][bi][0] >> al) & 1, 1)
+        else:
+            cid = ci + 1
+            sos = bytes([1, cid, 0x02, ss, se, (ah << 4) | al])
+            acc_ = _PROG_AC_CODES
+            _encode_ac_scan(
+                bw, comp_seqs[ci], nblocks, ss, se, al, acc_,
+                refine=(kind == "ac_refine"),
+            )
+        bw.flush()
+        out += seg(0xFFDA, sos)
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_ac_scan(bw, seqs, nblocks, ss, se, al, acc_, refine: bool):
+    """One AC scan's entropy bytes (libjpeg phuff protocol): EOB-run
+    accumulation across blocks, ZRL only inside the significant span,
+    correction bits buffered through EOB runs in refinement."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered across EOB runs
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nb2 = eobrun.bit_length() - 1
+            code, ln = acc_[nb2 << 4]
+            bw.put(code, ln)
+            if nb2:
+                bw.put(eobrun & ((1 << nb2) - 1), nb2)
+            eobrun = 0
+        for b in pending:
+            bw.put(b, 1)
+        pending.clear()
+
+    for bi in range(nblocks):
+        seq = seqs[bi]
+        if not refine:  # ---- first pass
+            r = 0
+            for k in range(ss, se + 1):
+                v = seq[k]
+                t = (-v if v < 0 else v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eobrun()
+                while r > 15:
+                    code, ln = acc_[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                nbits = t.bit_length()
+                code, ln = acc_[(r << 4) | nbits]
+                bw.put(code, ln)
+                bval = t if v > 0 else (1 << nbits) - 1 - t
+                bw.put(bval, nbits)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        else:  # ---- refinement
+            absv = [0] * 64
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                v = seq[k]
+                t = (-v if v < 0 else v) >> al
+                absv[k] = t
+                if t == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eobrun()
+                    code, ln = acc_[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, ln = acc_[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(0 if seq[k] < 0 else 1, 1)
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    flush_eobrun()
+    flush_eobrun()

@@ -30,20 +30,27 @@ from . import datagen
 JPEG_QUALITY = 92  # worst synth-smooth PSNR 43+ dB — clears the 40 dB bar
 
 
-def _synth_row(eid: int, size: int, mixed_formats: bool):
-    """One deterministic image row. With ``mixed_formats``, odd event
-    ids emit real baseline JPEG (smooth sinusoid pattern — see
-    imagecodec.synth_pixels_smooth) and even ids lossless PNG; the
+def _synth_row(eid: int, size: int, mixed_formats):
+    """One deterministic image row. With ``mixed_formats`` truthy, odd
+    event ids emit real JPEG (smooth sinusoid pattern — see
+    imagecodec.synth_pixels_smooth) and even ids lossless PNG; pass
+    ``mixed_formats="prog"`` to make the JPEG rows PROGRESSIVE (SOF2,
+    9-scan spectral + successive script) instead of baseline. The
     stored phash is always the hash of the STORED image content (for
     JPEG: pixels after a decode round-trip), so phash recompute from
-    bytes is exact for both formats."""
+    bytes is exact for every format."""
     if mixed_formats and eid % 2 == 1:
         from ..functions import jpegcodec
 
         px = ic.synth_pixels_smooth(eid, size, size)
-        data = jpegcodec.encode_jpeg(px, quality=JPEG_QUALITY)
+        if mixed_formats == "prog":
+            data = jpegcodec.encode_jpeg_progressive(px, quality=JPEG_QUALITY)
+            fmt = "jpeg_prog"
+        else:
+            data = jpegcodec.encode_jpeg(px, quality=JPEG_QUALITY)
+            fmt = "jpeg"
         stored_px = jpegcodec.decode_jpeg(data)
-        return data, "jpeg", ic.phash64(stored_px)
+        return data, fmt, ic.phash64(stored_px)
     px = ic.synth_pixels(eid, size, size)
     return ic.encode_png(px), "png", ic.phash64(px)
 
@@ -116,7 +123,7 @@ def with_decode_verify(images: DataFrame) -> DataFrame:
                 eid = int(row.image_id.split("_")[1])
                 gen = (
                     ic.synth_pixels_smooth
-                    if row.fmt in ("jpeg", "jpg")
+                    if row.fmt in ("jpeg", "jpg", "jpeg_prog")
                     else ic.synth_pixels
                 )
                 ref = gen(eid, row.w, row.h)

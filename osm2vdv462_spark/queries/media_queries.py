@@ -33,6 +33,30 @@ def image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("image_id", "fmt", "pixel_ok", "caption_ok", "phash_ok")
 
 
+@register_extra(
+    "image_integrity_prog",
+    """
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CASE WHEN event_id % 2 = 1 THEN 'jpeg_prog' ELSE 'png' END
+             AS fmt,
+           true AS pixel_ok, true AS caption_ok, true AS phash_ok
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def image_integrity_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image_integrity invariant over a PROGRESSIVE-JPEG corpus:
+    odd event ids are real SOF2 files (9-scan spectral selection +
+    successive approximation, functions/jpegcodec.py, r4-restart) —
+    the web's second-most-common JPEG coding mode, previously a
+    NotImplementedError boundary. Every row must decode (multi-scan
+    coefficient accumulation), clear PSNR >= 40 dB, and phash-match
+    the stored bytes; the oracle pins which rows are progressive, so
+    a decoder regression or a silent format skip hash-fails."""
+    imgs = im.images_df(spark, sf_dir, every=5, mixed_formats="prog")
+    v = im.with_decode_verify(imgs)
+    return v.select("image_id", "fmt", "pixel_ok", "caption_ok", "phash_ok")
+
+
 _AUDIO_ORACLE = """
 WITH k AS (SELECT range AS k FROM range(1600)),
 s AS (

@@ -140,12 +140,14 @@ class TestDecoderFeatures:
         enc2 = bytes(enc[:i]) + new + bytes(enc[i + 2 + ln :])
         assert np.array_equal(J.decode_jpeg(enc2), J.decode_jpeg(bytes(enc)))
 
-    def test_progressive_raises(self):
+    def test_arithmetic_coding_raises(self):
+        # progressive (SOF2) is SUPPORTED since the r4 restart — the
+        # detected-and-rejected boundary is arithmetic coding (SOF9)
         px = ic.synth_pixels_smooth(8, 16, 16)
         enc = bytearray(J.encode_jpeg(px, quality=92))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # SOF2 progressive
-        with pytest.raises(NotImplementedError, match="progressive"):
+        enc[i + 1] = 0xC9  # SOF9 arithmetic sequential
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             J.decode_jpeg(bytes(enc))
 
     def test_not_a_jpeg_raises(self):
@@ -184,3 +186,56 @@ class TestPipelineIntegration:
                 assert 40.0 <= r["psnr"] < 60.0  # genuinely lossy
             else:
                 assert r["psnr"] == float("inf")
+
+
+class TestProgressive:
+    def test_equals_baseline_decode_exactly(self):
+        """The progressive encoder produces the SAME quantized
+        coefficients as the baseline encoder, so the multi-scan decode
+        (spectral bands, successive approximation, EOB runs) must
+        reassemble pixels bit-for-bit equal to the baseline decode."""
+        for eid, (w, h) in ((0, (32, 32)), (7, (32, 32)), (3, (48, 48)),
+                            (1, (37, 29)), (5, (9, 17))):
+            px = ic.synth_pixels_smooth(eid, w, h)
+            base = J.decode_jpeg(J.encode_jpeg(px, quality=92))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(px, quality=92))
+            assert np.array_equal(base, prog), (eid, w, h)
+
+    def test_edge_heavy_pattern_and_qualities(self):
+        """Sawtooth wraps maximize AC activity (long runs, ZRL, dense
+        refinement); every quality must still match baseline exactly."""
+        px = ic.synth_pixels(4, 32, 32)
+        for q in (50, 75, 92, 98):
+            base = J.decode_jpeg(J.encode_jpeg(px, quality=q))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(px, quality=q))
+            assert np.array_equal(base, prog), q
+
+    def test_flat_image_exercises_long_eob_runs(self):
+        """A constant image makes every AC band empty -> maximal EOB
+        runs (EOBn symbols with extension bits) through encoder and
+        decoder."""
+        px = np.full((64, 64, 3), 130, np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(px, quality=92))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(px, quality=92))
+        assert np.array_equal(base, prog)
+
+    def test_sof2_marker_and_scan_count(self):
+        px = ic.synth_pixels_smooth(2, 32, 32)
+        enc = J.encode_jpeg_progressive(px, quality=92)
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+        assert enc.count(b"\xff\xda") == 9  # the 9-scan script
+
+    def test_deterministic(self):
+        px = ic.synth_pixels_smooth(6, 32, 32)
+        assert (J.encode_jpeg_progressive(px) ==
+                J.encode_jpeg_progressive(px))
+
+    def test_progressive_restart_rejected(self):
+        px = ic.synth_pixels_smooth(2, 16, 16)
+        enc = bytearray(J.encode_jpeg_progressive(px, quality=92))
+        # splice a DRI segment with a nonzero interval before first SOS
+        sos = enc.find(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x02"
+        patched = bytes(enc[:sos]) + dri + bytes(enc[sos:])
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(patched)
