@@ -2428,18 +2428,12 @@ def mvt_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             zip(pdf["relation_id"], pdf["geom"]), key=lambda t: int(t[0])
         )
         for rid, blob in order:
-            ring = _wkb.decode(bytes(blob)).ring(0)[:-1]
-            lon_i = np.round(ring[:, 0] * 10000).astype(np.int64)
-            lat_i = np.round(ring[:, 1] * 10000).astype(np.int64)
-            qx = ((lon_i - tx * 2000 + 8000) * 4096) // 2000 - 16384
-            qy = (((ty + 1) * 2000 - lat_i + 8000) * 4096) // 2000 - 16384
-            feats.append(
-                (
-                    int(rid),
-                    [np.stack([qx, qy], axis=1)],
-                    {"name": f"rel_{int(rid)}"},
-                )
-            )
+            # the same integer quantizer the .mvt tile sink uses
+            # (sources/mvtiles.py::quantize_ring)
+            from ..sources.mvtiles import quantize_ring
+
+            q = quantize_ring(_wkb.decode(bytes(blob)).ring(0), tx, ty)
+            feats.append((int(rid), [q], {"name": f"rel_{int(rid)}"}))
         buf = mvt.encode_tile("stop_areas", feats)
         out = []
         for f in mvt.decode_tile(buf)[0]["features"]:

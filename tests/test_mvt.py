@@ -83,3 +83,54 @@ class TestTileRoundTrip:
         assert f["geom_len"] == len(
             encode_packed_varints(np.asarray(cmds, np.int64))
         )
+
+
+class TestTileSinkSource:
+    def test_write_read_roundtrip(self, spark, sf_dir, tmp_path):
+        """Octagon layer -> executor-written .mvt files + manifest ->
+        distributed binaryFile decode: every (tile, feature) must
+        survive with its vertex count, and the manifest must agree
+        with both sides."""
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.pipeline import datagen
+        from osm2vdv462_spark.sources import mvtiles
+
+        polys = datagen.stop_area_octagons(spark, sf_dir).select(
+            F.col("relation_id").cast("bigint").alias("feature_id"),
+            "geom",
+            (F.lit(-2000) + 1000 * (F.col("relation_id") % 5))
+            .cast("long")
+            .alias("cx"),
+            (F.lit(-2000) + 1000 * F.expr("relation_id div 5"))
+            .cast("long")
+            .alias("cy"),
+        )
+        cand = mvtiles.tile_candidates(polys)
+        out = str(tmp_path / "tiles")
+        manifest = mvtiles.write_tiles(cand, out)
+        assert manifest and all(
+            r["path"].endswith(".mvt") for r in manifest
+        )
+        import json
+        import os
+
+        with open(os.path.join(out, "manifest.json")) as fh:
+            assert json.load(fh) == manifest
+
+        back = mvtiles.read_tiles(spark, out).collect()
+        got = {(r["tile_x"], r["tile_y"], r["feature_id"]): r for r in back}
+        want = {
+            (r["tile_x"], r["tile_y"], r["feature_id"])
+            for r in cand.select("tile_x", "tile_y", "feature_id").collect()
+        }
+        assert set(got) == want
+        for k, r in got.items():
+            assert r["n_vertices"] == 8  # open octagon ring
+            assert r["layer"] == "stop_areas"
+            assert r["name"] == f"rel_{k[2]}"
+        # per-tile feature counts agree with the manifest
+        from collections import Counter
+
+        counts = Counter((t, y) for t, y, _ in got)
+        assert {(r["tile_x"], r["tile_y"]): r["n_features"] for r in manifest} == dict(counts)
