@@ -24,6 +24,8 @@ table-maintenance verbs:
 * ``export-shards``  image table -> WebDataset tar pool
 * ``refresh-tiles``  incremental materialized tile view (init or
                   advance from the source table's changelog)
+* ``export-mvt``  stop-area polygons -> Mapbox Vector Tile pyramid
+                  (one .mvt per tile, executor-written + manifest)
 
 Every subcommand prints ONE JSON object on stdout (stats, paths,
 row/byte metrics) so cluster schedulers can parse the outcome.
@@ -81,6 +83,11 @@ def main(argv: list[str] | None = None) -> dict:
     rt.add_argument("--init", action="store_true",
                     help="full (re)compute instead of incremental")
 
+    mv = sub.add_parser("export-mvt", help="polygon layer -> .mvt tiles")
+    mv.add_argument("--sf-dir", required=True)
+    mv.add_argument("--out", required=True)
+    mv.add_argument("--layer", default="stop_areas")
+
     args = p.parse_args(argv)
     spark = _spark(args)
 
@@ -112,6 +119,28 @@ def main(argv: list[str] | None = None) -> dict:
             "shards": len(manifest),
             "rows": sum(m["rows"] for m in manifest),
             "bytes": sum(m["bytes"] for m in manifest),
+        }
+    elif args.cmd == "export-mvt":
+        from pyspark.sql import functions as F
+
+        from .pipeline import datagen
+        from .sources import mvtiles
+
+        polys = datagen.stop_area_octagons(spark, args.sf_dir).select(
+            F.col("relation_id").cast("bigint").alias("feature_id"),
+            "geom",
+            (F.lit(-2000) + 1000 * (F.col("relation_id") % 5))
+            .cast("long").alias("cx"),
+            (F.lit(-2000) + 1000 * F.expr("relation_id div 5"))
+            .cast("long").alias("cy"),
+        )
+        manifest = mvtiles.write_tiles(
+            mvtiles.tile_candidates(polys), args.out, layer=args.layer
+        )
+        out = {
+            "tiles": len(manifest),
+            "features": sum(m["n_features"] for m in manifest),
+            "out": args.out,
         }
     else:  # refresh-tiles
         from .pipeline import incremental as iv

@@ -42,3 +42,13 @@ def test_export_shards_and_refresh_tiles(spark, sf_dir, tmp_path, capsys):
     st.append_table(pts.filter(F.col("event_id") >= 500), src, files_hint=2)
     ref = _run(capsys, ["refresh-tiles", "--source", src, "--view", view])
     assert ref["refreshed"] and ref["keys_upserted"] > 0
+
+
+def test_export_mvt(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "tiles")
+    out = _run(capsys, ["export-mvt", "--sf-dir", sf_dir, "--out", out_dir])
+    assert out["tiles"] > 0 and out["features"] >= 25
+    from osm2vdv462_spark.sources import mvtiles
+
+    back = mvtiles.read_tiles(spark, out_dir)
+    assert back.count() == out["features"]
