@@ -1844,3 +1844,158 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+@register_extra(
+    "exact_substring_spans",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS i
+      FROM documents WHERE n_chars >= 40
+    ), dg AS (
+      SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM pos
+    ), keep AS (
+      SELECT h FROM dg GROUP BY h HAVING count(*) BETWEEN 2 AND 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_grams
+    FROM dg a JOIN keep USING (h) JOIN dg b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (the suffix-array dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): doc pairs sharing a verbatim >=40-char substring, scored
+    by how many distinct 40-char rolling grams they share (a contiguous
+    duplicated span of S chars contributes S-39 grams, so the count is
+    a span-length proxy). Plan: explode rolling grams, hash each to a
+    fixed 16-byte md5 so the dedup/posting shuffles never carry text;
+    one groupBy(h) builds sorted posting lists with a document-frequency
+    cap (2..8 — grams in >8 docs are boilerplate, dropped exactly as
+    production suffix-array dedup drops high-DF spans), pairs fan out
+    from the capped lists (<=28 per gram, never all-pairs), and one
+    count shuffle on (doc_a, doc_b) finishes. Both shuffles carry
+    fixed-width keys; the gram explode is map-side only."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.filter(F.col("n_chars") >= 40).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars").cast("int") - 39)
+        ).alias("i"),
+    )
+    grams = pos.select(
+        "doc_id",
+        F.md5(F.expr("substring(text, i, 40)").cast("binary")).alias("h"),
+    ).distinct()
+    posting = (
+        grams.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 8))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (a, i) ->"
+                " transform(slice(docs, i + 2, size(docs)),"
+                " b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_grams"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register_extra(
+    "embedding_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ), expl AS (
+      SELECT vec_id, unnest(range(1, len(q) + 1)) AS d, unnest(q) AS v
+      FROM q
+    ), dims AS (
+      SELECT d, sum(v) AS s, count(*) AS n FROM expl GROUP BY d
+    ), cent AS (
+      SELECT list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                  ORDER BY d) AS carr
+      FROM dims
+    ), dist AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(q) + 1),
+                 i -> (q[i] - carr[i]) * (q[i] - carr[i])))
+             AS BIGINT) AS dist2_q
+      FROM q, cent
+    ), thr AS (
+      SELECT quantile_disc(dist2_q, 0.975) AS t FROM dist
+    )
+    SELECT vec_id, dist2_q, dist2_q > t AS is_outlier
+    FROM dist, thr ORDER BY vec_id
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen (the CLIP-style curation filter:
+    drop vectors far from the corpus centroid before near-dup / ANN
+    passes). All-integer pipeline so both engines agree bit-for-bit
+    with zero float-ordering risk: components quantize to 1e-4 via
+    floor (no tie ambiguity), per-dim sums are exact BIGINTs from one
+    partial-agg shuffle with 64 keys, the quantized centroid and the
+    P97.5 discrete-percentile cutoff each ride back as broadcast 1-row
+    aggregates, and the squared distance is a JVM-side zip_with fold
+    bounded by 64*(2e4)^2 — no overflow at any corpus size. At 100 TB
+    the percentile input is the 16-byte (vec_id, dist2) projection,
+    never the vectors; swap percentile_disc for a two-pass counting
+    threshold if even that sort must be avoided."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+        ).alias("q"),
+    )
+    dims = (
+        q.select(F.posexplode("q").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    cent = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
+            lambda x: F.floor(x["s"].cast("double") / x["n"]).cast("bigint"),
+        ).alias("carr")
+    )
+    dist = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("carr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist2_q"),
+    )
+    thr = dist.agg(
+        F.expr(
+            "CAST(percentile_disc(0.975) WITHIN GROUP (ORDER BY dist2_q)"
+            " AS BIGINT)"
+        ).alias("t")
+    )
+    return (
+        dist.crossJoin(F.broadcast(thr))
+        .select(
+            "vec_id",
+            "dist2_q",
+            (F.col("dist2_q") > F.col("t")).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
