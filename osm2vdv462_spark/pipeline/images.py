@@ -253,6 +253,44 @@ def with_sharpness(images: DataFrame) -> DataFrame:
     )
 
 
+def with_color_hist(images: DataFrame) -> DataFrame:
+    """Decode -> 64-bin quantized color histogram summary: each pixel
+    maps to a 2-bit-per-channel bin (r>>6)*16 + (g>>6)*4 + (b>>6); per
+    image we keep the dominant bin (ties -> lowest bin id, np.argmax's
+    first-max), its pixel count, and how many of the 64 bins are
+    occupied — the palette-complexity signal corpus curation uses to
+    drop flat/monochrome images before training. Pure integer counts,
+    so the DuckDB closed-form oracle reproduces every value exactly."""
+
+    def _hist(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                bins = (
+                    (px[:, :, 0] >> 6) * 16
+                    + (px[:, :, 1] >> 6) * 4
+                    + (px[:, :, 2] >> 6)
+                )
+                counts = np.bincount(bins.ravel(), minlength=64)
+                dom = int(np.argmax(counts))
+                out.append(
+                    (
+                        row.image_id,
+                        dom,
+                        int(counts[dom]),
+                        int(np.count_nonzero(counts)),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "dom_bin", "dom_count", "n_bins"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _hist, "image_id string, dom_bin int, dom_count int, n_bins int"
+    )
+
+
 EDGE_T = 1000  # Sobel L1 magnitude threshold (|gx|+|gy| <= ~6120)
 
 

@@ -1606,3 +1606,42 @@ def image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_patch_stats(imgs).orderBy(
         "image_id", "patch_row", "patch_col"
     )
+
+
+_COLOR_HIST_ORACLE = """
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id,
+         (((x*7 + e.event_id*13) % 256) // 64) * 16
+       + (((y*11 + e.event_id*29) % 256) // 64) * 4
+       + ((((x+y)*5 + e.event_id*53) % 256) // 64) AS bin
+  FROM e CROSS JOIN yx
+), hist AS (
+  SELECT event_id, bin, count(*) AS c FROM px GROUP BY 1, 2
+), dom AS (
+  SELECT event_id, bin, c,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY c DESC, bin) AS rn,
+         count(*) OVER (PARTITION BY event_id) AS n_bins
+  FROM hist
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST(bin AS INT) AS dom_bin, CAST(c AS INT) AS dom_count,
+       CAST(n_bins AS INT) AS n_bins
+FROM dom WHERE rn = 1 ORDER BY image_id
+"""
+
+
+@register_extra("image_color_hist", _COLOR_HIST_ORACLE)
+def image_color_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized color-histogram summary through the REAL PNG decode
+    path: 64-bin (2 bits/channel) histogram per image -> dominant bin
+    (ties break to the lowest bin id in BOTH engines: np.argmax first-
+    max vs ORDER BY c DESC, bin), its pixel count, and the occupied-bin
+    count — the palette-complexity filter that drops flat/monochrome
+    screenshots from image corpora. Pure integer counts, closed-form
+    oracle. Plan shape: the decode mapInPandas is the only Python
+    stage; everything downstream is a 4-column projection."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_color_hist(imgs).orderBy("image_id")
