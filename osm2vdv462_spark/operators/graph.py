@@ -220,3 +220,42 @@ def lpa_rounds(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select("node", "lbl")
         )
     return lab
+
+
+def kcore_nodes(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected canonical edge
+    list (a < b): repeatedly drop every node with degree < k (and its
+    edges) until stable, here unrolled to ``rounds`` synchronous
+    passes so the computation is deterministic and has an exact
+    SQL twin (the convergence bound for the gated graphs is
+    pytest-asserted: round R == round R+1). Returns the surviving
+    nodes with their degree inside the core subgraph.
+
+    Scale shape per round: one partial-agg degree count on the node
+    key + two semi-joins that only ever SHRINK the edge table — the
+    peeling monotonicity means round r's input is a subset of round
+    r-1's, so the worst case is rounds x O(|E|) with no growth
+    anywhere. An eager localCheckpoint per round cuts the 3-join
+    lineage stack (the janino-under-1g discipline from CLAUDE.md);
+    a production run would stop early when a round removes nothing
+    (edge count is already materialized by the checkpoint)."""
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+    )

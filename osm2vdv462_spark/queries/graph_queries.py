@@ -332,3 +332,82 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def _kcore_iter_sql(prev: str, deg: str, nxt: str, k: int) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous edge set 3x, so letting DuckDB inline the CTEs would
+    # expand the 8-round chain into 3^8 scans of events.
+    return f"""
+    {deg} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY node
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN {deg} da ON da.node = e.a AND da.d >= {k}
+      JOIN {deg} db ON db.node = e.b AND db.d >= {k}
+    )"""
+
+
+# 3-core by synchronous peeling, unrolled to 8 rounds (the gated
+# graphs converge in <= 6 at every test sf; tests assert 8 == 9).
+@register_extra(
+    "kcore_3core_userweb",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 600 AS u,
+             ('0x' || substr(md5('kcore:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 600 AS v
+      FROM events WHERE event_id % 3 = 0
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    """
+    + ",".join(
+        _kcore_iter_sql(f"e{i}", f"g{i + 1}", f"e{i + 1}", 3)
+        for i in range(8)
+    )
+    + """
+    SELECT CAST(node AS BIGINT) AS node, count(*) AS core_deg FROM (
+      SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8
+    ) GROUP BY node ORDER BY node
+    """,
+)
+def kcore_3core_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the md5-derived event interaction graph
+    (operators/graph.py::kcore_nodes): the standard spam/bot-web
+    densest-region screen — nodes that survive iterated removal of
+    degree-<3 vertices, with their in-core degree. Peeling only ever
+    shrinks the edge table, so each of the 8 unrolled rounds is one
+    degree count + two semi-joins over a monotonically smaller input;
+    the DuckDB twin unrolls the identical rounds as chained CTEs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.pmod(F.col("user_id"), F.lit(600)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kcore:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 600
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v")
+    return (
+        G.kcore_nodes(edges, k=3, rounds=8)
+        .select(F.col("node").cast("bigint").alias("node"), "core_deg")
+        .orderBy("node")
+    )

@@ -5,6 +5,8 @@ Cross-engine parity is covered by tests/test_oracle_parity.py."""
 import itertools
 import random
 
+from pyspark.sql import functions as F
+
 from osm2vdv462_spark.operators import graph as G
 
 
@@ -214,3 +216,68 @@ class TestLPACommunities:
         r1 = sorted(map(tuple, G.lpa_rounds(df, rounds=3).collect()))
         r2 = sorted(map(tuple, G.lpa_rounds(df.repartition(7), rounds=3).collect()))
         assert r1 == r2
+
+
+class TestKCore:
+    def test_hand_checked_peels_tail(self, spark):
+        # triangle 1-2-3 each + node 4 hanging off 1: 2-core keeps the
+        # triangle (deg 2 each), drops 4; 3-core is empty.
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (1, 4)], "a long, b long"
+        )
+        core2 = {
+            (r["node"], r["core_deg"])
+            for r in G.kcore_nodes(e, k=2, rounds=3).collect()
+        }
+        assert core2 == {(1, 2), (2, 2), (3, 2)}
+        assert G.kcore_nodes(e, k=3, rounds=3).count() == 0
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        # chain 1-2-3-4-5 + triangle 5-6-7: peeling the chain cascades
+        # one node per round until only the triangle survives.
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (5, 7), (6, 7)],
+            "a long, b long",
+        )
+        got = {
+            (r["node"], r["core_deg"])
+            for r in G.kcore_nodes(e, k=2, rounds=6).collect()
+        }
+        assert got == {(5, 2), (6, 2), (7, 2)}
+
+    def test_gate_graph_converges_within_pinned_rounds(self, spark, sf_dir):
+        # the registered query pins rounds=8; assert a 9th round is a
+        # no-op on the gate graph so the unrolled SQL twin is exact.
+        from osm2vdv462_spark.queries.graph_queries import kcore_3core_userweb
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pairs = ev.filter(F.col("event_id") % 3 == 0).select(
+            F.pmod(F.col("user_id"), F.lit(600)).alias("u"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("kcore:"),
+                                F.col("event_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 600
+            ).alias("v"),
+        )
+        edges = G.canonical_edges(pairs, "u", "v")
+        r8 = sorted(
+            (r["node"], r["core_deg"])
+            for r in G.kcore_nodes(edges, k=3, rounds=8).collect()
+        )
+        r9 = sorted(
+            (r["node"], r["core_deg"])
+            for r in G.kcore_nodes(edges, k=3, rounds=9).collect()
+        )
+        assert r8 == r9 and len(r8) > 0
