@@ -1891,7 +1891,10 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = pos.select(
         "doc_id",
         F.md5(F.expr("substring(text, i, 40)").cast("binary")).alias("h"),
-    ).distinct()
+    )
+    # no pre-distinct: collect_set dedups doc_ids per gram inside the
+    # ONE groupBy(h) shuffle (map-side partial sets), saving the full
+    # (doc_id, h) exchange a .distinct() would add
     posting = (
         grams.groupBy("h")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
