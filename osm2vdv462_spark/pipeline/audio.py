@@ -45,6 +45,19 @@ def synth_samples(doc_id: int, n: int = N_SAMPLES) -> np.ndarray:
     return v.astype(np.int16)
 
 
+def synth_samples_square(doc_id: int, n: int = N_SAMPLES) -> np.ndarray:
+    """Deterministic PERIODIC waveform (50%-duty square wave, period
+    p = 40 + (doc_id*13) % 60 samples => 160-400 Hz at SR 16k): the
+    pitched corpus for the autocorrelation pitch tracker. The LCG
+    waveforms are spectrally flat noise — a pitch estimate over them
+    would be arbitrary; a square wave has its autocorrelation maximum
+    exactly at lag = p, so the tracker's answer is ground-truthable
+    closed-form (integer arithmetic end-to-end)."""
+    p = 40 + (doc_id * 13) % 60
+    k = np.arange(n, dtype=np.int64)
+    return np.where((k % p) < p // 2, 8000, -8000).astype(np.int16)
+
+
 VAD_REGION = 400  # silence-gate granularity (samples)
 
 
@@ -118,6 +131,7 @@ def audio_df(
     n_samples: int = N_SAMPLES,
     spb: int = audiocodec.SPB,
     gated: bool = False,
+    wave: str | None = None,
 ) -> DataFrame:
     """One clip per `documents` row (binary + typed metadata).
 
@@ -139,6 +153,8 @@ def audio_df(
             if not ids:
                 continue
             synth = synth_samples_gated if gated else synth_samples
+            if wave == "square":
+                synth = synth_samples_square
             raw = np.stack([synth(d, n_samples) for d in ids])
             if codec == "pcm_s16le":
                 blobs = [r.tobytes() for r in raw]
@@ -418,4 +434,72 @@ def with_vad_segments(
         _vad,
         "doc_id bigint, seg_idx int, start_frame int, end_frame int,"
         " n_frames int, loud_total bigint",
+    )
+
+
+PITCH_LAG_MIN = 20  # 800 Hz ceiling at SR 16k
+PITCH_LAG_MAX = 119  # ~134 Hz floor; covers the square corpus (p 40-99)
+
+
+def with_pitch_lag(
+    audio: DataFrame,
+    lag_min: int = PITCH_LAG_MIN,
+    lag_max: int = PITCH_LAG_MAX,
+    spb: int = audiocodec.SPB,
+) -> DataFrame:
+    """Autocorrelation pitch tracker: decode -> integer autocorrelation
+    corr(lag) = sum_k v[k]*v[k+lag] over the whole clip for lag in
+    [lag_min, lag_max], best lag = argmax with ties to the SMALLEST lag
+    (np.argmax first-max — the same pinned tie-break the SQL twin's
+    ORDER BY corr DESC, lag uses). Pure int64 arithmetic (|v| <= 32768,
+    1600 samples => |corr| <= 1.7e12 — no overflow, no float parity
+    risk). One map-side pass, clip-vectorized across the batch; output
+    is a 4-column projection (doc_id, best_lag, best_corr,
+    pitch_hz_e2 = floor(SR*100 / best_lag))."""
+
+    def _pitch(batches):
+        for pdf in batches:
+            by_key: dict = {}
+            for row in pdf.itertuples(index=False):
+                key = (row.codec, int(row.n_samples), int(row.sr))
+                by_key.setdefault(key, ([], []))
+                by_key[key][0].append(int(row.doc_id))
+                by_key[key][1].append(bytes(row.pcm))
+            parts = []
+            for (codec, n, sr), (ids, blobs) in sorted(by_key.items()):
+                mat = _decode_group(blobs, codec, n, spb)
+                lags = np.arange(lag_min, lag_max + 1)
+                corr = np.empty((len(blobs), lags.size), dtype=np.int64)
+                for j, lag in enumerate(lags):
+                    corr[:, j] = (mat[:, : n - lag] * mat[:, lag:]).sum(1)
+                best_j = np.argmax(corr, axis=1)
+                best_lag = lags[best_j]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.asarray(ids, np.int64),
+                            "best_lag": best_lag.astype(np.int32),
+                            "best_corr": corr[
+                                np.arange(len(blobs)), best_j
+                            ],
+                            "pitch_hz_e2": (sr * 100) // best_lag,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "best_lag": pd.Series(dtype="int32"),
+                        "best_corr": pd.Series(dtype="int64"),
+                        "pitch_hz_e2": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return audio.mapInPandas(
+        _pitch,
+        "doc_id bigint, best_lag int, best_corr bigint, pitch_hz_e2 bigint",
     )

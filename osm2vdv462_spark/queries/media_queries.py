@@ -1645,3 +1645,50 @@ def image_color_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; everything downstream is a 4-column projection."""
     imgs = im.images_df(spark, sf_dir, every=50)
     return im.with_color_hist(imgs).orderBy("image_id")
+
+
+_PITCH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 40 + (doc_id * 13) % 60 AS p FROM documents
+),
+k AS (SELECT range AS k FROM range(1600)),
+s AS (
+  SELECT doc_id, list(CASE WHEN (k % p) < (p // 2) THEN 8000 ELSE -8000 END
+                      ORDER BY k) AS vs
+  FROM d CROSS JOIN k GROUP BY doc_id
+),
+lags AS (SELECT 20 + range AS lag FROM range(100)),
+c AS (
+  SELECT doc_id, lag,
+         CAST(list_sum(list_transform(range(1, 1601 - CAST(lag AS INT)),
+              i -> vs[i] * vs[i + lag])) AS BIGINT) AS corr
+  FROM s CROSS JOIN lags
+),
+best AS (
+  SELECT doc_id, lag, corr,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY corr DESC, lag) AS rn
+  FROM c
+)
+SELECT doc_id, CAST(lag AS INT) AS best_lag, corr AS best_corr,
+       CAST((16000 * 100) // lag AS BIGINT) AS pitch_hz_e2
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register_extra("audio_pitch_lag", _PITCH_ORACLE)
+def audio_pitch_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch tracking through the REAL PCM decode path
+    over a PITCHED corpus (pipeline/audio.py::synth_samples_square —
+    50%-duty square waves, period 40-99 samples => 160-400 Hz): decode
+    -> integer corr(lag) for lag 20..119 -> argmax with the smallest-lag
+    tie-break. The oracle recomputes every correlation closed-form and
+    — because a square wave's autocorrelation peaks exactly at its
+    period — the tracker's answer is ground-truth-verifiable: best_lag
+    equals the synth period p for every clip (hash-gated via the pinned
+    p formula). Pure int64; one map-side clip-vectorized pass, no
+    shuffle before the output sort."""
+    from ..pipeline import audio as au
+
+    clips = au.audio_df(spark, sf_dir, codec="pcm_s16le", wave="square")
+    return au.with_pitch_lag(clips).orderBy("doc_id")

@@ -277,3 +277,23 @@ class TestSpectralBins:
             assert top == 8
             others = [v for b, v in by_bin.items() if b != 8]
             assert by_bin[8] > 100 * max(others + [1])
+
+
+class TestPitchLag:
+    def test_recovers_ground_truth_period(self, spark, sf_dir):
+        # square-wave autocorr peaks exactly at the synth period p
+        clips = au.audio_df(spark, sf_dir, codec="pcm_s16le", wave="square")
+        rows = au.with_pitch_lag(clips).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["best_lag"] == 40 + (r["doc_id"] * 13) % 60
+            assert r["pitch_hz_e2"] == (16000 * 100) // r["best_lag"]
+
+    def test_survives_lossy_adpcm_roundtrip(self, spark, sf_dir):
+        # codec robustness: the 4-bit ADPCM round-trip distorts samples
+        # but the argmax lag still lands on the true period
+        clips = au.audio_df(spark, sf_dir, codec="ima_adpcm", wave="square")
+        rows = au.with_pitch_lag(clips).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["best_lag"] == 40 + (r["doc_id"] * 13) % 60
