@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import lz4codec
+
 # --------------------------------------------------------- wire format
 
 
@@ -119,13 +121,12 @@ def scan_blob_descriptors(path: str) -> list[tuple[int, int, str]]:
     return out
 
 
-_BLOB_CODECS = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
-
-
 def _blob_payload(raw: bytes) -> bytes:
-    """Blob -> uncompressed PrimitiveBlock bytes. Only raw (field 1)
-    and zlib (field 3) are in-sandbox; any other compression (lzma /
-    bzip2 / lz4 / zstd, fields 4-7) raises rather than silently
+    """Blob -> uncompressed PrimitiveBlock bytes. Readable codecs:
+    raw (field 1), zlib (3), lzma (4, stdlib), bzip2 (5, stdlib) and
+    lz4 block (6, from-scratch functions/lz4codec.py). Only zstd (7)
+    remains a raised boundary (no zstd lib in-sandbox and the format
+    is not reimplementable in budget) — raising beats silently
     yielding zero elements."""
     data = None
     for fno, wt, v in _fields(raw):
@@ -133,13 +134,23 @@ def _blob_payload(raw: bytes) -> bytes:
             data = v
         elif fno == 3 and wt == 2:
             data = zlib.decompress(v)
-        elif fno in _BLOB_CODECS and wt == 2:
+        elif fno == 4 and wt == 2:
+            import lzma
+
+            data = lzma.decompress(v)
+        elif fno == 5 and wt == 2:
+            import bz2
+
+            data = bz2.decompress(v)
+        elif fno == 6 and wt == 2:
+            data = lz4codec.lz4_block_decompress(v)
+        elif fno == 7 and wt == 2:
             raise ValueError(
-                f"unsupported PBF Blob compression {_BLOB_CODECS[fno]!r}"
-                f" (field {fno}); only raw/zlib blobs are readable here"
+                "unsupported PBF Blob compression 'zstd' (field 7);"
+                " raw/zlib/lzma/bzip2/lz4 blobs are readable here"
             )
     if data is None:
-        raise ValueError("PBF Blob carries no raw or zlib payload")
+        raise ValueError("PBF Blob carries no recognized payload")
     return data
 
 
@@ -591,8 +602,16 @@ def _header_bytes() -> bytes:
     return struct.pack(">I", len(bh)) + bh + hdr_blob
 
 
-def _frame_blob(block: bytes) -> bytes:
-    blob = _enc_field(2, 0, len(block)) + _enc_field(3, 2, zlib.compress(block))
+def _frame_blob(block: bytes, codec: str = "zlib") -> bytes:
+    if codec == "zlib":
+        payload = _enc_field(3, 2, zlib.compress(block))
+    elif codec == "lz4":
+        payload = _enc_field(6, 2, lz4codec.lz4_block_compress(block))
+    elif codec == "raw":
+        payload = _enc_field(1, 2, block)
+    else:
+        raise NotImplementedError(f"no PBF blob encoder for {codec!r}")
+    blob = _enc_field(2, 0, len(block)) + payload
     bh = _enc_field(1, 2, b"OSMData") + _enc_field(3, 0, len(blob))
     return struct.pack(">I", len(bh)) + bh + blob
 
@@ -669,6 +688,7 @@ def write_pbf(
     path: str,
     sharded: bool = False,
     partitions: int | None = None,
+    codec: str = "zlib",
 ) -> int:
     """Write an element DataFrame (read_pbf layout) as .osm.pbf.
 
@@ -681,7 +701,10 @@ def write_pbf(
     encodes vectorized (numpy delta/zigzag/varint) and chunks into
     spec-compliant <=8000-element / <=16 MiB blocks. Elements are
     range-partitioned by (type, id) so output is deterministic and in
-    canonical order. Returns element count."""
+    canonical order. ``codec`` picks the blob compression: 'zlib'
+    (default, what osmium/osm2pgsql emit), 'lz4' (from-scratch block
+    codec — faster decode, bigger files) or 'raw'. Returns element
+    count."""
     src = _sorted_source(df, partitions)
 
     if sharded:
@@ -702,7 +725,9 @@ def write_pbf(
             with open(tmp, "wb") as fh:
                 fh.write(_header_bytes())
                 for chunk in _chunk_blocks(rows):
-                    fh.write(_frame_blob(_encode_primitive_block(chunk)))
+                    fh.write(
+                        _frame_blob(_encode_primitive_block(chunk), codec)
+                    )
             os.replace(tmp, part)
             yield pd.DataFrame({"part": [part], "n": [len(rows)]})
 
@@ -714,7 +739,7 @@ def write_pbf(
         for pdf in batches:
             rows.extend(_rows_from_pandas(pdf))
         for chunk in _chunk_blocks(rows):
-            framed = _frame_blob(_encode_primitive_block(chunk))
+            framed = _frame_blob(_encode_primitive_block(chunk), codec)
             yield pd.DataFrame({"framed": [framed], "n": [len(chunk)]})
 
     n_total = 0

@@ -278,8 +278,17 @@ class TestPbfSink:
         )
         with pytest.raises(ValueError, match="zstd"):
             pbf._blob_payload(zstd_blob)
-        with pytest.raises(ValueError, match="no raw or zlib"):
+        with pytest.raises(ValueError, match="no recognized payload"):
             pbf._blob_payload(TestWireFormat._field(2, 0, 10))
+        # lzma/bzip2 blobs now decode via stdlib
+        import bz2 as _bz2
+        import lzma as _lzma
+
+        for fno, comp in ((4, _lzma.compress), (5, _bz2.compress)):
+            blob = TestWireFormat._field(2, 0, 5) + TestWireFormat._field(
+                fno, 2, comp(b"hello")
+            )
+            assert pbf._blob_payload(blob) == b"hello"
 
     def test_header_declares_densenodes(self, spark, tmp_path):
         out = str(tmp_path / "hdr.osm.pbf")
@@ -340,3 +349,67 @@ class TestPbfSink:
         assert a.keys() == b.keys()
         diff = [(k, a[k], b[k]) for k in a if a[k] != b[k]]
         assert not diff, diff[:2]
+
+
+class TestLz4Codec:
+    def test_block_round_trips_and_fuzz(self):
+        import random
+
+        from osm2vdv462_spark.functions.lz4codec import (
+            lz4_block_compress as C,
+            lz4_block_decompress as D,
+        )
+
+        for c in (b"", b"a", b"abc", b"a" * 100, b"ab" * 500,
+                  bytes(range(256)) * 10, b"hello world " * 1000):
+            assert D(C(c)) == c
+        rng = random.Random(11)
+        for _ in range(200):
+            n = rng.randrange(0, 3000)
+            if rng.random() < 0.5:
+                base = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 20))
+                )
+                c = (base * (n // max(1, len(base)) + 1))[:n]
+            else:
+                c = bytes(rng.randrange(256) for _ in range(n))
+            assert D(C(c)) == c
+        # compressible input actually compresses
+        rep = b"node/way/relation " * 2000
+        assert len(C(rep)) < len(rep) // 10
+
+    def test_malformed_raises(self):
+        import pytest as _pytest
+
+        from osm2vdv462_spark.functions.lz4codec import (
+            lz4_block_decompress as D,
+        )
+
+        with _pytest.raises(ValueError):
+            D(b"\x00\x12\x34")  # match with offset beyond empty output
+        with _pytest.raises(ValueError):
+            D(b"\xf0")  # truncated literal run
+
+    def test_lz4_pbf_round_trip_real_extract(self, spark, tu_df, tmp_path):
+        """The full real-extract round-trip with lz4-compressed blobs:
+        write_pbf(codec='lz4') -> read_pbf equals the zlib path."""
+        out = str(tmp_path / "roundtrip_lz4.osm.pbf")
+        n = pbf.write_pbf(tu_df, out, codec="lz4")
+        assert n == tu_df.count()
+        back = pbf.read_pbf(spark, out)
+        assert back.count() == n
+        a = {
+            (r["element_type"], r["osm_id"]): (r["lon"], r["lat"])
+            for r in tu_df.collect()
+        }
+        b = {
+            (r["element_type"], r["osm_id"]): (r["lon"], r["lat"])
+            for r in back.collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            la, lb = a[k], b[k]
+            for x, y in zip(la, lb):
+                assert (x is None) == (y is None)
+                if x is not None:
+                    assert abs(x - y) < 1e-7
