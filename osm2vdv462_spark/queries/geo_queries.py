@@ -2701,3 +2701,175 @@ def map_match_traversals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "run_idx")
     )
+
+
+def _poly_validity_oracle() -> str:
+    """Independent relational derivation of polygon_validity: vertex
+    rows from a template x jitter cross join, segment self-join pairs,
+    integer cross-product sign tests (the Spark side is the array/
+    higher-order-function derivation — two formulations cross-check
+    each other, triangle-counting style)."""
+    return """
+    WITH o AS (SELECT o_orderkey AS poly_id FROM orders),
+    m AS (
+      SELECT poly_id,
+             CASE WHEN poly_id % 7 = 0 THEN 'bowtie'
+                  WHEN poly_id % 13 = 0 THEN 'dup'
+                  WHEN poly_id % 11 = 0 THEN 'rev'
+                  ELSE 'none' END AS mut
+      FROM o
+    ),
+    kk AS (SELECT range AS k FROM range(8)),
+    mi AS (
+      SELECT poly_id, k,
+             CASE WHEN mut = 'bowtie' AND k = 2 THEN 5
+                  WHEN mut = 'bowtie' AND k = 5 THEN 2
+                  WHEN mut = 'dup' AND k = 3 THEN 2
+                  WHEN mut = 'rev' THEN (8 - k) % 8
+                  ELSE k END AS mk
+      FROM m CROSS JOIN kk
+    ),
+    v AS (
+      SELECT poly_id, k,
+             ([200,141,0,-141,-200,-141,0,141])[mk + 1]
+               * (50 + (poly_id * 31 + mk * 17) % 100) AS x,
+             ([0,141,200,141,0,-141,-200,-141])[mk + 1]
+               * (50 + (poly_id * 31 + mk * 17) % 100) AS y
+      FROM mi
+    ),
+    s AS (
+      SELECT a.poly_id, a.k, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM v a JOIN v b ON b.poly_id = a.poly_id AND b.k = (a.k + 1) % 8
+    ),
+    area AS (
+      SELECT poly_id, sum(x1 * y2 - x2 * y1) AS two_a,
+             max(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 ELSE 0 END) AS dup
+      FROM s GROUP BY poly_id
+    ),
+    pq AS (
+      SELECT s1.poly_id,
+        (s2.x2 - s2.x1) * (s1.y1 - s2.y1)
+          - (s2.y2 - s2.y1) * (s1.x1 - s2.x1) AS d1,
+        (s2.x2 - s2.x1) * (s1.y2 - s2.y1)
+          - (s2.y2 - s2.y1) * (s1.x2 - s2.x1) AS d2,
+        (s1.x2 - s1.x1) * (s2.y1 - s1.y1)
+          - (s1.y2 - s1.y1) * (s2.x1 - s1.x1) AS d3,
+        (s1.x2 - s1.x1) * (s2.y2 - s1.y1)
+          - (s1.y2 - s1.y1) * (s2.x2 - s1.x1) AS d4
+      FROM s s1 JOIN s s2 ON s2.poly_id = s1.poly_id
+           AND s2.k > s1.k + 1 AND NOT (s1.k = 0 AND s2.k = 7)
+    ),
+    xi AS (
+      SELECT poly_id,
+             max(CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                       AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+                 THEN 1 ELSE 0 END) AS si
+      FROM pq GROUP BY poly_id
+    )
+    SELECT a.poly_id, CAST(a.two_a AS BIGINT) AS two_a,
+           a.two_a > 0 AS is_ccw, a.dup = 1 AS has_dup_vertex,
+           xi.si = 1 AS self_intersects
+    FROM area a JOIN xi ON xi.poly_id = a.poly_id
+    ORDER BY a.poly_id
+    """
+
+
+@register_extra("polygon_validity", _poly_validity_oracle())
+def polygon_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_IsValid-style polygon QA screen (the geometry-pipeline health
+    check an OSM ingest runs before geometry assembly): signed area /
+    ring orientation, duplicate consecutive vertices, and PROPER
+    self-intersection via integer cross-product sign tests — exact,
+    no epsilon, no floats. Corpus: one radial octagon per `orders` row
+    (monotone angles => provably simple) with deterministic injected
+    damage: %7 rows get a bowtie vertex swap (must flag
+    self_intersects), %13 a duplicated vertex, %11 a reversed (CW)
+    ring. Spark derivation is pure higher-order array functions — one
+    codegen projection, ZERO shuffles, no Python; the oracle re-derives
+    everything relationally (vertex/segment joins), so the two
+    formulations cross-check each other."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("poly_id")
+    )
+    d = o.withColumn(
+        "mut",
+        F.when(F.col("poly_id") % 7 == 0, "bowtie")
+        .when(F.col("poly_id") % 13 == 0, "dup")
+        .when(F.col("poly_id") % 11 == 0, "rev")
+        .otherwise("none"),
+    ).withColumn(
+        "midx",
+        F.expr(
+            "transform(sequence(0, 7), k -> CASE"
+            " WHEN mut = 'bowtie' AND k = 2 THEN 5"
+            " WHEN mut = 'bowtie' AND k = 5 THEN 2"
+            " WHEN mut = 'dup' AND k = 3 THEN 2"
+            " WHEN mut = 'rev' THEN pmod(8 - k, 8)"
+            " ELSE k END)"
+        ),
+    )
+    tx = "array(200,141,0,-141,-200,-141,0,141)"
+    ty = "array(0,141,200,141,0,-141,-200,-141)"
+    jit = "(50 + pmod(poly_id * 31 + m * 17, 100))"
+    d = d.withColumn(
+        "xs", F.expr(f"transform(midx, m -> element_at({tx}, m + 1) * {jit})")
+    ).withColumn(
+        "ys", F.expr(f"transform(midx, m -> element_at({ty}, m + 1) * {jit})")
+    )
+    # shifted endpoint arrays: segment k = (xs[k],ys[k])-(xs2[k],ys2[k])
+    d = d.withColumn(
+        "xs2",
+        F.expr("transform(sequence(0, 7), k -> element_at(xs, pmod(k + 1, 8) + 1))"),
+    ).withColumn(
+        "ys2",
+        F.expr("transform(sequence(0, 7), k -> element_at(ys, pmod(k + 1, 8) + 1))"),
+    )
+    two_a = (
+        "aggregate(sequence(0, 7), 0L, (acc, k) -> acc"
+        " + element_at(xs, k + 1) * element_at(ys2, k + 1)"
+        " - element_at(xs2, k + 1) * element_at(ys, k + 1))"
+    )
+    dup = (
+        "exists(sequence(0, 7), k ->"
+        " element_at(xs, k + 1) = element_at(xs2, k + 1)"
+        " AND element_at(ys, k + 1) = element_at(ys2, k + 1))"
+    )
+    # non-adjacent segment pairs (cyclic): j >= i+2, excluding (0, 7).
+    # NB sequence(a, b) with a > b steps DOWNWARD in Spark, so the j
+    # range must be full 0..7 with the j >= i+2 bound in the filter.
+    pairs = (
+        "filter(flatten(transform(sequence(0, 6), i ->"
+        " transform(sequence(0, 7), j -> named_struct('i', i, 'j', j)))),"
+        " p -> p.j >= p.i + 2 AND NOT (p.i = 0 AND p.j = 7))"
+    )
+
+    def seg(arr: str, idx: str) -> str:
+        return f"element_at({arr}, p.{idx} + 1)"
+
+    ax, ay = seg("xs", "i"), seg("ys", "i")
+    bx, by = seg("xs2", "i"), seg("ys2", "i")
+    cx, cy = seg("xs", "j"), seg("ys", "j")
+    dx, dy = seg("xs2", "j"), seg("ys2", "j")
+
+    def cross(px, py, qx, qy, rx, ry):
+        return f"(({qx} - {px}) * ({ry} - {py}) - ({qy} - {py}) * ({rx} - {px}))"
+
+    d1 = cross(cx, cy, dx, dy, ax, ay)
+    d2 = cross(cx, cy, dx, dy, bx, by)
+    d3 = cross(ax, ay, bx, by, cx, cy)
+    d4 = cross(ax, ay, bx, by, dx, dy)
+    si = (
+        f"exists({pairs}, p ->"
+        f" (({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    return (
+        d.select(
+            "poly_id",
+            F.expr(two_a).cast("bigint").alias("two_a"),
+            F.expr(f"{two_a} > 0").alias("is_ccw"),
+            F.expr(dup).alias("has_dup_vertex"),
+            F.expr(si).alias("self_intersects"),
+        )
+        .orderBy("poly_id")
+    )
