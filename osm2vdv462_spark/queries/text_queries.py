@@ -2002,3 +2002,50 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register_extra(
+    "skipgram_cooc",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    i AS (SELECT toks, unnest(range(len(toks))) AS i FROM t),
+    d AS (SELECT unnest([-3,-2,-1,1,2,3]) AS d),
+    p AS (
+      SELECT toks[i + 1] AS center, toks[i + d + 1] AS context
+      FROM i CROSS JOIN d
+      WHERE i + d >= 0 AND i + d < len(toks)
+    )
+    SELECT center, context, count(*) AS c
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 50 ORDER BY center, context
+    """,
+)
+def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window +-3, the word2vec /
+    GloVe / fastText preprocessing pass): ordered (center, context)
+    pair counts over the corpus with a frequency floor. Plan: the
+    window fanout is a map-side generator expression (positions x
+    offsets, bounds-checked inside the lambda — never a join), so the
+    only shuffle is ONE partial-agg count keyed on the pair; at 10^12
+    tokens the pair vocabulary, not the corpus, crosses the wire —
+    the same counting shape as the BPE trainer and PMI miner."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(F.split(F.col("text"), " ").alias("toks"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(sequence(0, size(toks) - 1), i ->"
+                " transform(array(-3, -2, -1, 1, 2, 3), d ->"
+                " named_struct('center', toks[i],"
+                " 'ok', i + d >= 0 AND i + d < size(toks),"
+                " 'context', toks[IF(i + d >= 0 AND i + d < size(toks),"
+                " i + d, 0)]))))," 
+                " p -> p.ok)"
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 50)
+        .orderBy("center", "context")
+    )
