@@ -456,3 +456,84 @@ def prefix_filter_jaccard_join(
         .filter(F.lit(theta_den) * F.col("inter") >= F.lit(theta_num) * F.col("union"))
     )
     return verified
+
+
+def minhash_lsh_pairs_incremental(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup detection: today's crawl batch vs the
+    standing corpus — the production dedup shape, where work is
+    O(batch), never O(corpus^2). Candidates come from an ASYMMETRIC
+    band join (new-side bands probe the index-side bands; old x old
+    pairs are structurally impossible), verification is the same
+    token-set Jaccard as minhash_lsh_pairs, and the output is
+    canonically ordered (id_a = least). At scale the index side's
+    banded signatures are a PERSISTED table (append-only, bucketed by
+    band_hash) so an arriving batch recomputes nothing of the corpus;
+    here both sides derive from the same seed/params, which is exactly
+    the invariant the persisted index must keep."""
+    rows_per_band = n_hashes // bands
+
+    def _banded(docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            shingle=shingle, seed=seed,
+        )
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.xxhash64(
+                        F.slice(
+                            F.col("sig"), i * rows_per_band + 1, rows_per_band
+                        )
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    bi = _banded(index_docs)
+    bn = _banded(new_docs)
+    cand = (
+        bn.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    texts = index_docs.unionByName(new_docs).select(
+        F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("toks")
+    )
+    ta = texts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = texts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

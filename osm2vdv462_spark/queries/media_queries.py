@@ -1692,3 +1692,36 @@ def audio_pitch_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = au.audio_df(spark, sf_dir, codec="pcm_s16le", wave="square")
     return au.with_pitch_lag(clips).orderBy("doc_id")
+
+
+def _minhash_incr_oracle() -> str:
+    """The full-pipeline minhash SQL twin restricted to CROSS pairs
+    (one side in the standing corpus, one in the injected batch) —
+    the incremental-crawl semantics."""
+    return f"""
+    WITH {_minhash_body()}
+    SELECT id_a, id_b, round(jac, 4) AS jaccard
+    FROM j WHERE jac >= 0.7 AND (id_a < 100000) <> (id_b < 100000)
+    ORDER BY 1, 2
+    """
+
+
+@register_extra("minhash_incremental_pairs", _minhash_incr_oracle())
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's 20-doc crawl batch (the injected
+    near-dups) probed against the standing 500-doc corpus via the
+    ASYMMETRIC band join (operators/dedup.py::
+    minhash_lsh_pairs_incremental — old x old candidates are
+    structurally impossible, so work is O(batch)). The oracle runs the
+    full symmetric pipeline and restricts to cross pairs: the
+    asymmetric plan must find exactly that set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return dedup.minhash_lsh_pairs_incremental(docs, batch).orderBy(
+        "id_a", "id_b"
+    )
