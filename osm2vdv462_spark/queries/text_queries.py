@@ -2209,3 +2209,107 @@ def perceptron_avg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mis_last",
         "n_mis_avg",
     )
+
+
+@register_extra(
+    "cdc_chunk_dedup",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, CAST(n_chars AS BIGINT) + 1)) AS i
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, text, i,
+             CASE WHEN i >= 16 AND
+                  ('0x' || substr(md5(substr(text, CAST(i - 15 AS INT), 16)),
+                                  1, 8))::BIGINT % 64 = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM pos
+    ),
+    c AS (
+      SELECT doc_id, text, i,
+             coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS ci
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id, ci, min(i) AS i0, count(*) AS chunk_len, text
+      FROM c GROUP BY doc_id, ci, text
+    ),
+    hh AS (
+      SELECT md5(substr(text, CAST(i0 AS INT), CAST(chunk_len AS INT))) AS h,
+             chunk_len
+      FROM ch
+    )
+    SELECT h AS chunk_hash, count(*) AS n_copies,
+           CAST(min(chunk_len) AS BIGINT) AS chunk_len
+    FROM hh GROUP BY h HAVING count(*) >= 2 ORDER BY h
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the storage-dedup primitive,
+    FastCDC/rsync-style): chunk boundaries fall where the hash of the
+    trailing 16-gram lands in a 1/64 bucket — boundaries move WITH the
+    content, so an insertion re-chunks only its neighborhood (the
+    property fixed-size blocks lack). Output: chunks whose exact
+    content recurs across the corpus. Plan shape (payload-safe at
+    100 TB): the boundary flag is computed map-side WHERE the text
+    is (one projection), then only THIN rows (doc_id, i, cut) cross
+    the window shuffle; chunk extents (min pos, length) aggregate on
+    the same doc-keyed partitioning; text joins back ONCE per doc to
+    hash the chunk substring — the corpus never rides position rows.
+    The DuckDB twin re-derives everything from the same md5 bucket
+    rule."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars").cast("int"))
+        ).alias("i"),
+    )
+    cut = (
+        (F.col("i") >= 16)
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(F.expr("substring(text, i - 15, 16)").cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+            == 0
+        )
+    ).cast("int")
+    thin = pos.select("doc_id", "i", cut.alias("cut"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = thin.select(
+        "doc_id", "i", F.coalesce(F.sum("cut").over(w), F.lit(0)).alias("ci")
+    )
+    ch = c.groupBy("doc_id", "ci").agg(
+        F.min("i").alias("i0"), F.count("*").alias("chunk_len")
+    )
+    hh = ch.join(d.select("doc_id", "text"), "doc_id").select(
+        F.md5(
+            F.expr("substring(text, i0, chunk_len)").cast("binary")
+        ).alias("h"),
+        "chunk_len",
+    )
+    return (
+        hh.groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(F.col("h").alias("chunk_hash"), "n_copies", "chunk_len")
+        .orderBy("chunk_hash")
+    )
