@@ -2313,3 +2313,61 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("h").alias("chunk_hash"), "n_copies", "chunk_len")
         .orderBy("chunk_hash")
     )
+
+
+@register_extra(
+    "embedding_int8_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ), expl AS (
+      SELECT vec_id, unnest(range(1, len(q) + 1)) AS d, unnest(q) AS v
+      FROM q
+    ), rng AS (
+      SELECT d, min(v) AS lo, max(v) AS hi FROM expl GROUP BY d
+    )
+    SELECT e.vec_id, CAST(e.d AS INT) AS dim,
+           CAST(CASE WHEN r.hi > r.lo
+                THEN ((e.v - r.lo) * 255) // (r.hi - r.lo)
+                ELSE 0 END AS INT) AS code
+    FROM expl e JOIN rng r ON r.d = e.d
+    ORDER BY e.vec_id, dim
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (0..255) quantization of the embedding table
+    — the serving-side compression pass (4x smaller vectors before PQ/
+    scalar-quantized ANN). Same all-integer discipline as
+    embedding_outliers: components floor-quantize to 1e-4 BIGINTs, the
+    per-dim min/max come from ONE 64-key partial-agg shuffle and ride
+    back as a 64-row broadcast, and the code is exact integer
+    arithmetic ((v-lo)*255 div range — no float scale factor, so both
+    engines agree on every boundary). Every (vec, dim, code) row is
+    hash-gated."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+            )
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    rng = q.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    out = q.join(F.broadcast(rng), "d").select(
+        "vec_id",
+        F.col("d").cast("int").alias("dim"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("((v - lo) * 255) div (hi - lo)"),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("code"),
+    )
+    return out.orderBy("vec_id", "dim")
