@@ -2873,3 +2873,104 @@ def polygon_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly_id")
     )
+
+
+@register_extra(
+    "trajectory_hausdorff_pairs",
+    """
+    WITH p AS (
+      SELECT user_id AS u,
+             (event_id * 37 + 11) % 2000 AS qx,
+             (event_id * 73 + 29) % 2000 AS qy
+      FROM events
+    ),
+    d1 AS (
+      SELECT a.u AS ua, b.u AS ub, a.qx, a.qy,
+             min((a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy)) AS m
+      FROM p a JOIN p b ON b.u = a.u + 1
+      GROUP BY a.u, b.u, a.qx, a.qy
+    ),
+    h1 AS (SELECT ua, ub, max(m) AS h FROM d1 GROUP BY 1, 2),
+    d2 AS (
+      SELECT b.u AS ua, a.u AS ub, a.qx, a.qy,
+             min((a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy)) AS m
+      FROM p a JOIN p b ON b.u = a.u - 1
+      GROUP BY b.u, a.u, a.qx, a.qy
+    ),
+    h2 AS (SELECT ua, ub, max(m) AS h FROM d2 GROUP BY 1, 2)
+    SELECT h1.ua AS user_a, h1.ub AS user_b,
+           CAST(greatest(h1.h, h2.h) AS BIGINT) AS hausdorff2
+    FROM h1 JOIN h2 ON h2.ua = h1.ua AND h2.ub = h1.ub
+    ORDER BY user_a
+    """,
+)
+def trajectory_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join: exact symmetric HAUSDORFF distance
+    (squared, in integer LCG grid units — 1/4000 deg per unit, the
+    same geotag rule every PIP/kNN query uses, kept integer so the
+    sup-inf itself is hash-gated with zero float risk) between
+    consecutive-user point-set pairs. Directed distance = max over a's
+    points of the min squared distance into b; symmetric = greatest of
+    both directions. The consecutive-id pair generator keeps the
+    oracle linear (ngram_jaccard convention) — in production the
+    candidate pairs come from the cell-grid prefilter the DWithin join
+    already implements, and each (pair) x (points^2) block is a
+    map-side nested loop after one co-partitioning shuffle on the
+    pair key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        F.col("user_id").alias("u"),
+        ((F.col("event_id") * 37 + 11) % 2000).alias("qx"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("qy"),
+    )
+    a = p.select(
+        F.col("u").alias("ua"), F.col("qx").alias("ax"), F.col("qy").alias("ay")
+    )
+    b = p.select(
+        F.col("u").alias("ub"), F.col("qx").alias("bx"), F.col("qy").alias("by")
+    )
+
+    def directed(src, dst, sid, did, sx, sy, dx, dy):
+        j = src.join(dst, F.col(did) == F.col(sid) + 1)
+        d2 = (F.col(sx) - F.col(dx)) * (F.col(sx) - F.col(dx)) + (
+            F.col(sy) - F.col(dy)
+        ) * (F.col(sy) - F.col(dy))
+        mins = j.groupBy(sid, did, sx, sy).agg(F.min(d2).alias("m"))
+        return mins.groupBy(sid, did).agg(F.max("m").alias("h"))
+
+    # a -> b: a's users are the LOWER id of each pair
+    h1 = directed(a, b, "ua", "ub", "ax", "ay", "bx", "by").select(
+        F.col("ua").alias("user_a"), F.col("ub").alias("user_b"),
+        F.col("h").alias("h1"),
+    )
+    # b -> a: b's users are the HIGHER id; direction b into a
+    bb = p.select(
+        F.col("u").alias("ub"), F.col("qx").alias("bx"), F.col("qy").alias("by")
+    )
+    aa = p.select(
+        F.col("u").alias("ua"), F.col("qx").alias("ax"), F.col("qy").alias("ay")
+    )
+    j2 = bb.join(aa, F.col("ub") == F.col("ua") + 1)
+    d2b = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("by") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    h2 = (
+        j2.groupBy("ua", "ub", "bx", "by")
+        .agg(F.min(d2b).alias("m"))
+        .groupBy("ua", "ub")
+        .agg(F.max("m").alias("h2"))
+        .select(
+            F.col("ua").alias("user_a"), F.col("ub").alias("user_b"), "h2"
+        )
+    )
+    return (
+        h1.join(h2, ["user_a", "user_b"])
+        .select(
+            "user_a",
+            "user_b",
+            F.greatest("h1", "h2").cast("bigint").alias("hausdorff2"),
+        )
+        .orderBy("user_a")
+    )
