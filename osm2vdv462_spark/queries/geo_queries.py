@@ -2974,3 +2974,129 @@ def trajectory_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a")
     )
+
+
+@register_extra(
+    "polyline_simplify_dp",
+    """
+    WITH RECURSIVE pts AS (
+      SELECT user_id AS u,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS i,
+             (event_id * 37 + 11) % 2000 AS x,
+             (event_id * 73 + 29) % 2000 AS y
+      FROM events
+    ),
+    ends AS (SELECT u, max(i) AS last FROM pts GROUP BY 1),
+    seg(u, lo, hi) AS (
+      SELECT u, CAST(0 AS BIGINT), last FROM ends
+      UNION ALL
+      SELECT c.u,
+             CASE WHEN k.k = 0 THEN c.lo ELSE c.m END,
+             CASE WHEN k.k = 0 THEN c.m ELSE c.hi END
+      FROM (
+        SELECT s.u, s.lo, s.hi, d.m
+        FROM seg s
+        JOIN pts a ON a.u = s.u AND a.i = s.lo
+        JOIN pts b ON b.u = s.u AND b.i = s.hi
+        JOIN LATERAL (
+          SELECT m, cr FROM (
+            SELECT p.i AS m,
+                   ((p.x - a.x) * (b.y - a.y)
+                    - (p.y - a.y) * (b.x - a.x)) AS cr
+            FROM pts p
+            WHERE p.u = s.u AND p.i > s.lo AND p.i < s.hi
+          ) ORDER BY cr * cr DESC, m ASC LIMIT 1
+        ) d ON true
+        WHERE s.hi > s.lo + 1
+          AND ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) > 0
+          AND d.cr * d.cr
+              > 250000 * ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+      ) c, (VALUES (0), (1)) k(k)
+    ),
+    kept AS (
+      SELECT DISTINCT u, i FROM (
+        SELECT u, lo AS i FROM seg UNION ALL SELECT u, hi AS i FROM seg
+      )
+    )
+    SELECT CAST(k.u AS BIGINT) AS user_id, CAST(k.i AS BIGINT) AS seq,
+           CAST(p.x AS BIGINT) AS qx, CAST(p.y AS BIGINT) AS qy
+    FROM kept k JOIN pts p ON p.u = k.u AND p.i = k.i
+    ORDER BY user_id, seq
+    """,
+)
+def polyline_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker trajectory simplification (ST_Simplify's
+    algorithm — geo/kernel.py:252 runs the float variant transitively
+    inside the envelope chain; THIS variant is exact-integer so the
+    kept-point set itself is hash-gated). Per-user event trails on the
+    LCG grid (the hausdorff/teleport rule); deviation tests compare
+    cross(A,B,P)^2 > tol^2 * |AB|^2 in int64 (tol = 500 grid units) —
+    no sqrt, no division, no float anywhere, so Spark and the DuckDB
+    recursive-CTE oracle split at EXACTLY the same points (argmax
+    tie-break: smallest index; coincident endpoints never split — both
+    rules mirrored in the oracle's LATERAL). Scale shape: one groupBy
+    shuffle co-locates each trajectory, then the recursion is a
+    map-side numpy stack per group (vectorized cross products per
+    split, no Python-per-point work); trajectories are bounded
+    (per-vehicle/day in production), so no group outgrows a task. The
+    27040-segment recursion the oracle runs is the same work the
+    executor does — only distributed."""
+    import pandas as pd
+
+    import numpy as np
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("qx"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("qy"),
+    )
+
+    TOL2 = 250000  # (500 grid units)^2
+
+    def _simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        x = pdf["qx"].to_numpy(np.int64)
+        y = pdf["qy"].to_numpy(np.int64)
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi <= lo + 1:
+                continue
+            dx = x[hi] - x[lo]
+            dy = y[hi] - y[lo]
+            len2 = int(dx * dx + dy * dy)
+            if len2 == 0:
+                # coincident endpoints: deterministic no-split rule,
+                # mirrored by the oracle's len2 > 0 guard
+                continue
+            cr = (x[lo + 1 : hi] - x[lo]) * dy - (y[lo + 1 : hi] - y[lo]) * dx
+            c2 = cr * cr
+            m = int(np.argmax(c2))  # first max == smallest index
+            if int(c2[m]) > TOL2 * len2:
+                mi = lo + 1 + m
+                keep[mi] = True
+                stack.append((lo, mi))
+                stack.append((mi, hi))
+        idx = np.flatnonzero(keep)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "seq": idx.astype(np.int64),
+                "qx": x[idx],
+                "qy": y[idx],
+            }
+        )
+
+    return (
+        pts.groupBy("user_id")
+        .applyInPandas(
+            _simplify, "user_id bigint, seq bigint, qx bigint, qy bigint"
+        )
+        .orderBy("user_id", "seq")
+    )
