@@ -2594,3 +2594,87 @@ def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("source")
+
+
+_BLOCKLIST_ORACLE = """
+WITH pat(pat) AS (
+  VALUES ('scan'),('an'),('spark'),('park'),('a a'),
+         ('table t'),('value'),('ue v'),('sort')
+),
+m AS (
+  SELECT p.pat, d.doc_id, count(*) AS c
+  FROM documents d, pat p,
+       unnest(range(1, length(d.text) + 1)) t(i)
+  WHERE substr(d.text, CAST(i AS INT), length(p.pat)) = p.pat
+  GROUP BY 1, 2
+)
+SELECT p.pat AS pattern,
+       CAST(coalesce(count(m.doc_id), 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(m.c), 0) AS BIGINT) AS n_matches
+FROM pat p LEFT JOIN m ON m.pat = p.pat
+GROUP BY 1
+ORDER BY pattern
+"""
+
+
+@register_extra("blocklist_match_counts", _BLOCKLIST_ORACLE)
+def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick blocklist scan (operators/multimatch.py) — the
+    content-filter primitive (profanity/licence/canary lists) every
+    training-data pipeline runs. ALL-occurrence semantics: every end
+    position of every pattern counts, overlaps included ('spark' also
+    fires 'park' and 'an'; 'a a a' fires 'a a' twice) — exactly what
+    the oracle's per-position substr probe counts. Scale shape: the
+    DFA (dense goto-or-fail table + cumulative output bitmasks) is
+    built ONCE on the driver from the pattern set and rides the task
+    closure; the corpus is scanned in a single mapInPandas pass whose
+    inner loop is over character positions of the Arrow batch, each
+    step one numpy gather across every document at once (the
+    vectorize-across-rows trick of sources/pbf.py); per-batch partial
+    (pattern, docs, matches) rows are all that shuffle — P rows per
+    batch, never the corpus. Per-byte work is O(1) regardless of
+    pattern count, which is the whole point of Aho-Corasick vs the
+    P-pass regex alternative."""
+    import pandas as pd
+
+    import numpy as np
+
+    from ..operators import multimatch
+
+    pats = [
+        "scan", "an", "spark", "park", "a a", "table t", "value",
+        "ue v", "sort",
+    ]
+    delta, outmask = multimatch.build_dfa([p.encode("utf-8") for p in pats])
+    n_pat = len(pats)
+
+    def _scan(it):
+        for pdf in it:
+            c = multimatch.count_batch(
+                pdf["text"].tolist(), delta, outmask, n_pat
+            )
+            yield pd.DataFrame(
+                {
+                    "pid": np.arange(n_pat, dtype=np.int64),
+                    "docs": (c > 0).sum(axis=0).astype(np.int64),
+                    "matches": c.sum(axis=0).astype(np.int64),
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    part = d.mapInPandas(_scan, "pid bigint, docs bigint, matches bigint")
+    agg = part.groupBy("pid").agg(
+        F.sum("docs").alias("n_docs"), F.sum("matches").alias("n_matches")
+    )
+    patdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pats)], "pid bigint, pattern string"
+    )
+    return (
+        patdf.join(agg, "pid", "left")
+        .select(
+            "pattern",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .orderBy("pattern")
+    )
