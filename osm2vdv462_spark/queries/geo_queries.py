@@ -3100,3 +3100,132 @@ def polyline_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seq")
     )
+
+
+@register_extra(
+    "convex_hull_metrics",
+    """
+    WITH pts AS (
+      SELECT DISTINCT user_id AS u,
+             (event_id * 37 + 11) % 2000 AS x,
+             (event_id * 73 + 29) % 2000 AS y
+      FROM events WHERE event_id % 2 = 0
+    ),
+    edges AS (
+      SELECT u, ax, ay, bx, by2
+      FROM (
+        SELECT a.u AS u, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2,
+               coalesce(bool_and(
+                 ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) > 0
+                 OR (
+                   ((b.x - a.x) * (p.y - a.y)
+                    - (b.y - a.y) * (p.x - a.x)) = 0
+                   AND ((p.x - a.x) * (b.x - a.x)
+                        + (p.y - a.y) * (b.y - a.y)) >= 0
+                   AND ((p.x - a.x) * (b.x - a.x)
+                        + (p.y - a.y) * (b.y - a.y))
+                       <= ((b.x - a.x) * (b.x - a.x)
+                           + (b.y - a.y) * (b.y - a.y))
+                 )
+               ), true) AS ok
+        FROM pts a
+        JOIN pts b ON b.u = a.u AND (b.x <> a.x OR b.y <> a.y)
+        LEFT JOIN pts p ON p.u = a.u AND (p.x <> a.x OR p.y <> a.y)
+                       AND (p.x <> b.x OR p.y <> b.y)
+        GROUP BY 1, 2, 3, 4, 5
+      ) WHERE ok
+    ),
+    metrics AS (
+      SELECT u, count(DISTINCT ax * 2000 + ay) AS hull_n,
+             sum(ax * by2 - bx * ay) AS two_area
+      FROM edges GROUP BY 1
+    ),
+    diam AS (
+      SELECT a.u,
+             max((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) AS diam2
+      FROM pts a JOIN pts b ON b.u = a.u GROUP BY 1
+    )
+    SELECT CAST(v.u AS BIGINT) AS user_id, CAST(v.ax AS BIGINT) AS qx,
+           CAST(v.ay AS BIGINT) AS qy, CAST(m.hull_n AS BIGINT) AS hull_n,
+           CAST(m.two_area AS BIGINT) AS two_area,
+           CAST(d.diam2 AS BIGINT) AS diam2
+    FROM (SELECT DISTINCT u, ax, ay FROM edges) v
+    JOIN metrics m ON m.u = v.u
+    JOIN diam d ON d.u = v.u
+    ORDER BY user_id, qx, qy
+    """,
+)
+def convex_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (ST_ConvexHull analogue — the float variant
+    already runs transitively inside geo/kernel.py::oriented_envelope's
+    est_width chain; THIS variant is exact-integer so the hull vertex
+    SET, the shoelace area and the squared diameter are themselves
+    hash-gated). Points are the per-user LCG grid trails every
+    trajectory query shares (event_id % 2 subsample keeps the oracle's
+    O(n^3) maximal-edge scan linear-ish at gate scale). Strictness rule
+    mirrored on both engines: a hull VERTEX is a strict corner —
+    points lying inside an edge (collinear runs) are NOT vertices; the
+    oracle finds directed CCW edges (all other points strictly left,
+    or collinear AND between the endpoints) and Spark reuses
+    kernel.convex_hull, whose monotone chain pops on cross <= 0 (int64
+    all the way — coordinates < 2^11, so every cross/dot fits exactly).
+    two_area = sum of cross terms over the directed CCW edge cycle ==
+    the shoelace sum, orientation-positive; degenerate all-collinear
+    groups contribute the two extreme endpoints and area 0 in both
+    engines. diam2 is max pairwise squared distance — attained at hull
+    vertices, so Spark scans the h x h hull block while the oracle
+    scans all pairs (equal by convexity). Scale shape: ONE
+    co-partitioning shuffle on the group key (payload 3 ints/row),
+    then each hull is a map-side numpy kernel over a bounded group
+    (per-vehicle/day trails in production); no all-pairs stage ever
+    leaves a task."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geo.kernel import convex_hull
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("qx"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("qy"),
+    )
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        P = np.unique(pdf[["qx", "qy"]].to_numpy(np.int64), axis=0)
+        h = convex_hull(P)
+        if len(h) < 2:  # single distinct point: no edges on either engine
+            return pd.DataFrame(
+                {c: [] for c in
+                 ("user_id", "qx", "qy", "hull_n", "two_area", "diam2")}
+            )
+        x = h[:, 0].astype(np.int64)
+        y = h[:, 1].astype(np.int64)
+        xn = np.roll(x, -1)
+        yn = np.roll(y, -1)
+        two_a = int((x * yn - xn * y).sum())
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = int((dx * dx + dy * dy).max())
+        order = np.lexsort((y, x))
+        return pd.DataFrame(
+            {
+                "user_id": int(pdf["user_id"].iloc[0]),
+                "qx": x[order],
+                "qy": y[order],
+                "hull_n": len(h),
+                "two_area": two_a,
+                "diam2": d2,
+            }
+        )
+
+    return (
+        pts.groupBy("user_id")
+        .applyInPandas(
+            _hull,
+            "user_id bigint, qx bigint, qy bigint, hull_n bigint,"
+            " two_area bigint, diam2 bigint",
+        )
+        .orderBy("user_id", "qx", "qy")
+    )

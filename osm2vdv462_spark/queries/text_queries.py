@@ -2678,3 +2678,106 @@ def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@register_extra(
+    "sorted_neighborhood_pairs",
+    """
+    WITH r AS (
+      SELECT doc_id, text,
+             row_number()
+               OVER (ORDER BY lower(substr(text, 1, 32)), doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                list_distinct(string_split(b.text, ' '))))
+               AS inter,
+             len(list_distinct(string_split(a.text, ' ')))
+               + len(list_distinct(string_split(b.text, ' ')))
+               - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                    list_distinct(string_split(b.text, ' '))))
+               AS uni
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_sz,
+           CAST(uni AS BIGINT) AS union_sz
+    FROM p WHERE 4 * inter >= 3 * uni
+    ORDER BY doc_a, doc_b
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method (SNM) entity resolution — the classic
+    third blocking family next to the LSH banding (minhash_dup_pairs)
+    and prefix filtering (prefix_filter_jaccard) this repo already
+    gates: sort the corpus by a blocking key (lowercased 32-char text
+    prefix), slide a fixed window (w=4) down the sorted order, and
+    verify only window pairs with exact word-set Jaccard (integer
+    cross-multiplied threshold 3/4 — no float anywhere, so the
+    candidate->verified pair set itself is hash-gated).
+
+    The scale problem SNM poses on Spark is the GLOBAL rank: a single
+    row_number() over the whole corpus is a one-partition window (the
+    known anti-pattern). This implementation ranks scalably in two
+    passes: (1) a partial-agg count per first-key-byte bucket rides
+    back as a broadcast of cumulative offsets (dim-sized: <= alphabet),
+    (2) row_number within each bucket's own window partition + offset
+    == the exact global rank, because the bucket char is a PREFIX of
+    the sort key (order by (bucket, key, id) == order by (key, id)).
+    Window pairs then come from a band join on rank blocks of size w
+    (each right row probes its own block and the previous one), with
+    only (doc_id, rank) crossing that shuffle — text joins back
+    doc-keyed for the Jaccard verify, so the corpus never rides the
+    candidate-pair exchange."""
+    W = 4
+    d = _t(spark, sf_dir, "documents")
+    key = F.lower(F.substring("text", 1, 32))
+    docs = d.select("doc_id", key.alias("k")).withColumn(
+        "pfx", F.substring("k", 1, 1)
+    )
+    counts = docs.groupBy("pfx").agg(F.count("*").alias("cnt"))
+    off_w = (
+        Window.orderBy("pfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pfx", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off")
+    )
+    rn_w = Window.partitionBy("pfx").orderBy("k", "doc_id")
+    ranks = (
+        docs.join(F.broadcast(offsets), "pfx")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(rn_w)).alias("rn"),
+        )
+    )
+    a = ranks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("ra"),
+        F.floor((F.col("rn") - 1) / W).alias("blk"),
+    )
+    bblk = F.floor((F.col("rn") - 1) / W)
+    b = ranks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rb"),
+        F.explode(F.array(bblk, bblk - 1)).alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + W))
+        .select("doc_a", "doc_b")
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    sa = F.array_distinct(F.split("ta", " "))
+    sb = F.array_distinct(F.split("tb", " "))
+    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
+    uni = (F.size(sa).cast("bigint") + F.size(sb).cast("bigint") - inter)
+    return (
+        j.select("doc_a", "doc_b", inter.alias("inter_sz"),
+                 uni.alias("union_sz"))
+        .filter(4 * F.col("inter_sz") >= 3 * F.col("union_sz"))
+        .orderBy("doc_a", "doc_b")
+    )
