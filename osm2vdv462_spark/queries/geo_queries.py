@@ -3229,3 +3229,93 @@ def convex_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "qx", "qy")
     )
+
+
+@register_extra(
+    "hilbert_tile_rollup",
+    """
+    WITH RECURSIVE cells AS (
+      SELECT (qx // 8) AS cx, (qy // 8) AS cy, count(*) AS n
+      FROM (SELECT (event_id * 37 + 11) % 2000 AS qx,
+                   (event_id * 73 + 29) % 2000 AS qy FROM events)
+      GROUP BY 1, 2),
+    h(cx, cy, x, y, s, d) AS (
+      SELECT cx, cy, cx, cy, 128, CAST(0 AS BIGINT) FROM cells
+      UNION ALL
+      SELECT cx, cy,
+        CASE WHEN (y & s) = 0 THEN
+          CASE WHEN (x & s) <> 0 THEN 255 - y ELSE y END
+        ELSE x END,
+        CASE WHEN (y & s) = 0 THEN
+          CASE WHEN (x & s) <> 0 THEN 255 - x ELSE x END
+        ELSE y END,
+        s // 2,
+        d + s * s * CAST(xor(3 * CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END,
+                             CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END)
+                         AS BIGINT)
+      FROM h WHERE s > 0),
+    hd AS (SELECT cx, cy, d FROM h WHERE s = 0)
+    SELECT CAST(hd.d // 256 AS BIGINT) AS bucket,
+           CAST(sum(c.n) AS BIGINT) AS n_pts,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(hd.d) AS BIGINT) AS min_d,
+           CAST(max(hd.d) AS BIGINT) AS max_d
+    FROM hd JOIN cells c ON c.cx = hd.cx AND c.cy = hd.cy
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def hilbert_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve spatial index rollup — the locality-preserving
+    bulk-load sort key (Iceberg/Delta `hilbert_curve` write ordering;
+    image_bbox_zorder gates the Morton sibling). Geotags on the shared
+    integer LCG grid quantize to a 250x250 cell lattice inside the
+    order-8 (256^2) Hilbert domain; every curve distance d is
+    hash-gated bucket-wise (count / distinct cells / min / max per
+    256-wide d-range) against a DuckDB RECURSIVE-CTE twin that runs the
+    identical reflect+swap bit recursion in SQL. Integer-exact at any
+    order <= 31 (functions/hilbert.py), so the two engines cannot drift.
+
+    Scale shape: points aggregate to the CELL dimension first (one
+    partial-agg shuffle keyed by the 2-int cell id — the payload never
+    includes geometry or image bytes); the curve encode then runs ONCE
+    per distinct cell as a single vectorized numpy pass over that
+    bounded dim via mapInPandas, and the bucket rollup is a second
+    tiny partial agg. The fact table never enters Python, and at
+    planet scale the encode cost is O(distinct cells), not O(rows) —
+    the same reason Iceberg sorts manifests by curve index rather than
+    re-encoding every record batch."""
+    import pandas as pd
+
+    from ..functions.hilbert import hilbert_d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = (
+        ev.select(
+            (((F.col("event_id") * 37 + 11) % 2000) / 8)
+            .cast("long")
+            .alias("cx"),
+            (((F.col("event_id") * 73 + 29) % 2000) / 8)
+            .cast("long")
+            .alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["d"] = hilbert_d(8, pdf["cx"].to_numpy(), pdf["cy"].to_numpy())
+            yield pdf[["d", "n"]]
+
+    enc = cells.mapInPandas(_encode, "d bigint, n bigint")
+    return (
+        enc.groupBy((F.col("d") / 256).cast("long").alias("bucket"))
+        .agg(
+            F.sum("n").alias("n_pts"),
+            F.count("*").alias("n_cells"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+        .orderBy("bucket")
+    )

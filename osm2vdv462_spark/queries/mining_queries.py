@@ -384,3 +384,160 @@ def grouped_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+def _kmeans_iter_oracle(prev: str, out: str) -> str:
+    """One exact-integer Lloyd iteration in SQL: centroid sums+counts,
+    pivot to one row, then cross-multiplied rational argmin (see
+    kmeans_lloyd_assign docstring for the overflow bound)."""
+    pv = ", ".join(
+        f"coalesce(max(CASE WHEN cid={c} THEN sx END), 0) sx{c},"
+        f" coalesce(max(CASE WHEN cid={c} THEN sy END), 0) sy{c},"
+        f" coalesce(max(CASE WHEN cid={c} THEN n END), 1) n{c}"
+        for c in range(4)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {c} AS cid, sx{c} sx, sy{c} sy, n{c} n,"
+        f" {'*'.join(f'n{k}' for k in range(4) if k != c)} q FROM pv_{out}"
+        for c in range(4)
+    )
+    return f"""
+    c_{out} AS (
+      SELECT CAST(cid AS HUGEINT) cid, CAST(sum(x) AS HUGEINT) sx,
+             CAST(sum(y) AS HUGEINT) sy, CAST(count(*) AS HUGEINT) n
+      FROM {prev} GROUP BY 1),
+    pv_{out} AS (SELECT {pv} FROM c_{out}),
+    {out} AS (
+      SELECT event_id, x, y, cid FROM (
+        SELECT p.event_id, p.x, p.y, s.cid,
+          row_number() OVER (PARTITION BY p.event_id ORDER BY
+            ((s.n*p.x - s.sx)*(s.n*p.x - s.sx)
+             + (s.n*p.y - s.sy)*(s.n*p.y - s.sy)) * s.q * s.q,
+            s.cid) rn
+        FROM p CROSS JOIN ({arms}) s
+      ) WHERE rn = 1)"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH p AS (
+      SELECT event_id, CAST((event_id*37+11)%2000 AS HUGEINT) x,
+             CAST((event_id*73+29)%2000 AS HUGEINT) y
+      FROM events WHERE event_id % 4 = 0),
+    seeds AS (SELECT * FROM (VALUES (0,500,500),(1,1500,500),
+                                    (2,500,1500),(3,1500,1500))
+              t(cid, cx, cy)),
+    a1 AS (
+      SELECT event_id, x, y, cid FROM (
+        SELECT p.event_id, p.x, p.y, s.cid,
+          row_number() OVER (PARTITION BY p.event_id ORDER BY
+            (p.x-s.cx)*(p.x-s.cx)+(p.y-s.cy)*(p.y-s.cy), s.cid) rn
+        FROM p CROSS JOIN seeds s) WHERE rn=1),
+    {_kmeans_iter_oracle('a1', 'a2')},
+    {_kmeans_iter_oracle('a2', 'a3')},
+    sizes AS (SELECT cid, count(*) cn FROM a3 GROUP BY 1)
+    SELECT a3.event_id, CAST(a3.cid AS BIGINT) AS cluster,
+           CAST(s.cn AS BIGINT) AS cluster_n
+    FROM a3 JOIN sizes s ON s.cid = a3.cid
+    ORDER BY event_id
+"""
+
+
+@register_extra("kmeans_lloyd_assign", _KMEANS_ORACLE)
+def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=4, 3 assignment rounds, fixed quadrant seeds)
+    as an EXACT-INTEGER dataflow, so the per-point cluster assignment
+    itself is hash-gated — no float centroid ever exists on either
+    engine. The trick: a rational centroid (sx/n, sy/n) never needs
+    materializing; comparing squared distances to centroids j and k is
+    exact after clearing denominators, and a SINGLE sortable key per
+    arm falls out by scaling every arm to the common denominator
+    (n0*n1*n2*n3)^2:
+
+        val_j = ((n_j*px - sx_j)^2 + (n_j*py - sy_j)^2)
+                * (prod_{k != j} n_k)^2
+
+    Magnitude proof (why this is overflow-safe): the event_id % 4
+    subsample bounds every cluster at n <= 2500 and coordinates at
+    2000, so |n*p - s| <= 5e6, the distance numerator <= 5e13, the
+    cross factor <= (2500^3)^2 = 2.4e20, and val <= 1.2e34 — inside
+    both DuckDB's HUGEINT (1.7e38) and Spark's DECIMAL(38,0). Empty
+    clusters pin (s, n) = (0, 1) on both engines (deterministic,
+    documented; never hit with these seeds). Ties break on cluster id
+    via lexicographic (val, cid) min on both engines.
+
+    Scale shape per iteration: one 4-key partial agg (map-side
+    combine) -> a ONE-ROW pivot broadcast back -> a pure-projection
+    argmin via least() over four (val, cid) structs — zero Python,
+    whole-stage codegen, no per-point shuffle at all; K iterations
+    cost K scans (the canonical Lloyd dataflow, same as MLlib's, but
+    bit-exact). tests/test_hull_snm.py's sibling test_kmeans fuzzes
+    the whole pipeline against a Fraction-arithmetic reference."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.filter(F.col("event_id") % 4 == 0).select(
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("x"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("y"),
+    )
+    dec = "decimal(38,0)"
+
+    seeds = [(0, 500, 500), (1, 1500, 500), (2, 500, 1500), (3, 1500, 1500)]
+    arm0 = [
+        F.struct(
+            (
+                (F.col("x") - cx) * (F.col("x") - cx)
+                + (F.col("y") - cy) * (F.col("y") - cy)
+            ).alias("val"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cx, cy in seeds
+    ]
+    assign = pts.withColumn("cid", F.least(*arm0)["cid"])
+
+    for _ in range(2):
+        cents = assign.groupBy("cid").agg(
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.count("*").alias("n"),
+        )
+        pivot = cents.agg(
+            *[
+                agg
+                for c in range(4)
+                for agg in (
+                    F.coalesce(
+                        F.max(F.when(F.col("cid") == c, F.col("sx"))), F.lit(0)
+                    ).cast(dec).alias(f"sx{c}"),
+                    F.coalesce(
+                        F.max(F.when(F.col("cid") == c, F.col("sy"))), F.lit(0)
+                    ).cast(dec).alias(f"sy{c}"),
+                    F.coalesce(
+                        F.max(F.when(F.col("cid") == c, F.col("n"))), F.lit(1)
+                    ).cast(dec).alias(f"n{c}"),
+                )
+            ]
+        )
+        j = pts.crossJoin(F.broadcast(pivot))
+        arms = []
+        for c in range(4):
+            n, sx, sy = F.col(f"n{c}"), F.col(f"sx{c}"), F.col(f"sy{c}")
+            px = F.col("x").cast(dec)
+            py = F.col("y").cast(dec)
+            q = F.lit(1).cast(dec)
+            for k in range(4):
+                if k != c:
+                    q = q * F.col(f"n{k}")
+            num = (n * px - sx) * (n * px - sx) + (n * py - sy) * (n * py - sy)
+            arms.append(
+                F.struct((num * q * q).alias("val"), F.lit(c).alias("cid"))
+            )
+        assign = j.select("event_id", "x", "y", F.least(*arms)["cid"].alias("cid"))
+
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("cluster_n"))
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .select(
+            "event_id",
+            F.col("cid").cast("bigint").alias("cluster"),
+            F.col("cluster_n").cast("bigint"),
+        )
+        .orderBy("event_id")
+    )
