@@ -94,6 +94,7 @@ def _load_all():
         source_queries,
         temporal_queries,
         text_queries,
+        vision_queries,
     )
 
     _loaded = True

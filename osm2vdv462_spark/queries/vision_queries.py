@@ -1,0 +1,398 @@
+"""Vision/segmentation queries (pyspark x image axis): distributed
+connected-component labeling, binary morphology, Otsu auto-threshold
+and an integer Hough line transform — the post-threshold segmentation
+toolbox a raster/imagery corpus pipeline runs after decode.
+
+All four are EXACT-INTEGER dataflows (labels, counts, quantized
+criteria), so every output is hash-gated with no float discipline.
+The binary rasters derive from md5 noise / the closed-form synth
+pattern (no external data, per the brief); Otsu and Hough run through
+the REAL decode path (functions/imagecodec.py) while their oracles
+recompute from the pixel closed form — decode + operator cross-check
+each other end-to-end, the same discipline as image_pixel_stats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import imagecodec as ic
+from ..pipeline import images as im
+from . import register_extra
+
+# ------------------------------------------------------------ CCL
+
+_CCL_TW, _CCL_TH, _CCL_PX = 6, 6, 16  # 96x96 raster, 36 tiles
+_CCL_W = _CCL_TW * _CCL_PX
+
+
+def _noise_mask(tag: str, tx: int, ty: int, px: int, mod: int, lt: int) -> np.ndarray:
+    """Per-tile binary mask from md5 site noise: pixel (gx, gy) is
+    foreground iff int(md5('{tag}:gx:gy')[:4], 16) % mod < lt — the
+    same closed form the DuckDB oracles evaluate."""
+    m = np.zeros((px, px), np.uint8)
+    for i in range(px):
+        gy = ty * px + i
+        for j in range(px):
+            gx = tx * px + j
+            h = hashlib.md5(f"{tag}:{gx}:{gy}".encode()).hexdigest()
+            m[i, j] = 1 if int(h[:4], 16) % mod < lt else 0
+    return m
+
+
+def _tiles_df(spark: SparkSession, mask_fn) -> DataFrame:
+    tiles = spark.range(_CCL_TW * _CCL_TH).select(
+        (F.col("id") % _CCL_TW).cast("int").alias("tx"),
+        (F.col("id") / _CCL_TW).cast("int").alias("ty"),
+    )
+    # one tile per task: the per-tile python synth/label is the work
+    tiles = tiles.repartition(8)
+
+    def _mk(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                out.append(
+                    (int(tx), int(ty), mask_fn(int(tx), int(ty)).tobytes())
+                )
+            yield pd.DataFrame(out, columns=["tx", "ty", "mask"])
+
+    return tiles.mapInPandas(_mk, "tx int, ty int, mask binary")
+
+
+@register_extra(
+    "raster_cc_labels",
+    f"""
+    WITH RECURSIVE px AS (
+      SELECT x.range AS gx, y.range AS gy,
+             y.range * {_CCL_W} + x.range AS gid
+      FROM range({_CCL_W}) x, range({_CCL_W}) y
+      WHERE ('0x' || substr(md5('ccl:' || x.range || ':' || y.range),
+                            1, 4))::INT % 10 < 3
+    ),
+    e AS (
+      SELECT a.gid AS s, b.gid AS d
+      FROM px a JOIN px b
+        ON (b.gx = a.gx + 1 AND b.gy = a.gy)
+        OR (b.gx = a.gx AND b.gy = a.gy + 1)
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+    reach(a, b) AS (
+      SELECT gid, gid FROM px
+      UNION
+      SELECT r.a, s.d FROM reach r JOIN sym s ON s.s = r.b
+    ),
+    lbl AS (SELECT a AS gid, min(b) AS component FROM reach GROUP BY a)
+    SELECT l.component, count(*) AS n_px,
+           min(p.gx) AS min_gx, min(p.gy) AS min_gy,
+           max(p.gx) AS max_gx, max(p.gy) AS max_gy
+    FROM lbl l JOIN px p USING (gid)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def raster_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (4-adjacency) of a 96x96 md5-noise binary
+    raster, labeled with the min global pixel id + size + bbox per
+    blob. Spark runs the two-level distributed CCL
+    (operators/raster_label.py::cc_labels): tile-local vectorized
+    labeling, then only boundary strips + per-root partials shuffle,
+    and the tiny root graph merges through the generic iterative
+    connected_components — O(perimeter) on the wire, never O(pixels).
+    The oracle is the INDEPENDENT textbook formulation: a recursive
+    min-reachability closure over the flat pixel adjacency graph (30%
+    site density is far below the 4-adjacency percolation threshold,
+    so blobs stay small and the closure stays tiny)."""
+    from ..operators.raster_label import cc_labels
+
+    tiles = _tiles_df(
+        spark, lambda tx, ty: _noise_mask("ccl", tx, ty, _CCL_PX, 10, 3)
+    )
+    return cc_labels(tiles, px=_CCL_PX, tiles_w=_CCL_TW).orderBy("component")
+
+
+# ------------------------------------------------------------ morphology
+
+
+def _morph_mask(tx: int, ty: int, px: int) -> np.ndarray:
+    """Diagonal stripes ((gx*7 + gy*11) % 256 < 140) with md5 pepper
+    holes (5%) — gives erosion/opening real structure to work on."""
+    i, j = np.mgrid[0:px, 0:px]
+    gx = tx * px + j
+    gy = ty * px + i
+    base = ((gx * 7 + gy * 11) % 256 < 140).astype(np.uint8)
+    noise = _noise_mask("mrph", tx, ty, px, 20, 1)
+    return base & (1 - noise)
+
+
+@register_extra(
+    "morph_open_stats",
+    f"""
+    WITH px AS (
+      SELECT x.range AS gx, y.range AS gy
+      FROM range({_CCL_W}) x, range({_CCL_W}) y
+      WHERE (x.range * 7 + y.range * 11) % 256 < 140
+        AND ('0x' || substr(md5('mrph:' || x.range || ':' || y.range),
+                            1, 4))::INT % 20 <> 0
+    ),
+    er AS (
+      SELECT p.gx, p.gy
+      FROM px p JOIN px n
+        ON n.gx BETWEEN p.gx - 1 AND p.gx + 1
+       AND n.gy BETWEEN p.gy - 1 AND p.gy + 1
+      GROUP BY 1, 2 HAVING count(*) = 9
+    ),
+    op AS (
+      SELECT DISTINCT p.gx, p.gy
+      FROM px p JOIN er e
+        ON e.gx BETWEEN p.gx - 1 AND p.gx + 1
+       AND e.gy BETWEEN p.gy - 1 AND p.gy + 1
+    ),
+    fgc AS (SELECT gx // {_CCL_PX} AS tx, gy // {_CCL_PX} AS ty,
+                   count(*) AS n_fg FROM px GROUP BY 1, 2),
+    erc AS (SELECT gx // {_CCL_PX} AS tx, gy // {_CCL_PX} AS ty,
+                   count(*) AS n FROM er GROUP BY 1, 2),
+    opc AS (SELECT gx // {_CCL_PX} AS tx, gy // {_CCL_PX} AS ty,
+                   count(*) AS n FROM op GROUP BY 1, 2)
+    SELECT f.tx, f.ty, f.n_fg,
+           COALESCE(e.n, 0) AS n_eroded, COALESCE(o.n, 0) AS n_opened
+    FROM fgc f
+    LEFT JOIN erc e ON e.tx = f.tx AND e.ty = f.ty
+    LEFT JOIN opc o ON o.tx = f.tx AND o.ty = f.ty
+    ORDER BY f.tx, f.ty
+    """,
+)
+def morph_open_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 binary erosion + morphological opening over a tiled 96x96
+    striped-with-pepper-noise mask, per-tile pixel counts. Spark runs
+    the ONE-round halo exchange with 2-pixel strips
+    (operators/raster_label.py::morph_open_counts — opening needs
+    radius-2 support), all-vectorized 9-shift AND/OR planes; outside
+    the raster is background, so absent neighbor tiles contribute
+    zeros. The oracle recomputes erosion as a 3x3 self-join with
+    HAVING count(*) = 9 and the opening as a dilation EXISTS join —
+    nothing in common with the halo plan. Empty-everywhere tiles (none
+    here: every tile intersects a stripe) would drop from both sides
+    identically via the fgc anchor."""
+    from ..operators.raster_label import morph_open_counts
+
+    tiles = _tiles_df(
+        spark, lambda tx, ty: _morph_mask(tx, ty, _CCL_PX)
+    )
+    out = morph_open_counts(tiles, px=_CCL_PX)
+    return out.filter(F.col("n_fg") > 0).orderBy("tx", "ty")
+
+
+# ------------------------------------------------------------ Otsu
+
+_OTSU_EVERY = 50
+_OTSU_SZ = 32
+
+
+@register_extra(
+    "otsu_threshold",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    h AS (SELECT event_id, t, count(*) AS c FROM px GROUP BY 1, 2),
+    tot AS (SELECT event_id, sum(c) AS n, sum(t * c) AS mt FROM h GROUP BY 1),
+    grid AS (
+      SELECT i.event_id, th.range AS thr,
+             COALESCE(h.c, 0) AS c, COALESCE(h.t * h.c, 0) AS tc
+      FROM (SELECT DISTINCT event_id FROM h) i
+      CROSS JOIN range(765) th
+      LEFT JOIN h ON h.event_id = i.event_id AND h.t = th.range
+    ),
+    cum AS (
+      SELECT event_id, thr,
+             sum(c) OVER cw AS w, sum(tc) OVER cw AS m
+      FROM grid
+      WINDOW cw AS (PARTITION BY event_id ORDER BY thr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    crit AS (
+      SELECT c.event_id, c.thr,
+             CAST(((c.m * t.n - t.mt * c.w) * (c.m * t.n - t.mt * c.w))
+               // (c.w * (t.n - c.w)) AS BIGINT) AS crit
+      FROM cum c JOIN tot t USING (event_id)
+      WHERE c.w > 0 AND c.w < t.n
+    ),
+    best AS (
+      SELECT event_id, thr, crit,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY crit DESC, thr) AS rn
+      FROM crit
+    )
+    SELECT 'img_' || lpad(CAST(b.event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(b.thr AS INT) AS otsu_thr, b.crit,
+           count(*) FILTER (WHERE p.t > b.thr) AS n_fg
+    FROM best b JOIN px p USING (event_id)
+    WHERE b.rn = 1
+    GROUP BY 1, 2, 3
+    ORDER BY image_id
+    """,
+)
+def otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu auto-threshold per image through the REAL PNG decode path:
+    maximize the between-class variance of the channel-sum gray value
+    (0..765) as the EXACT integer quantized criterion
+    crit = (M*N - MT*W)^2 // (W*(N-W)) — both engines compute the
+    identical integer, so the argmax (tie -> lowest threshold) is
+    hash-exact with no float rounding anywhere (|M*N - MT*W| <=
+    765*1024^2 ~ 8.0e8, squared 6.5e17 < int64). Spark decodes and
+    scans the 766-bin histogram vectorized per image; the oracle
+    rebuilds cumulative moments with a window over the threshold grid
+    from the pixel closed form."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _otsu(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2).ravel()
+                hist = np.bincount(t, minlength=766)[:766]
+                n = t.size
+                mt = int(t.sum())
+                w = np.cumsum(hist)[:765]
+                m = np.cumsum(np.arange(766, dtype=np.int64) * hist)[:765]
+                valid = (w > 0) & (w < n)
+                num = m * n - mt * w
+                den = np.maximum(w * (n - w), 1)
+                crit = np.where(valid, (num * num) // den, -1)
+                best = int(np.argmax(crit))  # first max = lowest thr
+                out.append(
+                    (
+                        row.image_id,
+                        best,
+                        int(crit[best]),
+                        int((t > best).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "otsu_thr", "crit", "n_fg"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _otsu, "image_id string, otsu_thr int, crit long, n_fg long"
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ Hough
+
+# scaled trig table for theta = k * 30 deg, k = 0..5: round(cos*256),
+# round(sin*256) — shared literals, independently accumulated
+_HOUGH_TAB = [
+    (0, 256, 0),
+    (1, 222, 128),
+    (2, 128, 222),
+    (3, 0, 256),
+    (4, -128, 222),
+    (5, -222, 128),
+]
+_HOUGH_T = 96  # foreground: gray sum < 96
+_HOUGH_OFF = 16384  # shift rho nonnegative so // is floor everywhere
+_HOUGH_Q = 512  # rho bucket width
+
+
+@register_extra(
+    "hough_top_line",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    fg AS (
+      SELECT e.event_id, x, y
+      FROM e CROSS JOIN yx
+      WHERE ((x*7 + e.event_id*13) % 256)
+          + ((y*11 + e.event_id*29) % 256)
+          + (((x+y)*5 + e.event_id*53) % 256) < {_HOUGH_T}
+    ),
+    ang(k, c, s) AS (VALUES {", ".join(f"({k}, {c}, {s})" for k, c, s in _HOUGH_TAB)}),
+    votes AS (
+      SELECT event_id, k,
+             (x * c + y * s + {_HOUGH_OFF}) // {_HOUGH_Q} AS rb,
+             count(*) AS v
+      FROM fg CROSS JOIN ang
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT event_id, k, rb, v,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY v DESC, k, rb) AS rn
+      FROM votes
+    ),
+    nf AS (SELECT event_id, count(*) AS n_fg FROM fg GROUP BY 1)
+    SELECT 'img_' || lpad(CAST(b.event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(b.k AS INT) AS best_k, CAST(b.rb AS INT) AS best_rb,
+           b.v AS votes, nf.n_fg
+    FROM best b JOIN nf USING (event_id)
+    WHERE b.rn = 1
+    ORDER BY image_id
+    """,
+)
+def hough_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Hough line transform through the decode path: dark
+    pixels (gray sum < 96) vote in a 6-angle x 512-wide-rho-bucket
+    accumulator using a shared scaled-integer trig table (rho =
+    x*round(cos*256) + y*round(sin*256), shifted nonnegative so
+    floor-division buckets agree across engines); the winning
+    (angle, rho-bucket) per image — ties broken (votes DESC, k, rb) —
+    is hash-gated. Spark accumulates per image vectorized in numpy
+    (one bincount per angle batch); the oracle re-votes relationally
+    with a VALUES trig table and a window argmax. Images with zero
+    dark pixels drop from both sides identically."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+    tab = np.array(_HOUGH_TAB, np.int64)
+
+    def _hough(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                ys, xs = np.nonzero(t < _HOUGH_T)
+                if xs.size == 0:
+                    continue
+                # (k, n_fg) vote lattice, one vectorized pass
+                rb = (
+                    xs[None, :] * tab[:, 1:2] + ys[None, :] * tab[:, 2:3]
+                    + _HOUGH_OFF
+                ) // _HOUGH_Q
+                keys = tab[:, 0:1] * 128 + rb  # rb < 128 by range
+                counts = np.bincount(keys.ravel())
+                v = int(counts.max())
+                key = int(np.flatnonzero(counts == v)[0])  # min (k, rb)
+                out.append(
+                    (row.image_id, key // 128, key % 128, v, int(xs.size))
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "best_k", "best_rb", "votes", "n_fg"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _hough,
+            "image_id string, best_k int, best_rb int, votes long, n_fg long",
+        )
+        .orderBy("image_id")
+    )
