@@ -259,3 +259,54 @@ def kcore_nodes(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_deg"))
     )
+
+
+def ancestor_closure(
+    parents: DataFrame, *, vid: str = "v", par: str = "par", max_doubling: int = 10
+) -> DataFrame:
+    """Reflexive-transitive ancestor closure of a forest by POINTER
+    DOUBLING: (v, a) for every ancestor a of v, including a = v.
+
+    parents: one row per node — (vid, par), par NULL for roots. The
+    relation must be acyclic (a forest/DAG of parent pointers); cycles
+    would keep the fixpoint loop running until max_doubling and raise.
+
+    Scale shape: each round self-joins the closure-so-far on the
+    midpoint (anc(v, m) JOIN anc(m, a)), DOUBLING the covered path
+    length — depth-d hierarchies close in ceil(log2 d) shuffles, not d
+    (the classic parallel transitive-closure trick; a sequential
+    per-level loop would be d rounds of tiny joins). Closure size is
+    sum-of-depths rows; each round localCheckpoints to cut lineage and
+    the loop stops at the exact fixpoint (row count stable)."""
+    base = (
+        parents.select(F.col(vid).alias("v"), F.col(vid).alias("a"))
+        .unionByName(
+            parents.filter(F.col(par).isNotNull()).select(
+                F.col(vid).alias("v"), F.col(par).alias("a")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    anc = base
+    n = anc.count()
+    for _ in range(max_doubling):
+        nxt = (
+            anc.join(
+                anc.select(F.col("v").alias("m"), F.col("a").alias("a2")),
+                anc["a"] == F.col("m"),
+            )
+            .select("v", F.col("a2").alias("a"))
+            .unionByName(anc)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = nxt.count()
+        anc = nxt
+        if n2 == n:
+            return anc
+        n = n2
+    raise ValueError(
+        f"ancestor_closure did not converge in {max_doubling} doubling "
+        "rounds — cyclic parent relation or depth > 2^rounds"
+    )

@@ -411,3 +411,72 @@ def kcore_3core_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").cast("bigint").alias("node"), "core_deg")
         .orderBy("node")
     )
+
+
+@register_extra(
+    "tree_subtree_rollup",
+    """
+    WITH RECURSIVE n AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+    p AS (
+      SELECT v,
+             CASE WHEN v = 0 THEN NULL
+                  ELSE ('0x' || substr(md5('tree:' || v), 1, 7))::BIGINT % v
+             END AS par
+      FROM n
+    ),
+    anc(v, a) AS (
+      SELECT v, v FROM n
+      UNION
+      SELECT r.v, p.par FROM anc r JOIN p ON p.v = r.a
+      WHERE p.par IS NOT NULL
+    )
+    SELECT a AS node, count(*) AS subtree_n,
+           sum(v % 97) AS subtree_sum
+    FROM anc GROUP BY 1 ORDER BY 1
+    """,
+)
+def tree_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (subtree) rollup — the org-chart / category-tree /
+    BOM-explosion aggregation SQL needs WITH RECURSIVE for: per node,
+    the count and value-sum of its whole subtree (self included). The
+    tree is the md5-derived random recursive tree over customer keys
+    (parent(v) = md5int % v < v — acyclic by construction, expected
+    depth O(log n)). Spark closes the hierarchy by POINTER DOUBLING
+    (operators/graph.py::ancestor_closure — ceil(log2 depth) self-join
+    shuffles, not depth sequential rounds), then ONE partial-aggregable
+    groupBy on the ancestor rolls up count + sum. All integers, so the
+    hash is exact. The oracle is the textbook recursive-CTE closure —
+    a derivation with no doubling anywhere."""
+    from ..operators.graph import ancestor_closure
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("v"))
+    parents = nodes.select(
+        "v",
+        F.when(
+            F.col("v") > 0,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("tree:"), F.col("v").cast("string")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("v"),
+        ).alias("par"),
+    )
+    anc = ancestor_closure(parents, vid="v", par="par")
+    return (
+        anc.groupBy(F.col("a").alias("node"))
+        .agg(
+            F.count("*").alias("subtree_n"),
+            F.sum(F.col("v") % 97).alias("subtree_sum"),
+        )
+        .orderBy("node")
+    )

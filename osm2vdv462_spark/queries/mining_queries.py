@@ -541,3 +541,134 @@ def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register_extra(
+    "decision_stump_train",
+    """
+    WITH d AS (
+      SELECT length(text) AS v1,
+             length(text) - length(replace(text, ' ', '')) AS v2,
+             ('0x' || substr(md5('lbl:' || doc_id), 1, 7))::BIGINT % 2 AS y
+      FROM documents
+    ),
+    long AS (
+      SELECT 1 AS feat, v1 AS v, y FROM d
+      UNION ALL
+      SELECT 2 AS feat, v2 AS v, y FROM d
+    ),
+    h AS (
+      SELECT feat, v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM long GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feat, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS npos
+      FROM h GROUP BY 1
+    ),
+    cum AS (
+      SELECT feat, v,
+             CAST(sum(c) OVER cw AS BIGINT) AS n_left,
+             CAST(sum(pos) OVER cw AS BIGINT) AS pos_left
+      FROM h
+      WINDOW cw AS (PARTITION BY feat ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    crit AS (
+      SELECT c.feat, c.v AS threshold, c.n_left, c.pos_left,
+             t.n - c.n_left AS n_right, t.npos - c.pos_left AS pos_right,
+             CAST((2 * (c.pos_left * (c.n_left - c.pos_left) * (t.n - c.n_left)
+                   + (t.npos - c.pos_left)
+                     * ((t.n - c.n_left) - (t.npos - c.pos_left))
+                     * c.n_left) * 1000000)
+                  // (c.n_left * (t.n - c.n_left)) AS BIGINT) AS gini_e6
+      FROM cum c JOIN tot t USING (feat)
+      WHERE c.n_left < t.n
+    )
+    SELECT CAST(feat AS INT) AS feat, CAST(threshold AS BIGINT) AS threshold,
+           gini_e6, n_left, pos_left, n_right, pos_right
+    FROM crit ORDER BY gini_e6, feat, threshold LIMIT 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (the boosted-trees / CART split
+    primitive) as a HISTOGRAM dataflow — the LightGBM trick: the fact
+    table collapses map-side to per-(feature, value) (count, positive)
+    partials, cumulative left/right class counts come from a window
+    over the tiny histogram, and the best split minimizes the
+    EXACT-INTEGER quantized weighted Gini
+
+        gini_e6 = (2*(posL*negL*nR + posR*negR*nL) * 1e6) // (nL*nR)
+
+    (constant-N factor dropped; |.| <= 2*2500^2*5000*2e6 ~ 1.25e17 <
+    int64 at sf0.1), ties broken (feat, threshold) — both engines
+    compute the identical integer, so the argmin row is hash-exact.
+    Labels are md5-derived; features are doc length and space count.
+    Split semantics: left = (v <= threshold), thresholds at observed
+    values with the feature max excluded (empty right side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    y = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lbl:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    d = docs.select(
+        F.length("text").cast("long").alias("v1"),
+        (
+            F.length("text") - F.length(F.translate(F.col("text"), " ", ""))
+        ).cast("long").alias("v2"),
+        y.alias("y"),
+    )
+    long_df = d.select(F.lit(1).alias("feat"), F.col("v1").alias("v"), "y").unionByName(
+        d.select(F.lit(2).alias("feat"), F.col("v2").alias("v"), "y")
+    )
+    h = long_df.groupBy("feat", "v").agg(
+        F.count("*").alias("c"), F.sum("y").alias("pos")
+    )
+    tot = h.groupBy("feat").agg(
+        F.sum("c").alias("n"), F.sum("pos").alias("npos")
+    )
+    cw = (
+        Window.partitionBy("feat")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "feat",
+        "v",
+        F.sum("c").over(cw).alias("n_left"),
+        F.sum("pos").over(cw).alias("pos_left"),
+    )
+    crit = (
+        cum.join(F.broadcast(tot), "feat")
+        .filter(F.col("n_left") < F.col("n"))
+        .select(
+            F.col("feat").cast("int").alias("feat"),
+            F.col("v").alias("threshold"),
+            F.expr(
+                "CAST((2 * (pos_left * (n_left - pos_left) * (n - n_left)"
+                " + (npos - pos_left) * ((n - n_left) - (npos - pos_left))"
+                " * n_left) * 1000000) DIV (n_left * (n - n_left)) AS BIGINT)"
+            ).alias("gini_e6"),
+            "n_left",
+            "pos_left",
+            (F.col("n") - F.col("n_left")).alias("n_right"),
+            (F.col("npos") - F.col("pos_left")).alias("pos_right"),
+        )
+    )
+    return crit.orderBy("gini_e6", "feat", "threshold").limit(1).select(
+        "feat", "threshold", "gini_e6", "n_left", "pos_left",
+        "n_right", "pos_right",
+    )

@@ -477,3 +477,64 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n"),
     )
+
+
+@register_extra(
+    "interval_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT user_id % 20 AS g, ts AS s,
+             ts + to_minutes(CAST(event_id % 7 + 1 AS BIGINT)) AS e
+      FROM events
+    ),
+    probe AS (SELECT DISTINCT g, s FROM iv),
+    c AS (
+      SELECT p.g, p.s AS t, count(*) AS conc
+      FROM probe p JOIN iv b ON b.g = p.g AND b.s <= p.s AND b.e > p.s
+      GROUP BY 1, 2
+    ),
+    pk AS (SELECT g, max(conc) AS peak FROM c GROUP BY 1)
+    SELECT c.g, pk.peak, min(c.t) AS peak_t
+    FROM c JOIN pk ON pk.g = c.g AND c.conc = pk.peak
+    GROUP BY 1, 2 ORDER BY c.g
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max concurrency: per user bucket, the peak number of
+    simultaneously-open sessions (end-EXCLUSIVE intervals ts ..
+    ts + (event_id%7+1) min) and the earliest instant attaining it —
+    the capacity-planning query (max concurrent connections / calls /
+    jobs). Spark is the O(n log n) boundary sweep: +1/-1 deltas, one
+    running-sum window per group ordered (t, delta) so closings apply
+    before openings at the same instant (end-exclusive pinned), then a
+    max + earliest-argmax rollup; within an equal-(t, delta) run the
+    prefix-sum SET is permutation-invariant (all deltas equal), so the
+    result is deterministic under any shuffle order. The oracle is the
+    INDEPENDENT quadratic formulation: count overlapping intervals at
+    every distinct start point. Peaks always occur at a start, so both
+    derivations agree exactly — concurrency changes only there."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        (F.col("user_id") % 20).alias("g"),
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(event_id % 7 + 1 AS INT), 0)"
+        ).alias("e"),
+    )
+    b = iv.select("g", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("g", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = b.select("g", "t", "d", F.sum("d").over(w).alias("run"))
+    pk = run.groupBy("g").agg(F.max("run").alias("peak"))
+    return (
+        run.join(pk, "g")
+        .filter(F.col("run") == F.col("peak"))
+        .groupBy("g", "peak")
+        .agg(F.min("t").alias("peak_t"))
+        .orderBy("g")
+    )
