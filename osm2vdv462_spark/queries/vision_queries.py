@@ -396,3 +396,275 @@ def hough_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ equalization
+
+
+@register_extra(
+    "hist_equalize_stats",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    h AS (SELECT event_id, t, count(*) AS c FROM px GROUP BY 1, 2),
+    cdf AS (
+      SELECT event_id, t, c,
+             sum(c) OVER (PARTITION BY event_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    m AS (
+      SELECT event_id, min(cum) AS cdfmin, sum(c) AS n,
+             count(*) AS n_levels
+      FROM cdf GROUP BY 1
+    ),
+    eq AS (
+      SELECT d.event_id, d.c,
+             ((d.cum - m.cdfmin) * 255) // (m.n - m.cdfmin) AS v
+      FROM cdf d JOIN m USING (event_id)
+    )
+    SELECT 'img_' || lpad(CAST(q.event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(sum(q.v * q.c) * 10000 // max(m.n) AS BIGINT) AS eq_mean_e4,
+           CAST(min(q.v) AS INT) AS eq_min, CAST(max(q.v) AS INT) AS eq_max,
+           CAST(max(m.n_levels) AS BIGINT) AS n_levels
+    FROM eq q JOIN m ON m.event_id = q.event_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def hist_equalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization through the decode path: the classic
+    eq(t) = ((cdf(t) - cdf_min) * 255) // (n - cdf_min) remap of the
+    channel-sum gray value, summarized per image as the equalized mean
+    (e-4 fixed point, INTEGER floor division — no float rounding),
+    equalized min/max (0 / 255 by construction, a built-in invariant
+    check) and the distinct-gray-level count. Spark computes the remap
+    per image from a vectorized bincount/cumsum; the oracle rebuilds
+    the per-LEVEL weighted form with a window — per-pixel vs per-level
+    derivations cross-check each other."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _eq(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2).ravel()
+                hist = np.bincount(t, minlength=766)
+                cdf = np.cumsum(hist)
+                n = t.size
+                nz = hist > 0
+                cdfmin = int(cdf[nz][0])
+                eqlvl = ((cdf - cdfmin) * 255) // (n - cdfmin)
+                eqpx = eqlvl[t]
+                out.append(
+                    (
+                        row.image_id,
+                        int(eqpx.sum()) * 10000 // n,
+                        int(eqpx.min()),
+                        int(eqpx.max()),
+                        int(nz.sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "eq_mean_e4", "eq_min", "eq_max", "n_levels",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _eq,
+            "image_id string, eq_mean_e4 long, eq_min int, eq_max int,"
+            " n_levels long",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ GLCM texture
+
+_GLCM_Q = 96  # 766 gray levels -> 8 bins
+
+
+@register_extra(
+    "glcm_texture",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             (((x*7 + e.event_id*13) % 256)
+            + ((y*11 + e.event_id*29) % 256)
+            + (((x+y)*5 + e.event_id*53) % 256)) // {_GLCM_Q} AS q
+      FROM e CROSS JOIN yx
+    ),
+    co AS (
+      SELECT a.event_id, a.q AS qa, b.q AS qb, count(*) AS c
+      FROM px a JOIN px b
+        ON b.event_id = a.event_id AND b.y = a.y AND b.x = a.x + 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(sum((qa - qb) * (qa - qb) * c) AS BIGINT) AS contrast,
+           CAST(sum(c * c) AS BIGINT) AS energy,
+           CAST(sum(c * (1000000 // (1 + abs(qa - qb)))) AS BIGINT)
+             AS homogeneity_e6,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM co GROUP BY 1 ORDER BY 1
+    """,
+)
+def glcm_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM (gray-level co-occurrence matrix) texture features through
+    the decode path — the classic Haralick trio over the (dx=1, dy=0)
+    co-occurrence of 8-bin quantized gray: contrast
+    (sum (i-j)^2 c_ij), energy (sum c_ij^2) and homogeneity in e-6
+    fixed point (sum c_ij * (1e6 // (1+|i-j|)) — the per-cell weight
+    is floor-quantized FIRST so both engines sum identical integers).
+    Spark builds each image's 8x8 matrix with one shifted-array
+    bincount; the oracle re-derives it with a relational self-join on
+    (x+1, y). n_cells (nonzero GLCM cells) guards the matrix shape."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _glcm(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                q = px.sum(axis=2) // _GLCM_Q
+                a = q[:, :-1].ravel()
+                b = q[:, 1:].ravel()
+                c = np.bincount(a * 8 + b, minlength=64)
+                i, j = np.divmod(np.arange(64), 8)
+                contrast = int(((i - j) ** 2 * c).sum())
+                energy = int((c.astype(np.int64) ** 2).sum())
+                hom = int((c * (1000000 // (1 + np.abs(i - j)))).sum())
+                out.append(
+                    (
+                        row.image_id,
+                        contrast,
+                        energy,
+                        hom,
+                        int((c > 0).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "contrast", "energy",
+                        "homogeneity_e6", "n_cells",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _glcm,
+            "image_id string, contrast long, energy long,"
+            " homogeneity_e6 long, n_cells long",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ RLE runs
+
+_RLE_T = 383  # fg: gray sum < median-ish -> long runs
+
+
+@register_extra(
+    "rle_row_runs",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    fg AS (
+      SELECT e.event_id, x, y
+      FROM e CROSS JOIN yx
+      WHERE ((x*7 + e.event_id*13) % 256)
+          + ((y*11 + e.event_id*29) % 256)
+          + (((x+y)*5 + e.event_id*53) % 256) < {_RLE_T}
+    ),
+    isl AS (
+      SELECT event_id, y,
+             x - row_number() OVER (PARTITION BY event_id, y ORDER BY x)
+               AS grp
+      FROM fg
+    ),
+    runs AS (
+      SELECT event_id, count(*) AS len
+      FROM isl GROUP BY event_id, y, grp
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(len) AS BIGINT) AS n_fg
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+)
+def rle_row_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding statistics of the thresholded image (gray
+    sum < 383), per image: horizontal run count, longest run, and
+    foreground total — the compressibility/structure probe an RLE or
+    CCITT-style mask codec would see. Spark counts run STARTS with one
+    vectorized padded-diff per image (a run starts where fg rises);
+    the oracle derives the same runs with the classic gaps-and-islands
+    x - row_number() grouping — bitmap-diff vs relational-islands
+    cross-check. Images with zero foreground drop from both sides
+    identically."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _rle(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                fg = px.sum(axis=2) < _RLE_T
+                if not fg.any():
+                    continue
+                padded = np.zeros(
+                    (fg.shape[0], fg.shape[1] + 1), dtype=np.int8
+                )
+                padded[:, 1:] = fg
+                d = np.diff(padded, axis=1)
+                starts = int((d == 1).sum())
+                # run lengths: distance between rises and falls per row
+                pad2 = np.zeros((fg.shape[0], fg.shape[1] + 2), np.int8)
+                pad2[:, 1:-1] = fg
+                dd = np.diff(pad2, axis=1)
+                rs = np.nonzero(dd == 1)
+                re_ = np.nonzero(dd == -1)
+                lens = re_[1] - rs[1]
+                out.append(
+                    (
+                        row.image_id,
+                        starts,
+                        int(lens.max()),
+                        int(fg.sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "n_runs", "max_run", "n_fg"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _rle,
+            "image_id string, n_runs long, max_run long, n_fg long",
+        )
+        .orderBy("image_id")
+    )
