@@ -3319,3 +3319,243 @@ def hilbert_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register_extra(
+    "turn_angle_stats",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             (event_id * 37 + 11) % 2000 AS ix,
+             (event_id * 73 + 29) % 2000 AS iy
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             ix - lag(ix) OVER win AS v1x, iy - lag(iy) OVER win AS v1y,
+             lead(ix) OVER win - ix AS v2x, lead(iy) OVER win - iy AS v2y
+      FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id,
+             v1x * v2y - v1y * v2x AS crs, v1x * v2x + v1y * v2y AS dt
+      FROM w WHERE v1x IS NOT NULL AND v2x IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_vertices,
+           count(*) FILTER (WHERE crs > 0) AS n_left,
+           count(*) FILTER (WHERE crs < 0) AS n_right,
+           count(*) FILTER (WHERE crs = 0) AS n_collinear,
+           count(*) FILTER (WHERE dt < 0) AS n_sharp
+    FROM t GROUP BY 1 ORDER BY user_id
+    """,
+)
+def turn_angle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trajectory turn statistics in EXACT integer arithmetic: at
+    every interior vertex of each user's time-ordered track, the turn
+    direction is the sign of the 2D cross product of the incoming and
+    outgoing step vectors ON THE INTEGER LCG LATTICE (|v| < 2000, so
+    cross/dot < 8e6 — no floats, no atan2, hash-exact), and a turn is
+    'sharp' when the dot product is negative (angle > 90 deg). The
+    heading-change profile is the standard trajectory-quality /
+    mode-inference feature (GPS jitter shows as sharp-turn excess).
+    Scale shape: ONE window shuffle on the trajectory key (lag+lead in
+    the same window), then map-side integer algebra and a partial-
+    aggregable groupBy — the same single-shuffle discipline as
+    trajectory_teleports. Zero-length steps give cross = dot = 0
+    (counted collinear, never sharp) identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("ix"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("iy"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = p.select(
+        "user_id",
+        (F.col("ix") - F.lag("ix").over(win)).alias("v1x"),
+        (F.col("iy") - F.lag("iy").over(win)).alias("v1y"),
+        (F.lead("ix").over(win) - F.col("ix")).alias("v2x"),
+        (F.lead("iy").over(win) - F.col("iy")).alias("v2y"),
+    ).filter(F.col("v1x").isNotNull() & F.col("v2x").isNotNull())
+    t = w.select(
+        "user_id",
+        (F.col("v1x") * F.col("v2y") - F.col("v1y") * F.col("v2x")).alias("cr"),
+        (F.col("v1x") * F.col("v2x") + F.col("v1y") * F.col("v2y")).alias("dt"),
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.count(F.when(F.col("cr") > 0, 1)).alias("n_left"),
+            F.count(F.when(F.col("cr") < 0, 1)).alias("n_right"),
+            F.count(F.when(F.col("cr") == 0, 1)).alias("n_collinear"),
+            F.count(F.when(F.col("dt") < 0, 1)).alias("n_sharp"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register_extra(
+    "knox_spacetime",
+    """
+    WITH p AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             ('0x' || substr(md5('kx:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 2000 AS ix,
+             ('0x' || substr(md5('ky:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 2000 AS iy
+      FROM events WHERE event_id % 20 = 0
+    ),
+    agg AS (
+      SELECT count(*) AS n_pairs,
+             count(*) FILTER (WHERE abs(a.ix - b.ix) <= 100
+                                AND abs(a.iy - b.iy) <= 100) AS n_space,
+             count(*) FILTER (WHERE abs(a.us - b.us) <= 86400000000)
+               AS n_time,
+             count(*) FILTER (WHERE abs(a.ix - b.ix) <= 100
+                                AND abs(a.iy - b.iy) <= 100
+                                AND abs(a.us - b.us) <= 86400000000)
+               AS n_both
+      FROM p a JOIN p b ON b.event_id > a.event_id
+    )
+    SELECT (SELECT count(*) FROM p) AS n_points,
+           n_pairs, n_space, n_time, n_both,
+           CAST(n_space * n_time * 1000 // n_pairs AS BIGINT) AS expected_e3,
+           CAST(n_both * 1000 - n_space * n_time * 1000 // n_pairs AS BIGINT)
+             AS excess_e3
+    FROM agg
+    """,
+)
+def knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic (the classic epidemiology
+    / crime-analysis clustering test): of all point pairs, how many
+    are close in space (Chebyshev <= 100 lattice units), close in time
+    (<= 1 day), and close in BOTH — with the independence expectation
+    n_space * n_time / n_pairs and the excess, in exact e-3 integers.
+    Coordinates are md5-derived (the sampled LCG collapses to a
+    sublattice where only exact repeats are near). Scale shape: Spark
+    never forms the quadratic pair set — space-close pairs come from a
+    9-neighbor-cell probe equi-join (cell = threshold-sized bucket, so
+    the probe side explodes x9 but every qualifying pair is generated
+    EXACTLY once under probe.id < home.id), time-close pairs from a
+    same/next day-bucket join, and n_pairs from count() arithmetic —
+    three partial-aggregable counts, no global window, no cartesian.
+    The oracle IS the quadratic self-join with FILTER counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def mdcoord(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2000
+        )
+
+    p = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+            mdcoord("kx:").alias("ix"),
+            mdcoord("ky:").alias("iy"),
+        )
+        .localCheckpoint(eager=True)  # reused by three candidate joins
+    )
+    npts = p.groupBy().agg(F.count("*").alias("n_points"))
+
+    # space: 9-neighbor-cell probe join, cell width == threshold
+    home = p.select(
+        F.col("event_id").alias("idb"),
+        F.col("us").alias("usb"),
+        F.col("ix").alias("ixb"),
+        F.col("iy").alias("iyb"),
+        F.expr("ix div 100").alias("cx"),
+        F.expr("iy div 100").alias("cy"),
+    )
+    off = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("ox"),
+        F.expr("id div 3 - 1").alias("oy"),
+    )
+    probe = p.crossJoin(F.broadcast(off)).select(
+        F.col("event_id").alias("ida"),
+        F.col("us").alias("usa"),
+        F.col("ix").alias("ixa"),
+        F.col("iy").alias("iya"),
+        (F.expr("ix div 100") + F.col("ox")).alias("cx"),
+        (F.expr("iy div 100") + F.col("oy")).alias("cy"),
+    )
+    sp = (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(
+            (F.abs(F.col("ixa") - F.col("ixb")) <= 100)
+            & (F.abs(F.col("iya") - F.col("iyb")) <= 100)
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_space"),
+            F.count(
+                F.when(
+                    F.abs(F.col("usa") - F.col("usb")) <= 86400000000, 1
+                )
+            ).alias("n_both"),
+        )
+    )
+
+    # time: same/next day-bucket join
+    ta = p.select(
+        F.col("event_id").alias("ida"),
+        F.col("us").alias("usa"),
+        F.expr("us div 86400000000").alias("tb"),
+    )
+    tb_ = p.select(
+        F.col("event_id").alias("idb"),
+        F.col("us").alias("usb"),
+        F.expr("us div 86400000000").alias("tb"),
+    )
+    same = ta.join(tb_, "tb").filter(F.col("ida") < F.col("idb"))
+    nxt = ta.withColumn("tb", F.col("tb") + 1).join(tb_, "tb")
+    tm = (
+        same.unionByName(nxt)
+        .filter(F.abs(F.col("usa") - F.col("usb")) <= 86400000000)
+        .groupBy()
+        .agg(F.count("*").alias("n_time"))
+    )
+
+    return (
+        npts.crossJoin(sp)
+        .crossJoin(tm)
+        .select(
+            "n_points",
+            F.expr("n_points * (n_points - 1) div 2").alias("n_pairs"),
+            "n_space",
+            "n_time",
+            "n_both",
+            F.expr(
+                "n_space * n_time * 1000"
+                " div (n_points * (n_points - 1) div 2)"
+            ).alias("expected_e3"),
+            F.expr(
+                "n_both * 1000 - n_space * n_time * 1000"
+                " div (n_points * (n_points - 1) div 2)"
+            ).alias("excess_e3"),
+        )
+    )

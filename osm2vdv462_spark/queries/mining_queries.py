@@ -672,3 +672,133 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat", "threshold", "gini_e6", "n_left", "pos_left",
         "n_right", "pos_right",
     )
+
+
+@register_extra(
+    "chi2_feature_ranking",
+    """
+    WITH d AS (
+      SELECT length(text) // 200 AS f1,
+             (length(text) - length(replace(text, ' ', ''))) // 40 AS f2,
+             (length(text) - length(replace(text, 'e', ''))) // 30 AS f3,
+             ('0x' || substr(md5('lbl:' || doc_id), 1, 7))::BIGINT % 2 AS y
+      FROM documents
+    ),
+    long AS (
+      SELECT 1 AS feat, f1 AS bin, y FROM d
+      UNION ALL SELECT 2, f2, y FROM d
+      UNION ALL SELECT 3, f3, y FROM d
+    ),
+    h AS (
+      SELECT feat, bin, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM long GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feat, CAST(sum(nb) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS c1,
+             CAST(sum(nb) - sum(pos) AS BIGINT) AS c0,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM h GROUP BY 1
+    ),
+    terms AS (
+      SELECT h.feat,
+             (((h.nb - h.pos) * t.n - h.nb * t.c0)
+              * ((h.nb - h.pos) * t.n - h.nb * t.c0) * 1000)
+               // (t.n * h.nb * t.c0)
+           + ((h.pos * t.n - h.nb * t.c1)
+              * (h.pos * t.n - h.nb * t.c1) * 1000)
+               // (t.n * h.nb * t.c1) AS term
+      FROM h JOIN tot t USING (feat)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY s.chi2_e3 DESC, s.feat) AS INT)
+             AS rnk,
+           CAST(s.feat AS INT) AS feat, s.chi2_e3, t.n_bins
+    FROM (SELECT feat, CAST(sum(term) AS BIGINT) AS chi2_e3
+          FROM terms GROUP BY 1) s
+    JOIN tot t USING (feat)
+    ORDER BY rnk
+    """,
+)
+def chi2_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature ranking (the classic filter-method feature
+    selector) over binned document features vs an md5-derived label,
+    as an EXACT-INTEGER dataflow: each (bin, class) cell contributes
+    ((O*N - rowtot*classtot)^2 * 1000) // (N*rowtot*classtot) — the
+    e-3 floor-quantized chi-square term (bounded 6.3e17 < int64 at
+    sf0.1) — and missing-class cells need no outer join because cells
+    derive from (bin count, bin positives). One map-side histogram
+    shuffle per the stump discipline; the ranking window runs over 3
+    rows. Both engines sum identical integers, so ranks and scores
+    are hash-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    y = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lbl:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    spaces = F.length("text") - F.length(F.translate(F.col("text"), " ", ""))
+    ees = F.length("text") - F.length(F.translate(F.col("text"), "e", ""))
+    d = docs.select(
+        F.expr("length(text) div 200").alias("f1"),
+        spaces.cast("long").alias("sp"),
+        ees.cast("long").alias("ee"),
+        y.alias("y"),
+    ).select(
+        "f1",
+        F.expr("sp div 40").alias("f2"),
+        F.expr("ee div 30").alias("f3"),
+        "y",
+    )
+    long_df = (
+        d.select(F.lit(1).alias("feat"), F.col("f1").alias("bin"), "y")
+        .unionByName(d.select(F.lit(2).alias("feat"), F.col("f2").alias("bin"), "y"))
+        .unionByName(d.select(F.lit(3).alias("feat"), F.col("f3").alias("bin"), "y"))
+    )
+    h = long_df.groupBy("feat", "bin").agg(
+        F.count("*").alias("nb"), F.sum("y").alias("pos")
+    )
+    tot = h.groupBy("feat").agg(
+        F.sum("nb").alias("n"),
+        F.sum("pos").alias("c1"),
+        (F.sum("nb") - F.sum("pos")).alias("c0"),
+        F.count("*").alias("n_bins"),
+    )
+    terms = h.join(F.broadcast(tot), "feat").select(
+        "feat",
+        (
+            F.expr(
+                "((nb - pos) * n - nb * c0) * ((nb - pos) * n - nb * c0)"
+                " * 1000 div (n * nb * c0)"
+            )
+            + F.expr(
+                "(pos * n - nb * c1) * (pos * n - nb * c1)"
+                " * 1000 div (n * nb * c1)"
+            )
+        ).alias("term"),
+    )
+    s = terms.groupBy("feat").agg(F.sum("term").alias("chi2_e3"))
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.col("chi2_e3").desc(), "feat")
+    return (
+        s.join(tot.select("feat", "n_bins"), "feat")
+        .select(
+            F.row_number().over(rw).cast("int").alias("rnk"),
+            F.col("feat").cast("int").alias("feat"),
+            "chi2_e3",
+            "n_bins",
+        )
+        .orderBy("rnk")
+    )
