@@ -3559,3 +3559,123 @@ def knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("excess_e3"),
         )
     )
+
+
+@register_extra(
+    "segment_raster_density",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             ((event_id*37+11) % 2000) // 8 AS x,
+             ((event_id*73+29) % 2000) // 8 AS y
+      FROM events),
+    s0 AS (SELECT x, y, lag(x) OVER win AS lx, lag(y) OVER win AS ly
+           FROM p WINDOW win AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+    seg AS (SELECT lx AS x0, ly AS y0, x AS x1, y AS y1
+            FROM s0 WHERE lx IS NOT NULL),
+    c2 AS (SELECT abs(x1-x0) >= abs(y1-y0) AS shallow,
+             CASE WHEN abs(x1-x0) >= abs(y1-y0) THEN x0 ELSE y0 END AS u0_,
+             CASE WHEN abs(x1-x0) >= abs(y1-y0) THEN y0 ELSE x0 END AS v0_,
+             CASE WHEN abs(x1-x0) >= abs(y1-y0) THEN x1 ELSE y1 END AS u1_,
+             CASE WHEN abs(x1-x0) >= abs(y1-y0) THEN y1 ELSE x1 END AS v1_
+           FROM seg),
+    c3 AS (SELECT shallow,
+             CASE WHEN u1_ >= u0_ THEN u0_ ELSE u1_ END AS u0,
+             CASE WHEN u1_ >= u0_ THEN v0_ ELSE v1_ END AS v0,
+             CASE WHEN u1_ >= u0_ THEN u1_ ELSE u0_ END AS u1,
+             CASE WHEN u1_ >= u0_ THEN v1_ ELSE v0_ END AS v1 FROM c2),
+    c4 AS (SELECT shallow, u0, u1 - u0 AS du,
+             CASE WHEN v1 >= v0 THEN 1 ELSE -1 END AS rv,
+             CASE WHEN v1 >= v0 THEN v0 ELSE -v0 END AS w0,
+             CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v0 - v1 END AS dv
+           FROM c3),
+    pxl AS (SELECT shallow, u0 + r.range AS u,
+             CASE WHEN du = 0 THEN rv*w0
+                  ELSE rv * (w0 + (2*dv*r.range + du) // (2*du)) END AS v
+            FROM c4 JOIN range(250) r ON r.range <= du),
+    xy AS (SELECT CASE WHEN shallow THEN u ELSE v END AS gx,
+                  CASE WHEN shallow THEN v ELSE u END AS gy FROM pxl)
+    SELECT gx // 25 AS tx, gy // 25 AS ty, count(*) AS n_px
+    FROM xy GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def segment_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-segment rasterization density — the heatmap/coverage
+    layer a movement-analytics pipeline burns from tracks: every
+    consecutive per-user step rasterizes to grid pixels with the
+    integer MIDPOINT line algorithm (v = w0 + (2*dv*t + du)//(2*du)
+    along the canonical major axis; endpoint-swap + axis-swap + sign
+    reflection keep every operand NONNEGATIVE, so floor/trunc division
+    agree across numpy, Spark and DuckDB), and pixel visits roll up to
+    25x25-pixel tiles. Spark plan: ONE lag window on the trajectory
+    key builds segments JVM-side, an Arrow-batched numpy kernel
+    rasterizes and PRE-AGGREGATES (tx, ty) partials inside each batch
+    (the x250 pixel fan-out never hits the shuffle — only per-batch
+    tile partials do), one partial-aggregable groupBy finishes. The
+    oracle re-rasterizes relationally via a bounded range() join."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("((event_id*37+11) % 2000) div 8").alias("x"),
+        F.expr("((event_id*73+29) % 2000) div 8").alias("y"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        p.select(
+            "x",
+            "y",
+            F.lag("x").over(win).alias("x0"),
+            F.lag("y").over(win).alias("y0"),
+        )
+        .filter(F.col("x0").isNotNull())
+        .select("x0", "y0", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    )
+
+    def _burn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            acc = {}
+            for x0, y0, x1, y1 in zip(
+                pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]
+            ):
+                x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
+                shallow = abs(x1 - x0) >= abs(y1 - y0)
+                u0_, v0_, u1_, v1_ = (
+                    (x0, y0, x1, y1) if shallow else (y0, x0, y1, x1)
+                )
+                if u1_ >= u0_:
+                    u0, v0, u1, v1 = u0_, v0_, u1_, v1_
+                else:
+                    u0, v0, u1, v1 = u1_, v1_, u0_, v0_
+                du = u1 - u0
+                rv = 1 if v1 >= v0 else -1
+                w0, dv = rv * v0, rv * (v1 - v0)
+                t = np.arange(du + 1, dtype=np.int64)
+                u = u0 + t
+                if du == 0:
+                    v = np.full_like(t, rv * w0)
+                else:
+                    v = rv * (w0 + (2 * dv * t + du) // (2 * du))
+                gx, gy = (u, v) if shallow else (v, u)
+                keys = (gx // 25) * 100 + gy // 25
+                for k, c in zip(*np.unique(keys, return_counts=True)):
+                    acc[int(k)] = acc.get(int(k), 0) + int(c)
+            if acc:
+                yield pd.DataFrame(
+                    [(k // 100, k % 100, c) for k, c in acc.items()],
+                    columns=["tx", "ty", "n_px"],
+                )
+
+    partial = seg.mapInPandas(_burn, "tx long, ty long, n_px long")
+    return (
+        partial.groupBy("tx", "ty")
+        .agg(F.sum("n_px").alias("n_px"))
+        .orderBy("tx", "ty")
+    )

@@ -802,3 +802,104 @@ def chi2_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# Benford expected first-digit masses, e-3 fixed point:
+# round(log10(1 + 1/d) * 1000) for d = 1..9 (sums to exactly 1000)
+_BENFORD_E3 = [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+               (6, 67), (7, 58), (8, 51), (9, 46)]
+
+
+@register_extra(
+    "benford_digit_test",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1)::INT AS d
+      FROM orders
+    ),
+    obs AS (SELECT grp, d, count(*) AS c FROM v GROUP BY 1, 2),
+    tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM obs GROUP BY 1),
+    exp_ AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_E3)}) AS t(d, p3)),
+    cells AS (
+      SELECT t.grp, e.d, e.p3, t.n, COALESCE(o.c, 0) AS c
+      FROM tot t CROSS JOIN exp_ e
+      LEFT JOIN obs o ON o.grp = t.grp AND o.d = e.d
+    ),
+    stat AS (
+      SELECT grp,
+             CAST(sum((c * 1000 - n * p3) * (c * 1000 - n * p3)
+                      // (n * p3)) AS BIGINT) AS chi2_e3
+      FROM cells GROUP BY 1
+    ),
+    top AS (
+      SELECT grp, d AS top_digit, c AS top_cnt,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY c DESC, d) AS rn
+      FROM cells
+    )
+    SELECT s.grp, t.n, s.chi2_e3,
+           CAST(p.top_digit AS INT) AS top_digit, p.top_cnt
+    FROM stat s JOIN tot t USING (grp)
+    JOIN top p ON p.grp = s.grp AND p.rn = 1
+    ORDER BY s.grp
+    """,
+)
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance test per order-
+    priority class — the classic fraud/data-quality screen. The
+    expected digit masses are shared e-3 literals (round(log10(1+1/d)
+    *1000), summing to exactly 1000) and the goodness-of-fit statistic
+    is the EXACT-INTEGER quantized chi-square
+    sum((1000*obs - n*p3)^2 // (n*p3)) over all 9 digits (missing
+    digits contribute their full expectation via the digit-dim outer
+    join). First digit extracted from floor(price) through the string
+    form — identical in both engines, no double-rounding trap (DuckDB
+    CAST(DOUBLE AS BIGINT) rounds half-even while Spark truncates, so
+    floor() first is load-bearing). Scale shape: one map-side
+    histogram shuffle (45 cells max), everything after is dim-sized."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d"),
+    )
+    obs = v.groupBy("grp", "d").agg(F.count("*").alias("c"))
+    tot = obs.groupBy("grp").agg(F.sum("c").alias("n"))
+    exp_ = spark.createDataFrame(_BENFORD_E3, "d int, p3 long")
+    cells = (
+        tot.crossJoin(F.broadcast(exp_))
+        .join(obs, ["grp", "d"], "left")
+        .select(
+            "grp", "d", "p3", "n", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    stat = cells.groupBy("grp").agg(
+        F.sum(
+            F.expr(
+                "(c * 1000 - n * p3) * (c * 1000 - n * p3) div (n * p3)"
+            )
+        ).alias("chi2_e3")
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("grp").orderBy(F.col("c").desc(), "d")
+    top = (
+        cells.select(
+            "grp",
+            F.col("d").alias("top_digit"),
+            F.col("c").alias("top_cnt"),
+            F.row_number().over(rw).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        stat.join(tot, "grp")
+        .join(top, "grp")
+        .select("grp", "n", "chi2_e3", "top_digit", "top_cnt")
+        .orderBy("grp")
+    )

@@ -538,3 +538,93 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("peak_t"))
         .orderBy("g")
     )
+
+
+@register_extra(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id % 20 AS g, ts AS s,
+             ts + to_minutes(CAST(event_id % 7 + 1 AS BIGINT)) AS e
+      FROM events
+    ),
+    m AS (
+      SELECT g, s, e,
+             max(e) OVER (PARTITION BY g ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT g, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS island
+      FROM m
+    ),
+    merged AS (
+      SELECT g, island, epoch_us(max(e)) - epoch_us(min(s)) AS len_us
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT g, CAST(sum(len_us) AS BIGINT) AS covered_us,
+           count(*) AS n_merged
+    FROM merged GROUP BY 1 ORDER BY g
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per group: total time covered by the
+    union of (possibly overlapping) sessions and the number of merged
+    stretches — the utilization/uptime rollup. Touching intervals
+    merge (union semantics), pinned by ordering openings BEFORE
+    closings at equal instants. Spark is the boundary sweep: +1/-1
+    deltas, one window per group ordered (t, delta DESC); a micro-
+    second span [prev_t, t) counts iff the running sum was positive
+    entering it, and a merged stretch starts wherever an opening
+    raises the sum to 1. The oracle is the INDEPENDENT gaps-and-
+    islands derivation: cumulative max-end over the start-sorted
+    intervals splits islands, then max(e)-min(s) per island — interval
+    -level, not boundary-level. Exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        (F.col("user_id") % 20).alias("g"),
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(event_id % 7 + 1 AS INT), 0)"
+        ).alias("e"),
+    )
+    b = iv.select("g", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("g", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("g").orderBy(F.col("t"), F.col("d").desc())
+    r = b.select(
+        "g",
+        "t",
+        "d",
+        F.sum("d").over(w).alias("run"),
+        F.lag("t").over(wl).alias("pt"),
+        F.lag(F.sum("d").over(w)).over(wl).alias("prun"),
+    )
+    return (
+        r.groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prun") >= 1,
+                    F.expr("timestampdiff(MICROSECOND, pt, t)"),
+                ).otherwise(F.lit(0))
+            ).alias("covered_us"),
+            F.count(
+                F.when((F.col("d") == 1) & (F.col("run") == 1), 1)
+            ).alias("n_merged"),
+        )
+        .orderBy("g")
+    )
