@@ -3679,3 +3679,99 @@ def segment_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_px").alias("n_px"))
         .orderBy("tx", "ty")
     )
+
+
+@register_extra(
+    "flock_copresence_pairs",
+    """
+    WITH pres AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS b
+      FROM events
+    ),
+    pc AS (
+      SELECT u, b,
+             ('0x' || substr(md5('fc:' || (u % 10) || ':' || b),
+                             1, 7))::BIGINT % 64 AS cell
+      FROM pres
+    ),
+    pair AS (
+      SELECT a.u AS ua, b_.u AS ub, a.b
+      FROM pc a JOIN pc b_
+        ON b_.b = a.b AND b_.cell = a.cell AND b_.u > a.u
+    ),
+    isl AS (
+      SELECT ua, ub, b,
+             b - row_number() OVER (PARTITION BY ua, ub ORDER BY b) AS grp
+      FROM pair
+    ),
+    runs AS (SELECT ua, ub, count(*) AS run
+             FROM isl GROUP BY ua, ub, grp)
+    SELECT ua, ub, CAST(sum(run) AS BIGINT) AS n_shared,
+           CAST(max(run) AS BIGINT) AS max_consec
+    FROM runs GROUP BY 1, 2 HAVING max(run) >= 3
+    ORDER BY ua, ub
+    """,
+)
+def flock_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flock/convoy detection (movement-pattern mining): user pairs
+    co-located in the same spatial cell for >= 3 CONSECUTIVE daily
+    buckets, with total shared buckets and the longest streak. Cell
+    trajectories are md5-derived per (user-cohort, day) so cohort
+    members genuinely travel together while cross-cohort collisions
+    stay sporadic (the signal/noise mix a real flock miner faces).
+    Scale shape: co-location candidates come from a (bucket, cell)
+    equi-join — bounded by per-cell occupancy, never all user pairs —
+    and the consecutiveness test is the gaps-and-islands window on the
+    PAIR key (one shuffle; pair cardinality is already candidate-
+    bounded). All integers; the streak algebra is hash-exact."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pres = ev.select(
+        F.col("user_id").alias("u"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("b"),
+    ).distinct()
+    pc = pres.select(
+        "u",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fc:"),
+                            (F.col("u") % 10).cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("cell"),
+    )
+    a = pc.select(F.col("u").alias("ua"), "b", "cell")
+    bb = pc.select(F.col("u").alias("ub"), "b", "cell")
+    pair = a.join(bb, ["b", "cell"]).filter(F.col("ub") > F.col("ua"))
+    win = Window.partitionBy("ua", "ub").orderBy("b")
+    isl = pair.select(
+        "ua", "ub", "b", (F.col("b") - F.row_number().over(win)).alias("grp")
+    )
+    runs = isl.groupBy("ua", "ub", "grp").agg(F.count("*").alias("run"))
+    return (
+        runs.groupBy("ua", "ub")
+        .agg(
+            F.sum("run").alias("n_shared"),
+            F.max("run").alias("max_consec"),
+        )
+        .filter(F.col("max_consec") >= 3)
+        .orderBy("ua", "ub")
+    )

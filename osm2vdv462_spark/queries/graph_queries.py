@@ -480,3 +480,117 @@ def tree_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def _hits_round_sql(prev_h: str, a_out: str, h_out: str) -> str:
+    """One unrolled HITS round: authorities from the PREVIOUS hub
+    vector, hubs from the JUST-UPDATED authority vector."""
+    return f"""
+    {a_out} AS (
+      SELECT e.d AS node, CAST(sum(h.s) AS BIGINT) AS a
+      FROM de e JOIN {prev_h} h ON h.node = e.s GROUP BY 1
+    ),
+    {h_out} AS (
+      SELECT e.s AS node, CAST(sum(a.a) AS BIGINT) AS s
+      FROM de e JOIN {a_out} a ON a.node = e.d GROUP BY 1
+    )"""
+
+
+@register_extra(
+    "hits_hubs_authorities",
+    f"""
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 300 AS u,
+             ('0x' || substr(md5('hits:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 300 AS v
+      FROM events
+    ),
+    de AS (SELECT u AS s, v AS d FROM d0 WHERE u <> v),
+    nodes AS (SELECT DISTINCT s AS node FROM de
+              UNION SELECT DISTINCT d FROM de),
+    h0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes),
+    {_hits_round_sql("h0", "a1", "h1")},
+    {_hits_round_sql("h1", "a2", "h2")},
+    {_hits_round_sql("h2", "a3", "h3")}
+    SELECT n.node, COALESCE(a3.a, 0) AS auth3, COALESCE(h3.s, 0) AS hub3
+    FROM nodes n
+    LEFT JOIN a3 ON a3.node = n.node
+    LEFT JOIN h3 ON h3.node = n.node
+    ORDER BY n.node
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over the md5-derived
+    DIRECTED interaction graph, three UNNORMALIZED power-iteration
+    rounds — dropping the usual L2 normalization keeps every score an
+    EXACT int64 (values bounded ~deg^6 < 1e15 at sf0.1), so the
+    ranking vector itself is hash-gated, not a float approximation
+    (the same trick as the e12 fixed-point PageRank). Spark runs the
+    canonical two-join round (authorities from hubs via an in-edge
+    groupBy, hubs from fresh authorities via an out-edge groupBy —
+    each a partial-aggregable shuffle on the node key, lineage cut per
+    round); the oracle unrolls the identical recurrence as nested
+    CTEs. Isolated directions coalesce to 0 on both sides."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    de = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(300)).alias("s"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("hits:"),
+                                F.col("event_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 300
+            ).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        de.select(F.col("s").alias("node"))
+        .union(de.select("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("hv"))
+    a = None
+    for _ in range(3):
+        a = (
+            de.join(
+                h.select(F.col("node").alias("hn"), "hv"),
+                de["s"] == F.col("hn"),
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("hv").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            de.join(
+                a.select(F.col("node").alias("an"), F.col("a").alias("av")),
+                de["d"] == F.col("an"),
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("av").alias("hv"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(a, "node", "left")
+        .join(h, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).alias("auth3"),
+            F.coalesce("hv", F.lit(0)).alias("hub3"),
+        )
+        .orderBy("node")
+    )

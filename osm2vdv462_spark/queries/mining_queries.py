@@ -607,6 +607,16 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels are md5-derived; features are doc length and space count.
     Split semantics: left = (v <= threshold), thresholds at observed
     values with the feature max excluded (empty right side)."""
+    _, crit = _stump_frames(spark, sf_dir)
+    return crit.orderBy("gini_e6", "feat", "threshold").limit(1).select(
+        "feat", "threshold", "gini_e6", "n_left", "pos_left",
+        "n_right", "pos_right",
+    )
+
+
+def _stump_frames(spark: SparkSession, sf_dir: str):
+    """(features+label frame, per-candidate-split criterion frame) —
+    shared by decision_stump_train and stump_eval_confusion."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     y = (
         F.conv(
@@ -668,10 +678,7 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("npos") - F.col("pos_left")).alias("pos_right"),
         )
     )
-    return crit.orderBy("gini_e6", "feat", "threshold").limit(1).select(
-        "feat", "threshold", "gini_e6", "n_left", "pos_left",
-        "n_right", "pos_right",
-    )
+    return d, crit
 
 
 @register_extra(
@@ -902,4 +909,140 @@ def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, "grp")
         .select("grp", "n", "chi2_e3", "top_digit", "top_cnt")
         .orderBy("grp")
+    )
+
+
+@register_extra(
+    "stump_eval_confusion",
+    """
+    WITH d AS (
+      SELECT length(text) AS v1,
+             length(text) - length(replace(text, ' ', '')) AS v2,
+             ('0x' || substr(md5('lbl:' || doc_id), 1, 7))::BIGINT % 2 AS y
+      FROM documents
+    ),
+    long AS (
+      SELECT 1 AS feat, v1 AS v, y FROM d
+      UNION ALL
+      SELECT 2 AS feat, v2 AS v, y FROM d
+    ),
+    h AS (
+      SELECT feat, v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM long GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feat, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS npos
+      FROM h GROUP BY 1
+    ),
+    cum AS (
+      SELECT feat, v,
+             CAST(sum(c) OVER cw AS BIGINT) AS n_left,
+             CAST(sum(pos) OVER cw AS BIGINT) AS pos_left
+      FROM h
+      WINDOW cw AS (PARTITION BY feat ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    crit AS (
+      SELECT c.feat, c.v AS threshold, c.n_left, c.pos_left,
+             t.n - c.n_left AS n_right, t.npos - c.pos_left AS pos_right,
+             CAST((2 * (c.pos_left * (c.n_left - c.pos_left) * (t.n - c.n_left)
+                   + (t.npos - c.pos_left)
+                     * ((t.n - c.n_left) - (t.npos - c.pos_left))
+                     * c.n_left) * 1000000)
+                  // (c.n_left * (t.n - c.n_left)) AS BIGINT) AS gini_e6
+      FROM cum c JOIN tot t USING (feat)
+      WHERE c.n_left < t.n
+    ),
+    lab AS (
+      SELECT feat, threshold,
+             CASE WHEN 2 * pos_left > n_left THEN 1 ELSE 0 END AS ml,
+             CASE WHEN 2 * pos_right > n_right THEN 1 ELSE 0 END AS mr
+      FROM crit ORDER BY gini_e6, feat, threshold LIMIT 1
+    ),
+    pred AS (
+      SELECT d.y,
+             CASE WHEN (CASE WHEN l.feat = 1 THEN d.v1 ELSE d.v2 END)
+                       <= l.threshold
+                  THEN l.ml ELSE l.mr END AS p
+      FROM d CROSS JOIN lab l
+    ),
+    cm AS (
+      SELECT count(*) FILTER (WHERE y = 1 AND p = 1) AS tp,
+             count(*) FILTER (WHERE y = 0 AND p = 1) AS fp,
+             count(*) FILTER (WHERE y = 1 AND p = 0) AS fneg,
+             count(*) FILTER (WHERE y = 0 AND p = 0) AS tn
+      FROM pred
+    )
+    SELECT CAST(l.feat AS INT) AS feat, CAST(l.threshold AS BIGINT)
+             AS threshold, tp, fp, fneg AS fn, tn,
+           CAST((tp + tn) * 1000000 // (tp + fp + fneg + tn) AS BIGINT)
+             AS acc_e6,
+           CAST(CASE WHEN tp + fp = 0 THEN -1
+                     ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS prec_e6,
+           CAST(2 * tp * 1000000 // (2 * tp + fp + fneg) AS BIGINT)
+             AS f1_e6
+    FROM cm CROSS JOIN lab l
+    """,
+)
+def stump_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation for the trained decision stump: apply the
+    winning split as a majority-vote classifier (side label = majority
+    class of that side, ties -> 0) to the full set and report the
+    confusion matrix plus accuracy / precision / F1 in EXACT e-6
+    integers (floor division; precision is -1 when nothing is
+    predicted positive — same guard both engines). Scale shape: the
+    trained split is a 1-row broadcast; application + confusion is one
+    map-side pass over the fact table and a single global agg — the
+    train/serve split a production evaluator uses."""
+    d, crit = _stump_frames(spark, sf_dir)
+    lab = (
+        crit.orderBy("gini_e6", "feat", "threshold")
+        .limit(1)
+        .select(
+            "feat",
+            "threshold",
+            F.when(2 * F.col("pos_left") > F.col("n_left"), 1)
+            .otherwise(0)
+            .alias("ml"),
+            F.when(2 * F.col("pos_right") > F.col("n_right"), 1)
+            .otherwise(0)
+            .alias("mr"),
+        )
+    )
+    pred = d.crossJoin(F.broadcast(lab)).select(
+        "feat",
+        "threshold",
+        "y",
+        F.when(
+            F.when(F.col("feat") == 1, F.col("v1")).otherwise(F.col("v2"))
+            <= F.col("threshold"),
+            F.col("ml"),
+        )
+        .otherwise(F.col("mr"))
+        .alias("p"),
+    )
+    cm = pred.groupBy("feat", "threshold").agg(
+        F.count(F.when((F.col("y") == 1) & (F.col("p") == 1), 1)).alias("tp"),
+        F.count(F.when((F.col("y") == 0) & (F.col("p") == 1), 1)).alias("fp"),
+        F.count(F.when((F.col("y") == 1) & (F.col("p") == 0), 1)).alias("fneg"),
+        F.count(F.when((F.col("y") == 0) & (F.col("p") == 0), 1)).alias("tn"),
+    )
+    return cm.select(
+        F.col("feat").cast("int").alias("feat"),
+        "threshold",
+        "tp",
+        "fp",
+        F.col("fneg").alias("fn"),
+        "tn",
+        F.expr("(tp + tn) * 1000000 div (tp + fp + fneg + tn)").alias(
+            "acc_e6"
+        ),
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE tp * 1000000 div (tp + fp) END"
+        ).alias("prec_e6"),
+        F.expr("2 * tp * 1000000 div (2 * tp + fp + fneg)").alias("f1_e6"),
     )
