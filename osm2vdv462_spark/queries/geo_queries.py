@@ -3775,3 +3775,62 @@ def flock_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_consec") >= 3)
         .orderBy("ua", "ub")
     )
+
+
+@register_extra(
+    "od_flow_matrix",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             (((event_id*37+11) % 2000) // 250) * 8
+               + ((event_id*73+29) % 2000) // 250 AS cell
+      FROM events
+    ),
+    s AS (
+      SELECT cell AS d_cell,
+             lag(cell) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS o_cell
+      FROM p
+    )
+    SELECT o_cell, d_cell, count(*) AS n_trips,
+           count(*) FILTER (WHERE o_cell = d_cell) AS n_intra
+    FROM s WHERE o_cell IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix — the transport-analytics rollup:
+    every consecutive per-user step becomes an (origin cell ->
+    destination cell) trip on the 8x8 grid, aggregated to flow counts
+    (with the intra-cell diagonal flagged). Scale shape: ONE lag
+    window on the trajectory key builds trips JVM-side, then a
+    partial-aggregable groupBy on the (o, d) pair — the 64x64-bounded
+    key space means map-side combine collapses a 10^12-step log to at
+    most 4096 rows per task before the shuffle. Exact integers."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "(((event_id*37+11) % 2000) div 250) * 8"
+            " + ((event_id*73+29) % 2000) div 250"
+        ).alias("cell"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = p.select(
+        F.col("cell").alias("d_cell"),
+        F.lag("cell").over(win).alias("o_cell"),
+    ).filter(F.col("o_cell").isNotNull())
+    return (
+        s.groupBy("o_cell", "d_cell")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.count(
+                F.when(F.col("o_cell") == F.col("d_cell"), 1)
+            ).alias("n_intra"),
+        )
+        .orderBy("o_cell", "d_cell")
+    )

@@ -683,3 +683,86 @@ def user_similarity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rank")
     )
+
+
+@register_extra(
+    "rfm_segmentation",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    f AS (
+      SELECT o_custkey,
+             CAST(datediff('day', max(o_orderdate),
+                           (SELECT dmax FROM mx)) AS BIGINT) AS r_days,
+             CAST(count(*) AS BIGINT) AS f_cnt,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey, r_days, f_cnt, m_cents,
+             ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY f_cnt DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
+      FROM f
+    )
+    SELECT o_custkey, r_days, f_cnt, m_cents,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+    FROM q ORDER BY o_custkey
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    warehouse-classic marketing rollup: per customer, days since last
+    order (vs the global max date), order count, lifetime cents
+    (floor(price*100) — identical IEEE then floor in both engines),
+    and the 3-digit quartile code (best quartile = 1 on every axis).
+    ntile ties are pinned by the customer key, so bucket assignment is
+    hash-exact. Scale shape: the fact table collapses to the CUSTOMER
+    DIM via one partial-aggregable groupBy before any window; the
+    three ntile windows then run over dim-sized data (at a true 1e9-
+    customer dim you'd swap ntile for the sorted-neighborhood global-
+    rank decomposition this repo already ships — noted, not needed at
+    gate scale). The global max date is a 1-row broadcast, the
+    gapfill bounds-join discipline."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = orders.agg(F.max("o_orderdate").alias("dmax"))
+    f = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("dlast"),
+            F.count("*").alias("f_cnt"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("dlast"))
+            .cast("long")
+            .alias("r_days"),
+            "f_cnt",
+            "m_cents",
+        )
+    )
+    rw = Window.orderBy("r_days", "o_custkey")
+    fw = Window.orderBy(F.col("f_cnt").desc(), "o_custkey")
+    mw = Window.orderBy(F.col("m_cents").desc(), "o_custkey")
+    return (
+        f.select(
+            "o_custkey",
+            "r_days",
+            "f_cnt",
+            "m_cents",
+            (
+                F.ntile(4).over(rw) * 100
+                + F.ntile(4).over(fw) * 10
+                + F.ntile(4).over(mw)
+            )
+            .cast("int")
+            .alias("rfm_code"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -668,3 +668,99 @@ def rle_row_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ moments
+
+
+@register_extra(
+    "image_moments",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    m AS (
+      SELECT event_id,
+             CAST(sum(t) AS BIGINT) AS m00,
+             CAST(sum(x * t) AS BIGINT) AS m10,
+             CAST(sum(y * t) AS BIGINT) AS m01,
+             CAST(sum(x * x * t) AS BIGINT) AS m20,
+             CAST(sum(x * y * t) AS BIGINT) AS m11,
+             CAST(sum(y * y * t) AS BIGINT) AS m02
+      FROM px GROUP BY 1
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           m00, m10, m01,
+           m00 * m20 - m10 * m10 AS cmu20,
+           m00 * m11 - m10 * m01 AS cmu11,
+           m00 * m02 - m01 * m01 AS cmu02,
+           CASE WHEN m00 * m20 - m10 * m10 > m00 * m02 - m01 * m01 THEN 1
+                WHEN m00 * m20 - m10 * m10 < m00 * m02 - m01 * m01 THEN -1
+                ELSE 0 END AS wide_cls,
+           CASE WHEN m00 * m11 - m10 * m01 > 0 THEN 1
+                WHEN m00 * m11 - m10 * m01 < 0 THEN -1
+                ELSE 0 END AS diag_cls
+    FROM m ORDER BY image_id
+    """,
+)
+def image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw + central image moments through the decode path — the
+    classic intensity-shape descriptor (centroid numerators and the
+    second-moment covariance that Hu invariants / orientation
+    estimates build on). Central moments stay EXACT integers by
+    scaling with m00 instead of dividing by it: m00*mu20 = m00*m20 -
+    m10^2 (etc.), bounded ~6e14 < int64 at 32x32x765 — no rational
+    centroid ever materializes (the kmeans common-denominator trick).
+    wide_cls / diag_cls classify orientation from comparisons of the
+    scaled covariance terms, so the classification is hash-exact too.
+    One vectorized numpy pass per image; relational sum-of-products
+    oracle."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _mom(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                h, w = t.shape
+                yv, xv = np.mgrid[0:h, 0:w]
+                m00 = int(t.sum())
+                m10 = int((xv * t).sum())
+                m01 = int((yv * t).sum())
+                m20 = int((xv * xv * t).sum())
+                m11 = int((xv * yv * t).sum())
+                m02 = int((yv * yv * t).sum())
+                c20 = m00 * m20 - m10 * m10
+                c11 = m00 * m11 - m10 * m01
+                c02 = m00 * m02 - m01 * m01
+                wide = 1 if c20 > c02 else (-1 if c20 < c02 else 0)
+                diag = 1 if c11 > 0 else (-1 if c11 < 0 else 0)
+                out.append(
+                    (row.image_id, m00, m10, m01, c20, c11, c02, wide, diag)
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "m00", "m10", "m01", "cmu20",
+                        "cmu11", "cmu02", "wide_cls", "diag_cls",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _mom,
+            "image_id string, m00 long, m10 long, m01 long, cmu20 long,"
+            " cmu11 long, cmu02 long, wide_cls int, diag_cls int",
+        )
+        .orderBy("image_id")
+    )
