@@ -628,3 +628,44 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@register_extra(
+    "hopping_window_counts",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 900000000 AS hop FROM events
+    ),
+    w AS (
+      SELECT make_timestamp((hop - j.range) * 900000000) AS window_start,
+             user_id
+      FROM b CROSS JOIN range(4) j
+    )
+    SELECT window_start, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-hour windows every 15
+    minutes via Spark's NATIVE F.window(slideDuration) fan-out, the
+    operator Structured Streaming uses for overlapping-window aggs
+    (here exercised batch-side so the 4x window assignment itself is
+    hash-gated against an explicit hop-index fan-out in SQL: every
+    event belongs to exactly the 4 windows starting at the preceding
+    quarter-hour marks, epoch-aligned). Counts and per-window distinct
+    users; the distinct adds the standard second partial-agg shuffle.
+    Timestamps are NTZ in both engines, so alignment is naive-time
+    exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_users"
+        )
+        .orderBy("window_start")
+    )

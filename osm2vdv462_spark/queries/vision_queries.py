@@ -764,3 +764,100 @@ def image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ quadtree
+
+_QT_TOL = 96
+
+
+def _qt_oracle() -> str:
+    levels = []
+    for d in range(6):
+        bs = 32 >> d
+        levels.append(
+            f"""
+      SELECT event_id, {d} AS depth, x // {bs} AS bx, y // {bs} AS by,
+             max(t) - min(t) <= {_QT_TOL} AS uni
+      FROM px GROUP BY 1, 2, 3, 4"""
+        )
+    blocks = "\n      UNION ALL".join(levels)
+    return f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    blocks AS ({blocks}
+    ),
+    leaf AS (
+      SELECT b.event_id, b.depth
+      FROM blocks b
+      LEFT JOIN blocks p
+        ON p.event_id = b.event_id AND p.depth = b.depth - 1
+       AND p.bx = b.bx // 2 AND p.by = b.by // 2
+      WHERE b.uni AND (b.depth = 0 OR NOT p.uni)
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(depth AS INT) AS depth, count(*) AS n_leaves,
+           CAST(count(*) * ({_OTSU_SZ} // (1 << depth))
+                         * ({_OTSU_SZ} // (1 << depth)) AS BIGINT) AS px_covered
+    FROM leaf GROUP BY event_id, depth ORDER BY 1, 2
+    """
+
+
+@register_extra("quadtree_leaf_stats", _qt_oracle())
+def quadtree_leaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree decomposition of each decoded image (split until the
+    block's gray range <= 96, max depth 5): leaves per depth and the
+    pixels they cover — the structure/compressibility probe behind
+    quadtree image codecs and spatial index page splits. Uniformity is
+    DOWNWARD MONOTONE (a sub-block's range never exceeds its parent's),
+    so 'leaf iff uniform and parent not uniform' is exact without
+    checking higher ancestors — both engines rely on the same
+    invariant. Spark computes per-depth block ranges with six reshape
+    max/min reductions per image (vectorized, map-side); the oracle
+    rebuilds the block table with six GROUP BYs and a parent
+    anti-uniformity join. All integers."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _qt(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                uni = {}
+                for d in range(6):
+                    bs = _OTSU_SZ >> d
+                    blk = t.reshape(2**d, bs, 2**d, bs)
+                    uni[d] = (
+                        blk.max(axis=(1, 3)) - blk.min(axis=(1, 3))
+                    ) <= _QT_TOL
+                cnt = {0: int(uni[0].sum())}
+                for d in range(1, 6):
+                    pnot = ~np.repeat(np.repeat(uni[d - 1], 2, 0), 2, 1)
+                    cnt[d] = int((uni[d] & pnot).sum())
+                for d, c in cnt.items():
+                    if c:
+                        bs = _OTSU_SZ >> d
+                        out.append((row.image_id, d, c, c * bs * bs))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "depth", "n_leaves", "px_covered"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _qt,
+            "image_id string, depth int, n_leaves long, px_covered long",
+        )
+        .orderBy("image_id", "depth")
+    )
