@@ -766,3 +766,90 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register_extra(
+    "fk_orphan_audit",
+    """
+    WITH po AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0),
+    pc AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0),
+    pn AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 <> 0)
+    SELECT 'lineitem->orders' AS rel,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM po
+                              WHERE po.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM pc
+                              WHERE pc.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM pn
+                              WHERE pn.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM pn
+                              WHERE pn.n_nationkey = s.s_nationkey))
+    ORDER BY rel
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across four FK relations — the
+    data-quality sweep every warehouse load runs: child rows whose
+    parent key has no match, counted via LEFT ANTI joins (the parent
+    sets are deterministically damaged — every 50th order/customer and
+    every 5th nation dropped — so each relation reports a nonzero,
+    hash-gated orphan count instead of a vacuous zero). Scale shape:
+    each audit is one anti-join on the FK (broadcast when the parent
+    is a dim, shuffle-hash otherwise — Spark picks per AQE) plus a
+    count; the four 1-row results union. The oracle states the same
+    audits as NOT EXISTS."""
+
+    def audit(rel, child, key, parent, pkey, pfilter):
+        c = spark.read.parquet(f"{sf_dir}/{child}.parquet")
+        par = spark.read.parquet(f"{sf_dir}/{parent}.parquet").filter(pfilter)
+        orphans = c.join(
+            par.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return (
+            c.groupBy()
+            .agg(F.count("*").alias("n_rows"))
+            .crossJoin(
+                orphans.groupBy().agg(F.count("*").alias("n_orphans"))
+            )
+            .select(F.lit(rel).alias("rel"), "n_rows", "n_orphans")
+        )
+
+    out = (
+        audit(
+            "lineitem->orders", "lineitem", "l_orderkey", "orders",
+            "o_orderkey", F.col("o_orderkey") % 50 != 0,
+        )
+        .unionByName(
+            audit(
+                "orders->customer", "orders", "o_custkey", "customer",
+                "c_custkey", F.col("c_custkey") % 50 != 0,
+            )
+        )
+        .unionByName(
+            audit(
+                "customer->nation", "customer", "c_nationkey", "nation",
+                "n_nationkey", F.col("n_nationkey") % 5 != 0,
+            )
+        )
+        .unionByName(
+            audit(
+                "supplier->nation", "supplier", "s_nationkey", "nation",
+                "n_nationkey", F.col("n_nationkey") % 5 != 0,
+            )
+        )
+    )
+    return out.orderBy("rel")

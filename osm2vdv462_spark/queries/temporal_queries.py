@@ -669,3 +669,94 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register_extra(
+    "theil_sen_trend",
+    """
+    WITH p0 AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_id % 20 = 0
+    ),
+    p AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS x
+      FROM p0
+    ),
+    sl AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1000000 // (b.x - a.x) AS s_q
+      FROM p a JOIN p b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    r AS (
+      SELECT event_type, s_q,
+             row_number() OVER (PARTITION BY event_type ORDER BY s_q) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM sl
+    )
+    SELECT event_type, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = (n_pairs + 1) // 2 THEN s_q END)
+                AS BIGINT) AS med_slope_q
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the median of
+    all pairwise slopes over the rank-indexed value series — the
+    outlier-resistant alternative to least squares (grouped_trend_
+    lines is the OLS sibling). Slopes are quantized to exact integers
+    (dy * 1e6 with TRUNCATING division — Spark div and DuckDB // both
+    truncate toward zero, so negative slopes agree) and the lower
+    median is picked by rank, so the estimate is hash-exact. The
+    1-in-20 sample bounds the pair set; at true scale you'd swap in
+    the repeated-median or a sampled variant (the quadratic pair join
+    is the textbook definition, kept verifiable here). Value cents via
+    floor(value*100) — identical IEEE then floor in both engines."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p0 = ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    rw = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = p0.select(
+        "event_type", "y", F.row_number().over(rw).cast("long").alias("x")
+    )
+    a = p.select("event_type", F.col("y").alias("ya"), F.col("x").alias("xa"))
+    b = p.select("event_type", F.col("y").alias("yb"), F.col("x").alias("xb"))
+    sl = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "event_type",
+            F.expr("(yb - ya) * 1000000 div (xb - xa)").alias("s_q"),
+        )
+    )
+    mw = Window.partitionBy("event_type").orderBy("s_q")
+    cw = Window.partitionBy("event_type")
+    r = sl.select(
+        "event_type",
+        "s_q",
+        F.row_number().over(mw).alias("rn"),
+        F.count("*").over(cw).alias("n_pairs"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n_pairs").cast("long").alias("n_pairs"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n_pairs + 1) div 2"), F.col("s_q")
+                )
+            )
+            .cast("long")
+            .alias("med_slope_q"),
+        )
+        .orderBy("event_type")
+    )

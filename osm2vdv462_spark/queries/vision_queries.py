@@ -861,3 +861,116 @@ def quadtree_leaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id", "depth")
     )
+
+
+# ------------------------------------------------------------ Haar bands
+
+
+def _haar_oracle() -> str:
+    lvls, es, joins, cols = [], [], [], []
+    for k in (1, 2, 3):
+        bk, half = 1 << k, 1 << (k - 1)
+        sy = f"(CASE WHEN y % {bk} < {half} THEN 1 ELSE -1 END)"
+        sx = f"(CASE WHEN x % {bk} < {half} THEN 1 ELSE -1 END)"
+        lvls.append(
+            f"""
+    lvl{k} AS (
+      SELECT event_id, y // {bk} AS by, x // {bk} AS bx,
+             CAST(sum(t * {sy}) AS BIGINT) AS lh,
+             CAST(sum(t * {sx}) AS BIGINT) AS hl,
+             CAST(sum(t * {sy} * {sx}) AS BIGINT) AS hh,
+             CAST(sum(t) AS BIGINT) AS ll
+      FROM px GROUP BY 1, 2, 3
+    )"""
+        )
+        extra = ", CAST(sum(ll * ll) AS BIGINT) AS e_ll3" if k == 3 else ""
+        es.append(
+            f"""
+    e{k} AS (
+      SELECT event_id,
+             CAST(sum(lh * lh) AS BIGINT) AS e_lh{k},
+             CAST(sum(hl * hl) AS BIGINT) AS e_hl{k},
+             CAST(sum(hh * hh) AS BIGINT) AS e_hh{k}{extra}
+      FROM lvl{k} GROUP BY 1
+    )"""
+        )
+        joins.append(f"e{k}")
+        cols += [f"e_lh{k}", f"e_hl{k}", f"e_hh{k}"]
+    return f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),{",".join(lvls)},{",".join(es)}
+    SELECT 'img_' || lpad(CAST(e1.event_id AS VARCHAR), 9, '0') AS image_id,
+           {", ".join(cols)}, e_ll3
+    FROM e1 JOIN e2 USING (event_id) JOIN e3 USING (event_id)
+    ORDER BY image_id
+    """
+
+
+@register_extra("haar_energy_bands", _haar_oracle())
+def haar_energy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level 2D Haar wavelet band energies per decoded image —
+    the energy-compaction fingerprint wavelet codecs and texture
+    classifiers use. UNNORMALIZED lifting keeps every coefficient an
+    exact integer (the HITS/PageRank trick in the transform domain),
+    so all ten band energies are hash-gated. The two engines derive
+    the transform DIFFERENTLY: Spark runs the genuine recursive
+    lifting (2x2 sum/difference pyramid, vectorized strided slices),
+    while the oracle evaluates the CLOSED FORM — each level-k
+    coefficient is a parity-sign-weighted block sum, no recursion —
+    and the equality of the two constructions is itself part of what
+    the hash verifies. Map-side only."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _haar(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                ll = px.sum(axis=2)
+                rec = [row.image_id]
+                for _ in (1, 2, 3):
+                    a = ll[0::2, 0::2]
+                    b = ll[0::2, 1::2]
+                    c = ll[1::2, 0::2]
+                    d = ll[1::2, 1::2]
+                    lh = a + b - c - d
+                    hl = a - b + c - d
+                    hh = a - b - c + d
+                    rec += [
+                        int((lh * lh).sum()),
+                        int((hl * hl).sum()),
+                        int((hh * hh).sum()),
+                    ]
+                    ll = a + b + c + d
+                rec.append(int((ll * ll).sum()))
+                out.append(tuple(rec))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id",
+                        "e_lh1", "e_hl1", "e_hh1",
+                        "e_lh2", "e_hl2", "e_hh2",
+                        "e_lh3", "e_hl3", "e_hh3",
+                        "e_ll3",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _haar,
+            "image_id string, e_lh1 long, e_hl1 long, e_hh1 long,"
+            " e_lh2 long, e_hl2 long, e_hh2 long,"
+            " e_lh3 long, e_hl3 long, e_hh3 long, e_ll3 long",
+        )
+        .orderBy("image_id")
+    )
