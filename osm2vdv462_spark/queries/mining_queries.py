@@ -1144,3 +1144,56 @@ def luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register_extra(
+    "seq_bigram_patterns",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ub AS (
+      SELECT DISTINCT user_id, prev AS a, event_type AS b
+      FROM s WHERE prev IS NOT NULL
+    ),
+    n AS (SELECT (count(DISTINCT user_id) + 3) // 4 AS minsup FROM ub)
+    SELECT a, b, count(*) AS n_users
+    FROM ub CROSS JOIN n
+    GROUP BY a, b, minsup HAVING count(*) >= minsup
+    ORDER BY a, b
+    """,
+)
+def seq_bigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan's length-2 core): event-
+    type bigrams that occur CONSECUTIVELY in at least a quarter of
+    user journeys — the ordered complement to frequent_item_pairs'
+    unordered baskets. Support counts DISTINCT users (a user repeating
+    a transition counts once — the sequence-mining convention), and
+    minsup derives in-plan from a broadcast 1-row aggregate. Scale
+    shape: one lag window on the journey key, a distinct collapse to
+    (user, a, b) — bounded by users x types^2 — then a types^2-bounded
+    partial agg. Integer end-to-end."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("b"),
+        F.lag("event_type").over(w).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    ub = s.select("user_id", "a", "b").distinct()
+    n = ub.agg(
+        F.expr("(count(DISTINCT user_id) + 3) div 4").alias("minsup")
+    )
+    return (
+        ub.crossJoin(F.broadcast(n))
+        .groupBy("a", "b", "minsup")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= F.col("minsup"))
+        .select("a", "b", "n_users")
+        .orderBy("a", "b")
+    )

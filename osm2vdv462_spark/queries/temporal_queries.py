@@ -760,3 +760,194 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "max_drawdown_series",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) - 5000 AS dy
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             row_number() OVER w AS rn,
+             sum(dy) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pfx
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT event_type, rn, pfx,
+             max(pfx) OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - pfx AS dd,
+             pfx - min(pfx) OVER (PARTITION BY event_type ORDER BY rn
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS runup
+      FROM p
+    ),
+    mx AS (
+      SELECT event_type, max(dd) AS max_drawdown,
+             max(COALESCE(runup, 0)) AS best_runup
+      FROM d GROUP BY 1
+    )
+    SELECT m.event_type, m.max_drawdown, m.best_runup,
+           CAST(min(d.rn) AS BIGINT) AS dd_at_rank
+    FROM mx m JOIN d ON d.event_type = m.event_type
+                    AND d.dd = m.max_drawdown
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown + best run-up over each event type's
+    cumulative cents series — the risk metric pair every quant stack
+    computes, done DISTRIBUTED without Kadane's sequential scan: a
+    drawdown is (running max of prefix) - prefix and the best
+    contiguous-window gain is prefix - (running min of earlier
+    prefixes), so BOTH reduce to prefix-sum windows over one shuffle
+    on the series key (the classic scan-based reformulation of a
+    sequential DP). Exact integers (cents, demeaned by the constant
+    5000); earliest rank attaining the max drawdown is pinned by
+    min(rn). Oracle: the identical recurrences stated as SQL windows
+    — both engines must agree on every tie."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 5000).alias("dy"),
+    )
+    ow = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = s.select(
+        "event_type",
+        F.row_number().over(ow).alias("rn"),
+        F.sum("dy")
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pfx"),
+    )
+    rw = Window.partitionBy("event_type").orderBy("rn")
+    d = p.select(
+        "event_type",
+        "rn",
+        (
+            F.max("pfx").over(
+                rw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("pfx")
+        ).alias("dd"),
+        (
+            F.col("pfx")
+            - F.min("pfx").over(
+                rw.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("runup"),
+    )
+    mx = d.groupBy("event_type").agg(
+        F.max("dd").alias("max_drawdown"),
+        F.max(F.coalesce("runup", F.lit(0))).alias("best_runup"),
+    )
+    return (
+        d.join(mx, "event_type")
+        .filter(F.col("dd") == F.col("max_drawdown"))
+        .groupBy("event_type", "max_drawdown", "best_runup")
+        .agg(F.min("rn").cast("long").alias("dd_at_rank"))
+        .orderBy("event_type")
+    )
+
+
+@register_extra(
+    "cusum_changepoint",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             row_number() OVER w AS rn,
+             sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pfx
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT event_type, CAST(max(rn) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rn_last THEN pfx END) AS BIGINT) AS tot
+      FROM (SELECT event_type, rn, pfx,
+                   rn = max(rn) OVER (PARTITION BY event_type) AS rn_last
+            FROM p)
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT p.event_type, p.rn,
+             abs(p.pfx * t.n - p.rn * t.tot) AS cusum_n
+      FROM p JOIN t USING (event_type) WHERE p.rn < t.n
+    ),
+    m AS (SELECT event_type, max(cusum_n) AS max_cusum_n FROM c GROUP BY 1)
+    SELECT m.event_type, t.n, m.max_cusum_n,
+           CAST(min(c.rn) AS BIGINT) AS cp_rank
+    FROM m JOIN t USING (event_type)
+    JOIN c ON c.event_type = m.event_type AND c.cusum_n = m.max_cusum_n
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the split rank
+    maximizing |CUSUM_j| where CUSUM_j = prefix_j - j*mean — scaled by
+    n to the EXACT integer |n*prefix_j - j*total| (no rational mean
+    ever materializes, the m00-scaling trick on the time axis;
+    |.| < n * total ~ 1e14 at sf0.1 << int64). This is the
+    single-changepoint screen a drift monitor runs BEFORE the
+    two-sample KS test (source_ks_drift) localizes the break. One
+    prefix-sum window per series + a broadcast 1-row total join;
+    earliest argmax rank pinned by min(rn). Oracle states the same
+    scaled recurrence in SQL windows."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    ow = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = s.select(
+        "event_type",
+        F.row_number().over(ow).alias("rn"),
+        F.sum("y")
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pfx"),
+    )
+    t = p.groupBy("event_type").agg(
+        F.max("rn").cast("long").alias("n"),
+        F.max(F.struct("rn", "pfx")).getField("pfx").alias("tot"),
+    )
+    c = (
+        p.join(F.broadcast(t), "event_type")
+        .filter(F.col("rn") < F.col("n"))
+        .select(
+            "event_type",
+            "rn",
+            "n",
+            F.abs(
+                F.col("pfx") * F.col("n") - F.col("rn") * F.col("tot")
+            ).alias("cusum_n"),
+        )
+    )
+    m = c.groupBy("event_type", "n").agg(
+        F.max("cusum_n").alias("max_cusum_n")
+    )
+    return (
+        c.drop("n")
+        .join(m, "event_type")
+        .filter(F.col("cusum_n") == F.col("max_cusum_n"))
+        .groupBy("event_type", "n", "max_cusum_n")
+        .agg(F.min("rn").cast("long").alias("cp_rank"))
+        .orderBy("event_type")
+    )
