@@ -3834,3 +3834,110 @@ def od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_cell", "d_cell")
     )
+
+
+@register_extra(
+    "label_placement_grid",
+    """
+    WITH oct AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+    off AS (SELECT -275 + 25 * i.range AS o FROM range(23) i),
+    cand AS (
+      SELECT k, a.o AS o1, b.o AS o2,
+             least(299 - abs(a.o), 299 - abs(b.o),
+                   451 - abs(a.o) - abs(b.o)) AS clearance_q
+      FROM oct CROSS JOIN off a CROSS JOIN off b
+    ),
+    free AS (
+      SELECT * FROM cand
+      WHERE clearance_q > 0
+        AND ('0x' || substr(md5('lp:' || k || ':' || o1 || ':' || o2),
+                            1, 7))::BIGINT % 7 <> 0
+    ),
+    best AS (
+      SELECT k, o1, o2, clearance_q,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY clearance_q DESC, o1, o2) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_free
+      FROM free
+    )
+    SELECT k AS n_nationkey, o1 AS best_o1, o2 AS best_o2,
+           clearance_q, CAST(n_free AS BIGINT) AS n_free
+    FROM best WHERE rn = 1 ORDER BY n_nationkey
+    """,
+)
+def label_placement_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartographic label placement by grid search — per octagon stop
+    area, the interior candidate (25-unit lattice, e-4 deg) maximizing
+    clearance to the boundary, skipping cells already occupied by
+    other labels (md5-derived obstructions, ~1/7 of cells). Clearance
+    inside the octagon |dx|<=A, |dy|<=A, |dx|+|dy|<=B is
+    min(A-|dx|, A-|dy|, B-|dx|-|dy|) — EXACT integer in e-4 units (the
+    Chebyshev/diamond distance-to-edge, no sqrt), so the argmax (ties
+    -> smallest (o1, o2)) is hash-gated. Scale shape: the candidate
+    lattice is a broadcast dim (23^2 offsets) crossed against the
+    polygon dim; per-polygon argmax is a dim-sized window — the whole
+    query never touches a fact table, which is exactly what a label
+    placer over 10^8 polygons wants (candidates stay proportional to
+    polygons, pruned map-side)."""
+    from pyspark.sql import Window
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    off = spark.range(23).select((-275 + 25 * F.col("id")).alias("o"))
+    cand = (
+        nat.crossJoin(F.broadcast(off.select(F.col("o").alias("o1"))))
+        .crossJoin(F.broadcast(off.select(F.col("o").alias("o2"))))
+        .select(
+            "k",
+            "o1",
+            "o2",
+            F.least(
+                299 - F.abs(F.col("o1")),
+                299 - F.abs(F.col("o2")),
+                451 - F.abs(F.col("o1")) - F.abs(F.col("o2")),
+            ).alias("clearance_q"),
+        )
+    )
+    free = cand.filter(
+        (F.col("clearance_q") > 0)
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lp:"),
+                            F.col("k").cast("string"),
+                            F.lit(":"),
+                            F.col("o1").cast("string"),
+                            F.lit(":"),
+                            F.col("o2").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 7
+            != 0
+        )
+    )
+    rw = Window.partitionBy("k").orderBy(
+        F.col("clearance_q").desc(), "o1", "o2"
+    )
+    cw = Window.partitionBy("k")
+    return (
+        free.select(
+            F.col("k").alias("n_nationkey"),
+            F.col("o1").alias("best_o1"),
+            F.col("o2").alias("best_o2"),
+            "clearance_q",
+            F.row_number().over(rw).alias("rn"),
+            F.count("*").over(cw).cast("long").alias("n_free"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("n_nationkey")
+    )

@@ -2781,3 +2781,93 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(4 * F.col("inter_sz") >= 3 * F.col("union_sz"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register_extra(
+    "posting_list_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    n AS (SELECT (count(DISTINCT doc_id) + 9) // 10 AS mindf FROM tf),
+    freq AS (
+      SELECT term FROM tf CROSS JOIN n
+      GROUP BY term, mindf HAVING count(*) >= mindf
+    ),
+    g AS (
+      SELECT t.term, t.tf,
+             t.doc_id - COALESCE(lag(t.doc_id) OVER (PARTITION BY t.term
+                                                     ORDER BY t.doc_id),
+                                 -1) AS gap
+      FROM tf t JOIN freq USING (term)
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           CAST(sum(CASE WHEN gap < 128 THEN 1
+                         WHEN gap < 16384 THEN 2
+                         WHEN gap < 2097152 THEN 3
+                         ELSE 4 END) AS BIGINT) AS varint_bytes
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def posting_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list statistics — the sizing pass a
+    search-engine indexer runs before writing segments: per frequent
+    term (df >= ceil(n_docs/10), threshold derived in-plan), document
+    frequency, collection frequency, the largest doc-id gap, and the
+    EXACT byte cost of delta+varint encoding the posting list (gaps
+    relative to the previous posting, first posting delta-from--1, so
+    every gap >= 1; the 1/2/3/4-byte varint ladder is a CASE — pure
+    column algebra, hash-exact). Scale shape: explode -> (term, doc)
+    partial agg (map-side combine), one lag window PER TERM over the
+    posting order (exactly how index segments are laid out), then a
+    term-keyed rollup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    n = tf.agg(
+        F.expr("(count(DISTINCT doc_id) + 9) div 10").alias("mindf")
+    )
+    freq = (
+        tf.crossJoin(F.broadcast(n))
+        .groupBy("term", "mindf")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= F.col("mindf"))
+        .select("term")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = tf.join(F.broadcast(freq), "term").select(
+        "term",
+        "tf",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("gap"),
+    )
+    return (
+        g.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("gap").alias("max_gap"),
+            F.sum(
+                F.when(F.col("gap") < 128, 1)
+                .when(F.col("gap") < 16384, 2)
+                .when(F.col("gap") < 2097152, 3)
+                .otherwise(4)
+            ).alias("varint_bytes"),
+        )
+        .orderBy("term")
+    )

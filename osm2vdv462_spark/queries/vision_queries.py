@@ -974,3 +974,69 @@ def haar_energy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ marching squares
+
+_MS_ISO = 128
+
+
+@register_extra(
+    "marching_squares_stats",
+    f"""
+    WITH q AS (
+      SELECT x.range AS gx, y.range AS gy
+      FROM range({_CCL_W - 1}) x, range({_CCL_W - 1}) y
+    ),
+    c AS (
+      SELECT gx, gy,
+             CAST((gx*7 + gy*11) % 256 >= {_MS_ISO} AS INT)
+           + 2 * CAST(((gx+1)*7 + gy*11) % 256 >= {_MS_ISO} AS INT)
+           + 4 * CAST((gx*7 + (gy+1)*11) % 256 >= {_MS_ISO} AS INT)
+           + 8 * CAST(((gx+1)*7 + (gy+1)*11) % 256 >= {_MS_ISO} AS INT)
+               AS cs
+      FROM q
+    )
+    SELECT gx // {_CCL_PX} AS tx, gy // {_CCL_PX} AS ty,
+           count(*) FILTER (WHERE cs NOT IN (0, 15)) AS n_active,
+           CAST(count(*) FILTER (WHERE cs NOT IN (0, 15))
+                + count(*) FILTER (WHERE cs IN (6, 9)) AS BIGINT)
+             AS n_segments
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def marching_squares_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isoline extraction statistics (iso = 128) over
+    the tiled striped raster: active quads and emitted contour
+    segments per tile — the contouring primitive behind elevation
+    isolines and density-map vectorization. Quads are keyed by their
+    top-left pixel, so the distributed form needs the right / bottom /
+    diagonal neighbors' FIRST column / row / corner: the halo exchange
+    ships exactly three thin messages per tile (~12% of the band, see
+    operators/raster_label.py::marching_squares_counts) and quads
+    whose far corners leave the raster are dropped identically in both
+    engines. Saddle quads (opposite corners high, cases 6/9 in the
+    TL=1 TR=2 BL=4 BR=8 numbering) emit two segments. The oracle
+    recomputes every quad case from the pixel closed form on a flat
+    95x95 grid."""
+    from ..operators.raster_label import marching_squares_counts
+
+    tiles = spark.range(_CCL_TW * _CCL_TH).select(
+        (F.col("id") % _CCL_TW).cast("int").alias("tx"),
+        F.expr(f"id div {_CCL_TW}").cast("int").alias("ty"),
+    ).repartition(8)
+
+    def _mk(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                i, j = np.mgrid[0:_CCL_PX, 0:_CCL_PX]
+                gx = int(tx) * _CCL_PX + j
+                gy = int(ty) * _CCL_PX + i
+                band = ((gx * 7 + gy * 11) % 256).astype(np.uint8)
+                out.append((int(tx), int(ty), band.tobytes()))
+            yield pd.DataFrame(out, columns=["tx", "ty", "band"])
+
+    bands = tiles.mapInPandas(_mk, "tx int, ty int, band binary")
+    out = marching_squares_counts(bands, px=_CCL_PX, iso=_MS_ISO)
+    return out.filter(F.col("n_active") >= 0).orderBy("tx", "ty")
