@@ -3941,3 +3941,88 @@ def label_placement_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("n_nationkey")
     )
+
+
+@register_extra(
+    "partition_skew_audit",
+    """
+    WITH p AS (
+      SELECT (((event_id*37+11) % 2000) // 125) * 16
+             + ((event_id*73+29) % 2000) // 125 AS cell
+      FROM events
+    ),
+    load AS (SELECT cell, CAST(count(*) AS BIGINT) AS w FROM p GROUP BY 1),
+    r AS (
+      SELECT w,
+             row_number() OVER (ORDER BY w, cell) AS i,
+             row_number() OVER (ORDER BY w DESC, cell) AS j
+      FROM load
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(w) AS BIGINT) AS total_rows,
+             CAST(max(w) AS BIGINT) AS max_load,
+             CAST(sum(i * w) AS BIGINT) AS iw,
+             CAST(COALESCE(sum(w) FILTER (WHERE j <= 10), 0) AS BIGINT)
+               AS top10
+      FROM r
+    )
+    SELECT n_parts, total_rows, max_load,
+           CAST(max_load * n_parts * 10000 // total_rows AS BIGINT)
+             AS max_over_avg_e4,
+           CAST((2 * iw - (n_parts + 1) * total_rows) * 1000000
+                // (n_parts * total_rows) AS BIGINT) AS gini_e6,
+           CAST(top10 * 10000 // total_rows AS BIGINT) AS top10_share_e4
+    FROM agg
+    """,
+)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for a PROPOSED shuffle key (the 16x16
+    spatial cell): straggler ratio (max/avg, e-4), the exact-integer
+    Gini coefficient of per-partition loads ((2*sum(i*w_i) -
+    (n+1)*total) * 1e6 // (n*total) over the ascending-sorted loads —
+    tie order provably cancels, so the hash is stable) and the top-10
+    partitions' load share. This is the pre-flight check this repo's
+    own salting/AQE decisions rest on (test_skew.py asserts the
+    remedies; this audits the diagnosis). Scale shape: the fact table
+    collapses to per-cell counts map-side; both rank windows and the
+    rollup run on the 256-row load dim."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        F.expr(
+            "(((event_id*37+11) % 2000) div 125) * 16"
+            " + ((event_id*73+29) % 2000) div 125"
+        ).alias("cell")
+    )
+    load = p.groupBy("cell").agg(F.count("*").alias("w"))
+    iw_w = Window.orderBy("w", "cell")
+    jw = Window.orderBy(F.col("w").desc(), "cell")
+    r = load.select(
+        "w",
+        F.row_number().over(iw_w).alias("i"),
+        F.row_number().over(jw).alias("j"),
+    )
+    agg = r.groupBy().agg(
+        F.count("*").alias("n_parts"),
+        F.sum("w").alias("total_rows"),
+        F.max("w").alias("max_load"),
+        F.sum(F.col("i") * F.col("w")).alias("iw"),
+        F.coalesce(
+            F.sum(F.when(F.col("j") <= 10, F.col("w"))), F.lit(0)
+        ).alias("top10"),
+    )
+    return agg.select(
+        "n_parts",
+        "total_rows",
+        "max_load",
+        F.expr("max_load * n_parts * 10000 div total_rows").alias(
+            "max_over_avg_e4"
+        ),
+        F.expr(
+            "(2 * iw - (n_parts + 1) * total_rows) * 1000000"
+            " div (n_parts * total_rows)"
+        ).alias("gini_e6"),
+        F.expr("top10 * 10000 div total_rows").alias("top10_share_e4"),
+    )

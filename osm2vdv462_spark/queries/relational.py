@@ -853,3 +853,68 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("rel")
+
+
+@register_extra(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_band
+      FROM customer
+    ),
+    cls AS (
+      SELECT nat, seg, bal_band, count(*) AS sz FROM qi GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_rows FROM cls)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class,
+           CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT)
+             AS n_violating_classes,
+           CAST(COALESCE(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(COALESCE(sum(sz) FILTER (WHERE sz < 5), 0) * 10000
+                // max(t.n_rows) AS BIGINT) AS risk_rate_e4
+    FROM cls CROSS JOIN tot t
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band) — the privacy
+    screen run before releasing a dataset: equivalence classes smaller
+    than k let individuals be re-identified. Reports class count,
+    smallest class, violating classes, rows at risk and the e-4 risk
+    rate — all exact integers (balance banded via floor(bal)//1000;
+    identical IEEE-then-floor in both engines). Scale shape: ONE
+    partial-aggregable groupBy on the QI tuple; everything after runs
+    on the class dim, with the total as a broadcast 1-row aggregate."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(c_acctbal) AS BIGINT) div 1000").alias(
+            "bal_band"
+        ),
+    )
+    cls = qi.groupBy("nat", "seg", "bal_band").agg(
+        F.count("*").alias("sz")
+    )
+    tot = cls.agg(F.sum("sz").alias("n_rows"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("sz").alias("min_class"),
+            F.count(F.when(F.col("sz") < 5, 1)).alias(
+                "n_violating_classes"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0)
+            ).alias("n_rows_at_risk"),
+            F.expr(
+                "COALESCE(sum(CASE WHEN sz < 5 THEN sz END), 0)"
+                " * 10000 div max(n_rows)"
+            ).alias("risk_rate_e4"),
+        )
+    )

@@ -2871,3 +2871,119 @@ def posting_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register_extra(
+    "emd_source_drift",
+    """
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    pr AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM tot a JOIN tot b ON b.source > a.source
+    ),
+    grid AS (
+      SELECT DISTINCT p.sa, p.sb, h.v
+      FROM pr p JOIN h ON h.source = p.sa OR h.source = p.sb
+    ),
+    cum AS (
+      SELECT g.sa, g.sb, g.v,
+             sum(COALESCE(ha.c, 0)) OVER w AS cum_a,
+             sum(COALESCE(hb.c, 0)) OVER w AS cum_b,
+             lead(g.v) OVER w - g.v AS gap
+      FROM grid g
+      LEFT JOIN h ha ON ha.source = g.sa AND ha.v = g.v
+      LEFT JOIN h hb ON hb.source = g.sb AND hb.v = g.v
+      WINDOW w AS (PARTITION BY g.sa, g.sb ORDER BY g.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.sa, c.sb, ta.n AS n_a, tb.n AS n_b,
+           CAST(sum(abs(c.cum_a * tb.n - c.cum_b * ta.n)
+                    * COALESCE(c.gap, 0)) AS BIGINT) AS emd_scaled
+    FROM cum c
+    JOIN tot ta ON ta.source = c.sa
+    JOIN tot tb ON tb.source = c.sb
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+    """,
+)
+def emd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's distance between per-source document-length
+    distributions — the integral-form drift metric that complements
+    source_ks_drift's max-form: EMD = sum over the value grid of
+    |cdf_a - cdf_b| * gap, kept EXACT by scaling both cdfs to the
+    common denominator n_a*n_b (the kmeans/moments trick applied to
+    distribution distance). Scale shape: the fact table collapses to
+    per-source histograms first (map-side combine), pairs and grids
+    are histogram-sized, and the cumulative window runs per pair over
+    the merged support. All integers, hash-exact."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    h = (
+        docs.filter(F.col("source").isin(srcs))
+        .groupBy(F.col("source"), F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = h.groupBy("source").agg(F.sum("c").alias("n"))
+    pr = (
+        tot.select(F.col("source").alias("sa"))
+        .crossJoin(tot.select(F.col("source").alias("sb")))
+        .filter(F.col("sb") > F.col("sa"))
+    )
+    grid = (
+        pr.join(
+            h,
+            (h["source"] == pr["sa"]) | (h["source"] == pr["sb"]),
+        )
+        .select("sa", "sb", "v")
+        .distinct()
+    )
+    ha = h.select(F.col("source").alias("sa"), F.col("v"), F.col("c").alias("ca"))
+    hb = h.select(F.col("source").alias("sb"), F.col("v"), F.col("c").alias("cb"))
+    g = (
+        grid.join(ha, ["sa", "v"], "left")
+        .join(hb, ["sb", "v"], "left")
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lw = Window.partitionBy("sa", "sb").orderBy("v")
+    cum = g.select(
+        "sa",
+        "sb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("v").over(lw) - F.col("v")).alias("gap"),
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    return (
+        cum.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .groupBy("sa", "sb", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+                * F.coalesce("gap", F.lit(0))
+            ).alias("emd_scaled")
+        )
+        .orderBy("sa", "sb")
+    )
