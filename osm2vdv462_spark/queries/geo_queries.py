@@ -4026,3 +4026,135 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_e6"),
         F.expr("top10 * 10000 div total_rows").alias("top10_share_e4"),
     )
+
+
+@register_extra(
+    "stay_point_segments",
+    """
+    WITH p AS (
+      SELECT user_id AS u, ts, event_id,
+             ('0x' || substr(md5('sx:' || user_id || ':'
+                             || epoch_us(ts) // 86400000000), 1, 7))::BIGINT
+               % 2000 AS sx,
+             ('0x' || substr(md5('sy:' || user_id || ':'
+                             || epoch_us(ts) // 86400000000), 1, 7))::BIGINT
+               % 2000 AS sy
+      FROM events
+    ),
+    s AS (
+      SELECT u, ts, event_id, sx, sy,
+             CASE WHEN greatest(abs(sx - lag(sx) OVER win),
+                                abs(sy - lag(sy) OVER win)) > 200
+                    OR lag(sx) OVER win IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM p WINDOW win AS (PARTITION BY u ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT u, ts,
+             sum(brk) OVER (PARTITION BY u ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM s
+    ),
+    stay AS (
+      SELECT u, island, count(*) AS n_ev,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM isl GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_stays,
+           CAST(sum(n_ev) AS BIGINT) AS n_stay_events,
+           CAST(max(span_us) AS BIGINT) AS max_stay_us
+    FROM stay GROUP BY 1 ORDER BY 1
+    """,
+)
+def stay_point_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (the trajectory-mining classic next to
+    flock detection): maximal runs of consecutive observations that
+    never move more than 200 lattice units (Chebyshev) from the
+    previous fix; runs of >= 3 observations are stays, reported per
+    user with their count, member observations and longest span.
+    Positions are md5-derived per (user, day) so within-day fixes
+    dwell and day boundaries usually (not always) break the run — the
+    mixed regime a real stay-point miner faces. Scale shape: ONE
+    window shuffle on the trajectory key does break detection AND the
+    gaps-and-islands numbering; stays aggregate per (user, island) —
+    integers/timestamps only."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def mdc(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.expr(
+                                "timestampdiff(MICROSECOND,"
+                                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                                " div 86400000000"
+                            ).cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2000
+        )
+
+    p = ev.select(
+        F.col("user_id").alias("u"),
+        "ts",
+        "event_id",
+        mdc("sx:").alias("sx"),
+        mdc("sy:").alias("sy"),
+    )
+    win = Window.partitionBy("u").orderBy("ts", "event_id")
+    s = p.select(
+        "u",
+        "ts",
+        "event_id",
+        F.when(
+            F.greatest(
+                F.abs(F.col("sx") - F.lag("sx").over(win)),
+                F.abs(F.col("sy") - F.lag("sy").over(win)),
+            )
+            > 200,
+            1,
+        )
+        .when(F.lag("sx").over(win).isNull(), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = s.select(
+        "u",
+        "ts",
+        F.sum("brk")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    stay = (
+        isl.groupBy("u", "island")
+        .agg(
+            F.count("*").alias("n_ev"),
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts))"
+            ).alias("span_us"),
+        )
+        .filter(F.col("n_ev") >= 3)
+    )
+    return (
+        stay.groupBy(F.col("u").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_stays"),
+            F.sum("n_ev").alias("n_stay_events"),
+            F.max("span_us").alias("max_stay_us"),
+        )
+        .orderBy("user_id")
+    )

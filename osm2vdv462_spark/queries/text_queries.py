@@ -2987,3 +2987,79 @@ def emd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sa", "sb")
     )
+
+
+@register_extra(
+    "lz_match_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    g AS (
+      SELECT doc_id, p.pos, substr(text, CAST(p.pos AS INT), 8) AS gram
+      FROM d, LATERAL (SELECT unnest(range(1, n - 6)) AS pos) p
+    ),
+    m AS (
+      SELECT DISTINCT a.doc_id, a.pos
+      FROM g a JOIN g b
+        ON b.doc_id = a.doc_id AND b.gram = a.gram
+       AND b.pos BETWEEN a.pos - 256 AND a.pos - 1
+    )
+    SELECT d.doc_id, CAST(d.n - 7 AS BIGINT) AS n_positions,
+           CAST(COALESCE(count(m.pos), 0) AS BIGINT) AS n_match8,
+           CAST(COALESCE(count(m.pos), 0) * 10000
+                // (d.n - 7) AS BIGINT) AS match_rate_e4
+    FROM d LEFT JOIN m USING (doc_id)
+    GROUP BY d.doc_id, d.n ORDER BY d.doc_id
+    """,
+)
+def lz_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ77-style compressibility probe: for every position of each
+    document (1-in-5 sample), does its 8-gram reappear from a match
+    within the preceding 256-character window? The match rate is the
+    back-reference density an LZ coder would exploit — the text-side
+    sibling of the raster RLE probe, and the signal dedup pipelines
+    use to spot boilerplate. Scale shape: grams explode JVM-side
+    (sequence + substring, no UDF), candidates come from a (doc, gram)
+    EQUI-join — the window predicate only filters — so the join never
+    leaves the doc's own gram groups; DISTINCT collapses multiple
+    earlier matches before the per-doc rollup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    d = docs.select("doc_id", "text", F.length("text").alias("n"))
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - 7)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("substring(text, CAST(pos AS INT), 8)").alias("gram"),
+    )
+    b = g.select(
+        "doc_id", F.col("pos").alias("pos_b"), F.col("gram")
+    )
+    m = (
+        g.join(b, ["doc_id", "gram"])
+        .filter(
+            (F.col("pos_b") >= F.col("pos") - 256)
+            & (F.col("pos_b") <= F.col("pos") - 1)
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    mc = m.groupBy("doc_id").agg(F.count("*").alias("n_match8"))
+    return (
+        d.join(mc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n") - 7).cast("long").alias("n_positions"),
+            F.coalesce("n_match8", F.lit(0)).cast("long").alias("n_match8"),
+            F.expr(
+                "COALESCE(n_match8, 0) * 10000 div (n - 7)"
+            ).alias("match_rate_e4"),
+        )
+        .orderBy("doc_id")
+    )

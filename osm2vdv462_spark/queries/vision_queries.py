@@ -1040,3 +1040,158 @@ def marching_squares_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = tiles.mapInPandas(_mk, "tx int, ty int, band binary")
     out = marching_squares_counts(bands, px=_CCL_PX, iso=_MS_ISO)
     return out.filter(F.col("n_active") >= 0).orderBy("tx", "ty")
+
+
+# ------------------------------------------------------------ median cut
+
+_MC_ORACLE = f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             (x*7 + e.event_id*13) % 256 AS r,
+             (y*11 + e.event_id*29) % 256 AS g,
+             ((x+y)*5 + e.event_id*53) % 256 AS b
+      FROM e CROSS JOIN yx
+    ),
+    rg1 AS (
+      SELECT event_id, count(*) AS n,
+             max(r)-min(r) AS rr, max(g)-min(g) AS rgg, max(b)-min(b) AS rb
+      FROM px GROUP BY 1
+    ),
+    ch1 AS (
+      SELECT event_id, n,
+             CASE WHEN rr >= rgg AND rr >= rb THEN 1
+                  WHEN rgg >= rb THEN 2 ELSE 3 END AS c
+      FROM rg1
+    ),
+    v1 AS (
+      SELECT p.event_id, p.x, p.y, p.r, p.g, p.b,
+             CASE c.c WHEN 1 THEN p.r WHEN 2 THEN p.g ELSE p.b END AS v,
+             c.n
+      FROM px p JOIN ch1 c USING (event_id)
+    ),
+    m1 AS (
+      SELECT event_id, v AS med FROM (
+        SELECT event_id, v, n,
+               row_number() OVER (PARTITION BY event_id ORDER BY v) AS rn
+        FROM v1
+      ) WHERE rn = (n + 1) // 2
+    ),
+    p1 AS (
+      SELECT v1.event_id, x, y, r, g, b,
+             CASE WHEN v1.v <= m1.med THEN 0 ELSE 1 END AS b1
+      FROM v1 JOIN m1 USING (event_id)
+    ),
+    rg2 AS (
+      SELECT event_id, b1, count(*) AS n,
+             max(r)-min(r) AS rr, max(g)-min(g) AS rgg, max(b)-min(b) AS rb
+      FROM p1 GROUP BY 1, 2
+    ),
+    ch2 AS (
+      SELECT event_id, b1, n,
+             CASE WHEN rr >= rgg AND rr >= rb THEN 1
+                  WHEN rgg >= rb THEN 2 ELSE 3 END AS c
+      FROM rg2
+    ),
+    v2 AS (
+      SELECT p.event_id, p.b1, p.r, p.g, p.b,
+             CASE c.c WHEN 1 THEN p.r WHEN 2 THEN p.g ELSE p.b END AS v,
+             c.n
+      FROM p1 p JOIN ch2 c ON c.event_id = p.event_id AND c.b1 = p.b1
+    ),
+    m2 AS (
+      SELECT event_id, b1, v AS med FROM (
+        SELECT event_id, b1, v, n,
+               row_number() OVER (PARTITION BY event_id, b1
+                                  ORDER BY v) AS rn
+        FROM v2
+      ) WHERE rn = (n + 1) // 2
+    ),
+    p2 AS (
+      SELECT v2.event_id,
+             v2.b1 * 2 + CASE WHEN v2.v <= m2.med THEN 0 ELSE 1 END AS bucket,
+             r, g, b
+      FROM v2 JOIN m2 ON m2.event_id = v2.event_id AND m2.b1 = v2.b1
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(bucket AS INT) AS bucket, count(*) AS n_px,
+           CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM p2 GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register_extra("median_cut_palette", _MC_ORACLE)
+def median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut color quantization (2 levels -> 4 palette buckets)
+    through the real decode path — the classic GIF/PNG8 palette
+    builder: recursively split the pixel set on the widest channel at
+    its lower median. Every decision is pinned (channel ties r > g >
+    b; split at value <= lower-median, so duplicate values never
+    straddle buckets), and outputs are per-bucket counts + channel
+    SUMS (exact integers; the palette color is sum/count, left
+    unreduced per the no-rational discipline). Spark does the
+    recursion per image in numpy; the oracle replays both split
+    levels relationally with per-image rank windows — a completely
+    different construction of the same tree."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _mc(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                chans = [px[:, :, k].ravel() for k in range(3)]
+
+                def split(mask):
+                    rng = [
+                        int(c[mask].max() - c[mask].min()) for c in chans
+                    ]
+                    ci = int(np.argmax(rng))
+                    v = chans[ci][mask]
+                    med = int(np.sort(v)[(v.size + 1) // 2 - 1])
+                    s0 = mask.copy()
+                    s0[mask] = v <= med
+                    s1 = mask.copy()
+                    s1[mask] = v > med
+                    return s0, s1
+
+                full = np.ones_like(chans[0], bool)
+                h0, h1 = split(full)
+                for bi, half in ((0, h0), (1, h1)):
+                    if not half.any():
+                        continue
+                    s0, s1 = split(half)
+                    for bj, sub in ((0, s0), (1, s1)):
+                        if not sub.any():
+                            continue
+                        out.append(
+                            (
+                                row.image_id,
+                                bi * 2 + bj,
+                                int(sub.sum()),
+                                int(chans[0][sub].sum()),
+                                int(chans[1][sub].sum()),
+                                int(chans[2][sub].sum()),
+                            )
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "bucket", "n_px",
+                        "sum_r", "sum_g", "sum_b",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _mc,
+            "image_id string, bucket int, n_px long,"
+            " sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("image_id", "bucket")
+    )
