@@ -1195,3 +1195,189 @@ def median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id", "bucket")
     )
+
+
+# ------------------------------------------------------------ HOG octants
+
+
+@register_extra(
+    "hog_octant_hist",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range(1, {_OTSU_SZ - 1}) y, range(1, {_OTSU_SZ - 1}) x),
+    t AS (
+      SELECT e.event_id, x, y,
+             (((x+1)*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+1+y)*5 + e.event_id*53) % 256)
+           - (((x-1)*7 + e.event_id*13) % 256)
+           - ((y*11 + e.event_id*29) % 256)
+           - (((x-1+y)*5 + e.event_id*53) % 256) AS gx,
+             ((x*7 + e.event_id*13) % 256)
+           + (((y+1)*11 + e.event_id*29) % 256)
+           + (((x+y+1)*5 + e.event_id*53) % 256)
+           - ((x*7 + e.event_id*13) % 256)
+           - (((y-1)*11 + e.event_id*29) % 256)
+           - (((x+y-1)*5 + e.event_id*53) % 256) AS gy
+      FROM e CROSS JOIN yx
+    ),
+    o AS (
+      SELECT event_id, gx, gy,
+             CASE WHEN gx = 0 AND gy = 0 THEN 8 ELSE
+               (CASE WHEN gy < 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN (CASE WHEN gy < 0 THEN -gx ELSE gx END) <= 0
+                     THEN 2 ELSE 0 END)
+             + (CASE WHEN
+                  (CASE WHEN (CASE WHEN gy < 0 THEN -gx ELSE gx END) <= 0
+                        THEN -(CASE WHEN gy < 0 THEN -gx ELSE gx END)
+                        ELSE (CASE WHEN gy < 0 THEN -gy ELSE gy END) END)
+                  >
+                  (CASE WHEN (CASE WHEN gy < 0 THEN -gx ELSE gx END) <= 0
+                        THEN (CASE WHEN gy < 0 THEN -gy ELSE gy END)
+                        ELSE (CASE WHEN gy < 0 THEN -gx ELSE gx END) END)
+                THEN 1 ELSE 0 END)
+             END AS oct
+      FROM t
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           {", ".join(f"count(*) FILTER (WHERE oct = {k}) AS o{k}" for k in range(8))},
+           count(*) FILTER (WHERE oct = 8) AS n_zero,
+           CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS l1_energy
+    FROM o GROUP BY 1 ORDER BY 1
+    """,
+)
+def hog_octant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-orientation histogram (the HOG/edge-direction feature)
+    made EXACT-INTEGER: central-difference gradients of the gray sum
+    over interior pixels, classified into 8 orientation octants with
+    the rotation trick — negate into the upper half (+4), rotate into
+    the right quadrant (+2), compare |components| for the final bit
+    (+1) — pure comparisons, no atan2, boundary ties pinned (verified
+    against atan2 sectors off the 45-degree boundaries). Per image:
+    the 8 octant counts, zero-gradient count and L1 gradient energy.
+    Spark computes gradients vectorized per decoded image; the oracle
+    expands the same differences from the pixel closed form and
+    replays the nested-CASE rotation."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _hog(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                gx = t[1:-1, 2:] - t[1:-1, :-2]
+                gy = t[2:, 1:-1] - t[:-2, 1:-1]
+                gx, gy = gx.ravel(), gy.ravel()
+                zero = (gx == 0) & (gy == 0)
+                o4 = np.where(gy < 0, 4, 0)
+                g1x = np.where(gy < 0, -gx, gx)
+                g1y = np.where(gy < 0, -gy, gy)
+                o2 = np.where(g1x <= 0, 2, 0)
+                g2x = np.where(g1x <= 0, g1y, g1x)
+                g2y = np.where(g1x <= 0, -g1x, g1y)
+                oc = np.where(zero, 8, o4 + o2 + (g2y > g2x))
+                hist = np.bincount(oc, minlength=9)
+                out.append(
+                    (row.image_id, *[int(hist[k]) for k in range(9)],
+                     int((np.abs(gx) + np.abs(gy)).sum()))
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id"] + [f"o{k}" for k in range(8)]
+                    + ["n_zero", "l1_energy"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _hog,
+            "image_id string, "
+            + ", ".join(f"o{k} long" for k in range(8))
+            + ", n_zero long, l1_energy long",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ Bayer dither
+
+_BAYER = [
+    [0, 8, 2, 10],
+    [12, 4, 14, 6],
+    [3, 11, 1, 9],
+    [15, 7, 13, 5],
+]
+
+
+@register_extra(
+    "bayer_dither_stats",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    bay(my, mx, m) AS (VALUES {", ".join(
+        f"({i}, {j}, {v})" for i, row in enumerate(_BAYER)
+        for j, v in enumerate(row))}),
+    px AS (
+      SELECT e.event_id, x, y,
+             CASE WHEN 32 * (((x*7 + e.event_id*13) % 256)
+                           + ((y*11 + e.event_id*29) % 256)
+                           + (((x+y)*5 + e.event_id*53) % 256))
+                       >= (2 * bay.m + 1) * 766
+                  THEN 1 ELSE 0 END AS onb
+      FROM e CROSS JOIN yx
+      JOIN bay ON bay.my = y % 4 AND bay.mx = x % 4
+    ),
+    tr AS (
+      SELECT event_id, y, x, onb,
+             lag(onb) OVER (PARTITION BY event_id, y ORDER BY x) AS prev
+      FROM px
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(sum(onb) AS BIGINT) AS n_on,
+           count(*) FILTER (WHERE prev IS NOT NULL AND onb <> prev)
+             AS row_transitions
+    FROM tr GROUP BY 1 ORDER BY 1
+    """,
+)
+def bayer_dither_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (Bayer 4x4) dithering through the decode path — the
+    deterministic halftoning used by 1-bit displays and print
+    pipelines (error-diffusion dithers are sequential; the ordered
+    matrix is the data-parallel one). A pixel turns on iff
+    32*gray >= (2*M[y%4][x%4] + 1) * 766 — exact integer threshold,
+    shared matrix literals. Per image: on-pixel count and horizontal
+    on/off transitions (the pattern-frequency proxy print QA uses).
+    Spark dithers vectorized per image via a tiled matrix compare;
+    the oracle joins a 16-row VALUES matrix and counts transitions
+    with a per-row lag window."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+    bay = np.array(_BAYER, np.int64)
+
+    def _dither(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                h, w = t.shape
+                m = np.tile(bay, (h // 4, w // 4))
+                on = (32 * t >= (2 * m + 1) * 766).astype(np.int8)
+                trans = int((np.diff(on, axis=1) != 0).sum())
+                out.append((row.image_id, int(on.sum()), trans))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "n_on", "row_transitions"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _dither,
+            "image_id string, n_on long, row_transitions long",
+        )
+        .orderBy("image_id")
+    )
