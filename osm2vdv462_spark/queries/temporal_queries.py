@@ -951,3 +951,72 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rn").cast("long").alias("cp_rank"))
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "streaming_hopping_counts",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) // 900000000 AS hop,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT (hop - j.range) * 900 AS window_start_epoch, cents
+      FROM b CROSS JOIN range(4) j
+    )
+    SELECT CAST(window_start_epoch AS BIGINT) AS window_start_epoch,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding-window aggregation (1h window, 15min hop)
+    drained with Trigger.AvailableNow — gates the overlapping-window
+    STATE path of Structured Streaming (each event updates 4 window
+    states under the watermark), the streaming twin of the batch
+    hopping_window_counts row. Aggregates are exact integers (count +
+    floor-cents sum; streaming distinct is not incremental, so the
+    distinct-user column stays batch-only by design). The oracle is
+    the explicit hop-index fan-out — the same algebra the streaming
+    state must converge to once AvailableNow drains everything."""
+    import os
+    import tempfile
+
+    from ..streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="stream_hop_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(src, "part-0.parquet")
+    )
+    out = os.path.join(work, "out")
+    df = se.hopping_event_counts_stream(
+        spark,
+        src,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        df.writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start_epoch")
+    )

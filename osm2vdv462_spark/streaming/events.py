@@ -74,3 +74,33 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(300)
+
+
+def hopping_event_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window variant: every event lands in
+    window/slide overlapping windows — the F.window(slideDuration)
+    fan-out under streaming state. (window_start, n_events,
+    value_cents); exact integer cents so the batch twin hash-gates."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
