@@ -594,3 +594,122 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register_extra(
+    "graph_reciprocity_mixing",
+    """
+    WITH de AS (
+      SELECT DISTINCT user_id % 300 AS s,
+             ('0x' || substr(md5('rcp:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 300 AS d
+      FROM events
+    ),
+    e AS (SELECT s, d FROM de WHERE s <> d),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e
+      ) GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(count(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s))
+               AS BIGINT) AS n_mutual
+      FROM e
+    ),
+    mix AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(a.dg * b.dg) AS BIGINT) AS sxy,
+             CAST(sum(a.dg) AS BIGINT) AS sx,
+             CAST(sum(b.dg) AS BIGINT) AS sy
+      FROM e JOIN deg a ON a.node = e.s JOIN deg b ON b.node = e.d
+    )
+    SELECT m.n_edges, m.n_mutual,
+           CAST(m.n_mutual * 1000000 // m.n_edges AS BIGINT) AS recip_e6,
+           CAST(mix.ne * mix.sxy - mix.sx * mix.sy AS BIGINT)
+             AS deg_cov_scaled,
+           CAST(CASE WHEN mix.ne * mix.sxy - mix.sx * mix.sy > 0 THEN 1
+                     WHEN mix.ne * mix.sxy - mix.sx * mix.sy < 0 THEN -1
+                     ELSE 0 END AS INT) AS assortative_sign
+    FROM m CROSS JOIN mix
+    """,
+)
+def graph_reciprocity_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph health metrics: reciprocity (fraction of edges
+    whose reverse also exists, e-6 exact) and degree assortativity as
+    the EXACT scaled covariance numerator ne*sum(da*db) - sum(da)*
+    sum(db) over edges (sign = assortative/disassortative mixing —
+    the Pearson denominator needs square roots, so the hash gates the
+    scaled numerator, the decision-relevant part). Scale shape: the
+    mutual check is a self-equi-join on the reversed key (left-semi),
+    degrees come from one partial agg and join back as dims, and all
+    five outputs reduce in a single pass. Bounds: deg <= 300, edges
+    <= 9e4 -> covariance terms < 1e15, int64-safe."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    de = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(300)).alias("s"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rcp:"),
+                                F.col("event_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 300
+            ).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = de.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = de.join(rev, ["s", "d"], "left_semi")
+    m = de.groupBy().agg(F.count("*").alias("n_edges")).crossJoin(
+        mutual.groupBy().agg(F.count("*").alias("n_mutual"))
+    )
+    deg = (
+        de.select(F.col("s").alias("node"))
+        .unionAll(de.select("d"))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    mix = (
+        de.join(
+            deg.select(F.col("node").alias("s"), F.col("dg").alias("da")),
+            "s",
+        )
+        .join(
+            deg.select(F.col("node").alias("d"), F.col("dg").alias("db")),
+            "d",
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("ne"),
+            F.sum(F.col("da") * F.col("db")).alias("sxy"),
+            F.sum("da").alias("sx"),
+            F.sum("db").alias("sy"),
+        )
+    )
+    return m.crossJoin(mix).select(
+        "n_edges",
+        "n_mutual",
+        F.expr("n_mutual * 1000000 div n_edges").alias("recip_e6"),
+        (
+            F.col("ne") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).alias("deg_cov_scaled"),
+        F.when(F.col("ne") * F.col("sxy") - F.col("sx") * F.col("sy") > 0, 1)
+        .when(F.col("ne") * F.col("sxy") - F.col("sx") * F.col("sy") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("assortative_sign"),
+    )

@@ -1197,3 +1197,120 @@ def seq_bigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "n_users")
         .orderBy("a", "b")
     )
+
+
+@register_extra(
+    "poisson_bootstrap_ci",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    base AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS base_sum
+      FROM e GROUP BY 1
+    ),
+    rep AS (
+      SELECT e.event_type, b.range AS b,
+             CAST(sum(CASE
+               WHEN ('0x' || substr(md5('bs:' || b.range || ':'
+                     || e.event_id), 1, 7))::BIGINT % 100 < 37 THEN 0
+               WHEN ('0x' || substr(md5('bs:' || b.range || ':'
+                     || e.event_id), 1, 7))::BIGINT % 100 < 74
+                 THEN e.cents
+               ELSE 2 * e.cents END) AS BIGINT) AS s
+      FROM e CROSS JOIN range(32) b
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, b) AS rn
+      FROM rep
+    )
+    SELECT b.event_type, b.n_rows, b.base_sum,
+           CAST(max(CASE WHEN rk.rn = 2 THEN rk.s END) AS BIGINT)
+             AS boot_lo,
+           CAST(max(CASE WHEN rk.rn = 31 THEN rk.s END) AS BIGINT)
+             AS boot_hi
+    FROM base b JOIN rk USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence band for per-type revenue — THE
+    at-scale bootstrap: instead of resampling (impossible without a
+    global shuffle per replicate), every row draws a deterministic
+    md5-derived weight {0, 1, 2} (P = .37/.37/.26, the Poisson(1)
+    discretization) for each of 32 replicates, so ALL replicates
+    accumulate in ONE pass with map-side combine on the (type,
+    replicate) key — 32x fan-out in the expression, not the shuffle.
+    Reported band = 2nd/31st ranked replicate sums (~5th/95th pct),
+    exact integers (ties broken by replicate id identically in both
+    engines)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = e.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("base_sum")
+    )
+    rep = (
+        e.select(
+            "event_type",
+            "cents",
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bs:"),
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("event_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+            ).alias("h"),
+            "cents",
+        )
+        .select(
+            "event_type",
+            "b",
+            F.when(F.col("h") < 37, 0)
+            .when(F.col("h") < 74, F.col("cents"))
+            .otherwise(2 * F.col("cents"))
+            .alias("wc"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("wc").alias("s"))
+    )
+    rw = Window.partitionBy("event_type").orderBy("s", "b")
+    rk = rep.select("event_type", "s", F.row_number().over(rw).alias("rn"))
+    return (
+        base.join(rk, "event_type")
+        .groupBy("event_type", "n_rows", "base_sum")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("s"))).alias("boot_lo"),
+            F.max(F.when(F.col("rn") == 31, F.col("s"))).alias("boot_hi"),
+        )
+        .orderBy("event_type")
+    )
