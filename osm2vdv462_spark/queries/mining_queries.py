@@ -1314,3 +1314,151 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "kendall_tau_rankings",
+    """
+    WITH d AS (
+      SELECT doc_id, length(text) AS v1,
+             length(text) - length(replace(text, ' ', '')) AS v2
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY v1, doc_id) AS rx,
+             row_number() OVER (ORDER BY v2, doc_id) AS ry,
+             v1, v2
+      FROM d
+    ),
+    p AS (
+      SELECT (a.v1 - b.v1) AS dx, (a.v2 - b.v2) AS dy
+      FROM d a JOIN d b ON b.doc_id > a.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE dx * dy > 0) AS BIGINT)
+             AS n_concordant,
+           CAST(count(*) FILTER (WHERE dx * dy < 0) AS BIGINT)
+             AS n_discordant,
+           CAST(count(*) FILTER (WHERE dx = 0 OR dy = 0) AS BIGINT)
+             AS n_tied,
+           CAST(count(*) FILTER (WHERE dx * dy > 0)
+                - count(*) FILTER (WHERE dx * dy < 0) AS BIGINT)
+             AS tau_numerator
+    FROM p
+    """,
+)
+def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank concordance between two document orderings (length
+    vs space count) — the nonparametric rank-agreement statistic used
+    to compare ranking functions (retrieval models, quality scores):
+    concordant / discordant / tied pair counts and the exact tau
+    numerator, all integers (the sqrt-normalized tau itself needs
+    irrational denominators — the hash gates the decision-relevant
+    numerator, same policy as assortativity). Spark evaluates sign
+    products on the sampled pair join; the docstring records the at-
+    scale alternative (inversion counting via distributed merge sort,
+    O(n log n)) — the quadratic form here IS the definition, kept
+    verifiable on the 1-in-5 sample."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("v1"),
+        (
+            F.length("text") - F.length(F.translate(F.col("text"), " ", ""))
+        ).cast("long").alias("v2"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("ida"),
+        F.col("v1").alias("xa"),
+        F.col("v2").alias("ya"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("idb"),
+        F.col("v1").alias("xb"),
+        F.col("v2").alias("yb"),
+    )
+    p = a.crossJoin(b).filter(F.col("idb") > F.col("ida")).select(
+        ((F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))).alias(
+            "s"
+        ),
+        (F.col("xa") - F.col("xb")).alias("dx"),
+        (F.col("ya") - F.col("yb")).alias("dy"),
+    )
+    return p.groupBy().agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("s") > 0, 1)).alias("n_concordant"),
+        F.count(F.when(F.col("s") < 0, 1)).alias("n_discordant"),
+        F.count(
+            F.when((F.col("dx") == 0) | (F.col("dy") == 0), 1)
+        ).alias("n_tied"),
+        (
+            F.count(F.when(F.col("s") > 0, 1))
+            - F.count(F.when(F.col("s") < 0, 1))
+        ).alias("tau_numerator"),
+    )
+
+
+def _method_agreement_oracle() -> str:
+    from .media_queries import _minhash_oracle, _simhash64_oracle
+
+    return f"""
+    WITH mh AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    sh AS (SELECT id_a, id_b FROM ({_simhash64_oracle()})),
+    i AS (SELECT id_a, id_b FROM mh INTERSECT SELECT id_a, id_b FROM sh)
+    SELECT (SELECT count(*) FROM mh) AS n_minhash,
+           (SELECT count(*) FROM sh) AS n_simhash,
+           (SELECT count(*) FROM i) AS n_both,
+           CAST((SELECT count(*) FROM i) * 10000
+                // ((SELECT count(*) FROM mh) + (SELECT count(*) FROM sh)
+                    - (SELECT count(*) FROM i)) AS BIGINT)
+             AS agreement_jaccard_e4
+    """
+
+
+@register_extra("dedup_method_agreement", _method_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two near-dup candidate
+    generators (MinHash-LSH Jaccard >= 0.7 vs 64-bit SimHash Hamming
+    <= 4) on the SAME injected-duplicate corpus: pair-set sizes,
+    intersection, and the e-4 Jaccard of the pair SETS — the
+    measurement a dedup pipeline owner runs before swapping methods
+    (disagreement = documents one family would delete and the other
+    keep). Reuses the two gated operators end-to-end; the oracle
+    nests both full pipeline replications as subqueries and
+    INTERSECTs. Scale shape: both generators are banded (no
+    all-pairs); the comparison itself is a pair-key join over the two
+    small candidate sets."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.unionByName(dups).localCheckpoint(eager=True)
+    mh = dedup.minhash_lsh_pairs(corpus, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    sh = dedup.simhash_near_pairs(corpus, max_hamming=4).select(
+        "id_a", "id_b"
+    )
+    both = mh.join(sh, ["id_a", "id_b"], "left_semi")
+    return (
+        mh.groupBy()
+        .agg(F.count("*").alias("n_minhash"))
+        .crossJoin(sh.groupBy().agg(F.count("*").alias("n_simhash")))
+        .crossJoin(both.groupBy().agg(F.count("*").alias("n_both")))
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.expr(
+                "n_both * 10000 div (n_minhash + n_simhash - n_both)"
+            ).alias("agreement_jaccard_e4"),
+        )
+    )
