@@ -918,3 +918,70 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_rate_e4"),
         )
     )
+
+
+@register_extra(
+    "weighted_median_cents",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM v
+    ),
+    m AS (
+      SELECT flag, min(cents) AS wmedian_cents
+      FROM c WHERE cw >= (tw + 1) // 2 GROUP BY 1
+    )
+    SELECT m.flag, m.wmedian_cents,
+           (SELECT CAST(sum(w) AS BIGINT) FROM v WHERE v.flag = m.flag)
+             AS total_weight
+    FROM m ORDER BY m.flag
+    """,
+)
+def weighted_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower median of extended price per return
+    flag — the weighted-quantile member of the percentile family
+    (plain exact quartiles are already gated): the first price whose
+    cumulative quantity reaches ceil(W/2). Exact integers end-to-end
+    (floor-cents; weighted rank via a running-sum window ordered
+    (cents, w) — the tie order does not move the crossing VALUE, only
+    which duplicate row crosses, so the min() is hash-stable). One
+    window shuffle on the group key; at true scale the same crossing
+    point comes from the bucket-count + offsets decomposition the SNM
+    rank machinery demonstrates."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    cw = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tww = Window.partitionBy("flag")
+    c = v.select(
+        "flag",
+        "cents",
+        F.sum("w").over(cw).alias("cw"),
+        F.sum("w").over(tww).alias("tw"),
+    )
+    m = (
+        c.filter(F.col("cw") >= F.expr("(tw + 1) div 2"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("wmedian_cents"))
+    )
+    tot = v.groupBy("flag").agg(F.sum("w").alias("total_weight"))
+    return m.join(tot, "flag").orderBy("flag")

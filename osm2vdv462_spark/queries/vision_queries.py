@@ -1381,3 +1381,89 @@ def bayer_dither_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ gray world
+
+
+@register_extra(
+    "gray_world_gains",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id,
+             (x*7 + e.event_id*13) % 256 AS r,
+             (y*11 + e.event_id*29) % 256 AS g,
+             ((x+y)*5 + e.event_id*53) % 256 AS b
+      FROM e CROSS JOIN yx
+    ),
+    s AS (
+      SELECT event_id, CAST(sum(r) AS BIGINT) AS sr,
+             CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb
+      FROM px GROUP BY 1
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST((sr + sg + sb) * 1000000 // (3 * sr) AS BIGINT)
+             AS gain_r_e6,
+           CAST((sr + sg + sb) * 1000000 // (3 * sg) AS BIGINT)
+             AS gain_g_e6,
+           CAST((sr + sg + sb) * 1000000 // (3 * sb) AS BIGINT)
+             AS gain_b_e6,
+           CASE WHEN sr >= sg AND sr >= sb THEN 'r'
+                WHEN sg >= sb THEN 'g' ELSE 'b' END AS dominant
+    FROM s ORDER BY image_id
+    """,
+)
+def gray_world_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-world white-balance gains through the decode path — the
+    auto-white-balance estimate every camera pipeline computes: per
+    channel, gain = mean_gray / mean_channel, here as the EXACT e-6
+    floor-quantized integer (sr+sg+sb)*1e6 // (3*s_ch) (channel sums
+    are never zero on this corpus; a production guard would clamp).
+    The dominant-cast class (ties r > g > b) gives a hash-exact
+    categorical output too. Pure map-side: one sum-triple per image."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _gw(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                sr = int(px[:, :, 0].sum())
+                sg = int(px[:, :, 1].sum())
+                sb = int(px[:, :, 2].sum())
+                t = sr + sg + sb
+                dom = (
+                    "r"
+                    if sr >= sg and sr >= sb
+                    else ("g" if sg >= sb else "b")
+                )
+                out.append(
+                    (
+                        row.image_id,
+                        t * 1000000 // (3 * sr),
+                        t * 1000000 // (3 * sg),
+                        t * 1000000 // (3 * sb),
+                        dom,
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "gain_r_e6", "gain_g_e6",
+                        "gain_b_e6", "dominant",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _gw,
+            "image_id string, gain_r_e6 long, gain_g_e6 long,"
+            " gain_b_e6 long, dominant string",
+        )
+        .orderBy("image_id")
+    )
