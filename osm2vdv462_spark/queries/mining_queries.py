@@ -1462,3 +1462,80 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement_jaccard_e4"),
         )
     )
+
+
+@register_extra(
+    "association_rules_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey % 200 AS item
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM b),
+    s1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+    pr AS (
+      SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS sab
+      FROM b a JOIN b c ON c.ok = a.ok AND c.item <> a.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT pr.ia AS antecedent, pr.ib AS consequent, pr.sab AS support,
+           CAST(pr.sab * 10000 // sa.s AS BIGINT) AS confidence_e4,
+           CAST(pr.sab * n.nb * 1000000 // (sa.s * sb.s) AS BIGINT)
+             AS lift_e6
+    FROM pr
+    JOIN s1 sa ON sa.item = pr.ia
+    JOIN s1 sb ON sb.item = pr.ib
+    CROSS JOIN n
+    ORDER BY 1, 2
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES (the step after frequent itemsets): for every
+    ordered item pair co-occurring in >= 3 orders, the directional
+    confidence (e-4: support(a,b)/support(a)) and the lift (e-6:
+    support(a,b)*N / (support(a)*support(b))) — both exact floor-
+    quantized integers, so rule ranking is hash-stable. Baskets are
+    orders over the 200-bucket part vocabulary. Scale shape: the pair
+    join is keyed by the basket id and bounded by basket size (TPC-H
+    orders hold <= 7 lines), the single-item supports broadcast back
+    as a dim, and the minsup filter runs inside the pair aggregation —
+    the classic two-pass A-Priori dataflow with rule scoring fused."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % 200).alias("item"),
+    ).distinct()
+    n = b.agg(F.countDistinct("ok").alias("nb"))
+    s1 = b.groupBy("item").agg(F.count("*").alias("s"))
+    a = b.select("ok", F.col("item").alias("ia"))
+    c = b.select("ok", F.col("item").alias("ib"))
+    pr = (
+        a.join(c, "ok")
+        .filter(F.col("ib") != F.col("ia"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("sab"))
+        .filter(F.col("sab") >= 3)
+    )
+    return (
+        pr.join(
+            F.broadcast(
+                s1.select(F.col("item").alias("ia"), F.col("s").alias("sa"))
+            ),
+            "ia",
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("item").alias("ib"), F.col("s").alias("sb"))
+            ),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("ia").alias("antecedent"),
+            F.col("ib").alias("consequent"),
+            F.col("sab").alias("support"),
+            F.expr("sab * 10000 div sa").alias("confidence_e4"),
+            F.expr("sab * nb * 1000000 div (sa * sb)").alias("lift_e6"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

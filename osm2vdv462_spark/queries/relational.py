@@ -985,3 +985,84 @@ def weighted_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = v.groupBy("flag").agg(F.sum("w").alias("total_weight"))
     return m.join(tot, "flag").orderBy("flag")
+
+
+@register_extra(
+    "abc_pareto_classes",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT part, cents,
+             sum(cents) OVER (ORDER BY cents DESC, part
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS total
+      FROM rev
+    ),
+    cls AS (
+      SELECT part, cents,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM r
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(cents) * 10000 // max(t.total) AS BIGINT) AS share_e4
+    FROM cls CROSS JOIN (SELECT sum(cents) AS total FROM rev) t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) inventory classification — the operations
+    classic: parts ranked by revenue, class A while the running share
+    stays within 80%, B to 95%, C after, decided by the EXACT integer
+    cross-multiplication cum*100 <= total*80 (no percentage floats).
+    Ranking ties pin on the part key. Scale shape: the fact table
+    collapses to per-part revenue first (partial agg); the running-
+    share window then runs over the PART DIM — with the usual in-code
+    note that a 1e9-part dim swaps the global window for the bucketed
+    global-rank decomposition."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    cw = (
+        Window.orderBy(F.col("cents").desc(), "part")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = rev.select(
+        "part",
+        "cents",
+        F.sum("cents").over(cw).alias("cum"),
+        F.sum("cents").over(tw).alias("total"),
+    )
+    cls = r.select(
+        "cents",
+        "total",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            F.expr("sum(cents) * 10000 div max(total)").alias("share_e4"),
+        )
+        .orderBy("abc")
+    )
