@@ -1066,3 +1066,70 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@register_extra(
+    "ship_lead_time_stats",
+    """
+    WITH lt AS (
+      SELECT l_suppkey % 25 AS supp_bucket,
+             CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT supp_bucket, lead_days,
+             row_number() OVER (PARTITION BY supp_bucket
+                                ORDER BY lead_days) AS rn,
+             count(*) OVER (PARTITION BY supp_bucket) AS n
+      FROM lt
+    )
+    SELECT supp_bucket, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(lead_days) AS BIGINT) AS min_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lead_days END)
+                AS BIGINT) AS median_days
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def ship_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier bucket — the supply-chain
+    SLA rollup, and the one query in the new analytics set that joins
+    the TWO FACT TABLES (lineitem x orders on the order key — at scale
+    the join both sides are bucketed by, so it plans shuffle-free on a
+    bucketed layout; operators/bucketing.py demonstrates the zero-
+    Exchange plan). Exact integer day deltas; the lower median comes
+    from the rank window per bucket (25 buckets)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lt = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        (F.col("l_suppkey") % 25).alias("supp_bucket"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead_days"),
+    )
+    rw = Window.partitionBy("supp_bucket").orderBy("lead_days")
+    cw = Window.partitionBy("supp_bucket")
+    r = lt.select(
+        "supp_bucket",
+        "lead_days",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    return (
+        r.groupBy("supp_bucket")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min("lead_days").alias("min_days"),
+            F.max("lead_days").alias("max_days"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lead_days"))
+            ).alias("median_days"),
+        )
+        .orderBy("supp_bucket")
+    )

@@ -1467,3 +1467,91 @@ def gray_world_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ BTC blocks
+
+
+@register_extra(
+    "btc_block_stats",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y, x // 4 AS bx, y // 4 AS by,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    bs AS (
+      SELECT event_id, bx, by, CAST(sum(t) AS BIGINT) AS blocksum
+      FROM px GROUP BY 1, 2, 3
+    ),
+    blk AS (
+      SELECT p.event_id, p.bx, p.by, b.blocksum,
+             CAST(count(*) FILTER (WHERE 16 * p.t >= b.blocksum)
+                  AS BIGINT) AS nh,
+             CAST(sum(p.t) FILTER (WHERE 16 * p.t >= b.blocksum)
+                  AS BIGINT) AS sum_hi
+      FROM px p JOIN bs b
+        ON b.event_id = p.event_id AND b.bx = p.bx AND b.by = p.by
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           count(*) FILTER (WHERE nh = 16) AS n_flat,
+           CAST(sum(nh) AS BIGINT) AS sum_nh,
+           CAST(sum(16 * sum_hi - nh * blocksum) AS BIGINT)
+             AS spread_num
+    FROM blk GROUP BY 1 ORDER BY 1
+    """,
+)
+def btc_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block truncation coding (BTC) statistics per decoded image —
+    the classic 4x4-block 1-bit compression: a pixel codes high iff
+    16*t >= blocksum (i.e. >= the block mean, EXACTLY, no division),
+    flat blocks are those where every pixel ties the mean (all-equal
+    blocks), and spread_num = sum over blocks of 16*sum_hi -
+    nh*blocksum — 16 x the total high-side deviation mass, the
+    integer form of BTC's reconstruction contrast. Completes the
+    compression-structure probe set (RLE runs, quadtree, Haar energy,
+    LZ matches, dither transitions). Spark: one reshape pass per
+    image; oracle: block sums joined back to pixels."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _btc(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                n = t.shape[0] // 4
+                blk = t.reshape(n, 4, n, 4)
+                bsum = blk.sum(axis=(1, 3))
+                hi = 16 * blk >= bsum[:, None, :, None]
+                nh = hi.sum(axis=(1, 3))
+                sum_hi = (blk * hi).sum(axis=(1, 3))
+                spread = (16 * sum_hi - nh * bsum).sum()
+                out.append(
+                    (
+                        row.image_id,
+                        int((nh == 16).sum()),
+                        int(nh.sum()),
+                        int(spread),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "n_flat", "sum_nh", "spread_num"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _btc,
+            "image_id string, n_flat long, sum_nh long, spread_num long",
+        )
+        .orderBy("image_id")
+    )
