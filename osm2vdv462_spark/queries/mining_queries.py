@@ -1539,3 +1539,60 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@register_extra(
+    "pseudonym_collision_audit",
+    """
+    WITH k AS (SELECT DISTINCT c_custkey AS key FROM customer),
+    w AS (SELECT unnest([3, 4, 5, 6]) AS width),
+    tok AS (
+      SELECT w.width, k.key,
+             substr(md5('pseud:' || k.key), 1, w.width) AS token
+      FROM k CROSS JOIN w
+    ),
+    tc AS (
+      SELECT width, token, count(*) AS nk
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT CAST(width AS INT) AS width,
+           CAST(sum(nk) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sum(nk) FILTER (WHERE nk > 1), 0) AS BIGINT)
+             AS n_keys_colliding
+    FROM tc GROUP BY 1 ORDER BY 1
+    """,
+)
+def pseudonym_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization token-width audit — the privacy-engineering
+    sizing question: how many hex characters of a keyed hash does a
+    pseudonym need before collisions (two people sharing a token —
+    both a correctness bug and a k-anonymity leak in reverse) stop?
+    Measures the birthday bound EMPIRICALLY per width 3..6: distinct
+    keys, distinct tokens, and keys whose token is shared. Scale
+    shape: one (width x token) partial agg over the key dim crossed
+    with the 4-row width dim; everything integer and md5-derived, so
+    the collision counts are hash-gated facts, not estimates."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = cust.select(F.col("c_custkey").alias("key")).distinct()
+    w = spark.createDataFrame([(3,), (4,), (5,), (6,)], "width int")
+    tok = k.crossJoin(F.broadcast(w)).select(
+        "width",
+        "key",
+        F.expr(
+            "substring(md5(CAST('pseud:' || CAST(key AS STRING) AS BINARY)),"
+            " 1, width)"
+        ).alias("token"),
+    )
+    tc = tok.groupBy("width", "token").agg(F.count("*").alias("nk"))
+    return (
+        tc.groupBy("width")
+        .agg(
+            F.sum("nk").alias("n_keys"),
+            F.count("*").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("nk") > 1, F.col("nk"))), F.lit(0)
+            ).alias("n_keys_colliding"),
+        )
+        .orderBy("width")
+    )

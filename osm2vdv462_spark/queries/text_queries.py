@@ -3063,3 +3063,139 @@ def lz_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_extra(
+    "matryoshka_recall",
+    """
+    WITH comp AS (
+      SELECT vec_id, r.i,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS c
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    q AS (SELECT DISTINCT vec_id AS q_id FROM comp WHERE vec_id % 50 = 0),
+    d AS (
+      SELECT a.vec_id AS q_id, b.vec_id,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dfull,
+             CAST(sum(CASE WHEN a.i <= 16 THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS dtrunc
+      FROM comp a JOIN comp b ON b.i = a.i AND b.vec_id <> a.vec_id
+      JOIN q ON q.q_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    rf AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dfull DESC, vec_id) AS rn
+      FROM d
+    ),
+    rt AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dtrunc DESC, vec_id) AS rn
+      FROM d
+    ),
+    t1 AS (
+      SELECT f.q_id,
+             CASE WHEN f.vec_id = t.vec_id THEN 1 ELSE 0 END AS keep
+      FROM rf f JOIN rt t ON t.q_id = f.q_id AND t.rn = 1
+      WHERE f.rn = 1
+    ),
+    o3 AS (
+      SELECT f.q_id, count(*) AS ov
+      FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 3) f
+      JOIN (SELECT q_id, vec_id FROM rt WHERE rn <= 3) t
+        ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+           CAST(sum(t1.keep) AS BIGINT) AS top1_preserved,
+           CAST((SELECT sum(ov) FROM o3) AS BIGINT) AS top3_overlap,
+           CAST(sum(t1.keep) * 10000 // (SELECT count(*) FROM q)
+                AS BIGINT) AS recall1_e4
+    FROM t1
+    """,
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval quality: does maximum-inner-
+    product top-1/top-3 survive truncating the 64-dim embedding to its
+    FIRST 16 dims (the MRL deployment question — serve short prefixes,
+    keep full vectors offline)? Components floor-quantize to e-3
+    integers BEFORE any arithmetic, so both dot products and both
+    rankings are hash-exact (ties -> lowest vec id). Spark computes
+    full and truncated dots in ONE zip_with pass (the truncated sum
+    reuses the first 16 products via slice), broadcast queries,
+    rank windows per query; the oracle re-derives everything from an
+    exploded component table."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " c -> CAST(floor(CAST(c AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    prods = F.zip_with("qv", "qq", lambda a, b: a * b)
+    d = j.select(
+        "q_id",
+        "vec_id",
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "dfull"
+        ),
+        F.aggregate(
+            F.slice(prods, 1, 16), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("dtrunc"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("dfull").desc(), "vec_id")
+    wt = Window.partitionBy("q_id").orderBy(F.col("dtrunc").desc(), "vec_id")
+    r = d.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    t1 = (
+        r.filter(F.col("rf") == 1)
+        .select("q_id", F.col("vec_id").alias("vf"))
+        .join(
+            r.filter(F.col("rt") == 1).select(
+                "q_id", F.col("vec_id").alias("vt")
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            F.when(F.col("vf") == F.col("vt"), 1).otherwise(0).alias("keep"),
+        )
+    )
+    o3 = (
+        r.filter(F.col("rf") <= 3)
+        .select("q_id", "vec_id")
+        .join(
+            r.filter(F.col("rt") <= 3).select("q_id", "vec_id"),
+            ["q_id", "vec_id"],
+        )
+        .groupBy()
+        .agg(F.count("*").alias("top3_overlap"))
+    )
+    nq = q.groupBy().agg(F.count("*").alias("n_queries"))
+    return (
+        t1.groupBy()
+        .agg(F.sum("keep").alias("top1_preserved"))
+        .crossJoin(o3)
+        .crossJoin(nq)
+        .select(
+            "n_queries",
+            "top1_preserved",
+            "top3_overlap",
+            F.expr("top1_preserved * 10000 div n_queries").alias(
+                "recall1_e4"
+            ),
+        )
+    )
