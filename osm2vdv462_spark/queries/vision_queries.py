@@ -1555,3 +1555,107 @@ def btc_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ edge NMS
+
+_NMS_T = 100000  # keep strong edges: gx^2 + gy^2 > T
+
+
+@register_extra(
+    "edge_nms_thinning",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range(1, {_OTSU_SZ - 1}) y, range(1, {_OTSU_SZ - 1}) x),
+    g AS (
+      SELECT e.event_id, x, y,
+             (((x+1)*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+1+y)*5 + e.event_id*53) % 256)
+           - (((x-1)*7 + e.event_id*13) % 256)
+           - ((y*11 + e.event_id*29) % 256)
+           - (((x-1+y)*5 + e.event_id*53) % 256) AS gx,
+             ((x*7 + e.event_id*13) % 256)
+           + (((y+1)*11 + e.event_id*29) % 256)
+           + (((x+y+1)*5 + e.event_id*53) % 256)
+           - ((x*7 + e.event_id*13) % 256)
+           - (((y-1)*11 + e.event_id*29) % 256)
+           - (((x+y-1)*5 + e.event_id*53) % 256) AS gy
+      FROM e CROSS JOIN yx
+    ),
+    m AS (
+      SELECT event_id, x, y, gx*gx + gy*gy AS m2,
+             abs(gx) >= abs(gy) AS horiz
+      FROM g
+    ),
+    keep AS (
+      SELECT p.event_id, p.x, p.y
+      FROM m p
+      LEFT JOIN m a ON a.event_id = p.event_id
+        AND ((p.horiz AND a.y = p.y AND a.x = p.x - 1)
+          OR (NOT p.horiz AND a.x = p.x AND a.y = p.y - 1))
+      LEFT JOIN m b ON b.event_id = p.event_id
+        AND ((p.horiz AND b.y = p.y AND b.x = p.x + 1)
+          OR (NOT p.horiz AND b.x = p.x AND b.y = p.y + 1))
+      WHERE p.m2 > {_NMS_T}
+        AND p.m2 > COALESCE(a.m2, -1) AND p.m2 > COALESCE(b.m2, -1)
+    )
+    SELECT 'img_' || lpad(CAST(m.event_id AS VARCHAR), 9, '0') AS image_id,
+           count(*) FILTER (WHERE m.m2 > {_NMS_T}) AS n_strong,
+           CAST((SELECT count(*) FROM keep k
+                 WHERE k.event_id = m.event_id) AS BIGINT) AS n_after_nms
+    FROM m GROUP BY m.event_id ORDER BY image_id
+    """,
+)
+def edge_nms_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-aligned non-maximum suppression (the Canny thinning
+    stage) in exact integers: strong edge pixels (gx^2 + gy^2 >
+    100000) survive only if STRICTLY larger than both neighbors along
+    the dominant gradient axis (|gx| >= |gy| -> horizontal, ties
+    suppress — deterministic; missing neighbors at the interior
+    boundary compare against -1, i.e. never suppress). Per image:
+    strong-edge count before and after thinning — the edge-density
+    pair a sharpness/quality curator uses. Spark: vectorized shifted
+    compares per image; oracle: neighbor LEFT JOINs over the gradient
+    closed form — join-based vs shift-based derivations."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _nms(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                gx = t[1:-1, 2:] - t[1:-1, :-2]
+                gy = t[2:, 1:-1] - t[:-2, 1:-1]
+                m2 = gx * gx + gy * gy
+                horiz = np.abs(gx) >= np.abs(gy)
+                pad = np.full(
+                    (m2.shape[0] + 2, m2.shape[1] + 2), -1, np.int64
+                )
+                pad[1:-1, 1:-1] = m2
+                left = pad[1:-1, :-2]
+                right = pad[1:-1, 2:]
+                up = pad[:-2, 1:-1]
+                down = pad[2:, 1:-1]
+                na = np.where(horiz, left, up)
+                nb = np.where(horiz, right, down)
+                strong = m2 > _NMS_T
+                keep = strong & (m2 > na) & (m2 > nb)
+                out.append(
+                    (row.image_id, int(strong.sum()), int(keep.sum()))
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "n_strong", "n_after_nms"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _nms,
+            "image_id string, n_strong long, n_after_nms long",
+        )
+        .orderBy("image_id")
+    )
