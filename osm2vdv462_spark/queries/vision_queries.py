@@ -1659,3 +1659,218 @@ def edge_nms_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ LBP
+
+# 8-neighborhood in fixed bit order (E, SE, S, SW, W, NW, N, NE) —
+# the oracle's VALUES table lists the same (dx, dy, bit) triples.
+_LBP_OFF = [
+    (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+    (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128),
+]
+# circular bit-transition count per 8-bit code: popcount(c XOR rol(c,1))
+_LBP_TRANS = np.array(
+    [bin((c ^ ((c << 1 | c >> 7) & 255)) & 255).count("1") for c in range(256)],
+    dtype=np.int64,
+)
+
+
+@register_extra(
+    "lbp_texture_stats",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    off(dx, dy, bit) AS (VALUES
+      (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+      (-1,0,16),(-1,-1,32),(0,-1,64),(1,-1,128)),
+    code AS (
+      SELECT c.event_id, c.x, c.y,
+             CAST(sum(CASE WHEN n.t >= c.t THEN o.bit ELSE 0 END) AS BIGINT)
+               AS code
+      FROM px c
+      CROSS JOIN off o
+      JOIN px n ON n.event_id = c.event_id
+               AND n.x = c.x + o.dx AND n.y = c.y + o.dy
+      WHERE c.x BETWEEN 1 AND {_OTSU_SZ - 2}
+        AND c.y BETWEEN 1 AND {_OTSU_SZ - 2}
+      GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT event_id, code,
+               abs((code // 1) % 2 - (code // 2) % 2)
+             + abs((code // 2) % 2 - (code // 4) % 2)
+             + abs((code // 4) % 2 - (code // 8) % 2)
+             + abs((code // 8) % 2 - (code // 16) % 2)
+             + abs((code // 16) % 2 - (code // 32) % 2)
+             + abs((code // 32) % 2 - (code // 64) % 2)
+             + abs((code // 64) % 2 - (code // 128) % 2)
+             + abs((code // 128) % 2 - (code // 1) % 2) AS transitions
+      FROM code
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           count(*) FILTER (WHERE transitions <= 2) AS n_uniform,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           CAST(sum(code) AS BIGINT) AS code_sum
+    FROM tr GROUP BY 1 ORDER BY image_id
+    """,
+)
+def lbp_texture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Binary Pattern texture descriptor per image through the
+    REAL decode path: each interior pixel gets the 8-bit code whose
+    bit i is set iff neighbor i's channel-sum gray >= center (fixed
+    E,SE,..,NE bit order). Reports the classic texture summary —
+    uniform-pattern count (<= 2 circular bit transitions, the
+    Ojala-style uniform set that covers ~90% of natural texture),
+    distinct-code count, and the exact integer code sum. Spark:
+    vectorized shifted compares + a 256-entry transition LUT; oracle:
+    an (dx,dy,bit) VALUES-table join with the transition count spelled
+    out as the 8-term circular |bit_i - bit_{i+1}| sum — LUT-free
+    independent derivation, everything exact integers."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _lbp(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                h, w = t.shape
+                c = t[1:-1, 1:-1]
+                code = np.zeros_like(c)
+                for dx, dy, bit in _LBP_OFF:
+                    n = t[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+                    code += bit * (n >= c)
+                tr = _LBP_TRANS[code]
+                out.append(
+                    (
+                        row.image_id,
+                        int((tr <= 2).sum()),
+                        int(np.unique(code).size),
+                        int(code.sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "n_uniform", "n_codes", "code_sum"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _lbp,
+            "image_id string, n_uniform long, n_codes long, code_sum long",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ Harris
+
+
+@register_extra(
+    "harris_corner_stats",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    g AS (
+      SELECT c.event_id, c.x, c.y, ee.t - ww.t AS gx, ss.t - nn.t AS gy
+      FROM px c
+      JOIN px ee ON ee.event_id = c.event_id AND ee.x = c.x + 1 AND ee.y = c.y
+      JOIN px ww ON ww.event_id = c.event_id AND ww.x = c.x - 1 AND ww.y = c.y
+      JOIN px ss ON ss.event_id = c.event_id AND ss.x = c.x AND ss.y = c.y + 1
+      JOIN px nn ON nn.event_id = c.event_id AND nn.x = c.x AND nn.y = c.y - 1
+      WHERE c.x BETWEEN 1 AND {_OTSU_SZ - 2}
+        AND c.y BETWEEN 1 AND {_OTSU_SZ - 2}
+    ),
+    w3 AS (
+      SELECT c.event_id, c.x, c.y,
+             sum(n.gx * n.gx) AS sxx, sum(n.gy * n.gy) AS syy,
+             sum(n.gx * n.gy) AS sxy
+      FROM g c JOIN g n ON n.event_id = c.event_id
+        AND n.x BETWEEN c.x - 1 AND c.x + 1
+        AND n.y BETWEEN c.y - 1 AND c.y + 1
+      WHERE c.x BETWEEN 2 AND {_OTSU_SZ - 3}
+        AND c.y BETWEEN 2 AND {_OTSU_SZ - 3}
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT event_id,
+             20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r
+      FROM w3
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           count(*) FILTER (WHERE r > 0) AS n_corner,
+           CAST(max(r) AS BIGINT) AS max_r,
+           CAST(sum(r) AS BIGINT) AS sum_r
+    FROM r GROUP BY 1 ORDER BY image_id
+    """,
+)
+def harris_corner_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harris corner response in exact integers: central-difference
+    gradients of channel-sum gray, structure tensor summed over a 3x3
+    box window, response R = 20*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 (the
+    classic k = 0.05 scaled to integers by 20). Per image: count of
+    corner-like pixels (R > 0), max response, exact sum. Bounds:
+    |grad| <= 765 so Sxx <= 9*765^2 ~ 5.3e6, |R| <= 5.6e14 and the
+    784-pixel sum <= 4.4e17 — int64-safe. Spark: 9-slice vectorized
+    box sums after decode; oracle: 4-way neighbor join for gradients
+    then a BETWEEN self-join window sum — convolution-free independent
+    derivation."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _harris(batches):
+        def box3(a):
+            return (
+                a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+            )
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                gx = t[1:-1, 2:] - t[1:-1, :-2]
+                gy = t[2:, 1:-1] - t[:-2, 1:-1]
+                sxx, syy, sxy = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+                r = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                out.append(
+                    (
+                        row.image_id,
+                        int((r > 0).sum()),
+                        int(r.max()),
+                        int(r.sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "n_corner", "max_r", "sum_r"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _harris,
+            "image_id string, n_corner long, max_r long, sum_r long",
+        )
+        .orderBy("image_id")
+    )
