@@ -1596,3 +1596,85 @@ def pseudonym_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# ------------------------------------------------ priority sampling
+
+_PS_K = 5  # sample size per stratum
+
+
+@register_extra(
+    "priority_sample_topk",
+    f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+             ('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)),
+                             1, 8))::BIGINT AS h32
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey, o_orderpriority, w_cents,
+             (w_cents * 4294967296) // (h32 + 1) AS q
+      FROM w
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY q DESC, o_orderkey) AS rk
+      FROM q
+    )
+    SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey, w_cents, q
+    FROM r WHERE rk <= {_PS_K}
+    ORDER BY o_orderpriority, rk
+    """,
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Duffield-Lund-Thorup priority sampling): each order draws priority
+    q = floor(w * 2^32 / (h+1)) with w = integer cents of o_totalprice
+    and h a 32-bit md5 hash of the key — an EXACT-integer surrogate for
+    w/u, u~U(0,1), so the top-k per o_orderpriority stratum is the
+    inclusion-probability-proportional-to-size sample a training-data
+    mixer uses, reproducible across engines with zero float ranking
+    risk (the classic Efraimidis-Spirakis u^(1/w) key is float and
+    ulp-unstable across engines; the integer quotient is not). Scale:
+    one map + one top-k window per stratum, no candidate blowup;
+    w*2^32 <= ~2.1e17 stays int64."""
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("w_cents"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ps:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h32"),
+    )
+    # `div` is exact 64-bit integral division — quotients reach ~2.1e17
+    # (> 2^53), where double `/` + floor would round off low bits and
+    # diverge from the oracle's BIGINT `//`.
+    q = w.withColumn(
+        "q", F.expr("(w_cents * 4294967296L) div (h32 + 1)")
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("q"), F.asc("o_orderkey")
+    )
+    return (
+        q.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _PS_K)
+        .select("o_orderpriority", "rk", "o_orderkey", "w_cents", "q")
+        .orderBy("o_orderpriority", "rk")
+    )

@@ -15,7 +15,7 @@ tests/test_oracle_parity.py and candidates for the round-5 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import sketches as sk
 from . import register, register_extra
@@ -372,3 +372,100 @@ def pagerank_userweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     return sk.pagerank_e12(edges, iters=3).orderBy("node")
+
+
+# ------------------------------------------------------------ KMV
+
+_KMV_K = 64
+_KMV_SCALE = 281474976710656  # 2^48: hash domain of the 12-hex prefix
+
+
+@register_extra(
+    "kmv_distinct_users",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM d GROUP BY 1),
+    h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                             1, 12))::BIGINT AS h48
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, h48,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h48) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(max(rn) AS BIGINT) AS n_h,
+             max(CASE WHEN rn = {_KMV_K} THEN h48 END) AS kth
+      FROM r GROUP BY 1
+    )
+    SELECT ex.event_type, ex.n_exact,
+           CASE WHEN s.n_h < {_KMV_K} THEN ex.n_exact
+                ELSE ({_KMV_K} - 1) * {_KMV_SCALE} // s.kth END AS kmv_est
+    FROM ex JOIN s USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct-count sketch per
+    event_type: hash each distinct user to 48 bits, keep the k = 64
+    smallest DISTINCT hash values, estimate D ~ (k-1) * 2^48 / h_(k)
+    (Bar-Yossef et al.; the mergeable bottom-k sketch behind Theta
+    sketches). Integer end-to-end — hash, order statistic, and the one
+    truncating division — so the estimate hash-gates exactly; groups
+    smaller than k fall back to the exact count, as the sketch
+    semantics dictate. Scale: the sketch state is k fixed-width values
+    per group (union-mergeable by keeping the k smallest of the merged
+    sets), vs HLL trading accuracy profile for registers; the Spark
+    plan is one distinct + one top-k window, no payload shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    ex = d.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    h = d.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kmv:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h48"),
+    ).distinct()
+    win = Window.partitionBy("event_type").orderBy("h48")
+    s = (
+        h.withColumn("rn", F.row_number().over(win))
+        .groupBy("event_type")
+        .agg(
+            F.max("rn").cast("long").alias("n_h"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h48"))).alias("kth"),
+        )
+    )
+    return (
+        ex.join(s, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.when(F.col("n_h") < _KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.expr(f"(({_KMV_K} - 1) * {_KMV_SCALE}L) div kth")
+            )
+            .alias("kmv_est"),
+        )
+        .orderBy("event_type")
+    )
