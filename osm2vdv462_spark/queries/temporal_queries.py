@@ -1020,3 +1020,226 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_epoch")
     )
+
+
+# ------------------------------------------------------------ ACF
+
+
+@register_extra(
+    "acf_lags",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM bounds
+      ) g
+    ),
+    x AS (
+      SELECT grid.event_type, grid.h,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS x
+      FROM grid LEFT JOIN b
+        ON b.event_type = grid.event_type AND b.h = grid.h
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n, sum(x) AS s FROM x GROUP BY 1
+    ),
+    c AS (
+      SELECT x.event_type, x.h, st.n * x.x - st.s AS c
+      FROM x JOIN st USING (event_type)
+    ),
+    led AS (
+      SELECT event_type, c,
+             lead(c, 1) OVER w AS c1,
+             lead(c, 2) OVER w AS c2,
+             lead(c, 3) OVER w AS c3
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(c * c) AS BIGINT) AS den,
+             CAST(sum(c * c1) AS BIGINT) AS num1,
+             CAST(sum(c * c2) AS BIGINT) AS num2,
+             CAST(sum(c * c3) AS BIGINT) AS num3
+      FROM led GROUP BY 1
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           (1000000 * num) // den AS r_e6
+    FROM (
+      SELECT event_type, 1 AS lag, num1 AS num, den FROM agg
+      UNION ALL
+      SELECT event_type, 2, num2, den FROM agg
+      UNION ALL
+      SELECT event_type, 3, num3, den FROM agg
+    )
+    ORDER BY event_type, lag
+    """,
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 of the gap-filled hourly
+    count series per event_type, in EXACT integer arithmetic: center
+    by multiplying through with n (c_t = n*x_t - S, so the rational
+    mean never appears), r_k = sum(c_t * c_{t+k}) / sum(c_t^2), and
+    emit ppm-quantized r via one truncating division — both engines
+    truncate toward zero, so the hash gate needs no float discipline
+    anywhere. |c| <= n*max(x) keeps every product int64-safe at the
+    bench scales. Scale shape: the dense grid is types x hours (tiny),
+    partials aggregate map-side, the lead() window sorts each type's
+    series once — the standard seasonality probe before a forecast
+    feature pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"),
+        )
+    )
+    x = grid.join(b, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    st = x.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    c = x.join(F.broadcast(st), "event_type").select(
+        "event_type", "h", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    led = c.select(
+        "event_type",
+        "c",
+        F.lead("c", 1).over(w).alias("c1"),
+        F.lead("c", 2).over(w).alias("c2"),
+        F.lead("c", 3).over(w).alias("c3"),
+    )
+    agg = led.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("den"),
+        F.sum(F.col("c") * F.col("c1")).cast("long").alias("num1"),
+        F.sum(F.col("c") * F.col("c2")).cast("long").alias("num2"),
+        F.sum(F.col("c") * F.col("c3")).cast("long").alias("num3"),
+    )
+    out = agg.select(
+        "event_type",
+        F.expr(
+            "stack(3, 1, num1, 2, num2, 3, num3) AS (lag, num)"
+        ),
+        "den",
+    ).select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.expr("(1000000 * num) div den").alias("r_e6"),
+    )
+    return out.orderBy("event_type", "lag")
+
+
+# ------------------------------------------------------------ Gorilla
+
+
+@register_extra(
+    "gorilla_dod_bits",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, rn, t,
+             t - lag(t, 1) OVER w AS delta,
+             (t - lag(t, 1) OVER w) - (lag(t, 1) OVER w - lag(t, 2) OVER w)
+               AS dod
+      FROM t WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    bits AS (
+      SELECT event_type,
+             CASE WHEN rn = 1 THEN 64
+                  WHEN rn = 2 THEN 14
+                  WHEN dod = 0 THEN 1
+                  WHEN dod BETWEEN -63 AND 64 THEN 9
+                  WHEN dod BETWEEN -255 AND 256 THEN 12
+                  WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                  ELSE 36 END AS b
+      FROM d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_ts,
+           CAST(sum(b) AS BIGINT) AS total_bits,
+           (1000 * CAST(sum(b) AS BIGINT)) // count(*) AS bits_per_ts_e3
+    FROM bits GROUP BY 1 ORDER BY event_type
+    """,
+)
+def gorilla_dod_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/Facebook delta-of-delta timestamp compression sizing per
+    event_type stream: sort by (ts, event_id), first stamp costs 64
+    bits, the second a 14-bit delta, every later one the DoD bucket
+    cost (0 -> 1 bit; [-63,64] -> 9; [-255,256] -> 12; [-2047,2048] ->
+    16; else 36) — the exact variable-length scheme of the Gorilla
+    paper section 4.1. Reports total bits and milli-bits-per-stamp —
+    the capacity-planning number a TSDB ingest pipeline derives before
+    provisioning. All integers; the only division truncates identically
+    in both engines. Scale: one window sort per series key, partial
+    sums map-side; no state beyond two lags."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("rn")
+    d = t.select(
+        "event_type",
+        "rn",
+        (F.col("t") - F.lag("t", 1).over(w2)).alias("delta"),
+        (
+            (F.col("t") - F.lag("t", 1).over(w2))
+            - (F.lag("t", 1).over(w2) - F.lag("t", 2).over(w2))
+        ).alias("dod"),
+    )
+    bits = d.select(
+        "event_type",
+        F.when(F.col("rn") == 1, 64)
+        .when(F.col("rn") == 2, 14)
+        .when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-63, 64), 9)
+        .when(F.col("dod").between(-255, 256), 12)
+        .when(F.col("dod").between(-2047, 2048), 16)
+        .otherwise(36)
+        .alias("b"),
+    )
+    return (
+        bits.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_ts"),
+            F.sum("b").cast("long").alias("total_bits"),
+        )
+        .select(
+            "event_type",
+            "n_ts",
+            "total_bits",
+            F.expr("(1000 * total_bits) div n_ts").alias("bits_per_ts_e3"),
+        )
+        .orderBy("event_type")
+    )
