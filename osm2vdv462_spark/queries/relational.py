@@ -1133,3 +1133,147 @@ def ship_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_bucket")
     )
+
+
+# ------------------------------------------------- robust statistics
+
+
+@register_extra(
+    "robust_value_stats",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn
+      FROM c
+    ),
+    med AS (
+      SELECT r.event_type,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+           + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+               AS BIGINT) AS med_x2
+      FROM r JOIN n USING (event_type) GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.event_type, abs(2 * c.cents - med.med_x2) AS d
+      FROM c JOIN med USING (event_type)
+    ),
+    rd AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT rd.event_type,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d ELSE 0 END)
+           + sum(CASE WHEN rn = (n + 2) // 2 THEN d ELSE 0 END)
+               AS BIGINT) AS mad_x4
+      FROM rd JOIN n USING (event_type) GROUP BY 1
+    ),
+    freq AS (
+      SELECT event_type, cents, count(*) AS k FROM c GROUP BY 1, 2
+    ),
+    mode AS (
+      SELECT event_type, cents AS mode_cents, k AS mode_count
+      FROM (
+        SELECT event_type, cents, k,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY k DESC, cents) AS rn
+        FROM freq
+      ) WHERE rn = 1
+    )
+    SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+           mode.mode_cents, CAST(mode.mode_count AS BIGINT) AS mode_count,
+           med.med_x2, mad.mad_x4
+    FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+           JOIN mode USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics in EXACT integers over value cents:
+    mode (tie -> smallest value), median, and MAD (median absolute
+    deviation, the robust spread estimator). Integer discipline: the
+    median is carried as med_x2 = sum of the two middle order
+    statistics (odd n contributes the middle twice via the two
+    coinciding ranks), deviations as |2x - med_x2| (2x the usual), and
+    the MAD as the same two-rank sum over deviations (4x) — no halving
+    ever happens, so there is no float or rounding anywhere and the
+    hash gate is exact. Scale shape: two rank windows + one count agg
+    per group key; partials combine map-side; no driver round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    n = c.groupBy("event_type").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    r = c.withColumn("rn", F.row_number().over(wr))
+    med = (
+        r.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 2) div 2"), F.col("cents")
+                    ).otherwise(0)
+                )
+            ).alias("med_x2")
+        )
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("cents") - F.col("med_x2")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    rd = dev.withColumn("rn", F.row_number().over(wd))
+    mad = (
+        rd.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 2) div 2"), F.col("d")
+                    ).otherwise(0)
+                )
+            ).alias("mad_x4")
+        )
+    )
+    freq = c.groupBy("event_type", "cents").agg(F.count("*").alias("k"))
+    wm = Window.partitionBy("event_type").orderBy(
+        F.desc("k"), F.asc("cents")
+    )
+    mode = (
+        freq.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("k").cast("long").alias("mode_count"),
+        )
+    )
+    return (
+        n.select("event_type", F.col("n").cast("long").alias("n"))
+        .join(med, "event_type")
+        .join(mad, "event_type")
+        .join(mode, "event_type")
+        .orderBy("event_type")
+    )

@@ -3199,3 +3199,114 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------- Naive Bayes
+
+
+@register_extra(
+    "naive_bayes_confusion",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok != ''
+    ),
+    tf AS (
+      SELECT doc_id, source AS true_source, tok, count(*) AS tf
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    cls AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    cst AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    ts AS (SELECT source, count(*) AS t FROM toks GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    score AS (
+      SELECT tf.doc_id, tf.true_source, cls.source AS cand,
+             CAST(sum(CAST(tf.tf * ln(
+               (coalesce(cst.c, 0) + 1.0) / (ts.t + v.v)
+             ) AS DECIMAL(38,18))) AS DECIMAL(38,18))
+             + CAST(ln(CAST(cls.n_docs AS DOUBLE) / nd.n)
+                    AS DECIMAL(38,18)) AS lp
+      FROM tf
+      CROSS JOIN cls CROSS JOIN nd CROSS JOIN v
+      JOIN ts ON ts.source = cls.source
+      LEFT JOIN cst ON cst.source = cls.source AND cst.tok = tf.tok
+      GROUP BY 1, 2, 3, cls.n_docs, nd.n
+    ),
+    pred AS (
+      SELECT doc_id, true_source, cand AS pred_source,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY lp DESC, cand) AS rn
+      FROM score
+    )
+    SELECT true_source, pred_source, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier, trained and evaluated
+    in one job (the classic domain/quality tagger of text-corpus
+    pipelines): Laplace-smoothed token likelihoods per source class +
+    log prior, argmax over classes (tie -> lexicographically first),
+    reported as the true-vs-predicted confusion matrix. Float
+    discipline per the bigram-LM precedent: every term is ln() of a
+    ratio of integer counts (IEEE-identical on both engines), summed
+    in DECIMAL(38,18) so addition order can't perturb the argmax.
+    Scale shape: the model (classes x vocab cells + class totals) is
+    the broadcastable small side; scoring is one join keyed on token,
+    partial-aggregated per (doc, class) — no per-class scan of the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy(
+        "doc_id", F.col("source").alias("true_source"), "tok"
+    ).agg(F.count("*").alias("tf"))
+    cls = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_total = d.count()
+    cst = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    ts = toks.groupBy("source").agg(F.count("*").alias("t"))
+    v = toks.select("tok").distinct().count()
+
+    model = (
+        cls.join(ts, "source")
+        .crossJoin(toks.select("tok").distinct())
+        .join(cst, ["source", "tok"], "left")
+        .select(
+            F.col("source").alias("cand"),
+            "tok",
+            "n_docs",
+            "t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    term = (
+        F.col("tf")
+        * F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.lit(float(v))))
+    ).cast("decimal(38,18)")
+    prior = F.log(
+        F.col("n_docs").cast("double") / F.lit(float(n_total))
+    ).cast("decimal(38,18)")
+    score = (
+        tf.join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "true_source", "cand")
+        .agg(
+            (F.sum(term) + F.first(prior)).alias("lp"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("lp"), F.asc("cand"))
+    pred = score.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("true_source", F.col("cand").alias("pred_source"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
