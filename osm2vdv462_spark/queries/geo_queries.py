@@ -4158,3 +4158,130 @@ def stay_point_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------ global autocorrelation
+
+_MORAN_CW = 16  # 16x16 grid over the LCG residue domain [0, 2000)
+
+
+@register_extra(
+    "global_autocorr_grid",
+    f"""
+    WITH pts AS (
+      SELECT ((event_id * 37 + 11) % 2000) // 125 AS gx,
+             ((event_id * 73 + 29) % 2000) // 125 AS gy
+      FROM events
+    ),
+    grid AS (
+      SELECT x.range AS gx, y.range AS gy
+      FROM range({_MORAN_CW}) x, range({_MORAN_CW}) y
+    ),
+    cells AS (
+      SELECT grid.gx, grid.gy,
+             CAST(count(pts.gx) AS BIGINT) AS x
+      FROM grid LEFT JOIN pts USING (gx, gy)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(x) AS s,
+             count(*) * sum(x * x) - sum(x) * sum(x) AS nd
+      FROM cells
+    ),
+    off(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
+    pairs AS (
+      SELECT a.x AS xa, b.x AS xb
+      FROM cells a CROSS JOIN off o
+      JOIN cells b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+    ),
+    agg AS (
+      SELECT count(*) AS w,
+             CAST(sum(((SELECT n FROM tot) * xa - (SELECT s FROM tot))
+                    * ((SELECT n FROM tot) * xb - (SELECT s FROM tot)))
+                  AS BIGINT) AS num_i,
+             CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS num_c
+      FROM pairs
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_cells,
+           CAST(agg.w AS BIGINT) AS w_pairs,
+           CAST((1000000 * agg.num_i)
+                // (agg.w * (CAST(tot.nd AS BIGINT) // tot.n))
+             AS BIGINT) AS moran_i_e6,
+           CAST((1000000 * (tot.n - 1) * tot.n * agg.num_c)
+                // (2 * agg.w * CAST(tot.nd AS BIGINT))
+             AS BIGINT) AS geary_c_e6
+    FROM tot, agg
+    """,
+)
+def global_autocorr_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation of the event point field — both
+    classic statistics, EXACT integers end to end: bin the LCG geotag
+    residues onto a dense 16x16 grid (integer residue arithmetic, no
+    float coordinates), rook adjacency with unit weights. Centering
+    multiplies through by n (c_i = n*x_i - S) so Moran's I =
+    num_I / (W * D) with D = (n*sum(x^2) - S^2) = sum(c^2)/n exactly
+    divisible, and Geary's C = (n-1)*n*num_C / (2*W*sum(c^2)) — one
+    ppm-quantized truncating division each, identical in both engines.
+    Companion to the LOCAL Moran hotspot query: this is the global
+    field-level clustering test run before drilling into cells. Scale
+    shape: the fact table collapses to 256 cell partials map-side; the
+    adjacency join is cell-count sized, not event sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.expr("((event_id * 37 + 11) % 2000) div 125").alias("gx"),
+        F.expr("((event_id * 73 + 29) % 2000) div 125").alias("gy"),
+    )
+    grid = (
+        spark.range(_MORAN_CW)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(_MORAN_CW).select(F.col("id").alias("gy")))
+    )
+    counts = pts.groupBy("gx", "gy").agg(F.count("*").alias("c"))
+    cells = grid.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    tot = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).alias("nd"),
+    )
+    off = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx int, dy int"
+    )
+    a = cells.crossJoin(F.broadcast(off)).select(
+        (F.col("gx") + F.col("dx")).alias("bgx"),
+        (F.col("gy") + F.col("dy")).alias("bgy"),
+        F.col("x").alias("xa"),
+    )
+    b = cells.select(
+        F.col("gx").alias("bgx"), F.col("gy").alias("bgy"),
+        F.col("x").alias("xb"),
+    )
+    pairs = a.join(b, ["bgx", "bgy"]).crossJoin(F.broadcast(tot))
+    agg = pairs.agg(
+        F.count("*").alias("w"),
+        F.sum(
+            (F.col("n") * F.col("xa") - F.col("s"))
+            * (F.col("n") * F.col("xb") - F.col("s"))
+        )
+        .cast("long")
+        .alias("num_i"),
+        F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+        .cast("long")
+        .alias("num_c"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("w").cast("long").alias("w_pairs"),
+            F.expr("(1000000 * num_i) div (w * (nd div n))")
+            .alias("moran_i_e6"),
+            F.expr(
+                "(1000000 * (n - 1) * n * num_c) div (2 * w * nd)"
+            ).alias("geary_c_e6"),
+        )
+    )

@@ -1243,3 +1243,96 @@ def gorilla_dod_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ Allen relations
+
+
+@register_extra(
+    "allen_relation_counts",
+    """
+    WITH iv AS (
+      SELECT o.o_custkey AS k, o.o_orderkey,
+             CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS s,
+             CAST(floor(epoch(max(l.l_shipdate))) AS BIGINT) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, o.o_orderdate
+    ),
+    seq AS (
+      SELECT k, s, e,
+             lead(s) OVER w AS s2, lead(e) OVER w AS e2
+      FROM iv WINDOW w AS (PARTITION BY k ORDER BY s, e, o_orderkey)
+    ),
+    rel AS (
+      SELECT CASE
+               WHEN s = s2 AND e = e2 THEN 'equals'
+               WHEN s = s2 AND e < e2 THEN 'starts'
+               WHEN s = s2 AND e > e2 THEN 'started_by'
+               WHEN e < s2 THEN 'precedes'
+               WHEN e = s2 THEN 'meets'
+               WHEN e < e2 THEN 'overlaps'
+               WHEN e = e2 THEN 'finished_by'
+               ELSE 'contains'
+             END AS relation
+      FROM seq WHERE s2 IS NOT NULL
+    )
+    SELECT relation, count(*) AS n_pairs
+    FROM rel GROUP BY 1 ORDER BY relation
+    """,
+)
+def allen_relation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over order lifetimes: each order spans
+    [orderdate, max shipdate of its lines]; consecutive intervals per
+    customer (canonical (start, end, key) order, so only the 8 forward
+    relations arise) are classified into Allen's relations — equals /
+    starts / started_by / precedes / meets / overlaps / finished_by /
+    contains — and counted. The temporal-join taxonomy every
+    interval-reasoning pipeline (care episodes, network flows, session
+    stitching) needs; epoch-seconds integers end to end. Scale shape:
+    interval build is one partial-agg join; classification is a lead()
+    window per customer — linear, no interval self-join blowup."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("maxship"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("s"),
+            F.unix_timestamp("maxship").cast("long").alias("e"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("s", "e", "o_orderkey")
+    seq = iv.select(
+        "s",
+        "e",
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    rel = seq.select(
+        F.when(
+            (F.col("s") == F.col("s2")) & (F.col("e") == F.col("e2")),
+            "equals",
+        )
+        .when(
+            (F.col("s") == F.col("s2")) & (F.col("e") < F.col("e2")),
+            "starts",
+        )
+        .when(
+            (F.col("s") == F.col("s2")) & (F.col("e") > F.col("e2")),
+            "started_by",
+        )
+        .when(F.col("e") < F.col("s2"), "precedes")
+        .when(F.col("e") == F.col("s2"), "meets")
+        .when(F.col("e") < F.col("e2"), "overlaps")
+        .when(F.col("e") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+        .alias("relation")
+    )
+    return (
+        rel.groupBy("relation")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("relation")
+    )
