@@ -1678,3 +1678,75 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "rk", "o_orderkey", "w_cents", "q")
         .orderBy("o_orderpriority", "rk")
     )
+
+
+# ------------------------------------------------------------- LIS
+
+
+@register_extra(
+    "lis_length_distribution",
+    """
+    WITH RECURSIVE pos AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    chain(user_id, rn, v, l) AS (
+      SELECT user_id, rn, v, 1 FROM pos
+      UNION
+      SELECT b.user_id, b.rn, b.v, c.l + 1
+      FROM chain c JOIN pos b
+        ON b.user_id = c.user_id AND b.rn > c.rn AND b.v > c.v
+    ),
+    lis AS (SELECT user_id, max(l) AS lis_len FROM chain GROUP BY 1)
+    SELECT CAST(lis_len AS INT) AS lis_len,
+           count(*) AS n_users
+    FROM lis GROUP BY 1 ORDER BY lis_len
+    """,
+)
+def lis_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing subsequence of each user's value
+    stream (cents, event-time order with event_id tie-break), reported
+    as the LIS-length histogram — the sequence-complexity probe used
+    for bot/replay detection (monotone streams are machines). Spark
+    runs the O(n log n) patience-sorting DP per user via
+    applyInPandas — per-group state never leaves one task, the
+    canonical distributed-sequence-DP shape; the oracle is the
+    INDEPENDENT textbook formulation: a recursive chain-extension
+    closure with UNION dedup (exponential chains collapse to <= n*L
+    states). Exact integers throughout."""
+    import bisect
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+
+    def _lis(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        tails: list[int] = []
+        for v in pdf["v"]:
+            i = bisect.bisect_left(tails, v)
+            if i == len(tails):
+                tails.append(v)
+            else:
+                tails[i] = v
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "lis_len": [len(tails)]}
+        )
+
+    lis = base.groupBy("user_id").applyInPandas(
+        _lis, "user_id long, lis_len int"
+    )
+    return (
+        lis.groupBy("lis_len")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("lis_len")
+    )

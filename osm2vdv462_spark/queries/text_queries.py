@@ -3310,3 +3310,133 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+# ------------------------------------------------------ BPE merges
+
+def _bpe_pairs_sql(state_cte: str) -> str:
+    """Pair-count CTE body over a BPE state relation (word, cnt, st)."""
+    return f"""
+      SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT cnt, unnest(list_zip(sym[1:-2], sym[2:])) AS pr
+        FROM (
+          SELECT cnt,
+                 list_filter(string_split(st, ' '), x -> x <> '') AS sym
+          FROM {state_cte}
+        )
+      )
+      GROUP BY 1, 2
+    """
+
+
+def _bpe_merge_sql(prev: str, m: str) -> str:
+    """State-advance CTE body: greedy left-to-right merge of m's pair."""
+    return f"""
+      SELECT word, cnt,
+             replace(st,
+                     ' ' || (SELECT l FROM {m}) || '  '
+                         || (SELECT r FROM {m}) || ' ',
+                     ' ' || (SELECT l FROM {m})
+                         || (SELECT r FROM {m}) || ' ') AS st
+      FROM {prev}
+    """
+
+
+_BPE_ORACLE = f"""
+    WITH w AS (
+      SELECT t.tok AS word, count(*) AS cnt
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> '' GROUP BY 1
+    ),
+    s0 AS (
+      SELECT word, cnt,
+             list_aggregate(
+               list_transform(range(1, length(word) + 1),
+                              i -> ' ' || substr(word, i, 1) || ' '),
+               'string_agg', '') AS st
+      FROM w
+    ),
+    p1 AS ({_bpe_pairs_sql("s0")}),
+    m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+    s1 AS ({_bpe_merge_sql("s0", "m1")}),
+    p2 AS ({_bpe_pairs_sql("s1")}),
+    m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+    s2 AS ({_bpe_merge_sql("s1", "m2")}),
+    p3 AS ({_bpe_pairs_sql("s2")}),
+    m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+    SELECT 1 AS iter, l AS left_sym, r AS right_sym, c AS pair_count FROM m1
+    UNION ALL SELECT 2, l, r, c FROM m2
+    UNION ALL SELECT 3, l, r, c FROM m3
+    ORDER BY iter
+"""
+
+
+@register_extra("bpe_merge_train", _BPE_ORACLE)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE real BPE training iterations (Sennrich et al.) over the
+    corpus vocabulary — the actual tokenizer-training inner loop, not
+    just pair counting: per iteration, count adjacent symbol pairs
+    weighted by word frequency (overlapping adjacencies count, per the
+    reference algorithm), pick the argmax (tie -> lexicographic), and
+    merge every occurrence greedily left-to-right. Word state is the
+    space-wrapped symbol string (' a  b  c '), so a single scan-order
+    string replace IS the greedy non-overlapping merge and multi-char
+    symbols can never false-match across boundaries. Spark: driver
+    loop of 3 count-agg + 1-row collect + replace (the merge table is
+    the classic bounded driver artifact — a tokenizer's merge list);
+    oracle: the same 3 iterations unrolled as CTE pairs. Scale shape:
+    state lives per DISTINCT word (vocab-sized, not corpus-sized);
+    each iteration is one partial-agg shuffle over pair keys."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = w.select(
+        "word",
+        "cnt",
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(word)),"
+            " i -> concat(' ', substring(word, i, 1), ' ')))"
+        ).alias("st"),
+    )
+    merges = []
+    for it in range(1, 4):
+        sym = F.expr("filter(split(st, ' '), x -> x != '')")
+        pairs = (
+            st.select("cnt", sym.alias("sym"))
+            .filter(F.size("sym") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> named_struct('l', element_at(sym, i),"
+                        " 'r', element_at(sym, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1)
+        row = top.collect()[0]  # 1-row merge-table entry (bounded)
+        merges.append((it, row["l"], row["r"], int(row["c"])))
+        st = st.withColumn(
+            "st",
+            F.call_function(
+                "replace",
+                F.col("st"),
+                F.lit(f" {row['l']}  {row['r']} "),
+                F.lit(f" {row['l']}{row['r']} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "iter int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("iter")
