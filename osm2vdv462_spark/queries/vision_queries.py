@@ -1874,3 +1874,220 @@ def harris_corner_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------------------ seam DP
+
+_SEAM_N = _OTSU_SZ - 2  # 30x30 interior energy grid
+
+
+def _seam_oracle() -> str:
+    """Unrolled 30-level DP: level i takes the windowed 3-neighbor min
+    of level i-1 (lag/lead over x per image) + the row-i energy."""
+    big = 1 << 60
+    lvl = []
+    for i in range(1, _SEAM_N):
+        lvl.append(f"""
+    c{i} AS (
+      SELECT en.event_id, en.x, en.e + m.mn AS cost
+      FROM en JOIN (
+        SELECT event_id, x,
+               least(coalesce(lag(cost) OVER w, {big}), cost,
+                     coalesce(lead(cost) OVER w, {big})) AS mn
+        FROM c{i - 1}
+        WINDOW w AS (PARTITION BY event_id ORDER BY x)
+      ) m ON m.event_id = en.event_id AND m.x = en.x
+      WHERE en.r = {i}
+    )""")
+    return f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range({_OTSU_SZ}) y, range({_OTSU_SZ}) x),
+    px AS (
+      SELECT e.event_id, x, y,
+             ((x*7 + e.event_id*13) % 256)
+           + ((y*11 + e.event_id*29) % 256)
+           + (((x+y)*5 + e.event_id*53) % 256) AS t
+      FROM e CROSS JOIN yx
+    ),
+    en AS (
+      SELECT c.event_id, c.x - 1 AS x, c.y - 1 AS r,
+             abs(ee.t - ww.t) + abs(ss.t - nn.t) AS e
+      FROM px c
+      JOIN px ee ON ee.event_id = c.event_id AND ee.x = c.x + 1 AND ee.y = c.y
+      JOIN px ww ON ww.event_id = c.event_id AND ww.x = c.x - 1 AND ww.y = c.y
+      JOIN px ss ON ss.event_id = c.event_id AND ss.x = c.x AND ss.y = c.y + 1
+      JOIN px nn ON nn.event_id = c.event_id AND nn.x = c.x AND nn.y = c.y - 1
+      WHERE c.x BETWEEN 1 AND {_OTSU_SZ - 2}
+        AND c.y BETWEEN 1 AND {_OTSU_SZ - 2}
+    ),
+    c0 AS (SELECT event_id, x, CAST(e AS BIGINT) AS cost FROM en WHERE r = 0),
+    {",".join(lvl)}
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           min(cost) AS seam_cost,
+           CAST(min(CASE WHEN cost = mc THEN x END) AS INT) AS seam_end_x
+    FROM (
+      SELECT event_id, x, cost,
+             min(cost) OVER (PARTITION BY event_id) AS mc
+      FROM c{_SEAM_N - 1}
+    )
+    GROUP BY event_id ORDER BY image_id
+    """
+
+
+@register_extra("min_energy_seam", _seam_oracle())
+def min_energy_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seam carving's DP core (Avidan-Shamir): per image, the minimum
+    cumulative-energy vertical 8-connected seam through the 30x30
+    interior energy map e = |gx| + |gy| (central differences of
+    channel-sum gray) — cost(r,x) = e(r,x) + min of the 3 upper
+    neighbors. Reports the optimal seam cost and its bottom-row column
+    (tie -> smallest x). Exact integers; Spark runs the vectorized
+    row-sweep DP per image inside the decode pass (the per-row
+    3-neighbor min is two shifted np.minimum calls), the oracle unrolls
+    all 30 DP levels as window-min CTEs — recursion-free independent
+    derivation of the same Bellman sweep."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _seam(batches):
+        big = 1 << 60
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(np.int64)
+                t = px.sum(axis=2)
+                gx = t[1:-1, 2:] - t[1:-1, :-2]
+                gy = t[2:, 1:-1] - t[:-2, 1:-1]
+                e = np.abs(gx) + np.abs(gy)
+                cost = e[0].copy()
+                for r in range(1, e.shape[0]):
+                    left = np.concatenate(([big], cost[:-1]))
+                    right = np.concatenate((cost[1:], [big]))
+                    cost = e[r] + np.minimum(np.minimum(left, cost), right)
+                best = int(cost.min())
+                out.append((row.image_id, best, int(np.argmin(cost))))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "seam_cost", "seam_end_x"]
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _seam,
+            "image_id string, seam_cost long, seam_end_x int",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ----------------------------------------------------- block motion
+
+_BM_LO, _BM_HI = 8, 23  # 16x16 central patch
+_BM_R = 2  # shift radius
+
+
+@register_extra(
+    "block_motion_search",
+    f"""
+    WITH e AS (SELECT event_id FROM events WHERE event_id % {_OTSU_EVERY} = 0),
+    pairs AS (
+      SELECT a.event_id AS ida, b.event_id AS idb
+      FROM e a JOIN e b ON b.event_id = a.event_id + {_OTSU_EVERY}
+    ),
+    sh AS (SELECT dx.range - {_BM_R} AS dx, dy.range - {_BM_R} AS dy
+           FROM range({2 * _BM_R + 1}) dx, range({2 * _BM_R + 1}) dy),
+    patch AS (SELECT y.range AS y, x.range AS x
+              FROM range({_BM_LO}, {_BM_HI + 1}) y,
+                   range({_BM_LO}, {_BM_HI + 1}) x),
+    sad AS (
+      SELECT p.ida, s.dx, s.dy,
+             CAST(sum(abs(
+               (((g.x*7 + p.ida*13) % 256)
+              + ((g.y*11 + p.ida*29) % 256)
+              + (((g.x+g.y)*5 + p.ida*53) % 256))
+             - ((((g.x+s.dx)*7 + p.idb*13) % 256)
+              + (((g.y+s.dy)*11 + p.idb*29) % 256)
+              + (((g.x+s.dx+g.y+s.dy)*5 + p.idb*53) % 256))
+             )) AS BIGINT) AS sad
+      FROM pairs p CROSS JOIN sh s CROSS JOIN patch g
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT ida, dx, dy, sad,
+             row_number() OVER (PARTITION BY ida
+                                ORDER BY sad, dy, dx) AS rn
+      FROM sad
+    )
+    SELECT 'img_' || lpad(CAST(ida AS VARCHAR), 9, '0') AS image_id,
+           CAST(dx AS INT) AS dx, CAST(dy AS INT) AS dy, sad AS sad_min
+    FROM best WHERE rn = 1 ORDER BY image_id
+    """,
+)
+def block_motion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block motion estimation (the MPEG/H.26x motion-search kernel):
+    for each consecutive kept-image pair, exhaustively search integer
+    shifts (dx, dy) in [-2, 2]^2 for the one minimizing the sum of
+    absolute differences of channel-sum gray over the central 16x16
+    patch (tie -> smallest dy then dx). Exact integers. Spark decodes
+    both frames of each pair once (self-join on event id + stride) and
+    evaluates all 25 shifts vectorized; the oracle expands the full
+    (pair x shift x pixel) grid from the two pixel closed forms —
+    decode-free independent derivation. Scale shape: the pair join is
+    an equi-join on id+stride (co-partitioned), and per-pair work is
+    constant (25 SADs), so the plan is one shuffle regardless of
+    corpus size."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+    withid = imgs.select(
+        F.expr("cast(substring(image_id, 5) as long)").alias("eid"),
+        "image_id",
+        "bytes",
+        "fmt",
+    )
+    a = withid.select(
+        F.col("eid"), "image_id",
+        F.col("bytes").alias("ba"), F.col("fmt").alias("fa"),
+    )
+    b = withid.select(
+        (F.col("eid") - _OTSU_EVERY).alias("eid"),
+        F.col("bytes").alias("bb"), F.col("fmt").alias("fb"),
+    )
+    pairs = a.join(b, "eid")
+
+    def _bm(batches):
+        lo, hi, r = _BM_LO, _BM_HI, _BM_R
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ta = (
+                    ic.decode_image(bytes(row.ba), row.fa)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                tb = (
+                    ic.decode_image(bytes(row.bb), row.fb)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                pa = ta[lo : hi + 1, lo : hi + 1]
+                best = None
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        pb = tb[lo + dy : hi + 1 + dy, lo + dx : hi + 1 + dx]
+                        sad = int(np.abs(pa - pb).sum())
+                        key = (sad, dy, dx)
+                        if best is None or key < best:
+                            best = key
+                out.append((row.image_id, best[2], best[1], best[0]))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "dx", "dy", "sad_min"]
+                )
+
+    return (
+        pairs.select("image_id", "ba", "fa", "bb", "fb")
+        .mapInPandas(
+            _bm, "image_id string, dx int, dy int, sad_min long"
+        )
+        .orderBy("image_id")
+    )
