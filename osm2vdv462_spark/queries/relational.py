@@ -1277,3 +1277,120 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mode, "event_type")
         .orderBy("event_type")
     )
+
+
+# -------------------------------------------------- Mann-Whitney U
+
+
+@register_extra(
+    "mannwhitney_u_pairs",
+    """
+    WITH c AS (
+      SELECT event_type AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    hist AS (SELECT t, v, count(*) AS c FROM c GROUP BY 1, 2),
+    n AS (SELECT t, count(*) AS n FROM c GROUP BY 1),
+    pr AS (
+      SELECT a.t AS ta, b.t AS tb
+      FROM (SELECT DISTINCT t FROM c) a
+      JOIN (SELECT DISTINCT t FROM c) b ON a.t < b.t
+    ),
+    sa AS (SELECT pr.ta, pr.tb, h.v, h.c AS ca
+           FROM pr JOIN hist h ON h.t = pr.ta),
+    sb AS (SELECT pr.ta, pr.tb, h.v, h.c AS cb
+           FROM pr JOIN hist h ON h.t = pr.tb),
+    spine AS (
+      SELECT coalesce(sa.ta, sb.ta) AS ta, coalesce(sa.tb, sb.tb) AS tb,
+             coalesce(sa.v, sb.v) AS v,
+             coalesce(sa.ca, 0) AS ca, coalesce(sb.cb, 0) AS cb
+      FROM sa FULL OUTER JOIN sb
+        ON sb.ta = sa.ta AND sb.tb = sa.tb AND sb.v = sa.v
+    ),
+    cum AS (
+      SELECT ta, tb, ca, cb,
+             sum(cb) OVER (PARTITION BY ta, tb ORDER BY v) - cb AS cb_lt
+      FROM spine
+    ),
+    u AS (
+      SELECT ta, tb,
+             CAST(sum(ca * (2 * cb_lt + cb)) AS BIGINT) AS u2
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           na.n AS n_a, nb.n AS n_b, u.u2,
+           CAST((1000000 * (u.u2 - na.n * nb.n)) // (na.n * nb.n)
+             AS BIGINT) AS cliff_delta_e6
+    FROM u JOIN n na ON na.t = u.ta JOIN n nb ON nb.t = u.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def mannwhitney_u_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum statistic + Cliff's delta effect size
+    for every event-type pair, EXACT integers: tie handling by the
+    doubled statistic U2 = sum over x in A of 2*#(B < x) + #(B = x)
+    (i.e. ranks doubled so midranks never produce .5), and delta =
+    (U2 - n_a*n_b) / (n_a*n_b) ppm-quantized with one truncating
+    division. The nonparametric two-sample location test a data-quality
+    pipeline runs when distributions are non-normal (complements the
+    KS-drift query). Scale shape: the fact table collapses to per-type
+    value histograms first (map-side partial), the pair spine is
+    histogram-sized, and the rank accumulation is one window cumsum
+    per pair — no pooled re-ranking of raw rows, no n^2 value join."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    hist = c.groupBy("t", "v").agg(F.count("*").alias("cnt"))
+    n = c.groupBy("t").agg(F.count("*").alias("n"))
+    types = c.select("t").distinct()
+    pr = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    sa = pr.join(hist, pr.ta == hist.t).select(
+        "ta", "tb", "v", F.col("cnt").alias("ca")
+    )
+    sb = pr.join(hist, pr.tb == hist.t).select(
+        "ta", "tb", "v", F.col("cnt").alias("cb")
+    )
+    spine = sa.join(sb, ["ta", "tb", "v"], "full_outer").select(
+        "ta",
+        "tb",
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("v")
+    cum = spine.select(
+        "ta",
+        "tb",
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("cb_lt"),
+    )
+    u = cum.groupBy("ta", "tb").agg(
+        F.sum(F.col("ca") * (2 * F.col("cb_lt") + F.col("cb")))
+        .cast("long")
+        .alias("u2")
+    )
+    na = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        u.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a",
+            "n_b",
+            "u2",
+            F.expr(
+                "(1000000 * (u2 - n_a * n_b)) div (n_a * n_b)"
+            ).alias("cliff_delta_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1336,3 +1336,78 @@ def allen_relation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("relation")
     )
+
+
+# --------------------------------------------------- decayed score
+
+_DECAY_CAP = 20  # cap the day-age exponent: weight = 2^(CAP - min(age, CAP))
+
+
+@register_extra(
+    "decay_score_topk",
+    f"""
+    WITH mx AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS tmax FROM events
+    ),
+    s AS (
+      SELECT e.event_type, e.user_id,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+             * (1::BIGINT << ({_DECAY_CAP} - least(
+                 (mx.tmax - CAST(floor(epoch(e.ts)) AS BIGINT)) // 86400,
+                 {_DECAY_CAP}))) AS wscore
+      FROM events e CROSS JOIN mx
+    ),
+    agg AS (
+      SELECT event_type, user_id,
+             CAST(sum(wscore) AS BIGINT) AS score
+      FROM s GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, user_id) AS rk
+      FROM agg
+    )
+    SELECT event_type, CAST(rk AS INT) AS rk, user_id, score
+    FROM r WHERE rk <= 5
+    ORDER BY event_type, rk
+    """,
+)
+def decay_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life = 1 day)
+    with EXACT dyadic weights: age in whole days from the corpus max
+    timestamp, weight 2^(20 - min(age, 20)) — an integer power of two,
+    so the decayed sum is exact int64 (score <= cents * 2^20 * group
+    size ~ 1e14) with zero float decay drift across engines; ages past
+    the 20-day cap floor at weight 1 (documented cap, not underflow).
+    Top-5 users per event_type by decayed score — the freshness-aware
+    leaderboard feature a feature store materializes. Scale shape: one
+    broadcast of the 1-row max-ts agg, map-side weight computation, one
+    partial-agg shuffle, one top-k window."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.unix_timestamp(F.max("ts")).cast("long").alias("tmax")
+    )
+    s = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "user_id",
+        (
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+            * F.expr(
+                f"shiftleft(1L, {_DECAY_CAP} - least("
+                f"(tmax - unix_timestamp(ts)) div 86400, {_DECAY_CAP}))"
+            )
+        ).alias("wscore"),
+    )
+    agg = s.groupBy("event_type", "user_id").agg(
+        F.sum("wscore").cast("long").alias("score")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "rk", "user_id", "score")
+        .orderBy("event_type", "rk")
+    )
