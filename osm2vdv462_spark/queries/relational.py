@@ -1394,3 +1394,193 @@ def mannwhitney_u_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------------- FIFO matching
+
+
+@register_extra(
+    "fifo_match_ledger",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             l_returnflag = 'R' AS is_in,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    outs AS (
+      SELECT l_partkey, sum(qty) AS tot_out
+      FROM li WHERE NOT is_in GROUP BY 1
+    ),
+    ins AS (
+      SELECT l_partkey, qty,
+             sum(qty) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM li WHERE is_in
+    ),
+    m AS (
+      SELECT i.l_partkey, i.qty,
+             greatest(0, least(i.cum, coalesce(o.tot_out, 0))
+                       - least(i.cum - i.qty, coalesce(o.tot_out, 0)))
+               AS matched
+      FROM ins i LEFT JOIN outs o USING (l_partkey)
+    )
+    SELECT l_partkey % 20 AS bucket,
+           count(*) AS n_inflows,
+           CAST(sum(matched) AS BIGINT) AS matched_qty,
+           count(*) FILTER (WHERE matched = qty) AS n_exhausted,
+           count(*) FILTER (WHERE matched = 0) AS n_untouched
+    FROM m GROUP BY 1 ORDER BY bucket
+    """,
+)
+def fifo_match_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching via the cumulative-range trick (the ledger /
+    cost-basis engine kernel): per part, inflow lots (returnflag 'R',
+    ship-date order) are consumed by the part's total outflow demand;
+    a lot's matched quantity is the overlap of its cumulative-sum
+    interval [cum-qty, cum) with [0, total_out) — ONE window cumsum +
+    one join, no iterative matching loop, which is what makes FIFO
+    tractable at warehouse scale (the naive row-pairing is a per-key
+    sequential scan). Exact integers; reports per part-bucket lot
+    counts, matched quantity, fully-exhausted and untouched lots."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        (F.col("l_returnflag") == "R").alias("is_in"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    outs = (
+        li.filter(~F.col("is_in"))
+        .groupBy("l_partkey")
+        .agg(F.sum("qty").alias("tot_out"))
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ins = li.filter(F.col("is_in")).select(
+        "l_partkey", "qty", F.sum("qty").over(w).alias("cum")
+    )
+    m = ins.join(outs, "l_partkey", "left").select(
+        "l_partkey",
+        "qty",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum"), F.coalesce("tot_out", F.lit(0)))
+            - F.least(
+                F.col("cum") - F.col("qty"), F.coalesce("tot_out", F.lit(0))
+            ),
+        ).alias("matched"),
+    )
+    return (
+        m.groupBy((F.col("l_partkey") % 20).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_inflows"),
+            F.sum("matched").cast("long").alias("matched_qty"),
+            F.count(F.when(F.col("matched") == F.col("qty"), 1)).alias(
+                "n_exhausted"
+            ),
+            F.count(F.when(F.col("matched") == 0, 1)).alias("n_untouched"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------- bitmap indexes
+
+
+@register_extra(
+    "bitmap_intersect_cards",
+    """
+    WITH bm AS (
+      SELECT event_type AS t, user_id // 32 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    card AS (
+      SELECT t, CAST(sum(bit_count(bits)) AS BIGINT) AS card FROM bm
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb,
+             CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_and
+      FROM bm a JOIN bm b ON a.t < b.t AND a.w = b.w
+      GROUP BY 1, 2
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           ca.card AS card_a, cb.card AS card_b, p.n_and,
+           ca.card + cb.card - p.n_and AS n_or,
+           CAST((1000000 * p.n_and)
+                // (ca.card + cb.card - p.n_and) AS BIGINT) AS jaccard_e6
+    FROM pairs p
+    JOIN card ca ON ca.t = p.ta
+    JOIN card cb ON cb.t = p.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def bitmap_intersect_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra (the roaring/bitmap join-index pattern):
+    per event_type, pack the distinct-user set into 32-bit word chunks
+    with a bit_or aggregate; pairwise audience overlap is then a word-
+    aligned AND + popcount join — cardinalities, union size, and ppm
+    Jaccard, all exact integers. This is how OLAP engines answer
+    segment-overlap questions without materializing id pair joins:
+    the shuffled payload is one word per 32 ids, and intersection cost
+    is bitwise, independent of set density. Scale shape: one partial
+    bit_or shuffle, then a word-keyed equi-join over ~|ids|/32 rows."""
+    ev = _t(spark, sf_dir, "events")
+    bm = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.expr("user_id div 32").alias("w"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(user_id % 32 as int)))"
+            ).alias("bits")
+        )
+    )
+    card = bm.groupBy("t").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("card")
+    )
+    a = bm.select(
+        F.col("t").alias("ta"), "w", F.col("bits").alias("ba")
+    )
+    b = bm.select(
+        F.col("t").alias("tb"), "w", F.col("bits").alias("bb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("long")
+            .alias("n_and")
+        )
+    )
+    ca = card.select(F.col("t").alias("ta"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("t").alias("tb"), F.col("card").alias("card_b"))
+    return (
+        pairs.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "card_a",
+            "card_b",
+            "n_and",
+            (F.col("card_a") + F.col("card_b") - F.col("n_and")).alias(
+                "n_or"
+            ),
+            F.expr(
+                "(1000000 * n_and) div (card_a + card_b - n_and)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
