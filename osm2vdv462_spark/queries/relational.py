@@ -1584,3 +1584,99 @@ def bitmap_intersect_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------- trimmed/winsorized
+
+
+@register_extra(
+    "trimmed_value_stats",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn
+      FROM c
+    ),
+    j AS (
+      SELECT r.event_type, r.cents, r.rn, n.n,
+             n.n // 10 AS k
+      FROM r JOIN n USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(cents) FILTER (WHERE rn > k AND rn <= n - k)
+                AS BIGINT) AS trim_sum,
+           CAST(max(n) - 2 * max(k) AS BIGINT) AS trim_n,
+           CAST(sum(CASE
+                 WHEN rn <= k THEN (SELECT cents FROM j j2
+                    WHERE j2.event_type = j.event_type
+                      AND j2.rn = j.k + 1)
+                 WHEN rn > n - k THEN (SELECT cents FROM j j2
+                    WHERE j2.event_type = j.event_type
+                      AND j2.rn = j.n - j.k)
+                 ELSE cents END) AS BIGINT) AS winsor_sum
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized aggregates per group in exact
+    integers: drop (trim) or clamp (winsorize) the k = n//10 smallest
+    and largest cents values before summing — the robust-mean pair
+    every metrics pipeline keeps next to the raw mean to survive
+    outliers. Emits exact sums + counts instead of divided means so
+    nothing ever needs float rounding. Spark: one rank window, then
+    conditional sums with the clamp bounds (the (k+1)-th and (n-k)-th
+    order statistics) joined in as 1-row-per-group aggregates; the
+    oracle reads the same bounds via correlated subqueries — different
+    derivations of the same order statistics."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    n = c.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = c.withColumn("rn", F.row_number().over(w))
+    j = r.join(F.broadcast(n), "event_type").withColumn(
+        "k", F.expr("n div 10")
+    )
+    bounds = j.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("hi"),
+    )
+    jb = j.join(F.broadcast(bounds), "event_type")
+    return (
+        jb.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("rn") <= F.col("n") - F.col("k")),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("trim_sum"),
+            (F.max("n") - 2 * F.max("k")).cast("long").alias("trim_n"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+                .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
+                .otherwise(F.col("cents"))
+            )
+            .cast("long")
+            .alias("winsor_sum"),
+        )
+        .orderBy("event_type")
+    )

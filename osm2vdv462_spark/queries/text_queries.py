@@ -3440,3 +3440,84 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "iter int, left_sym string, right_sym string, pair_count long"
     ).orderBy("iter")
+
+
+# ------------------------------------------------- edit distance
+
+
+@register_extra(
+    "edit_distance_blocked",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, text, n_chars, n_chars // 16 AS bk
+      FROM documents
+      WHERE strlen(text) = length(text)  -- ASCII only: engines
+        -- disagree on the multibyte edit unit (bytes vs chars)
+    ),
+    pairs AS (
+      SELECT a.lang, levenshtein(a.text, b.text) AS dist,
+             greatest(a.n_chars, b.n_chars) AS mx
+      FROM d a
+      JOIN d b
+        ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_pairs,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           count(*) FILTER (WHERE 5 * dist <= mx) AS n_near
+    FROM pairs GROUP BY 1 ORDER BY lang
+    """,
+)
+def edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein verification of blocked candidate pairs — the
+    refine stage a near-dup pipeline runs AFTER cheap blocking: block
+    on (lang, length//16) so only plausibly-similar docs pair (the
+    sorted-neighborhood principle: edit distance >= length difference,
+    so cross-bucket pairs can't be near), then compute exact edit
+    distance engine-native (unit costs; restricted to ASCII docs where
+    Spark's char-based and DuckDB's byte-based units coincide — see
+    the inline filters). Per lang: candidate count, min/sum distance, and
+    pairs within 20% of the longer text (5*dist <= max_len, integer
+    form). Scale shape: blocking bounds the quadratic refine to
+    within-bucket pairs — the all-pairs O(n^2) never materializes."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        # ASCII-only (byte length == char length): Spark levenshtein
+        # counts chars, DuckDB counts bytes — they agree only there
+        .filter(F.octet_length("text") == F.length("text"))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_chars",
+            F.expr("n_chars div 16").alias("bk"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("ida"), "lang", "bk",
+        F.col("text").alias("ta"), F.col("n_chars").alias("na"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("idb"), "lang", "bk",
+        F.col("text").alias("tb"), F.col("n_chars").alias("nb"),
+    )
+    pairs = a.join(b, ["lang", "bk"]).filter(
+        F.col("ida") < F.col("idb")
+    ).select(
+        "lang",
+        F.levenshtein("ta", "tb").alias("dist"),
+        F.greatest("na", "nb").alias("mx"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.count(F.when(5 * F.col("dist") <= F.col("mx"), 1)).alias(
+                "n_near"
+            ),
+        )
+        .orderBy("lang")
+    )
