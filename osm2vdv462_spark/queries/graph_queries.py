@@ -713,3 +713,102 @@ def graph_reciprocity_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("assortative_sign"),
     )
+
+
+# -------------------------------------- local clustering coefficient
+
+
+@register_extra(
+    "local_clustering_coeff",
+    """
+    WITH d0 AS (
+      SELECT DISTINCT user_id % 400 AS u,
+             ('0x' || substr(md5('tri:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 400 AS v
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT s AS node, count(*) AS deg FROM sym GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, count(*) AS tri_cnt FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tcnt.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           CASE WHEN deg.deg >= 2 THEN
+             CAST((2000000 * coalesce(tcnt.tri_cnt, 0))
+                  // (deg.deg * (deg.deg - 1)) AS BIGINT)
+           ELSE 0 END AS lcc_e6
+    FROM deg LEFT JOIN tcnt USING (node)
+    ORDER BY node
+    """,
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — tri_i / C(deg_i, 2), the
+    'how clique-like is my neighborhood' metric behind community
+    detection and bot scoring — over the SAME md5 interaction graph the
+    gated triangle query uses, ppm-quantized with one truncating
+    division. Spark reuses the degree-ordered-orientation triangle
+    operator (max out-degree O(sqrt m)) + a symmetric-degree count; the
+    oracle recounts via the textbook a<b<c 3-way join. Scale shape:
+    orientation bounds the triangle join fan-out regardless of degree
+    skew; degrees are one partial-agg pass."""
+    from ..operators import graph as G
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(400)).alias("u"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("tri:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 400
+        ).alias("v"),
+    )
+    edges = G.canonical_edges(pairs, "u", "v")
+    tri = G.triangle_counts(edges)
+    sym = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    return (
+        deg.join(tri.withColumnRenamed("tri_cnt", "t"), "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("tri_cnt"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2000000 * coalesce(t, 0)) div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_e6"),
+        )
+        .orderBy("node")
+    )

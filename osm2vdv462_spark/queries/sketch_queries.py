@@ -469,3 +469,130 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------- AMS / AGMS
+
+_AMS_J = 9  # independent +/-1 sketches; estimate = median (rank 5)
+
+
+@register_extra(
+    "ams_join_size",
+    f"""
+    WITH cnt AS (
+      SELECT event_type AS t, user_id AS u, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.t AS ta, b.t AS tb,
+             CAST(sum(a.c * b.c) AS BIGINT) AS exact_join
+      FROM cnt a JOIN cnt b ON a.u = b.u AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT cnt.t, j.range AS j,
+             CAST(sum(cnt.c * (CASE WHEN
+               ('0x' || substr(md5('ams' || j.range || ':'
+                                   || CAST(cnt.u AS VARCHAR)), 1, 1)
+               )::INT % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS z
+      FROM cnt CROSS JOIN range({_AMS_J}) j
+      GROUP BY 1, 2
+    ),
+    prod AS (
+      SELECT a.t AS ta, b.t AS tb, a.z * b.z AS p,
+             row_number() OVER (PARTITION BY a.t, b.t
+                                ORDER BY a.z * b.z, a.j) AS rn
+      FROM z a JOIN z b ON a.j = b.j AND a.t < b.t
+    )
+    SELECT e.ta AS type_a, e.tb AS type_b, e.exact_join,
+           p.p AS ams_estimate,
+           abs(p.p - e.exact_join) AS abs_err
+    FROM exact e
+    JOIN prod p ON p.ta = e.ta AND p.tb = e.tb
+                AND p.rn = {(_AMS_J + 1) // 2}
+    ORDER BY type_a, type_b
+    """,
+)
+def ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGMS/AMS join-size estimation (Alon-Matias-Szegedy): 9
+    independent +/-1 hash projections z_j = sum_u s_j(u) * c(u) per
+    event_type; the estimated size of the user-keyed join between two
+    types is median_j(zA_j * zB_j), reported against the exact join
+    size — the sketch a query optimizer keeps per partition to cost
+    joins without touching data. Everything is exact integers (signs
+    from an md5 hex-digit parity, products, the rank-5 median with
+    sketch-id tie-break), so the estimate hash-gates byte-exactly.
+    Scale shape: sketch state is 9 numbers per key group — mergeable
+    partials, one tiny shuffle; the exact side collapses the fact
+    table to per-(type,user) counts before the pair join."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).agg(F.count("*").alias("c"))
+    ca = cnt.select(F.col("t").alias("ta"), "u", F.col("c").alias("canta"))
+    cb = cnt.select(F.col("t").alias("tb"), "u", F.col("c").alias("cantb"))
+    exact = (
+        ca.join(cb, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("canta") * F.col("cantb"))
+            .cast("long")
+            .alias("exact_join")
+        )
+    )
+    js = spark.range(_AMS_J).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("u").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    z = (
+        cnt.crossJoin(F.broadcast(js))
+        .groupBy("t", "j")
+        .agg(F.sum(F.col("c") * sign).cast("long").alias("z"))
+    )
+    za = z.select(F.col("t").alias("ta"), "j", F.col("z").alias("za"))
+    zb = z.select(F.col("t").alias("tb"), "j", F.col("z").alias("zb"))
+    prod = (
+        za.join(zb, "j")
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "ta", "tb", "j", (F.col("za") * F.col("zb")).alias("p")
+        )
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("p", "j")
+    med = (
+        prod.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == (_AMS_J + 1) // 2)
+        .select("ta", "tb", F.col("p").alias("ams_estimate"))
+    )
+    return (
+        exact.join(med, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "exact_join",
+            "ams_estimate",
+            F.abs(F.col("ams_estimate") - F.col("exact_join")).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
