@@ -1680,3 +1680,219 @@ def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- selectivity estimation
+
+# (lo, hi) half-open cents predicates probed against the histogram
+_SEL_PREDS = [(2_000_000, 5_000_000), (10_000_000, 20_000_000),
+              (30_000_000, 49_000_000)]
+_SEL_B = 16  # equi-depth buckets
+
+
+@register_extra(
+    "histogram_selectivity_audit",
+    f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS n
+      FROM c
+    ),
+    bk AS (
+      SELECT ((rn - 1) * {_SEL_B}) // n AS b,
+             min(cents) AS bmin, max(cents) AS bmax,
+             count(*) AS cnt
+      FROM r GROUP BY 1
+    ),
+    preds(pid, lo, hi) AS (VALUES
+      {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEL_PREDS))}),
+    est AS (
+      SELECT p.pid,
+             CAST(sum(
+               bk.cnt * 1000000 *
+               greatest(0, least(p.hi, bk.bmax + 1) - greatest(p.lo, bk.bmin))
+               // (bk.bmax + 1 - bk.bmin)
+             ) AS BIGINT) AS est_rows_e6
+      FROM preds p CROSS JOIN bk
+      GROUP BY 1
+    ),
+    act AS (
+      SELECT p.pid, count(c.cents) AS actual_rows
+      FROM preds p LEFT JOIN c
+        ON c.cents >= p.lo AND c.cents < p.hi
+      GROUP BY 1
+    )
+    SELECT est.pid AS pred_id, est.est_rows_e6, act.actual_rows
+    FROM est JOIN act USING (pid) ORDER BY pred_id
+    """,
+)
+def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram selectivity estimation — the cardinality
+    model inside every cost-based optimizer: build a 16-bucket
+    equi-depth histogram over price cents (rank-sliced, so bucket
+    populations are exact), then estimate each range predicate's row
+    count by per-bucket linear interpolation (integer e6 scaling, one
+    truncating division per bucket term — identical in both engines)
+    and report it against the true count. Scale shape: the histogram
+    is one rank window + 16-row agg; estimation touches only the
+    16-row synopsis — the entire point of the structure."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents")
+    r = c.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    bk = (
+        r.groupBy(F.expr(f"((rn - 1) * {_SEL_B}) div n").alias("b"))
+        .agg(
+            F.min("cents").alias("bmin"),
+            F.max("cents").alias("bmax"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    preds = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(_SEL_PREDS)],
+        "pid int, lo long, hi long",
+    )
+    est = (
+        preds.crossJoin(F.broadcast(bk))
+        .select(
+            "pid",
+            F.expr(
+                "cnt * 1000000 *"
+                " greatest(0L, least(hi, bmax + 1) - greatest(lo, bmin))"
+                " div (bmax + 1 - bmin)"
+            ).alias("term"),
+        )
+        .groupBy("pid")
+        .agg(F.sum("term").cast("long").alias("est_rows_e6"))
+    )
+    act = (
+        preds.crossJoin(c)
+        .select(
+            "pid",
+            ((F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")))
+            .cast("long")
+            .alias("hit"),
+        )
+        .groupBy("pid")
+        .agg(F.sum("hit").alias("actual_rows"))
+    )
+    return (
+        est.join(act, "pid")
+        .select(F.col("pid").alias("pred_id"), "est_rows_e6", "actual_rows")
+        .orderBy("pred_id")
+    )
+
+
+# ---------------------------------------------------- zone maps
+
+
+_ZM_ZONE = 1000  # orderkey-range zone width
+
+
+@register_extra(
+    "zonemap_skipping_audit",
+    f"""
+    WITH z AS (
+      SELECT o_orderkey // {_ZM_ZONE} AS zone,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    zm AS (
+      SELECT zone, min(cents) AS zmin, max(cents) AS zmax,
+             count(*) AS zrows
+      FROM z GROUP BY 1
+    ),
+    preds(pid, lo, hi) AS (VALUES
+      {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEL_PREDS))}),
+    audit AS (
+      SELECT p.pid, zm.zrows,
+             (zm.zmax < p.lo OR zm.zmin >= p.hi) AS pruned
+      FROM preds p CROSS JOIN zm
+    ),
+    act AS (
+      SELECT p.pid, count(z.cents) AS actual_hits
+      FROM preds p LEFT JOIN z ON z.cents >= p.lo AND z.cents < p.hi
+      GROUP BY 1
+    )
+    SELECT a.pid AS pred_id,
+           count(*) AS n_zones,
+           count(*) FILTER (WHERE a.pruned) AS n_pruned,
+           CAST(sum(CASE WHEN a.pruned THEN 0 ELSE a.zrows END) AS BIGINT)
+             AS rows_scanned,
+           max(act.actual_hits) AS actual_hits
+    FROM audit a JOIN act ON act.pid = a.pid
+    GROUP BY 1 ORDER BY pred_id
+    """,
+)
+def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data skipping) effectiveness audit — the
+    mechanism behind parquet row-group pruning and warehouse
+    micro-partition skipping: zones are orderkey ranges, each keeps
+    only (min, max, rows) of the price column; a range predicate prunes
+    a zone iff zmax < lo or zmin >= hi. Reports, per predicate, the
+    zones pruned, the rows an engine would still scan, and the true
+    hit count — i.e. how well THIS clustering serves THIS predicate
+    (unclustered values -> wide zones -> no skipping, the audit a
+    table-layout tuner runs before choosing a sort key). Exact
+    integers; the zone synopsis is a 15-row partial-agg."""
+    o = _t(spark, sf_dir, "orders")
+    z = o.select(
+        F.expr(f"o_orderkey div {_ZM_ZONE}").alias("zone"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    zm = z.groupBy("zone").agg(
+        F.min("cents").alias("zmin"),
+        F.max("cents").alias("zmax"),
+        F.count("*").alias("zrows"),
+    )
+    preds = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(_SEL_PREDS)],
+        "pid int, lo long, hi long",
+    )
+    audit = preds.crossJoin(F.broadcast(zm)).select(
+        "pid",
+        "zrows",
+        ((F.col("zmax") < F.col("lo")) | (F.col("zmin") >= F.col("hi"))).alias(
+            "pruned"
+        ),
+    )
+    act = (
+        preds.crossJoin(z)
+        .select(
+            "pid",
+            ((F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")))
+            .cast("long")
+            .alias("hit"),
+        )
+        .groupBy("pid")
+        .agg(F.sum("hit").alias("actual_hits"))
+    )
+    return (
+        audit.groupBy("pid")
+        .agg(
+            F.count("*").alias("n_zones"),
+            F.count(F.when(F.col("pruned"), 1)).alias("n_pruned"),
+            F.sum(F.when(F.col("pruned"), 0).otherwise(F.col("zrows")))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .join(act, "pid")
+        .select(
+            F.col("pid").alias("pred_id"),
+            "n_zones",
+            "n_pruned",
+            "rows_scanned",
+            "actual_hits",
+        )
+        .orderBy("pred_id")
+    )
