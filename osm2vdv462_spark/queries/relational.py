@@ -1896,3 +1896,225 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_id")
     )
+
+
+# ---------------------------------------------------- Merkle roots
+
+
+@register_extra(
+    "merkle16_partition_roots",
+    """
+    WITH leaf AS (
+      SELECT o_orderkey // 1000 AS zone, o_orderkey AS k,
+             md5(CAST(o_orderkey AS VARCHAR) || ':'
+                 || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR)
+                 || ':' || o_orderstatus) AS h
+      FROM orders
+    ),
+    l0 AS (
+      SELECT zone, h,
+             row_number() OVER (PARTITION BY zone ORDER BY k) - 1 AS i
+      FROM leaf
+    ),
+    l1 AS (
+      SELECT zone, i // 16 AS i,
+             md5(string_agg(h, '' ORDER BY i)) AS h
+      FROM l0 GROUP BY zone, i // 16
+    ),
+    l2 AS (
+      SELECT zone, i // 16 AS i,
+             md5(string_agg(h, '' ORDER BY i)) AS h
+      FROM l1 GROUP BY zone, i // 16
+    ),
+    root AS (
+      SELECT zone, md5(string_agg(h, '' ORDER BY i)) AS merkle_root,
+             count(*) AS n_l2
+      FROM l2 GROUP BY zone
+    )
+    SELECT zone, merkle_root,
+           (SELECT count(*) FROM leaf lf WHERE lf.zone = root.zone)
+             AS n_rows
+    FROM root ORDER BY zone
+    """,
+)
+def merkle16_partition_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-16 Merkle tree root per table zone — the content-integrity
+    fingerprint a lakehouse computes per partition to detect drift or
+    tampering without re-reading neighbors (Delta/Iceberg-style
+    manifests carry exactly this shape of summary). Leaves are md5 of
+    the canonical row rendering in key order; two 16-ary combine levels
+    then the zone root. Deterministic strings end to end. Scale shape:
+    the combines are ordered-collect_list aggregations per 16-group —
+    partial-friendly, fan-in 16 keeps the shuffle payload at 1/16 per
+    level; nothing ever sorts globally."""
+    o = _t(spark, sf_dir, "orders")
+    leaf = o.select(
+        F.expr("o_orderkey div 1000").alias("zone"),
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .cast("string"),
+                F.lit(":"),
+                F.col("o_orderstatus"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    w = Window.partitionBy("zone").orderBy("k")
+    l0 = leaf.select(
+        "zone", "h", (F.row_number().over(w) - 1).alias("i")
+    )
+
+    def combine(df):
+        return (
+            df.groupBy("zone", F.expr("i div 16").alias("gi"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.expr(
+                            "transform(sort_array(collect_list("
+                            "struct(i, h))), x -> x.h)"
+                        ),
+                    ).cast("binary")
+                ).alias("h")
+            )
+            .withColumnRenamed("gi", "i")
+        )
+
+    l2 = combine(combine(l0))
+    root = l2.groupBy("zone").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(i, h))),"
+                    " x -> x.h)"
+                ),
+            ).cast("binary")
+        ).alias("merkle_root")
+    )
+    nrows = leaf.groupBy("zone").agg(F.count("*").alias("n_rows"))
+    return root.join(nrows, "zone").orderBy("zone")
+
+
+# ------------------------------------------------ consistent hashing
+
+_CH_SERVERS = 8
+_CH_VNODES = 16
+
+
+@register_extra(
+    "consistent_hash_balance",
+    f"""
+    WITH ring AS (
+      SELECT 's' || CAST(s.range AS VARCHAR) AS server,
+             ('0x' || substr(md5('vn:s' || CAST(s.range AS VARCHAR)
+                                 || ':' || CAST(v.range AS VARCHAR)),
+                             1, 8))::BIGINT AS vpos
+      FROM range({_CH_SERVERS}) s, range({_CH_VNODES}) v
+    ),
+    keys AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5('key:' || CAST(o_orderkey AS VARCHAR)),
+                             1, 8))::BIGINT AS kpos
+      FROM orders
+    ),
+    wrap AS (
+      SELECT server AS wserver
+      FROM ring ORDER BY vpos, server LIMIT 1
+    ),
+    assign AS (
+      SELECT k.o_orderkey,
+             coalesce(
+               (SELECT r.server FROM ring r
+                WHERE r.vpos >= k.kpos
+                ORDER BY r.vpos, r.server LIMIT 1),
+               (SELECT wserver FROM wrap)) AS server
+      FROM keys k
+    )
+    SELECT server, count(*) AS n_keys
+    FROM assign GROUP BY 1 ORDER BY server
+    """,
+)
+def consistent_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring balance audit: 8 servers x 16 virtual
+    nodes on a 32-bit md5 ring, every order key routed to the successor
+    vnode (wraparound to the ring minimum) — the shard-placement design
+    check run before picking vnode counts (too few vnodes -> hot
+    shards). Exact integers/strings. Spark: the ring is a 128-row
+    broadcast; assignment is min-over-candidates + global-min fallback
+    in one pass — no per-key subquery, the identical semantics the
+    oracle writes as correlated LIMIT 1 lookups. Scale shape: broadcast
+    dim join, map-side only."""
+    o = _t(spark, sf_dir, "orders")
+    ring = (
+        spark.range(_CH_SERVERS)
+        .select(F.concat(F.lit("s"), F.col("id").cast("string")).alias("server"))
+        .crossJoin(spark.range(_CH_VNODES).select(F.col("id").alias("v")))
+        .select(
+            "server",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("vn:"),
+                            F.col("server"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("vpos"),
+        )
+    )
+    keys = o.select(
+        "o_orderkey",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("key:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("kpos"),
+    )
+    cand = keys.join(
+        F.broadcast(ring), F.col("vpos") >= F.col("kpos"), "left"
+    )
+    wsucc = Window.partitionBy("o_orderkey").orderBy(
+        F.asc_nulls_last("vpos"), F.asc_nulls_last("server")
+    )
+    first = (
+        cand.withColumn("rn", F.row_number().over(wsucc))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.col("server").alias("succ"))
+    )
+    wrap = ring.orderBy("vpos", "server").limit(1).select(
+        F.col("server").alias("wserver")
+    )
+    assign = first.crossJoin(F.broadcast(wrap)).select(
+        "o_orderkey", F.coalesce("succ", F.col("wserver")).alias("server")
+    )
+    return (
+        assign.groupBy("server")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("server")
+    )
