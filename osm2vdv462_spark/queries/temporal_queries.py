@@ -1254,7 +1254,10 @@ def gorilla_dod_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH iv AS (
       SELECT o.o_custkey AS k, o.o_orderkey,
              CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS s,
-             CAST(floor(epoch(max(l.l_shipdate))) AS BIGINT) AS e
+             -- clamp: synthetic shipdates can precede the order date,
+             -- and Allen's relations are defined only for s <= e
+             greatest(CAST(floor(epoch(o.o_orderdate)) AS BIGINT),
+                      CAST(floor(epoch(max(l.l_shipdate))) AS BIGINT)) AS e
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2, o.o_orderdate
     ),
@@ -1301,7 +1304,12 @@ def allen_relation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("k"),
             "o_orderkey",
             F.unix_timestamp("o_orderdate").cast("long").alias("s"),
-            F.unix_timestamp("maxship").cast("long").alias("e"),
+            # clamp backward synthetic intervals — Allen relations are
+            # defined only for s <= e (see the oracle comment)
+            F.greatest(
+                F.unix_timestamp("o_orderdate").cast("long"),
+                F.unix_timestamp("maxship").cast("long"),
+            ).alias("e"),
         )
     )
     w = Window.partitionBy("k").orderBy("s", "e", "o_orderkey")
@@ -1410,4 +1418,185 @@ def decay_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("event_type", "rk", "user_id", "score")
         .orderBy("event_type", "rk")
+    )
+
+
+# ---------------------------------------------------- token bucket
+
+_TB_CAP = 5
+_TB_REFILL_S = 600  # one token per 10 minutes
+
+
+@register_extra(
+    "token_bucket_throttle",
+    f"""
+    WITH RECURSIVE pos AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    st(user_id, rn, t, tokens, allowed) AS (
+      SELECT user_id, rn, t, {_TB_CAP} - 1, 1
+      FROM pos WHERE rn = 1
+      UNION ALL
+      SELECT p.user_id, p.rn, p.t,
+             least({_TB_CAP}, s.tokens + (p.t - s.t) // {_TB_REFILL_S})
+               - CASE WHEN least({_TB_CAP},
+                   s.tokens + (p.t - s.t) // {_TB_REFILL_S}) >= 1
+                 THEN 1 ELSE 0 END,
+             CASE WHEN least({_TB_CAP},
+                   s.tokens + (p.t - s.t) // {_TB_REFILL_S}) >= 1
+                 THEN 1 ELSE 0 END
+      FROM st s JOIN pos p
+        ON p.user_id = s.user_id AND p.rn = s.rn + 1
+    ),
+    per_user AS (
+      SELECT user_id, sum(allowed) AS n_allowed,
+             count(*) - sum(allowed) AS n_throttled
+      FROM st GROUP BY 1
+    )
+    SELECT user_id % 10 AS bucket,
+           count(*) AS n_users,
+           CAST(sum(n_allowed) AS BIGINT) AS allowed,
+           CAST(sum(n_throttled) AS BIGINT) AS throttled
+    FROM per_user GROUP BY 1 ORDER BY bucket
+    """,
+)
+def token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting replayed over each user's event
+    stream (capacity 5, refill 1 token / 10 min, integer refill
+    (delta_t // 600), start full) — the API-abuse / scraper-detection
+    audit: how much of the historical traffic WOULD have been
+    throttled under a proposed limit. Inherently sequential per-key
+    state, so Spark runs it as applyInPandas (state never leaves one
+    task — the same shape as the gated sessionization operators); the
+    oracle replays the identical recurrence as a recursive CTE chained
+    on row number. Exact integers; reported per user-id bucket."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+
+    import pandas as pd
+
+    def _tb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        tokens, prev_t, allowed = _TB_CAP, None, 0
+        n = 0
+        for t in pdf["t"]:
+            n += 1
+            if prev_t is not None:
+                tokens = min(_TB_CAP, tokens + (t - prev_t) // _TB_REFILL_S)
+            if tokens >= 1:
+                tokens -= 1
+                allowed += 1
+            prev_t = t
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_allowed": [allowed],
+                "n_throttled": [n - allowed],
+            }
+        )
+
+    per_user = base.groupBy("user_id").applyInPandas(
+        _tb, "user_id long, n_allowed long, n_throttled long"
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_allowed").cast("long").alias("allowed"),
+            F.sum("n_throttled").cast("long").alias("throttled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -------------------------------------------- interval scheduling
+
+
+@register_extra(
+    "interval_scheduling_max",
+    """
+    WITH RECURSIVE iv AS (
+      SELECT o.o_custkey AS k, o.o_orderkey AS okey,
+             CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS s,
+             -- clamp: synthetic shipdates can precede the order date;
+             -- a scheduling interval is [s, max(s, e)] (and without the
+             -- clamp, backward intervals create s >= e cycles that make
+             -- the chain closure non-terminating)
+             greatest(CAST(floor(epoch(o.o_orderdate)) AS BIGINT),
+                      CAST(floor(epoch(max(l.l_shipdate))) AS BIGINT)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, o.o_orderdate
+    ),
+    chain(k, okey, s, e, n) AS (
+      SELECT k, okey, s, e, 1 FROM iv
+      UNION
+      -- strict (s, e, okey) progress: every compatible set sorted by
+      -- this key is a valid chain, and the strict order kills the
+      -- zero-length ping-pong cycles
+      SELECT b.k, b.okey, b.s, b.e, c.n + 1
+      FROM chain c JOIN iv b ON b.k = c.k AND b.s >= c.e
+        AND (b.s > c.s OR (b.s = c.s AND
+             (b.e > c.e OR (b.e = c.e AND b.okey > c.okey))))
+    ),
+    mx AS (SELECT k, max(n) AS max_disjoint FROM chain GROUP BY 1)
+    SELECT CAST(max_disjoint AS INT) AS max_disjoint,
+           count(*) AS n_customers
+    FROM mx GROUP BY 1 ORDER BY max_disjoint
+    """,
+)
+def interval_scheduling_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval scheduling maximization per customer: the largest set
+    of non-overlapping order lifetimes ([orderdate, max shipdate];
+    touching endpoints compatible) — the classic greedy-by-earliest-
+    end problem, i.e. how many sequential engagements a key actually
+    sustains. Spark runs the O(n log n) greedy per customer in
+    applyInPandas (provably optimal); the oracle takes the INDEPENDENT
+    route: max chain length under the s >= e partial order via a
+    recursive UNION-dedup closure — greedy vs DP derivations agreeing
+    is itself the correctness check. Output: histogram of the maximum
+    per customer. Exact epoch-second integers."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("maxship"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.unix_timestamp("o_orderdate").cast("long").alias("s"),
+            # clamp backward synthetic intervals to [s, max(s, e)] —
+            # see the oracle comment
+            F.greatest(
+                F.unix_timestamp("o_orderdate").cast("long"),
+                F.unix_timestamp("maxship").cast("long"),
+            ).alias("e"),
+        )
+    )
+
+    import pandas as pd
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, last_end = 0, None
+        for s, e in sorted(zip(pdf["s"], pdf["e"]), key=lambda x: (x[1], x[0])):
+            if last_end is None or s >= last_end:
+                n += 1
+                last_end = e
+        return pd.DataFrame(
+            {"k": [pdf["k"].iloc[0]], "max_disjoint": [n]}
+        )
+
+    mx = iv.groupBy("k").applyInPandas(
+        _greedy, "k long, max_disjoint int"
+    )
+    return (
+        mx.groupBy("max_disjoint")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("max_disjoint")
     )
