@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.knn import knn_join_broadcast
 from ..operators.spatial_join import pip_join_broadcast, pip_join_shuffle
@@ -4284,4 +4284,106 @@ def global_autocorr_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(1000000 * (n - 1) * n * num_c) div (2 * w * nd)"
             ).alias("geary_c_e6"),
         )
+    )
+
+
+# ------------------------------------------------- fence crossings
+
+# fixed fence polyline in the LCG residue domain [0, 2000)^2
+_FENCE = [(1000, 0), (900, 400), (1100, 800), (900, 1200),
+          (1100, 1600), (1000, 2000)]
+_FENCE_SEGS = list(zip(_FENCE[:-1], _FENCE[1:]))
+
+
+@register_extra(
+    "fence_crossing_counts",
+    f"""
+    WITH pts AS (
+      SELECT user_id,
+             (event_id * 37 + 11) % 2000 AS u,
+             (event_id * 73 + 29) % 2000 AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, u AS x1, v AS y1,
+             lead(u) OVER w AS x2, lead(v) OVER w AS y2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    fence(fx1, fy1, fx2, fy2) AS (VALUES
+      {", ".join(f"({a[0]}, {a[1]}, {b[0]}, {b[1]})" for a, b in _FENCE_SEGS)}),
+    x AS (
+      SELECT s.user_id,
+             CASE WHEN
+               sign((fx2-fx1)*(s.y1-fy1) - (fy2-fy1)*(s.x1-fx1))
+             * sign((fx2-fx1)*(s.y2-fy1) - (fy2-fy1)*(s.x2-fx1)) < 0
+             AND
+               sign((s.x2-s.x1)*(fy1-s.y1) - (s.y2-s.y1)*(fx1-s.x1))
+             * sign((s.x2-s.x1)*(fy2-s.y1) - (s.y2-s.y1)*(fx2-s.x1)) < 0
+             THEN 1 ELSE 0 END AS hit
+      FROM seg s CROSS JOIN fence
+      WHERE s.x2 IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) // {len(_FENCE_SEGS)} AS n_segments,
+           CAST(sum(hit) AS BIGINT) AS n_crossings
+    FROM x GROUP BY 1 ORDER BY user_id
+    """,
+)
+def fence_crossing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence LINE-crossing detection: count each user's trajectory
+    segments that properly cross the fixed fence polyline — the
+    boundary-breach event a fleet/geo pipeline raises (the
+    complementary op to the containment-style geofence queries).
+    Proper-crossing test is the classic double-orientation sign
+    predicate in EXACT integer residue coordinates (cross products
+    < 2*2000^2, int64-safe; touching or collinear contact counts as no
+    crossing, deterministically). Scale shape: trajectories come from
+    one lead() window per user; the fence is a 5-row broadcast VALUES
+    dim, so the crossing join is map-side constant fan-out."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("u"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("v"),
+    )
+    seg = pts.select(
+        "user_id",
+        F.col("u").alias("x1"),
+        F.col("v").alias("y1"),
+        F.lead("u").over(w).alias("x2"),
+        F.lead("v").over(w).alias("y2"),
+    ).filter(F.col("x2").isNotNull())
+    fence = spark.createDataFrame(
+        [(a[0], a[1], b[0], b[1]) for a, b in _FENCE_SEGS],
+        "fx1 long, fy1 long, fx2 long, fy2 long",
+    )
+    d1 = (F.col("fx2") - F.col("fx1")) * (F.col("y1") - F.col("fy1")) - (
+        F.col("fy2") - F.col("fy1")
+    ) * (F.col("x1") - F.col("fx1"))
+    d2 = (F.col("fx2") - F.col("fx1")) * (F.col("y2") - F.col("fy1")) - (
+        F.col("fy2") - F.col("fy1")
+    ) * (F.col("x2") - F.col("fx1"))
+    d3 = (F.col("x2") - F.col("x1")) * (F.col("fy1") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("fx1") - F.col("x1"))
+    d4 = (F.col("x2") - F.col("x1")) * (F.col("fy2") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("fx2") - F.col("x1"))
+    hit = (
+        (F.signum(d1.cast("double")) * F.signum(d2.cast("double")) < 0)
+        & (F.signum(d3.cast("double")) * F.signum(d4.cast("double")) < 0)
+    ).cast("int")
+    x = seg.crossJoin(F.broadcast(fence)).select("user_id", hit.alias("hit"))
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.expr(f"count(1) div {len(_FENCE_SEGS)}").alias("n_segments"),
+            F.sum("hit").cast("long").alias("n_crossings"),
+        )
+        .orderBy("user_id")
     )
