@@ -1750,3 +1750,155 @@ def lis_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("lis_len")
     )
+
+
+# ----------------------------------------------------- motif pairs
+
+_MOTIF_W = 3  # window length; pairs must not overlap (j >= i + W)
+
+
+@register_extra(
+    "motif_min_distance",
+    f"""
+    WITH pos AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, i, v AS a,
+             lead(v, 1) OVER win AS b, lead(v, 2) OVER win AS c
+      FROM pos WINDOW win AS (PARTITION BY user_id ORDER BY i)
+    ),
+    ww AS (SELECT * FROM w WHERE c IS NOT NULL),
+    d AS (
+      SELECT x.user_id, x.i AS i, y.i AS j,
+             (x.a-y.a)*(x.a-y.a) + (x.b-y.b)*(x.b-y.b)
+           + (x.c-y.c)*(x.c-y.c) AS d
+      FROM ww x JOIN ww y
+        ON y.user_id = x.user_id AND y.i >= x.i + {_MOTIF_W}
+    ),
+    best AS (
+      SELECT user_id, i, j, d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY d, i, j) AS rn
+      FROM d
+    )
+    SELECT b.user_id,
+           (SELECT count(*) FROM ww WHERE ww.user_id = b.user_id)
+             AS n_windows,
+           b.d AS min_d, CAST(b.i AS INT) AS i, CAST(b.j AS INT) AS j
+    FROM best b WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def motif_min_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series motif discovery (the matrix-profile primitive): per
+    user, the closest pair of NON-overlapping length-3 subsequences of
+    the cents value stream under squared Euclidean distance (tie ->
+    smallest window indices) — the repeated-behavior detector behind
+    replay/bot forensics. Exact integers. Spark runs the all-pair scan
+    vectorized per user inside applyInPandas (per-key state in one
+    task, the distributed matrix-profile shape); the oracle derives
+    windows with lead() and takes the argmin over an inequality
+    self-join — window-function vs join derivations."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+
+    def _motif(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["v"].to_numpy()
+        nw = len(v) - _MOTIF_W + 1
+        if nw < _MOTIF_W + 1:
+            return pd.DataFrame(
+                columns=["user_id", "n_windows", "min_d", "i", "j"]
+            ).astype(
+                {"user_id": "int64", "n_windows": "int64",
+                 "min_d": "int64", "i": "int32", "j": "int32"}
+            )
+        wins = np.stack([v[k : k + nw] for k in range(_MOTIF_W)], axis=1)
+        best = None
+        for ii in range(nw):
+            jj = np.arange(ii + _MOTIF_W, nw)
+            if len(jj) == 0:
+                continue
+            dd = ((wins[jj] - wins[ii]) ** 2).sum(axis=1)
+            k = int(dd.argmin())
+            cand = (int(dd[k]), ii + 1, int(jj[k]) + 1)
+            if best is None or cand < best:
+                best = cand
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_windows": [nw],
+                "min_d": [best[0]],
+                "i": [best[1]],
+                "j": [best[2]],
+            }
+        )
+
+    out = base.groupBy("user_id").applyInPandas(
+        _motif, "user_id long, n_windows long, min_d long, i int, j int"
+    )
+    return out.orderBy("user_id")
+
+
+# ---------------------------------------------- sequence patterns
+
+
+_SEQ_PATTERN = "s[cv]*p"  # signup, then clicks/views, then purchase
+
+
+@register_extra(
+    "event_pattern_matches",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT)
+             AS n_matches
+    FROM seq ORDER BY user_id
+    """,
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching: encode each user's
+    event-time-ordered type stream as a symbol string (first letter:
+    c/e/p/s/v) and count non-overlapping matches of the funnel pattern
+    's[cv]*p' (signup, any clicks/views, purchase) — SQL:2016 row
+    pattern semantics compiled to a regex over the per-key symbol
+    sequence, the standard trick for running MATCH_RECOGNIZE on
+    engines that lack it. Leftmost non-overlapping greedy matching is
+    identical in Java regex and RE2 for this star-free-of-ambiguity
+    pattern. Scale shape: one ordered string_agg per key (the sequence
+    fits because symbols are 1 byte/event), then a pure map-side
+    regexp count."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id,"
+                " substring(event_type, 1, 1) as ch))), x -> x.ch)"
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.regexp_count(F.col("s"), F.lit(_SEQ_PATTERN))
+        .cast("long")
+        .alias("n_matches"),
+    ).orderBy("user_id")
