@@ -1600,3 +1600,71 @@ def interval_scheduling_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("max_disjoint")
     )
+
+
+# --------------------------------------------------- business days
+
+
+@register_extra(
+    "business_days_aging",
+    """
+    WITH iv AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS d0,
+             greatest(
+               CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400,
+               CAST(floor(epoch(max(l.l_shipdate))) AS BIGINT) // 86400)
+               AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, o.o_orderkey, o.o_orderdate
+    ),
+    bd AS (
+      SELECT priority,
+             (5 * ((d1 + 3) // 7) + least((d1 + 3) % 7, 5))
+           - (5 * ((d0 + 3) // 7) + least((d0 + 3) % 7, 5)) AS bizdays
+      FROM iv
+    )
+    SELECT priority,
+           count(*) AS n_orders,
+           CAST(sum(bizdays) AS BIGINT) AS sum_bizdays,
+           CAST(max(bizdays) AS BIGINT) AS max_bizdays
+    FROM bd GROUP BY 1 ORDER BY priority
+    """,
+)
+def business_days_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day aging (order date -> last shipment) per priority —
+    the SLA metric every ops dashboard needs, in PURE INTEGER calendar
+    arithmetic: day_index = epoch//86400, align m = day+3 so m%7 == 0
+    is Monday (1970-01-01 was a Thursday), and weekdays-before-day is
+    the closed form f(m) = 5*(m//7) + min(m%7, 5); the business-day
+    span is f(end) - f(start). No engine date/dow builtins — their
+    week-numbering conventions differ across engines, the epoch
+    formula cannot. Backward synthetic ship intervals clamp to zero
+    span. Scale shape: map-side arithmetic + one partial agg."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("maxship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias("d0"),
+            F.greatest(
+                F.expr("unix_timestamp(o_orderdate) div 86400"),
+                F.expr("unix_timestamp(maxship) div 86400"),
+            ).alias("d1"),
+        )
+    )
+    f0 = F.expr("5 * ((d0 + 3) div 7) + least((d0 + 3) % 7, 5L)")
+    f1 = F.expr("5 * ((d1 + 3) div 7) + least((d1 + 3) % 7, 5L)")
+    bd = iv.select("priority", (f1 - f0).alias("bizdays"))
+    return (
+        bd.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("bizdays").cast("long").alias("sum_bizdays"),
+            F.max("bizdays").cast("long").alias("max_bizdays"),
+        )
+        .orderBy("priority")
+    )
