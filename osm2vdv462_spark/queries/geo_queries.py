@@ -4387,3 +4387,68 @@ def fence_crossing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------- EB rate shrinkage
+
+_EB_M = 50  # shrinkage prior strength (pseudo-events per cell)
+
+
+@register_extra(
+    "eb_shrunken_rates",
+    f"""
+    WITH pts AS (
+      SELECT ((event_id * 37 + 11) % 2000) // 250 AS gx,
+             ((event_id * 73 + 29) % 2000) // 250 AS gy,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    cell AS (
+      SELECT gx, gy, count(*) AS n, sum(hit) AS x
+      FROM pts GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(x) AS xx FROM cell)
+    SELECT cell.gx, cell.gy,
+           CAST(cell.n AS BIGINT) AS n, CAST(cell.x AS BIGINT) AS x,
+           CAST((1000000 * cell.x) // cell.n AS BIGINT) AS raw_ppm,
+           CAST((1000000 * (cell.x * tot.nn + {_EB_M} * tot.xx))
+                // (tot.nn * (cell.n + {_EB_M})) AS BIGINT) AS shrunk_ppm
+    FROM cell, tot
+    ORDER BY gx, gy
+    """,
+)
+def eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage over grid cells (the disease-
+    mapping / small-area estimation smoother): each cell's purchase
+    rate is pulled toward the global rate with prior strength m = 50
+    pseudo-events — shrunk = (x_i + m*X/N) / (n_i + m), computed
+    exactly by multiplying through by N so the global rate never
+    becomes a float: ppm = 1e6*(x_i*N + m*X) // (N*(n_i + m)). The
+    variance-stabilized map a geo dashboard should show instead of
+    raw small-n rates. Scale shape: one partial-agg to cells, one
+    1-row broadcast of the global totals, map-side division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.expr("((event_id * 37 + 11) % 2000) div 250").alias("gx"),
+        F.expr("((event_id * 73 + 29) % 2000) div 250").alias("gy"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    cell = pts.groupBy("gx", "gy").agg(
+        F.count("*").alias("n"), F.sum("hit").alias("x")
+    )
+    tot = cell.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "gx",
+            "gy",
+            F.col("n").cast("long").alias("n"),
+            F.col("x").cast("long").alias("x"),
+            F.expr("(1000000 * x) div n").alias("raw_ppm"),
+            F.expr(
+                f"(1000000 * (x * nn + {_EB_M} * xx))"
+                f" div (nn * (n + {_EB_M}))"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy("gx", "gy")
+    )

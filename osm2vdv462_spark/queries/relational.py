@@ -2118,3 +2118,140 @@ def consistent_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"))
         .orderBy("server")
     )
+
+
+# ------------------------------------------------ encoding advisor
+
+
+@register_extra(
+    "encoding_advisor",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             user_id,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    v AS (
+      SELECT rn, 'event_type' AS col,
+             CAST(length(event_type) AS BIGINT) AS width,
+             event_type AS val FROM s
+      UNION ALL
+      SELECT rn, 'user_id', 8, CAST(user_id AS VARCHAR) FROM s
+      UNION ALL
+      SELECT rn, 'cents', 8, CAST(cents AS VARCHAR) FROM s
+    ),
+    runs AS (
+      SELECT col, sum(isnew) AS n_runs FROM (
+        SELECT col,
+               CASE WHEN val IS DISTINCT FROM
+                   lag(val) OVER (PARTITION BY col ORDER BY rn)
+                   THEN 1 ELSE 0 END AS isnew
+        FROM v
+      ) GROUP BY col
+    ),
+    stats AS (
+      SELECT col, count(*) AS n,
+             CAST(sum(width) AS BIGINT) AS plain_bytes,
+             count(DISTINCT val) AS nd,
+             CAST(sum(width) FILTER (WHERE rn_d = 1) AS BIGINT)
+               AS dict_payload
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY col, val
+                                     ORDER BY rn) AS rn_d
+        FROM v
+      ) GROUP BY col
+    )
+    SELECT stats.col,
+           stats.plain_bytes,
+           CAST(stats.nd AS BIGINT) AS n_distinct,
+           stats.dict_payload
+             + (stats.n * length(bin(stats.nd - 1)) + 7) // 8
+             AS dict_bytes,
+           CAST(runs.n_runs AS BIGINT) AS n_runs
+    FROM stats JOIN runs USING (col)
+    ORDER BY col
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor (the decision parquet/ORC writers make
+    per page): for each candidate column compute the PLAIN size (sum
+    of value widths), the DICTIONARY size (distinct payload + n
+    indices at ceil(log2(nd)) bits), and the RLE run count in storage
+    (ts, event_id) order — exact integers, the inputs to a
+    bytes-per-encoding comparison that picks the layout. Scale shape:
+    one long-format union scan, a distinct-rank window for the
+    dictionary payload, and a lag window for runs — all
+    partial-aggregable per column; nothing materializes an encoded
+    copy."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    v = (
+        s.select(
+            "rn",
+            F.lit("event_type").alias("col"),
+            F.length("event_type").cast("long").alias("width"),
+            F.col("event_type").alias("val"),
+        )
+        .unionAll(
+            s.select(
+                "rn",
+                F.lit("user_id"),
+                F.lit(8).cast("long"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        .unionAll(
+            s.select(
+                "rn",
+                F.lit("cents"),
+                F.lit(8).cast("long"),
+                F.col("cents").cast("string"),
+            )
+        )
+    )
+    wr = Window.partitionBy("col").orderBy("rn")
+    runs = v.select(
+        "col",
+        F.when(
+            ~F.col("val").eqNullSafe(F.lag("val").over(wr)), 1
+        )
+        .otherwise(0)
+        .alias("isnew"),
+    ).groupBy("col").agg(F.sum("isnew").cast("long").alias("n_runs"))
+    wd = Window.partitionBy("col", "val").orderBy("rn")
+    stats = (
+        v.withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("col")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("width").cast("long").alias("plain_bytes"),
+            F.countDistinct("val").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("rn_d") == 1, F.col("width")))
+            .cast("long")
+            .alias("dict_payload"),
+        )
+    )
+    return (
+        stats.join(runs, "col")
+        .select(
+            "col",
+            "plain_bytes",
+            "n_distinct",
+            (
+                F.col("dict_payload")
+                + F.expr(
+                    "(n * length(bin(n_distinct - 1)) + 7) div 8"
+                )
+            ).alias("dict_bytes"),
+            "n_runs",
+        )
+        .orderBy("col")
+    )
