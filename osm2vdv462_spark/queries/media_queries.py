@@ -1725,3 +1725,150 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_incremental(docs, batch).orderBy(
         "id_a", "id_b"
     )
+
+
+# ------------------------------------------------------------- DTW
+
+_DTW_F = 16  # energy frames per clip (100 samples each)
+_DTW_FRAME = 100
+
+
+def _dtw_oracle() -> str:
+    """Anti-diagonal unrolled DTW DP over the 16x16 cost table: cells
+    on diagonal d = i + j depend only on diagonals d-1 (up, left) and
+    d-2 (diag), so each diagonal is one CTE joining the previous two."""
+    lvl = []
+    for dd in range(1, 2 * _DTW_F - 1):
+        prev, prev2 = f"dp{dd - 1}", f"dp{dd - 2}"
+        diag = (
+            f"LEFT JOIN {prev2} dg ON dg.doc_id = c.doc_id"
+            " AND dg.i = c.i - 1 AND dg.j = c.j - 1"
+            if dd >= 2
+            else "LEFT JOIN dp0 dg ON false"
+        )
+        # MATERIALIZED: each level is referenced twice by the next
+        # (up + left); inlined, the plan tree doubles per level
+        lvl.append(f"""
+    dp{dd} AS MATERIALIZED (
+      SELECT c.doc_id, c.i, c.j,
+             c.c + least(
+               coalesce(up.v, 1152921504606846976),
+               coalesce(lf.v, 1152921504606846976),
+               coalesce(dg.v, 1152921504606846976)) AS v
+      FROM cost c
+      LEFT JOIN {prev} up ON up.doc_id = c.doc_id
+        AND up.i = c.i - 1 AND up.j = c.j
+      LEFT JOIN {prev} lf ON lf.doc_id = c.doc_id
+        AND lf.i = c.i AND lf.j = c.j - 1
+      {diag}
+      WHERE c.i + c.j = {dd}
+    )""")
+    return f"""
+    WITH k AS (SELECT range AS k FROM range({_DTW_F * _DTW_FRAME})),
+    s AS (
+      SELECT d.doc_id, k.k,
+             abs(((d.doc_id * 7919 + k.k * 104729 + 12345) % 65536)
+                 - 32768) AS a
+      FROM documents d CROSS JOIN k
+    ),
+    e AS (
+      SELECT doc_id, k // {_DTW_FRAME} AS f, CAST(sum(a) AS BIGINT) AS e
+      FROM s GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.f AS i, b.f AS j, abs(a.e - b.e) AS c
+      FROM e a JOIN e b ON b.doc_id = a.doc_id + 1
+    ),
+    -- MATERIALIZED: 31 DP levels reference this; inlined it would
+    -- re-open the parquet per reference and exhaust file descriptors
+    cost AS MATERIALIZED (SELECT doc_id, i, j, c FROM pairs),
+    dp0 AS MATERIALIZED (
+      SELECT doc_id, i, j, c AS v FROM cost WHERE i = 0 AND j = 0
+    ),
+    {",".join(lvl)},
+    unwarped AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS l1_cost
+      FROM cost WHERE i = j GROUP BY 1
+    )
+    SELECT d.doc_id, d.v AS dtw_cost, u.l1_cost
+    FROM dp{2 * _DTW_F - 2} d JOIN unwarped u USING (doc_id)
+    WHERE d.i = {_DTW_F - 1} AND d.j = {_DTW_F - 1}
+    ORDER BY d.doc_id
+    """
+
+
+@register_extra("audio_dtw_align", _dtw_oracle())
+def audio_dtw_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between consecutive audio clips — the
+    alignment kernel of speech/series matching: per clip pair
+    (doc_id, doc_id+1), the DTW cost over 16-frame |sample|-energy
+    sequences (cost |eA_i - eB_j|, steps up/left/diagonal), reported
+    against the unwarped diagonal L1 cost (DTW <= L1 always — the
+    warping gain). Spark decodes REAL PCM blobs (the from-scratch
+    audio path) and runs the O(F^2) table per pair vectorized row-wise;
+    the oracle unrolls the DP over the 31 anti-diagonals — wavefront
+    order, the same trick systolic DTW hardware uses — from the
+    closed-form waveform, decode-free. Exact integers throughout.
+    Scale shape: pairing is an equi-join on doc_id+1; per-pair work is
+    constant (256 cells)."""
+    from ..pipeline import audio as au
+
+    clips = au.audio_df(spark, sf_dir, n_samples=_DTW_F * _DTW_FRAME)
+    a = clips.select(
+        "doc_id", F.col("pcm").alias("pa"), F.col("codec").alias("ca")
+    )
+    b = clips.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("pcm").alias("pb"),
+        F.col("codec").alias("cb"),
+    )
+    pairs = a.join(b, "doc_id")
+
+    def _dtw(batches):
+        import numpy as np
+        import pandas as pd
+
+        big = 1 << 60
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                va = np.abs(
+                    au.decode_pcm(bytes(row.pa), row.ca).astype(np.int64)
+                )
+                vb = np.abs(
+                    au.decode_pcm(bytes(row.pb), row.cb).astype(np.int64)
+                )
+                ea = va.reshape(_DTW_F, _DTW_FRAME).sum(axis=1)
+                eb = vb.reshape(_DTW_F, _DTW_FRAME).sum(axis=1)
+                c = np.abs(ea[:, None] - eb[None, :])
+                d = np.full((_DTW_F, _DTW_F), big, np.int64)
+                d[0, 0] = c[0, 0]
+                for i in range(_DTW_F):
+                    for j in range(_DTW_F):
+                        if i == 0 and j == 0:
+                            continue
+                        best = big
+                        if i > 0:
+                            best = min(best, d[i - 1, j])
+                        if j > 0:
+                            best = min(best, d[i, j - 1])
+                        if i > 0 and j > 0:
+                            best = min(best, d[i - 1, j - 1])
+                        d[i, j] = c[i, j] + best
+                out.append(
+                    (
+                        int(row.doc_id),
+                        int(d[-1, -1]),
+                        int(np.trace(c)),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "dtw_cost", "l1_cost"]
+                )
+
+    return (
+        pairs.select("doc_id", "pa", "ca", "pb", "cb")
+        .mapInPandas(_dtw, "doc_id long, dtw_cost long, l1_cost long")
+        .orderBy("doc_id")
+    )
