@@ -1902,3 +1902,192 @@ def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_matches"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------------- Viterbi
+
+# integer log-odds (x100), states 0=browse-mode 1=buy-mode; symbols:
+# conversion events (purchase/signup) vs browse events (view/click/error)
+_VIT_T00, _VIT_T01 = -10, -200
+_VIT_T10, _VIT_T11 = -150, -20
+_VIT_INIT0, _VIT_INIT1 = -50, -100
+_VIT_E0_CONV, _VIT_E0_BROWSE = -300, -50
+_VIT_E1_CONV, _VIT_E1_BROWSE = -80, -150
+
+
+@register_extra(
+    "viterbi_two_state",
+    f"""
+    WITH RECURSIVE pos AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS conv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    n AS (SELECT user_id, max(rn) AS n FROM pos GROUP BY 1),
+    vit(user_id, rn, s0, s1) AS (
+      SELECT user_id, rn,
+             {_VIT_INIT0} + CASE WHEN conv = 1 THEN {_VIT_E0_CONV}
+                                 ELSE {_VIT_E0_BROWSE} END,
+             {_VIT_INIT1} + CASE WHEN conv = 1 THEN {_VIT_E1_CONV}
+                                 ELSE {_VIT_E1_BROWSE} END
+      FROM pos WHERE rn = 1
+      UNION ALL
+      SELECT p.user_id, p.rn,
+             CASE WHEN p.conv = 1 THEN {_VIT_E0_CONV}
+                  ELSE {_VIT_E0_BROWSE} END
+               + greatest(v.s0 + {_VIT_T00}, v.s1 + {_VIT_T10}),
+             CASE WHEN p.conv = 1 THEN {_VIT_E1_CONV}
+                  ELSE {_VIT_E1_BROWSE} END
+               + greatest(v.s0 + {_VIT_T01}, v.s1 + {_VIT_T11})
+      FROM vit v JOIN pos p
+        ON p.user_id = v.user_id AND p.rn = v.rn + 1
+    )
+    SELECT v.user_id, CAST(n.n AS BIGINT) AS n_events,
+           greatest(v.s0, v.s1) AS best_score,
+           CAST(CASE WHEN v.s0 >= v.s1 THEN 0 ELSE 1 END AS INT)
+             AS final_state
+    FROM vit v JOIN n ON n.user_id = v.user_id AND v.rn = n.n
+    ORDER BY v.user_id
+    """,
+)
+def viterbi_two_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a two-state HMM (browse-mode vs buy-mode)
+    over each user's event stream — the max-likelihood state-sequence
+    DP behind session-intent segmentation; all log-probabilities are
+    x100 INTEGERS so the recurrence s_t(k) = emit(k, o_t) +
+    max_j(s_{t-1}(j) + trans(j, k)) is exact and the argmax final
+    state (tie -> state 0) hash-gates byte-exactly. Sequential per-key
+    state: Spark runs it in applyInPandas (one task per key, the
+    distributed stateful-decode shape); the oracle replays the same
+    recurrence as a recursive CTE carrying both state scores."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+
+    def _vit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s0 = s1 = None
+        for conv in pdf["conv"]:
+            e0 = _VIT_E0_CONV if conv == 1 else _VIT_E0_BROWSE
+            e1 = _VIT_E1_CONV if conv == 1 else _VIT_E1_BROWSE
+            if s0 is None:
+                s0, s1 = _VIT_INIT0 + e0, _VIT_INIT1 + e1
+            else:
+                s0, s1 = (
+                    e0 + max(s0 + _VIT_T00, s1 + _VIT_T10),
+                    e1 + max(s0 + _VIT_T01, s1 + _VIT_T11),
+                )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "best_score": [max(s0, s1)],
+                "final_state": [0 if s0 >= s1 else 1],
+            }
+        )
+
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(
+            _vit,
+            "user_id long, n_events long, best_score long, final_state int",
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------- attribution
+
+_ATTR_WINDOW_S = 7 * 86400
+
+
+@register_extra(
+    "touch_attribution",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, t AS ct
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.conv_id, e.event_type, e.t, e.event_id
+      FROM conv c JOIN ev e
+        ON e.user_id = c.user_id
+       AND e.t < c.ct AND e.t >= c.ct - {_ATTR_WINDOW_S}
+       AND e.event_type <> 'purchase'
+    ),
+    ranked AS (
+      SELECT conv_id, event_type,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY t DESC, event_id DESC) AS r_last,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY t, event_id) AS r_first,
+             count(*) OVER (PARTITION BY conv_id) AS k
+      FROM touch
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE r_last = 1) AS n_last,
+           count(*) FILTER (WHERE r_first = 1) AS n_first,
+           CAST(sum(1000000 // k) AS BIGINT) AS linear_e6
+    FROM ranked GROUP BY 1 ORDER BY event_type
+    """,
+)
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over purchase conversions:
+    for each purchase, the user's non-purchase events in the prior 7
+    days are its touchpoints; credit them under the three standard
+    models — last-touch (latest wins), first-touch, and linear
+    (1e6 // k ppm shares, truncating division so the exact-integer
+    gate holds; the k-rounding remainder is deliberately dropped,
+    matching how ppm ledgers truncate). Reported per touch
+    event_type. Scale shape: the conversion-touch join is keyed on
+    user with a time-range predicate (bounded per key), then two rank
+    windows per conversion — no cross-user blowup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("t").alias("ct")
+    )
+    touch = conv.join(
+        ev.withColumnRenamed("event_id", "tid"), "user_id"
+    ).filter(
+        (F.col("t") < F.col("ct"))
+        & (F.col("t") >= F.col("ct") - _ATTR_WINDOW_S)
+        & (F.col("event_type") != "purchase")
+    )
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.desc("t"), F.desc("tid")
+    )
+    wf = Window.partitionBy("conv_id").orderBy("t", "tid")
+    wk = Window.partitionBy("conv_id")
+    ranked = touch.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(wl).alias("r_last"),
+        F.row_number().over(wf).alias("r_first"),
+        F.count("*").over(wk).alias("k"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("r_last") == 1, 1)).alias("n_last"),
+            F.count(F.when(F.col("r_first") == 1, 1)).alias("n_first"),
+            F.sum(F.expr("1000000 div k")).cast("long").alias("linear_e6"),
+        )
+        .orderBy("event_type")
+    )
