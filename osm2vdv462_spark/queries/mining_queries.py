@@ -2091,3 +2091,210 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------- bin packing
+
+_NFD_CAP = 100  # bin capacity in quantity units
+
+
+@register_extra(
+    "nextfit_bin_packing",
+    f"""
+    WITH RECURSIVE it AS (
+      SELECT l_orderkey AS k,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY floor(l_quantity + 0.5) DESC,
+                                         l_linenumber) AS rn
+      FROM lineitem
+    ),
+    nf(k, rn, load, bins) AS (
+      SELECT k, rn, q, 1 FROM it WHERE rn = 1
+      UNION ALL
+      SELECT i.k, i.rn,
+             CASE WHEN s.load + i.q <= {_NFD_CAP}
+                  THEN s.load + i.q ELSE i.q END,
+             s.bins + CASE WHEN s.load + i.q <= {_NFD_CAP}
+                           THEN 0 ELSE 1 END
+      FROM nf s JOIN it i ON i.k = s.k AND i.rn = s.rn + 1
+    ),
+    fin AS (
+      SELECT k, max(rn) AS n_items FROM it GROUP BY 1
+    ),
+    res AS (
+      SELECT nf.k, fin.n_items, nf.bins
+      FROM nf JOIN fin ON fin.k = nf.k AND nf.rn = fin.n_items
+    )
+    SELECT CAST(bins AS INT) AS n_bins, count(*) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS total_items
+    FROM res GROUP BY 1 ORDER BY n_bins
+    """,
+)
+def nextfit_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing bin packing of each order's line quantities
+    into capacity-100 shipping bins — the container/palletization
+    heuristic (2-approximation, single-pass state = current-bin load,
+    which is exactly what makes it streamable): items sorted by
+    quantity descending (linenumber tie-break), open a new bin when
+    the current one can't fit. Reports the bins-per-order histogram.
+    Spark: the sequential fold runs per order in applyInPandas; the
+    oracle replays it as a recursive CTE chained on item rank. Exact
+    integers."""
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+        "l_linenumber",
+    )
+
+    def _nfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["q", "l_linenumber"], ascending=[False, True]
+        )
+        load, bins = 0, 0
+        for q in pdf["q"]:
+            if bins == 0 or load + q > _NFD_CAP:
+                bins += 1
+                load = q
+            else:
+                load += q
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n_items": [len(pdf)],
+                "n_bins": [bins],
+            }
+        )
+
+    res = base.groupBy("k").applyInPandas(
+        _nfd, "k long, n_items long, n_bins int"
+    )
+    return (
+        res.groupBy("n_bins")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("total_items"),
+        )
+        .orderBy("n_bins")
+    )
+
+
+# --------------------------------------------------- Lindley queue
+
+_LQ_SERVICE = 12  # served per hour per event_type
+
+
+@register_extra(
+    "lindley_queue_replay",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               // 3600 AS h,
+             count(*) AS a
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT t.event_type, g.h,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY g.h) AS i
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                  FROM bounds) g
+    ),
+    x AS (
+      SELECT grid.event_type, grid.i,
+             CAST(coalesce(b.a, 0) AS BIGINT) AS a
+      FROM grid LEFT JOIN b
+        ON b.event_type = grid.event_type AND b.h = grid.h
+    ),
+    q(event_type, i, depth, mx, backlog) AS (
+      SELECT event_type, i, greatest(0, a - {_LQ_SERVICE}),
+             greatest(0, a - {_LQ_SERVICE}),
+             CASE WHEN a > {_LQ_SERVICE} THEN 1 ELSE 0 END
+      FROM x WHERE i = 1
+      UNION ALL
+      SELECT n.event_type, n.i,
+             greatest(0, s.depth + n.a - {_LQ_SERVICE}),
+             greatest(s.mx, greatest(0, s.depth + n.a - {_LQ_SERVICE})),
+             s.backlog + CASE WHEN
+               greatest(0, s.depth + n.a - {_LQ_SERVICE}) > 0
+               THEN 1 ELSE 0 END
+      FROM q s JOIN x n
+        ON n.event_type = s.event_type AND n.i = s.i + 1
+    ),
+    fin AS (SELECT event_type, max(i) AS n FROM x GROUP BY 1)
+    SELECT q.event_type, CAST(fin.n AS BIGINT) AS n_hours,
+           q.depth AS final_depth, q.mx AS max_depth,
+           CAST(q.backlog AS BIGINT) AS hours_backlogged
+    FROM q JOIN fin ON fin.event_type = q.event_type AND q.i = fin.n
+    ORDER BY q.event_type
+    """,
+)
+def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lindley-recursion queue replay: feed each event_type's hourly
+    arrival counts (dense, gap-filled) into a deterministic
+    fixed-capacity server (12/hour) — Q_t = max(0, Q_{t-1} + A_t - c),
+    the waiting-line recursion behind every capacity-planning study —
+    and report final depth, peak depth, and backlogged-hours count.
+    Sequential by definition (the max(0, .) clamp breaks prefix-sum
+    decomposition... except via the max-plus reformulation; the replay
+    here IS the semantics being gated). Spark: per-type pandas fold,
+    state in one task; oracle: recursive CTE over the hour index.
+    Exact integers."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("a"))
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    x = grid.join(b, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+    )
+
+    def _lindley(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        depth = mx = backlog = 0
+        for a in pdf["a"]:
+            depth = max(0, depth + int(a) - _LQ_SERVICE)
+            mx = max(mx, depth)
+            if depth > 0:
+                backlog += 1
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "final_depth": [depth],
+                "max_depth": [mx],
+                "hours_backlogged": [backlog],
+            }
+        )
+
+    return (
+        x.groupBy("event_type")
+        .applyInPandas(
+            _lindley,
+            "event_type string, n_hours long, final_depth long,"
+            " max_depth long, hours_backlogged long",
+        )
+        .orderBy("event_type")
+    )
