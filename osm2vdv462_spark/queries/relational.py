@@ -2255,3 +2255,140 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ------------------------------------------------ PVM waterfall
+
+
+@register_extra(
+    "pvm_waterfall",
+    """
+    WITH li AS (
+      SELECT l_partkey % 20 AS bucket,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1996, 1997)
+    ),
+    agg AS (
+      SELECT bucket, yr, sum(q) AS q, sum(cents) AS rev
+      FROM li GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.bucket,
+             a.q AS q0, a.rev AS r0, b.q AS q1, b.rev AS r1
+      FROM agg a JOIN agg b
+        ON b.bucket = a.bucket AND a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT bucket,
+           CAST(r1 - r0 AS BIGINT) AS delta_rev,
+           CAST((q1 - q0) * r0 // q0 AS BIGINT) AS volume_effect,
+           CAST(r1 - r0 - ((q1 - q0) * r0 // q0) AS BIGINT)
+             AS price_mix_effect
+    FROM p ORDER BY bucket
+    """,
+)
+def pvm_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall: decompose each part-bucket's
+    1996->1997 revenue change into the volume effect (quantity change
+    at the base year's average unit revenue, (dq * r0) // q0 — one
+    truncating integer division) and the residual price/mix effect —
+    the variance-bridge every finance review runs on revenue deltas.
+    Exact cents; both engines compute the identical quotient. Scale
+    shape: two partial-agg passes and a self-join on the 20-row
+    bucket dim."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .select(
+            (F.col("l_partkey") % 20).alias("bucket"),
+            F.year("l_shipdate").alias("yr"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    agg = li.groupBy("bucket", "yr").agg(
+        F.sum("q").alias("q"), F.sum("cents").alias("rev")
+    )
+    a = agg.filter(F.col("yr") == 1996).select(
+        "bucket", F.col("q").alias("q0"), F.col("rev").alias("r0")
+    )
+    b = agg.filter(F.col("yr") == 1997).select(
+        "bucket", F.col("q").alias("q1"), F.col("rev").alias("r1")
+    )
+    return (
+        a.join(b, "bucket")
+        .select(
+            "bucket",
+            (F.col("r1") - F.col("r0")).alias("delta_rev"),
+            F.expr("(q1 - q0) * r0 div q0").alias("volume_effect"),
+            F.expr("r1 - r0 - ((q1 - q0) * r0 div q0)").alias(
+                "price_mix_effect"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------------------ Gini
+
+
+@register_extra(
+    "gini_concentration",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS seg,
+             -- whole dollars, not cents: 1e6 * n * tot must stay int64
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d
+      FROM orders
+    ),
+    r AS (
+      SELECT seg, d,
+             row_number() OVER (PARTITION BY seg ORDER BY d) AS i
+      FROM c
+    ),
+    s AS (
+      SELECT seg, count(*) AS n,
+             CAST(sum(d) AS BIGINT) AS tot,
+             CAST(sum(i * d) AS BIGINT) AS wsum
+      FROM r GROUP BY 1
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n, tot,
+           CAST((1000000 * (2 * wsum - (n + 1) * tot)) // (n * tot)
+             AS BIGINT) AS gini_e6
+    FROM s ORDER BY seg
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per order-priority
+    segment — the inequality measure behind whale-dependence audits
+    (how much of the book the top orders carry): with values sorted
+    ascending and rank-weighted, G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)), ppm-quantized with one truncating division, exact
+    integers everywhere (ranks are deterministic: equal values are
+    interchangeable in the formula, so tie order cannot change the
+    sum). Scale shape: one rank window + partial sums per segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        # whole dollars, not cents: 1e6 * n * tot must stay int64
+        F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("seg").orderBy("d")
+    r = c.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("d").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("d")).cast("long").alias("wsum"),
+    )
+    return s.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        "tot",
+        F.expr("(1000000 * (2 * wsum - (n + 1) * tot)) div (n * tot)").alias(
+            "gini_e6"
+        ),
+    ).orderBy("seg")
