@@ -1668,3 +1668,178 @@ def business_days_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------- isotonic PAVA
+
+_ISO_BUCKET_S = 6 * 3600  # 6-hour buckets keep the oracle's
+#                           O(n^3) hull-membership test tractable
+
+
+@register_extra(
+    "isotonic_fit_probes",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // {_ISO_BUCKET_S} AS h,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT t.event_type, g.h,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY g.h) AS i
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                  FROM bounds) g
+    ),
+    x AS (
+      SELECT grid.event_type, grid.i,
+             CAST(coalesce(b.y, 0) AS BIGINT) AS y
+      FROM grid LEFT JOIN b
+        ON b.event_type = grid.event_type AND b.h = grid.h
+    ),
+    n AS (SELECT event_type, max(i) AS n FROM x GROUP BY 1),
+    cum AS (
+      SELECT event_type, i AS k,
+             sum(y) OVER (PARTITION BY event_type ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM x
+      UNION ALL
+      SELECT event_type, 0, 0 FROM n
+    ),
+    -- interior cum point m is a GCM vertex iff it lies on-or-below
+    -- EVERY chord (a, b) straddling it (exact cross-multiplied test)
+    nonv AS (
+      SELECT DISTINCT m.event_type, m.k
+      FROM cum m
+      JOIN cum a ON a.event_type = m.event_type AND a.k < m.k
+      JOIN cum b ON b.event_type = m.event_type AND b.k > m.k
+      WHERE (m.s - a.s) * (b.k - a.k) > (b.s - a.s) * (m.k - a.k)
+    ),
+    verts AS (
+      SELECT c.event_type, c.k, c.s
+      FROM cum c LEFT JOIN nonv
+        ON nonv.event_type = c.event_type AND nonv.k = c.k
+      WHERE nonv.k IS NULL
+    ),
+    probes AS (
+      SELECT event_type, n,
+             unnest([(n + 3) // 4, (n + 1) // 2, (3 * n) // 4]) AS i
+      FROM n
+    ),
+    fit AS (
+      SELECT p.event_type, p.n, p.i,
+             (SELECT max(v.k) FROM verts v
+              WHERE v.event_type = p.event_type AND v.k < p.i) AS vp,
+             (SELECT min(v.k) FROM verts v
+              WHERE v.event_type = p.event_type AND v.k >= p.i) AS vn
+      FROM probes p
+    ),
+    fv AS (
+      SELECT f.event_type, f.n, f.i,
+             (1000000 * (sn.s - sp.s)) // (f.vn - f.vp) AS fit_e6
+      FROM fit f
+      JOIN cum sp ON sp.event_type = f.event_type AND sp.k = f.vp
+      JOIN cum sn ON sn.event_type = f.event_type AND sn.k = f.vn
+    ),
+    pools AS (
+      SELECT event_type, 1 + sum(CASE WHEN step THEN 1 ELSE 0 END)
+               AS n_pools
+      FROM (
+        SELECT event_type,
+               ((s - lag(s) OVER w) * (lead(k) OVER w - k)) <>
+               ((lead(s) OVER w - s) * (k - lag(k) OVER w)) AS step
+        FROM verts WINDOW w AS (PARTITION BY event_type ORDER BY k)
+      ) WHERE step IS NOT NULL GROUP BY 1
+    )
+    SELECT fv.event_type, CAST(fv.n AS BIGINT) AS n_buckets,
+           CAST(pools.n_pools AS BIGINT) AS n_pools,
+           CAST(fv.i AS INT) AS probe_i,
+           CAST(fv.fit_e6 AS BIGINT) AS fit_e6
+    FROM fv JOIN pools USING (event_type)
+    ORDER BY event_type, probe_i
+    """,
+)
+def isotonic_fit_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression of the 6-hourly
+    count series per event_type — the calibration-curve fitter of
+    ML-ops (reliability diagrams, dose-response): Spark runs the exact
+    O(n) POOL-ADJACENT-VIOLATORS fold per series (integer pool sums,
+    cross-multiplied average compares, merge while prev_avg >=
+    cur_avg); the oracle derives the identical fit from the GREATEST
+    CONVEX MINORANT characterization — the fit at i is the slope of
+    the GCM of the cumulative-sum graph over the step containing i,
+    with hull membership decided by exact all-chords integer tests.
+    PAVA == GCM-slope is the classical duality theorem; the hash gate
+    checks it. Reports pool count (distinct-slope runs) and
+    ppm-quantized fit at the quartile probe positions."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_timestamp(ts) div {_ISO_BUCKET_S}").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("y"))
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    x = grid.join(b, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        ys = [int(v) for v in pdf["y"]]
+        pools: list[list[int]] = []  # [sum, len]
+        for v in ys:
+            pools.append([v, 1])
+            while (
+                len(pools) >= 2
+                and pools[-2][0] * pools[-1][1]
+                >= pools[-1][0] * pools[-2][1]
+            ):
+                s, ln = pools.pop()
+                pools[-1][0] += s
+                pools[-1][1] += ln
+            # strictly increasing pool averages by construction
+        n = len(ys)
+        fit = []
+        for s, ln in pools:
+            fit.extend([(s, ln)] * ln)
+        rows = []
+        for i in ((n + 3) // 4, (n + 1) // 2, (3 * n) // 4):
+            s, ln = fit[i - 1]
+            rows.append(
+                (
+                    pdf["event_type"].iloc[0],
+                    n,
+                    len(pools),
+                    i,
+                    (1000000 * s) // ln,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n_buckets", "n_pools", "probe_i",
+                     "fit_e6"],
+        )
+
+    return (
+        x.groupBy("event_type")
+        .applyInPandas(
+            _pava,
+            "event_type string, n_buckets long, n_pools long,"
+            " probe_i int, fit_e6 long",
+        )
+        .orderBy("event_type", "probe_i")
+    )

@@ -3521,3 +3521,74 @@ def edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------- n-gram novelty
+
+
+@register_extra(
+    "ngram_novelty_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             tz[1] || ' ' || tz[2] || ' ' || tz[3] AS g
+      FROM (
+        SELECT doc_id,
+               unnest(list_zip(t[1:-3], t[2:-2], t[3:])) AS tz
+        FROM toks
+      )
+    ),
+    first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1
+    )
+    SELECT tri.doc_id,
+           count(*) AS n_tri,
+           count(*) FILTER (WHERE first_seen.first_doc = tri.doc_id)
+             AS n_novel
+    FROM tri JOIN first_seen USING (g)
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal n-gram novelty — the curation signal that separates
+    fresh content from recombinations: for each doc (in doc_id order,
+    the ingestion order), how many of its distinct word trigrams have
+    never appeared in ANY earlier document. Computed set-wide: one
+    distinct-trigram explode, one min(doc_id) aggregation (the global
+    first-seen index), one join back — the same first-occurrence
+    dataflow a dedup-aware crawler uses to prioritize novel pages.
+    Scale shape: everything keys on the trigram hash; partial-agg
+    min() makes first-seen a single shuffle, and no doc ever compares
+    against another doc directly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_novel"),
+        )
+        .orderBy("doc_id")
+    )
