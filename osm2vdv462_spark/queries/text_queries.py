@@ -3592,3 +3592,239 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ JL projection
+
+# deterministic +/-1 projection matrix (8 x 64), generated once from
+# md5 at import; embedded verbatim in BOTH the oracle SQL and the
+# Spark literal so neither engine needs to hash
+import hashlib as _hl
+
+_JL_K = 8
+_JL_SIGNS = [
+    [
+        1 if int(_hl.md5(f"jl{j}:{d}".encode()).hexdigest()[:1], 16) % 2 == 0
+        else -1
+        for d in range(64)
+    ]
+    for j in range(_JL_K)
+]
+
+
+def _jl_oracle() -> str:
+    vals = ", ".join(
+        f"({j}, {d + 1}, {_JL_SIGNS[j][d]})"
+        for j in range(_JL_K)
+        for d in range(64)
+    )
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, r.i,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS c
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    signs(j, i, r) AS (VALUES {vals}),
+    proj AS (
+      SELECT comp.vec_id, signs.j,
+             CAST(sum(signs.r * comp.c) AS BIGINT) AS p
+      FROM comp JOIN signs USING (i)
+      GROUP BY 1, 2
+    ),
+    dfull AS (
+      SELECT a.vec_id,
+             CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2_full
+      FROM comp a JOIN comp b
+        ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      GROUP BY 1
+    ),
+    dproj AS (
+      SELECT a.vec_id,
+             CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2_proj
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      GROUP BY 1
+    )
+    SELECT dfull.vec_id, dfull.d2_full, dproj.d2_proj,
+           CAST((1000000 * dproj.d2_proj) // ({_JL_K} * dfull.d2_full)
+             AS BIGINT) AS ratio_e6
+    FROM dfull JOIN dproj USING (vec_id)
+    ORDER BY vec_id
+    """
+
+
+@register_extra("jl_projection_audit", _jl_oracle())
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    e-3-quantized 64-dim embeddings onto 8 fixed +/-1 hyperplanes (the
+    Achlioptas database-friendly JL construction; the sign matrix is a
+    deterministic constant embedded in both engines) and compare each
+    consecutive-pair squared distance in projected space against k
+    times the full-space distance — ratio_e6 ~ 1e6 is the JL promise;
+    its spread IS the distortion a dimensionality-reduction rollout
+    must measure before swapping its ANN index to the sketch. Exact
+    integers end to end. Scale shape: projections are one zip_with
+    pass per vector (map-side, no shuffle); the pair join is keyed on
+    vec_id+1."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000) as long))"
+        ).alias("qv"),
+    )
+    signs = F.array(
+        *[
+            F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
+            for j in range(_JL_K)
+        ]
+    )
+    withp = e.select(
+        "vec_id",
+        "qv",
+        F.transform(
+            signs,
+            lambda row: F.aggregate(
+                F.zip_with("qv", row, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("p"),
+    )
+    a = withp.select("vec_id", F.col("qv").alias("qa"), F.col("p").alias("pa"))
+    b = withp.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("qv").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "vec_id")
+    d2f = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d2p = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select(
+            "vec_id", d2f.alias("d2_full"), d2p.alias("d2_proj")
+        )
+        .select(
+            "vec_id",
+            "d2_full",
+            "d2_proj",
+            F.expr(f"(1000000 * d2_proj) div ({_JL_K} * d2_full)").alias(
+                "ratio_e6"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ------------------------------------------- greedy max coverage
+
+_GMC_K = 5
+
+
+def _gmc_oracle() -> str:
+    """k unrolled greedy levels: each picks the doc with the largest
+    count of trigrams not yet covered (tie -> smallest doc_id)."""
+    lvl = []
+    for i in range(1, _GMC_K + 1):
+        prev_cov = (
+            "SELECT g FROM tri WHERE false"
+            if i == 1
+            else " UNION ".join(
+                f"SELECT g FROM tri WHERE doc_id = (SELECT doc_id FROM p{t})"
+                for t in range(1, i)
+            )
+        )
+        lvl.append(f"""
+    cov{i - 1} AS ({prev_cov}),
+    g{i} AS (
+      SELECT t.doc_id, count(*) AS gain
+      FROM tri t
+      WHERE t.g NOT IN (SELECT g FROM cov{i - 1})
+      GROUP BY 1
+    ),
+    p{i} AS (
+      SELECT d.doc_id, coalesce(g{i}.gain, 0) AS gain
+      FROM (SELECT DISTINCT doc_id FROM tri) d
+      LEFT JOIN g{i} USING (doc_id)
+      ORDER BY gain DESC, doc_id LIMIT 1
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS iter, doc_id, CAST(gain AS BIGINT) AS gain FROM p{i}"
+        for i in range(1, _GMC_K + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             tz[1] || ' ' || tz[2] || ' ' || tz[3] AS g
+      FROM (
+        SELECT doc_id,
+               unnest(list_zip(t[1:-3], t[2:-2], t[3:])) AS tz
+        FROM toks
+      )
+    ),
+    {",".join(lvl)}
+    SELECT * FROM ({sel}) ORDER BY iter
+    """
+
+
+@register_extra("greedy_max_coverage", _gmc_oracle())
+def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection — the (1 - 1/e)-optimal
+    submodular algorithm behind coreset picking and diverse
+    training-data selection: iteratively pick the document covering
+    the most word trigrams not yet covered (tie -> smallest doc_id),
+    k = 5 rounds. Spark runs the canonical distributed shape: per
+    round one anti-join against the covered set + one count-agg +
+    a 1-row argmax collect (the selection list is the bounded driver
+    artifact, like a tokenizer's merge table); the oracle unrolls the
+    same rounds as CTEs. Exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    tri = tri.localCheckpoint()  # reused k times; cut the lineage once
+    all_docs = tri.select("doc_id").distinct()
+    covered = None
+    picks = []
+    for it in range(1, _GMC_K + 1):
+        cand = tri if covered is None else tri.join(
+            covered, "g", "left_anti"
+        )
+        gains = cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        full = all_docs.join(gains, "doc_id", "left").select(
+            "doc_id", F.coalesce("gain", F.lit(0)).alias("gain")
+        )
+        row = full.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()[
+            0
+        ]  # 1-row argmax per round (bounded)
+        picks.append((it, int(row["doc_id"]), int(row["gain"])))
+        newly = tri.filter(F.col("doc_id") == row["doc_id"]).select("g")
+        covered = newly if covered is None else covered.union(newly).distinct()
+    return spark.createDataFrame(
+        picks, "iter int, doc_id long, gain long"
+    ).orderBy("iter")
