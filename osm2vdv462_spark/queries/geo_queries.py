@@ -4452,3 +4452,104 @@ def eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gx", "gy")
     )
+
+
+# ------------------------------------------------ grid discrepancy
+
+_DISC_G = 16  # prefix-box grid resolution
+
+
+@register_extra(
+    "grid_discrepancy",
+    f"""
+    WITH pts AS (
+      SELECT ((event_id * 37 + 11) % 2000) AS u,
+             ((event_id * 73 + 29) % 2000) AS v
+      FROM events
+    ),
+    n AS (SELECT count(*) AS n FROM pts),
+    cell AS (
+      SELECT u // 125 AS gx, v // 125 AS gy, count(*) AS c
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT x.range AS gx, y.range AS gy
+      FROM range({_DISC_G}) x, range({_DISC_G}) y
+    ),
+    pref AS (
+      SELECT g.gx, g.gy,
+             CAST(coalesce(sum(cell.c), 0) AS BIGINT) AS cnt
+      FROM grid g LEFT JOIN cell
+        ON cell.gx <= g.gx AND cell.gy <= g.gy
+      GROUP BY 1, 2
+    ),
+    -- discrepancy per prefix box, cross-multiplied to stay integer:
+    -- |cnt/N - area| scaled by N * G^2
+    d AS (
+      SELECT gx, gy,
+             abs(cnt * {_DISC_G * _DISC_G}
+                 - (SELECT n FROM n) * (gx + 1) * (gy + 1)) AS disc
+      FROM pref
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_points,
+           max(disc) AS max_disc_scaled,
+           CAST(min(gx * {_DISC_G} + gy) FILTER (
+             WHERE disc = (SELECT max(disc) FROM d)) AS INT)
+             AS argmax_cell
+    FROM d
+    """,
+)
+def grid_discrepancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-discrepancy audit of the synthetic geo point field over
+    the 16x16 prefix-box family: D* = max over anchored boxes of
+    |empirical mass - box area|, the uniformity figure of merit for
+    quasi-random sequences and spatial samplers — cross-multiplied by
+    N*G^2 so everything is exact integers (no fractions compared).
+    Reports the max scaled discrepancy and the argmax box (row-major
+    tie -> smallest). Scale shape: the fact table collapses to 256
+    cell counts; prefix sums run over the tiny grid; nothing else
+    touches the points."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.expr("((event_id * 37 + 11) % 2000) div 125").alias("gx"),
+        F.expr("((event_id * 73 + 29) % 2000) div 125").alias("gy"),
+    )
+    n = pts.count()
+    cell = pts.groupBy("gx", "gy").agg(F.count("*").alias("c"))
+    # 2-D prefix sums via the tiny dense grid cross join
+    grid = (
+        spark.range(_DISC_G)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(_DISC_G).select(F.col("id").alias("gy")))
+    )
+    pref = (
+        grid.alias("g")
+        .join(
+            cell.alias("c"),
+            (F.col("c.gx") <= F.col("g.gx"))
+            & (F.col("c.gy") <= F.col("g.gy")),
+            "left",
+        )
+        .groupBy(F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+        .agg(F.coalesce(F.sum("c.c"), F.lit(0)).cast("long").alias("cnt"))
+    )
+    d = pref.select(
+        "gx",
+        "gy",
+        F.abs(
+            F.col("cnt") * (_DISC_G * _DISC_G)
+            - F.lit(n) * (F.col("gx") + 1) * (F.col("gy") + 1)
+        ).alias("disc"),
+    )
+    mx = d.agg(F.max("disc").alias("m"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("disc") == F.col("m"))
+        .agg(
+            F.lit(n).cast("long").alias("n_points"),
+            F.max("disc").alias("max_disc_scaled"),
+            F.min(F.col("gx") * _DISC_G + F.col("gy"))
+            .cast("int")
+            .alias("argmax_cell"),
+        )
+    )

@@ -2392,3 +2392,57 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_e6"
         ),
     ).orderBy("seg")
+
+
+# ----------------------------------------------------- l-diversity
+
+
+@register_extra(
+    "l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 21600 AS day_q,
+             user_id % 10 AS sensitive
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, day_q,
+             count(*) AS group_size,
+             count(DISTINCT sensitive) AS l
+      FROM q GROUP BY 1, 2
+    )
+    SELECT CAST(l AS INT) AS l,
+           count(*) AS n_groups,
+           CAST(min(group_size) AS BIGINT) AS min_group_size
+    FROM g GROUP BY 1 ORDER BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit (the k-anonymity companion): for each
+    quasi-identifier group (event_type x 6-hour time-of-day quarter),
+    how many DISTINCT sensitive values (user cohort) it contains — a
+    group that is k-anonymous but 1-diverse still leaks the sensitive
+    attribute outright, which is exactly what this histogram exposes
+    before a data release. Exact integers; one partial-agg with a
+    distinct count per group. Scale shape: quasi-ID groups are the
+    shuffle key; sensitive cardinality per group is bounded by the
+    domain (10), so state stays tiny."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) % 86400) div 21600").alias("day_q"),
+        (F.col("user_id") % 10).alias("sensitive"),
+    )
+    g = q.groupBy("event_type", "day_q").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("sensitive").alias("l"),
+    )
+    return (
+        g.groupBy(F.col("l").cast("int").alias("l"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("group_size").cast("long").alias("min_group_size"),
+        )
+        .orderBy("l")
+    )
