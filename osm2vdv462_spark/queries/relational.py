@@ -2446,3 +2446,105 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ------------------------------------------------- Mattson curve
+
+_LRU_CAPS = [1, 2, 4, 8]
+
+
+@register_extra(
+    "mattson_lru_curve",
+    f"""
+    WITH pos AS (
+      SELECT user_id,
+             CAST(props ->> 'k' AS BIGINT) % 8 AS item,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE CAST(props ->> 'k' AS BIGINT) IS NOT NULL
+    ),
+    acc AS (
+      SELECT user_id, item, rn,
+             lag(rn) OVER (PARTITION BY user_id, item ORDER BY rn)
+               AS prev_rn
+      FROM pos
+    ),
+    sd AS (
+      SELECT a.user_id, a.rn,
+             (SELECT count(DISTINCT p.item) FROM pos p
+              WHERE p.user_id = a.user_id
+                AND p.rn > a.prev_rn AND p.rn < a.rn) + 1 AS depth
+      FROM acc a WHERE a.prev_rn IS NOT NULL
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM pos) AS n_accesses,
+             (SELECT count(*) FROM acc WHERE prev_rn IS NULL)
+               AS n_compulsory
+    ),
+    caps(c) AS (VALUES {", ".join(f"({c})" for c in _LRU_CAPS)})
+    SELECT CAST(caps.c AS INT) AS capacity,
+           CAST(count(sd.rn) FILTER (WHERE sd.depth <= caps.c) AS BIGINT)
+             AS n_hits,
+           tot.n_accesses, tot.n_compulsory
+    FROM caps CROSS JOIN tot LEFT JOIN sd ON true
+    GROUP BY 1, 3, 4 ORDER BY capacity
+    """,
+)
+def mattson_lru_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mattson stack-distance algorithm: the ENTIRE LRU hit-rate
+    curve from one pass — an access hits an LRU cache of capacity C
+    iff its stack depth (1 + distinct items touched since its previous
+    access) is <= C, so simulating every capacity separately is
+    wasted work. Item stream: each user's props key mod 8 in event
+    order. Spark runs the real stack simulation per user
+    (applyInPandas: move-to-front list, depth histogram — the
+    inclusion property makes one simulated stack serve all C); the
+    oracle derives depths declaratively via lag + a correlated
+    distinct count over the reuse window. Reported at capacities
+    1/2/4/8 with compulsory-miss accounting. Exact integers."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        (F.get_json_object("props", "$.k").cast("long") % 8).alias("item"),
+    ).filter(F.col("item").isNotNull())
+
+    def _stack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        stack: list[int] = []
+        depths = []
+        compulsory = 0
+        for it in pdf["item"]:
+            it = int(it)
+            if it in stack:
+                d = stack.index(it) + 1
+                depths.append(d)
+                stack.remove(it)
+            else:
+                compulsory += 1
+            stack.insert(0, it)
+        rows = []
+        for c in _LRU_CAPS:
+            rows.append(
+                (c, sum(1 for d in depths if d <= c), len(pdf), compulsory)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["capacity", "n_hits", "n_accesses", "n_compulsory"],
+        )
+
+    per_user = base.groupBy("user_id").applyInPandas(
+        lambda pdf: _stack(pdf),
+        "capacity int, n_hits long, n_accesses long, n_compulsory long",
+    )
+    return (
+        per_user.groupBy("capacity")
+        .agg(
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            F.sum("n_accesses").cast("long").alias("n_accesses"),
+            F.sum("n_compulsory").cast("long").alias("n_compulsory"),
+        )
+        .orderBy("capacity")
+    )
