@@ -1843,3 +1843,190 @@ def isotonic_fit_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "probe_i")
     )
+
+
+# ------------------------------------------------------------ EWMA
+
+_EWMA_W = 20  # truncated window: weight 2^(i) for the i-th newest
+
+
+@register_extra(
+    "ewma_forecast_probes",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT t.event_type, g.h,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY g.h) AS i
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                  FROM bounds) g
+    ),
+    x AS (
+      SELECT grid.event_type, grid.i,
+             CAST(coalesce(b.y, 0) AS BIGINT) AS y
+      FROM grid LEFT JOIN b
+        ON b.event_type = grid.event_type AND b.h = grid.h
+    ),
+    n AS (SELECT event_type, max(i) AS n FROM x GROUP BY 1),
+    probes AS (
+      SELECT event_type, n,
+             unnest([(n + 1) // 2, n]) AS p
+      FROM n
+    ),
+    ew AS (
+      SELECT pr.event_type, pr.n, pr.p,
+             CAST(sum(x.y * (1::BIGINT <<
+               CAST({_EWMA_W} - 1 - (pr.p - x.i) AS INT))) AS BIGINT)
+               AS num
+      FROM probes pr JOIN x
+        ON x.event_type = pr.event_type
+       AND x.i > pr.p - {_EWMA_W} AND x.i <= pr.p
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(p AS INT) AS probe_i,
+           CAST((1000000 * num) // ((1::BIGINT << {_EWMA_W}) - 1)
+             AS BIGINT) AS ewma_e6
+    FROM ew ORDER BY event_type, probe_i
+    """,
+)
+def ewma_forecast_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA level (alpha = 1/2) of the hourly count series per
+    event_type as EXACT dyadic arithmetic: a half-life decay with a
+    20-step truncated window makes every weight the integer 2^k, so
+    the smoothed level is (sum y_i * 2^(W-1-age)) / (2^W - 1) — one
+    ppm-quantized truncating division, no float exponentials, no
+    engine drift. Probed at mid-series and at the final hour (the
+    'current level' a forecaster ships). Scale shape: the window join
+    is bounded (20 rows per probe); at full scale the same weights
+    ride a rangeBetween window over the dense series — no sequential
+    recursion despite EWMA's recursive definition, because truncation
+    makes it a finite kernel."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("y"))
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    wI = Window.partitionBy("event_type").orderBy("h")
+    x = (
+        grid.join(b, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+        .withColumn("i", F.row_number().over(wI))
+    )
+    n = x.groupBy("event_type").agg(F.max("i").alias("n"))
+    probes = n.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(F.expr("(n + 1) div 2"), F.col("n").cast("long"))
+        ).alias("p"),
+    )
+    j = probes.join(x, "event_type").filter(
+        (F.col("i") > F.col("p") - _EWMA_W) & (F.col("i") <= F.col("p"))
+    )
+    ew = j.groupBy("event_type", "p").agg(
+        F.sum(
+            F.col("y")
+            * F.expr(
+                f"shiftleft(1L, cast({_EWMA_W} - 1 - (p - i) as int))"
+            )
+        )
+        .cast("long")
+        .alias("num")
+    )
+    return ew.select(
+        "event_type",
+        F.col("p").cast("int").alias("probe_i"),
+        F.expr(f"(1000000 * num) div (shiftleft(1L, {_EWMA_W}) - 1)").alias(
+            "ewma_e6"
+        ),
+    ).orderBy("event_type", "probe_i")
+
+
+# -------------------------------------------------- seasonal index
+
+
+@register_extra(
+    "dow_seasonal_index",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+      FROM events
+    ),
+    byday AS (
+      SELECT event_type, day_idx, (day_idx + 3) % 7 AS dow,
+             count(*) AS y
+      FROM d GROUP BY 1, 2, 3
+    ),
+    per_dow AS (
+      SELECT event_type, dow,
+             sum(y) AS s, count(*) AS nd
+      FROM byday GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(y) AS st, count(*) AS ndt
+      FROM byday GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow,
+           CAST(p.s AS BIGINT) AS n_events,
+           CAST((1000000 * p.s * tot.ndt) // (p.nd * tot.st) AS BIGINT)
+             AS index_e6
+    FROM per_dow p JOIN tot USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event_type: mean daily volume on
+    each weekday relative to the overall mean daily volume —
+    index = (s_dow/nd_dow) / (s_all/nd_all), cross-multiplied into
+    ONE exact ppm division so no rational mean ever materializes.
+    Weekday comes from the pure-epoch closed form ((epoch//86400 + 3)
+    % 7; 0 = Monday) — no engine dow builtins with their conflicting
+    numbering conventions. The multiplicative seasonality profile a
+    demand forecaster fits first. Scale shape: two partial aggs."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_idx"),
+    )
+    byday = d.groupBy(
+        "event_type", "day_idx", F.expr("(day_idx + 3) % 7").alias("dow")
+    ).agg(F.count("*").alias("y"))
+    per_dow = byday.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("s"), F.count("*").alias("nd")
+    )
+    tot = byday.groupBy("event_type").agg(
+        F.sum("y").alias("st"), F.count("*").alias("ndt")
+    )
+    return (
+        per_dow.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("s").cast("long").alias("n_events"),
+            F.expr("(1000000 * s * ndt) div (nd * st)").alias("index_e6"),
+        )
+        .orderBy("event_type", "dow")
+    )
