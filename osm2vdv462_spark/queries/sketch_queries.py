@@ -596,3 +596,95 @@ def ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------------------ Rice tuning
+
+
+@register_extra(
+    "rice_parameter_tuning",
+    """
+    WITH p AS (
+      SELECT event_type, user_id AS did,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY user_id) AS rn
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ),
+    gaps AS (
+      SELECT event_type,
+             did - coalesce(lag(did) OVER (PARTITION BY event_type
+                                           ORDER BY rn), -1) - 1 AS g
+      FROM p
+    ),
+    ks(k) AS (SELECT range FROM range(9)),
+    cost AS (
+      SELECT g.event_type, ks.k,
+             CAST(sum((g.g >> CAST(ks.k AS INT)) + ks.k + 1) AS BIGINT)
+               AS bits
+      FROM gaps g CROSS JOIN ks
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT event_type, k, bits,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bits, k) AS rn
+      FROM cost
+    )
+    SELECT b.event_type, CAST(b.k AS INT) AS k_opt, b.bits AS bits_opt,
+           c0.bits AS bits_unary
+    FROM best b JOIN cost c0
+      ON c0.event_type = b.event_type AND c0.k = 0
+    WHERE b.rn = 1 ORDER BY b.event_type
+    """,
+)
+def rice_parameter_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golomb-Rice parameter tuning for inverted-index posting gaps:
+    encode each event_type's sorted distinct-user posting list as
+    doc-id gaps and pick the Rice parameter k minimizing total bits
+    (cost per gap = (g >> k) unary quotient + k remainder bits + 1
+    stop bit; k = 0 degenerates to unary, shown for contrast) — the
+    per-list tuning decision every search index writer makes. Exact
+    integer argmin (tie -> smaller k). Scale shape: gaps via one lag
+    window per list; the 9-point k sweep is a broadcast dim, partials
+    combine map-side."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select("event_type", "user_id").distinct()
+    w = Window.partitionBy("event_type").orderBy("user_id")
+    gaps = p.select(
+        "event_type",
+        (
+            F.col("user_id")
+            - F.coalesce(
+                F.lag("user_id").over(w), F.lit(-1)
+            )
+            - 1
+        ).alias("g"),
+    )
+    ks = spark.range(9).select(F.col("id").cast("int").alias("k"))
+    cost = (
+        gaps.crossJoin(F.broadcast(ks))
+        .select(
+            "event_type",
+            "k",
+            F.expr("shiftright(g, k) + k + 1").alias("c"),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum("c").cast("long").alias("bits"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("bits", "k")
+    best = cost.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    c0 = cost.filter(F.col("k") == 0).select(
+        "event_type", F.col("bits").alias("bits_unary")
+    )
+    return (
+        best.join(c0, "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("int").alias("k_opt"),
+            F.col("bits").alias("bits_opt"),
+            "bits_unary",
+        )
+        .orderBy("event_type")
+    )
