@@ -3828,3 +3828,180 @@ def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "iter int, doc_id long, gain long"
     ).orderBy("iter")
+
+
+@register_extra(
+    "word_dropout_augment",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, ' +'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+    ),
+    k AS (
+      SELECT doc_id, i, toks[CAST(i AS INT)] AS tok,
+             ('0x' || substr(md5(doc_id || ':' || i || ':' ||
+                                 toks[CAST(i AS INT)]), 1, 4))::INT % 4
+               AS b
+      FROM pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             count(*) FILTER (b <> 0) AS n_kept,
+             coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (b <> 0), '')
+               AS aug_text
+      FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           coalesce(a.aug_text, '') AS aug_text
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def word_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (the text-side analogue
+    of image augmentation in a training-data pipeline): token i of a
+    document survives iff md5(doc_id:i:token) % 4 != 0, i.e. a
+    reproducible ~25% dropout keyed on (doc, position, token) — reruns
+    and retries produce byte-identical augmented text, which is what
+    makes augmented corpora cacheable and dedup-safe. Whole plan is a
+    single zero-shuffle JVM projection: split -> index-aware
+    higher-order filter -> array_join, no explode, no Python — at
+    100 TB this runs at scan speed with nothing on the wire."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), " +"), lambda x: x != F.lit("")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("doc_id"), i + F.lit(1), x
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        )
+        != F.lit(0),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").alias("n_kept"),
+            F.array_join(F.col("kept"), " ").alias("aug_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kappa_oracle() -> str:
+    """Cohen's kappa between the trigram lang-ID heuristic and the
+    labeled `lang` column, kept exact: kappa = (N*agree - pe_num) /
+    (N^2 - pe_num) where pe_num = sum over classes of rowtotal *
+    coltotal — emitted as integer numerator/denominator plus a
+    truncated ppm (Spark `div` and DuckDB `//` both truncate toward
+    zero, so the negative-kappa case hashes identically)."""
+    return f"""
+    WITH pred AS ({_lang_id_oracle()}),
+    j AS (SELECT p.doc_id, p.lang_pred, d.lang AS lang_true
+          FROM pred p JOIN documents d USING (doc_id)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang_pred = lang_true
+                          THEN 1 ELSE 0 END) AS BIGINT) AS agree
+          FROM j),
+    rc AS (SELECT CAST(r.c * t.c AS BIGINT) AS prod
+           FROM (SELECT lang_pred AS cls, count(*) AS c
+                 FROM j GROUP BY 1) r
+           JOIN (SELECT lang_true AS cls, count(*) AS c
+                 FROM j GROUP BY 1) t USING (cls)),
+    pe AS (SELECT CAST(coalesce(sum(prod), 0) AS BIGINT) AS pe_num
+           FROM rc)
+    SELECT n.n AS n_docs, n.agree AS n_agree,
+           CAST(n.n * n.agree - pe.pe_num AS BIGINT) AS kappa_num,
+           CAST(n.n * n.n - pe.pe_num AS BIGINT) AS kappa_den,
+           CAST((1000000 * (n.n * n.agree - pe.pe_num))
+                // (n.n * n.n - pe.pe_num) AS BIGINT) AS kappa_ppm
+    FROM n, pe
+    """
+
+
+@register_extra("cohens_kappa_audit", _kappa_oracle())
+def cohens_kappa_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement: Cohen's kappa between the lang-ID
+    heuristic (annotator A) and the corpus `lang` label (annotator B)
+    — the standard chance-corrected statistic for auditing weak
+    labelers / silver annotations before they feed training data. On
+    the synthetic word-salad corpus the heuristic is near chance, so
+    kappa ~ 0 (slightly negative) — exactly the signal the audit
+    exists to raise. Exact integers end-to-end: agreement and marginal
+    products stay BIGINT, the ppm is a truncating integer division
+    (identical semantics both engines). Scale shape: one map-side
+    scored scan, then class-marginal aggregates over a handful of
+    rows; nothing wide ever shuffles."""
+    from ..operators.textops import lang_id_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    j = (
+        lang_id_ngram(d)
+        .select("doc_id", "lang_pred")
+        .join(d.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
+    )
+    n = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_true"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    r = j.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count("*").alias("rc")
+    )
+    t = j.groupBy(F.col("lang_true").alias("cls")).agg(
+        F.count("*").alias("tc")
+    )
+    pe = (
+        r.join(t, "cls")
+        .agg(
+            F.coalesce(F.sum(F.col("rc") * F.col("tc")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    return (
+        n.crossJoin(pe)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            (F.col("n") * F.col("agree") - F.col("pe_num"))
+            .cast("long")
+            .alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("pe_num"))
+            .cast("long")
+            .alias("kappa_den"),
+            F.expr(
+                "CAST((1000000 * (n * agree - pe_num))"
+                " div (n * n - pe_num) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
