@@ -2298,3 +2298,229 @@ def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TREE2_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS f1,
+         CAST(len(list_filter(string_split_regex(text, ' +'),
+                              x -> x <> '')) AS BIGINT) AS f2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+long_ AS (
+  SELECT doc_id, 'n_chars' AS feature, f1 AS v, y FROM base
+  UNION ALL
+  SELECT doc_id, 'n_tokens', f2, y FROM base
+),
+grp AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS p
+  FROM long_ GROUP BY 1, 2
+),
+sweep AS (
+  SELECT feature, v AS thr,
+         CAST(sum(n) OVER w AS BIGINT) AS nl,
+         CAST(sum(p) OVER w AS BIGINT) AS pl,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+         CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pt,
+         max(v) OVER (PARTITION BY feature) AS vmax
+  FROM grp WINDOW w AS (PARTITION BY feature ORDER BY v)
+),
+scored AS (
+  SELECT feature, thr,
+         (nl - greatest(pl, nl - pl))
+         + ((nt - nl) - greatest(pt - pl, (nt - nl) - (pt - pl))) AS err
+  FROM sweep WHERE thr < vmax
+),
+root AS (
+  SELECT feature, thr, err FROM scored
+  ORDER BY err, feature, thr LIMIT 1
+),
+branch AS (
+  SELECT b.doc_id,
+         CASE WHEN (CASE r.feature WHEN 'n_chars' THEN b.f1 ELSE b.f2 END)
+                   <= r.thr
+              THEN 'left' ELSE 'right' END AS node,
+         b.f1, b.f2, b.y
+  FROM base b CROSS JOIN root r
+),
+long2 AS (
+  SELECT node, 'n_chars' AS feature, f1 AS v, y FROM branch
+  UNION ALL
+  SELECT node, 'n_tokens', f2, y FROM branch
+),
+grp2 AS (
+  SELECT node, feature, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS p
+  FROM long2 GROUP BY 1, 2, 3
+),
+sweep2 AS (
+  SELECT node, feature, v AS thr,
+         CAST(sum(n) OVER w AS BIGINT) AS nl,
+         CAST(sum(p) OVER w AS BIGINT) AS pl,
+         CAST(sum(n) OVER (PARTITION BY node, feature) AS BIGINT) AS nt,
+         CAST(sum(p) OVER (PARTITION BY node, feature) AS BIGINT) AS pt,
+         max(v) OVER (PARTITION BY node, feature) AS vmax
+  FROM grp2 WINDOW w AS (PARTITION BY node, feature ORDER BY v)
+),
+scored2 AS (
+  SELECT node, feature, thr,
+         (nl - greatest(pl, nl - pl))
+         + ((nt - nl) - greatest(pt - pl, (nt - nl) - (pt - pl))) AS err,
+         nt - greatest(pt, nt - pt) AS err_leaf
+  FROM sweep2 WHERE thr < vmax
+),
+child AS (
+  SELECT node, feature, thr, err, err_leaf,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY err, feature, thr) AS rn
+  FROM scored2
+),
+rootrow AS (
+  SELECT 'root' AS node, r.feature, r.thr,
+         (SELECT CAST(count(*) - greatest(sum(y), count(*) - sum(y))
+                      AS BIGINT) FROM base) AS err_leaf,
+         CAST(r.err AS BIGINT) AS err_split
+  FROM root r
+)
+SELECT node, feature, thr, err_leaf, err_split FROM rootrow
+UNION ALL
+SELECT node, feature, thr, CAST(err_leaf AS BIGINT),
+       CAST(err AS BIGINT) FROM child WHERE rn = 1
+ORDER BY node
+"""
+
+
+def _split_sweep(long_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Best-threshold sweep shared by both tree levels: value-grouped
+    (n, pos) partials, one ordered window per (keys, feature) for the
+    cumulative left-branch counts, then the exact misclassification
+    count of the induced two-leaf split at every candidate threshold
+    (thresholds sit ON distinct values, the max excluded so both
+    branches are nonempty). No doc ever crosses the wire twice: the
+    sweep input is the value histogram, not the rows."""
+    part = keys + ["feature"]
+    grp = long_df.groupBy(*part, "v").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.partitionBy(*part).orderBy("v")
+    wa = Window.partitionBy(*part)
+    sweep = grp.select(
+        *part,
+        F.col("v").alias("thr"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("p").over(wa).alias("pt"),
+        F.max("v").over(wa).alias("vmax"),
+    ).filter(F.col("thr") < F.col("vmax"))
+    return sweep.select(
+        *part,
+        "thr",
+        (
+            (F.col("nl") - F.greatest("pl", F.col("nl") - F.col("pl")))
+            + (
+                (F.col("nt") - F.col("nl"))
+                - F.greatest(
+                    F.col("pt") - F.col("pl"),
+                    (F.col("nt") - F.col("nl"))
+                    - (F.col("pt") - F.col("pl")),
+                )
+            )
+        ).alias("err"),
+        (
+            F.col("nt") - F.greatest("pt", F.col("nt") - F.col("pt"))
+        ).alias("err_leaf"),
+    )
+
+
+@register_extra("tree_depth2_train", _TREE2_ORACLE)
+def tree_depth2_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 decision-tree training (the recursive-partitioning
+    primitive under CART / gradient-boosted trees) with the exact
+    integer misclassification criterion: pick the (feature, threshold)
+    minimizing training error at the root, then re-sweep inside each
+    branch — features n_chars / n_tokens, label lang='en', ties break
+    (err, feature, thr). Returns one row per trained node with the
+    leaf error before and the split error after. Scale shape: each
+    sweep aggregates rows to per-(feature, value) histograms FIRST, so
+    the windows run over the value histogram (the classic distributed
+    tree-learner layout, cf. PLANET/XGBoost hist mode); at 100 TB the
+    candidate set would be the equi-depth bin edges the gated
+    equidepth_value_bins query already produces. The 1-row best-split
+    broadcast between levels is the only driver-visible state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " +"), lambda x: x != F.lit(""))
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("f1"),
+        F.size(toks).cast("long").alias("f2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    base = base.localCheckpoint()  # reused by both levels + the totals
+    long1 = base.select(
+        "doc_id", F.lit("n_chars").alias("feature"),
+        F.col("f1").alias("v"), "y",
+    ).unionByName(
+        base.select(
+            "doc_id", F.lit("n_tokens").alias("feature"),
+            F.col("f2").alias("v"), "y",
+        )
+    )
+    root = (
+        _split_sweep(long1, [])
+        .orderBy("err", "feature", "thr")
+        .limit(1)
+        .select("feature", "thr", "err")
+    )
+    branch = base.crossJoin(F.broadcast(root.withColumnRenamed("err", "rerr"))).select(
+        "doc_id",
+        F.when(
+            F.when(F.col("feature") == "n_chars", F.col("f1"))
+            .otherwise(F.col("f2"))
+            <= F.col("thr"),
+            "left",
+        )
+        .otherwise("right")
+        .alias("node"),
+        "f1",
+        "f2",
+        "y",
+    )
+    long2 = branch.select(
+        "node", F.lit("n_chars").alias("feature"),
+        F.col("f1").alias("v"), "y",
+    ).unionByName(
+        branch.select(
+            "node", F.lit("n_tokens").alias("feature"),
+            F.col("f2").alias("v"), "y",
+        )
+    )
+    wb = Window.partitionBy("node").orderBy("err", "feature", "thr")
+    child = (
+        _split_sweep(long2, ["node"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("node", "feature", "thr", "err_leaf",
+                F.col("err").alias("err_split"))
+    )
+    tot = base.agg(
+        (
+            F.count("*")
+            - F.greatest(F.sum("y"), F.count("*") - F.sum("y"))
+        )
+        .cast("long")
+        .alias("err_leaf")
+    )
+    rootrow = root.crossJoin(F.broadcast(tot)).select(
+        F.lit("root").alias("node"), "feature", "thr", "err_leaf",
+        F.col("err").cast("long").alias("err_split"),
+    )
+    return rootrow.unionByName(
+        child.select("node", "feature", "thr",
+                     F.col("err_leaf").cast("long").alias("err_leaf"),
+                     F.col("err_split").cast("long").alias("err_split"))
+    ).orderBy("node")

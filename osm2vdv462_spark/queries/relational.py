@@ -2548,3 +2548,103 @@ def mattson_lru_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("capacity")
     )
+
+
+@register_extra(
+    "t_closeness_audit",
+    """
+    WITH q AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 21600 AS day_q,
+             user_id % 10 AS sensitive
+      FROM events
+    ),
+    cls AS (
+      SELECT event_type, day_q, sensitive, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2, 3
+    ),
+    gt AS (
+      SELECT sensitive, CAST(count(*) AS BIGINT) AS g FROM q GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    grps AS (
+      SELECT event_type, day_q, CAST(count(*) AS BIGINT) AS sz
+      FROM q GROUP BY 1, 2
+    ),
+    dom AS (SELECT range AS sensitive FROM range(10)),
+    full_ AS (
+      SELECT gr.event_type, gr.day_q, gr.sz, d.sensitive,
+             coalesce(c.c, 0) AS c, gl.g, t.n
+      FROM grps gr CROSS JOIN dom d
+      JOIN gt gl USING (sensitive)
+      CROSS JOIN tot t
+      LEFT JOIN cls c ON c.event_type = gr.event_type
+                     AND c.day_q = gr.day_q AND c.sensitive = d.sensitive
+    )
+    SELECT event_type, CAST(day_q AS BIGINT) AS day_q,
+           CAST(max(sz) AS BIGINT) AS group_size,
+           CAST(sum(abs(c * n - g * sz)) * 10000
+                // (2 * max(sz) * max(n)) AS BIGINT) AS t_e4
+    FROM full_ GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-privacy triad
+    next to the gated k-anonymity and l-diversity rows: per
+    quasi-identifier group (event_type x 6-hour quarter, the same QI as
+    l_diversity_audit), the variational distance between the group's
+    sensitive-value distribution and the global one, t = 1/2 *
+    sum_s |c_s/sz - g_s/N|. A group can pass k and l yet sit far from
+    the corpus distribution, which is the leak t-closeness bounds.
+    Exact integers: the distance is cross-multiplied to
+    sum |c*N - g*sz| over the full sensitive domain (missing values
+    contribute their global mass), divided once, truncating, at e-4
+    scale. Scale shape: two partial-agg scans build (group, sensitive)
+    and global histograms; the domain completion is a broadcast of a
+    10-row dim; nothing wide shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) % 86400) div 21600").alias("day_q"),
+        (F.col("user_id") % 10).alias("sensitive"),
+    )
+    cls = q.groupBy("event_type", "day_q", "sensitive").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gt = q.groupBy("sensitive").agg(F.count("*").cast("long").alias("g"))
+    tot = q.agg(F.count("*").cast("long").alias("n"))
+    grps = q.groupBy("event_type", "day_q").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    dom = spark.range(10).select(F.col("id").alias("sensitive"))
+    full = (
+        grps.crossJoin(F.broadcast(dom))
+        .join(F.broadcast(gt), "sensitive")
+        .crossJoin(F.broadcast(tot))
+        .join(cls, ["event_type", "day_q", "sensitive"], "left")
+        .select(
+            "event_type",
+            "day_q",
+            "sz",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            "g",
+            "n",
+        )
+    )
+    return (
+        full.groupBy("event_type", "day_q")
+        .agg(
+            F.max("sz").cast("long").alias("group_size"),
+            F.expr(
+                "CAST(sum(abs(c * n - g * sz)) * 10000"
+                " div (2 * max(sz) * max(n)) AS BIGINT)"
+            ).alias("t_e4"),
+        )
+        .select(
+            "event_type",
+            F.col("day_q").cast("long").alias("day_q"),
+            "group_size",
+            "t_e4",
+        )
+        .orderBy("event_type", "day_q")
+    )
