@@ -310,3 +310,154 @@ def ancestor_closure(
         f"ancestor_closure did not converge in {max_doubling} doubling "
         "rounds — cyclic parent relation or depth > 2^rounds"
     )
+
+
+def strongly_connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vid: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 40,
+    max_inner: int = 80,
+) -> DataFrame:
+    """Distributed strongly connected components via forward-min
+    coloring + backward confinement (Orzan's coloring algorithm, the
+    standard dataflow SCC — cf. FW-BW-Trim / Slota et al.):
+
+    repeat until no vertex is unassigned:
+      1. color: propagate MIN vertex id along edge direction to a
+         fixpoint, so c(v) = min id that reaches v (v included). Every
+         color class is closed under "reached by root"; its root r
+         (c(r) = r) is the class minimum.
+      2. confine: within one color class, SCC(r) = the nodes that reach
+         r back THROUGH the class — grow marked = {r} along reversed
+         same-color edges to a fixpoint. (Any u->..->r path is entirely
+         inside class r: a node x on it reaches r, so whoever reaches x
+         also reaches r, forcing c(x) = r.)
+      3. emit marked as SCC(scc_id = r), remove them, repeat on the
+         remainder.
+
+    Every step is a join + partial-agg over (node, label) pairs — no
+    driver-side graph, fixed-width shuffle keys, O(E) per round. The
+    minimum active id is always a root, so each outer round removes
+    >= 1 SCC; with hash-random ids the expected outer depth is
+    O(log n). Deterministic for a given input. Returns (vid, scc_id)
+    with scc_id = min member id."""
+    spark = edges.sparkSession
+    e_all = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        vertices.select(F.col(vid).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # size per-round shuffles to the graph, as connected_components does
+    n_edges = e_all.count()
+    parts = str(max(2, min(2048, n_edges // 500_000 + 2)))
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        return _scc_loop(e_all, active, vid, max_outer, max_inner)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _scc_loop(e_all, active, vid, max_outer, max_inner):
+    done = None
+    for _ in range(max_outer):
+        if active.limit(1).count() == 0:
+            if done is None:  # no vertices at all
+                spark = active.sparkSession
+                return spark.createDataFrame(
+                    [], f"{vid} long, scc_id long"
+                )
+            return done.select(F.col("node").alias(vid), "scc_id")
+        au = active.select(F.col("node").alias("u"))
+        av = active.select(F.col("node").alias("v"))
+        e = e_all.join(au, "u").join(av, "v").localCheckpoint(eager=True)
+        # ---- 1. forward min-coloring to fixpoint
+        c = active.select("node", F.col("node").alias("c")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_inner):
+            push = (
+                e.join(
+                    c.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(F.min("cu").alias("cin"))
+            )
+            newc = (
+                c.join(push.withColumnRenamed("v", "node"), "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("c"), F.coalesce("cin", F.col("c"))
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                newc.join(
+                    c.select("node", F.col("c").alias("oc")), "node"
+                )
+                .filter(F.col("c") != F.col("oc"))
+                .limit(1)
+                .count()
+            )
+            c = newc
+            if changed == 0:
+                break
+        else:
+            raise ValueError(
+                f"SCC coloring did not converge in {max_inner} rounds"
+            )
+        # ---- 2. backward confinement within each color class
+        marked = c.filter(F.col("node") == F.col("c")).select(
+            "node", F.col("c").alias("scc_id")
+        )
+        ec = (
+            e.join(
+                c.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                "u",
+            )
+            .join(
+                c.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        marked = marked.localCheckpoint(eager=True)
+        n_marked = marked.count()
+        for _ in range(max_inner):
+            grown = (
+                ec.join(marked.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"), "scc_id")
+                .unionByName(marked)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n2 = grown.count()
+            marked = grown
+            if n2 == n_marked:
+                break
+            n_marked = n2
+        else:
+            raise ValueError(
+                f"SCC confinement did not converge in {max_inner} rounds"
+            )
+        # ---- 3. emit and peel
+        done = marked if done is None else done.unionByName(marked)
+        active = active.join(
+            marked.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    raise ValueError(f"SCC peeling did not finish in {max_outer} rounds")

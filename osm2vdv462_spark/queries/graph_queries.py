@@ -812,3 +812,114 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register_extra(
+    "scc_components",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT user_id % 200 AS u,
+             ('0x' || substr(md5('scc:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('sccgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 37 = 0
+    ),
+    e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v),
+    verts AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    reach(a, b) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b
+    ),
+    mutual AS (
+      SELECT r1.a AS x, r1.b AS y
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    lbl AS (
+      SELECT v.node,
+             least(v.node,
+                   coalesce(min(m.y) FILTER (m.y < v.node), v.node))
+               AS scc_id
+      FROM verts v LEFT JOIN mutual m ON m.x = v.node
+      GROUP BY v.node
+    ),
+    internal AS (
+      SELECT l1.scc_id, count(*) AS n_edges_within
+      FROM e JOIN lbl l1 ON l1.node = e.u
+             JOIN lbl l2 ON l2.node = e.v
+      WHERE l1.scc_id = l2.scc_id
+      GROUP BY 1
+    )
+    SELECT l.scc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(coalesce(max(i.n_edges_within), 0) AS BIGINT)
+             AS n_edges_within
+    FROM lbl l LEFT JOIN internal i USING (scc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the md5-derived DIRECTED event
+    graph (262 edges / ~184 nodes at gate scale — mean out-degree ~1.4,
+    the regime where a giant SCC coexists with cycles and singletons).
+    Spark runs the distributed Orzan coloring decomposition
+    (operators/graph.py::strongly_connected_components: forward
+    min-label fixpoint -> per-class backward confinement -> peel), the
+    dataflow SCC that needs no driver-side graph and no recursion
+    stack; the oracle is the INDEPENDENT textbook characterization —
+    full transitive closure, mutual-reachability pairs, min-member
+    labeling — so algorithm and definition cross-check. Per-SCC
+    summary: id (min member), node count, internal edge count."""
+    from ..operators.graph import strongly_connected_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    e = (
+        ev.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sccgate:"), eid).cast("binary")),
+                    1, 4,
+                ), 16, 10,
+            ).cast("int") % 37 == 0
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(200)).alias("u"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("scc:"), eid).cast("binary")),
+                        1, 7,
+                    ), 16, 10,
+                ).cast("long") % 200
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    verts = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    lbl = strongly_connected_components(verts, e, vid="node", src="u", dst="v")
+    internal = (
+        e.join(lbl.select(F.col("node").alias("u"),
+                          F.col("scc_id").alias("su")), "u")
+        .join(lbl.select(F.col("node").alias("v"),
+                         F.col("scc_id").alias("sv")), "v")
+        .filter(F.col("su") == F.col("sv"))
+        .groupBy(F.col("su").alias("scc_id"))
+        .agg(F.count("*").alias("n_edges_within"))
+    )
+    return (
+        lbl.groupBy("scc_id")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .join(internal, "scc_id", "left")
+        .select(
+            "scc_id",
+            "n_nodes",
+            F.coalesce("n_edges_within", F.lit(0))
+            .cast("long")
+            .alias("n_edges_within"),
+        )
+        .orderBy("scc_id")
+    )
