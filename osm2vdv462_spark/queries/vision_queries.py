@@ -2299,3 +2299,224 @@ def distance_transform_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_pixels"))
         .orderBy("dist")
     )
+
+
+# ------------------------------------------------------------ FAST-9
+
+_FAST_T = 60
+_FAST_OFF = [
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2),
+    (-1, -3),
+]
+
+
+def _gray_expr(ex: str, ey: str) -> str:
+    """Channel-sum gray of the synthetic pattern at (ex, ey) — the same
+    closed form images.py::synth_pixels encodes and the other vision
+    oracles re-derive."""
+    return (
+        f"((({ex})*7 + event_id*13) % 256)"
+        f" + ((({ey})*11 + event_id*29) % 256)"
+        f" + (((({ex})+({ey}))*5 + event_id*53) % 256)"
+    )
+
+
+def _fast_oracle() -> str:
+    sz, t = _OTSU_SZ, _FAST_T
+    sb = " || ".join(
+        f"CASE WHEN {_gray_expr(f'x+{dx}', f'y+{dy}')} > p + {t}"
+        " THEN '1' ELSE '0' END"
+        for dx, dy in _FAST_OFF
+    )
+    sd = " || ".join(
+        f"CASE WHEN {_gray_expr(f'x+{dx}', f'y+{dy}')} < p - {t}"
+        " THEN '1' ELSE '0' END"
+        for dx, dy in _FAST_OFF
+    )
+    run = (
+        "least(coalesce(list_max(list_transform("
+        "regexp_extract_all({s} || {s}, '1+'), z -> length(z))), 0), 16)"
+    )
+    return f"""
+    WITH e AS (SELECT event_id FROM events
+               WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range(3, {sz - 3}) y, range(3, {sz - 3}) x),
+    px AS (
+      SELECT e.event_id, x, y, {_gray_expr('x', 'y')} AS p
+      FROM e CROSS JOIN yx
+    ),
+    fl AS (
+      SELECT event_id, x, y, {sb} AS sb, {sd} AS sd FROM px
+    ),
+    runs AS (
+      SELECT event_id,
+             {run.format(s='sb')} AS rb,
+             {run.format(s='sd')} AS rd
+      FROM fl
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(count(*) FILTER (rb >= 9 OR rd >= 9) AS BIGINT)
+             AS n_corners,
+           CAST(count(*) FILTER (rb >= 9) AS BIGINT) AS n_bright,
+           CAST(count(*) FILTER (rd >= 9) AS BIGINT) AS n_dark
+    FROM runs GROUP BY 1 ORDER BY image_id
+    """
+
+
+@register_extra("fast_corner_counts", _fast_oracle())
+def fast_corner_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAST-9 corner detection (Rosten-Drummond segment test — the
+    detector ORB/SLAM pipelines run where Harris is too slow): a pixel
+    is a corner iff >= 9 CONTIGUOUS pixels of its 16-point Bresenham
+    circle are all brighter than p+T or all darker than p-T (T=60 on
+    the 0..765 channel-sum scale). Exact integers; the circular-run
+    test is the interesting part — Spark computes it vectorized over a
+    (16, H, W) flag stack with the doubled-array running-product trick,
+    the oracle builds the doubled 32-char flag string and takes the
+    longest '1'-run via regexp — two genuinely independent phrasings
+    of 'arc of >= 9'. Decode path is real (PNG via
+    functions/imagecodec.py); per-image numpy inside mapInPandas is
+    the sanctioned per-blob pattern, one Arrow crossing per batch."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+    off = list(_FAST_OFF)
+    thr = _FAST_T
+
+    def _fast(batches):
+        def maxrun(flags):
+            f2 = np.concatenate([flags, flags], axis=0)
+            run = np.zeros(f2.shape[1:], np.int64)
+            best = np.zeros_like(run)
+            for i in range(32):
+                run = (run + 1) * f2[i]
+                best = np.maximum(best, run)
+            return np.minimum(best, 16)
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t = (
+                    ic.decode_image(bytes(row.bytes), row.fmt)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                sz = t.shape[0]
+                core = t[3 : sz - 3, 3 : sz - 3]
+                bright = np.zeros((16,) + core.shape, bool)
+                dark = np.zeros_like(bright)
+                for k, (dx, dy) in enumerate(off):
+                    nb = t[3 + dy : sz - 3 + dy, 3 + dx : sz - 3 + dx]
+                    bright[k] = nb > core + thr
+                    dark[k] = nb < core - thr
+                rb, rd = maxrun(bright), maxrun(dark)
+                out.append(
+                    (
+                        row.image_id,
+                        int(((rb >= 9) | (rd >= 9)).sum()),
+                        int((rb >= 9).sum()),
+                        int((rd >= 9).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "n_corners", "n_bright", "n_dark"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _fast,
+            "image_id string, n_corners long, n_bright long, n_dark long",
+        )
+        .orderBy("image_id")
+    )
+
+
+# ------------------------------------------------------------ median 3x3
+
+
+def _median_oracle() -> str:
+    sz = _OTSU_SZ
+    nine = ", ".join(
+        _gray_expr(f"x+{dx}", f"y+{dy}")
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    return f"""
+    WITH e AS (SELECT event_id FROM events
+               WHERE event_id % {_OTSU_EVERY} = 0),
+    yx AS (SELECT y.range AS y, x.range AS x
+           FROM range(1, {sz - 1}) y, range(1, {sz - 1}) x),
+    m AS (
+      SELECT e.event_id,
+             list_sort([{nine}])[5] AS med,
+             {_gray_expr('x', 'y')} AS c
+      FROM e CROSS JOIN yx
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(count(*) FILTER (med <> c) AS BIGINT) AS n_changed,
+           CAST(sum(abs(med - c)) AS BIGINT) AS sum_abs_change,
+           CAST(max(abs(med - c)) AS BIGINT) AS max_change
+    FROM m GROUP BY 1 ORDER BY image_id
+    """
+
+
+@register_extra("median_filter_stats", _median_oracle())
+def median_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 grayscale median filter (the rank-order denoiser — the
+    nonlinear cousin of the gated focal box means, and what a corpus
+    pipeline runs against salt-and-pepper damage before feature
+    extraction): per image, how many interior pixels the filter moves,
+    the exact total and max absolute change. Exact integers; median of
+    9 = element 5 of the sorted 9-neighborhood in both engines
+    (numpy partial-sort vs list_sort[5]). Real decode path; per-image
+    numpy is the sanctioned per-blob pattern."""
+    imgs = im.images_df(spark, sf_dir, size=_OTSU_SZ, every=_OTSU_EVERY)
+
+    def _med(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t = (
+                    ic.decode_image(bytes(row.bytes), row.fmt)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                sz = t.shape[0]
+                stack = np.stack(
+                    [
+                        t[1 + dy : sz - 1 + dy, 1 + dx : sz - 1 + dx]
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)
+                    ]
+                )
+                med = np.sort(stack, axis=0)[4]
+                d = np.abs(med - t[1 : sz - 1, 1 : sz - 1])
+                out.append(
+                    (
+                        row.image_id,
+                        int((d > 0).sum()),
+                        int(d.sum()),
+                        int(d.max()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "n_changed", "sum_abs_change",
+                        "max_change",
+                    ],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _med,
+            "image_id string, n_changed long, sum_abs_change long,"
+            " max_change long",
+        )
+        .orderBy("image_id")
+    )
