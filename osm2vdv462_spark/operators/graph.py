@@ -461,3 +461,128 @@ def _scc_loop(e_all, active, vid, max_outer, max_inner):
             marked.select("node"), "node", "left_anti"
         ).localCheckpoint(eager=True)
     raise ValueError(f"SCC peeling did not finish in {max_outer} rounds")
+
+
+def longest_path_dag(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vid: str = "node",
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    max_iter: int = 120,
+) -> DataFrame:
+    """Longest-path (critical-path) lengths in a DAG by monotone
+    label-raising relaxation: lp(v) = max(0, max over (u,v,w) of
+    lp(u)+w). Converges in <= longest-chain-hops rounds; each round is
+    one join + partial max — the PERT forward pass as dataflow.
+    Raises if the relaxation is still moving after max_iter rounds
+    (i.e. the input has a cycle). Returns (vid, lp)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    ).localCheckpoint(eager=True)
+    lab = vertices.select(
+        F.col(vid).alias("node"), F.lit(0).cast("long").alias("l")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        push = (
+            e.join(
+                lab.select(F.col("node").alias("u"), F.col("l").alias("lu")),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.max(F.col("lu") + F.col("w")).alias("cand"))
+        )
+        new = (
+            lab.join(push.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("l"), F.coalesce("cand", F.col("l"))
+                ).alias("l"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.select("node", F.col("l").alias("ol")), "node")
+            .filter(F.col("l") != F.col("ol"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("node").alias(vid), F.col("l").alias("lp"))
+    raise ValueError(
+        f"longest_path_dag still relaxing after {max_iter} rounds — "
+        "cyclic input or pathological chain"
+    )
+
+
+def temporal_earliest_arrival(
+    sources: DataFrame,
+    edges: DataFrame,
+    *,
+    vid: str = "node",
+    src: str = "u",
+    dst: str = "v",
+    time_col: str = "t",
+    max_iter: int = 120,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability in a temporal
+    graph (contact network): an edge (u, v, t) is traversable only if
+    you are at u no later than t; arrival via it is t itself. Label-
+    correcting relaxation downward from arr(source) = 0 — every label
+    is witnessed by a real time-respecting path, and every such path
+    is eventually explored, so the fixpoint is the true minimum.
+    Returns (vid, earliest) for reached nodes (sources at 0)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(time_col).alias("t"),
+    ).localCheckpoint(eager=True)
+    lab = sources.select(
+        F.col(vid).alias("node"), F.lit(0).cast("long").alias("arr")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        push = (
+            e.join(
+                lab.select(
+                    F.col("node").alias("u"), F.col("arr").alias("au")
+                ),
+                "u",
+            )
+            .filter(F.col("t") >= F.col("au"))
+            .groupBy("v")
+            .agg(F.min("t").alias("cand"))
+            .withColumnRenamed("v", "node")
+        )
+        new = (
+            lab.join(push, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("arr", F.col("cand")),
+                    F.coalesce("cand", F.col("arr")),
+                ).alias("arr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                lab.select("node", F.col("arr").alias("oa")), "node", "left"
+            )
+            .filter(
+                F.col("oa").isNull() | (F.col("arr") != F.col("oa"))
+            )
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(
+                F.col("node").alias(vid), F.col("arr").alias("earliest")
+            )
+    raise ValueError(
+        f"temporal_earliest_arrival still relaxing after {max_iter} rounds"
+    )

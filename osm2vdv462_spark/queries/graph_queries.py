@@ -923,3 +923,146 @@ def scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scc_id")
     )
+
+
+@register_extra(
+    "critical_path_dag",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT least(user_id % 120,
+                   ('0x' || substr(md5('lp:' || CAST(event_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 120) AS u,
+             greatest(user_id % 120,
+                   ('0x' || substr(md5('lp:' || CAST(event_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 120) AS v,
+             1 + ('0x' || substr(md5('lpw:' || CAST(event_id AS VARCHAR)),
+                                 1, 4))::BIGINT % 9 AS w
+      FROM events
+      WHERE ('0x' || substr(md5('lpgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 41 = 0
+    ),
+    e AS (SELECT u, v, max(w) AS w FROM e0 WHERE u <> v GROUP BY u, v),
+    verts AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    paths(node, len) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM verts
+      UNION
+      SELECT e.v, p.len + e.w FROM paths p JOIN e ON e.u = p.node
+    )
+    SELECT node, max(len) AS lp FROM paths GROUP BY node ORDER BY node
+    """,
+)
+def critical_path_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path (longest weighted path) lengths in a DAG — the
+    PERT/CPM forward pass, and the shape of every task-scheduler
+    makespan bound and compiler-ILP critical-path analysis. The DAG is
+    the md5-derived event graph oriented low->high node id (acyclic by
+    construction), multi-edges collapsed to max weight. Spark runs the
+    monotone label-raising relaxation in operators/graph.py::
+    longest_path_dag — one equi-join + partial max per round, rounds =
+    longest chain HOPS (8 at gate scale), each round's state a compact
+    (node, label) table; the oracle is the INDEPENDENT path-enumeration
+    semantics (recursive closure over all path lengths, dedup'd by
+    UNION, max per node), so relaxation and definition cross-check.
+    Scale: labels shuffle on node id only; no path materialization on
+    the Spark side ever."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(120))
+    b = _h("lp:", 7) % 120
+    e = (
+        ev.filter(_h("lpgate:", 4).cast("int") % 41 == 0)
+        .select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+            (F.lit(1) + _h("lpw:", 4) % 9).alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+    )
+    verts = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return G.longest_path_dag(
+        verts, e, vid="node", src="u", dst="v", weight="w"
+    ).orderBy("node")
+
+
+@register_extra(
+    "temporal_reach_earliest",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT user_id % 130 AS u,
+             ('0x' || substr(md5('ta:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 130 AS v,
+             ('0x' || substr(md5('tat:' || CAST(event_id AS VARCHAR)),
+                             1, 5))::BIGINT % 900 AS t
+      FROM events
+      WHERE ('0x' || substr(md5('tagate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 29 = 0
+    ),
+    e AS (SELECT DISTINCT u, v, t FROM e0 WHERE u <> v),
+    src AS (SELECT DISTINCT u AS node FROM e WHERE u % 11 = 0),
+    reach(node, arr) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM src
+      UNION
+      SELECT e.v, e.t FROM reach r JOIN e ON e.u = r.node AND e.t >= r.arr
+    )
+    SELECT node, min(arr) AS earliest FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def temporal_reach_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival reachability in a TEMPORAL graph — an edge
+    (u, v, t) is traversable only if you were at u by time t (the
+    contact-network / epidemic / information-diffusion primitive;
+    static reachability over the same edges would overcount, because
+    paths must respect time order). Contacts are md5-derived
+    (u, v, t) triples; sources are the u % 11 == 0 senders at time 0.
+    Spark runs the label-correcting min relaxation in operators/
+    graph.py::temporal_earliest_arrival (every label witnessed by a
+    real time-respecting path; rounds = temporal diameter, 7 at gate
+    scale); the oracle enumerates all time-respecting arrival events
+    via a recursive closure and takes min per node — algorithm vs
+    definition. Scale: state is (node, arrival) only, shuffled on node
+    id; the t >= arr edge gate runs inside the join, so no candidate
+    blow-up."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    e = (
+        ev.filter(_h("tagate:", 4).cast("int") % 29 == 0)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(130)).alias("u"),
+            (_h("ta:", 7) % 130).alias("v"),
+            (_h("tat:", 5) % 900).alias("t"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    src = e.filter(F.col("u") % 11 == 0).select(
+        F.col("u").alias("node")
+    ).distinct()
+    return G.temporal_earliest_arrival(
+        src, e, vid="node", src="u", dst="v", time_col="t"
+    ).orderBy("node")
