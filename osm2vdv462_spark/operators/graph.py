@@ -586,3 +586,158 @@ def temporal_earliest_arrival(
     raise ValueError(
         f"temporal_earliest_arrival still relaxing after {max_iter} rounds"
     )
+
+
+def all_pairs_hops(edges: DataFrame, *, max_hops: int) -> DataFrame:
+    """Batched all-pairs BFS over an undirected simple edge list
+    (a, b): one BFS wave carrying (src, node) composite labels instead
+    of |V| separate traversals — the MS-BFS batching that makes
+    closeness/eccentricity computable as dataflow. Per level: frontier
+    equi-join on the destination node + anti-join against visited,
+    exactly the bfs_hops shape with a wider key; the iterated datum is
+    the pair frontier, so a level shuffles O(reached boundary pairs)
+    however large the graph. Distances are truncated at ``max_hops``
+    (bounded-hop semantics — callers must pick the bound above the
+    diameter they care about). Returns (src, node, hops), inner
+    semantics for unreached pairs. Only sane for batches where
+    |reachable pairs| fits the cluster — for planet-scale graphs batch
+    the src side (this is how HyperANF-free exact sweeps are run)."""
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("s").alias("src")).distinct()
+    visited = (
+        verts.select("src", F.col("src").alias("n"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("src", "n")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["s"])
+            .select("src", F.col("d").alias("n"))
+            .distinct()
+            .join(visited.select("src", "n"), ["src", "n"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "n")
+    return visited.select("src", F.col("n").alias("node"), "hops")
+
+
+def jp_coloring(
+    edges: DataFrame,
+    priorities: DataFrame,
+    *,
+    vid: str = "node",
+    pri: str = "pri",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Jones-Plassmann greedy graph coloring: in each round, every
+    uncolored node whose uncolored neighbors all have LOWER priority
+    takes the smallest color its (already-colored) higher-priority
+    neighbors don't use. With distinct priorities this terminates and
+    produces EXACTLY the sequential greedy coloring in decreasing
+    priority order (a lower-priority neighbor can never be colored
+    before v, so v's colored neighborhood at assignment time is
+    precisely its higher-priority neighbors) — which is what makes an
+    independent sequential oracle possible. Rounds = longest
+    increasing-priority path, O(log n) expected under hash priorities.
+    Each round: one neighbor-join + two partial aggs, all JVM-side
+    (mex via array higher-order functions); state is one (node, color)
+    row per vertex. Ties broken by (pri, node) so hash collisions
+    cannot de-determinize. Returns (vid, color)."""
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .join(
+            priorities.select(
+                F.col(vid).alias("d"), F.col(pri).alias("dp")
+            ),
+            "d",
+        )
+        .localCheckpoint(eager=True)
+    )
+    todo = priorities.select(
+        F.col(vid).alias("node"), F.col(pri).alias("p")
+    ).localCheckpoint(eager=True)
+    empty = F.array().cast("array<int>")
+    colored = None  # (node, color)
+    for _ in range(max_rounds):
+        if todo.isEmpty():
+            break
+        # neighbors of each todo node, split by colored/uncolored
+        nb = todo.join(sym, todo["node"] == sym["s"]).select(
+            "node", "p", F.col("d").alias("nbr"), "dp"
+        )
+        if colored is not None:
+            nb = nb.join(
+                colored.select(
+                    F.col("node").alias("nbr"), F.col("color").alias("nc")
+                ),
+                "nbr",
+                "left",
+            )
+        else:
+            nb = nb.withColumn("nc", F.lit(None).cast("int"))
+        todo_set = todo.select(
+            F.col("node").alias("nbr"), F.lit(1).alias("is_todo")
+        )
+        nb = nb.join(todo_set, "nbr", "left")
+        per = nb.groupBy("node").agg(
+            F.max(
+                F.when(
+                    (F.col("is_todo") == 1)
+                    & (
+                        (F.col("dp") > F.col("p"))
+                        | (
+                            (F.col("dp") == F.col("p"))
+                            & (F.col("nbr") > F.col("node"))
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("blocked"),
+            F.collect_set("nc").alias("used"),
+        )
+        ready = (
+            todo.join(per, "node", "left")
+            .filter(F.coalesce("blocked", F.lit(0)) == 0)
+            .select(
+                "node",
+                F.element_at(
+                    F.filter(
+                        F.sequence(
+                            F.lit(0),
+                            F.size(F.coalesce(F.col("used"), empty)),
+                        ),
+                        lambda c: ~F.array_contains(
+                            F.coalesce(F.col("used"), empty), c
+                        ),
+                    ),
+                    1,
+                )
+                .cast("int")
+                .alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        colored = (
+            ready if colored is None
+            else colored.unionByName(ready).localCheckpoint(eager=True)
+        )
+        todo = todo.join(
+            ready.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"jp_coloring did not finish in {max_rounds} rounds")
+    if colored is None:
+        return priorities.select(
+            F.col(vid), F.lit(0).alias("color")
+        ).limit(0)
+    return colored.select(F.col("node").alias(vid), "color")

@@ -1066,3 +1066,195 @@ def temporal_reach_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.temporal_earliest_arrival(
         src, e, vid="node", src="u", dst="v", time_col="t"
     ).orderBy("node")
+
+
+@register_extra(
+    "closeness_centrality",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT user_id % 100 AS u,
+             ('0x' || substr(md5('cc:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 100 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('ccgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 31 = 0
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM e0 WHERE u <> v),
+    sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    reach(src, node, hops) AS (
+      SELECT DISTINCT s, s, 0 FROM sym
+      UNION
+      SELECT r.src, s.d, r.hops + 1 FROM reach r JOIN sym s ON s.s = r.node
+      WHERE r.hops < 12
+    ),
+    d AS (SELECT src, node, min(hops) AS hops FROM reach GROUP BY 1, 2)
+    SELECT src AS node,
+           CAST(count(*) FILTER (hops > 0) AS BIGINT) AS n_reached,
+           CAST(sum(hops) AS BIGINT) AS farness,
+           CAST(max(hops) AS BIGINT) AS ecc,
+           CAST(sum(1000000 // hops) FILTER (hops > 0) AS BIGINT)
+             AS harmonic_e6
+    FROM d GROUP BY 1 ORDER BY node
+    """,
+)
+def closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness / harmonic centrality + eccentricity per node — the
+    'who sits in the middle of the network' family (farness = sum of
+    hop distances, harmonic = sum of 1/d which disconnection cannot
+    break, ecc = worst case), over the md5-derived undirected event
+    graph. Spark runs ONE batched multi-source BFS carrying (src,
+    node) composite frontiers (operators/graph.py::all_pairs_hops —
+    the MS-BFS batching; levels = diameter, 5 at gate scale, each
+    level one join + one anti-join); the oracle enumerates bounded
+    walks via a recursive closure and takes min hops per pair —
+    traversal vs definition. Both sides use the same 12-hop bound
+    (diameter is 5, so it never binds). Harmonic uses the exact
+    truncating e6 division both engines share. Scale: the pair
+    frontier is the iterated datum — for planet graphs you batch the
+    src side; the per-level shuffle keys are (src, node) pairs,
+    uniform by construction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(100))
+    b = _h("cc:", 7) % 100
+    e = (
+        ev.filter(_h("ccgate:", 4).cast("int") % 31 == 0)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pairs = G.all_pairs_hops(e, max_hops=12)
+    return (
+        pairs.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.when(F.col("hops") > 0, 1)).alias("n_reached"),
+            F.sum("hops").cast("long").alias("farness"),
+            F.max("hops").cast("long").alias("ecc"),
+            F.expr(
+                "sum(case when hops > 0 then 1000000 div hops end)"
+            )
+            .cast("long")
+            .alias("harmonic_e6"),
+        )
+        .orderBy("node")
+    )
+
+
+@register_extra(
+    "graph_coloring_jp",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT user_id % 110 AS u,
+             ('0x' || substr(md5('jp:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 110 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('jpgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 19 = 0
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM e0 WHERE u <> v),
+    verts AS (SELECT DISTINCT node FROM
+                (SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+    pri AS (
+      SELECT node,
+             ('0x' || substr(md5('jppri:' || CAST(node AS VARCHAR)),
+                             1, 7))::BIGINT AS p
+      FROM verts
+    ),
+    ord AS MATERIALIZED (
+      SELECT node, row_number() OVER (ORDER BY p DESC, node DESC) AS rn
+      FROM pri
+    ),
+    adj AS MATERIALIZED (
+      SELECT n.node, coalesce(list(o.nbr), []) AS nbrs FROM ord n
+      LEFT JOIN (SELECT a AS node, b AS nbr FROM e
+                 UNION ALL SELECT b, a FROM e) o USING (node)
+      GROUP BY n.node
+    ),
+    steps(rn, state) AS (
+      SELECT 0, []::STRUCT(node BIGINT, color INT)[]
+      UNION ALL
+      SELECT s.rn + 1,
+             list_append(s.state, {'node': o.node, 'color':
+               list_min(list_filter(
+                 range(0, len(list_filter(s.state,
+                         x -> list_contains(a.nbrs, x.node))) + 1),
+                 c -> NOT list_contains(
+                   list_transform(list_filter(s.state,
+                     x -> list_contains(a.nbrs, x.node)),
+                     x -> x.color), c)))
+             })
+      FROM steps s
+      JOIN ord o ON o.rn = s.rn + 1
+      JOIN adj a ON a.node = o.node
+    ),
+    fin AS (
+      SELECT unnest(state, recursive := true)
+      FROM steps WHERE rn = (SELECT max(rn) FROM steps)
+    )
+    SELECT color, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM fin GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_coloring_jp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph coloring, distributed: Jones-Plassmann rounds with
+    md5 hash priorities (the register-allocation / conflict-scheduling
+    primitive — color = time slot such that no two adjacent tasks
+    share one). The JP invariant — a node is colored only when every
+    higher-priority neighbor already is — makes the parallel rounds
+    produce EXACTLY the sequential greedy coloring in decreasing
+    priority order, which is what the oracle runs: a single-row
+    recursive fold over the priority-ordered node list, carrying the
+    (node, color) assignment as a LIST state and computing each mex
+    with pure list lambdas. Two completely different executions (7
+    synchronous parallel rounds vs 110 sequential steps) must emit the
+    identical per-color histogram. Ties broken by (pri, node) on both
+    sides so 28-bit hash collisions cannot de-determinize. Scale: each
+    JP round is one neighbor join + two partial aggs on node keys;
+    round count is the longest increasing-priority path, O(log n)
+    expected — the classic distributed-coloring bound."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col: F.Column, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(110))
+    b = _h("jp:", eid, 7) % 110
+    e = (
+        ev.filter(_h("jpgate:", eid, 4).cast("int") % 19 == 0)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    pri = verts.select(
+        "node", _h("jppri:", F.col("node").cast("string"), 7).alias("pri")
+    )
+    colored = G.jp_coloring(e, pri, vid="node", pri="pri")
+    return (
+        colored.groupBy("color")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("color")
+    )
