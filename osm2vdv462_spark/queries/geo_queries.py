@@ -4553,3 +4553,122 @@ def grid_discrepancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("argmax_cell"),
         )
     )
+
+
+# ------------------------------------------------------------ viewshed
+
+_VS_SZ, _VS_O, _VS_H = 48, 24, 30  # grid, observer center, mast height
+
+
+def _vs_elev(x: str, y: str, t: str = "t") -> str:
+    """Closed-form integer elevation both engines share (stands in for
+    a DEM raster tile; at scale this expression becomes a lookup into
+    the tile-partitioned elevation table)."""
+    return (
+        f"((({x})*7 + ({y})*13 + ({t})*5) % 41)"
+        f" + ((({x})*3 + ({y})*(({t})+2)) % 29)"
+    )
+
+
+def _vs_sample(d: str) -> str:
+    """Round-half-up nearest-cell coordinate of the k-th of kn equal
+    line samples, as pure integer arithmetic: the +9600*kn shift keeps
+    the numerator positive so truncating division IS floor, and
+    floor((2*k*d + kn)/(2*kn)) + 4800 decomposes exactly."""
+    return f"(({_VS_O} + (2*k*({d}) + kn + 9600*kn) DIV (2*kn) - 4800))"
+
+
+def _vs_oracle() -> str:
+    sz, o, h = _VS_SZ, _VS_O, _VS_H
+    sx = _vs_sample("dx").replace(" DIV ", " // ")
+    sy = _vs_sample("dy").replace(" DIV ", " // ")
+    return f"""
+    WITH tiles AS (SELECT n_nationkey AS t FROM nation
+                   WHERE n_nationkey < 12),
+    yx AS (SELECT y.range AS ty, x.range AS tx
+           FROM range({sz}) y, range({sz}) x),
+    base AS (
+      SELECT t, tx, ty,
+             {_vs_elev(str(o), str(o))} + {h} AS oh,
+             {_vs_elev('tx', 'ty')} AS te,
+             tx - {o} AS dx, ty - {o} AS dy,
+             greatest(abs(tx - {o}), abs(ty - {o})) AS kn
+      FROM tiles CROSS JOIN yx
+      WHERE NOT (tx = {o} AND ty = {o})
+    ),
+    vis AS (
+      SELECT t, te, kn,
+             len(list_filter(range(1, kn), k ->
+               ({_vs_elev(sx, sy)} - oh) * kn >= (te - oh) * k)) = 0
+               AS visible
+      FROM base
+    )
+    SELECT t, CAST(count(*) FILTER (visible) AS BIGINT) AS n_visible,
+           CAST(sum(te) FILTER (visible) AS BIGINT) AS sum_vis_elev,
+           CAST(max(kn) FILTER (visible) AS BIGINT) AS max_vis_cheb
+    FROM vis GROUP BY t ORDER BY t
+    """
+
+
+@register_extra("viewshed_tiles", _vs_oracle())
+def viewshed_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed (line-of-sight) analysis — which cells of an elevation
+    tile an observer mast at the center sees, the classic GIS op
+    behind antenna placement, solar exposure, and visibility-graph
+    building. A target is visible iff NO intermediate sample along the
+    straight sightline subtends a slope >= the target's; samples are
+    the kn equal subdivisions of the ray, snapped round-half-up to the
+    nearest cell, and the slope test is cross-multiplied so the whole
+    computation is EXACT INTEGERS — no float epsilon anywhere.
+
+    Spark keeps every ray JVM-side as whole-stage codegen: targets are
+    two exploded sequences, the per-ray walk is F.exists over
+    F.sequence(1, kn-1) (a higher-order lambda — constant Catalyst tree
+    size per the janino/1g discipline), the elevation is the shared
+    closed form (at scale: a broadcast/co-partitioned DEM tile
+    lookup). Zero Python, zero shuffle until the 12-row per-tile agg.
+    The oracle evaluates the identical geometry via list_filter — the
+    two engines share only the DEFINITION, not the execution. Guard:
+    F.sequence descends when kn=1, so adjacency is special-cased
+    visible (kn=1 has no intermediate sample by definition)."""
+    sz, o, h = _VS_SZ, _VS_O, _VS_H
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        nat.filter(F.col("n_nationkey") < 12)
+        .select(F.col("n_nationkey").cast("long").alias("t"))
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(sz - 1))).alias("ty"))
+        .select(
+            "t", "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(sz - 1))).alias("tx"),
+        )
+        .filter(~((F.col("tx") == o) & (F.col("ty") == o)))
+        .withColumn("oh", F.expr(_vs_elev(str(o), str(o))) + F.lit(h))
+        .withColumn("te", F.expr(_vs_elev("tx", "ty")))
+        .withColumn("dx", F.col("tx") - o)
+        .withColumn("dy", F.col("ty") - o)
+        .withColumn("kn", F.greatest(F.abs("dx"), F.abs("dy")))
+    )
+    blocked = F.expr(
+        "exists(sequence(1L, kn - 1L), k -> "
+        f"({_vs_elev(_vs_sample('dx'), _vs_sample('dy'))} - oh) * kn"
+        " >= (te - oh) * k)"
+    )
+    vis = base.withColumn(
+        "visible",
+        F.when(F.col("kn") >= 2, ~blocked).otherwise(F.lit(True)),
+    )
+    return (
+        vis.groupBy("t")
+        .agg(
+            F.count(F.when(F.col("visible"), 1))
+            .cast("long")
+            .alias("n_visible"),
+            F.sum(F.when(F.col("visible"), F.col("te")))
+            .cast("long")
+            .alias("sum_vis_elev"),
+            F.max(F.when(F.col("visible"), F.col("kn")))
+            .cast("long")
+            .alias("max_vis_cheb"),
+        )
+        .orderBy("t")
+    )

@@ -2520,3 +2520,119 @@ def median_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ----------------------------------------------------- template match
+
+_TM_K, _TM_CX = 6, 13  # template size, source corner in the seed image
+
+
+def _tm_gray(ex: str, ey: str, eid: str) -> str:
+    """Channel-sum gray at (ex, ey) of the synthetic pattern for an
+    arbitrary event-id expression (the _gray_expr form generalized so
+    the TEMPLATE can come from a different seed than the image)."""
+    return (
+        f"((({ex})*7 + ({eid})*13) % 256)"
+        f" + ((({ey})*11 + ({eid})*29) % 256)"
+        f" + (((({ex})+({ey}))*5 + ({eid})*53) % 256)"
+    )
+
+
+def _tm_oracle() -> str:
+    sz, k, c = _OTSU_SZ, _TM_K, _TM_CX
+    noff = sz - k + 1
+    img = _tm_gray("dx + j", "dy + i", "event_id")
+    tpl = _tm_gray(f"{c} + j", f"{c} + i", "event_id + 7777")
+    return f"""
+    WITH e AS (SELECT event_id FROM events
+               WHERE event_id % {_OTSU_EVERY} = 0),
+    off AS (SELECT dy.range AS dy, dx.range AS dx
+            FROM range({noff}) dy, range({noff}) dx),
+    ij AS (SELECT i.range AS i, j.range AS j
+           FROM range({k}) i, range({k}) j),
+    terms AS (
+      SELECT event_id, dy, dx, ({img}) - ({tpl}) AS d
+      FROM e CROSS JOIN off CROSS JOIN ij
+    ),
+    ssd AS (
+      SELECT event_id, dy, dx, CAST(sum(d*d) AS BIGINT) AS ssd
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT event_id, min(ssd*1000000 + dy*1000 + dx) AS enc
+      FROM ssd GROUP BY 1
+    )
+    SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+           CAST(enc // 1000000 AS BIGINT) AS min_ssd,
+           CAST((enc % 1000000) // 1000 AS BIGINT) AS best_dy,
+           CAST(enc % 1000 AS BIGINT) AS best_dx
+    FROM best ORDER BY image_id
+    """
+
+
+@register_extra("template_match_ssd", _tm_oracle())
+def template_match_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive SSD template matching — register a 6x6 grayscale
+    template against every valid offset of each image and report the
+    global-minimum offset (the block-registration primitive behind
+    stereo disparity, fiducial detection, and classical tracking; the
+    gated block-motion query searches a LOCAL window around a prior,
+    this one proves the global argmin). The template comes from a
+    DIFFERENT pattern seed (event_id + 7777) so the minimum is a
+    nontrivial random-field optimum rather than a trivially-zero
+    self-match. Exact integers end-to-end: SSD <= 36*765^2 so the
+    (ssd, dy, dx) argmin packs into one BIGINT and the lexicographic
+    tie-break is the same min() in both engines. Spark decodes the
+    real PNG bytes and computes all 729 offsets per image in ONE numpy
+    pass (sliding_window_view -> broadcast subtract -> einsum-free
+    square-sum), the sanctioned per-blob pattern; the oracle recomputes
+    every offset relationally from the pixel closed form."""
+    sz, tk, c = _OTSU_SZ, _TM_K, _TM_CX
+    imgs = im.images_df(spark, sf_dir, size=sz, every=_OTSU_EVERY)
+
+    def _match(batches):
+        jj, ii = np.meshgrid(np.arange(tk), np.arange(tk))
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                eid = int(row.image_id[4:])
+                t = (
+                    ic.decode_image(bytes(row.bytes), row.fmt)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                es = eid + 7777
+                tpl = (
+                    ((c + jj) * 7 + es * 13) % 256
+                    + ((c + ii) * 11 + es * 29) % 256
+                    + (((c + jj) + (c + ii)) * 5 + es * 53) % 256
+                )
+                win = np.lib.stride_tricks.sliding_window_view(t, (tk, tk))
+                d = win - tpl
+                ssd = (d * d).sum(axis=(2, 3))
+                noff = ssd.shape[0]
+                dyg, dxg = np.divmod(np.arange(noff * noff), noff)
+                enc = ssd.ravel() * 1000000 + dyg * 1000 + dxg
+                b = int(enc.min())
+                out.append(
+                    (
+                        row.image_id,
+                        b // 1000000,
+                        (b % 1000000) // 1000,
+                        b % 1000,
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "min_ssd", "best_dy", "best_dx"],
+                )
+
+    return (
+        imgs.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            _match,
+            "image_id string, min_ssd long, best_dy long, best_dx long",
+        )
+        .orderBy("image_id")
+    )
