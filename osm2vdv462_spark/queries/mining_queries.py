@@ -2524,3 +2524,174 @@ def tree_depth2_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("err_leaf").cast("long").alias("err_leaf"),
                      F.col("err_split").cast("long").alias("err_split"))
     ).orderBy("node")
+
+
+# --------------------------------------------- ranking eval: MAP
+
+
+@register_extra(
+    "average_precision_eval",
+    """
+    WITH base AS (
+      SELECT user_id % 20 AS qid,
+             ('0x' || substr(md5('apscore:' || CAST(event_id AS VARCHAR)),
+                             1, 12))::BIGINT AS score,
+             CASE WHEN ('0x' || substr(md5('aprel:'
+                          || CAST(event_id AS VARCHAR)), 1, 4))::INT % 5 = 0
+                  THEN 1 ELSE 0 END AS rel,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, event_id) AS rk,
+             sum(rel) OVER (PARTITION BY qid
+                            ORDER BY score DESC, event_id
+                            ROWS UNBOUNDED PRECEDING) AS relcnt
+      FROM base
+    ),
+    terms AS (
+      SELECT qid, (relcnt * 1000000000) // rk AS term
+      FROM ranked WHERE rel = 1
+    ),
+    agg AS (SELECT qid, count(*) AS n_rel, sum(term) AS s
+            FROM terms GROUP BY qid)
+    SELECT qid, CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(s // n_rel AS BIGINT) AS ap_e9
+    FROM agg ORDER BY qid
+    """,
+)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per query group — THE ranked-retrieval eval
+    metric (MAP's per-query term): AP = mean over relevant hits of
+    precision@their-rank. Scores and binary labels are md5-derived;
+    ranking ties are impossible (48-bit scores) and the residual
+    tie-break is pinned by event_id on both sides. The only fractions
+    are precision@k and the final 1/R mean, both quantized with the
+    shared truncating e9 division, so the whole metric is exact
+    integers cross-engine. Spark: two window passes (rank + running
+    relevant-count) partitioned by query — the standard eval shape at
+    scale, one shuffle on qid; the oracle repeats the definition
+    relationally in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base = ev.select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("qid"),
+        _h("apscore:", 12).alias("score"),
+        F.when(_h("aprel:", 4).cast("int") % 5 == 0, 1)
+        .otherwise(0)
+        .alias("rel"),
+        "event_id",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("event_id")
+    )
+    ranked = base.select(
+        "qid",
+        "rel",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rel").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("relcnt"),
+    )
+    return (
+        ranked.filter(F.col("rel") == 1)
+        .select("qid", F.expr("(relcnt * 1000000000) div rk").alias("term"))
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_rel"),
+            F.expr("sum(term) div count(*)").cast("long").alias("ap_e9"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ------------------------------------- probability calibration
+
+
+@register_extra(
+    "calibration_bins",
+    """
+    WITH base AS (
+      SELECT ('0x' || substr(md5('calp:' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT % 1001 AS p_e3,
+             CASE WHEN ('0x' || substr(md5('caly:'
+                          || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 1001
+                    < ('0x' || substr(md5('calp:'
+                          || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 1001
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT least(p_e3 // 100, 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p_e3) AS BIGINT) AS sum_p_e3,
+           CAST(abs(sum(p_e3) - 1000 * sum(y)) AS BIGINT) AS abs_gap_e3,
+           CAST(sum((p_e3 - 1000 * y) * (p_e3 - 1000 * y)) AS BIGINT)
+             AS brier_sum_e6
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration audit every model-quality pipeline runs before
+    trusting scores as probabilities. Predictions p are e3-quantized
+    md5 draws; outcomes are drawn BY CONSTRUCTION calibrated (y = 1
+    iff an independent uniform < p), so bin gaps measure finite-sample
+    noise — which both engines must agree on exactly. Per decile bin:
+    count, positives, confidence mass, the |confidence - accuracy| ECE
+    numerator (integers at e3) and the Brier-score sum at e6 — the
+    full decomposition without a single float. One partial-agg
+    shuffle on the 10 bin keys; at 100 TB this is a pure map-side
+    combine."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base = ev.select(
+        (_h("calp:") % 1001).alias("p_e3"),
+        F.when(_h("caly:") % 1001 < _h("calp:") % 1001, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return (
+        base.select(
+            F.least(F.expr("p_e3 div 100"), F.lit(9)).alias("bin"),
+            "p_e3",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("p_e3").cast("long").alias("sum_p_e3"),
+            F.abs(F.sum("p_e3") - 1000 * F.sum("y"))
+            .cast("long")
+            .alias("abs_gap_e3"),
+            F.sum((F.col("p_e3") - 1000 * F.col("y"))
+                  * (F.col("p_e3") - 1000 * F.col("y")))
+            .cast("long")
+            .alias("brier_sum_e6"),
+        )
+        .orderBy("bin")
+    )
