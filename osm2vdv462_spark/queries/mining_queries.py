@@ -2695,3 +2695,201 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------- survival analysis
+
+
+@register_extra(
+    "nelson_aalen_hazard",
+    """
+    WITH subj AS (
+      SELECT ('0x' || substr(md5('nadur:' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT % 60 + 1 AS d,
+             CASE WHEN ('0x' || substr(md5('nacen:'
+                          || CAST(event_id AS VARCHAR)), 1, 4))::INT % 4 = 0
+                  THEN 0 ELSE 1 END AS ev
+      FROM events
+    ),
+    tot AS (SELECT count(*) AS n FROM subj),
+    at_t AS (
+      SELECT d AS t, count(*) AS n_leave, sum(ev) AS n_events
+      FROM subj GROUP BY d
+    ),
+    risk AS (
+      SELECT t, n_events,
+             (SELECT n FROM tot)
+               - coalesce(sum(n_leave) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM at_t
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum((n_events * 1000000000000) // n_risk)
+                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_hazard_e12
+    FROM risk ORDER BY t
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the survival-
+    analysis workhorse behind churn/retention curves and reliability
+    engineering: H(t) = sum over event times s <= t of d_s / n_s
+    (events over the at-risk set), right-censoring respected (censored
+    subjects leave the risk set but contribute no event). Durations
+    and censoring flags are md5-derived. Each hazard increment is one
+    e12 truncating division — the only fraction in the estimator — so
+    the running sum is exact integers cross-engine (a float Kaplan-
+    Meier product would NOT be; that is why the additive NA form is
+    the distributed-friendly one). Spark: one groupBy on event time +
+    two ordered windows (risk set by complement of the leaving
+    cumsum, then the hazard cumsum) — at scale the time axis is tiny,
+    so both windows run on a single coalesced partition of ~hundreds
+    of rows after a map-side partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    subj = ev.select(
+        (_h("nadur:", 6) % 60 + 1).alias("d"),
+        F.when(_h("nacen:", 4).cast("int") % 4 == 0, 0)
+        .otherwise(1)
+        .alias("ev"),
+    )
+    at_t = subj.groupBy(F.col("d").alias("t")).agg(
+        F.count("*").alias("n_leave"), F.sum("ev").alias("n_events")
+    )
+    w = Window.orderBy("t")
+    # at-risk at t = everyone who leaves at t or later: a suffix sum —
+    # the complement formulation of the oracle's total-minus-prefix,
+    # so the two engines cross-check the identity too
+    risk = at_t.select(
+        "t",
+        "n_events",
+        F.sum("n_leave")
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("n_risk"),
+    )
+    return risk.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.sum(F.expr("(n_events * 1000000000000) div n_risk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_hazard_e12"),
+    ).orderBy("t")
+
+
+# --------------------------------------------- multiple testing
+
+
+@register_extra(
+    "fdr_bh_selection",
+    """
+    WITH h AS (
+      SELECT user_id % 8 AS fam,
+             CASE WHEN ('0x' || substr(md5('bheff:'
+                          || CAST(event_id AS VARCHAR)), 1, 4))::INT % 5 = 0
+                  THEN ('0x' || substr(md5('bhp:'
+                          || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 500
+                  ELSE ('0x' || substr(md5('bhp:'
+                          || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000001
+             END AS p_e6, event_id
+      FROM events WHERE event_id % 11 = 0
+    ),
+    ranked AS (
+      SELECT fam, p_e6,
+             row_number() OVER (PARTITION BY fam
+                                ORDER BY p_e6, event_id) AS i,
+             count(*) OVER (PARTITION BY fam) AS m
+      FROM h
+    ),
+    ok AS (SELECT fam, i FROM ranked WHERE p_e6 * m * 20 <= i * 1000000),
+    mx AS (SELECT fam, max(i) AS kmax FROM ok GROUP BY fam)
+    SELECT r.fam, CAST(max(r.m) AS BIGINT) AS n_tests,
+           CAST(coalesce(max(mx.kmax), 0) AS BIGINT) AS n_rejected,
+           CAST(coalesce(max(CASE WHEN r.i = mx.kmax THEN r.p_e6 END), -1)
+                AS BIGINT) AS p_cut_e6
+    FROM ranked r LEFT JOIN mx ON mx.fam = r.fam
+    GROUP BY r.fam ORDER BY r.fam
+    """,
+)
+def fdr_bh_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up selection at alpha = 0.05, per
+    test family — the multiple-testing gate every large-scale A/B /
+    feature-screening pipeline applies before declaring winners:
+    reject the k smallest p-values where k = max{i : p_(i) <= i*a/m}.
+    A fifth of the hypotheses carry planted signal (p <= 5e-4), so
+    the step-up does real work — including rescuing non-planted
+    p-values that ride below the rising BH line (visible as p_cut >
+    the plant ceiling in some families). p-values are e6 integers and
+    the BH inequality is cross-multiplied (alpha = 1/20), so
+    selection is exact — no float thresholds. Spark: rank + count
+    windows per family, one filter, one max — a single shuffle on the
+    family key; the oracle is the same definition in DuckDB. Output
+    per family: tests, rejections, the realized p cutoff (-1 = none)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    h = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("fam"),
+        F.when(
+            _h("bheff:", 4).cast("int") % 5 == 0, _h("bhp:", 8) % 500
+        )
+        .otherwise(_h("bhp:", 8) % 1000001)
+        .alias("p_e6"),
+        "event_id",
+    )
+    w = Window.partitionBy("fam").orderBy("p_e6", "event_id")
+    ranked = h.select(
+        "fam",
+        "p_e6",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("fam")).alias("m"),
+    )
+    mx = (
+        ranked.filter(
+            F.col("p_e6") * F.col("m") * 20 <= F.col("i") * 1000000
+        )
+        .groupBy("fam")
+        .agg(F.max("i").alias("kmax"))
+    )
+    return (
+        ranked.join(mx, "fam", "left")
+        .groupBy("fam")
+        .agg(
+            F.max("m").cast("long").alias("n_tests"),
+            F.coalesce(F.max("kmax"), F.lit(0))
+            .cast("long")
+            .alias("n_rejected"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("i") == F.col("kmax"), F.col("p_e6"))
+                ),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("p_cut_e6"),
+        )
+        .orderBy("fam")
+    )
