@@ -2030,3 +2030,204 @@ def dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------------- loan amortization
+
+
+@register_extra(
+    "loan_amortization_replay",
+    """
+    WITH RECURSIVE loans AS (
+      SELECT event_id AS loan_id,
+             100000 + ('0x' || substr(md5('amp:'
+               || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 900000
+               AS principal,
+             25 + ('0x' || substr(md5('amr:'
+               || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 175 AS r_bp,
+             6 + ('0x' || substr(md5('amn:'
+               || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 19 AS n
+      FROM events WHERE event_id % 37 = 0
+    ),
+    pay AS (
+      SELECT *, (principal // n) + (principal * r_bp // 10000) AS pmt
+      FROM loans
+    ),
+    sim(loan_id, k, bal, int_sum, pmt, r_bp, n) AS (
+      SELECT loan_id, 0, principal, CAST(0 AS BIGINT), pmt, r_bp, n
+      FROM pay
+      UNION ALL
+      SELECT loan_id, k + 1,
+             greatest(bal + (bal * r_bp // 10000) - pmt, 0),
+             int_sum + (bal * r_bp // 10000),
+             pmt, r_bp, n
+      FROM sim WHERE bal > 0 AND k < 2 * n
+    )
+    SELECT loan_id, CAST(max(k) AS BIGINT) AS periods_paid,
+           CAST(max(int_sum) AS BIGINT) AS total_interest_c
+    FROM sim GROUP BY loan_id ORDER BY loan_id
+    """,
+)
+def loan_amortization_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loan amortization replay in exact integer cents — the fintech
+    ledger op where floats are a compliance bug: per period, interest
+    accrues at r basis points (truncating bankers' arithmetic), a
+    fixed payment is applied, and the loan closes when the balance
+    hits zero. The schedule is INHERENTLY sequential (each period's
+    interest depends on the running balance), so this exercises the
+    per-entity fold pattern: Spark runs one F.aggregate lambda over a
+    bounded period sequence — a single whole-stage-codegen expression
+    per loan, no shuffle at all (embarrassingly parallel across
+    loans, the right shape for a 100 TB loan book); the oracle
+    replays the identical recurrence as a recursive CTE stepping all
+    loans in lockstep. Payment = principal/n + first-period interest,
+    which always terminates within 2n periods (asserted by the cap)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    loans = ev.filter(F.col("event_id") % 37 == 0).select(
+        F.col("event_id").alias("loan_id"),
+        (100000 + _h("amp:", 8) % 900000).alias("principal"),
+        (25 + _h("amr:", 4) % 175).alias("r_bp"),
+        (6 + _h("amn:", 4) % 19).alias("n"),
+    )
+    sim = loans.withColumn(
+        "pmt", F.expr("(principal div n) + (principal * r_bp div 10000)")
+    ).withColumn(
+        "acc",
+        F.expr(
+            """
+            aggregate(
+              sequence(1L, 2 * n),
+              named_struct('bal', principal, 'k', 0L, 'int_sum', 0L),
+              (a, i) -> CASE WHEN a.bal > 0 THEN named_struct(
+                  'bal', greatest(a.bal + (a.bal * r_bp div 10000) - pmt,
+                                  0L),
+                  'k', a.k + 1L,
+                  'int_sum', a.int_sum + (a.bal * r_bp div 10000))
+                ELSE a END)
+            """
+        ),
+    )
+    return sim.select(
+        "loan_id",
+        F.col("acc.k").cast("long").alias("periods_paid"),
+        F.col("acc.int_sum").cast("long").alias("total_interest_c"),
+    ).orderBy("loan_id")
+
+
+# --------------------------------------------- auction clearing
+
+
+@register_extra(
+    "auction_uniform_clearing",
+    """
+    WITH ords AS (
+      SELECT user_id % 8 AS inst,
+             ('0x' || substr(md5('aucs:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::INT % 2 AS is_bid,
+             50 + ('0x' || substr(md5('aucp:' || CAST(event_id AS VARCHAR)),
+                                  1, 4))::BIGINT % 100 AS price,
+             1 + ('0x' || substr(md5('aucq:' || CAST(event_id AS VARCHAR)),
+                                 1, 4))::BIGINT % 50 AS qty
+      FROM events WHERE event_id % 7 = 0
+    ),
+    cand AS (SELECT DISTINCT inst, price FROM ords),
+    cum AS (
+      SELECT c.inst, c.price,
+             coalesce(sum(CASE WHEN o.is_bid = 1 AND o.price >= c.price
+                               THEN o.qty END), 0) AS demand,
+             coalesce(sum(CASE WHEN o.is_bid = 0 AND o.price <= c.price
+                               THEN o.qty END), 0) AS supply
+      FROM cand c JOIN ords o ON o.inst = c.inst
+      GROUP BY 1, 2
+    ),
+    vol AS (SELECT inst, price, least(demand, supply) AS v,
+                   demand, supply FROM cum),
+    best AS (SELECT inst, max(v * 1000 + (999 - price)) AS enc
+             FROM vol GROUP BY inst)
+    SELECT b.inst, CAST(999 - (b.enc % 1000) AS BIGINT) AS clear_price,
+           CAST(b.enc // 1000 AS BIGINT) AS volume,
+           CAST(v.demand - v.supply AS BIGINT) AS imbalance
+    FROM best b JOIN vol v ON v.inst = b.inst
+                          AND v.price = 999 - (b.enc % 1000)
+    ORDER BY b.inst
+    """,
+)
+def auction_uniform_clearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-price call-auction clearing (the exchange opening/
+    closing cross): per instrument, find the price maximizing matched
+    volume min(demand, supply), where demand is bid quantity at or
+    above p and supply is ask quantity at or below p; ties take the
+    LOWEST such price; report the matched volume and the residual
+    imbalance. Integer ticks and quantities, argmax packed into one
+    BIGINT (volume*1000 + inverted price) so the tie-break is a plain
+    max in both engines. Spark computes the supply/demand curves the
+    SCALE-SHAPED way — aggregate qty per (inst, price, side), then a
+    prefix-sum window for supply and a suffix-sum window for demand
+    over the sorted tick ladder (one shuffle on inst, O(ticks) state)
+    — while the oracle uses the quadratic candidate-join definition;
+    the two formulations cross-check the cumulative identity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ords = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("inst"),
+        (_h("aucs:", 4).cast("int") % 2).alias("is_bid"),
+        (50 + _h("aucp:", 4) % 100).alias("price"),
+        (1 + _h("aucq:", 4) % 50).alias("qty"),
+    )
+    per_tick = ords.groupBy("inst", "price").agg(
+        F.sum(F.when(F.col("is_bid") == 1, F.col("qty")).otherwise(0))
+        .alias("bid_q"),
+        F.sum(F.when(F.col("is_bid") == 0, F.col("qty")).otherwise(0))
+        .alias("ask_q"),
+    )
+    w = Window.partitionBy("inst").orderBy("price")
+    vol = per_tick.select(
+        "inst",
+        "price",
+        F.sum("bid_q")
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("demand"),
+        F.sum("ask_q")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("supply"),
+    ).withColumn("v", F.least("demand", "supply"))
+    best = vol.groupBy("inst").agg(
+        F.max(F.col("v") * 1000 + (999 - F.col("price"))).alias("enc")
+    )
+    return (
+        best.join(
+            vol,
+            (vol["inst"] == best["inst"])
+            & (vol["price"] == 999 - (best["enc"] % 1000)),
+        )
+        .select(
+            best["inst"],
+            (999 - (F.col("enc") % 1000)).cast("long").alias("clear_price"),
+            F.expr("enc div 1000").cast("long").alias("volume"),
+            (F.col("demand") - F.col("supply"))
+            .cast("long")
+            .alias("imbalance"),
+        )
+        .orderBy("inst")
+    )
