@@ -2636,3 +2636,151 @@ def template_match_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------- summed-area table
+
+_SAT_SZ = 96
+
+
+def _sat_v(x: str, y: str, t: str = "t") -> str:
+    """Closed-form integer cell value both engines share."""
+    return (
+        f"((({x})*13 + ({y})*7 + ({t})*11) % 31)"
+        f" * ((({x}) + ({y})*3 + ({t})) % 17)"
+    )
+
+
+@register_extra(
+    "summed_area_probes",
+    f"""
+    WITH probes AS (
+      SELECT event_id AS pid, event_id % 6 AS t,
+             ('0x' || substr(md5('sax0:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 80 AS x0,
+             ('0x' || substr(md5('say0:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 80 AS y0,
+             1 + ('0x' || substr(md5('saw:' || CAST(event_id AS VARCHAR)),
+                                 1, 4))::BIGINT % 16 AS w,
+             1 + ('0x' || substr(md5('sah:' || CAST(event_id AS VARCHAR)),
+                                 1, 4))::BIGINT % 16 AS h
+      FROM events WHERE event_id % 53 = 0
+    ),
+    rect AS (
+      SELECT pid, t, x0, y0, least(x0 + w - 1, {_SAT_SZ - 1}) AS x1,
+             least(y0 + h - 1, {_SAT_SZ - 1}) AS y1
+      FROM probes
+    )
+    SELECT pid,
+           CAST(sum({_sat_v('x.range', 'y.range')}) AS BIGINT) AS rect_sum,
+           CAST(count(*) AS BIGINT) AS area
+    FROM rect, range({_SAT_SZ}) x, range({_SAT_SZ}) y
+    WHERE x.range BETWEEN x0 AND x1 AND y.range BETWEEN y0 AND y1
+    GROUP BY pid ORDER BY pid
+    """,
+)
+def summed_area_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area table (integral image) as distributed dataflow —
+    the O(1)-per-rectangle box-sum structure behind Haar features,
+    box-filter pyramids and raster zonal rollups. Spark builds the SAT
+    with TWO ordered window cumsums (rows along each tile row, then
+    columns along each tile column — the separable 2D prefix sum; at
+    scale each window partitions on (tile, line), so the shuffle keys
+    are raster lines, never cells-at-large) and answers every probe
+    rectangle with the 4-corner inclusion-exclusion lookup, a single
+    broadcast join of signed corners. The oracle never builds a SAT:
+    it sums the closed-form cells DIRECTLY over each rectangle — so
+    the prefix-sum identity itself is what the gate checks. Exact
+    integers; clipped rectangles keep area as the count of covered
+    cells on both sides."""
+    sz = _SAT_SZ
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    from pyspark.sql import Window
+
+    grid = (
+        spark.range(6)
+        .select(F.col("id").alias("t"))
+        .select(
+            "t", F.explode(F.sequence(F.lit(0), F.lit(sz - 1))).alias("y")
+        )
+        .select(
+            "t", "y",
+            F.explode(F.sequence(F.lit(0), F.lit(sz - 1))).alias("x"),
+        )
+        .withColumn("v", F.expr(_sat_v("x", "y")))
+    )
+    wx = Window.partitionBy("t", "y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.partitionBy("t", "x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sat = grid.withColumn("sx", F.sum("v").over(wx)).withColumn(
+        "s", F.sum("sx").over(wy)
+    )
+    rect = ev.filter(F.col("event_id") % 53 == 0).select(
+        F.col("event_id").alias("pid"),
+        (F.col("event_id") % 6).alias("t"),
+        (_h("sax0:") % 80).alias("x0"),
+        (_h("say0:") % 80).alias("y0"),
+        (1 + _h("saw:") % 16).alias("w"),
+        (1 + _h("sah:") % 16).alias("h"),
+    ).select(
+        "pid", "t", "x0", "y0",
+        F.least(F.col("x0") + F.col("w") - 1, F.lit(sz - 1)).alias("x1"),
+        F.least(F.col("y0") + F.col("h") - 1, F.lit(sz - 1)).alias("y1"),
+    )
+    corners = rect.select(
+        "pid",
+        "t",
+        ((F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1))
+        .cast("long")
+        .alias("area"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x1").alias("cx"), F.col("y1").alias("cy"),
+                    F.lit(1).alias("sign"),
+                ),
+                F.struct(
+                    (F.col("x0") - 1).alias("cx"), F.col("y1").alias("cy"),
+                    F.lit(-1).alias("sign"),
+                ),
+                F.struct(
+                    F.col("x1").alias("cx"), (F.col("y0") - 1).alias("cy"),
+                    F.lit(-1).alias("sign"),
+                ),
+                F.struct(
+                    (F.col("x0") - 1).alias("cx"),
+                    (F.col("y0") - 1).alias("cy"),
+                    F.lit(1).alias("sign"),
+                ),
+            )
+        ).alias("c"),
+    ).select("pid", "t", "area", "c.cx", "c.cy", "c.sign")
+    joined = corners.join(
+        sat.select("t", F.col("x").alias("cx"), F.col("y").alias("cy"), "s"),
+        ["t", "cx", "cy"],
+        "left",
+    )
+    return (
+        joined.groupBy("pid")
+        .agg(
+            F.sum(F.col("sign") * F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rect_sum"),
+            F.max("area").alias("area"),
+        )
+        .orderBy("pid")
+    )
