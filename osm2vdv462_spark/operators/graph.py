@@ -741,3 +741,61 @@ def jp_coloring(
             F.col(vid), F.lit(0).alias("color")
         ).limit(0)
     return colored.select(F.col("node").alias(vid), "color")
+
+
+def gale_shapley_rounds(
+    prefs_m: DataFrame,
+    prefs_w: DataFrame,
+    *,
+    max_rounds: int = 400,
+) -> DataFrame:
+    """Stable matching by PARALLEL Gale-Shapley proposal rounds: every
+    free proposer simultaneously proposes to their best not-yet-
+    rejecting counterparty; each counterparty keeps the best of
+    {incumbent, new proposals} and rejects the rest. Because the
+    deferred-acceptance outcome is proposal-order independent (the
+    man-optimal stable matching is unique — Gale & Shapley 1962,
+    McVitie-Wilson 1971), these synchronous batched rounds converge to
+    EXACTLY the matching the textbook one-proposal-at-a-time loop
+    produces, which is what makes an independent sequential oracle
+    possible. Inputs: prefs_m(m, w, mr) / prefs_w(w, m, wr), complete
+    lists, lower rank = preferred (ties broken by counterparty id).
+    Returns (w, m) for matched pairs. Per round: one anti-join against
+    the rejection set (the only growing state, bounded by |prefs|),
+    one top-1 window per proposer, one min-agg per counterparty — all
+    keyed shuffles, no driver state; rounds ~ longest rejection chain
+    (typically O(log) for random preferences)."""
+    pm = prefs_m.select("m", "w", "mr").localCheckpoint(eager=True)
+    pw = prefs_w.select("w", "m", "wr").localCheckpoint(eager=True)
+    rejected = pm.select("m", "w").limit(0).localCheckpoint(eager=True)
+    matches = pw.select("w", "m").limit(0).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    for _ in range(max_rounds):
+        cand = (
+            pm.join(rejected, ["m", "w"], "left_anti")
+            .join(matches.select("m"), "m", "left_anti")
+        )
+        top = Window.partitionBy("m").orderBy("mr", "w")
+        proposals = (
+            cand.withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") == 1)
+            .select("m", "w")
+            .localCheckpoint(eager=True)
+        )
+        if proposals.isEmpty():
+            return matches.select("w", "m")
+        contenders = proposals.unionByName(matches.select("w", "m")).join(
+            pw, ["w", "m"]
+        )
+        keep = Window.partitionBy("w").orderBy("wr", "m")
+        ranked = contenders.withColumn("rn", F.row_number().over(keep))
+        matches = (
+            ranked.filter(F.col("rn") == 1)
+            .select("w", "m")
+            .localCheckpoint(eager=True)
+        )
+        rejected = rejected.unionByName(
+            ranked.filter(F.col("rn") > 1).select("m", "w")
+        ).localCheckpoint(eager=True)
+    raise ValueError(f"gale_shapley_rounds did not settle in {max_rounds}")

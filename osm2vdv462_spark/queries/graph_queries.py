@@ -1258,3 +1258,101 @@ def graph_coloring_jp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("color")
     )
+
+
+@register_extra(
+    "stable_matching_gs",
+    """
+    WITH RECURSIVE men AS (SELECT n_nationkey AS m FROM nation),
+    pairs AS (
+      SELECT m, w.range AS w,
+             ('0x' || substr(md5('gsm:' || m || ':' || w.range),
+                             1, 8))::BIGINT AS mr,
+             ('0x' || substr(md5('gsw:' || w.range || ':' || m),
+                             1, 8))::BIGINT AS wr
+      FROM men, range(30) w
+    ),
+    mpref AS MATERIALIZED (
+      SELECT m, list(w ORDER BY mr, w) AS mp FROM pairs GROUP BY m
+    ),
+    mplist AS MATERIALIZED (SELECT list(mp ORDER BY m) AS mps FROM mpref),
+    wrank AS MATERIALIZED (
+      SELECT list(wl ORDER BY w) AS wrs FROM (
+        SELECT w, list(wr ORDER BY m) AS wl FROM pairs GROUP BY w)
+    ),
+    init AS (
+      SELECT list_transform(range(1, 26), x -> 0) AS nxt,
+             list_transform(range(1, 31), x -> -1) AS wm
+    ),
+    sim(step, nxt, wm, done) AS (
+      SELECT 0, nxt, wm, false FROM init
+      UNION ALL
+      SELECT step + 1,
+             list_transform(range(1, 26), i ->
+               CASE WHEN i - 1 = fm THEN s.nxt[i] + 1 ELSE s.nxt[i] END),
+             list_transform(range(1, 31), i ->
+               CASE WHEN i - 1 = pw THEN
+                 (CASE WHEN s.wm[i] = -1 THEN fm
+                       WHEN wrs[i][fm + 1] < wrs[i][s.wm[i] + 1] THEN fm
+                       ELSE s.wm[i] END)
+               ELSE s.wm[i] END),
+             fm IS NULL
+      FROM (
+        SELECT step, nxt, wm,
+               list_min(list_filter(range(0, 25), m ->
+                 NOT list_contains(wm, m) AND nxt[m + 1] < 30)) AS fm
+        FROM sim WHERE NOT done
+      ) s
+      CROSS JOIN wrank
+      CROSS JOIN mplist
+      CROSS JOIN LATERAL (SELECT CASE WHEN fm IS NOT NULL
+                            THEN mps[fm + 1][s.nxt[fm + 1] + 1] END AS pw) p
+    ),
+    fin AS (SELECT wm FROM sim WHERE done ORDER BY step LIMIT 1)
+    SELECT i - 1 AS w, wm[i] AS m
+    FROM fin, range(1, 31) r(i)
+    WHERE wm[i] <> -1
+    ORDER BY w
+    """,
+)
+def stable_matching_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable matching (deferred acceptance) — the mechanism behind
+    residency match, school choice, and ad-slot assignment — computed
+    DISTRIBUTED as parallel Gale-Shapley proposal rounds
+    (operators/graph.py::gale_shapley_rounds: every free proposer
+    bids at once; per round one anti-join vs the rejection set, one
+    top-1 window, one keep-best agg). The gate leans on the 1962/1971
+    theorem that deferred acceptance is proposal-order independent:
+    the oracle replays the TEXTBOOK sequential algorithm (one proposal
+    per step, 750-step recursive fold over list state in DuckDB), and
+    both must land on the identical man-optimal matching. 25 proposers
+    (nation keys) x 30 counterparties, md5 preference ranks on both
+    sides. Scale: state is (pair) rows only; the rejection set is the
+    single growing datum, bounded by |preference lists| — exactly the
+    bound that makes batched GS the standard at-scale formulation."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    men = nat.select(F.col("n_nationkey").cast("long").alias("m"))
+    women = spark.range(30).select(F.col("id").alias("w"))
+    both = men.crossJoin(women)
+
+    def _h(prefix: str, a: str, b: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col(a).cast("string"),
+                        F.lit(":"),
+                        F.col(b).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    prefs_m = both.select("m", "w", _h("gsm:", "m", "w").alias("mr"))
+    prefs_w = both.select("w", "m", _h("gsw:", "w", "m").alias("wr"))
+    return G.gale_shapley_rounds(prefs_m, prefs_w).orderBy("w")

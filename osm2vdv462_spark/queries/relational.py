@@ -2648,3 +2648,110 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_q")
     )
+
+
+# ---------------------------------------- k-anon generalization ladder
+
+
+@register_extra(
+    "kanon_generalization_ladder",
+    """
+    WITH rec AS (
+      SELECT ('0x' || substr(md5('kga:' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT % 90 AS age,
+             ('0x' || substr(md5('kgz:' || CAST(event_id AS VARCHAR)),
+                             1, 8))::BIGINT % 100000 AS zip
+      FROM events
+    ),
+    lv AS (SELECT l.range AS level FROM range(5) l),
+    gen AS (
+      SELECT level,
+             CASE level WHEN 0 THEN age WHEN 1 THEN age // 5
+                        WHEN 2 THEN age // 10 WHEN 3 THEN age // 20
+                        ELSE -1 END AS gage,
+             CASE level WHEN 0 THEN zip WHEN 1 THEN zip // 10
+                        WHEN 2 THEN zip // 100 WHEN 3 THEN zip // 1000
+                        ELSE -1 END AS gzip
+      FROM rec CROSS JOIN lv
+    ),
+    grp AS (
+      SELECT level, gage, gzip, count(*) AS n
+      FROM gen GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT level, count(*) AS n_groups, min(n) AS min_group
+      FROM grp GROUP BY level
+    ),
+    chosen AS (
+      SELECT min(level) AS lsel FROM stats WHERE min_group >= 10
+    )
+    SELECT s.level, CAST(s.n_groups AS BIGINT) AS n_groups,
+           CAST(s.min_group AS BIGINT) AS min_group_size,
+           CAST(s.level = (SELECT lsel FROM chosen) AS BOOLEAN)
+             AS is_chosen
+    FROM stats s ORDER BY s.level
+    """,
+)
+def kanon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization search for k-anonymity (k = 10) — the
+    Samarati/Incognito ladder walk: evaluate a fixed hierarchy of
+    quasi-identifier generalizations (exact age/zip -> coarser bands
+    -> full suppression) and pick the LEAST general level whose
+    smallest equivalence class already has k records (level 4 is full
+    suppression, so a choice always exists). Complements the gated
+    k-anonymity/l-diversity/t-closeness AUDITS, which check one fixed
+    schema — this query chooses the schema. Spark evaluates every
+    rung in ONE pass: records cross-joined with the 5-level ladder,
+    generalized keys by CASE, a single groupBy for class sizes and a
+    second tiny agg for per-level minima — one shuffle regardless of
+    ladder height (the Incognito trick of sharing scans across
+    lattice nodes). Exact integers; the chosen rung is a cross-level
+    min both engines derive independently."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    rec = ev.select(
+        (_h("kga:", 6) % 90).alias("age"),
+        (_h("kgz:", 8) % 100000).alias("zip"),
+    )
+    lv = spark.range(5).select(F.col("id").alias("level"))
+    gen = rec.crossJoin(lv).select(
+        "level",
+        F.expr(
+            "CASE level WHEN 0 THEN age WHEN 1 THEN age div 5"
+            " WHEN 2 THEN age div 10 WHEN 3 THEN age div 20"
+            " ELSE -1 END"
+        ).alias("gage"),
+        F.expr(
+            "CASE level WHEN 0 THEN zip WHEN 1 THEN zip div 10"
+            " WHEN 2 THEN zip div 100 WHEN 3 THEN zip div 1000"
+            " ELSE -1 END"
+        ).alias("gzip"),
+    )
+    grp = gen.groupBy("level", "gage", "gzip").agg(F.count("*").alias("n"))
+    stats = grp.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+    chosen = stats.filter(F.col("min_group_size") >= 10).agg(
+        F.min("level").alias("lsel")
+    )
+    return (
+        stats.crossJoin(F.broadcast(chosen))
+        .select(
+            "level",
+            "n_groups",
+            "min_group_size",
+            (F.col("level") == F.col("lsel")).alias("is_chosen"),
+        )
+        .orderBy("level")
+    )
