@@ -1356,3 +1356,82 @@ def stable_matching_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefs_m = both.select("m", "w", _h("gsm:", "m", "w").alias("mr"))
     prefs_w = both.select("w", "m", _h("gsw:", "w", "m").alias("wr"))
     return G.gale_shapley_rounds(prefs_m, prefs_w).orderBy("w")
+
+
+@register_extra(
+    "ktruss_4_edges",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT user_id % 90 AS u,
+             ('0x' || substr(md5('kt:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 90 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('ktgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 17 = 0
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM e0 WHERE u <> v),
+    el AS MATERIALIZED (SELECT list(a * 1000 + b ORDER BY a, b) AS es
+                        FROM e),
+    verts AS MATERIALIZED (
+      SELECT list(DISTINCT node ORDER BY node) AS vs FROM
+        (SELECT a AS node FROM e UNION SELECT b FROM e)
+    ),
+    peel(rnd, es, stable) AS (
+      SELECT 0, es, false FROM el
+      UNION ALL
+      SELECT rnd + 1, newe, len(newe) = len(p.es)
+      FROM (
+        SELECT rnd, es,
+          list_filter(es, x -> (
+            len(list_filter(vs, c ->
+              c <> (x // 1000) AND c <> (x % 1000)
+              AND list_contains(es, least(x // 1000, c) * 1000
+                                    + greatest(x // 1000, c))
+              AND list_contains(es, least(x % 1000, c) * 1000
+                                    + greatest(x % 1000, c))
+            )) >= 2
+          )) AS newe
+        FROM peel, verts WHERE NOT stable AND rnd < 40
+      ) p
+    ),
+    fin AS (SELECT es FROM peel WHERE stable ORDER BY rnd LIMIT 1)
+    SELECT CAST(x // 1000 AS BIGINT) AS a, CAST(x % 1000 AS BIGINT) AS b
+    FROM (SELECT unnest(es) AS x FROM fin) ORDER BY a, b
+    """,
+)
+def ktruss_4_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss decomposition of the md5-derived event graph — every
+    surviving edge must close >= 2 triangles among SURVIVING edges
+    (the cohesive-community extractor of the GraphChallenge suite;
+    k-core keeps hub-and-spoke junk, k-truss does not). Spark peels
+    distributed (operators/graph.py::ktruss_edges: per round one
+    wedge join on the shared endpoint + one filter, the shrinking edge
+    list is the only state); the oracle peels the SAME fixpoint as a
+    single-row recursive fold over an integer-coded edge LIST,
+    recomputing each edge's common-neighbor count with pure list
+    lambdas — dataflow vs list-machine, same fixpoint theorem
+    (the peel order cannot change the result because support is
+    monotone under deletion). Output: the surviving edges themselves,
+    the strongest possible hash surface."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(90))
+    b = _h("kt:", 7) % 90
+    e = (
+        ev.filter(_h("ktgate:", 4).cast("int") % 17 == 0)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return G.ktruss_edges(e, k=4).orderBy("a", "b")

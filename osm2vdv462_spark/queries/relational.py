@@ -2755,3 +2755,118 @@ def kanon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------- FD discovery / audit
+
+
+@register_extra(
+    "fd_violation_audit",
+    """
+    WITH rec AS (
+      SELECT user_id AS uid,
+             (('0x' || substr(md5('fdc:' || CAST(user_id AS VARCHAR)),
+                              1, 6))::BIGINT
+              + CASE WHEN ('0x' || substr(md5('fderr:'
+                             || CAST(event_id AS VARCHAR)), 1, 4))::INT
+                          % 50 = 0 THEN 1 ELSE 0 END) % 10 AS country,
+             ('0x' || substr(md5('fdy:' || CAST(user_id AS VARCHAR)),
+                             1, 6))::BIGINT % 100 AS city
+      FROM events
+    ),
+    cands AS (
+      SELECT 'uid->country' AS fd, uid AS lhs, country AS rhs FROM rec
+      UNION ALL
+      SELECT 'uid->city', uid, city FROM rec
+      UNION ALL
+      SELECT 'country->city', country, city FROM rec
+    ),
+    grp AS (
+      SELECT fd, lhs, rhs, count(*) AS n FROM cands GROUP BY 1, 2, 3
+    ),
+    per_lhs AS (
+      SELECT fd, lhs, count(*) AS n_rhs, max(n) AS maxn, sum(n) AS tot
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating_lhs,
+           CAST(sum(tot - maxn) AS BIGINT) AS g3_rows
+    FROM per_lhs GROUP BY fd ORDER BY fd
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation audit (Metanome/profiling
+    style): for each candidate FD, how many LHS groups carry more
+    than one RHS value and the g3 error — the minimum number of rows
+    to delete for the FD to hold exactly (total minus each group's
+    majority). Candidates over a synthetic denormalized event feed:
+    uid->city holds by construction, uid->country is broken by a 2%
+    corruption channel (the dirty-replication bug this audit exists to
+    catch), country->city fails structurally. Exact integers. Spark:
+    one groupBy per (fd, lhs, rhs) then a per-lhs partial agg — two
+    map-side-combining shuffles for ALL candidates at once (the
+    shared-scan lattice trick); 100 TB shape is unchanged since state
+    is one row per observed (lhs, rhs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    rec = ev.select(
+        F.col("user_id").alias("uid"),
+        (
+            (
+                _h("fdc:", uid, 6)
+                + F.when(_h("fderr:", eid, 4).cast("int") % 50 == 0, 1)
+                .otherwise(0)
+            )
+            % 10
+        ).alias("country"),
+        (_h("fdy:", uid, 6) % 100).alias("city"),
+    )
+    cands = (
+        rec.select(
+            F.lit("uid->country").alias("fd"),
+            F.col("uid").alias("lhs"),
+            F.col("country").alias("rhs"),
+        )
+        .unionByName(
+            rec.select(
+                F.lit("uid->city").alias("fd"),
+                F.col("uid").alias("lhs"),
+                F.col("city").alias("rhs"),
+            )
+        )
+        .unionByName(
+            rec.select(
+                F.lit("country->city").alias("fd"),
+                F.col("country").alias("lhs"),
+                F.col("city").alias("rhs"),
+            )
+        )
+    )
+    grp = cands.groupBy("fd", "lhs", "rhs").agg(F.count("*").alias("n"))
+    per_lhs = grp.groupBy("fd", "lhs").agg(
+        F.count("*").alias("n_rhs"),
+        F.max("n").alias("maxn"),
+        F.sum("n").alias("tot"),
+    )
+    return (
+        per_lhs.groupBy("fd")
+        .agg(
+            F.count("*").cast("long").alias("n_lhs"),
+            F.count(F.when(F.col("n_rhs") > 1, 1))
+            .cast("long")
+            .alias("n_violating_lhs"),
+            F.sum(F.col("tot") - F.col("maxn")).cast("long").alias("g3_rows"),
+        )
+        .orderBy("fd")
+    )
