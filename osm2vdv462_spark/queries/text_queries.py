@@ -4005,3 +4005,142 @@ def cohens_kappa_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# --------------------------------------------- phrase query eval
+
+_PHRASES = [("table part", "table", "part"), ("a a", "a", "a"),
+            ("fast merge", "fast", "merge")]
+
+
+@register_extra(
+    "phrase_query_postings",
+    """
+    WITH ph(phrase, w1, w2) AS (VALUES
+      ('table part', 'table', 'part'),
+      ('a a', 'a', 'a'),
+      ('fast merge', 'fast', 'merge')),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    cnt AS (
+      SELECT p.phrase, k.doc_id,
+             len(list_filter(range(1, len(k.t)), i ->
+               k.t[i] = p.w1 AND k.t[i + 1] = p.w2)) AS n_occ
+      FROM tok k CROSS JOIN ph p
+    )
+    SELECT phrase, doc_id, CAST(n_occ AS BIGINT) AS n_occ
+    FROM cnt WHERE n_occ > 0 ORDER BY phrase, doc_id
+    """,
+)
+def phrase_query_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-query evaluation the INVERTED-INDEX way: build positional
+    postings (doc, term, pos) and answer "w1 w2" with a postings
+    self-join on pos2 = pos1 + 1 — exactly how Lucene/ES evaluate
+    phrase queries, and the shape that scales (postings are
+    term-partitioned; the join touches only the two query terms'
+    lists, never the corpus). The oracle never builds an index: it
+    scans each document's token array and counts adjacent pairs
+    directly — retrieval structure vs definition. Includes the
+    self-adjacent phrase 'a a' so overlapping occurrences ('a a a' =
+    2) must be handled identically by both. Output: every (phrase,
+    doc) with at least one hit and its exact occurrence count."""
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    ph = spark.createDataFrame(_PHRASES, ["phrase", "w1", "w2"])
+    p1 = post.join(F.broadcast(ph), post["term"] == ph["w1"]).select(
+        "phrase", "w2", "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("term").alias("term2"),
+        F.col("pos").alias("p2"),
+    )
+    hits = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id2"])
+        & (p1["w2"] == p2["term2"])
+        & (p2["p2"] == p1["p1"] + 1),
+    )
+    return (
+        hits.groupBy("phrase", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .orderBy("phrase", "doc_id")
+    )
+
+
+# --------------------------------------------- feature hashing
+
+
+@register_extra(
+    "feature_hashing_audit",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS c FROM tok WHERE term <> ''
+           GROUP BY term),
+    bits(nbits) AS (VALUES (4), (6)),
+    hashed AS (
+      SELECT nbits, term, c,
+             ('0x' || substr(md5('fh:' || term), 1, 8))::BIGINT
+               % (1 << nbits) AS bucket,
+             CASE WHEN ('0x' || substr(md5('fhs:' || term), 1, 4))::INT
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tf CROSS JOIN bits
+    )
+    SELECT nbits, bucket, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(sgn * c) AS BIGINT) AS signed_sum,
+           CAST(sum(c) AS BIGINT) AS abs_mass
+    FROM hashed GROUP BY 1, 2 ORDER BY nbits, bucket
+    """,
+)
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger feature hashing) audited at two
+    table sizes: corpus term frequencies are hashed into 2^4 and 2^6
+    buckets with a +/-1 sign hash, and the audit reports per-bucket
+    term collisions, the SIGNED mass a linear model would actually see
+    (sign hashing makes collisions cancel in expectation — visible
+    here as |signed_sum| < abs_mass exactly where n_terms > 1), and
+    the raw mass. This is the audit you run before committing to a
+    hashed feature space for a 100 TB training run. Exact integers;
+    term frequencies are one map-side-combining groupBy, the hash fan
+    is a 2-row broadcast cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    bits = spark.createDataFrame([(4,), (6,)], ["nbits"])
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("term")).cast("binary")),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    hashed = tf.crossJoin(F.broadcast(bits)).select(
+        "nbits",
+        "c",
+        F.pmod(_h("fh:", 8), F.expr("shiftleft(1L, nbits)")).alias("bucket"),
+        F.when(_h("fhs:", 4).cast("int") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("nbits", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.col("sgn") * F.col("c")).cast("long").alias("signed_sum"),
+            F.sum("c").cast("long").alias("abs_mass"),
+        )
+        .orderBy("nbits", "bucket")
+    )
