@@ -1872,3 +1872,101 @@ def audio_dtw_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_dtw, "doc_id long, dtw_cost long, l1_cost long")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------- audio resampling
+
+_RS_NOUT = 1066  # 16 kHz -> 10.667 kHz (2:3 polyphase), 1600 -> 1066
+
+
+@register_extra(
+    "audio_resample_stats",
+    f"""
+    WITH j AS (SELECT range AS j FROM range({_RS_NOUT})),
+    pos AS (
+      SELECT d.doc_id, j.j, (3 * j.j) // 2 AS i, (3 * j.j) % 2 AS frac
+      FROM documents d CROSS JOIN j
+    ),
+    v AS (
+      SELECT doc_id, j,
+        CASE WHEN frac = 0
+          THEN ((doc_id * 7919 + i * 104729 + 12345) % 65536) - 32768
+          ELSE ((((doc_id * 7919 + i * 104729 + 12345) % 65536) - 32768)
+              + (((doc_id * 7919 + (i + 1) * 104729 + 12345) % 65536)
+                 - 32768)) // 2
+        END AS o
+      FROM pos
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(o) AS BIGINT) AS sum_out,
+           CAST(min(o) AS BIGINT) AS min_out,
+           CAST(max(o) AS BIGINT) AS max_out,
+           CAST(sum(o * ((j % 97) + 1)) AS BIGINT) AS chk
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer 2:3 polyphase resampling (16 kHz -> 10.67 kHz) over the
+    REAL audio path: decode the stored PCM-s16le binary, then for each
+    output sample j take the source position 3j/2 — the sample itself
+    on integer hits, the truncated midpoint on half hits (the
+    linear-interpolation polyphase with exact integer taps; Spark div
+    and DuckDB // both truncate toward zero, so negative midpoints
+    agree). Per clip: count, sum, min/max and a position-weighted
+    checksum so a single misplaced sample hash-fails. The oracle
+    recomputes every output sample from the closed-form waveform —
+    decoder + resampler cross-check end-to-end. Per-clip numpy inside
+    mapInPandas is the sanctioned per-blob pattern; resampling is a
+    pure gather, so at scale this is map-only, no shuffle."""
+    from ..pipeline import audio as au
+
+    import numpy as np
+    import pandas as pd
+
+    clips = au.audio_df(spark, sf_dir)
+    nout = _RS_NOUT
+
+    def _rs(batches):
+        j = np.arange(nout, dtype=np.int64)
+        i = (3 * j) // 2
+        frac = (3 * j) % 2
+        wgt = (j % 97) + 1
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                x = au.decode_pcm(bytes(row.pcm), row.codec,
+                                  n_samples=int(row.n_samples)).astype(
+                    np.int64
+                )
+                mid = x[i] + x[np.minimum(i + 1, len(x) - 1)]
+                # trunc-toward-zero midpoint (np // floors; fix negatives)
+                half = np.where(mid >= 0, mid // 2, -((-mid) // 2))
+                o = np.where(frac == 0, x[i], half)
+                out.append(
+                    (
+                        int(row.doc_id),
+                        int(o.size),
+                        int(o.sum()),
+                        int(o.min()),
+                        int(o.max()),
+                        int((o * wgt).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id", "n_out", "sum_out", "min_out",
+                        "max_out", "chk",
+                    ],
+                )
+
+    return (
+        clips.select("doc_id", "pcm", "n_samples", "codec")
+        .mapInPandas(
+            _rs,
+            "doc_id long, n_out long, sum_out long, min_out long,"
+            " max_out long, chk long",
+        )
+        .orderBy("doc_id")
+    )

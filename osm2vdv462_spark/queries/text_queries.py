@@ -4144,3 +4144,107 @@ def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nbits", "bucket")
     )
+
+
+# --------------------------------------------- k-center coreset
+
+_KC_K = 8
+
+
+def _kc_d2(x: str, y: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), i ->"
+        f" ({x}[i] - {y}[i]) * ({x}[i] - {y}[i])), (a, b) -> a + b)"
+    )
+
+
+def _kc_oracle() -> str:
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "c0 AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 0),",
+        f"d0 AS MATERIALIZED (SELECT e.vec_id, {_kc_d2('e.v', 'c0.v')}"
+        " AS mind FROM e, c0),",
+    ]
+    sels = ["SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id,"
+            " CAST(0.0 AS DOUBLE) AS radius2"]
+    for i in range(1, _KC_K):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, mind FROM d{i-1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.v FROM e, s{i}"
+            f" WHERE e.vec_id = s{i}.vec_id),"
+        )
+        if i < _KC_K - 1:
+            parts.append(
+                f"d{i} AS MATERIALIZED (SELECT d.vec_id,"
+                f" least(d.mind, {_kc_d2('e.v', f'c{i}.v')}) AS mind"
+                f" FROM d{i-1} d JOIN e USING (vec_id), c{i}),"
+            )
+        sels.append(
+            f"SELECT {i}, vec_id, CAST(round(mind, 4) AS DOUBLE)"
+            f" FROM s{i}"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + "\n" + " UNION ALL ".join(sels) + " ORDER BY step"
+
+
+@register_extra("kcenter_coreset", _kc_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding table — the 2-approximation that powers diversity-aware
+    training-data selection and active-learning seed picking: start
+    from vector 0, then repeatedly take the point FARTHEST from the
+    chosen set (its distance is the coverage radius, reported per
+    step, monotonically shrinking). Spark keeps the whole loop
+    distributed: the only state is a (vec_id, min-dist) table, each of
+    the 7 rounds is one 1-row broadcast cross join + least() update +
+    top-1 pick — no driver-side vectors at all; the oracle unrolls the
+    same greedy levels as materialized CTEs. Distances are in-order
+    double folds (zip_with/aggregate vs list_reduce, both fold
+    left-to-right from 0.0) so the argmax compares bit-identical
+    doubles; radii rounded to 4 dp only for display."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def d2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    c = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    mind = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "v", d2(F.col("v"), F.col("cv")).alias("mind")
+    ).localCheckpoint(eager=True)
+    sels = [
+        spark.createDataFrame([(0, 0, 0.0)], "step int, vec_id long, radius2 double")
+    ]
+    for i in range(1, _KC_K):
+        top = (
+            mind.orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        sels.append(
+            top.select(
+                F.lit(i).alias("step"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.round("mind", 4).cast("double").alias("radius2"),
+            )
+        )
+        if i < _KC_K - 1:
+            cv = top.select(F.col("v").alias("cv"))
+            mind = mind.crossJoin(F.broadcast(cv)).select(
+                "vec_id",
+                "v",
+                F.least("mind", d2(F.col("v"), F.col("cv"))).alias("mind"),
+            ).localCheckpoint(eager=True)
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
