@@ -4248,3 +4248,286 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sels[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+# --------------------------------------------- URL canonicalization
+
+_URL_RAW_SQL = """
+    (CASE WHEN ('0x' || substr(md5('us:' || event_id), 1, 2))::INT % 2 = 0
+          THEN 'http' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN ('0x' || substr(md5('uw:' || event_id), 1, 2))::INT % 2 = 0
+             THEN 'www.' ELSE '' END)
+    || (CASE WHEN ('0x' || substr(md5('uc:' || event_id), 1, 2))::INT % 3 = 0
+             THEN 'Site' ELSE 'site' END)
+    || CAST(('0x' || substr(md5('uh:' || event_id), 1, 4))::INT % 20
+            AS VARCHAR)
+    || '.com/p/'
+    || CAST(('0x' || substr(md5('up:' || event_id), 1, 4))::INT % 50
+            AS VARCHAR)
+    || (CASE WHEN ('0x' || substr(md5('ut:' || event_id), 1, 2))::INT % 2 = 0
+             THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN ('0x' || substr(md5('uo:' || event_id), 1, 2))::INT % 2 = 0
+         THEN 'a=' || CAST(('0x' || substr(md5('ua:' || event_id),
+                                           1, 2))::INT % 5 AS VARCHAR)
+           || '&b=' || CAST(('0x' || substr(md5('ub:' || event_id),
+                                            1, 2))::INT % 5 AS VARCHAR)
+         ELSE 'b=' || CAST(('0x' || substr(md5('ub:' || event_id),
+                                           1, 2))::INT % 5 AS VARCHAR)
+           || '&a=' || CAST(('0x' || substr(md5('ua:' || event_id),
+                                            1, 2))::INT % 5 AS VARCHAR)
+        END)
+    || (CASE WHEN ('0x' || substr(md5('uu:' || event_id), 1, 2))::INT % 3 = 0
+             THEN '&utm_source=x' ELSE '' END)
+    || (CASE WHEN ('0x' || substr(md5('uf:' || event_id), 1, 2))::INT % 4 = 0
+             THEN '#frag' ELSE '' END)
+"""
+
+
+@register_extra(
+    "url_canonical_dedup",
+    f"""
+    WITH raw AS (
+      SELECT event_id, {_URL_RAW_SQL} AS url
+      FROM events WHERE event_id % 9 = 0
+    ),
+    parts AS (
+      SELECT event_id,
+             string_split(string_split(url, '#')[1], '?')[1] AS base,
+             string_split(string_split(url, '#')[1], '?')[2] AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT event_id,
+        rtrim(replace(lower(base), '://www.', '://'), '/')
+        || '?' || array_to_string(list_sort(
+             list_filter(string_split(qs, '&'),
+                         p -> NOT starts_with(p, 'utm'))), '&') AS curl
+      FROM parts
+    )
+    SELECT curl, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM canon GROUP BY 1 HAVING count(*) >= 2 ORDER BY curl
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate grouping — the first dedup
+    pass of every web-crawl corpus pipeline: strip fragments, drop
+    tracking params (utm*), sort the remaining query params, lowercase
+    the authority, fold www., strip trailing slashes, THEN group. The
+    messy URLs are md5-synthesized with every canonical-equivalence
+    channel present (scheme case stays significant; param order, www,
+    case, trailing slash, utm, fragment do not). Both engines build
+    the identical raw strings, then canonicalize with their OWN string
+    machinery (split/array_sort/array_join vs string_split/list_sort/
+    array_to_string) — so the gate checks the normalization semantics,
+    not shared code. Output: every canonical URL hit >= 2 times with
+    its count and event range. Scale: pure per-row string expressions
+    + one groupBy on the canonical key — map-side combinable."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _b(prefix: str, mod: int) -> F.Column:
+        return (_h(prefix, 2) % mod).cast("int")
+
+    a = F.concat(F.lit("a="), (_b("ua:", 5)).cast("string"))
+    b = F.concat(F.lit("b="), (_b("ub:", 5)).cast("string"))
+    url = F.concat(
+        F.when(_b("us:", 2) == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(_b("uw:", 2) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(_b("uc:", 3) == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (_h("uh:", 4).cast("int") % 20).cast("string"),
+        F.lit(".com/p/"),
+        (_h("up:", 4).cast("int") % 50).cast("string"),
+        F.when(_b("ut:", 2) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(_b("uo:", 2) == 0, F.concat(a, F.lit("&"), b)).otherwise(
+            F.concat(b, F.lit("&"), a)
+        ),
+        F.when(_b("uu:", 3) == 0, F.lit("&utm_source=x")).otherwise(
+            F.lit("")
+        ),
+        F.when(_b("uf:", 4) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    parts = ev.select(
+        "event_id",
+        F.element_at(
+            F.split(F.element_at(F.split(url, "#"), 1), "\\?"), 1
+        ).alias("base"),
+        F.element_at(
+            F.split(F.element_at(F.split(url, "#"), 1), "\\?"), 2
+        ).alias("qs"),
+    )
+    curl = F.concat(
+        F.expr("rtrim('/', replace(lower(base), '://www.', '://'))"),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(F.col("qs"), "&"),
+                    lambda p: ~p.startswith("utm"),
+                )
+            ),
+            "&",
+        ),
+    )
+    return (
+        parts.select("event_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("event_id").cast("long").alias("min_event"),
+            F.max("event_id").cast("long").alias("max_event"),
+        )
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("curl")
+    )
+
+
+# --------------------------------------------- robots.txt rules
+
+
+@register_extra(
+    "robots_rule_match",
+    """
+    WITH hosts AS (SELECT h.range AS host FROM range(12) h),
+    rules AS (
+      SELECT host, r.range AS rule_id,
+             '/p/' || CAST(('0x' || substr(md5('rbd:' || host || ':'
+                 || r.range), 1, 4))::INT % 30 AS VARCHAR)
+             || (CASE WHEN ('0x' || substr(md5('rbl:' || host || ':'
+                   || r.range), 1, 2))::INT % 2 = 0 THEN '/' ELSE '' END)
+               AS prefix,
+             ('0x' || substr(md5('rba:' || host || ':' || r.range),
+                             1, 2))::INT % 2 = 0 AS allow
+      FROM hosts CROSS JOIN range(6) r
+    ),
+    pages AS (
+      SELECT event_id,
+             ('0x' || substr(md5('rph:' || event_id), 1, 4))::INT % 12
+               AS host,
+             '/p/' || CAST(('0x' || substr(md5('rpp:' || event_id),
+                 1, 4))::INT % 30 AS VARCHAR)
+             || (CASE WHEN ('0x' || substr(md5('rps:' || event_id),
+                   1, 2))::INT % 3 = 0 THEN '/x' ELSE '' END) AS path
+      FROM events WHERE event_id % 5 = 0
+    ),
+    matched AS (
+      SELECT p.event_id, p.host,
+             max(CASE WHEN starts_with(p.path, r.prefix) THEN
+               length(r.prefix) * 10 + CAST(r.allow AS INT) * 5
+               + (4 - r.rule_id % 5) END) AS enc
+      FROM pages p LEFT JOIN rules r ON r.host = p.host
+      GROUP BY 1, 2
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(*) FILTER (enc IS NOT NULL AND enc % 10 >= 5)
+                AS BIGINT) AS n_allowed,
+           CAST(count(*) FILTER (enc IS NOT NULL AND enc % 10 < 5)
+                AS BIGINT) AS n_denied,
+           CAST(count(*) FILTER (enc IS NULL) AS BIGINT) AS n_default
+    FROM matched GROUP BY host ORDER BY host
+    """,
+)
+def robots_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style longest-prefix rule resolution — the crawler-
+    compliance gate of a web corpus pipeline: per page, the matching
+    rule with the LONGEST path prefix wins, and on equal length the
+    least-restrictive (allow) wins (the Google REP tie-break);
+    unmatched pages fall to default-allow. Rules and pages are
+    md5-derived with both '/p/N' and '/p/N/' prefixes so prefix LENGTH
+    genuinely decides. The winner is packed as length*10 + allow*5 +
+    rule-slot so one max() resolves match, tie-break and decision in
+    a single agg — no window needed; the oracle uses the identical
+    packing over the textbook join. Scale: rules are a broadcast dim
+    (robots files are tiny per host); pages stream map-side into the
+    per-host partial max."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id").cast("string")
+
+    def _hh(prefix: str, col: F.Column, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    hosts = spark.range(12).select(F.col("id").alias("host"))
+    rids = spark.range(6).select(F.col("id").alias("rule_id"))
+    hr = F.concat(
+        F.col("host").cast("string"), F.lit(":"),
+        F.col("rule_id").cast("string"),
+    )
+    rules = hosts.crossJoin(rids).select(
+        "host",
+        "rule_id",
+        F.concat(
+            F.lit("/p/"),
+            (_hh("rbd:", hr, 4).cast("int") % 30).cast("string"),
+            F.when(_hh("rbl:", hr, 2).cast("int") % 2 == 0, F.lit("/"))
+            .otherwise(F.lit("")),
+        ).alias("prefix"),
+        (_hh("rba:", hr, 2).cast("int") % 2 == 0).alias("allow"),
+    )
+    pages = ev.select(
+        "event_id",
+        (_hh("rph:", eid, 4).cast("int") % 12).alias("host"),
+        F.concat(
+            F.lit("/p/"),
+            (_hh("rpp:", eid, 4).cast("int") % 30).cast("string"),
+            F.when(_hh("rps:", eid, 2).cast("int") % 3 == 0, F.lit("/x"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    matched = (
+        pages.join(F.broadcast(rules), "host", "left")
+        .groupBy("event_id", "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("startswith(path, prefix)"),
+                    F.length("prefix") * 10
+                    + F.col("allow").cast("int") * 5
+                    + (4 - F.col("rule_id") % 5),
+                )
+            ).alias("enc")
+        )
+    )
+    return (
+        matched.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.count(
+                F.when(
+                    F.col("enc").isNotNull() & (F.col("enc") % 10 >= 5), 1
+                )
+            )
+            .cast("long")
+            .alias("n_allowed"),
+            F.count(
+                F.when(
+                    F.col("enc").isNotNull() & (F.col("enc") % 10 < 5), 1
+                )
+            )
+            .cast("long")
+            .alias("n_denied"),
+            F.count(F.when(F.col("enc").isNull(), 1))
+            .cast("long")
+            .alias("n_default"),
+        )
+        .orderBy("host")
+    )
