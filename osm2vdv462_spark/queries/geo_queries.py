@@ -4672,3 +4672,154 @@ def viewshed_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ---------------------------------------------- discrete Frechet
+
+_FR_N = 16  # points per trajectory
+
+
+def _fr_xy(u: str, k: str, ax: str) -> str:
+    return (
+        f"('0x' || substr(md5('tf{ax}:' || {u} || ':' || {k}), 1, 6))"
+        f"::BIGINT % 100"
+    )
+
+
+def _frechet_oracle() -> str:
+    n = _FR_N
+    lvl = []
+    for dd in range(1, 2 * n - 1):
+        prev, prev2 = f"dp{dd - 1}", f"dp{dd - 2}"
+        diag = (
+            f"LEFT JOIN {prev2} dg ON dg.pid = c.pid"
+            " AND dg.i = c.i - 1 AND dg.j = c.j - 1"
+            if dd >= 2
+            else "LEFT JOIN dp0 dg ON false"
+        )
+        lvl.append(f"""
+    dp{dd} AS MATERIALIZED (
+      SELECT c.pid, c.i, c.j,
+             greatest(c.c, least(
+               coalesce(up.v, 1152921504606846976),
+               coalesce(lf.v, 1152921504606846976),
+               coalesce(dg.v, 1152921504606846976))) AS v
+      FROM cost c
+      LEFT JOIN {prev} up ON up.pid = c.pid
+        AND up.i = c.i - 1 AND up.j = c.j
+      LEFT JOIN {prev} lf ON lf.pid = c.pid
+        AND lf.i = c.i AND lf.j = c.j - 1
+      {diag}
+      WHERE c.i + c.j = {dd}
+    )""")
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id % 12 AS u FROM events),
+    pts AS (
+      SELECT u, k.range AS k,
+             {_fr_xy('u', 'k.range', 'x')} AS x,
+             {_fr_xy('u', 'k.range', 'y')} AS y
+      FROM users, range({n}) k
+    ),
+    pairs AS (
+      SELECT a.u AS ua, b.u AS ub, a.k AS i, b.k AS j,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS c
+      FROM pts a JOIN pts b ON a.u < b.u
+    ),
+    cost AS MATERIALIZED (
+      SELECT ua * 100 + ub AS pid, i, j, c FROM pairs
+    ),
+    dp0 AS MATERIALIZED (
+      SELECT pid, i, j, c AS v FROM cost WHERE i = 0 AND j = 0
+    ),
+    {",".join(lvl)},
+    diag AS (
+      SELECT pid, CAST(max(c) AS BIGINT) AS lockstep_max
+      FROM cost WHERE i = j GROUP BY 1
+    )
+    SELECT CAST(d.pid // 100 AS BIGINT) AS u_a,
+           CAST(d.pid % 100 AS BIGINT) AS u_b,
+           CAST(d.v AS BIGINT) AS frechet2, g.lockstep_max
+    FROM dp{2 * n - 2} d JOIN diag g USING (pid)
+    WHERE d.i = {n - 1} AND d.j = {n - 1}
+    ORDER BY u_a, u_b
+    """
+
+
+@register_extra("trajectory_frechet_pairs", _frechet_oracle())
+def trajectory_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Frechet distance (squared) between every pair of the
+    12 synthetic user trajectories — the ORDER-AWARE curve similarity
+    (the dog-leash metric) that map-matching and trajectory clustering
+    use where Hausdorff (already gated) ignores direction. Exact
+    integer squared distances; the DP recurrence F(i,j) = max(c(i,j),
+    min(up, left, diag)) runs per pair as a 16x16 numpy table inside
+    mapInPandas (the sanctioned per-pair DP, one Arrow crossing), and
+    the oracle unrolls the SAME recurrence as 31 anti-diagonal
+    MATERIALIZED CTE levels (the audio-DTW wavefront discipline — each
+    level referenced twice must materialize or the plan doubles per
+    level). lockstep_max (max diagonal cost) rides along as the
+    no-warp upper-bound sanity column, like DTW's l1_cost."""
+    n = _FR_N
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select(
+        F.pmod(F.col("user_id"), F.lit(12)).alias("u")
+    ).distinct()
+    pts = users.select(
+        "u",
+        F.expr(
+            f"""transform(sequence(0, {n - 1}), k -> named_struct(
+              'x', CAST(conv(substring(md5(CAST('tfx:' || u || ':' || k
+                     AS BINARY)), 1, 6), 16, 10) AS BIGINT) % 100,
+              'y', CAST(conv(substring(md5(CAST('tfy:' || u || ':' || k
+                     AS BINARY)), 1, 6), 16, 10) AS BIGINT) % 100))"""
+        ).alias("traj"),
+    )
+    pa = pts.select(F.col("u").alias("u_a"), F.col("traj").alias("ta"))
+    pb = pts.select(F.col("u").alias("u_b"), F.col("traj").alias("tb"))
+    pairs = pa.join(pb, pa["u_a"] < pb["u_b"])
+
+    def _fr(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ax = np.array([p["x"] for p in row.ta], np.int64)
+                ay = np.array([p["y"] for p in row.ta], np.int64)
+                bx = np.array([p["x"] for p in row.tb], np.int64)
+                by = np.array([p["y"] for p in row.tb], np.int64)
+                c = (ax[:, None] - bx[None, :]) ** 2 + (
+                    ay[:, None] - by[None, :]
+                ) ** 2
+                m = c.shape[0]
+                dp = np.zeros_like(c)
+                big = np.int64(1) << 60
+                for i in range(m):
+                    for j in range(m):
+                        if i == 0 and j == 0:
+                            best = c[0, 0]
+                            dp[i, j] = best
+                            continue
+                        up = dp[i - 1, j] if i > 0 else big
+                        lf = dp[i, j - 1] if j > 0 else big
+                        dg = dp[i - 1, j - 1] if i > 0 and j > 0 else big
+                        dp[i, j] = max(c[i, j], min(up, lf, dg))
+                out.append(
+                    (
+                        int(row.u_a),
+                        int(row.u_b),
+                        int(dp[m - 1, m - 1]),
+                        int(np.diag(c).max()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["u_a", "u_b", "frechet2", "lockstep_max"],
+                )
+
+    return pairs.mapInPandas(
+        _fr,
+        "u_a long, u_b long, frechet2 long, lockstep_max long",
+    ).orderBy("u_a", "u_b")

@@ -2231,3 +2231,137 @@ def auction_uniform_clearing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inst")
     )
+
+
+# --------------------------------------------- LTTB downsampling
+
+
+@register_extra(
+    "lttb_downsample",
+    """
+    WITH RECURSIVE pts0 AS (
+      SELECT user_id % 10 AS s, event_id,
+             ('0x' || substr(md5('lv:' || event_id), 1, 5))::BIGINT % 1000
+               AS y,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY event_id) - 1 AS x
+      FROM events
+    ),
+    pts AS (SELECT s, x, y FROM pts0 WHERE x < 52),
+    cands AS MATERIALIZED (
+      SELECT s, CAST((x - 1) // 5 + 1 AS BIGINT) AS b,
+             list({'i': (x - 1) % 5, 'x': x, 'y': y} ORDER BY x) AS cl
+      FROM pts WHERE x BETWEEN 1 AND 50
+      GROUP BY 1, 2
+    ),
+    nxt AS MATERIALIZED (
+      SELECT s, b - 1 AS b, 5 AS n, sum(x) AS sx, sum(y) AS sy
+      FROM (SELECT s, CAST((x - 1) // 5 + 1 AS BIGINT) AS b, x, y
+            FROM pts WHERE x BETWEEN 1 AND 50) GROUP BY 1, 2
+      UNION ALL
+      SELECT s, 10, 1, x, y FROM pts WHERE x = 51
+    ),
+    sel(s, b, xp, yp) AS (
+      SELECT s, CAST(0 AS BIGINT), CAST(0 AS BIGINT), y
+      FROM pts WHERE x = 0
+      UNION ALL
+      SELECT q.s, q.b, q.bx, q.by FROM (
+        SELECT st.s, c.b,
+          c.cl[CAST(list_min(list_transform(c.cl, t ->
+            (600000 - abs((t.x - st.xp) * (n.sy - n.n * st.yp)
+                        - (n.sx - n.n * st.xp) * (t.y - st.yp))) * 8 + t.i
+          )) % 8 AS INT) + 1].x AS bx,
+          c.cl[CAST(list_min(list_transform(c.cl, t ->
+            (600000 - abs((t.x - st.xp) * (n.sy - n.n * st.yp)
+                        - (n.sx - n.n * st.xp) * (t.y - st.yp))) * 8 + t.i
+          )) % 8 AS INT) + 1].y AS by
+        FROM sel st
+        JOIN cands c ON c.s = st.s AND c.b = st.b + 1
+        JOIN nxt n ON n.s = st.s AND n.b = st.b + 1
+        WHERE st.b < 10
+      ) q
+    ),
+    lastp AS (SELECT s, CAST(51 AS BIGINT) AS x, y FROM pts WHERE x = 51)
+    SELECT s, xp AS x, yp AS y FROM sel
+    UNION ALL SELECT * FROM lastp
+    ORDER BY s, x
+    """,
+)
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling — the de-facto
+    time-series decimation algorithm (Grafana/Influx) that keeps the
+    points preserving visual shape: per bucket, keep the point forming
+    the largest triangle with the PREVIOUSLY KEPT point and the next
+    bucket's centroid (first/last points always kept). Sequential by
+    construction (the previous selection feeds the next triangle), so
+    this exercises the per-key fold pattern: Spark runs one
+    applyInPandas per series (state never crosses a task; series fan
+    out across executors), the oracle replays the identical fold as a
+    recursive CTE whose argmax is a packed list_min over the bucket's
+    candidate list. EXACT integers: the next-bucket centroid is kept
+    as (sum, n) and the triangle area is the cross product scaled by
+    2n — no fraction ever materializes; ties take the earliest point,
+    packed into the same argmin on both sides. 52 points -> 12 per
+    series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("s"),
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lv:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).alias("y"),
+    )
+    w = Window.partitionBy("s").orderBy("event_id")
+    pts = pts.withColumn("x", F.row_number().over(w) - 1).filter(
+        F.col("x") < 52
+    )
+
+    def _lttb(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("x")
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        s = int(key[0])
+        out = [(s, int(xs[0]), int(ys[0]))]
+        xp, yp = int(xs[0]), int(ys[0])
+        for b in range(1, 11):
+            lo, hi = 5 * (b - 1) + 1, 5 * (b - 1) + 5
+            cx, cy = xs[lo : hi + 1], ys[lo : hi + 1]
+            if b < 10:
+                nlo, nhi = 5 * b + 1, 5 * b + 5
+                n = 5
+                sx, sy = int(xs[nlo : nhi + 1].sum()), int(
+                    ys[nlo : nhi + 1].sum()
+                )
+            else:
+                n, sx, sy = 1, int(xs[51]), int(ys[51])
+            area = np.abs(
+                (cx - xp) * (sy - n * yp) - (sx - n * xp) * (cy - yp)
+            )
+            enc = (600000 - area) * 8 + np.arange(len(cx))
+            i = int(enc.argmin())
+            xp, yp = int(cx[i]), int(cy[i])
+            out.append((s, xp, yp))
+        out.append((s, int(xs[51]), int(ys[51])))
+        return pd.DataFrame(out, columns=["s", "x", "y"])
+
+    return (
+        pts.groupBy("s")
+        .applyInPandas(_lttb, "s long, x long, y long")
+        .orderBy("s", "x")
+    )
