@@ -4531,3 +4531,212 @@ def robots_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------- Huffman dictionary
+
+
+@register_extra(
+    "huffman_code_cost",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT source, w, count(*) AS f FROM tok WHERE w <> ''
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, f, dense_rank() OVER (ORDER BY w) AS m FROM freq
+    ),
+    init AS (
+      SELECT source,
+             list({'f': f, 'm': m, 'd': 0} ORDER BY f, m) AS items,
+             CAST(0 AS BIGINT) AS cost,
+             count(*) AS n_symbols
+      FROM ranked GROUP BY source
+    ),
+    fold(source, items, cost, n_symbols) AS (
+      SELECT source, items, cost, n_symbols FROM init
+      UNION ALL
+      SELECT source,
+        list_sort(list_append(items[3:],
+          {'f': items[1].f + items[2].f,
+           'm': least(items[1].m, items[2].m),
+           'd': greatest(items[1].d, items[2].d) + 1})),
+        cost + items[1].f + items[2].f,
+        n_symbols
+      FROM fold WHERE len(items) > 1
+    ),
+    fin AS (SELECT * FROM fold WHERE len(items) = 1)
+    SELECT source, CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(items[1].f AS BIGINT) AS total_tokens,
+           CAST(cost AS BIGINT) AS huffman_bits,
+           CAST(items[1].d AS BIGINT) AS max_depth
+    FROM fin ORDER BY source
+    """,
+)
+def huffman_code_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huffman dictionary construction per corpus source — the
+    entropy-coding backbone of every compression advisor: total
+    encoded bits = the sum of all merge weights (each merge pushes its
+    subtree one level deeper), built with the deterministic (freq,
+    min-symbol-rank) tie-break so even max CODE depth — which unlike
+    cost is NOT unique across valid Huffman trees — is pinned on both
+    sides. Spark does what scales: term frequencies are ONE distributed
+    map-side-combining groupBy over the corpus (the 100 TB part), then
+    the ~30-symbol priority-queue fold runs per source inside
+    applyInPandas (the model-build-on-aggregates pattern — the fold
+    input is already tiny). The oracle replays the identical fold as a
+    recursive sorted-list machine. Cross-checks char_entropy's lower
+    bound from the other side (huffman_bits/total >= entropy)."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "m", F.dense_rank().over(Window.orderBy("w"))
+    ).select("source", "f", "m")
+
+    def _huff(key, pdf):
+        import heapq
+
+        import pandas as pd
+
+        h = sorted((int(f), int(m), 0) for f, m in zip(pdf["f"], pdf["m"]))
+        n_symbols = len(h)
+        heapq.heapify(h)
+        cost = 0
+        while len(h) > 1:
+            f1, m1, d1 = heapq.heappop(h)
+            f2, m2, d2 = heapq.heappop(h)
+            cost += f1 + f2
+            heapq.heappush(h, (f1 + f2, min(m1, m2), max(d1, d2) + 1))
+        f, _, d = h[0]
+        return pd.DataFrame(
+            [(key[0], n_symbols, f, cost, d)],
+            columns=[
+                "source", "n_symbols", "total_tokens", "huffman_bits",
+                "max_depth",
+            ],
+        )
+
+    return (
+        ranked.groupBy("source")
+        .applyInPandas(
+            _huff,
+            "source string, n_symbols long, total_tokens long,"
+            " huffman_bits long, max_depth long",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- budgeted selection
+
+
+@register_extra(
+    "knapsack_budget_selection",
+    """
+    WITH RECURSIVE items AS (
+      SELECT source, doc_id,
+             greatest(1, n_chars // 100) AS w,
+             ('0x' || substr(md5('kv:' || doc_id), 1, 4))::BIGINT % 100
+               AS v,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS step
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    ns AS (SELECT source, max(step) AS n, count(*) AS n_items
+           FROM items GROUP BY source),
+    dp(source, step, t) AS (
+      SELECT source, 0,
+             list_transform(range(0, 16), c -> CAST(0 AS BIGINT))
+      FROM ns
+      UNION ALL
+      SELECT d.source, d.step + 1,
+        list_transform(range(0, 16), c ->
+          CASE WHEN c >= i.w
+               THEN greatest(d.t[c + 1], d.t[c - i.w + 1] + i.v)
+               ELSE d.t[c + 1] END)
+      FROM dp d JOIN items i ON i.source = d.source
+                            AND i.step = d.step + 1
+    ),
+    fin AS (
+      SELECT d.source, ns.n_items, d.t
+      FROM dp d JOIN ns ON ns.source = d.source AND d.step = ns.n
+    )
+    SELECT source, CAST(n_items AS BIGINT) AS n_items,
+           CAST(list_max(t) AS BIGINT) AS best_value,
+           CAST(list_position(t, list_max(t)) - 1 AS BIGINT)
+             AS min_cap_at_best
+    FROM fin ORDER BY source
+    """,
+)
+def knapsack_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1 knapsack over each corpus source: pick documents maximizing
+    total quality under a 15-unit token budget (weights = size in
+    100-char units, values = md5 quality scores) — the budgeted
+    data-selection problem every 'fit the best corpus slice in N
+    tokens' pipeline solves exactly at small n before reaching for the
+    greedy ratio heuristic. Spark runs the DP per source inside
+    applyInPandas (items ordered by doc_id, a 16-slot numpy table —
+    per-key sequential state, keys fan out); the oracle steps the SAME
+    DP as a recursive CTE whose table is a 16-long LIST per source,
+    all sources in lockstep. Outputs include the SMALLEST capacity
+    achieving the optimum (the pareto corner), which pins the whole
+    table, not just its max."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    items = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.lit(1), F.expr("n_chars div 100")).alias("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kv:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("v"),
+    )
+
+    def _ks(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        dp = np.zeros(16, np.int64)
+        for w, v in zip(pdf["w"].astype(int), pdf["v"].astype(int)):
+            ndp = dp.copy()
+            for c in range(15, w - 1, -1):
+                ndp[c] = max(dp[c], dp[c - w] + v)
+            dp = ndp
+        best = int(dp.max())
+        return pd.DataFrame(
+            [(key[0], len(pdf), best, int(np.argmax(dp == best)))],
+            columns=["source", "n_items", "best_value", "min_cap_at_best"],
+        )
+
+    return (
+        items.groupBy("source")
+        .applyInPandas(
+            _ks,
+            "source string, n_items long, best_value long,"
+            " min_cap_at_best long",
+        )
+        .orderBy("source")
+    )
