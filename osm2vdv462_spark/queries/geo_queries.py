@@ -4823,3 +4823,156 @@ def trajectory_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fr,
         "u_a long, u_b long, frechet2 long, lockstep_max long",
     ).orderBy("u_a", "u_b")
+
+
+# --------------------------------------------- 2-opt route sweeps
+
+
+@register_extra(
+    "route_2opt_sweeps",
+    """
+    WITH RECURSIVE routes AS (SELECT n_nationkey AS rid FROM nation
+                              WHERE n_nationkey < 6),
+    city AS (
+      SELECT rid, c.range AS c,
+             ('0x' || substr(md5('tx:' || rid || ':' || c.range),
+                             1, 5))::BIGINT % 1000 AS x,
+             ('0x' || substr(md5('ty:' || rid || ':' || c.range),
+                             1, 5))::BIGINT % 1000 AS y
+      FROM routes, range(24) c
+    ),
+    cx AS MATERIALIZED (
+      SELECT rid, list(x ORDER BY c) AS xs, list(y ORDER BY c) AS ys
+      FROM city GROUP BY rid
+    ),
+    init AS (
+      SELECT rid, list_transform(range(0, 24), i -> CAST(i AS BIGINT))
+               AS tour
+      FROM routes
+    ),
+    sweep(rid, k, tour) AS (
+      SELECT rid, 0, tour FROM init
+      UNION ALL
+      SELECT z.rid, z.k + 1,
+        CASE WHEN z.enc >= 10000 THEN
+          z.tour[1 : 99 - ((z.enc % 10000) // 100)]
+          || list_reverse(z.tour[99 - ((z.enc % 10000) // 100) + 1
+                                 : (99 - (z.enc % 100)) + 1])
+          || z.tour[(99 - (z.enc % 100)) + 2 : 24]
+        ELSE z.tour END
+      FROM (
+        SELECT s.rid, s.k, s.tour, list_max(flatten(list_transform(range(1, 23), i ->
+          list_transform(range(i + 1, 23), j ->
+            ( (abs(xs[tour[i] + 1] - xs[tour[i + 1] + 1])
+             + abs(ys[tour[i] + 1] - ys[tour[i + 1] + 1])
+             + abs(xs[tour[j + 1] + 1] - xs[tour[j + 2] + 1])
+             + abs(ys[tour[j + 1] + 1] - ys[tour[j + 2] + 1])
+             - abs(xs[tour[i] + 1] - xs[tour[j + 1] + 1])
+             - abs(ys[tour[i] + 1] - ys[tour[j + 1] + 1])
+             - abs(xs[tour[i + 1] + 1] - xs[tour[j + 2] + 1])
+             - abs(ys[tour[i + 1] + 1] - ys[tour[j + 2] + 1]))
+              * 10000 + (99 - i) * 100 + (99 - j) )
+          )))) AS enc
+        FROM (SELECT rid, k, tour FROM sweep WHERE k < 3) s
+        JOIN cx ON cx.rid = s.rid
+      ) z
+    ),
+    lens AS (
+      SELECT s.rid, s.k,
+        list_reduce(list_transform(range(1, 24), i ->
+          abs(cx.xs[s.tour[i] + 1] - cx.xs[s.tour[i + 1] + 1])
+          + abs(cx.ys[s.tour[i] + 1] - cx.ys[s.tour[i + 1] + 1])),
+          (a, b) -> a + b) AS plen,
+        list_reduce(list_transform(range(1, 25), i -> s.tour[i] * i),
+                    (a, b) -> a + b) AS chk
+      FROM sweep s JOIN cx ON cx.rid = s.rid
+    )
+    SELECT a.rid, CAST(a.plen AS BIGINT) AS init_len,
+           CAST(b.plen AS BIGINT) AS final_len,
+           CAST(b.chk AS BIGINT) AS tour_chk
+    FROM lens a JOIN lens b USING (rid)
+    WHERE a.k = 0 AND b.k = 3 ORDER BY a.rid
+""",
+)
+def route_2opt_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-improvement 2-opt sweeps over 6 delivery routes (24 stops,
+    Manhattan metric) — the classic local-search step of every
+    vehicle-routing/last-mile optimizer: evaluate ALL segment
+    reversals, apply the single best, repeat (3 sweeps). The shape is
+    'parallel evaluate, sequential commit': gain evaluation is an
+    embarrassingly parallel all-pairs scan (at fleet scale: one task
+    per route; within a route, a vectorized numpy gain matrix), while
+    the commit is inherently ordered — so Spark runs one numpy
+    best-move loop per route inside mapInPandas, and the oracle
+    replays the identical three sweeps as a recursive CTE doing list
+    surgery (slice + reverse + concat). Exact integer geometry;
+    argmax packed as gain*10000 + inverted (i, j) so tie-breaks pin
+    the same move on both sides; the final tour is pinned by a
+    position-weighted checksum, not just its length."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    routes = nat.filter(F.col("n_nationkey") < 6).select(
+        F.col("n_nationkey").cast("long").alias("rid")
+    )
+
+    def _opt(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def H(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:5], 16)
+
+        for pdf in batches:
+            out = []
+            for rid in pdf["rid"].astype(int):
+                xs = np.array(
+                    [H(f"tx:{rid}:{c}") % 1000 for c in range(24)],
+                    np.int64,
+                )
+                ys = np.array(
+                    [H(f"ty:{rid}:{c}") % 1000 for c in range(24)],
+                    np.int64,
+                )
+
+                def plen(t):
+                    return int(
+                        (np.abs(np.diff(xs[t])) + np.abs(np.diff(ys[t])))
+                        .sum()
+                    )
+
+                tour = np.arange(24)
+                init_len = plen(tour)
+                for _ in range(3):
+                    best = None
+                    for i in range(1, 23):
+                        for j in range(i + 1, 23):
+                            g = (
+                                abs(xs[tour[i - 1]] - xs[tour[i]])
+                                + abs(ys[tour[i - 1]] - ys[tour[i]])
+                                + abs(xs[tour[j]] - xs[tour[j + 1]])
+                                + abs(ys[tour[j]] - ys[tour[j + 1]])
+                                - abs(xs[tour[i - 1]] - xs[tour[j]])
+                                - abs(ys[tour[i - 1]] - ys[tour[j]])
+                                - abs(xs[tour[i]] - xs[tour[j + 1]])
+                                - abs(ys[tour[i]] - ys[tour[j + 1]])
+                            )
+                            enc = int(g) * 10000 + (99 - i) * 100 + (99 - j)
+                            if best is None or enc > best[0]:
+                                best = (enc, i, j)
+                    if best[0] >= 10000:
+                        i, j = best[1], best[2]
+                        tour = np.concatenate(
+                            [tour[:i], tour[i : j + 1][::-1], tour[j + 1 :]]
+                        )
+                chk = int((tour * np.arange(1, 25)).sum())
+                out.append((int(rid), init_len, plen(tour), chk))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["rid", "init_len", "final_len", "tour_chk"],
+                )
+
+    return routes.mapInPandas(
+        _opt, "rid long, init_len long, final_len long, tour_chk long"
+    ).orderBy("rid")

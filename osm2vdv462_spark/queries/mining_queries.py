@@ -2997,3 +2997,119 @@ def soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sx")
     )
+
+
+# --------------------------------------------- diff-in-diff
+
+
+@register_extra(
+    "diff_in_diff_audit",
+    """
+    WITH obs AS (
+      SELECT event_type AS segment,
+             user_id % 200 AS unit,
+             (user_id % 200) % 5 = 0 AS treated,
+             ('0x' || substr(md5('ddp:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::INT % 2 AS post,
+             (('0x' || substr(md5('ddb:' || CAST(user_id % 200 AS VARCHAR)),
+                              1, 6))::BIGINT % 50)
+             + 7 * (('0x' || substr(md5('ddp:'
+                 || CAST(event_id AS VARCHAR)), 1, 4))::INT % 2)
+             + 12 * (CASE WHEN (user_id % 200) % 5 = 0 THEN 1 ELSE 0 END)
+                  * (('0x' || substr(md5('ddp:'
+                      || CAST(event_id AS VARCHAR)), 1, 4))::INT % 2)
+             + ('0x' || substr(md5('ddn:' || CAST(event_id AS VARCHAR)),
+                               1, 4))::BIGINT % 5 AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT segment, treated, post, count(*) AS n, sum(y) AS s
+      FROM obs GROUP BY 1, 2, 3
+    ),
+    means AS (
+      SELECT segment,
+             max(CASE WHEN treated AND post = 1 THEN (s * 1000000) // n
+                 END) AS m11,
+             max(CASE WHEN treated AND post = 0 THEN (s * 1000000) // n
+                 END) AS m10,
+             max(CASE WHEN NOT treated AND post = 1 THEN (s * 1000000) // n
+                 END) AS m01,
+             max(CASE WHEN NOT treated AND post = 0 THEN (s * 1000000) // n
+                 END) AS m00,
+             max(CASE WHEN treated AND post = 1 THEN n END) AS n11,
+             max(CASE WHEN treated AND post = 0 THEN n END) AS n10,
+             max(CASE WHEN NOT treated AND post = 1 THEN n END) AS n01,
+             max(CASE WHEN NOT treated AND post = 0 THEN n END) AS n00
+      FROM cells GROUP BY segment
+    )
+    SELECT segment, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST(m11 - m10 - m01 + m00 AS BIGINT) AS did_e6
+    FROM means ORDER BY segment
+    """,
+)
+def diff_in_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimation per segment — the
+    workhorse causal design for staggered product rollouts: treated
+    units (every 5th) receive a +12 effect only in the post period, on
+    top of a unit fixed effect and a +7 common time trend that DiD
+    exists to cancel; the estimate must land near 12 (up to the md5
+    noise), and both engines must agree on it EXACTLY because each
+    cell mean is the shared e6 truncating division. Spark: one
+    map-side-combining groupBy to the 2x2xK cells, then a pivot-style
+    conditional agg — the estimator never sees row-level data twice.
+    The parallel-trends arithmetic (m01 - m00 vs the trend) is left
+    visible in the four cell means' counts."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    unit = F.pmod(F.col("user_id"), F.lit(200))
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    post = _h("ddp:", eid, 4).cast("int") % 2
+    treated = unit % 5 == 0
+    y = (
+        _h("ddb:", unit.cast("string"), 6) % 50
+        + 7 * post
+        + 12 * F.when(treated, 1).otherwise(0) * post
+        + _h("ddn:", eid, 4) % 5
+    )
+    obs = ev.select(
+        F.col("event_type").alias("segment"),
+        treated.alias("treated"),
+        post.alias("post"),
+        y.alias("y"),
+    )
+    cells = obs.groupBy("segment", "treated", "post").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    m = F.expr("(s * 1000000) div n")
+
+    def pick(tr, po, col):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), col)
+        )
+
+    means = cells.groupBy("segment").agg(
+        pick(True, 1, m).alias("m11"),
+        pick(True, 0, m).alias("m10"),
+        pick(False, 1, m).alias("m01"),
+        pick(False, 0, m).alias("m00"),
+        pick(True, 1, F.col("n")).cast("long").alias("n11"),
+        pick(True, 0, F.col("n")).cast("long").alias("n10"),
+        pick(False, 1, F.col("n")).cast("long").alias("n01"),
+        pick(False, 0, F.col("n")).cast("long").alias("n00"),
+    )
+    return means.select(
+        "segment", "n11", "n10", "n01", "n00",
+        (F.col("m11") - F.col("m10") - F.col("m01") + F.col("m00"))
+        .cast("long")
+        .alias("did_e6"),
+    ).orderBy("segment")
