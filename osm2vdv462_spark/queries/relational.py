@@ -2870,3 +2870,106 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+# ---------------------------------------- inclusion dependencies
+
+
+@register_extra(
+    "ind_coverage_audit",
+    """
+    WITH cands AS (
+      SELECT 'lineitem.l_orderkey<orders.o_orderkey' AS ind,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_lhs,
+             (SELECT count(*) FROM
+                (SELECT DISTINCT l_orderkey AS k FROM lineitem) l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.k)) AS n_missing
+      UNION ALL
+      SELECT 'orders.o_custkey<customer.c_custkey',
+             (SELECT count(DISTINCT o_custkey) FROM orders),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT o_custkey AS k FROM orders) l
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = l.k))
+      UNION ALL
+      SELECT 'customer.c_custkey<orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT c_custkey AS k FROM customer) l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = l.k))
+      UNION ALL
+      SELECT 'customer.c_nationkey<nation.n_nationkey',
+             (SELECT count(DISTINCT c_nationkey) FROM customer),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT c_nationkey AS k FROM customer) l
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = l.k))
+      UNION ALL
+      SELECT 'nation.n_nationkey<customer.c_nationkey',
+             (SELECT count(DISTINCT n_nationkey) FROM nation),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT n_nationkey AS k FROM nation) l
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_nationkey = l.k))
+    )
+    SELECT ind, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           CAST(((n_lhs - n_missing) * 1000000) // n_lhs AS BIGINT)
+             AS coverage_e6,
+           n_missing = 0 AS holds
+    FROM cands ORDER BY ind
+    """,
+)
+def ind_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery audit — the other half of schema
+    profiling next to the FD g3 audit: for each candidate column pair
+    A < B, does every distinct A value appear in B (a foreign-key
+    candidate), and if not, what coverage does it reach? Candidates
+    span the TPC-H-ish join graph in BOTH directions, so the holds
+    column separates true FKs from their (partial) reverses —
+    exactly how profiling tools propose join paths on unknown data.
+    Spark: each candidate is one distinct-projection + left-anti join
+    (the scalable no-EXISTS formulation; the anti join broadcasts the
+    smaller side); the oracle uses correlated NOT EXISTS — two
+    different join strategies for the same set semantics. coverage =
+    exact e6 truncating ratio."""
+    tabs = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in ["lineitem", "orders", "customer", "nation"]
+    }
+    cands = [
+        ("lineitem.l_orderkey<orders.o_orderkey",
+         tabs["lineitem"].select(F.col("l_orderkey").alias("k")),
+         tabs["orders"].select(F.col("o_orderkey").alias("k"))),
+        ("orders.o_custkey<customer.c_custkey",
+         tabs["orders"].select(F.col("o_custkey").alias("k")),
+         tabs["customer"].select(F.col("c_custkey").alias("k"))),
+        ("customer.c_custkey<orders.o_custkey",
+         tabs["customer"].select(F.col("c_custkey").alias("k")),
+         tabs["orders"].select(F.col("o_custkey").alias("k"))),
+        ("customer.c_nationkey<nation.n_nationkey",
+         tabs["customer"].select(F.col("c_nationkey").alias("k")),
+         tabs["nation"].select(F.col("n_nationkey").alias("k"))),
+        ("nation.n_nationkey<customer.c_nationkey",
+         tabs["nation"].select(F.col("n_nationkey").alias("k")),
+         tabs["customer"].select(F.col("c_nationkey").alias("k"))),
+    ]
+    out = None
+    for name, lhs, rhs in cands:
+        dl = lhs.distinct()
+        stats = dl.join(rhs.distinct(), "k", "left_anti").agg(
+            F.count("*").alias("n_missing")
+        ).crossJoin(dl.agg(F.count("*").alias("n_lhs")))
+        row = stats.select(
+            F.lit(name).alias("ind"),
+            F.col("n_lhs").cast("long").alias("n_lhs"),
+            F.col("n_missing").cast("long").alias("n_missing"),
+            F.expr("((n_lhs - n_missing) * 1000000) div n_lhs")
+            .cast("long")
+            .alias("coverage_e6"),
+            (F.col("n_missing") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("ind")

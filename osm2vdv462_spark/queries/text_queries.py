@@ -4740,3 +4740,81 @@ def knapsack_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- TextRank keywords
+
+
+def _tr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000000 +
+                  (85 * coalesce(sum(r.rank_e12 // d.outdeg), 0)) // 100
+                  AS BIGINT) AS rank_e12
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN deg d ON d.src = e.src
+      LEFT JOIN {prev} r ON r.node = e.src
+      GROUP BY n.node
+    )"""
+
+
+@register_extra(
+    "textrank_keywords",
+    f"""
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    adj AS (SELECT unnest(list_zip(t[1:-2], t[2:])) AS p FROM tok),
+    e AS MATERIALIZED (
+      SELECT DISTINCT p[1] AS src, p[2] AS dst FROM adj
+      WHERE p[1] <> p[2] AND p[1] <> '' AND p[2] <> ''
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, count(*) AS outdeg FROM e GROUP BY src
+    ),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_e12
+           FROM nodes),
+    {_tr_iter_sql('r0', 'r1')},
+    {_tr_iter_sql('r1', 'r2')},
+    {_tr_iter_sql('r2', 'r3')}
+    SELECT node AS word, rank_e12 FROM r3 ORDER BY rank_e12 DESC, word
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau) — PageRank over the
+    word co-occurrence graph (directed token-adjacency edges across
+    the whole corpus), the classic unsupervised keyword extractor.
+    Reuses the gated pagerank operator (operators/sketches.py::
+    pagerank_e12, integer e12 fixed point — the same message-passing
+    join+agg per iteration, only the 16-byte/node rank table
+    re-shuffles at scale); string-typed nodes exercise the operator's
+    key-type generality. The oracle unrolls the three iterations
+    relationally over an adjacency built with the list_zip
+    neighboring-pairs idiom. Output: every vocabulary word with its
+    exact e12 rank — corpus function words win, which is precisely
+    why real TextRank runs a stopword filter first (the gated
+    text_cleaning query)."""
+    from ..operators.sketches import pagerank_e12
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.split("text", " ").alias("t"))
+    pairs = tok.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("src"), F.col("p.1").alias("dst"))
+    e = pairs.filter(
+        (F.col("src") != F.col("dst"))
+        & (F.col("src") != "")
+        & (F.col("dst") != "")
+    ).distinct()
+    ranks = pagerank_e12(e, iters=3)
+    return ranks.select(F.col("node").alias("word"), "rank_e12").orderBy(
+        F.col("rank_e12").desc(), "word"
+    )
