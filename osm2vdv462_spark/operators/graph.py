@@ -841,3 +841,41 @@ def ktruss_edges(edges: DataFrame, *, k: int, max_rounds: int = 60) -> DataFrame
             return kept
         e, n = kept, m
     raise ValueError(f"ktruss did not stabilize in {max_rounds} rounds")
+
+
+def hypothesis_bfs(
+    sym: DataFrame,
+    seeds: DataFrame,
+    cond,
+    *,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Batched what-if BFS: run |hypotheses| reachability probes as ONE
+    wave of (x, node) composite frontiers, where hypothesis x disables
+    some edges — the primitive behind bridge/articulation detection
+    ('is the graph still connected without this element?') and any
+    failure-mode sweep. ``sym`` is the symmetric edge list (s, d, +
+    metadata columns); ``seeds`` is (x, node); ``cond(frontier, sym)``
+    returns the boolean Column deciding whether an edge is usable
+    under hypothesis x. Per round one equi-join + anti-join, the pair
+    frontier is the only state — the all_pairs_hops shape with an
+    edge predicate pushed INTO the join, so disabled edges never
+    materialize. Returns (x, node) reached pairs."""
+    visited = seeds.select("x", "node").distinct().localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for _ in range(max_rounds):
+        j = frontier.join(sym, frontier["node"] == sym["s"])
+        nxt = (
+            j.filter(cond(frontier, sym))
+            .select("x", F.col("d").alias("node"))
+            .distinct()
+            .join(visited, ["x", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise ValueError(f"hypothesis_bfs still expanding after {max_rounds}")

@@ -1435,3 +1435,172 @@ def ktruss_4_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return G.ktruss_edges(e, k=4).orderBy("a", "b")
+
+
+_BR_EDGES_SQL = """
+    e0 AS (
+      SELECT user_id % 60 AS u,
+             ('0x' || substr(md5('br:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 60 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('brgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::INT % 149 = 0
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM e0 WHERE u <> v)
+"""
+
+
+def _br_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(60))
+    b = _h("br:", 7) % 60
+    return (
+        ev.filter(_h("brgate:", 4).cast("int") % 149 == 0)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+@register_extra(
+    "bridge_edges",
+    f"""
+    WITH RECURSIVE {_BR_EDGES_SQL},
+    ed AS (SELECT a, b, a * 100 + b AS eid FROM e),
+    sym AS (SELECT eid, a AS s, b AS d FROM ed
+            UNION ALL SELECT eid, b, a FROM ed),
+    reach(x, node) AS (
+      SELECT eid, a FROM ed
+      UNION
+      SELECT r.x, s.d FROM reach r JOIN sym s ON s.s = r.node
+      WHERE s.eid <> r.x
+    )
+    SELECT ed.a, ed.b FROM ed
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.x = ed.eid AND r.node = ed.b)
+    ORDER BY ed.a, ed.b
+    """,
+)
+def bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge (cut-edge) detection — which links' failure disconnects
+    the network, the core resilience question for transport/telecom
+    graphs. Definition-level formulation: edge (a, b) is a bridge iff
+    b is unreachable from a WITHOUT that edge; Spark answers all |E|
+    hypotheses in ONE batched exclusion-BFS (operators/graph.py::
+    hypothesis_bfs — (excluded-edge, node) composite frontiers, the
+    edge ban pushed into the join predicate), while the oracle runs
+    the same definition as a recursive closure with the exclusion in
+    the WHERE. No Tarjan DFS anywhere — the sequential low-link trick
+    does not distribute, the hypothesis batch does (state = E x V
+    pairs bounded by reachability). Output: the bridges themselves."""
+    from ..operators.graph import hypothesis_bfs
+
+    e = _br_edges_spark(spark, sf_dir)
+    ed = e.withColumn("eid", F.col("a") * 100 + F.col("b"))
+    sym = ed.select("eid", F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        ed.select("eid", F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    seeds = ed.select(F.col("eid").alias("x"), F.col("a").alias("node"))
+    reach = hypothesis_bfs(
+        sym, seeds, lambda fr, sy: sy["eid"] != fr["x"]
+    )
+    return (
+        ed.join(
+            reach.select(
+                F.col("x").alias("eid"), F.col("node").alias("b")
+            ),
+            ["eid", "b"],
+            "left_anti",
+        )
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
+@register_extra(
+    "articulation_points",
+    f"""
+    WITH RECURSIVE {_BR_EDGES_SQL},
+    nb AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    cand AS (SELECT x, min(y) AS seed FROM nb GROUP BY x
+             HAVING count(DISTINCT y) >= 2),
+    sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    reach(x, node) AS (
+      SELECT x, seed FROM cand
+      UNION
+      SELECT r.x, s.d FROM reach r JOIN sym s ON s.s = r.node
+      WHERE s.d <> r.x AND s.s <> r.x
+    )
+    SELECT nb.x AS node,
+           CAST(count(DISTINCT nb.y) AS BIGINT) AS deg,
+           CAST(count(DISTINCT nb.y)
+                - count(DISTINCT r.node) AS BIGINT) AS n_cut_off
+    FROM nb
+    JOIN cand c ON c.x = nb.x
+    LEFT JOIN reach r ON r.x = nb.x AND r.node = nb.y
+    GROUP BY nb.x
+    HAVING count(DISTINCT nb.y) > count(DISTINCT r.node)
+    ORDER BY node
+    """,
+)
+def articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation (cut-vertex) detection on the same failure-analysis
+    graph: node x is an articulation point iff, with x removed, some
+    neighbor of x can no longer reach the others — answered for ALL
+    candidate nodes at once by the same batched exclusion-BFS, seeded
+    at each candidate's smallest neighbor with the node ban in the
+    join predicate. Reports how many of the node's neighbors get cut
+    off (the severity, not just the flag). Cross-checks bridge_edges
+    structurally: every bridge endpoint of degree >= 2 must appear
+    here — and the DuckDB closure re-derives the same sets from the
+    definition."""
+    from ..operators.graph import hypothesis_bfs
+
+    e = _br_edges_spark(spark, sf_dir)
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    cand = nb.groupBy("x").agg(
+        F.min("y").alias("seed"), F.countDistinct("y").alias("deg")
+    ).filter(F.col("deg") >= 2)
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    reach = hypothesis_bfs(
+        sym,
+        cand.select("x", F.col("seed").alias("node")),
+        lambda fr, sy: (sy["d"] != fr["x"]) & (sy["s"] != fr["x"]),
+    )
+    reached_nb = (
+        nb.join(
+            reach.select("x", F.col("node").alias("y")), ["x", "y"]
+        )
+        .groupBy("x")
+        .agg(F.countDistinct("y").alias("n_reached"))
+    )
+    return (
+        cand.join(reached_nb, "x", "left")
+        .filter(
+            F.col("deg") > F.coalesce("n_reached", F.lit(0))
+        )
+        .select(
+            F.col("x").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            (F.col("deg") - F.coalesce("n_reached", F.lit(0)))
+            .cast("long")
+            .alias("n_cut_off"),
+        )
+        .orderBy("node")
+    )
