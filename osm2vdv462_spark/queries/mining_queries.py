@@ -3113,3 +3113,338 @@ def diff_in_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_e6"),
     ).orderBy("segment")
+
+
+# --------------------------------------------- seat apportionment
+
+_PARTY_SQL = """CASE WHEN k < 1 THEN 0 WHEN k < 3 THEN 1 WHEN k < 6 THEN 2
+              WHEN k < 10 THEN 3 WHEN k < 15 THEN 4 WHEN k < 21 THEN 5
+              WHEN k < 28 THEN 6 WHEN k < 36 THEN 7 ELSE 8 END"""
+
+
+@register_extra(
+    "seat_allocation_methods",
+    f"""
+    WITH k0 AS (
+      SELECT ('0x' || substr(md5('pty:' || event_id), 1, 4))::INT % 45
+        AS k FROM events
+    ),
+    votes AS (SELECT {_PARTY_SQL} AS party, count(*) AS v
+              FROM k0 GROUP BY 1),
+    tot AS (SELECT sum(v) AS n FROM votes),
+    ham0 AS (
+      SELECT party, v, (v * 100) // (SELECT n FROM tot) AS base,
+             (v * 100) % (SELECT n FROM tot) AS rem FROM votes
+    ),
+    hamr AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, party) AS rk,
+             100 - sum(base) OVER () AS leftover FROM ham0
+    ),
+    ham AS (SELECT party,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS seats FROM hamr),
+    dh0 AS (SELECT party, v, d.range + 1 AS d,
+                   v * (232792560 // (d.range + 1)) AS key
+            FROM votes, range(25) d),
+    dhr AS (SELECT party,
+                   row_number() OVER (ORDER BY key DESC, party, d) AS rk
+            FROM dh0),
+    dh AS (SELECT party, count(*) AS seats FROM dhr WHERE rk <= 100
+           GROUP BY party),
+    hh0 AS (SELECT party, v, d.range + 1 AS n,
+                   v * v * (232792560 // ((d.range + 1) * (d.range + 2)))
+                     AS key
+            FROM votes, range(25) d),
+    hhr AS (SELECT party,
+                   row_number() OVER (ORDER BY key DESC, party, n) AS rk
+            FROM hh0),
+    hh AS (SELECT party,
+                  1 + count(CASE WHEN rk <= 100 - 9 THEN 1 END) AS seats
+           FROM hhr GROUP BY party)
+    SELECT v.party, CAST(v.v AS BIGINT) AS votes,
+           CAST(ham.seats AS BIGINT) AS hamilton,
+           CAST(dh.seats AS BIGINT) AS dhondt,
+           CAST(hh.seats AS BIGINT) AS hhill
+    FROM votes v JOIN ham USING (party) JOIN dh USING (party)
+                 JOIN hh USING (party)
+    ORDER BY party
+    """,
+)
+def seat_allocation_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional apportionment, three classical methods side by
+    side over a deliberately skewed 9-party vote (sizes ~1:9):
+    Hamilton largest-remainder, D'Hondt highest-averages (visible
+    large-party bias — it hands the top party the seat Hamilton gives
+    a mid party), and Huntington-Hill (the US House method, geometric-
+    mean divisors). The same machinery allocates sampler quotas and
+    shard counts proportionally. EVERYTHING is exact integers: the
+    D'Hondt quotient sort key is v * (LCM(1..20)/d) (d divides the
+    LCM, so the division is exact), and Huntington-Hill's sqrt(n(n+1))
+    divisor is squared away as v^2 * (LCM/(n(n+1))) — no float ever
+    ranks a seat. Spark mirrors the three rankings with windows over
+    the 9-row aggregate (driver-scale by construction — the 100 TB
+    part is the one groupBy producing the vote counts)."""
+    ev = _t(spark, sf_dir, "events")
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pty:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 45
+    )
+    votes = (
+        ev.select(k.alias("k"))
+        .select(F.expr(_PARTY_SQL).alias("party"))
+        .groupBy("party")
+        .agg(F.count("*").alias("v"))
+    )
+    tot = votes.agg(F.sum("v").alias("n"))
+    ham0 = votes.crossJoin(F.broadcast(tot)).select(
+        "party", "v",
+        F.expr("(v * 100) div n").alias("base"),
+        F.expr("(v * 100) % n").alias("rem"),
+    )
+    wglob = Window.orderBy(F.col("rem").desc(), "party")
+    hamr = ham0.select(
+        "party", "base",
+        F.row_number().over(wglob).alias("rk"),
+        (100 - F.sum("base").over(
+            Window.partitionBy(F.lit(1))
+        )).alias("leftover"),
+    )
+    ham = hamr.select(
+        "party",
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .alias("hamilton"),
+    )
+    ds = spark.range(25).select((F.col("id") + 1).alias("d"))
+    dh0 = votes.crossJoin(F.broadcast(ds)).select(
+        "party", "d",
+        (F.col("v") * F.expr("232792560 div d")).alias("key"),
+    )
+    dhr = dh0.select(
+        "party",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), "party", "d"))
+        .alias("rk"),
+    )
+    dh = (
+        dhr.filter(F.col("rk") <= 100)
+        .groupBy("party")
+        .agg(F.count("*").alias("dhondt"))
+    )
+    hh0 = votes.crossJoin(F.broadcast(ds)).select(
+        "party", F.col("d").alias("n2"),
+        (F.col("v") * F.col("v")
+         * F.expr("232792560 div (d * (d + 1))")).alias("key"),
+    )
+    hhr = hh0.select(
+        "party",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), "party", "n2"))
+        .alias("rk"),
+    )
+    hh = hhr.groupBy("party").agg(
+        (1 + F.count(F.when(F.col("rk") <= 100 - 9, 1))).alias("hhill")
+    )
+    return (
+        votes.join(ham, "party")
+        .join(dh, "party")
+        .join(hh, "party")
+        .select(
+            "party",
+            F.col("v").cast("long").alias("votes"),
+            F.col("hamilton").cast("long"),
+            F.col("dhondt").cast("long"),
+            F.col("hhill").cast("long"),
+        )
+        .orderBy("party")
+    )
+
+
+# --------------------------------------------- Schulze beatpaths
+
+
+@register_extra(
+    "schulze_pairwise_strengths",
+    """
+    WITH ballots AS (
+      SELECT event_id AS e FROM events WHERE event_id % 3 = 0
+    ),
+    rk AS (
+      SELECT e, c.range AS c,
+             ('0x' || substr(md5('sv:' || e || ':' || c.range),
+                             1, 8))::BIGINT AS r
+      FROM ballots, range(8) c
+    ),
+    d AS (
+      SELECT a.c AS i, b.c AS j,
+             count(*) FILTER ((a.r, a.c) < (b.r, b.c)) AS dv
+      FROM rk a JOIN rk b ON a.e = b.e
+      GROUP BY 1, 2
+    ),
+    p0 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             CASE WHEN a.i <> a.j AND a.dv > b.dv THEN a.dv ELSE 0 END AS v
+      FROM d a JOIN d b ON b.i = a.j AND b.j = a.i
+    ),
+    
+    p1 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p0 a
+      LEFT JOIN p0 ik ON ik.i = a.i AND ik.j = 0
+      LEFT JOIN p0 kj ON kj.i = 0 AND kj.j = a.j
+    ),
+    p2 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p1 a
+      LEFT JOIN p1 ik ON ik.i = a.i AND ik.j = 1
+      LEFT JOIN p1 kj ON kj.i = 1 AND kj.j = a.j
+    ),
+    p3 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p2 a
+      LEFT JOIN p2 ik ON ik.i = a.i AND ik.j = 2
+      LEFT JOIN p2 kj ON kj.i = 2 AND kj.j = a.j
+    ),
+    p4 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p3 a
+      LEFT JOIN p3 ik ON ik.i = a.i AND ik.j = 3
+      LEFT JOIN p3 kj ON kj.i = 3 AND kj.j = a.j
+    ),
+    p5 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p4 a
+      LEFT JOIN p4 ik ON ik.i = a.i AND ik.j = 4
+      LEFT JOIN p4 kj ON kj.i = 4 AND kj.j = a.j
+    ),
+    p6 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p5 a
+      LEFT JOIN p5 ik ON ik.i = a.i AND ik.j = 5
+      LEFT JOIN p5 kj ON kj.i = 5 AND kj.j = a.j
+    ),
+    p7 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p6 a
+      LEFT JOIN p6 ik ON ik.i = a.i AND ik.j = 6
+      LEFT JOIN p6 kj ON kj.i = 6 AND kj.j = a.j
+    ),
+    p8 AS MATERIALIZED (
+      SELECT a.i, a.j,
+             greatest(a.v, coalesce(least(ik.v, kj.v), 0)) AS v
+      FROM p7 a
+      LEFT JOIN p7 ik ON ik.i = a.i AND ik.j = 7
+      LEFT JOIN p7 kj ON kj.i = 7 AND kj.j = a.j
+    )
+    SELECT d.i, d.j, CAST(d.dv AS BIGINT) AS prefer_ij,
+           CAST(p8.v AS BIGINT) AS strength
+    FROM d JOIN p8 ON p8.i = d.i AND p8.j = d.j
+    WHERE d.i <> d.j
+    ORDER BY d.i, d.j
+""",
+)
+def schulze_pairwise_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schulze-method pairwise beatpath strengths — the Condorcet
+    completion used by real elections (Debian, Wikimedia): from the
+    pairwise-preference matrix d[i][j] (md5-ranked ballots, exact
+    lexicographic tie-break), strengths are WIDEST PATHS in the
+    defeat graph: p[i][j] = max over paths of the minimum defeat along
+    the path, computed by the max-min Floyd-Warshall closure. Spark
+    iterates the 8 pivot rounds as joins against the k-column/k-row
+    slices of the 64-pair table (each round two broadcast-size joins;
+    the 100 TB part is the ballot aggregation into d, one shuffle);
+    the oracle unrolls the same 8 pivots as MATERIALIZED CTEs. Output
+    pins the full preference matrix AND the full strength matrix (56
+    rows each way), not just the winner."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    cands = spark.range(8).select(F.col("id").alias("c"))
+    rk = ev.select(F.col("event_id").alias("e")).crossJoin(cands).select(
+        "e", "c",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sv:"), F.col("e").cast("string"),
+                        F.lit(":"), F.col("c").cast("string"),
+                    ).cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("r"),
+    )
+    a = rk.select("e", F.col("c").alias("i"), F.col("r").alias("ra"))
+    b = rk.select("e", F.col("c").alias("j"), F.col("r").alias("rb"))
+    d = (
+        a.join(b, "e")
+        .groupBy("i", "j")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("ra") < F.col("rb"))
+                    | ((F.col("ra") == F.col("rb"))
+                       & (F.col("i") < F.col("j"))),
+                    1,
+                )
+            ).alias("dv")
+        )
+    )
+    drev = d.select(
+        F.col("i").alias("j"), F.col("j").alias("i"),
+        F.col("dv").alias("dr"),
+    )
+    p = d.join(drev, ["i", "j"]).select(
+        "i", "j",
+        F.when(
+            (F.col("i") != F.col("j")) & (F.col("dv") > F.col("dr")),
+            F.col("dv"),
+        ).otherwise(F.lit(0)).alias("v"),
+    ).localCheckpoint(eager=True)
+    for k in range(8):
+        ik = p.filter(F.col("j") == k).select(
+            "i", F.col("v").alias("vik")
+        )
+        kj = p.filter(F.col("i") == k).select(
+            "j", F.col("v").alias("vkj")
+        )
+        p = (
+            p.join(ik, "i", "left")
+            .join(kj, "j", "left")
+            .select(
+                "i", "j",
+                F.greatest(
+                    "v",
+                    F.coalesce(F.least("vik", "vkj"), F.lit(0)),
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.join(p, ["i", "j"])
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i", "j",
+            F.col("dv").cast("long").alias("prefer_ij"),
+            F.col("v").cast("long").alias("strength"),
+        )
+        .orderBy("i", "j")
+    )
