@@ -3448,3 +3448,197 @@ def schulze_pairwise_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------- data valuation
+
+_SHAP_W = "CASE k WHEN 0 THEN 5040 WHEN 1 THEN 720 WHEN 2 THEN 240" \
+          " WHEN 3 THEN 144 WHEN 4 THEN 144 WHEN 5 THEN 240" \
+          " WHEN 6 THEN 720 ELSE 5040 END"
+_SHAP_SRC = "('src0','src1','src2','src3','src4','src5','src6','src7')"
+
+
+@register_extra(
+    "shapley_source_valuation",
+    f"""
+    WITH masks AS (
+      SELECT CAST(substr(source, 4) AS INT) AS p,
+             bit_or(1 << least(n_chars // 50, 11)) AS mask,
+             count(*) AS ndocs
+      FROM documents WHERE source IN {_SHAP_SRC}
+      GROUP BY 1
+    ),
+    subsets AS (SELECT s.range AS s FROM range(256) s),
+    vs AS (
+      SELECT s, coalesce(bit_count(bit_or(
+               CASE WHEN (s >> p) & 1 = 1 THEN mask END)), 0) AS v
+      FROM subsets LEFT JOIN masks ON (s >> p) & 1 = 1
+      GROUP BY s
+    ),
+    w AS (SELECT k.range AS k, {_SHAP_W.replace('k ', 'k.range ')} AS wt
+          FROM range(8) k),
+    sh AS (
+      SELECT m.p, sum(w.wt * (v2.v - v1.v)) AS shapley_x40320
+      FROM masks m
+      JOIN vs v1 ON (v1.s >> m.p) & 1 = 0
+      JOIN vs v2 ON v2.s = v1.s + (1 << m.p)
+      JOIN w ON w.k = bit_count(v1.s)
+      GROUP BY m.p
+    )
+    SELECT sh.p AS source_id, CAST(m.ndocs AS BIGINT) AS n_docs,
+           CAST(bit_count(m.mask) AS BIGINT) AS own_coverage,
+           CAST(sh.shapley_x40320 AS BIGINT) AS shapley_x40320
+    FROM sh JOIN masks m USING (p) ORDER BY source_id
+    """,
+)
+def shapley_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley data valuation over 8 corpus sources — the
+    game-theoretic answer to 'which data source earns its keep':
+    the coalition value v(S) is the length-bucket COVERAGE of the
+    union of sources (a submodular coverage game computed FROM the
+    corpus: one distributed bit_or groupBy builds each source's
+    12-bit bucket mask), and each source's Shapley value is the
+    factorial-weighted marginal over all 2^7 subsets — scaled by 8!
+    so every number is an exact integer, and the efficiency axiom
+    (sum = 8! * v(full)) holds to the last digit in both engines.
+    Spark enumerates subsets as a 256-row range with bit-op joins,
+    all JVM; the oracle mirrors it relationally. The pattern is the
+    honest exact baseline that sampled/Monte-Carlo Shapley
+    estimators (what you'd run for 100 sources) are validated
+    against."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin([f"src{i}" for i in range(8)])
+    )
+    masks = docs.select(
+        F.substring("source", 4, 2).cast("int").alias("p"),
+        F.expr(
+            "shiftleft(1, CAST(least(n_chars div 50, 11) AS INT))"
+        ).alias("bit"),
+    ).groupBy("p").agg(
+        F.expr("bit_or(bit)").alias("mask"), F.count("*").alias("ndocs")
+    )
+    subsets = spark.range(256).select(F.col("id").alias("s"))
+    vs = (
+        subsets.join(
+            F.broadcast(masks),
+            F.expr("(s >> p) & 1 = 1"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.expr("bit_count(bit_or(mask))"), F.lit(0)
+            ).alias("v")
+        )
+    )
+    v1 = vs.select(F.col("s").alias("s1"), F.col("v").alias("va"))
+    v2 = vs.select(F.col("s").alias("s2"), F.col("v").alias("vb"))
+    sh = (
+        F.broadcast(masks)
+        .join(v1, F.expr("(s1 >> p) & 1 = 0"))
+        .join(v2, F.expr("s2 = s1 + (1 << p)"))
+        .select(
+            "p", "ndocs", "mask",
+            (
+                F.expr(f"({_SHAP_W.replace('k ', 'bit_count(s1) ')})")
+                * (F.col("vb") - F.col("va"))
+            ).alias("term"),
+        )
+        .groupBy("p", "ndocs", "mask")
+        .agg(F.sum("term").alias("shapley_x40320"))
+    )
+    return sh.select(
+        F.col("p").alias("source_id"),
+        F.col("ndocs").cast("long").alias("n_docs"),
+        F.expr("bit_count(mask)").cast("long").alias("own_coverage"),
+        F.col("shapley_x40320").cast("long"),
+    ).orderBy("source_id")
+
+
+@register_extra(
+    "banzhaf_power_index",
+    f"""
+    WITH wts AS (
+      SELECT CAST(substr(source, 4) AS INT) AS p, sum(n_chars) AS wt
+      FROM documents WHERE source IN {_SHAP_SRC}
+      GROUP BY 1
+    ),
+    q AS (SELECT sum(wt) // 2 + 1 AS quota FROM wts),
+    subsets AS (SELECT s.range AS s FROM range(256) s),
+    ws AS (
+      SELECT s, coalesce(sum(CASE WHEN (s >> p) & 1 = 1 THEN wt END), 0)
+               AS w
+      FROM subsets LEFT JOIN wts ON (s >> p) & 1 = 1
+      GROUP BY s
+    ),
+    sw AS (
+      SELECT wts.p,
+             count(*) FILTER (ws.w < q.quota
+                              AND ws.w + wts.wt >= q.quota) AS swings
+      FROM wts, q
+      JOIN ws ON (ws.s >> wts.p) & 1 = 0
+      GROUP BY wts.p
+    ),
+    totsw AS (SELECT sum(swings) AS t FROM sw)
+    SELECT sw.p AS source_id, CAST(w2.wt AS BIGINT) AS weight,
+           CAST(sw.swings AS BIGINT) AS swings,
+           CAST((sw.swings * 1000000) // (SELECT t FROM totsw) AS BIGINT)
+             AS banzhaf_share_e6
+    FROM sw JOIN wts w2 ON w2.p = sw.p ORDER BY source_id
+    """,
+)
+def banzhaf_power_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banzhaf voting power over the same 8 sources as a WEIGHTED
+    majority game (weights = each source's total characters, quota =
+    strict majority): a source's power is the number of coalitions
+    where it is PIVOTAL (losing without it, winning with it) — the
+    standard demonstration that voting weight and voting POWER are
+    different quantities, and the second canonical index next to
+    shapley_source_valuation's. Same exact 2^8 enumeration: subset
+    weights via one bit-op join + sum, pivotality as a count filter,
+    shares e6-quantized. Spark keeps the whole lattice as a 256-row
+    broadcast-joined range; the distributed part is the per-source
+    weight aggregation."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin([f"src{i}" for i in range(8)])
+    )
+    wts = docs.select(
+        F.substring("source", 4, 2).cast("int").alias("p"), "n_chars"
+    ).groupBy("p").agg(F.sum("n_chars").alias("wt"))
+    q = wts.agg((F.expr("sum(wt) div 2") + 1).alias("quota"))
+    subsets = spark.range(256).select(F.col("id").alias("s"))
+    ws = (
+        subsets.join(F.broadcast(wts), F.expr("(s >> p) & 1 = 1"), "left")
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("wt"), F.lit(0).cast("long")).alias("w")
+        )
+    )
+    sw = (
+        F.broadcast(wts)
+        .crossJoin(F.broadcast(q))
+        .join(ws, F.expr("(s >> p) & 1 = 0"))
+        .groupBy("p", "wt")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("w") < F.col("quota"))
+                    & (F.col("w") + F.col("wt") >= F.col("quota")),
+                    1,
+                )
+            ).alias("swings")
+        )
+    )
+    tot = sw.agg(F.sum("swings").alias("t"))
+    return (
+        sw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").alias("source_id"),
+            F.col("wt").cast("long").alias("weight"),
+            F.col("swings").cast("long").alias("swings"),
+            F.expr("(swings * 1000000) div t")
+            .cast("long")
+            .alias("banzhaf_share_e6"),
+        )
+        .orderBy("source_id")
+    )
