@@ -2973,3 +2973,158 @@ def ind_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("ind")
+
+
+# ---------------------------------------- inventory policy
+
+
+@register_extra(
+    "inventory_policy_optim",
+    """
+    WITH d AS (
+      SELECT l_partkey % 8 AS prod, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    costs AS (
+      SELECT p.range AS prod,
+             1 + ('0x' || substr(md5('cu:' || p.range), 1, 4))::INT % 9
+               AS cu,
+             1 + ('0x' || substr(md5('co:' || p.range), 1, 4))::INT % 9
+               AS co,
+             50 + ('0x' || substr(md5('eS:' || p.range), 1, 4))::INT % 100
+               AS s_cost,
+             1 + ('0x' || substr(md5('eH:' || p.range), 1, 4))::INT % 9
+               AS h
+      FROM range(8) p
+    ),
+    n AS (SELECT prod, count(*) AS n, sum(q) AS dtot FROM d GROUP BY prod),
+    cand AS (SELECT DISTINCT prod, q AS s FROM d),
+    cdf AS (
+      SELECT c.prod, c.s, count(*) AS le
+      FROM cand c JOIN d ON d.prod = c.prod AND d.q <= c.s
+      GROUP BY 1, 2
+    ),
+    nv AS (
+      SELECT cdf.prod, min(cdf.s) AS stock
+      FROM cdf JOIN n USING (prod) JOIN costs USING (prod)
+      WHERE cdf.le * (costs.cu + costs.co) >= n.n * costs.cu
+      GROUP BY cdf.prod
+    ),
+    ev AS (
+      SELECT n.prod, q.range + 1 AS q,
+             (1000 * n.dtot * c.s_cost) // (q.range + 1)
+               + 500 * c.h * (q.range + 1) AS cst
+      FROM n JOIN costs c USING (prod), range(5000) q
+    ),
+    eoq AS (
+      SELECT prod, min(cst * 10000 + q) % 10000 AS eoq_q
+      FROM ev GROUP BY prod
+    )
+    SELECT n.prod, CAST(n.n AS BIGINT) AS n_obs,
+           CAST(n.dtot AS BIGINT) AS total_demand,
+           CAST(c.cu AS BIGINT) AS underage_c,
+           CAST(c.co AS BIGINT) AS overage_c,
+           CAST(nv.stock AS BIGINT) AS newsvendor_stock,
+           CAST(eoq.eoq_q AS BIGINT) AS eoq_qty
+    FROM n JOIN costs c USING (prod) JOIN nv USING (prod)
+           JOIN eoq USING (prod)
+    ORDER BY n.prod
+    """,
+)
+def inventory_policy_optim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two classical inventory policies solved EXACTLY from the demand
+    history, per product family: (1) the newsvendor stock — the
+    smallest level whose empirical demand CDF reaches the critical
+    ratio cu/(cu+co), decided by the cross-multiplied integer
+    inequality count(d<=s)*(cu+co) >= n*cu (no percentile float ever);
+    (2) the economic order quantity — argmin over 1..5000 of the
+    e3-quantized holding-plus-setup cost, packed as cost*10000+q so
+    the tie takes the smaller lot. The demand aggregation (counts,
+    totals, distinct levels, CDF ranks) is the distributed part —
+    one pass over lineitem with map-side combines; the 5000-point
+    cost grid is a broadcast range. The oracle repeats both
+    optimizations relationally; newsvendor's argmin-over-candidates
+    and EOQ's quantized evaluation must land on identical integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(8)).alias("prod"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    prods = spark.range(8).select(F.col("id").alias("prod"))
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("prod").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    costs = prods.select(
+        "prod",
+        (1 + _h("cu:") % 9).alias("cu"),
+        (1 + _h("co:") % 9).alias("co"),
+        (50 + _h("eS:") % 100).alias("s_cost"),
+        (1 + _h("eH:") % 9).alias("h"),
+    )
+    n = d.groupBy("prod").agg(
+        F.count("*").alias("n"), F.sum("q").alias("dtot")
+    )
+    cand = d.distinct().withColumnRenamed("q", "s")
+    cdf = (
+        cand.alias("c")
+        .join(
+            d.alias("dd"),
+            (F.col("c.prod") == F.col("dd.prod"))
+            & (F.col("dd.q") <= F.col("c.s")),
+        )
+        .groupBy(F.col("c.prod").alias("prod"), F.col("c.s").alias("s"))
+        .agg(F.count("*").alias("le"))
+    )
+    nv = (
+        cdf.join(n, "prod")
+        .join(F.broadcast(costs), "prod")
+        .filter(
+            F.col("le") * (F.col("cu") + F.col("co"))
+            >= F.col("n") * F.col("cu")
+        )
+        .groupBy("prod")
+        .agg(F.min("s").alias("newsvendor_stock"))
+    )
+    qs = spark.range(5000).select((F.col("id") + 1).alias("qq"))
+    ev = (
+        n.join(F.broadcast(costs), "prod")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "prod",
+            (
+                F.expr("(1000 * dtot * s_cost) div qq")
+                + 500 * F.col("h") * F.col("qq")
+            ).alias("cst"),
+            "qq",
+        )
+    )
+    eoq = ev.groupBy("prod").agg(
+        (F.min(F.col("cst") * 10000 + F.col("qq")) % 10000).alias("eoq_qty")
+    )
+    return (
+        n.join(F.broadcast(costs), "prod")
+        .join(nv, "prod")
+        .join(eoq, "prod")
+        .select(
+            "prod",
+            F.col("n").cast("long").alias("n_obs"),
+            F.col("dtot").cast("long").alias("total_demand"),
+            F.col("cu").cast("long").alias("underage_c"),
+            F.col("co").cast("long").alias("overage_c"),
+            F.col("newsvendor_stock").cast("long"),
+            F.col("eoq_qty").cast("long"),
+        )
+        .orderBy("prod")
+    )
