@@ -879,3 +879,87 @@ def hypothesis_bfs(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     raise ValueError(f"hypothesis_bfs still expanding after {max_rounds}")
+
+
+def luby_mis(
+    edges: DataFrame,
+    *,
+    key_prefix: str,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Luby's maximal-independent-set — THE textbook parallel-graph
+    primitive (symmetry breaking for scheduling / frequency assignment /
+    parallel coloring seeds). Per round every active node draws a
+    deterministic priority key ``(md5(prefix || round || node) % 1e6)
+    * 1000 + node`` (the ``+ node`` pack makes keys a strict total
+    order, so at least the global-minimum node wins every round and
+    termination is guaranteed); a node joins the MIS iff its key beats
+    every ACTIVE neighbor's key, then winners and their neighborhoods
+    leave the active set. Expected O(log n) rounds; per round the plan
+    is one both-endpoints-active equi-join + a map-side partial MIN
+    per node + one anti-join — the frontier-sized-state Pregel shape
+    of bfs_hops, nothing proportional to |V| ever sits on the driver.
+    ``edges`` is the canonical (a, b) simple edge list. Returns
+    (node, mis_round) for the MIS members.
+
+    Mirrors the independence/maximality semantics of the reference's
+    cluster-merge stage (stop_places.sql DBSCAN seeding) without the
+    sequential scan: the oracle replays the identical rounds as a
+    single-row list machine."""
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(
+            edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    act = sym.select(F.col("s").alias("n")).distinct().localCheckpoint(
+        eager=True
+    )
+    mis = None
+    for r in range(max_rounds):
+        if act.isEmpty():
+            break
+
+        def _key(col):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{key_prefix}{r}:"),
+                            col.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return (h % 1000000) * 1000 + col
+
+        ak = act.select("n", _key(F.col("n")).alias("k")).localCheckpoint(
+            eager=True
+        )
+        nb = sym.join(
+            ak.select(F.col("n").alias("s"), F.col("k").alias("sk")), "s"
+        ).join(ak.select(F.col("n").alias("d"), F.col("k").alias("dk")), "d")
+        nbmin = nb.groupBy("s").agg(F.min("dk").alias("mk"))
+        winners = (
+            ak.join(nbmin, ak["n"] == nbmin["s"], "left")
+            .filter(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
+            .select("n")
+            .withColumn("mis_round", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        mis = winners if mis is None else mis.unionAll(winners)
+        nbrs = (
+            sym.join(winners.select(F.col("n").alias("s")), "s")
+            .select(F.col("d").alias("n"))
+            .distinct()
+        )
+        removed = winners.select("n").unionAll(nbrs).distinct()
+        act = act.join(removed, "n", "left_anti").localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"luby_mis still active after {max_rounds} rounds")
+    return mis

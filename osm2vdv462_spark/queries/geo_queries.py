@@ -4976,3 +4976,128 @@ def route_2opt_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routes.mapInPandas(
         _opt, "rid long, init_len long, final_len long, tour_chk long"
     ).orderBy("rid")
+
+
+# ------------------------------------------------------ discrete Voronoi
+
+
+@register_extra(
+    "voronoi_cell_counts",
+    """
+    WITH su AS (SELECT DISTINCT user_id % 24 AS sid FROM events),
+    s AS (
+      SELECT sid,
+             ('0x' || substr(md5('vx:' || CAST(sid AS VARCHAR)),
+                             1, 5))::BIGINT % 960 AS sx,
+             ('0x' || substr(md5('vy:' || CAST(sid AS VARCHAR)),
+                             1, 5))::BIGINT % 960 AS sy
+      FROM su
+    ),
+    g AS (
+      SELECT CAST(i % 48 AS BIGINT) AS gx, CAST(i // 48 AS BIGINT) AS gy,
+             CAST(i % 48 AS BIGINT) * 20 + 10 AS cx,
+             CAST(i // 48 AS BIGINT) * 20 + 10 AS cy
+      FROM generate_series(0, 2303) t(i)
+    ),
+    a AS (
+      SELECT gx, gy,
+             min(((sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)) * 100
+                 + sid) % 100 AS sid
+      FROM g, s GROUP BY gx, gy
+    ),
+    agg AS (
+      SELECT sid, count(*) AS n_cells, sum(gx) AS sgx, sum(gy) AS sgy
+      FROM a GROUP BY 1
+    )
+    SELECT s.sid,
+           CAST(coalesce(agg.n_cells, 0) AS BIGINT) AS n_cells,
+           CAST(coalesce(agg.sgx, 0) AS BIGINT) AS sum_gx,
+           CAST(coalesce(agg.sgy, 0) AS BIGINT) AS sum_gy
+    FROM s LEFT JOIN agg USING (sid)
+    ORDER BY s.sid
+    """,
+)
+def voronoi_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (rasterized) Voronoi tessellation — assign every raster
+    cell to its nearest site, the coverage/service-area primitive behind
+    catchment analysis and label-free zoning (the raster twin of the
+    engine's nearest-quay kNN, reference stop_places.sql nearest-match
+    semantics). Spark treats the GRID as the fact side (spark.range,
+    distributed) and the sites as a guarded broadcast dim
+    (_guard.collect_dim): a mapInPandas numpy argmin over the packed
+    exact key dist2*100+sid — zero shuffle until the final partials-only
+    per-site aggregation, the shape that holds when the raster is 10^12
+    cells and sites are thousands. The oracle is the naive grid x sites
+    cross join with the same packed argmin. All-integer coordinates
+    (cell centers on a 20-unit lattice, md5-derived site positions), so
+    squared distances and the tie-break pack are exact on both engines;
+    sites that win no cell surface with zero counts via the left join."""
+    from ..operators._guard import collect_dim
+
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sites = ev.select(
+        F.pmod(F.col("user_id"), F.lit(24)).alias("sid")
+    ).distinct()
+
+    def _coord(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("sid").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 960
+        )
+
+    sites = sites.select(
+        "sid", _coord("vx:").alias("sx"), _coord("vy:").alias("sy")
+    )
+    rows = collect_dim(sites, "voronoi sites")
+    sid = np.array([r["sid"] for r in rows], dtype=np.int64)
+    sx = np.array([r["sx"] for r in rows], dtype=np.int64)
+    sy = np.array([r["sy"] for r in rows], dtype=np.int64)
+
+    def _assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            i = pdf["id"].to_numpy(np.int64)
+            gx, gy = i % 48, i // 48
+            cx, cy = gx * 20 + 10, gy * 20 + 10
+            d2 = (sx[None, :] - cx[:, None]) ** 2 + (
+                sy[None, :] - cy[:, None]
+            ) ** 2
+            j = (d2 * 100 + sid[None, :]).argmin(axis=1)
+            yield pd.DataFrame(
+                {"gx": gx, "gy": gy, "sid": sid[j]}
+            )
+
+    cells = spark.range(0, 48 * 48, 1, 8)
+    assigned = cells.mapInPandas(_assign, "gx long, gy long, sid long")
+    agg = assigned.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("gx").alias("sgx"),
+        F.sum("gy").alias("sgy"),
+    )
+    return (
+        sites.select("sid")
+        .join(agg, "sid", "left")
+        .select(
+            "sid",
+            F.coalesce("n_cells", F.lit(0)).cast("long").alias("n_cells"),
+            F.coalesce("sgx", F.lit(0)).cast("long").alias("sum_gx"),
+            F.coalesce("sgy", F.lit(0)).cast("long").alias("sum_gy"),
+        )
+        .orderBy("sid")
+    )

@@ -1604,3 +1604,122 @@ def articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --------------------------------------------- Luby maximal independent set
+
+
+@register_extra(
+    "luby_mis_rounds",
+    """
+    WITH RECURSIVE d0 AS (
+      SELECT user_id % 240 AS u,
+             ('0x' || substr(md5('mis:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 240 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('misgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 23 = 0
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    el AS MATERIALIZED (
+      SELECT list({'a': a, 'b': b} ORDER BY a, b) AS el FROM e
+    ),
+    n0 AS MATERIALIZED (
+      SELECT list(DISTINCT x ORDER BY x) AS ns
+      FROM (SELECT a AS x FROM e UNION SELECT b FROM e)
+    ),
+    st(r, act, mis) AS (
+      SELECT CAST(0 AS BIGINT), (SELECT ns FROM n0),
+             CAST([] AS STRUCT(node BIGINT, r BIGINT)[])
+      UNION ALL
+      SELECT q.r + 1,
+             list_filter(q.act, v -> NOT list_contains(q.rem, v)),
+             q.mis || list_transform(q.win, v -> {'node': v, 'r': q.r})
+      FROM (
+        SELECT s3.r, s3.act, s3.mis, s3.win,
+               list_distinct(s3.win || flatten(list_transform(
+                 list_filter(s3.ael,
+                             ed -> list_contains(s3.win, ed.a)
+                                OR list_contains(s3.win, ed.b)),
+                 ed -> [ed.a, ed.b]))) AS rem
+        FROM (
+          SELECT s2.r, s2.act, s2.mis, s2.ael,
+                 list_filter(s2.act,
+                             v -> NOT list_contains(s2.losers, v)) AS win
+          FROM (
+            SELECT s1.r, s1.act, s1.mis, s1.ael,
+                   list_distinct(list_transform(s1.ael, ed ->
+                     CASE WHEN
+                       (('0x' || substr(md5('mp:'
+                          || CAST(s1.r AS VARCHAR) || ':'
+                          || CAST(ed.a AS VARCHAR)), 1, 5))::BIGINT
+                        % 1000000) * 1000 + ed.a
+                       <
+                       (('0x' || substr(md5('mp:'
+                          || CAST(s1.r AS VARCHAR) || ':'
+                          || CAST(ed.b AS VARCHAR)), 1, 5))::BIGINT
+                        % 1000000) * 1000 + ed.b
+                     THEN ed.b ELSE ed.a END)) AS losers
+            FROM (
+              SELECT st.r, st.act, st.mis,
+                     list_filter(el.el,
+                                 ed -> list_contains(st.act, ed.a)
+                                   AND list_contains(st.act, ed.b)) AS ael
+              FROM st, el
+              WHERE len(st.act) > 0
+            ) s1
+          ) s2
+        ) s3
+      ) q
+    )
+    SELECT u.node AS node, u.r AS mis_round
+    FROM (SELECT unnest(mis) AS u FROM st WHERE len(act) = 0)
+    ORDER BY node
+    """,
+)
+def luby_mis_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's maximal independent set over the md5-derived interaction
+    graph — the classic parallel symmetry-breaking primitive (MIS seeds
+    parallel coloring, scheduling, and cluster-head election; the
+    reference's DBSCAN merge seeding is the same pick-local-minima
+    move, stop_places.sql). Spark runs the round-synchronous Pregel
+    loop (operators/graph.py::luby_mis: per round one both-active
+    equi-join + map-side partial MIN + anti-join, expected O(log n)
+    rounds, frontier-sized state only); the oracle replays the
+    IDENTICAL deterministic rounds as a single-row list machine whose
+    loser set is pure list algebra over the active edge list. Keys are
+    exact integers ((md5 % 1e6) * 1000 + node), so wins are a strict
+    total order on both engines — no float discipline needed."""
+    from ..operators.graph import luby_mis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    u = F.pmod(F.col("user_id"), F.lit(240))
+    v = _h("mis:", 7) % 240
+    edges = (
+        ev.filter(_h("misgate:", 4) % 23 == 0)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return (
+        luby_mis(edges, key_prefix="mp:")
+        .select(
+            F.col("n").cast("long").alias("node"),
+            F.col("mis_round").cast("long").alias("mis_round"),
+        )
+        .orderBy("node")
+    )
