@@ -3128,3 +3128,119 @@ def inventory_policy_optim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prod")
     )
+
+
+# --------------------------------------- System-R join-order cost audit
+
+
+@register_extra(
+    "join_order_cost_audit",
+    """
+    WITH s AS (
+      SELECT (SELECT count(*) FROM customer) AS tc,
+             (SELECT count(*) FROM orders) AS tor,
+             (SELECT count(*) FROM lineitem) AS tl,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS vcc,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS voc,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS voo,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS vlo
+    ),
+    est AS (
+      SELECT 'customer_orders_first' AS join_order,
+             tc * tor // greatest(vcc, voc) AS est_intermediate,
+             (tc * tor // greatest(vcc, voc)) * tl
+               // greatest(voo, vlo) AS est_final
+      FROM s
+      UNION ALL
+      SELECT 'orders_lineitem_first',
+             tor * tl // greatest(voo, vlo),
+             (tor * tl // greatest(voo, vlo)) * tc
+               // greatest(vcc, voc)
+      FROM s
+      UNION ALL
+      SELECT 'cross_product_first',
+             tc * tl,
+             (tc * tl) * tor
+               // (greatest(vcc, voc) * greatest(voo, vlo))
+      FROM s
+    ),
+    costed AS (
+      SELECT join_order, est_intermediate, est_final,
+             est_intermediate + est_final AS est_cost
+      FROM est
+    )
+    SELECT join_order, est_intermediate, est_final, est_cost,
+           est_cost = (SELECT min(est_cost) FROM costed) AS chosen
+    FROM costed ORDER BY join_order
+    """,
+)
+def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-R style left-deep join-order costing — the catalog-stats
+    arithmetic every cost-based optimizer (and Catalyst's CBO with
+    ANALYZE stats) runs before picking a join tree. Estimates each
+    left-deep order of customer x orders x lineitem with the classic
+    |A JOIN B| = T(A)*T(B) / max(V(A,k), V(B,k)) containment formula
+    (integer division — exact on both engines), including the
+    cross-product-first order the optimizer must reject; cost = sum of
+    intermediate result sizes. Spark gathers T/V stats with ONE
+    distributed agg per table (count + exact countDistinct, the same
+    partial-agg shuffle ANALYZE TABLE issues) and the 3-row enumeration
+    is pure column arithmetic on the collected scalar stats; the oracle
+    recomputes the identical formulas from scalar subqueries. At 100 TB
+    the stats pass is the only data-proportional work — enumeration
+    cost is independent of table size."""
+    c = _t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("tc"),
+        F.countDistinct("c_custkey").alias("vcc"),
+    )
+    o = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("tor"),
+        F.countDistinct("o_custkey").alias("voc"),
+        F.countDistinct("o_orderkey").alias("voo"),
+    )
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("tl"),
+        F.countDistinct("l_orderkey").alias("vlo"),
+    )
+    s = c.crossJoin(o).crossJoin(li)
+    co = F.expr("tc * tor div greatest(vcc, voc)")
+    ol = F.expr("tor * tl div greatest(voo, vlo)")
+    est = (
+        s.select(
+            F.lit("customer_orders_first").alias("join_order"),
+            co.alias("est_intermediate"),
+            (co * F.col("tl")).cast("long").alias("_n2"),
+            F.expr("greatest(voo, vlo)").alias("_d2"),
+        )
+        .unionAll(
+            s.select(
+                F.lit("orders_lineitem_first"),
+                ol,
+                (ol * F.col("tc")).cast("long"),
+                F.expr("greatest(vcc, voc)"),
+            )
+        )
+        .unionAll(
+            s.select(
+                F.lit("cross_product_first"),
+                (F.col("tc") * F.col("tl")).cast("long"),
+                (F.col("tc") * F.col("tl") * F.col("tor")).cast("long"),
+                F.expr("greatest(vcc, voc) * greatest(voo, vlo)"),
+            )
+        )
+        .select(
+            "join_order",
+            "est_intermediate",
+            F.expr("_n2 div _d2").alias("est_final"),
+        )
+        .withColumn(
+            "est_cost", F.col("est_intermediate") + F.col("est_final")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        est.withColumn(
+            "chosen", F.col("est_cost") == F.min("est_cost").over(w)
+        )
+        .orderBy("join_order")
+    )

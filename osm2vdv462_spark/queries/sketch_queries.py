@@ -781,3 +781,151 @@ def front_coding_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(lcp) * 10000 div sum(len) AS BIGINT)"
         ).alias("savings_e4"),
     )
+
+
+# ------------------------------------------- Misra-Gries heavy hitters
+
+
+@register_extra(
+    "misra_gries_heavy",
+    """
+    WITH RECURSIVE gated AS (
+      SELECT user_id % 4 AS shard, event_id,
+             least(('0x' || substr(md5('mga:' || CAST(event_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 40,
+                   ('0x' || substr(md5('mgb:' || CAST(event_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 40) AS it
+      FROM events
+      WHERE ('0x' || substr(md5('mg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 97 = 0
+    ),
+    idx AS (
+      SELECT shard,
+             row_number() OVER (PARTITION BY shard ORDER BY event_id) AS i,
+             it
+      FROM gated
+    ),
+    st(shard, i, state) AS (
+      SELECT DISTINCT shard, CAST(0 AS BIGINT),
+             CAST([] AS STRUCT(it BIGINT, c BIGINT)[])
+      FROM idx
+      UNION ALL
+      SELECT st.shard, st.i + 1,
+             CASE
+               WHEN len(list_filter(st.state, s -> s.it = idx.it)) > 0 THEN
+                 list_transform(st.state, s ->
+                   CASE WHEN s.it = idx.it
+                        THEN {'it': s.it, 'c': s.c + 1} ELSE s END)
+               WHEN len(st.state) < 8 THEN
+                 st.state || [{'it': idx.it, 'c': CAST(1 AS BIGINT)}]
+               ELSE
+                 list_filter(
+                   list_transform(st.state,
+                                  s -> {'it': s.it, 'c': s.c - 1}),
+                   s -> s.c > 0)
+             END
+      FROM st JOIN idx ON idx.shard = st.shard AND idx.i = st.i + 1
+    ),
+    final AS (
+      SELECT shard, u.it AS it, u.c AS c
+      FROM (
+        SELECT shard, unnest(state) AS u
+        FROM (SELECT shard, state,
+                     row_number() OVER (PARTITION BY shard
+                                        ORDER BY i DESC) AS rn
+              FROM st) WHERE rn = 1
+      )
+    ),
+    merged AS (
+      SELECT it, sum(c) AS merged_cnt FROM final GROUP BY 1
+    ),
+    sub AS (
+      SELECT coalesce(
+        (SELECT merged_cnt FROM merged
+         ORDER BY merged_cnt DESC, it LIMIT 1 OFFSET 8), 0) AS s8
+    )
+    SELECT it AS item, CAST(merged_cnt AS BIGINT) AS merged_cnt,
+           CAST(merged_cnt - s8 AS BIGINT) AS weight
+    FROM merged, sub
+    WHERE merged_cnt - s8 > 0
+    ORDER BY item
+    """,
+)
+def misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries deterministic heavy-hitter summary (the SpaceSaving
+    sibling — the mergeable frequency sketch behind Spark's own
+    approx_count_distinct cousins and every top-k dashboard): k=8
+    counters folded in event order per shard, then ONE global merge —
+    per-item counter sums followed by subtracting the (k+1)-th largest
+    merged count, the standard Agarwal et al. mergeability construction.
+    Sharding is LOGICAL (user_id % 4), so Spark's applyInPandas fold is
+    deterministic whatever the physical partitioning — the per-key fold
+    pattern of lttb/viterbi; the merge is plain distributed SQL. The
+    oracle replays the identical folds as a per-shard list machine and
+    the identical merge. Item ids are least(h1, h2) % 40 — a skewed
+    (triangular) integer distribution so real heavy hitters exist.
+    Exact integers end-to-end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    gated = ev.filter(_h("mg:", 4) % 97 == 0).select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("shard"),
+        "event_id",
+        F.least(_h("mga:", 7) % 40, _h("mgb:", 7) % 40).alias("it"),
+    )
+
+    def _mg(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("event_id")
+        state: dict[int, int] = {}
+        for it in pdf["it"]:
+            it = int(it)
+            if it in state:
+                state[it] += 1
+            elif len(state) < 8:
+                state[it] = 1
+            else:
+                state = {
+                    k: v - 1 for k, v in state.items() if v - 1 > 0
+                }
+        return pd.DataFrame(
+            [(int(key[0]), k, v) for k, v in state.items()],
+            columns=["shard", "it", "c"],
+        )
+
+    final = gated.groupBy("shard").applyInPandas(
+        _mg, "shard long, it long, c long"
+    )
+    merged = final.groupBy("it").agg(F.sum("c").alias("merged_cnt"))
+    w = Window.orderBy(F.desc("merged_cnt"), F.asc("it"))
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    s8 = ranked.filter(F.col("rn") == 9).select(
+        F.col("merged_cnt").alias("s8")
+    )
+    sub = (
+        spark.range(1)
+        .join(s8, F.lit(True), "left")
+        .select(F.coalesce("s8", F.lit(0)).alias("s8"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(sub))
+        .filter(F.col("merged_cnt") - F.col("s8") > 0)
+        .select(
+            F.col("it").alias("item"),
+            F.col("merged_cnt").cast("long").alias("merged_cnt"),
+            (F.col("merged_cnt") - F.col("s8"))
+            .cast("long")
+            .alias("weight"),
+        )
+        .orderBy("item")
+    )
