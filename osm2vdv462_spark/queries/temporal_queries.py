@@ -2365,3 +2365,114 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_lttb, "s long, x long, y long")
         .orderBy("s", "x")
     )
+
+
+# ------------------------------------------------- SAX symbolization
+
+
+@register_extra(
+    "sax_symbol_strings",
+    """
+    WITH pts0 AS (
+      SELECT user_id % 12 AS s,
+             ('0x' || substr(md5('sax:' || CAST(event_id AS VARCHAR)),
+                             1, 5))::BIGINT % 1000 AS y,
+             row_number() OVER (PARTITION BY user_id % 12
+                                ORDER BY event_id) - 1 AS x
+      FROM events
+    ),
+    pts AS (SELECT s, x // 5 AS seg, y FROM pts0 WHERE x < 60),
+    segs AS (
+      SELECT s, seg, sum(y) AS ssum FROM pts GROUP BY 1, 2
+    ),
+    syms AS (
+      SELECT s, seg,
+             CASE WHEN ssum < 1875 THEN 'a'
+                  WHEN ssum < 2500 THEN 'b'
+                  WHEN ssum < 3125 THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM segs
+    ),
+    sax AS (
+      SELECT s, string_agg(sym, '' ORDER BY seg) AS sax FROM syms
+      GROUP BY 1
+    )
+    SELECT s, sax,
+           CAST(len(list_distinct(list_transform(
+             list_filter(string_split(sax, ''), (c, i) -> i <= 10),
+             (c, i) -> substr(sax, CAST(i AS INT), 3)))) AS BIGINT)
+             AS n_trigrams
+    FROM sax ORDER BY s
+    """,
+)
+def sax_symbol_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) — the classic time-series
+    symbolization behind motif/anomaly indexing (Lin/Keogh): PAA the
+    series into fixed segments, quantize each segment mean against
+    breakpoints, emit a short string that inherits the series' shape
+    and lower-bounds its distance. 12 series (user_id % 12), first 60
+    md5-derived points, 12 segments of 5; the quantization compares the
+    exact SEGMENT SUM against pre-scaled breakpoints (1875/2500/3125 =
+    5x the 375/500/625 mean cuts) so no division or float ever appears.
+    Spark: one partial-agg shuffle for the segment sums, an ordered
+    collect_list -> concat for the string, and the distinct-trigram
+    count as pure JVM array expressions (sequence/transform/substring);
+    oracle mirrors with string_agg + indexed-lambda list algebra. The
+    alphabet string is what a 100 TB motif index would bucket on —
+    shuffles carry 12-char strings, not the series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.pmod(F.col("user_id"), F.lit(12)).alias("s"),
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sax:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).alias("y"),
+    )
+    w = Window.partitionBy("s").orderBy("event_id")
+    pts = (
+        pts.withColumn("x", F.row_number().over(w) - 1)
+        .filter(F.col("x") < 60)
+        .select("s", F.expr("x div 5").alias("seg"), "y")
+    )
+    segs = pts.groupBy("s", "seg").agg(F.sum("y").alias("ssum"))
+    syms = segs.select(
+        "s",
+        "seg",
+        F.when(F.col("ssum") < 1875, F.lit("a"))
+        .when(F.col("ssum") < 2500, F.lit("b"))
+        .when(F.col("ssum") < 3125, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("sym"),
+    )
+    sax = syms.groupBy("s").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda t: t["sym"],
+            ),
+        ).alias("sax")
+    )
+    return sax.select(
+        "s",
+        "sax",
+        F.expr(
+            "size(array_distinct(transform(sequence(1, 10),"
+            " i -> substring(sax, i, 3))))"
+        )
+        .cast("long")
+        .alias("n_trigrams"),
+    ).orderBy("s")

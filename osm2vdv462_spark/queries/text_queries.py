@@ -4818,3 +4818,176 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("word"), "rank_e12").orderBy(
         F.col("rank_e12").desc(), "word"
     )
+
+
+# --------------------------------------------------- ROUGE-L (LCS) pairs
+
+
+@register_extra(
+    "rouge_lcs_pairs",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, n_chars // 64 AS bk,
+             list_slice(list_filter(string_split(text, ' '),
+                                    t -> t <> ''), 1, 24) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             row_number() OVER (ORDER BY a.doc_id, b.doc_id) AS pid,
+             a.toks AS ta, b.toks AS tb
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE ('0x' || substr(md5('lcs:' || CAST(a.doc_id AS VARCHAR)
+               || ':' || CAST(b.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 97 = 0
+        AND len(a.toks) > 0 AND len(b.toks) > 0
+    ),
+    ai AS (
+      SELECT pid, u.i AS i, u.tok AS tok
+      FROM (SELECT pid,
+                   unnest(list_transform(ta,
+                     (x, i) -> {'i': i, 'tok': x})) AS u
+            FROM pairs)
+    ),
+    st(pid, i, row) AS (
+      SELECT pid, CAST(0 AS BIGINT),
+             list_transform(tb, x -> CAST(0 AS BIGINT))
+               || [CAST(0 AS BIGINT)]
+      FROM pairs
+      UNION ALL
+      SELECT s2.pid, s2.i,
+             [CAST(0 AS BIGINT)] || list_transform(s2.tmp,
+               (x, j) -> list_max(list_slice(s2.tmp, 1, j)))
+      FROM (
+        SELECT s1.pid, s1.i,
+               list_transform(s1.tb, (x, j) ->
+                 greatest(s1.row[j + 1],
+                          s1.row[j] + CASE WHEN x = s1.tok
+                                           THEN 1 ELSE 0 END)) AS tmp
+        FROM (
+          SELECT st.pid, st.i + 1 AS i, st.row, ai.tok, p.tb
+          FROM st
+          JOIN ai ON ai.pid = st.pid AND ai.i = st.i + 1
+          JOIN pairs p ON p.pid = st.pid
+        ) s1
+      ) s2
+    ),
+    fin AS (
+      SELECT pid, row[len(row)] AS lcs
+      FROM (SELECT pid, row,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY i DESC) AS rn
+            FROM st) WHERE rn = 1
+    )
+    SELECT p.ida, p.idb,
+           CAST(len(p.ta) AS BIGINT) AS la,
+           CAST(len(p.tb) AS BIGINT) AS lb,
+           CAST(f.lcs AS BIGINT) AS lcs,
+           CAST(2000 * f.lcs // (len(p.ta) + len(p.tb)) AS BIGINT)
+             AS f_milli
+    FROM fin f JOIN pairs p USING (pid)
+    ORDER BY ida, idb
+    """,
+)
+def rouge_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L scoring of blocked document pairs — longest-common-
+    SUBSEQUENCE overlap, the order-aware cousin of n-gram Jaccard used
+    for summarization eval and near-dup detection where token ORDER
+    matters (reordered boilerplate scores low here but high on
+    bag-of-ngrams). Blocking (lang, n_chars//64, md5 pair gate) bounds
+    the quadratic exactly like edit_distance_blocked; the refine runs
+    the O(la*lb) DP per pair INSIDE a mapInPandas batch with the row
+    recurrence vectorized over the b-axis (new_row = prefix-max of
+    elementwise max(carry, diag+match) — verified equivalent to the
+    textbook 2-D DP). The oracle replays the identical row recurrence
+    as a recursive list machine whose prefix-max is list_max over a
+    slice. F-measure kept exact-integer as f_milli =
+    2000*lcs // (la+lb). Token cap 24 bounds per-pair work; at 100 TB
+    the blocked-pairs shuffle carries token arrays only for gated
+    candidates, never all-pairs."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("n_chars div 64").alias("bk"),
+            F.slice(
+                F.filter(F.split("text", " "), lambda x: x != ""), 1, 24
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    a = d.select(
+        F.col("doc_id").alias("ida"), "lang", "bk",
+        F.col("toks").alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("idb"), "lang", "bk",
+        F.col("toks").alias("tb"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lcs:"),
+                        F.col("ida").cast("string"),
+                        F.lit(":"),
+                        F.col("idb").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 97
+        == 0
+    )
+    pairs = (
+        a.join(b, ["lang", "bk"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(gate)
+        .select("ida", "idb", "ta", "tb")
+    )
+
+    def _lcs(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for ida, idb, ta, tb in zip(
+                pdf["ida"], pdf["idb"], pdf["ta"], pdf["tb"]
+            ):
+                bb = np.array(list(tb), dtype=object)
+                row = np.zeros(len(bb) + 1, dtype=np.int64)
+                for tok in ta:
+                    cand = row[:-1] + (bb == tok)
+                    tmp = np.maximum(row[1:], cand)
+                    row = np.concatenate(
+                        ([0], np.maximum.accumulate(tmp))
+                    )
+                lcs, la, lb = int(row[-1]), len(ta), len(bb)
+                out.append(
+                    (
+                        int(ida),
+                        int(idb),
+                        la,
+                        lb,
+                        lcs,
+                        2000 * lcs // (la + lb),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["ida", "idb", "la", "lb", "lcs", "f_milli"],
+                )
+
+    return pairs.mapInPandas(
+        _lcs,
+        "ida long, idb long, la long, lb long, lcs long, f_milli long",
+    ).orderBy("ida", "idb")
