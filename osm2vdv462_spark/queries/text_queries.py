@@ -4991,3 +4991,195 @@ def rouge_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lcs,
         "ida long, idb long, la long, lb long, lcs long, f_milli long",
     ).orderBy("ida", "idb")
+
+
+# --------------------------------------- Kneser-Ney / Good-Turing smoothing
+
+
+_KN_TOKENS_SQL = """
+    toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT u.v AS v, u.w AS w
+      FROM (SELECT unnest(list_transform(toks,
+              (x, i) -> {'v': x, 'w': toks[i + 1]})) AS u
+            FROM toks0)
+      WHERE u.w IS NOT NULL
+    )
+"""
+
+
+@register_extra(
+    "kneser_ney_bigram",
+    f"""
+    WITH {_KN_TOKENS_SQL},
+    cvw AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+    cv AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1v FROM cvw GROUP BY 1),
+    cw AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+    tot AS (SELECT count(*) AS n1all FROM cvw),
+    top AS (
+      SELECT v, w, c_vw FROM cvw
+      ORDER BY c_vw DESC, v, w LIMIT 20
+    )
+    SELECT t.v, t.w,
+           CAST(t.c_vw AS BIGINT) AS c_vw,
+           CAST(cv.c_v AS BIGINT) AS c_v,
+           CAST(cv.n1v AS BIGINT) AS n1v,
+           CAST(cw.n1w AS BIGINT) AS n1w,
+           CAST(1000000 * ((4 * t.c_vw - 3) * tot.n1all
+                           + 3 * cv.n1v * cw.n1w)
+                // (4 * cv.c_v * tot.n1all) AS BIGINT) AS p_kn_micro
+    FROM top t
+    JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN tot
+    ORDER BY c_vw DESC, v, w
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the LM smoothing
+    that powers n-gram perplexity filters (CCNet-style corpus quality
+    scoring uses exactly these models): absolute discount D=3/4 off
+    every seen bigram, redistributed through the CONTINUATION
+    distribution (how many distinct left contexts a word follows —
+    KN's famous fix for 'Francisco'). The whole estimator is four
+    count aggregations (c_vw, c_v + distinct continuations of v,
+    distinct left contexts of w, total distinct bigrams) — partial-agg
+    shuffles on fixed-width keys, the same shape as bigram_lm_scores,
+    nothing else; probability kept EXACT by clearing denominators:
+    p = ((4*c_vw - 3)*N1all + 3*N1+(v.)*N1+(.w)) / (4*c_v*N1all),
+    reported as the floor-scaled p_kn_micro. Top-20 bigrams by
+    (count desc, v, w) — a deterministic slice on both engines."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.filter(F.split("text", " "), lambda x: x != "").alias(
+                "toks"
+            )
+        )
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(toks, (x, i) ->"
+                    " struct(x AS v, try_element_at(toks, i + 2) AS w))"
+                )
+            ).alias("u")
+        )
+        .select("u.v", "u.w")
+        .filter(F.col("w").isNotNull())
+    )
+    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1v")
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tot = cvw.agg(F.count(F.lit(1)).alias("n1all"))
+    top = cvw.orderBy(F.desc("c_vw"), "v", "w").limit(20)
+    j = (
+        top.join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "v",
+        "w",
+        F.col("c_vw").cast("long").alias("c_vw"),
+        F.col("c_v").cast("long").alias("c_v"),
+        F.col("n1v").cast("long").alias("n1v"),
+        F.col("n1w").cast("long").alias("n1w"),
+        F.expr(
+            "(1000000 * ((4 * c_vw - 3) * n1all + 3 * n1v * n1w))"
+            " div (4 * c_v * n1all)"
+        )
+        .cast("long")
+        .alias("p_kn_micro"),
+    ).orderBy(F.desc("c_vw"), "v", "w")
+
+
+@register_extra(
+    "good_turing_counts",
+    f"""
+    WITH {_KN_TOKENS_SQL},
+    tg AS (
+      SELECT u.a || ' ' || u.b || ' ' || u.c AS g
+      FROM (SELECT unnest(list_transform(toks,
+              (x, i) -> {{'a': x, 'b': toks[i + 1],
+                          'c': toks[i + 2]}})) AS u
+            FROM toks0)
+      WHERE u.c IS NOT NULL
+    ),
+    uni AS (SELECT g, count(*) AS c FROM tg GROUP BY 1),
+    nr AS (
+      SELECT c AS r, count(*) AS n_r FROM uni WHERE c <= 11 GROUP BY 1
+    )
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(1000 * (a.r + 1) * coalesce(b.n_r, 0)
+                // a.n_r AS BIGINT) AS r_star_milli
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation — the count-of-counts
+    smoothing (r* = (r+1) N_{{r+1}} / N_r) that underlies unseen-mass
+    estimation in every classical LM and in dataset-coverage audits
+    ('how much probability mass do hapaxes hold?'). Counted over
+    TRIGRAM types (the synthetic corpus' unigram vocab is closed — 31
+    words, none rare — while its trigram tail is genuinely Zipfian:
+    ~9k hapaxes at sf0.01). Two partial-agg shuffles: trigram counts,
+    then frequency-of-frequencies — the N_r histogram is tiny whatever
+    the corpus size, which is the whole scale story. The adjusted
+    count is kept exact-integer as r_star_milli =
+    1000*(r+1)*N_{{r+1}} // N_r for r = 1..10."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.filter(F.split("text", " "), lambda x: x != "").alias(
+                "toks"
+            )
+        )
+    )
+    tg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(toks, (x, i) -> struct("
+                    "x AS a, try_element_at(toks, i + 2) AS b,"
+                    " try_element_at(toks, i + 3) AS c))"
+                )
+            ).alias("u")
+        )
+        .filter(F.col("u.c").isNotNull())
+        .select(
+            F.concat_ws(" ", "u.a", "u.b", "u.c").alias("g")
+        )
+    )
+    uni = tg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    nr = (
+        uni.filter(F.col("c") <= 11)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+        .withColumnRenamed("c", "r")
+    )
+    b = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        nr.filter(F.col("r") <= 10)
+        .join(b, "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.expr(
+                "(1000 * (r + 1) * coalesce(n_r1, 0)) div n_r"
+            )
+            .cast("long")
+            .alias("r_star_milli"),
+        )
+        .orderBy("r")
+    )
