@@ -8,6 +8,7 @@ plain algebra in DuckDB SQL — never the same code path.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -5100,4 +5101,196 @@ def voronoi_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sgy", F.lit(0)).cast("long").alias("sum_gy"),
         )
         .orderBy("sid")
+    )
+
+
+# ------------------------------------------------------------- skyline
+
+
+@register_extra(
+    "skyline_points",
+    """
+    WITH pts AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('skx:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS px,
+        ('0x' || substr(md5('sky:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS py
+      FROM events
+      WHERE ('0x' || substr(md5('skg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 23 = 0
+    )
+    SELECT px, py FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.px >= a.px AND b.py >= a.py
+        AND (b.px > a.px OR b.py > a.py))
+    ORDER BY px
+    """,
+)
+def skyline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (maximal/Pareto-frontier) — the classic spatial-DB
+    'best hotels' operator: points not dominated in BOTH dimensions by
+    any other point. Cross-derivation gate: Spark runs the sweep
+    ALGORITHM (dedup, keep the per-x max y, one descending sort, then
+    skyline = y strictly above the running max of y over all larger x
+    — a single range-partitioned sort at scale, no pairwise work),
+    while the oracle evaluates the dominance DEFINITION as a
+    quadratic NOT EXISTS — so the two engines agree on semantics, not
+    on code. Integer md5-derived coordinates; strictness handled by
+    keeping only the per-x maximum before the strict running-max
+    comparison."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = (
+        ev.filter(_h("skg:", 4) % 23 == 0)
+        .select((_h("skx:", 5) % 4096).alias("px"),
+                (_h("sky:", 5) % 4096).alias("py"))
+        .distinct()
+    )
+    per_x = pts.groupBy("px").agg(F.max("py").alias("py"))
+    w = Window.orderBy(F.desc("px")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_x.withColumn("my", F.max("py").over(w))
+        .filter(F.col("my").isNull() | (F.col("py") > F.col("my")))
+        .select("px", "py")
+        .orderBy("px")
+    )
+
+
+# ------------------------------------------------- STR R-tree bulk load
+
+
+@register_extra(
+    "str_pack_audit",
+    """
+    WITH r0 AS (
+      SELECT event_id AS rid,
+        ('0x' || substr(md5('rcx:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS cx,
+        ('0x' || substr(md5('rcy:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS cy,
+        ('0x' || substr(md5('rw:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 64 + 1 AS w,
+        ('0x' || substr(md5('rh:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 64 + 1 AS h
+      FROM events
+      WHERE ('0x' || substr(md5('rg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 31 = 0
+    ),
+    n AS (SELECT count(*) AS n FROM r0),
+    dims AS (
+      SELECT n,
+             CAST(ceil(sqrt(CAST((n + 31) // 32 AS DOUBLE)))
+                  AS BIGINT) AS s
+      FROM n
+    ),
+    d2 AS (SELECT n, s, (n + s - 1) // s AS slab_sz FROM dims),
+    rx AS (
+      SELECT rid, cx, cy, w, h,
+             row_number() OVER (ORDER BY 2 * cx + w, rid) - 1 AS xr
+      FROM r0
+    ),
+    slabbed AS (
+      SELECT rx.*, xr // d2.slab_sz AS slab FROM rx, d2
+    ),
+    leaved AS (
+      SELECT slab,
+             (row_number() OVER (PARTITION BY slab
+                                 ORDER BY 2 * cy + h, rid) - 1) // 32
+               AS leaf,
+             cx, cy, w, h
+      FROM slabbed
+    )
+    SELECT slab * 1000 + leaf AS leaf_id,
+           count(*) AS n_rects,
+           min(cx) AS minx, min(cy) AS miny,
+           max(cx + w) AS maxx, max(cy + h) AS maxy,
+           (max(cx + w) - min(cx)) * (max(cy + h) - min(cy)) AS mbr_area
+    FROM leaved
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def str_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk-load packing (Leutenegger 1997 —
+    what PostGIS/JTS use to build an R-tree from a static rect set):
+    sort by x-center into ceil(sqrt(n/B)) vertical slabs, sort each
+    slab by y-center, pack runs of B=32 into leaves; audit each leaf's
+    MBR and area (the packing-quality number an optimizer reads).
+    Spark: two range-partitioned sorts (global row_number, then
+    per-slab), one agg — exactly the two-pass shuffle an at-scale bulk
+    load performs; the slab count needs n, ONE scalar count job, the
+    same pass a real bulk-loader does. IEEE sqrt is correctly rounded,
+    so ceil(sqrt(int)) is identical on both engines; everything else
+    is exact integers (2x-scaled centers avoid halves; event_id
+    tie-breaks pin both sort orders)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    r0 = ev.filter(_h("rg:", 4) % 31 == 0).select(
+        F.col("event_id").alias("rid"),
+        (_h("rcx:", 5) % 4096).alias("cx"),
+        (_h("rcy:", 5) % 4096).alias("cy"),
+        (_h("rw:", 4) % 64 + 1).alias("w"),
+        (_h("rh:", 4) % 64 + 1).alias("h"),
+    )
+    n = r0.count()
+    leaves = (n + 31) // 32
+    s = math.isqrt(leaves)
+    if s * s < leaves:
+        s += 1
+    slab_sz = (n + s - 1) // s
+    rx = r0.withColumn(
+        "xr",
+        F.row_number().over(
+            Window.orderBy(2 * F.col("cx") + F.col("w"), "rid")
+        )
+        - 1,
+    )
+    slabbed = rx.withColumn("slab", F.expr(f"xr div {slab_sz}"))
+    leaved = slabbed.withColumn(
+        "leaf",
+        F.expr(
+            "(row_number() OVER (PARTITION BY slab"
+            " ORDER BY 2 * cy + h, rid) - 1) div 32"
+        ),
+    )
+    return (
+        leaved.groupBy(
+            (F.col("slab") * 1000 + F.col("leaf")).alias("leaf_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rects"),
+            F.min("cx").alias("minx"),
+            F.min("cy").alias("miny"),
+            F.max(F.col("cx") + F.col("w")).alias("maxx"),
+            F.max(F.col("cy") + F.col("h")).alias("maxy"),
+        )
+        .withColumn(
+            "mbr_area",
+            (F.col("maxx") - F.col("minx"))
+            * (F.col("maxy") - F.col("miny")),
+        )
+        .orderBy("leaf_id")
     )
