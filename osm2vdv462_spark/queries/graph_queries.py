@@ -1723,3 +1723,162 @@ def luby_mis_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------- local-max greedy weighted matching
+
+
+@register_extra(
+    "greedy_weighted_matching",
+    """
+    WITH RECURSIVE d0 AS (
+      SELECT user_id % 200 AS u,
+             ('0x' || substr(md5('gm:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('gmgate:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 11 = 0
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    ew AS (
+      SELECT a, b,
+             (('0x' || substr(md5('gw:' || CAST(a AS VARCHAR) || ':'
+                || CAST(b AS VARCHAR)), 1, 7))::BIGINT % 1000000)
+             * 1000000 + a * 1000 + b AS wkey
+      FROM e
+    ),
+    el AS MATERIALIZED (
+      SELECT list({'a': a, 'b': b} ORDER BY wkey DESC) AS el,
+             count(*) AS n
+      FROM ew
+    ),
+    st(i, mn, me) AS (
+      SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([] AS STRUCT(a BIGINT, b BIGINT)[])
+      UNION ALL
+      SELECT s1.i + 1,
+             CASE WHEN s1.ok
+                  THEN s1.mn || [s1.ed.a, s1.ed.b] ELSE s1.mn END,
+             CASE WHEN s1.ok THEN s1.me || [s1.ed] ELSE s1.me END
+      FROM (
+        SELECT st.i, st.mn, st.me,
+               el.el[CAST(st.i + 1 AS INT)] AS ed,
+               NOT list_contains(st.mn, el.el[CAST(st.i + 1 AS INT)].a)
+               AND NOT list_contains(st.mn,
+                                     el.el[CAST(st.i + 1 AS INT)].b)
+                 AS ok
+        FROM st, el
+        WHERE st.i < el.n
+      ) s1
+    )
+    SELECT u.a AS a, u.b AS b
+    FROM (
+      SELECT unnest(me) AS u
+      FROM (SELECT me, row_number() OVER (ORDER BY i DESC) AS rn
+            FROM st) WHERE rn = 1
+    )
+    ORDER BY a, b
+    """,
+)
+def greedy_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-weight matching via PARALLEL local-max rounds
+    (Preis / Manne-Bisseling — the distributed matching used for graph
+    coarsening in multilevel partitioners like METIS): per round, an
+    edge joins the matching iff its weight key is the maximum among
+    ALL edges incident to either endpoint; matched nodes drop out;
+    repeat. With strictly distinct keys (md5-weight packed with the
+    edge id) the local-max fixpoint PROVABLY equals the sequential
+    greedy matching — so the oracle is the independent SEQUENTIAL
+    formulation: walk edges in descending key order, take an edge iff
+    both endpoints are free, as a single-row list machine. Spark's
+    rounds are each one node-explode + partial MAX + double equi-join
+    + anti-join (frontier-sized state, expected O(log m) rounds) — a
+    genuinely different derivation hash-gated against the definition.
+    Output: the matched edge set."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    u = F.pmod(F.col("user_id"), F.lit(200))
+    v = _h("gm:", eid, 7) % 200
+    e = (
+        ev.filter(_h("gmgate:", eid, 4) % 11 == 0)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wkey = (
+        _h(
+            "gw:",
+            F.concat(
+                F.col("a").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            7,
+        )
+        % 1000000
+    ) * 1000000 + F.col("a") * 1000 + F.col("b")
+    el = e.withColumn("wkey", wkey).localCheckpoint(eager=True)
+    matched = None
+    for _ in range(60):
+        if el.isEmpty():
+            break
+        node_max = (
+            el.select(F.col("a").alias("n"), "wkey")
+            .unionAll(el.select(F.col("b").alias("n"), "wkey"))
+            .groupBy("n")
+            .agg(F.max("wkey").alias("mk"))
+        )
+        winners = (
+            el.join(
+                node_max.select(F.col("n").alias("a"),
+                                F.col("mk").alias("mka")),
+                "a",
+            )
+            .join(
+                node_max.select(F.col("n").alias("b"),
+                                F.col("mk").alias("mkb")),
+                "b",
+            )
+            .filter(
+                (F.col("wkey") == F.col("mka"))
+                & (F.col("wkey") == F.col("mkb"))
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matched = (
+            winners if matched is None else matched.unionAll(winners)
+        )
+        mnodes = (
+            winners.select(F.col("a").alias("n"))
+            .unionAll(winners.select(F.col("b").alias("n")))
+            .distinct()
+        )
+        el = (
+            el.join(mnodes.withColumnRenamed("n", "a"), "a", "left_anti")
+            .join(mnodes.withColumnRenamed("n", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError("matching did not converge in 60 rounds")
+    if matched is None:
+        return (
+            spark.range(0)
+            .select(F.col("id").alias("a"), F.col("id").alias("b"))
+        )
+    return matched.select("a", "b").orderBy("a", "b")

@@ -2784,3 +2784,134 @@ def summed_area_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ------------------------------------------- Floyd-Steinberg dithering
+
+
+@register_extra(
+    "floyd_steinberg_dither",
+    """
+    WITH RECURSIVE imgs AS (SELECT DISTINCT user_id % 24 AS img
+                            FROM events),
+    px AS (
+      SELECT img, i AS p,
+             ('0x' || substr(md5('fs:' || CAST(img AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 256 AS v
+      FROM imgs, generate_series(0, 143) t(i)
+    ),
+    pl AS (
+      SELECT img, list(v ORDER BY p) AS img0 FROM px GROUP BY img
+    ),
+    st(img, p, acc, white, chk) AS (
+      SELECT img, CAST(-1 AS BIGINT), img0,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM pl
+      UNION ALL
+      SELECT s1.img, s1.p + 1,
+             list_transform(s1.acc, (x, i) -> x
+               + CASE WHEN i = s1.p + 3 AND (s1.p + 1) % 12 <> 11
+                      THEN (7 * s1.err) // 16 ELSE 0 END
+               + CASE WHEN i = s1.p + 13 AND (s1.p + 1) // 12 <> 11
+                           AND (s1.p + 1) % 12 <> 0
+                      THEN (3 * s1.err) // 16 ELSE 0 END
+               + CASE WHEN i = s1.p + 14 AND (s1.p + 1) // 12 <> 11
+                      THEN (5 * s1.err) // 16 ELSE 0 END
+               + CASE WHEN i = s1.p + 15 AND (s1.p + 1) // 12 <> 11
+                           AND (s1.p + 1) % 12 <> 11
+                      THEN s1.err // 16 ELSE 0 END),
+             s1.white + s1.out // 255,
+             s1.chk + (s1.out // 255) * (s1.p + 2)
+      FROM (
+        SELECT st.img, st.p, st.acc, st.white, st.chk,
+               CASE WHEN st.acc[CAST(st.p + 2 AS INT)] >= 128
+                    THEN 255 ELSE 0 END AS out,
+               st.acc[CAST(st.p + 2 AS INT)]
+                 - CASE WHEN st.acc[CAST(st.p + 2 AS INT)] >= 128
+                        THEN 255 ELSE 0 END AS err
+        FROM st WHERE st.p < 143
+      ) s1
+    )
+    SELECT img, white AS n_white, chk
+    FROM st WHERE p = 143 ORDER BY img
+    """,
+)
+def floyd_steinberg_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd-Steinberg error-diffusion dithering — THE halftoning
+    algorithm (printers, GIF quantizers, e-ink): threshold each pixel
+    in raster order and push the quantization error onto the 4 unvisited
+    neighbors with 7/16, 3/16, 5/16, 1/16 weights. Inherently
+    SEQUENTIAL per image (each decision feeds the next), so this is the
+    per-key fold pattern: Spark runs one applyInPandas per image
+    (images fan out across executors — at corpus scale the parallelism
+    is the image count, which is the right axis), the oracle replays
+    the identical scan as a recursive list machine. Division is pinned
+    C-style TRUNCATING (DuckDB's native `//`; the Python fold
+    implements trunc explicitly) because the error is signed — floor
+    vs trunc diverges on negative errors. 24 md5-derived 12x12
+    grayscale tiles; outputs the white-pixel count and an exact
+    position checksum per image."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    imgs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(24)).alias("img")
+    ).distinct()
+    px = imgs.select(
+        "img", F.explode(F.sequence(F.lit(0), F.lit(143))).alias("p")
+    ).select(
+        "img",
+        "p",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fs:"),
+                            F.col("img").cast("string"),
+                            F.lit(":"),
+                            F.col("p").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("v"),
+    )
+
+    def _dither(key, pdf):
+        pdf = pdf.sort_values("p")
+        acc = pdf["v"].to_numpy(np.int64).copy()
+
+        def tdiv16(x: int) -> int:
+            return x // 16 if x >= 0 else -((-x) // 16)
+
+        white = chk = 0
+        for p in range(144):
+            v = int(acc[p])
+            out = 255 if v >= 128 else 0
+            err = v - out
+            row, col = p // 12, p % 12
+            if col != 11:
+                acc[p + 1] += tdiv16(7 * err)
+            if row != 11:
+                if col != 0:
+                    acc[p + 11] += tdiv16(3 * err)
+                acc[p + 12] += tdiv16(5 * err)
+                if col != 11:
+                    acc[p + 13] += tdiv16(err)
+            if out == 255:
+                white += 1
+                chk += p + 1
+        return pd.DataFrame(
+            [(int(key[0]), white, chk)],
+            columns=["img", "n_white", "chk"],
+        )
+
+    return (
+        px.groupBy("img")
+        .applyInPandas(_dither, "img long, n_white long, chk long")
+        .orderBy("img")
+    )
