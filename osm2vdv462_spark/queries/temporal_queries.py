@@ -2476,3 +2476,83 @@ def sax_symbol_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_trigrams"),
     ).orderBy("s")
+
+
+# ------------------------------------------------- maximum subarray
+
+
+@register_extra(
+    "kadane_max_subarray",
+    """
+    WITH pts0 AS (
+      SELECT user_id % 12 AS s,
+             ('0x' || substr(md5('kd:' || CAST(event_id AS VARCHAR)),
+                             1, 5))::BIGINT % 201 - 100 AS y,
+             row_number() OVER (PARTITION BY user_id % 12
+                                ORDER BY event_id) - 1 AS x
+      FROM events
+    ),
+    pts AS (SELECT s, x, y FROM pts0 WHERE x < 60)
+    SELECT s, max(ss) AS best_sum FROM (
+      SELECT a.s, a.x AS i, b.x AS j, sum(e.y) AS ss
+      FROM pts a
+      JOIN pts b ON b.s = a.s AND b.x >= a.x
+      JOIN pts e ON e.s = a.s AND e.x BETWEEN a.x AND b.x
+      GROUP BY 1, 2, 3
+    ) GROUP BY s ORDER BY s
+    """,
+)
+def kadane_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-subarray (Kadane) per series — the change-detection /
+    burst-finding primitive ('which contiguous stretch of this metric
+    gained the most'). Cross-derivation gate: Spark computes it as the
+    PREFIX-SUM SWEEP (best_j = prefix_j - min(prefix_i, i<j, with the
+    empty prefix 0), one window pass per series — the O(n) scan that
+    range-partitions at scale), while the oracle evaluates the
+    DEFINITION: every (i, j) span's sum via a 3-way self-join, max per
+    series. Signed md5-derived integers (y in [-100, 100]), 60 points
+    x 12 series; the quadratic stays in the oracle only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.pmod(F.col("user_id"), F.lit(12)).alias("s"),
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kd:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 201
+            - 100
+        ).alias("y"),
+    )
+    w = Window.partitionBy("s").orderBy("event_id")
+    pts = pts.withColumn("x", F.row_number().over(w) - 1).filter(
+        F.col("x") < 60
+    )
+    wp = Window.partitionBy("s").orderBy("x")
+    wprev = (
+        Window.partitionBy("s")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        pts.withColumn("prefix", F.sum("y").over(wp))
+        .withColumn(
+            "m", F.least(F.lit(0), F.coalesce(F.min("prefix").over(wprev), F.lit(0)))
+        )
+        .withColumn("c", F.col("prefix") - F.col("m"))
+    )
+    return (
+        cand.groupBy("s")
+        .agg(F.max("c").cast("long").alias("best_sum"))
+        .orderBy("s")
+    )

@@ -5183,3 +5183,114 @@ def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ------------------------------------------------ reciprocal rank fusion
+
+
+@register_extra(
+    "reciprocal_rank_fusion",
+    """
+    WITH scored AS (
+      SELECT q.q, d.doc_id,
+             ('0x' || substr(md5('ra:' || CAST(q.q AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+               % 100000 AS sa,
+             ('0x' || substr(md5('rb:' || CAST(q.q AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+               % 100000 AS sb
+      FROM (SELECT unnest(generate_series(0, 9)) AS q) q, documents d
+    ),
+    ra AS (
+      SELECT q, doc_id,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY sa DESC, doc_id) AS r
+      FROM scored
+    ),
+    rb AS (
+      SELECT q, doc_id,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY sb DESC, doc_id) AS r
+      FROM scored
+    ),
+    hits AS (
+      SELECT q, doc_id, 1000000 // (60 + r) AS pts
+      FROM ra WHERE r <= 50
+      UNION ALL
+      SELECT q, doc_id, 1000000 // (60 + r) FROM rb WHERE r <= 50
+    ),
+    fused AS (
+      SELECT q, doc_id, sum(pts) AS rrf_micro FROM hits GROUP BY 1, 2
+    )
+    SELECT q, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM (SELECT q, doc_id, rrf_micro,
+                 row_number() OVER (PARTITION BY q
+                                    ORDER BY rrf_micro DESC, doc_id)
+                   AS rn
+          FROM fused)
+    WHERE rn <= 5
+    ORDER BY q, rrf_micro DESC, doc_id
+    """,
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-search combiner
+    (Cormack 2009; what Elasticsearch/Vespa/every RAG stack uses to
+    merge a lexical BM25 list with an embedding-ANN list): each
+    retrieval system contributes 1/(60+rank) for its top-50, summed per
+    (query, doc). Both rankings here are md5-derived score surrogates
+    (the REAL bm25/ANN operators are gated separately — this gates the
+    FUSION algebra); the constant is cleared to exact integers as
+    1000000 // (60 + r). Scale shape: two per-query window ranks (one
+    sort shuffle each, partitioned by query — at corpus scale, by
+    query batch), a union, one partial-agg sum, one top-5 window —
+    no per-row Python anywhere. Ties pinned by doc_id on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    qs = spark.range(0, 10).select(F.col("id").alias("q"))
+    scored = qs.crossJoin(docs).select(
+        "q",
+        "doc_id",
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(p),
+                                F.col("q").cast("string"),
+                                F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100000
+            ).alias(al)
+            for p, al in [("ra:", "sa"), ("rb:", "sb")]
+        ],
+    )
+    wa = Window.partitionBy("q").orderBy(F.desc("sa"), "doc_id")
+    wb = Window.partitionBy("q").orderBy(F.desc("sb"), "doc_id")
+    ra = scored.select(
+        "q", "doc_id", F.row_number().over(wa).alias("r")
+    ).filter(F.col("r") <= 50)
+    rb = scored.select(
+        "q", "doc_id", F.row_number().over(wb).alias("r")
+    ).filter(F.col("r") <= 50)
+    hits = ra.unionAll(rb).select(
+        "q", "doc_id", F.expr("1000000 div (60 + r)").alias("pts")
+    )
+    fused = hits.groupBy("q", "doc_id").agg(
+        F.sum("pts").alias("rrf_micro")
+    )
+    wf = Window.partitionBy("q").orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select("q", "doc_id", F.col("rrf_micro").cast("long").alias("rrf_micro"))
+        .orderBy("q", F.desc("rrf_micro"), "doc_id")
+    )
