@@ -3642,3 +3642,101 @@ def banzhaf_power_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_id")
     )
+
+
+# ---------------------------------------------- secretary stopping rule
+
+
+@register_extra(
+    "secretary_stopping_replay",
+    """
+    WITH c0 AS (
+      SELECT user_id % 16 AS s,
+             ('0x' || substr(md5('sec:' || CAST(event_id AS VARCHAR)),
+                             1, 5))::BIGINT % 10000 AS v0,
+             row_number() OVER (PARTITION BY user_id % 16
+                                ORDER BY event_id) - 1 AS x
+      FROM events
+    ),
+    c AS (SELECT s, x, v0 * 100 + x AS v FROM c0 WHERE x < 40),
+    pm AS (SELECT s, max(v) AS mk FROM c WHERE x < 14 GROUP BY s),
+    ch AS (
+      SELECT c.s, min(c.x) AS cx
+      FROM c JOIN pm USING (s)
+      WHERE c.x >= 14 AND c.v > pm.mk
+      GROUP BY c.s
+    ),
+    best AS (SELECT s, max_by(x, v) AS bx FROM c GROUP BY s),
+    univ AS (SELECT DISTINCT s FROM c)
+    SELECT u.s, CAST(coalesce(ch.cx, 39) AS BIGINT) AS chosen_x,
+           coalesce(ch.cx, 39) = best.bx AS is_best
+    FROM univ u
+    LEFT JOIN ch ON ch.s = u.s
+    JOIN best ON best.s = u.s
+    ORDER BY u.s
+    """,
+)
+def secretary_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secretary-problem (37% rule) optimal-stopping replay — the
+    sequential-decision benchmark for irrevocable choices (hiring,
+    best-offer acceptance, online ad slates): observe the first
+    n/e = 14 of 40 candidates, then accept the FIRST one beating all of
+    them (else settle for the last). Entirely window/aggregate algebra
+    — a per-series max over the observation prefix, a conditional min
+    over the decision suffix, and an argmax for ground truth (values
+    packed v*100+x so every comparison is a strict total order on both
+    engines; max_by is then deterministic). One shuffle per agg,
+    partitioned by series — the replay shape for millions of
+    independent decision streams. Reports each stream's stopped
+    position and whether the rule actually found the best candidate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("s").orderBy("event_id")
+    c = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(16)).alias("s"),
+            "event_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("sec:"),
+                                F.col("event_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10000
+            ).alias("v0"),
+        )
+        .withColumn("x", F.row_number().over(w) - 1)
+        .filter(F.col("x") < 40)
+        .select("s", "x", (F.col("v0") * 100 + F.col("x")).alias("v"))
+    )
+    pm = c.filter(F.col("x") < 14).groupBy("s").agg(
+        F.max("v").alias("mk")
+    )
+    ch = (
+        c.join(pm, "s")
+        .filter((F.col("x") >= 14) & (F.col("v") > F.col("mk")))
+        .groupBy("s")
+        .agg(F.min("x").alias("cx"))
+    )
+    best = c.groupBy("s").agg(F.max_by("x", "v").alias("bx"))
+    univ = c.select("s").distinct()
+    return (
+        univ.join(ch, "s", "left")
+        .join(best, "s")
+        .select(
+            "s",
+            F.coalesce("cx", F.lit(39)).cast("long").alias("chosen_x"),
+            (F.coalesce("cx", F.lit(39)) == F.col("bx")).alias(
+                "is_best"
+            ),
+        )
+        .orderBy("s")
+    )

@@ -929,3 +929,114 @@ def misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# ------------------------------------------- rendezvous (HRW) hashing
+
+
+@register_extra(
+    "rendezvous_hash_balance",
+    """
+    WITH n AS (SELECT unnest(generate_series(0, 7)) AS node),
+    w AS (
+      SELECT e.event_id AS k, n.node,
+             (('0x' || substr(md5('hrw:' || CAST(n.node AS VARCHAR)
+                || ':' || CAST(e.event_id AS VARCHAR)), 1, 7))::BIGINT
+              % 100000000) * 10 + n.node AS wt
+      FROM events e, n
+    ),
+    before AS (SELECT k, max_by(node, wt) AS node FROM w GROUP BY k),
+    after AS (
+      SELECT k, max_by(node, wt) AS node FROM w WHERE node <> 0
+      GROUP BY k
+    ),
+    moved AS (
+      SELECT a.node, count(*) AS n_gained
+      FROM before b JOIN after a USING (k)
+      WHERE b.node = 0 GROUP BY 1
+    )
+    SELECT n.node,
+           CAST(coalesce(nb.c, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(na.c, 0) AS BIGINT) AS n_after,
+           CAST(coalesce(m.n_gained, 0) AS BIGINT) AS n_gained
+    FROM n
+    LEFT JOIN (SELECT node, count(*) AS c FROM before GROUP BY 1) nb
+      USING (node)
+    LEFT JOIN (SELECT node, count(*) AS c FROM after GROUP BY 1) na
+      USING (node)
+    LEFT JOIN moved m USING (node)
+    ORDER BY n.node
+    """,
+)
+def rendezvous_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing balance + failover
+    audit — the OTHER consistent-assignment scheme next to the hash
+    ring (consistent_hash_balance): every key goes to the node with the
+    maximum md5(node, key) weight, and when a node dies exactly ITS
+    keys remap (HRW's minimal-disruption property — the audit verifies
+    it: n_gained sums to node 0's n_before and no other key moves).
+    Weights packed *10+node for a strict total order, so max_by is
+    deterministic on both engines. Spark shape: one keys x 8-nodes
+    expand (map-side), two argmax aggs, three tiny count joins — at
+    fleet scale the expand factor is the node count, which is why HRW
+    is used for small node sets (caches, shard routers)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nodes = spark.range(0, 8).select(F.col("id").alias("node"))
+    w = (
+        ev.select(F.col("event_id").alias("k"))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "k",
+            "node",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("hrw:"),
+                                    F.col("node").cast("string"),
+                                    F.lit(":"),
+                                    F.col("k").cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            7,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 100000000
+                )
+                * 10
+                + F.col("node")
+            ).alias("wt"),
+        )
+    )
+    before = w.groupBy("k").agg(F.max_by("node", "wt").alias("node"))
+    after = (
+        w.filter(F.col("node") != 0)
+        .groupBy("k")
+        .agg(F.max_by("node", "wt").alias("node"))
+    )
+    moved = (
+        before.withColumnRenamed("node", "bnode")
+        .join(after.withColumnRenamed("node", "anode"), "k")
+        .filter(F.col("bnode") == 0)
+        .groupBy(F.col("anode").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_gained"))
+    )
+    nb = before.groupBy("node").agg(F.count(F.lit(1)).alias("cb"))
+    na = after.groupBy("node").agg(F.count(F.lit(1)).alias("ca"))
+    return (
+        nodes.join(nb, "node", "left")
+        .join(na, "node", "left")
+        .join(moved, "node", "left")
+        .select(
+            "node",
+            F.coalesce("cb", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("ca", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_gained", F.lit(0)).cast("long").alias("n_gained"),
+        )
+        .orderBy("node")
+    )
