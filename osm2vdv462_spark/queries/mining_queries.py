@@ -3740,3 +3740,95 @@ def secretary_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s")
     )
+
+
+# ----------------------------------------------- Wilson-bound ranking
+
+
+@register_extra(
+    "wilson_lb_ranking",
+    """
+    WITH tr AS (
+      SELECT user_id % 50 AS item,
+             CASE WHEN ('0x' || substr(md5('wl:'
+                || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                % 100 < 35 + (user_id % 50) THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    agg AS (
+      SELECT item, count(*) AS n, sum(pos) AS pos FROM tr GROUP BY 1
+    ),
+    sc AS (
+      SELECT item, n, pos,
+             CAST(floor(sqrt(CAST(
+               (10000 * (pos * (n - pos) + n)) // n AS DOUBLE)))
+               AS BIGINT) AS s
+      FROM agg
+    )
+    SELECT item, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST((100 * (pos + 2) - 2 * s) // (n + 4) AS BIGINT)
+             AS lb_centi,
+           CAST(row_number() OVER (
+             ORDER BY (100 * (pos + 2) - 2 * s) // (n + 4) DESC, item)
+             AS BIGINT) AS rank
+    FROM sc ORDER BY item
+    """,
+)
+def wilson_lb_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking (z=2) — 'how not to sort by
+    average rating' (Reddit's best-comment sort, Evan Miller 2009):
+    rank items by the LOWER confidence bound of their positive rate so
+    sparse items can't crowd out well-measured ones. Exact-integer
+    discipline: with z=2 the bound is
+    (pos+2 - 2*sqrt((pos*(n-pos)+n)/n)) / (n+4); the sqrt argument is
+    pre-scaled by 1e4 and floor(IEEE sqrt) of an integer < 6.7e7 is
+    provably exact (correctly-rounded sqrt can only miss floor when
+    the root exceeds 2^13), so lb_centi and the rank are
+    hash-stable on both engines. Per-item positive rates are planted
+    to RISE with item id while trial counts stay equal — the bound
+    ranking must recover that ordering. One partial-agg shuffle plus
+    a 50-row window; JVM end-to-end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tr = ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("item"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("wl:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 35 + F.pmod(F.col("user_id"), F.lit(50)),
+            1,
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    agg = tr.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos")
+    )
+    sc = agg.withColumn(
+        "s",
+        F.expr(
+            "CAST(floor(sqrt(CAST((10000 * (pos * (n - pos) + n))"
+            " div n AS DOUBLE))) AS LONG)"
+        ),
+    ).withColumn(
+        "lb_centi", F.expr("(100 * (pos + 2) - 2 * s) div (n + 4)")
+    )
+    w = Window.orderBy(F.desc("lb_centi"), "item")
+    return sc.select(
+        "item",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("lb_centi").cast("long").alias("lb_centi"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("item")

@@ -2915,3 +2915,177 @@ def floyd_steinberg_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_dither, "img long, n_white long, chk long")
         .orderBy("img")
     )
+
+
+# ------------------------------------------------ Zhang-Suen thinning
+
+
+@register_extra(
+    "zhang_suen_thinning",
+    """
+    WITH RECURSIVE imgs AS (SELECT DISTINCT user_id % 16 AS img
+                            FROM events),
+    px AS (
+      SELECT img, i AS p,
+             CASE WHEN ('0x' || substr(md5('zs:' || CAST(img AS VARCHAR)
+                || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 5 < 3
+             THEN 1 ELSE 0 END AS v
+      FROM imgs, generate_series(0, 143) t(i)
+    ),
+    pl AS (SELECT img, list(v ORDER BY p) AS g0 FROM px GROUP BY img),
+    st(img, it, g) AS (
+      SELECT img, CAST(0 AS BIGINT), g0 FROM pl
+      UNION ALL
+      SELECT s1.img, s1.it + 1,
+             list_transform(s1.nb, (n, i) ->
+               CASE WHEN s1.g[i] = 1
+                     AND n.p2 + n.p3 + n.p4 + n.p5 + n.p6 + n.p7
+                         + n.p8 + n.p9 BETWEEN 2 AND 6
+                     AND (CASE WHEN n.p2 = 0 AND n.p3 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p3 = 0 AND n.p4 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p4 = 0 AND n.p5 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p5 = 0 AND n.p6 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p6 = 0 AND n.p7 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p7 = 0 AND n.p8 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p8 = 0 AND n.p9 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n.p9 = 0 AND n.p2 = 1 THEN 1 ELSE 0 END)
+                         = 1
+                     AND CASE WHEN s1.it % 2 = 0
+                              THEN n.p2 * n.p4 * n.p6 = 0
+                                   AND n.p4 * n.p6 * n.p8 = 0
+                              ELSE n.p2 * n.p4 * n.p8 = 0
+                                   AND n.p2 * n.p6 * n.p8 = 0
+                         END
+               THEN 0 ELSE s1.g[i] END)
+      FROM (
+        SELECT st.img, st.it, st.g,
+               list_transform(st.g, (x, i) -> {
+                 'p2': CASE WHEN (i - 1) // 12 > 0
+                            THEN st.g[i - 12] ELSE 0 END,
+                 'p3': CASE WHEN (i - 1) // 12 > 0 AND (i - 1) % 12 < 11
+                            THEN st.g[i - 11] ELSE 0 END,
+                 'p4': CASE WHEN (i - 1) % 12 < 11
+                            THEN st.g[i + 1] ELSE 0 END,
+                 'p5': CASE WHEN (i - 1) // 12 < 11 AND (i - 1) % 12 < 11
+                            THEN st.g[i + 13] ELSE 0 END,
+                 'p6': CASE WHEN (i - 1) // 12 < 11
+                            THEN st.g[i + 12] ELSE 0 END,
+                 'p7': CASE WHEN (i - 1) // 12 < 11 AND (i - 1) % 12 > 0
+                            THEN st.g[i + 11] ELSE 0 END,
+                 'p8': CASE WHEN (i - 1) % 12 > 0
+                            THEN st.g[i - 1] ELSE 0 END,
+                 'p9': CASE WHEN (i - 1) // 12 > 0 AND (i - 1) % 12 > 0
+                            THEN st.g[i - 13] ELSE 0 END}) AS nb
+        FROM st WHERE st.it < 8
+      ) s1
+    )
+    SELECT f.img,
+           CAST(b.n0 AS BIGINT) AS n_fg_before,
+           CAST(list_sum(f.g) AS BIGINT) AS n_fg_after,
+           CAST(list_sum(list_transform(f.g, (x, i) -> x * i))
+                AS BIGINT) AS chk
+    FROM (SELECT img, g FROM st WHERE it = 8) f
+    JOIN (SELECT img, list_sum(g0) AS n0 FROM pl) b
+      USING (img)
+    ORDER BY f.img
+    """,
+)
+def zhang_suen_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhang-Suen skeletonization (1984) — THE classical binary-image
+    thinning: two alternating subiterations delete border pixels that
+    are simple (2<=B<=6 neighbors, exactly one 0->1 transition around
+    the 8-ring, and the direction gates p2p4p6/p4p6p8 resp.
+    p2p4p8/p2p6p8), SYNCHRONOUSLY — all deletions in a pass read the
+    same snapshot, which is exactly why it distributes: each pass is a
+    pure stencil. Fixed 8 subiterations (4 full passes — bounded-pass
+    semantics so both engines iterate identically regardless of
+    convergence). Spark runs the stencil vectorized in numpy per image
+    (applyInPandas; images are the parallel axis, passes touch each
+    tile once — the distributed-raster shape shared with
+    raster_focal_stats); the oracle replays the same passes as a list
+    machine whose neighbor fetches are boundary-guarded indexed
+    lambdas. 16 md5-derived 12x12 binary tiles; reports fg counts
+    before/after and an exact position checksum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    imgs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(16)).alias("img")
+    ).distinct()
+    px = imgs.select(
+        "img", F.explode(F.sequence(F.lit(0), F.lit(143))).alias("p")
+    ).select(
+        "img",
+        "p",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("zs:"),
+                            F.col("img").cast("string"),
+                            F.lit(":"),
+                            F.col("p").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            < 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("v"),
+    )
+
+    def _thin(key, pdf):
+        pdf = pdf.sort_values("p")
+        g = pdf["v"].to_numpy(np.int64).reshape(12, 12)
+        n0 = int(g.sum())
+
+        def shift(a, dr, dc):
+            out = np.zeros_like(a)
+            rs = slice(max(dr, 0), 12 + min(dr, 0))
+            cs = slice(max(dc, 0), 12 + min(dc, 0))
+            rs2 = slice(max(-dr, 0), 12 + min(-dr, 0))
+            cs2 = slice(max(-dc, 0), 12 + min(-dc, 0))
+            out[rs, cs] = a[rs2, cs2]
+            return out
+
+        for it in range(8):
+            p2 = shift(g, 1, 0)   # value of the NORTH neighbor at p
+            p3 = shift(g, 1, -1)
+            p4 = shift(g, 0, -1)
+            p5 = shift(g, -1, -1)
+            p6 = shift(g, -1, 0)
+            p7 = shift(g, -1, 1)
+            p8 = shift(g, 0, 1)
+            p9 = shift(g, 1, 1)
+            ring = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
+            b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
+            a = sum(
+                ((ring[k] == 0) & (ring[k + 1] == 1)).astype(np.int64)
+                for k in range(8)
+            )
+            if it % 2 == 0:
+                gate = (p2 * p4 * p6 == 0) & (p4 * p6 * p8 == 0)
+            else:
+                gate = (p2 * p4 * p8 == 0) & (p2 * p6 * p8 == 0)
+            kill = (g == 1) & (b >= 2) & (b <= 6) & (a == 1) & gate
+            g = np.where(kill, 0, g)
+        flat = g.reshape(-1)
+        chk = int((flat * np.arange(1, 145)).sum())
+        return pd.DataFrame(
+            [(int(key[0]), n0, int(flat.sum()), chk)],
+            columns=["img", "n_fg_before", "n_fg_after", "chk"],
+        )
+
+    return (
+        px.groupBy("img")
+        .applyInPandas(
+            _thin, "img long, n_fg_before long, n_fg_after long, chk long"
+        )
+        .orderBy("img")
+    )
