@@ -3832,3 +3832,107 @@ def wilson_lb_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lb_centi").cast("long").alias("lb_centi"),
         F.row_number().over(w).cast("long").alias("rank"),
     ).orderBy("item")
+
+
+# ----------------------------------------------- double-auction match
+
+
+@register_extra(
+    "double_auction_matching",
+    """
+    WITH o AS (
+      SELECT event_id AS oid,
+             ('0x' || substr(md5('das:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 2 AS side,
+             ('0x' || substr(md5('dap:' || CAST(event_id AS VARCHAR)),
+                             1, 5))::BIGINT % 1000 AS price
+      FROM events
+      WHERE ('0x' || substr(md5('dag:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 19 = 0
+    ),
+    bids AS (
+      SELECT oid AS bid_id, price AS bid_price,
+             row_number() OVER (ORDER BY price DESC, oid) AS k
+      FROM o WHERE side = 0
+    ),
+    asks AS (
+      SELECT oid AS ask_id, price AS ask_price,
+             row_number() OVER (ORDER BY price ASC, oid) AS k
+      FROM o WHERE side = 1
+    )
+    SELECT b.k AS trade_k, b.bid_id, a.ask_id,
+           b.bid_price, a.ask_price,
+           (b.bid_price + a.ask_price) // 2 AS clear_price
+    FROM bids b JOIN asks a USING (k)
+    WHERE b.bid_price >= a.ask_price
+    ORDER BY trade_k
+    """,
+)
+def double_auction_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-market double auction (k=0.5 pricing) — the batch order-
+    matching every opening/closing cross runs: sort bids descending and
+    asks ascending, pair them rank-for-rank, and trade while the k-th
+    bid still meets the k-th ask, clearing each pair at the integer
+    midpoint. Two range-partitioned sorts (the rank windows) + one
+    equi-join on rank + the crossing filter — no sequential state at
+    all, which is why call auctions batch-scale where continuous books
+    don't. md5-derived unit orders (side + price); all ties pinned by
+    order id; midpoint floor-divides exactly on both engines. The
+    greedy rank-pairing is provably the welfare-maximizing uniform
+    match for unit quantities."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    o = ev.filter(_h("dag:", 4) % 19 == 0).select(
+        F.col("event_id").alias("oid"),
+        (_h("das:", 4) % 2).alias("side"),
+        (_h("dap:", 5) % 1000).alias("price"),
+    )
+    bids = (
+        o.filter(F.col("side") == 0)
+        .select(
+            F.col("oid").alias("bid_id"),
+            F.col("price").alias("bid_price"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.orderBy(F.desc("bid_price"), "bid_id")
+            ),
+        )
+    )
+    asks = (
+        o.filter(F.col("side") == 1)
+        .select(
+            F.col("oid").alias("ask_id"),
+            F.col("price").alias("ask_price"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.orderBy(F.asc("ask_price"), "ask_id")
+            ),
+        )
+    )
+    return (
+        bids.join(asks, "k")
+        .filter(F.col("bid_price") >= F.col("ask_price"))
+        .select(
+            F.col("k").cast("long").alias("trade_k"),
+            "bid_id",
+            "ask_id",
+            "bid_price",
+            "ask_price",
+            F.expr("(bid_price + ask_price) div 2").alias("clear_price"),
+        )
+        .orderBy("trade_k")
+    )

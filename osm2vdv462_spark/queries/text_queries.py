@@ -5294,3 +5294,174 @@ def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "doc_id", F.col("rrf_micro").cast("long").alias("rrf_micro"))
         .orderBy("q", F.desc("rrf_micro"), "doc_id")
     )
+
+
+# ------------------------------------------- Smith-Waterman alignment
+
+
+@register_extra(
+    "smith_waterman_pairs",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, n_chars // 64 AS bk,
+             string_split(substr(text, 1, 24), '') AS cs
+      FROM documents
+      WHERE strlen(text) = length(text)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             row_number() OVER (ORDER BY a.doc_id, b.doc_id) AS pid,
+             a.cs AS ca, b.cs AS cb
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE ('0x' || substr(md5('sw:' || CAST(a.doc_id AS VARCHAR)
+               || ':' || CAST(b.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 89 = 0
+        AND len(a.cs) > 0 AND len(b.cs) > 0
+    ),
+    ai AS (
+      SELECT pid, u.i AS i, u.ch AS ch
+      FROM (SELECT pid,
+                   unnest(list_transform(ca,
+                     (x, i) -> {'i': i, 'ch': x})) AS u
+            FROM pairs)
+    ),
+    st(pid, i, row, best) AS (
+      SELECT pid, CAST(0 AS BIGINT),
+             list_transform(cb, x -> CAST(0 AS BIGINT))
+               || [CAST(0 AS BIGINT)],
+             CAST(0 AS BIGINT)
+      FROM pairs
+      UNION ALL
+      SELECT s2.pid, s2.i,
+             [CAST(0 AS BIGINT)] || s2.nw,
+             greatest(s2.best, list_max(s2.nw))
+      FROM (
+        SELECT s1.pid, s1.i, s1.best,
+               list_transform(s1.tmp, (x, j) ->
+                 list_max(list_slice(s1.adj, 1, j)) - j) AS nw
+        FROM (
+          SELECT s0.pid, s0.i, s0.best, s0.tmp,
+                 list_transform(s0.tmp, (x, j) -> x + j) AS adj
+          FROM (
+            SELECT st.pid, st.i + 1 AS i, st.best,
+                   list_transform(s.cb, (x, j) ->
+                     greatest(CAST(0 AS BIGINT),
+                              st.row[j] + CASE WHEN x = s.ch
+                                               THEN 2 ELSE -1 END,
+                              st.row[j + 1] - 1)) AS tmp
+            FROM st
+            JOIN (SELECT ai.pid, ai.i, ai.ch, p.cb
+                  FROM ai JOIN pairs p USING (pid)) s
+              ON s.pid = st.pid AND s.i = st.i + 1
+          ) s0
+        ) s1
+      ) s2
+    ),
+    fin AS (
+      SELECT pid, best
+      FROM (SELECT pid, best,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY i DESC) AS rn
+            FROM st) WHERE rn = 1
+    )
+    SELECT p.ida, p.idb,
+           CAST(len(p.ca) AS BIGINT) AS la,
+           CAST(len(p.cb) AS BIGINT) AS lb,
+           CAST(f.best AS BIGINT) AS sw_score
+    FROM fin f JOIN pairs p USING (pid)
+    ORDER BY ida, idb
+    """,
+)
+def smith_waterman_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman LOCAL alignment score on blocked document pairs —
+    the gapped fuzzy-substring matcher (bioinformatics' workhorse,
+    also the right tool for detecting shared boilerplate fragments
+    that global edit distance dilutes). Match +2 / mismatch -1 /
+    linear gap 1. The left-gap dependency (H[i][j-1]-1) is folded into
+    a PREFIX-MAX over tmp[j']+j' minus j (fuzz-verified equal to the
+    textbook 2-D DP), so Spark's mapInPandas runs each pair's DP
+    vectorized along the b-axis, and the oracle replays the identical
+    row recurrence as a recursive list machine. Char unit, ASCII-gated
+    docs, 24-char cap, same (lang, len-bucket, md5) blocking family as
+    edit_distance_blocked / rouge_lcs_pairs — the quadratic refine
+    only ever touches gated candidates."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("n_chars div 64").alias("bk"),
+            F.split(F.substring("text", 1, 24), "").alias("cs"),
+        )
+        .withColumn(
+            "cs", F.filter(F.col("cs"), lambda x: x != "")
+        )
+        .filter(F.size("cs") > 0)
+    )
+    a = d.select(
+        F.col("doc_id").alias("ida"), "lang", "bk",
+        F.col("cs").alias("ca"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("idb"), "lang", "bk",
+        F.col("cs").alias("cb"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sw:"),
+                        F.col("ida").cast("string"),
+                        F.lit(":"),
+                        F.col("idb").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 89
+        == 0
+    )
+    pairs = (
+        a.join(b, ["lang", "bk"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(gate)
+        .select("ida", "idb", "ca", "cb")
+    )
+
+    def _sw(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for ida, idb, ca, cb in zip(
+                pdf["ida"], pdf["idb"], pdf["ca"], pdf["cb"]
+            ):
+                bb = np.array(list(cb), dtype=object)
+                m = len(bb)
+                row = np.zeros(m + 1, dtype=np.int64)
+                best = 0
+                idx = np.arange(1, m + 1)
+                for ch in ca:
+                    diag = row[:-1] + np.where(bb == ch, 2, -1)
+                    up = row[1:] - 1
+                    tmp = np.maximum(0, np.maximum(diag, up))
+                    new = np.maximum.accumulate(tmp + idx) - idx
+                    row = np.concatenate(([0], new))
+                    best = max(best, int(row.max()))
+                out.append((int(ida), int(idb), len(ca), m, best))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["ida", "idb", "la", "lb", "sw_score"]
+                )
+
+    return pairs.mapInPandas(
+        _sw, "ida long, idb long, la long, lb long, sw_score long"
+    ).orderBy("ida", "idb")
