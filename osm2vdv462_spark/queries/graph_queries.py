@@ -1882,3 +1882,146 @@ def greedy_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id").alias("a"), F.col("id").alias("b"))
         )
     return matched.select("a", "b").orderBy("a", "b")
+
+
+# -------------------------------------------- LCA via pointer doubling
+
+
+@register_extra(
+    "lca_pointer_doubling",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT unnest(generate_series(0, 199)) AS v
+    ),
+    par AS (
+      SELECT v,
+             CASE WHEN v = 0 THEN NULL
+                  ELSE ('0x' || substr(md5('tp:' || CAST(v AS VARCHAR)),
+                                       1, 7))::BIGINT % v END AS p
+      FROM nodes
+    ),
+    up(v, anc, d) AS (
+      SELECT v, v, 0 FROM nodes
+      UNION ALL
+      SELECT u.v, par.p, u.d + 1
+      FROM up u JOIN par ON par.v = u.anc
+      WHERE par.p IS NOT NULL
+    ),
+    dep AS (SELECT v, max(d) AS depth FROM up GROUP BY 1),
+    qp AS (
+      SELECT ('0x' || substr(md5('qa:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS u,
+             ('0x' || substr(md5('qb:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 200 AS w
+      FROM events
+      WHERE ('0x' || substr(md5('qg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 347 = 0
+    ),
+    pairs AS (SELECT DISTINCT u, w FROM qp),
+    lca AS (
+      SELECT p.u, p.w,
+             max_by(a.anc, dep.depth) AS lca,
+             max(dep.depth) AS lca_depth
+      FROM pairs p
+      JOIN up a ON a.v = p.u
+      JOIN up b ON b.v = p.w AND b.anc = a.anc
+      JOIN dep ON dep.v = a.anc
+      GROUP BY 1, 2
+    )
+    SELECT u, w, CAST(lca AS BIGINT) AS lca,
+           CAST(lca_depth AS BIGINT) AS lca_depth
+    FROM lca ORDER BY u, w
+    """,
+)
+def lca_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowest common ancestor by POINTER DOUBLING — the parallel-tree
+    primitive (taxonomy roll-ups, org-chart queries, merge-base): the
+    ancestor closure is built in O(log depth) rounds of self-joining
+    the reach-set with itself (R := R union R.R), never a per-node
+    walk; LCA(u, w) is then the deepest common ancestor, an argmax
+    over the closure join (depths along one root path are distinct, so
+    max_by is deterministic). The oracle builds the SAME closure as a
+    plain recursive parent-chain walk — definition vs algorithm.
+    Random recursive tree (parent(v) = md5 % v keeps it acyclic),
+    md5-gated query pairs; self-ancestors included so LCA(u, u) = u
+    falls out naturally."""
+    nodes = spark.range(0, 200).select(F.col("id").alias("v"))
+    par = nodes.select(
+        "v",
+        F.when(F.col("v") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("tp:"), F.col("v").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("v")
+        )
+        .alias("p"),
+    )
+    # pointer-doubling closure: R := R ∪ (R ∘ R), seeded with the
+    # identity + parent edges; 6 rounds cover depth < 2^6
+    r = nodes.select(
+        F.col("v"), F.col("v").alias("anc"), F.lit(0).alias("d")
+    ).unionAll(
+        par.filter(F.col("p").isNotNull()).select(
+            "v", F.col("p").alias("anc"), F.lit(1).alias("d")
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(6):
+        hop = (
+            r.select(
+                F.col("v"), F.col("anc").alias("mid"), F.col("d").alias("d1")
+            )
+            .join(
+                r.select(
+                    F.col("v").alias("mid"),
+                    F.col("anc"),
+                    F.col("d").alias("d2"),
+                ),
+                "mid",
+            )
+            .select("v", "anc", (F.col("d1") + F.col("d2")).alias("d"))
+        )
+        r = r.unionAll(hop).distinct().localCheckpoint(eager=True)
+    dep = r.groupBy(F.col("v")).agg(F.max("d").alias("depth"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pairs = (
+        ev.filter(_h("qg:", 4) % 347 == 0)
+        .select((_h("qa:", 7) % 200).alias("u"),
+                (_h("qb:", 7) % 200).alias("w"))
+        .distinct()
+    )
+    ua = r.select(F.col("v").alias("u"), "anc")
+    wa = r.select(F.col("v").alias("w"), F.col("anc"))
+    common = pairs.join(ua, "u").join(wa, ["w", "anc"])
+    j = common.join(
+        dep.select(F.col("v").alias("anc"), "depth"), "anc"
+    )
+    return (
+        j.groupBy("u", "w")
+        .agg(
+            F.max_by("anc", "depth").cast("long").alias("lca"),
+            F.max("depth").cast("long").alias("lca_depth"),
+        )
+        .orderBy("u", "w")
+    )

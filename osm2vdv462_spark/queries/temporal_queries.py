@@ -2556,3 +2556,100 @@ def kadane_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").cast("long").alias("best_sum"))
         .orderBy("s")
     )
+
+
+# ----------------------------------------------- EDF schedulability
+
+
+@register_extra(
+    "jackson_edf_check",
+    """
+    WITH t0 AS (
+      SELECT user_id % 10 AS s,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY event_id) - 1 AS tid,
+             ('0x' || substr(md5('ec:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 9 + 1 AS c,
+             ('0x' || substr(md5('ed:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 40 + 5 AS d
+      FROM events
+    ),
+    t AS (SELECT s, tid, c, d FROM t0 WHERE tid < 12),
+    ord AS (
+      SELECT s, tid, c, d,
+             sum(c) OVER (PARTITION BY s ORDER BY d, tid
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    viol AS (
+      SELECT s, min(d * 1000 + tid) AS firstv
+      FROM ord WHERE cum > d GROUP BY 1
+    )
+    SELECT o.s,
+           CAST(sum(o.c) AS BIGINT) AS total_load,
+           v.firstv IS NULL AS feasible,
+           CAST(coalesce(v.firstv % 1000, -1) AS BIGINT)
+             AS first_violator
+    FROM ord o LEFT JOIN viol v USING (s)
+    GROUP BY o.s, v.firstv ORDER BY o.s
+    """,
+)
+def jackson_edf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDF / Jackson's-rule schedulability check — deadline-feasibility
+    for a batch of jobs released together on one machine (the workload-
+    admission test behind deadline-aware job schedulers): sort by
+    deadline, feasible iff every prefix's cumulative work meets its
+    deadline (EDF is optimal for this class, so this check is exact,
+    not heuristic). One cumulative-sum window per task set + a min
+    for the first violator (packed d*1000+tid so 'earliest deadline,
+    lowest id' is a single integer argmin). 10 task sets x 12
+    md5-derived jobs; at fleet scale the sets are the parallel axis
+    and each is one ordered window pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    w0 = Window.partitionBy("s").orderBy("event_id")
+    t = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(10)).alias("s"),
+            "event_id",
+            (_h("ec:", 4) % 9 + 1).alias("c"),
+            (_h("ed:", 4) % 40 + 5).alias("d"),
+        )
+        .withColumn("tid", F.row_number().over(w0) - 1)
+        .filter(F.col("tid") < 12)
+    )
+    wc = (
+        Window.partitionBy("s")
+        .orderBy("d", "tid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ord_ = t.withColumn("cum", F.sum("c").over(wc))
+    viol = (
+        ord_.filter(F.col("cum") > F.col("d"))
+        .groupBy("s")
+        .agg(F.min(F.col("d") * 1000 + F.col("tid")).alias("firstv"))
+    )
+    return (
+        ord_.groupBy("s")
+        .agg(F.sum("c").alias("tl"))
+        .join(viol, "s", "left")
+        .select(
+            "s",
+            F.col("tl").cast("long").alias("total_load"),
+            F.col("firstv").isNull().alias("feasible"),
+            F.coalesce(F.pmod(F.col("firstv"), F.lit(1000)), F.lit(-1))
+            .cast("long")
+            .alias("first_violator"),
+        )
+        .orderBy("s")
+    )
