@@ -5465,3 +5465,229 @@ def smith_waterman_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         _sw, "ida long, idb long, la long, lb long, sw_score long"
     ).orderBy("ida", "idb")
+
+
+# ------------------------------------------------- BWT + MTF pipeline
+
+
+_BWT_SQL = """
+    dd AS (
+      SELECT doc_id, substr(text, 1, 24) AS t,
+             length(substr(text, 1, 24)) AS tl
+      FROM documents
+      WHERE strlen(text) = length(text)
+        AND ('0x' || substr(md5('bw:' || CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT % 11 = 0
+    ),
+    rots AS (
+      SELECT doc_id, tl, u.k AS k,
+             substr(t, CAST(u.k + 1 AS INT))
+               || substr(t, 1, CAST(u.k AS INT)) AS rot
+      FROM (SELECT doc_id, t, tl,
+                   unnest(list_transform(string_split(t, ''),
+                     (c, i) -> {'k': i - 1})) AS u
+            FROM dd)
+    ),
+    ranked AS (
+      SELECT doc_id, tl,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY rot, k) AS r,
+             substr(rot, CAST(tl AS INT), 1) AS bc
+      FROM rots
+    ),
+    bwt AS (
+      SELECT doc_id, max(tl) AS bl,
+             string_agg(bc, '' ORDER BY r) AS b
+      FROM ranked GROUP BY doc_id
+    )
+"""
+
+
+@register_extra(
+    "bwt_run_stats",
+    f"""
+    WITH {_BWT_SQL},
+    runs AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE prev IS NOT NULL AND bc <> prev)
+               + 1 AS n_runs
+      FROM (SELECT doc_id, bc,
+                   lag(bc) OVER (PARTITION BY doc_id ORDER BY r)
+                     AS prev
+            FROM ranked)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.bl AS BIGINT) AS bl, b.b AS bwt,
+           CAST(r.n_runs AS BIGINT) AS n_runs
+    FROM bwt b JOIN runs r USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def bwt_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-Wheeler transform + run statistics — stage 1 of the
+    bzip2 pipeline and the heart of FM-index text search: sort all
+    rotations, read the last column; like-characters cluster, so the
+    BWT's run count is the classic compressibility probe (and r, the
+    run count, is THE parameter of r-index scaling). Rotation sort is
+    a window rank per doc — at corpus scale a range-partitioned sort
+    per key, the suffix-array shape; everything stays JVM-side string
+    algebra. Equal rotations tie-break by offset k but yield the same
+    last char, so the BWT string is well-defined on both engines.
+    ASCII-gated, 24-char cap, md5 doc sample."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bw:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 11
+            == 0
+        )
+        .select(
+            "doc_id",
+            F.substring("text", 1, 24).alias("t"),
+            F.length(F.substring("text", 1, 24)).alias("tl"),
+        )
+    )
+    rots = d.select(
+        "doc_id",
+        "tl",
+        F.explode(
+            F.sequence(F.lit(0), F.col("tl") - 1)
+        ).alias("k"),
+        "t",
+    ).select(
+        "doc_id",
+        "tl",
+        "k",
+        F.expr(
+            "concat(substring(t, k + 1, 24), substring(t, 1, k))"
+        ).alias("rot"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("rot", "k")
+    ranked = rots.select(
+        "doc_id",
+        "tl",
+        F.row_number().over(wr).alias("r"),
+        F.expr("substring(rot, tl, 1)").alias("bc"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("r")
+    runs = (
+        ranked.withColumn("prev", F.lag("bc").over(wl))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("bc") != F.col("prev")),
+                        1,
+                    )
+                )
+                + 1
+            ).alias("n_runs")
+        )
+    )
+    bwt = ranked.groupBy("doc_id").agg(
+        F.max("tl").alias("bl"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "bc"))),
+                lambda s: s["bc"],
+            ),
+        ).alias("bwt"),
+    )
+    return (
+        bwt.join(runs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("bl").cast("long").alias("bl"),
+            "bwt",
+            F.col("n_runs").cast("long").alias("n_runs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_extra(
+    "mtf_code_stats",
+    f"""
+    WITH RECURSIVE {_BWT_SQL},
+    a0 AS (
+      SELECT doc_id, bl, b,
+             list_sort(list_distinct(string_split(b, ''))) AS alpha
+      FROM bwt
+    ),
+    st(doc_id, i, ord, ssum, mx) AS (
+      SELECT doc_id, CAST(0 AS BIGINT), alpha,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM a0
+      UNION ALL
+      SELECT s1.doc_id, s1.i,
+             [s1.c] || list_filter(s1.ord, x -> x <> s1.c),
+             s1.ssum + s1.code, greatest(s1.mx, s1.code)
+      FROM (
+        SELECT st.doc_id, st.i + 1 AS i, st.ord, st.ssum, st.mx,
+               a0.b[CAST(st.i + 1 AS INT)] AS c,
+               list_position(st.ord,
+                             a0.b[CAST(st.i + 1 AS INT)]) - 1 AS code
+        FROM st JOIN a0 USING (doc_id)
+        WHERE st.i < a0.bl
+      ) s1
+    )
+    SELECT doc_id, CAST(ssum AS BIGINT) AS mtf_sum,
+           CAST(mx AS BIGINT) AS mtf_max
+    FROM (SELECT doc_id, ssum, mx,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY i DESC) AS rn
+          FROM st) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def mtf_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Move-to-front coding over the BWT — stage 2 of the bzip2
+    pipeline: walk the transformed string keeping a recency-ordered
+    alphabet; each symbol emits its current list position then moves
+    to front, turning BWT's character clustering into a stream of
+    small integers (sum and max reported — the direct compressibility
+    payoff of stage 1). The fold is sequential per doc (24 steps) —
+    the per-key applyInPandas pattern with docs as the parallel axis;
+    the oracle replays it as a recursive list machine whose state is
+    the recency list itself. Shares the exact BWT construction with
+    bwt_run_stats on both engines."""
+    bwt = bwt_run_stats(spark, sf_dir).select("doc_id", "bl", "bwt")
+
+    def _mtf(key, pdf):
+        import pandas as pd
+
+        b = pdf["bwt"].iloc[0]
+        order = sorted(set(b))
+        ssum = mx = 0
+        for ch in b:
+            code = order.index(ch)
+            ssum += code
+            mx = max(mx, code)
+            order.remove(ch)
+            order.insert(0, ch)
+        return pd.DataFrame(
+            [(int(key[0]), ssum, mx)],
+            columns=["doc_id", "mtf_sum", "mtf_max"],
+        )
+
+    return (
+        bwt.groupBy("doc_id")
+        .applyInPandas(_mtf, "doc_id long, mtf_sum long, mtf_max long")
+        .orderBy("doc_id")
+    )
