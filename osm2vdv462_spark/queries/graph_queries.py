@@ -12,7 +12,7 @@ Main gate row (late-r4 rotation, fourth swap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import graph as G
 from . import register, register_extra
@@ -2024,4 +2024,142 @@ def lca_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("depth").cast("long").alias("lca_depth"),
         )
         .orderBy("u", "w")
+    )
+
+
+# ------------------------------------------- min s-t cut enumeration
+
+
+_MC_EDGES_SQL = """
+    he AS (
+      SELECT u.u AS u, v.v AS v,
+             ('0x' || substr(md5('mcc:' || CAST(u.u AS VARCHAR) || ':'
+                || CAST(v.v AS VARCHAR)), 1, 4))::BIGINT % 20 + 1 AS cap
+      FROM (SELECT unnest(generate_series(0, 11)) AS u) u,
+           (SELECT unnest(generate_series(0, 11)) AS v) v
+      WHERE u.u <> v.v
+        AND ('0x' || substr(md5('mce:' || CAST(u.u AS VARCHAR) || ':'
+               || CAST(v.v AS VARCHAR)), 1, 4))::BIGINT % 4 = 0
+    ),
+    be AS (
+      SELECT 0 AS u, k AS v, CAST(25 AS BIGINT) AS cap
+      FROM (SELECT unnest(generate_series(1, 3)) AS k)
+      UNION ALL
+      SELECT k, 11, 25 FROM (SELECT unnest(generate_series(8, 10)) AS k)
+    ),
+    ed AS (
+      SELECT u, v, max(cap) AS cap
+      FROM (SELECT * FROM he UNION ALL SELECT * FROM be)
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register_extra(
+    "mincut_enumeration",
+    f"""
+    WITH {_MC_EDGES_SQL},
+    masks AS (
+      SELECT 1 + 2 * m AS mask
+      FROM (SELECT unnest(generate_series(0, 1023)) AS m)
+    ),
+    cuts AS (
+      SELECT m.mask,
+             coalesce(sum(e.cap), 0) AS cut,
+             count(e.cap) AS n_cut_edges
+      FROM masks m
+      LEFT JOIN ed e
+        ON ((m.mask >> CAST(e.u AS INT)) & 1) = 1
+       AND ((m.mask >> CAST(e.v AS INT)) & 1) = 0
+      GROUP BY 1
+    )
+    SELECT CAST(cut AS BIGINT) AS min_cut,
+           CAST(mask AS BIGINT) AS best_mask,
+           CAST(n_cut_edges AS BIGINT) AS n_cut_edges
+    FROM (SELECT *, row_number() OVER (ORDER BY cut, mask) AS rn
+          FROM cuts)
+    WHERE rn = 1
+    """,
+)
+def mincut_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact s-t minimum cut by DISTRIBUTED subset enumeration — the
+    max-flow value by strong duality, computed from the cut side:
+    all 2^10 source-sets (s pinned in, t pinned out) fan out as a
+    Spark range, each joined map-side against the broadcast edge list
+    with the membership test pushed into the join predicate
+    ((mask>>u)&1 = 1 and (mask>>v)&1 = 0), one partial-agg sum per
+    mask, one argmin. The oracle is the same definition in SQL — this
+    is the exhaustive-small-instance family (exact Shapley / Banzhaf /
+    knapsack rows): augmenting-path algorithms are inherently
+    sequential, but real workloads solve HUGE NUMBERS of small cuts
+    (per-session bottlenecks, per-tenant capacity), and that
+    parallelizes exactly like this. 12-node md5-derived capacitated
+    digraph with pinned source/sink arcs; ties broken by lowest
+    mask."""
+    nodes = list(range(12))
+    hp = spark.range(0, 12).select(F.col("id").alias("u"))
+    hq = spark.range(0, 12).select(F.col("id").alias("v"))
+
+    def _h2(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    he = (
+        hp.crossJoin(hq)
+        .filter(F.col("u") != F.col("v"))
+        .filter(_h2("mce:") % 4 == 0)
+        .select("u", "v", (_h2("mcc:") % 20 + 1).alias("cap"))
+    )
+    be = spark.createDataFrame(
+        [(0, k, 25) for k in (1, 2, 3)]
+        + [(k, 11, 25) for k in (8, 9, 10)],
+        "u long, v long, cap long",
+    )
+    ed = (
+        he.unionByName(be)
+        .groupBy("u", "v")
+        .agg(F.max("cap").alias("cap"))
+        .localCheckpoint(eager=True)
+    )
+    masks = spark.range(0, 1024).select(
+        (1 + 2 * F.col("id")).alias("mask")
+    )
+    cuts = (
+        masks.join(
+            F.broadcast(ed),
+            (
+                F.expr("(shiftright(mask, CAST(u AS INT)) & 1) = 1")
+                & F.expr("(shiftright(mask, CAST(v AS INT)) & 1) = 0")
+            ),
+            "left",
+        )
+        .groupBy("mask")
+        .agg(
+            F.coalesce(F.sum("cap"), F.lit(0)).alias("cut"),
+            F.count("cap").alias("n_cut_edges"),
+        )
+    )
+    w = Window.orderBy("cut", "mask")
+    return (
+        cuts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cut").cast("long").alias("min_cut"),
+            F.col("mask").cast("long").alias("best_mask"),
+            F.col("n_cut_edges").cast("long").alias("n_cut_edges"),
+        )
     )

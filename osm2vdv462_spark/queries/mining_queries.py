@@ -3936,3 +3936,174 @@ def double_auction_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trade_k")
     )
+
+
+# ------------------------------------------------- 2-var LP vertices
+
+
+@register_extra(
+    "simplex_2var_lp",
+    """
+    WITH hc AS (
+      SELECT i,
+             ('0x' || substr(md5('la:' || CAST(i AS VARCHAR)),
+                             1, 4))::BIGINT % 19 - 9 AS a,
+             ('0x' || substr(md5('lb:' || CAST(i AS VARCHAR)),
+                             1, 4))::BIGINT % 19 - 9 AS b,
+             ('0x' || substr(md5('lc:' || CAST(i AS VARCHAR)),
+                             1, 4))::BIGINT % 90 + 10 AS c
+      FROM (SELECT unnest(generate_series(2, 11)) AS i)
+    ),
+    cons AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS a,
+             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c
+      UNION ALL
+      SELECT 1, 0, -1, 0
+      UNION ALL
+      SELECT i, a, b, c FROM hc WHERE a <> 0 OR b <> 0
+    ),
+    verts AS (
+      SELECT p.i AS vi, q.i AS vj,
+             p.a * q.b - q.a * p.b AS det,
+             p.c * q.b - q.c * p.b AS nx,
+             p.a * q.c - q.a * p.c AS ny
+      FROM cons p JOIN cons q ON p.i < q.i
+      WHERE p.a * q.b - q.a * p.b <> 0
+    ),
+    feas AS (
+      SELECT v.vi, v.vj, v.det, v.nx, v.ny
+      FROM verts v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cons k
+        WHERE (k.a * v.nx + k.b * v.ny - k.c * v.det)
+              * (CASE WHEN v.det > 0 THEN 1 ELSE -1 END) > 0)
+    ),
+    scored AS (
+      SELECT vi, vj,
+             CASE WHEN det > 0 THEN (1000 * nx) // det
+                  ELSE (-1000 * nx) // (-det) END AS x_milli,
+             CASE WHEN det > 0 THEN (1000 * ny) // det
+                  ELSE (-1000 * ny) // (-det) END AS y_milli,
+             CASE WHEN det > 0
+                  THEN (1000 * (3 * nx + 2 * ny)) // det
+                  ELSE (-1000 * (3 * nx + 2 * ny)) // (-det)
+             END AS obj_milli
+      FROM feas
+    )
+    SELECT CAST(vi AS BIGINT) AS vi, CAST(vj AS BIGINT) AS vj,
+           CAST(x_milli AS BIGINT) AS x_milli,
+           CAST(y_milli AS BIGINT) AS y_milli,
+           CAST(obj_milli AS BIGINT) AS obj_milli
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY obj_milli DESC, vi, vj) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def simplex_2var_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-variable linear program solved EXACTLY by vertex enumeration —
+    the geometric fact beneath the simplex method (an optimum sits on
+    a vertex = a constraint-pair intersection): enumerate all pairs,
+    solve each 2x2 by Cramer integers (no division — the vertex is
+    kept as the rational (nx/det, ny/det)), test feasibility against
+    every half-plane by sign-corrected cross-multiplication, and take
+    the best objective 3x+2y. All comparisons exact-integer; the milli
+    floors only render the winner (objective provably >= 0 here since
+    the origin is feasible, so trunc == floor on both engines). Spark
+    shape: constraint pairs fan out map-side against a broadcast
+    constraint list — the exhaustive-small-instance pattern of the
+    Shapley/knapsack rows, which is exactly how one solves millions of
+    INDEPENDENT small LPs (per-user budgets, per-cell blends) at
+    scale. md5-derived constraints + x,y >= 0."""
+    cons_rows = [(0, -1, 0, 0), (1, 0, -1, 0)]
+    hc = spark.range(2, 12).select(F.col("id").alias("i"))
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("i").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    hcd = hc.select(
+        "i",
+        (_h("la:") % 19 - 9).alias("a"),
+        (_h("lb:") % 19 - 9).alias("b"),
+        (_h("lc:") % 90 + 10).alias("c"),
+    ).filter((F.col("a") != 0) | (F.col("b") != 0))
+    base = spark.createDataFrame(cons_rows, "i long, a long, b long, c long")
+    cons = base.unionByName(hcd).localCheckpoint(eager=True)
+    p = cons.select(
+        F.col("i").alias("vi"), F.col("a").alias("pa"),
+        F.col("b").alias("pb"), F.col("c").alias("pc"),
+    )
+    q = cons.select(
+        F.col("i").alias("vj"), F.col("a").alias("qa"),
+        F.col("b").alias("qb"), F.col("c").alias("qc"),
+    )
+    verts = (
+        p.crossJoin(q)
+        .filter(F.col("vi") < F.col("vj"))
+        .select(
+            "vi",
+            "vj",
+            (F.col("pa") * F.col("qb") - F.col("qa") * F.col("pb")).alias("det"),
+            (F.col("pc") * F.col("qb") - F.col("qc") * F.col("pb")).alias("nx"),
+            (F.col("pa") * F.col("qc") - F.col("qa") * F.col("pc")).alias("ny"),
+        )
+        .filter(F.col("det") != 0)
+    )
+    k = cons.select(
+        F.col("a").alias("ka"), F.col("b").alias("kb"),
+        F.col("c").alias("kc"),
+    )
+    viol = (
+        verts.crossJoin(F.broadcast(k))
+        .filter(
+            (
+                F.col("ka") * F.col("nx")
+                + F.col("kb") * F.col("ny")
+                - F.col("kc") * F.col("det")
+            )
+            * F.when(F.col("det") > 0, 1).otherwise(-1)
+            > 0
+        )
+        .select("vi", "vj")
+        .distinct()
+    )
+    feas = verts.join(viol, ["vi", "vj"], "left_anti")
+    scored = feas.select(
+        "vi",
+        "vj",
+        F.expr(
+            "CASE WHEN det > 0 THEN (1000 * nx) div det"
+            " ELSE (-1000 * nx) div (-det) END"
+        ).alias("x_milli"),
+        F.expr(
+            "CASE WHEN det > 0 THEN (1000 * ny) div det"
+            " ELSE (-1000 * ny) div (-det) END"
+        ).alias("y_milli"),
+        F.expr(
+            "CASE WHEN det > 0 THEN (1000 * (3 * nx + 2 * ny)) div det"
+            " ELSE (-1000 * (3 * nx + 2 * ny)) div (-det) END"
+        ).alias("obj_milli"),
+    )
+    w = Window.orderBy(F.desc("obj_milli"), "vi", "vj")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vi").cast("long").alias("vi"),
+            F.col("vj").cast("long").alias("vj"),
+            F.col("x_milli").cast("long").alias("x_milli"),
+            F.col("y_milli").cast("long").alias("y_milli"),
+            F.col("obj_milli").cast("long").alias("obj_milli"),
+        )
+    )
