@@ -6,11 +6,15 @@ CSV HEADER)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators._guard import collect_dim
 from ..sources.organisations import read_organisations, render_rows, write_csv
-from . import register
+from . import register, register_extra
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _nation_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str]]:
@@ -164,3 +168,76 @@ def _register_jsonl():
 
 
 _register_jsonl()
+
+
+# ------------------------------------------------ JSON path extraction
+
+
+@register_extra(
+    "json_extract_rollup",
+    """
+    WITH j AS (
+      SELECT event_type,
+             '{"k": ' || CAST(json_extract(props, '$.k') AS VARCHAR)
+             || ', "tags": ["t'
+             || CAST(user_id % 7 AS VARCHAR) || '", "t'
+             || CAST(event_id % 5 AS VARCHAR) || '"], "geo": {"x": '
+             || CAST(event_id % 100 AS VARCHAR) || '}}' AS doc
+      FROM events
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(json_extract(doc, '$.k') AS BIGINT) AS k,
+             json_extract_string(doc, '$.tags[1]') AS tag2,
+             CAST(json_extract(doc, '$.geo.x') AS BIGINT) AS gx
+      FROM j
+    )
+    SELECT event_type, tag2,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(gx) AS BIGINT) AS sum_gx
+    FROM x GROUP BY 1, 2 ORDER BY event_type, tag2
+    """,
+)
+def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON-path extraction + rollup — the schema-on-
+    read workload Spark serves constantly (event payloads, API logs):
+    build a nested JSON document per event (object / array-index /
+    nested-object fields, byte-identical construction on both engines),
+    then extract '$.k', '$.tags[1]', '$.geo.x' and aggregate. Gates
+    that Spark's get_json_object and DuckDB's json_extract agree on
+    path semantics (array indexing is 0-based in BOTH JSONPath
+    dialects), and that numeric extraction casts identically. The
+    extraction is pure JVM expression work — at scale it pushes
+    straight into the scan projection with no shuffle beyond the final
+    partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    j = ev.select(
+        "event_type",
+        F.concat(
+            F.lit('{"k": '),
+            F.get_json_object("props", "$.k"),
+            F.lit(', "tags": ["t'),
+            F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+            F.lit('", "t'),
+            F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+            F.lit('"], "geo": {"x": '),
+            F.pmod(F.col("event_id"), F.lit(100)).cast("string"),
+            F.lit("}}"),
+        ).alias("doc"),
+    )
+    x = j.select(
+        "event_type",
+        F.get_json_object("doc", "$.k").cast("long").alias("k"),
+        F.get_json_object("doc", "$.tags[1]").alias("tag2"),
+        F.get_json_object("doc", "$.geo.x").cast("long").alias("gx"),
+    )
+    return (
+        x.groupBy("event_type", "tag2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("gx").cast("long").alias("sum_gx"),
+        )
+        .orderBy("event_type", "tag2")
+    )

@@ -5691,3 +5691,113 @@ def mtf_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_mtf, "doc_id long, mtf_sum long, mtf_max long")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------- CRC32 integrity
+
+
+@register_extra(
+    "crc32_audit",
+    """
+    WITH RECURSIVE tb(i, k, c) AS (
+      SELECT i, 0, CAST(i AS BIGINT)
+      FROM (SELECT unnest(generate_series(0, 255)) AS i)
+      UNION ALL
+      SELECT i, k + 1,
+             CASE WHEN (c & 1) = 1
+                  THEN xor(c >> 1, 3988292384) ELSE c >> 1 END
+      FROM tb WHERE k < 8
+    ),
+    tbl AS (SELECT i, c FROM tb WHERE k = 8),
+    dd AS (
+      SELECT doc_id, substr(text, 1, 16) AS t,
+             length(substr(text, 1, 16)) AS tl
+      FROM documents
+      WHERE strlen(text) = length(text)
+        AND ('0x' || substr(md5('crc:' || CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT % 7 = 0
+    ),
+    st(doc_id, i, crc) AS (
+      SELECT doc_id, CAST(0 AS BIGINT), CAST(4294967295 AS BIGINT)
+      FROM dd
+      UNION ALL
+      SELECT s1.doc_id, s1.i, xor(s1.crc >> 8, tbl.c)
+      FROM (
+        SELECT st.doc_id, st.i + 1 AS i, st.crc,
+               xor(st.crc,
+                   ascii(substr(dd.t, CAST(st.i + 1 AS INT), 1)))
+                 & 255 AS idx
+        FROM st JOIN dd USING (doc_id)
+        WHERE st.i < dd.tl
+      ) s1
+      JOIN tbl ON tbl.i = s1.idx
+    )
+    SELECT d.doc_id, CAST(d.tl AS BIGINT) AS n_bytes,
+           CAST(xor(f.crc, 4294967295) AS BIGINT) AS crc32
+    FROM dd d
+    JOIN (SELECT doc_id, crc
+          FROM (SELECT doc_id, crc,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i DESC) AS rn
+                FROM st) WHERE rn = 1) f USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def crc32_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC-32 (IEEE 802.3) content checksums — the integrity primitive
+    under every zip/png/parquet page and storage scrubber. REAL
+    cross-derivation: the Spark side calls zlib.crc32 (the battle-
+    tested C implementation, vectorized per Arrow batch), while the
+    oracle implements the algorithm FROM SCRATCH in SQL — a recursive
+    CTE builds the 256-entry reflected-polynomial table (8 shift/xor
+    steps per entry, poly 0xEDB88320) and a per-doc list-machine folds
+    crc = (crc>>8) XOR table[(crc XOR byte) & 0xFF] over the bytes,
+    final-xor 0xFFFFFFFF. Any disagreement in table build, byte order,
+    or xor/shift semantics breaks the hash. ASCII-gated 16-byte
+    prefixes; md5 doc sample. At scale the checksum is embarrassingly
+    parallel map work — the same shape the engine's merkle16 partition
+    roots build on."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("crc:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 7
+            == 0
+        )
+        .select("doc_id", F.substring("text", 1, 16).alias("t"))
+    )
+
+    def _crc(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": pdf["t"].str.len().astype("int64"),
+                        "crc32": [
+                            zlib.crc32(t.encode("ascii")) & 0xFFFFFFFF
+                            for t in pdf["t"]
+                        ],
+                    }
+                )
+
+    return d.mapInPandas(
+        _crc, "doc_id long, n_bytes long, crc32 long"
+    ).orderBy("doc_id")
