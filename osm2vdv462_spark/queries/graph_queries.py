@@ -2163,3 +2163,183 @@ def mincut_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cut_edges").cast("long").alias("n_cut_edges"),
         )
     )
+
+
+# ----------------------------------------------------- 2-SAT via SCC
+
+
+_SAT_CLAUSES_SQL = """
+    cl AS (
+      SELECT i.inst, c.c,
+             ('0x' || substr(md5('s1:' || CAST(i.inst AS VARCHAR) || ':'
+                || CAST(c.c AS VARCHAR)), 1, 5))::BIGINT % 20 AS l1,
+             ('0x' || substr(md5('s2:' || CAST(i.inst AS VARCHAR) || ':'
+                || CAST(c.c AS VARCHAR)), 1, 5))::BIGINT % 20 AS l2
+      FROM (SELECT unnest(generate_series(0, 7)) AS inst) i,
+           (SELECT unnest(generate_series(0, 21)) AS c) c
+    )
+"""
+
+
+@register_extra(
+    "two_sat_scc",
+    f"""
+    WITH {_SAT_CLAUSES_SQL},
+    masks AS (SELECT unnest(generate_series(0, 1023)) AS a),
+    ev AS (
+      SELECT cl.inst, m.a, cl.c,
+             CASE WHEN ((m.a >> CAST(cl.l1 // 2 AS INT)) & 1)
+                       = 1 - cl.l1 % 2
+                    OR ((m.a >> CAST(cl.l2 // 2 AS INT)) & 1)
+                       = 1 - cl.l2 % 2
+                  THEN 1 ELSE 0 END AS ok
+      FROM cl, masks m
+    ),
+    sat_assign AS (
+      SELECT inst, a FROM ev GROUP BY inst, a HAVING min(ok) = 1
+    )
+    SELECT c.inst,
+           count(DISTINCT c.c) AS n_clauses,
+           coalesce(s.n, 0) > 0 AS satisfiable,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_solutions
+    FROM cl c
+    LEFT JOIN (SELECT inst, count(*) AS n FROM sat_assign GROUP BY 1) s
+      USING (inst)
+    GROUP BY c.inst, s.n ORDER BY c.inst
+    """,
+)
+def two_sat_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-SAT decided by the engine's DISTRIBUTED SCC operator — the
+    classic reduction (Aspvall-Plass-Tarjan): each clause (l1 v l2)
+    contributes implications not-l1 -> l2 and not-l2 -> l1; the formula
+    is satisfiable iff no variable shares a strongly connected
+    component with its own negation. Spark runs Orzan forward-min
+    coloring + backward confinement (operators/graph.py::
+    strongly_connected_components) over ALL 8 instances at once
+    (literal nodes packed inst*100+lit — batching independent
+    instances into one graph is the at-scale pattern); the oracle is
+    the brute-force DEFINITION: evaluate every clause under all 2^10
+    assignments and count satisfying ones. Solution COUNTS come from
+    the oracle-side semantics; the Spark side reproduces them with the
+    same distributed mask-join used by mincut_enumeration — while
+    satisfiability itself is cross-checked against the SCC criterion
+    at runtime (a mismatch raises, so the gate row also witnesses the
+    reduction's correctness)."""
+    from ..operators.graph import strongly_connected_components
+
+    ii = spark.range(0, 8).select(F.col("id").alias("inst"))
+    cc = spark.range(0, 22).select(F.col("id").alias("c"))
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("inst").cast("string"),
+                        F.lit(":"),
+                        F.col("c").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cl = ii.crossJoin(cc).select(
+        "inst", "c", (_h("s1:") % 20).alias("l1"), (_h("s2:") % 20).alias("l2")
+    ).localCheckpoint(eager=True)
+    # implication graph over packed literal nodes
+    nid = lambda inst, lit: inst * 100 + lit  # noqa: E731
+    neg = lambda lit: lit.bitwiseXOR(F.lit(1))  # noqa: E731
+    e1 = cl.select(
+        nid(F.col("inst"), neg(F.col("l1"))).alias("src"),
+        nid(F.col("inst"), F.col("l2")).alias("dst"),
+    )
+    e2 = cl.select(
+        nid(F.col("inst"), neg(F.col("l2"))).alias("src"),
+        nid(F.col("inst"), F.col("l1")).alias("dst"),
+    )
+    edges = e1.unionAll(e2).distinct()
+    verts = (
+        ii.crossJoin(
+            spark.range(0, 20).select(F.col("id").alias("lit"))
+        )
+        .select((F.col("inst") * 100 + F.col("lit")).alias("id"))
+    )
+    scc = strongly_connected_components(verts, edges)
+    lab = scc.select(
+        F.expr("id div 100").alias("inst"),
+        F.pmod(F.col("id"), F.lit(100)).alias("lit"),
+        F.col("scc_id"),
+    )
+    pos = lab.filter(F.pmod(F.col("lit"), F.lit(2)) == 0).select(
+        "inst",
+        F.expr("lit div 2").alias("var"),
+        F.col("scc_id").alias("sp"),
+    )
+    ng = lab.filter(F.pmod(F.col("lit"), F.lit(2)) == 1).select(
+        "inst",
+        F.expr("lit div 2").alias("var"),
+        F.col("scc_id").alias("sn"),
+    )
+    sat_scc = (
+        pos.join(ng, ["inst", "var"])
+        .groupBy("inst")
+        .agg(
+            F.min(
+                F.when(F.col("sp") == F.col("sn"), 0).otherwise(1)
+            ).alias("ok")
+        )
+        .select("inst", (F.col("ok") == 1).alias("sat_by_scc"))
+    )
+    # solution counts via the distributed mask join (oracle's semantics)
+    masks = spark.range(0, 1024).select(F.col("id").alias("a"))
+    ev = cl.crossJoin(F.broadcast(masks)).select(
+        "inst",
+        "a",
+        F.when(
+            (
+                F.expr("(shiftright(a, CAST(l1 div 2 AS INT)) & 1)")
+                == 1 - F.pmod(F.col("l1"), F.lit(2))
+            )
+            | (
+                F.expr("(shiftright(a, CAST(l2 div 2 AS INT)) & 1)")
+                == 1 - F.pmod(F.col("l2"), F.lit(2))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    sat_assign = (
+        ev.groupBy("inst", "a")
+        .agg(F.min("ok").alias("allok"))
+        .filter(F.col("allok") == 1)
+        .groupBy("inst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ncl = cl.groupBy("inst").agg(
+        F.countDistinct("c").alias("n_clauses")
+    )
+    out = (
+        ncl.join(sat_assign, "inst", "left")
+        .join(sat_scc, "inst")
+        .select(
+            "inst",
+            "n_clauses",
+            (F.coalesce("n", F.lit(0)) > 0).alias("satisfiable"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_solutions"),
+            "sat_by_scc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the APT-reduction cross-check: SCC verdict must equal enumeration
+    bad = out.filter(F.col("satisfiable") != F.col("sat_by_scc")).count()
+    if bad:
+        raise ValueError("2-SAT SCC criterion disagrees with enumeration")
+    return out.select(
+        "inst", "n_clauses", "satisfiable", "n_solutions"
+    ).orderBy("inst")

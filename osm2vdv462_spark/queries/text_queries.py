@@ -5801,3 +5801,91 @@ def crc32_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _crc, "doc_id long, n_bytes long, crc32 long"
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ Heaps-law vocab curve
+
+
+@register_extra(
+    "heaps_law_curve",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.i AS pos, u.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks,
+                     (x, i) -> {'i': i, 'w': x})) AS u
+            FROM toks0)
+    ),
+    g AS (
+      SELECT w,
+             row_number() OVER (ORDER BY doc_id, pos) AS gpos
+      FROM tok
+    ),
+    firsts AS (SELECT w, min(gpos) AS fp FROM g GROUP BY 1),
+    ckpt AS (
+      SELECT 250 * unnest(generate_series(1, 8)) AS n
+    )
+    SELECT c.n,
+           CAST((SELECT count(*) FROM firsts f WHERE f.fp <= c.n)
+                AS BIGINT) AS vocab,
+           CAST((SELECT count(*) FROM g WHERE g.gpos <= c.n)
+                AS BIGINT) AS n_tokens
+    FROM ckpt c ORDER BY c.n
+    """,
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — distinct-type count after
+    the first n tokens, the corpus-linguistics diagnostic every
+    tokenizer/dedup study plots (V(n) ~ K*n^beta; a flattening curve
+    means the corpus is exhausting its vocabulary — the data-quality
+    signal behind 'is more data adding anything new?'). Computed the
+    scalable way: ONE global position rank (range-partitioned sort),
+    then each type's FIRST occurrence position — so every checkpoint
+    V(n) is just count(first_pos <= n), one tiny agg over the type
+    table instead of 8 distinct-counts over 8 prefixes. Tokens ordered
+    by (doc_id, position) — a total order both engines share. Eight
+    250-token checkpoints; exact integers."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias(
+                "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.posexplode("toks").alias("pos0", "w"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    wg = Window.orderBy("doc_id", "pos")
+    g = toks.select("w", F.row_number().over(wg).alias("gpos"))
+    firsts = g.groupBy("w").agg(F.min("gpos").alias("fp"))
+    ckpt = spark.range(1, 9).select((250 * F.col("id")).alias("n"))
+    fb = F.broadcast(firsts)
+    gb = F.broadcast(g.select("gpos"))
+    vocab = (
+        ckpt.join(fb, F.col("fp") <= F.col("n"), "left")
+        .groupBy("n")
+        .agg(F.count("fp").alias("vocab"))
+    )
+    ntok = (
+        ckpt.join(gb, F.col("gpos") <= F.col("n"), "left")
+        .groupBy("n")
+        .agg(F.count("gpos").alias("n_tokens"))
+    )
+    return (
+        vocab.join(ntok, "n")
+        .select(
+            "n",
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("n")
+    )
