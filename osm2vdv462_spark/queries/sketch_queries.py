@@ -1040,3 +1040,261 @@ def rendezvous_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------------- NTT / convolution theorem
+
+
+_NTT_WP_SQL = """
+    wp0(m, v) AS (
+      SELECT 0, CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT m + 1, (v * 249) % 257 FROM wp0 WHERE m < 15
+    ),
+    wp AS (SELECT m, v FROM wp0),
+    sj AS (
+      SELECT s.s, j.j,
+             ('0x' || substr(md5('na:' || CAST(s.s AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 5))::BIGINT % 257 AS a,
+             ('0x' || substr(md5('nb:' || CAST(s.s AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 5))::BIGINT % 257 AS b
+      FROM (SELECT unnest(generate_series(0, 5)) AS s) s,
+           (SELECT unnest(generate_series(0, 15)) AS j) j
+    )
+"""
+
+
+@register_extra(
+    "ntt_convolution_check",
+    f"""
+    WITH RECURSIVE {_NTT_WP_SQL},
+    cc AS (
+      SELECT a.s, m.m,
+             sum(a.a * b.b) % 257 AS c
+      FROM (SELECT unnest(generate_series(0, 15)) AS m) m,
+           sj a
+      JOIN sj b ON b.s = a.s
+      WHERE b.j = ((m.m - a.j) % 16 + 16) % 16
+      GROUP BY 1, 2
+    ),
+    ck AS (
+      SELECT cc.s, k.k,
+             sum(cc.c * wp.v) % 257 AS prod
+      FROM cc,
+           (SELECT unnest(generate_series(0, 15)) AS k) k
+      JOIN wp ON wp.m = (cc.m * k.k) % 16
+      GROUP BY 1, 2
+    )
+    SELECT s, CAST(k AS BIGINT) AS k, CAST(prod AS BIGINT) AS prod
+    FROM ck ORDER BY s, k
+    """,
+)
+def ntt_convolution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number-theoretic transform gated by the CONVOLUTION THEOREM —
+    exact-integer FFT over Z/257 (n=16, root 249 = 3^16, verified
+    order 16): the transform behind big-integer multiplication and
+    post-quantum lattice crypto, and the only FFT whose cross-engine
+    hash can be exact (no floats exist). Genuinely different
+    derivations on the two engines: Spark computes NTT(a)[k] *
+    NTT(b)[k] mod p from the TRANSFORM definition (one j x k expand,
+    partial-agg sums per (series, k)); the oracle computes the
+    CIRCULAR CONVOLUTION c = a (*) b in the time domain and transforms
+    THAT — the results agree iff the convolution theorem holds over
+    the exact modular arithmetic of both engines. Power table built by
+    16-step recursion (oracle) / literal closed form (Spark). Six
+    md5-derived 16-point series pairs; sums bounded at 1.06e6, far
+    inside exact BIGINT."""
+    wp = [1]
+    for _ in range(15):
+        wp.append(wp[-1] * 249 % 257)
+    wdf = spark.createDataFrame(
+        [(m, v) for m, v in enumerate(wp)], "m long, v long"
+    )
+    ss = spark.range(0, 6).select(F.col("id").alias("s"))
+    jj = spark.range(0, 16).select(F.col("id").alias("j"))
+    kk = spark.range(0, 16).select(F.col("id").alias("k"))
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sj = ss.crossJoin(jj).select(
+        "s", "j", (_h("na:") % 257).alias("a"), (_h("nb:") % 257).alias("b")
+    )
+    expand = sj.crossJoin(F.broadcast(kk)).withColumn(
+        "m", F.pmod(F.col("j") * F.col("k"), F.lit(16))
+    ).join(F.broadcast(wdf), "m")
+    A = expand.groupBy("s", "k").agg(
+        F.pmod(F.sum(F.col("a") * F.col("v")), F.lit(257)).alias("ak")
+    )
+    B = expand.groupBy("s", "k").agg(
+        F.pmod(F.sum(F.col("b") * F.col("v")), F.lit(257)).alias("bk")
+    )
+    return (
+        A.join(B, ["s", "k"])
+        .select(
+            "s",
+            F.col("k").cast("long").alias("k"),
+            F.pmod(F.col("ak") * F.col("bk"), F.lit(257))
+            .cast("long")
+            .alias("prod"),
+        )
+        .orderBy("s", "k")
+    )
+
+
+# ------------------------------------------------- Hamming(7,4) ECC
+
+
+@register_extra(
+    "hamming74_ecc",
+    """
+    WITH blk AS (
+      SELECT event_id,
+             ('0x' || substr(md5('hd:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 16 AS d,
+             ('0x' || substr(md5('he:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 8 AS e
+      FROM events
+      WHERE ('0x' || substr(md5('hg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 13 = 0
+    ),
+    enc AS (
+      SELECT event_id, d,
+             CASE WHEN e < 7 THEN e + 1 ELSE 0 END AS epos,
+             (d >> 0) & 1 AS b0, (d >> 1) & 1 AS b1,
+             (d >> 2) & 1 AS b2, (d >> 3) & 1 AS b3
+      FROM blk
+    ),
+    cw AS (
+      SELECT event_id, d, epos, b0, b1, b2, b3,
+             xor(xor(b0, b1), b3) AS p1,
+             xor(xor(b0, b2), b3) AS p2,
+             xor(xor(b1, b2), b3) AS p3
+      FROM enc
+    ),
+    rx AS (
+      SELECT event_id, d, epos,
+             CASE WHEN epos = 1 THEN 1 - p1 ELSE p1 END AS c1,
+             CASE WHEN epos = 2 THEN 1 - p2 ELSE p2 END AS c2,
+             CASE WHEN epos = 3 THEN 1 - b0 ELSE b0 END AS c3,
+             CASE WHEN epos = 4 THEN 1 - p3 ELSE p3 END AS c4,
+             CASE WHEN epos = 5 THEN 1 - b1 ELSE b1 END AS c5,
+             CASE WHEN epos = 6 THEN 1 - b2 ELSE b2 END AS c6,
+             CASE WHEN epos = 7 THEN 1 - b3 ELSE b3 END AS c7
+      FROM cw
+    ),
+    syn AS (
+      SELECT event_id, d, epos, c1, c2, c3, c4, c5, c6, c7,
+             xor(xor(xor(c1, c3), c5), c7)
+             + 2 * xor(xor(xor(c2, c3), c6), c7)
+             + 4 * xor(xor(xor(c4, c5), c6), c7) AS s
+      FROM rx
+    ),
+    dec AS (
+      SELECT event_id, d, epos, s,
+             (CASE WHEN s = 3 THEN 1 - c3 ELSE c3 END)
+             + 2 * (CASE WHEN s = 5 THEN 1 - c5 ELSE c5 END)
+             + 4 * (CASE WHEN s = 6 THEN 1 - c6 ELSE c6 END)
+             + 8 * (CASE WHEN s = 7 THEN 1 - c7 ELSE c7 END) AS dd
+      FROM syn
+    )
+    SELECT epos AS error_pos,
+           count(*) AS n_blocks,
+           count(*) FILTER (WHERE s = epos) AS n_syndrome_ok,
+           count(*) FILTER (WHERE dd = d) AS n_decoded_ok
+    FROM dec GROUP BY 1 ORDER BY error_pos
+    """,
+)
+def hamming74_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming(7,4) single-error-correcting code, encode -> corrupt ->
+    syndrome-decode round trip — the ECC algebra under DRAM/SSD
+    scrubbing and RAID verify passes. Each md5-derived nibble is
+    encoded with the three standard parity bits (positions 1,2,4
+    covering the classic index masks), a planted single-bit error
+    (position e+1, or clean when e=7) flips one codeword bit, and the
+    decoder recomputes the syndrome s1+2*s2+4*s3 — which must equal
+    the planted position exactly, and the corrected nibble must equal
+    the original for every block (n_syndrome_ok == n_decoded_ok ==
+    n_blocks row-by-row; the gate hash proves the full 100%-recovery
+    property, grouped by error position). Pure bit algebra (xor/shift/
+    CASE) — identical JVM expressions and SQL, embarrassingly parallel
+    map work with one tiny partial agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    blk = ev.filter(_h("hg:", 4) % 13 == 0).select(
+        (_h("hd:", 4) % 16).alias("d"), (_h("he:", 4) % 8).alias("e")
+    )
+    x = F.expr
+    dec = (
+        blk.withColumn(
+            "epos", F.when(F.col("e") < 7, F.col("e") + 1).otherwise(0)
+        )
+        .withColumn("b0", x("(d >> 0) & 1"))
+        .withColumn("b1", x("(d >> 1) & 1"))
+        .withColumn("b2", x("(d >> 2) & 1"))
+        .withColumn("b3", x("(d >> 3) & 1"))
+        .withColumn("p1", x("b0 ^ b1 ^ b3"))
+        .withColumn("p2", x("b0 ^ b2 ^ b3"))
+        .withColumn("p3", x("b1 ^ b2 ^ b3"))
+        .withColumn("c1", x("CASE WHEN epos = 1 THEN 1 - p1 ELSE p1 END"))
+        .withColumn("c2", x("CASE WHEN epos = 2 THEN 1 - p2 ELSE p2 END"))
+        .withColumn("c3", x("CASE WHEN epos = 3 THEN 1 - b0 ELSE b0 END"))
+        .withColumn("c4", x("CASE WHEN epos = 4 THEN 1 - p3 ELSE p3 END"))
+        .withColumn("c5", x("CASE WHEN epos = 5 THEN 1 - b1 ELSE b1 END"))
+        .withColumn("c6", x("CASE WHEN epos = 6 THEN 1 - b2 ELSE b2 END"))
+        .withColumn("c7", x("CASE WHEN epos = 7 THEN 1 - b3 ELSE b3 END"))
+        .withColumn(
+            "s",
+            x(
+                "(c1 ^ c3 ^ c5 ^ c7) + 2 * (c2 ^ c3 ^ c6 ^ c7)"
+                " + 4 * (c4 ^ c5 ^ c6 ^ c7)"
+            ),
+        )
+        .withColumn(
+            "dd",
+            x(
+                "(CASE WHEN s = 3 THEN 1 - c3 ELSE c3 END)"
+                " + 2 * (CASE WHEN s = 5 THEN 1 - c5 ELSE c5 END)"
+                " + 4 * (CASE WHEN s = 6 THEN 1 - c6 ELSE c6 END)"
+                " + 8 * (CASE WHEN s = 7 THEN 1 - c7 ELSE c7 END)"
+            ),
+        )
+    )
+    return (
+        dec.groupBy(F.col("epos").alias("error_pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.count(F.when(F.col("s") == F.col("epos"), 1)).alias(
+                "n_syndrome_ok"
+            ),
+            F.count(F.when(F.col("dd") == F.col("d"), 1)).alias(
+                "n_decoded_ok"
+            ),
+        )
+        .orderBy("error_pos")
+    )
