@@ -4107,3 +4107,237 @@ def simplex_2var_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("obj_milli").cast("long").alias("obj_milli"),
         )
     )
+
+
+# ------------------------------------------------- epsilon-greedy bandit
+
+
+@register_extra(
+    "egreedy_bandit_replay",
+    """
+    WITH RECURSIVE streams AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ),
+    st(s, t, arms) AS (
+      SELECT s, CAST(0 AS BIGINT),
+             [{'n': CAST(0 AS BIGINT), 'w': CAST(0 AS BIGINT)},
+              {'n': CAST(0 AS BIGINT), 'w': CAST(0 AS BIGINT)},
+              {'n': CAST(0 AS BIGINT), 'w': CAST(0 AS BIGINT)}]
+      FROM streams
+      UNION ALL
+      SELECT s3.s, s3.t,
+             list_transform(s3.a, (x, i) ->
+               CASE WHEN i = s3.ch + 1
+                    THEN {'n': x.n + 1, 'w': x.w + s3.rw}
+                    ELSE x END)
+      FROM (
+        SELECT s2.s, s2.t, s2.a, s2.ch,
+               CASE WHEN ('0x' || substr(md5('br:'
+                      || CAST(s2.s AS VARCHAR) || ':'
+                      || CAST(s2.t AS VARCHAR) || ':'
+                      || CAST(s2.ch AS VARCHAR)), 1, 4))::BIGINT % 100
+                    < 30 + 20 * s2.ch THEN 1 ELSE 0 END AS rw
+        FROM (
+          SELECT s1.s, s1.t, s1.a,
+                 CASE WHEN s1.explore = 0 THEN s1.earm
+                      WHEN s1.a[1].n = 0 THEN 0
+                      WHEN s1.a[2].n = 0 THEN 1
+                      WHEN s1.a[3].n = 0 THEN 2
+                      ELSE CASE WHEN s1.a[3].w
+                                   * s1.a[s1.b01 + 1].n
+                                 > s1.a[s1.b01 + 1].w * s1.a[3].n
+                                THEN 2 ELSE s1.b01 END
+                 END AS ch
+          FROM (
+            SELECT s0.s, s0.t, s0.a, s0.explore, s0.earm,
+                   CASE WHEN s0.a[2].w * s0.a[1].n
+                           > s0.a[1].w * s0.a[2].n
+                        THEN 1 ELSE 0 END AS b01
+            FROM (
+              SELECT st.s, st.t + 1 AS t, st.arms AS a,
+                     ('0x' || substr(md5('bx:'
+                        || CAST(st.s AS VARCHAR) || ':'
+                        || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                       % 10 AS explore,
+                     CAST(('0x' || substr(md5('ba:'
+                        || CAST(st.s AS VARCHAR) || ':'
+                        || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                       % 3 AS INT) AS earm
+              FROM st WHERE st.t < 80
+            ) s0
+          ) s1
+        ) s2
+      ) s3
+    )
+    SELECT s, u.i - 1 AS arm, u.x.n AS n_pulls, u.x.w AS n_wins
+    FROM (
+      SELECT s, unnest(list_transform(arms,
+               (x, i) -> {'i': i, 'x': x})) AS u
+      FROM (SELECT s, arms,
+                   row_number() OVER (PARTITION BY s
+                                      ORDER BY t DESC) AS rn
+            FROM st) WHERE rn = 1
+    )
+    ORDER BY s, arm
+    """,
+)
+def egreedy_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-greedy multi-armed bandit replay — the
+    explore/exploit loop every ranking/recommendation system runs,
+    replayed DETERMINISTICALLY: md5 coins decide exploration (10%),
+    the explored arm, and each Bernoulli reward (arm means 30/50/70%);
+    exploitation picks the best empirical mean with EXACT
+    cross-multiplied fraction comparison (w_i*n_j > w_j*n_i — no
+    float means ever), unpulled arms first, ties to the lower index.
+    8 streams x 80 rounds; Spark runs the per-stream fold in
+    applyInPandas (streams are the parallel axis — a fleet replays
+    millions of user streams this way), the oracle replays the
+    identical policy as a recursive list machine over the 3-arm state.
+    Output: per-arm pull and win counts — the bandit should
+    concentrate on arm 2."""
+    streams = spark.range(0, 8).select(F.col("id").alias("s"))
+    import hashlib
+
+    def _mh(sstr: str) -> int:
+        return int(hashlib.md5(sstr.encode()).hexdigest()[:4], 16)
+
+    def _replay(key, pdf):
+        import pandas as pd
+
+        s = int(key[0])
+        arms = [[0, 0], [0, 0], [0, 0]]
+        for t in range(1, 81):
+            if _mh(f"bx:{s}:{t}") % 10 == 0:
+                ch = _mh(f"ba:{s}:{t}") % 3
+            elif arms[0][0] == 0:
+                ch = 0
+            elif arms[1][0] == 0:
+                ch = 1
+            elif arms[2][0] == 0:
+                ch = 2
+            else:
+                b01 = 1 if arms[1][1] * arms[0][0] > arms[0][1] * arms[1][0] else 0
+                ch = (
+                    2
+                    if arms[2][1] * arms[b01][0] > arms[b01][1] * arms[2][0]
+                    else b01
+                )
+            rw = 1 if _mh(f"br:{s}:{t}:{ch}") % 100 < 30 + 20 * ch else 0
+            arms[ch][0] += 1
+            arms[ch][1] += rw
+        return pd.DataFrame(
+            [(s, a, arms[a][0], arms[a][1]) for a in range(3)],
+            columns=["s", "arm", "n_pulls", "n_wins"],
+        )
+
+    return (
+        streams.groupBy("s")
+        .applyInPandas(
+            _replay, "s long, arm long, n_pulls long, n_wins long"
+        )
+        .orderBy("s", "arm")
+    )
+
+
+# --------------------------------------------------- integer PID loop
+
+
+@register_extra(
+    "pid_controller_replay",
+    """
+    WITH RECURSIVE loops AS (
+      SELECT unnest(generate_series(0, 5)) AS l
+    ),
+    st(l, t, x, integ, eprev, sabse, mx) AS (
+      SELECT l, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM loops
+      UNION ALL
+      SELECT s1.l, s1.t,
+             s1.x + s1.u + s1.d,
+             s1.integ2, s1.e,
+             s1.sabse + abs(s1.e),
+             greatest(s1.mx, s1.x + s1.u + s1.d)
+      FROM (
+        SELECT s0.l, s0.t, s0.x, s0.e,
+               s0.integ2,
+               greatest(-40, least(40,
+                 (8 * s0.e + s0.integ2 + 2 * (s0.e - s0.eprev)) // 16))
+                 AS u,
+               s0.d, s0.sabse, s0.mx
+        FROM (
+          SELECT sz.*,
+                 greatest(-2000, least(2000, sz.integ + sz.e)) AS integ2
+          FROM (
+          SELECT st.l, st.t + 1 AS t, st.x, st.integ, st.eprev,
+                 st.sabse, st.mx,
+                 (CASE WHEN st.t + 1 <= 30 THEN 100 ELSE 160 END)
+                   - st.x AS e,
+                 ('0x' || substr(md5('pd:' || CAST(st.l AS VARCHAR)
+                    || ':' || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                   % 7 - 3 AS d
+          FROM st WHERE st.t < 60
+        ) sz ) s0
+      ) s1
+    )
+    SELECT l, CAST(x AS BIGINT) AS final_x,
+           CAST(sabse AS BIGINT) AS sum_abs_err,
+           CAST(mx AS BIGINT) AS max_x
+    FROM (SELECT l, x, sabse, mx,
+                 row_number() OVER (PARTITION BY l
+                                    ORDER BY t DESC) AS rn
+          FROM st) WHERE rn = 1
+    ORDER BY l
+    """,
+)
+def pid_controller_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PID control-loop replay — the feedback controller under
+    autoscalers, rate limiters, and admission control, simulated with
+    EXACT integer arithmetic (gains 8/1/2 over 16 with TRUNCATING
+    division pinned on both engines — the raw drive goes negative,
+    where trunc and floor diverge; actuation clamped to [-40, 40] and
+    the integrator anti-windup-clamped to [-2000, 2000], exactly like
+    a production controller — the clamps also BOUND the integer state,
+    so the replay can never overflow): setpoint steps 100 -> 160 at
+    t=30, md5-derived disturbance in [-3, 3], plant x += u + d.
+    6 loops x 60 steps; Spark folds per loop in applyInPandas (fleets
+    replay millions of independent control traces — the parallel axis
+    is the loop), oracle replays the identical dynamics as a recursive
+    machine. Outputs final state, total absolute error, and peak
+    (overshoot witness)."""
+    loops = spark.range(0, 6).select(F.col("id").alias("l"))
+    import hashlib
+
+    def _mh(sstr: str) -> int:
+        return int(hashlib.md5(sstr.encode()).hexdigest()[:4], 16)
+
+    def _tdiv16(v: int) -> int:
+        return v // 16 if v >= 0 else -((-v) // 16)
+
+    def _replay(key, pdf):
+        import pandas as pd
+
+        l = int(key[0])
+        x = integ = eprev = sabse = mx = 0
+        for t in range(1, 61):
+            sp = 100 if t <= 30 else 160
+            e = sp - x
+            integ = max(-2000, min(2000, integ + e))
+            u = max(-40, min(40, _tdiv16(8 * e + integ + 2 * (e - eprev))))
+            d = _mh(f"pd:{l}:{t}") % 7 - 3
+            x = x + u + d
+            eprev = e
+            sabse += abs(e)
+            mx = max(mx, x)
+        return pd.DataFrame(
+            [(l, x, sabse, mx)],
+            columns=["l", "final_x", "sum_abs_err", "max_x"],
+        )
+
+    return (
+        loops.groupBy("l")
+        .applyInPandas(
+            _replay, "l long, final_x long, sum_abs_err long, max_x long"
+        )
+        .orderBy("l")
+    )
