@@ -2343,3 +2343,141 @@ def two_sat_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "inst", "n_clauses", "satisfiable", "n_solutions"
     ).orderBy("inst")
+
+
+# ------------------------------------------------- Held-Karp exact TSP
+
+
+_TSP_CITIES_SQL = """
+    cities AS (
+      SELECT i,
+             ('0x' || substr(md5('tcx:' || CAST(i AS VARCHAR)),
+                             1, 4))::BIGINT % 100 AS cx,
+             ('0x' || substr(md5('tcy:' || CAST(i AS VARCHAR)),
+                             1, 4))::BIGINT % 100 AS cy
+      FROM (SELECT unnest(generate_series(0, 7)) AS i)
+    ),
+    dist AS (
+      SELECT a.i AS ci, b.i AS cj,
+             abs(a.cx - b.cx) + abs(a.cy - b.cy) AS d
+      FROM cities a, cities b
+    )
+"""
+
+
+@register_extra(
+    "tsp_held_karp",
+    f"""
+    WITH RECURSIVE {_TSP_CITIES_SQL},
+    st(rem, cur, ln) AS (
+      SELECT (SELECT list(i ORDER BY i) FROM cities WHERE i > 0),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT 1)
+      UNION ALL
+      SELECT list_filter(st.rem, x -> x <> c.i), c.i,
+             st.ln + dist.d
+      FROM st
+      JOIN cities c ON list_contains(st.rem, c.i)
+      JOIN dist ON dist.ci = st.cur AND dist.cj = c.i
+    ),
+    tours AS (
+      SELECT st.ln + dist.d AS total
+      FROM st
+      JOIN dist ON dist.ci = st.cur AND dist.cj = 0
+      WHERE len(st.rem) = 0
+    )
+    SELECT CAST(min(total) AS BIGINT) AS min_len,
+           CAST(count(*) FILTER (WHERE total =
+             (SELECT min(total) FROM tours)) AS BIGINT) AS n_opt_tours
+    FROM tours
+    """,
+)
+def tsp_held_karp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact traveling-salesman tour by HELD-KARP dynamic programming,
+    hash-gated against the EXHAUSTIVE DEFINITION — the strongest
+    cross-derivation shape in the graph family: Spark iterates the
+    subset-lattice DP dp(S, j) = min_i dp(S\\{{j}}, i) + d(i, j) in 7
+    layered rounds (each layer one equi-join of the previous layer
+    against the non-member cities + one partial-agg argmin per (S, j)
+    state, with OPTIMAL-TOUR COUNTS carried as sums over min-achieving
+    transitions — subset masks are plain integers, so state is
+    fixed-width and the lattice distributes by mask), while the oracle
+    enumerates ALL 5040 directed tours as a recursive list machine and
+    takes the min and its multiplicity. DP and enumeration agree on
+    BOTH the optimum and the number of optimal directed tours (always
+    even — each undirected tour appears with its reversal). 8
+    md5-placed cities, Manhattan metric, exact integers throughout.
+    At real scale Held-Karp is how one solves MILLIONS of small
+    routing instances (last-mile subproblems) in parallel; the
+    route_2opt_sweeps row covers the large-instance heuristic side."""
+    import hashlib
+
+    def _mh(sstr: str) -> int:
+        return int(hashlib.md5(sstr.encode()).hexdigest()[:4], 16)
+
+    coords = [(_mh(f"tcx:{i}") % 100, _mh(f"tcy:{i}") % 100) for i in range(8)]
+    dmat = [
+        (i, j, abs(coords[i][0] - coords[j][0]) + abs(coords[i][1] - coords[j][1]))
+        for i in range(8)
+        for j in range(8)
+    ]
+    dist = spark.createDataFrame(dmat, "ci long, cj long, d long")
+    distb = F.broadcast(dist)
+    # base layer: dp({j}, j) = d(0, j)
+    dp = (
+        dist.filter((F.col("ci") == 0) & (F.col("cj") > 0))
+        .select(
+            F.expr(
+                "CAST(shiftleft(1, CAST(cj - 1 AS INT)) AS BIGINT)"
+            ).alias("mask"),
+            F.col("cj").alias("j"),
+            F.col("d").alias("ln"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(6):
+        cand = (
+            dp.join(
+                distb.filter(F.col("cj") > 0),
+                dp["j"] == F.col("ci"),
+            )
+            .filter(
+                F.expr("(shiftright(mask, CAST(cj - 1 AS INT)) & 1) = 0")
+            )
+            .select(
+                F.expr(
+                    "mask | CAST(shiftleft(1, CAST(cj - 1 AS INT)) AS BIGINT)"
+                ).alias("mask"),
+                F.col("cj").alias("j"),
+                (F.col("ln") + F.col("d")).alias("ln"),
+                "cnt",
+            )
+        )
+        mins = cand.groupBy("mask", "j").agg(F.min("ln").alias("ml"))
+        dp = (
+            cand.join(mins, ["mask", "j"])
+            .filter(F.col("ln") == F.col("ml"))
+            .groupBy("mask", "j")
+            .agg(
+                F.min("ln").alias("ln"), F.sum("cnt").alias("cnt")
+            )
+            .localCheckpoint(eager=True)
+        )
+    closing = (
+        dp.filter(F.col("mask") == 127)
+        .join(
+            distb.filter(F.col("cj") == 0),
+            dp["j"] == F.col("ci"),
+        )
+        .select((F.col("ln") + F.col("d")).alias("total"), "cnt")
+    )
+    best = closing.agg(F.min("total").alias("min_len"))
+    return (
+        closing.crossJoin(F.broadcast(best))
+        .filter(F.col("total") == F.col("min_len"))
+        .agg(
+            F.min("min_len").cast("long").alias("min_len"),
+            F.sum("cnt").cast("long").alias("n_opt_tours"),
+        )
+    )
