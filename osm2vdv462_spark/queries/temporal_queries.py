@@ -2653,3 +2653,260 @@ def jackson_edf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s")
     )
+
+
+# ------------------------------------------------ LSM compaction sim
+
+
+@register_extra(
+    "lsm_compaction_sim",
+    """
+    WITH RECURSIVE shards AS (
+      SELECT unnest(generate_series(0, 5)) AS s
+    ),
+    st(s, t, nf0, b0, s1, s2, wamp) AS (
+      SELECT s, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM shards
+      UNION ALL
+      SELECT q.s, q.t,
+             CASE WHEN q.full0 THEN 0 ELSE q.nf0a END,
+             CASE WHEN q.full0 THEN 0 ELSE q.b0a END,
+             CASE WHEN q.full0 AND q.s1a > 1500 THEN 0
+                  WHEN q.full0 THEN q.s1a ELSE q.s1 END,
+             CASE WHEN q.full0 AND q.s1a > 1500 THEN q.s2 + q.s1a
+                  ELSE q.s2 END,
+             q.wamp + q.g
+               + CASE WHEN q.full0 THEN q.b0a + q.s1 ELSE 0 END
+               + CASE WHEN q.full0 AND q.s1a > 1500
+                      THEN q.s1a + q.s2 ELSE 0 END
+      FROM (
+        SELECT s0.*, s0.nf0 + 1 AS nf0a, s0.b0 + s0.g AS b0a,
+               s0.nf0 + 1 = 4 AS full0,
+               s0.s1 + s0.b0 + s0.g AS s1a
+        FROM (
+          SELECT st.s, st.t + 1 AS t, st.nf0, st.b0, st.s1, st.s2,
+                 st.wamp,
+                 ('0x' || substr(md5('lsm:' || CAST(st.s AS VARCHAR)
+                    || ':' || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                   % 90 + 10 AS g
+          FROM st WHERE st.t < 50
+        ) s0
+      ) q
+    )
+    SELECT s, CAST(s1 AS BIGINT) AS l1_bytes,
+           CAST(s2 AS BIGINT) AS l2_bytes,
+           CAST(b0 AS BIGINT) AS l0_bytes,
+           CAST(wamp AS BIGINT) AS bytes_written
+    FROM (SELECT *, row_number() OVER (PARTITION BY s
+                                       ORDER BY t DESC) AS rn
+          FROM st) WHERE rn = 1
+    ORDER BY s
+    """,
+)
+def lsm_compaction_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leveled LSM-tree compaction replay — the write-amplification
+    accounting every RocksDB/LevelDB capacity plan starts from: each
+    ingest batch lands as an L0 file; 4 L0 files trigger an L0->L1
+    compaction that rewrites L1 (cost = L0 bytes + existing L1), and
+    L1 beyond its 1500-byte budget cascades into L2 the same way.
+    bytes_written accumulates ingest + every rewrite — the
+    write-amplification numerator. Pure integer state machine, 6
+    shards x 50 md5-sized batches; Spark folds per shard in
+    applyInPandas (a fleet sizes thousands of shards this way), the
+    oracle replays identical column-state recursion. The invariant a
+    reviewer can check by eye: bytes_written >= sum of ingested
+    bytes, with equality only if no compaction ever fired."""
+    shards = spark.range(0, 6).select(F.col("id").alias("s"))
+    import hashlib
+
+    def _mh(sstr: str) -> int:
+        return int(hashlib.md5(sstr.encode()).hexdigest()[:4], 16)
+
+    def _replay(key, pdf):
+        import pandas as pd
+
+        s = int(key[0])
+        nf0 = b0 = s1 = s2 = wamp = 0
+        for t in range(1, 51):
+            g = _mh(f"lsm:{s}:{t}") % 90 + 10
+            wamp += g
+            b0 += g
+            nf0 += 1
+            if nf0 == 4:
+                wamp += b0 + s1
+                s1 += b0
+                b0 = nf0 = 0
+                if s1 > 1500:
+                    wamp += s1 + s2
+                    s2 += s1
+                    s1 = 0
+        return pd.DataFrame(
+            [(s, s1, s2, b0, wamp)],
+            columns=["s", "l1_bytes", "l2_bytes", "l0_bytes",
+                     "bytes_written"],
+        )
+
+    return (
+        shards.groupBy("s")
+        .applyInPandas(
+            _replay,
+            "s long, l1_bytes long, l2_bytes long, l0_bytes long,"
+            " bytes_written long",
+        )
+        .orderBy("s")
+    )
+
+
+# ------------------------------------------- CLOCK page replacement
+
+
+@register_extra(
+    "clock_page_replacement",
+    """
+    WITH RECURSIVE shards AS (
+      SELECT unnest(generate_series(0, 3)) AS s
+    ),
+    st(s, t, fr, hand, hits, misses) AS (
+      SELECT s, CAST(0 AS BIGINT),
+             [{'page': CAST(-1 AS BIGINT), 'ref': CAST(0 AS BIGINT)},
+              {'page': CAST(-2 AS BIGINT), 'ref': CAST(0 AS BIGINT)},
+              {'page': CAST(-3 AS BIGINT), 'ref': CAST(0 AS BIGINT)},
+              {'page': CAST(-4 AS BIGINT), 'ref': CAST(0 AS BIGINT)}],
+             CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM shards
+      UNION ALL
+      SELECT s2.s, s2.t,
+             CASE WHEN s2.hitk > 0 THEN
+               list_transform(s2.fr, (f, i) ->
+                 CASE WHEN i = s2.hitk
+                      THEN {'page': f.page, 'ref': CAST(1 AS BIGINT)}
+                      ELSE f END)
+             ELSE
+               list_transform(s2.fr, (f, i) ->
+                 CASE WHEN i = s2.victim
+                      THEN {'page': s2.p, 'ref': CAST(0 AS BIGINT)}
+                      WHEN ((i - s2.hand + 4) % 4) + 1 < s2.vk
+                      THEN {'page': f.page, 'ref': CAST(0 AS BIGINT)}
+                      ELSE f END)
+             END,
+             CASE WHEN s2.hitk > 0 THEN s2.hand
+                  ELSE (s2.victim % 4) + 1 END,
+             s2.hits + CASE WHEN s2.hitk > 0 THEN 1 ELSE 0 END,
+             s2.misses + CASE WHEN s2.hitk > 0 THEN 0 ELSE 1 END
+      FROM (
+        SELECT s1.*,
+               CASE WHEN s1.vk0 = 9 THEN s1.hand
+                    ELSE ((s1.hand - 1 + s1.vk0 - 1) % 4) + 1
+               END AS victim,
+               CASE WHEN s1.vk0 = 9 THEN CAST(9 AS BIGINT)
+                    ELSE s1.vk0 END AS vk
+        FROM (
+          SELECT s0.*,
+                 coalesce(list_min(list_filter(
+                   list_transform([1, 2, 3, 4], k ->
+                     CASE WHEN s0.fr[
+                            ((s0.hand - 1 + k - 1) % 4) + 1].ref = 0
+                          THEN CAST(k AS BIGINT) END),
+                   x -> x IS NOT NULL)), 9) AS vk0,
+                 coalesce(list_min(list_filter(
+                   list_transform(s0.fr, (f, i) ->
+                     CASE WHEN f.page = s0.p
+                          THEN CAST(i AS BIGINT) END),
+                   x -> x IS NOT NULL)), 0) AS hitk
+          FROM (
+            SELECT st.s, st.t + 1 AS t, st.fr, st.hand, st.hits,
+                   st.misses,
+                   least(
+                     ('0x' || substr(md5('cpa:'
+                        || CAST(st.s AS VARCHAR) || ':'
+                        || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                       % 12,
+                     ('0x' || substr(md5('cpb:'
+                        || CAST(st.s AS VARCHAR) || ':'
+                        || CAST(st.t + 1 AS VARCHAR)), 1, 4))::BIGINT
+                       % 12) AS p
+            FROM st WHERE st.t < 120
+          ) s0
+        ) s1
+      ) s2
+    )
+    SELECT s, CAST(hits AS BIGINT) AS n_hits,
+           CAST(misses AS BIGINT) AS n_misses,
+           CAST(list_sum(list_transform(fr, (f, i) -> f.page * i))
+                AS BIGINT) AS frame_chk,
+           CAST(hand AS BIGINT) AS hand
+    FROM (SELECT *, row_number() OVER (PARTITION BY s
+                                       ORDER BY t DESC) AS rn
+          FROM st) WHERE rn = 1
+    ORDER BY s
+    """,
+)
+def clock_page_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOCK (second-chance) page replacement replay — the buffer-pool
+    eviction policy real databases and kernels run instead of true LRU
+    (one ref bit + a sweeping hand, no list maintenance per hit). The
+    hand sweep is folded into CLOSED FORM per miss: the victim is the
+    first frame in circular hand order with ref=0 (or the hand's own
+    frame after a full clearing sweep), every frame strictly before it
+    gets its ref cleared, and the hand parks one past the victim —
+    identical algebra on both engines, so the inner while-loop never
+    appears. Skewed page stream (least of two md5 draws % 12) against
+    4 frames; hits set the ref bit; inserts arrive with ref=0 (classic
+    variant). 4 shards x 120 steps, per-shard applyInPandas fold vs
+    recursive list machine; outputs hit/miss counts and an exact
+    final-frame checksum."""
+    shards = spark.range(0, 4).select(F.col("id").alias("s"))
+    import hashlib
+
+    def _mh(sstr: str) -> int:
+        return int(hashlib.md5(sstr.encode()).hexdigest()[:4], 16)
+
+    def _replay(key, pdf):
+        import pandas as pd
+
+        s = int(key[0])
+        fr = [[-1 - i, 0] for i in range(4)]
+        hand = 1
+        hits = misses = 0
+        for t in range(1, 121):
+            p = min(_mh(f"cpa:{s}:{t}") % 12, _mh(f"cpb:{s}:{t}") % 12)
+            hitk = next(
+                (i + 1 for i, f in enumerate(fr) if f[0] == p), 0
+            )
+            if hitk:
+                fr[hitk - 1][1] = 1
+                hits += 1
+            else:
+                misses += 1
+                vk0 = next(
+                    (
+                        k
+                        for k in range(1, 5)
+                        if fr[(hand - 1 + k - 1) % 4][1] == 0
+                    ),
+                    9,
+                )
+                victim = (
+                    hand if vk0 == 9 else ((hand - 1 + vk0 - 1) % 4) + 1
+                )
+                for i in range(4):
+                    if ((i + 1 - hand + 4) % 4) + 1 < vk0 and i + 1 != victim:
+                        fr[i][1] = 0
+                fr[victim - 1] = [p, 0]
+                hand = (victim % 4) + 1
+        chk = sum(f[0] * (i + 1) for i, f in enumerate(fr))
+        return pd.DataFrame(
+            [(s, hits, misses, chk, hand)],
+            columns=["s", "n_hits", "n_misses", "frame_chk", "hand"],
+        )
+
+    return (
+        shards.groupBy("s")
+        .applyInPandas(
+            _replay,
+            "s long, n_hits long, n_misses long, frame_chk long,"
+            " hand long",
+        )
+        .orderBy("s")
+    )
