@@ -2910,3 +2910,67 @@ def clock_page_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s")
     )
+
+
+# ---------------------------------------------------- Easter computus
+
+
+@register_extra(
+    "easter_computus",
+    """
+    WITH y AS (SELECT unnest(generate_series(2024, 2059)) AS yr),
+    c AS (
+      SELECT yr,
+             yr % 19 AS a,
+             yr // 100 AS b,
+             yr % 100 AS cc,
+             b // 4 AS d,
+             b % 4 AS e,
+             (b + 8) // 25 AS f,
+             (b - f + 1) // 3 AS g,
+             (19 * a + b - d - g + 15) % 30 AS h,
+             cc // 4 AS i,
+             cc % 4 AS k,
+             (32 + 2 * e + 2 * i - h - k) % 7 AS l,
+             (a + 11 * h + 22 * l) // 451 AS m
+      FROM y
+    )
+    SELECT yr AS year,
+           CAST((h + l - 7 * m + 114) // 31 AS BIGINT) AS month,
+           CAST(((h + l - 7 * m + 114) % 31) + 1 AS BIGINT) AS day
+    FROM c ORDER BY yr
+    """,
+)
+def easter_computus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gregorian Easter by the anonymous Gauss computus — the
+    calendrical integer algorithm behind every business-calendar /
+    holiday-aware scheduling table (pairs with business_days_aging):
+    golden number, century solar+lunar corrections, epact, and the
+    Sunday letter, all in div/mod arithmetic that both engines execute
+    exactly. Years 2024-2059; the output table is the kind of
+    broadcast dimension a 100 TB pipeline joins against, generated
+    in-engine rather than imported. Known anchors (2024-03-31,
+    2025-04-20, 2038-04-25 — the latest Easter this century) fall out
+    of the same formula and are pinned by the hash."""
+    y = spark.range(2024, 2060).select(F.col("id").alias("yr"))
+    c = (
+        y.withColumn("a", F.expr("yr % 19"))
+        .withColumn("b", F.expr("yr div 100"))
+        .withColumn("cc", F.expr("yr % 100"))
+        .withColumn("d", F.expr("b div 4"))
+        .withColumn("e", F.expr("b % 4"))
+        .withColumn("f", F.expr("(b + 8) div 25"))
+        .withColumn("g", F.expr("(b - f + 1) div 3"))
+        .withColumn("h", F.expr("(19 * a + b - d - g + 15) % 30"))
+        .withColumn("i", F.expr("cc div 4"))
+        .withColumn("k", F.expr("cc % 4"))
+        .withColumn("l", F.expr("(32 + 2 * e + 2 * i - h - k) % 7"))
+        .withColumn("m", F.expr("(a + 11 * h + 22 * l) div 451"))
+        .withColumn("month", F.expr("(h + l - 7 * m + 114) div 31"))
+        .withColumn("day", F.expr("((h + l - 7 * m + 114) % 31) + 1"))
+    )
+    return c.select(
+        F.col("yr").alias("year"),
+        F.col("month").cast("long").alias("month"),
+        F.col("day").cast("long").alias("day"),
+    ).orderBy("year")

@@ -5889,3 +5889,139 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# ------------------------------------------------ optimal line breaks
+
+
+@register_extra(
+    "optimal_line_breaks",
+    """
+    WITH RECURSIVE dd AS (
+      SELECT doc_id,
+             list_slice(list_filter(string_split(text, ' '),
+                                    t -> t <> ''), 1, 20) AS ws
+      FROM documents
+      WHERE ('0x' || substr(md5('lbk:' || CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT % 9 = 0
+    ),
+    pl AS (
+      SELECT doc_id, len(ws) AS n,
+             [CAST(0 AS BIGINT)]
+               || list_transform(ws, (w, i) ->
+                    CAST(list_sum(list_transform(
+                      list_slice(ws, 1, i), x -> length(x)))
+                      AS BIGINT)) AS pre
+      FROM dd WHERE len(ws) > 0
+    ),
+    st(doc_id, i, dp) AS (
+      SELECT doc_id, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+      FROM pl
+      UNION ALL
+      SELECT s1.doc_id, s1.i,
+             s1.dp || [list_min(list_transform(s1.dp, (x, jj) ->
+               x + CASE
+                 WHEN s1.pre[CAST(s1.i + 1 AS INT)]
+                      - s1.pre[jj] + (s1.i - jj) > 24
+                 THEN CAST(1000000000 AS BIGINT)
+                 WHEN s1.i = s1.n THEN CAST(1 AS BIGINT)
+                 ELSE (24 - (s1.pre[CAST(s1.i + 1 AS INT)]
+                             - s1.pre[jj] + (s1.i - jj)))
+                      * (24 - (s1.pre[CAST(s1.i + 1 AS INT)]
+                               - s1.pre[jj] + (s1.i - jj)))
+                      * 64 + 1
+               END))]
+      FROM (
+        SELECT st.doc_id, st.i + 1 AS i, st.dp, pl.pre, pl.n
+        FROM st JOIN pl USING (doc_id)
+        WHERE st.i < pl.n
+      ) s1
+    )
+    SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_words,
+           CAST(f.v // 64 AS BIGINT) AS min_badness,
+           CAST(f.v % 64 AS BIGINT) AS n_lines
+    FROM pl p
+    JOIN (SELECT doc_id, dp[len(dp)] AS v
+          FROM (SELECT doc_id, dp,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i DESC) AS rn
+                FROM st) WHERE rn = 1) f USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def optimal_line_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal line breaking (Knuth-Plass badness DP, unit costs) —
+    minimize the sum of squared slack over all lines at width 24 (last
+    line free), the same DP a training pipeline runs to CHUNK text
+    optimally under a token budget instead of greedy splitting.
+    Secondary objective packed additively into the cost (badness*64 +
+    1 per line), so min, badness, and line count are one integer
+    lattice on both engines; overfull lines priced at 1e9. Spark runs
+    the O(n^2) DP per doc vectorized in applyInPandas (docs are the
+    parallel axis); the oracle replays it as a recursive list machine
+    over the prefix-sum table. 20-word cap; md5 doc sample."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lbk:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 9
+            == 0
+        )
+        .select(
+            "doc_id",
+            F.slice(
+                F.filter(F.split("text", " "), lambda x: x != ""), 1, 20
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
+    )
+
+    def _dp(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ws = list(pdf["ws"].iloc[0])
+        n = len(ws)
+        pre = np.zeros(n + 1, dtype=np.int64)
+        for i, w in enumerate(ws):
+            pre[i + 1] = pre[i] + len(w)
+        BIG = 1000000000
+        dp = np.zeros(n + 1, dtype=np.int64)
+        for i in range(1, n + 1):
+            j = np.arange(i)
+            ll = pre[i] - pre[j] + (i - j - 1)
+            cost = np.where(
+                ll > 24,
+                BIG,
+                1 if i == n else 0,
+            ).astype(np.int64)
+            if i < n:
+                bad = (24 - ll) * (24 - ll) * 64 + 1
+                cost = np.where(ll > 24, BIG, bad)
+            dp[i] = (dp[:i] + cost).min()
+        v = int(dp[n])
+        return pd.DataFrame(
+            [(int(key[0]), n, v // 64, v % 64)],
+            columns=["doc_id", "n_words", "min_badness", "n_lines"],
+        )
+
+    return (
+        d.groupBy("doc_id")
+        .applyInPandas(
+            _dp,
+            "doc_id long, n_words long, min_badness long, n_lines long",
+        )
+        .orderBy("doc_id")
+    )
