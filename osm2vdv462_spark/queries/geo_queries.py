@@ -5294,3 +5294,192 @@ def str_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaf_id")
     )
+
+
+# ------------------------------------------------------- RANSAC line
+
+
+_RANSAC_PTS_SQL = """
+    pts AS (
+      SELECT i,
+             CASE WHEN i < 40 THEN i * 3
+                  ELSE ('0x' || substr(md5('rox:' || CAST(i AS VARCHAR)),
+                                       1, 4))::BIGINT % 120 END AS px,
+             CASE WHEN i < 40 THEN 2 * (i * 3) + 7
+                    + ('0x' || substr(md5('rno:' || CAST(i AS VARCHAR)),
+                                      1, 4))::BIGINT % 3 - 1
+                  ELSE ('0x' || substr(md5('roy:' || CAST(i AS VARCHAR)),
+                                       1, 4))::BIGINT % 250 END AS py
+      FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    )
+"""
+
+
+@register_extra(
+    "ransac_line_fit",
+    f"""
+    WITH {_RANSAC_PTS_SQL},
+    models AS (
+      SELECT a.i AS ia, b.i AS ib,
+             b.px - a.px AS dx, b.py - a.py AS dy,
+             a.px AS ax, a.py AS ay
+      FROM pts a JOIN pts b ON a.i < b.i
+      WHERE ('0x' || substr(md5('rg:' || CAST(a.i AS VARCHAR) || ':'
+               || CAST(b.i AS VARCHAR)), 1, 4))::BIGINT % 17 = 0
+        AND (b.px - a.px <> 0 OR b.py - a.py <> 0)
+    ),
+    scored AS (
+      SELECT m.ia, m.ib, count(*) AS n_inliers
+      FROM models m JOIN pts q
+        ON (m.dx * (q.py - m.ay) - m.dy * (q.px - m.ax))
+           * (m.dx * (q.py - m.ay) - m.dy * (q.px - m.ax))
+           <= 25 * (m.dx * m.dx + m.dy * m.dy)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+           CAST(n_inliers AS BIGINT) AS n_inliers
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY n_inliers DESC, ia, ib) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fitting, fully DETERMINISTIC and exact-integer —
+    robust model estimation (the map-matching / lane-detection /
+    outlier-proof trend fitter): candidate models are md5-gated point
+    PAIRS, consensus is counted with the EXACT inlier test
+    cross(d, q-a)^2 <= tol^2 * |d|^2 (perpendicular distance <= 5
+    without ever forming a float), winner by (inliers desc, pair id).
+    40 of 60 points sit on a planted y = 2x + 7 line with +/-1 jitter,
+    20 are uniform outliers — the winning model must recover the
+    planted structure against ~200 candidate models. Spark shape:
+    models x broadcast points, one partial-agg count per model, one
+    argmax — the hypothesize-and-verify pattern at fleet scale (every
+    trajectory / image fits its own RANSAC in parallel)."""
+    pts = spark.range(0, 60).select(F.col("id").alias("i")).select(
+        "i",
+        F.when(
+            F.col("i") < 40, F.col("i") * 3
+        )
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rox:"), F.col("i").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 120
+        )
+        .alias("px"),
+        F.when(
+            F.col("i") < 40,
+            2 * (F.col("i") * 3)
+            + 7
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rno:"), F.col("i").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            - 1,
+        )
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("roy:"), F.col("i").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 250
+        )
+        .alias("py"),
+    ).localCheckpoint(eager=True)
+    a = pts.select(
+        F.col("i").alias("ia"), F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+    )
+    b = pts.select(
+        F.col("i").alias("ib"), F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rg:"),
+                        F.col("ia").cast("string"),
+                        F.lit(":"),
+                        F.col("ib").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 17
+        == 0
+    )
+    models = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(gate)
+        .select(
+            "ia",
+            "ib",
+            (F.col("bx") - F.col("ax")).alias("dx"),
+            (F.col("by") - F.col("ay")).alias("dy"),
+            "ax",
+            "ay",
+        )
+        .filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    q = pts.select(
+        F.col("px").alias("qx"), F.col("py").alias("qy")
+    )
+    cross = F.col("dx") * (F.col("qy") - F.col("ay")) - F.col("dy") * (
+        F.col("qx") - F.col("ax")
+    )
+    scored = (
+        models.crossJoin(F.broadcast(q))
+        .filter(
+            cross * cross
+            <= 25 * (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_inliers"))
+    )
+    w = Window.orderBy(F.desc("n_inliers"), "ia", "ib")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ia").cast("long").alias("ia"),
+            F.col("ib").cast("long").alias("ib"),
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+        )
+    )

@@ -4341,3 +4341,92 @@ def pid_controller_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ------------------------------------------- stratified k-fold audit
+
+
+@register_extra(
+    "stratified_kfold_audit",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN ('0x' || substr(md5('lb2:'
+                || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 3
+             THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    folded AS (
+      SELECT lang, label, doc_id,
+             (row_number() OVER (PARTITION BY lang
+                                 ORDER BY
+                                   md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                   doc_id) - 1) % 5 AS fold
+      FROM d
+    )
+    SELECT lang, CAST(fold AS BIGINT) AS fold,
+           count(*) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos
+    FROM folded GROUP BY 1, 2 ORDER BY lang, fold
+    """,
+)
+def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment audit — the eval-split every model
+    trainer needs to be BOTH deterministic and balanced: within each
+    stratum (lang) docs are ranked by a salted md5 (so assignment is
+    reproducible but uncorrelated with doc order) and dealt
+    round-robin into 5 folds; the audit reports per-(stratum, fold)
+    sizes and positive-label counts — fold sizes within a stratum may
+    differ by at most 1 and label counts should be near-equal, which
+    the hash pins exactly. Complements dataset_split (hash-bucket
+    split, no stratification) and stratified_sample (sampling, not
+    folding). One rank window per stratum + one partial agg; the md5
+    sort key is the same trick a 10^9-doc fold assignment uses to
+    avoid any global shuffle beyond the per-stratum sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lb2:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(
+            F.concat(F.lit("fold:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        "doc_id",
+    )
+    folded = d.withColumn(
+        "fold", F.pmod(F.row_number().over(w) - 1, F.lit(5))
+    )
+    return (
+        folded.groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .select(
+            "lang", F.col("fold").cast("long").alias("fold"),
+            "n_docs", "n_pos",
+        )
+        .orderBy("lang", "fold")
+    )
