@@ -2481,3 +2481,196 @@ def tsp_held_karp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("n_opt_tours"),
         )
     )
+
+
+# ------------------------------------------------------ Boruvka MST
+
+
+_MST_EDGES_SQL = """
+    d0 AS (
+      SELECT user_id % 60 AS u,
+             ('0x' || substr(md5('mst:' || CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT % 60 AS v
+      FROM events
+      WHERE ('0x' || substr(md5('mstg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 7 = 0
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM d0 WHERE u <> v
+    ),
+    ew AS (
+      SELECT a, b, a * 100 + b AS eid,
+             (('0x' || substr(md5('mw:' || CAST(a AS VARCHAR) || ':'
+                || CAST(b AS VARCHAR)), 1, 7))::BIGINT % 100000)
+             * 10000 + a * 100 + b AS w
+      FROM e
+    )
+"""
+
+
+@register_extra(
+    "mst_boruvka",
+    f"""
+    WITH RECURSIVE {_MST_EDGES_SQL},
+    el AS MATERIALIZED (
+      SELECT list({{'a': a, 'b': b, 'eid': eid, 'w': w}}
+                  ORDER BY w) AS el,
+             count(*) AS n
+      FROM ew
+    ),
+    n0 AS MATERIALIZED (
+      SELECT list(DISTINCT x ORDER BY x) AS ns
+      FROM (SELECT a AS x FROM e UNION SELECT b FROM e)
+    ),
+    st(i, lab, tw, ne, chk) AS (
+      SELECT CAST(0 AS BIGINT), (SELECT ns FROM n0),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT 1)
+      UNION ALL
+      SELECT s1.i,
+             CASE WHEN s1.la <> s1.lb
+                  THEN list_transform(s1.lab, x ->
+                    CASE WHEN x = greatest(s1.la, s1.lb)
+                         THEN least(s1.la, s1.lb) ELSE x END)
+                  ELSE s1.lab END,
+             s1.tw + CASE WHEN s1.la <> s1.lb THEN s1.ed.w ELSE 0 END,
+             s1.ne + CASE WHEN s1.la <> s1.lb THEN 1 ELSE 0 END,
+             s1.chk + CASE WHEN s1.la <> s1.lb THEN s1.ed.eid
+                           ELSE 0 END
+      FROM (
+        SELECT st.i + 1 AS i, st.lab, st.tw, st.ne, st.chk,
+               el.el[CAST(st.i + 1 AS INT)] AS ed,
+               st.lab[CAST(list_position((SELECT ns FROM n0),
+                 el.el[CAST(st.i + 1 AS INT)].a) AS INT)] AS la,
+               st.lab[CAST(list_position((SELECT ns FROM n0),
+                 el.el[CAST(st.i + 1 AS INT)].b) AS INT)] AS lb
+        FROM st, el
+        WHERE st.i < el.n
+      ) s1
+    )
+    SELECT CAST(tw AS BIGINT) AS total_weight,
+           CAST(ne AS BIGINT) AS n_edges,
+           CAST(chk AS BIGINT) AS edge_chk
+    FROM (SELECT *, row_number() OVER (ORDER BY i DESC) AS rn
+          FROM st) WHERE rn = 1
+    """,
+)
+def mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest by BORUVKA rounds vs a KRUSKAL oracle —
+    two genuinely different MST algorithms agreeing edge-for-edge
+    (weights packed with the edge id are strictly distinct, so the MST
+    is unique and the comparison is exact). Spark runs the PARALLEL
+    algorithm: each round every component picks its minimum outgoing
+    edge (one partial-agg MIN per component label), the picked edges
+    merge components via the engine's iterative min-label CC operator,
+    and the component count at least halves — O(log n) rounds of
+    join + agg, THE textbook distributed MST (it's what GraphX/Giraph
+    implement). The oracle replays KRUSKAL as a single-row list
+    machine: edges in ascending weight order, take iff endpoint labels
+    differ, relabel. Outputs total weight, edge count (n - #components)
+    and an exact edge-id checksum — all three must match across the
+    two algorithms."""
+    from ..operators.cluster import connected_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid_ = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    u = F.pmod(F.col("user_id"), F.lit(60))
+    v = _h("mst:", eid_, 7) % 60
+    e = (
+        ev.filter(_h("mstg:", eid_, 4) % 7 == 0)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ew = e.select(
+        "a",
+        "b",
+        (F.col("a") * 100 + F.col("b")).alias("eid"),
+        (
+            (
+                _h(
+                    "mw:",
+                    F.concat(
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ),
+                    7,
+                )
+                % 100000
+            )
+            * 10000
+            + F.col("a") * 100
+            + F.col("b")
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        ew.select(F.col("a").alias("n"))
+        .unionAll(ew.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = nodes.select("n", F.col("n").alias("c"))
+    mst = None
+    for _ in range(10):
+        lw = ew.join(
+            lab.select(F.col("n").alias("a"), F.col("c").alias("ca")), "a"
+        ).join(
+            lab.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b"
+        ).filter(F.col("ca") != F.col("cb"))
+        if lw.isEmpty():
+            break
+        # min outgoing edge per component (both sides)
+        cand = lw.select(F.col("ca").alias("comp"), "w", "eid").unionAll(
+            lw.select(F.col("cb").alias("comp"), "w", "eid")
+        )
+        picked = (
+            cand.groupBy("comp")
+            .agg(F.min("w").alias("w"))
+            .join(ew.select("w", "eid", "a", "b"), "w")
+            .select("eid", "a", "b", "w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = picked if mst is None else mst.unionAll(picked).distinct()
+        mst = mst.localCheckpoint(eager=True)
+        # contract: CC over the picked edges on component ids
+        comp_edges = picked.join(
+            lab.select(F.col("n").alias("a"), F.col("c").alias("src")), "a"
+        ).join(
+            lab.select(F.col("n").alias("b"), F.col("c").alias("dst")), "b"
+        ).select("src", "dst")
+        comps = lab.select(F.col("c").alias("id")).distinct()
+        cc = connected_components(comps, comp_edges)
+        lab = (
+            lab.join(
+                cc.select(F.col("id").alias("c"), "component"),
+                "c",
+            )
+            .select("n", F.col("component").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError("boruvka did not converge in 10 rounds")
+    if mst is None:
+        return spark.createDataFrame(
+            [(0, 0, 0)], "total_weight long, n_edges long, edge_chk long"
+        )
+    return mst.agg(
+        F.sum("w").cast("long").alias("total_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("eid").cast("long").alias("edge_chk"),
+    )
