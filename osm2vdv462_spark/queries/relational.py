@@ -3244,3 +3244,102 @@ def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_order")
     )
+
+
+# ------------------------------------------------- write-skew audit
+
+
+@register_extra(
+    "write_skew_pairs",
+    """
+    WITH tx AS (
+      SELECT event_id AS tid,
+             ('0x' || substr(md5('t0:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 1000 AS t0,
+             ('0x' || substr(md5('rk:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 30 AS rkey,
+             ('0x' || substr(md5('wk:' || CAST(event_id AS VARCHAR)),
+                             1, 4))::BIGINT % 30 AS wkey
+      FROM events
+      WHERE ('0x' || substr(md5('tg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 29 = 0
+    ),
+    t AS (
+      SELECT tid, t0,
+             t0 + ('0x' || substr(md5('td:' || CAST(tid AS VARCHAR)),
+                                  1, 4))::BIGINT % 50 + 1 AS t1,
+             rkey, wkey
+      FROM tx
+    )
+    SELECT a.tid AS tid1, b.tid AS tid2,
+           a.rkey AS key1, b.rkey AS key2
+    FROM t a JOIN t b
+      ON a.tid < b.tid
+     AND a.rkey = b.wkey AND b.rkey = a.wkey
+     AND a.wkey <> b.wkey
+     AND a.t0 < b.t1 AND b.t0 < a.t1
+    ORDER BY tid1, tid2
+    """,
+)
+def write_skew_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-skew anomaly detection under snapshot isolation — the
+    dangerous-structure audit serializable-SI databases (PostgreSQL
+    SSI, the Cahill algorithm) run online, here as the batch forensic
+    query: two CONCURRENT transactions where each READ what the other
+    WROTE and their write sets are disjoint — the classic on-call
+    doctors anomaly SI permits and serializability forbids. Pure
+    relational algebra: one self-equi-join on the rw-antidependency
+    keys plus the interval-overlap predicate (the same range-join
+    family as interval_max_concurrency). md5-derived transaction
+    read/write keys and intervals; at scale the join keys (rkey =
+    wkey) partition the pair space so the quadratic never
+    materializes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    tx = ev.filter(_h("tg:", eid, 4) % 29 == 0).select(
+        F.col("event_id").alias("tid"),
+        (_h("t0:", eid, 4) % 1000).alias("t0"),
+        (_h("rk:", eid, 4) % 30).alias("rkey"),
+        (_h("wk:", eid, 4) % 30).alias("wkey"),
+    )
+    t = tx.withColumn(
+        "t1",
+        F.col("t0")
+        + _h("td:", F.col("tid").cast("string"), 4) % 50
+        + 1,
+    )
+    a = t.select(
+        F.col("tid").alias("tid1"), F.col("t0").alias("a0"),
+        F.col("t1").alias("a1"), F.col("rkey").alias("key1"),
+        F.col("wkey").alias("w1"),
+    )
+    b = t.select(
+        F.col("tid").alias("tid2"), F.col("t0").alias("b0"),
+        F.col("t1").alias("b1"), F.col("rkey").alias("key2"),
+        F.col("wkey").alias("w2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("tid1") < F.col("tid2"))
+            & (F.col("key1") == F.col("w2"))
+            & (F.col("key2") == F.col("w1"))
+            & (F.col("w1") != F.col("w2"))
+            & (F.col("a0") < F.col("b1"))
+            & (F.col("b0") < F.col("a1")),
+        )
+        .select("tid1", "tid2", "key1", "key2")
+        .orderBy("tid1", "tid2")
+    )

@@ -1298,3 +1298,119 @@ def hamming74_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_pos")
     )
+
+
+# ------------------------------------------- KMV theta set operations
+
+
+@register_extra(
+    "kmv_set_operations",
+    """
+    WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+    h AS (
+      SELECT uid,
+             ('0x' || substr(md5('kmv:' || CAST(uid AS VARCHAR)),
+                             1, 10))::BIGINT AS hv,
+             uid % 3 <> 0 AS in_a,
+             uid % 2 = 0 AS in_b
+      FROM u
+    ),
+    un AS (
+      SELECT hv, in_a, in_b,
+             row_number() OVER (ORDER BY hv) AS rk
+      FROM h WHERE in_a OR in_b
+    ),
+    theta AS (SELECT hv AS th FROM un WHERE rk = 32),
+    sk AS (SELECT * FROM un WHERE rk <= 32),
+    stats AS (
+      SELECT (SELECT th FROM theta) AS theta_u,
+             (SELECT count(*) FROM sk WHERE in_a AND in_b) AS c_inter,
+             (SELECT count(*) FROM h WHERE in_a OR in_b) AS exact_union,
+             (SELECT count(*) FROM h WHERE in_a AND in_b) AS exact_inter
+    )
+    SELECT CAST(theta_u AS BIGINT) AS theta_u,
+           CAST(c_inter AS BIGINT) AS n_inter_in_sketch,
+           CAST(1000 * 31 * 1099511627776 // theta_u AS BIGINT)
+             AS est_union_milli,
+           CAST(1000 * c_inter * 1099511627776 // theta_u AS BIGINT)
+             AS est_inter_milli,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM stats
+    """,
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA on KMV minima — the mergeable
+    distinct-count sketch's killer feature (DataSketches' theta
+    union/intersection): keep the k=32 smallest 40-bit hashes of the
+    union; theta = the k-th minimum; |union| ~ (k-1)*2^40/theta, and
+    the INTERSECTION estimate is just the count of sketch minima that
+    belong to both sets, scaled by the same theta (each retained hash
+    'represents' 2^40/theta elements). Everything up to the final
+    division is exact-integer, and the division itself is a floor —
+    both the estimates and the exact counts (kept for the demo, never
+    at scale) hash identically. Sets are arithmetic user subsets (2/3
+    and 1/2 of the universe, overlapping); Spark computes the minima
+    with one rank window over the hashed union — at scale a
+    per-partition top-k + merge, never a global sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = ev.select(F.col("user_id").alias("uid")).distinct()
+    h = u.select(
+        "uid",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kmv:"), F.col("uid").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+        (F.pmod(F.col("uid"), F.lit(3)) != 0).alias("in_a"),
+        (F.pmod(F.col("uid"), F.lit(2)) == 0).alias("in_b"),
+    )
+    un = (
+        h.filter(F.col("in_a") | F.col("in_b"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("hv")))
+    )
+    sk = un.filter(F.col("rk") <= 32)
+    theta = un.filter(F.col("rk") == 32).select(
+        F.col("hv").alias("theta_u")
+    )
+    c_inter = sk.filter(F.col("in_a") & F.col("in_b")).agg(
+        F.count(F.lit(1)).alias("n_inter_in_sketch")
+    )
+    exacts = h.agg(
+        F.count(F.when(F.col("in_a") | F.col("in_b"), 1)).alias(
+            "exact_union"
+        ),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1)).alias(
+            "exact_inter"
+        ),
+    )
+    return (
+        theta.crossJoin(c_inter)
+        .crossJoin(exacts)
+        .select(
+            "theta_u",
+            F.col("n_inter_in_sketch").cast("long").alias(
+                "n_inter_in_sketch"
+            ),
+            F.expr("(1000 * 31 * 1099511627776) div theta_u")
+            .cast("long")
+            .alias("est_union_milli"),
+            F.expr(
+                "(1000 * n_inter_in_sketch * 1099511627776) div theta_u"
+            )
+            .cast("long")
+            .alias("est_inter_milli"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+        )
+    )
