@@ -5483,3 +5483,212 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_inliers").cast("long").alias("n_inliers"),
         )
     )
+
+
+# ------------------------------------------- R-tree query pruning
+
+
+_RTQ_SQL = """
+    r0 AS (
+      SELECT event_id AS rid,
+        ('0x' || substr(md5('rcx:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS cx,
+        ('0x' || substr(md5('rcy:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 4096 AS cy,
+        ('0x' || substr(md5('rw:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 64 + 1 AS w,
+        ('0x' || substr(md5('rh:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 64 + 1 AS h
+      FROM events
+      WHERE ('0x' || substr(md5('rg:' || CAST(event_id AS VARCHAR)),
+                            1, 4))::BIGINT % 31 = 0
+    ),
+    n AS (SELECT count(*) AS n FROM r0),
+    d2 AS (
+      SELECT n,
+             CAST(ceil(sqrt(CAST((n + 31) // 32 AS DOUBLE)))
+                  AS BIGINT) AS s,
+             (n + CAST(ceil(sqrt(CAST((n + 31) // 32 AS DOUBLE)))
+                       AS BIGINT) - 1)
+               // CAST(ceil(sqrt(CAST((n + 31) // 32 AS DOUBLE)))
+                       AS BIGINT) AS slab_sz
+      FROM n
+    ),
+    rx AS (
+      SELECT rid, cx, cy, w, h,
+             row_number() OVER (ORDER BY 2 * cx + w, rid) - 1 AS xr
+      FROM r0
+    ),
+    leaved AS (
+      SELECT (xr // d2.slab_sz) * 1000
+             + (row_number() OVER (PARTITION BY xr // d2.slab_sz
+                                   ORDER BY 2 * cy + h, rid) - 1) // 32
+               AS leaf_id,
+             rid, cx, cy, w, h
+      FROM rx, d2
+    ),
+    leaves AS (
+      SELECT leaf_id, min(cx) AS lx0, min(cy) AS ly0,
+             max(cx + w) AS lx1, max(cy + h) AS ly1
+      FROM leaved GROUP BY 1
+    ),
+    qs AS (
+      SELECT q,
+             ('0x' || substr(md5('qx:' || CAST(q AS VARCHAR)),
+                             1, 4))::BIGINT % 3800 AS qx0,
+             ('0x' || substr(md5('qy:' || CAST(q AS VARCHAR)),
+                             1, 4))::BIGINT % 3800 AS qy0
+      FROM (SELECT unnest(generate_series(0, 11)) AS q)
+    ),
+    qr AS (
+      SELECT q, qx0, qy0, qx0 + 300 AS qx1, qy0 + 300 AS qy1 FROM qs
+    )
+"""
+
+
+@register_extra(
+    "rtree_query_pruning",
+    f"""
+    WITH {_RTQ_SQL},
+    hitleaves AS (
+      SELECT qr.q, l.leaf_id
+      FROM qr JOIN leaves l
+        ON l.lx0 < qr.qx1 AND qr.qx0 < l.lx1
+       AND l.ly0 < qr.qy1 AND qr.qy0 < l.ly1
+    ),
+    checked AS (
+      SELECT h.q, d.rid, d.cx, d.cy, d.w, d.h
+      FROM hitleaves h JOIN leaved d USING (leaf_id)
+    )
+    SELECT qr.q,
+           CAST(coalesce(hl.nl, 0) AS BIGINT) AS n_leaves_hit,
+           CAST(coalesce(ck.nc, 0) AS BIGINT) AS n_rects_checked,
+           CAST(coalesce(ck.nh, 0) AS BIGINT) AS n_rects_hit
+    FROM qr
+    LEFT JOIN (SELECT q, count(*) AS nl FROM hitleaves GROUP BY 1) hl
+      USING (q)
+    LEFT JOIN (
+      SELECT c.q, count(*) AS nc,
+             count(*) FILTER (
+               WHERE c.cx < qr2.qx1 AND qr2.qx0 < c.cx + c.w
+                 AND c.cy < qr2.qy1 AND qr2.qy0 < c.cy + c.h) AS nh
+      FROM checked c JOIN qr qr2 USING (q) GROUP BY 1
+    ) ck USING (q)
+    ORDER BY q
+    """,
+)
+def rtree_query_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tree window-query pruning audit over the STR bulk-load — the
+    two-phase read path every spatial index serves: phase 1 hits leaf
+    MBRs (cheap, n_leaves_hit of ~12), phase 2 exact-tests only the
+    rects inside hit leaves (n_rects_checked — the I/O bill) and
+    reports true intersections (n_rects_hit). The
+    checked-vs-hit ratio IS the packing quality str_pack_audit
+    measures from the build side; together they gate both halves of
+    the index lifecycle. Same md5 rect universe and slab/leaf
+    arithmetic as str_pack_audit; 12 fixed 300x300 query windows;
+    open-interval overlap tests, all integers. Spark shape: leaves
+    are a broadcast dim (there are ~sqrt-of-n of them), the leaf->rect
+    fanout joins on leaf_id — the coarse-prefilter -> exact-refine
+    plan of the engine's flagship PIP join, on rectangles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, col, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    r0 = ev.filter(_h("rg:", eid, 4) % 31 == 0).select(
+        F.col("event_id").alias("rid"),
+        (_h("rcx:", eid, 5) % 4096).alias("cx"),
+        (_h("rcy:", eid, 5) % 4096).alias("cy"),
+        (_h("rw:", eid, 4) % 64 + 1).alias("w"),
+        (_h("rh:", eid, 4) % 64 + 1).alias("h"),
+    )
+    n = r0.count()
+    leaves_n = (n + 31) // 32
+    s = math.isqrt(leaves_n)
+    if s * s < leaves_n:
+        s += 1
+    slab_sz = (n + s - 1) // s
+    rx = r0.withColumn(
+        "xr",
+        F.row_number().over(
+            Window.orderBy(2 * F.col("cx") + F.col("w"), "rid")
+        )
+        - 1,
+    )
+    leaved = (
+        rx.withColumn("slab", F.expr(f"xr div {slab_sz}"))
+        .withColumn(
+            "leaf_id",
+            F.expr(
+                "slab * 1000 + (row_number() OVER (PARTITION BY slab"
+                " ORDER BY 2 * cy + h, rid) - 1) div 32"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    leaves = leaved.groupBy("leaf_id").agg(
+        F.min("cx").alias("lx0"),
+        F.min("cy").alias("ly0"),
+        F.max(F.col("cx") + F.col("w")).alias("lx1"),
+        F.max(F.col("cy") + F.col("h")).alias("ly1"),
+    )
+    qs = spark.range(0, 12).select(F.col("id").alias("q"))
+    qh = lambda p: _h(p, F.col("q").cast("string"), 4)  # noqa: E731
+    qr = qs.select(
+        "q",
+        (qh("qx:") % 3800).alias("qx0"),
+        (qh("qy:") % 3800).alias("qy0"),
+    ).withColumn("qx1", F.col("qx0") + 300).withColumn(
+        "qy1", F.col("qy0") + 300
+    ).localCheckpoint(eager=True)
+    hit = qr.join(
+        F.broadcast(leaves),
+        (F.col("lx0") < F.col("qx1"))
+        & (F.col("qx0") < F.col("lx1"))
+        & (F.col("ly0") < F.col("qy1"))
+        & (F.col("qy0") < F.col("ly1")),
+    ).select("q", "leaf_id")
+    nl = hit.groupBy("q").agg(F.count(F.lit(1)).alias("n_leaves_hit"))
+    checked = hit.join(leaved, "leaf_id").join(
+        qr.select("q", "qx0", "qy0", "qx1", "qy1"), "q"
+    )
+    ck = checked.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_rects_checked"),
+        F.count(
+            F.when(
+                (F.col("cx") < F.col("qx1"))
+                & (F.col("qx0") < F.col("cx") + F.col("w"))
+                & (F.col("cy") < F.col("qy1"))
+                & (F.col("qy0") < F.col("cy") + F.col("h")),
+                1,
+            )
+        ).alias("n_rects_hit"),
+    )
+    return (
+        qr.select("q")
+        .join(nl, "q", "left")
+        .join(ck, "q", "left")
+        .select(
+            "q",
+            F.coalesce("n_leaves_hit", F.lit(0)).cast("long").alias(
+                "n_leaves_hit"
+            ),
+            F.coalesce("n_rects_checked", F.lit(0)).cast("long").alias(
+                "n_rects_checked"
+            ),
+            F.coalesce("n_rects_hit", F.lit(0)).cast("long").alias(
+                "n_rects_hit"
+            ),
+        )
+        .orderBy("q")
+    )

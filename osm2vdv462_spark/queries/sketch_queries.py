@@ -1414,3 +1414,186 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("long").alias("exact_inter"),
         )
     )
+
+
+# ------------------------------------------- succinct rank/select
+
+
+@register_extra(
+    "rank_select_bitvector",
+    """
+    WITH bits AS (
+      SELECT i,
+             CASE WHEN ('0x' || substr(md5('bv:' || CAST(i AS VARCHAR)),
+                                       1, 4))::BIGINT % 3 < 1
+             THEN 1 ELSE 0 END AS b
+      FROM (SELECT unnest(generate_series(0, 4095)) AS i)
+    ),
+    rq AS (
+      SELECT q,
+             ('0x' || substr(md5('rq:' || CAST(q AS VARCHAR)),
+                             1, 5))::BIGINT % 4096 AS p
+      FROM (SELECT unnest(generate_series(0, 23)) AS q)
+    ),
+    ones AS (
+      SELECT i, row_number() OVER (ORDER BY i) AS k
+      FROM bits WHERE b = 1
+    ),
+    n1 AS (SELECT count(*) AS n FROM ones),
+    sq AS (
+      SELECT q,
+             1 + ('0x' || substr(md5('sq:' || CAST(q AS VARCHAR)),
+                                 1, 5))::BIGINT % (SELECT n FROM n1)
+               AS k
+      FROM (SELECT unnest(generate_series(0, 15)) AS q)
+    )
+    SELECT 'rank' AS kind, rq.q AS q, CAST(rq.p AS BIGINT) AS arg,
+           CAST((SELECT count(*) FROM bits
+                 WHERE bits.i < rq.p AND bits.b = 1) AS BIGINT) AS answer
+    FROM rq
+    UNION ALL
+    SELECT 'select', sq.q, CAST(sq.k AS BIGINT),
+           CAST((SELECT i FROM ones WHERE ones.k = sq.k) AS BIGINT)
+    FROM sq
+    ORDER BY kind, q
+    """,
+)
+def rank_select_bitvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Succinct bitvector rank/select — the primitive under FM-indexes,
+    wavelet trees, and every compressed posting list: rank(p) = ones
+    below p, select(k) = position of the k-th one. Cross-derivation
+    gate: Spark answers rank through the TWO-LEVEL DIRECTORY structure
+    a real succinct store builds (512-bit superblock cumulative counts
+    + 64-bit block counts + an in-block partial count — three
+    broadcast-joined lookups per query, O(1) work each, never a scan),
+    and select by binary-search semantics over the block directory
+    (the max block whose cumulative count is below k, then the
+    in-block offset); the oracle computes both DEFINITIONALLY with
+    brute counts over the raw bits. 4096 md5-derived bits (~1/3
+    density), 24 rank + 16 select probes."""
+    bits = spark.range(0, 4096).select(F.col("id").alias("i")).select(
+        "i",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bv:"), F.col("i").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            < 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    ).localCheckpoint(eager=True)
+    blk = bits.withColumn("blk", F.expr("i div 64")).withColumn(
+        "sb", F.expr("i div 512")
+    )
+    blkdir = blk.groupBy("sb", "blk").agg(F.sum("b").alias("bc"))
+    w_sb = Window.orderBy("sb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sbdir = (
+        blkdir.groupBy("sb")
+        .agg(F.sum("bc").alias("sc"))
+        .withColumn(
+            "sb_cum", F.coalesce(F.sum("sc").over(w_sb), F.lit(0))
+        )
+        .select("sb", "sb_cum")
+        .localCheckpoint(eager=True)
+    )
+    w_blk = Window.partitionBy("sb").orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blkdir2 = blkdir.withColumn(
+        "blk_cum", F.coalesce(F.sum("bc").over(w_blk), F.lit(0))
+    ).localCheckpoint(eager=True)
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("q").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    rq = spark.range(0, 24).select(F.col("id").alias("q")).select(
+        "q", (_h("rq:", 5) % 4096).alias("p")
+    )
+    # rank(p) = sb_cum(sb) + blk_cum(blk) + in-block ones below p
+    inblk = (
+        rq.withColumn("blk", F.expr("p div 64"))
+        .join(F.broadcast(bits).withColumnRenamed("i", "bi"),
+              F.expr("bi div 64") == F.col("blk"), "left")
+        .filter(F.col("bi") < F.col("p"))
+        .groupBy("q", "p", "blk")
+        .agg(F.sum("b").alias("inb"))
+    )
+    ranks = (
+        rq.withColumn("sb", F.expr("p div 512"))
+        .withColumn("blk", F.expr("p div 64"))
+        .join(F.broadcast(sbdir), "sb")
+        .join(F.broadcast(blkdir2.select("blk", "blk_cum")), "blk")
+        .join(inblk.select("q", "inb"), "q", "left")
+        .select(
+            F.lit("rank").alias("kind"),
+            "q",
+            F.col("p").cast("long").alias("arg"),
+            (
+                F.col("sb_cum")
+                + F.col("blk_cum")
+                + F.coalesce("inb", F.lit(0))
+            )
+            .cast("long")
+            .alias("answer"),
+        )
+    )
+    ones = (
+        bits.filter(F.col("b") == 1)
+        .withColumn("k", F.row_number().over(Window.orderBy("i")))
+        .localCheckpoint(eager=True)
+    )
+    n1 = ones.count()
+    sq = spark.range(0, 16).select(F.col("id").alias("q")).select(
+        "q", (1 + _h("sq:", 5) % n1).alias("k")
+    )
+    # select(k): max block with cumulative below k, then offset inside
+    bfull = blkdir2.join(F.broadcast(sbdir), "sb").select(
+        "blk", (F.col("sb_cum") + F.col("blk_cum")).alias("cum")
+    )
+    selblk = (
+        sq.join(F.broadcast(bfull), F.col("cum") < F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.max("blk").alias("blk"))
+    )
+    sels = (
+        selblk.join(
+            F.broadcast(
+                ones.withColumn("oblk", F.expr("i div 64"))
+            ).withColumnRenamed("k", "ok"),
+            F.col("oblk") == F.col("blk"),
+        )
+        .filter(F.col("ok") == F.col("k"))
+        .select(
+            F.lit("select").alias("kind"),
+            "q",
+            F.col("k").cast("long").alias("arg"),
+            F.col("i").cast("long").alias("answer"),
+        )
+    )
+    return ranks.unionByName(sels).orderBy("kind", "q")
