@@ -5692,3 +5692,175 @@ def rtree_query_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ------------------------------------------------------- KDE / coverage gap
+
+_KDE_ORACLE = """
+WITH p AS (
+  SELECT (event_id * 37 + 11) % 2000 AS u,
+         (event_id * 73 + 29) % 2000 AS v
+  FROM events
+),
+g AS (
+  SELECT CAST(i.range AS INT) AS gi, CAST(j.range AS INT) AS gj,
+         62 + 125 * i.range AS cu, 62 + 125 * j.range AS cv
+  FROM range(16) i, range(16) j
+)
+SELECT g.gi, g.gj,
+       count(*) AS n_pts,
+       CAST(sum((10000 - d2) * (10000 - d2)) AS BIGINT) AS kde_sum
+FROM (
+  SELECT g.gi, g.gj,
+         (p.u - g.cu) * (p.u - g.cu) + (p.v - g.cv) * (p.v - g.cv) AS d2
+  FROM p CROSS JOIN g
+) g
+WHERE d2 <= 10000
+GROUP BY 1, 2
+"""
+
+
+@register_extra("kde_grid_density", _KDE_ORACLE)
+def kde_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel density estimation on a fixed evaluation grid — the hotspot
+    surface a tile renderer or spatial sampler consumes (reference
+    analogue: the stop-density heat layers its PostGIS world renders).
+
+    EXACT-INTEGER biweight kernel on the oracle lattice: weight per
+    (point, center) = (R^2 - d^2)^2 with R = 100 lattice units, so the
+    DuckDB oracle reproduces every value bit-for-bit with zero float
+    rounding-mode risk (same discipline as ransac_line_fit).
+
+    Scale shape: NO join at all. Each point map-side explodes to the
+    <= 9 neighbor grid centers whose disc can reach it (grid step 125 >
+    R), filters d^2 <= R^2, then ONE partial-aggregated shuffle on the
+    bounded center key (256 cells). At 10^12 points this is the optimal
+    plan: candidate fan-out is a constant 9, combiners collapse each map
+    task to <= 256 rows, and the reduce side is trivially small. The
+    DuckDB oracle uses the cross-join formulation the engine exists to
+    avoid.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    pts = ev.select(
+        ((F.col("event_id") * 37 + 11) % 2000).alias("u"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("v"),
+    )
+    offs = F.expr(
+        "array({})".format(
+            ",".join(
+                f"struct({di}L as di, {dj}L as dj)"
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            )
+        )
+    )
+    cand = (
+        pts.withColumn("o", F.explode(offs))
+        .select(
+            "u",
+            "v",
+            (F.expr("u div 125") + F.col("o.di")).alias("gi"),
+            (F.expr("v div 125") + F.col("o.dj")).alias("gj"),
+        )
+    )
+    cand = cand.filter(
+        (F.col("gi") >= 0) & (F.col("gi") < 16)
+        & (F.col("gj") >= 0) & (F.col("gj") < 16)
+    )
+    cu = 62 + 125 * F.col("gi")
+    cv = 62 + 125 * F.col("gj")
+    d2 = (F.col("u") - cu) * (F.col("u") - cu) + (F.col("v") - cv) * (
+        F.col("v") - cv
+    )
+    return (
+        cand.withColumn("d2", d2)
+        .filter(F.col("d2") <= 10000)
+        .withColumn("w", (10000 - F.col("d2")) * (10000 - F.col("d2")))
+        .groupBy(
+            F.col("gi").cast("int").alias("gi"),
+            F.col("gj").cast("int").alias("gj"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("w").alias("kde_sum"),
+        )
+    )
+
+
+_COVERAGE_GAP_ORACLE = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 37 + 11) % 2000 AS u,
+         (event_id * 73 + 29) % 2000 AS v
+  FROM events
+),
+q AS (
+  SELECT 120 + 172 * s_suppkey AS qu, 640 + 68 * s_suppkey AS qv
+  FROM supplier
+)
+SELECT p.event_id, p.u, p.v
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM q
+  WHERE (p.u - q.qu) * (p.u - q.qu) + (p.v - q.qv) * (p.v - q.qv) <= 22500
+)
+"""
+
+
+@register_extra("coverage_gap_points", _COVERAGE_GAP_ORACLE)
+def coverage_gap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join: geotagged points NOT within R of ANY quay site
+    — the coverage-hole report (which images/events no stop covers; the
+    reference's planners ask the inverse of its ST_DWithin matcher).
+
+    Plan shape: the one relational form the engine's spatial joins had
+    not yet exercised — a BROADCAST LEFT ANTI hash join on the cell key
+    (R = cell size = 150 lattice units, so the 3x3 neighbor explode of
+    the tiny quay dim covers every disc) with the exact d^2 <= R^2
+    predicate as the join residual. Fully map-side: zero shuffle of the
+    point table, no distinct, no second pass; a point drops on the
+    FIRST matching quay cell (anti-join short-circuit). Exact integer
+    lattice arithmetic -> bit-identical to the NOT EXISTS oracle.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("u"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("v"),
+    ).withColumn("pci", F.expr("u div 150")).withColumn(
+        "pcj", F.expr("v div 150")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    quays = sup.select(
+        (120 + 172 * F.col("s_suppkey")).alias("qu"),
+        (640 + 68 * F.col("s_suppkey")).alias("qv"),
+    )
+    offs = F.expr(
+        "array({})".format(
+            ",".join(
+                f"struct({di}L as di, {dj}L as dj)"
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            )
+        )
+    )
+    qcells = (
+        quays.withColumn("o", F.explode(offs))
+        .select(
+            "qu",
+            "qv",
+            (F.expr("qu div 150") + F.col("o.di")).alias("qci"),
+            (F.expr("qv div 150") + F.col("o.dj")).alias("qcj"),
+        )
+    )
+    d2 = (F.col("u") - F.col("qu")) * (F.col("u") - F.col("qu")) + (
+        F.col("v") - F.col("qv")
+    ) * (F.col("v") - F.col("qv"))
+    gaps = pts.join(
+        F.broadcast(qcells),
+        (F.col("pci") == F.col("qci"))
+        & (F.col("pcj") == F.col("qcj"))
+        & (d2 <= 22500),
+        "left_anti",
+    )
+    return gaps.select("event_id", "u", "v")

@@ -1970,3 +1970,113 @@ def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------------------------- SSIM
+
+# Integer stabilizers: floor of the standard SSIM constants scaled to the
+# n^2 = 1024^2 integer-sum domain with L = 765 (channel-sum dynamic
+# range): C1*n^2 = (0.01*765)^2 * 1048576, C2*n^2 = (0.03*765)^2 * 1048576.
+_SSIM_C1N2 = 61365191
+_SSIM_C2N2 = 552286716
+
+_SSIM_ORACLE = f"""
+WITH e AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+yx AS (SELECT y.range AS y, x.range AS x FROM range(32) y, range(32) x),
+px AS (
+  SELECT e.event_id, yx.y, yx.x,
+         ((x*7 + e.event_id*13) % 256)
+       + ((y*11 + e.event_id*29) % 256)
+       + (((x+y)*5 + e.event_id*53) % 256) AS t
+  FROM e CROSS JOIN yx
+),
+down AS (
+  SELECT event_id, y // 2 AS j, x // 2 AS i,
+         CAST(sum(t) // 4 AS BIGINT) AS d
+  FROM px GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT px.event_id, CAST(px.t AS BIGINT) AS xv, down.d AS yv
+  FROM px
+  JOIN down ON down.event_id = px.event_id
+           AND down.i = px.x // 2 AND down.j = px.y // 2
+),
+s AS (
+  SELECT event_id,
+         CAST(sum(xv) AS HUGEINT) AS sx, CAST(sum(yv) AS HUGEINT) AS sy,
+         CAST(sum(xv*xv) AS HUGEINT) AS sxx,
+         CAST(sum(yv*yv) AS HUGEINT) AS syy,
+         CAST(sum(xv*yv) AS HUGEINT) AS sxy
+  FROM v GROUP BY 1
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST(sxy AS BIGINT) AS sum_xy,
+       CAST(
+         (2*sx*sy + {_SSIM_C1N2})
+         * (2*(1024*sxy - sx*sy) + {_SSIM_C2N2}) * 1000000
+         // ((sx*sx + sy*sy + {_SSIM_C1N2})
+             * (1024*(sxx + syy) - sx*sx - sy*sy + {_SSIM_C2N2}))
+         AS BIGINT) AS ssim_e6
+FROM s
+ORDER BY image_id
+"""
+
+
+@register_extra("image_ssim_degradation", _SSIM_ORACLE)
+def image_ssim_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSIM quality score of each image against its 2x box-downsample
+    reconstruction — the standard perceptual metric a training-data
+    pipeline uses to rank resize/compression damage (the per-row
+    decoded-pixel invariant of BASELINE.json input_hint, upgraded from
+    PSNR to structural similarity).
+
+    Through the REAL decode path (PNG bytes -> numpy), then EXACT
+    integer arithmetic end-to-end: channel-sum plane, floor-mean 2x2
+    box down + nearest upsample, global SSIM from the five integer
+    cross-moments with integer stabilizer constants, emitted as e-6
+    fixed point via big-int floor division (Python ints never overflow;
+    the DuckDB twin uses HUGEINT). Per-image numpy inside mapInPandas
+    on the deterministic 1/50 subset — embarrassingly parallel, no
+    shuffle, decode cost dominates exactly as at corpus scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import imagecodec as ic
+
+    imgs = im.images_df(spark, sf_dir, every=50)
+    c1, c2 = _SSIM_C1N2, _SSIM_C2N2
+
+    def _ssim(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(
+                    np.int64
+                )
+                t = px.sum(axis=2)
+                h, w = t.shape
+                down = t.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+                recon = np.repeat(np.repeat(down, 2, axis=0), 2, axis=1)
+                n = h * w
+                sx = int(t.sum())
+                sy = int(recon.sum())
+                sxx = int((t * t).sum())
+                syy = int((recon * recon).sum())
+                sxy = int((t * recon).sum())
+                num = (2 * sx * sy + c1) * (2 * (n * sxy - sx * sy) + c2)
+                den = (sx * sx + sy * sy + c1) * (
+                    n * (sxx + syy) - sx * sx - sy * sy + c2
+                )
+                ssim_e6 = (num * 1000000) // den
+                out.append((row.image_id, sxy, ssim_e6))
+            yield pd.DataFrame(
+                out, columns=["image_id", "sum_xy", "ssim_e6"]
+            )
+
+    return (
+        imgs.mapInPandas(
+            _ssim, "image_id string, sum_xy long, ssim_e6 long"
+        )
+        .orderBy("image_id")
+    )
