@@ -5864,3 +5864,123 @@ def coverage_gap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return gaps.select("event_id", "u", "v")
+
+
+# ----------------------------------------------------- corridor DWithin
+
+_CORRIDOR_ORACLE = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 37 + 11) % 2000 AS u,
+         (event_id * 73 + 29) % 2000 AS v
+  FROM events
+),
+s AS (
+  SELECT n_nationkey AS edge_id,
+         200 + 400 * (n_nationkey % 5) AS au,
+         200 + 400 * (n_nationkey // 5) AS av,
+         200 + 400 * (n_nationkey % 5) + 68 * ((n_nationkey * 7) % 5 - 2) AS bu,
+         200 + 400 * (n_nationkey // 5) + 52 * ((n_nationkey * 3) % 7 - 3) AS bv
+  FROM nation
+)
+SELECT p.event_id, s.edge_id
+FROM p CROSS JOIN s
+WHERE CASE
+  WHEN (bu-au)*(bu-au) + (bv-av)*(bv-av) = 0
+    THEN (u-au)*(u-au) + (v-av)*(v-av) <= 14400
+  WHEN (u-au)*(bu-au) + (v-av)*(bv-av) <= 0
+    THEN (u-au)*(u-au) + (v-av)*(v-av) <= 14400
+  WHEN (u-au)*(bu-au) + (v-av)*(bv-av)
+       >= (bu-au)*(bu-au) + (bv-av)*(bv-av)
+    THEN (u-bu)*(u-bu) + (v-bv)*(v-bv) <= 14400
+  ELSE ((u-au)*(u-au) + (v-av)*(v-av))
+         * ((bu-au)*(bu-au) + (bv-av)*(bv-av))
+       - ((u-au)*(bu-au) + (v-av)*(bv-av))
+         * ((u-au)*(bu-au) + (v-av)*(bv-av))
+       <= 14400 * ((bu-au)*(bu-au) + (bv-av)*(bv-av))
+END
+"""
+
+
+@register_extra("corridor_dwithin_pairs", _CORRIDOR_ORACLE)
+def corridor_dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor join: (point, edge) pairs where the point lies within D
+    of the edge SEGMENT — ST_DWithin against a line layer, the buffer-
+    membership query route planners run (which images/events lie along
+    a path-link corridor; reference analogue: the PPR path-edge matching
+    its stitcher resolves per stop area).
+
+    EXACT RATIONAL point-to-segment decision with zero floats: the
+    clamped-projection cases compare integers, and the interior case
+    cross-multiplies the rational distance through the squared segment
+    length (|w|^2*L^2 - (w.e)^2 <= D^2*L^2), so boundary points decide
+    identically in both engines — no epsilon anywhere. Degenerate
+    zero-length edges take the point-distance branch (edge 1 in the
+    layer IS degenerate, so the branch is gated).
+
+    Plan: each segment map-side explodes to its FULL (bbox + D) cell
+    cover (any point within D lies inside the padded bbox, so its cell
+    is in the cover — correctness is cell-size independent; 256 =~ 2D
+    just keeps the cover small), the cover dim broadcasts, and points
+    probe on their OWN cell —
+    a broadcast inner hash join with the exact predicate as residual.
+    Zero shuffle of the point table; at a fact-sized edge layer the same
+    cover becomes the shuffle key (operators/spatial_join.py pattern).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("u"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("v"),
+    ).withColumn("pci", F.expr("u div 256")).withColumn(
+        "pcj", F.expr("v div 256")
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey")
+    seg = nat.select(
+        k.alias("edge_id"),
+        (200 + 400 * (k % 5)).alias("au"),
+        (200 + 400 * F.floor(k / 5)).alias("av"),
+        (200 + 400 * (k % 5) + 68 * ((k * 7) % 5 - 2)).alias("bu"),
+        (200 + 400 * F.floor(k / 5) + 52 * ((k * 3) % 7 - 3)).alias("bv"),
+    )
+    cover = (
+        seg.withColumn(
+            "qci",
+            F.explode(
+                F.sequence(
+                    F.expr("(least(au, bu) - 120) div 256"),
+                    F.expr("(greatest(au, bu) + 120) div 256"),
+                )
+            ),
+        )
+        .withColumn(
+            "qcj",
+            F.explode(
+                F.sequence(
+                    F.expr("(least(av, bv) - 120) div 256"),
+                    F.expr("(greatest(av, bv) + 120) div 256"),
+                )
+            ),
+        )
+    )
+    u, v = F.col("u"), F.col("v")
+    au, av, bu, bv = (F.col(c) for c in ("au", "av", "bu", "bv"))
+    ex, ey = bu - au, bv - av
+    wx, wy = u - au, v - av
+    l2 = ex * ex + ey * ey
+    dot = wx * ex + wy * ey
+    d2a = wx * wx + wy * wy  # to endpoint a
+    d2b = (u - bu) * (u - bu) + (v - bv) * (v - bv)
+    within = (
+        F.when(l2 == 0, d2a <= 14400)
+        .when(dot <= 0, d2a <= 14400)
+        .when(dot >= l2, d2b <= 14400)
+        .otherwise(d2a * l2 - dot * dot <= 14400 * l2)
+    )
+    out = pts.join(
+        F.broadcast(cover),
+        (F.col("pci") == F.col("qci")) & (F.col("pcj") == F.col("qcj")),
+        "inner",
+    ).filter(within)
+    return out.select("event_id", F.col("edge_id").cast("int"))
