@@ -580,6 +580,19 @@ def main() -> None:
 
         def image_job(cores: int) -> float:
             spark = _fresh_spark(cores)
+            # Size scan splits for the artifact table: 256 part files of
+            # ~1.5 MB pack into ~10 default 128 MB bins (4 MB openCost
+            # dominates), which STARVES 16 cores — measured 0.596
+            # efficiency was split-count, not engine. A real 100 TB
+            # table has millions of row groups and never hits this; the
+            # same conf is applied at BOTH parallelism levels so the
+            # comparison stays same-job-same-input.
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024)
+            )
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes", str(256 * 1024)
+            )
             imgs = spark.read.parquet(tpath).select("image_id", "lon", "lat")
             polys = datagen.stop_area_octagons(spark, sf_dir)
             quays = datagen.quay_sites(spark, sf_dir)
