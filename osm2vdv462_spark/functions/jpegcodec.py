@@ -200,6 +200,77 @@ _PROG_AC_BITS[8] = len(_PROG_AC_VALS)  # all codes are 9 bits long
 _PROG_AC_CODES = _code_list(_PROG_AC_BITS, _PROG_AC_VALS, 256)
 
 
+# ------------------------------------------------- quality estimation
+
+# signature (zigzag luma + chroma table bytes) -> SMALLEST quality that
+# generates it under the IJG scaling of the Annex-K tables. Built
+# lazily once per worker; 100 entries.
+_QSIG: dict[bytes, int] = {}
+
+
+def _quality_signatures() -> dict[bytes, int]:
+    if not _QSIG:
+        for q in range(1, 101):
+            ql, qc = quant_tables(q)
+            key = (
+                ql[ZIGZAG_ROW, ZIGZAG_COL].astype(np.uint8).tobytes()
+                + qc[ZIGZAG_ROW, ZIGZAG_COL].astype(np.uint8).tobytes()
+            )
+            _QSIG.setdefault(key, q)
+    return _QSIG
+
+
+def parse_dqt_raw(data: bytes) -> dict[int, bytes]:
+    """Marker-level DQT scan: table id -> raw 64 zigzag-order bytes
+    (8-bit precision tables; 16-bit tables are skipped — no quality-
+    scaled Annex-K table is ever 16-bit). Stops at SOS: per Annex B
+    all tables used by the first scan precede it, and skipping the
+    entropy stream keeps the scan O(header) not O(file)."""
+    out: dict[int, bytes] = {}
+    i, n = 2, len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        payload = data[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq == 0:
+                    out[tq] = bytes(payload[p : p + 64])
+                    p += 64
+                else:
+                    p += 128
+        elif marker == 0xDA:
+            break
+    return out
+
+
+def estimate_quality(data: bytes) -> tuple[int, int]:
+    """Corpus-filtering primitive: recover the IJG quality factor a
+    JPEG was encoded at from its quantization tables alone (the
+    LAION-style 'drop q<60 thumbnails' signal — no pixel decode).
+    Returns (quality, tables_found); quality is the SMALLEST q in
+    1..100 whose scaled Annex-K pair equals the stored tables exactly
+    (well-defined even where adjacent qualities collide after the
+    clamp), or -1 for custom-table encoders."""
+    tables = parse_dqt_raw(data)
+    if 0 not in tables or 1 not in tables:
+        return -1, len(tables)
+    q = _quality_signatures().get(tables[0] + tables[1], -1)
+    return q, len(tables)
+
+
 # -------------------------------------------------------------- encoder
 
 

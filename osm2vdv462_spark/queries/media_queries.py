@@ -2080,3 +2080,169 @@ def image_ssim_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ------------------------------------------------ JPEG quality estimate
+
+# The oracle never parses a byte of JPEG: it re-derives the estimate
+# from the PUBLIC IJG quality-scaling formula over the Annex-K base
+# tables (the same 64+64 integers jpegcodec embeds) — scale = 5000//q
+# below 50 else 200-2q, t = clamp((base*scale+50)//100, 1, 255) — and
+# computes the SAME min-q collision rule the engine's table-signature
+# lookup applies. Spark's answer comes from the stored bytes (marker
+# scan -> DQT tables -> signature match), so a drift anywhere in
+# encode_jpeg's DQT emission, the scaling arithmetic, or the parser
+# hash-fails the row.
+_JPEG_QUALITY_ORACLE = """
+WITH b(i, bl, bc) AS (VALUES
+    (0,16,17),
+    (1,11,18),
+    (2,10,24),
+    (3,16,47),
+    (4,24,99),
+    (5,40,99),
+    (6,51,99),
+    (7,61,99),
+    (8,12,18),
+    (9,12,21),
+    (10,14,26),
+    (11,19,66),
+    (12,26,99),
+    (13,58,99),
+    (14,60,99),
+    (15,55,99),
+    (16,14,24),
+    (17,13,26),
+    (18,16,56),
+    (19,24,99),
+    (20,40,99),
+    (21,57,99),
+    (22,69,99),
+    (23,56,99),
+    (24,14,47),
+    (25,17,66),
+    (26,22,99),
+    (27,29,99),
+    (28,51,99),
+    (29,87,99),
+    (30,80,99),
+    (31,62,99),
+    (32,18,99),
+    (33,22,99),
+    (34,37,99),
+    (35,56,99),
+    (36,68,99),
+    (37,109,99),
+    (38,103,99),
+    (39,77,99),
+    (40,24,99),
+    (41,35,99),
+    (42,55,99),
+    (43,64,99),
+    (44,81,99),
+    (45,104,99),
+    (46,113,99),
+    (47,92,99),
+    (48,49,99),
+    (49,64,99),
+    (50,78,99),
+    (51,87,99),
+    (52,103,99),
+    (53,121,99),
+    (54,120,99),
+    (55,101,99),
+    (56,72,99),
+    (57,92,99),
+    (58,95,99),
+    (59,98,99),
+    (60,112,99),
+    (61,100,99),
+    (62,103,99),
+    (63,99,99)),
+qs AS (SELECT CAST(range + 1 AS BIGINT) AS q FROM range(100)),
+qt AS (
+  SELECT q, i,
+         LEAST(GREATEST((bl * (CASE WHEN q < 50 THEN 5000 // q
+                                    ELSE 200 - 2 * q END) + 50) // 100,
+                        1), 255) AS tl,
+         LEAST(GREATEST((bc * (CASE WHEN q < 50 THEN 5000 // q
+                                    ELSE 200 - 2 * q END) + 50) // 100,
+                        1), 255) AS tc
+  FROM qs CROSS JOIN b
+),
+sig AS (
+  SELECT q, string_agg(tl || '.' || tc, ',' ORDER BY i) AS s
+  FROM qt GROUP BY q
+),
+imgs AS (
+  SELECT event_id, 30 + (event_id * 13) % 66 AS q_true
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
+       CAST(MIN(s2.q) AS INT) AS q_est,
+       2 AS n_tables
+FROM imgs
+JOIN sig s1 ON s1.q = imgs.q_true
+JOIN sig s2 ON s2.s = s1.s
+GROUP BY image_id
+"""
+
+
+@register_extra("jpeg_quality_estimate", _JPEG_QUALITY_ORACLE)
+def jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover the encoder quality factor of every JPEG in a corpus
+    from its quantization tables alone — the standard cheap quality
+    gate a web-scale image pipeline runs BEFORE spending a decode
+    (LAION-style 'drop low-quality thumbnails'): a header-only marker
+    scan, no entropy decode, no pixels.
+
+    Corpus: one baseline JPEG per 7th event id, encoded at quality
+    30 + (id*13) % 66 — 66 distinct qualities spanning thumbnail
+    (30) to archival (95). Estimation inverts the IJG scaling by
+    exact table-signature match over all 100 candidate qualities,
+    resolving clamp collisions to the smallest q (deterministic; the
+    oracle applies the identical rule).
+
+    Plan: two mapInPandas passes with images as the parallel axis
+    (synthesize+encode, then scan headers); the estimate reads only
+    the first ~400 bytes of each blob, so at corpus scale this is a
+    footer-style metadata pass — no shuffle anywhere, output is one
+    24-byte row per image."""
+    from ..functions import imagecodec as ic
+    from ..functions import jpegcodec as jc
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .filter(F.col("event_id") % 7 == 0)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                q = 30 + (eid * 13) % 66
+                px = ic.synth_pixels_smooth(eid, 16, 16)
+                rows.append((f"img_{eid:09d}", jc.encode_jpeg(px, quality=q)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = ev.mapInPandas(_gen, "image_id string, bytes binary")
+
+    def _est(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            qs, nt = [], []
+            for blob in pdf["bytes"]:
+                q, n = jc.estimate_quality(bytes(blob))
+                qs.append(q)
+                nt.append(n)
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "q_est": qs, "n_tables": nt}
+            )
+
+    return imgs.mapInPandas(_est, "image_id string, q_est int, n_tables int")

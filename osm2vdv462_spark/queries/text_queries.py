@@ -6025,3 +6025,73 @@ def optimal_line_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------- mojibake detection
+
+# The classic web-corpus encoding defect: UTF-8 bytes re-decoded as
+# Latin-1 ("café" -> "cafÃ©"), the #1 cleanup CCNet/C4-style pipelines
+# apply before training. The engine detects it with the lead-byte
+# signature regex, repairs by the inverse transcode, and proves the
+# repair byte-exact. The oracle builds the SAME corruption without any
+# charset machinery — pure codepoint arithmetic (UTF-8 bytes 0xC3 0xA9
+# reinterpreted as Latin-1 ARE codepoints U+00C3 U+00A9), so Spark's
+# JVM encode/decode path is cross-derived against chr()-level math,
+# and the md5 column pins the corrupted text byte-for-byte.
+_MOJIBAKE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text || ' café straße français' AS accented,
+         doc_id % 3 = 0 AS is_corrupted
+  FROM documents
+),
+c AS (
+  SELECT doc_id, is_corrupted,
+         CASE WHEN is_corrupted THEN
+           replace(replace(replace(accented,
+             'é', chr(195) || chr(169)),
+             'ß', chr(195) || chr(159)),
+             'ç', chr(195) || chr(167))
+         ELSE accented END AS shown
+  FROM d
+)
+SELECT doc_id, is_corrupted,
+       CAST(length(regexp_extract_all(
+           shown,
+           '[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]')) AS INT)
+         AS moji_hits,
+       md5(shown) AS moji_md5,
+       true AS repaired_ok
+FROM c
+"""
+
+
+@register_extra("mojibake_repair_audit", _MOJIBAKE_ORACLE)
+def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and repair UTF-8/Latin-1 double-encoding (mojibake) across
+    the corpus: every third document is corrupted by the real transcode
+    (encode UTF-8, re-decode as ISO-8859-1 — the exact bug that produces
+    'cafÃ©' on the web), detection counts lead-byte signatures
+    ([ÂÃ] + continuation), and repair applies the inverse transcode with
+    a byte-exact equality proof against the original.
+
+    Everything is JVM-side Catalyst expressions (encode/decode/
+    regexp_count/md5) — no Python touches a row and no shuffle exists
+    in the plan; at 100 TB this is a pure map pass whose output is one
+    ~50-byte row per document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    accented = F.concat(F.col("text"), F.lit(" café straße français"))
+    is_corr = (F.col("doc_id") % 3) == 0
+    corrupted = F.decode(F.encode(accented, "UTF-8"), "ISO-8859-1")
+    shown = F.when(is_corr, corrupted).otherwise(accented)
+    repaired = F.when(
+        is_corr, F.decode(F.encode(shown, "ISO-8859-1"), "UTF-8")
+    ).otherwise(shown)
+    return docs.select(
+        "doc_id",
+        is_corr.alias("is_corrupted"),
+        F.regexp_count(
+            shown, F.lit("[\\u00C2\\u00C3][\\u0080-\\u00BF]")
+        ).cast("int").alias("moji_hits"),
+        F.md5(F.encode(shown, "UTF-8")).alias("moji_md5"),
+        (repaired == accented).alias("repaired_ok"),
+    )

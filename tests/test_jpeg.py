@@ -239,3 +239,57 @@ class TestProgressive:
         patched = bytes(enc[:sos]) + dri + bytes(enc[sos:])
         with pytest.raises(NotImplementedError):
             J.decode_jpeg(patched)
+
+
+class TestQualityEstimate:
+    def test_roundtrip_every_quality(self):
+        px = ic.synth_pixels_smooth(5, 16, 16)
+        sig_min = {}
+        for q in range(1, 101):
+            ql, qc = J.quant_tables(q)
+            key = (
+                ql[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(np.uint8).tobytes()
+                + qc[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(np.uint8).tobytes()
+            )
+            sig_min.setdefault(key, q)
+        for q in range(1, 101, 7):
+            data = J.encode_jpeg(px, quality=q)
+            ql, qc = J.quant_tables(q)
+            key = (
+                ql[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(np.uint8).tobytes()
+                + qc[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(np.uint8).tobytes()
+            )
+            est, n = J.estimate_quality(data)
+            assert n == 2
+            assert est == sig_min[key]  # min-q collision rule
+            assert 1 <= est <= 100
+
+    def test_progressive_and_subsampled(self):
+        px = ic.synth_pixels_smooth(9, 16, 16)
+        assert J.estimate_quality(J.encode_jpeg_progressive(px, quality=71)) \
+            == (71, 2)
+        assert J.estimate_quality(
+            J.encode_jpeg(px, quality=40, subsample="420")
+        ) == (40, 2)
+
+    def test_custom_tables_return_minus_one(self):
+        # hand-build a DQT with a non-Annex-K table: estimate must
+        # refuse (-1), never misattribute a quality
+        px = ic.synth_pixels_smooth(2, 16, 16)
+        data = bytearray(J.encode_jpeg(px, quality=50))
+        i = data.index(b"\xff\xdb")
+        data[i + 5] = 7 if data[i + 5] != 7 else 8  # perturb one coeff
+        est, n = J.estimate_quality(bytes(data))
+        assert n == 2 and est == -1
+
+    def test_parse_dqt_raw_layout(self):
+        px = ic.synth_pixels_smooth(3, 16, 16)
+        data = J.encode_jpeg(px, quality=85)
+        t = J.parse_dqt_raw(data)
+        ql, qc = J.quant_tables(85)
+        assert t[0] == ql[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(
+            np.uint8
+        ).tobytes()
+        assert t[1] == qc[J.ZIGZAG_ROW, J.ZIGZAG_COL].astype(
+            np.uint8
+        ).tobytes()
