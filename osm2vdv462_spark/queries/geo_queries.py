@@ -6117,3 +6117,287 @@ def snap_nearest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.edge_id").cast("int").alias("edge_id"),
         F.col("m.num").alias("d2_num"),
     )
+
+
+# -------------------------------------- Visvalingam-Whyatt simplification
+
+# The OTHER canonical polyline simplifier (the one real tile pipelines
+# — Mapshaper, Mapbox — prefer over Douglas-Peucker for cartography):
+# repeatedly delete the point whose triangle with its CURRENT
+# neighbors has the smallest effective area, until every remaining
+# interior point's area clears the threshold. Sequential by nature
+# (each removal changes its neighbors' areas), so the oracle is a
+# recursive list machine that replays the exact removal order; the
+# area metric is the integer |cross| (twice the triangle area) — no
+# float anywhere, ties broken by smallest list position in BOTH
+# engines.
+_VW_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT user_id AS u,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i,
+         (event_id * 37 + 11) % 2000 AS x,
+         (event_id * 73 + 29) % 2000 AS y
+  FROM events
+),
+arr AS (
+  SELECT u, list(x ORDER BY i) AS xs, list(y ORDER BY i) AS ys,
+         count(*) AS n
+  FROM pts GROUP BY u
+),
+state(u, keep, done, step) AS (
+  SELECT u, generate_series(CAST(1 AS BIGINT), n), n < 3, 0 FROM arr
+  UNION ALL
+  SELECT s.u,
+         CASE WHEN d.j IS NOT NULL AND d.a2 < 200000
+              THEN list_slice(s.keep, 1, d.j - 1)
+                   || list_slice(s.keep, d.j + 1, len(s.keep))
+              ELSE s.keep END,
+         d.j IS NULL OR d.a2 >= 200000,
+         s.step + 1
+  FROM state s
+  JOIN arr a ON a.u = s.u
+  LEFT JOIN LATERAL (
+    SELECT j, a2 FROM (
+      SELECT gs.j,
+             abs((a.xs[s.keep[gs.j]] - a.xs[s.keep[gs.j - 1]])
+                 * (a.ys[s.keep[gs.j + 1]] - a.ys[s.keep[gs.j - 1]])
+               - (a.ys[s.keep[gs.j]] - a.ys[s.keep[gs.j - 1]])
+                 * (a.xs[s.keep[gs.j + 1]] - a.xs[s.keep[gs.j - 1]]))
+               AS a2
+      FROM (SELECT unnest(generate_series(CAST(2 AS BIGINT),
+                                          len(s.keep) - 1)) AS j) gs
+    ) ORDER BY a2 ASC, j ASC LIMIT 1
+  ) d ON true
+  WHERE NOT s.done
+),
+last_state AS (
+  SELECT u, keep FROM state
+  QUALIFY row_number() OVER (PARTITION BY u ORDER BY step DESC) = 1
+),
+sel AS (SELECT u, unnest(keep) AS pos FROM last_state)
+SELECT CAST(p.u AS BIGINT) AS user_id, CAST(p.i AS BIGINT) AS seq,
+       CAST(p.x AS BIGINT) AS qx, CAST(p.y AS BIGINT) AS qy
+FROM sel JOIN pts p ON p.u = sel.u AND p.i = sel.pos
+ORDER BY user_id, seq
+"""
+
+
+@register_extra("polyline_simplify_vw", _VW_ORACLE)
+def polyline_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam-Whyatt trajectory simplification — the area-based
+    simplifier tile pipelines prefer over Douglas-Peucker (which the
+    engine also ships, polyline_simplify_dp): iteratively remove the
+    point with the smallest effective triangle area until all
+    remaining interior areas clear tol (|cross| >= 200000, exact
+    int64; ties -> smallest position — the oracle's recursive list
+    machine replays the identical order).
+
+    Scale shape: identical to the DP variant — ONE groupBy shuffle
+    co-locates each trajectory, then the removal loop is per-group
+    numpy (O(n) vectorized area recompute per removal, n bounded by
+    per-vehicle/day trail length in production). The oracle's ~60-step
+    per-user recursion is the same work, centralized."""
+    import numpy as np
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("qx"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("qy"),
+    )
+
+    TOL_A2 = 200000  # |cross| = 2 * triangle area, grid units^2
+
+    def _vw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        x = pdf["qx"].to_numpy(np.int64)
+        y = pdf["qy"].to_numpy(np.int64)
+        n = len(x)
+        alive = np.ones(n, dtype=bool)
+        while True:
+            kept = np.flatnonzero(alive)
+            if len(kept) < 3:
+                break
+            a, b, c = kept[:-2], kept[1:-1], kept[2:]
+            a2 = np.abs(
+                (x[b] - x[a]) * (y[c] - y[a])
+                - (y[b] - y[a]) * (x[c] - x[a])
+            )
+            m = int(np.argmin(a2))  # first min == smallest position
+            if int(a2[m]) >= TOL_A2:
+                break
+            alive[b[m]] = False
+        idx = np.flatnonzero(alive)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(idx), pdf["user_id"].iloc[0]),
+                "seq": idx.astype(np.int64) + 1,
+                "qx": x[idx],
+                "qy": y[idx],
+            }
+        )
+
+    return (
+        pts.groupBy("user_id")
+        .applyInPandas(
+            _vw, "user_id bigint, seq bigint, qx bigint, qy bigint"
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+# ---------------------------------------------- segment-overlay pairs
+
+# Bulk line-layer overlay: which segment pairs from two layers
+# PROPERLY cross (the GIS "intersects" join on line layers — road
+# network conflation, trajectory-vs-infrastructure audits). The
+# sequential-analytics answer is Bentley-Ottmann; the distributed
+# answer is grid binning with REFERENCE-POINT dedup: each candidate
+# pair is tested in exactly ONE cell — the cell containing the
+# top-left corner of the two bboxes' overlap — so no DISTINCT
+# exchange ever materializes duplicate pairs. The oracle is the
+# quadratic cross join the plan avoids, with the identical exact
+# integer double-orientation predicate.
+_SEG_OVERLAY_ORACLE = """
+WITH a AS (
+  SELECT event_id AS a_id,
+         (event_id * 37 + 11) % 2000 + 256 AS ax1,
+         (event_id * 73 + 29) % 2000 + 256 AS ay1,
+         (event_id * 37 + 11) % 2000 + 256
+           + (event_id * 29 + 7) % 193 - 96 AS ax2,
+         (event_id * 73 + 29) % 2000 + 256
+           + (event_id * 53 + 3) % 193 - 96 AS ay2
+  FROM events
+),
+b AS (
+  SELECT p_partkey AS b_id,
+         (p_partkey * 61 + 17) % 2000 + 256 AS bx1,
+         (p_partkey * 101 + 43) % 2000 + 256 AS by1,
+         (p_partkey * 61 + 17) % 2000 + 256
+           + (p_partkey * 31 + 5) % 193 - 96 AS bx2,
+         (p_partkey * 101 + 43) % 2000 + 256
+           + (p_partkey * 67 + 11) % 193 - 96 AS by2
+  FROM part
+)
+SELECT a_id, b_id
+FROM a CROSS JOIN b
+WHERE ((bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) > 0
+       AND (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) < 0
+    OR (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) < 0
+       AND (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) > 0)
+  AND ((ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) > 0
+       AND (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) < 0
+    OR (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) < 0
+       AND (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) > 0)
+ORDER BY a_id, b_id
+"""
+
+
+@register_extra("segment_overlay_pairs", _SEG_OVERLAY_ORACLE)
+def segment_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-layer overlay join: all properly-crossing (trajectory
+    segment, road segment) pairs via a broadcast grid-cell join.
+    Segments are short by construction (length <= 96*sqrt(2) < cell
+    size 128), so each bbox covers <= 2x2 cells; the road layer
+    explodes to its cover and BROADCASTS, trajectory segments explode
+    map-side and probe. Dedup is the reference-point rule: a pair is
+    evaluated only in the cell containing (max of bbox minima) — a
+    point both bboxes contain whenever they overlap — so every
+    crossing pair emerges exactly once with NO distinct/aggregate
+    exchange. The only wide op in the plan is the final sort; at
+    10^12 segments the join itself stays embarrassingly map-side.
+
+    Exact arithmetic: proper crossing = both double-orientation sign
+    tests strict (touch/collinear excluded deterministically); cross
+    products bounded by ~2400^2*2 — int64-safe, no float anywhere."""
+    C = 128
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    e = F.col("event_id")
+    a = ev.select(
+        e.alias("a_id"),
+        ((e * 37 + 11) % 2000 + 256).alias("ax1"),
+        ((e * 73 + 29) % 2000 + 256).alias("ay1"),
+        ((e * 37 + 11) % 2000 + 256 + (e * 29 + 7) % 193 - 96).alias("ax2"),
+        ((e * 73 + 29) % 2000 + 256 + (e * 53 + 3) % 193 - 96).alias("ay2"),
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    p = F.col("p_partkey").cast("long")
+    b = pt.select(
+        p.alias("b_id"),
+        ((p * 61 + 17) % 2000 + 256).alias("bx1"),
+        ((p * 101 + 43) % 2000 + 256).alias("by1"),
+        ((p * 61 + 17) % 2000 + 256 + (p * 31 + 5) % 193 - 96).alias("bx2"),
+        ((p * 101 + 43) % 2000 + 256 + (p * 67 + 11) % 193 - 96).alias("by2"),
+    )
+
+    def cover(df, x1, y1, x2, y2):
+        # all coordinates are shifted non-negative, so div == floor div
+        return df.withColumn(
+            "ci",
+            F.explode(
+                F.sequence(
+                    F.expr(f"least({x1}, {x2}) div {C}"),
+                    F.expr(f"greatest({x1}, {x2}) div {C}"),
+                )
+            ),
+        ).withColumn(
+            "cj",
+            F.explode(
+                F.sequence(
+                    F.expr(f"least({y1}, {y2}) div {C}"),
+                    F.expr(f"greatest({y1}, {y2}) div {C}"),
+                )
+            ),
+        )
+
+    ac = cover(a, "ax1", "ay1", "ax2", "ay2")
+    bc = cover(b, "bx1", "by1", "bx2", "by2").withColumnRenamed(
+        "ci", "qi"
+    ).withColumnRenamed("cj", "qj")
+
+    joined = ac.join(
+        F.broadcast(bc),
+        (F.col("ci") == F.col("qi")) & (F.col("cj") == F.col("qj")),
+        "inner",
+    )
+    # reference-point dedup: only the cell holding the bbox-overlap
+    # top-left corner evaluates the pair
+    ref_i = F.floor(
+        F.greatest(
+            F.least(F.col("ax1"), F.col("ax2")),
+            F.least(F.col("bx1"), F.col("bx2")),
+        )
+        / C
+    )
+    ref_j = F.floor(
+        F.greatest(
+            F.least(F.col("ay1"), F.col("ay2")),
+            F.least(F.col("by1"), F.col("by2")),
+        )
+        / C
+    )
+    d1 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax1") - F.col("bx1"))
+    d2 = (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax2") - F.col("bx1"))
+    d3 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx1") - F.col("ax1"))
+    d4 = (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx2") - F.col("ax1"))
+    crossing = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    return (
+        joined.filter(
+            (F.col("ci") == ref_i) & (F.col("cj") == ref_j) & crossing
+        )
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    )
