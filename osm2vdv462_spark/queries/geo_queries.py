@@ -6401,3 +6401,178 @@ def segment_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------- D8 flow accumulation
+
+# Hydrology's core raster pair — D8 flow direction + flow accumulation
+# (stream extraction, watershed delineation) — on per-tile synthetic
+# DEMs (integer bowl + deterministic noise). Direction is the exact
+# argmax of drop/distance over the 8 neighbors (compared as the
+# integer 2*drop^2/dist — dist in {1,2} divides evenly — ties by
+# fixed compass order), computed CLOSED-FORM with no raster join:
+# the neighbor elevation is the same formula re-evaluated. The
+# functional flow graph then closes by pointer doubling (8 rounds
+# cover any path in a 256-cell tile) and accumulation is one count
+# per target cell. The oracle walks every cell's flow path linearly
+# (recursive CTE) — algorithm vs definition.
+_FLOW_ORACLE = """
+WITH RECURSIVE t AS (SELECT s_suppkey AS tile FROM supplier),
+g AS (SELECT range AS k FROM range(256)),
+cells AS (
+  SELECT tile, x, y,
+         (x - (tile*13)%16) * (x - (tile*13)%16)
+         + (y - (tile*29)%16) * (y - (tile*29)%16)
+         + (x*7 + y*11 + tile) % 3 AS z
+  FROM (SELECT tile, k // 16 AS x, k % 16 AS y FROM t CROSS JOIN g)
+),
+off(dx, dy, dist, ord) AS (VALUES
+  (1,0,1,0),(1,1,2,1),(0,1,1,2),(-1,1,2,3),
+  (-1,0,1,4),(-1,-1,2,5),(0,-1,1,6),(1,-1,2,7)),
+nbz AS (
+  SELECT c.tile, c.x, c.y, c.x+dx AS nx, c.y+dy AS ny, dist, ord,
+         c.z - ((c.x+dx - (c.tile*13)%16) * (c.x+dx - (c.tile*13)%16)
+                + (c.y+dy - (c.tile*29)%16) * (c.y+dy - (c.tile*29)%16)
+                + ((c.x+dx)*7 + (c.y+dy)*11 + c.tile) % 3) AS drop
+  FROM cells c CROSS JOIN off
+  WHERE c.x+dx BETWEEN 0 AND 15 AND c.y+dy BETWEEN 0 AND 15
+),
+edges AS (
+  SELECT tile, x*16 + y AS u, nx*16 + ny AS v
+  FROM nbz WHERE drop > 0
+  QUALIFY row_number() OVER (
+    PARTITION BY tile, x, y
+    ORDER BY (2*drop*drop) // dist DESC, ord ASC) = 1
+),
+paths(tile, u, v) AS (
+  SELECT tile, u, v FROM edges
+  UNION ALL
+  SELECT p.tile, p.u, e.v
+  FROM paths p JOIN edges e ON e.tile = p.tile AND e.u = p.v
+),
+acc AS (
+  SELECT c.tile, c.x, c.y, 1 + count(p.u) AS acc
+  FROM cells c LEFT JOIN paths p
+    ON p.tile = c.tile AND p.v = c.x*16 + c.y
+  GROUP BY c.tile, c.x, c.y
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(x AS BIGINT) AS x,
+       CAST(y AS BIGINT) AS y, CAST(acc AS BIGINT) AS acc
+FROM acc WHERE acc >= 8
+ORDER BY tile, x, y
+"""
+
+
+@register_extra("flow_accumulation_d8", _FLOW_ORACLE)
+def flow_accumulation_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation / stream extraction over a fleet of DEM
+    tiles (one 16x16 integer DEM per supplier — tiles are the parallel
+    axis, exactly how continental DEMs shard). Three stages, each
+    scale-shaped: (1) flow direction is argmax(drop/dist) with the
+    neighbor elevation RE-DERIVED from the closed form — an 8-way
+    map-side fanout plus one partial-aggregated argmax shuffle, never
+    a raster self-join; (2) the flow forest closes by pointer doubling
+    (R := R U R.R, 8 rounds bound any 256-cell path — O(log depth)
+    rounds of compact (tile,u,v) exchanges, the same closure idiom as
+    lca_pointer_doubling); (3) accumulation = one count per target
+    cell + 1 for self. Strictly-lower drops make cycles impossible,
+    so the doubling terminates by construction."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("tile")
+    )
+    cells = sup.select(
+        "tile", F.explode(F.sequence(F.lit(0), F.lit(255))).alias("k")
+    ).select(
+        "tile",
+        (F.col("k") / 16).cast("long").alias("x"),
+        (F.col("k") % 16).alias("y"),
+    )
+
+    def z_of(xc, yc):
+        cx = (F.col("tile") * 13) % 16
+        cy = (F.col("tile") * 29) % 16
+        return (
+            (xc - cx) * (xc - cx)
+            + (yc - cy) * (yc - cy)
+            + (xc * 7 + yc * 11 + F.col("tile")) % 3
+        )
+
+    offs = [
+        (1, 0, 1, 0), (1, 1, 2, 1), (0, 1, 1, 2), (-1, 1, 2, 3),
+        (-1, 0, 1, 4), (-1, -1, 2, 5), (0, -1, 1, 6), (1, -1, 2, 7),
+    ]
+    nb = cells.select(
+        "tile",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                        F.lit(dist).alias("dist"),
+                        F.lit(ordn).alias("ordn"),
+                    )
+                    for dx, dy, dist, ordn in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "tile",
+        "x",
+        "y",
+        (F.col("x") + F.col("o.dx")).alias("nx"),
+        (F.col("y") + F.col("o.dy")).alias("ny"),
+        F.col("o.dist").alias("dist"),
+        F.col("o.ordn").alias("ordn"),
+    ).filter(
+        F.col("nx").between(0, 15) & F.col("ny").between(0, 15)
+    )
+    nbz = nb.withColumn(
+        "drop", z_of(F.col("x"), F.col("y")) - z_of(F.col("nx"), F.col("ny"))
+    ).filter(F.col("drop") > 0)
+    ranked = nbz.select(
+        "tile",
+        (F.col("x") * 16 + F.col("y")).alias("u"),
+        F.struct(
+            F.expr("(2*drop*drop) div dist").alias("key"),
+            (-F.col("ordn")).alias("nord"),
+            (F.col("nx") * 16 + F.col("ny")).alias("v"),
+        ).alias("cand"),
+    )
+    edges = (
+        ranked.groupBy("tile", "u")
+        .agg(F.max("cand").alias("best"))
+        .select("tile", "u", F.col("best.v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    r = edges
+    for _ in range(8):
+        hop = (
+            r.select("tile", "u", F.col("v").alias("mid"))
+            .join(
+                r.select(
+                    F.col("tile").alias("tile2"),
+                    F.col("u").alias("mid2"),
+                    F.col("v").alias("w"),
+                ),
+                (F.col("tile") == F.col("tile2"))
+                & (F.col("mid") == F.col("mid2")),
+            )
+            .select("tile", "u", F.col("w").alias("v"))
+        )
+        r = r.unionAll(hop).distinct().localCheckpoint(eager=True)
+    acc = (
+        cells.select("tile", "x", "y", (F.col("x") * 16 + F.col("y")).alias("v"))
+        .join(r, ["tile", "v"], "left")
+        .groupBy("tile", "x", "y")
+        .agg((F.count("u") + 1).alias("acc"))
+        .filter(F.col("acc") >= 8)
+    )
+    return acc.select(
+        F.col("tile").cast("long"),
+        F.col("x").cast("long"),
+        F.col("y").cast("long").alias("y"),
+        F.col("acc").cast("long"),
+    ).orderBy("tile", "x", "y")

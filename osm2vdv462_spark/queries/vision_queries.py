@@ -3089,3 +3089,165 @@ def zhang_suen_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("img")
     )
+
+
+# ------------------------------------------------- EAN-13 barcode decode
+
+# A real optical decode through the REAL PNG path: each event renders
+# its 12-digit payload as a standards-compliant EAN-13 scanline
+# (95 modules: guards + 6 L/G-parity left digits + 6 R right digits,
+# first digit carried IMPLICITLY in the left-half parity pattern —
+# the format's famous trick), and a second Arrow pass decodes it back
+# from pixels: threshold, module resample, guard check, per-digit
+# pattern match, parity-table lookup, checksum verify. The oracle
+# never sees a pixel — it recomputes payload + check digit purely
+# arithmetically, so render, PNG codec, and decoder must all agree
+# for the hash to land.
+_EAN13_ORACLE = """
+WITH e AS (
+  SELECT event_id,
+         lpad(CAST(event_id % 1000000000000 AS VARCHAR), 12, '0') AS n12
+  FROM events WHERE event_id % 11 = 0
+),
+s AS (
+  SELECT event_id, n12,
+         SUM(CAST(substr(n12, CAST(i + 1 AS INT), 1) AS INT)
+             * CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END) AS t
+  FROM e CROSS JOIN (SELECT range AS i FROM range(12)) g
+  GROUP BY event_id, n12
+)
+SELECT event_id,
+       n12 || CAST((10 - t % 10) % 10 AS VARCHAR) AS ean13,
+       true AS decode_ok
+FROM s
+"""
+
+_EAN_L = [
+    "0001101", "0011001", "0010011", "0111101", "0100011",
+    "0110001", "0101111", "0111011", "0110111", "0001011",
+]
+_EAN_R = ["".join("1" if c == "0" else "0" for c in p) for p in _EAN_L]
+_EAN_G = [p[::-1] for p in _EAN_R]
+_EAN_PARITY = [
+    "LLLLLL", "LLGLGG", "LLGGLG", "LLGGGL", "LGLLGG",
+    "LGGLLG", "LGGGLL", "LGLGLG", "LGLGGL", "LGGLGL",
+]
+
+
+def _ean13_modules(n12: str) -> tuple[str, str]:
+    """12-digit payload -> (full 13-digit code, 95-char module string)."""
+    t = sum(int(d) * (1 if i % 2 == 0 else 3) for i, d in enumerate(n12))
+    full = n12 + str((10 - t % 10) % 10)
+    pat = _EAN_PARITY[int(full[0])]
+    bits = "101"
+    for i, d in enumerate(full[1:7]):
+        bits += (_EAN_L if pat[i] == "L" else _EAN_G)[int(d)]
+    bits += "01010"
+    for d in full[7:13]:
+        bits += _EAN_R[int(d)]
+    bits += "101"
+    return full, bits
+
+
+@register_extra("barcode_ean13_decode", _EAN13_ORACLE)
+def barcode_ean13_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanline barcode decoding over an image corpus — the classic
+    warehouse/retail CV op, run the distributed way: render pass and
+    decode pass are separate Arrow-batched stages with images as the
+    parallel axis (at corpus scale the decode pass is a pure map over
+    stored blobs; no shuffle exists in the plan).
+
+    The decoder is honest signal processing, not a lookup of the
+    render: locate the left guard from dark pixels, infer module
+    width from the 95-module span, resample module centers,
+    verify all three guard groups, pattern-match each 7-module digit
+    against the L/G/R tables, recover the INVISIBLE first digit from
+    the left-half parity signature, and re-verify the mod-10
+    checksum. Any disagreement anywhere (render tables, PNG round
+    trip, threshold, parity logic, checksum) flips decode_ok or the
+    string and hash-fails against the purely arithmetic oracle."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .filter(F.col("event_id") % 11 == 0)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+
+    def _render(batches):
+        for pdf in batches:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                n12 = f"{eid % 10**12:012d}"
+                _, bits = _ean13_modules(n12)
+                mods = np.frombuffer(bits.encode(), np.uint8) - ord("0")
+                row = np.where(np.repeat(mods, 2) == 1, 0, 255).astype(
+                    np.uint8
+                )
+                row = np.pad(row, (8, 8), constant_values=255)
+                px = np.repeat(row[None, :, None], 3, axis=2)
+                px = np.repeat(px, 8, axis=0)  # 8 rows tall
+                rows.append((eid, ic.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["event_id", "bytes"])
+
+    imgs = ev.mapInPandas(_render, "event_id long, bytes binary")
+
+    def _decode_one(data: bytes) -> tuple[str, bool]:
+        px = ic.decode_png(bytes(data))
+        line = px[px.shape[0] // 2, :, 1].astype(np.int64)
+        dark = np.flatnonzero(line < 128)
+        if len(dark) == 0:
+            return "", False
+        lo, hi = int(dark[0]), int(dark[-1])
+        span = hi - lo + 1
+        if span % 95 != 0:
+            return "", False
+        mw = span // 95
+        centers = lo + mw * np.arange(95) + mw // 2
+        bits = "".join("1" if line[c] < 128 else "0" for c in centers)
+        if (
+            bits[0:3] != "101"
+            or bits[45:50] != "01010"
+            or bits[92:95] != "101"
+        ):
+            return "", False
+        parity = ""
+        digits = []
+        for i in range(6):
+            pat = bits[3 + 7 * i : 10 + 7 * i]
+            if pat in _EAN_L:
+                parity += "L"
+                digits.append(_EAN_L.index(pat))
+            elif pat in _EAN_G:
+                parity += "G"
+                digits.append(_EAN_G.index(pat))
+            else:
+                return "", False
+        if parity not in _EAN_PARITY:
+            return "", False
+        d1 = _EAN_PARITY.index(parity)
+        for i in range(6):
+            pat = bits[50 + 7 * i : 57 + 7 * i]
+            if pat not in _EAN_R:
+                return "", False
+            digits.append(_EAN_R.index(pat))
+        full = str(d1) + "".join(str(d) for d in digits)
+        t = sum(
+            int(d) * (1 if i % 2 == 0 else 3) for i, d in enumerate(full[:12])
+        )
+        ok = (10 - t % 10) % 10 == int(full[12])
+        return full, ok
+
+    def _decode(batches):
+        for pdf in batches:
+            out = []
+            for eid, blob in zip(pdf["event_id"], pdf["bytes"]):
+                code, ok = _decode_one(blob)
+                out.append((int(eid), code, ok))
+            yield pd.DataFrame(
+                out, columns=["event_id", "ean13", "decode_ok"]
+            )
+
+    return imgs.mapInPandas(
+        _decode, "event_id long, ean13 string, decode_ok boolean"
+    )
