@@ -1323,14 +1323,16 @@ def hamming74_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta AS (SELECT hv AS th FROM un WHERE rk = 32),
     sk AS (SELECT * FROM un WHERE rk <= 32),
     stats AS (
-      SELECT (SELECT th FROM theta) AS theta_u,
+      SELECT COALESCE((SELECT th FROM theta), 1099511627776) AS theta_u,
+             (SELECT count(*) FROM sk) AS n_ret,
              (SELECT count(*) FROM sk WHERE in_a AND in_b) AS c_inter,
              (SELECT count(*) FROM h WHERE in_a OR in_b) AS exact_union,
              (SELECT count(*) FROM h WHERE in_a AND in_b) AS exact_inter
     )
     SELECT CAST(theta_u AS BIGINT) AS theta_u,
            CAST(c_inter AS BIGINT) AS n_inter_in_sketch,
-           CAST(1000 * 31 * 1099511627776 // theta_u AS BIGINT)
+           CAST(1000 * (n_ret - CASE WHEN n_ret = 32 THEN 1 ELSE 0 END)
+                * 1099511627776 // theta_u AS BIGINT)
              AS est_union_milli,
            CAST(1000 * c_inter * 1099511627776 // theta_u AS BIGINT)
              AS est_inter_milli,
@@ -1379,12 +1381,19 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.filter(F.col("in_a") | F.col("in_b"))
         .withColumn("rk", F.row_number().over(Window.orderBy("hv")))
     )
-    sk = un.filter(F.col("rk") <= 32)
-    theta = un.filter(F.col("rk") == 32).select(
-        F.col("hv").alias("theta_u")
-    )
-    c_inter = sk.filter(F.col("in_a") & F.col("in_b")).agg(
-        F.count(F.lit(1)).alias("n_inter_in_sketch")
+    rk32 = F.col("rk") <= 32
+    # exact mode (fewer than k retained, small-SF worlds): theta stays
+    # 1.0 == 2^40 and the estimator degenerates to the exact retained
+    # count — the DataSketches theta-sketch contract
+    sketch = un.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 32, F.col("hv"))),
+            F.lit(1099511627776),
+        ).alias("theta_u"),
+        F.count(F.when(rk32, 1)).alias("n_ret"),
+        F.count(
+            F.when(rk32 & F.col("in_a") & F.col("in_b"), 1)
+        ).alias("n_inter_in_sketch"),
     )
     exacts = h.agg(
         F.count(F.when(F.col("in_a") | F.col("in_b"), 1)).alias(
@@ -1395,14 +1404,16 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        theta.crossJoin(c_inter)
-        .crossJoin(exacts)
+        sketch.crossJoin(exacts)
         .select(
             "theta_u",
             F.col("n_inter_in_sketch").cast("long").alias(
                 "n_inter_in_sketch"
             ),
-            F.expr("(1000 * 31 * 1099511627776) div theta_u")
+            F.expr(
+                "(1000 * (n_ret - CASE WHEN n_ret = 32 THEN 1 ELSE 0 END)"
+                " * 1099511627776) div theta_u"
+            )
             .cast("long")
             .alias("est_union_milli"),
             F.expr(
