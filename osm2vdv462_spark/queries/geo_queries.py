@@ -6576,3 +6576,331 @@ def flow_accumulation_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("y"),
         F.col("acc").cast("long"),
     ).orderBy("tile", "x", "y")
+
+
+# ------------------------------------------------ Jenks class breaks
+
+# Choropleth styling at scale: natural-breaks classification of a
+# per-region indicator into 4 classes. Objective is the exact-integer
+# n-scaled within-class dispersion n_c*sum(v^2) - (sum v)^2 (the
+# variance numerator — no division, no float), minimized EXHAUSTIVELY
+# over a deterministic 24-element sample per series (real GIS engines
+# compute Jenks on samples for exactly this reason), with ties broken
+# lexicographically on (b1, b2, b3) in both engines. Spark fans the
+# C(n-1,3) break combinations out MAP-SIDE from per-series prefix-sum
+# arrays (pure higher-order JVM expressions, one partial-agg argmin
+# shuffle); the oracle reaches the same optimum by a 3-way relational
+# self-join over the ranked prefix table.
+_JENKS_ORACLE = """
+WITH samp AS (
+  SELECT nk, c_custkey, v, rn FROM (
+    SELECT c_nationkey AS nk, c_custkey,
+           (c_custkey * 7919) % 100000 AS v,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_custkey) AS rn
+    FROM customer) WHERE rn <= 24
+),
+ord AS (
+  SELECT nk, v,
+         row_number() OVER (PARTITION BY nk ORDER BY v, c_custkey) AS r
+  FROM samp
+),
+pre AS (
+  SELECT nk, r, v,
+         sum(v) OVER (PARTITION BY nk ORDER BY r) AS s1,
+         sum(v * v) OVER (PARTITION BY nk ORDER BY r) AS s2
+  FROM ord
+),
+tot AS (
+  SELECT nk, sum(v) AS ts1, sum(v * v) AS ts2, count(*) AS n
+  FROM ord GROUP BY nk HAVING count(*) >= 4
+),
+combos AS (
+  SELECT p1.nk, p1.r AS b1, p2.r AS b2, p3.r AS b3,
+         p1.v AS v1, p2.v AS v2, p3.v AS v3,
+         p1.r * p1.s2 - p1.s1 * p1.s1
+         + (p2.r - p1.r) * (p2.s2 - p1.s2)
+           - (p2.s1 - p1.s1) * (p2.s1 - p1.s1)
+         + (p3.r - p2.r) * (p3.s2 - p2.s2)
+           - (p3.s1 - p2.s1) * (p3.s1 - p2.s1)
+         + (t.n - p3.r) * (t.ts2 - p3.s2)
+           - (t.ts1 - p3.s1) * (t.ts1 - p3.s1) AS cost
+  FROM tot t
+  JOIN pre p1 ON p1.nk = t.nk
+  JOIN pre p2 ON p2.nk = t.nk AND p2.r > p1.r
+  JOIN pre p3 ON p3.nk = t.nk AND p3.r > p2.r AND p3.r < t.n
+)
+SELECT nk, CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+       CAST(b3 AS BIGINT) AS b3, CAST(cost AS BIGINT) AS cost,
+       CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+       CAST(v3 AS BIGINT) AS v3
+FROM combos
+QUALIFY row_number() OVER (PARTITION BY nk
+                           ORDER BY cost, b1, b2, b3) = 1
+ORDER BY nk
+"""
+
+
+@register_extra("jenks_class_breaks", _JENKS_ORACLE)
+def jenks_class_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-breaks (Jenks-style) choropleth classification per
+    nation over a deterministic 24-row sample (see oracle comment) —
+    exact global optimum of the integer n-scaled dispersion with
+    lexicographic tie-break. Plan: one groupBy builds the sorted
+    value + prefix-sum ARRAYS per series (partial-agg shuffle of
+    <=24-element arrays), the break combinations then fan out
+    map-side (explode of sequence bounds, <=1771 combos/series) and
+    collapse through a min(struct(...)) partial aggregate — no
+    Python, no join, and the exchange carries one 64-byte row per
+    series regardless of fact-table size."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_custkey") * 7919) % 100000).alias("v"),
+    )
+    w = Window.partitionBy("nk").orderBy("ck")
+    samp = cust.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 24
+    )
+    arr = (
+        samp.groupBy("nk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("v"), F.col("ck")))
+            ).alias("sv")
+        )
+        .select(
+            "nk",
+            F.expr("transform(sv, x -> x.v)").alias("vs"),
+            F.size("sv").alias("n"),
+        )
+        .filter(F.col("n") >= 4)
+        .select(
+            "nk",
+            "vs",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                "concat(array(0L), transform(vs,"
+                " (x, i) -> aggregate(slice(vs, 1, i + 1),"
+                " 0L, (a, y) -> a + y)))"
+            ).alias("s1"),
+            F.expr(
+                "concat(array(0L), transform(vs,"
+                " (x, i) -> aggregate(slice(vs, 1, i + 1),"
+                " 0L, (a, y) -> a + y * y)))"
+            ).alias("s2"),
+        )
+    )
+    combos = (
+        arr.select(
+            "*", F.explode(F.expr("sequence(1L, n - 3)")).alias("b1")
+        )
+        .select(
+            "*", F.explode(F.expr("sequence(b1 + 1, n - 2)")).alias("b2")
+        )
+        .select(
+            "*", F.explode(F.expr("sequence(b2 + 1, n - 1)")).alias("b3")
+        )
+    )
+    cost = F.expr(
+        "b1 * element_at(s2, int(b1) + 1)"
+        " - element_at(s1, int(b1) + 1) * element_at(s1, int(b1) + 1)"
+        " + (b2 - b1) * (element_at(s2, int(b2) + 1)"
+        "                - element_at(s2, int(b1) + 1))"
+        " - (element_at(s1, int(b2) + 1) - element_at(s1, int(b1) + 1))"
+        "   * (element_at(s1, int(b2) + 1) - element_at(s1, int(b1) + 1))"
+        " + (b3 - b2) * (element_at(s2, int(b3) + 1)"
+        "                - element_at(s2, int(b2) + 1))"
+        " - (element_at(s1, int(b3) + 1) - element_at(s1, int(b2) + 1))"
+        "   * (element_at(s1, int(b3) + 1) - element_at(s1, int(b2) + 1))"
+        " + (n - b3) * (element_at(s2, int(n) + 1)"
+        "               - element_at(s2, int(b3) + 1))"
+        " - (element_at(s1, int(n) + 1) - element_at(s1, int(b3) + 1))"
+        "   * (element_at(s1, int(n) + 1) - element_at(s1, int(b3) + 1))"
+    )
+    scored = combos.select(
+        "nk",
+        F.struct(
+            cost.alias("cost"),
+            F.col("b1"),
+            F.col("b2"),
+            F.col("b3"),
+            F.expr("cast(element_at(vs, int(b1)) as long)").alias("v1"),
+            F.expr("cast(element_at(vs, int(b2)) as long)").alias("v2"),
+            F.expr("cast(element_at(vs, int(b3)) as long)").alias("v3"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("nk").agg(F.min("cand").alias("m"))
+    return best.select(
+        "nk",
+        F.col("m.b1").alias("b1"),
+        F.col("m.b2").alias("b2"),
+        F.col("m.b3").alias("b3"),
+        F.col("m.cost").alias("cost"),
+        F.col("m.v1").alias("v1"),
+        F.col("m.v2").alias("v2"),
+        F.col("m.v3").alias("v3"),
+    ).orderBy("nk")
+
+
+# ------------------------------------------------ Viterbi map matching
+
+# Newson-Krumm-style HMM map matching, the industry-standard answer to
+# noisy GPS: per trajectory, pick the edge sequence minimizing
+# emission (snap distance) + transition (route-discontinuity penalty)
+# cost. With a constant switch penalty P the Viterbi recurrence
+# collapses to cost_t[e] = emis_t[e] + min(cost_{t-1}[e], min_all + P)
+# — O(states) per step, all exact int64 (emission = the snap layer's
+# shared-denominator d^2 numerator; ties impossible to diverge since
+# both engines fold the identical integers in the identical order).
+# The oracle replays the DP as a recursive 25-slot list machine with
+# the edge geometry re-derived closed-form inside the lambda.
+_VITERBI_MM_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r,
+         (event_id * 37 + 11) % 2000 AS pu,
+         (event_id * 73 + 29) % 2000 AS pv
+  FROM events
+),
+ends AS (SELECT user_id, max(r) AS n FROM pts GROUP BY user_id),
+state(user_id, r, costs) AS (
+  SELECT p.user_id, 1,
+         list_transform(generate_series(0, 24), e ->
+           CASE
+             WHEN (p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END) <= 0
+               THEN ((p.pu - (200 + 400*(e%5))) * (p.pu - (200 + 400*(e%5)))
+                     + (p.pv - (200 + 400*(e//5))) * (p.pv - (200 + 400*(e//5)))) * 160000
+             WHEN (p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END) >= 160000
+               THEN ((p.pu - (200 + 400*(e%5) + CASE WHEN e%2=0 THEN 400 ELSE 0 END))
+                     * (p.pu - (200 + 400*(e%5) + CASE WHEN e%2=0 THEN 400 ELSE 0 END))
+                     + (p.pv - (200 + 400*(e//5) + CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+                     * (p.pv - (200 + 400*(e//5) + CASE WHEN e%2=0 THEN 0 ELSE 400 END))) * 160000
+             ELSE ((p.pu - (200 + 400*(e%5))) * (p.pu - (200 + 400*(e%5)))
+                   + (p.pv - (200 + 400*(e//5))) * (p.pv - (200 + 400*(e//5)))) * 160000
+                  - ((p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                     + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+                    * ((p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                       + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+           END)
+  FROM pts p WHERE p.r = 1
+  UNION ALL
+  SELECT s.user_id, s.r + 1,
+         list_transform(generate_series(0, 24), e ->
+           least(s.costs[e + 1],
+                 list_aggregate(s.costs, 'min') + 400000000)
+           + CASE
+             WHEN (p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END) <= 0
+               THEN ((p.pu - (200 + 400*(e%5))) * (p.pu - (200 + 400*(e%5)))
+                     + (p.pv - (200 + 400*(e//5))) * (p.pv - (200 + 400*(e//5)))) * 160000
+             WHEN (p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END) >= 160000
+               THEN ((p.pu - (200 + 400*(e%5) + CASE WHEN e%2=0 THEN 400 ELSE 0 END))
+                     * (p.pu - (200 + 400*(e%5) + CASE WHEN e%2=0 THEN 400 ELSE 0 END))
+                     + (p.pv - (200 + 400*(e//5) + CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+                     * (p.pv - (200 + 400*(e//5) + CASE WHEN e%2=0 THEN 0 ELSE 400 END))) * 160000
+             ELSE ((p.pu - (200 + 400*(e%5))) * (p.pu - (200 + 400*(e%5)))
+                   + (p.pv - (200 + 400*(e//5))) * (p.pv - (200 + 400*(e//5)))) * 160000
+                  - ((p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                     + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+                    * ((p.pu - (200 + 400*(e%5))) * (CASE WHEN e%2=0 THEN 400 ELSE 0 END)
+                       + (p.pv - (200 + 400*(e//5))) * (CASE WHEN e%2=0 THEN 0 ELSE 400 END))
+           END)
+  FROM state s
+  JOIN pts p ON p.user_id = s.user_id AND p.r = s.r + 1
+),
+final AS (
+  SELECT s.user_id, s.r AS n_points, s.costs
+  FROM state s JOIN ends e ON e.user_id = s.user_id AND s.r = e.n
+),
+un AS (
+  SELECT user_id, n_points,
+         unnest(costs) AS c,
+         generate_subscripts(costs, 1) - 1 AS e
+  FROM final
+)
+SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+       CAST(c AS BIGINT) AS best_cost, CAST(e AS BIGINT) AS best_edge
+FROM un
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c, e) = 1
+ORDER BY user_id
+"""
+
+
+@register_extra("viterbi_map_match", _VITERBI_MM_ORACLE)
+def viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM (Viterbi) map matching over the 25-edge road grid: per-user
+    GPS trails, emission = exact point-to-segment d^2 numerator (the
+    snap layer's shared L^2 = 160000 denominator), transition = flat
+    400e6 route-switch penalty, so the recurrence needs only the
+    previous column minimum — cost_t[e] = emis + min(prev[e],
+    min_prev + P). Reports the optimal terminal cost and edge per
+    user (argmin, smallest edge on ties).
+
+    Scale shape: one groupBy shuffle co-locates each trajectory
+    (the key event logs are already bucketed by), then the DP is a
+    per-group numpy loop vectorized across the 25 states — O(T*E)
+    with T bounded by per-vehicle trail length; the road grid is a
+    closed-form constant re-derived in the task, so nothing
+    broadcasts. The oracle replays the identical integer DP as a
+    recursive list machine."""
+    import numpy as np
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("pu"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("pv"),
+    )
+
+    P = 400_000_000
+    e = np.arange(25, dtype=np.int64)
+    AU = 200 + 400 * (e % 5)
+    AV = 200 + 400 * (e // 5)
+    BU = AU + np.where(e % 2 == 0, 400, 0)
+    BV = AV + np.where(e % 2 == 0, 0, 400)
+
+    def _emis(pu: int, pv: int) -> np.ndarray:
+        dot = (pu - AU) * (BU - AU) + (pv - AV) * (BV - AV)
+        d2a = (pu - AU) ** 2 + (pv - AV) ** 2
+        d2b = (pu - BU) ** 2 + (pv - BV) ** 2
+        return np.where(
+            dot <= 0,
+            d2a * 160000,
+            np.where(dot >= 160000, d2b * 160000, d2a * 160000 - dot * dot),
+        )
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pu = pdf["pu"].to_numpy(np.int64)
+        pv = pdf["pv"].to_numpy(np.int64)
+        costs = _emis(int(pu[0]), int(pv[0]))
+        for t in range(1, len(pu)):
+            m = int(costs.min())
+            costs = np.minimum(costs, m + P) + _emis(int(pu[t]), int(pv[t]))
+        be = int(np.argmin(costs))  # first min == smallest edge id
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pu)],
+                "best_cost": [int(costs[be])],
+                "best_edge": [be],
+            }
+        )
+
+    return (
+        pts.groupBy("user_id")
+        .applyInPandas(
+            _viterbi,
+            "user_id bigint, n_points bigint, best_cost bigint,"
+            " best_edge bigint",
+        )
+        .orderBy("user_id")
+    )

@@ -3343,3 +3343,87 @@ def write_skew_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tid1", "tid2", "key1", "key2")
         .orderBy("tid1", "tid2")
     )
+
+
+# --------------------------------------------- randomized response audit
+
+# LOCAL differential privacy's original mechanism (Warner 1965, the
+# RAPPOR primitive): each user reports their sensitive bit XOR a coin
+# flip with P(flip) = 1/4, and the aggregator de-biases the observed
+# rate: E[yes] = 3/4 p + 1/4 (1-p)  =>  p = (4*yes/n - 1)/2. The
+# engine keeps the estimator as an exact integer numerator /
+# denominator pair (no division, so no float and no rounding rule to
+# disagree on) and audits it against the exact truth the synthetic
+# world knows. Flips are md5-derived, identical in both engines.
+_RR_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+r AS (
+  SELECT uid, uid % 10 AS grp,
+         uid % 3 = 0 AS truth,
+         ('0x' || substr(md5('rr:' || CAST(uid AS VARCHAR)), 1, 8))::BIGINT
+           % 4 = 0 AS flip
+  FROM u
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (truth <> flip) AS BIGINT) AS n_reported_yes,
+       CAST(count(*) FILTER (truth) AS BIGINT) AS n_true_yes,
+       CAST(4 * count(*) FILTER (truth <> flip) - count(*) AS BIGINT)
+         AS est_num,
+       CAST(2 * count(*) AS BIGINT) AS est_den
+FROM r GROUP BY grp ORDER BY grp
+"""
+
+
+@register_extra("randomized_response_audit", _RR_ORACLE)
+def randomized_response_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (local DP) with exact de-biasing —
+    per cohort, the reported-yes count, the integer estimator
+    (num/den kept unreduced to avoid any division), and the ground
+    truth for the audit. reported = truth XOR flip, flip an md5 coin
+    with p = 1/4. Plan: one distinct on users, one partial-agg
+    groupBy on the 10 cohorts — JVM expressions only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = ev.select(F.col("user_id").alias("uid")).distinct()
+    r = u.select(
+        (F.col("uid") % 10).alias("grp"),
+        (F.col("uid") % 3 == 0).alias("truth"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rr:"), F.col("uid").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+            == 0
+        ).alias("flip"),
+    )
+    return (
+        r.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("truth") != F.col("flip"), 1)).alias(
+                "n_reported_yes"
+            ),
+            F.count(F.when(F.col("truth"), 1)).alias("n_true_yes"),
+        )
+        .select(
+            F.col("grp").cast("long").alias("grp"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_reported_yes").cast("long").alias("n_reported_yes"),
+            F.col("n_true_yes").cast("long").alias("n_true_yes"),
+            (4 * F.col("n_reported_yes") - F.col("n"))
+            .cast("long")
+            .alias("est_num"),
+            (2 * F.col("n")).cast("long").alias("est_den"),
+        )
+        .orderBy("grp")
+    )

@@ -2974,3 +2974,108 @@ def easter_computus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("month").cast("long").alias("month"),
         F.col("day").cast("long").alias("day"),
     ).orderBy("year")
+
+
+# ------------------------------------------------ bitemporal as-of grid
+
+# BITEMPORAL reconstruction — the regulatory-reporting query family
+# (XBRL restatements, risk back-testing): "as of transaction time T,
+# what did we BELIEVE the state at valid time V was?" Observations
+# carry both a valid day and a transaction sequence; later
+# transactions can restate earlier valid days (the synthetic valid
+# day is deliberately DECORRELATED from the transaction sequence), so
+# the answer at a
+# probe (T, V) is the max-(vt, tx) observation among {tx <= T,
+# vt <= V} per entity. The engine evaluates a 4x4 probe grid in one
+# pass: broadcast the 16 probes, one partial-aggregated max_by per
+# (probe, entity), then the per-probe rollup — the scan count is
+# independent of the grid because both aggs partial-combine map-side.
+_BITEMPORAL_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS entity,
+         (event_id * 131) % 30 AS vt,
+         event_id AS tx,
+         (event_id * 97 + 13) % 1000 AS val
+  FROM events
+),
+bounds AS (
+  SELECT max(tx) AS tmax, min(vt) AS vmin, max(vt) AS vmax FROM obs
+),
+probes AS (
+  SELECT tk, vk,
+         (SELECT tmax FROM bounds) * tk // 4 AS t_cut,
+         (SELECT vmin FROM bounds)
+           + ((SELECT vmax FROM bounds) - (SELECT vmin FROM bounds))
+             * vk // 4 AS v_cut
+  FROM (SELECT unnest(generate_series(1, 4)) AS tk) a
+  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS vk) b
+),
+best AS (
+  -- (vt, tx) folded into one scalar key: tx is globally unique and
+  -- < 2^40, so vt * 2^40 + tx orders exactly like the pair
+  SELECT p.tk, p.vk, o.entity,
+         max_by(o.val, o.vt * 1099511627776 + o.tx) AS believed_val
+  FROM probes p
+  JOIN obs o ON o.tx <= p.t_cut AND o.vt <= p.v_cut
+  GROUP BY p.tk, p.vk, o.entity
+)
+SELECT CAST(tk AS BIGINT) AS tk, CAST(vk AS BIGINT) AS vk,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(believed_val) AS BIGINT) AS sum_believed
+FROM best GROUP BY tk, vk ORDER BY tk, vk
+"""
+
+
+@register_extra("bitemporal_asof_grid", _BITEMPORAL_ORACLE)
+def bitemporal_asof_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal (valid time x transaction time) point-in-time
+    reconstruction over a 4x4 probe grid — see the oracle comment for
+    semantics. All arithmetic integer (value is a closed form of the
+    transaction id; the probe cuts are integer floor divisions of the
+    observed bounds), so the believed-state sums hash exactly."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").alias("entity"),
+        ((F.col("event_id") * 131) % 30).alias("vt"),
+        F.col("event_id").alias("tx"),
+        ((F.col("event_id") * 97 + 13) % 1000).alias("val"),
+    )
+    b = obs.agg(
+        F.max("tx").alias("tmax"),
+        F.min("vt").alias("vmin"),
+        F.max("vt").alias("vmax"),
+    )
+    ks = spark.range(1, 5).select(F.col("id").alias("tk"))
+    vs = spark.range(1, 5).select(F.col("id").alias("vk"))
+    probes = (
+        ks.crossJoin(vs)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "tk",
+            "vk",
+            F.expr("tmax * tk div 4").alias("t_cut"),
+            F.expr("vmin + (vmax - vmin) * vk div 4").alias("v_cut"),
+        )
+    )
+    best = (
+        obs.join(
+            F.broadcast(probes),
+            (F.col("tx") <= F.col("t_cut")) & (F.col("vt") <= F.col("v_cut")),
+            "inner",
+        )
+        .groupBy("tk", "vk", "entity")
+        .agg(
+            F.max_by(
+                F.col("val"),
+                F.col("vt") * F.lit(1099511627776) + F.col("tx"),
+            ).alias("believed_val")
+        )
+    )
+    return (
+        best.groupBy("tk", "vk")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("believed_val").alias("sum_believed"),
+        )
+        .orderBy("tk", "vk")
+    )
