@@ -2246,3 +2246,122 @@ def jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return imgs.mapInPandas(_est, "image_id string, q_est int, n_tables int")
+
+
+# ------------------------------------------- bilinear fixed-point resize
+
+# Arbitrary-ratio thumbnailing (32 -> 20, non-integer) with EXACT
+# 8.8 fixed-point bilinear weights (align-corners: sx*256 =
+# ox*31*256//19, floor >> 16 at the end) — the deterministic resize a
+# corpus pipeline needs so that re-running thumbnails never produces
+# a new phash. Spark samples the weights from REAL decoded PNG pixels
+# (decode regression => wrong sums); the oracle re-derives every
+# output pixel from the synth closed form and the same integer
+# arithmetic, with an order-sensitive checksum so compensating errors
+# cannot cancel.
+_BILINEAR_ORACLE = """
+WITH imgs AS (
+  SELECT event_id FROM events WHERE event_id % 13 = 0
+),
+o AS (SELECT range AS i FROM range(20)),
+grid AS (
+  SELECT event_id, ox.i AS ox, oy.i AS oy
+  FROM imgs CROSS JOIN o ox CROSS JOIN o oy
+),
+c AS (
+  SELECT event_id, ox, oy,
+         (ox * 7936) // 19 AS sx, (oy * 7936) // 19 AS sy
+  FROM grid
+),
+d AS (
+  SELECT event_id, ox, oy,
+         sx >> 8 AS x0, sx & 255 AS fx,
+         sy >> 8 AS y0, sy & 255 AS fy,
+         LEAST((sx >> 8) + 1, 31) AS x1,
+         LEAST((sy >> 8) + 1, 31) AS y1
+  FROM c
+),
+v AS (
+  SELECT event_id, ox, oy,
+    (((x0*7 + event_id*13) % 256 * (256-fx) + (x1*7 + event_id*13) % 256 * fx)
+      * (256-fy)
+     + ((x0*7 + event_id*13) % 256 * (256-fx) + (x1*7 + event_id*13) % 256 * fx)
+      * fy) >> 16 AS vr,
+    ((((y0*11 + event_id*29) % 256) * (256-fy)
+      + ((y1*11 + event_id*29) % 256) * fy) * 256) >> 16 AS vg,
+    ((((x0+y0)*5 + event_id*53) % 256 * (256-fx)
+       + ((x1+y0)*5 + event_id*53) % 256 * fx) * (256-fy)
+     + ((x0+y1)*5 + event_id*53) % 256 * (256-fx) * fy
+     + ((x1+y1)*5 + event_id*53) % 256 * fx * fy) >> 16 AS vb
+  FROM d
+)
+SELECT event_id,
+       CAST(sum(vr) AS BIGINT) AS sum_r,
+       CAST(sum(vg) AS BIGINT) AS sum_g,
+       CAST(sum(vb) AS BIGINT) AS sum_b,
+       CAST(sum(vb * (ox * 20 + oy + 1)) AS BIGINT) AS chk_b
+FROM v GROUP BY event_id ORDER BY event_id
+"""
+
+
+@register_extra("image_resize_bilinear", _BILINEAR_ORACLE)
+def image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point bilinear resize (see oracle comment). The red
+    channel varies only in x and green only in y (synth closed form),
+    so their horizontal/vertical interpolations collapse — the oracle
+    exploits that analytically while Spark runs the full 4-tap gather
+    on decoded pixels; blue varies in both and exercises the complete
+    bilinear stencil. Per-image numpy over mapInPandas, images the
+    parallel axis; no shuffle beyond the output sort."""
+    import numpy as np
+    import pandas as pd
+
+    imgs = im.images_df(spark, sf_dir, every=13)
+
+    sx = (np.arange(20, dtype=np.int64) * 7936) // 19
+    X0 = sx >> 8
+    FX = sx & 255
+    X1 = np.minimum(X0 + 1, 31)
+
+    def _resize(batches):
+        from ..functions import imagecodec as ic
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                eid = int(row.image_id.split("_")[1])
+                px = ic.decode_image(bytes(row.bytes), row.fmt).astype(
+                    np.int64
+                )
+                sums = []
+                chk_b = 0
+                for ch in range(3):
+                    p = px[:, :, ch]
+                    # horizontal pass at source rows, then vertical
+                    top = p[:, X0] * (256 - FX) + p[:, X1] * FX
+                    # vertical pass: the image is square, so the Y tap
+                    # tables equal the X tables; v is indexed [oy, ox]
+                    v = (
+                        top[X0, :] * (256 - FX)[:, None]
+                        + top[X1, :] * FX[:, None]
+                    ) >> 16
+                    sums.append(int(v.sum()))
+                    if ch == 2:
+                        oxg, oyg = np.meshgrid(
+                            np.arange(20), np.arange(20), indexing="xy"
+                        )
+                        chk_b = int(
+                            (v * (oxg * 20 + oyg + 1)).sum()
+                        )
+                out.append(
+                    (eid, sums[0], sums[1], sums[2], chk_b)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "sum_r", "sum_g", "sum_b", "chk_b"],
+            )
+
+    return imgs.mapInPandas(
+        _resize,
+        "event_id long, sum_r long, sum_g long, sum_b long, chk_b long",
+    ).orderBy("event_id")

@@ -1608,3 +1608,113 @@ def rank_select_bitvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranks.unionByName(sels).orderBy("kind", "q")
+
+
+# ------------------------------------------- Elias-Fano posting lists
+
+# The succinct monotone-sequence encoding modern search engines ship
+# (Lucene/PISA posting lists, Facebook folly EliasFano): n sorted ids
+# from universe u in n*ceil-ish(log2(u/n)) + 2n-ish bits with O(1)
+# select. The engine BUILDS the real bit structure per list (upper
+# unary-gap bits + packed l-bit lowers) and answers quantile select
+# probes by reading BITS ONLY — find the i-th set upper bit, subtract
+# i-1 to recover the high part, slice l bits from the lower stream —
+# while the oracle answers from the definition (the i-th sorted value)
+# plus the closed-form size. Any bug in the bit layout, the packing,
+# or the select arithmetic diverges immediately.
+_EF_ORACLE = """
+WITH v AS (SELECT user_id AS lid, event_id AS val FROM events),
+agg AS (
+  SELECT lid, count(*) AS n, max(val) + 1 AS u,
+         list(val ORDER BY val) AS vs
+  FROM v GROUP BY lid
+),
+par AS (
+  SELECT lid, n, u,
+         CASE WHEN u // n >= 1
+              THEN length(format('{:b}', u // n)) - 1
+              ELSE 0 END AS l,
+         vs
+  FROM agg
+)
+SELECT CAST(lid AS BIGINT) AS list_id, CAST(n AS BIGINT) AS n,
+       CAST(u AS BIGINT) AS u, CAST(l AS BIGINT) AS l,
+       CAST(n * l + n + (u >> l) AS BIGINT) AS size_bits,
+       CAST(vs[1] AS BIGINT) AS s1,
+       CAST(vs[CAST((n + 3) // 4 AS INT)] AS BIGINT) AS s2,
+       CAST(vs[CAST((n + 1) // 2 AS INT)] AS BIGINT) AS s3,
+       CAST(vs[CAST((3 * n + 3) // 4 AS INT)] AS BIGINT) AS s4,
+       CAST(vs[CAST(n AS INT)] AS BIGINT) AS s5
+FROM par ORDER BY list_id
+"""
+
+
+@register_extra("elias_fano_postings", _EF_ORACLE)
+def elias_fano_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano encode + bit-level select over per-user event posting
+    lists (see oracle comment). Scale shape: one groupBy co-locates
+    each list; encode + probe are per-group numpy over the list's own
+    bits (lists are the parallel axis, the building block of a sharded
+    inverted index); output is one 80-byte row per list."""
+    import numpy as np
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("lid"), F.col("event_id").alias("val")
+    )
+
+    def _ef(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(pdf["val"].to_numpy(np.int64))
+        n = len(vals)
+        u = int(vals[-1]) + 1
+        q = u // n
+        l = q.bit_length() - 1 if q >= 1 else 0
+        highs = vals >> l
+        lows = vals & ((1 << l) - 1)
+        upper = np.zeros(n + (u >> l), np.uint8)
+        upper[highs + np.arange(n)] = 1
+        if l > 0:
+            lower = (
+                (lows[:, None] >> np.arange(l - 1, -1, -1)[None, :]) & 1
+            ).astype(np.uint8).ravel()
+        else:
+            lower = np.zeros(0, np.uint8)
+        size_bits = n * l + len(upper)
+        ones = np.flatnonzero(upper)
+
+        def select(i: int) -> int:  # 1-based, reads bits only
+            p = int(ones[i - 1])
+            high = p - (i - 1)
+            if l == 0:
+                return high
+            fb = lower[(i - 1) * l : i * l]
+            low = 0
+            for b in fb:
+                low = (low << 1) | int(b)
+            return (high << l) | low
+
+        probes = [1, (n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4, n]
+        s = [select(i) for i in probes]
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["lid"].iloc[0]), n, u, l, size_bits,
+                    s[0], s[1], s[2], s[3], s[4],
+                )
+            ],
+            columns=[
+                "list_id", "n", "u", "l", "size_bits",
+                "s1", "s2", "s3", "s4", "s5",
+            ],
+        )
+
+    return (
+        ev.groupBy("lid")
+        .applyInPandas(
+            _ef,
+            "list_id bigint, n bigint, u bigint, l bigint,"
+            " size_bits bigint, s1 bigint, s2 bigint, s3 bigint,"
+            " s4 bigint, s5 bigint",
+        )
+        .orderBy("list_id")
+    )
