@@ -54,15 +54,24 @@ def ensure_shipped(spark: SparkSession) -> None:
     key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
+    spark.sparkContext.addPyFile(build_zip())
+    _SHIPPED.add(key)
+
+
+def build_zip(zpath: str | None = None) -> str:
+    """Zip this package for ``--py-files`` (the artifact the north-rule
+    launch line ships; also what ensure_shipped adds in local mode)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_dir)
-    fd, zpath = tempfile.mkstemp(prefix="osm2vdv462_spark_", suffix=".zip")
-    os.close(fd)
+    if zpath is None:
+        fd, zpath = tempfile.mkstemp(
+            prefix="osm2vdv462_spark_", suffix=".zip"
+        )
+        os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for f in files:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, repo_root))
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(key)
+    return zpath
