@@ -6904,3 +6904,290 @@ def viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------ Ripley's K function
+
+# Point-pattern statistics (Ripley 1977): K(r) = A/(n(n-1)) * #{ordered
+# pairs i != j with d_ij <= r}, the standard clustered-vs-dispersed
+# screen run before any spatial model. Naive estimator (no border
+# correction — documented; the correction changes a constant near the
+# window edge, not the plan shape). Everything is exact integer
+# arithmetic on the 2000x2000 event lattice so both engines agree
+# bit-for-bit: squared-distance compares, bigint pair counts, floor
+# division for the scaled K.
+_RIPLEY_RADII = (25, 50, 100)  # lattice units; cell size = max radius
+_RIPLEY_ORACLE = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 37 + 11) % 2000 AS ix,
+         (event_id * 73 + 29) % 2000 AS iy
+  FROM events
+),
+c AS (SELECT event_id, ix, iy, ix // 100 AS cx, iy // 100 AS cy FROM p),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+cand AS (
+  SELECT (a.ix - b.ix) * (a.ix - b.ix)
+       + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+  FROM c a
+  CROSS JOIN offs o
+  JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+          AND b.event_id <> a.event_id
+),
+agg AS (
+  SELECT count(*) FILTER (WHERE d2 <= 625)   AS p25,
+         count(*) FILTER (WHERE d2 <= 2500)  AS p50,
+         count(*) FILTER (WHERE d2 <= 10000) AS p100,
+         (SELECT count(*) FROM p) AS n
+  FROM cand
+),
+r(radius) AS (VALUES (25), (50), (100))
+SELECT CAST(r.radius AS INT) AS radius,
+       CAST(agg.n AS BIGINT) AS n_points,
+       CAST(CASE r.radius WHEN 25 THEN p25 WHEN 50 THEN p50
+            ELSE p100 END AS BIGINT) AS pair_count,
+       CAST(40000000000 * CASE r.radius WHEN 25 THEN p25 WHEN 50 THEN p50
+            ELSE p100 END // (agg.n * (agg.n - 1)) AS BIGINT) AS k_scaled
+FROM r CROSS JOIN agg
+ORDER BY radius
+"""
+
+
+@register_extra("ripley_k_function", _RIPLEY_ORACLE)
+def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K at r in {25, 50, 100} lattice units over the event
+    point lattice. Plan (the 10^12-point shape): points bucket into
+    cells sized by the LARGEST radius, candidates come from the 9-cell
+    halo equi-join — the shuffle carries each point x9 probes with
+    fixed-width keys, never all pairs; the three radii share the one
+    candidate pass (conditional partial aggregates, map-side
+    combinable), and the final unpivot is over a 3-row literal. K
+    scaled by 1e4 x window area via bigint floor division (exact in
+    both engines)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 + 11) % 2000).alias("ix"),
+        ((F.col("event_id") * 73 + 29) % 2000).alias("iy"),
+    ).select(
+        "*",
+        F.expr("ix div 100").alias("cx"),
+        F.expr("iy div 100").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = pts.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ix").alias("ax"),
+        F.col("iy").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("o.dx") + F.expr("ax div 100")).alias("cx"),
+        (F.col("o.dy") + F.expr("ay div 100")).alias("cy"),
+    )
+    cand = probes.join(pts, ["cx", "cy"]).filter(
+        F.col("event_id") != F.col("a_id")
+    )
+    d2 = (F.col("ax") - F.col("ix")) * (F.col("ax") - F.col("ix")) + (
+        F.col("ay") - F.col("iy")
+    ) * (F.col("ay") - F.col("iy"))
+    agg = cand.agg(
+        F.sum(F.when(d2 <= 625, 1).otherwise(0)).alias("p25"),
+        F.sum(F.when(d2 <= 2500, 1).otherwise(0)).alias("p50"),
+        F.sum(F.when(d2 <= 10000, 1).otherwise(0)).alias("p100"),
+    )
+    n_row = ev.agg(F.count("*").alias("n"))
+    radii = spark.range(1).select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(100))).alias("radius")
+    )
+    out = radii.crossJoin(F.broadcast(agg)).crossJoin(F.broadcast(n_row))
+    pc = (
+        F.when(F.col("radius") == 25, F.col("p25"))
+        .when(F.col("radius") == 50, F.col("p50"))
+        .otherwise(F.col("p100"))
+    )
+    return out.select(
+        F.col("radius").cast("int").alias("radius"),
+        F.col("n").cast("bigint").alias("n_points"),
+        pc.cast("bigint").alias("pair_count"),
+        F.expr(
+            "CAST(40000000000 * "
+            "CASE radius WHEN 25 THEN p25 WHEN 50 THEN p50 ELSE p100 END"
+            " div (n * (n - 1)) AS BIGINT)"
+        ).alias("k_scaled"),
+    ).orderBy("radius")
+
+
+# ------------------------------------------------ Getis-Ord Gi* hotspots
+
+# The standard hotspot statistic (Getis & Ord 1992, the tool behind
+# ArcGIS "Hot Spot Analysis"), sibling of the gated local Moran row but
+# with the self-inclusive neighborhood and a z-score THRESHOLD decision.
+# z_i = (L_i - xbar*W_i) / (S * sqrt((n*W_i - W_i^2)/(n-1))) crosses
+# engines as an EXACT RATIONAL test: with integer cell counts, n cells,
+# s = sum x, q = sum x^2, the |z| >= 2.58 (99%) decision is
+#   sign(n*L - s*W)  AND  2500*(n-1)*(n*L - s*W)^2 >= 16641*(n*q - s^2)*(n*W - W^2)
+# (2.58 = 129/50, squared through the all-integer variance identity
+# n^2*S^2 = n*q - s^2) — no sqrt, no float, bit-identical verdicts.
+# Universe = cells with >= 1 event (documented; empty cells carry no row
+# in either engine).
+_GISTAR_ORACLE = """
+WITH r0 AS (
+  SELECT (event_id * 37 + 11) % 2000 AS ix,
+         (event_id * 73 + 29) % 2000 AS iy
+  FROM events
+),
+p AS (SELECT ix * ix // 2000 // 100 AS cx,
+             iy * iy // 2000 // 100 AS cy FROM r0),
+cells AS (SELECT cx, cy, count(*) AS x FROM p GROUP BY cx, cy),
+st AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM cells),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+nb AS (
+  SELECT a.cx, a.cy, count(b.cx) AS w, sum(b.x) AS l
+  FROM cells a
+  CROSS JOIN offs o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY a.cx, a.cy
+),
+sc AS (
+  SELECT nb.cx, nb.cy, c.x, nb.l, nb.w,
+         CAST(st.n AS HUGEINT) * nb.l - CAST(st.s AS HUGEINT) * nb.w
+           AS num,
+         CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s
+           AS var_num,
+         CAST(st.n AS HUGEINT) * nb.w - CAST(nb.w AS HUGEINT) * nb.w
+           AS w_term,
+         st.n AS n
+  FROM nb JOIN cells c ON c.cx = nb.cx AND c.cy = nb.cy CROSS JOIN st
+)
+SELECT CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
+       CAST(x AS BIGINT) AS n_events,
+       CAST(l AS BIGINT) AS local_sum,
+       CAST(w AS INT) AS w,
+       CASE
+         WHEN num > 0 AND 2500 * (n - 1) * num * num
+              >= 16641 * var_num * w_term THEN 'hot'
+         WHEN num < 0 AND 2500 * (n - 1) * num * num
+              >= 16641 * var_num * w_term THEN 'cold'
+         ELSE 'ns'
+       END AS gi_flag
+FROM sc
+ORDER BY cell_x, cell_y
+"""
+
+
+@register_extra("getis_ord_hotspots", _GISTAR_ORACLE)
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot/coldspot flags at 99% (|z| >= 2.58) over
+    the event cell grid (see oracle comment for the exact-rational
+    test). The cell map applies a square-law concentration (x -> x^2/L)
+    to the lattice axes so the synthetic world has a real density
+    gradient — hot cells near the origin, sparse tail — instead of the
+    uniform LCG field (which is 'ns' everywhere by construction). Plan: one groupBy collapses events to the cell grid, the
+    (n, s, q) global rides a broadcast 1-row aggregate, the
+    self-inclusive 3x3 neighborhood is a 9-offset explode + self
+    equi-join ON CELL KEYS — grid-sized, never event-sized. The
+    decision arithmetic runs in DECIMAL(38,0) (int128-equivalent:
+    the squared z test peaks near 1e21 at corpus scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = (
+        ev.select(
+            F.expr(
+                "(event_id * 37 + 11) % 2000 * ((event_id * 37 + 11)"
+                " % 2000) div 2000 div 100"
+            ).alias("cx"),
+            F.expr(
+                "(event_id * 73 + 29) % 2000 * ((event_id * 73 + 29)"
+                " % 2000) div 2000 div 100"
+            ).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("x"))
+    )
+    st = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = cells.select(
+        "cx",
+        "cy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "cx",
+        "cy",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = cells.select(
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+        F.col("x").alias("nbx"),
+    )
+    nb = (
+        probes.join(nbr, ["nx", "ny"])
+        .groupBy("cx", "cy")
+        .agg(F.count("nbx").alias("w"), F.sum("nbx").alias("l"))
+    )
+    dec = "decimal(38,0)"
+    sc = (
+        nb.join(cells, ["cx", "cy"])
+        .crossJoin(F.broadcast(st))
+        .select(
+            "cx",
+            "cy",
+            "x",
+            "l",
+            "w",
+            "n",
+            (
+                F.col("n").cast(dec) * F.col("l").cast(dec)
+                - F.col("s").cast(dec) * F.col("w").cast(dec)
+            ).alias("num"),
+            (
+                F.col("n").cast(dec) * F.col("q").cast(dec)
+                - F.col("s").cast(dec) * F.col("s").cast(dec)
+            ).alias("var_num"),
+            (
+                F.col("n").cast(dec) * F.col("w").cast(dec)
+                - F.col("w").cast(dec) * F.col("w").cast(dec)
+            ).alias("w_term"),
+        )
+    )
+    lhs = (
+        F.lit(2500).cast(dec)
+        * (F.col("n") - 1).cast(dec)
+        * F.col("num")
+        * F.col("num")
+    )
+    rhs = F.lit(16641).cast(dec) * F.col("var_num") * F.col("w_term")
+    return sc.select(
+        F.col("cx").cast("int").alias("cell_x"),
+        F.col("cy").cast("int").alias("cell_y"),
+        F.col("x").cast("bigint").alias("n_events"),
+        F.col("l").cast("bigint").alias("local_sum"),
+        F.col("w").cast("int").alias("w"),
+        F.when((F.col("num") > 0) & (lhs >= rhs), F.lit("hot"))
+        .when((F.col("num") < 0) & (lhs >= rhs), F.lit("cold"))
+        .otherwise(F.lit("ns"))
+        .alias("gi_flag"),
+    ).orderBy("cell_x", "cell_y")
