@@ -199,3 +199,45 @@ def synth_pixels_smooth(image_id: int, w: int = 32, h: int = 32) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, bl], axis=2)), 0, 255).astype(
         np.uint8
     )
+
+
+# --------------------------------------------------------- DCT pHash
+
+def dct_cos_q14(n: int = 32, kmax: int = 8) -> list[list[int]]:
+    """Q14 fixed-point DCT-II cosine table: C[k][x] =
+    round(cos(pi*(2x+1)*k/(2n)) * 2^14) for k < kmax, x < n. Built with
+    math.cos + round() so the SAME integers feed the numpy kernel and
+    the generated DuckDB oracle SQL — the table IS the cross-engine
+    contract; cos never crosses an engine boundary as a float."""
+    import math
+
+    return [
+        [round(math.cos(math.pi * (2 * x + 1) * k / (2 * n)) * 16384) for x in range(n)]
+        for k in range(kmax)
+    ]
+
+
+def dct_phash64(px: np.ndarray, table: list[list[int]] | None = None) -> int:
+    """True pHash (DCT-based perceptual hash, the standard from the
+    image near-dup literature — distinct from the gated aHash): gray =
+    r+g+b (integer, monotone-equivalent to luma mean), 2-D DCT-II via
+    the Q14 integer table, keep the 8x8 low-frequency block, drop DC,
+    set bit (63 - (k*8+l)) when the coefficient exceeds the median of
+    the 63 (odd count -> the median is an ELEMENT, no tie-averaging).
+    Exact int64 arithmetic end-to-end: |coeff| <= 32*2^14*(32*2^14*765)
+    ~ 2.1e14."""
+    if table is None:
+        table = dct_cos_q14(px.shape[0], 8)
+    c = np.asarray(table, dtype=np.int64)
+    gray = px.astype(np.int64).sum(axis=2)  # (h, w) indexed [y][x]
+    # f[k][l] = sum_x sum_y C[k][x] * C[l][y] * gray[y][x]
+    # (k = horizontal frequency, l = vertical — fixed so the generated
+    # SQL oracle and this kernel pack bits in the same (k, l) order)
+    f = c @ gray.T @ c.T
+    vals = f.ravel()[1:]  # drop DC
+    med = int(np.sort(vals)[31])
+    bits = np.flatnonzero(vals > med) + 1  # back to k*8+l index
+    h = 0
+    for idx in bits.tolist():
+        h |= 1 << (63 - idx)
+    return h

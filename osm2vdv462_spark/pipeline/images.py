@@ -554,3 +554,43 @@ def with_patch_stats(images: DataFrame, patch: int = 8) -> DataFrame:
         "image_id string, patch_row int, patch_col int,"
         " mean_gray_e4 bigint, t_min int, t_max int",
     )
+
+
+def with_dct_phash(images: DataFrame) -> DataFrame:
+    """Decode -> true DCT pHash (functions/imagecodec.dct_phash64) per
+    image: (image_id, dct_phash, n_above). The whole batch's DCT runs
+    as ONE int64 einsum over the stacked gray planes (Arrow batch in,
+    vectorized numpy, no per-pixel Python) — the per-image cost is two
+    8x32 matmuls, decode-dominated like every image op here."""
+    table = ic.dct_cos_q14(32, 8)
+
+    def _dct(batches):
+        c = np.asarray(table, dtype=np.int64)
+        for pdf in batches:
+            ids, grays = [], []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt)
+                ids.append(row.image_id)
+                grays.append(px.astype(np.int64).sum(axis=2))
+            if not ids:
+                continue
+            g = np.stack(grays)  # (B, 32, 32) [y][x]
+            f = np.einsum("kx,byx,ly->bkl", c, g, c)  # (B, 8, 8)
+            vals = f.reshape(len(ids), 64)[:, 1:]  # drop DC
+            med = np.sort(vals, axis=1)[:, 31]
+            bits = vals > med[:, None]
+            weights = np.left_shift(
+                np.int64(1), 63 - (np.arange(64, dtype=np.int64)[1:])
+            )
+            hashes = (bits * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "dct_phash": hashes,
+                    "n_above": bits.sum(axis=1).astype(np.int32),
+                }
+            )
+
+    return images.mapInPandas(
+        _dct, "image_id string, dct_phash long, n_above int"
+    )

@@ -2365,3 +2365,72 @@ def image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize,
         "event_id long, sum_r long, sum_g long, sum_b long, chk_b long",
     ).orderBy("event_id")
+
+
+# ------------------------------------------------ true DCT pHash
+
+def _dct_oracle() -> str:
+    """Generated oracle: the Q14 cosine table (the SAME integers the
+    numpy kernel uses — functions/imagecodec.dct_cos_q14) embedded as a
+    256-row VALUES relation; the separable DCT runs as two relational
+    passes (x-transform, then y), the 63-value median is the rank-32
+    element by value (odd count, tie-invariant), and the bit packing
+    mirrors dct_phash64."""
+    from ..functions.imagecodec import dct_cos_q14
+
+    rows = ",".join(
+        f"({k},{x},{v})"
+        for k, row in enumerate(dct_cos_q14(32, 8))
+        for x, v in enumerate(row)
+    )
+    return f"""
+WITH c(k, x, v) AS (VALUES {rows}),
+ids AS (SELECT event_id AS id FROM events WHERE event_id % 50 = 0),
+ax AS (SELECT unnest(generate_series(0, 31)) AS i),
+g AS (
+  SELECT id, x.i AS x, y.i AS y,
+         (x.i * 7 + id * 13) % 256 + (y.i * 11 + id * 29) % 256
+         + ((x.i + y.i) * 5 + id * 53) % 256 AS gray
+  FROM ids CROSS JOIN ax x CROSS JOIN ax y
+),
+t AS (
+  SELECT g.id, c.k, g.y, sum(c.v * g.gray) AS t
+  FROM g JOIN c ON c.x = g.x
+  GROUP BY g.id, c.k, g.y
+),
+f AS (
+  SELECT t.id, t.k, c2.k AS l, sum(c2.v * t.t) AS coeff
+  FROM t JOIN c c2 ON c2.x = t.y
+  GROUP BY t.id, t.k, c2.k
+),
+fx AS (SELECT * FROM f WHERE NOT (k = 0 AND l = 0)),
+med AS (
+  SELECT id, coeff AS med FROM (
+    SELECT id, coeff,
+           row_number() OVER (PARTITION BY id ORDER BY coeff) AS rn
+    FROM fx
+  ) WHERE rn = 32
+)
+SELECT 'img_' || lpad(CAST(fx.id AS VARCHAR), 9, '0') AS image_id,
+       CAST(sum(CASE WHEN fx.coeff > med.med
+                THEN CAST(1 AS BIGINT) << CAST(63 - (fx.k * 8 + fx.l) AS INT)
+                ELSE 0 END) AS BIGINT) AS dct_phash,
+       CAST(count(*) FILTER (WHERE fx.coeff > med.med) AS INT) AS n_above
+FROM fx JOIN med ON med.id = fx.id
+GROUP BY fx.id
+ORDER BY image_id
+"""
+
+
+@register_extra("image_dct_phash", _dct_oracle())
+def image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pHash — the DCT perceptual hash from the image near-dup
+    literature (downscale -> 2-D DCT -> low 8x8 block -> median
+    threshold), the robust-to-requantization complement of the gated
+    aHash rows. Runs on DECODED bytes of the 1/50 PNG subset: decode +
+    one batched int64 einsum per Arrow batch (pipeline/images.py::
+    with_dct_phash). Every arithmetic step is integer (Q14 cosine
+    table, gray = r+g+b, element median of 63), so Spark and the
+    relational replay agree bit-for-bit on all 64 hash bits."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_dct_phash(imgs).orderBy("image_id")

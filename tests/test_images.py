@@ -172,3 +172,79 @@ class TestEdgeStats:
             mag = self._mag(ref)
             assert ec == int((mag >= im.EDGE_T).sum()), image_id
             assert ms == int(mag.sum()), image_id
+
+
+class TestDctPhash:
+    """True pHash (DCT) kernel — cross-checks the batched einsum path in
+    pipeline/images.with_dct_phash against the scalar kernel and the
+    perceptual property aHash lacks."""
+
+    def test_scalar_matches_batched_einsum(self, spark, sf_dir):
+        df = im.images_df(spark, sf_dir, every=100).limit(10)
+        got = {
+            r["image_id"]: (r["dct_phash"], r["n_above"])
+            for r in im.with_dct_phash(df).collect()
+        }
+        assert got
+        for image_id, (h, n_above) in got.items():
+            eid = int(image_id.split("_")[1])
+            px = ic.synth_pixels(eid, 32, 32)
+            ref = ic.dct_phash64(px)
+            # dct_phash64 returns the unsigned packing (bit 63 is never
+            # set: DC is excluded), so no sign fixup is needed
+            assert h == ref, image_id
+            assert 0 < n_above <= 32
+
+    def test_brightness_shift_invariance(self):
+        # a uniform brightness shift is pure DC; with no clipping the 63
+        # AC coefficients (and their median) are EXACTLY unchanged, so
+        # the hash is bit-identical — the invariance aHash only
+        # approximates
+        for eid in (2, 4, 6, 8):
+            px = (ic.synth_pixels(eid, 32, 32) // 2 + 40).astype(np.uint8)
+            shifted = (px.astype(np.int64) + 6).astype(np.uint8)  # max 173
+            assert ic.dct_phash64(px) == ic.dct_phash64(shifted)
+
+    def test_requantization_robustness(self):
+        # the reason pHash exists: JPEG requantization perturbs pixels
+        # but leaves low-frequency DCT signs (vs their median) stable —
+        # PROVIDED the image is band-limited (real photos are; a raw
+        # sawtooth whose low block is noise-floor is the documented
+        # out-of-regime case). Fixture: 4x box-blurred patterns, the
+        # 32x32-downscale-of-a-photo operating point.
+        from osm2vdv462_spark.functions import jpegcodec
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        def boxblur(a):
+            p = np.pad(a, ((1, 1), (1, 1), (0, 0)), mode="edge").astype(np.float64)
+            return (
+                p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+            ) / 9
+
+        hashes = []
+        for eid in (2, 4, 6, 8, 10, 12):
+            px = ic.synth_pixels(eid, 32, 32).astype(np.float64)
+            for _ in range(4):
+                px = boxblur(px)
+            px = np.clip(px, 0, 249).astype(np.uint8)
+            h0 = ic.dct_phash64(px)
+            hashes.append(h0)
+            rq = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(px, quality=80))
+            assert ham(h0, ic.dct_phash64(rq)) <= 6
+        cross = min(
+            ham(a, b) for i, a in enumerate(hashes) for b in hashes[i + 1 :]
+        )
+        assert cross >= 16  # requantized-self is FAR inside the cross margin
+
+    def test_distinct_images_far_apart(self):
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        hs = [ic.dct_phash64(ic.synth_pixels(e, 32, 32)) for e in range(0, 40, 4)]
+        pairs = [(i, j) for i in range(len(hs)) for j in range(i + 1, len(hs))]
+        dists = [ham(hs[i], hs[j]) for i, j in pairs]
+        assert min(dists) >= 10  # unrelated patterns don't collide
