@@ -630,6 +630,48 @@ def all_pairs_hops(edges: DataFrame, *, max_hops: int) -> DataFrame:
     return visited.select("src", F.col("n").alias("node"), "hops")
 
 
+def all_pairs_hops_sigma(edges: DataFrame, *, max_hops: int) -> DataFrame:
+    """`all_pairs_hops` carrying shortest-path COUNTS: the batched BFS
+    wave additionally propagates sigma(src, node) = number of distinct
+    shortest src->node paths via the standard BFS DP (sigma of a node
+    first reached at level h = sum of its level-(h-1) predecessors'
+    sigmas — one groupBy on the (src, node) pair key per level, fused
+    into the frontier expansion join). Returns (src, node, hops,
+    sigma). Same bounded-hop semantics and batching caveats as
+    all_pairs_hops; sigma is exact (bigint) — the ingredient for
+    betweenness centrality via the pair-counting identity
+    sigma_sv * sigma_vt / sigma_st."""
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("s").alias("src")).distinct()
+    visited = (
+        verts.select("src", F.col("src").alias("n"))
+        .withColumn("hops", F.lit(0))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("src", "n", "sigma")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["s"])
+            .select("src", F.col("d").alias("n"), "sigma")
+            .groupBy("src", "n")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("src", "n"), ["src", "n"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .select("src", "n", "hops", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "n", "sigma")
+    return visited.select(F.col("src"), F.col("n").alias("node"), "hops", "sigma")
+
+
 def jp_coloring(
     edges: DataFrame,
     priorities: DataFrame,

@@ -2674,3 +2674,142 @@ def mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_edges"),
         F.sum("eid").cast("long").alias("edge_chk"),
     )
+
+
+# ------------------------------------------- betweenness centrality
+
+# Completes the centrality family (pagerank / closeness / HITS rows):
+# who BROKERS the network, not who sits near its middle. Exactness
+# convention: betweenness is a sum of rationals sigma_sv*sigma_vt /
+# sigma_st, so both engines compute the e6 fixed-point PER-PAIR-FLOORED
+# sum — SUM((sigma_sv * sigma_vt * 1000000) // sigma_st) over unordered
+# (s, t) pairs with d(s,v) + d(v,t) = d(s,t) — which is bit-identical
+# integer arithmetic (documented: floor-per-term, not floor-of-sum).
+_BETWEENNESS_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT user_id % 100 AS u,
+         ('0x' || substr(md5('bw:' || CAST(event_id AS VARCHAR)),
+                         1, 7))::BIGINT % 100 AS v
+  FROM events
+  WHERE ('0x' || substr(md5('bwgate:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::INT % 37 = 0
+),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM e0 WHERE u <> v),
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+reach(src, node, hops) AS (
+  SELECT DISTINCT s, s, 0 FROM sym
+  UNION
+  SELECT r.src, s.d, r.hops + 1 FROM reach r JOIN sym s ON s.s = r.node
+  WHERE r.hops < 12
+),
+d AS (SELECT src, node, min(hops) AS hops FROM reach GROUP BY 1, 2),
+paths(src, node, hops) AS (
+  SELECT DISTINCT s, s, 0 FROM sym
+  UNION ALL
+  SELECT p.src, e2.d, p.hops + 1
+  FROM paths p JOIN sym e2 ON e2.s = p.node
+  JOIN d dn ON dn.src = p.src AND dn.node = e2.d
+           AND dn.hops = p.hops + 1
+),
+sig AS (SELECT src, node, count(*) AS sigma, min(hops) AS hops
+        FROM paths GROUP BY 1, 2),
+bc AS (
+  SELECT sv.node AS node,
+         sum(sv.sigma * tv.sigma * 1000000 // st.sigma) AS bc_e6,
+         count(*) AS n_pairs
+  FROM sig sv
+  JOIN sig tv ON tv.node = sv.node
+  JOIN sig st ON st.src = sv.src AND st.node = tv.src
+  WHERE sv.src < tv.src AND sv.node <> sv.src AND sv.node <> tv.src
+    AND sv.hops + tv.hops = st.hops
+  GROUP BY 1
+)
+SELECT CAST(n.src AS BIGINT) AS node,
+       CAST(COALESCE(bc.bc_e6, 0) AS BIGINT) AS bc_e6,
+       CAST(COALESCE(bc.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM (SELECT DISTINCT s AS src FROM sym) n
+LEFT JOIN bc ON bc.node = n.src
+ORDER BY node
+"""
+
+
+@register_extra("betweenness_centrality", _BETWEENNESS_ORACLE)
+def betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality over the md5-derived undirected
+    event graph via the pair-counting identity (see oracle comment):
+    Spark runs the batched multi-source BFS CARRYING SHORTEST-PATH
+    COUNTS (operators/graph.py::all_pairs_hops_sigma — one extra
+    pair-key groupBy per level over all_pairs_hops), then assembles
+    bc(v) as a three-way join of the (src, node, hops, sigma) table
+    with itself: (s,v) x (t,v) co-partitioned ON v (the shuffle key),
+    the (s,t) side a broadcast lookup. The oracle enumerates every
+    individual shortest path through a dist-constrained recursive
+    closure (traversal vs definition — the engines share no code
+    path). Scale: exact betweenness is inherently all-pairs; the
+    deployment shape at planet scale is source-sampled Brandes pivots
+    — same operator, src side restricted, documented here rather than
+    hidden behind a silent cap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = F.pmod(F.col("user_id"), F.lit(100))
+    b = _h("bw:", 7) % 100
+    e = (
+        ev.filter(_h("bwgate:", 4).cast("int") % 37 == 0)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sig = G.all_pairs_hops_sigma(e, max_hops=12).localCheckpoint(eager=True)
+    sv = sig.select(
+        F.col("src").alias("s"),
+        F.col("node").alias("v"),
+        F.col("hops").alias("h_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    tv = sig.select(
+        F.col("src").alias("t"),
+        F.col("node").alias("v"),
+        F.col("hops").alias("h_tv"),
+        F.col("sigma").alias("sig_tv"),
+    )
+    st = sig.select(
+        F.col("src").alias("s"),
+        F.col("node").alias("t"),
+        F.col("hops").alias("h_st"),
+        F.col("sigma").alias("sig_st"),
+    )
+    triples = (
+        sv.join(tv, "v")
+        .filter(
+            (F.col("s") < F.col("t"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .join(F.broadcast(st), ["s", "t"])
+        .filter(F.col("h_sv") + F.col("h_tv") == F.col("h_st"))
+    )
+    bc = triples.groupBy("v").agg(
+        F.expr("sum(sig_sv * sig_tv * 1000000 div sig_st)").alias("bc_e6"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nodes = sig.select(F.col("src").alias("node")).distinct()
+    return (
+        nodes.join(bc, nodes["node"] == bc["v"], "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.coalesce(F.col("bc_e6"), F.lit(0)).cast("long").alias("bc_e6"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("node")
+    )

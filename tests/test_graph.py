@@ -281,3 +281,22 @@ class TestKCore:
             for r in G.kcore_nodes(edges, k=3, rounds=9).collect()
         )
         assert r8 == r9 and len(r8) > 0
+
+
+class TestHopsSigma:
+    def test_known_diamond_graph(self, spark):
+        # 1-2, 1-3, 2-4, 3-4, 2-3: two shortest 1->4 paths (via 2, via 3)
+        from osm2vdv462_spark.operators import graph as G
+
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (3, 4), (2, 3)], "a long, b long"
+        )
+        got = {
+            (r["src"], r["node"]): (r["hops"], r["sigma"])
+            for r in G.all_pairs_hops_sigma(e, max_hops=8).collect()
+        }
+        assert got[(1, 4)] == (2, 2)
+        assert got[(4, 1)] == (2, 2)
+        assert got[(1, 2)] == (1, 1)
+        assert got[(2, 3)] == (1, 1)
+        assert all(s == 1 for (a, b), (h, s) in got.items() if a == b)
