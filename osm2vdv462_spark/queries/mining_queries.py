@@ -4430,3 +4430,132 @@ def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "fold")
     )
+
+
+# ------------------------------------------- Fellegi-Sunter linkage
+
+# Probabilistic record linkage (Fellegi & Sunter 1969) — the decision
+# layer the blocking rows (soundex / sorted-neighborhood / fuzzy-match)
+# feed: per candidate pair, per-field agreement weights log2(m/u)
+# (agree) / log2((1-m)/(1-u)) (disagree), summed and thresholded into
+# link / possible / nonlink. Weights are PRECOMPUTED milli-log2
+# integer constants (python round at module load would be overkill —
+# they are spelled literally so both engines share the exact same
+# integers; m/u priors documented beside each):
+#   name      m=.95  u~1/1500  agree +10477  disagree -4321
+#   segment   m=.80  u=.20     agree  +2000  disagree -2000
+#   balance   m=.90  u~1e-4    agree +13136  disagree -3322
+# Thresholds: link >= 15000, nonlink < 0, else possible — so a clean
+# pair links, one perturbed field lands "possible", two flip nonlink.
+_FS_ORACLE = """
+WITH a AS (
+  SELECT c_custkey AS akey, c_nationkey AS nat, c_name AS name,
+         c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balc
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 100000 AS bkey, c_custkey AS orig,
+         c_nationkey AS nat,
+         CASE WHEN c_custkey % 7 = 0 THEN c_name || '*' ELSE c_name END
+           AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+           AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           + CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS balc
+  FROM customer
+),
+scored AS (
+  SELECT a.nat, a.akey, b.orig,
+         (CASE WHEN a.name = b.name THEN 10477 ELSE -4321 END)
+       + (CASE WHEN a.seg = b.seg THEN 2000 ELSE -2000 END)
+       + (CASE WHEN a.balc = b.balc THEN 13136 ELSE -3322 END) AS score
+  FROM a JOIN b ON b.nat = a.nat
+)
+SELECT CAST(nat AS INT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE score >= 15000) AS BIGINT) AS n_link,
+       CAST(count(*) FILTER (WHERE score >= 0 AND score < 15000)
+            AS BIGINT) AS n_possible,
+       CAST(count(*) FILTER (WHERE score < 0) AS BIGINT) AS n_nonlink,
+       CAST(count(*) FILTER (WHERE akey = orig AND score >= 15000)
+            AS BIGINT) AS n_true_link,
+       CAST(count(*) FILTER (WHERE akey = orig AND score < 15000)
+            AS BIGINT) AS n_true_missed
+FROM scored GROUP BY nat ORDER BY nationkey
+"""
+
+
+@register_extra("fellegi_sunter_linkage", _FS_ORACLE)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over a deterministic
+    noisy twin of `customer` (1-in-7 name typo, 1-in-5 segment loss,
+    1-in-11 off-by-a-cent balance), blocked on nationkey, reported as
+    per-block decision counts + truth audit (see oracle comment for
+    the integer milli-log2 weight model). Plan shape: the candidate
+    join is the BLOCKING equi-join (never all-pairs); weights are one
+    codegen CASE ladder, the decision rollup a partial-agg groupBy on
+    the block key — at corpus scale the quadratic risk lives entirely
+    in block sizes, which n_pairs audits per block. Balance cents
+    derive from the stored double via floor(x*100+0.5) — the identical
+    IEEE op in both engines, so no float ever crosses the comparison
+    boundary."""
+    cust = _t(spark, sf_dir, "customer")
+    balc = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    a = cust.select(
+        F.col("c_custkey").alias("akey"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_seg"),
+        balc.alias("a_balc"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("orig"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.col("c_name"), F.lit("*")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        (
+            balc + F.when(F.col("c_custkey") % 11 == 0, 1).otherwise(0)
+        ).alias("b_balc"),
+    )
+    score = (
+        F.when(F.col("a_name") == F.col("b_name"), 10477).otherwise(-4321)
+        + F.when(F.col("a_seg") == F.col("b_seg"), 2000).otherwise(-2000)
+        + F.when(F.col("a_balc") == F.col("b_balc"), 13136).otherwise(-3322)
+    )
+    scored = a.join(b, "nat").select("nat", "akey", "orig", score.alias("score"))
+    return (
+        scored.groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("score") >= 15000, 1)).alias("n_link"),
+            F.count(
+                F.when((F.col("score") >= 0) & (F.col("score") < 15000), 1)
+            ).alias("n_possible"),
+            F.count(F.when(F.col("score") < 0, 1)).alias("n_nonlink"),
+            F.count(
+                F.when(
+                    (F.col("akey") == F.col("orig")) & (F.col("score") >= 15000), 1
+                )
+            ).alias("n_true_link"),
+            F.count(
+                F.when(
+                    (F.col("akey") == F.col("orig")) & (F.col("score") < 15000), 1
+                )
+            ).alias("n_true_missed"),
+        )
+        .select(
+            F.col("nat").cast("int").alias("nationkey"),
+            F.col("n_pairs").cast("long"),
+            F.col("n_link").cast("long"),
+            F.col("n_possible").cast("long"),
+            F.col("n_nonlink").cast("long"),
+            F.col("n_true_link").cast("long"),
+            F.col("n_true_missed").cast("long"),
+        )
+        .orderBy("nationkey")
+    )
