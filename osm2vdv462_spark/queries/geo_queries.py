@@ -6954,7 +6954,7 @@ ORDER BY radius
 """
 
 
-@register_extra("ripley_k_function", _RIPLEY_ORACLE)
+@register("ripley_k_function", _RIPLEY_ORACLE)
 def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ripley's K at r in {25, 50, 100} lattice units over the event
     point lattice. Plan (the 10^12-point shape): points bucket into

@@ -2734,7 +2734,7 @@ ORDER BY node
 """
 
 
-@register_extra("betweenness_centrality", _BETWEENNESS_ORACLE)
+@register("betweenness_centrality", _BETWEENNESS_ORACLE)
 def betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact betweenness centrality over the md5-derived undirected
     event graph via the pair-counting identity (see oracle comment):

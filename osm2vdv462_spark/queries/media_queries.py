@@ -299,7 +299,7 @@ FROM v ORDER BY image_id
 """
 
 
-@register("image_thumb_phash", _THUMB_ORACLE)
+@register_extra("image_thumb_phash", _THUMB_ORACLE)
 def image_thumb_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> box-resize -> thumbnail aHash over a deterministic
     1/50 subset. The oracle replays the whole chain closed-form: the
@@ -520,7 +520,7 @@ FROM px GROUP BY event_id ORDER BY image_id
 """
 
 
-@register("image_pixel_stats", _PIXEL_STATS_ORACLE)
+@register_extra("image_pixel_stats", _PIXEL_STATS_ORACLE)
 def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image analytics through the REAL decode path: PNG decode -> per-
     image brightness (e-4 fixed-point mean gray) + contrast extrema, on
@@ -2422,7 +2422,7 @@ ORDER BY image_id
 """
 
 
-@register_extra("image_dct_phash", _dct_oracle())
+@register("image_dct_phash", _dct_oracle())
 def image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True pHash — the DCT perceptual hash from the image near-dup
     literature (downscale -> 2-D DCT -> low 8x8 block -> median

@@ -64,7 +64,7 @@ def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
