@@ -3186,3 +3186,113 @@ def rrule_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int"))
         .alias("occ_date"),
     ).orderBy("rule_id", "seq")
+
+
+# --------------------------------------------------- Hampel despiking
+
+# The Hampel filter — the standard robust spike detector for sensor /
+# metric streams (moving median + MAD, immune to the spikes that wreck
+# mean/stddev versions): x is a spike iff |x - med7| > 3 * MAD7 over
+# the +-3-row window within its user's (ts, event_id)-ordered series.
+# Integer values throughout (synthetic spikes injected every 101st
+# event id), LOWER median convention at even window sizes (edges), so
+# both engines agree bit-for-bit with no tie-averaging.
+_HAMPEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 97) % 100
+         + CASE WHEN event_id % 101 = 0 THEN 400 ELSE 0 END AS x
+  FROM events
+),
+r AS (
+  SELECT *, row_number()
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM s
+),
+nb AS (
+  SELECT a.user_id, a.event_id, a.x, b.x AS nx
+  FROM r a JOIN r b ON b.user_id = a.user_id
+                   AND b.rn BETWEEN a.rn - 3 AND a.rn + 3
+),
+med AS (
+  SELECT user_id, event_id, x, nx AS med FROM (
+    SELECT user_id, event_id, x, nx,
+           row_number() OVER (PARTITION BY user_id, event_id
+                              ORDER BY nx) AS k,
+           count(*) OVER (PARTITION BY user_id, event_id) AS c
+    FROM nb
+  ) WHERE k = (c + 1) // 2
+),
+mad AS (
+  SELECT user_id, event_id, dev AS mad FROM (
+    SELECT nb.user_id, nb.event_id, abs(nb.nx - med.med) AS dev,
+           row_number() OVER (PARTITION BY nb.user_id, nb.event_id
+                              ORDER BY abs(nb.nx - med.med)) AS k,
+           count(*) OVER (PARTITION BY nb.user_id, nb.event_id) AS c
+    FROM nb JOIN med ON med.user_id = nb.user_id
+                    AND med.event_id = nb.event_id
+  ) WHERE k = (c + 1) // 2
+)
+SELECT CAST(med.user_id AS BIGINT) AS user_id,
+       CAST(med.event_id AS BIGINT) AS event_id,
+       CAST(med.x AS BIGINT) AS x,
+       CAST(med.med AS BIGINT) AS med,
+       CAST(mad.mad AS BIGINT) AS mad,
+       abs(med.x - med.med) > 3 * mad.mad AS is_spike
+FROM med JOIN mad ON mad.user_id = med.user_id
+                 AND mad.event_id = med.event_id
+ORDER BY user_id, event_id
+"""
+
+
+@register_extra("hampel_despike", _HAMPEL_ORACLE)
+def hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over per-user event series (see oracle comment).
+    Plan: ONE window pass — collect_list over the +-3 row frame, then
+    the median AND the MAD both come out of in-row array expressions
+    (array_sort + element_at + transform), zero extra shuffles beyond
+    the per-user sort the window already needs; the oracle takes the
+    opposite route (neighbor self-join + two ranked passes), so the
+    engines share only the definition. At 10^12 rows this is the
+    sessionization shuffle shape: one exchange on user_id, frames
+    never leave their partition."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            (F.col("event_id") * 97) % 100
+            + F.when(F.col("event_id") % 101 == 0, 400).otherwise(0)
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = s.withColumn("arr", F.collect_list("x").over(w))
+    med = arr.withColumn(
+        "med",
+        F.expr(
+            "element_at(array_sort(arr),"
+            " cast((size(arr) + 1) div 2 as int))"
+        ),
+    )
+    mad = med.withColumn(
+        "mad",
+        F.expr(
+            "element_at(array_sort(transform(arr, a -> abs(a - med))),"
+            " cast((size(arr) + 1) div 2 as int))"
+        ),
+    )
+    return mad.select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("x").cast("long"),
+        F.col("med").cast("long"),
+        F.col("mad").cast("long"),
+        (F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad")).alias(
+            "is_spike"
+        ),
+    ).orderBy("user_id", "event_id")
