@@ -594,3 +594,65 @@ def with_dct_phash(images: DataFrame) -> DataFrame:
     return images.mapInPandas(
         _dct, "image_id string, dct_phash long, n_above int"
     )
+
+
+def with_census_stereo(images: DataFrame, max_d: int = 8) -> DataFrame:
+    """Census-transform stereo matching (the classic binocular-depth
+    primitive; Zabih & Woodfill 1994): per image, the RIGHT view is the
+    decoded LEFT gray plane cyclically shifted by a ground-truth
+    disparity d* = event_id % 6 (hermetic pair synthesis — wraparound
+    keeps every pixel defined so the oracle replays it closed-form).
+    Census = 8-bit neighbor>center signature on the 3x3 torus
+    neighborhood; cost(d) = total Hamming distance between the right
+    census and the left census shifted by d; est_disp = argmin (ties ->
+    smallest d, pinned). All integer; fully vectorized: np.roll for
+    shifts, boolean XOR + sum for Hamming, one (B, 9, 32, 32) tensor
+    pass per Arrow batch."""
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def _census(g: np.ndarray) -> np.ndarray:
+        # g: (B, 32, 32) -> bool bits (B, 8, 32, 32); torus neighbors
+        return np.stack(
+            [np.roll(np.roll(g, -dy, axis=1), -dx, axis=2) > g for dy, dx in offs],
+            axis=1,
+        )
+
+    def _stereo(batches):
+        for pdf in batches:
+            ids, eids, grays = [], [], []
+            for row in pdf.itertuples(index=False):
+                px = ic.decode_image(bytes(row.bytes), row.fmt)
+                ids.append(row.image_id)
+                eids.append(int(row.image_id.split("_")[1]))
+                grays.append(px.astype(np.int64).sum(axis=2))
+            if not ids:
+                continue
+            left = np.stack(grays)
+            true_d = np.asarray(eids) % 6
+            right = np.stack(
+                [np.roll(l, int(d), axis=1) for l, d in zip(left, true_d)]
+            )
+            cl, cr = _census(left), _census(right)
+            costs = np.stack(
+                [
+                    (np.roll(cl, d, axis=3) ^ cr).sum(axis=(1, 2, 3))
+                    for d in range(max_d)
+                ],
+                axis=1,
+            )  # (B, max_d)
+            est = costs.argmin(axis=1)  # first minimum = smallest d
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "true_disp": true_d.astype(np.int32),
+                    "est_disp": est.astype(np.int32),
+                    "cost_est": costs[np.arange(len(ids)), est],
+                    "cost_at_zero": costs[:, 0],
+                }
+            )
+
+    return images.mapInPandas(
+        _stereo,
+        "image_id string, true_disp int, est_disp int,"
+        " cost_est bigint, cost_at_zero bigint",
+    )

@@ -3251,3 +3251,79 @@ def barcode_ean13_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(
         _decode, "event_id long, ean13 string, decode_ok boolean"
     )
+
+
+# ------------------------------------------- census stereo disparity
+
+# Census-transform stereo matching (Zabih & Woodfill 1994) — the
+# binocular-depth primitive behind classic real-time stereo pipelines:
+# per-pixel 8-bit neighbor>center signatures, per-disparity total
+# Hamming cost, winner-take-all argmin. The right view is the left
+# gray plane cyclically shifted by ground truth d* = id % 6 (torus
+# neighborhoods keep every pixel defined), so cost(d*) == 0 exactly
+# and the recovered disparity is verifiable truth, not a heuristic.
+_CENSUS_ORACLE = """
+WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 50 = 0),
+ax AS (SELECT unnest(generate_series(0, 31)) AS i),
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                        (1,-1),(1,0),(1,1)),
+ds AS (SELECT unnest(generate_series(0, 7)) AS d),
+g AS (
+  SELECT id, x.i AS x, y.i AS y,
+         (x.i * 7 + id * 13) % 256 + (y.i * 11 + id * 29) % 256
+         + ((x.i + y.i) * 5 + id * 53) % 256 AS v
+  FROM ids CROSS JOIN ax x CROSS JOIN ax y
+),
+cl AS (
+  SELECT g.id, g.x, g.y,
+         sum(CASE WHEN n.v > g.v
+             THEN 1 << CAST((o.dy + 1) * 3 + o.dx + 1 AS INT)
+             ELSE 0 END) AS sig
+  FROM g CROSS JOIN offs o
+  JOIN g n ON n.id = g.id AND n.x = (g.x + o.dx + 32) % 32
+          AND n.y = (g.y + o.dy + 32) % 32
+  GROUP BY g.id, g.x, g.y
+),
+-- right view: R(x, y) = L((x - d*) % 32, y); its census signature at
+-- (x, y) equals the left signature at ((x - d*) % 32, y)
+cr AS (
+  SELECT cl.id, (cl.x + ids.id % 6) % 32 AS x, cl.y, cl.sig
+  FROM cl JOIN ids ON ids.id = cl.id
+),
+cost AS (
+  SELECT cr.id, ds.d,
+         sum(bit_count(xor(cr.sig, l2.sig))) AS cost
+  FROM cr CROSS JOIN ds
+  JOIN cl l2 ON l2.id = cr.id AND l2.y = cr.y
+            AND l2.x = (cr.x - ds.d + 32) % 32
+  GROUP BY cr.id, ds.d
+),
+best AS (
+  SELECT id, d AS est_disp, cost AS cost_est FROM (
+    SELECT id, d, cost,
+           row_number() OVER (PARTITION BY id ORDER BY cost, d) AS rn
+    FROM cost
+  ) WHERE rn = 1
+)
+SELECT 'img_' || lpad(CAST(best.id AS VARCHAR), 9, '0') AS image_id,
+       CAST(best.id % 6 AS INT) AS true_disp,
+       CAST(best.est_disp AS INT) AS est_disp,
+       CAST(best.cost_est AS BIGINT) AS cost_est,
+       CAST(z.cost AS BIGINT) AS cost_at_zero
+FROM best JOIN cost z ON z.id = best.id AND z.d = 0
+ORDER BY image_id
+"""
+
+
+@register_extra("census_stereo_disparity", _CENSUS_ORACLE)
+def census_stereo_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census stereo over the decoded 1/50 PNG subset (see oracle
+    comment): Spark decodes the left view and runs the whole
+    census/Hamming/argmin tensor pass vectorized per Arrow batch
+    (pipeline/images.py::with_census_stereo); the oracle rebuilds both
+    views' census bits relationally from the pixel closed form via
+    modular-index self-joins. Map-side only — disparity search is
+    per-image local work, the plan shape that lets a 10^12-frame
+    stereo corpus scale linearly in executors."""
+    imgs = im.images_df(spark, sf_dir, every=50)
+    return im.with_census_stereo(imgs).orderBy("image_id")
