@@ -7191,3 +7191,127 @@ def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ns"))
         .alias("gi_flag"),
     ).orderBy("cell_x", "cell_y")
+
+
+# ------------------------------------------- rectangle union (Klee)
+
+# Klee's measure problem in 2-D — the union area of N axis-aligned
+# rectangles (footprint coverage, dirty-region accounting, bbox dedup).
+# Engine: coordinate-compressed SLAB DECOMPOSITION — distinct x edges
+# cut the plane into vertical slabs; within a slab the covered
+# y-length is a 1-D interval union (gaps-and-islands via a running-max
+# window), and slab contributions are independent — the embarrassingly
+# parallel formulation (each slab is one group; at 10^12 rects you
+# range-partition slabs). Oracle: LATTICE COUNTING — integer rect
+# corners mean union area == number of covered unit cells, counted by
+# a relational range join; counting vs interval arithmetic share only
+# the definition. Output one row per slab so the hash pins the whole
+# decomposition, not just the total.
+_KLEE_ORACLE = """
+WITH r AS (
+  SELECT (o_orderkey * 17) % 180 AS x0,
+         (o_orderkey * 29) % 180 AS y0,
+         (o_orderkey * 17) % 180 + 4 + o_orderkey % 17 AS x1,
+         (o_orderkey * 29) % 180 + 4 + o_orderkey % 13 AS y1
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+xs AS (
+  SELECT x, lead(x) OVER (ORDER BY x) AS nx FROM (
+    SELECT DISTINCT x0 AS x FROM r UNION SELECT DISTINCT x1 FROM r
+  )
+),
+slabs AS (SELECT x AS sx, nx AS ex FROM xs WHERE nx IS NOT NULL),
+cols AS (SELECT unnest(generate_series(0, 199)) AS cx),
+rows_ AS (SELECT unnest(generate_series(0, 199)) AS cy),
+covered AS (
+  SELECT DISTINCT c.cx, w.cy
+  FROM cols c JOIN r ON c.cx >= r.x0 AND c.cx < r.x1
+  CROSS JOIN rows_ w
+  WHERE w.cy >= r.y0 AND w.cy < r.y1
+),
+per_slab AS (
+  SELECT s.sx, s.ex, count(v.cx) AS cells
+  FROM slabs s LEFT JOIN covered v ON v.cx >= s.sx AND v.cx < s.ex
+  GROUP BY s.sx, s.ex
+)
+SELECT CAST(sx AS INT) AS slab_x0, CAST(ex AS INT) AS slab_x1,
+       CAST(CASE WHEN ex > sx THEN cells // (ex - sx) ELSE 0 END
+            AS BIGINT) AS covered_y,
+       CAST(cells AS BIGINT) AS area
+FROM per_slab ORDER BY slab_x0
+"""
+
+
+@register_extra("rect_union_area", _KLEE_ORACLE)
+def rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Klee's rectangle-union measure via slab decomposition (see
+    oracle comment). Plan: distinct x edges -> lead() window makes the
+    slab list (edge-count sized); a range join attaches the rects
+    spanning each slab; per (slab) group one ordered window computes
+    the 1-D union with running max — shuffle keys are slab ids, per-
+    group state is one integer. Integer coordinates end-to-end."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            ((F.col("o_orderkey") * 17) % 180).alias("x0"),
+            ((F.col("o_orderkey") * 29) % 180).alias("y0"),
+            (
+                (F.col("o_orderkey") * 17) % 180 + 4 + F.col("o_orderkey") % 17
+            ).alias("x1"),
+            (
+                (F.col("o_orderkey") * 29) % 180 + 4 + F.col("o_orderkey") % 13
+            ).alias("y1"),
+        )
+    )
+    edges = (
+        o.select(F.col("x0").alias("x"))
+        .union(o.select(F.col("x1").alias("x")))
+        .distinct()
+    )
+    wx = Window.orderBy("x")
+    slabs = (
+        edges.select("x", F.lead("x").over(wx).alias("nx"))
+        .filter(F.col("nx").isNotNull())
+        .select(F.col("x").alias("sx"), F.col("nx").alias("ex"))
+    )
+    spanning = slabs.join(
+        o, (o["x0"] <= slabs["sx"]) & (o["x1"] >= slabs["ex"]), "left"
+    )
+    wy = (
+        Window.partitionBy("sx")
+        .orderBy("y0", "y1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = spanning.withColumn(
+        "prevmax", F.max("y1").over(wy)
+    ).withColumn(
+        "add",
+        F.when(
+            F.col("y0").isNull(), F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.col("y1")
+                - F.greatest(F.col("y0"), F.coalesce(F.col("prevmax"), F.lit(0))),
+            )
+        ),
+    )
+    return (
+        contrib.groupBy("sx", "ex")
+        .agg(F.sum("add").alias("covered_y"))
+        .select(
+            F.col("sx").cast("int").alias("slab_x0"),
+            F.col("ex").cast("int").alias("slab_x1"),
+            F.coalesce(F.col("covered_y"), F.lit(0))
+            .cast("long")
+            .alias("covered_y"),
+            (
+                F.coalesce(F.col("covered_y"), F.lit(0))
+                * (F.col("ex") - F.col("sx"))
+            )
+            .cast("long")
+            .alias("area"),
+        )
+        .orderBy("slab_x0")
+    )
