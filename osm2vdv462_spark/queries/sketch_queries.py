@@ -1718,3 +1718,237 @@ def elias_fano_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# --------------------------------------- Reed-Solomon GF(256) codec
+
+def _gf_tables() -> tuple[list[int], list[int]]:
+    """GF(2^8) exp/log tables (primitive poly 0x11d, generator 2) —
+    the SAME integers feed the Catalyst literal-array lookups and the
+    generated DuckDB VALUES relations, so Galois arithmetic never
+    crosses engines as anything but table indices."""
+    exp, log = [0] * 255, [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= 0x11D
+    return exp, log
+
+
+def _rs_generator(exp: list[int], log: list[int]) -> list[int]:
+    """g(x) = prod_{i=0..3} (x + alpha^i), ascending coefficients."""
+
+    def mul(a: int, b: int) -> int:
+        return 0 if a == 0 or b == 0 else exp[(log[a] + log[b]) % 255]
+
+    g = [1]
+    for i in range(4):
+        ng = [0] * (len(g) + 1)
+        for k, c in enumerate(g):
+            ng[k + 1] ^= c
+            ng[k] ^= mul(c, exp[i])
+        g = ng
+    return g  # [64, 120, 54, 15, 1] for 0x11d
+
+
+def _rs_oracle() -> str:
+    exp, log = _gf_tables()
+    g = _rs_generator(exp, log)
+    expv = ",".join(f"({i},{v})" for i, v in enumerate(exp))
+    logv = ",".join(f"({v},{i})" for i, v in enumerate(exp))  # inverse map
+    gv = ",".join(f"({i},{c},{log[c]})" for i, c in enumerate(g))
+    return f"""
+WITH expt(e, v) AS (VALUES {expv}),
+logt(v, e) AS (VALUES {logv}),
+gt(gi, gc, glog) AS (VALUES {gv}),
+ev AS (SELECT event_id AS id FROM events WHERE event_id % 3 = 0),
+mj AS (SELECT unnest(generate_series(0, 15)) AS m),
+msg AS (
+  SELECT id, m, (id * (m + 3) + m * m * 7) % 256 AS b
+  FROM ev CROSS JOIN mj
+),
+conv AS (
+  SELECT msg.id, msg.m + gt.gi AS j,
+         CASE WHEN msg.b = 0 THEN 0
+              ELSE (SELECT v FROM expt
+                    WHERE e = (logt.e + gt.glog) % 255) END AS term
+  FROM msg CROSS JOIN gt LEFT JOIN logt ON logt.v = msg.b
+),
+cw AS (SELECT id, j, bit_xor(term) AS c FROM conv GROUP BY id, j),
+rx AS (
+  SELECT id, j,
+         CASE WHEN id % 5 = 0 AND j = id % 20
+              THEN xor(c, 1 + (id * 7) % 255) ELSE c END AS r
+  FROM cw
+),
+si AS (SELECT unnest(generate_series(0, 3)) AS i),
+sterm AS (
+  SELECT rx.id, si.i,
+         CASE WHEN rx.r = 0 THEN 0
+              ELSE (SELECT v FROM expt
+                    WHERE e = (logt.e + si.i * rx.j % 255) % 255) END
+           AS term
+  FROM rx CROSS JOIN si LEFT JOIN logt ON logt.v = rx.r
+),
+snd AS (SELECT id, i, bit_xor(term) AS s FROM sterm GROUP BY id, i),
+piv AS (
+  SELECT id,
+         max(CASE WHEN i = 0 THEN s END) AS s0,
+         max(CASE WHEN i = 1 THEN s END) AS s1,
+         max(CASE WHEN i = 2 THEN s END) AS s2,
+         max(CASE WHEN i = 3 THEN s END) AS s3
+  FROM snd GROUP BY id
+),
+dec AS (
+  SELECT piv.id, id % 5 = 0 AS injected, s0, s1, s2, s3,
+         CASE WHEN id % 5 = 0 AND s0 <> 0 AND s1 <> 0
+              THEN (l1.e - l0.e + 255) % 255 ELSE -1 END AS est_pos,
+         CASE WHEN id % 5 = 0 THEN s0 ELSE 0 END AS est_val,
+         l1.e AS le1, l2.e AS le2, l3.e AS le3
+  FROM piv
+  LEFT JOIN logt l0 ON l0.v = piv.s0
+  LEFT JOIN logt l1 ON l1.v = piv.s1
+  LEFT JOIN logt l2 ON l2.v = piv.s2
+  LEFT JOIN logt l3 ON l3.v = piv.s3
+)
+SELECT CAST(id AS BIGINT) AS event_id, injected,
+       CAST(est_pos AS INT) AS est_pos, CAST(est_val AS INT) AS est_val,
+       CASE WHEN NOT injected
+            THEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0
+            ELSE est_pos = id % 20 AND est_val = 1 + (id * 7) % 255
+                 AND le2 = (le1 + est_pos) % 255
+                 AND le3 = (le2 + est_pos) % 255 END AS ok
+FROM dec ORDER BY event_id
+"""
+
+
+@register_extra("reed_solomon_audit", _rs_oracle())
+def reed_solomon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reed-Solomon RS(20,16) over GF(2^8) — encode, single-symbol
+    error injection, syndrome computation, and exact error LOCATION +
+    VALUE recovery (the erasure-coding primitive under every modern
+    storage layer: RAID-6, HDFS EC, object-store durability — a data
+    platform auditing 100 TB of stripes runs exactly this syndrome
+    pass). Non-systematic encoding c = m(x)*g(x) keeps the whole
+    codec relational: the convolution is a 5-term fanout + bit_xor
+    partial agg; syndromes S_i = XOR_j r_j*alpha^(ij) are one more
+    fanout + agg; decode is pure log-index arithmetic
+    (pos = log S1 - log S0, e = S0, consistency S3/S2 = S2/S1 =
+    alpha^pos). The Spark plan is ZERO-Python and ZERO-join: GF
+    lookups are element_at over 255-int literal arrays (constant-
+    folded into codegen), shuffles are the two (id, key) partial
+    aggregations. The oracle re-derives everything through VALUES-
+    table joins. ok must be TRUE on every row — any false is an
+    algebra break and hash-fatal."""
+    exp, log = _gf_tables()
+    g = _rs_generator(exp, log)
+    expa = F.array(*[F.lit(v) for v in exp])
+    loga = F.array(*[F.lit(log[v] if v else -1000) for v in range(256)])
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    msg = ev.select(
+        "id", F.explode(F.array(*[F.lit(m) for m in range(16)])).alias("m")
+    ).withColumn("b", (F.col("id") * (F.col("m") + 3) + F.col("m") * F.col("m") * 7) % 256)
+    gdf = F.array(
+        *[F.struct(F.lit(i).alias("gi"), F.lit(log[c]).alias("glog")) for i, c in enumerate(g)]
+    )
+    conv = (
+        msg.select("id", "m", "b", F.explode(gdf).alias("g"))
+        .select(
+            "id",
+            (F.col("m") + F.col("g.gi")).alias("j"),
+            F.when(F.col("b") == 0, 0)
+            .otherwise(
+                F.element_at(
+                    expa,
+                    (
+                        (
+                            F.element_at(loga, F.col("b").cast("int") + 1)
+                            + F.col("g.glog")
+                        )
+                        % 255
+                    ).cast("int")
+                    + 1,
+                )
+            )
+            .alias("term"),
+        )
+    )
+    cw = conv.groupBy("id", "j").agg(F.expr("bit_xor(term)").alias("c"))
+    rx = cw.withColumn(
+        "r",
+        F.when(
+            (F.col("id") % 5 == 0) & (F.col("j") == F.col("id") % 20),
+            F.expr("c ^ (1 + (id * 7) % 255)"),
+        ).otherwise(F.col("c")),
+    )
+    sterm = rx.select(
+        "id",
+        "r",
+        "j",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).select(
+        "id",
+        "i",
+        F.when(F.col("r") == 0, 0)
+        .otherwise(
+            F.element_at(
+                expa,
+                (
+                    (
+                        F.element_at(loga, F.col("r").cast("int") + 1)
+                        + (F.col("i") * F.col("j")) % 255
+                    )
+                    % 255
+                ).cast("int")
+                + 1,
+            )
+        )
+        .alias("term"),
+    )
+    snd = sterm.groupBy("id", "i").agg(F.expr("bit_xor(term)").alias("s"))
+    piv = snd.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("i") == i, F.col("s"))).alias(f"s{i}")
+            for i in range(4)
+        ]
+    )
+    le = {
+        k: F.when(
+            F.col(f"s{k}") == 0, F.lit(None)
+        ).otherwise(F.element_at(loga, F.col(f"s{k}").cast("int") + 1))
+        for k in range(4)
+    }
+    injected = F.col("id") % 5 == 0
+    est_pos = F.when(
+        injected & (F.col("s0") != 0) & (F.col("s1") != 0),
+        F.pmod(le[1] - le[0], F.lit(255)),
+    ).otherwise(F.lit(-1))
+    est_val = F.when(injected, F.col("s0")).otherwise(F.lit(0))
+    out = piv.select(
+        F.col("id").cast("long").alias("event_id"),
+        injected.alias("injected"),
+        est_pos.cast("int").alias("est_pos"),
+        est_val.cast("int").alias("est_val"),
+        F.when(
+            ~injected,
+            (F.col("s0") == 0)
+            & (F.col("s1") == 0)
+            & (F.col("s2") == 0)
+            & (F.col("s3") == 0),
+        )
+        .otherwise(
+            (est_pos == F.col("id") % 20)
+            & (est_val == 1 + (F.col("id") * 7) % 255)
+            & (le[2] == F.pmod(le[1] + est_pos, F.lit(255)))
+            & (le[3] == F.pmod(le[2] + est_pos, F.lit(255)))
+        )
+        .alias("ok"),
+    )
+    return out.orderBy("event_id")
