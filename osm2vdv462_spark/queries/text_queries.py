@@ -6095,3 +6095,264 @@ def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(shown, "UTF-8")).alias("moji_md5"),
         (repaired == accented).alias("repaired_ok"),
     )
+
+
+# ------------------------------------------------- FM-index search
+
+# FM-index backward search (Ferragina & Manzini 2000) — substring
+# counting that reads ONLY the index (BWT + per-char prefix counts C +
+# occ table), never the text: the machinery under bowtie/bwa and
+# compressed search generally, and the natural next stage after the
+# gated bwt_run_stats row. Engine: per doc, suffixes via
+# sentinel-terminated rotations (window rank), dense occ(c, i) via an
+# (alphabet x position) flag window-sum (i = 0 rows included so
+# occ(c, sp-1) lookups never fall off the table), then the 3-char
+# pattern descends with TWO chained (doc, char, i) equi-joins — the
+# sharded-index search shape (each shard owns its occ/C; a k-char
+# query is k lookups, independent of text size). Oracle: a plain
+# position scan over the RAW text — it never builds the index, the
+# engine never scans the text, they meet only at the count.
+_FM_ORACLE = """
+WITH dd AS (
+  SELECT doc_id, substr(text, 1, 24) AS t,
+         length(substr(text, 1, 24)) AS tl
+  FROM documents
+  WHERE strlen(text) = length(text)
+    AND NOT contains(substr(text, 1, 24), '#')
+    AND length(substr(text, 1, 24)) >= 16
+    AND ('0x' || substr(md5('fm:' || CAST(doc_id AS VARCHAR)),
+                        1, 4))::BIGINT % 11 = 0
+),
+probes AS (
+  SELECT DISTINCT doc_id, t, tl, pat FROM (
+    SELECT doc_id, t, tl, substr(t, 5, 3) AS pat FROM dd
+    UNION ALL
+    SELECT doc_id, t, tl, substr(t, 11, 3) AS pat FROM dd
+    UNION ALL
+    SELECT doc_id, t, tl, 'qzj' AS pat FROM dd
+  )
+),
+hits AS (
+  SELECT p.doc_id, p.pat, count(*) FILTER (
+           WHERE substr(p.t, CAST(u.i AS INT), 3) = p.pat) AS n
+  FROM probes p,
+       unnest(range(1, CAST(p.tl AS BIGINT) - 1)) u(i)
+  GROUP BY p.doc_id, p.pat
+)
+SELECT doc_id, pat AS pattern, CAST(n AS BIGINT) AS n_occ,
+       n > 0 AS found
+FROM hits ORDER BY doc_id, pattern
+"""
+
+
+@register_extra("fm_index_search", _FM_ORACLE)
+def fm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-index backward search (see oracle comment). Three probes per
+    sampled doc: two 3-grams cut from the doc's own text (guaranteed
+    present) and one fixed rare gram — so the descent exercises both
+    the hit and the empty-interval paths. Everything is JVM string /
+    window / join algebra; sentinel '#' is excluded from the corpus
+    sample up front (both engines, same predicate)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .filter(~F.substring("text", 1, 24).contains("#"))
+        .filter(F.length(F.substring("text", 1, 24)) >= 16)
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fm:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 11
+            == 0
+        )
+        .select(
+            "doc_id",
+            F.substring("text", 1, 24).alias("t"),
+            F.length(F.substring("text", 1, 24)).alias("tl"),
+        )
+        .withColumn("ts", F.concat(F.col("t"), F.lit("#")))
+        .withColumn("n", F.col("tl") + 1)
+        .localCheckpoint(eager=True)
+    )
+    # suffix order via sentinel rotations; bc = BWT char at rank r
+    rots = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("k"),
+        "ts",
+    ).select(
+        "doc_id",
+        "n",
+        "k",
+        F.expr("concat(substring(ts, k + 1, 25), substring(ts, 1, k))").alias(
+            "rot"
+        ),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("rot")
+    bwt = rots.select(
+        "doc_id",
+        "n",
+        F.row_number().over(wr).alias("r"),
+        F.expr("substring(rot, n, 1)").alias("bc"),
+    ).localCheckpoint(eager=True)
+    # per-doc char histogram of ts -> counts and exclusive prefix C[c]
+    hist = bwt.groupBy("doc_id", F.col("bc").alias("c")).agg(
+        F.count("*").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = hist.withColumn(
+        "cbelow", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    ).localCheckpoint(eager=True)
+    # dense occ(c, i) for every alphabet char x position 0..n
+    grid = (
+        bwt.select("doc_id", "r", "bc")
+        .join(cdf.select("doc_id", "c"), "doc_id")
+        .withColumn("flag", (F.col("bc") == F.col("c")).cast("long"))
+    )
+    wo = Window.partitionBy("doc_id", "c").orderBy("r")
+    occ_pos = grid.select(
+        "doc_id", "c", F.col("r").alias("i"), F.sum("flag").over(wo).alias("occ")
+    )
+    occ0 = cdf.select(
+        "doc_id", "c", F.lit(0).alias("i"), F.lit(0).cast("long").alias("occ")
+    )
+    occ = occ_pos.unionByName(occ0).localCheckpoint(eager=True)
+    # probes: two present 3-grams + one rare constant
+    probes = (
+        d.select(
+            "doc_id", F.expr("substring(t, 5, 3)").alias("pat")
+        )
+        .unionByName(
+            d.select("doc_id", F.expr("substring(t, 11, 3)").alias("pat"))
+        )
+        .unionByName(d.select("doc_id", F.lit("qzj").alias("pat")))
+        .distinct()  # a doc's two cut grams can coincide; the oracle
+        # GROUPs BY (doc, pat), so the engine dedupes identically
+        .withColumn("c1", F.expr("substring(pat, 1, 1)"))
+        .withColumn("c2", F.expr("substring(pat, 2, 1)"))
+        .withColumn("c3", F.expr("substring(pat, 3, 1)"))
+    )
+    # init on last char: [C[c3]+1, C[c3]+cnt[c3]]
+    st0 = probes.join(
+        cdf.select(
+            "doc_id", F.col("c").alias("c3"), "cbelow", "cnt"
+        ),
+        ["doc_id", "c3"],
+        "left",
+    ).select(
+        "doc_id",
+        "pat",
+        "c1",
+        "c2",
+        (F.col("cbelow") + 1).alias("sp"),
+        (F.col("cbelow") + F.col("cnt")).alias("ep"),
+    )
+
+    def _step(state, ch_col):
+        alive = state.filter(
+            F.col("sp").isNotNull()
+            & F.col("ep").isNotNull()
+            & (F.col("ep") >= F.col("sp"))
+        )
+        dead = state.filter(
+            F.col("sp").isNull()
+            | F.col("ep").isNull()
+            | (F.col("ep") < F.col("sp"))
+        ).select(
+            "doc_id",
+            "pat",
+            "c1",
+            "c2",
+            F.lit(None).cast("long").alias("sp"),
+            F.lit(None).cast("long").alias("ep"),
+        )
+        o1 = occ.select(
+            F.col("doc_id").alias("_d1"),
+            F.col("c").alias("_ch1"),
+            F.col("i").alias("_i1"),
+            F.col("occ").alias("_osp"),
+        )
+        o2 = occ.select(
+            F.col("doc_id").alias("_d2"),
+            F.col("c").alias("_ch2"),
+            F.col("i").alias("_i2"),
+            F.col("occ").alias("_oep"),
+        )
+        cd = cdf.select(
+            F.col("doc_id").alias("_dc"),
+            F.col("c").alias("_chc"),
+            F.col("cbelow").alias("_cb"),
+        )
+        nxt = (
+            alive.join(
+                cd,
+                (F.col("_dc") == F.col("doc_id"))
+                & (F.col("_chc") == F.col(ch_col)),
+                "left",
+            )
+            .join(
+                o1,
+                (F.col("_d1") == F.col("doc_id"))
+                & (F.col("_ch1") == F.col(ch_col))
+                & (F.col("_i1") == F.col("sp") - 1),
+                "left",
+            )
+            .join(
+                o2,
+                (F.col("_d2") == F.col("doc_id"))
+                & (F.col("_ch2") == F.col(ch_col))
+                & (F.col("_i2") == F.col("ep")),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "pat",
+                "c1",
+                "c2",
+                F.when(
+                    F.col("_cb").isNotNull(),
+                    F.col("_cb") + F.coalesce(F.col("_osp"), F.lit(0)) + 1,
+                )
+                .cast("long")
+                .alias("sp"),
+                F.when(
+                    F.col("_cb").isNotNull(),
+                    F.col("_cb") + F.coalesce(F.col("_oep"), F.lit(0)),
+                )
+                .cast("long")
+                .alias("ep"),
+            )
+        )
+        return nxt.unionByName(dead)
+
+    st1 = _step(st0, "c2")
+    st2 = _step(st1, "c1")
+    return (
+        st2.select(
+            "doc_id",
+            F.col("pat").alias("pattern"),
+            F.when(
+                F.col("sp").isNotNull() & (F.col("ep") >= F.col("sp")),
+                F.col("ep") - F.col("sp") + 1,
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_occ"),
+        )
+        .withColumn("found", F.col("n_occ") > 0)
+        .orderBy("doc_id", "pattern")
+    )
