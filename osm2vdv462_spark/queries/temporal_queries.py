@@ -3296,3 +3296,110 @@ def hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------- ISO week-year rollup
+
+# ISO 8601 week numbering from scratch — the calendar trap every
+# reporting pipeline hits (Jan 1 can be week 52/53 of the PREVIOUS
+# iso-year, Dec 29-31 can be week 1 of the NEXT): the week containing
+# the year's first Thursday is week 1, weeks start Monday. Derived
+# with pure epoch-day integer arithmetic (1970-01-01 was a Thursday:
+# weekday = (epochday + 3) % 7, Monday = 0; iso year = calendar year
+# of the week's Thursday; week = (thursday - jan1(iso_year)) / 7 + 1)
+# — no engine week-function is trusted on either side, since their
+# conventions are exactly what this audits around.
+_ISOWEEK_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT dt, n_orders,
+         date_diff('day', DATE '1970-01-01', dt) AS ed
+  FROM d
+),
+t AS (
+  SELECT dt, n_orders, ed, (ed + 3) % 7 AS wd,
+         ed - (ed + 3) % 7 + 3 AS thu
+  FROM e
+),
+y AS (
+  SELECT dt, n_orders, ed, wd, thu,
+         year(DATE '1970-01-01' + CAST(thu AS INT)) AS iso_year
+  FROM t
+),
+w AS (
+  SELECT dt, n_orders, wd, iso_year,
+         (thu - date_diff('day', DATE '1970-01-01',
+                          make_date(CAST(iso_year AS INT), 1, 1))) // 7 + 1
+           AS iso_week
+  FROM y
+)
+SELECT CAST(iso_year AS INT) AS iso_year,
+       CAST(iso_week AS INT) AS iso_week,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(count(*) AS INT) AS n_days,
+       min(dt) AS first_day, max(dt) AS last_day
+FROM w GROUP BY 1, 2 ORDER BY iso_year, iso_week
+"""
+
+
+@register_extra("iso_week_rollup", _ISOWEEK_ORACLE)
+def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders rolled up by from-scratch ISO week-year (see oracle
+    comment). One distinct-date collapse (dates, not orders, drive
+    every downstream op), all-integer epoch-day week derivation in
+    codegen, then a (iso_year, iso_week) partial-agg rollup — the
+    year-boundary rows (Jan 1 in last year's week 52/53, Dec 29-31 in
+    next year's week 1) are present in the 1992-1998 order range and
+    hash-fatal if either engine's derivation drifts."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("dt"))
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "ed",
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .withColumn("wd", (F.col("ed") + 3) % 7)
+        .withColumn("thu", F.col("ed") - F.col("wd") + 3)
+        .withColumn(
+            "iso_year",
+            F.year(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("thu").cast("int")
+                )
+            ),
+        )
+        .withColumn(
+            "jan1ed",
+            F.datediff(
+                F.make_date(F.col("iso_year"), F.lit(1), F.lit(1)),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "iso_week", F.expr("(thu - jan1ed) div 7 + 1")
+        )
+    )
+    return (
+        d.groupBy("iso_year", "iso_week")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.count("*").cast("int").alias("n_days"),
+            F.min("dt").alias("first_day"),
+            F.max("dt").alias("last_day"),
+        )
+        .select(
+            F.col("iso_year").cast("int"),
+            F.col("iso_week").cast("int"),
+            "n_orders",
+            "n_days",
+            "first_day",
+            "last_day",
+        )
+        .orderBy("iso_year", "iso_week")
+    )
