@@ -6356,3 +6356,173 @@ def fm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("found", F.col("n_occ") > 0)
         .orderBy("doc_id", "pattern")
     )
+
+
+# ---------------------------------------------- Liang hyphenation
+
+# Liang's pattern hyphenation (TeX82's algorithm): competing patterns
+# with interleaved digits vote on every inter-letter gap of the
+# boundary-dotted word; the MAX digit wins per gap and ODD means
+# break. Patterns here are a small self-defined set (the algorithm,
+# not Knuth's pattern corpus, is what's under test); lefthyphenmin =
+# righthyphenmin = 2 as in TeX. The pattern list is decomposed ONCE
+# in Python into (skeleton, [(gap_offset, digit)...]) and embedded in
+# BOTH engines — Spark as literal structs, DuckDB as VALUES — so the
+# matching itself is the only computation either side performs.
+_HYPH_PATTERNS = [
+    ".c2u", "s1t", "t2o", "o1r", "r1g", "1ta", "a1b", "e2c", "1do",
+    "u1e", "n1d", "i1n", "2dow", "l1t", "e1am", "m1er", "a1t", "u1m",
+    "r2y", "o1w", "t1r",
+]
+
+
+def _hyph_decompose() -> list[tuple[str, list[tuple[int, int]]]]:
+    out = []
+    for p in _HYPH_PATTERNS:
+        skel, votes, nletters = "", [], 0
+        for ch in p:
+            if ch.isdigit():
+                votes.append((nletters, int(ch)))
+            else:
+                skel += ch
+                nletters += 1
+        out.append((skel, votes))
+    return out
+
+
+def _hyph_oracle() -> str:
+    rows = ",".join(
+        f"('{skel}',{off},{d},{len(skel)})"
+        for skel, votes in _hyph_decompose()
+        for off, d in votes
+    )
+    return f"""
+WITH pat(skel, off, d, m) AS (VALUES {rows}),
+w0 AS (
+  SELECT DISTINCT lower(u.tok) AS word
+  FROM documents d,
+       unnest(string_split(d.text, ' ')) u(tok)
+  WHERE strlen(d.text) = length(d.text)
+    AND length(u.tok) >= 4
+    AND regexp_matches(lower(u.tok), '^[a-z]+$')
+),
+w AS (
+  SELECT word, '.' || word || '.' AS dw,
+         length(word) AS wl
+  FROM w0
+),
+m AS (
+  SELECT w.word, w.wl, pat.off + s.s - 1 AS gap, pat.d
+  FROM w CROSS JOIN pat
+  JOIN (SELECT unnest(generate_series(1, 16)) AS s) s
+    ON s.s + pat.m - 1 <= w.wl + 2
+  WHERE substr(w.dw, CAST(s.s AS INT), CAST(pat.m AS INT)) = pat.skel
+),
+v AS (
+  SELECT word, wl, gap, max(d) AS md FROM m GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT word, wl,
+         count(*) FILTER (WHERE md % 2 = 1 AND gap - 1 >= 2
+                          AND gap - 1 <= wl - 2) AS n_points,
+         COALESCE(sum(CASE WHEN md % 2 = 1 AND gap - 1 >= 2
+                           AND gap - 1 <= wl - 2
+                      THEN CAST(1 AS BIGINT) << CAST(gap - 1 AS INT)
+                      ELSE 0 END), 0) AS hyphen_mask
+  FROM v GROUP BY 1, 2
+)
+SELECT w.word AS word, CAST(w.wl AS INT) AS wl,
+       CAST(COALESCE(h.n_points, 0) AS INT) AS n_points,
+       CAST(COALESCE(h.hyphen_mask, 0) AS BIGINT) AS hyphen_mask
+FROM w LEFT JOIN h ON h.word = w.word
+ORDER BY w.word
+"""
+
+
+@register_extra("liang_hyphenation", _hyph_oracle())
+def liang_hyphenation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liang pattern hyphenation over the document vocabulary (see
+    oracle comment) — the dictionary-free break-point stage feeding
+    the gated Knuth-Plass optimal line breaker. Plan: vocabulary
+    collapse first (distinct words, Heaps-law sized — patterns never
+    see the corpus), then pattern matching is a bounded fanout
+    (16 patterns x <=16 offsets) with a substring-equality filter in
+    codegen, one (word, gap) max partial agg, and a per-word bitmask
+    rollup. Dotted-coordinate gap accounting and TeX's 2/2 hyphenmin
+    rule are identical literals on both sides."""
+    pats = _hyph_decompose()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select(F.lower(F.col("tok")).alias("word"))
+        .filter(
+            (F.length("word") >= 4) & F.col("word").rlike("^[a-z]+$")
+        )
+        .distinct()
+        .withColumn("dw", F.concat(F.lit("."), F.col("word"), F.lit(".")))
+        .withColumn("wl", F.length("word"))
+    )
+    pat_arr = F.array(
+        *[
+            F.struct(
+                F.lit(skel).alias("skel"),
+                F.lit(len(skel)).alias("m"),
+                F.lit(off).alias("off"),
+                F.lit(d).alias("d"),
+            )
+            for skel, votes in pats
+            for off, d in votes
+        ]
+    )
+    m = (
+        docs.select("word", "wl", "dw", F.explode(pat_arr).alias("p"))
+        .select(
+            "word",
+            "wl",
+            "dw",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(16))).alias("s"),
+        )
+        .filter(F.col("s") + F.col("p.m") - 1 <= F.col("wl") + 2)
+        .filter(
+            F.expr("substring(dw, s, p.m)") == F.col("p.skel")
+        )
+        .select(
+            "word",
+            "wl",
+            (F.col("p.off") + F.col("s") - 1).alias("gap"),
+            F.col("p.d").alias("d"),
+        )
+    )
+    v = m.groupBy("word", "wl", "gap").agg(F.max("d").alias("md"))
+    odd = (
+        (F.col("md") % 2 == 1)
+        & (F.col("gap") - 1 >= 2)
+        & (F.col("gap") - 1 <= F.col("wl") - 2)
+    )
+    h = v.groupBy("word", "wl").agg(
+        F.count(F.when(odd, 1)).alias("n_points"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    odd,
+                    F.expr("cast(1 as bigint) << cast(gap - 1 as int)"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("hyphen_mask"),
+    )
+    return (
+        docs.select("word", "wl")
+        .join(h.select("word", "n_points", "hyphen_mask"), "word", "left")
+        .select(
+            "word",
+            F.col("wl").cast("int"),
+            F.coalesce(F.col("n_points"), F.lit(0)).cast("int").alias("n_points"),
+            F.coalesce(F.col("hyphen_mask"), F.lit(0))
+            .cast("long")
+            .alias("hyphen_mask"),
+        )
+        .orderBy("word")
+    )
