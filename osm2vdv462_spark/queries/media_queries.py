@@ -2434,3 +2434,104 @@ def image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational replay agree bit-for-bit on all 64 hash bits."""
     imgs = im.images_df(spark, sf_dir, every=50)
     return im.with_dct_phash(imgs).orderBy("image_id")
+
+
+# ---------------------------------------------- tile mosaic overviews
+
+# Overview generation for a geo-tiled image corpus — the precompute a
+# tile server runs so zoomed-out views don't touch raw imagery: every
+# geotagged image contributes its 8x8 box-reduced gray plane to its
+# map tile, and the tile's overview pixel is the integer mean over
+# members. The only query here that aggregates PIXELS ACROSS images
+# (the others are per-image passes): per-cell integer block sums
+# explode to (tile, i, j, cellsum) fixed-width rows and collapse via
+# map-side-combinable partial sums — 64 rows per image shuffle,
+# never pixels. val = total // (16 * n) stays in exact integers.
+_MOSAIC_ORACLE = """
+WITH ids AS (
+  SELECT event_id AS id,
+         (event_id * 37 + 11) % 2000 // 500 AS tx,
+         (event_id * 73 + 29) % 2000 // 500 AS ty
+  FROM events WHERE event_id % 50 = 0
+),
+ij AS (SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j),
+yx AS (SELECT y.range AS dy, x.range AS dx FROM range(4) y, range(4) x),
+cells AS (
+  SELECT ids.id, ids.tx, ids.ty, ij.i, ij.j,
+         sum(((4 * ij.j + dx) * 7 + id * 13) % 256
+             + ((4 * ij.i + dy) * 11 + id * 29) % 256
+             + (((4 * ij.j + dx) + (4 * ij.i + dy)) * 5 + id * 53) % 256)
+           AS cellsum
+  FROM ids CROSS JOIN ij CROSS JOIN yx
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(cellsum) AS BIGINT) AS total,
+       CAST(count(*) AS INT) AS n_images,
+       CAST(sum(cellsum) // (16 * count(*)) AS BIGINT) AS overview_val
+FROM cells GROUP BY tx, ty, i, j
+ORDER BY tx, ty, i, j
+"""
+
+
+@register_extra("tile_mosaic_overviews", _MOSAIC_ORACLE)
+def tile_mosaic_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile 8x8 overview mosaics from decoded member images (see
+    oracle comment). Spark: decode -> one reshape-sum per Arrow batch
+    produces every image's 64 block sums, exploded to fixed 28-byte
+    rows and reduced by a single (tile, i, j) partial aggregation —
+    at 10^12 images the shuffle carries 64 ints per image and the
+    combine happens map-side, the only scalable shape for corpus-wide
+    pixel reduction. Oracle replays block sums from the pixel closed
+    form."""
+    import pandas as pd
+
+    import numpy as np
+
+    imgs = im.images_df(spark, sf_dir, every=50)
+
+    def _cells(batches):
+        for pdf in batches:
+            out_id, out_tx, out_ty, out_i, out_j, out_s = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                from ..functions import imagecodec as ic
+
+                eid = int(row.image_id.split("_")[1])
+                px = ic.decode_image(bytes(row.bytes), row.fmt)
+                gray = px.astype(np.int64).sum(axis=2)
+                blocks = gray.reshape(8, 4, 8, 4).sum(axis=(1, 3))  # (i, j)
+                tx = (eid * 37 + 11) % 2000 // 500
+                ty = (eid * 73 + 29) % 2000 // 500
+                for i in range(8):
+                    for j in range(8):
+                        out_id.append(eid)
+                        out_tx.append(tx)
+                        out_ty.append(ty)
+                        out_i.append(i)
+                        out_j.append(j)
+                        out_s.append(int(blocks[i, j]))
+            yield pd.DataFrame(
+                {
+                    "tx": out_tx,
+                    "ty": out_ty,
+                    "i": out_i,
+                    "j": out_j,
+                    "cellsum": out_s,
+                }
+            )
+
+    cells = imgs.mapInPandas(
+        _cells, "tx int, ty int, i int, j int, cellsum long"
+    )
+    return (
+        cells.groupBy("tx", "ty", "i", "j")
+        .agg(
+            F.sum("cellsum").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("int").alias("n_images"),
+        )
+        .withColumn(
+            "overview_val", F.expr("total div (16 * n_images)")
+        )
+        .orderBy("tx", "ty", "i", "j")
+    )
