@@ -6526,3 +6526,154 @@ def liang_hyphenation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# ---------------------------------------------- inverse BWT (Wyllie)
+
+# Inverse Burrows-Wheeler transform as DATAFLOW — closing the bzip2
+# family loop (bwt_run_stats / mtf / rle / huffman rows are the
+# forward path). The LF mapping is a single n-cycle permutation over
+# BWT ranks; recovering the text is exactly the LIST-RANKING problem,
+# solved here by Wyllie pointer doubling: ceil(log2 n) self-join
+# rounds give every rank its step index on the cycle, chars assemble
+# by position, and the sentinel rotation ('#' appended before the
+# transform; its position need not be rank 1 since '#' > ' ' in
+# binary order) unrotates the result. The inversion path reads ONLY
+# (rank, char, LF) — never the text; the oracle IS the text
+# (inverse(bwt(t)) == t by definition), so every recovered byte is
+# hash-fatal.
+_IBWT_ORACLE = """
+SELECT doc_id, substr(text, 1, 24) AS recovered
+FROM documents
+WHERE strlen(text) = length(text)
+  AND NOT contains(substr(text, 1, 24), '#')
+  AND length(substr(text, 1, 24)) >= 16
+  AND ('0x' || substr(md5('ib:' || CAST(doc_id AS VARCHAR)),
+                      1, 4))::BIGINT % 7 = 0
+ORDER BY doc_id
+"""
+
+
+@register_extra("inverse_bwt_ranking", _IBWT_ORACLE)
+def inverse_bwt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse BWT via Wyllie list ranking (see oracle comment). Five
+    doubling rounds bound any 25-char cycle; each round is one
+    (doc, rank)-key equi-join of the pointer state with itself —
+    the O(log n) depth, O(n log n) work classic that makes linked
+    structures rankable as dataflow at any scale."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .filter(~F.substring("text", 1, 24).contains("#"))
+        .filter(F.length(F.substring("text", 1, 24)) >= 16)
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ib:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 7
+            == 0
+        )
+        .select(
+            "doc_id",
+            F.substring("text", 1, 24).alias("t"),
+        )
+        .withColumn("ts", F.concat(F.col("t"), F.lit("#")))
+        .withColumn("n", F.length("ts"))
+        .localCheckpoint(eager=True)
+    )
+    rots = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("k"),
+        "ts",
+    ).select(
+        "doc_id",
+        "n",
+        F.expr("concat(substring(ts, k + 1, 25), substring(ts, 1, k))").alias(
+            "rot"
+        ),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("rot")
+    bwt = rots.select(
+        "doc_id",
+        "n",
+        F.row_number().over(wr).alias("r"),
+        F.expr("substring(rot, n, 1)").alias("bc"),
+    )
+    # LF(r) = C[bc] + occ(bc, r): exclusive char prefix + in-char rank
+    # rank by (bc, r) = cbelow + run, so LF = cbelow + run = that rank
+    wsort = Window.partitionBy("doc_id").orderBy("bc", "r")
+    wocc = Window.partitionBy("doc_id", "bc").orderBy("r")
+    lf = (
+        bwt.withColumn("run", F.row_number().over(wocc))
+        .withColumn("succ", F.row_number().over(wsort))
+        .select("doc_id", "n", "r", "bc", "succ")
+        .localCheckpoint(eager=True)
+    )
+    # Wyllie init: node 1 absorbs (self-loop, d = 0)
+    state = lf.select(
+        "doc_id",
+        "n",
+        "r",
+        "bc",
+        F.when(F.col("r") == 1, F.lit(1)).otherwise(F.col("succ")).alias("ptr"),
+        F.when(F.col("r") == 1, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    for _ in range(5):  # 2^5 = 32 >= n = 25
+        other = state.select(
+            F.col("doc_id").alias("_dd"),
+            F.col("r").alias("_r"),
+            F.col("ptr").alias("_ptr"),
+            F.col("d").alias("_d"),
+        )
+        state = (
+            state.join(
+                other,
+                (F.col("_dd") == F.col("doc_id"))
+                & (F.col("_r") == F.col("ptr")),
+            )
+            .select(
+                "doc_id",
+                "n",
+                "r",
+                "bc",
+                F.col("_ptr").alias("ptr"),
+                (F.col("d") + F.col("_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # step index on the cycle from rank 1; char lands at position n-1-step
+    chars = state.select(
+        "doc_id",
+        "n",
+        "bc",
+        ((F.col("n") - F.col("d")) % F.col("n")).alias("step"),
+    ).select(
+        "doc_id", "bc", (F.col("n") - 1 - F.col("step")).alias("p")
+    )
+    rec = chars.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(p, bc))),"
+            " s -> s.bc))"
+        ).alias("raw")
+    )
+    return (
+        rec.select(
+            "doc_id",
+            F.expr(
+                "concat(substring(raw, instr(raw, '#') + 1),"
+                " substring(raw, 1, instr(raw, '#') - 1))"
+            ).alias("recovered"),
+        )
+        .orderBy("doc_id")
+    )
