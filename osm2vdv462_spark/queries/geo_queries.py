@@ -6995,7 +6995,11 @@ def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o.dx") + F.expr("ax div 100")).alias("cx"),
         (F.col("o.dy") + F.expr("ay div 100")).alias("cy"),
     )
-    cand = probes.join(pts, ["cx", "cy"]).filter(
+    # pin shuffle-hash on the cell key: at 10^12 points BOTH sides are
+    # fact-sized — Catalyst left alone broadcasts the exploded probe
+    # side at test scale, which is exactly the plan that dies at corpus
+    # scale (same discipline as touches_join / pip_join_shuffle)
+    cand = probes.hint("shuffle_hash").join(pts, ["cx", "cy"]).filter(
         F.col("event_id") != F.col("a_id")
     )
     d2 = (F.col("ax") - F.col("ix")) * (F.col("ax") - F.col("ix")) + (
@@ -7275,8 +7279,13 @@ def rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nx").isNotNull())
         .select(F.col("x").alias("sx"), F.col("nx").alias("ex"))
     )
-    spanning = slabs.join(
-        o, (o["x0"] <= slabs["sx"]) & (o["x1"] >= slabs["ex"]), "left"
+    # broadcast the SLAB side (edge-count sized) and stream the rects:
+    # a right-outer BNLJ builds left, so the 10^12-rect side is never
+    # collected — the left-outer formulation would broadcast the rects
+    spanning = o.join(
+        F.broadcast(slabs),
+        (o["x0"] <= slabs["sx"]) & (o["x1"] >= slabs["ex"]),
+        "right",
     )
     wy = (
         Window.partitionBy("sx")

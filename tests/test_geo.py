@@ -578,3 +578,32 @@ class TestCompactCells:
         # compaction actually happened at both levels
         assert by_res.get(11, 0) > 0 and by_res.get(10, 0) > 0
         assert sum(by_res.values()) < len(want)
+
+
+class TestSessionEightPlanShapes:
+    """Plan-shape guards for the session-8 spatial-stats operators:
+    the pair-candidate join must never broadcast a fact-sized side."""
+
+    def test_ripley_pins_shuffle_hash(self, spark, sf_dir):
+        from osm2vdv462_spark.queries.geo_queries import ripley_k_function
+
+        plan = (
+            ripley_k_function(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan  # point x point stays shuffled
+
+    def test_rect_union_broadcasts_slabs_not_rects(self, spark, sf_dir):
+        from osm2vdv462_spark.queries.geo_queries import rect_union_area
+
+        plan = (
+            rect_union_area(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # right-outer BNLJ builds (broadcasts) the RIGHT side = the
+        # edge-count-sized slab list; the rect side streams
+        assert "BroadcastNestedLoopJoin BuildRight, RightOuter" in plan
