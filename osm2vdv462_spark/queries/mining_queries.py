@@ -4527,7 +4527,13 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("a_seg") == F.col("b_seg"), 2000).otherwise(-2000)
         + F.when(F.col("a_balc") == F.col("b_balc"), 13136).otherwise(-3322)
     )
-    scored = a.join(b, "nat").select("nat", "akey", "orig", score.alias("score"))
+    # both sides are corpus-sized at scale: pin the blocking equi-join
+    # to shuffle-hash so neither ever broadcasts
+    scored = (
+        a.hint("shuffle_hash")
+        .join(b, "nat")
+        .select("nat", "akey", "orig", score.alias("score"))
+    )
     return (
         scored.groupBy("nat")
         .agg(
