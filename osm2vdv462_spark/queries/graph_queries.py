@@ -2813,3 +2813,188 @@ def betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------------- Eulerian classification
+
+# The Königsberg test: an undirected connected graph has an Euler
+# CIRCUIT iff every vertex has even degree, an Euler PATH iff exactly
+# two are odd — degree parity + connectivity, the two cheapest global
+# facts dataflow can produce about a graph. Eight md5-derived graphs
+# per dataset so every verdict branch occurs.
+_EULER_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT ('0x' || substr(md5('eg:' || CAST(event_id AS VARCHAR)),
+                         1, 4))::BIGINT % 8 AS gid,
+         user_id % 40 AS u,
+         ('0x' || substr(md5('ev:' || CAST(event_id AS VARCHAR)),
+                         1, 7))::BIGINT % 40 AS v
+  FROM events
+  WHERE ('0x' || substr(md5('eu:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 23 = 0
+),
+er AS (SELECT DISTINCT gid, least(u, v) AS a, greatest(u, v) AS b
+      FROM e0 WHERE u <> v),
+-- engineered verdict fixtures: gid 8 = 10-cycle (all even -> circuit),
+-- gid 9 = 10-path (two odd ends -> path)
+e AS (
+  SELECT * FROM er
+  UNION ALL
+  SELECT 8, least(n_nationkey, (n_nationkey + 1) % 10),
+         greatest(n_nationkey, (n_nationkey + 1) % 10)
+  FROM nation WHERE n_nationkey < 10
+  UNION ALL
+  SELECT 9, n_nationkey, n_nationkey + 1
+  FROM nation WHERE n_nationkey < 9
+),
+sym AS (SELECT gid, a AS s, b AS d FROM e
+        UNION ALL SELECT gid, b, a FROM e),
+deg AS (SELECT gid, s AS v, count(*) AS degree FROM sym GROUP BY 1, 2),
+reach(gid, src, node) AS (
+  SELECT gid, s, s FROM sym
+  UNION
+  SELECT r.gid, r.src, s.d FROM reach r
+  JOIN sym s ON s.gid = r.gid AND s.s = r.node
+),
+comp AS (SELECT gid, src AS v, min(node) AS lbl
+         FROM reach GROUP BY 1, 2),
+g AS (
+  SELECT deg.gid,
+         count(*) AS n_vertices,
+         count(*) FILTER (WHERE degree % 2 = 1) AS n_odd,
+         count(DISTINCT comp.lbl) AS n_components
+  FROM deg JOIN comp ON comp.gid = deg.gid AND comp.v = deg.v
+  GROUP BY 1
+),
+m AS (SELECT gid, count(*) AS n_edges FROM e GROUP BY 1)
+SELECT CAST(g.gid AS INT) AS graph_id,
+       CAST(n_vertices AS INT) AS n_vertices,
+       CAST(n_edges AS INT) AS n_edges,
+       CAST(n_odd AS INT) AS n_odd,
+       CAST(n_components AS INT) AS n_components,
+       CASE WHEN n_components > 1 THEN 'none'
+            WHEN n_odd = 0 THEN 'circuit'
+            WHEN n_odd = 2 THEN 'path'
+            ELSE 'none' END AS euler
+FROM g JOIN m ON m.gid = g.gid
+ORDER BY graph_id
+"""
+
+
+@register_extra("euler_path_classify", _EULER_ORACLE)
+def euler_path_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eulerian circuit/path/none classification per md5-derived graph
+    (see oracle comment). Degrees are one partial-agg groupBy;
+    connectivity is min-label propagation iterated TO FIXPOINT (the
+    loop exits when a round changes nothing, so worst-case path
+    graphs converge exactly — no silent round cap); the oracle walks
+    a recursive closure instead. Per-round cost is one neighbor
+    equi-join + min agg on (graph, vertex) keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    e = (
+        ev.filter(_h("eu:", 4) % 23 == 0)
+        .select(
+            (_h("eg:", 4) % 8).alias("gid"),
+            F.least(
+                F.pmod(F.col("user_id"), F.lit(40)), _h("ev:", 7) % 40
+            ).alias("a"),
+            F.greatest(
+                F.pmod(F.col("user_id"), F.lit(40)), _h("ev:", 7) % 40
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cyc = nat.filter(F.col("n_nationkey") < 10).select(
+        F.lit(8).cast("long").alias("gid"),
+        F.least(
+            F.col("n_nationkey").cast("long"),
+            ((F.col("n_nationkey") + 1) % 10).cast("long"),
+        ).alias("a"),
+        F.greatest(
+            F.col("n_nationkey").cast("long"),
+            ((F.col("n_nationkey") + 1) % 10).cast("long"),
+        ).alias("b"),
+    )
+    pth = nat.filter(F.col("n_nationkey") < 9).select(
+        F.lit(9).cast("long").alias("gid"),
+        F.col("n_nationkey").cast("long").alias("a"),
+        (F.col("n_nationkey") + 1).cast("long").alias("b"),
+    )
+    e = e.unionByName(cyc).unionByName(pth).localCheckpoint(eager=True)
+    sym = e.select("gid", F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        e.select("gid", F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = sym.groupBy("gid", F.col("s").alias("v")).agg(
+        F.count("*").alias("degree")
+    )
+    labels = deg.select("gid", "v", F.col("v").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    while True:
+        nbr = labels.select(
+            F.col("gid").alias("_g"), F.col("v").alias("_v"), F.col("lbl").alias("_l")
+        )
+        prop = (
+            sym.join(
+                nbr, (F.col("_g") == F.col("gid")) & (F.col("_v") == F.col("d"))
+            )
+            .groupBy("gid", F.col("s").alias("v"))
+            .agg(F.min("_l").alias("nl"))
+        )
+        merged = (
+            labels.join(prop, ["gid", "v"], "left")
+            .select(
+                "gid",
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
+                    "nlbl"
+                ),
+                "lbl",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if merged.filter(F.col("nlbl") < F.col("lbl")).isEmpty():
+            labels = merged.select("gid", "v", F.col("nlbl").alias("lbl"))
+            break
+        labels = merged.select("gid", "v", F.col("nlbl").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+    g = (
+        deg.join(labels, ["gid", "v"])
+        .groupBy("gid")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.count(F.when(F.col("degree") % 2 == 1, 1)).alias("n_odd"),
+            F.countDistinct("lbl").alias("n_components"),
+        )
+    )
+    m = e.groupBy("gid").agg(F.count("*").alias("n_edges"))
+    return (
+        g.join(m, "gid")
+        .select(
+            F.col("gid").cast("int").alias("graph_id"),
+            F.col("n_vertices").cast("int"),
+            F.col("n_edges").cast("int"),
+            F.col("n_odd").cast("int"),
+            F.col("n_components").cast("int"),
+            F.when(F.col("n_components") > 1, "none")
+            .when(F.col("n_odd") == 0, "circuit")
+            .when(F.col("n_odd") == 2, "path")
+            .otherwise("none")
+            .alias("euler"),
+        )
+        .orderBy("graph_id")
+    )
