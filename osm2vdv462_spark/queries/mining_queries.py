@@ -4565,3 +4565,117 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ------------------------------------------------- SPRT early stopping
+
+# Wald's Sequential Probability Ratio Test — the early-stopping rule
+# under every modern A/B-test guardrail: per experiment, observations
+# accumulate an integer milli-log2 likelihood ratio (H1: p=0.6 vs H0:
+# p=0.5 -> success +263 = round(1000*log2(.6/.5)), failure -322) and
+# the test decides at the FIRST crossing of +-4248 (= 1000*log2(19),
+# alpha = beta = 0.05). Outcomes are md5 coin flips whose true rate
+# differs by experiment parity, so both verdicts actually occur and
+# the expected-sample-size asymmetry is visible in decided_at.
+_SPRT_ORACLE = """
+WITH obs AS (
+  SELECT user_id % 50 AS exp_id, ts, event_id,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(event_id AS VARCHAR)),
+                                   1, 6))::BIGINT % 100
+                   < CASE WHEN user_id % 50 % 2 = 1 THEN 60 ELSE 50 END
+              THEN 263 ELSE -322 END AS w
+  FROM events
+),
+c AS (
+  SELECT exp_id, w,
+         row_number() OVER (PARTITION BY exp_id
+                            ORDER BY ts, event_id) AS step,
+         sum(w) OVER (PARTITION BY exp_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS llr
+  FROM obs
+),
+x AS (
+  SELECT exp_id, min(step) AS decided_at
+  FROM c WHERE llr >= 4248 OR llr <= -4248
+  GROUP BY exp_id
+),
+v AS (
+  SELECT c.exp_id, x.decided_at,
+         max(CASE WHEN c.step = x.decided_at THEN c.llr END) AS llr_at
+  FROM c JOIN x ON x.exp_id = c.exp_id
+  GROUP BY c.exp_id, x.decided_at
+),
+tot AS (SELECT exp_id, count(*) AS n_obs FROM c GROUP BY exp_id)
+SELECT CAST(t.exp_id AS INT) AS exp_id,
+       CAST(t.n_obs AS BIGINT) AS n_obs,
+       CAST(COALESCE(v.decided_at, -1) AS BIGINT) AS decided_at,
+       CASE WHEN v.decided_at IS NULL THEN 'undecided'
+            WHEN v.llr_at >= 4248 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS verdict
+FROM tot t LEFT JOIN v ON v.exp_id = t.exp_id
+ORDER BY exp_id
+"""
+
+
+@register_extra("sprt_early_stopping", _SPRT_ORACLE)
+def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay per experiment (see oracle comment): one
+    experiment-keyed window pass computes the running LLR, the first
+    boundary crossing is a min(struct) aggregate — no iteration, no
+    state beyond the window's running sum. At 10^12 observations this
+    is the sessionization shuffle shape (one exchange on exp_id)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rate = F.when(F.pmod(F.col("user_id") % 50, F.lit(2)) == 1, 60).otherwise(50)
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    obs = ev.select(
+        (F.col("user_id") % 50).alias("exp_id"),
+        "ts",
+        "event_id",
+        F.when(flip < rate, 263).otherwise(-322).alias("w"),
+    )
+    wo = Window.partitionBy("exp_id").orderBy("ts", "event_id")
+    c = obs.select(
+        "exp_id",
+        F.row_number().over(wo).alias("step"),
+        F.sum("w")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    crossed = c.filter((F.col("llr") >= 4248) | (F.col("llr") <= -4248))
+    first = crossed.groupBy("exp_id").agg(
+        F.min(F.struct("step", "llr")).alias("fx")
+    )
+    tot = c.groupBy("exp_id").agg(
+        F.count("*").alias("n_obs"),
+        F.max(F.struct("step", "llr")).alias("last"),
+    )
+    return (
+        tot.join(first, "exp_id", "left")
+        .select(
+            F.col("exp_id").cast("int"),
+            F.col("n_obs").cast("long"),
+            F.coalesce(F.col("fx.step"), F.lit(-1)).cast("long").alias(
+                "decided_at"
+            ),
+            F.when(F.col("fx").isNull(), "undecided")
+            .when(F.col("fx.llr") >= 4248, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("verdict"),
+        )
+        .orderBy("exp_id")
+    )
