@@ -104,3 +104,35 @@ class TestFinalR4PlanShapes:
         between = plan[mapper_at:scan_at]
         assert "Exchange" not in between, between
         assert "Generate explode" in plan, plan
+
+
+class TestDynamicPartitionPruning:
+    """Spark's DPP must engage on partitioned fact scans joined to a
+    filtered dim — the runtime analogue of the static partition-pruning
+    tests above, and the mechanism that keeps dim-filtered joins from
+    scanning the full 10^12-row fact table."""
+
+    def test_dpp_engages_on_partitioned_fact_join(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        fact = ev.withColumn(
+            "part_key", (F.col("event_id") % 10).cast("int")
+        )
+        path = str(tmp_path / "part_events")
+        fact.write.partitionBy("part_key").parquet(path)
+        f = spark.read.parquet(path)
+        dim = (
+            spark.range(10)
+            .select(
+                F.col("id").cast("int").alias("part_key"),
+                (F.col("id") % 3).alias("grp"),
+            )
+            .filter("grp = 0")
+        )
+        j = f.join(dim, "part_key")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        # semantics: matches the static filter exactly
+        want = fact.filter(F.col("part_key").isin(0, 3, 6, 9)).count()
+        assert j.count() == want
