@@ -2998,3 +2998,171 @@ def euler_path_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("graph_id")
     )
+
+
+# ------------------------------------------- Weisfeiler-Lehman colors
+
+# 1-WL color refinement — the graph-isomorphism signature behind GNN
+# expressiveness results: c0 = degree; ck = md5(ck-1 || ':' || the
+# SORTED concat of neighbors' ck-1). Three rounds over six md5 graphs
+# plus an engineered ISOMORPHIC PAIR (a 10-path and its relabeling,
+# gids 6/7) whose round-3 color histograms must be identical — the WL
+# invariance is visible in the gated rows themselves.
+_WL_ORACLE = """
+WITH e0 AS (
+  SELECT ('0x' || substr(md5('wg:' || CAST(event_id AS VARCHAR)),
+                         1, 4))::BIGINT % 6 AS gid,
+         user_id % 30 AS u,
+         ('0x' || substr(md5('wv:' || CAST(event_id AS VARCHAR)),
+                         1, 7))::BIGINT % 30 AS v
+  FROM events
+  WHERE ('0x' || substr(md5('wu:' || CAST(event_id AS VARCHAR)),
+                        1, 4))::BIGINT % 29 = 0
+),
+er AS (SELECT DISTINCT gid, least(u, v) AS a, greatest(u, v) AS b
+       FROM e0 WHERE u <> v),
+e AS (
+  SELECT * FROM er
+  UNION ALL
+  SELECT 6, n_nationkey, n_nationkey + 1 FROM nation WHERE n_nationkey < 9
+  UNION ALL
+  SELECT 7, least((n_nationkey * 7 + 3) % 31, (n_nationkey * 7 + 10) % 31),
+         greatest((n_nationkey * 7 + 3) % 31, (n_nationkey * 7 + 10) % 31)
+  FROM nation WHERE n_nationkey < 9
+),
+sym AS (SELECT gid, a AS s, b AS d FROM e
+        UNION ALL SELECT gid, b, a FROM e),
+c0 AS (SELECT gid, s AS v, CAST(count(*) AS VARCHAR) AS c
+       FROM sym GROUP BY 1, 2),
+c1 AS (
+  SELECT a.gid, a.v,
+         substr(md5(a.c || ':' || string_agg(n.c, ',' ORDER BY n.c)),
+                1, 8) AS c
+  FROM c0 a JOIN sym s ON s.gid = a.gid AND s.s = a.v
+  JOIN c0 n ON n.gid = a.gid AND n.v = s.d
+  GROUP BY a.gid, a.v, a.c
+),
+c2 AS (
+  SELECT a.gid, a.v,
+         substr(md5(a.c || ':' || string_agg(n.c, ',' ORDER BY n.c)),
+                1, 8) AS c
+  FROM c1 a JOIN sym s ON s.gid = a.gid AND s.s = a.v
+  JOIN c1 n ON n.gid = a.gid AND n.v = s.d
+  GROUP BY a.gid, a.v, a.c
+),
+c3 AS (
+  SELECT a.gid, a.v,
+         substr(md5(a.c || ':' || string_agg(n.c, ',' ORDER BY n.c)),
+                1, 8) AS c
+  FROM c2 a JOIN sym s ON s.gid = a.gid AND s.s = a.v
+  JOIN c2 n ON n.gid = a.gid AND n.v = s.d
+  GROUP BY a.gid, a.v, a.c
+)
+SELECT CAST(gid AS INT) AS graph_id, c AS wl_color,
+       CAST(count(*) AS INT) AS n_nodes
+FROM c3 GROUP BY 1, 2 ORDER BY graph_id, wl_color
+"""
+
+
+@register_extra("wl_color_refinement", _WL_ORACLE)
+def wl_color_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of 1-WL color refinement (see oracle comment) —
+    each round is one neighbor equi-join + an ordered string_agg on
+    the vertex key, the message-passing shuffle shape of every GNN
+    layer; colors are 8-hex md5 digests so the per-round state is
+    fixed-width however deep the refinement. The gid 6/7 rows are an
+    isomorphic pair whose histograms must coincide."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, chars
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    er = (
+        ev.filter(_h("wu:", 4) % 29 == 0)
+        .select(
+            (_h("wg:", 4) % 6).alias("gid"),
+            F.least(F.pmod(F.col("user_id"), F.lit(30)), _h("wv:", 7) % 30).alias("a"),
+            F.greatest(
+                F.pmod(F.col("user_id"), F.lit(30)), _h("wv:", 7) % 30
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_nationkey") < 9
+    )
+    p1 = nat.select(
+        F.lit(6).cast("long").alias("gid"),
+        F.col("n_nationkey").cast("long").alias("a"),
+        (F.col("n_nationkey") + 1).cast("long").alias("b"),
+    )
+    lo = (F.col("n_nationkey") * 7 + 3) % 31
+    hi = (F.col("n_nationkey") * 7 + 10) % 31
+    p2 = nat.select(
+        F.lit(7).cast("long").alias("gid"),
+        F.least(lo, hi).cast("long").alias("a"),
+        F.greatest(lo, hi).cast("long").alias("b"),
+    )
+    e = er.unionByName(p1).unionByName(p2).localCheckpoint(eager=True)
+    sym = e.select("gid", F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        e.select("gid", F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    colors = sym.groupBy("gid", F.col("s").alias("v")).agg(
+        F.count("*").cast("string").alias("c")
+    )
+    for _ in range(3):
+        edges2 = sym.select(
+            F.col("gid").alias("sg"),
+            F.col("s").alias("sv"),
+            F.col("d").alias("sd"),
+        )
+        own = colors.select(
+            F.col("gid").alias("og"), F.col("v").alias("ov"), F.col("c").alias("oc")
+        )
+        nbr = colors.select(
+            F.col("gid").alias("_g"), F.col("v").alias("_v"), F.col("c").alias("_c")
+        )
+        colors = (
+            edges2.join(
+                own, (F.col("og") == F.col("sg")) & (F.col("ov") == F.col("sv"))
+            )
+            .join(
+                nbr, (F.col("_g") == F.col("sg")) & (F.col("_v") == F.col("sd"))
+            )
+            .groupBy("sg", "sv", "oc")
+            .agg(
+                F.expr("concat_ws(',', array_sort(collect_list(_c)))").alias(
+                    "nc"
+                )
+            )
+            .select(
+                F.col("sg").alias("gid"),
+                F.col("sv").alias("v"),
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("oc"), F.lit(":"), F.col("nc")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    8,
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        colors.groupBy("gid", F.col("c").alias("wl_color"))
+        .agg(F.count("*").cast("int").alias("n_nodes"))
+        .select(
+            F.col("gid").cast("int").alias("graph_id"), "wl_color", "n_nodes"
+        )
+        .orderBy("graph_id", "wl_color")
+    )
