@@ -1952,3 +1952,130 @@ def reed_solomon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ok"),
     )
     return out.orderBy("event_id")
+
+
+# --------------------------------------------------- binary rANS codec
+
+# Asymmetric numeral systems (Duda) — the entropy coder inside zstd —
+# in its binary rANS form, run as PURE CATALYST dataflow: 16 encode
+# steps (x' = (x // f) * 8 + c + x % f over the M=8 table, f0=5/c0=0,
+# f1=3/c1=5) unrolled into codegen column chains, then 16 decode
+# steps that must reproduce the bit stream exactly (ANS is LIFO, so
+# decode emits the encode-reversed order — the roundtrip flag is
+# hash-fatal per doc). Bits are md5-derived with P(1) = 3/8, matching
+# the model, so code_bits tracks the entropy H(3/8) ~ 0.954/bit. One
+# block, no renormalization: x <= 8^16 < 2^48 stays in int64 (the
+# streaming-renorm variant is a documented extension, not a silent
+# cap). The oracle replays the encode walk as a recursive CTE.
+_RANS_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT event_id AS id FROM events WHERE event_id % 13 = 0
+),
+walk(id, k, x, ones) AS (
+  SELECT id, 0, 1, 0 FROM docs
+  UNION ALL
+  SELECT w.id, w.k + 1,
+         CASE WHEN ('0x' || substr(md5('an:' || CAST(w.id AS VARCHAR)
+                    || ':' || CAST(16 - w.k AS VARCHAR)), 1, 6))::BIGINT
+                   % 8 < 3
+              THEN (w.x // 3) * 8 + 5 + w.x % 3
+              ELSE (w.x // 5) * 8 + 0 + w.x % 5 END,
+         w.ones + CASE WHEN ('0x' || substr(md5('an:'
+                    || CAST(w.id AS VARCHAR) || ':'
+                    || CAST(16 - w.k AS VARCHAR)), 1, 6))::BIGINT
+                    % 8 < 3 THEN 1 ELSE 0 END
+  FROM walk w WHERE w.k < 16
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(x AS BIGINT) AS final_state,
+       CAST(length(bin(x)) AS INT) AS code_bits,
+       CAST(ones AS INT) AS n_ones,
+       true AS roundtrip_ok
+FROM walk WHERE k = 16 ORDER BY doc_id
+"""
+
+
+@register_extra("rans_entropy_codec", _RANS_ORACLE)
+def rans_entropy_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary rANS encode + decode roundtrip (see oracle comment),
+    zero-Python: every state transition is a when() ladder in
+    whole-stage codegen, 32 chained column steps total, no shuffle at
+    all until the output sort. roundtrip_ok is computed by the ENGINE
+    (decode must reproduce every bit); the oracle pins the encode
+    walk value-exactly and asserts the roundtrip claim."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 13 == 0)
+        .select(F.col("event_id").alias("doc_id"))
+    )
+
+    def bit(k: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("an:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(f":{k}"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+            < 3
+        )
+
+    df = ev
+    for k in range(1, 17):
+        df = df.withColumn(f"b{k}", bit(k).cast("int"))
+    # encode bits 16..1 (LIFO) starting from x = 1
+    df = df.withColumn("x", F.lit(1).cast("long"))
+    for k in range(16, 0, -1):
+        df = df.withColumn(
+            "x",
+            F.when(
+                F.col(f"b{k}") == 1,
+                F.expr("x div 3") * 8 + 5 + F.col("x") % 3,
+            ).otherwise(
+                F.expr("x div 5") * 8 + 0 + F.col("x") % 5
+            ),
+        )
+    df = df.withColumn("final_state", F.col("x"))
+    # decode forward: slot = x % 8; bit = slot >= 5; pop
+    ok = F.lit(True)
+    df = df.withColumn("y", F.col("final_state"))
+    for k in range(1, 17):
+        slot = F.col("y") % 8
+        dbit = (slot >= 5).cast("int")
+        df = (
+            df.withColumn(f"d{k}", dbit)
+            .withColumn(
+                "y",
+                F.when(
+                    F.col(f"d{k}") == 1,
+                    F.expr("y div 8") * 3 + (F.col("y") % 8) - 5,
+                ).otherwise(
+                    F.expr("y div 8") * 5 + (F.col("y") % 8)
+                ),
+            )
+        )
+        ok = ok & (F.col(f"d{k}") == F.col(f"b{k}"))
+    return (
+        df.select(
+            "doc_id",
+            "final_state",
+            F.expr("length(bin(final_state))").cast("int").alias("code_bits"),
+            sum(
+                [F.col(f"b{k}") for k in range(2, 17)], F.col("b1")
+            )
+            .cast("int")
+            .alias("n_ones"),
+            (ok & (F.col("y") == 1)).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
