@@ -4679,3 +4679,103 @@ def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exp_id")
     )
+
+
+# ---------------------------------------------- Feistel pseudonyms
+
+# Format-preserving pseudonymization via a 4-round Feistel network on
+# the 32-bit id domain (the construction under NIST FPE: a keyed
+# PERMUTATION, so unlike the gated hash-pseudonym row there are ZERO
+# collisions by construction and re-identification is an inverse walk
+# for key holders only). Round function = md5 16-bit digest; rounds
+# unroll into codegen; the engine also runs the INVERSE network and
+# flags roundtrip_ok per row (hash-fatal), while the oracle replays
+# the forward walk as four chained CTEs.
+_FEISTEL_ORACLE = """
+WITH i0 AS (
+  SELECT event_id AS id,
+         event_id // 65536 AS l, event_id % 65536 AS r
+  FROM events WHERE event_id % 7 = 0
+),
+r1 AS (SELECT id, r AS l,
+              xor(l, ('0x' || substr(md5('fe1:' || CAST(r AS VARCHAR)),
+                                     1, 6))::BIGINT % 65536) AS r FROM i0),
+r2 AS (SELECT id, r AS l,
+              xor(l, ('0x' || substr(md5('fe2:' || CAST(r AS VARCHAR)),
+                                     1, 6))::BIGINT % 65536) AS r FROM r1),
+r3 AS (SELECT id, r AS l,
+              xor(l, ('0x' || substr(md5('fe3:' || CAST(r AS VARCHAR)),
+                                     1, 6))::BIGINT % 65536) AS r FROM r2),
+r4 AS (SELECT id, r AS l,
+              xor(l, ('0x' || substr(md5('fe4:' || CAST(r AS VARCHAR)),
+                                     1, 6))::BIGINT % 65536) AS r FROM r3)
+SELECT CAST(id AS BIGINT) AS event_id,
+       CAST(l * 65536 + r AS BIGINT) AS pseudonym,
+       true AS roundtrip_ok
+FROM r4 ORDER BY event_id
+"""
+
+
+@register_extra("feistel_pseudonyms", _FEISTEL_ORACLE)
+def feistel_pseudonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feistel FPE pseudonymization + inverse verification (see oracle
+    comment). Zero-Python, zero-shuffle until the output sort: eight
+    md5 expressions in one codegen chain per row."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(F.col("event_id"))
+        .withColumn("l", F.expr("event_id div 65536"))
+        .withColumn("r", F.col("event_id") % 65536)
+    )
+
+    def rf(k: int, col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"fe{k}:"), col.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 65536
+        )
+
+    df = ev
+    for k in (1, 2, 3, 4):
+        df = df.select(
+            "event_id",
+            F.col("r").alias("l"),
+            F.col("l").bitwiseXOR(rf(k, F.col("r"))).alias("r"),
+        )
+    df = df.withColumn("pseudonym", F.col("l") * 65536 + F.col("r"))
+    # inverse walk: undo rounds 4..1 -> must land on the original id
+    inv = df.withColumn("il", F.col("l")).withColumn("ir", F.col("r"))
+    for k in (4, 3, 2, 1):
+        inv = inv.select(
+            "event_id",
+            "pseudonym",
+            (F.col("ir").bitwiseXOR(rf(k, F.col("il")))).alias("ir2"),
+            F.col("il").alias("ir"),
+        ).select(
+            "event_id",
+            "pseudonym",
+            F.col("ir2").alias("il"),
+            "ir",
+        )
+    return (
+        inv.select(
+            F.col("event_id").cast("long"),
+            F.col("pseudonym").cast("long"),
+            (
+                (F.col("il") * 65536 + F.col("ir")) == F.col("event_id")
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("event_id")
+    )
