@@ -3403,3 +3403,110 @@ def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_year", "iso_week")
     )
+
+
+# ---------------------------------------------- day-count conventions
+
+# Bond day-count conventions — the fixed-income calendar trap: the
+# SAME date pair accrues differently under 30/360 US (months are 30
+# days, with the d1/d2 end-of-month clamps) vs ACT/365F (raw day
+# count). Pairs = consecutive order dates per customer (a coupon
+# schedule stand-in). All integer: day components via year/month/day
+# extraction, the 30/360 clamps as CASE, accrual scaled e9 by floor
+# division.
+_DAYCOUNT_ORACLE = """
+WITH d AS (
+  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+p AS (
+  SELECT a.ck, a.dt AS d1, b.dt AS d2
+  FROM d a JOIN d b ON b.ck = a.ck AND b.rn = a.rn + 1
+  WHERE a.dt < b.dt
+),
+c AS (
+  SELECT ck, d1, d2,
+         year(d1) AS y1, month(d1) AS m1, day(d1) AS dd1,
+         year(d2) AS y2, month(d2) AS m2, day(d2) AS dd2,
+         date_diff('day', d1, d2) AS act
+  FROM p
+),
+u AS (
+  SELECT ck, d1, d2, act, y1, m1, y2, m2,
+         CASE WHEN dd1 = 31 THEN 30 ELSE dd1 END AS e1,
+         CASE WHEN dd2 = 31 AND dd1 >= 30 THEN 30 ELSE dd2 END AS e2
+  FROM c
+)
+SELECT CAST(ck AS BIGINT) AS custkey, d1, d2,
+       CAST(act AS INT) AS act_days,
+       CAST(360 * (y2 - y1) + 30 * (m2 - m1) + e2 - e1 AS INT)
+         AS days_30360,
+       CAST(1000000000 * (360 * (y2 - y1) + 30 * (m2 - m1) + e2 - e1)
+            // 360 AS BIGINT) AS accrual_30360_e9,
+       CAST(1000000000 * act // 365 AS BIGINT) AS accrual_act365_e9
+FROM u ORDER BY custkey, d1
+"""
+
+
+@register_extra("daycount_accruals", _DAYCOUNT_ORACLE)
+def daycount_accruals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30/360 US vs ACT/365F accrual over per-customer consecutive
+    order-date pairs (see oracle comment). One window pass pairs the
+    dates, the conventions are codegen CASE arithmetic — the
+    divergence between the two columns on month-end pairs is the
+    hash-gated payload."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    b = d.select(
+        F.col("ck").alias("ck2"), F.col("dt").alias("d2"), F.col("rn").alias("rn2")
+    )
+    p = (
+        d.join(b, (F.col("ck2") == F.col("ck")) & (F.col("rn2") == F.col("rn") + 1))
+        .filter(F.col("dt") < F.col("d2"))
+        .select(F.col("ck"), F.col("dt").alias("d1"), "d2")
+    )
+    c = p.select(
+        "ck",
+        "d1",
+        "d2",
+        F.year("d1").alias("y1"),
+        F.month("d1").alias("m1"),
+        F.dayofmonth("d1").alias("dd1"),
+        F.year("d2").alias("y2"),
+        F.month("d2").alias("m2"),
+        F.dayofmonth("d2").alias("dd2"),
+        F.datediff("d2", "d1").alias("act"),
+    ).select(
+        "*",
+        F.when(F.col("dd1") == 31, 30).otherwise(F.col("dd1")).alias("e1"),
+        F.when((F.col("dd2") == 31) & (F.col("dd1") >= 30), 30)
+        .otherwise(F.col("dd2"))
+        .alias("e2"),
+    )
+    d30 = (
+        360 * (F.col("y2") - F.col("y1"))
+        + 30 * (F.col("m2") - F.col("m1"))
+        + F.col("e2")
+        - F.col("e1")
+    )
+    return c.select(
+        F.col("ck").cast("long").alias("custkey"),
+        "d1",
+        "d2",
+        F.col("act").cast("int").alias("act_days"),
+        d30.cast("int").alias("days_30360"),
+        F.expr(
+            "1000000000 * cast(360 * (y2 - y1) + 30 * (m2 - m1) + e2 - e1"
+            " as bigint) div 360"
+        ).alias("accrual_30360_e9"),
+        F.expr("1000000000 * cast(act as bigint) div 365").alias(
+            "accrual_act365_e9"
+        ),
+    ).orderBy("custkey", "d1")
