@@ -68,7 +68,9 @@ class TestScanEfficiency:
         (pricing_summary touches 7 of lineitem's 16)."""
         from osm2vdv462_spark import queries as q
 
-        df = q.queries()["pricing_summary"](spark, sf_dir)
+        qs = {**q.queries(), **q.extra_queries()}  # tier-agnostic:
+        # rotation moves rows between the gate and parity tiers
+        df = qs["pricing_summary"](spark, sf_dir)
         txt = " ".join(_scan_lines(df))
         rs = txt.split("ReadSchema:")[1] if "ReadSchema:" in txt else ""
         assert "l_comment" not in rs and "l_shipmode" not in rs, rs
