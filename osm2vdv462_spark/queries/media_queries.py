@@ -2535,3 +2535,191 @@ def tile_mosaic_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx", "ty", "i", "j")
     )
+
+
+# ---------------------------------------------- audio landmark match
+
+# Shazam-style landmark fingerprinting: per clip, the spectrogram's
+# per-frame PEAK bin (argmax power, ties -> lowest bin) forms a
+# constellation; landmark keys are (peak_a, peak_b, dt) triples at
+# frame gaps dt in {1, 2}; retrieval joins query keys against corpus
+# keys and counts agreements. The corpus is PITCH-MODULATED square
+# waves (period p_f = 40 + (doc_id*13 + frame^2*7) % 60 — each frame a
+# different pitch, so a clip's constellation is a 4-pitch melody and
+# unrelated clips only collide by birthday chance); queries are
+# one-frame (400-sample) time shifts of every 5th clip, sharing >= 3
+# landmarks with their source. The is_self column makes true hits vs
+# collisions auditable in the gated rows.
+_LANDMARK_BINS = (4, 5, 6, 7, 8, 9, 10)
+_LANDMARK_ORACLE = """
+WITH j AS (SELECT CAST(range AS BIGINT) AS j FROM range(400)),
+bins AS (SELECT unnest([4, 5, 6, 7, 8, 9, 10]) AS bin),
+tw AS (
+  SELECT bin, j,
+         CAST(round(cos(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS wc,
+         CAST(round(sin(2*pi()*(bin*j)/400)*16384) AS BIGINT) AS ws
+  FROM bins CROSS JOIN j
+),
+k AS (SELECT CAST(range AS BIGINT) AS k FROM range(1600)),
+cs AS (
+  SELECT d.doc_id, k.k,
+         CASE WHEN k.k % (40 + (d.doc_id*13 + (k.k // 400)*(k.k // 400)*7) % 60)
+                   < (40 + (d.doc_id*13 + (k.k // 400)*(k.k // 400)*7) % 60) // 2
+              THEN 8000 ELSE -8000 END AS v
+  FROM documents d CROSS JOIN k
+),
+qs AS (
+  SELECT d.doc_id, k.k,
+         CASE WHEN (k.k+400) % (40 + (d.doc_id*13 + ((k.k+400) // 400)*((k.k+400) // 400)*7) % 60)
+                   < (40 + (d.doc_id*13 + ((k.k+400) // 400)*((k.k+400) // 400)*7) % 60) // 2
+              THEN 8000 ELSE -8000 END AS v
+  FROM documents d CROSS JOIN k WHERE d.doc_id % 5 = 0
+),
+cpow AS (
+  SELECT cs.doc_id, CAST(cs.k // 400 AS INT) AS f, tw.bin,
+         CAST(floor((CAST(sum(cs.v*tw.wc) AS DOUBLE)*sum(cs.v*tw.wc)
+              + CAST(-sum(cs.v*tw.ws) AS DOUBLE)*(-sum(cs.v*tw.ws)))
+              / 268435456.0) AS BIGINT) AS p
+  FROM cs JOIN tw ON cs.k % 400 = tw.j
+  GROUP BY cs.doc_id, cs.k // 400, tw.bin
+),
+qpow AS (
+  SELECT qs.doc_id, CAST(qs.k // 400 AS INT) AS f, tw.bin,
+         CAST(floor((CAST(sum(qs.v*tw.wc) AS DOUBLE)*sum(qs.v*tw.wc)
+              + CAST(-sum(qs.v*tw.ws) AS DOUBLE)*(-sum(qs.v*tw.ws)))
+              / 268435456.0) AS BIGINT) AS p
+  FROM qs JOIN tw ON qs.k % 400 = tw.j
+  GROUP BY qs.doc_id, qs.k // 400, tw.bin
+),
+cpk AS (SELECT doc_id, f, bin AS pk FROM (
+  SELECT doc_id, f, bin,
+         row_number() OVER (PARTITION BY doc_id, f
+                            ORDER BY p DESC, bin) AS rn
+  FROM cpow) WHERE rn = 1),
+qpk AS (SELECT doc_id, f, bin AS pk FROM (
+  SELECT doc_id, f, bin,
+         row_number() OVER (PARTITION BY doc_id, f
+                            ORDER BY p DESC, bin) AS rn
+  FROM qpow) WHERE rn = 1),
+ckeys AS (
+  SELECT a.doc_id, a.pk AS b1, b.pk AS b2, b.f - a.f AS dt
+  FROM cpk a JOIN cpk b ON b.doc_id = a.doc_id
+                       AND b.f - a.f IN (1, 2)
+),
+qkeys AS (
+  SELECT a.doc_id, a.pk AS b1, b.pk AS b2, b.f - a.f AS dt
+  FROM qpk a JOIN qpk b ON b.doc_id = a.doc_id
+                       AND b.f - a.f IN (1, 2)
+),
+m AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS cand_doc,
+         count(*) AS n_matches
+  FROM qkeys q JOIN ckeys c
+    ON c.b1 = q.b1 AND c.b2 = q.b2 AND c.dt = q.dt
+  GROUP BY 1, 2
+)
+SELECT CAST(query_doc AS BIGINT) AS query_doc,
+       CAST(cand_doc AS BIGINT) AS cand_doc,
+       CAST(n_matches AS INT) AS n_matches,
+       query_doc = cand_doc AS is_self
+FROM m WHERE n_matches >= 2
+ORDER BY query_doc, cand_doc
+"""
+
+
+@register_extra("audio_landmark_match", _LANDMARK_ORACLE)
+def audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-constellation audio retrieval (see oracle comment).
+    Plan: both spectrograms ride the map-side integer-DFT pass
+    (pipeline/audio.with_spectral_bins); peaks are a per-(clip, frame)
+    argmax; keys are fixed-width (b1, b2, dt) triples, so the
+    retrieval join shuffles landmark keys — never frames, never
+    samples — exactly the constellation-index shape that serves
+    million-track catalogs."""
+    import pandas as pd
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..pipeline import audio as au
+
+    def _synth(d: int, shift: int) -> bytes:
+        k = np.arange(1600, dtype=np.int64) + shift
+        pf = 40 + (d * 13 + (k // 400) * (k // 400) * 7) % 60
+        v = np.where(k % pf < pf // 2, 8000, -8000).astype(np.int16)
+        return v.tobytes()
+
+    def _gen(shift: int):
+        def g(batches):
+            for pdf in batches:
+                out = [
+                    (int(d), "pcm_s16le", 1600, _synth(int(d), shift))
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "codec", "n_samples", "pcm"]
+                )
+
+        return g
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    corpus = docs.mapInPandas(
+        _gen(0), "doc_id long, codec string, n_samples int, pcm binary"
+    )
+    queries = docs.filter(F.col("doc_id") % 5 == 0).mapInPandas(
+        _gen(400), "doc_id long, codec string, n_samples int, pcm binary"
+    )
+
+    def peaks(spec):
+        w = Window.partitionBy("doc_id", "frame_idx").orderBy(
+            F.col("power_q").desc(), F.col("bin")
+        )
+        return (
+            spec.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("frame_idx").alias("f"), F.col("bin").alias("pk"))
+        )
+
+    def keys(pk):
+        b = pk.select(
+            F.col("doc_id").alias("d2"), F.col("f").alias("f2"), F.col("pk").alias("p2")
+        )
+        return (
+            pk.join(
+                b,
+                (F.col("d2") == F.col("doc_id"))
+                & ((F.col("f2") - F.col("f")).isin(1, 2)),
+            )
+            .select(
+                "doc_id",
+                F.col("pk").alias("b1"),
+                F.col("p2").alias("b2"),
+                (F.col("f2") - F.col("f")).alias("dt"),
+            )
+        )
+
+    ck = keys(peaks(au.with_spectral_bins(corpus, bins=_LANDMARK_BINS)))
+    qk = keys(peaks(au.with_spectral_bins(queries, bins=_LANDMARK_BINS)))
+    m = (
+        qk.select(
+            F.col("doc_id").alias("query_doc"), "b1", "b2", "dt"
+        )
+        .join(
+            ck.select(F.col("doc_id").alias("cand_doc"), "b1", "b2", "dt"),
+            ["b1", "b2", "dt"],
+        )
+        .groupBy("query_doc", "cand_doc")
+        .agg(F.count("*").alias("n_matches"))
+        .filter(F.col("n_matches") >= 2)
+    )
+    return m.select(
+        F.col("query_doc").cast("long"),
+        F.col("cand_doc").cast("long"),
+        F.col("n_matches").cast("int"),
+        (F.col("query_doc") == F.col("cand_doc")).alias("is_self"),
+    ).orderBy("query_doc", "cand_doc")
