@@ -6677,3 +6677,121 @@ def inverse_bwt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- Myers bit-parallel edit
+
+# Myers' bit-parallel Levenshtein (1999; Hyyro's formulation) — the
+# O(n * m/w) bit-vector trick inside agrep / modern fuzzy searchers:
+# the DP column lives in two machine words (PV/MV carry the +1/-1
+# deltas), each text character costs ~15 word ops regardless of
+# pattern length <= 64. The ENGINE runs this from-scratch kernel; the
+# oracle scores the same pairs with DuckDB's independent levenshtein()
+# implementation — two unrelated algorithms, one hash-fatal number.
+_MYERS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 12) AS p, substr(text, 1, 24) AS t
+  FROM documents
+  WHERE strlen(text) = length(text)
+    AND length(text) >= 24
+    AND ('0x' || substr(md5('my:' || CAST(doc_id AS VARCHAR)),
+                        1, 4))::BIGINT % 17 = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.p, b.t) AS INT) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def _myers_distance(p: str, t: str) -> int:
+    """Bit-parallel Levenshtein distance (pattern <= 64 chars)."""
+    m = len(p)
+    if m == 0:
+        return len(t)
+    peq: dict = {}
+    for i, ch in enumerate(p):
+        peq[ch] = peq.get(ch, 0) | (1 << i)
+    mask = (1 << m) - 1
+    pv, mv, score = mask, 0, m
+    hibit = 1 << (m - 1)
+    for ch in t:
+        eq = peq.get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) & mask ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & hibit:
+            score += 1
+        elif mh & hibit:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+@register_extra("myers_bitparallel_edit", _MYERS_ORACLE)
+def myers_bitparallel_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distances via the from-scratch Myers bit-vector
+    kernel over a sampled doc corpus (12-char patterns x 24-char
+    texts; see oracle comment — DuckDB's own levenshtein() is the
+    independent referee). Scale shape: pairs come from a (blockable)
+    self-join and each pair costs O(|t|) word ops in an Arrow batch —
+    the refine-stage kernel a fuzzy-join runs after blocking, 4-5x
+    cheaper per pair than the DP matrix at these lengths and widening
+    with pattern length."""
+    import pandas as pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .filter(F.length("text") >= 24)
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("my:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 17
+            == 0
+        )
+        .select(
+            "doc_id",
+            F.expr("substring(text, 1, 12)").alias("p"),
+            F.expr("substring(text, 1, 24)").alias("t"),
+        )
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")
+    )
+    pairs = d.select(F.col("doc_id").alias("doc_a"), "p").join(
+        b, F.col("doc_a") < F.col("doc_b")
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "dist": [
+                        _myers_distance(p, t)
+                        for p, t in zip(pdf["p"], pdf["tb"])
+                    ],
+                }
+            )
+
+    return (
+        pairs.mapInPandas(_score, "doc_a long, doc_b long, dist int")
+        .orderBy("doc_a", "doc_b")
+    )
