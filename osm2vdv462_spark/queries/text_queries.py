@@ -6690,7 +6690,7 @@ def inverse_bwt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implementation — two unrelated algorithms, one hash-fatal number.
 _MYERS_ORACLE = """
 WITH d AS (
-  SELECT doc_id, substr(text, 1, 12) AS p, substr(text, 1, 24) AS t
+  SELECT doc_id, lang, substr(text, 1, 12) AS p, substr(text, 1, 24) AS t
   FROM documents
   WHERE strlen(text) = length(text)
     AND length(text) >= 24
@@ -6699,7 +6699,7 @@ WITH d AS (
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.p, b.t) AS INT) AS dist
-FROM d a JOIN d b ON a.doc_id < b.doc_id
+FROM d a JOIN d b ON b.lang = a.lang AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -6767,15 +6767,21 @@ def myers_bitparallel_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "lang",
             F.expr("substring(text, 1, 12)").alias("p"),
             F.expr("substring(text, 1, 24)").alias("t"),
         )
     )
     b = d.select(
-        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("t").alias("tb"),
     )
-    pairs = d.select(F.col("doc_id").alias("doc_a"), "p").join(
-        b, F.col("doc_a") < F.col("doc_b")
+    # block on lang (the equi-key makes the pair join hash-joinable —
+    # never an all-pairs BNLJ; same blocking as edit_distance_blocked)
+    pairs = d.select(F.col("doc_id").alias("doc_a"), "lang", "p").join(
+        b,
+        (F.col("lang_b") == F.col("lang")) & (F.col("doc_a") < F.col("doc_b")),
     )
 
     def _score(batches):
