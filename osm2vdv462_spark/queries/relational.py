@@ -3427,3 +3427,129 @@ def randomized_response_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------- CIDR longest-prefix
+
+# Longest-prefix-match routing / GeoIP-style enrichment: each md5-
+# derived 32-bit address takes the MOST SPECIFIC matching prefix from
+# a 26-entry table (13 covering CIDRs of length 6-12, 12 CIDRs NESTED
+# +6 bits inside them, and the 0/0 default route, so every address
+# routes and nested ranges force real specificity decisions). The LPM argmax is
+# max(struct(len, -key)) — longest prefix, then lowest route key on
+# ties — a broadcast-dim join + partial-agg, the exact shape of an
+# IP-enrichment join over 10^12 flow records.
+_LPM_ORACLE = """
+WITH p0 AS (
+  SELECT n_nationkey AS rk,
+         3221225472 + (n_nationkey // 2 * 2654435761) % 1073741824 AS base,
+         6 + (n_nationkey // 2) % 7 AS blen,
+         n_nationkey % 2 = 1 AS deeper
+  FROM nation
+),
+-- odd keys NEST inside the preceding even key's prefix (+6 bits), so
+-- addresses in those ranges match BOTH and LPM must pick the longer
+pfx AS (
+  SELECT rk,
+         CASE WHEN deeper THEN base ELSE
+           base >> (32 - blen) << (32 - blen) END AS net,
+         CASE WHEN deeper THEN blen + 6 ELSE blen END AS len
+  FROM p0
+  UNION ALL SELECT 99, 0, 0
+),
+ips AS (
+  SELECT event_id,
+         3221225472 + ('0x' || substr(md5('ip:' || CAST(event_id AS VARCHAR)),
+                         1, 8))::BIGINT % 1073741824 AS ip
+  FROM events WHERE event_id % 3 = 0
+),
+m AS (
+  SELECT i.event_id, i.ip, p.rk, p.len
+  FROM ips i JOIN pfx p
+    ON i.ip >> (32 - p.len) = p.net >> (32 - p.len)
+),
+best AS (
+  SELECT event_id, ip, rk, len FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY len DESC, rk) AS rn
+    FROM m) WHERE rn = 1
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(ip AS BIGINT) AS ip,
+       CAST(rk AS INT) AS route_key, CAST(len AS INT) AS prefix_len
+FROM best ORDER BY event_id
+"""
+
+
+@register_extra("cidr_lpm_routing", _LPM_ORACLE)
+def cidr_lpm_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match enrichment (see oracle comment): the
+    26-row prefix dim broadcasts, the match predicate is a pair of
+    variable bit shifts in codegen, and the per-address argmax is one
+    max(struct) partial aggregation — zero extra shuffles beyond the
+    output sort. DuckDB takes the ranked-window route instead."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        F.lit(3221225472).cast("long")
+        + (F.expr("n_nationkey div 2") * 2654435761) % 1073741824
+    )
+    blen = (6 + F.expr("n_nationkey div 2") % 7).cast("long")
+    deeper = F.col("n_nationkey") % 2 == 1
+    pfx = nat.select(
+        F.col("n_nationkey").cast("long").alias("rk"),
+        F.when(deeper, base)
+        .otherwise(
+            F.expr(
+                "shiftleft(shiftright("
+                "3221225472 + (n_nationkey div 2 * 2654435761) % 1073741824,"
+                " cast(32 - (6 + n_nationkey div 2 % 7) as int)),"
+                " cast(32 - (6 + n_nationkey div 2 % 7) as int))"
+            ).cast("long")
+        )
+        .alias("net"),
+        F.when(deeper, blen + 6).otherwise(blen).alias("len"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(99).cast("long").alias("rk"),
+            F.lit(0).cast("long").alias("net"),
+            F.lit(0).cast("long").alias("len"),
+        )
+    )
+    ips = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            (
+                F.lit(3221225472).cast("long")
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ip:"), F.col("event_id").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1073741824
+            ).alias("ip"),
+        )
+    )
+    m = ips.crossJoin(F.broadcast(pfx)).filter(
+        F.expr("shiftright(ip, cast(32 - len as int))")
+        == F.expr("shiftright(net, cast(32 - len as int))")
+    )
+    best = m.groupBy("event_id", "ip").agg(
+        F.max(F.struct(F.col("len"), (-F.col("rk")).alias("nk"), F.col("rk"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        F.col("event_id").cast("long"),
+        F.col("ip").cast("long"),
+        F.col("b.rk").cast("int").alias("route_key"),
+        F.col("b.len").cast("int").alias("prefix_len"),
+    ).orderBy("event_id")
