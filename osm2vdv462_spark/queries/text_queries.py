@@ -6801,3 +6801,120 @@ def myers_bitparallel_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.mapInPandas(_score, "doc_a long, doc_b long, dist int")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------- NDCG@10
+
+# Graded-relevance ranking evaluation — the IR-eval metric missing
+# beside the gated AP/AUC rows. Discount weights are FIXED-POINT
+# LITERALS w_p = round(2^20 / log2(p+1)) shared by both engines (the
+# DCT-table discipline: the only irrational in NDCG never crosses an
+# engine as a float); gains are 2^rel - 1 over md5-graded relevance;
+# ndcg_e6 = 1e6 * DCG // IDCG in exact integers.
+_NDCG_W = (1048576, 661578, 524288, 451597, 405645, 373510, 349525,
+           330789, 315653, 303106)
+
+
+def _ndcg_oracle() -> str:
+    wrows = ",".join(f"({p+1},{w})" for p, w in enumerate(_NDCG_W))
+    return f"""
+WITH w(pos, wt) AS (VALUES {wrows}),
+ev AS (
+  SELECT user_id % 40 AS q, event_id,
+         ('0x' || substr(md5('sc:' || CAST(event_id AS VARCHAR)),
+                         1, 6))::BIGINT % 1000 AS score,
+         (1 << (('0x' || substr(md5('rel:' || CAST(event_id AS VARCHAR)),
+                                1, 6))::BIGINT % 4)::INT) - 1 AS gain
+  FROM events
+),
+sys AS (
+  SELECT q, gain, row_number() OVER (PARTITION BY q
+           ORDER BY score DESC, event_id) AS pos
+  FROM ev
+),
+ideal AS (
+  SELECT q, gain, row_number() OVER (PARTITION BY q
+           ORDER BY gain DESC, event_id) AS pos
+  FROM ev
+),
+dcg AS (SELECT s.q, sum(s.gain * w.wt) AS dcg
+        FROM sys s JOIN w ON w.pos = s.pos GROUP BY s.q),
+idcg AS (SELECT i.q, sum(i.gain * w.wt) AS idcg
+         FROM ideal i JOIN w ON w.pos = i.pos GROUP BY i.q)
+SELECT CAST(d.q AS INT) AS query_id,
+       CAST(d.dcg AS BIGINT) AS dcg,
+       CAST(i.idcg AS BIGINT) AS idcg,
+       CAST(CASE WHEN i.idcg > 0 THEN 1000000 * d.dcg // i.idcg
+            ELSE -1 END AS BIGINT) AS ndcg_e6
+FROM dcg d JOIN idcg i ON i.q = d.q
+ORDER BY query_id
+"""
+
+
+@register_extra("ndcg_ranking_eval", _ndcg_oracle())
+def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query over md5-scored rankings with graded
+    relevance (see oracle comment). Two query-keyed ranking windows
+    (system order, ideal order), one broadcast 10-row weight dim, two
+    partial-agg sums — at 10^12 impressions this is the nightly
+    ranking-eval job's exact shape."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base = ev.select(
+        (F.col("user_id") % 40).alias("q"),
+        "event_id",
+        (_h("sc:") % 1000).alias("score"),
+        _h("rel:").alias("_rel"),
+    ).select(
+        "q",
+        "event_id",
+        "score",
+        (
+            F.expr("shiftleft(1, cast(pmod(_rel, 4) as int)) - 1")
+        ).alias("gain"),
+    )
+    wdim = spark.createDataFrame(
+        [(p + 1, w) for p, w in enumerate(_NDCG_W)], "pos int, wt long"
+    )
+    wsys = Window.partitionBy("q").orderBy(F.col("score").desc(), "event_id")
+    wideal = Window.partitionBy("q").orderBy(F.col("gain").desc(), "event_id")
+    sys_r = base.withColumn("pos", F.row_number().over(wsys))
+    ideal_r = base.withColumn("pos", F.row_number().over(wideal))
+    dcg = (
+        sys_r.join(F.broadcast(wdim), "pos")
+        .groupBy("q")
+        .agg(F.sum(F.col("gain") * F.col("wt")).alias("dcg"))
+    )
+    idcg = (
+        ideal_r.join(F.broadcast(wdim), "pos")
+        .groupBy("q")
+        .agg(F.sum(F.col("gain") * F.col("wt")).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "q")
+        .select(
+            F.col("q").cast("int").alias("query_id"),
+            F.col("dcg").cast("long"),
+            F.col("idcg").cast("long"),
+            F.when(
+                F.col("idcg") > 0,
+                F.expr("1000000 * dcg div idcg"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("ndcg_e6"),
+        )
+        .orderBy("query_id")
+    )
