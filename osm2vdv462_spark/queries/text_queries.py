@@ -6918,3 +6918,196 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------- MMR diversity
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+# diversity reranker between retrieval and display: greedily pick the
+# item maximizing lambda*rel - (1-lambda)*max-sim-to-selected. Run
+# here with lambda = 1/2 in EXACT INTEGERS over int8-quantized
+# embeddings (q_i = floor(double(e_i) * 127) — the identical IEEE op
+# in both engines, after which every dot product is exact int64):
+# score = 2*rel - max_sim, ties -> lowest vec_id, five rounds. The
+# oracle unrolls the same greedy as five chained CTEs over a shared
+# pairwise-dot relation; the engine loops five DataFrame rounds.
+_MMR_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS v
+  FROM embeddings
+  WHERE vec_id > 0
+    AND ('0x' || substr(md5('mm:' || CAST(vec_id AS VARCHAR)),
+                        1, 4))::BIGINT % 12 = 0
+),
+cu AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+  FROM cand
+),
+qu AS (
+  SELECT generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+),
+rel AS (
+  SELECT cu.vec_id, sum(cu.x * qu.x) AS r
+  FROM cu JOIN qu USING (i) GROUP BY 1
+),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d
+  FROM cu a JOIN cu b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+s1 AS (SELECT vec_id, r FROM rel ORDER BY r DESC, vec_id LIMIT 1),
+r2 AS (
+  SELECT rel.vec_id, 2 * rel.r - d.d AS score FROM rel
+  JOIN s1 ON rel.vec_id <> s1.vec_id
+  JOIN dots d ON d.ia = rel.vec_id AND d.ib = s1.vec_id
+),
+s2 AS (SELECT vec_id FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+r3 AS (
+  SELECT rel.vec_id, 2 * rel.r - max(d.d) AS score FROM rel
+  JOIN dots d ON d.ia = rel.vec_id
+             AND d.ib IN (SELECT vec_id FROM s1 UNION ALL
+                          SELECT vec_id FROM s2)
+  WHERE rel.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL
+                           SELECT vec_id FROM s2)
+  GROUP BY rel.vec_id, rel.r
+),
+s3 AS (SELECT vec_id FROM r3 ORDER BY score DESC, vec_id LIMIT 1),
+r4 AS (
+  SELECT rel.vec_id, 2 * rel.r - max(d.d) AS score FROM rel
+  JOIN dots d ON d.ia = rel.vec_id
+             AND d.ib IN (SELECT vec_id FROM s1 UNION ALL
+                          SELECT vec_id FROM s2 UNION ALL
+                          SELECT vec_id FROM s3)
+  WHERE rel.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL
+                           SELECT vec_id FROM s2 UNION ALL
+                           SELECT vec_id FROM s3)
+  GROUP BY rel.vec_id, rel.r
+),
+s4 AS (SELECT vec_id FROM r4 ORDER BY score DESC, vec_id LIMIT 1),
+r5 AS (
+  SELECT rel.vec_id, 2 * rel.r - max(d.d) AS score FROM rel
+  JOIN dots d ON d.ia = rel.vec_id
+             AND d.ib IN (SELECT vec_id FROM s1 UNION ALL
+                          SELECT vec_id FROM s2 UNION ALL
+                          SELECT vec_id FROM s3 UNION ALL
+                          SELECT vec_id FROM s4)
+  WHERE rel.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL
+                           SELECT vec_id FROM s2 UNION ALL
+                           SELECT vec_id FROM s3 UNION ALL
+                           SELECT vec_id FROM s4)
+  GROUP BY rel.vec_id, rel.r
+),
+s5 AS (SELECT vec_id FROM r5 ORDER BY score DESC, vec_id LIMIT 1),
+sel AS (
+  SELECT 1 AS rank, vec_id FROM s1
+  UNION ALL SELECT 2, vec_id FROM s2
+  UNION ALL SELECT 3, vec_id FROM s3
+  UNION ALL SELECT 4, vec_id FROM s4
+  UNION ALL SELECT 5, vec_id FROM s5
+)
+SELECT CAST(sel.rank AS INT) AS rank,
+       CAST(sel.vec_id AS BIGINT) AS vec_id,
+       CAST(rel.r AS BIGINT) AS relevance
+FROM sel JOIN rel ON rel.vec_id = sel.vec_id
+ORDER BY rank
+"""
+
+
+@register_extra("mmr_diversity_rerank", _MMR_ORACLE)
+def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-5 over the quantized embedding sample (see oracle
+    comment). Engine loop: five rounds, each one (remaining x
+    selected) equi-join -> per-candidate max-sim partial agg -> global
+    max(struct) argmax; the candidate set is broadcast-scale (a
+    rerank operates on a retrieval page, not the corpus), the exact
+    regime MMR is deployed in."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quant = "transform(embedding, x -> cast(floor(cast(x as double) * 127) as bigint))"
+    q = emb.filter(F.col("vec_id") == 0).select(F.expr(quant).alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") > 0)
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mm:"), F.col("vec_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 12
+            == 0
+        )
+        .select("vec_id", F.expr(quant).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L,"
+        " (acc, t) -> acc + t)"
+    )
+    rel = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "v", F.expr(dot.format(a="v", b="qv")).alias("r")
+    ).localCheckpoint(eager=True)
+    selected = []  # list of (rank, vec_id, relevance) rows collected per round
+    remaining = rel
+    sel_df = None
+    for rank in range(1, 6):
+        if sel_df is None:
+            scored = remaining.select(
+                "vec_id", "r", (2 * F.col("r")).alias("score")
+            )
+        else:
+            sims = (
+                remaining.crossJoin(
+                    F.broadcast(
+                        sel_df.select(
+                            F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+                        )
+                    )
+                )
+                .select(
+                    "vec_id",
+                    "r",
+                    F.expr(dot.format(a="v", b="sv")).alias("d"),
+                )
+                .groupBy("vec_id", "r")
+                .agg(F.max("d").alias("maxsim"))
+            )
+            scored = sims.select(
+                "vec_id", "r", (2 * F.col("r") - F.col("maxsim")).alias("score")
+            )
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("vec_id")
+        ).limit(1)
+        pick = remaining.join(
+            top.select("vec_id"), "vec_id"
+        ).localCheckpoint(eager=True)
+        sel_df = pick if sel_df is None else sel_df.unionByName(pick).localCheckpoint(
+            eager=True
+        )
+        selected.append(
+            pick.select(
+                F.lit(rank).cast("int").alias("rank"),
+                F.col("vec_id").cast("long"),
+                F.col("r").cast("long").alias("relevance"),
+            )
+        )
+        remaining = remaining.join(
+            top.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("rank")
