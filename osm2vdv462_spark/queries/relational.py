@@ -3553,3 +3553,133 @@ def cidr_lpm_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.rk").cast("int").alias("route_key"),
         F.col("b.len").cast("int").alias("prefix_len"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------- Slope One predictor
+
+# Slope One collaborative filtering (Lemire & Maclachlan 2005) — the
+# classic "deviations" recommender: dev(i, j) = mean over co-raters of
+# (r_i - r_j); the prediction for user u on unrated item i is the
+# support-weighted mean of (dev(i, j) + r_uj) over u's rated items j.
+# Everything stays EXACT: deviations ride as (numerator, denominator)
+# pairs and the final prediction is an e4 floor of the exact rational
+# sum( dev_num_ij + r_uj * den_ij ) / sum( den_ij ). Ratings derive
+# from a 1/12 deterministic subsample of events (so the user x item
+# matrix stays SPARSE at every sf — without it the grid saturates and
+# the unrated-target set collapses); item = md5 % 24, rating =
+# md5 % 5 + 1, max-aggregated per (user, item) so the relation is
+# deterministic. The e4 floor is written as (a - mod(a, d)) / d with a
+# nonnegative mod in BOTH engines, so trunc-vs-floor division
+# differences can never surface even on negative numerators.
+_SLOPE1_ORACLE = """
+WITH r AS (
+  SELECT user_id % 60 AS u,
+         ('0x' || substr(md5('it:' || CAST(event_id AS VARCHAR)),
+                         1, 5))::BIGINT % 24 AS item,
+         max(1 + ('0x' || substr(md5('rt:' || CAST(event_id AS VARCHAR)),
+                                 1, 5))::BIGINT % 5) AS rating
+  FROM events
+  WHERE ('0x' || substr(md5('kp:' || CAST(event_id AS VARCHAR)),
+                        1, 5))::BIGINT % 12 = 0
+  GROUP BY 1, 2
+),
+dev AS (
+  SELECT a.item AS i, b.item AS j,
+         sum(a.rating - b.rating) AS num, count(*) AS den
+  FROM r a JOIN r b ON b.u = a.u AND b.item <> a.item
+  GROUP BY 1, 2
+),
+target AS (
+  SELECT uu.u, it.item AS i
+  FROM (SELECT DISTINCT u FROM r) uu
+  CROSS JOIN (SELECT DISTINCT item FROM r) it
+  LEFT JOIN r rr ON rr.u = uu.u AND rr.item = it.item
+  WHERE rr.u IS NULL
+),
+pred AS (
+  SELECT t.u, t.i,
+         sum(d.num + rj.rating * d.den) AS pnum,
+         sum(d.den) AS pden
+  FROM target t
+  JOIN r rj ON rj.u = t.u
+  JOIN dev d ON d.i = t.i AND d.j = rj.item
+  GROUP BY 1, 2
+)
+SELECT CAST(u AS BIGINT) AS user_id, CAST(i AS INT) AS item,
+       CAST(pnum AS BIGINT) AS pred_num, CAST(pden AS BIGINT) AS pred_den,
+       CAST((10000 * pnum
+             - ((10000 * pnum % pden) + pden) % pden) // pden AS BIGINT)
+         AS pred_e4
+FROM pred WHERE pden > 0
+ORDER BY user_id, item
+"""
+
+
+@register_extra("slope_one_predictions", _SLOPE1_ORACLE)
+def slope_one_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope One rating predictions for every (user, unrated item)
+    pair (see oracle comment). Plan: the deviation matrix is one
+    co-rater self-join + partial agg on ITEM-PAIR keys (item-pair
+    space is bounded — 24x24 here, catalog^2 at worst, never
+    user-sized); predictions are one join of the user's ratings
+    against the broadcastable deviation matrix + a partial-agg
+    rational sum. The e4 floor is the only division, applied to exact
+    integers in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), eid).cast("binary")), 1, 5
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    r = (
+        ev.filter(_h("kp:") % 12 == 0)
+        .select(
+            (F.col("user_id") % 60).alias("u"),
+            (_h("it:") % 24).alias("item"),
+            (1 + _h("rt:") % 5).alias("rating"),
+        )
+        .groupBy("u", "item")
+        .agg(F.max("rating").alias("rating"))
+        .localCheckpoint(eager=True)
+    )
+    b = r.select(
+        F.col("u").alias("u2"), F.col("item").alias("j"), F.col("rating").alias("rj")
+    )
+    dev = (
+        r.join(b, (F.col("u2") == F.col("u")) & (F.col("j") != F.col("item")))
+        .groupBy(F.col("item").alias("i"), "j")
+        .agg(
+            F.sum(F.col("rating") - F.col("rj")).alias("num"),
+            F.count(F.lit(1)).alias("den"),
+        )
+    )
+    users = r.select("u").distinct()
+    items = r.select(F.col("item").alias("i")).distinct()
+    target = users.crossJoin(items).join(
+        r.select("u", F.col("item").alias("i")), ["u", "i"], "left_anti"
+    )
+    pred = (
+        target.join(r.select(F.col("u"), F.col("item").alias("j"), "rating"), "u")
+        .join(F.broadcast(dev), ["i", "j"])
+        .groupBy("u", "i")
+        .agg(
+            F.sum(F.col("num") + F.col("rating") * F.col("den")).alias("pnum"),
+            F.sum("den").alias("pden"),
+        )
+        .filter(F.col("pden") > 0)
+    )
+    return pred.select(
+        F.col("u").cast("long").alias("user_id"),
+        F.col("i").cast("int").alias("item"),
+        F.col("pnum").cast("long").alias("pred_num"),
+        F.col("pden").cast("long").alias("pred_den"),
+        F.expr("(10000 * pnum - pmod(10000 * pnum, pden)) div pden")
+        .cast("long")
+        .alias("pred_e4"),
+    ).orderBy("user_id", "item")
