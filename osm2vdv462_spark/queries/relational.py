@@ -3683,3 +3683,143 @@ def slope_one_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pred_e4"),
     ).orderBy("user_id", "item")
+
+
+# ------------------------------------- Johnson two-machine flow shop
+
+# Johnson's rule (Johnson 1954) — the classic optimal schedule for the
+# two-machine flow shop: jobs with a < b run first in ascending a, the
+# rest last in descending b. The makespan of ANY fixed sequence has the
+# closed form max_i( sum_{j<=i} a_j + sum_{j>=i} b_j ), which is pure
+# prefix/suffix window arithmetic — no simulation needed, so both the
+# optimal and the FIFO baseline makespans stay fully relational. Job
+# times derive from md5 (1..99); Johnson's optimality shows up in the
+# gated rows as gap_fifo >= 0 with strict improvements in every group.
+_JOHNSON_ORACLE = """
+WITH j AS (
+  SELECT o_custkey % 40 AS grp, o_orderkey AS okey,
+         1 + ('0x' || substr(md5('ja:' || CAST(o_orderkey AS VARCHAR)),
+                             1, 5))::BIGINT % 99 AS a,
+         1 + ('0x' || substr(md5('jb:' || CAST(o_orderkey AS VARCHAR)),
+                             1, 5))::BIGINT % 99 AS b
+  FROM orders
+),
+seq AS (
+  SELECT *, CASE WHEN a < b THEN 0 ELSE 1 END AS cls,
+         CASE WHEN a < b THEN a ELSE 200 - b END AS k1
+  FROM j
+),
+jo AS (
+  SELECT grp, b,
+         sum(a) OVER w AS pa, sum(b) OVER w AS pb,
+         sum(b) OVER (PARTITION BY grp) AS totb
+  FROM seq
+  WINDOW w AS (PARTITION BY grp ORDER BY cls, k1, okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fo AS (
+  SELECT grp, b,
+         sum(a) OVER w AS pa, sum(b) OVER w AS pb,
+         sum(b) OVER (PARTITION BY grp) AS totb
+  FROM seq
+  WINDOW w AS (PARTITION BY grp ORDER BY okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ms AS (
+  SELECT grp, count(*) AS n_jobs, max(pa + totb - pb + b) AS ms_johnson
+  FROM jo GROUP BY 1
+),
+msf AS (
+  SELECT grp, max(pa + totb - pb + b) AS ms_fifo FROM fo GROUP BY 1
+),
+lb AS (
+  SELECT grp, greatest(sum(a) + min(b), sum(b) + min(a)) AS lower_bound
+  FROM j GROUP BY 1
+)
+SELECT CAST(ms.grp AS BIGINT) AS grp, CAST(n_jobs AS BIGINT) AS n_jobs,
+       CAST(ms_johnson AS BIGINT) AS ms_johnson,
+       CAST(ms_fifo AS BIGINT) AS ms_fifo,
+       CAST(lower_bound AS BIGINT) AS lower_bound,
+       CAST(ms_fifo - ms_johnson AS BIGINT) AS gap_fifo
+FROM ms JOIN msf ON msf.grp = ms.grp JOIN lb ON lb.grp = ms.grp
+ORDER BY grp
+"""
+
+
+@register_extra("johnson_two_machine", _JOHNSON_ORACLE)
+def johnson_two_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-machine flow-shop makespans under Johnson's optimal rule vs
+    FIFO, plus the standard lower bound (see oracle comment). Plan: one
+    scan of orders, two window passes over the SAME grp partitioning
+    (one Exchange — both sorts reuse the hash partition), then a
+    partial-agg max per group. Scale: group count is the only output
+    cardinality; per-group job lists stream through the window
+    operator, nothing is collected."""
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), okey).cast("binary")), 1, 5
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    j = o.select(
+        (F.col("o_custkey") % 40).alias("grp"),
+        F.col("o_orderkey").alias("okey"),
+        (1 + _h("ja:") % 99).alias("a"),
+        (1 + _h("jb:") % 99).alias("b"),
+    ).withColumn(
+        "cls", F.when(F.col("a") < F.col("b"), 0).otherwise(1)
+    ).withColumn(
+        "k1",
+        F.when(F.col("a") < F.col("b"), F.col("a")).otherwise(200 - F.col("b")),
+    )
+
+    def _makespan(order_cols, out_name):
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wg = Window.partitionBy("grp")
+        return (
+            j.select(
+                "grp",
+                "b",
+                F.sum("a").over(w).alias("pa"),
+                F.sum("b").over(w).alias("pb"),
+                F.sum("b").over(wg).alias("totb"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_jobs"),
+                F.max(
+                    F.col("pa") + F.col("totb") - F.col("pb") + F.col("b")
+                ).alias(out_name),
+            )
+        )
+
+    ms = _makespan(["cls", "k1", "okey"], "ms_johnson")
+    msf = _makespan(["okey"], "ms_fifo").drop("n_jobs")
+    lb = j.groupBy("grp").agg(
+        F.greatest(
+            F.sum("a") + F.min("b"), F.sum("b") + F.min("a")
+        ).alias("lower_bound")
+    )
+    return (
+        ms.join(msf, "grp")
+        .join(lb, "grp")
+        .select(
+            F.col("grp").cast("long"),
+            F.col("n_jobs").cast("long"),
+            F.col("ms_johnson").cast("long"),
+            F.col("ms_fifo").cast("long"),
+            F.col("lower_bound").cast("long"),
+            (F.col("ms_fifo") - F.col("ms_johnson")).cast("long").alias("gap_fifo"),
+        )
+        .orderBy("grp")
+    )
