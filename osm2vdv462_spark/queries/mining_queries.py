@@ -4779,3 +4779,171 @@ def feistel_pseudonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- CUPED adjustment
+
+# CUPED (Deng, Xu, Kohavi, Walker 2013) — the industry-standard A/B
+# variance-reduction trick: regress the experiment metric Y on a
+# pre-experiment covariate X, report the adjusted variant means
+# Ybar_v - theta * (Xbar_v - Xbar). Everything stays an exact rational:
+# theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) rides as integers, and the
+# adjusted mean becomes num/den with
+#   num = Syv*td*n - tn*(Sxv*n - Sx*nv),  den = td*nv*n.
+# Second-order sums go through HUGEINT (DuckDB) / DECIMAL(38,0)
+# (Spark); magnitudes stay < 1e30. Per-user X/Y share an md5 latent
+# component so the covariate genuinely correlates (rho^2 lands well
+# above 0), and treated users carry a +3-per-post-event lift the
+# adjustment must preserve. e6 floors use the nonnegative-mod
+# subtraction so trunc-vs-floor division can never differ.
+_CUPED_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u,
+         ('0x' || substr(md5('cp:' || CAST(event_id AS VARCHAR)),
+                         1, 5))::BIGINT % 2 AS phase,
+         ('0x' || substr(md5('ul:' || CAST(user_id AS VARCHAR)),
+                         1, 5))::BIGINT % 50 AS lat,
+         ('0x' || substr(md5('cv:' || CAST(event_id AS VARCHAR)),
+                         1, 5))::BIGINT % 20 AS nz,
+         ('0x' || substr(md5('va:' || CAST(user_id AS VARCHAR)),
+                         1, 5))::BIGINT % 2 AS t
+  FROM events
+),
+pu AS (
+  SELECT u, t,
+         sum(CASE WHEN phase = 0 THEN lat + nz ELSE 0 END) AS x,
+         sum(CASE WHEN phase = 1 THEN lat + nz + 3 * t ELSE 0 END) AS y
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM pu
+),
+th AS (
+  SELECT n, sx,
+         n * sxy - sx * sy AS tn, n * sxx - sx * sx AS td,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy) AS r2n,
+         (n * sxx - sx * sx) * (n * syy - sy * sy) AS r2d
+  FROM tot
+),
+v AS (
+  SELECT t, CAST(count(*) AS HUGEINT) AS nv,
+         CAST(sum(x) AS HUGEINT) AS sxv, CAST(sum(y) AS HUGEINT) AS syv
+  FROM pu GROUP BY 1
+),
+adj AS (
+  SELECT t, nv, syv,
+         syv * td * n - tn * (sxv * n - sx * nv) AS anum,
+         td * nv * n AS aden, tn, td, r2n, r2d
+  FROM v CROSS JOIN th
+)
+SELECT CAST(t AS INT) AS variant, CAST(nv AS BIGINT) AS n_users,
+       CAST((1000000 * syv - ((1000000 * syv % nv) + nv) % nv) // nv
+            AS BIGINT) AS mean_y_e6,
+       CAST((1000000 * anum - ((1000000 * anum % aden) + aden) % aden)
+            // aden AS BIGINT) AS mean_y_adj_e6,
+       CAST((1000000 * tn - ((1000000 * tn % td) + td) % td) // td
+            AS BIGINT) AS theta_e6,
+       CAST((1000000 * r2n - ((1000000 * r2n % r2d) + r2d) % r2d) // r2d
+            AS BIGINT) AS rho2_e6
+FROM adj ORDER BY variant
+"""
+
+
+@register_extra("cuped_adjustment", _CUPED_ORACLE)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (see oracle comment). Plan:
+    one scan of events -> per-user partial agg (the only fact-sized
+    shuffle), then the 2nd-order moment totals and the two variant
+    rows are single-row/2-row aggregates broadcast back over a cross
+    join — at 100 TB this is one map-side-combined shuffle plus
+    driver-free scalar joins."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    uid = F.col("user_id").cast("string")
+
+    def _h(prefix: str, col) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col).cast("binary")), 1, 5
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    D = "decimal(38,0)"
+    pu = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            (_h("cp:", eid) % 2).alias("phase"),
+            (_h("ul:", uid) % 50).alias("lat"),
+            (_h("cv:", eid) % 20).alias("nz"),
+            (_h("va:", uid) % 2).alias("t"),
+        )
+        .groupBy("u", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("phase") == 0, F.col("lat") + F.col("nz")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("phase") == 1,
+                    F.col("lat") + F.col("nz") + 3 * F.col("t"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    tot = pu.agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("x").cast(D).alias("sx"),
+        F.sum("y").cast(D).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(D).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(D).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(D).alias("sxy"),
+    )
+    th = tot.select(
+        "n",
+        "sx",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("tn"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("td"),
+    ).withColumn("r2n", F.col("tn") * F.col("tn"))
+    r2d = tot.select(
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).alias("r2d")
+    )
+    v = pu.groupBy("t").agg(
+        F.count(F.lit(1)).cast(D).alias("nv"),
+        F.sum("x").cast(D).alias("sxv"),
+        F.sum("y").cast(D).alias("syv"),
+    )
+    adj = (
+        v.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(r2d))
+        .withColumn(
+            "anum",
+            F.col("syv") * F.col("td") * F.col("n")
+            - F.col("tn") * (F.col("sxv") * F.col("n") - F.col("sx") * F.col("nv")),
+        )
+        .withColumn("aden", F.col("td") * F.col("nv") * F.col("n"))
+    )
+
+    def _e6(num, den, out):
+        return F.expr(
+            f"CAST((1000000 * {num} - pmod(1000000 * {num}, {den}))"
+            f" div {den} AS BIGINT)"
+        ).alias(out)
+
+    return adj.select(
+        F.col("t").cast("int").alias("variant"),
+        F.col("nv").cast("long").alias("n_users"),
+        _e6("syv", "nv", "mean_y_e6"),
+        _e6("anum", "aden", "mean_y_adj_e6"),
+        _e6("tn", "td", "theta_e6"),
+        _e6("r2n", "r2d", "rho2_e6"),
+    ).orderBy("variant")
