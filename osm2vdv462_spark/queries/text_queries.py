@@ -7111,3 +7111,96 @@ def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in selected[1:]:
         out = out.unionByName(s)
     return out.orderBy("rank")
+
+
+# ------------------------------------------------- Adler-32 checksums
+
+
+@register_extra(
+    "adler32_audit",
+    """
+    WITH dd AS (
+      SELECT doc_id, text AS t, length(text) AS n
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0
+        AND ('0x' || substr(md5('ad:' || CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT % 5 = 0
+    ),
+    ch AS (
+      SELECT doc_id, n, unnest(generate_series(1, n)) AS i, t
+      FROM dd
+    ),
+    agg AS (
+      SELECT doc_id, any_value(n) AS n,
+             sum(ascii(substr(t, CAST(i AS INT), 1))) AS sb,
+             sum((n - i + 1) * ascii(substr(t, CAST(i AS INT), 1))) AS wb
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST((1 + sb) % 65521 AS BIGINT) AS a_part,
+           CAST((n + wb) % 65521 AS BIGINT) AS b_part,
+           CAST(((n + wb) % 65521) * 65536 + (1 + sb) % 65521 AS BIGINT)
+             AS adler32
+    FROM agg ORDER BY doc_id
+    """,
+)
+def adler32_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adler-32 (zlib RFC 1950) checksums computed in CLOSED FORM: the
+    running-sum definition A_j = 1 + sum(b_i), B = sum(A_j) collapses
+    to A = (1 + sum b_i) mod 65521, B = (n + sum (n-i+1) b_i) mod
+    65521 — so unlike CRC-32 (a bitwise fold, see crc32_audit) the
+    checksum is a pair of weighted SUMS. That makes it a pure
+    aggregation: the Spark side runs zero-Python higher-order
+    functions (transform/aggregate) inside whole-stage codegen with no
+    shuffle at all (per-row result), and at 100 TB it parallelizes as
+    embarrassingly-map work; the oracle re-derives the same sums
+    relationally via position unnest. tests also referee the values
+    against zlib.adler32 (the C implementation) — three independent
+    derivations, one number. ASCII full-text docs, md5 1-in-5
+    sample."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") > 0)
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ad:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+        .select("doc_id", F.col("text").alias("t"), F.length("text").alias("n"))
+    )
+    arr = "transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))"
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bytes"),
+        F.expr(
+            f"(1 + aggregate({arr}, 0L, (acc, x) -> acc + x)) % 65521"
+        ).alias("a_part"),
+        F.expr(
+            f"(n + aggregate({arr}, named_struct('i', 0L, 's', 0L),"
+            " (acc, x) -> named_struct('i', acc.i + 1,"
+            " 's', acc.s + (n - acc.i) * x), acc -> acc.s)) % 65521"
+        ).alias("b_part"),
+    ).withColumn(
+        "adler32", (F.col("b_part") * 65536 + F.col("a_part")).cast("long")
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("a_part").cast("long"),
+        F.col("b_part").cast("long"),
+        "adler32",
+    ).orderBy("doc_id")

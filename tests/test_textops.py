@@ -111,3 +111,38 @@ class TestChunkDedup:
         one = textops.chunk_dedup(docs.coalesce(1)).collect()
         many = textops.chunk_dedup(docs.repartition(13)).collect()
         assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+class TestAdler32Referee:
+    def test_matches_zlib(self, spark, sf_dir):
+        """Third derivation: the relational closed-form Adler-32 must
+        equal zlib's C implementation byte for byte (the SQL oracle is
+        the second — see queries/text_queries.py::adler32_audit)."""
+        import hashlib
+        import zlib
+
+        import pandas as pd
+
+        from osm2vdv462_spark.queries.text_queries import adler32_audit
+
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["adler32"])
+            for r in adler32_audit(spark, sf_dir).collect()
+        }
+        assert got, "sample gate must keep some docs"
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        checked = 0
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            try:
+                raw = text.encode("ascii")
+            except UnicodeEncodeError:
+                continue
+            if len(raw) == 0:
+                continue
+            h = hashlib.md5(f"ad:{doc_id}".encode()).hexdigest()
+            if int(h[:4], 16) % 5 != 0:
+                continue
+            assert got[int(doc_id)] == (len(raw), zlib.adler32(raw)), doc_id
+            checked += 1
+        assert checked == len(got)
