@@ -7204,3 +7204,131 @@ def adler32_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_part").cast("long"),
         "adler32",
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ k-mer minimizers
+
+_MNZ_K = 8   # k-mer length
+_MNZ_W = 12  # window: w consecutive k-mers pick one minimizer
+
+
+@register_extra(
+    "kmer_minimizers",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, text AS t, length(text) - {_MNZ_K} + 1 AS nk
+      FROM documents
+      WHERE strlen(text) = length(text)
+        AND length(text) >= {_MNZ_K + _MNZ_W}
+    ),
+    km AS (
+      SELECT doc_id, nk, unnest(generate_series(1, nk)) AS pos, t
+      FROM dd
+    ),
+    h AS (
+      SELECT doc_id, nk, pos,
+             ('0x' || substr(md5('km:' || substr(t, CAST(pos AS INT),
+                                                 {_MNZ_K})),
+                             1, 5))::BIGINT * 1024 + pos AS ck
+      FROM km
+    ),
+    wmin AS (
+      SELECT doc_id, nk, pos,
+             min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_MNZ_W - 1} FOLLOWING) AS mck
+      FROM h
+    ),
+    sel AS (
+      SELECT doc_id, any_value(nk) AS nk,
+             count(*) AS n_windows,
+             count(DISTINCT mck % 1024) AS n_minimizers
+      FROM wmin WHERE pos <= nk - {_MNZ_W} + 1
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nk AS BIGINT) AS n_kmers,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_minimizers AS BIGINT) AS n_minimizers,
+           CAST(1000000 * n_minimizers // n_windows AS BIGINT)
+             AS density_e6
+    FROM sel ORDER BY doc_id
+    """,
+)
+def kmer_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w,k)-minimizer selection (Roberts 2004; the sampling scheme
+    under minimap2/Kraken and modern near-dup shingling): every window
+    of w consecutive k-mers keeps the k-mer with the smallest hash,
+    leftmost-position tie-break — adjacent windows mostly agree, so
+    ~2/(w+1) of positions survive as the document sketch. Exact
+    cross-engine form: hash = first 5 md5 hex digits of the k-mer,
+    argmin packed as hash*1024+pos (text <= 1023 chars) so one
+    window-frame min IS the argmin; density reported as an e6 floor.
+    Plan: one scan, one doc-partitioned sort window, partial-agg
+    rollup — the standard sketch-build shape that at 100 TB is a
+    single map-side pass per document partition."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= _MNZ_K + _MNZ_W)
+        )
+        .select(
+            "doc_id",
+            F.col("text").alias("t"),
+            (F.length("text") - _MNZ_K + 1).alias("nk"),
+        )
+    )
+    km = d.select(
+        "doc_id",
+        "nk",
+        F.explode(F.sequence(F.lit(1), F.col("nk"))).alias("pos"),
+        "t",
+    )
+    h = km.select(
+        "doc_id",
+        "nk",
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("km:"),
+                            F.expr(f"substr(t, pos, {_MNZ_K})"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 1024
+            + F.col("pos")
+        ).alias("ck"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _MNZ_W - 1)
+    )
+    wmin = h.select(
+        "doc_id", "nk", "pos", F.min("ck").over(w).alias("mck")
+    ).filter(F.col("pos") <= F.col("nk") - _MNZ_W + 1)
+    return (
+        wmin.groupBy("doc_id")
+        .agg(
+            F.first("nk").alias("nk"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct(F.col("mck") % 1024).alias("n_minimizers"),
+        )
+        .select(
+            "doc_id",
+            F.col("nk").cast("long").alias("n_kmers"),
+            F.col("n_windows").cast("long"),
+            F.col("n_minimizers").cast("long"),
+            F.expr("CAST(1000000 * n_minimizers div n_windows AS BIGINT)")
+            .alias("density_e6"),
+        )
+        .orderBy("doc_id")
+    )
