@@ -3510,3 +3510,174 @@ def daycount_accruals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accrual_act365_e9"
         ),
     ).orderBy("custkey", "d1")
+
+
+# ------------------------------------- real-time schedulability (RTA)
+
+_RTA_ITERS = 15
+
+
+@register_extra(
+    "response_time_analysis",
+    f"""
+    WITH RECURSIVE tasks0 AS (
+      SELECT p_partkey % 60 AS grp, p_partkey AS pk,
+             CAST(1 + ('0x' || substr(md5('C:' || CAST(p_partkey AS VARCHAR)),
+                                      1, 5))::BIGINT % 19 AS BIGINT) AS c,
+             CAST(20 + ('0x' || substr(md5('T:' || CAST(p_partkey AS VARCHAR)),
+                                       1, 5))::BIGINT % 180 AS BIGINT) AS t
+      FROM part
+    ),
+    tasks AS (
+      SELECT * FROM (
+        SELECT grp, pk, c, t,
+               row_number() OVER (PARTITION BY grp ORDER BY t, pk) AS rk
+        FROM tasks0
+      ) WHERE rk <= 5
+    ),
+    hp AS (
+      SELECT a.grp, a.rk,
+             coalesce(list(struct_pack(c := b.c, t := b.t)
+                           ORDER BY b.rk) FILTER (b.rk IS NOT NULL),
+                      []) AS hp
+      FROM tasks a LEFT JOIN tasks b
+        ON b.grp = a.grp AND b.rk < a.rk
+      GROUP BY a.grp, a.rk
+    ),
+    st(grp, rk, c, t, hp, m, r, rprev) AS (
+      SELECT a.grp, a.rk, a.c, a.t, h.hp, 0, a.c, CAST(NULL AS BIGINT)
+      FROM tasks a JOIN hp h ON h.grp = a.grp AND h.rk = a.rk
+      UNION ALL
+      SELECT grp, rk, c, t, hp, m + 1,
+             c + coalesce(list_sum(list_transform(hp,
+                   s -> ((r + s.t - 1) // s.t) * s.c)), 0),
+             r
+      FROM st WHERE m < {_RTA_ITERS}
+    ),
+    fin AS (
+      SELECT grp, rk, c, t, r, rprev
+      FROM st WHERE m = {_RTA_ITERS}
+    ),
+    hyper AS (
+      SELECT grp,
+             CASE WHEN product(t + c) <= 2 * product(t)
+                  THEN 1 ELSE 0 END AS hyper_ok
+      FROM tasks GROUP BY grp
+    )
+    SELECT CAST(f.grp AS BIGINT) AS grp, CAST(f.rk AS INT) AS prio_rank,
+           f.c AS wcet, f.t AS period,
+           CAST(f.r AS BIGINT) AS response_time,
+           CASE WHEN f.r = f.rprev AND f.r <= f.t THEN 'ok'
+                WHEN f.r > f.t THEN 'miss' ELSE 'open' END AS verdict,
+           CAST(h.hyper_ok AS INT) AS hyper_ok
+    FROM fin f JOIN hyper h ON h.grp = f.grp
+    ORDER BY grp, prio_rank
+    """,
+)
+def response_time_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-priority response-time analysis (Joseph & Pandya 1986) for
+    rate-monotonic task sets, plus Bini's hyperbolic schedulability
+    bound prod(1 + C_i/T_i) <= 2 as the exact integer inequality
+    prod(T_i + C_i) <= 2*prod(T_i). Task sets derive from part (60
+    groups x <=5 tasks, C in 1..19, T in 20..199, priority = smaller
+    period). The RTA recurrence R <- C_i + sum_j ceil(R/T_j)*C_j over
+    higher-priority tasks runs 15 exact-integer iterations — Spark as
+    chained higher-order folds over the per-task interference list
+    (collect_list is bounded by tasks-per-group, never data-sized),
+    the oracle as a recursive CTE carrying the same list. Monotonicity
+    makes the verdicts sound: 'miss' once R exceeds the deadline,
+    'ok' only at a converged fixpoint, 'open' otherwise. The
+    hyperbolic bound is SUFFICIENT, so hyper_ok=1 groups must be all
+    'ok' — a cross-method invariant the gate hash freezes."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), pk).cast("binary")), 1, 5
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    t0 = p.select(
+        (F.col("p_partkey") % 60).alias("grp"),
+        F.col("p_partkey").alias("pk"),
+        (1 + _h("C:") % 19).cast("long").alias("c"),
+        (20 + _h("T:") % 180).cast("long").alias("t"),
+    )
+    w = Window.partitionBy("grp").orderBy("t", "pk")
+    tasks = (
+        t0.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .localCheckpoint(eager=False)
+    )
+    b = tasks.select(
+        F.col("grp").alias("g2"),
+        F.col("rk").alias("rk2"),
+        F.col("c").alias("c2"),
+        F.col("t").alias("t2"),
+    )
+    hp = (
+        tasks.join(
+            b,
+            (F.col("g2") == F.col("grp")) & (F.col("rk2") < F.col("rk")),
+            "left",
+        )
+        .groupBy("grp", "rk")
+        .agg(
+            F.coalesce(
+                F.expr(
+                    "sort_array(collect_list(CASE WHEN rk2 IS NOT NULL THEN"
+                    " named_struct('rk2', rk2, 'c', c2, 't', t2) END))"
+                ),
+                F.expr("CAST(array() AS array<struct<rk2:int,c:bigint,t:bigint>>)"),
+            ).alias("hp0")
+        )
+        .withColumn("hp", F.expr("transform(hp0, s -> struct(s.c AS c, s.t AS t))"))
+        .drop("hp0")
+    )
+    cur = tasks.join(hp, ["grp", "rk"]).withColumn("r", F.col("c")).withColumn(
+        "rprev", F.lit(None).cast("long")
+    )
+    step = (
+        "c + coalesce(aggregate(hp, 0L,"
+        " (a, s) -> a + ((%s + s.t - 1) div s.t) * s.c), 0L)"
+    )
+    for it in range(_RTA_ITERS):
+        cur = cur.withColumn("rnext", F.expr(step % "r")).withColumn(
+            "rprev", F.col("r")
+        ).withColumn("r", F.col("rnext")).drop("rnext")
+        if it % 5 == 4:
+            # lineage cut: 15 stacked higher-order folds otherwise pile
+            # into one Catalyst tree that analysis/janino can't chew
+            # under a 1g driver (CLAUDE.md invariant)
+            cur = cur.localCheckpoint(eager=True)
+    hyper = tasks.groupBy("grp").agg(
+        F.when(
+            F.expr("aggregate(collect_list(t + c), 1L, (a, x) -> a * x)")
+            <= 2 * F.expr("aggregate(collect_list(t), 1L, (a, x) -> a * x)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("hyper_ok")
+    )
+    return (
+        cur.join(hyper, "grp")
+        .select(
+            F.col("grp").cast("long"),
+            F.col("rk").cast("int").alias("prio_rank"),
+            F.col("c").alias("wcet"),
+            F.col("t").alias("period"),
+            F.col("r").cast("long").alias("response_time"),
+            F.when(
+                (F.col("r") == F.col("rprev")) & (F.col("r") <= F.col("t")), "ok"
+            )
+            .when(F.col("r") > F.col("t"), "miss")
+            .otherwise("open")
+            .alias("verdict"),
+            F.col("hyper_ok").cast("int"),
+        )
+        .orderBy("grp", "prio_rank")
+    )
