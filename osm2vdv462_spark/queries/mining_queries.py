@@ -4947,3 +4947,138 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _e6("tn", "td", "theta_e6"),
         _e6("r2n", "r2d", "rho2_e6"),
     ).orderBy("variant")
+
+
+# ------------------------------------------------ instant-runoff vote
+
+# IRV / ranked-choice elimination (Hare 1857; used in AU/IE/SF
+# elections): each ballot ranks all 5 candidates (a deterministic
+# md5 permutation per event); each round counts every ballot's
+# top-ranked STILL-ACTIVE candidate and eliminates the weakest
+# (fewest first choices, ties eliminate the larger candidate id).
+# Four staged rounds leave a winner. Everything is exact counting —
+# the only subtlety is that a candidate can reach zero first-choice
+# votes and must still be rankable, hence the LEFT JOIN + coalesce 0.
+_IRV_ROUND_SQL = """
+r{r} AS (
+  SELECT cand, count(*) AS votes FROM (
+    SELECT b, min_by(cand, rnk) AS cand FROM prefs
+    WHERE cand NOT IN (SELECT cand FROM elim{p}) GROUP BY b
+  ) GROUP BY cand
+),
+a{r} AS (
+  SELECT c.cand, coalesce(v.votes, 0) AS votes
+  FROM (SELECT cand FROM allc
+        WHERE cand NOT IN (SELECT cand FROM elim{p})) c
+  LEFT JOIN r{r} v USING (cand)
+),
+e{r} AS (SELECT cand FROM a{r} ORDER BY votes, cand DESC LIMIT 1),
+elim{r} AS (SELECT cand FROM elim{p} UNION ALL SELECT cand FROM e{r})
+"""
+
+_IRV_ORACLE = (
+    """
+WITH prefs AS (
+  SELECT event_id AS b, c.cand,
+         row_number() OVER (
+           PARTITION BY event_id
+           ORDER BY md5('pv:' || CAST(c.cand AS VARCHAR) || ':'
+                        || CAST(event_id AS VARCHAR)), c.cand) AS rnk
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS cand) c
+),
+allc AS (SELECT unnest(generate_series(0, 4)) AS cand),
+elim0 AS (SELECT cand FROM allc WHERE cand < 0),
+"""
+    + ",".join(
+        _IRV_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, 5)
+    )
+    + """
+SELECT * FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+  SELECT {r} AS round, a{r}.cand, CAST(a{r}.votes AS BIGINT) AS votes,
+         CASE WHEN a{r}.cand IN (SELECT cand FROM e{r}) THEN 'eliminated'
+              WHEN {r} = 4 THEN 'winner' ELSE 'active' END AS status
+  FROM a{r}"""
+        for r in range(1, 5)
+    )
+    + """
+) ORDER BY round, cand
+"""
+)
+
+
+@register_extra("irv_elimination_rounds", _IRV_ORACLE)
+def irv_elimination_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-runoff elimination rounds (see oracle comment). Plan:
+    the ballot->preference fanout is 5x events (one projection), each
+    round is one anti-join against the (<=4-row, broadcast) eliminated
+    set, a per-ballot min_by partial agg, and a 5-row ranking — the
+    fact table is scanned once and reused via an eager localCheckpoint;
+    per-round state never touches the driver."""
+    ev = _t(spark, sf_dir, "events")
+    cands = spark.range(5).select(F.col("id").cast("int").alias("cand"))
+    prefs = (
+        ev.crossJoin(F.broadcast(cands))
+        .select(
+            F.col("event_id").alias("b"),
+            "cand",
+            F.md5(
+                F.concat(
+                    F.lit("pv:"),
+                    F.col("cand").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy("h", "cand")
+            ),
+        )
+        .drop("h")
+        .localCheckpoint(eager=True)
+    )
+    elim = cands.filter(F.col("cand") < 0)
+    out = []
+    for r in range(1, 5):
+        fc = (
+            prefs.join(F.broadcast(elim), "cand", "left_anti")
+            .groupBy("b")
+            .agg(F.expr("min_by(cand, rnk)").alias("cand"))
+            .groupBy("cand")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        active = (
+            cands.join(F.broadcast(elim), "cand", "left_anti")
+            .join(fc, "cand", "left")
+            .withColumn("votes", F.coalesce("votes", F.lit(0)))
+        )
+        er = (
+            active.orderBy("votes", F.desc("cand"))
+            .limit(1)
+            .select("cand")
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            active.join(
+                F.broadcast(er.withColumn("is_e", F.lit(1))), "cand", "left"
+            ).select(
+                F.lit(r).alias("round"),
+                "cand",
+                F.col("votes").cast("long"),
+                F.when(F.col("is_e") == 1, "eliminated")
+                .when(F.lit(r) == 4, "winner")
+                .otherwise("active")
+                .alias("status"),
+            )
+        )
+        elim = elim.unionByName(er).localCheckpoint(eager=True)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round", "cand")
