@@ -5082,3 +5082,194 @@ def irv_elimination_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("round", "cand")
+
+
+# ---------------------------------------------------- Elo rating replay
+
+# Elo (1960) with Swiss-style top pairing: 8 rounds, K=32, ratings in
+# exact e6 integers (update = +-32*(S_e6 - E_e6), zero-sum by
+# construction so no table symmetry is required). The expected-score
+# logistic 1/(1+10^(-d/400)) enters ONLY through this frozen 65-entry
+# e6 table over 25-point diff buckets (midpoint-evaluated, generated
+# once in Python and embedded as the same literal array in BOTH
+# engines — no float ever crosses). Match outcomes are skill-driven
+# (md5 latent 0..399 + 0..199 noise, ties are draws), so final
+# ratings must recover the latent skill order — the non-vacuity hook.
+_ELO_E6 = [
+    10632, 12257, 14128, 16279, 18751, 21591, 24850, 28586, 32865,
+    37760, 43351, 49728, 56986, 65231, 74575, 85135, 97033, 110395,
+    125340, 141986, 160437, 180780, 203079, 227365, 253632, 281825,
+    311844, 343530, 376674, 411013, 446242, 482019, 517981, 553758,
+    588987, 623326, 656470, 688156, 718175, 746368, 772635, 796921,
+    819220, 839563, 858014, 874660, 889605, 902967, 914865, 925425,
+    934769, 943014, 950272, 956649, 962240, 967135, 971414, 975150,
+    978409, 981249, 983721, 985872, 987743, 989368, 990780,
+]
+_ELO_ROUNDS = 8
+
+_ELO_ROUND_SQL = """
+rk{r} AS MATERIALIZED (
+  SELECT uid, re6,
+         row_number() OVER (ORDER BY re6 DESC, uid) AS rn,
+         count(*) OVER () AS np
+  FROM st{p}
+),
+res{r} AS MATERIALIZED (
+  SELECT a.uid AS ua, a.re6 AS ra, b.uid AS ub, b.re6 AS rb,
+         CASE WHEN ('0x' || substr(md5('sk:' || CAST(a.uid AS VARCHAR)),
+                                   1, 5))::BIGINT % 400
+                   + ('0x' || substr(md5('mn:{r}:'
+                       || CAST(a.uid AS VARCHAR) || ':'
+                       || CAST(b.uid AS VARCHAR)), 1, 5))::BIGINT % 200
+                 > ('0x' || substr(md5('sk:' || CAST(b.uid AS VARCHAR)),
+                                   1, 5))::BIGINT % 400
+                   + ('0x' || substr(md5('mo:{r}:'
+                       || CAST(a.uid AS VARCHAR) || ':'
+                       || CAST(b.uid AS VARCHAR)), 1, 5))::BIGINT % 200
+              THEN 1000000
+              WHEN ('0x' || substr(md5('sk:' || CAST(a.uid AS VARCHAR)),
+                                   1, 5))::BIGINT % 400
+                   + ('0x' || substr(md5('mn:{r}:'
+                       || CAST(a.uid AS VARCHAR) || ':'
+                       || CAST(b.uid AS VARCHAR)), 1, 5))::BIGINT % 200
+                 < ('0x' || substr(md5('sk:' || CAST(b.uid AS VARCHAR)),
+                                   1, 5))::BIGINT % 400
+                   + ('0x' || substr(md5('mo:{r}:'
+                       || CAST(a.uid AS VARCHAR) || ':'
+                       || CAST(b.uid AS VARCHAR)), 1, 5))::BIGINT % 200
+              THEN 0 ELSE 500000 END AS s_e6,
+         etab.e[CAST(least(greatest(a.re6 - b.re6 + 800000000, 0),
+                           1600000000) // 25000000 AS INT) + 1] AS e_e6
+  FROM rk{r} a JOIN rk{r} b ON a.rn % 2 = 1 AND b.rn = a.rn + 1
+  CROSS JOIN etab
+),
+st{r} AS MATERIALIZED (
+  SELECT ua AS uid, ra + 32 * (s_e6 - e_e6) AS re6 FROM res{r}
+  UNION ALL
+  SELECT ub, rb - 32 * (s_e6 - e_e6) FROM res{r}
+  UNION ALL
+  SELECT uid, re6 FROM rk{r} WHERE rn = np AND np % 2 = 1
+)
+"""
+
+_ELO_ORACLE = (
+    """
+WITH etab AS (SELECT """
+    + str(_ELO_E6)
+    + """ AS e),
+players AS (SELECT DISTINCT user_id AS uid FROM events),
+st0 AS MATERIALIZED (
+  SELECT uid, CAST(1500000000 AS BIGINT) AS re6 FROM players),
+"""
+    + ",".join(
+        _ELO_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, _ELO_ROUNDS + 1)
+    )
+    + f"""
+SELECT CAST(uid AS BIGINT) AS user_id,
+       CAST(('0x' || substr(md5('sk:' || CAST(uid AS VARCHAR)),
+                            1, 5))::BIGINT % 400 AS BIGINT) AS skill,
+       CAST(re6 AS BIGINT) AS rating_e6,
+       CAST(row_number() OVER (ORDER BY re6 DESC, uid) AS INT) AS rnk
+FROM st{_ELO_ROUNDS} ORDER BY rnk
+"""
+)
+
+
+@register_extra("elo_rating_rounds", _ELO_ORACLE)
+def elo_rating_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swiss-paired Elo replay (see oracle comment). Plan: the player
+    dim is the ONLY state (one row per player, localCheckpointed per
+    round); each round is a rating-ordered window rank, an odd/even
+    self-pair join on renamed projections, one literal-array lookup
+    (no join for the logistic table), and a zero-sum union — at scale
+    rounds are O(players), never O(events)."""
+    ev = _t(spark, sf_dir, "events")
+    arr = "array(" + ",".join(str(v) for v in _ELO_E6) + ")"
+
+    def _h5(expr: str) -> str:
+        return f"CAST(conv(substring(md5(CAST({expr} AS BINARY)), 1, 5), 16, 10) AS BIGINT)"
+
+    st = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .withColumn("re6", F.lit(1500000000).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, _ELO_ROUNDS + 1):
+        w = Window.orderBy(F.desc("re6"), F.asc("uid"))
+        rk = st.select(
+            "uid",
+            "re6",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+        )
+        a = rk.select(
+            F.col("uid").alias("ua"), F.col("re6").alias("ra"),
+            F.col("rn").alias("rna"),
+        )
+        b = rk.select(
+            F.col("uid").alias("ub"), F.col("re6").alias("rb"),
+            F.col("rn").alias("rnb"),
+        )
+        ska = _h5("concat('sk:', CAST(ua AS STRING))")
+        skb = _h5("concat('sk:', CAST(ub AS STRING))")
+        noa = _h5(
+            f"concat('mn:{r}:', CAST(ua AS STRING), ':', CAST(ub AS STRING))"
+        )
+        nob = _h5(
+            f"concat('mo:{r}:', CAST(ua AS STRING), ':', CAST(ub AS STRING))"
+        )
+        sa = f"{ska} % 400 + {noa} % 200"
+        sb = f"{skb} % 400 + {nob} % 200"
+        res = (
+            a.join(
+                b,
+                (F.col("rna") % 2 == 1) & (F.col("rnb") == F.col("rna") + 1),
+            )
+            .withColumn(
+                "s_e6",
+                F.expr(
+                    f"CASE WHEN {sa} > {sb} THEN 1000000L"
+                    f" WHEN {sa} < {sb} THEN 0L ELSE 500000L END"
+                ),
+            )
+            .withColumn(
+                "e_e6",
+                F.expr(
+                    f"element_at({arr}, CAST(least(greatest(ra - rb"
+                    " + 800000000L, 0L), 1600000000L) div 25000000 AS INT)"
+                    " + 1)"
+                ).cast("long"),
+            )
+        )
+        st = (
+            res.select(
+                F.col("ua").alias("uid"),
+                (F.col("ra") + 32 * (F.col("s_e6") - F.col("e_e6"))).alias("re6"),
+            )
+            .unionByName(
+                res.select(
+                    F.col("ub").alias("uid"),
+                    (F.col("rb") - 32 * (F.col("s_e6") - F.col("e_e6"))).alias(
+                        "re6"
+                    ),
+                )
+            )
+            .unionByName(
+                rk.filter(
+                    (F.col("rn") == F.col("np")) & (F.col("np") % 2 == 1)
+                ).select("uid", "re6")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return st.select(
+        F.col("uid").cast("long").alias("user_id"),
+        F.expr(_h5("concat('sk:', CAST(uid AS STRING))") + " % 400")
+        .cast("long")
+        .alias("skill"),
+        F.col("re6").cast("long").alias("rating_e6"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("re6"), F.asc("uid")))
+        .cast("int")
+        .alias("rnk"),
+    ).orderBy("rnk")
