@@ -4960,25 +4960,26 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only subtlety is that a candidate can reach zero first-choice
 # votes and must still be rankable, hence the LEFT JOIN + coalesce 0.
 _IRV_ROUND_SQL = """
-r{r} AS (
+r{r} AS MATERIALIZED (
   SELECT cand, count(*) AS votes FROM (
     SELECT b, min_by(cand, rnk) AS cand FROM prefs
     WHERE cand NOT IN (SELECT cand FROM elim{p}) GROUP BY b
   ) GROUP BY cand
 ),
-a{r} AS (
+a{r} AS MATERIALIZED (
   SELECT c.cand, coalesce(v.votes, 0) AS votes
   FROM (SELECT cand FROM allc
         WHERE cand NOT IN (SELECT cand FROM elim{p})) c
   LEFT JOIN r{r} v USING (cand)
 ),
 e{r} AS (SELECT cand FROM a{r} ORDER BY votes, cand DESC LIMIT 1),
-elim{r} AS (SELECT cand FROM elim{p} UNION ALL SELECT cand FROM e{r})
+elim{r} AS MATERIALIZED (
+  SELECT cand FROM elim{p} UNION ALL SELECT cand FROM e{r})
 """
 
 _IRV_ORACLE = (
     """
-WITH prefs AS (
+WITH prefs AS MATERIALIZED (
   SELECT event_id AS b, c.cand,
          row_number() OVER (
            PARTITION BY event_id
