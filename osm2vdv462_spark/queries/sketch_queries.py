@@ -2079,3 +2079,154 @@ def rans_entropy_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------ Miller-Rabin primality audit
+
+# Deterministic Miller-Rabin (Miller 1976 / Rabin 1980): for odd
+# n < 1,373,653 the witness bases {2, 3} decide primality EXACTLY
+# (Pomerance-Selfridge-Wagstaff) — that bound is precisely why the
+# candidate lattice stops at 1,373,003. Candidates are md5-derived odd
+# numbers plus three ENGINEERED strong-pseudoprime fixtures: 2047
+# (= 23*89, passes base 2), and 703 (= 19*37) and 121 (= 11^2), which
+# pass base 3 — so the per-base columns prove the d*2^s decomposition
+# and the squaring chain are genuinely exercised, hash-fatally. All
+# arithmetic is int64 (n < 2^21 -> products < 2^42). A base dividing n
+# (3 | n) is treated as a vacuous pass; base 2 then decides.
+_MR_ORACLE = """
+WITH RECURSIVE cand AS MATERIALIZED (
+  SELECT DISTINCT 3 + 2 * (('0x' || substr(md5('pr:'
+           || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 685000) AS n
+  FROM events
+  UNION
+  SELECT unnest([2047, 703, 121]) AS n
+),
+dec AS MATERIALIZED (
+  -- n - 1 = d * 2^s with d odd
+  SELECT n, (n - 1) // ((n - 1) & (-(n - 1))) AS d,
+         CAST(log2((n - 1) & (-(n - 1))) AS BIGINT) AS s
+  FROM cand
+),
+base AS MATERIALIZED (
+  SELECT n, d, s, unnest([2, 3]) AS a FROM dec
+),
+-- phase 1: x = a^d mod n by square-and-multiply over d's 21 bits
+me(n, d, s, a, k, r, p) AS (
+  SELECT n, d, s, a, 0, CAST(1 AS BIGINT), CAST(a % n AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT n, d, s, a, k + 1,
+         CASE WHEN ((d >> k) & 1) = 1 THEN r * p % n ELSE r END,
+         p * p % n
+  FROM me WHERE k < 21
+),
+x0 AS MATERIALIZED (
+  SELECT n, s, a, r AS x FROM me WHERE k = 21
+),
+-- phase 2: up to s-1 squarings hunting for x == n-1
+sq(n, s, a, j, x, ok) AS (
+  SELECT n, s, a, 0, x,
+         CASE WHEN a % n = 0 OR x = 1 OR x = n - 1 THEN 1 ELSE 0 END
+  FROM x0
+  UNION ALL
+  SELECT n, s, a, j + 1, x * x % n,
+         CASE WHEN ok = 1 OR (x * x % n) = n - 1 THEN 1 ELSE 0 END
+  FROM sq WHERE ok = 0 AND j < s - 1
+),
+fin AS MATERIALIZED (
+  SELECT n, a, max(ok) AS pass
+  FROM sq GROUP BY n, a
+)
+SELECT CAST(f.n AS BIGINT) AS n,
+       CAST(max(CASE WHEN a = 2 THEN pass END) AS INT) AS passes_b2,
+       CAST(max(CASE WHEN a = 3 THEN pass END) AS INT) AS passes_b3,
+       CAST(min(pass) AS INT) AS is_prime
+FROM fin f GROUP BY f.n
+ORDER BY n
+"""
+
+
+@register_extra("miller_rabin_audit", _MR_ORACLE)
+def miller_rabin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Miller-Rabin verdicts (see oracle comment). Spark
+    runs both phases as single-level higher-order folds per candidate
+    (21-step square-and-multiply, then a flag-guarded 20-step squaring
+    chain) — zero joins, zero Python, whole rows stay in one map
+    stage; the oracle replays the identical recurrences as recursive
+    CTEs. tests/test_sketches.py referees the verdicts against trial
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    cand = (
+        ev.select(
+            (
+                3
+                + 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("pr:"),
+                                    F.col("event_id").cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 685000
+                )
+            ).alias("n")
+        )
+        .union(
+            ev.sparkSession.createDataFrame(
+                [(2047,), (703,), (121,)], "n long"
+            )
+        )
+        .distinct()
+    )
+    dec = cand.selectExpr(
+        "n",
+        "(n - 1) div ((n - 1) & (-(n - 1))) AS d",
+        "CAST(log2(CAST((n - 1) & (-(n - 1)) AS DOUBLE)) AS BIGINT) AS s",
+    )
+    base = dec.selectExpr("n", "d", "s", "explode(array(2L, 3L)) AS a")
+    x0 = base.withColumn(
+        "x",
+        F.expr(
+            "aggregate(sequence(0, 20),"
+            " named_struct('r', 1L, 'p', a % n),"
+            " (acc, k) -> named_struct("
+            "   'r', IF(((d >> k) & 1) = 1, acc.r * acc.p % n, acc.r),"
+            "   'p', acc.p * acc.p % n),"
+            " acc -> acc.r)"
+        ),
+    )
+    fin = x0.withColumn(
+        "pass",
+        F.expr(
+            "aggregate(sequence(1, 20),"
+            " named_struct('x', x, 'j', 0L,"
+            "   'ok', IF(a % n = 0 OR x = 1 OR x = n - 1, 1L, 0L)),"
+            " (acc, k) -> IF(acc.ok = 1 OR acc.j >= s - 1, acc,"
+            "   named_struct('x', acc.x * acc.x % n, 'j', acc.j + 1,"
+            "     'ok', IF(acc.x * acc.x % n = n - 1, 1L, 0L))),"
+            " acc -> acc.ok)"
+        ),
+    )
+    return (
+        fin.groupBy("n")
+        .agg(
+            F.max(F.when(F.col("a") == 2, F.col("pass")))
+            .cast("int")
+            .alias("passes_b2"),
+            F.max(F.when(F.col("a") == 3, F.col("pass")))
+            .cast("int")
+            .alias("passes_b3"),
+            F.min("pass").cast("int").alias("is_prime"),
+        )
+        .select(F.col("n").cast("long"), "passes_b2", "passes_b3", "is_prime")
+        .orderBy("n")
+    )

@@ -144,3 +144,31 @@ def test_pagerank_matches_numpy_fixed_point(spark, sf_dir):
         rank = sk.PR_BASE_E12 + (85 * contrib) // 100
     want = {n: int(rank[idx[n]]) for n in nodes}
     assert got == want
+
+
+class TestMillerRabinReferee:
+    def test_matches_trial_division(self, spark, sf_dir):
+        """Third derivation for miller_rabin_audit: brute trial
+        division must agree with the two-base deterministic MR
+        verdicts on every candidate, including the engineered
+        strong-pseudoprime fixtures (2047 fools base 2; 703 and 121
+        fool base 3)."""
+        from osm2vdv462_spark.queries.sketch_queries import miller_rabin_audit
+
+        rows = miller_rabin_audit(spark, sf_dir).collect()
+        assert len(rows) > 100
+
+        def isp(n):
+            if n < 2:
+                return False
+            i = 2
+            while i * i <= n:
+                if n % i == 0:
+                    return False
+                i += 1
+            return True
+
+        fx = {r["n"]: (r["passes_b2"], r["passes_b3"]) for r in rows}
+        assert fx[2047] == (1, 0) and fx[703] == (0, 1) and fx[121] == (0, 1)
+        for r in rows:
+            assert bool(r["is_prime"]) == isp(r["n"]), r
