@@ -7332,3 +7332,264 @@ def kmer_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- BLEU components
+
+# BLEU (Papineni 2002) with exact arithmetic: candidate = the document
+# with every 5th word (md5-gated) dropped, reference = the original.
+# For n = 1..4 the modified (clipped) precision p_n = sum_g min(
+# cand_count(g), ref_count(g)) / n_cand_ngrams rides as an exact
+# rational; the geometric-mean core is reported as the exact product
+# prod p_n (a monotone transform of BLEU without the 1/4 root, so
+# ordering is preserved) floored at e6, and the brevity penalty's
+# inputs (cand/ref lengths) are exact integers — only exp(1 - r/c)
+# itself is left to the reader, keeping every cross-engine number
+# integral. ROUGE-L lives in rouge_lcs_pairs; this completes the MT
+# evaluation pair.
+_BLEU_ORACLE = """
+WITH dd AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE strlen(text) = length(text)
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, i::BIGINT AS pos, w
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(t), '\\s+')) AS w,
+           unnest(generate_series(1,
+             len(string_split_regex(trim(t), '\\s+')))) AS i
+    FROM dd
+  ) WHERE w <> ''
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, pos, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS cpos
+  FROM tok
+  WHERE ('0x' || substr(md5('bd:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(pos AS VARCHAR)), 1, 4))::BIGINT
+        % 5 <> 0
+),
+grams AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT 'c' AS side, doc_id, n.n,
+           concat_ws(' ', w,
+             lead(w, 1) OVER wo, lead(w, 2) OVER wo,
+             lead(w, 3) OVER wo) AS g4,
+           lead(w, 3) OVER wo AS w4, lead(w, 2) OVER wo AS w3,
+           lead(w, 1) OVER wo AS w2, w AS w1, cpos AS p
+    FROM cand CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) n
+    WINDOW wo AS (PARTITION BY doc_id, n.n ORDER BY cpos)
+    UNION ALL
+    SELECT 'r', doc_id, n.n,
+           concat_ws(' ', w,
+             lead(w, 1) OVER wo2, lead(w, 2) OVER wo2,
+             lead(w, 3) OVER wo2),
+           lead(w, 3) OVER wo2, lead(w, 2) OVER wo2,
+           lead(w, 1) OVER wo2, w, pos
+    FROM tok CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) n
+    WINDOW wo2 AS (PARTITION BY doc_id, n.n ORDER BY pos)
+  )
+),
+ng AS MATERIALIZED (
+  SELECT side, doc_id, n,
+         CASE n WHEN 1 THEN w1
+                WHEN 2 THEN concat_ws(' ', w1, w2)
+                WHEN 3 THEN concat_ws(' ', w1, w2, w3)
+                ELSE g4 END AS gram
+  FROM grams
+  WHERE (n = 1)
+     OR (n = 2 AND w2 IS NOT NULL)
+     OR (n = 3 AND w3 IS NOT NULL)
+     OR (n = 4 AND w4 IS NOT NULL)
+),
+cnt AS MATERIALIZED (
+  SELECT doc_id, n, gram,
+         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+         sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+  FROM ng GROUP BY 1, 2, 3
+),
+prec AS MATERIALIZED (
+  SELECT doc_id, n, sum(least(cc, rc)) AS clip, sum(cc) AS tot
+  FROM cnt GROUP BY 1, 2
+),
+lens AS MATERIALIZED (
+  SELECT t.doc_id, count(*) AS rlen, count(c.cpos) AS clen
+  FROM tok t LEFT JOIN cand c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  GROUP BY 1
+),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN clip END) AS p1n,
+         max(CASE WHEN n = 1 THEN tot END) AS p1d,
+         max(CASE WHEN n = 4 THEN clip END) AS p4n,
+         max(CASE WHEN n = 4 THEN tot END) AS p4d,
+         list_reduce(list_prepend(CAST(1 AS BIGINT),
+                                  list(clip ORDER BY n)),
+                     (a, x) -> a * x) AS pn,
+         list_reduce(list_prepend(CAST(1 AS BIGINT),
+                                  list(tot ORDER BY n)),
+                     (a, x) -> a * x) AS pd
+  FROM prec WHERE tot > 0
+  GROUP BY doc_id HAVING count(*) = 4
+)
+SELECT a.doc_id, CAST(l.clen AS BIGINT) AS cand_len,
+       CAST(l.rlen AS BIGINT) AS ref_len,
+       CAST(p1n AS BIGINT) AS p1_num, CAST(p1d AS BIGINT) AS p1_den,
+       CAST(p4n AS BIGINT) AS p4_num, CAST(p4d AS BIGINT) AS p4_den,
+       CAST(CASE WHEN pd > 0 THEN 1000000 * pn // pd ELSE 0 END
+            AS BIGINT) AS core_e6
+FROM agg a JOIN lens l ON l.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+@register_extra("bleu_ngram_precisions", _BLEU_ORACLE)
+def bleu_ngram_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BLEU components per document (see oracle comment). Plan:
+    tokens explode once; the 4 n-gram orders build from ONE window
+    pass of 3 leads (no per-n re-tokenization); clipped counts are a
+    single (doc, n, gram) partial agg — the same shuffle shape the
+    gated ngram/rouge rows use, linear in corpus size."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("t"), r"\s+")).alias("i", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "w")
+        .localCheckpoint(eager=False)
+    )
+    cand = tok.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bd:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        != 0
+    ).withColumn(
+        "cpos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+
+    def _ngrams(src, ordcol):
+        wo = Window.partitionBy("doc_id").orderBy(ordcol)
+        g = src.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(wo).alias("w2"),
+            F.lead("w", 2).over(wo).alias("w3"),
+            F.lead("w", 3).over(wo).alias("w4"),
+        )
+        return (
+            g.select("doc_id", F.lit(1).alias("n"), F.col("w1").alias("gram"))
+            .unionByName(
+                g.filter(F.col("w2").isNotNull()).select(
+                    "doc_id",
+                    F.lit(2).alias("n"),
+                    F.concat_ws(" ", "w1", "w2").alias("gram"),
+                )
+            )
+            .unionByName(
+                g.filter(F.col("w3").isNotNull()).select(
+                    "doc_id",
+                    F.lit(3).alias("n"),
+                    F.concat_ws(" ", "w1", "w2", "w3").alias("gram"),
+                )
+            )
+            .unionByName(
+                g.filter(F.col("w4").isNotNull()).select(
+                    "doc_id",
+                    F.lit(4).alias("n"),
+                    F.concat_ws(" ", "w1", "w2", "w3", "w4").alias("gram"),
+                )
+            )
+        )
+
+    ngc = _ngrams(cand, "cpos").withColumn("side", F.lit("c"))
+    ngr = _ngrams(tok, "pos").withColumn("side", F.lit("r"))
+    cnt = (
+        ngc.unionByName(ngr)
+        .groupBy("doc_id", "n", "gram")
+        .agg(
+            F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("cc"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+        )
+    )
+    prec = (
+        cnt.groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.least("cc", "rc")).alias("clip"),
+            F.sum("cc").alias("tot"),
+        )
+        .filter(F.col("tot") > 0)
+    )
+    D = "decimal(38,0)"
+    agg = (
+        prec.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("p1n"),
+            F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("p1d"),
+            F.max(F.when(F.col("n") == 4, F.col("clip"))).alias("p4n"),
+            F.max(F.when(F.col("n") == 4, F.col("tot"))).alias("p4d"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(n, clip))),"
+                " CAST(1 AS DECIMAL(38,0)),"
+                " (a, x) -> CAST(a * x.clip AS DECIMAL(38,0)))"
+            ).alias("pn"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(n, tot))),"
+                " CAST(1 AS DECIMAL(38,0)),"
+                " (a, x) -> CAST(a * x.tot AS DECIMAL(38,0)))"
+            ).alias("pd"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .filter(F.col("nn") == 4)
+    )
+    lens = (
+        tok.join(
+            cand.select("doc_id", "pos", F.lit(1).alias("kept")),
+            ["doc_id", "pos"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("rlen"),
+            F.sum(F.coalesce("kept", F.lit(0))).alias("clen"),
+        )
+    )
+    return (
+        agg.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.col("clen").cast("long").alias("cand_len"),
+            F.col("rlen").cast("long").alias("ref_len"),
+            F.col("p1n").cast("long").alias("p1_num"),
+            F.col("p1d").cast("long").alias("p1_den"),
+            F.col("p4n").cast("long").alias("p4_num"),
+            F.col("p4d").cast("long").alias("p4_den"),
+            F.expr(
+                "CAST(CASE WHEN pd > 0 THEN"
+                " (CAST(1000000 AS DECIMAL(38,0)) * pn"
+                "  - pmod(CAST(1000000 AS DECIMAL(38,0)) * pn, pd)) div pd"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("core_e6"),
+        )
+        .orderBy("doc_id")
+    )
