@@ -3681,3 +3681,212 @@ def response_time_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "prio_rank")
     )
+
+
+# ---------------------------------------- Belady OPT vs LRU replay
+
+_OPT_STEPS = 160
+
+
+@register_extra(
+    "belady_opt_replacement",
+    f"""
+    WITH RECURSIVE shards AS (
+      SELECT unnest(generate_series(0, 3)) AS s
+    ),
+    trace AS MATERIALIZED (
+      SELECT s, CAST(t AS BIGINT) AS t,
+             least(('0x' || substr(md5('opa:' || CAST(s AS VARCHAR) || ':'
+                      || CAST(t AS VARCHAR)), 1, 4))::BIGINT % 12,
+                   ('0x' || substr(md5('opb:' || CAST(s AS VARCHAR) || ':'
+                      || CAST(t AS VARCHAR)), 1, 4))::BIGINT % 12) AS p
+      FROM shards, (SELECT unnest(generate_series(1, {_OPT_STEPS})) AS t)
+    ),
+    tnu AS MATERIALIZED (
+      SELECT s, t, p,
+             coalesce(lead(t) OVER (PARTITION BY s, p ORDER BY t),
+                      9999) AS nxt
+      FROM trace
+    ),
+    st(s, t, fro, flru, mo, ml) AS (
+      SELECT s, CAST(0 AS BIGINT),
+             [{{'page': CAST(-1 AS BIGINT), 'nu': CAST(9999 AS BIGINT)}},
+              {{'page': CAST(-2 AS BIGINT), 'nu': CAST(9999 AS BIGINT)}},
+              {{'page': CAST(-3 AS BIGINT), 'nu': CAST(9999 AS BIGINT)}},
+              {{'page': CAST(-4 AS BIGINT), 'nu': CAST(9999 AS BIGINT)}}],
+             [CAST(-1 AS BIGINT), CAST(-2 AS BIGINT),
+              CAST(-3 AS BIGINT), CAST(-4 AS BIGINT)],
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM shards
+      UNION ALL
+      SELECT s2.s, s2.t,
+             CASE WHEN s2.hok > 0 THEN
+               list_transform(s2.fro, (f, i) ->
+                 CASE WHEN i = s2.hok
+                      THEN {{'page': f.page, 'nu': s2.nxt}} ELSE f END)
+             ELSE
+               list_transform(s2.fro, (f, i) ->
+                 CASE WHEN i = s2.vk
+                      THEN {{'page': s2.p, 'nu': s2.nxt}} ELSE f END)
+             END,
+             CASE WHEN s2.hlru
+                  THEN list_prepend(s2.p,
+                         list_filter(s2.flru, x -> x <> s2.p))
+                  ELSE list_prepend(s2.p, s2.flru[1:3]) END,
+             s2.mo + CASE WHEN s2.hok > 0 THEN 0 ELSE 1 END,
+             s2.ml + CASE WHEN s2.hlru THEN 0 ELSE 1 END
+      FROM (
+        SELECT s1.*,
+               CASE WHEN s1.freek > 0 THEN s1.freek
+                    ELSE 16 - (list_max(list_transform(s1.fro,
+                           (f, i) -> f.nu * 16 + (16 - i))) % 16)
+               END AS vk
+        FROM (
+          SELECT s0.*,
+                 coalesce(list_min(list_filter(
+                   list_transform(s0.fro, (f, i) ->
+                     CASE WHEN f.page = s0.p
+                          THEN CAST(i AS BIGINT) END),
+                   x -> x IS NOT NULL)), 0) AS hok,
+                 coalesce(list_min(list_filter(
+                   list_transform(s0.fro, (f, i) ->
+                     CASE WHEN f.page < 0
+                          THEN CAST(i AS BIGINT) END),
+                   x -> x IS NOT NULL)), 0) AS freek,
+                 list_contains(s0.flru, s0.p) AS hlru
+          FROM (
+            SELECT st.s, st.t + 1 AS t, st.fro, st.flru, st.mo, st.ml,
+                   n.p, n.nxt
+            FROM st JOIN tnu n ON n.s = st.s AND n.t = st.t + 1
+            WHERE st.t < {_OPT_STEPS}
+          ) s0
+        ) s1
+      ) s2
+    )
+    SELECT s, CAST({_OPT_STEPS} AS BIGINT) AS n_access,
+           CAST(mo AS BIGINT) AS misses_opt,
+           CAST(ml AS BIGINT) AS misses_lru,
+           CAST(list_sum(list_transform(fro, (f, i) -> f.page * i))
+                AS BIGINT) AS opt_frame_chk,
+           CAST(CASE WHEN mo <= ml THEN 1 ELSE 0 END AS INT) AS opt_le_lru
+    FROM (SELECT *, row_number() OVER (PARTITION BY s
+                                       ORDER BY t DESC) AS rn
+          FROM st) WHERE rn = 1
+    ORDER BY s
+    """,
+)
+def belady_opt_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Belady's OPT (MIN) page replacement — the provably optimal
+    clairvoyant policy every cache study benchmarks against — replayed
+    next to LRU on the same skewed md5 page stream the gated CLOCK row
+    uses (4 frames, least-of-two-draws % 12, 4 shards x 160 steps).
+    The 'clairvoyance' is just a relational LEAD: next-use indices are
+    precomputed per (shard, page) and carried with each access, so the
+    replay state machine evicts the frame with max next-use (free
+    slots first, slot-index tie-break via an exact nu*16+(16-i)
+    encoding). Spark runs the fold per shard in applyInPandas over the
+    window-derived trace; the oracle is the identical recursive list
+    machine. misses_opt <= misses_lru is hash-frozen per shard —
+    OPT's optimality, visible in the gate."""
+    shards = spark.range(0, 4).select(F.col("id").alias("s"))
+    tr = shards.select(
+        "s", F.explode(F.sequence(F.lit(1), F.lit(_OPT_STEPS))).alias("t")
+    ).select(
+        "s",
+        F.col("t").cast("long"),
+        F.least(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("opa:"),
+                            F.col("s").cast("string"),
+                            F.lit(":"),
+                            F.col("t").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 12,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("opb:"),
+                            F.col("s").cast("string"),
+                            F.lit(":"),
+                            F.col("t").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 12,
+        ).alias("p"),
+    )
+    tnu = tr.withColumn(
+        "nxt",
+        F.coalesce(
+            F.lead("t").over(Window.partitionBy("s", "p").orderBy("t")),
+            F.lit(9999),
+        ),
+    )
+
+    def _replay(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        fro = [[-1 - i, 9999] for i in range(4)]
+        flru = [-1, -2, -3, -4]
+        mo = ml = 0
+        for p, nxt in zip(pdf["p"], pdf["nxt"]):
+            p, nxt = int(p), int(nxt)
+            hit = next((i for i, f in enumerate(fro) if f[0] == p), -1)
+            if hit >= 0:
+                fro[hit][1] = nxt
+            else:
+                mo += 1
+                free = next(
+                    (i for i, f in enumerate(fro) if f[0] < 0), -1
+                )
+                if free >= 0:
+                    fro[free] = [p, nxt]
+                else:
+                    enc = [f[1] * 16 + (15 - i) for i, f in enumerate(fro)]
+                    vk = 15 - (max(enc) % 16)
+                    fro[vk] = [p, nxt]
+            if p in flru:
+                flru.remove(p)
+                flru.insert(0, p)
+            else:
+                ml += 1
+                flru = [p] + flru[:3]
+        return pd.DataFrame(
+            {
+                "s": [int(key[0])],
+                "n_access": [len(pdf)],
+                "misses_opt": [mo],
+                "misses_lru": [ml],
+                "opt_frame_chk": [
+                    sum(f[0] * (i + 1) for i, f in enumerate(fro))
+                ],
+                "opt_le_lru": [1 if mo <= ml else 0],
+            }
+        )
+
+    return (
+        tnu.groupBy("s")
+        .applyInPandas(
+            _replay,
+            "s long, n_access long, misses_opt long, misses_lru long,"
+            " opt_frame_chk long, opt_le_lru int",
+        )
+        .orderBy("s")
+    )
