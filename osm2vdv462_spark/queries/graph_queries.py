@@ -3166,3 +3166,206 @@ def wl_color_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("graph_id", "wl_color")
     )
+
+
+# ------------------------------------------- vector clock causality
+
+# Vector clocks (Fidge/Mattern 1988) over a deterministic 8-actor
+# message DAG: each actor's first 12 events (by ts) form its process
+# chain; an md5 gate turns ~1/3 of events into receives of a message
+# from an earlier event of another actor (s' < s keeps the graph
+# acyclic by construction). VC(e) per actor = max ancestor seq of
+# that actor. The non-vacuity hook is the VC THEOREM itself: e -> f
+# iff VC(e) dominates componentwise — so each event's ancestor count
+# from the transitive closure (n_before) must EQUAL the count of
+# events whose full 8-vector is dominated (n_vc_dominated); the gate
+# hash freezes both numbers per event.
+_VC_ORACLE = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id % 8 AS a,
+         row_number() OVER (PARTITION BY user_id % 8
+                            ORDER BY ts, event_id) AS s
+  FROM events QUALIFY s <= 12
+),
+nodes AS MATERIALIZED (SELECT a, CAST(s AS BIGINT) AS s FROM ev),
+edges AS MATERIALIZED (
+  SELECT a AS fa, s - 1 AS fs, a AS ta, s AS ts FROM nodes WHERE s >= 2
+  UNION ALL
+  SELECT (a + 1 + ('0x' || substr(md5('vb:' || CAST(a AS VARCHAR) || ':'
+            || CAST(s AS VARCHAR)), 1, 4))::BIGINT % 7) % 8,
+         s - 1 - ('0x' || substr(md5('vd:' || CAST(a AS VARCHAR) || ':'
+            || CAST(s AS VARCHAR)), 1, 4))::BIGINT % 2,
+         a, s
+  FROM nodes
+  WHERE s >= 2
+    AND ('0x' || substr(md5('vc:' || CAST(a AS VARCHAR) || ':'
+          || CAST(s AS VARCHAR)), 1, 4))::BIGINT % 3 = 0
+    AND s - 1 - ('0x' || substr(md5('vd:' || CAST(a AS VARCHAR) || ':'
+          || CAST(s AS VARCHAR)), 1, 4))::BIGINT % 2 >= 1
+),
+reach(fa, fs, ta, ts) AS (
+  SELECT fa, fs, ta, ts FROM edges
+  UNION
+  SELECT r.fa, r.fs, e.ta, e.ts
+  FROM reach r JOIN edges e ON e.fa = r.ta AND e.fs = r.ts
+),
+anc AS MATERIALIZED (
+  -- reflexive ancestors
+  SELECT ta AS a, ts AS s, fa AS ba, fs AS bs FROM reach
+  UNION
+  SELECT a, s, a, s FROM nodes
+),
+vc AS MATERIALIZED (
+  SELECT n.a, n.s,
+         coalesce(max(CASE WHEN x.ba = 0 THEN x.bs END), 0) AS vc0,
+         coalesce(max(CASE WHEN x.ba = 1 THEN x.bs END), 0) AS vc1,
+         coalesce(max(CASE WHEN x.ba = 2 THEN x.bs END), 0) AS vc2,
+         coalesce(max(CASE WHEN x.ba = 3 THEN x.bs END), 0) AS vc3,
+         coalesce(max(CASE WHEN x.ba = 4 THEN x.bs END), 0) AS vc4,
+         coalesce(max(CASE WHEN x.ba = 5 THEN x.bs END), 0) AS vc5,
+         coalesce(max(CASE WHEN x.ba = 6 THEN x.bs END), 0) AS vc6,
+         coalesce(max(CASE WHEN x.ba = 7 THEN x.bs END), 0) AS vc7
+  FROM nodes n JOIN anc x ON x.a = n.a AND x.s = n.s
+  GROUP BY n.a, n.s
+),
+nb AS MATERIALIZED (
+  SELECT a, s, count(*) - 1 AS n_before
+  FROM anc GROUP BY a, s
+),
+dom AS MATERIALIZED (
+  SELECT e.a, e.s, count(*) AS n_dom
+  FROM vc e JOIN vc f
+    ON f.vc0 <= e.vc0 AND f.vc1 <= e.vc1 AND f.vc2 <= e.vc2
+   AND f.vc3 <= e.vc3 AND f.vc4 <= e.vc4 AND f.vc5 <= e.vc5
+   AND f.vc6 <= e.vc6 AND f.vc7 <= e.vc7
+   AND NOT (f.a = e.a AND f.s = e.s)
+  GROUP BY e.a, e.s
+)
+SELECT CAST(v.a AS INT) AS actor, CAST(v.s AS INT) AS seq,
+       vc0, vc1, vc2, vc3, vc4, vc5, vc6, vc7,
+       CAST(n.n_before AS BIGINT) AS n_before,
+       CAST(coalesce(d.n_dom, 0) AS BIGINT) AS n_vc_dominated
+FROM vc v
+JOIN nb n ON n.a = v.a AND n.s = v.s
+LEFT JOIN dom d ON d.a = v.a AND d.s = v.s
+ORDER BY actor, seq
+"""
+
+
+@register_extra("vector_clock_causality", _VC_ORACLE)
+def vector_clock_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector clocks + the Fidge/Mattern causality theorem as a
+    self-auditing pair (see oracle comment). Plan: the sampled DAG is
+    actor-bounded (8 x 12 nodes) regardless of fact size — one window
+    rank samples it; the transitive closure runs as pointer-doubling
+    joins (4 rounds covers depth 16 > 12 levels); VC assembly and the
+    domination join are dim-sized. At 100 TB only the first window
+    pass touches the fact table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("a").orderBy("ts", "event_id")
+    nodes = (
+        ev.select((F.col("user_id") % 8).alias("a"), "ts", "event_id")
+        .withColumn("s", F.row_number().over(w).cast("long"))
+        .filter(F.col("s") <= 12)
+        .select("a", "s")
+        .localCheckpoint(eager=True)
+    )
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("s").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    chain = nodes.filter(F.col("s") >= 2).select(
+        F.col("a").alias("fa"),
+        (F.col("s") - 1).alias("fs"),
+        F.col("a").alias("ta"),
+        F.col("s").alias("ts"),
+    )
+    recv = (
+        nodes.filter(F.col("s") >= 2)
+        .filter(_h4("vc:") % 3 == 0)
+        .withColumn("sp", F.col("s") - 1 - _h4("vd:") % 2)
+        .filter(F.col("sp") >= 1)
+        .select(
+            ((F.col("a") + 1 + _h4("vb:") % 7) % 8).alias("fa"),
+            F.col("sp").alias("fs"),
+            F.col("a").alias("ta"),
+            F.col("s").alias("ts"),
+        )
+    )
+    edges = chain.unionByName(recv).localCheckpoint(eager=True)
+    reach = edges
+    for _ in range(4):  # doubling: covers path depth 16 > 12 levels
+        r2 = reach.alias("x").join(
+            reach.alias("y"),
+            (F.col("y.fa") == F.col("x.ta")) & (F.col("y.fs") == F.col("x.ts")),
+        ).select(
+            F.col("x.fa").alias("fa"),
+            F.col("x.fs").alias("fs"),
+            F.col("y.ta").alias("ta"),
+            F.col("y.ts").alias("ts"),
+        )
+        reach = reach.unionByName(r2).distinct().localCheckpoint(eager=True)
+    anc = (
+        reach.select(
+            F.col("ta").alias("a"),
+            F.col("ts").alias("s"),
+            F.col("fa").alias("ba"),
+            F.col("fs").alias("bs"),
+        )
+        .unionByName(
+            nodes.select(
+                "a", "s", F.col("a").alias("ba"), F.col("s").alias("bs")
+            )
+        )
+        .distinct()
+    )
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("ba") == b, F.col("bs"))), F.lit(0)
+        ).alias(f"vc{b}")
+        for b in range(8)
+    ]
+    vc = anc.groupBy("a", "s").agg(
+        *aggs, (F.count(F.lit(1)) - 1).alias("n_before")
+    )
+    e = vc.select(
+        F.col("a").alias("ea"),
+        F.col("s").alias("es"),
+        F.col("n_before"),
+        *[F.col(f"vc{b}").alias(f"e{b}") for b in range(8)],
+    )
+    f = vc.select(
+        F.col("a").alias("fa2"),
+        F.col("s").alias("fs2"),
+        *[F.col(f"vc{b}").alias(f"f{b}") for b in range(8)],
+    )
+    cond = (~((F.col("fa2") == F.col("ea")) & (F.col("fs2") == F.col("es"))))
+    for b in range(8):
+        cond = cond & (F.col(f"f{b}") <= F.col(f"e{b}"))
+    dom = (
+        e.join(f, cond, "left")
+        .groupBy("ea", "es", "n_before", *[f"e{b}" for b in range(8)])
+        .agg(F.count(F.col("fa2")).alias("n_dom"))
+    )
+    return dom.select(
+        F.col("ea").cast("int").alias("actor"),
+        F.col("es").cast("int").alias("seq"),
+        *[F.col(f"e{b}").cast("long").alias(f"vc{b}") for b in range(8)],
+        F.col("n_before").cast("long"),
+        F.col("n_dom").cast("long").alias("n_vc_dominated"),
+    ).orderBy("actor", "seq")
