@@ -3823,3 +3823,226 @@ def johnson_two_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ------------------------------------- matrix chain multiplication
+
+# Matrix-chain ordering (Godbole 1973; CLRS ch. 15) — the canonical
+# interval DP: cost(i,j) = min_k cost(i,k) + cost(k+1,j) +
+# d_{i-1} d_k d_j. Chains of 8 matrices per customer group, md5 dims
+# in 5..60 (costs stay < 2^21, exact int64). The DP unrolls by
+# interval LENGTH — each length joins two shorter-interval relations
+# and min-reduces, so both engines run the identical 7 staged rounds;
+# the top-level argmin split and the exact left-to-right baseline make
+# the optimization visible (ratio_e6 floor < 1e6 in nearly every
+# group).
+_MCM_M = 8
+
+_MCM_LEN_SQL = """
+b{L} AS MATERIALIZED (
+  SELECT * FROM b{P}
+  UNION ALL
+  SELECT g, i, j, min(cost) AS cost,
+         min_by(k, cost * 16 + k) AS split
+  FROM (
+    SELECT l.g, l.i, r.j, l.j AS k,
+           l.cost + r.cost
+             + di.d * dk.d * dj.d AS cost
+    FROM b{P} l
+    JOIN b{P} r ON r.g = l.g AND r.i = l.j + 1
+                AND r.j - l.i + 1 = {L}
+    JOIN dims di ON di.g = l.g AND di.t = l.i - 1
+    JOIN dims dk ON dk.g = l.g AND dk.t = l.j
+    JOIN dims dj ON dj.g = l.g AND dj.t = r.j
+  )
+  GROUP BY g, i, j
+)
+"""
+
+_MCM_ORACLE = (
+    """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 50 AS g FROM orders
+),
+dims AS MATERIALIZED (
+  SELECT g, t,
+         CAST(5 + ('0x' || substr(md5('mc:' || CAST(g AS VARCHAR) || ':'
+                || CAST(t AS VARCHAR)), 1, 5))::BIGINT % 56 AS BIGINT) AS d
+  FROM grp, (SELECT unnest(generate_series(0, """
+    + str(_MCM_M)
+    + """)) AS t)
+),
+b1 AS MATERIALIZED (
+  SELECT g, t AS i, t AS j, CAST(0 AS BIGINT) AS cost,
+         CAST(0 AS BIGINT) AS split
+  FROM dims WHERE t >= 1
+),
+"""
+    + ",".join(
+        _MCM_LEN_SQL.format(L=L, P=L - 1) for L in range(2, _MCM_M + 1)
+    )
+    + f"""
+, naive AS MATERIALIZED (
+  SELECT a.g, sum(d0.d * a.d * b.d) AS naive_cost
+  FROM dims a
+  JOIN dims b ON b.g = a.g AND b.t = a.t - 1
+  JOIN dims d0 ON d0.g = a.g AND d0.t = 0
+  WHERE a.t >= 2
+  GROUP BY a.g
+)
+SELECT CAST(b.g AS BIGINT) AS g, CAST({_MCM_M} AS INT) AS n_matrices,
+       CAST(b.cost AS BIGINT) AS opt_cost,
+       CAST(n.naive_cost AS BIGINT) AS naive_cost,
+       CAST(b.split AS INT) AS top_split,
+       CAST(1000000 * b.cost // n.naive_cost AS BIGINT) AS ratio_e6
+FROM b{_MCM_M} b JOIN naive n ON n.g = b.g
+WHERE b.i = 1 AND b.j = {_MCM_M}
+ORDER BY g
+"""
+)
+
+
+@register_extra("matrix_chain_order", _MCM_ORACLE)
+def matrix_chain_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-chain DP (see oracle comment). Plan: the interval table
+    is (groups x 36) rows max; each of the 7 length rounds is one
+    equi-join of the accumulated table with itself plus three
+    broadcast dim lookups and a partial-agg min — group count is the
+    only scale axis, intervals per group are m^2-bounded, so at 100 TB
+    this is a dim-sized iterative job after one distinct over the fact
+    keys."""
+    o = _t(spark, sf_dir, "orders")
+    grp = o.select((F.col("o_custkey") % 50).alias("g")).distinct()
+    dims = (
+        grp.crossJoin(
+            spark.range(0, _MCM_M + 1).select(F.col("id").cast("int").alias("t"))
+        )
+        .select(
+            "g",
+            "t",
+            (
+                5
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mc:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                F.col("t").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 56
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = dims.filter(F.col("t") >= 1).select(
+        "g",
+        F.col("t").alias("i"),
+        F.col("t").alias("j"),
+        F.lit(0).cast("long").alias("cost"),
+        F.lit(0).cast("long").alias("split"),
+    )
+    for L in range(2, _MCM_M + 1):
+        left = best.select(
+            F.col("g").alias("lg"), F.col("i").alias("li"),
+            F.col("j").alias("lj"), F.col("cost").alias("lc"),
+        )
+        right = best.select(
+            F.col("g").alias("rg"), F.col("i").alias("ri"),
+            F.col("j").alias("rj"), F.col("cost").alias("rc"),
+        )
+        cand = (
+            left.join(
+                right,
+                (F.col("rg") == F.col("lg"))
+                & (F.col("ri") == F.col("lj") + 1)
+                & (F.col("rj") - F.col("li") + 1 == L),
+            )
+            .join(
+                F.broadcast(
+                    dims.select(
+                        F.col("g").alias("lg"),
+                        (F.col("t") + 1).alias("li"),
+                        F.col("d").alias("d_im1"),
+                    )
+                ),
+                ["lg", "li"],
+            )
+            .join(
+                F.broadcast(
+                    dims.select(
+                        F.col("g").alias("lg"),
+                        F.col("t").alias("lj"),
+                        F.col("d").alias("d_k"),
+                    )
+                ),
+                ["lg", "lj"],
+            )
+            .join(
+                F.broadcast(
+                    dims.select(
+                        F.col("g").alias("lg"),
+                        F.col("t").alias("rj"),
+                        F.col("d").alias("d_j"),
+                    )
+                ),
+                ["lg", "rj"],
+            )
+            .select(
+                F.col("lg").alias("g"),
+                F.col("li").alias("i"),
+                F.col("rj").alias("j"),
+                F.col("lj").alias("k"),
+                (
+                    F.col("lc")
+                    + F.col("rc")
+                    + F.col("d_im1") * F.col("d_k") * F.col("d_j")
+                ).alias("cost"),
+            )
+        )
+        new = cand.groupBy("g", "i", "j").agg(
+            F.min("cost").alias("cost"),
+            F.expr("min_by(k, cost * 16 + k)").cast("long").alias("split"),
+        )
+        best = best.unionByName(new).localCheckpoint(eager=True)
+    naive = (
+        dims.filter(F.col("t") >= 2)
+        .join(
+            dims.select(
+                F.col("g").alias("g"), (F.col("t") + 1).alias("t"),
+                F.col("d").alias("d_prev"),
+            ),
+            ["g", "t"],
+        )
+        .join(
+            F.broadcast(
+                dims.filter(F.col("t") == 0).select("g", F.col("d").alias("d0"))
+            ),
+            "g",
+        )
+        .groupBy("g")
+        .agg(F.sum(F.col("d0") * F.col("d_prev") * F.col("d")).alias("naive_cost"))
+    )
+    return (
+        best.filter((F.col("i") == 1) & (F.col("j") == _MCM_M))
+        .join(naive, "g")
+        .select(
+            F.col("g").cast("long"),
+            F.lit(_MCM_M).cast("int").alias("n_matrices"),
+            F.col("cost").cast("long").alias("opt_cost"),
+            F.col("naive_cost").cast("long"),
+            F.col("split").cast("int").alias("top_split"),
+            F.expr("CAST(1000000 * cost div naive_cost AS BIGINT)").alias(
+                "ratio_e6"
+            ),
+        )
+        .orderBy("g")
+    )
