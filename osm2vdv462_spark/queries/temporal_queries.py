@@ -3890,3 +3890,118 @@ def belady_opt_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s")
     )
+
+
+# ---------------------------------------------- AIMD cwnd replay
+
+
+@register_extra(
+    "aimd_cwnd_replay",
+    """
+    WITH RECURSIVE pos AS MATERIALIZED (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN ('0x' || substr(md5('ls:'
+                    || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS loss
+      FROM events
+    ),
+    n AS MATERIALIZED (
+      SELECT user_id, max(rn) AS nr FROM pos GROUP BY 1
+    ),
+    st(user_id, rn, cwnd, nloss, mx, sm) AS (
+      SELECT p.user_id, 1,
+             CASE WHEN p.loss = 1 THEN CAST(5 AS BIGINT)
+                  ELSE CAST(11 AS BIGINT) END,
+             CAST(p.loss AS BIGINT),
+             CASE WHEN p.loss = 1 THEN CAST(5 AS BIGINT)
+                  ELSE CAST(11 AS BIGINT) END,
+             CASE WHEN p.loss = 1 THEN CAST(5 AS BIGINT)
+                  ELSE CAST(11 AS BIGINT) END
+      FROM pos p WHERE p.rn = 1
+      UNION ALL
+      SELECT s.user_id, p.rn,
+             CASE WHEN p.loss = 1 THEN greatest(s.cwnd // 2, 1)
+                  ELSE s.cwnd + 1 END,
+             s.nloss + p.loss,
+             greatest(s.mx, CASE WHEN p.loss = 1
+                                 THEN greatest(s.cwnd // 2, 1)
+                                 ELSE s.cwnd + 1 END),
+             s.sm + CASE WHEN p.loss = 1 THEN greatest(s.cwnd // 2, 1)
+                         ELSE s.cwnd + 1 END
+      FROM st s JOIN pos p ON p.user_id = s.user_id AND p.rn = s.rn + 1
+    )
+    SELECT s.user_id, CAST(n.nr AS BIGINT) AS n_rounds,
+           CAST(s.nloss AS BIGINT) AS n_losses,
+           CAST(s.cwnd AS BIGINT) AS final_cwnd,
+           CAST(s.mx AS BIGINT) AS max_cwnd,
+           CAST(s.sm AS BIGINT) AS sum_cwnd,
+           CAST(10000 * s.sm // n.nr AS BIGINT) AS tput_e4
+    FROM st s JOIN n ON n.user_id = s.user_id AND n.nr = s.rn
+    ORDER BY s.user_id
+    """,
+)
+def aimd_cwnd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCP AIMD congestion control (Chiu & Jain 1989) replayed over
+    each user's event stream as RTT rounds: cwnd starts at 10 segments,
+    +1 per loss-free round, floor-halved (min 1) on the md5-gated
+    1-in-8 loss rounds — the sawtooth whose average-throughput law
+    every congestion-control paper cites. Inherently sequential per
+    flow, so Spark folds it as one zero-join higher-order aggregate
+    over the per-user ordered round list (same shape as the gated
+    token-bucket row); the oracle replays the identical recurrence as
+    a row-chained recursive CTE. Exact integers throughout; the e4
+    mean uses plain floor (all values nonnegative)."""
+    ev = _t(spark, sf_dir, "events")
+    rounds = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ls:"), F.col("event_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("loss"),
+    )
+    per = rounds.groupBy("user_id").agg(
+        F.expr(
+            "aggregate("
+            " transform(array_sort(collect_list(struct(ts, event_id, loss))),"
+            "           x -> x.loss),"
+            " named_struct('cwnd', 10L, 'nloss', 0L, 'mx', 0L, 'sm', 0L,"
+            "              'nr', 0L),"
+            " (a, l) -> named_struct("
+            "   'cwnd', IF(l = 1, greatest(a.cwnd div 2, 1L), a.cwnd + 1),"
+            "   'nloss', a.nloss + l,"
+            "   'mx', greatest(a.mx, IF(l = 1, greatest(a.cwnd div 2, 1L),"
+            "                           a.cwnd + 1)),"
+            "   'sm', a.sm + IF(l = 1, greatest(a.cwnd div 2, 1L),"
+            "                   a.cwnd + 1),"
+            "   'nr', a.nr + 1))"
+        ).alias("st")
+    )
+    return per.select(
+        "user_id",
+        F.col("st.nr").cast("long").alias("n_rounds"),
+        F.col("st.nloss").cast("long").alias("n_losses"),
+        F.col("st.cwnd").cast("long").alias("final_cwnd"),
+        F.col("st.mx").cast("long").alias("max_cwnd"),
+        F.col("st.sm").cast("long").alias("sum_cwnd"),
+        F.expr("CAST(10000 * st.sm div st.nr AS BIGINT)").alias("tput_e4"),
+    ).orderBy("user_id")
