@@ -4046,3 +4046,164 @@ def matrix_chain_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------------- BOM requirements explosion
+
+# Multi-level bill-of-materials explosion — the MRP primitive under
+# every ERP system: total demand for a component = sum over all
+# assembly paths of the product of per-edge quantities. The BOM DAG
+# derives from part: each part at level L (partkey % 4) uses 2
+# md5-chosen components at level L+1 with qty 1..5; acyclicity is by
+# construction (edges only go level L -> L+1). The closure is the
+# SUM-PRODUCT semiring (not the boolean/min closures the reachability
+# rows use): paths accumulate multiplicatively, parallel paths add —
+# 3 staged join rounds cover the 4-level DAG exactly. DuckDB twin
+# runs the identical staged algebra.
+_BOM_ORACLE = """
+WITH parts AS MATERIALIZED (
+  SELECT p_partkey AS pk, p_partkey % 4 AS lvl,
+         p_partkey % 500 AS fam
+  FROM part
+),
+edges AS MATERIALIZED (
+  SELECT a.pk AS parent, b.pk AS child,
+         1 + ('0x' || substr(md5('bq:' || CAST(a.pk AS VARCHAR) || ':'
+                || CAST(k.k AS VARCHAR)), 1, 4))::BIGINT % 5 AS qty
+  FROM parts a
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+  JOIN parts b
+    ON b.lvl = a.lvl + 1
+   AND b.fam = ('0x' || substr(md5('bc:' || CAST(a.pk AS VARCHAR) || ':'
+                  || CAST(k.k AS VARCHAR)), 1, 5))::BIGINT % 500
+  WHERE a.lvl < 3
+),
+-- sum-product closure: R1 = E, R2 = R1 + R1*E, R3 = R2 + R2*E
+r1 AS MATERIALIZED (
+  SELECT parent, child, CAST(sum(qty) AS BIGINT) AS qty
+  FROM edges GROUP BY 1, 2
+),
+r2 AS MATERIALIZED (
+  SELECT parent, child, CAST(sum(qty) AS BIGINT) AS qty FROM (
+    SELECT parent, child, qty FROM r1
+    UNION ALL
+    SELECT r.parent, e.child, r.qty * e.qty
+    FROM r1 r JOIN r1 e ON e.parent = r.child
+  ) GROUP BY 1, 2
+),
+r3 AS MATERIALIZED (
+  SELECT parent, child, CAST(sum(qty) AS BIGINT) AS qty FROM (
+    SELECT parent, child, qty FROM r1
+    UNION ALL
+    SELECT r.parent, e.child, r.qty * e.qty
+    FROM r2 r JOIN r1 e ON e.parent = r.child
+  ) GROUP BY 1, 2
+)
+SELECT parent AS root_part, count(*) AS n_components,
+       CAST(sum(qty) AS BIGINT) AS total_required,
+       CAST(max(qty) AS BIGINT) AS max_single
+FROM r3
+JOIN parts p ON p.pk = parent AND p.lvl = 0
+GROUP BY parent
+ORDER BY root_part
+"""
+
+
+@register_extra("bom_explosion", _BOM_ORACLE)
+def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM requirements explosion (see oracle comment). Plan: the
+    level-stratified DAG caps closure depth at 3 join rounds; each
+    round shuffles on the join key and partial-aggregates the
+    sum-product — at 100 TB the edge list is the only fact-sized
+    relation and every round is one hash join + map-side combine,
+    the standard iterative-datalog shape."""
+    p = _t(spark, sf_dir, "part")
+    parts = p.select(
+        F.col("p_partkey").alias("pk"),
+        (F.col("p_partkey") % 4).alias("lvl"),
+        (F.col("p_partkey") % 500).alias("fam"),
+    ).localCheckpoint(eager=True)
+    ks = parts.sparkSession.range(0, 2).select(
+        F.col("id").cast("int").alias("k")
+    )
+
+    def _h(prefix: str, chars: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("pk").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a = (
+        parts.filter(F.col("lvl") < 3)
+        .crossJoin(F.broadcast(ks))
+        .select(
+            F.col("pk"),
+            F.col("lvl"),
+            F.col("k"),
+            (1 + _h("bq:", 4) % 5).alias("qty"),
+            (_h("bc:", 5) % 500).alias("cfam"),
+        )
+    )
+    edges = (
+        a.join(
+            parts.select(
+                F.col("pk").alias("child"),
+                F.col("lvl").alias("clvl"),
+                F.col("fam").alias("cfam2"),
+            ),
+            (F.col("clvl") == F.col("lvl") + 1)
+            & (F.col("cfam2") == F.col("cfam")),
+        )
+        .groupBy(F.col("pk").alias("parent"), "child")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+        .localCheckpoint(eager=True)
+    )
+    r = edges
+    for _ in range(2):
+        step = (
+            r.alias("r")
+            .join(
+                edges.alias("e"),
+                F.col("e.parent") == F.col("r.child"),
+            )
+            .select(
+                F.col("r.parent").alias("parent"),
+                F.col("e.child").alias("child"),
+                (F.col("r.qty") * F.col("e.qty")).alias("qty"),
+            )
+        )
+        r = (
+            edges.unionByName(step)
+            .groupBy("parent", "child")
+            .agg(F.sum("qty").cast("long").alias("qty"))
+            .localCheckpoint(eager=True)
+        )
+    roots = parts.filter(F.col("lvl") == 0).select(F.col("pk").alias("parent"))
+    return (
+        r.join(F.broadcast(roots), "parent")
+        .groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("qty").cast("long").alias("total_required"),
+            F.max("qty").cast("long").alias("max_single"),
+        )
+        .select(
+            F.col("parent").alias("root_part"),
+            "n_components",
+            "total_required",
+            "max_single",
+        )
+        .orderBy("root_part")
+    )
