@@ -4207,3 +4207,192 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root_part")
     )
+
+
+# ------------------------------------------- Banker's algorithm
+
+# Dijkstra's Banker's algorithm (1965) — the deadlock-avoidance
+# safety check: a system state is SAFE iff some order lets every
+# process finish. The greedy is confluent (granting every currently
+# satisfiable process at once is equivalent to any order), so the
+# check unrolls as 5 staged rounds: finish all processes whose
+# remaining need fits the available vector, release their
+# allocations, repeat. 40 systems x 5 processes x 3 resources from
+# md5 (alloc 0..3, extra need 0..3, initial avail 0..5) — tuned so
+# both safe and deadlocked systems occur. Output is per process with
+# its finish round (0 = never -> system unsafe), all exact integers.
+_BANKER_ROUND_SQL = """
+f{r} AS MATERIALIZED (
+  SELECT p.g, p.p,
+         CASE WHEN f.fr > 0 THEN f.fr
+              WHEN p.n1 <= a.a1 AND p.n2 <= a.a2 AND p.n3 <= a.a3
+              THEN {r} ELSE 0 END AS fr
+  FROM procs p
+  JOIN f{p} f ON f.g = p.g AND f.p = p.p
+  JOIN av{p} a ON a.g = p.g
+),
+av{r} AS MATERIALIZED (
+  SELECT a.g,
+         a.a1 + coalesce(sum(CASE WHEN f.fr = {r} THEN p.al1 END), 0) AS a1,
+         a.a2 + coalesce(sum(CASE WHEN f.fr = {r} THEN p.al2 END), 0) AS a2,
+         a.a3 + coalesce(sum(CASE WHEN f.fr = {r} THEN p.al3 END), 0) AS a3
+  FROM av{p} a
+  LEFT JOIN f{r} f ON f.g = a.g
+  LEFT JOIN procs p ON p.g = f.g AND p.p = f.p
+  GROUP BY a.g, a.a1, a.a2, a.a3
+)
+"""
+
+_BANKER_ORACLE = (
+    """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 40 AS g FROM orders
+),
+procs AS MATERIALIZED (
+  SELECT g, pp.p,
+         ('0x' || substr(md5('ba1:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS al1,
+         ('0x' || substr(md5('ba2:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS al2,
+         ('0x' || substr(md5('ba3:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS al3,
+         ('0x' || substr(md5('bn1:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS n1,
+         ('0x' || substr(md5('bn2:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS n2,
+         ('0x' || substr(md5('bn3:' || CAST(g AS VARCHAR) || ':'
+            || CAST(pp.p AS VARCHAR)), 1, 4))::BIGINT % 4 AS n3
+  FROM grp, (SELECT unnest(generate_series(1, 5)) AS p) pp
+),
+f0 AS MATERIALIZED (SELECT g, p, 0 AS fr FROM procs),
+av0 AS MATERIALIZED (
+  SELECT g,
+         ('0x' || substr(md5('av1:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 6 AS a1,
+         ('0x' || substr(md5('av2:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 6 AS a2,
+         ('0x' || substr(md5('av3:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 6 AS a3
+  FROM grp
+),
+"""
+    + ",".join(
+        _BANKER_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, 6)
+    )
+    + """
+, verdict AS MATERIALIZED (
+  SELECT g, CASE WHEN min(CASE WHEN fr > 0 THEN 1 ELSE 0 END) = 1
+                 THEN 1 ELSE 0 END AS safe
+  FROM f5 GROUP BY g
+)
+SELECT CAST(f.g AS BIGINT) AS g, CAST(f.p AS INT) AS proc,
+       CAST(p.n1 AS BIGINT) AS need1, CAST(p.n2 AS BIGINT) AS need2,
+       CAST(p.n3 AS BIGINT) AS need3,
+       CAST(f.fr AS INT) AS finish_round,
+       CAST(v.safe AS INT) AS system_safe
+FROM f5 f
+JOIN procs p ON p.g = f.g AND p.p = f.p
+JOIN verdict v ON v.g = f.g
+ORDER BY g, proc
+"""
+)
+
+
+@register_extra("banker_safety_check", _BANKER_ORACLE)
+def banker_safety_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banker's-algorithm safety audit (see oracle comment). Plan:
+    per-system state is a 1-row avail vector and 5 process rows; each
+    of the 5 rounds is one broadcast-sized join + partial-agg release
+    — system count is the only scale axis, the fact table contributes
+    just the distinct group keys."""
+    o = _t(spark, sf_dir, "orders")
+    grp = o.select((F.col("o_custkey") % 40).alias("g")).distinct()
+    pp = grp.crossJoin(
+        o.sparkSession.range(1, 6).select(F.col("id").cast("int").alias("p"))
+    )
+
+    def _h(prefix: str, with_p: bool = True) -> F.Column:
+        parts = [F.lit(prefix), F.col("g").cast("string")]
+        if with_p:
+            parts += [F.lit(":"), F.col("p").cast("string")]
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(*parts).cast("binary")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    procs = pp.select(
+        "g",
+        "p",
+        (_h("ba1:") % 4).alias("al1"),
+        (_h("ba2:") % 4).alias("al2"),
+        (_h("ba3:") % 4).alias("al3"),
+        (_h("bn1:") % 4).alias("n1"),
+        (_h("bn2:") % 4).alias("n2"),
+        (_h("bn3:") % 4).alias("n3"),
+    ).localCheckpoint(eager=True)
+    av = grp.select(
+        "g",
+        (_h("av1:", False) % 6).alias("a1"),
+        (_h("av2:", False) % 6).alias("a2"),
+        (_h("av3:", False) % 6).alias("a3"),
+    ).localCheckpoint(eager=True)
+    fin = procs.select("g", "p", F.lit(0).alias("fr"))
+    for r in range(1, 6):
+        fin = (
+            procs.join(fin, ["g", "p"])
+            .join(F.broadcast(av), "g")
+            .select(
+                "g",
+                "p",
+                F.when(F.col("fr") > 0, F.col("fr"))
+                .when(
+                    (F.col("n1") <= F.col("a1"))
+                    & (F.col("n2") <= F.col("a2"))
+                    & (F.col("n3") <= F.col("a3")),
+                    r,
+                )
+                .otherwise(0)
+                .alias("fr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rel = (
+            fin.filter(F.col("fr") == r)
+            .join(procs, ["g", "p"])
+            .groupBy("g")
+            .agg(
+                F.sum("al1").alias("r1"),
+                F.sum("al2").alias("r2"),
+                F.sum("al3").alias("r3"),
+            )
+        )
+        av = (
+            av.join(rel, "g", "left")
+            .select(
+                "g",
+                (F.col("a1") + F.coalesce("r1", F.lit(0))).alias("a1"),
+                (F.col("a2") + F.coalesce("r2", F.lit(0))).alias("a2"),
+                (F.col("a3") + F.coalesce("r3", F.lit(0))).alias("a3"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    verdict = fin.groupBy("g").agg(
+        F.min(F.when(F.col("fr") > 0, 1).otherwise(0)).alias("safe")
+    )
+    return (
+        fin.join(procs, ["g", "p"])
+        .join(F.broadcast(verdict), "g")
+        .select(
+            F.col("g").cast("long"),
+            F.col("p").cast("int").alias("proc"),
+            F.col("n1").cast("long").alias("need1"),
+            F.col("n2").cast("long").alias("need2"),
+            F.col("n3").cast("long").alias("need3"),
+            F.col("fr").cast("int").alias("finish_round"),
+            F.col("safe").cast("int").alias("system_safe"),
+        )
+        .orderBy("g", "proc")
+    )
