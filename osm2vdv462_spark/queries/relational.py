@@ -4396,3 +4396,163 @@ def banker_safety_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g", "proc")
     )
+
+
+# ------------------------------------------- Raft commit-index audit
+
+# Raft's commit rule (Ongaro & Ousterhout 2014, §5.4.2 / Figure 8):
+# a leader may count an entry committed only if a MAJORITY stores it
+# AND its term equals the leader's current term — the naive
+# majority-only rule can "commit" an old-term entry that a future
+# leader is still allowed to overwrite. 30 clusters of 5 replicas:
+# the leader log is 12 entries with md5-driven nondecreasing terms
+# (a prefix-sum of term bumps), each follower stores an md5 prefix.
+# naive_commit = deepest majority-replicated index; raft_commit
+# additionally requires term(idx) = current term at that index or
+# transitively below a qualifying one. at_risk = their difference —
+# the Figure-8 window, nonzero in a fair share of clusters.
+_RAFT_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 30 AS g FROM customer
+),
+logidx AS MATERIALIZED (
+  SELECT g, CAST(i AS BIGINT) AS idx
+  FROM grp, (SELECT unnest(generate_series(1, 12)) AS i)
+),
+terms AS MATERIALIZED (
+  SELECT g, idx,
+         1 + sum(CASE WHEN ('0x' || substr(md5('tb:'
+                   || CAST(g AS VARCHAR) || ':'
+                   || CAST(idx AS VARCHAR)), 1, 4))::BIGINT % 4 = 0
+                 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY g ORDER BY idx) AS term
+  FROM logidx
+),
+cur AS MATERIALIZED (
+  SELECT g, max(term) AS current_term FROM terms GROUP BY g
+),
+followers AS MATERIALIZED (
+  SELECT g, f.f,
+         ('0x' || substr(md5('mi:' || CAST(g AS VARCHAR) || ':'
+            || CAST(f.f AS VARCHAR)), 1, 4))::BIGINT % 13 AS match_idx
+  FROM grp, (SELECT unnest(generate_series(1, 4)) AS f) f
+),
+repl AS MATERIALIZED (
+  SELECT t.g, t.idx, t.term,
+         1 + coalesce(sum(CASE WHEN fo.match_idx >= t.idx
+                               THEN 1 ELSE 0 END), 0) AS n_repl
+  FROM terms t LEFT JOIN followers fo ON fo.g = t.g
+  GROUP BY t.g, t.idx, t.term
+)
+SELECT CAST(r.g AS BIGINT) AS g,
+       CAST(any_value(c.current_term) AS BIGINT) AS current_term,
+       CAST(coalesce(max(CASE WHEN n_repl >= 3 THEN idx END), 0)
+            AS BIGINT) AS naive_commit,
+       CAST(coalesce(max(CASE WHEN n_repl >= 3
+                              AND term = c.current_term THEN idx END), 0)
+            AS BIGINT) AS raft_commit,
+       CAST(coalesce(max(CASE WHEN n_repl >= 3 THEN idx END), 0)
+            - coalesce(max(CASE WHEN n_repl >= 3
+                                AND term = c.current_term THEN idx END), 0)
+            AS BIGINT) AS at_risk
+FROM repl r JOIN cur c ON c.g = r.g
+GROUP BY r.g
+ORDER BY g
+"""
+
+
+@register_extra("raft_commit_audit", _RAFT_ORACLE)
+def raft_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raft commit-rule audit (see oracle comment). Plan: cluster
+    state is dim-sized (30 x 12 log rows + 30 x 4 matchIndex rows);
+    one window prefix-sum builds the term sequence, one broadcast
+    join counts replication — the fact table contributes only
+    distinct keys, so the audit is O(clusters) at any corpus scale."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 30).alias("g")).distinct()
+    sess = c.sparkSession
+    logidx = grp.crossJoin(
+        sess.range(1, 13).select(F.col("id").cast("long").alias("idx"))
+    )
+
+    def _h(prefix: str, col: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("g").cast("string"),
+                        F.lit(":"),
+                        F.col(col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    terms = logidx.withColumn(
+        "term",
+        1
+        + F.sum(F.when(_h("tb:", "idx") % 4 == 0, 1).otherwise(0)).over(
+            Window.partitionBy("g").orderBy("idx")
+        ),
+    )
+    cur = terms.groupBy("g").agg(F.max("term").alias("current_term"))
+    followers = grp.crossJoin(
+        sess.range(1, 5).select(F.col("id").cast("int").alias("f"))
+    ).select("g", "f", (_h("mi:", "f") % 13).alias("match_idx"))
+    repl = (
+        terms.join(followers, "g", "left")
+        .groupBy("g", "idx", "term")
+        .agg(
+            (
+                1
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("match_idx") >= F.col("idx"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_repl")
+        )
+    )
+    return (
+        repl.join(F.broadcast(cur), "g")
+        .groupBy("g")
+        .agg(
+            F.first("current_term").cast("long").alias("current_term"),
+            F.coalesce(
+                F.max(F.when(F.col("n_repl") >= 3, F.col("idx"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("naive_commit"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("n_repl") >= 3)
+                        & (F.col("term") == F.col("current_term")),
+                        F.col("idx"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("raft_commit"),
+        )
+        .withColumn(
+            "at_risk", (F.col("naive_commit") - F.col("raft_commit")).cast("long")
+        )
+        .select(
+            F.col("g").cast("long"),
+            "current_term",
+            "naive_commit",
+            "raft_commit",
+            "at_risk",
+        )
+        .orderBy("g")
+    )
