@@ -2230,3 +2230,120 @@ def miller_rabin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").cast("long"), "passes_b2", "passes_b3", "is_prime")
         .orderBy("n")
     )
+
+
+# ------------------------------------ Berlekamp-Massey complexity
+
+# Berlekamp-Massey over GF(2) (Massey 1969) — THE attack on stream
+# ciphers and the decoder core of Reed-Solomon: finds the shortest
+# LFSR generating a bit sequence. State rides as pure bitmasks
+# (connection poly C, previous poly B, shift register reg; degree
+# invariants keep everything < 2^31, shifted products < 2^61, so
+# int64 is exact). 30-bit md5 sequences (expected complexity ~ n/2)
+# plus four ENGINEERED fixtures whose known complexity is hash-
+# frozen: the x^4+x+1 and x^5+x^2+1 LFSR streams must come back as
+# L=4 (C=25) and L=5 (C=41), all-ones as L=1, alternating as L=2 —
+# if the discrepancy/update algebra drifts anywhere, these rows
+# break. tests referee against an independent Python BM.
+_BM_FIXTURES = [
+    (-1, 986248593),   # x^4+x+1 LFSR  -> L=4
+    (-2, 91635305),    # x^5+x^2+1     -> L=5
+    (-3, 1073741823),  # all ones      -> L=1
+    (-4, 357913941),   # alternating   -> L=2
+]
+
+_BM_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 40 AS g FROM part
+),
+seqs AS MATERIALIZED (
+  SELECT g, ('0x' || substr(md5('bm:' || CAST(g AS VARCHAR)),
+                            1, 8))::BIGINT % 1073741824 AS bits
+  FROM grp
+  UNION ALL
+  SELECT * FROM (VALUES """ + ", ".join(
+    f"({g}, {b})" for g, b in _BM_FIXTURES
+) + """) v(g, bits)
+),
+st(g, bits, i, c, b, l, m, reg) AS (
+  SELECT g, bits, 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM seqs
+  UNION ALL
+  SELECT g, bits, i + 1,
+         CASE WHEN d = 1 THEN xor(c, b << m) ELSE c END,
+         CASE WHEN d = 1 AND 2 * l <= i THEN c ELSE b END,
+         CASE WHEN d = 1 AND 2 * l <= i THEN i + 1 - l ELSE l END,
+         CASE WHEN d = 1 AND 2 * l <= i THEN CAST(1 AS BIGINT)
+              ELSE m + 1 END,
+         ((reg << 1) | si) % 1073741824
+  FROM (
+    SELECT *, (bits >> i) & 1 AS si,
+           xor((bits >> i) & 1,
+               bit_count((c >> 1) & reg) % 2) AS d
+    FROM st WHERE i < 30
+  )
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(bits AS BIGINT) AS bits,
+       CAST(l AS BIGINT) AS complexity,
+       CAST(c AS BIGINT) AS conn_poly
+FROM st WHERE i = 30
+ORDER BY g
+"""
+
+
+@register_extra("berlekamp_massey_lfsr", _BM_ORACLE)
+def berlekamp_massey_lfsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Berlekamp-Massey linear-complexity profile (see oracle
+    comment). Spark runs the 30-step state machine as ONE zero-join
+    higher-order fold per sequence (bitmask struct accumulator);
+    the oracle replays it as a recursive CTE. Per-row map work —
+    embarrassingly parallel at any scale."""
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 40).alias("g")).distinct()
+    seqs = grp.select(
+        "g",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bm:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1073741824
+        ).alias("bits"),
+    ).unionByName(
+        p.sparkSession.createDataFrame(_BM_FIXTURES, "g long, bits long")
+    )
+    fold = (
+        "aggregate(sequence(0, 29),"
+        " named_struct('c', 1L, 'b', 1L, 'l', 0L, 'm', 1L, 'reg', 0L),"
+        " (a, i) -> IF("
+        "   ((bits >> i) & 1) ^ (bit_count((a.c >> 1) & a.reg) % 2) = 1,"
+        "   IF(2 * a.l <= i,"
+        "     named_struct('c', a.c ^ (a.b << a.m), 'b', a.c,"
+        "       'l', i + 1 - a.l, 'm', 1L,"
+        "       'reg', ((a.reg << 1) | ((bits >> i) & 1)) % 1073741824),"
+        "     named_struct('c', a.c ^ (a.b << a.m), 'b', a.b,"
+        "       'l', a.l, 'm', a.m + 1,"
+        "       'reg', ((a.reg << 1) | ((bits >> i) & 1)) % 1073741824)),"
+        "   named_struct('c', a.c, 'b', a.b, 'l', a.l, 'm', a.m + 1,"
+        "     'reg', ((a.reg << 1) | ((bits >> i) & 1)) % 1073741824)))"
+    )
+    return (
+        seqs.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("bits").cast("long"),
+            F.col("st.l").cast("long").alias("complexity"),
+            F.col("st.c").cast("long").alias("conn_poly"),
+        )
+        .orderBy("g")
+    )

@@ -172,3 +172,36 @@ class TestMillerRabinReferee:
         assert fx[2047] == (1, 0) and fx[703] == (0, 1) and fx[121] == (0, 1)
         for r in rows:
             assert bool(r["is_prime"]) == isp(r["n"]), r
+
+
+class TestBerlekampMasseyReferee:
+    def test_matches_python_bm(self, spark, sf_dir):
+        """Independent Python Berlekamp-Massey must agree on every
+        (complexity, connection polynomial) pair, fixtures included."""
+        from osm2vdv462_spark.queries.sketch_queries import (
+            berlekamp_massey_lfsr,
+        )
+
+        def bm(bits, n=30):
+            C, B, L, m, reg = 1, 1, 0, 1, 0
+            for i in range(n):
+                s_i = (bits >> i) & 1
+                d = s_i ^ (bin((C >> 1) & reg).count("1") % 2)
+                if d == 1:
+                    T = C
+                    C ^= B << m
+                    if 2 * L <= i:
+                        L, B, m = i + 1 - L, T, 1
+                    else:
+                        m += 1
+                else:
+                    m += 1
+                reg = ((reg << 1) | s_i) % (1 << 30)
+            return L, C
+
+        rows = berlekamp_massey_lfsr(spark, sf_dir).collect()
+        assert len(rows) > 10
+        for r in rows:
+            assert bm(r["bits"]) == (r["complexity"], r["conn_poly"]), r
+        fx = {r["g"]: r["complexity"] for r in rows if r["g"] < 0}
+        assert fx == {-1: 4, -2: 5, -3: 1, -4: 2}
