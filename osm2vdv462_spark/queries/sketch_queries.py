@@ -2347,3 +2347,162 @@ def berlekamp_massey_lfsr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ GF(2) rank / XOR basis
+
+# Gaussian elimination over GF(2) as an XOR-basis insertion machine —
+# the exact linear algebra under LFSR cryptanalysis, XOR sketch
+# recovery, and network coding: rank of 16x16 bit matrices whose rows
+# are md5 words, plus engineered fixtures (identity -> 16, zero -> 0,
+# repeated row -> 1, and a constructed dependency row -> 15). The
+# classic insertion loop (reduce by the basis vector at the leading
+# bit or claim the slot) flattens into ONE fold over 256 (row,
+# bit-position) steps with the 16-slot basis array as state — exact
+# bitmask algebra, identical in both engines, basis checksum
+# hash-frozen.
+_GF2_FIXTURES = [
+    (-1, [1 << j for j in range(16)]),
+    (-2, [0] * 16),
+    (-3, [0x5555] * 16),
+    (-4, [1 << j for j in range(15)] + [3]),
+]
+
+_GF2_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 50 AS g FROM part
+),
+mats AS MATERIALIZED (
+  SELECT g, list(('0x' || substr(md5('gr:' || CAST(g AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 4))::BIGINT % 65536
+                 ORDER BY j) AS rows
+  FROM grp, (SELECT unnest(generate_series(0, 15)) AS j)
+  GROUP BY g
+  UNION ALL
+  SELECT * FROM (VALUES """ + ", ".join(
+    "({}, {})".format(
+        g, "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in rows) + "]"
+    )
+    for g, rows in _GF2_FIXTURES
+) + """) v(g, rows)
+),
+st(g, rows, t, slots, rnk, cur) AS (
+  SELECT g, rows, 0,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0,
+          0, 0, 0, 0, 0, 0, 0, 0],
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM mats
+  UNION ALL
+  SELECT g, rows, t + 1,
+         CASE WHEN hit = 1 AND slotv = 0
+              THEN list_transform(slots, (v, i) ->
+                     CASE WHEN i = bit + 1 THEN c0 ELSE v END)
+              ELSE slots END,
+         rnk + CASE WHEN hit = 1 AND slotv = 0 THEN 1 ELSE 0 END,
+         CASE WHEN hit = 0 THEN c0
+              WHEN slotv = 0 THEN 0
+              ELSE xor(c0, slotv) END
+  FROM (
+    SELECT *, CASE WHEN (c0 >> bit) & 1 = 1 THEN 1 ELSE 0 END AS hit,
+           slots[bit + 1] AS slotv
+    FROM (
+      SELECT *, 15 - (t % 16) AS bit,
+             CASE WHEN t % 16 = 0 THEN rows[t // 16 + 1]
+                  ELSE cur END AS c0
+      FROM st WHERE t < 256
+    )
+  )
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(rnk AS INT) AS rank_gf2,
+       CAST(CASE WHEN rnk = 16 THEN 1 ELSE 0 END AS INT) AS invertible,
+       CAST(list_sum(slots) AS BIGINT) AS basis_chk
+FROM st WHERE t = 256
+ORDER BY g
+"""
+
+
+@register_extra("gf2_matrix_rank", _GF2_ORACLE)
+def gf2_matrix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GF(2) rank via an XOR-basis fold (see oracle comment). Spark
+    runs the 256-step machine as one higher-order aggregate per
+    matrix; the oracle is the identical recursive CTE. Map-only at
+    any scale."""
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 50).alias("g")).distinct()
+    js = p.sparkSession.range(0, 16).select(F.col("id").cast("int").alias("j"))
+    mats = (
+        grp.crossJoin(F.broadcast(js))
+        .select(
+            "g",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("gr:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 65536
+            ).alias("row"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, row))),"
+                " x -> x.row)"
+            ).alias("rows")
+        )
+        .unionByName(
+            p.sparkSession.createDataFrame(
+                _GF2_FIXTURES, "g long, rows array<long>"
+            )
+        )
+    )
+    fold = (
+        "aggregate(sequence(0, 255),"
+        " named_struct('slots', array_repeat(0L, 16), 'rnk', 0L,"
+        "              'cur', 0L),"
+        " (a, t) -> "
+        "  IF(((IF(t % 16 = 0, element_at(rows, CAST(t div 16 AS INT) + 1),"
+        "          a.cur) >> (15 - t % 16)) & 1) = 0,"
+        "    named_struct('slots', a.slots, 'rnk', a.rnk,"
+        "      'cur', IF(t % 16 = 0,"
+        "                element_at(rows, CAST(t div 16 AS INT) + 1),"
+        "                a.cur)),"
+        "    IF(element_at(a.slots, CAST(15 - t % 16 AS INT) + 1) = 0,"
+        "      named_struct("
+        "        'slots', transform(a.slots, (v, i) ->"
+        "          IF(i = 15 - t % 16,"
+        "             IF(t % 16 = 0,"
+        "                element_at(rows, CAST(t div 16 AS INT) + 1),"
+        "                a.cur), v)),"
+        "        'rnk', a.rnk + 1, 'cur', 0L),"
+        "      named_struct('slots', a.slots, 'rnk', a.rnk,"
+        "        'cur', IF(t % 16 = 0,"
+        "                  element_at(rows, CAST(t div 16 AS INT) + 1),"
+        "                  a.cur)"
+        "               ^ element_at(a.slots, CAST(15 - t % 16 AS INT) + 1)))))"
+    )
+    return (
+        mats.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("st.rnk").cast("int").alias("rank_gf2"),
+            F.when(F.col("st.rnk") == 16, 1).otherwise(0).cast("int")
+            .alias("invertible"),
+            F.expr("aggregate(st.slots, 0L, (a, x) -> a + x)")
+            .cast("long")
+            .alias("basis_chk"),
+        )
+        .orderBy("g")
+    )

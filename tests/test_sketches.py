@@ -205,3 +205,43 @@ class TestBerlekampMasseyReferee:
             assert bm(r["bits"]) == (r["complexity"], r["conn_poly"]), r
         fx = {r["g"]: r["complexity"] for r in rows if r["g"] < 0}
         assert fx == {-1: 4, -2: 5, -3: 1, -4: 2}
+
+
+class TestGF2RankReferee:
+    def test_matches_python_elimination(self, spark, sf_dir):
+        """Independent Python XOR-basis elimination must agree on rank
+        and basis checksum for every matrix, fixtures included."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.sketch_queries import (
+            _GF2_FIXTURES,
+            gf2_matrix_rank,
+        )
+
+        def rank16(rows):
+            slots, rank = [0] * 16, 0
+            for r in rows:
+                cur = r
+                for bit in range(15, -1, -1):
+                    if (cur >> bit) & 1:
+                        if slots[bit]:
+                            cur ^= slots[bit]
+                        else:
+                            slots[bit] = cur
+                            rank += 1
+                            break
+            return rank, sum(slots)
+
+        got = {
+            r["g"]: (r["rank_gf2"], r["basis_chk"])
+            for r in gf2_matrix_rank(spark, sf_dir).collect()
+        }
+        for g, rows in _GF2_FIXTURES:
+            assert got[g] == rank16(rows), g
+        for g in [x for x in got if x >= 0]:
+            rows = [
+                int(hashlib.md5(f"gr:{g}:{j}".encode()).hexdigest()[:4], 16)
+                % 65536
+                for j in range(16)
+            ]
+            assert got[g] == rank16(rows), g
