@@ -2506,3 +2506,105 @@ def gf2_matrix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------------------ CORDIC rotation
+
+# CORDIC (Volder 1959) — the shift-and-add trig engine inside FPUs,
+# DSPs and HP calculators: rotate (K, 0) through angle z using only
+# adds and arithmetic shifts, steering by the residual-angle sign
+# against the frozen atan(2^-i) Q26 table (shared literal in both
+# engines, so no transcendental ever crosses). 14 iterations give
+# ~2^-14 angle resolution; x,y land on cos/sin scaled by 2^26
+# EXACTLY bit-identically in both engines (Spark's shiftright and
+# DuckDB's >> are both ARITHMETIC shifts — note DuckDB's // would
+# NOT work: it truncates toward zero on negatives, >> floors).
+# Angles are md5 fractions of [0, pi/2); tests referee against
+# math.cos/sin within the CORDIC error bound.
+_CORDIC_ATAN = [
+    52707179, 31114864, 16440240, 8345322, 4188855, 2096470,
+    1048491, 524277, 262143, 131072, 65536, 32768, 16384, 8192,
+]
+_CORDIC_X0 = 40752055  # K * 2^26
+
+_CORDIC_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 200 AS g FROM part
+),
+ang AS MATERIALIZED (
+  SELECT g, ('0x' || substr(md5('cg:' || CAST(g AS VARCHAR)),
+                            1, 8))::BIGINT % 105414357 AS z0
+  FROM grp
+),
+tab AS MATERIALIZED (
+  SELECT [""" + ", ".join(f"CAST({v} AS BIGINT)" for v in _CORDIC_ATAN) + """] AS at
+),
+st(g, z0, i, x, y, z) AS (
+  SELECT g, z0, 0, CAST(""" + str(_CORDIC_X0) + """ AS BIGINT),
+         CAST(0 AS BIGINT), z0
+  FROM ang
+  UNION ALL
+  SELECT g, z0, i + 1,
+         x - d * (y >> i),
+         y + d * (x >> i),
+         z - d * t.at[i + 1]
+  FROM (
+    SELECT s.*, CASE WHEN s.z >= 0 THEN 1 ELSE -1 END AS d
+    FROM st s WHERE s.i < 14
+  ) CROSS JOIN tab t
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(z0 AS BIGINT) AS angle_q26,
+       CAST(x AS BIGINT) AS cos_q26, CAST(y AS BIGINT) AS sin_q26,
+       CAST(z AS BIGINT) AS residual_z
+FROM st WHERE i = 14
+ORDER BY g
+"""
+
+
+@register_extra("cordic_rotation", _CORDIC_ORACLE)
+def cordic_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORDIC shift-and-add rotation (see oracle comment). One
+    14-step higher-order fold per angle in Spark, the identical
+    recursive CTE in DuckDB — map-only, exact integers."""
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 200).alias("g")).distinct()
+    ang = grp.select(
+        "g",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cg:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 105414357
+        ).alias("z0"),
+    )
+    tab = "array(" + ",".join(f"{v}L" for v in _CORDIC_ATAN) + ")"
+    fold = (
+        f"aggregate(sequence(0, 13),"
+        f" named_struct('x', {_CORDIC_X0}L, 'y', 0L, 'z', z0),"
+        f" (a, i) -> named_struct("
+        f"   'x', a.x - IF(a.z >= 0, 1L, -1L) * shiftright(a.y, CAST(i AS INT)),"
+        f"   'y', a.y + IF(a.z >= 0, 1L, -1L) * shiftright(a.x, CAST(i AS INT)),"
+        f"   'z', a.z - IF(a.z >= 0, 1L, -1L)"
+        f"        * element_at({tab}, CAST(i AS INT) + 1)))"
+    )
+    return (
+        ang.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("z0").cast("long").alias("angle_q26"),
+            F.col("st.x").cast("long").alias("cos_q26"),
+            F.col("st.y").cast("long").alias("sin_q26"),
+            F.col("st.z").cast("long").alias("residual_z"),
+        )
+        .orderBy("g")
+    )

@@ -245,3 +245,21 @@ class TestGF2RankReferee:
                 for j in range(16)
             ]
             assert got[g] == rank16(rows), g
+
+
+class TestCordicReferee:
+    def test_tracks_real_trig(self, spark, sf_dir):
+        """CORDIC Q26 outputs must track math.cos/sin within the
+        14-iteration error bound on every angle."""
+        import math
+
+        from osm2vdv462_spark.queries.sketch_queries import cordic_rotation
+
+        rows = cordic_rotation(spark, sf_dir).collect()
+        assert len(rows) > 50
+        sc = 1 << 26
+        for r in rows:
+            th = r["angle_q26"] / sc
+            assert abs(r["cos_q26"] / sc - math.cos(th)) < 2e-4, r
+            assert abs(r["sin_q26"] / sc - math.sin(th)) < 2e-4, r
+            assert abs(r["residual_z"]) <= 8192  # last atan step
