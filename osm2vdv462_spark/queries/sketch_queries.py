@@ -2608,3 +2608,264 @@ def cordic_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ Verhoeff vs Luhn transpositions
+
+# Verhoeff's dihedral checksum (1969) — the first scheme to catch
+# EVERY single-digit error AND every adjacent transposition, by
+# replacing mod-10 addition with the non-commutative dihedral group
+# D5 (multiplication table d, position permutation p, both frozen
+# literals shared by the engines; check digit of payload 236 is the
+# textbook 3). Each account gets 10 md5 digits, a Verhoeff and a Luhn
+# check digit, and all 10 adjacent swaps of each protected number are
+# replayed through validation: v_missed is hash-frozen at 0 (the
+# theorem), while Luhn misses exactly the 09<->90 swaps — the reason
+# Verhoeff exists, visible per row.
+_VH_D = [0,1,2,3,4,5,6,7,8,9,1,2,3,4,0,6,7,8,9,5,2,3,4,0,1,7,8,9,5,6,
+         3,4,0,1,2,8,9,5,6,7,4,0,1,2,3,9,5,6,7,8,5,9,8,7,6,0,4,3,2,1,
+         6,5,9,8,7,1,0,4,3,2,7,6,5,9,8,2,1,0,4,3,8,7,6,5,9,3,2,1,0,4,
+         9,8,7,6,5,4,3,2,1,0]
+_VH_P = [0,1,2,3,4,5,6,7,8,9,1,5,7,6,2,8,3,0,9,4,5,8,0,3,7,9,6,1,4,2,
+         8,9,1,6,0,4,3,5,2,7,9,4,5,3,1,2,6,8,7,0,4,2,8,6,5,7,3,9,0,1,
+         2,7,9,3,8,0,6,4,1,5,7,0,4,6,9,1,3,2,5,8]
+_VH_INV = [0,4,3,2,1,5,6,7,8,9]
+
+
+def _vh_sql_lists():
+    dt = "[" + ",".join(str(v) for v in _VH_D) + "]"
+    pt = "[" + ",".join(str(v) for v in _VH_P) + "]"
+    iv = "[" + ",".join(str(v) for v in _VH_INV) + "]"
+    return dt, pt, iv
+
+
+_VH_DT, _VH_PT, _VH_IV = _vh_sql_lists()
+
+_VERHOEFF_ORACLE = f"""
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 300 AS g FROM customer
+),
+pay AS MATERIALIZED (
+  SELECT g, list(('0x' || substr(md5('vd:' || CAST(g AS VARCHAR) || ':'
+                    || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 10
+                 ORDER BY i) AS pd
+  FROM grp, (SELECT unnest(generate_series(1, 10)) AS i)
+  GROUP BY g
+),
+-- Verhoeff check digit: fold right-to-left at positions i+1
+cd(g, pd, i, c) AS (
+  SELECT g, pd, 0, 0 FROM pay
+  UNION ALL
+  SELECT g, pd, i + 1,
+         ({_VH_DT})[c * 10
+           + ({_VH_PT})[((i + 1) % 8) * 10 + pd[10 - i] + 1] + 1]
+  FROM cd WHERE i < 10
+),
+prot AS MATERIALIZED (
+  SELECT c.g, c.pd,
+         list_append(c.pd, ({_VH_IV})[c.c + 1]) AS vfull,
+         list_append(c.pd, l.lcd) AS lfull
+  FROM cd c
+  JOIN (
+    SELECT g, CAST((10 - sum(CASE WHEN (11 - i) % 2 = 1
+                     THEN CASE WHEN pd[i] * 2 > 9 THEN pd[i] * 2 - 9
+                               ELSE pd[i] * 2 END
+                     ELSE pd[i] END) % 10) % 10 AS BIGINT) AS lcd
+    FROM pay, (SELECT unnest(generate_series(1, 10)) AS i)
+    GROUP BY g
+  ) l ON l.g = c.g
+  WHERE c.i = 10
+),
+variants AS MATERIALIZED (
+  SELECT g, sp,
+         list_transform(vfull, (v, j) ->
+           CASE WHEN j = sp THEN vfull[sp + 1]
+                WHEN j = sp + 1 THEN vfull[sp] ELSE v END) AS vv,
+         list_transform(lfull, (v, j) ->
+           CASE WHEN j = sp THEN lfull[sp + 1]
+                WHEN j = sp + 1 THEN lfull[sp] ELSE v END) AS lv,
+         vfull[sp] <> vfull[sp + 1] AS veff,
+         lfull[sp] <> lfull[sp + 1] AS leff
+  FROM prot, (SELECT unnest(generate_series(1, 10)) AS sp) s
+),
+vcheck(g, sp, vv, veff, i, c) AS (
+  SELECT g, sp, vv, veff, 0, 0 FROM variants
+  UNION ALL
+  SELECT g, sp, vv, veff, i + 1,
+         ({_VH_DT})[c * 10
+           + ({_VH_PT})[(i % 8) * 10 + vv[11 - i] + 1] + 1]
+  FROM vcheck WHERE i < 11
+),
+vres AS MATERIALIZED (
+  SELECT g, sum(CASE WHEN veff THEN 1 ELSE 0 END) AS n_eff_v,
+         sum(CASE WHEN veff AND c = 0 THEN 1 ELSE 0 END) AS v_missed
+  FROM vcheck WHERE i = 11 GROUP BY g
+),
+lres AS MATERIALIZED (
+  SELECT v.g, sum(CASE WHEN v.leff THEN 1 ELSE 0 END) AS n_eff_l,
+         sum(CASE WHEN v.leff AND s.s10 = 0 THEN 1 ELSE 0 END) AS l_missed
+  FROM variants v
+  JOIN (
+    SELECT g, sp,
+           sum(CASE WHEN (11 - i) % 2 = 1
+               THEN CASE WHEN lv[i] * 2 > 9 THEN lv[i] * 2 - 9
+                         ELSE lv[i] * 2 END
+               ELSE lv[i] END) % 10 AS s10
+    FROM variants, (SELECT unnest(generate_series(1, 11)) AS i)
+    GROUP BY g, sp
+  ) s ON s.g = v.g AND s.sp = v.sp
+  GROUP BY v.g
+)
+SELECT CAST(p.g AS BIGINT) AS g,
+       CAST(p.vfull[11] AS INT) AS verhoeff_cd,
+       CAST(p.lfull[11] AS INT) AS luhn_cd,
+       CAST(v.n_eff_v AS BIGINT) AS n_eff_swaps_v,
+       CAST(v.v_missed AS BIGINT) AS verhoeff_missed,
+       CAST(l.n_eff_l AS BIGINT) AS n_eff_swaps_l,
+       CAST(l.l_missed AS BIGINT) AS luhn_missed
+FROM prot p
+JOIN vres v ON v.g = p.g
+JOIN lres l ON l.g = p.g
+ORDER BY g
+"""
+
+
+@register_extra("verhoeff_luhn_transpositions", _VERHOEFF_ORACLE)
+def verhoeff_luhn_transpositions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verhoeff vs Luhn adjacent-transposition audit (see oracle
+    comment). Spark builds digit arrays once, runs the dihedral fold
+    as higher-order aggregates over the 11 swap variants (map-only),
+    Luhn as a positional parity sum; the oracle replays both as
+    recursive CTE / unnest sums."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 300).alias("g")).distinct()
+    iss = c.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("i")
+    )
+    pay = (
+        grp.crossJoin(F.broadcast(iss))
+        .select(
+            "g",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("vd:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+            ).alias("dig"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, dig))),"
+                " x -> x.dig)"
+            ).alias("pd")
+        )
+    )
+    dt = "array(" + ",".join(f"{v}L" for v in _VH_D) + ")"
+    pt = "array(" + ",".join(f"{v}L" for v in _VH_P) + ")"
+    iv = "array(" + ",".join(f"{v}L" for v in _VH_INV) + ")"
+    # Verhoeff check digit for the 10-digit payload (positions i+1)
+    vcd = (
+        f"element_at({iv}, CAST(aggregate(sequence(0, 9), 0L, (c, i) ->"
+        f" element_at({dt}, CAST(c * 10 +"
+        f"   element_at({pt}, CAST(((i + 1) % 8) * 10 +"
+        f"     element_at(pd, CAST(10 - i AS INT)) + 1 AS INT))"
+        f"   + 1 AS INT))) AS INT) + 1)"
+    )
+    lcd = (
+        "CAST((10 - aggregate(sequence(1, 10), 0L, (s, i) ->"
+        " s + IF((11 - i) % 2 = 1,"
+        "   IF(element_at(pd, CAST(i AS INT)) * 2 > 9,"
+        "      element_at(pd, CAST(i AS INT)) * 2 - 9,"
+        "      element_at(pd, CAST(i AS INT)) * 2),"
+        "   element_at(pd, CAST(i AS INT)))) % 10) % 10 AS BIGINT)"
+    )
+    prot = pay.withColumn(
+        "vfull", F.expr(f"concat(pd, array({vcd}))")
+    ).withColumn("lfull", F.expr(f"concat(pd, array({lcd}))"))
+    sps = c.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("sp")
+    )
+    var = prot.crossJoin(F.broadcast(sps)).select(
+        "g",
+        "sp",
+        "vfull",
+        "lfull",
+        F.expr(
+            "transform(vfull, (v, j) ->"
+            " CASE WHEN j + 1 = sp THEN element_at(vfull, sp + 1)"
+            "      WHEN j = sp THEN element_at(vfull, sp)"
+            "      ELSE v END)"
+        ).alias("vv"),
+        F.expr(
+            "transform(lfull, (v, j) ->"
+            " CASE WHEN j + 1 = sp THEN element_at(lfull, sp + 1)"
+            "      WHEN j = sp THEN element_at(lfull, sp)"
+            "      ELSE v END)"
+        ).alias("lv"),
+        F.expr("element_at(vfull, sp) <> element_at(vfull, sp + 1)").alias(
+            "veff"
+        ),
+        F.expr("element_at(lfull, sp) <> element_at(lfull, sp + 1)").alias(
+            "leff"
+        ),
+    )
+    vvalid = (
+        f"aggregate(sequence(0, 10), 0L, (c, i) ->"
+        f" element_at({dt}, CAST(c * 10 +"
+        f"   element_at({pt}, CAST((i % 8) * 10 +"
+        f"     element_at(vv, CAST(11 - i AS INT)) + 1 AS INT))"
+        f"   + 1 AS INT)))"
+    )
+    lsum = (
+        "aggregate(sequence(1, 11), 0L, (s, i) ->"
+        " s + IF((11 - i) % 2 = 1,"
+        "   IF(element_at(lv, CAST(i AS INT)) * 2 > 9,"
+        "      element_at(lv, CAST(i AS INT)) * 2 - 9,"
+        "      element_at(lv, CAST(i AS INT)) * 2),"
+        "   element_at(lv, CAST(i AS INT)))) % 10"
+    )
+    res = (
+        var.withColumn("vchk", F.expr(vvalid))
+        .withColumn("ls", F.expr(lsum))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("veff"), 1).otherwise(0)).alias("n_eff_v"),
+            F.sum(
+                F.when(F.col("veff") & (F.col("vchk") == 0), 1).otherwise(0)
+            ).alias("v_missed"),
+            F.sum(F.when(F.col("leff"), 1).otherwise(0)).alias("n_eff_l"),
+            F.sum(
+                F.when(F.col("leff") & (F.col("ls") == 0), 1).otherwise(0)
+            ).alias("l_missed"),
+        )
+    )
+    return (
+        prot.join(res, "g")
+        .select(
+            F.col("g").cast("long"),
+            F.expr("element_at(vfull, 11)").cast("int").alias("verhoeff_cd"),
+            F.expr("element_at(lfull, 11)").cast("int").alias("luhn_cd"),
+            F.col("n_eff_v").cast("long").alias("n_eff_swaps_v"),
+            F.col("v_missed").cast("long").alias("verhoeff_missed"),
+            F.col("n_eff_l").cast("long").alias("n_eff_swaps_l"),
+            F.col("l_missed").cast("long").alias("luhn_missed"),
+        )
+        .orderBy("g")
+    )

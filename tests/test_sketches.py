@@ -263,3 +263,56 @@ class TestCordicReferee:
             assert abs(r["cos_q26"] / sc - math.cos(th)) < 2e-4, r
             assert abs(r["sin_q26"] / sc - math.sin(th)) < 2e-4, r
             assert abs(r["residual_z"]) <= 8192  # last atan step
+
+
+class TestVerhoeffLuhnReferee:
+    def test_matches_python_checksums(self, spark, sf_dir):
+        """Python reimplementations of both schemes must agree on the
+        check digits, and Luhn's misses must be exactly the {0,9}
+        adjacent swaps while Verhoeff misses none (its theorem)."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.sketch_queries import (
+            _VH_D,
+            _VH_INV,
+            _VH_P,
+            verhoeff_luhn_transpositions,
+        )
+
+        D = [_VH_D[i * 10 : (i + 1) * 10] for i in range(10)]
+        P = [_VH_P[i * 10 : (i + 1) * 10] for i in range(8)]
+
+        def vh_check(payload):
+            c = 0
+            for i, dig in enumerate(reversed(payload)):
+                c = D[c][P[(i + 1) % 8][dig]]
+            return _VH_INV[c]
+
+        def luhn_check(payload):
+            s = 0
+            for i, dig in enumerate(reversed(payload)):
+                v = dig * 2 if i % 2 == 0 else dig
+                s += v - 9 if v > 9 else v
+            return (10 - s % 10) % 10
+
+        rows = verhoeff_luhn_transpositions(spark, sf_dir).collect()
+        assert len(rows) > 100
+        for r in rows:
+            pd = [
+                int(
+                    hashlib.md5(f"vd:{r['g']}:{i}".encode()).hexdigest()[:4],
+                    16,
+                )
+                % 10
+                for i in range(1, 11)
+            ]
+            assert r["verhoeff_cd"] == vh_check(pd), r
+            assert r["luhn_cd"] == luhn_check(pd), r
+            assert r["verhoeff_missed"] == 0, r
+            lf = pd + [r["luhn_cd"]]
+            expect_luhn_miss = sum(
+                1
+                for i in range(10)
+                if {lf[i], lf[i + 1]} == {0, 9}
+            )
+            assert r["luhn_missed"] == expect_luhn_miss, r
