@@ -2869,3 +2869,121 @@ def verhoeff_luhn_transpositions(
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ extended Euclid / Bezout
+
+# Extended Euclidean algorithm — gcd plus the Bezout certificate
+# a*x + b*y = g, and the modular inverse when gcd = 1 (the key-setup
+# primitive under RSA/CRT). The fold carries (r0, r1, s0, s1, t0, t1)
+# through 45 quotient steps (Fibonacci worst case for a, b < 2^31 is
+# 45 divisions; converged state is a fixpoint so extra steps are
+# no-ops). The Bezout identity itself is recomputed as a column and
+# hash-frozen (bezout_ok = 1), so any drift in the fold algebra is
+# fatal. Inputs are md5 pairs; b is forced odd so inverses mod b
+# exist for even a.
+_EGCD_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 200 AS g FROM supplier
+),
+ab AS MATERIALIZED (
+  SELECT g,
+         1 + ('0x' || substr(md5('ea:' || CAST(g AS VARCHAR)),
+                             1, 8))::BIGINT % 2147483646 AS a,
+         1 + 2 * (('0x' || substr(md5('eb:' || CAST(g AS VARCHAR)),
+                                  1, 8))::BIGINT % 1073741823) AS b
+  FROM grp
+),
+st(g, a, b, i, r0, r1, s0, s1, t0, t1) AS (
+  SELECT g, a, b, 0, a, b,
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  FROM ab
+  UNION ALL
+  SELECT g, a, b, i + 1,
+         CASE WHEN r1 = 0 THEN r0 ELSE r1 END,
+         CASE WHEN r1 = 0 THEN r1 ELSE r0 - (r0 // r1) * r1 END,
+         CASE WHEN r1 = 0 THEN s0 ELSE s1 END,
+         CASE WHEN r1 = 0 THEN s1 ELSE s0 - (r0 // r1) * s1 END,
+         CASE WHEN r1 = 0 THEN t0 ELSE t1 END,
+         CASE WHEN r1 = 0 THEN t1 ELSE t0 - (r0 // r1) * t1 END
+  FROM st WHERE i < 45
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(a AS BIGINT) AS a,
+       CAST(b AS BIGINT) AS b, CAST(r0 AS BIGINT) AS gcd,
+       CAST(s0 AS BIGINT) AS bez_x, CAST(t0 AS BIGINT) AS bez_y,
+       CAST(CASE WHEN a * s0 + b * t0 = r0 THEN 1 ELSE 0 END AS INT)
+         AS bezout_ok,
+       CAST(CASE WHEN r0 = 1 THEN ((s0 % b) + b) % b END AS BIGINT)
+         AS inv_a_mod_b
+FROM st WHERE i = 45
+ORDER BY g
+"""
+
+
+@register_extra("extended_euclid_bezout", _EGCD_ORACLE)
+def extended_euclid_bezout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Euclid with the Bezout certificate hash-frozen (see
+    oracle comment). One 45-step higher-order fold per pair in Spark,
+    the identical recursive CTE in DuckDB; quotients use positive
+    operands only, so trunc-vs-floor division differences cannot
+    arise."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 200).alias("g")).distinct()
+
+    def _h8(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ab = grp.select(
+        "g",
+        (1 + _h8("ea:") % 2147483646).alias("a"),
+        (1 + 2 * (_h8("eb:") % 1073741823)).alias("b"),
+    )
+    fold = (
+        "aggregate(sequence(1, 45),"
+        " named_struct('r0', a, 'r1', b, 's0', 1L, 's1', 0L,"
+        "              't0', 0L, 't1', 1L),"
+        " (x, i) -> IF(x.r1 = 0, x,"
+        "   named_struct("
+        "     'r0', x.r1, 'r1', x.r0 - (x.r0 div x.r1) * x.r1,"
+        "     's0', x.s1, 's1', x.s0 - (x.r0 div x.r1) * x.s1,"
+        "     't0', x.t1, 't1', x.t0 - (x.r0 div x.r1) * x.t1)))"
+    )
+    return (
+        ab.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            "a",
+            "b",
+            F.col("st.r0").cast("long").alias("gcd"),
+            F.col("st.s0").cast("long").alias("bez_x"),
+            F.col("st.t0").cast("long").alias("bez_y"),
+            F.when(
+                F.col("a") * F.col("st.s0") + F.col("b") * F.col("st.t0")
+                == F.col("st.r0"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("bezout_ok"),
+            F.when(
+                F.col("st.r0") == 1,
+                F.expr("((st.s0 % b) + b) % b"),
+            )
+            .cast("long")
+            .alias("inv_a_mod_b"),
+        )
+        .orderBy("g")
+    )
