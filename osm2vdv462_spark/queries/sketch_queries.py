@@ -2987,3 +2987,189 @@ def extended_euclid_bezout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ Josephus + Zeckendorf
+
+# Two closed-fold number-theory classics in one family with the
+# Euclid/Miller-Rabin rows. Josephus (survivor of the counting-out
+# circle): J(1)=0, J(n) = (J(n-1) + k) mod n — one fold over n.
+# Zeckendorf (1972): every n is a UNIQUE sum of non-consecutive
+# Fibonacci numbers; the greedy fold over the frozen descending Fib
+# table produces it, and both the reconstruction identity (sum of
+# chosen Fibs = n) and the no-consecutive-indices invariant are
+# recomputed and hash-frozen per row.
+_FIBS = [1836311903, 1134903170, 701408733, 433494437, 267914296,
+         165580141, 102334155, 63245986, 39088169, 24157817, 14930352,
+         9227465, 5702887, 3524578, 2178309, 1346269, 832040, 514229,
+         317811, 196418, 121393, 75025, 46368, 28657, 17711, 10946,
+         6765, 4181, 2584, 1597, 987, 610, 377, 233, 144, 89, 55, 34,
+         21, 13, 8, 5, 3, 2, 1]
+
+_JOSEPHUS_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 120 AS g FROM supplier
+),
+nk AS MATERIALIZED (
+  SELECT g,
+         2 + ('0x' || substr(md5('jn:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % 199 AS n,
+         2 + ('0x' || substr(md5('jk:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % 11 AS k
+  FROM grp
+),
+st(g, n, k, i, j) AS (
+  SELECT g, n, k, 1, CAST(0 AS BIGINT) FROM nk
+  UNION ALL
+  SELECT g, n, k, i + 1, (j + k) % (i + 1)
+  FROM st WHERE i < n
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k,
+       CAST(j + 1 AS BIGINT) AS survivor_1based
+FROM st WHERE i = n
+ORDER BY g
+"""
+
+
+@register_extra("josephus_survivor", _JOSEPHUS_ORACLE)
+def josephus_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Josephus survivor positions via the O(n) recurrence (see
+    family comment above) — one higher-order fold per (n, k) pair vs
+    the recursive-CTE twin; tests referee against a literal
+    circle simulation."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 120).alias("g")).distinct()
+
+    def _h6(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    nk = grp.select(
+        "g", (2 + _h6("jn:") % 199).alias("n"), (2 + _h6("jk:") % 11).alias("k")
+    )
+    return (
+        nk.withColumn(
+            "j",
+            F.expr(
+                "aggregate(sequence(2, CAST(n AS INT)), 0L,"
+                " (j, i) -> (j + k) % i)"
+            ),
+        )
+        .select(
+            F.col("g").cast("long"),
+            "n",
+            "k",
+            (F.col("j") + 1).cast("long").alias("survivor_1based"),
+        )
+        .orderBy("g")
+    )
+
+
+_ZECK_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 150 AS g FROM supplier
+),
+nums AS MATERIALIZED (
+  SELECT g, 1 + ('0x' || substr(md5('zk:' || CAST(g AS VARCHAR)),
+                                1, 8))::BIGINT % 2000000000 AS n
+  FROM grp
+),
+fib AS MATERIALIZED (
+  SELECT [CAST(1836311903 AS BIGINT), CAST(1134903170 AS BIGINT), CAST(701408733 AS BIGINT), CAST(433494437 AS BIGINT), CAST(267914296 AS BIGINT), CAST(165580141 AS BIGINT), CAST(102334155 AS BIGINT), CAST(63245986 AS BIGINT), CAST(39088169 AS BIGINT), CAST(24157817 AS BIGINT), CAST(14930352 AS BIGINT), CAST(9227465 AS BIGINT), CAST(5702887 AS BIGINT), CAST(3524578 AS BIGINT), CAST(2178309 AS BIGINT), CAST(1346269 AS BIGINT), CAST(832040 AS BIGINT), CAST(514229 AS BIGINT), CAST(317811 AS BIGINT), CAST(196418 AS BIGINT), CAST(121393 AS BIGINT), CAST(75025 AS BIGINT), CAST(46368 AS BIGINT), CAST(28657 AS BIGINT), CAST(17711 AS BIGINT), CAST(10946 AS BIGINT), CAST(6765 AS BIGINT), CAST(4181 AS BIGINT), CAST(2584 AS BIGINT), CAST(1597 AS BIGINT), CAST(987 AS BIGINT), CAST(610 AS BIGINT), CAST(377 AS BIGINT), CAST(233 AS BIGINT), CAST(144 AS BIGINT), CAST(89 AS BIGINT), CAST(55 AS BIGINT), CAST(34 AS BIGINT), CAST(21 AS BIGINT), CAST(13 AS BIGINT), CAST(8 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)] AS f
+),
+st(g, n, i, rem, mask, cnt, last, gap_ok) AS (
+  SELECT g, n, 0, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(-5 AS BIGINT), CAST(1 AS BIGINT)
+  FROM nums
+  UNION ALL
+  SELECT g, n, i + 1,
+         CASE WHEN x <= rem THEN rem - x ELSE rem END,
+         CASE WHEN x <= rem THEN mask + x ELSE mask END,
+         CASE WHEN x <= rem THEN cnt + 1 ELSE cnt END,
+         CASE WHEN x <= rem THEN CAST(i AS BIGINT) ELSE last END,
+         CASE WHEN x <= rem AND cnt > 0 AND i = last + 1
+              THEN 0 ELSE gap_ok END
+  FROM (
+    SELECT s.*, fb.f[s.i + 1] AS x
+    FROM st s CROSS JOIN fib fb
+    WHERE s.i < 45
+  )
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(n AS BIGINT) AS n,
+       CAST(cnt AS BIGINT) AS n_terms,
+       CAST(CASE WHEN mask = n AND rem = 0 THEN 1 ELSE 0 END AS INT)
+         AS reconstructs,
+       CAST(gap_ok AS INT) AS no_consecutive
+FROM st WHERE i = 45
+ORDER BY g
+"""
+
+
+@register_extra("zeckendorf_representation", _ZECK_ORACLE)
+def zeckendorf_representation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zeckendorf decompositions via the greedy fold over the frozen
+    Fibonacci table (see family comment). Both the reconstruction sum
+    and the non-consecutive invariant are recomputed in-query and
+    hash-frozen at 1."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 150).alias("g")).distinct()
+    nums = grp.select(
+        "g",
+        (
+            1
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("zk:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2000000000
+        ).alias("n"),
+    )
+    fib = "array(" + ",".join(f"{v}L" for v in _FIBS) + ")"
+    fold = (
+        f"aggregate({fib},"
+        " named_struct('rem', n, 'mask', 0L, 'cnt', 0L, 'last', -5L,"
+        "              'ix', 0L, 'gap_ok', 1L),"
+        " (a, x) -> IF(x <= a.rem,"
+        "   named_struct('rem', a.rem - x, 'mask', a.mask + x,"
+        "     'cnt', a.cnt + 1, 'last', a.ix, 'ix', a.ix + 1,"
+        "     'gap_ok', IF(a.cnt > 0 AND a.ix = a.last + 1, 0L, a.gap_ok)),"
+        "   named_struct('rem', a.rem, 'mask', a.mask, 'cnt', a.cnt,"
+        "     'last', a.last, 'ix', a.ix + 1, 'gap_ok', a.gap_ok)))"
+    )
+    return (
+        nums.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            "n",
+            F.col("st.cnt").cast("long").alias("n_terms"),
+            F.when(
+                (F.col("st.mask") == F.col("n")) & (F.col("st.rem") == 0), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("reconstructs"),
+            F.col("st.gap_ok").cast("int").alias("no_consecutive"),
+        )
+        .orderBy("g")
+    )
