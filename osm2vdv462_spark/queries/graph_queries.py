@@ -3369,3 +3369,150 @@ def vector_clock_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_before").cast("long"),
         F.col("n_dom").cast("long").alias("n_vc_dominated"),
     ).orderBy("actor", "seq")
+
+
+# ------------------------------------ Hall condition / König duality
+
+# Hall's marriage theorem (1935) + König-Egerváry duality: for an
+# 8x8 bipartite graph the maximum matching equals n minus the worst
+# Hall deficiency max_S(|S| - |N(S)|) — computed EXACTLY by
+# enumerating all 255 nonempty left subsets as bitmasks, with |N(S)|
+# a bit_or aggregate over member adjacency masks. The witness subset
+# (smallest mask attaining the worst deficiency) and the matching
+# size are hash-frozen; tests referee the matching size against an
+# independent augmenting-path matcher. 40 md5 graphs, edge density
+# 1/3.
+_HALL_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 40 AS g FROM part
+),
+adj AS MATERIALIZED (
+  SELECT g, v.v,
+         CAST(sum(CASE WHEN ('0x' || substr(md5('hl:'
+                || CAST(g AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)
+                || ':' || CAST(u.u AS VARCHAR)), 1, 4))::BIGINT % 3 = 0
+              THEN 1 << u.u ELSE 0 END) AS BIGINT) AS amask
+  FROM grp,
+       (SELECT unnest(generate_series(0, 7)) AS v) v,
+       (SELECT unnest(generate_series(0, 7)) AS u) u
+  GROUP BY g, v.v
+),
+subsets AS MATERIALIZED (
+  SELECT grp.g, m.m, count(*) AS sz,
+         bit_count(bit_or(a.amask)) AS nbs
+  FROM (SELECT unnest(generate_series(1, 255)) AS m) m
+  CROSS JOIN grp
+  JOIN adj a ON a.g = grp.g AND ((m.m >> a.v) & 1) = 1
+  GROUP BY grp.g, m.m
+),
+defs AS MATERIALIZED (
+  SELECT g, m, sz - nbs AS def,
+         max(sz - nbs) OVER (PARTITION BY g) AS maxdef
+  FROM subsets
+)
+SELECT CAST(d.g AS BIGINT) AS g,
+       CAST(e.n_edges AS BIGINT) AS n_edges,
+       CAST(greatest(d.maxdef, 0) AS BIGINT) AS hall_deficiency,
+       CAST(8 - greatest(d.maxdef, 0) AS BIGINT) AS matching_size,
+       CAST(min(CASE WHEN d.def = d.maxdef THEN d.m END) AS BIGINT)
+         AS witness_mask,
+       CAST(CASE WHEN d.maxdef <= 0 THEN 1 ELSE 0 END AS INT)
+         AS hall_satisfied
+FROM defs d
+JOIN (SELECT g, sum(bit_count(amask)) AS n_edges FROM adj GROUP BY g) e
+  ON e.g = d.g
+GROUP BY d.g, d.maxdef, e.n_edges
+ORDER BY g
+"""
+
+
+@register_extra("hall_konig_matching", _HALL_ORACLE)
+def hall_konig_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hall/König maximum matching via subset-lattice deficiency (see
+    oracle comment). Plan: graphs are dim-sized (40 x 8 adjacency
+    masks); the 255-mask explode is a broadcast cross join + one
+    bit_or partial agg — exhaustive-combinatorics work that stays
+    O(graphs x 2^n), never fact-sized."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sess = p.sparkSession
+    grp = p.select((F.col("p_partkey") % 40).alias("g")).distinct()
+    vs = sess.range(0, 8).select(F.col("id").cast("int").alias("v"))
+    us = sess.range(0, 8).select(F.col("id").cast("int").alias("u"))
+    adj = (
+        grp.crossJoin(F.broadcast(vs))
+        .crossJoin(F.broadcast(us))
+        .select(
+            "g",
+            "v",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("hl:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                F.col("v").cast("string"),
+                                F.lit(":"),
+                                F.col("u").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 3
+                == 0,
+                F.expr("CAST(1 AS BIGINT) << u"),
+            )
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("bit").cast("long").alias("amask"))
+        .localCheckpoint(eager=True)
+    )
+    masks = sess.range(1, 256).select(F.col("id").cast("int").alias("m"))
+    subsets = (
+        grp.crossJoin(F.broadcast(masks))
+        .join(adj, "g")
+        .filter(F.expr("((m >> v) & 1) = 1"))
+        .groupBy("g", "m")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.expr("bit_count(bit_or(amask))").alias("nbs"),
+        )
+    )
+    defs = subsets.withColumn("def", F.col("sz") - F.col("nbs")).withColumn(
+        "maxdef", F.max("def").over(Window.partitionBy("g"))
+    )
+    edges = adj.groupBy("g").agg(
+        F.expr("sum(bit_count(amask))").alias("n_edges")
+    )
+    return (
+        defs.groupBy("g", "maxdef")
+        .agg(
+            F.min(F.when(F.col("def") == F.col("maxdef"), F.col("m"))).alias(
+                "witness_mask"
+            )
+        )
+        .join(F.broadcast(edges), "g")
+        .select(
+            F.col("g").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.greatest(F.col("maxdef"), F.lit(0))
+            .cast("long")
+            .alias("hall_deficiency"),
+            (8 - F.greatest(F.col("maxdef"), F.lit(0)))
+            .cast("long")
+            .alias("matching_size"),
+            F.col("witness_mask").cast("long"),
+            F.when(F.col("maxdef") <= 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("hall_satisfied"),
+        )
+        .orderBy("g")
+    )

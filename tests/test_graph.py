@@ -300,3 +300,47 @@ class TestHopsSigma:
         assert got[(1, 2)] == (1, 1)
         assert got[(2, 3)] == (1, 1)
         assert all(s == 1 for (a, b), (h, s) in got.items() if a == b)
+
+
+class TestHallKonigReferee:
+    def test_matches_augmenting_path_matching(self, spark, sf_dir):
+        """The König-via-deficiency matching size must equal an
+        independent augmenting-path maximum matching on every graph."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.graph_queries import (
+            hall_konig_matching,
+        )
+
+        def adj_masks(g):
+            out = []
+            for v in range(8):
+                mask = 0
+                for u in range(8):
+                    h = hashlib.md5(f"hl:{g}:{v}:{u}".encode()).hexdigest()
+                    if int(h[:4], 16) % 3 == 0:
+                        mask |= 1 << u
+                out.append(mask)
+            return out
+
+        def max_matching(adj):
+            match_r = {}
+
+            def aug(v, seen):
+                for u in range(8):
+                    if (adj[v] >> u) & 1 and u not in seen:
+                        seen.add(u)
+                        if u not in match_r or aug(match_r[u], seen):
+                            match_r[u] = v
+                            return True
+                return False
+
+            return sum(1 for v in range(8) if aug(v, set()))
+
+        rows = hall_konig_matching(spark, sf_dir).collect()
+        assert len(rows) == 40
+        sizes = set()
+        for r in rows:
+            assert r["matching_size"] == max_matching(adj_masks(r["g"])), r
+            sizes.add(r["matching_size"])
+        assert len(sizes) > 1  # deficiencies genuinely occur
