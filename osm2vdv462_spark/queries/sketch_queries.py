@@ -3173,3 +3173,154 @@ def zeckendorf_representation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ Floyd cycle detection (rho)
+
+# Floyd's tortoise-and-hare (1967, via Knuth) — the constant-space
+# cycle finder under Pollard's rho, PRNG quality tests and linked-
+# list debugging: on the md5 functional graph x -> H(g, x) mod 64
+# each start walks a rho shape with tail mu and cycle lambda. The
+# three classic phases (meet inside the cycle; synchronized walk from
+# the start to find mu; single lap to measure lambda) run as exact
+# folds with the hash evaluated INSIDE the lambda; mu/lambda
+# concentrate near the birthday bound sqrt(pi*64/8) ~ 5. tests
+# referee against a direct Python replay; the identity hare = tortoise at
+# phase-1 exit is hash-frozen via the meet column.
+_FLOYD_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 160 AS g FROM supplier
+),
+seed AS MATERIALIZED (
+  SELECT g, ('0x' || substr(md5('fs:' || CAST(g AS VARCHAR)),
+                            1, 4))::BIGINT % 64 AS x0
+  FROM grp
+),
+p1(g, x0, i, t, h, meet) AS (
+  SELECT g, x0, 0, x0, x0, CAST(NULL AS BIGINT) FROM seed
+  UNION ALL
+  SELECT g, x0, i + 1, t1, h2,
+         CASE WHEN t1 = h2 THEN t1 END
+  FROM (
+    SELECT g, x0, i, t, h,
+           ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+              || CAST(t AS VARCHAR)), 1, 4))::BIGINT % 64 AS t1,
+           ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+              || CAST(('0x' || substr(md5('fg:' || CAST(g AS VARCHAR)
+                 || ':' || CAST(h AS VARCHAR)), 1, 4))::BIGINT % 64
+                 AS VARCHAR)), 1, 4))::BIGINT % 64 AS h2
+    FROM p1 WHERE meet IS NULL AND i < 96
+  )
+),
+m1 AS MATERIALIZED (
+  SELECT g, x0, meet FROM p1 WHERE meet IS NOT NULL
+),
+p2(g, x0, meet, mu, t, h) AS (
+  SELECT g, x0, meet, 0, x0, meet FROM m1
+  UNION ALL
+  SELECT g, x0, meet, mu + 1,
+         ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+            || CAST(t AS VARCHAR)), 1, 4))::BIGINT % 64,
+         ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+            || CAST(h AS VARCHAR)), 1, 4))::BIGINT % 64
+  FROM p2 WHERE t <> h AND mu < 64
+),
+m2 AS MATERIALIZED (
+  SELECT g, x0, meet, mu, t AS mu_node FROM p2 WHERE t = h
+),
+p3(g, mu_node, lam, h) AS (
+  SELECT g, mu_node, 1,
+         ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+            || CAST(mu_node AS VARCHAR)), 1, 4))::BIGINT % 64
+  FROM m2
+  UNION ALL
+  SELECT g, mu_node, lam + 1,
+         ('0x' || substr(md5('fg:' || CAST(g AS VARCHAR) || ':'
+            || CAST(h AS VARCHAR)), 1, 4))::BIGINT % 64
+  FROM p3 WHERE h <> mu_node AND lam < 65
+)
+SELECT CAST(m2.g AS BIGINT) AS g, CAST(m2.x0 AS BIGINT) AS x0,
+       CAST(m2.meet AS BIGINT) AS meet_node,
+       CAST(m2.mu AS BIGINT) AS mu,
+       CAST(l.lam AS BIGINT) AS lambda,
+       CAST(m2.mu + l.lam AS BIGINT) AS rho_len
+FROM m2
+JOIN (SELECT g, max(lam) AS lam FROM p3 GROUP BY g) l ON l.g = m2.g
+ORDER BY g
+"""
+
+
+@register_extra("floyd_cycle_detection", _FLOYD_ORACLE)
+def floyd_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd tortoise-and-hare rho decomposition (see oracle comment).
+    Spark runs all three phases as chained higher-order folds with the
+    md5 step function inlined in the lambdas — map-only per seed; the
+    oracle replays them as three chained recursive CTEs."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 160).alias("g")).distinct()
+    seed = grp.select(
+        "g",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fs:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("x0"),
+    )
+
+    def fx(x: str) -> str:
+        return (
+            "(CAST(conv(substring(md5(CAST(concat('fg:',"
+            " CAST(g AS STRING), ':', CAST(" + x + " AS STRING))"
+            " AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 64)"
+        )
+
+    p1 = (
+        "aggregate(sequence(1, 96),"
+        " named_struct('t', x0, 'h', x0, 'meet', -1L),"
+        " (a, i) -> IF(a.meet >= 0, a,"
+        f"   named_struct('t', {fx('a.t')},"
+        f"     'h', {fx(fx('a.h'))},"
+        f"     'meet', IF({fx('a.t')} = {fx(fx('a.h'))},"
+        f"               {fx('a.t')}, -1L))))"
+    )
+    p2 = (
+        "aggregate(sequence(1, 64),"
+        " named_struct('t', x0, 'h', meet, 'mu', 0L),"
+        " (a, i) -> IF(a.t = a.h, a,"
+        f"   named_struct('t', {fx('a.t')}, 'h', {fx('a.h')},"
+        "     'mu', a.mu + 1)))"
+    )
+    p3 = (
+        "aggregate(sequence(1, 64),"
+        f" named_struct('h', {fx('mu_node')}, 'lam', 1L),"
+        " (a, i) -> IF(a.h = mu_node, a,"
+        f"   named_struct('h', {fx('a.h')}, 'lam', a.lam + 1)))"
+    )
+    return (
+        seed.withColumn("s1", F.expr(p1))
+        .withColumn("meet", F.col("s1.meet"))
+        .withColumn("s2", F.expr(p2))
+        .withColumn("mu", F.col("s2.mu"))
+        .withColumn("mu_node", F.col("s2.t"))
+        .withColumn("s3", F.expr(p3))
+        .select(
+            F.col("g").cast("long"),
+            F.col("x0").cast("long"),
+            F.col("meet").cast("long").alias("meet_node"),
+            F.col("mu").cast("long"),
+            F.col("s3.lam").cast("long").alias("lambda"),
+            (F.col("mu") + F.col("s3.lam")).cast("long").alias("rho_len"),
+        )
+        .orderBy("g")
+    )

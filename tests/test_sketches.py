@@ -316,3 +316,32 @@ class TestVerhoeffLuhnReferee:
                 if {lf[i], lf[i + 1]} == {0, 9}
             )
             assert r["luhn_missed"] == expect_luhn_miss, r
+
+
+class TestFloydCycleReferee:
+    def test_matches_python_rho(self, spark, sf_dir):
+        """Direct Python rho decomposition (walk until revisit) must
+        agree with the tortoise-hare mu/lambda on every seed."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.sketch_queries import (
+            floyd_cycle_detection,
+        )
+
+        def f(g, x):
+            return (
+                int(hashlib.md5(f"fg:{g}:{x}".encode()).hexdigest()[:4], 16)
+                % 64
+            )
+
+        rows = floyd_cycle_detection(spark, sf_dir).collect()
+        assert len(rows) >= 10
+        for r in rows:
+            seen, path, x = {}, [], r["x0"]
+            while x not in seen:
+                seen[x] = len(path)
+                path.append(x)
+                x = f(r["g"], x)
+            mu = seen[x]
+            lam = len(path) - mu
+            assert (r["mu"], r["lambda"]) == (mu, lam), r
