@@ -3324,3 +3324,120 @@ def floyd_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ continued-fraction convergents
+
+# Continued fractions: expanding a/b by Euclid quotients and
+# accumulating convergents h_k = q_k h_{k-1} + h_{k-2} (Wallis 1695)
+# yields the best rational approximations of a/b — the machinery
+# under Stern-Brocot trees, calendar leap rules and gear-ratio
+# design. The final convergent must equal the fraction in lowest
+# terms and successive convergents satisfy the determinant identity
+# h_k * k_{k-1} - h_{k-1} * k_k = (-1)^(k+1) — both recomputed
+# in-query and hash-frozen (det is always +1 or -1; reduced_ok = 1).
+_CF_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 140 AS g FROM supplier
+),
+ab AS MATERIALIZED (
+  SELECT g,
+         1 + ('0x' || substr(md5('ca:' || CAST(g AS VARCHAR)),
+                             1, 7))::BIGINT % 99999 AS a,
+         100000 + ('0x' || substr(md5('cb:' || CAST(g AS VARCHAR)),
+                                  1, 7))::BIGINT % 900000 AS b
+  FROM grp
+),
+st(g, a, b, i, r0, r1, h0, h1, k0, k1, depth) AS (
+  SELECT g, a, b, 0, a, b,
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM ab
+  UNION ALL
+  SELECT g, a, b, i + 1,
+         CASE WHEN r1 = 0 THEN r0 ELSE r1 END,
+         CASE WHEN r1 = 0 THEN r1 ELSE r0 % r1 END,
+         CASE WHEN r1 = 0 THEN h0 ELSE h1 END,
+         CASE WHEN r1 = 0 THEN h1 ELSE (r0 // r1) * h1 + h0 END,
+         CASE WHEN r1 = 0 THEN k0 ELSE k1 END,
+         CASE WHEN r1 = 0 THEN k1 ELSE (r0 // r1) * k1 + k0 END,
+         CASE WHEN r1 = 0 THEN depth ELSE depth + 1 END
+  FROM st WHERE i < 45
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(a AS BIGINT) AS a,
+       CAST(b AS BIGINT) AS b, CAST(depth AS BIGINT) AS depth,
+       CAST(h1 AS BIGINT) AS h_final, CAST(k1 AS BIGINT) AS k_final,
+       CAST(h0 AS BIGINT) AS h_prev, CAST(k0 AS BIGINT) AS k_prev,
+       CAST(h1 * k0 - h0 * k1 AS BIGINT) AS det,
+       CAST(CASE WHEN a * k1 = b * h1 THEN 1 ELSE 0 END AS INT)
+         AS reduced_ok
+FROM st WHERE i = 45
+ORDER BY g
+"""
+
+
+@register_extra("continued_fraction_convergents", _CF_ORACLE)
+def continued_fraction_convergents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continued-fraction convergents of md5 fractions a/b (see
+    oracle comment) — the Euclid fold carrying (h, k) pairs, with the
+    determinant identity and the lowest-terms reconstruction
+    hash-frozen. tests referee against fractions.Fraction."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 140).alias("g")).distinct()
+
+    def _h7(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ab = grp.select(
+        "g",
+        (1 + _h7("ca:") % 99999).alias("a"),
+        (100000 + _h7("cb:") % 900000).alias("b"),
+    )
+    fold = (
+        "aggregate(sequence(1, 45),"
+        " named_struct('r0', a, 'r1', b, 'h0', 1L, 'h1', 0L,"
+        "              'k0', 0L, 'k1', 1L, 'depth', 0L),"
+        " (x, i) -> IF(x.r1 = 0, x,"
+        "   named_struct("
+        "     'r0', x.r1, 'r1', x.r0 % x.r1,"
+        "     'h0', x.h1, 'h1', (x.r0 div x.r1) * x.h1 + x.h0,"
+        "     'k0', x.k1, 'k1', (x.r0 div x.r1) * x.k1 + x.k0,"
+        "     'depth', x.depth + 1)))"
+    )
+    return (
+        ab.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            "a",
+            "b",
+            F.col("st.depth").cast("long").alias("depth"),
+            F.col("st.h1").cast("long").alias("h_final"),
+            F.col("st.k1").cast("long").alias("k_final"),
+            F.col("st.h0").cast("long").alias("h_prev"),
+            F.col("st.k0").cast("long").alias("k_prev"),
+            F.expr("st.h1 * st.k0 - st.h0 * st.k1")
+            .cast("long")
+            .alias("det"),
+            F.when(
+                F.col("a") * F.col("st.k1") == F.col("b") * F.col("st.h1"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("reduced_ok"),
+        )
+        .orderBy("g")
+    )
