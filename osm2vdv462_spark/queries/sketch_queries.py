@@ -3350,8 +3350,8 @@ ab AS MATERIALIZED (
 ),
 st(g, a, b, i, r0, r1, h0, h1, k0, k1, depth) AS (
   SELECT g, a, b, 0, a, b,
-         CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-         CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
   FROM ab
   UNION ALL
   SELECT g, a, b, i + 1,
@@ -3409,8 +3409,8 @@ def continued_fraction_convergents(
     )
     fold = (
         "aggregate(sequence(1, 45),"
-        " named_struct('r0', a, 'r1', b, 'h0', 1L, 'h1', 0L,"
-        "              'k0', 0L, 'k1', 1L, 'depth', 0L),"
+        " named_struct('r0', a, 'r1', b, 'h0', 0L, 'h1', 1L,"
+        "              'k0', 1L, 'k1', 0L, 'depth', 0L),"
         " (x, i) -> IF(x.r1 = 0, x,"
         "   named_struct("
         "     'r0', x.r1, 'r1', x.r0 % x.r1,"
