@@ -3441,3 +3441,97 @@ def continued_fraction_convergents(
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ linear probing displacement
+
+# Linear probing displacement (Knuth 1962 — famously the problem that
+# founded the analysis of algorithms): insert 24 md5 keys into a
+# 32-slot table and measure how far each lands from its hash slot.
+# The probe is CLOSED-FORM per insertion: doubling the occupancy mask
+# (occ | occ<<32) makes the cyclic scan linear, the lowest ZERO bit
+# of the shifted window is isolated by (~x) & (x+1), and its position
+# (= the displacement) is bit_count(low - 1) — so the whole table
+# replay is one 24-step fold over three integers, no probe loop.
+# Clustering is visible in the gate rows: total displacement varies
+# ~3x across tables at the same 0.75 load.
+_LP_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 250 AS g FROM customer
+),
+st(g, j, occ, sumd, maxd) AS (
+  SELECT g, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM grp
+  UNION ALL
+  SELECT g, j + 1,
+         occ | (1 << ((p + d) % 32)),
+         sumd + d,
+         greatest(maxd, d)
+  FROM (
+    SELECT g, j, occ, sumd, maxd, p,
+           bit_count(((~x) & (x + 1)) - 1) AS d
+    FROM (
+      SELECT s.*,
+             ('0x' || substr(md5('lp:' || CAST(g AS VARCHAR) || ':'
+                || CAST(j AS VARCHAR)), 1, 4))::BIGINT % 32 AS p,
+             CAST((((occ::HUGEINT << 32) | occ::HUGEINT) >>
+              (('0x' || substr(md5('lp:' || CAST(g AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)), 1, 4))::BIGINT % 32))
+               & 4294967295 AS BIGINT) AS x
+      FROM st s WHERE j < 24
+    )
+  )
+)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(sumd AS BIGINT) AS total_displacement,
+       CAST(maxd AS BIGINT) AS max_displacement,
+       CAST(bit_count(occ) AS BIGINT) AS n_occupied
+FROM st WHERE j = 24
+ORDER BY g
+"""
+
+
+@register_extra("linear_probing_displacement", _LP_ORACLE)
+def linear_probing_displacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-probing displacement replay (see oracle comment) — one
+    zero-join higher-order fold per table; the oracle is the
+    identical recursive CTE. n_occupied is hash-frozen at 24 (no
+    insertion is ever lost)."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 250).alias("g")).distinct()
+    ps = (
+        "transform(sequence(0, 23), j ->"
+        " CAST(conv(substring(md5(CAST(concat('lp:', CAST(g AS STRING),"
+        " ':', CAST(j AS STRING)) AS BINARY)), 1, 4), 16, 10)"
+        " AS BIGINT) % 32)"
+    )
+    # per step: p = ps[j+1]; x = cyclic 32-bit window of occ from p;
+    # d = position of lowest zero bit of x
+    x = (
+        "(((a.occ | shiftleft(a.occ, 32))"
+        " >> CAST(element_at(ps, CAST(j AS INT) + 1) AS INT))"
+        " & 4294967295L)"
+    )
+    d = f"bit_count((((~{x}) & ({x} + 1)) - 1))"
+    fold = (
+        "aggregate(sequence(0, 23),"
+        " named_struct('occ', 0L, 'sumd', 0L, 'maxd', 0L),"
+        " (a, j) -> named_struct("
+        f" 'occ', a.occ | shiftleft(1L,"
+        f"   CAST((element_at(ps, CAST(j AS INT) + 1) + {d}) % 32 AS INT)),"
+        f" 'sumd', a.sumd + {d},"
+        f" 'maxd', greatest(a.maxd, {d})))"
+    )
+    return (
+        grp.withColumn("ps", F.expr(ps))
+        .withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("st.sumd").cast("long").alias("total_displacement"),
+            F.col("st.maxd").cast("long").alias("max_displacement"),
+            F.expr("bit_count(st.occ)").cast("long").alias("n_occupied"),
+        )
+        .orderBy("g")
+    )
