@@ -5274,3 +5274,139 @@ def elo_rating_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+# ------------------------------------------------ Simpson's paradox
+
+# Simpson's paradox (1951; the Berkeley-admissions shape): variant 0
+# beats variant 1 inside EVERY stratum, yet loses pooled, because the
+# md5 assignment concentrates variant 0 in the low-base-rate strata
+# (admission base rates 70/55/40/25% by stratum; variant 0 gets a +5pt
+# within-stratum edge but 70% of its traffic lands in strata 2-3).
+# All comparisons are exact rational (a*d vs c*b integer products);
+# the paradox flag — per-stratum winner 0, pooled winner 1 — is
+# hash-frozen. Rows: one per stratum plus the pooled row (stratum
+# -1).
+_SIMPSON_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT ('0x' || substr(md5('ss:' || CAST(user_id AS VARCHAR)),
+                         1, 4))::BIGINT % 4 AS stratum,
+         CASE WHEN ('0x' || substr(md5('sv:' || CAST(event_id AS VARCHAR)),
+                                   1, 4))::BIGINT % 100
+                   < 30 + CASE WHEN ('0x' || substr(md5('ss:'
+                       || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 4 >= 2
+                     THEN 40 ELSE 0 END
+              THEN 0 ELSE 1 END AS variant,
+         event_id, user_id
+  FROM events
+),
+o AS MATERIALIZED (
+  SELECT stratum, variant,
+         CASE WHEN ('0x' || substr(md5('so:' || CAST(event_id AS VARCHAR)),
+                                   1, 4))::BIGINT % 100
+                   < 70 - 15 * stratum
+                     + CASE WHEN variant = 0 THEN 5 ELSE 0 END
+              THEN 1 ELSE 0 END AS success
+  FROM e
+),
+strat AS MATERIALIZED (
+  SELECT stratum,
+         sum(CASE WHEN variant = 0 THEN success END) AS s0,
+         sum(CASE WHEN variant = 0 THEN 1 END) AS n0,
+         sum(CASE WHEN variant = 1 THEN success END) AS s1,
+         sum(CASE WHEN variant = 1 THEN 1 END) AS n1
+  FROM o GROUP BY stratum
+),
+allrows AS (
+  SELECT CAST(stratum AS INT) AS stratum, s0, n0, s1, n1 FROM strat
+  UNION ALL
+  SELECT -1, sum(s0), sum(n0), sum(s1), sum(n1) FROM strat
+)
+SELECT stratum,
+       CAST(s0 AS BIGINT) AS succ_v0, CAST(n0 AS BIGINT) AS n_v0,
+       CAST(s1 AS BIGINT) AS succ_v1, CAST(n1 AS BIGINT) AS n_v1,
+       CAST(CASE WHEN s0 * n1 > s1 * n0 THEN 0 ELSE 1 END AS INT)
+         AS winner
+FROM allrows
+ORDER BY stratum
+"""
+
+
+@register_extra("simpsons_paradox_audit", _SIMPSON_ORACLE)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox audit (see oracle comment). One partial-agg
+    pass over events; the pooled row is a 4-row re-aggregate. The
+    winner flips between every stratum row and the pooled row — the
+    paradox, hash-frozen."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _h4(prefix: str, col: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col(col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    e = ev.select(
+        (_h4("ss:", "user_id") % 4).alias("stratum"),
+        "event_id",
+    ).withColumn(
+        "variant",
+        F.when(
+            _h4("sv:", "event_id") % 100
+            < 30 + F.when(F.col("stratum") >= 2, 40).otherwise(0),
+            0,
+        ).otherwise(1),
+    ).withColumn(
+        "success",
+        F.when(
+            _h4("so:", "event_id") % 100
+            < 70
+            - 15 * F.col("stratum")
+            + F.when(F.col("variant") == 0, 5).otherwise(0),
+            1,
+        ).otherwise(0),
+    )
+    strat = e.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("success"))).alias("s0"),
+        F.sum(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("success"))).alias("s1"),
+        F.sum(F.when(F.col("variant") == 1, 1)).alias("n1"),
+    )
+    pooled = strat.agg(
+        F.lit(-1).alias("stratum"),
+        F.sum("s0").alias("s0"),
+        F.sum("n0").alias("n0"),
+        F.sum("s1").alias("s1"),
+        F.sum("n1").alias("n1"),
+    )
+    return (
+        strat.select(F.col("stratum").cast("int"), "s0", "n0", "s1", "n1")
+        .unionByName(
+            pooled.select(
+                F.col("stratum").cast("int"), "s0", "n0", "s1", "n1"
+            )
+        )
+        .select(
+            "stratum",
+            F.col("s0").cast("long").alias("succ_v0"),
+            F.col("n0").cast("long").alias("n_v0"),
+            F.col("s1").cast("long").alias("succ_v1"),
+            F.col("n1").cast("long").alias("n_v1"),
+            F.when(
+                F.col("s0") * F.col("n1") > F.col("s1") * F.col("n0"), 0
+            )
+            .otherwise(1)
+            .cast("int")
+            .alias("winner"),
+        )
+        .orderBy("stratum")
+    )
