@@ -7593,3 +7593,108 @@ def bleu_ngram_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ base64 audit
+
+# Base64 (RFC 4648) as a cross-derivation: the Spark side calls the
+# JVM's battle-tested base64() codec, while the oracle REBUILDS the
+# encoding from scratch in SQL — 3-byte groups regrouped into four
+# 6-bit indices against the literal alphabet, '=' padding from the
+# tail length — so alphabet order, bit packing and padding rules are
+# all hash-fatal (the same pattern as crc32_audit's zlib-vs-SQL).
+# 24-char ASCII prefixes, md5 1-in-4 sample; n_pad covers all three
+# tail classes.
+_B64_ORACLE = """
+WITH dd AS MATERIALIZED (
+  SELECT doc_id,
+         substr(text, 1,
+                21 + CAST(('0x' || substr(md5('bl:'
+                     || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 3
+                     AS INT)) AS t
+  FROM documents
+  WHERE strlen(text) = length(text) AND length(text) >= 24
+    AND ('0x' || substr(md5('b6:' || CAST(doc_id AS VARCHAR)),
+                        1, 4))::BIGINT % 4 = 0
+),
+alpha AS MATERIALIZED (
+  SELECT 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/'
+           AS a
+),
+blocks AS MATERIALIZED (
+  SELECT doc_id, t, b.b,
+         ascii(substr(t, 3 * b.b + 1, 1)) AS c1,
+         CASE WHEN 3 * b.b + 2 <= length(t)
+              THEN ascii(substr(t, 3 * b.b + 2, 1)) ELSE 0 END AS c2,
+         CASE WHEN 3 * b.b + 3 <= length(t)
+              THEN ascii(substr(t, 3 * b.b + 3, 1)) ELSE 0 END AS c3,
+         length(t) - 3 * b.b AS rem
+  FROM dd, (SELECT unnest(generate_series(0, 7)) AS b) b
+  WHERE 3 * b.b < length(t)
+),
+enc AS MATERIALIZED (
+  SELECT doc_id, b,
+         substr(a, CAST((c1 >> 2) AS INT) + 1, 1)
+         || substr(a, CAST(((c1 & 3) << 4) | (c2 >> 4) AS INT) + 1, 1)
+         || CASE WHEN rem >= 2
+                 THEN substr(a, CAST(((c2 & 15) << 2) | (c3 >> 6)
+                                     AS INT) + 1, 1)
+                 ELSE '=' END
+         || CASE WHEN rem >= 3
+                 THEN substr(a, CAST(c3 & 63 AS INT) + 1, 1)
+                 ELSE '=' END AS quad
+  FROM blocks CROSS JOIN alpha
+)
+SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_bytes,
+       string_agg(e.quad, '' ORDER BY e.b) AS b64,
+       CAST((3 - length(d.t) % 3) % 3 AS INT) AS n_pad
+FROM dd d JOIN enc e ON e.doc_id = d.doc_id
+GROUP BY d.doc_id, d.t
+ORDER BY d.doc_id
+"""
+
+
+@register_extra("base64_audit", _B64_ORACLE)
+def base64_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 cross-derivation (see oracle comment): Spark's JVM
+    base64() vs a from-scratch SQL bit-regrouping encoder. Map-only
+    expression work at any scale."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 24)
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b6:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+            == 0
+        )
+        .withColumn(
+            "t",
+            F.expr(
+                "substr(text, 1, 21 + CAST("
+                "CAST(conv(substring(md5(CAST(concat('bl:',"
+                " CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10)"
+                " AS BIGINT) % 3 AS INT))"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_bytes"),
+        F.base64(F.col("t").cast("binary")).alias("b64"),
+        ((3 - F.length("t") % 3) % 3).cast("int").alias("n_pad"),
+    ).orderBy("doc_id")
