@@ -3535,3 +3535,131 @@ def linear_probing_displacement(
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ Diffie-Hellman agreement
+
+# Diffie-Hellman (1976) over the Mersenne prime p = 2^31 - 1 with
+# primitive root g = 7: both sides run the same 31-step
+# square-and-multiply fold (products < 2^62, exact int64), and the
+# protocol's correctness — (g^a)^b = (g^b)^a — is recomputed from
+# both directions and hash-frozen (agree = 1 on every pair). tests
+# referee the public keys and the shared secret against Python pow.
+_DH_P = 2147483647
+_DH_G = 7
+
+_DH_ORACLE = f"""
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 130 AS g FROM supplier
+),
+sec AS MATERIALIZED (
+  SELECT g,
+         1 + ('0x' || substr(md5('da:' || CAST(g AS VARCHAR)),
+                             1, 8))::BIGINT % ({_DH_P} - 2) AS a,
+         1 + ('0x' || substr(md5('db:' || CAST(g AS VARCHAR)),
+                             1, 8))::BIGINT % ({_DH_P} - 2) AS b
+  FROM grp
+),
+me(g, base, e, tag, k, r, p) AS (
+  SELECT g, CAST({_DH_G} AS BIGINT), a, 'A', 0, CAST(1 AS BIGINT),
+         CAST({_DH_G} AS BIGINT)
+  FROM sec
+  UNION ALL
+  SELECT g, CAST({_DH_G} AS BIGINT), b, 'B', 0, CAST(1 AS BIGINT),
+         CAST({_DH_G} AS BIGINT)
+  FROM sec
+  UNION ALL
+  SELECT g, base, e, tag, k + 1,
+         CASE WHEN ((e >> k) & 1) = 1 THEN r * p % {_DH_P} ELSE r END,
+         p * p % {_DH_P}
+  FROM me WHERE k < 31
+),
+pub AS MATERIALIZED (
+  SELECT g, max(CASE WHEN tag = 'A' THEN r END) AS pub_a,
+         max(CASE WHEN tag = 'B' THEN r END) AS pub_b
+  FROM me WHERE k = 31 GROUP BY g
+),
+sh(g, base, e, tag, k, r, p) AS (
+  SELECT p.g, p.pub_b, s.a, 'SA', 0, CAST(1 AS BIGINT), p.pub_b
+  FROM pub p JOIN sec s ON s.g = p.g
+  UNION ALL
+  SELECT p.g, p.pub_a, s.b, 'SB', 0, CAST(1 AS BIGINT), p.pub_a
+  FROM pub p JOIN sec s ON s.g = p.g
+  UNION ALL
+  SELECT g, base, e, tag, k + 1,
+         CASE WHEN ((e >> k) & 1) = 1 THEN r * p % {_DH_P} ELSE r END,
+         p * p % {_DH_P}
+  FROM sh WHERE k < 31
+),
+fin AS MATERIALIZED (
+  SELECT g, max(CASE WHEN tag = 'SA' THEN r END) AS s_a,
+         max(CASE WHEN tag = 'SB' THEN r END) AS s_b
+  FROM sh WHERE k = 31 GROUP BY g
+)
+SELECT CAST(p.g AS BIGINT) AS g,
+       CAST(p.pub_a AS BIGINT) AS pub_a,
+       CAST(p.pub_b AS BIGINT) AS pub_b,
+       CAST(f.s_a AS BIGINT) AS shared,
+       CAST(CASE WHEN f.s_a = f.s_b THEN 1 ELSE 0 END AS INT) AS agree
+FROM pub p JOIN fin f ON f.g = p.g
+ORDER BY g
+"""
+
+
+@register_extra("diffie_hellman_agreement", _DH_ORACLE)
+def diffie_hellman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diffie-Hellman over 2^31-1 (see oracle comment). Spark runs
+    four modexp folds per pair (two public keys, the shared secret
+    from both directions); map-only exact int64."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 130).alias("g")).distinct()
+
+    def _h8(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sec = grp.select(
+        "g",
+        (1 + _h8("da:") % (_DH_P - 2)).alias("a"),
+        (1 + _h8("db:") % (_DH_P - 2)).alias("b"),
+    )
+
+    def modexp(base: str, e: str) -> str:
+        return (
+            f"aggregate(sequence(0, 31),"
+            f" named_struct('r', 1L, 'p', CAST({base} AS BIGINT)),"
+            f" (acc, k) -> named_struct("
+            f"   'r', IF((({e} >> k) & 1) = 1,"
+            f"           acc.r * acc.p % {_DH_P}, acc.r),"
+            f"   'p', acc.p * acc.p % {_DH_P}),"
+            f" acc -> acc.r)"
+        )
+
+    return (
+        sec.withColumn("pub_a", F.expr(modexp(str(_DH_G), "a")))
+        .withColumn("pub_b", F.expr(modexp(str(_DH_G), "b")))
+        .withColumn("s_a", F.expr(modexp("pub_b", "a")))
+        .withColumn("s_b", F.expr(modexp("pub_a", "b")))
+        .select(
+            F.col("g").cast("long"),
+            F.col("pub_a").cast("long"),
+            F.col("pub_b").cast("long"),
+            F.col("s_a").cast("long").alias("shared"),
+            F.when(F.col("s_a") == F.col("s_b"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+        )
+        .orderBy("g")
+    )
