@@ -3663,3 +3663,204 @@ def diffie_hellman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------- Shamir secret sharing
+
+def _shamir_oracle() -> str:
+    exp, log = _gf_tables()
+    el = "[" + ",".join(str(v) for v in exp) + "]"
+    ll = "[" + ",".join(str(v) for v in log) + "]"
+    combos = ", ".join(
+        f"({ci}, {a}, {b}, {c})"
+        for ci, (a, b, c) in enumerate(
+            [
+                (1, 2, 3), (1, 2, 4), (1, 2, 5), (1, 3, 4), (1, 3, 5),
+                (1, 4, 5), (2, 3, 4), (2, 3, 5), (2, 4, 5), (3, 4, 5),
+            ]
+        )
+    )
+
+    def mul(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} = 0 OR {b} = 0 THEN 0 ELSE"
+            f" ({el})[(({ll})[{a} + 1] + ({ll})[{b} + 1]) % 255 + 1]"
+            f" END)"
+        )
+
+    def div(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} = 0 THEN 0 ELSE"
+            f" ({el})[(({ll})[{a} + 1] - ({ll})[{b} + 1] + 255) % 255 + 1]"
+            f" END)"
+        )
+
+    # Lagrange basis at 0 for point xi against the other two xj, xk:
+    # li = (xj * xk) / ((xj ^ xi) * (xk ^ xi))
+    def lag(y, xi, xj, xk):
+        num = mul(xj, xk)
+        den = mul(f"xor({xj}, {xi})", f"xor({xk}, {xi})")
+        return mul(y, div(num, den))
+
+    def f_at(x: str) -> str:
+        x2 = mul(x, x)
+        return (
+            f"xor(xor(sec, {mul('c1', x)}), {mul('c2', x2)})"
+        )
+
+    return f"""
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 220 AS g FROM part
+),
+poly AS MATERIALIZED (
+  SELECT g,
+         ('0x' || substr(md5('sh0:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 AS sec,
+         ('0x' || substr(md5('sh1:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 AS c1,
+         1 + ('0x' || substr(md5('sh2:' || CAST(g AS VARCHAR)),
+                             1, 4))::BIGINT % 255 AS c2,
+         ('0x' || substr(md5('sc:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 10 AS ci
+  FROM grp
+),
+combo(ci, x1, x2, x3) AS (VALUES {combos}),
+shares AS MATERIALIZED (
+  SELECT p.g, p.sec, c.x1, c.x2, c.x3,
+         {f_at('c.x1')} AS y1,
+         {f_at('c.x2')} AS y2,
+         {f_at('c.x3')} AS y3
+  FROM poly p JOIN combo c ON c.ci = p.ci
+),
+rec AS MATERIALIZED (
+  SELECT g, sec, x1, x2, x3, y1, y2, y3,
+         xor(xor({lag('y1', 'x1', 'x2', 'x3')},
+                 {lag('y2', 'x2', 'x1', 'x3')}),
+             {lag('y3', 'x3', 'x1', 'x2')}) AS recovered,
+         -- degree-1 guess from only (x1,y1),(x2,y2):
+         xor({mul('y1', div('x2', 'xor(x2, x1)'))},
+             {mul('y2', div('x1', 'xor(x1, x2)'))}) AS guess2
+  FROM shares
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(sec AS INT) AS secret,
+       CAST(x1 * 100 + x2 * 10 + x3 AS INT) AS share_ids,
+       CAST(recovered AS INT) AS recovered,
+       CAST(CASE WHEN recovered = sec THEN 1 ELSE 0 END AS INT)
+         AS recovered_ok,
+       CAST(guess2 AS INT) AS guess2,
+       CAST(CASE WHEN guess2 = sec THEN 1 ELSE 0 END AS INT)
+         AS under_threshold_leak
+FROM rec ORDER BY g
+"""
+
+
+_SHAMIR_ORACLE = _shamir_oracle()
+
+
+@register_extra("shamir_secret_sharing", _SHAMIR_ORACLE)
+def shamir_secret_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shamir (3,5) secret sharing over GF(256) (Shamir 1979): shares
+    are evaluations of a random quadratic at x = 1..5, an md5-chosen
+    3-subset reconstructs the secret by Lagrange interpolation at 0
+    (recovered_ok hash-frozen at 1 on every group), and the 2-share
+    degree-1 guess demonstrates the threshold property (leak flag ~0).
+    Field arithmetic uses the SAME frozen 0x11d exp/log tables as the
+    gated Reed-Solomon row — no Galois op ever crosses engines as
+    anything but a table index. Map-only column algebra."""
+    exp, log = _gf_tables()
+    el = "array(" + ",".join(str(v) for v in exp) + ")"
+    ll = "array(" + ",".join(str(v) for v in log) + ")"
+
+    def mul(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} = 0 OR {b} = 0 THEN 0 ELSE"
+            f" element_at({el}, CAST((element_at({ll}, CAST({a} AS INT) + 1)"
+            f" + element_at({ll}, CAST({b} AS INT) + 1)) % 255 AS INT) + 1)"
+            f" END)"
+        )
+
+    def div(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} = 0 THEN 0 ELSE"
+            f" element_at({el}, CAST((element_at({ll}, CAST({a} AS INT) + 1)"
+            f" - element_at({ll}, CAST({b} AS INT) + 1) + 255) % 255"
+            f" AS INT) + 1) END)"
+        )
+
+    def lag(y, xi, xj, xk):
+        num = mul(xj, xk)
+        den = mul(f"(CAST({xj} AS INT) ^ CAST({xi} AS INT))",
+                  f"(CAST({xk} AS INT) ^ CAST({xi} AS INT))")
+        return mul(y, div(num, den))
+
+    def f_at(x: str) -> str:
+        return f"(sec ^ {mul('c1', x)} ^ {mul('c2', mul(x, x))})"
+
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 220).alias("g")).distinct()
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    combos = [
+        (1, 2, 3), (1, 2, 4), (1, 2, 5), (1, 3, 4), (1, 3, 5),
+        (1, 4, 5), (2, 3, 4), (2, 3, 5), (2, 4, 5), (3, 4, 5),
+    ]
+    ct = p.sparkSession.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(combos)],
+        "ci long, x1 int, x2 int, x3 int",
+    )
+    poly = grp.select(
+        "g",
+        (_h4("sh0:") % 256).cast("int").alias("sec"),
+        (_h4("sh1:") % 256).cast("int").alias("c1"),
+        (1 + _h4("sh2:") % 255).cast("int").alias("c2"),
+        (_h4("sc:") % 10).alias("ci"),
+    )
+    shares = poly.join(F.broadcast(ct), "ci").selectExpr(
+        "g",
+        "sec",
+        "x1",
+        "x2",
+        "x3",
+        f"{f_at('x1')} AS y1",
+        f"{f_at('x2')} AS y2",
+        f"{f_at('x3')} AS y3",
+    )
+    rec = shares.selectExpr(
+        "g",
+        "sec",
+        "x1 * 100 + x2 * 10 + x3 AS share_ids",
+        f"({lag('y1', 'x1', 'x2', 'x3')}"
+        f" ^ {lag('y2', 'x2', 'x1', 'x3')}"
+        f" ^ {lag('y3', 'x3', 'x1', 'x2')}) AS recovered",
+        f"({mul('y1', div('x2', '(x2 ^ x1)'))}"
+        f" ^ {mul('y2', div('x1', '(x1 ^ x2)'))}) AS guess2",
+    )
+    return rec.select(
+        F.col("g").cast("long"),
+        F.col("sec").cast("int").alias("secret"),
+        F.col("share_ids").cast("int"),
+        F.col("recovered").cast("int"),
+        F.when(F.col("recovered") == F.col("sec"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("recovered_ok"),
+        F.col("guess2").cast("int"),
+        F.when(F.col("guess2") == F.col("sec"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("under_threshold_leak"),
+    ).orderBy("g")
