@@ -3864,3 +3864,172 @@ def shamir_secret_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("under_threshold_leak"),
     ).orderBy("g")
+
+
+# --------------------------------------- Pollard rho factorization
+
+# Pollard's rho (1975) — the birthday-paradox integer factorizer that
+# opened modern factorization: iterate f(x) = x^2 + c mod n on a
+# tortoise and hare, and gcd(|x - y|, n) exposes a factor once the
+# walk cycles mod p before cycling mod n. Semiprimes n = p*q are
+# built from a frozen 143-prime table via md5 indices; two
+# independent md5 constants c are tried (the second fires on ~1%% of
+# inputs, exercised by construction). The Spark side nests a 30-step
+# Euclid fold INSIDE the 150-step Floyd fold; the oracle uses
+# DuckDB's own gcd() builtin — two independent gcd derivations, one
+# factor. verified (factor * cofactor = n, both in the prime table)
+# is hash-frozen at 1.
+_RHO_PRIMES = [101, 103, 107, 109, 113, 127, 131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283, 293, 307, 311, 313, 317, 331, 337, 347, 349, 353, 359, 367, 373, 379, 383, 389, 397, 401, 409, 419, 421, 431, 433, 439, 443, 449, 457, 461, 463, 467, 479, 487, 491, 499, 503, 509, 521, 523, 541, 547, 557, 563, 569, 571, 577, 587, 593, 599, 601, 607, 613, 617, 619, 631, 641, 643, 647, 653, 659, 661, 673, 677, 683, 691, 701, 709, 719, 727, 733, 739, 743, 751, 757, 761, 769, 773, 787, 797, 809, 811, 821, 823, 827, 829, 839, 853, 857, 859, 863, 877, 881, 883, 887, 907, 911, 919, 929, 937, 941, 947, 953, 967, 971, 977, 983, 991, 997]
+
+_RHO_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 280 AS g FROM part
+),
+pt AS MATERIALIZED (SELECT [101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179,181,191,193,197,199,211,223,227,229,233,239,241,251,257,263,269,271,277,281,283,293,307,311,313,317,331,337,347,349,353,359,367,373,379,383,389,397,401,409,419,421,431,433,439,443,449,457,461,463,467,479,487,491,499,503,509,521,523,541,547,557,563,569,571,577,587,593,599,601,607,613,617,619,631,641,643,647,653,659,661,673,677,683,691,701,709,719,727,733,739,743,751,757,761,769,773,787,797,809,811,821,823,827,829,839,853,857,859,863,877,881,883,887,907,911,919,929,937,941,947,953,967,971,977,983,991,997] AS pl),
+cand AS MATERIALIZED (
+  SELECT g, n,
+         1 + ('0x' || substr(md5('pc:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % (n - 3) AS c1,
+         1 + ('0x' || substr(md5('pd:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % (n - 3) AS c2
+  FROM (
+    SELECT g, pl[i + 1] * pl[CASE WHEN j >= i THEN j + 2
+                                  ELSE j + 1 END] AS n
+    FROM (
+      SELECT g, pl,
+             ('0x' || substr(md5('pp:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % 143 AS i,
+             ('0x' || substr(md5('pq:' || CAST(g AS VARCHAR)),
+                             1, 6))::BIGINT % 142 AS j
+      FROM grp CROSS JOIN pt
+    )
+  )
+),
+st(g, n, c, tag, i, x, y, d) AS (
+  SELECT g, n, c1, 1, 0, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM cand
+  UNION ALL
+  SELECT g, n, c2, 2, 0, 2, 2, 1 FROM cand
+  UNION ALL
+  SELECT g, n, c, tag, i + 1, x1, y2,
+         gcd(abs(x1 - y2), n)
+  FROM (
+    SELECT g, n, c, tag, i, d,
+           (x * x + c) % n AS x1,
+           (((y * y + c) % n) * ((y * y + c) % n) + c) % n AS y2
+    FROM st WHERE d <= 1 AND i < 150
+  )
+),
+fin AS MATERIALIZED (
+  SELECT g, n, tag, max(d) AS d
+  FROM (SELECT g, n, tag, d,
+               row_number() OVER (PARTITION BY g, tag ORDER BY i DESC)
+                 AS rn
+        FROM st) WHERE rn = 1
+  GROUP BY g, n, tag
+),
+pick AS MATERIALIZED (
+  SELECT f.g, f.n,
+         CASE WHEN d1 > 1 AND d1 < f.n THEN d1
+              WHEN d2 > 1 AND d2 < f.n THEN d2 ELSE 0 END AS factor,
+         CASE WHEN d1 > 1 AND d1 < f.n THEN 1 ELSE 2 END AS used_c
+  FROM (SELECT g, n,
+               max(CASE WHEN tag = 1 THEN d END) AS d1,
+               max(CASE WHEN tag = 2 THEN d END) AS d2
+        FROM fin GROUP BY g, n) f
+)
+SELECT CAST(p.g AS BIGINT) AS g, CAST(p.n AS BIGINT) AS n,
+       CAST(least(p.factor, p.n // nullif(p.factor, 0)) AS BIGINT)
+         AS factor_p,
+       CAST(greatest(p.factor, p.n // nullif(p.factor, 0)) AS BIGINT)
+         AS factor_q,
+       CAST(p.used_c AS INT) AS used_c,
+       CAST(CASE WHEN p.factor > 0 AND p.n % p.factor = 0
+                 AND list_contains(pt.pl, p.factor)
+                 AND list_contains(pt.pl, p.n // p.factor)
+            THEN 1 ELSE 0 END AS INT) AS verified
+FROM pick p CROSS JOIN pt
+ORDER BY g
+"""
+
+
+@register_extra("pollard_rho_factorization", _RHO_ORACLE)
+def pollard_rho_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pollard rho factorization (see oracle comment). Spark nests a
+    Euclid fold inside the Floyd fold — zero joins, map-only; the
+    oracle's gcd() builtin is the independent second derivation."""
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 280).alias("g")).distinct()
+    pl = "array(101L,103L,107L,109L,113L,127L,131L,137L,139L,149L,151L,157L,163L,167L,173L,179L,181L,191L,193L,197L,199L,211L,223L,227L,229L,233L,239L,241L,251L,257L,263L,269L,271L,277L,281L,283L,293L,307L,311L,313L,317L,331L,337L,347L,349L,353L,359L,367L,373L,379L,383L,389L,397L,401L,409L,419L,421L,431L,433L,439L,443L,449L,457L,461L,463L,467L,479L,487L,491L,499L,503L,509L,521L,523L,541L,547L,557L,563L,569L,571L,577L,587L,593L,599L,601L,607L,613L,617L,619L,631L,641L,643L,647L,653L,659L,661L,673L,677L,683L,691L,701L,709L,719L,727L,733L,739L,743L,751L,757L,761L,769L,773L,787L,797L,809L,811L,821L,823L,827L,829L,839L,853L,857L,859L,863L,877L,881L,883L,887L,907L,911L,919L,929L,937L,941L,947L,953L,967L,971L,977L,983L,991L,997L)"
+
+    def _h6(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cand = (
+        grp.select("g", (_h6("pp:") % 143).alias("i"), (_h6("pq:") % 142).alias("j"))
+        .selectExpr(
+            "g",
+            f"element_at({pl}, CAST(i AS INT) + 1)"
+            f" * element_at({pl}, CAST(CASE WHEN j >= i THEN j + 2"
+            f" ELSE j + 1 END AS INT)) AS n",
+        )
+        .withColumn("c1", 1 + _h6("pc:") % (F.col("n") - 3))
+        .withColumn("c2", 1 + _h6("pd:") % (F.col("n") - 3))
+    )
+    gcd30 = (
+        "aggregate(sequence(1, 30),"
+        " named_struct('u', abs(%s), 'v', n),"
+        " (s, k) -> IF(s.v = 0, s,"
+        "   named_struct('u', s.v, 'v', s.u %% s.v)), s -> s.u)"
+    )
+    x1 = "((a.x * a.x + %(c)s) %% n)"
+    y2 = ("((((a.y * a.y + %(c)s) %% n) * ((a.y * a.y + %(c)s) %% n)"
+          " + %(c)s) %% n)")
+
+    def rho(c: str) -> str:
+        xx = x1 % {"c": c}
+        yy = y2 % {"c": c}
+        g = gcd30 % (f"{xx} - {yy}",)
+        return (
+            "aggregate(sequence(1, 150),"
+            " named_struct('x', 2L, 'y', 2L, 'd', 1L),"
+            " (a, i) -> IF(a.d > 1, a,"
+            f"   named_struct('x', {xx}, 'y', {yy}, 'd', {g})),"
+            " a -> a.d)"
+        )
+
+    fin = cand.withColumn("d1", F.expr(rho("c1"))).withColumn(
+        "d2", F.expr(rho("c2"))
+    )
+    pick = fin.selectExpr(
+        "g",
+        "n",
+        "CASE WHEN d1 > 1 AND d1 < n THEN d1"
+        " WHEN d2 > 1 AND d2 < n THEN d2 ELSE 0 END AS factor",
+        "CASE WHEN d1 > 1 AND d1 < n THEN 1 ELSE 2 END AS used_c",
+    )
+    return pick.selectExpr(
+        "CAST(g AS BIGINT) AS g",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(least(factor, n div nullif(factor, 0)) AS BIGINT) AS factor_p",
+        "CAST(greatest(factor, n div nullif(factor, 0)) AS BIGINT)"
+        " AS factor_q",
+        "CAST(used_c AS INT) AS used_c",
+        f"CAST(CASE WHEN factor > 0 AND n % factor = 0"
+        f" AND array_contains({pl}, factor)"
+        f" AND array_contains({pl}, n div factor)"
+        f" THEN 1 ELSE 0 END AS INT) AS verified",
+    ).orderBy("g")
