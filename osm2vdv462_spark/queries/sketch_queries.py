@@ -4033,3 +4033,230 @@ def pollard_rho_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AND array_contains({pl}, n div factor)"
         f" THEN 1 ELSE 0 END AS INT) AS verified",
     ).orderBy("g")
+
+
+# --------------------------------------------- RSA with CRT decrypt
+
+# Toy RSA end-to-end (Rivest-Shamir-Adleman 1977) assembled from the
+# engine's gated number-theory primitives: keygen draws (p, q) from
+# the frozen rho prime table, e is the first Fermat prime coprime to
+# phi (gcd fold), d = e^-1 mod phi comes from the extended-Euclid
+# fold, and decryption runs BOTH ways — straight c^d mod n and the
+# real-world RSA-CRT shortcut (Garner: mp/mq via the reduced
+# exponents, recombined with p^-1 mod q). decrypt_ok and
+# crt_matches are hash-frozen at 1 on every keypair; the oracle
+# replays everything with recursive CTEs + DuckDB's gcd.
+_RSA_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 260 AS g FROM part
+),
+pt AS MATERIALIZED (SELECT [101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179,181,191,193,197,199,211,223,227,229,233,239,241,251,257,263,269,271,277,281,283,293,307,311,313,317,331,337,347,349,353,359,367,373,379,383,389,397,401,409,419,421,431,433,439,443,449,457,461,463,467,479,487,491,499,503,509,521,523,541,547,557,563,569,571,577,587,593,599,601,607,613,617,619,631,641,643,647,653,659,661,673,677,683,691,701,709,719,727,733,739,743,751,757,761,769,773,787,797,809,811,821,823,827,829,839,853,857,859,863,877,881,883,887,907,911,919,929,937,941,947,953,967,971,977,983,991,997] AS pl),
+keys0 AS MATERIALIZED (
+  SELECT g, pl[i + 1] AS p, pl[CASE WHEN j >= i THEN j + 2
+                                    ELSE j + 1 END] AS q
+  FROM (
+    SELECT g, pl,
+           ('0x' || substr(md5('rp:' || CAST(g AS VARCHAR)),
+                           1, 6))::BIGINT % 143 AS i,
+           ('0x' || substr(md5('rq:' || CAST(g AS VARCHAR)),
+                           1, 6))::BIGINT % 142 AS j
+    FROM grp CROSS JOIN pt
+  )
+),
+keys AS MATERIALIZED (
+  SELECT g, p, q, p * q AS n, (p - 1) * (q - 1) AS phi,
+         CASE WHEN gcd(65537, (p - 1) * (q - 1)) = 1 THEN 65537
+              ELSE 257 END AS e,
+         ('0x' || substr(md5('rm:' || CAST(g AS VARCHAR)),
+                         1, 8))::BIGINT % (p * q) AS m
+  FROM keys0
+),
+-- d = e^-1 mod phi via extended Euclid
+eg(g, i, r0, r1, t0, t1) AS (
+  SELECT g, 0, phi, CAST(e AS BIGINT),
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  FROM keys
+  UNION ALL
+  SELECT g, i + 1,
+         CASE WHEN r1 = 0 THEN r0 ELSE r1 END,
+         CASE WHEN r1 = 0 THEN r1 ELSE r0 % r1 END,
+         CASE WHEN r1 = 0 THEN t0 ELSE t1 END,
+         CASE WHEN r1 = 0 THEN t1 ELSE t0 - (r0 // r1) * t1 END
+  FROM eg WHERE i < 45
+),
+dk AS MATERIALIZED (
+  SELECT k.g, k.p, k.q, k.n, k.phi, k.e, k.m,
+         ((e2.t0 % k.phi) + k.phi) % k.phi AS d
+  FROM keys k JOIN (SELECT g, t0 FROM eg WHERE i = 45) e2 ON e2.g = k.g
+),
+-- p^-1 mod q via extended Euclid
+pg(g, i, r0, r1, t0, t1) AS (
+  SELECT g, 0, CAST(q AS BIGINT), CAST(p AS BIGINT),
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  FROM dk
+  UNION ALL
+  SELECT g, i + 1,
+         CASE WHEN r1 = 0 THEN r0 ELSE r1 END,
+         CASE WHEN r1 = 0 THEN r1 ELSE r0 % r1 END,
+         CASE WHEN r1 = 0 THEN t0 ELSE t1 END,
+         CASE WHEN r1 = 0 THEN t1 ELSE t0 - (r0 // r1) * t1 END
+  FROM pg WHERE i < 45
+),
+fullk AS MATERIALIZED (
+  SELECT d.*, ((pv.t0 % d.q) + d.q) % d.q AS pinv
+  FROM dk d JOIN (SELECT g, t0 FROM pg WHERE i = 45) pv ON pv.g = d.g
+),
+-- modexp: tag 1 = m^e mod n; runs after keys
+me1(g, k, r, pw) AS (
+  SELECT g, 0, CAST(1 AS BIGINT), m % n FROM fullk
+  UNION ALL
+  SELECT me1.g, me1.k + 1,
+         CASE WHEN ((f.e >> me1.k) & 1) = 1
+              THEN me1.r * me1.pw % f.n ELSE me1.r END,
+         me1.pw * me1.pw % f.n
+  FROM me1 JOIN fullk f ON f.g = me1.g WHERE me1.k < 21
+),
+ct AS MATERIALIZED (
+  SELECT f.*, m1.r AS c
+  FROM fullk f JOIN (SELECT g, r FROM me1 WHERE k = 21) m1 ON m1.g = f.g
+),
+me2(g, k, r, pw) AS (
+  SELECT g, 0, CAST(1 AS BIGINT), c % n FROM ct
+  UNION ALL
+  SELECT me2.g, me2.k + 1,
+         CASE WHEN ((f.d >> me2.k) & 1) = 1
+              THEN me2.r * me2.pw % f.n ELSE me2.r END,
+         me2.pw * me2.pw % f.n
+  FROM me2 JOIN ct f ON f.g = me2.g WHERE me2.k < 21
+),
+mp(g, k, r, pw) AS (
+  SELECT g, 0, CAST(1 AS BIGINT), c % p FROM ct
+  UNION ALL
+  SELECT mp.g, mp.k + 1,
+         CASE WHEN (((f.d % (f.p - 1)) >> mp.k) & 1) = 1
+              THEN mp.r * mp.pw % f.p ELSE mp.r END,
+         mp.pw * mp.pw % f.p
+  FROM mp JOIN ct f ON f.g = mp.g WHERE mp.k < 21
+),
+mq(g, k, r, pw) AS (
+  SELECT g, 0, CAST(1 AS BIGINT), c % q FROM ct
+  UNION ALL
+  SELECT mq.g, mq.k + 1,
+         CASE WHEN (((f.d % (f.q - 1)) >> mq.k) & 1) = 1
+              THEN mq.r * mq.pw % f.q ELSE mq.r END,
+         mq.pw * mq.pw % f.q
+  FROM mq JOIN ct f ON f.g = mq.g WHERE mq.k < 21
+)
+SELECT CAST(f.g AS BIGINT) AS g, CAST(f.n AS BIGINT) AS n,
+       CAST(f.e AS BIGINT) AS e, CAST(f.m AS BIGINT) AS m,
+       CAST(f.c AS BIGINT) AS ciphertext,
+       CAST(d2.r AS BIGINT) AS decrypted,
+       CAST(CASE WHEN d2.r = f.m THEN 1 ELSE 0 END AS INT)
+         AS decrypt_ok,
+       CAST(CASE WHEN a.r + f.p * (((b.r - a.r) * f.pinv % f.q + f.q)
+                                   % f.q) = d2.r
+            THEN 1 ELSE 0 END AS INT) AS crt_matches
+FROM ct f
+JOIN (SELECT g, r FROM me2 WHERE k = 21) d2 ON d2.g = f.g
+JOIN (SELECT g, r FROM mp WHERE k = 21) a ON a.g = f.g
+JOIN (SELECT g, r FROM mq WHERE k = 21) b ON b.g = f.g
+ORDER BY g
+"""
+
+
+@register_extra("rsa_crt_roundtrip", _RSA_ORACLE)
+def rsa_crt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toy RSA with CRT decryption (see oracle comment). Spark
+    composes the gcd/egcd/modexp higher-order folds per keypair —
+    five folds, zero joins, map-only exact int64."""
+    p = _t(spark, sf_dir, "part")
+    grp = p.select((F.col("p_partkey") % 260).alias("g")).distinct()
+    pl = "array(101L,103L,107L,109L,113L,127L,131L,137L,139L,149L,151L,157L,163L,167L,173L,179L,181L,191L,193L,197L,199L,211L,223L,227L,229L,233L,239L,241L,251L,257L,263L,269L,271L,277L,281L,283L,293L,307L,311L,313L,317L,331L,337L,347L,349L,353L,359L,367L,373L,379L,383L,389L,397L,401L,409L,419L,421L,431L,433L,439L,443L,449L,457L,461L,463L,467L,479L,487L,491L,499L,503L,509L,521L,523L,541L,547L,557L,563L,569L,571L,577L,587L,593L,599L,601L,607L,613L,617L,619L,631L,641L,643L,647L,653L,659L,661L,673L,677L,683L,691L,701L,709L,719L,727L,733L,739L,743L,751L,757L,761L,769L,773L,787L,797L,809L,811L,821L,823L,827L,829L,839L,853L,857L,859L,863L,877L,881L,883L,887L,907L,911L,919L,929L,937L,941L,947L,953L,967L,971L,977L,983L,991L,997L)"
+
+    def _h6(prefix: str, chars: int = 6) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    gcdf = (
+        "aggregate(sequence(1, 45), named_struct('u', %s, 'v', %s),"
+        " (s, k) -> IF(s.v = 0, s, named_struct('u', s.v, 'v', s.u %% s.v)),"
+        " s -> s.u)"
+    )
+    # egcd returning t0 (Bezout coefficient of the second argument)
+    egcdt = (
+        "aggregate(sequence(1, 45),"
+        " named_struct('r0', %s, 'r1', %s, 't0', 0L, 't1', 1L),"
+        " (x, k) -> IF(x.r1 = 0, x, named_struct("
+        "   'r0', x.r1, 'r1', x.r0 %% x.r1,"
+        "   't0', x.t1, 't1', x.t0 - (x.r0 div x.r1) * x.t1)),"
+        " x -> x.t0)"
+    )
+    modexp = (
+        "aggregate(sequence(0, 20),"
+        " named_struct('r', 1L, 'pw', %s %% %s),"
+        " (a, k) -> named_struct("
+        "   'r', IF(((%s >> k) & 1) = 1, a.r * a.pw %% %s, a.r),"
+        "   'pw', a.pw * a.pw %% %s), a -> a.r)"
+    )
+    keys = (
+        grp.select(
+            "g", (_h6("rp:") % 143).alias("i"), (_h6("rq:") % 142).alias("j")
+        )
+        .selectExpr(
+            "g",
+            f"element_at({pl}, CAST(i AS INT) + 1) AS p",
+            f"element_at({pl}, CAST(CASE WHEN j >= i THEN j + 2"
+            f" ELSE j + 1 END AS INT)) AS q",
+        )
+        .withColumn("n", F.expr("p * q"))
+        .withColumn("phi", F.expr("(p - 1) * (q - 1)"))
+        .withColumn(
+            "e",
+            F.expr(
+                "IF(" + (gcdf % ("65537L", "phi")) + " = 1, 65537L, 257L)"
+            ),
+        )
+        .withColumn("m", _h6("rm:", 8) % F.col("n"))
+        .withColumn(
+            "d", F.expr("pmod(" + (egcdt % ("phi", "e")) + ", phi)")
+        )
+        .withColumn(
+            "pinv", F.expr("pmod(" + (egcdt % ("q", "p")) + ", q)")
+        )
+    )
+    out = (
+        keys.withColumn("c", F.expr(modexp % ("m", "n", "e", "n", "n")))
+        .withColumn("m1", F.expr(modexp % ("c", "n", "d", "n", "n")))
+        .withColumn(
+            "mp", F.expr(modexp % ("c", "p", "(d % (p - 1))", "p", "p"))
+        )
+        .withColumn(
+            "mq", F.expr(modexp % ("c", "q", "(d % (q - 1))", "q", "q"))
+        )
+        .withColumn(
+            "m2", F.expr("mp + p * pmod((mq - mp) * pinv, q)")
+        )
+    )
+    return out.select(
+        F.col("g").cast("long"),
+        F.col("n").cast("long"),
+        F.col("e").cast("long"),
+        F.col("m").cast("long"),
+        F.col("c").cast("long").alias("ciphertext"),
+        F.col("m1").cast("long").alias("decrypted"),
+        F.when(F.col("m1") == F.col("m"), 1).otherwise(0).cast("int")
+        .alias("decrypt_ok"),
+        F.when(F.col("m2") == F.col("m1"), 1).otherwise(0).cast("int")
+        .alias("crt_matches"),
+    ).orderBy("g")
