@@ -3516,3 +3516,177 @@ def hall_konig_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------------------ Conway's Life
+
+# Conway's Game of Life (1970) in the SPARSE relational formulation —
+# the way a distributed engine actually runs a cellular automaton at
+# scale: live cells are rows, each round fans every cell out to its 8
+# toroidal neighbors, a partial-agg count per cell gives the
+# neighborhood sum, and B3/S23 is one join back to the current
+# generation. 16x16 torus, 8 generations, staged MATERIALIZED rounds.
+# Fixtures ride next to md5 soups: the GLIDER (g=-1) must translate
+# by exactly (+2,+2) in 8 generations (its checksum is engineered to
+# shift by a known amount), the BLINKER (g=-2) has period 2 and the
+# BLOCK (g=-3) is a still life — population and checksum per grid
+# are hash-frozen at both generation 0 and 8; tests referee every
+# grid against a brute-force Python replay.
+_LIFE_ROUND_SQL = """
+nb{r} AS MATERIALIZED (
+  SELECT g, (r + dr + 16) % 16 AS r, (c + dc + 16) % 16 AS c,
+         count(*) AS cnt
+  FROM s{p}
+  CROSS JOIN (SELECT dr, dc
+              FROM (SELECT unnest([-1, 0, 1]) AS dr) a,
+                   (SELECT unnest([-1, 0, 1]) AS dc) b
+              WHERE NOT (dr = 0 AND dc = 0)) o
+  GROUP BY 1, 2, 3
+),
+s{r} AS MATERIALIZED (
+  SELECT n.g, n.r, n.c
+  FROM nb{r} n
+  LEFT JOIN s{p} s ON s.g = n.g AND s.r = n.r AND s.c = n.c
+  WHERE n.cnt = 3 OR (n.cnt = 2 AND s.g IS NOT NULL)
+)
+"""
+
+_LIFE_ORACLE = (
+    """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 60 AS g FROM part
+),
+cells AS MATERIALIZED (
+  SELECT g, r.r, c.c
+  FROM grp,
+       (SELECT unnest(generate_series(0, 15)) AS r) r,
+       (SELECT unnest(generate_series(0, 15)) AS c) c
+  WHERE ('0x' || substr(md5('lf:' || CAST(g AS VARCHAR) || ':'
+           || CAST(r.r AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)),
+           1, 4))::BIGINT % 100 < 35
+),
+s0 AS MATERIALIZED (
+  SELECT g, r, c FROM cells
+  UNION ALL
+  SELECT * FROM (VALUES
+    (-1, 1, 2), (-1, 2, 3), (-1, 3, 1), (-1, 3, 2), (-1, 3, 3),
+    (-2, 7, 6), (-2, 7, 7), (-2, 7, 8),
+    (-3, 10, 10), (-3, 10, 11), (-3, 11, 10), (-3, 11, 11)
+  ) v(g, r, c)
+),
+"""
+    + ",".join(
+        _LIFE_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, 9)
+    )
+    + """
+, pops AS (
+  SELECT g, 0 AS gen, count(*) AS population,
+         sum(r * 1000 + c + 1) AS checksum
+  FROM s0 GROUP BY g
+  UNION ALL
+  SELECT g, 8, count(*), sum(r * 1000 + c + 1) FROM s8 GROUP BY g
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(gen AS INT) AS gen,
+       CAST(population AS BIGINT) AS population,
+       CAST(coalesce(checksum, 0) AS BIGINT) AS checksum
+FROM pops ORDER BY g, gen
+"""
+)
+
+
+@register_extra("game_of_life_rounds", _LIFE_ORACLE)
+def game_of_life_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse relational Game of Life (see oracle comment). Each
+    round: one 8-way fanout projection, one (g, r, c)-keyed partial
+    agg, one join back — the canonical sparse-CA shape that scales by
+    sharding cell keys; rounds are lineage-cut per the janino
+    invariant."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    grp = p.select((F.col("p_partkey") % 60).alias("g")).distinct()
+    sess = p.sparkSession
+    rr = sess.range(0, 16).select(F.col("id").cast("int").alias("r"))
+    cc = sess.range(0, 16).select(F.col("id").cast("int").alias("c"))
+    cells = (
+        grp.crossJoin(F.broadcast(rr))
+        .crossJoin(F.broadcast(cc))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lf:"),
+                            F.col("g").cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("c").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 35
+        )
+        .select("g", "r", "c")
+    )
+    fixtures = sess.createDataFrame(
+        [
+            (-1, 1, 2), (-1, 2, 3), (-1, 3, 1), (-1, 3, 2), (-1, 3, 3),
+            (-2, 7, 6), (-2, 7, 7), (-2, 7, 8),
+            (-3, 10, 10), (-3, 10, 11), (-3, 11, 10), (-3, 11, 11),
+        ],
+        "g long, r int, c int",
+    )
+    state = cells.unionByName(fixtures).localCheckpoint(eager=True)
+    s0 = state
+    offsets = sess.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if (dr, dc) != (0, 0)],
+        "dr int, dc int",
+    )
+    for _ in range(8):
+        nb = (
+            state.crossJoin(F.broadcast(offsets))
+            .select(
+                "g",
+                ((F.col("r") + F.col("dr") + 16) % 16).alias("r"),
+                ((F.col("c") + F.col("dc") + 16) % 16).alias("c"),
+            )
+            .groupBy("g", "r", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        state = (
+            nb.join(
+                state.withColumn("alive", F.lit(1)), ["g", "r", "c"], "left"
+            )
+            .filter(
+                (F.col("cnt") == 3)
+                | ((F.col("cnt") == 2) & (F.col("alive") == 1))
+            )
+            .select("g", "r", "c")
+            .localCheckpoint(eager=True)
+        )
+
+    def pops(df, gen):
+        return df.groupBy("g").agg(
+            F.lit(gen).cast("int").alias("gen"),
+            F.count(F.lit(1)).alias("population"),
+            F.sum(F.col("r") * 1000 + F.col("c") + 1).alias("checksum"),
+        )
+
+    return (
+        pops(s0, 0)
+        .unionByName(pops(state, 8))
+        .select(
+            F.col("g").cast("long"),
+            "gen",
+            F.col("population").cast("long"),
+            F.coalesce(F.col("checksum"), F.lit(0)).cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("g", "gen")
+    )

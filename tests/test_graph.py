@@ -344,3 +344,70 @@ class TestHallKonigReferee:
             assert r["matching_size"] == max_matching(adj_masks(r["g"])), r
             sizes.add(r["matching_size"])
         assert len(sizes) > 1  # deficiencies genuinely occur
+
+
+class TestGameOfLifeReferee:
+    def test_matches_brute_replay(self, spark, sf_dir):
+        """Brute-force Python Life must reproduce every grid's gen-8
+        population and checksum; the glider fixture must land exactly
+        (+2,+2) from its start."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.graph_queries import (
+            game_of_life_rounds,
+        )
+
+        def step(cells):
+            from collections import Counter
+
+            cnt = Counter()
+            for r, c in cells:
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        if (dr, dc) != (0, 0):
+                            cnt[((r + dr) % 16, (c + dc) % 16)] += 1
+            return {
+                p
+                for p, n in cnt.items()
+                if n == 3 or (n == 2 and p in cells)
+            }
+
+        rows = game_of_life_rounds(spark, sf_dir).collect()
+        got = {(r["g"], r["gen"]): (r["population"], r["checksum"])
+               for r in rows}
+        gs = sorted({r["g"] for r in rows})
+        fixtures = {
+            -1: {(1, 2), (2, 3), (3, 1), (3, 2), (3, 3)},
+            -2: {(7, 6), (7, 7), (7, 8)},
+            -3: {(10, 10), (10, 11), (11, 10), (11, 11)},
+        }
+        for g in gs:
+            if g in fixtures:
+                cells = set(fixtures[g])
+            else:
+                cells = {
+                    (r, c)
+                    for r in range(16)
+                    for c in range(16)
+                    if int(
+                        hashlib.md5(
+                            f"lf:{g}:{r}:{c}".encode()
+                        ).hexdigest()[:4],
+                        16,
+                    )
+                    % 100
+                    < 35
+                }
+            chk0 = sum(r * 1000 + c + 1 for r, c in cells)
+            assert got[(g, 0)] == (len(cells), chk0), g
+            for _ in range(8):
+                cells = step(cells)
+            chk8 = sum(r * 1000 + c + 1 for r, c in cells)
+            assert got[(g, 8)] == (len(cells), chk8), g
+        glider8 = {((r + 2) % 16, (c + 2) % 16) for r, c in fixtures[-1]}
+        assert got[(-1, 8)] == (
+            5,
+            sum(r * 1000 + c + 1 for r, c in glider8),
+        )
+        assert got[(-2, 8)] == got[(-2, 0)]  # blinker period 2
+        assert got[(-3, 8)] == got[(-3, 0)]  # block still life
