@@ -4005,3 +4005,137 @@ def aimd_cwnd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.sm").cast("long").alias("sum_cwnd"),
         F.expr("CAST(10000 * st.sm div st.nr AS BIGINT)").alias("tput_e4"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------- crash recovery audit
+
+
+@register_extra(
+    "crash_recovery_audit",
+    """
+    WITH grp AS MATERIALIZED (
+      SELECT DISTINCT s_suppkey % 30 AS sys FROM supplier
+    ),
+    log AS MATERIALIZED (
+      SELECT sys, CAST(l.l AS BIGINT) AS lsn,
+             ('0x' || substr(md5('tx:' || CAST(sys AS VARCHAR) || ':'
+                || CAST(l.l AS VARCHAR)), 1, 4))::BIGINT % 6 AS txn,
+             ('0x' || substr(md5('pg:' || CAST(sys AS VARCHAR) || ':'
+                || CAST(l.l AS VARCHAR)), 1, 4))::BIGINT % 8 AS page,
+             ('0x' || substr(md5('vl:' || CAST(sys AS VARCHAR) || ':'
+                || CAST(l.l AS VARCHAR)), 1, 4))::BIGINT % 100 AS val
+      FROM grp, (SELECT unnest(generate_series(1, 40)) AS l) l
+    ),
+    commits AS MATERIALIZED (
+      SELECT sys, t.t AS txn,
+             ('0x' || substr(md5('cm:' || CAST(sys AS VARCHAR) || ':'
+                || CAST(t.t AS VARCHAR)), 1, 4))::BIGINT % 50 AS clsn
+      FROM grp, (SELECT unnest(generate_series(0, 5)) AS t) t
+    ),
+    marked AS MATERIALIZED (
+      SELECT l.sys, l.lsn, l.txn, l.page, l.val,
+             CASE WHEN c.clsn <= 40 AND c.clsn >= l.lsn
+                  THEN 1 ELSE 0 END AS winner
+      FROM log l JOIN commits c ON c.sys = l.sys AND c.txn = l.txn
+    ),
+    pages AS (
+      SELECT sys, p.p AS page FROM grp,
+             (SELECT unnest(generate_series(0, 7)) AS p) p
+    )
+    SELECT CAST(p.sys AS BIGINT) AS sys, CAST(p.page AS INT) AS page,
+           CAST(coalesce(max_by(m.val, m.lsn)
+                  FILTER (m.winner = 1), 0) AS BIGINT) AS recovered_val,
+           CAST(coalesce(max(m.lsn) FILTER (m.winner = 1), 0) AS BIGINT)
+             AS last_winner_lsn,
+           CAST(coalesce(sum(1 - m.winner), 0) AS BIGINT)
+             AS n_undone_writes
+    FROM pages p
+    LEFT JOIN marked m ON m.sys = p.sys AND m.page = p.page
+    GROUP BY p.sys, p.page
+    ORDER BY sys, page
+    """,
+)
+def crash_recovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARIES-contract crash recovery (Mohan 1992): after redo-all +
+    undo-losers, every page must hold the value of its LAST write by
+    a COMMITTED-before-crash transaction (a write is durable iff its
+    txn's commit LSN lands at or after it and before the crash at
+    LSN 40), and every loser write is undone. 30 md5 log streams x 6
+    txns x 8 pages; the per-page recovered value, the last winner LSN
+    and the undo count are hash-frozen. Pure windows/aggregation —
+    the declarative statement of the recovery theorem rather than the
+    sequential replay (the replay IS the gated applyInPandas family;
+    this row freezes its contract)."""
+    s = _t(spark, sf_dir, "supplier")
+    sess = s.sparkSession
+    grp = s.select((F.col("s_suppkey") % 30).alias("sys")).distinct()
+
+    def _h4(prefix: str, col: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("sys").cast("string"),
+                        F.lit(":"),
+                        F.col(col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    log = grp.crossJoin(
+        sess.range(1, 41).select(F.col("id").cast("long").alias("lsn"))
+    ).select(
+        "sys",
+        "lsn",
+        (_h4("tx:", "lsn") % 6).alias("txn"),
+        (_h4("pg:", "lsn") % 8).alias("page"),
+        (_h4("vl:", "lsn") % 100).alias("val"),
+    )
+    commits = grp.crossJoin(
+        sess.range(0, 6).select(F.col("id").cast("long").alias("txn"))
+    ).select("sys", "txn", (_h4("cm:", "txn") % 50).alias("clsn"))
+    marked = log.join(F.broadcast(commits), ["sys", "txn"]).withColumn(
+        "winner",
+        F.when(
+            (F.col("clsn") <= 40) & (F.col("clsn") >= F.col("lsn")), 1
+        ).otherwise(0),
+    )
+    pages = grp.crossJoin(
+        sess.range(0, 8).select(F.col("id").cast("int").alias("page"))
+    )
+    return (
+        pages.join(marked, ["sys", "page"], "left")
+        .groupBy("sys", "page")
+        .agg(
+            F.coalesce(
+                F.expr("max_by(val, IF(winner = 1, lsn, -1))").cast("long"),
+                F.lit(0),
+            ).alias("rv0"),
+            F.coalesce(
+                F.max(F.when(F.col("winner") == 1, F.col("lsn"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("last_winner_lsn"),
+            F.coalesce(F.sum(1 - F.col("winner")), F.lit(0))
+            .cast("long")
+            .alias("n_undone_writes"),
+        )
+        .withColumn(
+            "recovered_val",
+            F.when(F.col("last_winner_lsn") > 0, F.col("rv0")).otherwise(0),
+        )
+        .select(
+            F.col("sys").cast("long"),
+            F.col("page").cast("int"),
+            F.col("recovered_val").cast("long"),
+            "last_winner_lsn",
+            "n_undone_writes",
+        )
+        .orderBy("sys", "page")
+    )
