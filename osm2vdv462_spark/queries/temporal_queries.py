@@ -4139,3 +4139,169 @@ def crash_recovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sys", "page")
     )
+
+
+# ------------------------------------------- EDF demand-bound test
+
+
+@register_extra(
+    "edf_demand_bound",
+    """
+    WITH grp AS MATERIALIZED (
+      SELECT DISTINCT s_suppkey % 80 AS g FROM supplier
+    ),
+    tasks AS MATERIALIZED (
+      SELECT g, t.t AS task,
+             [6, 8, 12, 24][CAST(('0x' || substr(md5('eT:'
+                || CAST(g AS VARCHAR) || ':' || CAST(t.t AS VARCHAR)),
+                1, 4))::BIGINT % 4 AS INT) + 1] AS period,
+             1 + ('0x' || substr(md5('eC:' || CAST(g AS VARCHAR) || ':'
+                || CAST(t.t AS VARCHAR)), 1, 4))::BIGINT % 4 AS c
+      FROM grp, (SELECT unnest(generate_series(1, 4)) AS t) t
+    ),
+    tasks2 AS MATERIALIZED (
+      SELECT g, task, period, c,
+             c + ('0x' || substr(md5('eD:' || CAST(g AS VARCHAR) || ':'
+                || CAST(task AS VARCHAR)), 1, 4))::BIGINT
+                 % (period - c + 1) AS d
+      FROM tasks
+    ),
+    util AS MATERIALIZED (
+      SELECT g, sum(c * (24 // period)) AS demand24
+      FROM tasks2 GROUP BY g
+    ),
+    pts AS MATERIALIZED (
+      SELECT DISTINCT t.g, k.k * t.period + t.d AS tp
+      FROM tasks2 t, (SELECT unnest(generate_series(0, 3)) AS k) k
+      WHERE k.k * t.period + t.d <= 24
+    ),
+    dbf AS MATERIALIZED (
+      SELECT p.g, p.tp,
+             sum(CASE WHEN p.tp >= t.d
+                 THEN ((p.tp - t.d) // t.period + 1) * t.c
+                 ELSE 0 END) AS demand
+      FROM pts p JOIN tasks2 t ON t.g = p.g
+      GROUP BY p.g, p.tp
+    ),
+    verdict AS MATERIALIZED (
+      SELECT d.g, min(d.tp - d.demand) AS worst_slack,
+             min_by(d.tp, (d.tp - d.demand) * 100 + d.tp) AS crit_t
+      FROM dbf d GROUP BY d.g
+    )
+    SELECT CAST(v.g AS BIGINT) AS g,
+           CAST(u.demand24 AS BIGINT) AS demand_hyper,
+           CAST(24 AS BIGINT) AS hyperperiod,
+           CAST(v.worst_slack AS BIGINT) AS worst_slack,
+           CAST(v.crit_t AS BIGINT) AS crit_t,
+           CAST(CASE WHEN u.demand24 <= 24 AND v.worst_slack >= 0
+                THEN 1 ELSE 0 END AS INT) AS edf_schedulable
+    FROM verdict v JOIN util u ON u.g = v.g
+    ORDER BY g
+    """,
+)
+def edf_demand_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDF processor-demand criterion (Baruah-Rosier-Howell 1990):
+    a synchronous constrained-deadline task set is EDF-schedulable
+    iff dbf(t) = sum_i (floor((t - D_i)/T_i) + 1) C_i <= t at every
+    absolute deadline t in one hyperperiod AND total demand fits the
+    hyperperiod. Harmonic-friendly periods {6, 8, 12, 24} pin the
+    hyperperiod at 24, so the test-point explode is exact and tiny;
+    the worst slack and its critical instant are hash-frozen. The
+    fixed-priority sibling is the gated response_time_analysis row —
+    together they freeze both classic schedulability theories."""
+    s = _t(spark, sf_dir, "supplier")
+    sess = s.sparkSession
+    grp = s.select((F.col("s_suppkey") % 80).alias("g")).distinct()
+
+    def _h4(prefix: str, col: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("g").cast("string"),
+                        F.lit(":"),
+                        F.col(col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    tasks = (
+        grp.crossJoin(
+            sess.range(1, 5).select(F.col("id").cast("long").alias("task"))
+        )
+        .select(
+            "g",
+            "task",
+            F.expr(
+                "element_at(array(6L, 8L, 12L, 24L),"
+                " CAST(CAST(conv(substring(md5(CAST(concat('eT:',"
+                " CAST(g AS STRING), ':', CAST(task AS STRING))"
+                " AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 4 AS INT) + 1)"
+            ).alias("period"),
+            (1 + _h4("eC:", "task") % 4).alias("c"),
+        )
+        .withColumn(
+            "d",
+            F.col("c")
+            + _h4("eD:", "task") % (F.col("period") - F.col("c") + 1),
+        )
+        .localCheckpoint(eager=True)
+    )
+    util = tasks.groupBy("g").agg(
+        F.sum(F.col("c") * F.expr("24 div period")).alias("demand24")
+    )
+    ks = sess.range(0, 4).select(F.col("id").cast("long").alias("k"))
+    pts = (
+        tasks.crossJoin(F.broadcast(ks))
+        .select("g", (F.col("k") * F.col("period") + F.col("d")).alias("tp"))
+        .filter(F.col("tp") <= 24)
+        .distinct()
+    )
+    dbf = (
+        pts.join(
+            tasks.select(
+                F.col("g"), F.col("period").alias("tper"),
+                F.col("c").alias("tc"), F.col("d").alias("td"),
+            ),
+            "g",
+        )
+        .groupBy("g", "tp")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("tp") >= F.col("td"),
+                    (
+                        F.expr("(tp - td) div tper") + 1
+                    )
+                    * F.col("tc"),
+                ).otherwise(0)
+            ).alias("demand")
+        )
+    )
+    verdict = dbf.groupBy("g").agg(
+        F.min(F.col("tp") - F.col("demand")).alias("worst_slack"),
+        F.expr("min_by(tp, (tp - demand) * 100 + tp)").alias("crit_t"),
+    )
+    return (
+        verdict.join(util, "g")
+        .select(
+            F.col("g").cast("long"),
+            F.col("demand24").cast("long").alias("demand_hyper"),
+            F.lit(24).cast("long").alias("hyperperiod"),
+            F.col("worst_slack").cast("long"),
+            F.col("crit_t").cast("long"),
+            F.when(
+                (F.col("demand24") <= 24) & (F.col("worst_slack") >= 0), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("edf_schedulable"),
+        )
+        .orderBy("g")
+    )
