@@ -4260,3 +4260,101 @@ def rsa_crt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("m2") == F.col("m1"), 1).otherwise(0).cast("int")
         .alias("crt_matches"),
     ).orderBy("g")
+
+
+# --------------------------------------------- Collatz trajectories
+
+_COLLATZ_STEPS = 350
+
+
+@register_extra(
+    "collatz_trajectories",
+    f"""
+    WITH RECURSIVE grp AS MATERIALIZED (
+      SELECT DISTINCT c_custkey % 240 AS g FROM customer
+    ),
+    seeds AS MATERIALIZED (
+      SELECT g, 2 + ('0x' || substr(md5('cz:' || CAST(g AS VARCHAR)),
+                                    1, 6))::BIGINT % 99999 AS n0
+      FROM grp
+      UNION ALL
+      SELECT -1, 27
+    ),
+    st(g, n0, i, n, peak, steps) AS (
+      SELECT g, n0, 0, n0, n0, CAST(-1 AS BIGINT) FROM seeds
+      UNION ALL
+      SELECT g, n0, i + 1, nx, greatest(peak, nx),
+             CASE WHEN steps >= 0 THEN steps
+                  WHEN nx = 1 THEN i + 1 ELSE -1 END
+      FROM (
+        SELECT s.*, CASE WHEN s.n % 2 = 0 THEN s.n // 2
+                         ELSE 3 * s.n + 1 END AS nx
+        FROM st s WHERE s.steps < 0 AND s.i < {_COLLATZ_STEPS}
+      )
+    ),
+    fin AS (
+      SELECT g, n0, max(peak) AS peak, max(steps) AS steps
+      FROM st GROUP BY g, n0
+    )
+    SELECT CAST(g AS BIGINT) AS g, CAST(n0 AS BIGINT) AS n0,
+           CAST(steps AS BIGINT) AS steps,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(CASE WHEN steps >= 0 THEN 1 ELSE 0 END AS INT)
+             AS converged
+    FROM fin ORDER BY g
+    """,
+)
+def collatz_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collatz (3n+1) trajectory lengths and peaks for md5 seeds under
+    1e5 plus the textbook fixture n=27 (111 steps, peak 9232 —
+    hash-frozen). One guarded 350-step fold per seed; every seed
+    converges (converged frozen at 1), peaks stay far inside int64."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 240).alias("g")).distinct()
+    seeds = grp.select(
+        "g",
+        (
+            2
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cz:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 99999
+        ).alias("n0"),
+    ).unionByName(
+        c.sparkSession.createDataFrame([(-1, 27)], "g long, n0 long")
+    )
+    fold = (
+        f"aggregate(sequence(1, {_COLLATZ_STEPS}),"
+        " named_struct('n', n0, 'peak', n0, 'steps', -1L),"
+        " (a, i) -> IF(a.steps >= 0, a,"
+        "   named_struct("
+        "     'n', IF(a.n % 2 = 0, a.n div 2, 3 * a.n + 1),"
+        "     'peak', greatest(a.peak,"
+        "       IF(a.n % 2 = 0, a.n div 2, 3 * a.n + 1)),"
+        "     'steps', IF(IF(a.n % 2 = 0, a.n div 2, 3 * a.n + 1) = 1,"
+        "                 i, -1L))))"
+    )
+    return (
+        seeds.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("n0").cast("long"),
+            F.col("st.steps").cast("long").alias("steps"),
+            F.col("st.peak").cast("long").alias("peak"),
+            F.when(F.col("st.steps") >= 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("converged"),
+        )
+        .orderBy("g")
+    )
