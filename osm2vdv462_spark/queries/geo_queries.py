@@ -7324,3 +7324,120 @@ def rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slab_x0")
     )
+
+
+# ------------------------------------------------ gravity model
+
+# Gravity model of spatial interaction (Zipf 1946 / Stewart): the
+# predicted flow between zones scales as M_i * M_j / d^2 — the
+# baseline every OD calibration starts from. Zones are the gated
+# od_flow_matrix 8x8 grid; masses are origin trip counts, the
+# distance is the exact squared grid distance between cell centers,
+# and the score is an e6 integer floor (M_i M_j <= 1e8 so products
+# stay < 1e15). The top-50 predicted pairs carry their OBSERVED
+# flows, so the gate hash freezes the predictor's ranking against
+# reality.
+_GRAVITY_ORACLE = """
+WITH trips AS MATERIALIZED (
+  SELECT user_id,
+         (((event_id * 37 + 11) % 2000) // 250) * 8
+           + ((event_id * 73 + 29) % 2000) // 250 AS cell,
+         ts, event_id
+  FROM events
+),
+steps AS MATERIALIZED (
+  SELECT user_id, cell AS o,
+         lead(cell) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS d
+  FROM trips
+),
+od AS MATERIALIZED (
+  SELECT o, d, count(*) AS flow
+  FROM steps WHERE d IS NOT NULL AND d <> o
+  GROUP BY o, d
+),
+mass AS MATERIALIZED (
+  SELECT o AS cell, sum(flow) AS m FROM od GROUP BY o
+),
+pairs AS MATERIALIZED (
+  SELECT a.cell AS o, b.cell AS d, a.m AS m_o, b.m AS m_d,
+         (a.cell // 8 - b.cell // 8) * (a.cell // 8 - b.cell // 8)
+         + (a.cell % 8 - b.cell % 8) * (a.cell % 8 - b.cell % 8) AS d2
+  FROM mass a JOIN mass b ON b.cell <> a.cell
+),
+scored AS MATERIALIZED (
+  SELECT p.o, p.d, p.m_o, p.m_d, p.d2,
+         1000000 * p.m_o * p.m_d // p.d2 AS score_e6,
+         coalesce(f.flow, 0) AS observed
+  FROM pairs p LEFT JOIN od f ON f.o = p.o AND f.d = p.d
+)
+SELECT CAST(o AS INT) AS o, CAST(d AS INT) AS d,
+       CAST(m_o AS BIGINT) AS m_o, CAST(m_d AS BIGINT) AS m_d,
+       CAST(d2 AS BIGINT) AS d2,
+       CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(observed AS BIGINT) AS observed
+FROM scored
+ORDER BY score_e6 DESC, o, d
+LIMIT 50
+"""
+
+
+@register_extra("gravity_model_flows", _GRAVITY_ORACLE)
+def gravity_model_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model flow predictions on the OD grid (see oracle
+    comment). Plan: trips reuse the od_flow_matrix lag window (one
+    user-keyed exchange); masses and the 64x64 pair lattice are
+    dim-sized; the top-50 is a bounded sort. Exact integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    trips = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "(((event_id * 37 + 11) % 2000) div 250) * 8"
+            " + ((event_id * 73 + 29) % 2000) div 250"
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = trips.select(
+        F.col("cell").alias("o"), F.lead("cell").over(w).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != F.col("o")))
+    od = steps.groupBy("o", "d").agg(F.count(F.lit(1)).alias("flow"))
+    mass = od.groupBy(F.col("o").alias("cell")).agg(
+        F.sum("flow").alias("m")
+    )
+    b = mass.select(F.col("cell").alias("dcell"), F.col("m").alias("m_d"))
+    pairs = (
+        mass.crossJoin(F.broadcast(b))
+        .filter(F.col("dcell") != F.col("cell"))
+        .select(
+            F.col("cell").alias("o"),
+            F.col("dcell").alias("d"),
+            F.col("m").alias("m_o"),
+            "m_d",
+            F.expr(
+                "(cell div 8 - dcell div 8) * (cell div 8 - dcell div 8)"
+                " + (cell % 8 - dcell % 8) * (cell % 8 - dcell % 8)"
+            ).alias("d2"),
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(od), ["o", "d"], "left")
+        .withColumn("observed", F.coalesce("flow", F.lit(0)))
+        .withColumn(
+            "score_e6", F.expr("1000000 * m_o * m_d div d2")
+        )
+    )
+    return (
+        scored.select(
+            F.col("o").cast("int"),
+            F.col("d").cast("int"),
+            F.col("m_o").cast("long"),
+            F.col("m_d").cast("long"),
+            F.col("d2").cast("long"),
+            F.col("score_e6").cast("long"),
+            F.col("observed").cast("long"),
+        )
+        .orderBy(F.desc("score_e6"), "o", "d")
+        .limit(50)
+    )
