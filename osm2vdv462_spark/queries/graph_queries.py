@@ -3690,3 +3690,252 @@ def game_of_life_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g", "gen")
     )
+
+
+# ------------------------------------------------ Chord DHT lookups
+
+# Chord (Stoica et al. 2001) — the distributed hash table whose
+# finger-table lookup touches O(log n) nodes: 32 md5 node ids on a
+# 1024-slot ring, fingers f_k(n) = succ(n + 2^k), and every lookup
+# greedily forwards to the closest PRECEDING finger until the key
+# falls in (cur, succ(cur)]. Six staged rounds (log2(32) = 5 bound);
+# the iterative route's home node must equal the directly computed
+# successor on every key — the routing-correctness theorem,
+# hash-frozen (matches = 1), with the hop distribution frozen next
+# to it.
+_CHORD_ROUND_SQL = """
+st{r} AS MATERIALIZED (
+  SELECT s.key,
+         CASE WHEN s.home IS NOT NULL THEN s.cur
+              WHEN (s.key - s.cur + 1024) % 1024 = 0 THEN s.cur
+              WHEN (s.key - s.cur + 1024) % 1024 > 0
+               AND (sc.s - s.cur + 1024) % 1024 >= (s.key - s.cur + 1024) % 1024
+              THEN s.cur
+              ELSE coalesce(fp.nxt, sc.s) END AS cur,
+         CASE WHEN s.home IS NOT NULL THEN s.hops
+              ELSE s.hops + CASE WHEN (s.key - s.cur + 1024) % 1024 = 0
+                                   OR ((s.key - s.cur + 1024) % 1024 > 0
+                                       AND (sc.s - s.cur + 1024) % 1024
+                                           >= (s.key - s.cur + 1024) % 1024)
+                                 THEN 0 ELSE 1 END END AS hops,
+         CASE WHEN s.home IS NOT NULL THEN s.home
+              WHEN (s.key - s.cur + 1024) % 1024 = 0 THEN s.cur
+              WHEN (s.key - s.cur + 1024) % 1024 > 0
+               AND (sc.s - s.cur + 1024) % 1024 >= (s.key - s.cur + 1024) % 1024
+              THEN sc.s
+              ELSE NULL END AS home
+  FROM st{p} s
+  JOIN succ_t sc ON sc.p = (s.cur + 1) % 1024
+  LEFT JOIN (
+    SELECT s2.key, max_by(f.f, (f.f - s2.cur + 1024) % 1024) AS nxt
+    FROM st{p} s2
+    JOIN fingers f ON f.n = s2.cur
+     AND (f.f - s2.cur + 1024) % 1024 > 0
+     AND (f.f - s2.cur + 1024) % 1024 < (s2.key - s2.cur + 1024) % 1024
+    WHERE s2.home IS NULL
+    GROUP BY s2.key, s2.cur
+  ) fp ON fp.key = s.key
+)
+"""
+
+_CHORD_ORACLE = (
+    """
+WITH nodes AS MATERIALIZED (
+  SELECT DISTINCT ('0x' || substr(md5('nd:' || CAST(i AS VARCHAR)),
+                                  1, 4))::BIGINT % 1024 AS n
+  FROM (SELECT unnest(generate_series(0, 31)) AS i)
+),
+ring AS MATERIALIZED (
+  SELECT unnest(generate_series(0, 1023)) AS p
+),
+succ_t AS MATERIALIZED (
+  SELECT r.p,
+         coalesce(min(nd.n) FILTER (nd.n >= r.p),
+                  (SELECT min(n) FROM nodes)) AS s
+  FROM ring r CROSS JOIN nodes nd
+  GROUP BY r.p
+),
+fingers AS MATERIALIZED (
+  SELECT nd.n, k.k, sc.s AS f
+  FROM nodes nd
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k) k
+  JOIN succ_t sc ON sc.p = (nd.n + (1 << k.k)) % 1024
+),
+keys AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 100 AS ki FROM customer
+),
+kq AS MATERIALIZED (
+  SELECT ki, ('0x' || substr(md5('ky:' || CAST(ki AS VARCHAR)),
+                             1, 4))::BIGINT % 1024 AS key
+  FROM keys
+),
+st0 AS MATERIALIZED (
+  SELECT key, (SELECT min(n) FROM nodes) AS cur,
+         CAST(0 AS BIGINT) AS hops, CAST(NULL AS BIGINT) AS home
+  FROM (SELECT DISTINCT key FROM kq)
+),
+"""
+    + ",".join(
+        _CHORD_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, 10)
+    )
+    + """
+SELECT CAST(s.key AS BIGINT) AS key,
+       CAST(s.home AS BIGINT) AS home_node,
+       CAST(s.hops AS BIGINT) AS hops,
+       CAST(sc.s AS BIGINT) AS direct_successor,
+       CAST(CASE WHEN s.home = sc.s THEN 1 ELSE 0 END AS INT)
+         AS matches
+FROM st9 s
+JOIN succ_t sc ON sc.p = s.key
+ORDER BY key
+"""
+)
+
+
+@register_extra("chord_dht_lookups", _CHORD_ORACLE)
+def chord_dht_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord finger-table routing (see oracle comment). Plan: the
+    ring successor table and finger tables are dim-sized broadcasts;
+    each of the 6 rounds is one broadcast join + a bounded argmax —
+    lookups never touch the fact table beyond key derivation."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sess = c.sparkSession
+    nodes = (
+        sess.range(0, 32)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("nd:"), F.col("id").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1024
+            ).alias("n")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ring = sess.range(0, 1024).select(F.col("id").cast("long").alias("p"))
+    gmin = nodes.agg(F.min("n").alias("gm"))
+    succ_t = (
+        ring.crossJoin(F.broadcast(nodes))
+        .groupBy("p")
+        .agg(F.min(F.when(F.col("n") >= F.col("p"), F.col("n"))).alias("s0"))
+        .crossJoin(F.broadcast(gmin))
+        .select("p", F.coalesce("s0", "gm").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    ks = sess.range(0, 10).select(F.col("id").cast("long").alias("k"))
+    fingers = (
+        nodes.crossJoin(F.broadcast(ks))
+        .withColumn("fp", F.expr("(n + shiftleft(1L, CAST(k AS INT))) % 1024"))
+        .join(
+            F.broadcast(succ_t.select(F.col("p").alias("fp"),
+                                      F.col("s").alias("f"))),
+            "fp",
+        )
+        .select("n", "k", "f")
+        .localCheckpoint(eager=True)
+    )
+    kq = (
+        c.select((F.col("c_custkey") % 100).alias("ki"))
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ky:"), F.col("ki").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1024
+            ).alias("key")
+        )
+        .distinct()
+    )
+    st = (
+        kq.crossJoin(F.broadcast(gmin))
+        .select(
+            "key",
+            F.col("gm").alias("cur"),
+            F.lit(0).cast("long").alias("hops"),
+            F.lit(None).cast("long").alias("home"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(9):
+        sc = succ_t.select(F.col("p").alias("scp"), F.col("s").alias("sn"))
+        base = st.withColumn("scp", F.expr("(cur + 1) % 1024")).join(
+            F.broadcast(sc), "scp"
+        )
+        fp = (
+            st.filter(F.col("home").isNull())
+            .join(F.broadcast(fingers), F.col("n") == F.col("cur"))
+            .filter(
+                F.expr(
+                    "(f - cur + 1024) % 1024 > 0 AND"
+                    " (f - cur + 1024) % 1024 < (key - cur + 1024) % 1024"
+                )
+            )
+            .groupBy("key", "cur")
+            .agg(F.expr("max_by(f, (f - cur + 1024) % 1024)").alias("nxt"))
+            .select("key", "nxt")
+        )
+        st = (
+            base.join(F.broadcast(fp), "key", "left")
+            .select(
+                "key",
+                F.expr(
+                    "CASE WHEN home IS NOT NULL THEN cur"
+                    " WHEN (key - cur + 1024) % 1024 = 0 THEN cur"
+                    " WHEN (key - cur + 1024) % 1024 > 0"
+                    "  AND (sn - cur + 1024) % 1024 >= (key - cur + 1024) % 1024 THEN cur"
+                    " ELSE coalesce(nxt, sn) END"
+                ).alias("cur"),
+                F.expr(
+                    "CASE WHEN home IS NOT NULL THEN hops"
+                    " ELSE hops + CASE WHEN (key - cur + 1024) % 1024 = 0"
+                    "   OR ((key - cur + 1024) % 1024 > 0"
+                    "       AND (sn - cur + 1024) % 1024 >= (key - cur + 1024) % 1024)"
+                    "  THEN 0 ELSE 1 END END"
+                ).alias("hops"),
+                F.expr(
+                    "CASE WHEN home IS NOT NULL THEN home"
+                    " WHEN (key - cur + 1024) % 1024 = 0 THEN cur"
+                    " WHEN (key - cur + 1024) % 1024 > 0"
+                    "  AND (sn - cur + 1024) % 1024 >= (key - cur + 1024) % 1024 THEN sn"
+                    " ELSE CAST(NULL AS BIGINT) END"
+                ).alias("home"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    direct = succ_t.select(F.col("p").alias("key"), F.col("s").alias("ds"))
+    return (
+        st.join(F.broadcast(direct), "key")
+        .select(
+            F.col("key").cast("long"),
+            F.col("home").cast("long").alias("home_node"),
+            F.col("hops").cast("long"),
+            F.col("ds").cast("long").alias("direct_successor"),
+            F.when(F.col("home") == F.col("ds"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("matches"),
+        )
+        .orderBy("key")
+    )
