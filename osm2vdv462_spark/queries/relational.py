@@ -4556,3 +4556,271 @@ def raft_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------- Merkle inclusion proofs
+
+# Inclusion-proof verification over the gated degree-16 Merkle zones
+# (merkle16_partition_roots): for a 1-in-60 md5 sample of leaves,
+# recompute the authentication path — the leaf's level-1 group hash
+# from its 15 siblings, the level-2 hash from the level-1 cohort,
+# the zone root — and check it equals the independently-built root
+# (path_ok frozen 1). The integrity theorem rides next to it: the
+# SAME path recomputed with the leaf tampered (+1 cent) must flip
+# the root (tamper_detected frozen 1) — no silent corruption can
+# survive a proof check.
+_MERKLE_PROOF_ORACLE = """
+WITH leaf AS MATERIALIZED (
+  SELECT o_orderkey // 1000 AS zone, o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR) || ':'
+             || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR) || ':' || o_orderstatus) AS h,
+         md5(CAST(o_orderkey AS VARCHAR) || ':'
+             || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1
+                     AS VARCHAR) || ':' || o_orderstatus) AS ht
+  FROM orders
+),
+l0 AS MATERIALIZED (
+  SELECT zone, k, h, ht,
+         row_number() OVER (PARTITION BY zone ORDER BY k) - 1 AS i
+  FROM leaf
+),
+l1 AS MATERIALIZED (
+  SELECT zone, i // 16 AS i, md5(string_agg(h, '' ORDER BY i)) AS h
+  FROM l0 GROUP BY zone, i // 16
+),
+l2 AS MATERIALIZED (
+  SELECT zone, i // 16 AS i, md5(string_agg(h, '' ORDER BY i)) AS h
+  FROM l1 GROUP BY zone, i // 16
+),
+root AS MATERIALIZED (
+  SELECT zone, md5(string_agg(h, '' ORDER BY i)) AS r FROM l2
+  GROUP BY zone
+),
+sample0 AS MATERIALIZED (
+  SELECT zone, k, i FROM l0
+  WHERE ('0x' || substr(md5('mp:' || CAST(k AS VARCHAR)),
+                        1, 4))::BIGINT % 60 = 0
+),
+p1 AS MATERIALIZED (
+  -- level-1 hash of the sampled leaf's group, clean and tampered
+  SELECT s.zone, s.k, s.i // 16 AS gi,
+         md5(string_agg(m.h, '' ORDER BY m.i)) AS h1,
+         md5(string_agg(CASE WHEN m.i = s.i THEN m.ht ELSE m.h END,
+                        '' ORDER BY m.i)) AS h1t
+  FROM sample0 s
+  JOIN l0 m ON m.zone = s.zone AND m.i // 16 = s.i // 16
+  GROUP BY s.zone, s.k, s.i // 16
+),
+p2 AS MATERIALIZED (
+  SELECT p.zone, p.k, p.gi // 16 AS gi,
+         md5(string_agg(CASE WHEN m.i = p.gi THEN p.h1 ELSE m.h END,
+                        '' ORDER BY m.i)) AS h2,
+         md5(string_agg(CASE WHEN m.i = p.gi THEN p.h1t ELSE m.h END,
+                        '' ORDER BY m.i)) AS h2t
+  FROM p1 p
+  JOIN l1 m ON m.zone = p.zone AND m.i // 16 = p.gi // 16
+  GROUP BY p.zone, p.k, p.gi // 16
+),
+p3 AS MATERIALIZED (
+  SELECT p.zone, p.k,
+         md5(string_agg(CASE WHEN m.i = p.gi THEN p.h2 ELSE m.h END,
+                        '' ORDER BY m.i)) AS rr,
+         md5(string_agg(CASE WHEN m.i = p.gi THEN p.h2t ELSE m.h END,
+                        '' ORDER BY m.i)) AS rrt
+  FROM p2 p
+  JOIN l2 m ON m.zone = p.zone
+  GROUP BY p.zone, p.k, p.gi
+)
+SELECT CAST(p.zone AS BIGINT) AS zone, CAST(p.k AS BIGINT) AS leaf_key,
+       CAST(CASE WHEN p.rr = r.r THEN 1 ELSE 0 END AS INT) AS path_ok,
+       CAST(CASE WHEN p.rrt <> r.r THEN 1 ELSE 0 END AS INT)
+         AS tamper_detected
+FROM p3 p JOIN root r ON r.zone = p.zone
+ORDER BY zone, leaf_key
+"""
+
+
+@register_extra("merkle_inclusion_proofs", _MERKLE_PROOF_ORACLE)
+def merkle_inclusion_proofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle inclusion-proof verification (see oracle comment).
+    Plan: the tree levels build once (the gated root query's shape);
+    each sampled proof joins only its sibling cohorts (16 rows per
+    level) — proof checks are O(log n) joins over dim-sized cohorts,
+    never a second full-table pass."""
+    o = _t(spark, sf_dir, "orders")
+
+    def leaf_h(bump: int):
+        return F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                (
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    + bump
+                ).cast("string"),
+                F.lit(":"),
+                F.col("o_orderstatus"),
+            ).cast("binary")
+        )
+
+    leaf = o.select(
+        F.expr("o_orderkey div 1000").alias("zone"),
+        F.col("o_orderkey").alias("k"),
+        leaf_h(0).alias("h"),
+        leaf_h(1).alias("ht"),
+    )
+    w = Window.partitionBy("zone").orderBy("k")
+    l0 = leaf.withColumn("i", F.row_number().over(w) - 1).localCheckpoint(
+        eager=False
+    )
+
+    def combine(df, tag):
+        return df.groupBy("zone", F.expr("i div 16").alias("gi")).agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(i, h))),"
+                        " x -> x.h)"
+                    ),
+                ).cast("binary")
+            ).alias("h")
+        ).select("zone", F.col("gi").alias("i"), "h")
+
+    l1 = combine(l0, "l1").localCheckpoint(eager=False)
+    l2 = combine(l1, "l2").localCheckpoint(eager=False)
+    root = l2.groupBy("zone").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, h))),"
+                    " x -> x.h)"
+                ),
+            ).cast("binary")
+        ).alias("r")
+    )
+    sample0 = l0.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mp:"), F.col("k").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 60
+        == 0
+    ).select("zone", "k", F.col("i").alias("si"))
+
+    p1 = (
+        sample0.join(
+            l0.select(
+                "zone",
+                F.col("i").alias("mi"),
+                F.col("h").alias("mh"),
+                F.col("ht").alias("mht"),
+            ),
+            "zone",
+        )
+        .filter(F.expr("mi div 16 = si div 16"))
+        .groupBy("zone", "k", F.expr("si div 16").alias("gi"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(mi, mh))),"
+                        " x -> x.mh)"
+                    ),
+                ).cast("binary")
+            ).alias("h1"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        " struct(mi, IF(mi = si, mht, mh)))), x -> x.col2)"
+                    ),
+                ).cast("binary")
+            ).alias("h1t"),
+        )
+    )
+    p2 = (
+        p1.join(
+            l1.select(
+                "zone", F.col("i").alias("mi"), F.col("h").alias("mh")
+            ),
+            "zone",
+        )
+        .filter(F.expr("mi div 16 = gi div 16"))
+        .groupBy("zone", "k", F.expr("gi div 16").alias("gi2"), "gi")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        " struct(mi, IF(mi = gi, h1, mh)))), x -> x.col2)"
+                    ),
+                ).cast("binary")
+            ).alias("h2"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        " struct(mi, IF(mi = gi, h1t, mh)))), x -> x.col2)"
+                    ),
+                ).cast("binary")
+            ).alias("h2t"),
+        )
+        .select("zone", "k", F.col("gi2").alias("gi"), "h2", "h2t")
+    )
+    p3 = (
+        p2.join(
+            l2.select(
+                "zone", F.col("i").alias("mi"), F.col("h").alias("mh")
+            ),
+            "zone",
+        )
+        .groupBy("zone", "k")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        " struct(mi, IF(mi = gi, h2, mh)))), x -> x.col2)"
+                    ),
+                ).cast("binary")
+            ).alias("rr"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        " struct(mi, IF(mi = gi, h2t, mh)))), x -> x.col2)"
+                    ),
+                ).cast("binary")
+            ).alias("rrt"),
+        )
+    )
+    return (
+        p3.join(root, "zone")
+        .select(
+            F.col("zone").cast("long"),
+            F.col("k").cast("long").alias("leaf_key"),
+            F.when(F.col("rr") == F.col("r"), 1).otherwise(0).cast("int")
+            .alias("path_ok"),
+            F.when(F.col("rrt") != F.col("r"), 1).otherwise(0).cast("int")
+            .alias("tamper_detected"),
+        )
+        .orderBy("zone", "leaf_key")
+    )
