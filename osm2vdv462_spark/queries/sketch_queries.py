@@ -4358,3 +4358,139 @@ def collatz_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------------- Mandelbrot escapes
+
+# Mandelbrot escape-time iteration (Brooks-Matelski 1978 / Mandelbrot
+# 1980) in exact Q24 fixed point: z <- z^2 + c with products
+# truncated by arithmetic >> 24 (floor — identical in Java, DuckDB
+# and Python, per the CORDIC shift lesson), escape when
+# |z|^2 > 4 strictly. md5 sample of the [-2,1]x[-1.5,1.5] box plus
+# exact fixtures: c = 0 and c = -1 never escape, c = -2 sits ON the
+# boundary and stays bounded EXACTLY (its Q24 orbit is the fixed
+# point 2), c = 1 escapes at iteration 3. Escape times are
+# hash-frozen per point — any drift in rounding or the strict
+# inequality moves a boundary orbit.
+_MANDEL_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 200 AS g FROM customer
+),
+pts AS MATERIALIZED (
+  SELECT g,
+         ('0x' || substr(md5('mr:' || CAST(g AS VARCHAR)),
+                         1, 8))::BIGINT % 50331648 - 33554432 AS cr,
+         ('0x' || substr(md5('mi:' || CAST(g AS VARCHAR)),
+                         1, 8))::BIGINT % 50331648 - 25165824 AS ci
+  FROM grp
+  UNION ALL
+  SELECT * FROM (VALUES
+    (-1, 0, 0), (-2, -16777216, 0), (-3, -33554432, 0),
+    (-4, 16777216, 0)
+  ) v(g, cr, ci)
+),
+st(g, cr, ci, i, zr, zi, esc) AS (
+  SELECT g, cr, ci, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(-1 AS BIGINT)
+  FROM pts
+  UNION ALL
+  SELECT g, cr, ci, i + 1,
+         CASE WHEN esc2 >= 0 THEN zr ELSE zr2 - zi2 + cr END,
+         CASE WHEN esc2 >= 0 THEN zi ELSE 2 * ((zr * zi) >> 24) + ci END,
+         esc2
+  FROM (
+    SELECT s.*, (s.zr * s.zr) >> 24 AS zr2, (s.zi * s.zi) >> 24 AS zi2,
+           CASE WHEN s.esc >= 0 THEN s.esc
+                WHEN ((s.zr * s.zr) >> 24) + ((s.zi * s.zi) >> 24)
+                     > 67108864 THEN s.i
+                ELSE -1 END AS esc2
+    FROM st s WHERE s.i < 64 AND s.esc < 0
+  )
+),
+fin AS (
+  SELECT g, cr, ci, max(esc) AS esc
+  FROM st GROUP BY g, cr, ci
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(cr AS BIGINT) AS cr_q24,
+       CAST(ci AS BIGINT) AS ci_q24,
+       CAST(esc AS BIGINT) AS escape_iter,
+       CAST(CASE WHEN esc < 0 THEN 1 ELSE 0 END AS INT) AS bounded
+FROM fin ORDER BY g
+"""
+
+
+@register_extra("mandelbrot_escape_times", _MANDEL_ORACLE)
+def mandelbrot_escape_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24 Mandelbrot escape times (see oracle comment) — one guarded
+    64-step fold per point, map-only exact int64 (|z| < 2^26 so
+    squares stay < 2^52)."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 200).alias("g")).distinct()
+    pts = grp.select(
+        "g",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mr:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 50331648
+            - 33554432
+        ).alias("cr"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mi:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 50331648
+            - 25165824
+        ).alias("ci"),
+    ).unionByName(
+        c.sparkSession.createDataFrame(
+            [(-1, 0, 0), (-2, -16777216, 0), (-3, -33554432, 0),
+             (-4, 16777216, 0)],
+            "g long, cr long, ci long",
+        )
+    )
+    fold = (
+        "aggregate(sequence(0, 63),"
+        " named_struct('zr', 0L, 'zi', 0L, 'esc', -1L),"
+        " (a, i) -> IF(a.esc >= 0, a,"
+        "   IF(shiftright(a.zr * a.zr, 24) + shiftright(a.zi * a.zi, 24)"
+        "      > 67108864,"
+        "     named_struct('zr', a.zr, 'zi', a.zi, 'esc', i),"
+        "     named_struct("
+        "       'zr', shiftright(a.zr * a.zr, 24)"
+        "             - shiftright(a.zi * a.zi, 24) + cr,"
+        "       'zi', 2 * shiftright(a.zr * a.zi, 24) + ci,"
+        "       'esc', -1L))))"
+    )
+    return (
+        pts.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("cr").cast("long").alias("cr_q24"),
+            F.col("ci").cast("long").alias("ci_q24"),
+            F.col("st.esc").cast("long").alias("escape_iter"),
+            F.when(F.col("st.esc") < 0, 1).otherwise(0).cast("int")
+            .alias("bounded"),
+        )
+        .orderBy("g")
+    )
