@@ -4494,3 +4494,118 @@ def mandelbrot_escape_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------------- logistic map orbits
+
+# The logistic map x <- r x (1 - x) (May 1976) — the canonical route
+# to chaos — iterated in EXACT Q30/Q14 fixed point: 400 warm-up
+# steps, then the orbit's exact period (<= 32) by integer equality
+# (finite-state arithmetic makes converged orbits EXACTLY periodic).
+# The bifurcation cascade is frozen in fixtures: r = 2.0 sits on the
+# super-attracting fixed point 2^29 exactly (period 1), r = 3.2 ->
+# period 2, r = 3.5 -> period 4, r = 3.83 -> the famous period-3
+# window, and the chaotic band reports period 0. md5 r-lattice in
+# [2.5, 4.0).
+_LOGISTIC_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 160 AS g FROM customer
+),
+rs AS MATERIALIZED (
+  SELECT g, 2500 + ('0x' || substr(md5('lg:' || CAST(g AS VARCHAR)),
+                                   1, 6))::BIGINT % 1500 AS r_e3
+  FROM grp
+  UNION ALL
+  SELECT * FROM (VALUES (-1, 2000), (-2, 3200), (-3, 3500),
+                        (-4, 3830)) v(g, r_e3)
+),
+warm(g, r_e3, rq, i, x) AS (
+  SELECT g, r_e3, (r_e3 << 14) // 1000, 0,
+         CAST(536870912 AS BIGINT)
+  FROM rs
+  UNION ALL
+  SELECT g, r_e3, rq, i + 1,
+         (rq * ((x * (1073741824 - x)) >> 30)) >> 14
+  FROM warm WHERE i < 400
+),
+s0 AS MATERIALIZED (
+  SELECT g, r_e3, rq, x FROM warm WHERE i = 400
+),
+cyc(g, r_e3, k, y, per) AS (
+  SELECT g, r_e3, 0, x, CAST(0 AS BIGINT) FROM s0
+  UNION ALL
+  SELECT c.g, c.r_e3, c.k + 1,
+         (s.rq * ((c.y * (1073741824 - c.y)) >> 30)) >> 14,
+         CASE WHEN c.per > 0 THEN c.per
+              WHEN (s.rq * ((c.y * (1073741824 - c.y)) >> 30)) >> 14 = s.x
+              THEN c.k + 1 ELSE 0 END
+  FROM cyc c JOIN s0 s ON s.g = c.g
+  WHERE c.per = 0 AND c.k < 32
+)
+SELECT CAST(c.g AS BIGINT) AS g, CAST(c.r_e3 AS BIGINT) AS r_e3,
+       CAST(s.x AS BIGINT) AS x_q30,
+       CAST(max(c.per) AS BIGINT) AS period
+FROM cyc c JOIN s0 s ON s.g = c.g
+GROUP BY c.g, c.r_e3, s.x
+ORDER BY g
+"""
+
+
+@register_extra("logistic_map_orbits", _LOGISTIC_ORACLE)
+def logistic_map_orbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-map orbit periods in exact Q30 (see oracle comment) —
+    one 400-step warm-up fold plus a guarded 32-step cycle-detection
+    fold per r; map-only exact int64 (x(1-x) products < 2^58)."""
+    c = _t(spark, sf_dir, "customer")
+    grp = c.select((F.col("c_custkey") % 160).alias("g")).distinct()
+    rs = grp.select(
+        "g",
+        (
+            2500
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lg:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1500
+        ).alias("r_e3"),
+    ).unionByName(
+        c.sparkSession.createDataFrame(
+            [(-1, 2000), (-2, 3200), (-3, 3500), (-4, 3830)],
+            "g long, r_e3 long",
+        )
+    )
+    base = rs.withColumn("rq", F.expr("(r_e3 << 14) div 1000"))
+    warm = (
+        "aggregate(sequence(1, 400), 536870912L,"
+        " (x, i) -> shiftright(rq * shiftright(x * (1073741824L - x), 30),"
+        " 14))"
+    )
+    cyc = (
+        "aggregate(sequence(1, 32),"
+        " named_struct('y', x0, 'per', 0L),"
+        " (a, k) -> IF(a.per > 0, a, named_struct("
+        "   'y', shiftright(rq * shiftright(a.y * (1073741824L - a.y), 30),"
+        "        14),"
+        "   'per', IF(shiftright(rq * shiftright(a.y * (1073741824L - a.y),"
+        "        30), 14) = x0, k, 0L))))"
+    )
+    return (
+        base.withColumn("x0", F.expr(warm))
+        .withColumn("st", F.expr(cyc))
+        .select(
+            F.col("g").cast("long"),
+            F.col("r_e3").cast("long"),
+            F.col("x0").cast("long").alias("x_q30"),
+            F.col("st.per").cast("long").alias("period"),
+        )
+        .orderBy("g")
+    )
