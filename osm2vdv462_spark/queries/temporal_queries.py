@@ -4305,3 +4305,115 @@ def edf_demand_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------------- SIR epidemic replay
+
+
+@register_extra(
+    "sir_epidemic_replay",
+    """
+    WITH RECURSIVE grp AS MATERIALIZED (
+      SELECT DISTINCT s_suppkey % 150 AS g FROM supplier
+    ),
+    par AS MATERIALIZED (
+      SELECT g,
+             1000 + ('0x' || substr(md5('sb:' || CAST(g AS VARCHAR)),
+                                    1, 4))::BIGINT % 7000 AS beta_e4,
+             1000 + ('0x' || substr(md5('sg:' || CAST(g AS VARCHAR)),
+                                    1, 4))::BIGINT % 3000 AS gamma_e4
+      FROM grp
+    ),
+    st(g, t, s, i, r, peak_i, peak_t) AS (
+      SELECT g, 0, CAST(9990 AS BIGINT), CAST(10 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(0 AS BIGINT)
+      FROM par
+      UNION ALL
+      SELECT x.g, x.t + 1, x.s - ni, x.i + ni - nr, x.r + nr,
+             CASE WHEN x.i + ni - nr > x.peak_i
+                  THEN x.i + ni - nr ELSE x.peak_i END,
+             CASE WHEN x.i + ni - nr > x.peak_i
+                  THEN x.t + 1 ELSE x.peak_t END
+      FROM (
+        SELECT st.*, p.beta_e4, p.gamma_e4,
+               least(st.s, p.beta_e4 * st.s * st.i // 100000000) AS ni,
+               p.gamma_e4 * st.i // 10000 AS nr
+        FROM st JOIN par p ON p.g = st.g
+        WHERE st.t < 100
+      ) x
+    )
+    SELECT CAST(st.g AS BIGINT) AS g,
+           CAST(10000 * p.beta_e4 // p.gamma_e4 AS BIGINT) AS r0_e4,
+           CAST(st.peak_i AS BIGINT) AS peak_infected,
+           CAST(st.peak_t AS BIGINT) AS peak_day,
+           CAST(st.r AS BIGINT) AS final_recovered,
+           CAST(CASE WHEN st.r >= 5000 THEN 1 ELSE 0 END AS INT)
+             AS major_outbreak
+    FROM st JOIN par p ON p.g = st.g
+    WHERE st.t = 100
+    ORDER BY g
+    """,
+)
+def sir_epidemic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete SIR epidemic (Kermack-McKendrick 1927) in exact
+    integers: N=10000, I0=10, e4 fixed-point rates, 100 daily steps
+    with floored flows (new infections capped at S). The threshold
+    theorem is visible in the gate rows: R0 = beta/gamma above ~1
+    produces major outbreaks (attack rate > 50%), below it the
+    epidemic dies out — peak size/day and the final attack rate are
+    hash-frozen per parameter draw. One fold per group, map-only."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 150).alias("g")).distinct()
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    par = grp.select(
+        "g",
+        (1000 + _h4("sb:") % 7000).alias("beta_e4"),
+        (1000 + _h4("sg:") % 3000).alias("gamma_e4"),
+    )
+    fold = (
+        "aggregate(sequence(1, 100),"
+        " named_struct('s', 9990L, 'i', 10L, 'r', 0L,"
+        "              'peak_i', 10L, 'peak_t', 0L),"
+        " (a, t) -> named_struct("
+        "   's', a.s - least(a.s, beta_e4 * a.s * a.i div 100000000),"
+        "   'i', a.i + least(a.s, beta_e4 * a.s * a.i div 100000000)"
+        "        - gamma_e4 * a.i div 10000,"
+        "   'r', a.r + gamma_e4 * a.i div 10000,"
+        "   'peak_i', IF(a.i + least(a.s, beta_e4 * a.s * a.i"
+        "        div 100000000) - gamma_e4 * a.i div 10000 > a.peak_i,"
+        "     a.i + least(a.s, beta_e4 * a.s * a.i div 100000000)"
+        "        - gamma_e4 * a.i div 10000, a.peak_i),"
+        "   'peak_t', IF(a.i + least(a.s, beta_e4 * a.s * a.i"
+        "        div 100000000) - gamma_e4 * a.i div 10000 > a.peak_i,"
+        "     CAST(t AS BIGINT), a.peak_t)))"
+    )
+    return (
+        par.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.expr("10000 * beta_e4 div gamma_e4")
+            .cast("long")
+            .alias("r0_e4"),
+            F.col("st.peak_i").cast("long").alias("peak_infected"),
+            F.col("st.peak_t").cast("long").alias("peak_day"),
+            F.col("st.r").cast("long").alias("final_recovered"),
+            F.when(F.col("st.r") >= 5000, 1).otherwise(0).cast("int")
+            .alias("major_outbreak"),
+        )
+        .orderBy("g")
+    )
