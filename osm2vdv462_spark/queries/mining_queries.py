@@ -5410,3 +5410,123 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ------------------------------------------------ IPD tournament
+
+# Axelrod's iterated prisoner's dilemma (1984), noisy variant: AllC,
+# AllD, Tit-for-Tat, Grudger and Pavlov round-robin over 64 rounds
+# with a deterministic md5 trembling hand (1-in-20 executed-move
+# flips). Payoffs T=5 R=3 P=1 S=0, exact integers. The NOISY-IPD
+# literature's finding is frozen in the rows: one tremble sends
+# TFT-vs-TFT into alternating defection spirals (its pair score
+# drops well below the all-cooperate 192), while Grudger and Pavlov
+# out-score TFT in this pool — every pair score is hash-fatal.
+_IPD_ORACLE = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.a AS sa, b.b AS sb
+  FROM (SELECT unnest(generate_series(0, 4)) AS a) a,
+       (SELECT unnest(generate_series(0, 4)) AS b) b
+),
+st(sa, sb, r, la, lb, ga, gb, pa, pb) AS (
+  SELECT sa, sb, 0, 0, 0, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM pairs
+  UNION ALL
+  SELECT sa, sb, r + 1, ma, mb,
+         CASE WHEN mb = 1 THEN 1 ELSE ga END,
+         CASE WHEN ma = 1 THEN 1 ELSE gb END,
+         pa + CASE ma * 2 + mb WHEN 0 THEN 3 WHEN 1 THEN 0
+                               WHEN 2 THEN 5 ELSE 1 END,
+         pb + CASE mb * 2 + ma WHEN 0 THEN 3 WHEN 1 THEN 0
+                               WHEN 2 THEN 5 ELSE 1 END
+  FROM (
+    SELECT x.*,
+           CASE WHEN ('0x' || substr(md5('nz:' || CAST(x.sa AS VARCHAR)
+                  || ':' || CAST(x.sb AS VARCHAR) || ':'
+                  || CAST(x.r + 1 AS VARCHAR) || ':A'), 1, 4))::BIGINT
+                  % 20 = 0
+                THEN 1 - x.ia ELSE x.ia END AS ma,
+           CASE WHEN ('0x' || substr(md5('nz:' || CAST(x.sa AS VARCHAR)
+                  || ':' || CAST(x.sb AS VARCHAR) || ':'
+                  || CAST(x.r + 1 AS VARCHAR) || ':B'), 1, 4))::BIGINT
+                  % 20 = 0
+                THEN 1 - x.ib ELSE x.ib END AS mb
+    FROM (
+      SELECT s.*,
+             CASE s.sa WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN s.lb
+                  WHEN 3 THEN s.ga
+                  ELSE CASE WHEN s.lb = 0 THEN s.la
+                            ELSE 1 - s.la END END AS ia,
+             CASE s.sb WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN s.la
+                  WHEN 3 THEN s.gb
+                  ELSE CASE WHEN s.la = 0 THEN s.lb
+                            ELSE 1 - s.lb END END AS ib
+      FROM st s WHERE s.r < 64
+    ) x
+  )
+)
+SELECT CAST(sa AS INT) AS strat_a, CAST(sb AS INT) AS strat_b,
+       CAST(pa AS BIGINT) AS score_a, CAST(pb AS BIGINT) AS score_b
+FROM st WHERE r = 64
+ORDER BY strat_a, strat_b
+"""
+
+
+@register_extra("ipd_noisy_tournament", _IPD_ORACLE)
+def ipd_noisy_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy IPD round-robin (see oracle comment). One 64-round fold
+    per ordered pair with the tremble hash evaluated in-lambda;
+    map-only. Fixed 25-row output — the tournament matrix itself is
+    the frozen artifact."""
+    sess = spark
+    pairs = (
+        sess.range(0, 5)
+        .select(F.col("id").cast("int").alias("sa"))
+        .crossJoin(
+            sess.range(0, 5).select(F.col("id").cast("int").alias("sb"))
+        )
+    )
+
+    def noise(who: str) -> str:
+        return (
+            "CAST(conv(substring(md5(CAST(concat('nz:',"
+            " CAST(sa AS STRING), ':', CAST(sb AS STRING), ':',"
+            f" CAST(r AS STRING), ':{who}') AS BINARY)), 1, 4), 16, 10)"
+            " AS BIGINT) % 20 = 0"
+        )
+
+    ia = (
+        "CASE sa WHEN 0 THEN 0L WHEN 1 THEN 1L WHEN 2 THEN a.lb"
+        " WHEN 3 THEN a.ga"
+        " ELSE IF(a.lb = 0, a.la, 1 - a.la) END"
+    )
+    ib = (
+        "CASE sb WHEN 0 THEN 0L WHEN 1 THEN 1L WHEN 2 THEN a.la"
+        " WHEN 3 THEN a.gb"
+        " ELSE IF(a.la = 0, a.lb, 1 - a.lb) END"
+    )
+    ma = f"IF({noise('A')}, 1 - ({ia}), {ia})"
+    mb = f"IF({noise('B')}, 1 - ({ib}), {ib})"
+    fold = (
+        "aggregate(sequence(1, 64),"
+        " named_struct('la', 0L, 'lb', 0L, 'ga', 0L, 'gb', 0L,"
+        "              'pa', 0L, 'pb', 0L),"
+        " (a, r) -> named_struct("
+        f"   'la', {ma}, 'lb', {mb},"
+        f"   'ga', IF(({mb}) = 1, 1L, a.ga),"
+        f"   'gb', IF(({ma}) = 1, 1L, a.gb),"
+        f"   'pa', a.pa + CASE ({ma}) * 2 + ({mb}) WHEN 0 THEN 3"
+        "        WHEN 1 THEN 0 WHEN 2 THEN 5 ELSE 1 END,"
+        f"   'pb', a.pb + CASE ({mb}) * 2 + ({ma}) WHEN 0 THEN 3"
+        "        WHEN 1 THEN 0 WHEN 2 THEN 5 ELSE 1 END))"
+    )
+    return (
+        pairs.withColumn("st", F.expr(fold))
+        .select(
+            F.col("sa").cast("int").alias("strat_a"),
+            F.col("sb").cast("int").alias("strat_b"),
+            F.col("st.pa").cast("long").alias("score_a"),
+            F.col("st.pb").cast("long").alias("score_b"),
+        )
+        .orderBy("strat_a", "strat_b")
+    )
