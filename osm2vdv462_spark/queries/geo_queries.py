@@ -7441,3 +7441,133 @@ def gravity_model_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "o", "d")
         .limit(50)
     )
+
+
+# ------------------------------------------------ Bresenham lines
+
+# Bresenham's line algorithm (1965) — the integer rasterizer in every
+# display driver since: walk the major axis accumulating twice the
+# signed error, stepping the minor axis when it overflows. md5
+# endpoint pairs on a 64x64 grid; the fold emits the visited-cell
+# count (= major span + 1, frozen), both endpoints hit (frozen), and
+# an exact positional checksum of the path. All integers; the
+# classic 2*err formulation avoids any division.
+_BRESENHAM_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 220 AS g FROM part
+),
+seg AS MATERIALIZED (
+  SELECT g,
+         ('0x' || substr(md5('x0:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 64 AS x0,
+         ('0x' || substr(md5('y0:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 64 AS y0,
+         (('0x' || substr(md5('x0:' || CAST(g AS VARCHAR)),
+                          1, 4))::BIGINT % 64 + 1
+          + ('0x' || substr(md5('x1:' || CAST(g AS VARCHAR)),
+                            1, 4))::BIGINT % 63) % 64 AS x1,
+         ('0x' || substr(md5('y1:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 64 AS y1
+  FROM grp
+),
+par AS MATERIALIZED (
+  SELECT g, x0, y0, x1, y1,
+         abs(x1 - x0) AS dx, -abs(y1 - y0) AS dy,
+         CASE WHEN x0 < x1 THEN 1 ELSE -1 END AS sx,
+         CASE WHEN y0 < y1 THEN 1 ELSE -1 END AS sy,
+         greatest(abs(x1 - x0), abs(y1 - y0)) AS span
+  FROM seg
+),
+st(g, i, x, y, err, chk) AS (
+  SELECT g, 0, x0, y0, dx + dy, x0 * 1000 + y0 FROM par
+  UNION ALL
+  SELECT s.g, s.i + 1,
+         CASE WHEN 2 * s.err >= p.dy THEN s.x + p.sx ELSE s.x END,
+         CASE WHEN 2 * s.err <= p.dx THEN s.y + p.sy ELSE s.y END,
+         s.err
+         + CASE WHEN 2 * s.err >= p.dy THEN p.dy ELSE 0 END
+         + CASE WHEN 2 * s.err <= p.dx THEN p.dx ELSE 0 END,
+         s.chk
+         + (CASE WHEN 2 * s.err >= p.dy THEN s.x + p.sx ELSE s.x END)
+           * 1000
+         + CASE WHEN 2 * s.err <= p.dx THEN s.y + p.sy ELSE s.y END
+  FROM st s JOIN par p ON p.g = s.g
+  WHERE s.i < p.span
+)
+SELECT CAST(s.g AS BIGINT) AS g,
+       CAST(p.span + 1 AS BIGINT) AS n_cells,
+       CAST(s.chk AS BIGINT) AS path_checksum,
+       CAST(CASE WHEN s.x = p.x1 AND s.y = p.y1 THEN 1 ELSE 0 END
+            AS INT) AS endpoint_hit
+FROM st s JOIN par p ON p.g = s.g
+WHERE s.i = p.span
+ORDER BY g
+"""
+
+
+@register_extra("bresenham_line_cells", _BRESENHAM_ORACLE)
+def bresenham_line_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bresenham line rasterization (see oracle comment) — one
+    guarded fold per segment; endpoint arrival is hash-frozen at 1
+    for every segment."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    grp = p.select((F.col("p_partkey") % 220).alias("g")).distinct()
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("g").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    par = (
+        grp.select(
+            "g",
+            (_h4("x0:") % 64).alias("x0"),
+            (_h4("y0:") % 64).alias("y0"),
+            ((_h4("x0:") % 64 + 1 + _h4("x1:") % 63) % 64).alias("x1"),
+            (_h4("y1:") % 64).alias("y1"),
+        )
+        .withColumn("dx", F.expr("abs(x1 - x0)"))
+        .withColumn("dy", F.expr("-abs(y1 - y0)"))
+        .withColumn("sx", F.expr("IF(x0 < x1, 1L, -1L)"))
+        .withColumn("sy", F.expr("IF(y0 < y1, 1L, -1L)"))
+        .withColumn("span", F.expr("greatest(abs(x1 - x0), abs(y1 - y0))"))
+    )
+    fold = (
+        "aggregate(sequence(1, CAST(span AS INT)),"
+        " named_struct('x', x0, 'y', y0, 'err', dx + dy,"
+        "              'chk', x0 * 1000 + y0),"
+        " (a, i) -> named_struct("
+        "   'x', IF(2 * a.err >= dy, a.x + sx, a.x),"
+        "   'y', IF(2 * a.err <= dx, a.y + sy, a.y),"
+        "   'err', a.err + IF(2 * a.err >= dy, dy, 0L)"
+        "          + IF(2 * a.err <= dx, dx, 0L),"
+        "   'chk', a.chk + IF(2 * a.err >= dy, a.x + sx, a.x) * 1000"
+        "          + IF(2 * a.err <= dx, a.y + sy, a.y)))"
+    )
+    return (
+        par.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            (F.col("span") + 1).cast("long").alias("n_cells"),
+            F.col("st.chk").cast("long").alias("path_checksum"),
+            F.when(
+                (F.col("st.x") == F.col("x1"))
+                & (F.col("st.y") == F.col("y1")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("endpoint_hit"),
+        )
+        .orderBy("g")
+    )
