@@ -4609,3 +4609,123 @@ def logistic_map_orbits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ Bareiss exact determinant
+
+# Bareiss fraction-free elimination (1968) — exact integer
+# determinants without rationals: each step divides by the PREVIOUS
+# pivot and the division is always exact (Sylvester's identity), so
+# int64 carries 5x5 determinants (~2e10 here) with zero rounding.
+# Matrices are md5 entries in [-20, 20] with +100 diagonal dominance
+# guaranteeing nonzero leading minors (no pivoting branch needed).
+# Four staged list_transform rounds; tests referee against an exact
+# Fraction Gaussian elimination. The divisibility itself is part of
+# the frozen contract: a single wrong intermediate breaks every
+# downstream entry.
+_BAREISS_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 180 AS g FROM part
+),
+mats AS MATERIALIZED (
+  SELECT g, list(CAST(v AS BIGINT) ORDER BY idx) AS m
+  FROM (
+    SELECT g, i.i * 5 + j.j AS idx,
+           ('0x' || substr(md5('bd:' || CAST(g AS VARCHAR) || ':'
+              || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+              1, 4))::BIGINT % 41 - 20
+           + CASE WHEN i.i = j.j THEN 100 ELSE 0 END AS v
+    FROM grp,
+         (SELECT unnest(generate_series(0, 4)) AS i) i,
+         (SELECT unnest(generate_series(0, 4)) AS j) j
+  )
+  GROUP BY g
+),
+st(g, k, m, prev) AS (
+  SELECT g, 0, m, CAST(1 AS BIGINT) FROM mats
+  UNION ALL
+  SELECT g, k + 1,
+         list_transform(m, (v, x) ->
+           CASE WHEN (x - 1) // 5 > k AND (x - 1) % 5 > k
+                THEN (v * m[k * 5 + k + 1]
+                      - m[((x - 1) // 5) * 5 + k + 1]
+                        * m[k * 5 + ((x - 1) % 5) + 1]) // prev
+                ELSE v END),
+         m[k * 5 + k + 1]
+  FROM st WHERE k < 4
+)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(m[25] AS BIGINT) AS det,
+       CAST(CASE WHEN m[25] <> 0 THEN 1 ELSE 0 END AS INT) AS nonsingular
+FROM st WHERE k = 4
+ORDER BY g
+"""
+
+
+@register_extra("bareiss_determinant", _BAREISS_ORACLE)
+def bareiss_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bareiss exact determinants (see oracle comment) — four chained
+    list transforms per matrix, map-only exact int64."""
+    p = _t(spark, sf_dir, "part")
+    sess = p.sparkSession
+    grp = p.select((F.col("p_partkey") % 180).alias("g")).distinct()
+    ij = sess.range(0, 25).select(F.col("id").cast("int").alias("idx"))
+    mats = (
+        grp.crossJoin(F.broadcast(ij))
+        .select(
+            "g",
+            "idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bd:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                (F.col("idx") / 5).cast("int").cast("string"),
+                                F.lit(":"),
+                                (F.col("idx") % 5).cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 41
+                - 20
+                + F.when(
+                    (F.col("idx") / 5).cast("int") == F.col("idx") % 5, 100
+                ).otherwise(0)
+            ).alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, v))),"
+                " x -> x.v)"
+            ).alias("m")
+        )
+        .withColumn("prev", F.lit(1).cast("long"))
+    )
+    cur = mats
+    for k in range(4):
+        step = (
+            f"transform(m, (v, x) -> IF(x div 5 > {k} AND x % 5 > {k},"
+            f" (v * element_at(m, {k * 5 + k + 1})"
+            f"  - element_at(m, CAST((x div 5) * 5 + {k} + 1 AS INT))"
+            f"    * element_at(m, CAST({k * 5} + (x % 5) + 1 AS INT)))"
+            f" div prev, v))"
+        )
+        cur = cur.withColumn("m2", F.expr(step)).withColumn(
+            "prev", F.expr(f"element_at(m, {k * 5 + k + 1})")
+        ).drop("m").withColumnRenamed("m2", "m")
+    return cur.select(
+        F.col("g").cast("long"),
+        F.expr("element_at(m, 25)").cast("long").alias("det"),
+        F.expr("CAST(IF(element_at(m, 25) <> 0, 1, 0) AS INT)").alias(
+            "nonsingular"
+        ),
+    ).orderBy("g")

@@ -345,3 +345,50 @@ class TestFloydCycleReferee:
             mu = seen[x]
             lam = len(path) - mu
             assert (r["mu"], r["lambda"]) == (mu, lam), r
+
+
+class TestBareissReferee:
+    def test_matches_fraction_gauss(self, spark, sf_dir):
+        """Exact Fraction Gaussian elimination must agree with the
+        Bareiss integer determinant on every matrix."""
+        import hashlib
+        from fractions import Fraction
+
+        from osm2vdv462_spark.queries.sketch_queries import (
+            bareiss_determinant,
+        )
+
+        def mat(g):
+            m = [
+                [
+                    int(
+                        hashlib.md5(f"bd:{g}:{i}:{j}".encode()).hexdigest()[
+                            :4
+                        ],
+                        16,
+                    )
+                    % 41
+                    - 20
+                    for j in range(5)
+                ]
+                for i in range(5)
+            ]
+            for i in range(5):
+                m[i][i] += 100
+            return m
+
+        def gauss_det(m):
+            a = [[Fraction(v) for v in row] for row in m]
+            det = Fraction(1)
+            for k in range(5):
+                det *= a[k][k]
+                for i in range(k + 1, 5):
+                    f = a[i][k] / a[k][k]
+                    for j in range(k, 5):
+                        a[i][j] -= f * a[k][j]
+            return det
+
+        rows = bareiss_determinant(spark, sf_dir).collect()
+        assert len(rows) > 20
+        for r in rows:
+            assert Fraction(r["det"]) == gauss_det(mat(r["g"])), r["g"]
