@@ -7571,3 +7571,134 @@ def bresenham_line_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------------------ Bezier evaluation
+
+# Cubic Bezier curves (de Casteljau 1959 / Bezier 1962) evaluated
+# EXACTLY on the t = k/16 lattice: control coordinates are scaled by
+# 4096 = 16^3 so the Bernstein form
+#   B(k) = sum_i C(3,i) (16-k)^(3-i) k^i P_i / 4096
+# divides exactly — no float ever appears. Endpoint interpolation
+# (B(0) = P0, B(16) = P3) and bounding-box containment (a weak but
+# exact form of the convex-hull property) are recomputed per point
+# and hash-frozen at 1.
+_BEZIER_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 80 AS g FROM part
+),
+ctrl AS MATERIALIZED (
+  SELECT g,
+         ('0x' || substr(md5('bx0:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS x0,
+         ('0x' || substr(md5('by0:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS y0,
+         ('0x' || substr(md5('bx1:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS x1,
+         ('0x' || substr(md5('by1:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS y1,
+         ('0x' || substr(md5('bx2:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS x2,
+         ('0x' || substr(md5('by2:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS y2,
+         ('0x' || substr(md5('bx3:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS x3,
+         ('0x' || substr(md5('by3:' || CAST(g AS VARCHAR)),
+                         1, 4))::BIGINT % 256 * 4096 AS y3
+  FROM grp
+),
+pts AS MATERIALIZED (
+  SELECT c.*, k.k,
+         ((16 - k.k) * (16 - k.k) * (16 - k.k) * x0
+          + 3 * (16 - k.k) * (16 - k.k) * k.k * x1
+          + 3 * (16 - k.k) * k.k * k.k * x2
+          + k.k * k.k * k.k * x3) // 4096 AS bx,
+         ((16 - k.k) * (16 - k.k) * (16 - k.k) * y0
+          + 3 * (16 - k.k) * (16 - k.k) * k.k * y1
+          + 3 * (16 - k.k) * k.k * k.k * y2
+          + k.k * k.k * k.k * y3) // 4096 AS by
+  FROM ctrl c, (SELECT unnest(generate_series(0, 16)) AS k) k
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(k AS INT) AS k,
+       CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       CAST(CASE WHEN (k = 0 AND bx = x0 AND by = y0)
+                   OR (k = 16 AND bx = x3 AND by = y3)
+                   OR (k > 0 AND k < 16) THEN 1 ELSE 0 END AS INT)
+         AS endpoint_ok,
+       CAST(CASE WHEN bx >= least(x0, x1, x2, x3)
+                  AND bx <= greatest(x0, x1, x2, x3)
+                  AND by >= least(y0, y1, y2, y3)
+                  AND by <= greatest(y0, y1, y2, y3)
+            THEN 1 ELSE 0 END AS INT) AS in_bbox
+FROM pts ORDER BY g, k
+"""
+
+
+@register_extra("bezier_curve_points", _BEZIER_ORACLE)
+def bezier_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cubic Bezier lattice evaluation (see oracle comment) —
+    pure Bernstein column algebra per (curve, k), map-only."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sess = p.sparkSession
+    grp = p.select((F.col("p_partkey") % 80).alias("g")).distinct()
+
+    def _h4(prefix: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+            * 4096
+        )
+
+    ctrl = grp.select(
+        "g",
+        _h4("bx0:").alias("x0"), _h4("by0:").alias("y0"),
+        _h4("bx1:").alias("x1"), _h4("by1:").alias("y1"),
+        _h4("bx2:").alias("x2"), _h4("by2:").alias("y2"),
+        _h4("bx3:").alias("x3"), _h4("by3:").alias("y3"),
+    )
+    ks = sess.range(0, 17).select(F.col("id").cast("long").alias("k"))
+    pts = ctrl.crossJoin(F.broadcast(ks)).withColumn(
+        "bx",
+        F.expr(
+            "((16 - k) * (16 - k) * (16 - k) * x0"
+            " + 3 * (16 - k) * (16 - k) * k * x1"
+            " + 3 * (16 - k) * k * k * x2 + k * k * k * x3) div 4096"
+        ),
+    ).withColumn(
+        "by",
+        F.expr(
+            "((16 - k) * (16 - k) * (16 - k) * y0"
+            " + 3 * (16 - k) * (16 - k) * k * y1"
+            " + 3 * (16 - k) * k * k * y2 + k * k * k * y3) div 4096"
+        ),
+    )
+    return pts.select(
+        F.col("g").cast("long"),
+        F.col("k").cast("int"),
+        F.col("bx").cast("long"),
+        F.col("by").cast("long"),
+        F.expr(
+            "CAST(CASE WHEN (k = 0 AND bx = x0 AND by = y0)"
+            " OR (k = 16 AND bx = x3 AND by = y3)"
+            " OR (k > 0 AND k < 16) THEN 1 ELSE 0 END AS INT)"
+        ).alias("endpoint_ok"),
+        F.expr(
+            "CAST(CASE WHEN bx >= least(x0, x1, x2, x3)"
+            " AND bx <= greatest(x0, x1, x2, x3)"
+            " AND by >= least(y0, y1, y2, y3)"
+            " AND by <= greatest(y0, y1, y2, y3)"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("in_bbox"),
+    ).orderBy("g", "k")
