@@ -5530,3 +5530,174 @@ def ipd_noisy_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strat_a", "strat_b")
     )
+
+
+# ------------------------------------------------ Condorcet cycles
+
+# The Condorcet paradox (1785): majority preference can be
+# INTRANSITIVE. Electorates of ranked ballots (md5 permutation per
+# ballot over 4 candidates, reusing the IRV ranking construction with
+# a per-electorate salt) yield the pairwise-majority tournament; the
+# query reports every pairwise margin and counts directed 3-cycles —
+# the paradox. Electorate -1 is the engineered rock-paper-scissors
+# profile (three ballot types A>B>C, B>C>A, C>A>B over candidates
+# 0..2 plus a fixed last place), whose cycle count is frozen at 1;
+# md5 electorates show both transitive and cyclic outcomes.
+_CONDORCET_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 25 AS e FROM orders
+),
+ballots AS MATERIALIZED (
+  SELECT e, event_id AS b FROM grp
+  CROSS JOIN (SELECT event_id FROM events WHERE event_id % 5 = 0) ev
+),
+prefs AS MATERIALIZED (
+  SELECT e, b, cand,
+         row_number() OVER (
+           PARTITION BY e, b
+           ORDER BY md5('cv:' || CAST(e AS VARCHAR) || ':'
+                        || CAST(cand AS VARCHAR) || ':'
+                        || CAST(b AS VARCHAR)), cand) AS rnk
+  FROM ballots
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cand) c
+  UNION ALL
+  -- engineered RPS electorate: ballots 1..3 cycle A>B>C>D shifts
+  SELECT -1, t.t, c.cand,
+         CAST(CASE WHEN c.cand = 3 THEN 4
+              ELSE ((c.cand - t.t + 3) % 3) + 1 END AS BIGINT)
+  FROM (SELECT unnest(generate_series(0, 2)) AS t) t
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cand) c
+),
+pair AS MATERIALIZED (
+  SELECT a.e, a.cand AS x, b.cand AS y,
+         sum(CASE WHEN a.rnk < b.rnk THEN 1 ELSE 0 END) AS wins,
+         count(*) AS n
+  FROM prefs a
+  JOIN prefs b ON b.e = a.e AND b.b = a.b AND b.cand <> a.cand
+  GROUP BY a.e, a.cand, b.cand
+),
+beats AS MATERIALIZED (
+  SELECT e, x, y FROM pair WHERE 2 * wins > n
+),
+cycles AS MATERIALIZED (
+  SELECT a.e, count(*) AS n_cycles
+  FROM beats a
+  JOIN beats b ON b.e = a.e AND b.x = a.y
+  JOIN beats c ON c.e = a.e AND c.x = b.y AND c.y = a.x
+  WHERE a.x < b.x AND a.x < c.x
+  GROUP BY a.e
+)
+SELECT CAST(p.e AS BIGINT) AS electorate,
+       CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+       CAST(p.wins AS BIGINT) AS wins, CAST(p.n AS BIGINT) AS n_ballots,
+       CAST(coalesce(c.n_cycles, 0) AS INT) AS n_cycles
+FROM pair p LEFT JOIN cycles c ON c.e = p.e
+WHERE p.x < p.y
+ORDER BY electorate, x, y
+"""
+
+
+@register_extra("condorcet_cycle_detect", _CONDORCET_ORACLE)
+def condorcet_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condorcet pairwise tournament + 3-cycle count (see oracle
+    comment). One ballot fanout, one pair partial-agg, a dim-sized
+    triangle join on the beats relation."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    sess = o.sparkSession
+    grp = o.select((F.col("o_custkey") % 25).alias("e")).distinct()
+    cands = sess.range(0, 4).select(F.col("id").cast("long").alias("cand"))
+    prefs = (
+        grp.crossJoin(ev.select(F.col("event_id").alias("b")))
+        .crossJoin(F.broadcast(cands))
+        .select(
+            "e",
+            "b",
+            "cand",
+            F.md5(
+                F.concat(
+                    F.lit("cv:"),
+                    F.col("e").cast("string"),
+                    F.lit(":"),
+                    F.col("cand").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("e", "b").orderBy("h", "cand"))
+            .cast("long"),
+        )
+        .drop("h")
+    )
+    rps = (
+        sess.range(0, 3)
+        .select(F.col("id").cast("long").alias("t"))
+        .crossJoin(F.broadcast(cands))
+        .select(
+            F.lit(-1).cast("long").alias("e"),
+            F.col("t").alias("b"),
+            "cand",
+            F.expr(
+                "CAST(CASE WHEN cand = 3 THEN 4"
+                " ELSE ((cand - t + 3) % 3) + 1 END AS BIGINT)"
+            ).alias("rnk"),
+        )
+    )
+    allp = prefs.unionByName(rps).localCheckpoint(eager=True)
+    b2 = allp.select(
+        F.col("e").alias("e2"), F.col("b").alias("bb"),
+        F.col("cand").alias("cand2"), F.col("rnk").alias("rnk2"),
+    )
+    pair = (
+        allp.join(
+            b2,
+            (F.col("e2") == F.col("e"))
+            & (F.col("bb") == F.col("b"))
+            & (F.col("cand2") != F.col("cand")),
+        )
+        .groupBy("e", F.col("cand").alias("x"), F.col("cand2").alias("y"))
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") < F.col("rnk2"), 1).otherwise(0)
+            ).alias("wins"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    beats = pair.filter(2 * F.col("wins") > F.col("n")).select("e", "x", "y")
+    ba = beats.select(F.col("e"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    bb_ = beats.select(
+        F.col("e").alias("eb"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    bc = beats.select(
+        F.col("e").alias("ec"), F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+    cycles = (
+        ba.join(bb_, (F.col("eb") == F.col("e")) & (F.col("bx") == F.col("ay")))
+        .join(
+            bc,
+            (F.col("ec") == F.col("e"))
+            & (F.col("cx") == F.col("by"))
+            & (F.col("cy") == F.col("ax")),
+        )
+        .filter((F.col("ax") < F.col("bx")) & (F.col("ax") < F.col("cx")))
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("n_cycles"))
+    )
+    return (
+        pair.filter(F.col("x") < F.col("y"))
+        .join(F.broadcast(cycles), "e", "left")
+        .select(
+            F.col("e").cast("long").alias("electorate"),
+            F.col("x").cast("int"),
+            F.col("y").cast("int"),
+            F.col("wins").cast("long"),
+            F.col("n").cast("long").alias("n_ballots"),
+            F.coalesce("n_cycles", F.lit(0)).cast("int").alias("n_cycles"),
+        )
+        .orderBy("electorate", "x", "y")
+    )
