@@ -5701,3 +5701,67 @@ def condorcet_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("electorate", "x", "y")
     )
+
+
+# ------------------------------------------------ Kelly betting
+
+# Kelly criterion (1956): on a p = 0.55 even-money coin the
+# growth-optimal stake is f* = 2p - 1 = 10%. Five fixed fractions
+# (2.5%, half-Kelly 5%, Kelly 10%, 25%, over-bet 60%) replay the
+# SAME 200 md5 outcomes per scenario in e6 integer wealth with
+# floored stakes — Kelly's theorem shows up in the frozen rows:
+# the 10% column dominates final wealth in most scenarios while the
+# 60% over-bet collapses toward zero (volatility drag), exactly as
+# the log-growth curve predicts.
+_KELLY_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 40 AS g FROM supplier
+),
+strat AS MATERIALIZED (
+  SELECT unnest([250, 500, 1000, 2500, 6000]) AS f_e4
+),
+st(g, f_e4, i, w) AS (
+  SELECT g, f_e4, 0, CAST(1000000 AS BIGINT)
+  FROM grp CROSS JOIN strat
+  UNION ALL
+  SELECT g, f_e4, i + 1,
+         CASE WHEN ('0x' || substr(md5('kb:' || CAST(g AS VARCHAR)
+                || ':' || CAST(i + 1 AS VARCHAR)), 1, 4))::BIGINT
+                % 100 < 55
+              THEN w + w * f_e4 // 10000
+              ELSE w - w * f_e4 // 10000 END
+  FROM st WHERE i < 200
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(f_e4 AS BIGINT) AS f_e4,
+       CAST(w AS BIGINT) AS final_wealth_e6
+FROM st WHERE i = 200
+ORDER BY g, f_e4
+"""
+
+
+@register_extra("kelly_betting_replay", _KELLY_ORACLE)
+def kelly_betting_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly-fraction wealth replays (see oracle comment) — one
+    200-step fold per (scenario, fraction); map-only exact int64."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 40).alias("g")).distinct()
+    strat = s.sparkSession.createDataFrame(
+        [(250,), (500,), (1000,), (2500,), (6000,)], "f_e4 long"
+    )
+    fold = (
+        "aggregate(sequence(1, 200), 1000000L,"
+        " (w, i) -> IF(CAST(conv(substring(md5(CAST(concat('kb:',"
+        " CAST(g AS STRING), ':', CAST(i AS STRING)) AS BINARY)),"
+        " 1, 4), 16, 10) AS BIGINT) % 100 < 55,"
+        "   w + w * f_e4 div 10000, w - w * f_e4 div 10000))"
+    )
+    return (
+        grp.crossJoin(F.broadcast(strat))
+        .withColumn("w", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("f_e4").cast("long"),
+            F.col("w").cast("long").alias("final_wealth_e6"),
+        )
+        .orderBy("g", "f_e4")
+    )
