@@ -4417,3 +4417,169 @@ def sir_epidemic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------- conflict serializability
+
+
+@register_extra(
+    "conflict_serializability",
+    """
+    WITH RECURSIVE grp AS MATERIALIZED (
+      SELECT DISTINCT s_suppkey % 35 AS h FROM supplier
+    ),
+    ops AS MATERIALIZED (
+      SELECT h, CAST(i AS BIGINT) AS ts,
+             ('0x' || substr(md5('ot:' || CAST(h AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 4 AS txn,
+             ('0x' || substr(md5('oi:' || CAST(h AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 5 AS item,
+             CASE WHEN ('0x' || substr(md5('ow:' || CAST(h AS VARCHAR)
+                    || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 3 = 0
+                  THEN 1 ELSE 0 END AS is_write
+      FROM grp, (SELECT unnest(generate_series(1, 24)) AS i) i
+      UNION ALL
+      -- engineered non-serializable history: r1(x) w2(x) r2(y) w1(y)
+      SELECT * FROM (VALUES
+        (-1, 1, 1, 0, 0), (-1, 2, 2, 0, 1),
+        (-1, 3, 2, 1, 0), (-1, 4, 1, 1, 1)
+      ) v(h, ts, txn, item, is_write)
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.h, a.txn AS t1, b.txn AS t2
+      FROM ops a
+      JOIN ops b ON b.h = a.h AND b.item = a.item
+       AND b.txn <> a.txn AND b.ts > a.ts
+       AND (a.is_write = 1 OR b.is_write = 1)
+    ),
+    reach(h, t1, t2, d) AS (
+      SELECT h, t1, t2, 1 FROM edges
+      UNION
+      SELECT r.h, r.t1, e.t2, r.d + 1
+      FROM reach r JOIN edges e ON e.h = r.h AND e.t1 = r.t2
+      WHERE r.d < 5
+    ),
+    verdict AS MATERIALIZED (
+      SELECT h,
+             CASE WHEN count(*) FILTER (t1 = t2) > 0 THEN 0 ELSE 1 END
+               AS serializable
+      FROM reach GROUP BY h
+    ),
+    ecnt AS MATERIALIZED (
+      SELECT h, count(*) AS n_edges FROM edges GROUP BY h
+    )
+    SELECT CAST(g.h AS BIGINT) AS history,
+           CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_conflict_edges,
+           CAST(coalesce(v.serializable, 1) AS INT) AS serializable
+    FROM (SELECT h FROM grp UNION ALL SELECT -1) g
+    LEFT JOIN ecnt e ON e.h = g.h
+    LEFT JOIN verdict v ON v.h = g.h
+    ORDER BY history
+    """,
+)
+def conflict_serializability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-serializability audit (Eswaran/Gray 1976): a history
+    is conflict-serializable iff its precedence graph (edges between
+    txns with ordered conflicting ops on the same item) is ACYCLIC.
+    35 md5 histories of 24 ops over 4 txns x 5 items, plus the
+    textbook non-serializable fixture r1(x) w2(x) r2(y) w1(y) — its
+    2-cycle keeps serializable frozen at 0. Cycle test = bounded
+    transitive closure (4 txns -> depth 5) checking self-reachability.
+    Complements the gated write_skew_pairs row (which freezes the SI
+    anomaly this test would reject)."""
+    s = _t(spark, sf_dir, "supplier")
+    sess = s.sparkSession
+    grp = s.select((F.col("s_suppkey") % 35).alias("h")).distinct()
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("h").cast("string"),
+                        F.lit(":"),
+                        F.col("ts").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ops = (
+        grp.crossJoin(
+            sess.range(1, 25).select(F.col("id").cast("long").alias("ts"))
+        )
+        .select(
+            "h",
+            "ts",
+            (_h4("ot:") % 4).alias("txn"),
+            (_h4("oi:") % 5).alias("item"),
+            F.when(_h4("ow:") % 3 == 0, 1).otherwise(0).alias("is_write"),
+        )
+        .unionByName(
+            sess.createDataFrame(
+                [
+                    (-1, 1, 1, 0, 0), (-1, 2, 2, 0, 1),
+                    (-1, 3, 2, 1, 0), (-1, 4, 1, 1, 1),
+                ],
+                "h long, ts long, txn long, item long, is_write int",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = ops.select(
+        F.col("h").alias("h2"), F.col("ts").alias("ts2"),
+        F.col("txn").alias("txn2"), F.col("item").alias("item2"),
+        F.col("is_write").alias("w2"),
+    )
+    edges = (
+        ops.join(
+            b,
+            (F.col("h2") == F.col("h"))
+            & (F.col("item2") == F.col("item"))
+            & (F.col("txn2") != F.col("txn"))
+            & (F.col("ts2") > F.col("ts"))
+            & ((F.col("is_write") == 1) | (F.col("w2") == 1)),
+        )
+        .select("h", F.col("txn").alias("t1"), F.col("txn2").alias("t2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = edges
+    for _ in range(4):
+        nxt = reach.alias("r").join(
+            edges.alias("e"),
+            (F.col("e.h") == F.col("r.h")) & (F.col("e.t1") == F.col("r.t2")),
+        ).select(
+            F.col("r.h").alias("h"),
+            F.col("r.t1").alias("t1"),
+            F.col("e.t2").alias("t2"),
+        )
+        reach = reach.unionByName(nxt).distinct().localCheckpoint(eager=True)
+    verdict = reach.groupBy("h").agg(
+        F.when(
+            F.sum(F.when(F.col("t1") == F.col("t2"), 1).otherwise(0)) > 0, 0
+        )
+        .otherwise(1)
+        .alias("serializable")
+    )
+    ecnt = edges.groupBy("h").agg(F.count(F.lit(1)).alias("n_edges"))
+    hist = grp.unionByName(
+        sess.createDataFrame([(-1,)], "h long")
+    )
+    return (
+        hist.join(F.broadcast(ecnt), "h", "left")
+        .join(F.broadcast(verdict), "h", "left")
+        .select(
+            F.col("h").cast("long").alias("history"),
+            F.coalesce("n_edges", F.lit(0)).cast("long")
+            .alias("n_conflict_edges"),
+            F.coalesce("serializable", F.lit(1)).cast("int")
+            .alias("serializable"),
+        )
+        .orderBy("history")
+    )
