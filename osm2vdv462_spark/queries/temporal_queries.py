@@ -4433,11 +4433,11 @@ def sir_epidemic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5('ot:' || CAST(h AS VARCHAR) || ':'
                 || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 4 AS txn,
              ('0x' || substr(md5('oi:' || CAST(h AS VARCHAR) || ':'
-                || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 5 AS item,
+                || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 10 AS item,
              CASE WHEN ('0x' || substr(md5('ow:' || CAST(h AS VARCHAR)
                     || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 3 = 0
                   THEN 1 ELSE 0 END AS is_write
-      FROM grp, (SELECT unnest(generate_series(1, 24)) AS i) i
+      FROM grp, (SELECT unnest(generate_series(1, 12)) AS i) i
       UNION ALL
       -- engineered non-serializable history: r1(x) w2(x) r2(y) w1(y)
       SELECT * FROM (VALUES
@@ -4481,7 +4481,8 @@ def conflict_serializability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflict-serializability audit (Eswaran/Gray 1976): a history
     is conflict-serializable iff its precedence graph (edges between
     txns with ordered conflicting ops on the same item) is ACYCLIC.
-    35 md5 histories of 24 ops over 4 txns x 5 items, plus the
+    35 md5 histories of 12 ops over 4 txns x 10 items (sparse
+    enough that both verdicts occur), plus the
     textbook non-serializable fixture r1(x) w2(x) r2(y) w1(y) — its
     2-cycle keeps serializable frozen at 0. Cycle test = bounded
     transitive closure (4 txns -> depth 5) checking self-reachability.
@@ -4511,13 +4512,13 @@ def conflict_serializability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ops = (
         grp.crossJoin(
-            sess.range(1, 25).select(F.col("id").cast("long").alias("ts"))
+            sess.range(1, 13).select(F.col("id").cast("long").alias("ts"))
         )
         .select(
             "h",
             "ts",
             (_h4("ot:") % 4).alias("txn"),
-            (_h4("oi:") % 5).alias("item"),
+            (_h4("oi:") % 10).alias("item"),
             F.when(_h4("ow:") % 3 == 0, 1).otherwise(0).alias("is_write"),
         )
         .unionByName(
