@@ -3939,3 +3939,229 @@ def chord_dht_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ------------------------------------------------ dominator trees
+
+# Dominator trees (Prosser 1959; the backbone of every SSA-based
+# compiler): d dominates v iff removing d cuts every entry->v path —
+# computed EXACTLY by running reachability once per candidate
+# removal (the definition itself, not an algorithmic shortcut), then
+# immediate dominators fall out of the total order on dominator-set
+# sizes. 40 md5 CFGs (12-node chain + 6 extra edges, so everything
+# is entry-reachable) plus the textbook DIAMOND fixture
+# 0->1->{2,3}->4 whose join point must report idom(4) = 1 — the case
+# every dominance explainer draws. tests referee against an
+# independent iterative set-intersection dataflow solver.
+_DOM_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT p_partkey % 40 AS g FROM part
+),
+edges AS MATERIALIZED (
+  SELECT g, i AS u, i + 1 AS v
+  FROM grp, (SELECT unnest(generate_series(0, 10)) AS i) i
+  UNION
+  SELECT g,
+         ('0x' || substr(md5('du:' || CAST(g AS VARCHAR) || ':'
+            || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 12,
+         ('0x' || substr(md5('dv:' || CAST(g AS VARCHAR) || ':'
+            || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 12
+  FROM grp, (SELECT unnest(generate_series(0, 5)) AS k) k
+  WHERE ('0x' || substr(md5('du:' || CAST(g AS VARCHAR) || ':'
+           || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 12
+        <> ('0x' || substr(md5('dv:' || CAST(g AS VARCHAR) || ':'
+              || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 12
+  UNION
+  SELECT * FROM (VALUES (-1, 0, 1), (-1, 1, 2), (-1, 1, 3),
+                        (-1, 2, 4), (-1, 3, 4)) f(g, u, v)
+),
+dels AS MATERIALIZED (
+  SELECT DISTINCT g, v AS d FROM edges WHERE v <> 0
+  UNION
+  SELECT DISTINCT g, -1 FROM edges
+),
+rw(g, d, x) AS (
+  SELECT g, d, 0 FROM dels
+  UNION
+  SELECT r.g, r.d, e.v
+  FROM rw r JOIN edges e ON e.g = r.g AND e.u = r.x
+  WHERE e.v <> r.d AND r.x <> r.d
+),
+nodes AS MATERIALIZED (
+  SELECT g, x AS v FROM rw WHERE d = -1 AND x <> 0
+),
+strict AS MATERIALIZED (
+  SELECT n.g, n.v, dl.d
+  FROM nodes n
+  JOIN dels dl ON dl.g = n.g AND dl.d <> -1 AND dl.d <> n.v
+  LEFT JOIN rw r ON r.g = n.g AND r.d = dl.d AND r.x = n.v
+  WHERE r.x IS NULL
+),
+sizes AS MATERIALIZED (
+  SELECT g, v, count(*) + 2 AS ndom FROM strict GROUP BY g, v
+),
+allsz AS MATERIALIZED (
+  SELECT n.g, n.v, coalesce(s.ndom, 2) AS ndom
+  FROM nodes n LEFT JOIN sizes s ON s.g = n.g AND s.v = n.v
+)
+SELECT CAST(a.g AS BIGINT) AS g, CAST(a.v AS INT) AS v,
+       CAST(coalesce(
+         max_by(st.d, coalesce(z.ndom, 2))
+           FILTER (st.d IS NOT NULL), 0) AS INT) AS idom,
+       CAST(any_value(a.ndom) AS BIGINT) AS n_dominators
+FROM allsz a
+LEFT JOIN strict st ON st.g = a.g AND st.v = a.v
+LEFT JOIN allsz z ON z.g = a.g AND z.v = st.d
+GROUP BY a.g, a.v
+ORDER BY g, v
+"""
+
+
+@register_extra("dominator_tree", _DOM_ORACLE)
+def dominator_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominator trees by definition (see oracle comment). Plan: the
+    per-candidate-removal closure runs over (graph, candidate, node)
+    triples — bounded by 40 x 12 x 12 — as iterative frontier joins;
+    everything is dim-sized, the fact table contributes keys once."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sess = p.sparkSession
+    grp = p.select((F.col("p_partkey") % 40).alias("g")).distinct()
+    chain = grp.crossJoin(
+        sess.range(0, 11).select(F.col("id").cast("long").alias("u"))
+    ).select("g", "u", (F.col("u") + 1).alias("v"))
+
+    def _h4(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("g").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    extra = (
+        grp.crossJoin(
+            sess.range(0, 6).select(F.col("id").cast("long").alias("k"))
+        )
+        .select("g", (_h4("du:") % 12).alias("u"), (_h4("dv:") % 12).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    fixture = sess.createDataFrame(
+        [(-1, 0, 1), (-1, 1, 2), (-1, 1, 3), (-1, 2, 4), (-1, 3, 4)],
+        "g long, u long, v long",
+    )
+    edges = (
+        chain.unionByName(extra).unionByName(fixture).distinct()
+        .localCheckpoint(eager=True)
+    )
+    dels = (
+        edges.select("g", F.col("v").alias("d"))
+        .filter(F.col("d") != 0)
+        .distinct()
+        .unionByName(edges.select("g").distinct().withColumn("d", F.lit(-1)))
+        .localCheckpoint(eager=True)
+    )
+    rw = dels.select("g", "d", F.lit(0).cast("long").alias("x"))
+    ed2 = edges.select(
+        F.col("g").alias("ge"), F.col("u").alias("eu"),
+        F.col("v").alias("ev"),
+    ).localCheckpoint(eager=True)
+    for it in range(12):
+        cur = rw.select(
+            F.col("g").alias("gr"), F.col("d").alias("dr"),
+            F.col("x").alias("xr"),
+        )
+        nxt = (
+            cur.join(
+                ed2,
+                (F.col("ge") == F.col("gr")) & (F.col("eu") == F.col("xr")),
+            )
+            .filter((F.col("ev") != F.col("dr")) & (F.col("xr") != F.col("dr")))
+            .select(
+                F.col("gr").alias("g"), F.col("dr").alias("d"),
+                F.col("ev").alias("x"),
+            )
+        )
+        rw = rw.select("g", "d", "x").unionByName(nxt).distinct()
+        if it % 3 == 2:
+            # lineage cut WITHOUT localCheckpoint: Spark 4.1 throws
+            # NoSuchElementException checkpointing this union-over-
+            # checkpointed-alias shape, so rebind the (dim-bounded,
+            # <= 6.3k rows by construction) state through an
+            # ExistingRDD scan instead — same plan-cut effect.
+            rw = rw.sparkSession.createDataFrame(
+                rw.rdd.cache(), rw.schema
+            )
+    rw = rw.localCheckpoint(eager=True)
+    nodes = rw.filter((F.col("d") == -1) & (F.col("x") != 0)).select(
+        "g", F.col("x").alias("v")
+    )
+    strict = (
+        nodes.join(
+            dels.filter(F.col("d") != -1).select(
+                F.col("g").alias("gd"), "d"
+            ),
+            (F.col("gd") == F.col("g")),
+        )
+        .filter(F.col("d") != F.col("v"))
+        .join(
+            rw.select(
+                F.col("g").alias("gr"), F.col("d").alias("dr"),
+                F.col("x").alias("xr"), F.lit(1).alias("hit"),
+            ),
+            (F.col("gr") == F.col("g"))
+            & (F.col("dr") == F.col("d"))
+            & (F.col("xr") == F.col("v")),
+            "left",
+        )
+        .filter(F.col("hit").isNull())
+        .select("g", "v", "d")
+    )
+    sizes = strict.groupBy("g", "v").agg((F.count(F.lit(1)) + 2).alias("ndom"))
+    allsz = nodes.join(sizes, ["g", "v"], "left").select(
+        "g", "v", F.coalesce("ndom", F.lit(2)).alias("ndom")
+    )
+    zsz = allsz.select(
+        F.col("g").alias("gz"), F.col("v").alias("dz"),
+        F.col("ndom").alias("dndom"),
+    )
+    return (
+        allsz.join(
+            strict.select(F.col("g"), F.col("v"), F.col("d")),
+            ["g", "v"],
+            "left",
+        )
+        .join(
+            zsz,
+            (F.col("gz") == F.col("g")) & (F.col("dz") == F.col("d")),
+            "left",
+        )
+        .groupBy("g", "v")
+        .agg(
+            F.coalesce(
+                F.expr(
+                    "max_by(d, coalesce(dndom, 2L))"
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("idom"),
+            F.first("ndom").cast("long").alias("n_dominators"),
+        )
+        .select(
+            F.col("g").cast("long"),
+            F.col("v").cast("int"),
+            "idom",
+            "n_dominators",
+        )
+        .orderBy("g", "v")
+    )

@@ -411,3 +411,66 @@ class TestGameOfLifeReferee:
         )
         assert got[(-2, 8)] == got[(-2, 0)]  # blinker period 2
         assert got[(-3, 8)] == got[(-3, 0)]  # block still life
+
+
+class TestDominatorReferee:
+    def test_matches_dataflow_solver(self, spark, sf_dir):
+        """The removal-definition dominators must agree with the
+        classic iterative set-intersection dataflow solver on every
+        CFG, including the diamond fixture's idom(4) = 1."""
+        import hashlib
+
+        from osm2vdv462_spark.queries.graph_queries import dominator_tree
+
+        def build(g):
+            if g == -1:
+                return 5, {(0, 1), (1, 2), (1, 3), (2, 4), (3, 4)}
+            edges = {(i, i + 1) for i in range(11)}
+            for k in range(6):
+                u = int(
+                    hashlib.md5(f"du:{g}:{k}".encode()).hexdigest()[:4], 16
+                ) % 12
+                v = int(
+                    hashlib.md5(f"dv:{g}:{k}".encode()).hexdigest()[:4], 16
+                ) % 12
+                if u != v:
+                    edges.add((u, v))
+            return 12, edges
+
+        def dataflow(n, edges):
+            preds = {v: {u for (u, w) in edges if w == v} for v in range(n)}
+            dom = {0: {0}}
+            for v in range(1, n):
+                dom[v] = set(range(n))
+            changed = True
+            while changed:
+                changed = False
+                for v in range(1, n):
+                    ps = [dom[p] for p in preds[v] if p in dom]
+                    new = (
+                        set.intersection(*ps) | {v}
+                        if ps
+                        else set(range(n))
+                    )
+                    if new != dom[v]:
+                        dom[v] = new
+                        changed = True
+            return dom
+
+        rows = dominator_tree(spark, sf_dir).collect()
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r["g"], {})[r["v"]] = (
+                r["idom"], r["n_dominators"]
+            )
+        assert by_g[-1][4][0] == 1
+        for g, got in by_g.items():
+            n, edges = build(g)
+            dom = dataflow(n, edges)
+            reach = {v for v in range(1, n) if len(dom[v]) < n}
+            for v in reach:
+                idom = max(
+                    (d for d in dom[v] if d != v),
+                    key=lambda d: len(dom[d]),
+                )
+                assert got[v] == (idom, len(dom[v])), (g, v)
