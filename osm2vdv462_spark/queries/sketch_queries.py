@@ -4729,3 +4729,90 @@ def bareiss_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonsingular"
         ),
     ).orderBy("g")
+
+
+# --------------------------------------------- Pisano periods
+
+# Pisano periods (Lagrange 1774): Fibonacci mod m is periodic; the
+# period pi(m) divides pi(p^k) lcm-wise and famously pi(10) = 60
+# (the last-digit cycle every number-theory text shows). One guarded
+# fold walks (F_k, F_{k+1}) mod m until the state returns to (0, 1);
+# for m <= 120 the period is < 600, so a 600-step fold suffices.
+# Known values are frozen as fixtures: pi(10) = 60, pi(2) = 3,
+# pi(7) = 16, pi(100) = 300.
+_PISANO_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 90 AS g FROM supplier
+),
+ms AS MATERIALIZED (
+  SELECT g, 2 + ('0x' || substr(md5('pi:' || CAST(g AS VARCHAR)),
+                                1, 4))::BIGINT % 119 AS m
+  FROM grp
+  UNION ALL
+  SELECT * FROM (VALUES (-1, 10), (-2, 2), (-3, 7), (-4, 100))
+    v(g, m)
+),
+st(g, m, k, a, b, per) AS (
+  SELECT g, m, 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM ms
+  UNION ALL
+  SELECT g, m, k + 1, b, (a + b) % m,
+         CASE WHEN per > 0 THEN per
+              WHEN b = 0 AND (a + b) % m = 1 THEN k + 1
+              ELSE 0 END
+  FROM st WHERE per = 0 AND k < 600
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(m AS BIGINT) AS m,
+       CAST(max(per) AS BIGINT) AS pisano_period
+FROM st GROUP BY g, m
+ORDER BY g
+"""
+
+
+@register_extra("pisano_periods", _PISANO_ORACLE)
+def pisano_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pisano periods of Fibonacci mod m (see oracle comment) — one
+    guarded 600-step fold per modulus, map-only."""
+    s = _t(spark, sf_dir, "supplier")
+    grp = s.select((F.col("s_suppkey") % 90).alias("g")).distinct()
+    ms = grp.select(
+        "g",
+        (
+            2
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pi:"), F.col("g").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 119
+        ).alias("m"),
+    ).unionByName(
+        s.sparkSession.createDataFrame(
+            [(-1, 10), (-2, 2), (-3, 7), (-4, 100)], "g long, m long"
+        )
+    )
+    fold = (
+        "aggregate(sequence(1, 600),"
+        " named_struct('a', 0L, 'b', 1L, 'per', 0L),"
+        " (x, k) -> IF(x.per > 0, x, named_struct("
+        "   'a', x.b, 'b', (x.a + x.b) % m,"
+        "   'per', IF(x.b = 0 AND (x.a + x.b) % m = 1, k, 0L))))"
+    )
+    return (
+        ms.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("m").cast("long"),
+            F.col("st.per").cast("long").alias("pisano_period"),
+        )
+        .orderBy("g")
+    )
