@@ -4165,3 +4165,180 @@ def dominator_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g", "v")
     )
+
+
+# ------------------------------------- stable matching lattice
+
+
+def _gs_sim_sql(tag: str, np: int, na: int, ppref: str, apref: str) -> str:
+    """Sequential deferred-acceptance replay (textbook one-proposal-
+    at-a-time) parameterized by proposer/acceptor counts and md5
+    preference salts — the same proven template as the gated
+    stable_matching_gs oracle, instantiated once per proposing side."""
+    return f"""
+pairs_{tag} AS (
+  SELECT p.range AS p, a.range AS a,
+         ('0x' || substr(md5('{ppref}' || p.range || ':' || a.range),
+                         1, 8))::BIGINT AS pr,
+         ('0x' || substr(md5('{apref}' || a.range || ':' || p.range),
+                         1, 8))::BIGINT AS ar
+  FROM range({np}) p, range({na}) a
+),
+ppref_{tag} AS MATERIALIZED (
+  SELECT list(pl ORDER BY p) AS pps FROM (
+    SELECT p, list(a ORDER BY pr, a) AS pl FROM pairs_{tag} GROUP BY p)
+),
+arank_{tag} AS MATERIALIZED (
+  SELECT list(al ORDER BY a) AS ars FROM (
+    SELECT a, list(ar ORDER BY p) AS al FROM pairs_{tag} GROUP BY a)
+),
+sim_{tag}(step, nxt, am, done) AS (
+  SELECT 0, list_transform(range(1, {np + 1}), x -> 0),
+         list_transform(range(1, {na + 1}), x -> -1), false
+  FROM (SELECT 1)
+  UNION ALL
+  SELECT step + 1,
+         list_transform(range(1, {np + 1}), i ->
+           CASE WHEN i - 1 = fp THEN s.nxt[i] + 1 ELSE s.nxt[i] END),
+         list_transform(range(1, {na + 1}), i ->
+           CASE WHEN i - 1 = pa THEN
+             (CASE WHEN s.am[i] = -1 THEN fp
+                   WHEN ars[i][fp + 1] < ars[i][s.am[i] + 1] THEN fp
+                   ELSE s.am[i] END)
+           ELSE s.am[i] END),
+         fp IS NULL
+  FROM (
+    SELECT step, nxt, am,
+           list_min(list_filter(range(0, {np}), p ->
+             NOT list_contains(am, p) AND nxt[p + 1] < {na})) AS fp
+    FROM sim_{tag} WHERE NOT done
+  ) s
+  CROSS JOIN arank_{tag}
+  CROSS JOIN ppref_{tag}
+  CROSS JOIN LATERAL (SELECT CASE WHEN fp IS NOT NULL
+                        THEN pps[fp + 1][s.nxt[fp + 1] + 1] END AS pa) q
+),
+fin_{tag} AS MATERIALIZED (
+  SELECT i - 1 AS a, am[i] AS p
+  FROM (SELECT am FROM sim_{tag} WHERE done ORDER BY step LIMIT 1),
+       range(1, {na + 1}) r(i)
+  WHERE am[i] <> -1
+)"""
+
+
+_GS_LATTICE_ORACLE = (
+    "WITH RECURSIVE "
+    + _gs_sim_sql("mp", 25, 30, "gsm:", "gsw:").lstrip()
+    + ","
+    + _gs_sim_sql("wp", 30, 25, "gsw:", "gsm:")
+    + """,
+mopt AS MATERIALIZED (
+  SELECT p AS m, a AS w FROM fin_mp
+),
+wopt AS MATERIALIZED (
+  SELECT a AS m, p AS w FROM fin_wp
+),
+mrank AS MATERIALIZED (
+  SELECT x.m, x.w,
+         (SELECT count(*) FROM pairs_mp y
+          WHERE y.p = x.m AND (y.pr, y.a) <=
+            (SELECT (z.pr, z.a) FROM pairs_mp z
+             WHERE z.p = x.m AND z.a = x.w)) AS rk
+  FROM (SELECT m, w FROM mopt UNION SELECT m, w FROM wopt) x
+)
+SELECT CAST(mo.m AS BIGINT) AS m,
+       CAST(mo.w AS BIGINT) AS w_mopt,
+       CAST(rm.rk AS BIGINT) AS rank_mopt,
+       CAST(wo.w AS BIGINT) AS w_wopt,
+       CAST(rw.rk AS BIGINT) AS rank_wopt,
+       CAST(CASE WHEN rm.rk <= rw.rk THEN 1 ELSE 0 END AS INT)
+         AS man_weakly_prefers_mopt
+FROM mopt mo
+JOIN wopt wo ON wo.m = mo.m
+JOIN mrank rm ON rm.m = mo.m AND rm.w = mo.w
+JOIN mrank rw ON rw.m = wo.m AND rw.w = wo.w
+ORDER BY m
+"""
+)
+
+
+@register_extra("stable_matching_lattice", _GS_LATTICE_ORACLE)
+def stable_matching_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stable-matching lattice theorem (Knuth 1976): deferred
+    acceptance run with men proposing vs women proposing yields the
+    man-optimal and woman-optimal extremes, and EVERY man weakly
+    prefers his man-optimal partner — hash-frozen at 1 per man
+    (strict preference occurs for a fair share). Both directions run
+    the gated distributed GS rounds on the same md5 preference
+    tables; the oracle replays two sequential textbook simulations.
+    25 x 30 market (same as the gated stable_matching_gs row)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    men = nat.select(F.col("n_nationkey").cast("long").alias("m"))
+    women = spark.range(30).select(F.col("id").alias("w"))
+    both = men.crossJoin(women)
+
+    def _h(prefix: str, a: str, b: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col(a).cast("string"),
+                        F.lit(":"),
+                        F.col(b).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    prefs_m = both.select("m", "w", _h("gsm:", "m", "w").alias("mr"))
+    prefs_w = both.select("w", "m", _h("gsw:", "w", "m").alias("wr"))
+    mopt = G.gale_shapley_rounds(prefs_m, prefs_w).select(
+        F.col("m"), F.col("w").alias("w_mopt")
+    )
+    wopt = (
+        G.gale_shapley_rounds(
+            prefs_w.select(
+                F.col("w").alias("m"), F.col("m").alias("w"),
+                F.col("wr").alias("mr"),
+            ),
+            prefs_m.select(
+                F.col("m").alias("w"), F.col("w").alias("m"),
+                F.col("mr").alias("wr"),
+            ),
+        )
+        .select(F.col("w").alias("m"), F.col("m").alias("w_wopt"))
+    )
+    w2 = Window.partitionBy("m").orderBy("mr", "w")
+    ranks = prefs_m.withColumn("rk", F.row_number().over(w2)).select(
+        "m", "w", "rk"
+    )
+    return (
+        mopt.join(wopt, "m")
+        .join(
+            ranks.select("m", F.col("w").alias("w_mopt"),
+                         F.col("rk").alias("rank_mopt")),
+            ["m", "w_mopt"],
+        )
+        .join(
+            ranks.select("m", F.col("w").alias("w_wopt"),
+                         F.col("rk").alias("rank_wopt")),
+            ["m", "w_wopt"],
+        )
+        .select(
+            F.col("m").cast("long"),
+            F.col("w_mopt").cast("long"),
+            F.col("rank_mopt").cast("long"),
+            F.col("w_wopt").cast("long"),
+            F.col("rank_wopt").cast("long"),
+            F.when(F.col("rank_mopt") <= F.col("rank_wopt"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("man_weakly_prefers_mopt"),
+        )
+        .orderBy("m")
+    )
