@@ -4816,3 +4816,104 @@ def pisano_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------------- Burnside necklaces
+
+# Burnside / Polya counting (1897): binary necklaces of length n
+# number (1/n) * sum_{d|n} phi(d) * 2^(n/d). The query computes this
+# closed form (phi from a frozen table over d <= 12) AND brute-forces
+# the orbit count — canonicalize all 2^n strings by their minimum
+# rotation and count distinct — then freezes their EQUALITY per n:
+# Burnside's lemma demonstrated inside the gate hash, n = 4..12.
+_NECKLACE_ORACLE = """
+WITH ns AS MATERIALIZED (
+  SELECT unnest(generate_series(4, 12)) AS n
+),
+phi AS MATERIALIZED (
+  SELECT * FROM (VALUES (1, 1), (2, 1), (3, 2), (4, 2), (5, 4),
+                        (6, 2), (7, 6), (8, 4), (9, 6), (10, 4),
+                        (11, 10), (12, 4)) v(d, ph)
+),
+formula AS MATERIALIZED (
+  SELECT n.n,
+         sum(p.ph * (1 << (n.n // p.d))) // n.n AS by_formula
+  FROM ns n JOIN phi p ON n.n % p.d = 0
+  GROUP BY n.n
+),
+strings AS MATERIALIZED (
+  SELECT n.n, s.s
+  FROM ns n, (SELECT unnest(generate_series(0, 4095)) AS s) s
+  WHERE s.s < (1 << n.n)
+),
+canon AS MATERIALIZED (
+  SELECT n, s,
+         (SELECT min(((s >> r.r) | (s << (n - r.r))) & ((1 << n) - 1))
+          FROM (SELECT unnest(generate_series(0, 11)) AS r) r
+          WHERE r.r < n) AS c
+  FROM strings
+),
+brute AS MATERIALIZED (
+  SELECT n, count(DISTINCT c) AS by_orbits FROM canon GROUP BY n
+)
+SELECT CAST(f.n AS INT) AS n,
+       CAST(f.by_formula AS BIGINT) AS by_formula,
+       CAST(b.by_orbits AS BIGINT) AS by_orbits,
+       CAST(CASE WHEN f.by_formula = b.by_orbits THEN 1 ELSE 0 END
+            AS INT) AS burnside_holds
+FROM formula f JOIN brute b ON b.n = f.n
+ORDER BY n
+"""
+
+
+@register_extra("burnside_necklaces", _NECKLACE_ORACLE)
+def burnside_necklaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Necklace counts two ways (see oracle comment) — the divisor
+    formula is a broadcast join over the frozen phi table; the brute
+    orbit count canonicalizes 2^n rotations via min-over-rotation,
+    one partial-agg distinct. Equality frozen per n."""
+    sess = spark
+    ns = sess.range(4, 13).select(F.col("id").cast("int").alias("n"))
+    phi = sess.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2), (5, 4), (6, 2), (7, 6),
+         (8, 4), (9, 6), (10, 4), (11, 10), (12, 4)],
+        "d int, ph long",
+    )
+    formula = (
+        ns.join(F.broadcast(phi), F.expr("n % d = 0"))
+        .groupBy("n")
+        .agg(
+            F.expr("sum(ph * shiftleft(1L, n div d)) div n").alias(
+                "by_formula"
+            )
+        )
+    )
+    strings = (
+        ns.crossJoin(
+            sess.range(0, 4096).select(F.col("id").cast("long").alias("s"))
+        )
+        .filter(F.expr("s < shiftleft(1L, n)"))
+    )
+    canon = strings.withColumn(
+        "c",
+        F.expr(
+            "array_min(transform(sequence(0, n - 1), r ->"
+            " ((s >> r) | (s << (n - r))) & (shiftleft(1L, n) - 1)))"
+        ),
+    )
+    brute = canon.groupBy("n").agg(
+        F.countDistinct("c").alias("by_orbits")
+    )
+    return (
+        formula.join(brute, "n")
+        .select(
+            F.col("n").cast("int"),
+            F.col("by_formula").cast("long"),
+            F.col("by_orbits").cast("long"),
+            F.when(F.col("by_formula") == F.col("by_orbits"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("burnside_holds"),
+        )
+        .orderBy("n")
+    )
