@@ -4917,3 +4917,221 @@ def burnside_necklaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------- sparse table RMQ
+
+# Sparse-table range-minimum queries (Bender & Farach-Colton 2000):
+# precompute log-levels st[j][i] = min over [i, i + 2^j) by doubling,
+# answer any range as the min of TWO overlapping power-of-two blocks
+# — O(1) per query after O(n log n) build, the structure under every
+# LCA/RMQ reduction. 64-element md5 arrays, 6 doubling levels built
+# as chained array transforms; 20 md5 queries per array are answered
+# BOTH ways (sparse lookup vs direct slice min) and their equality is
+# hash-frozen. floor(log2(len)) is exact in doubles for len <= 64.
+_RMQ_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey % 60 AS g FROM supplier
+),
+arr AS MATERIALIZED (
+  SELECT g, list(('0x' || substr(md5('rq:' || CAST(g AS VARCHAR) || ':'
+                    || CAST(i AS VARCHAR)), 1, 5))::BIGINT % 100000
+                 ORDER BY i) AS a
+  FROM grp, (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY g
+),
+lv AS MATERIALIZED (
+  SELECT g, a,
+         a AS l0,
+         list_transform(a, (v, i) ->
+           CASE WHEN i + 1 <= 64 THEN least(v, coalesce(a[i + 1], v))
+                ELSE v END) AS l1
+  FROM arr
+),
+lv2 AS MATERIALIZED (
+  SELECT *, list_transform(l1, (v, i) ->
+    least(v, coalesce(l1[i + 2], v))) AS l2 FROM lv
+),
+lv3 AS MATERIALIZED (
+  SELECT *, list_transform(l2, (v, i) ->
+    least(v, coalesce(l2[i + 4], v))) AS l3 FROM lv2
+),
+lv4 AS MATERIALIZED (
+  SELECT *, list_transform(l3, (v, i) ->
+    least(v, coalesce(l3[i + 8], v))) AS l4 FROM lv3
+),
+lv5 AS MATERIALIZED (
+  SELECT *, list_transform(l4, (v, i) ->
+    least(v, coalesce(l4[i + 16], v))) AS l5 FROM lv4
+),
+lv6 AS MATERIALIZED (
+  SELECT *, list_transform(l5, (v, i) ->
+    least(v, coalesce(l5[i + 32], v))) AS l6 FROM lv5
+),
+qs AS MATERIALIZED (
+  SELECT g, q.q,
+         ('0x' || substr(md5('ql:' || CAST(g AS VARCHAR) || ':'
+            || CAST(q.q AS VARCHAR)), 1, 4))::BIGINT % 64 AS l0q,
+         ('0x' || substr(md5('qr:' || CAST(g AS VARCHAR) || ':'
+            || CAST(q.q AS VARCHAR)), 1, 4))::BIGINT % 64 AS r0q
+  FROM grp, (SELECT unnest(generate_series(0, 19)) AS q) q
+),
+qn AS MATERIALIZED (
+  SELECT g, q, least(l0q, r0q) AS l, greatest(l0q, r0q) AS r,
+         CAST(floor(log2(greatest(l0q, r0q) - least(l0q, r0q) + 1))
+              AS BIGINT) AS k
+  FROM qs
+),
+ans AS MATERIALIZED (
+  SELECT q.g, q.q, q.l, q.r, q.k,
+         least(
+           CASE q.k WHEN 0 THEN v.l0[q.l + 1] WHEN 1 THEN v.l1[q.l + 1]
+                WHEN 2 THEN v.l2[q.l + 1] WHEN 3 THEN v.l3[q.l + 1]
+                WHEN 4 THEN v.l4[q.l + 1] WHEN 5 THEN v.l5[q.l + 1]
+                ELSE v.l6[q.l + 1] END,
+           CASE q.k WHEN 0 THEN v.l0[q.r - (1 << q.k) + 2]
+                WHEN 1 THEN v.l1[q.r - (1 << q.k) + 2]
+                WHEN 2 THEN v.l2[q.r - (1 << q.k) + 2]
+                WHEN 3 THEN v.l3[q.r - (1 << q.k) + 2]
+                WHEN 4 THEN v.l4[q.r - (1 << q.k) + 2]
+                WHEN 5 THEN v.l5[q.r - (1 << q.k) + 2]
+                ELSE v.l6[q.r - (1 << q.k) + 2] END) AS rmq_sparse,
+         list_min(v.a[q.l + 1 : q.r + 1]) AS rmq_direct
+  FROM qn q JOIN lv6 v ON v.g = q.g
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(q AS INT) AS q,
+       CAST(l AS BIGINT) AS l, CAST(r AS BIGINT) AS r,
+       CAST(rmq_sparse AS BIGINT) AS rmq_sparse,
+       CAST(rmq_direct AS BIGINT) AS rmq_direct,
+       CAST(CASE WHEN rmq_sparse = rmq_direct THEN 1 ELSE 0 END AS INT)
+         AS agree
+FROM ans ORDER BY g, q
+"""
+
+
+@register_extra("sparse_table_rmq", _RMQ_ORACLE)
+def sparse_table_rmq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-table RMQ vs direct slice min (see oracle comment) —
+    six chained array transforms build the table, per-query lookups
+    are pure column algebra; agreement frozen per query."""
+    s = _t(spark, sf_dir, "supplier")
+    sess = s.sparkSession
+    grp = s.select((F.col("s_suppkey") % 60).alias("g")).distinct()
+    arr = (
+        grp.crossJoin(
+            sess.range(0, 64).select(F.col("id").cast("int").alias("i"))
+        )
+        .select(
+            "g",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rq:"),
+                                F.col("g").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100000
+            ).alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, v))),"
+                " x -> x.v)"
+            ).alias("a")
+        )
+        .withColumn("l0", F.col("a"))
+    )
+    cur = arr
+    for j in range(1, 7):
+        off = 1 << (j - 1)
+        cur = cur.withColumn(
+            f"l{j}",
+            F.expr(
+                f"transform(l{j-1}, (v, i) -> least(v,"
+                f" coalesce(try_element_at(l{j-1}, i + {off} + 1), v)))"
+            ),
+        )
+    qs = (
+        grp.crossJoin(
+            sess.range(0, 20).select(F.col("id").cast("int").alias("q"))
+        )
+        .select(
+            "g",
+            "q",
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(p),
+                                    F.col("g").cast("string"),
+                                    F.lit(":"),
+                                    F.col("q").cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 64
+                ).alias(nm)
+                for p, nm in [("ql:", "l0q"), ("qr:", "r0q")]
+            ],
+        )
+        .withColumn("l", F.least("l0q", "r0q"))
+        .withColumn("r", F.greatest("l0q", "r0q"))
+        .withColumn(
+            "k",
+            F.expr(
+                "CAST(floor(log2(CAST(r - l + 1 AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+    )
+    look = " ".join(
+        f"WHEN {j} THEN try_element_at(l{j}, CAST({{pos}} AS INT))"
+        for j in range(7)
+    )
+    sparse = (
+        f"least(CASE k {look.format(pos='l + 1')} END,"
+        f" CASE k {look.format(pos='r - shiftleft(1L, CAST(k AS INT)) + 2')}"
+        " END)"
+    )
+    return (
+        qs.join(cur, "g")
+        .withColumn("rmq_sparse", F.expr(sparse))
+        .withColumn(
+            "rmq_direct",
+            F.expr(
+                "array_min(slice(a, CAST(l AS INT) + 1,"
+                " CAST(r - l + 1 AS INT)))"
+            ),
+        )
+        .select(
+            F.col("g").cast("long"),
+            F.col("q").cast("int"),
+            F.col("l").cast("long"),
+            F.col("r").cast("long"),
+            F.col("rmq_sparse").cast("long"),
+            F.col("rmq_direct").cast("long"),
+            F.when(F.col("rmq_sparse") == F.col("rmq_direct"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+        )
+        .orderBy("g", "q")
+    )
