@@ -4824,3 +4824,117 @@ def merkle_inclusion_proofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone", "leaf_key")
     )
+
+
+# ------------------------------------- round-robin scheduling
+
+# The circle method (Kirkman 1847) — the 1-factorization behind every
+# league schedule: fix team 0, rotate 1..n-1; round r pairs the fixed
+# team with team r+1... encoded closed-form: in round r (0..n-2),
+# team 0 plays 1 + ((r) mod (n-1)), and teams i, j (>0) meet in the
+# round where (i + j - 2) = r mod (n-1). The query GENERATES the
+# schedule for n = 8 and 12 teams and freezes the design properties:
+# every pair meets EXACTLY once, every team plays EXACTLY once per
+# round — recomputed as counts, hash-fatal.
+_RR_ORACLE = """
+WITH ns AS MATERIALIZED (SELECT unnest([8, 12]) AS n),
+rounds AS MATERIALIZED (
+  SELECT n, r.r FROM ns, (SELECT unnest(generate_series(0, 10)) AS r) r
+  WHERE r.r < n - 1
+),
+slots AS MATERIALIZED (
+  SELECT n, r, k.k FROM rounds,
+       (SELECT unnest(generate_series(0, 5)) AS k) k
+  WHERE k.k < n // 2
+),
+games AS MATERIALIZED (
+  -- circle method: position p holds team 0 if p = 0 else
+  -- 1 + ((p - 1 + r) mod (n - 1)); slot k pairs positions k and n-1-k
+  SELECT n, r, k,
+         CASE WHEN k = 0 THEN 0
+              ELSE 1 + ((k - 1 + r) % (n - 1)) END AS home,
+         1 + ((n - 2 - k + r) % (n - 1)) AS away
+  FROM slots
+),
+pairs AS MATERIALIZED (
+  SELECT n, least(home, away) AS a, greatest(home, away) AS b,
+         count(*) AS meets
+  FROM games GROUP BY 1, 2, 3
+),
+perround AS MATERIALIZED (
+  SELECT n, r, t, count(*) AS plays FROM (
+    SELECT n, r, home AS t FROM games
+    UNION ALL SELECT n, r, away FROM games
+  ) GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS INT) AS n,
+       CAST((SELECT count(*) FROM pairs p WHERE p.n = x.n) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT min(meets) FROM pairs p WHERE p.n = x.n) AS BIGINT)
+         AS min_meets,
+       CAST((SELECT max(meets) FROM pairs p WHERE p.n = x.n) AS BIGINT)
+         AS max_meets,
+       CAST((SELECT min(plays) FROM perround q WHERE q.n = x.n)
+            AS BIGINT) AS min_plays_per_round,
+       CAST((SELECT max(plays) FROM perround q WHERE q.n = x.n)
+            AS BIGINT) AS max_plays_per_round
+FROM ns x ORDER BY n
+"""
+
+
+@register_extra("round_robin_schedule", _RR_ORACLE)
+def round_robin_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circle-method round-robin 1-factorization (see oracle
+    comment): n_pairs must equal C(n,2), min = max = 1 for both pair
+    meetings and per-round appearances — the combinatorial-design
+    certificate, hash-frozen for n = 8 and 12."""
+    sess = spark
+    ns = sess.createDataFrame([(8,), (12,)], "n int")
+    rr = sess.range(0, 11).select(F.col("id").cast("int").alias("r"))
+    kk = sess.range(0, 6).select(F.col("id").cast("int").alias("k"))
+    games = (
+        ns.crossJoin(F.broadcast(rr))
+        .filter(F.col("r") < F.col("n") - 1)
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("k") < F.expr("n div 2"))
+        .selectExpr(
+            "n",
+            "r",
+            "k",
+            "CASE WHEN k = 0 THEN 0"
+            " ELSE 1 + ((k - 1 + r) % (n - 1)) END AS home",
+            "1 + ((n - 2 - k + r) % (n - 1)) AS away",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = games.groupBy(
+        "n", F.least("home", "away").alias("a"),
+        F.greatest("home", "away").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("meets"))
+    perround = (
+        games.selectExpr("n", "r", "home AS t")
+        .unionAll(games.selectExpr("n", "r", "away AS t"))
+        .groupBy("n", "r", "t")
+        .agg(F.count(F.lit(1)).alias("plays"))
+    )
+    pa = pairs.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("meets").alias("min_meets"),
+        F.max("meets").alias("max_meets"),
+    )
+    pr = perround.groupBy("n").agg(
+        F.min("plays").alias("min_plays_per_round"),
+        F.max("plays").alias("max_plays_per_round"),
+    )
+    return (
+        pa.join(pr, "n")
+        .select(
+            F.col("n").cast("int"),
+            F.col("n_pairs").cast("long"),
+            F.col("min_meets").cast("long"),
+            F.col("max_meets").cast("long"),
+            F.col("min_plays_per_round").cast("long"),
+            F.col("max_plays_per_round").cast("long"),
+        )
+        .orderBy("n")
+    )
