@@ -5135,3 +5135,170 @@ def sparse_table_rmq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g", "q")
     )
+
+
+# --------------------------------------------- de Bruijn sequences
+
+# de Bruijn sequences B(2, n) (1946) constructed the classic way:
+# run a maximal-length LFSR (primitive taps, all four degree-4/5
+# primitive pairs) for its 2^n - 1 period, then splice one extra 0
+# into the unique run of n-1 zeros. The m-sequence property (all
+# 2^n - 1 nonzero windows distinct) and the de Bruijn property (all
+# 2^n cyclic windows distinct after the splice) are both recomputed
+# by explicit window extraction and hash-frozen — the two-line
+# construction every combinatorics course shows, certified in-query.
+_DEBRUIJN_ORACLE = """
+WITH RECURSIVE polys AS MATERIALIZED (
+  SELECT * FROM (VALUES (4, 3, 4), (4, 1, 4), (5, 3, 5), (5, 2, 5))
+    v(deg, t1, t2)
+),
+lf(deg, t1, t2, i, st, seq) AS (
+  -- st bits: bit k = s_{n-1-k} (newest at bit 0); seed 1 at newest
+  SELECT deg, t1, t2, 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM polys
+  UNION ALL
+  SELECT deg, t1, t2, i + 1,
+         (((st << 1) | (xor(st >> (t1 - 1), st >> (t2 - 1)) & 1))
+          & ((1 << deg) - 1)),
+         seq | (((st >> (deg - 1)) & 1) << i)
+  FROM lf WHERE i < (1 << deg) - 1
+),
+ms AS MATERIALIZED (
+  SELECT deg, t1, t2, seq, (1 << deg) - 1 AS per
+  FROM lf WHERE i = (1 << deg) - 1
+),
+zrun AS MATERIALIZED (
+  SELECT m.deg, m.t1, m.t2, m.seq, m.per,
+         min(p.p) AS zp
+  FROM ms m, (SELECT unnest(generate_series(0, 30)) AS p) p
+  WHERE p.p < m.per
+    AND CAST((((m.seq::HUGEINT | (m.seq::HUGEINT << m.per)) >> p.p)
+         & ((1 << (m.deg - 1)) - 1)) AS BIGINT) = 0
+  GROUP BY 1, 2, 3, 4, 5
+),
+db AS MATERIALIZED (
+  SELECT deg, t1, t2, seq, per, zp,
+         (seq & ((1 << zp) - 1))
+         | CAST(((seq::HUGEINT >> zp) << (zp + 1)) AS BIGINT) AS dbv,
+         per + 1 AS n
+  FROM zrun
+),
+mwin AS MATERIALIZED (
+  SELECT m.deg, m.seq, count(DISTINCT
+    CAST((((m.seq::HUGEINT | (m.seq::HUGEINT << m.per)) >> p.p)
+         & ((1 << m.deg) - 1)) AS BIGINT)) AS mdist
+  FROM ms m, (SELECT unnest(generate_series(0, 30)) AS p) p
+  WHERE p.p < m.per
+  GROUP BY 1, 2
+),
+dwin AS MATERIALIZED (
+  SELECT d.deg, d.dbv, d.n, count(DISTINCT
+    CAST((((d.dbv::HUGEINT | (d.dbv::HUGEINT << d.n)) >> p.p)
+         & ((1 << d.deg) - 1)) AS BIGINT)) AS ddist
+  FROM db d, (SELECT unnest(generate_series(0, 31)) AS p) p
+  WHERE p.p < d.n
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(d.deg AS INT) AS deg, CAST(d.t1 AS INT) AS t1,
+       CAST(d.t2 AS INT) AS t2,
+       CAST(d.seq AS BIGINT) AS mseq_bits,
+       CAST(d.dbv AS BIGINT) AS debruijn_bits,
+       CAST(w.mdist AS BIGINT) AS mseq_windows,
+       CAST(x.ddist AS BIGINT) AS db_windows,
+       CAST(CASE WHEN w.mdist = d.per AND x.ddist = d.n
+            THEN 1 ELSE 0 END AS INT) AS certified
+FROM db d
+JOIN mwin w ON w.deg = d.deg AND w.seq = d.seq
+JOIN dwin x ON x.deg = d.deg AND x.dbv = d.dbv
+ORDER BY deg, t1
+"""
+
+
+@register_extra("debruijn_sequences", _DEBRUIJN_ORACLE)
+def debruijn_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LFSR-spliced de Bruijn sequences with in-query certification
+    (see oracle comment) — one LFSR fold per primitive polynomial,
+    window extraction via HUGEINT-safe cyclic doubling, both
+    distinctness certificates frozen."""
+    sess = spark
+    polys = sess.createDataFrame(
+        [(4, 3, 4), (4, 1, 4), (5, 3, 5), (5, 2, 5)],
+        "deg int, t1 int, t2 int",
+    )
+    fold = (
+        "aggregate(sequence(0, CAST((shiftleft(1, deg) - 2) AS INT)),"
+        " named_struct('st', 1L, 'seq', 0L),"
+        " (a, i) -> named_struct("
+        "   'st', ((a.st << 1)"
+        "     | ((a.st >> (t1 - 1)) ^ (a.st >> (t2 - 1))) & 1)"
+        "     & (shiftleft(1L, deg) - 1),"
+        "   'seq', a.seq | (((a.st >> (deg - 1)) & 1) << i)),"
+        " a -> a.seq)"
+    )
+    ms = polys.withColumn("seq", F.expr(fold)).withColumn(
+        "per", F.expr("shiftleft(1L, deg) - 1")
+    )
+    ps = sess.range(0, 32).select(F.col("id").cast("int").alias("p"))
+    win = (
+        "(CAST(shiftright(seq | shiftleft(seq, CAST(per AS INT)),"
+        " p) AS BIGINT) & (shiftleft(1L, {w}) - 1))"
+    )
+    zrun = (
+        ms.crossJoin(F.broadcast(ps))
+        .filter(F.col("p") < F.col("per"))
+        .filter(F.expr(win.format(w="deg - 1") + " = 0"))
+        .groupBy("deg", "t1", "t2", "seq", "per")
+        .agg(F.min("p").alias("zp"))
+    )
+    db = zrun.withColumn(
+        "dbv",
+        F.expr(
+            "(seq & (shiftleft(1L, CAST(zp AS INT)) - 1))"
+            " | shiftleft(shiftright(seq, CAST(zp AS INT)),"
+            " CAST(zp AS INT) + 1)"
+        ),
+    ).withColumn("n", F.col("per") + 1)
+    mwin = (
+        ms.crossJoin(F.broadcast(ps))
+        .filter(F.col("p") < F.col("per"))
+        .groupBy("deg", "seq")
+        .agg(
+            F.countDistinct(F.expr(win.format(w="deg"))).alias("mdist")
+        )
+    )
+    dwin = (
+        db.crossJoin(F.broadcast(ps))
+        .filter(F.col("p") < F.col("n"))
+        .groupBy("deg", "dbv")
+        .agg(
+            F.countDistinct(
+                F.expr(
+                    "(CAST(shiftright(dbv | shiftleft(dbv,"
+                    " CAST(n AS INT)), p) AS BIGINT)"
+                    " & (shiftleft(1L, deg) - 1))"
+                )
+            ).alias("ddist")
+        )
+    )
+    return (
+        db.join(mwin, ["deg", "seq"])
+        .join(dwin, ["deg", "dbv"])
+        .select(
+            F.col("deg").cast("int"),
+            F.col("t1").cast("int"),
+            F.col("t2").cast("int"),
+            F.col("seq").cast("long").alias("mseq_bits"),
+            F.col("dbv").cast("long").alias("debruijn_bits"),
+            F.col("mdist").cast("long").alias("mseq_windows"),
+            F.col("ddist").cast("long").alias("db_windows"),
+            F.when(
+                (F.col("mdist") == F.col("per"))
+                & (F.col("ddist") == F.col("n")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("certified"),
+        )
+        .orderBy("deg", "t1")
+    )
