@@ -5765,3 +5765,108 @@ def kelly_betting_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g", "f_e4")
     )
+
+
+# ------------------------------------------------ minimax rollup
+
+# Minimax / Zermelo (1913): depth-4 uniform branching-4 game trees
+# (256 md5 leaves per game) evaluated bottom-up — MAX at the root and
+# depth 2, MIN at depths 1 and 3 — as four staged partial-agg
+# rollups on the node-path prefix (the relational formulation of
+# backward induction; no alpha-beta, every node aggregated exactly
+# once). The root value, the optimal first move (argmax with
+# smallest-index tie-break) and the value of the subtree under that
+# move (equal by construction — frozen) certify the recursion.
+_MINIMAX_ORACLE = """
+WITH leaves AS MATERIALIZED (
+  SELECT g.g, p.p,
+         ('0x' || substr(md5('mm:' || CAST(g.g AS VARCHAR) || ':'
+            || CAST(p.p AS VARCHAR)), 1, 4))::BIGINT % 200 - 100 AS v
+  FROM (SELECT unnest(generate_series(0, 59)) AS g) g,
+       (SELECT unnest(generate_series(0, 255)) AS p) p
+),
+d3 AS MATERIALIZED (
+  SELECT g, p // 4 AS p, min(v) AS v FROM leaves GROUP BY g, p // 4
+),
+d2 AS MATERIALIZED (
+  SELECT g, p // 4 AS p, max(v) AS v FROM d3 GROUP BY g, p // 4
+),
+d1 AS MATERIALIZED (
+  SELECT g, p // 4 AS p, min(v) AS v FROM d2 GROUP BY g, p // 4
+),
+root AS MATERIALIZED (
+  SELECT g, max(v) AS v,
+         min_by(p, (-v) * 16 + p) AS best_move
+  FROM d1 GROUP BY g
+)
+SELECT CAST(r.g AS BIGINT) AS g, CAST(r.v AS BIGINT) AS root_value,
+       CAST(r.best_move % 4 AS INT) AS best_move,
+       CAST(d.v AS BIGINT) AS best_subtree_value,
+       CAST(CASE WHEN d.v = r.v THEN 1 ELSE 0 END AS INT) AS consistent
+FROM root r JOIN d1 d ON d.g = r.g AND d.p = r.best_move
+ORDER BY g
+"""
+
+
+@register_extra("minimax_game_rollup", _MINIMAX_ORACLE)
+def minimax_game_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-up minimax (see oracle comment) — four partial-agg
+    rollups on path prefixes; the at-scale shape for solving wide
+    retrograde tablebases. tests referee against a direct recursive
+    evaluator."""
+    sess = spark
+    gs = sess.range(0, 60).select(F.col("id").cast("long").alias("g"))
+    ps = sess.range(0, 256).select(F.col("id").cast("long").alias("p"))
+    leaves = gs.crossJoin(F.broadcast(ps)).select(
+        "g",
+        "p",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mm:"),
+                            F.col("g").cast("string"),
+                            F.lit(":"),
+                            F.col("p").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 200
+            - 100
+        ).alias("v"),
+    )
+    d3 = leaves.groupBy("g", F.expr("p div 4").alias("p")).agg(
+        F.min("v").alias("v")
+    )
+    d2 = d3.groupBy("g", F.expr("p div 4").alias("p")).agg(
+        F.max("v").alias("v")
+    )
+    d1 = d2.groupBy("g", F.expr("p div 4").alias("p")).agg(
+        F.min("v").alias("v")
+    )
+    root = d1.groupBy("g").agg(
+        F.max("v").alias("rv"),
+        F.expr("min_by(p, (-v) * 16 + p)").alias("best_move"),
+    )
+    return (
+        root.join(
+            d1.select("g", F.col("p").alias("best_move"),
+                      F.col("v").alias("bv")),
+            ["g", "best_move"],
+        )
+        .select(
+            F.col("g").cast("long"),
+            F.col("rv").cast("long").alias("root_value"),
+            (F.col("best_move") % 4).cast("int").alias("best_move"),
+            F.col("bv").cast("long").alias("best_subtree_value"),
+            F.when(F.col("bv") == F.col("rv"), 1).otherwise(0).cast("int")
+            .alias("consistent"),
+        )
+        .orderBy("g")
+    )
