@@ -5302,3 +5302,83 @@ def debruijn_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("deg", "t1")
     )
+
+
+# --------------------------------------------- Gray code + BLR
+
+# Reflected binary Gray code (Gray 1953): g(k) = k ^ (k >> 1) walks
+# ALL 2^n codes changing exactly one bit per step, cyclically — i.e.
+# a Hamiltonian cycle on the hypercube. For n = 6..10 the query
+# recomputes bijectivity (distinct count), the unit-Hamming-step
+# property (including the wraparound edge) and freezes both.
+_GRAY_ORACLE = """
+WITH ns AS MATERIALIZED (SELECT unnest(generate_series(6, 10)) AS n),
+codes AS MATERIALIZED (
+  SELECT n, k.k, xor(k.k, k.k >> 1) AS g
+  FROM ns, (SELECT unnest(generate_series(0, 1023)) AS k) k
+  WHERE k.k < (1 << n)
+),
+steps AS MATERIALIZED (
+  SELECT c.n, c.k,
+         bit_count(xor(c.g,
+           (SELECT g FROM codes x
+            WHERE x.n = c.n AND x.k = (c.k + 1) % (1 << c.n)))) AS hd
+  FROM codes c
+)
+SELECT CAST(c.n AS INT) AS n,
+       CAST(count(DISTINCT c.g) AS BIGINT) AS n_distinct,
+       CAST((SELECT min(hd) FROM steps s WHERE s.n = c.n) AS BIGINT)
+         AS min_step,
+       CAST((SELECT max(hd) FROM steps s WHERE s.n = c.n) AS BIGINT)
+         AS max_step,
+       CAST(CASE WHEN count(DISTINCT c.g) = (1 << c.n)
+                  AND (SELECT max(hd) FROM steps s WHERE s.n = c.n) = 1
+            THEN 1 ELSE 0 END AS INT) AS hamiltonian
+FROM codes c GROUP BY c.n ORDER BY n
+"""
+
+
+@register_extra("gray_code_cycle", _GRAY_ORACLE)
+def gray_code_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-code Hamiltonian-cycle certificate (see oracle comment) —
+    pure column algebra plus a self-join for the successor step."""
+    sess = spark
+    ns = sess.range(6, 11).select(F.col("id").cast("int").alias("n"))
+    ks = sess.range(0, 1024).select(F.col("id").cast("long").alias("k"))
+    codes = (
+        ns.crossJoin(F.broadcast(ks))
+        .filter(F.expr("k < shiftleft(1L, n)"))
+        .withColumn("g", F.expr("k ^ (k >> 1)"))
+        .localCheckpoint(eager=True)
+    )
+    nxt = codes.select(
+        F.col("n").alias("n2"), F.col("k").alias("k2"),
+        F.col("g").alias("g2"),
+    )
+    steps = codes.join(
+        nxt,
+        (F.col("n2") == F.col("n"))
+        & (F.col("k2") == F.expr("(k + 1) % shiftleft(1L, n)")),
+    ).select("n", F.expr("bit_count(g ^ g2)").alias("hd"))
+    agg1 = codes.groupBy("n").agg(F.countDistinct("g").alias("n_distinct"))
+    agg2 = steps.groupBy("n").agg(
+        F.min("hd").alias("min_step"), F.max("hd").alias("max_step")
+    )
+    return (
+        agg1.join(agg2, "n")
+        .select(
+            F.col("n").cast("int"),
+            F.col("n_distinct").cast("long"),
+            F.col("min_step").cast("long"),
+            F.col("max_step").cast("long"),
+            F.when(
+                (F.col("n_distinct") == F.expr("shiftleft(1L, n)"))
+                & (F.col("max_step") == 1),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("hamiltonian"),
+        )
+        .orderBy("n")
+    )
