@@ -5382,3 +5382,105 @@ def gray_code_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------- BLR linearity test
+
+# The BLR linearity test (Blum-Luby-Rubinfeld 1990) — the founding
+# result of property testing and the core of PCP constructions: a
+# Boolean function f: {0,1}^6 -> {0,1} is linear iff
+# f(x) ^ f(y) = f(x ^ y) for ALL pairs. The query runs the test
+# EXHAUSTIVELY (64 x 64 pairs per function) on md5 truth tables plus
+# engineered fixtures: a true parity function chi_S (passes 4096 /
+# 4096, frozen), and chi_S with ONE flipped entry — the
+# property-testing punchline: a single point of corruption fails
+# ~3/64 of pairs, far above the distance-to-linear bound, while
+# random functions sit near the 1/2 pass floor.
+_BLR_ORACLE = """
+WITH fns AS MATERIALIZED (
+  SELECT g.g, x.x,
+         CASE WHEN g.g = -1 THEN bit_count(x.x & 21) % 2
+              WHEN g.g = -2 THEN
+                CASE WHEN x.x = 37 THEN 1 - bit_count(x.x & 21) % 2
+                     ELSE bit_count(x.x & 21) % 2 END
+              ELSE ('0x' || substr(md5('bl:' || CAST(g.g AS VARCHAR)
+                     || ':' || CAST(x.x AS VARCHAR)), 1, 4))::BIGINT % 2
+         END AS f
+  FROM (SELECT unnest(generate_series(-2, 27)) AS g) g,
+       (SELECT unnest(generate_series(0, 63)) AS x) x
+),
+test AS MATERIALIZED (
+  SELECT a.g,
+         sum(CASE WHEN xor(a.f, b.f) = c.f THEN 1 ELSE 0 END) AS npass,
+         count(*) AS npairs
+  FROM fns a
+  JOIN fns b ON b.g = a.g
+  JOIN fns c ON c.g = a.g AND c.x = xor(a.x, b.x)
+  GROUP BY a.g
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(npass AS BIGINT) AS n_pass,
+       CAST(npairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN npass = npairs THEN 1 ELSE 0 END AS INT)
+         AS is_linear
+FROM test ORDER BY g
+"""
+
+
+@register_extra("blr_linearity_test", _BLR_ORACLE)
+def blr_linearity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive BLR linearity testing (see oracle comment) — one
+    triple self-join per function over the 64-point cube; pass
+    counts exact and hash-frozen."""
+    sess = spark
+    gs = sess.range(-2, 28).select(F.col("id").cast("long").alias("g"))
+    xs = sess.range(0, 64).select(F.col("id").cast("long").alias("x"))
+    fns = (
+        gs.crossJoin(F.broadcast(xs))
+        .withColumn(
+            "f",
+            F.expr(
+                "CASE WHEN g = -1 THEN bit_count(x & 21) % 2"
+                " WHEN g = -2 THEN"
+                "   CASE WHEN x = 37 THEN 1 - bit_count(x & 21) % 2"
+                "        ELSE bit_count(x & 21) % 2 END"
+                " ELSE CAST(conv(substring(md5(CAST(concat('bl:',"
+                " CAST(g AS STRING), ':', CAST(x AS STRING)) AS BINARY)),"
+                " 1, 4), 16, 10) AS BIGINT) % 2 END"
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = fns.select("g", F.col("x").alias("xa"), F.col("f").alias("fa"))
+    b = fns.select(
+        F.col("g").alias("gb"), F.col("x").alias("xb"),
+        F.col("f").alias("fb"),
+    )
+    c = fns.select(
+        F.col("g").alias("gc"), F.col("x").alias("xc"),
+        F.col("f").alias("fc"),
+    )
+    return (
+        a.join(b, F.col("gb") == F.col("g"))
+        .join(
+            c,
+            (F.col("gc") == F.col("g"))
+            & (F.col("xc") == F.expr("xa ^ xb")),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.expr("(fa ^ fb) = fc"), 1).otherwise(0)
+            ).alias("n_pass"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .select(
+            F.col("g").cast("long"),
+            F.col("n_pass").cast("long"),
+            F.col("n_pairs").cast("long"),
+            F.when(F.col("n_pass") == F.col("n_pairs"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_linear"),
+        )
+        .orderBy("g")
+    )
