@@ -7702,3 +7702,175 @@ def bezier_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("in_bbox"),
     ).orderBy("g", "k")
+
+
+# ------------------------------------------------ site percolation
+
+# Site percolation (Broadbent & Hammersley 1957): on a 12x12 lattice
+# the probability of a top-to-bottom open crossing jumps through the
+# critical density p_c ~ 0.5927. Thirty md5 grids at each of six
+# densities; crossing is decided EXACTLY by transitive closure over
+# open-site adjacency (8 doubling rounds cover path length 256 > any
+# simple path on 144 cells). The frozen crossing counts trace the
+# phase transition: 0/30 at p=.40 rising to ~27/30 at p=.70 with the
+# midpoint at p_c.
+_PERC_ORACLE = """
+WITH RECURSIVE ps AS MATERIALIZED (
+  SELECT unnest([40, 50, 55, 59, 63, 70]) AS p
+),
+cells AS MATERIALIZED (
+  SELECT p, g.g, r.r * 12 + c.c AS cell, r.r AS row_
+  FROM ps,
+       (SELECT unnest(generate_series(0, 29)) AS g) g,
+       (SELECT unnest(generate_series(0, 11)) AS r) r,
+       (SELECT unnest(generate_series(0, 11)) AS c) c
+  WHERE ('0x' || substr(md5('pc:' || CAST(p AS VARCHAR) || ':'
+           || CAST(g.g AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)
+           || ':' || CAST(c.c AS VARCHAR)), 1, 4))::BIGINT % 100 < p
+),
+adj AS MATERIALIZED (
+  SELECT a.p, a.g, a.cell AS x, b.cell AS y
+  FROM cells a
+  JOIN cells b ON b.p = a.p AND b.g = a.g
+   AND ((b.cell = a.cell + 1 AND a.cell % 12 < 11)
+     OR (b.cell = a.cell - 1 AND a.cell % 12 > 0)
+     OR b.cell = a.cell + 12 OR b.cell = a.cell - 12)
+),
+reach(p, g, x, y) AS (
+  -- extend by one edge per iteration: DuckDB's recursive term sees
+  -- ONLY the previous iteration's rows, so closure-by-self-join
+  -- (doubling) silently misses odd path lengths — the Spark side
+  -- doubles over the ACCUMULATED relation instead, where it is valid
+  SELECT p, g, x, y FROM adj
+  UNION
+  SELECT r.p, r.g, r.x, a.y
+  FROM reach r JOIN adj a
+    ON a.p = r.p AND a.g = r.g AND a.x = r.y
+),
+crossing AS MATERIALIZED (
+  SELECT DISTINCT r.p, r.g
+  FROM reach r
+  JOIN cells a ON a.p = r.p AND a.g = r.g AND a.cell = r.x
+                AND a.row_ = 0
+  JOIN cells b ON b.p = r.p AND b.g = r.g AND b.cell = r.y
+                AND b.row_ = 11
+)
+SELECT CAST(ps.p AS INT) AS p_pct,
+       CAST(count(c.g) AS BIGINT) AS n_crossing,
+       CAST(30 AS BIGINT) AS n_grids
+FROM ps LEFT JOIN crossing c ON c.p = ps.p
+GROUP BY ps.p ORDER BY p_pct
+"""
+
+
+@register_extra("site_percolation_crossing", _PERC_ORACLE)
+def site_percolation_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation crossing counts per density (see oracle comment) —
+    exact closure via doubling joins; grids are dim-sized."""
+    sess = spark
+    ps = sess.createDataFrame(
+        [(40,), (50,), (55,), (59,), (63,), (70,)], "p int"
+    )
+    gs = sess.range(0, 30).select(F.col("id").cast("int").alias("g"))
+    rs = sess.range(0, 12).select(F.col("id").cast("int").alias("r"))
+    cs = sess.range(0, 12).select(F.col("id").cast("int").alias("c"))
+    cells = (
+        ps.crossJoin(F.broadcast(gs))
+        .crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(cs))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pc:"),
+                            F.col("p").cast("string"),
+                            F.lit(":"),
+                            F.col("g").cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("c").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < F.col("p")
+        )
+        .select(
+            "p", "g", (F.col("r") * 12 + F.col("c")).alias("cell"),
+            F.col("r").alias("row_"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = cells.select(
+        F.col("p").alias("pb"), F.col("g").alias("gb"),
+        F.col("cell").alias("cb"),
+    )
+    adj = (
+        cells.join(
+            b,
+            (F.col("pb") == F.col("p")) & (F.col("gb") == F.col("g"))
+            & (
+                ((F.col("cb") == F.col("cell") + 1)
+                 & (F.col("cell") % 12 < 11))
+                | ((F.col("cb") == F.col("cell") - 1)
+                   & (F.col("cell") % 12 > 0))
+                | (F.col("cb") == F.col("cell") + 12)
+                | (F.col("cb") == F.col("cell") - 12)
+            ),
+        )
+        .select("p", "g", F.col("cell").alias("x"), F.col("cb").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    reach = adj
+    for _ in range(8):
+        s2 = reach.select(
+            F.col("p").alias("ps2"), F.col("g").alias("gs2"),
+            F.col("x").alias("xs2"), F.col("y").alias("ys2"),
+        )
+        nxt = reach.join(
+            s2,
+            (F.col("ps2") == F.col("p")) & (F.col("gs2") == F.col("g"))
+            & (F.col("xs2") == F.col("y")),
+        ).select("p", "g", "x", F.col("ys2").alias("y"))
+        reach = reach.unionByName(nxt).distinct()
+        reach = reach.sparkSession.createDataFrame(
+            reach.rdd.cache(), reach.schema
+        )
+    tops = cells.filter(F.col("row_") == 0).select(
+        "p", "g", F.col("cell").alias("x")
+    )
+    bots = cells.filter(F.col("row_") == 11).select(
+        F.col("p").alias("p3"), F.col("g").alias("g3"),
+        F.col("cell").alias("y3"),
+    )
+    crossing = (
+        reach.join(tops, ["p", "g", "x"])
+        .join(
+            bots,
+            (F.col("p3") == F.col("p")) & (F.col("g3") == F.col("g"))
+            & (F.col("y3") == F.col("y")),
+        )
+        .select("p", "g")
+        .distinct()
+    )
+    return (
+        ps.join(
+            crossing.groupBy("p").agg(F.count(F.lit(1)).alias("n_crossing")),
+            "p",
+            "left",
+        )
+        .select(
+            F.col("p").cast("int").alias("p_pct"),
+            F.coalesce("n_crossing", F.lit(0)).cast("long")
+            .alias("n_crossing"),
+            F.lit(30).cast("long").alias("n_grids"),
+        )
+        .orderBy("p_pct")
+    )
