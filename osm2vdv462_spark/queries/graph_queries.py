@@ -4342,3 +4342,243 @@ def stable_matching_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ------------------------------------- Erdos-Gallai / Havel-Hakimi
+
+# Degree-sequence graphicality decided TWO independent ways and their
+# equality frozen — the Erdos-Gallai theorem (1960) as k-indexed
+# inequalities sum_{i<=k} d_i <= k(k-1) + sum_{i>k} min(d_i, k), and
+# the Havel-Hakimi construction (1955/62) as a 10-step sort-and-
+# decrement fold (failure <=> an entry goes negative; with n = 10 and
+# degrees <= 9 the length guard can never fire first). 200 md5
+# sequences, parity forced even; ~25% are graphical, and the two
+# verdicts agree on every row (the theorem, hash-fatal).
+_EG_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 200 AS g FROM customer
+),
+raw AS MATERIALIZED (
+  SELECT g, i.i,
+         ('0x' || substr(md5('dg:' || CAST(g AS VARCHAR) || ':'
+            || CAST(i.i AS VARCHAR)), 1, 4))::BIGINT % 10 AS d
+  FROM grp, (SELECT unnest(generate_series(0, 9)) AS i) i
+),
+fixed AS MATERIALIZED (
+  SELECT g, i,
+         CASE WHEN i = 9 AND (SELECT sum(d) FROM raw r
+                              WHERE r.g = raw.g) % 2 = 1
+              THEN (d + 1) % 10 ELSE d END AS d
+  FROM raw
+),
+sorted AS MATERIALIZED (
+  SELECT g, d, row_number() OVER (PARTITION BY g
+                                  ORDER BY d DESC, i) AS j
+  FROM fixed
+),
+eg AS MATERIALIZED (
+  SELECT s.g,
+         CASE WHEN (SELECT sum(d) FROM sorted z
+                    WHERE z.g = s.g) % 2 = 1 THEN 0
+              WHEN min(CASE WHEN lhs <= rhs THEN 1 ELSE 0 END) = 1
+              THEN 1 ELSE 0 END AS eg_ok
+  FROM (
+    SELECT a.g, k.k,
+           sum(CASE WHEN a.j <= k.k THEN a.d END) AS lhs,
+           k.k * (k.k - 1)
+             + coalesce(sum(CASE WHEN a.j > k.k
+                            THEN least(a.d, k.k) END), 0) AS rhs
+    FROM sorted a, (SELECT unnest(generate_series(1, 10)) AS k) k
+    GROUP BY a.g, k.k
+  ) s GROUP BY s.g
+),
+lst AS MATERIALIZED (
+  SELECT g, list(d ORDER BY j) AS l FROM sorted GROUP BY g
+),
+hh(g, step, l, fail) AS (
+  SELECT g, 0, l, 0 FROM lst
+  UNION ALL
+  SELECT g, step + 1, nl,
+         CASE WHEN fail = 1 OR list_min(nl) < 0 THEN 1 ELSE 0 END
+  FROM (
+    SELECT g, step, fail,
+           CASE WHEN len(srt) = 0 OR fail = 1 THEN srt
+                ELSE list_sort(list_concat(
+                  list_transform(srt[2 : x + 1], v -> v - 1),
+                  srt[x + 2 : len(srt)]), 'DESC') END AS nl
+    FROM (
+      SELECT g, step, fail, l,
+             list_sort(l, 'DESC') AS srt,
+             greatest(0, coalesce(list_sort(l, 'DESC')[1], 0)) AS x
+      FROM hh WHERE step < 10
+    )
+  )
+),
+hhv AS MATERIALIZED (
+  SELECT g,
+         CASE WHEN max(fail) = 0 THEN 1 ELSE 0 END AS hh_ok
+  FROM hh WHERE step = 10 GROUP BY g
+)
+SELECT CAST(e.g AS BIGINT) AS g,
+       CAST(e.eg_ok AS INT) AS eg_ok,
+       CAST(CASE WHEN e.eg_ok = 0 THEN 0 ELSE h.hh_ok END AS INT)
+         AS hh_ok_gated,
+       CAST(h.hh_ok AS INT) AS hh_ok,
+       CAST(CASE WHEN e.eg_ok = h.hh_ok THEN 1 ELSE 0 END AS INT)
+         AS theorems_agree
+FROM eg e JOIN hhv h ON h.g = e.g
+ORDER BY g
+"""
+
+
+@register_extra("erdos_gallai_havel_hakimi", _EG_ORACLE)
+def erdos_gallai_havel_hakimi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphical-sequence verdicts two ways (see oracle comment) —
+    EG inequalities as a k-exploded partial agg, HH as ten chained
+    array-transform steps; theorem equality hash-frozen."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sess = c.sparkSession
+    grp = c.select((F.col("c_custkey") % 200).alias("g")).distinct()
+    raw = grp.crossJoin(
+        sess.range(0, 10).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "g",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dg:"),
+                            F.col("g").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("d"),
+    )
+    tot = raw.groupBy("g").agg(F.sum("d").alias("sd"))
+    fixed = raw.join(F.broadcast(tot), "g").select(
+        "g",
+        "i",
+        F.when(
+            (F.col("i") == 9) & (F.col("sd") % 2 == 1),
+            (F.col("d") + 1) % 10,
+        )
+        .otherwise(F.col("d"))
+        .alias("d"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("d"), "i")
+    srt = fixed.withColumn("j", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    ks = sess.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    eg = (
+        srt.crossJoin(F.broadcast(ks))
+        .groupBy("g", "k")
+        .agg(
+            F.sum(F.when(F.col("j") <= F.col("k"), F.col("d"))).alias("lhs"),
+            (
+                F.col("k") * (F.col("k") - 1)
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("j") > F.col("k"),
+                            F.least(F.col("d"), F.col("k").cast("long")),
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("rhs"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("lhs") <= F.col("rhs"), 1).otherwise(0)
+            ).alias("ineq_ok")
+        )
+        .join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            F.when(
+                (F.col("sd") % 2 == 0) | True, None
+            ).alias("_"),  # placeholder, parity handled below
+            F.col("ineq_ok"),
+            F.col("sd"),
+        )
+    )
+    # even-parity: the fixed sequence always has even sum by
+    # construction EXCEPT when d9 wrapped 9 -> 0 keeps parity odd;
+    # recompute the fixed sum
+    fsum = fixed.groupBy("g").agg(F.sum("d").alias("fs"))
+    egf = (
+        eg.join(F.broadcast(fsum), "g")
+        .select(
+            "g",
+            F.when(
+                (F.col("fs") % 2 == 0) & (F.col("ineq_ok") == 1), 1
+            )
+            .otherwise(0)
+            .alias("eg_ok"),
+        )
+    )
+    lst = srt.groupBy("g").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, d))), x -> x.d)"
+        ).alias("l")
+    )
+    cur = lst.withColumn("fail", F.lit(0))
+    for _ in range(10):
+        cur = (
+            cur.withColumn(
+                "srt", F.expr("reverse(array_sort(l))")
+            )
+            .withColumn(
+                "x",
+                F.expr("greatest(0L, coalesce(try_element_at(srt, 1), 0L))")
+            )
+            .withColumn(
+                "nl",
+                F.expr(
+                    "IF(size(srt) = 0 OR fail = 1, srt,"
+                    " reverse(array_sort(concat("
+                    " transform(slice(srt, 2, CAST(x AS INT)), v -> v - 1),"
+                    " slice(srt, CAST(x AS INT) + 2,"
+                    "  CAST(greatest(0L, size(srt) - 1 - x) AS INT))))))"
+                ),
+            )
+            .withColumn(
+                "fail",
+                F.when(
+                    (F.col("fail") == 1)
+                    | (F.expr("array_min(nl)") < 0),
+                    1,
+                ).otherwise(0),
+            )
+            .select("g", F.col("nl").alias("l"), "fail")
+        )
+    hhv = cur.select("g", (1 - F.col("fail")).alias("hh_ok"))
+    return (
+        egf.join(hhv, "g")
+        .select(
+            F.col("g").cast("long"),
+            F.col("eg_ok").cast("int"),
+            F.when(F.col("eg_ok") == 0, 0)
+            .otherwise(F.col("hh_ok"))
+            .cast("int")
+            .alias("hh_ok_gated"),
+            F.col("hh_ok").cast("int"),
+            F.when(F.col("eg_ok") == F.col("hh_ok"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("theorems_agree"),
+        )
+        .orderBy("g")
+    )
