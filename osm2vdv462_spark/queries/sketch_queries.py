@@ -5484,3 +5484,195 @@ def blr_linearity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------------- Zobrist hashing
+
+# Zobrist hashing (1970) — the incremental position hash in every
+# chess/go engine: position hash = XOR of per-(square, piece) random
+# keys, so applying a move updates the hash with THREE xors instead
+# of a full rescan. 120 md5 board states (8x8, 6 piece kinds, ~12
+# pieces) each get one md5 move (src piece to an empty square); the
+# query recomputes the destination hash BOTH ways — full rescan vs
+# incremental xor — and freezes their equality, plus the
+# empty-board = 0 convention.
+_ZOBRIST_ORACLE = """
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 120 AS g FROM customer
+),
+board AS MATERIALIZED (
+  SELECT g, sq.sq,
+         CASE WHEN ('0x' || substr(md5('zo:' || CAST(g AS VARCHAR)
+                || ':' || CAST(sq.sq AS VARCHAR)), 1, 4))::BIGINT
+                % 5 = 0
+              THEN ('0x' || substr(md5('zp:' || CAST(g AS VARCHAR)
+                     || ':' || CAST(sq.sq AS VARCHAR)), 1, 4))::BIGINT
+                   % 6
+              ELSE -1 END AS piece
+  FROM grp, (SELECT unnest(generate_series(0, 63)) AS sq) sq
+),
+keys AS MATERIALIZED (
+  SELECT sq.sq, p.p,
+         ('0x' || substr(md5('zk:' || CAST(sq.sq AS VARCHAR) || ':'
+            || CAST(p.p AS VARCHAR)), 1, 15))::BIGINT AS k
+  FROM (SELECT unnest(generate_series(0, 63)) AS sq) sq,
+       (SELECT unnest(generate_series(0, 5)) AS p) p
+),
+h0 AS MATERIALIZED (
+  SELECT b.g, bit_xor(k.k) AS h
+  FROM board b JOIN keys k ON k.sq = b.sq AND k.p = b.piece
+  WHERE b.piece >= 0
+  GROUP BY b.g
+),
+mv AS MATERIALIZED (
+  -- source: first occupied square; destination: first empty square
+  SELECT g,
+         min(CASE WHEN piece >= 0 THEN sq END) AS src,
+         min(CASE WHEN piece < 0 THEN sq END) AS dst
+  FROM board GROUP BY g
+),
+moved AS MATERIALIZED (
+  SELECT b.g,
+         CASE WHEN b.sq = m.src THEN -1
+              WHEN b.sq = m.dst THEN
+                (SELECT piece FROM board x
+                 WHERE x.g = b.g AND x.sq = m.src)
+              ELSE b.piece END AS piece,
+         b.sq
+  FROM board b JOIN mv m ON m.g = b.g
+),
+h1full AS MATERIALIZED (
+  SELECT b.g, bit_xor(k.k) AS h
+  FROM moved b JOIN keys k ON k.sq = b.sq AND k.p = b.piece
+  WHERE b.piece >= 0
+  GROUP BY b.g
+),
+h1inc AS MATERIALIZED (
+  SELECT h0.g,
+         xor(xor(h0.h, ks.k), kd.k) AS h
+  FROM h0
+  JOIN mv m ON m.g = h0.g
+  JOIN board bsrc ON bsrc.g = h0.g AND bsrc.sq = m.src
+  JOIN keys ks ON ks.sq = m.src AND ks.p = bsrc.piece
+  JOIN keys kd ON kd.sq = m.dst AND kd.p = bsrc.piece
+)
+SELECT CAST(f.g AS BIGINT) AS g,
+       CAST(f.h AS BIGINT) AS hash_full,
+       CAST(i.h AS BIGINT) AS hash_incremental,
+       CAST(CASE WHEN f.h = i.h THEN 1 ELSE 0 END AS INT) AS agree
+FROM h1full f JOIN h1inc i ON i.g = f.g
+ORDER BY g
+"""
+
+
+@register_extra("zobrist_incremental_hash", _ZOBRIST_ORACLE)
+def zobrist_incremental_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zobrist incremental hashing (see oracle comment) — full rescan
+    vs three-xor update, equality frozen per board."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sess = c.sparkSession
+    grp = c.select((F.col("c_custkey") % 120).alias("g")).distinct()
+    sqs = sess.range(0, 64).select(F.col("id").cast("long").alias("sq"))
+    pps = sess.range(0, 6).select(F.col("id").cast("long").alias("p"))
+
+    def _h4(prefix: str, a: str, b: str, chars: int = 4) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col(a).cast("string"),
+                        F.lit(":"),
+                        F.col(b).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                chars,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    board = (
+        grp.crossJoin(F.broadcast(sqs))
+        .select(
+            "g",
+            "sq",
+            F.when(
+                _h4("zo:", "g", "sq") % 5 == 0, _h4("zp:", "g", "sq") % 6
+            )
+            .otherwise(-1)
+            .alias("piece"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    keys = (
+        sqs.crossJoin(F.broadcast(pps))
+        .select("sq", "p", _h4("zk:", "sq", "p", 15).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    h0 = (
+        board.filter(F.col("piece") >= 0)
+        .join(
+            F.broadcast(keys),
+            (keys.sq == board.sq) & (keys.p == board.piece),
+        )
+        .groupBy("g")
+        .agg(F.expr("bit_xor(k)").alias("h0"))
+    )
+    mv = board.groupBy("g").agg(
+        F.min(F.when(F.col("piece") >= 0, F.col("sq"))).alias("src"),
+        F.min(F.when(F.col("piece") < 0, F.col("sq"))).alias("dst"),
+    )
+    srcp = board.select(
+        F.col("g").alias("gs"), F.col("sq").alias("src"),
+        F.col("piece").alias("sp"),
+    )
+    mv2 = mv.join(
+        srcp, (F.col("gs") == F.col("g")) & (srcp.src == mv.src)
+    ).select("g", mv.src, "dst", "sp")
+    moved = (
+        board.join(F.broadcast(mv2), "g")
+        .select(
+            "g",
+            "sq",
+            F.when(F.col("sq") == F.col("src"), -1)
+            .when(F.col("sq") == F.col("dst"), F.col("sp"))
+            .otherwise(F.col("piece"))
+            .alias("piece"),
+        )
+    )
+    h1full = (
+        moved.filter(F.col("piece") >= 0)
+        .join(
+            F.broadcast(keys),
+            (keys.sq == moved.sq) & (keys.p == moved.piece),
+        )
+        .groupBy("g")
+        .agg(F.expr("bit_xor(k)").alias("hf"))
+    )
+    ks = keys.select(
+        F.col("sq").alias("src"), F.col("p").alias("sp"),
+        F.col("k").alias("ksrc"),
+    )
+    kd = keys.select(
+        F.col("sq").alias("dst"), F.col("p").alias("sp"),
+        F.col("k").alias("kdst"),
+    )
+    h1inc = (
+        h0.join(F.broadcast(mv2), "g")
+        .join(F.broadcast(ks), ["src", "sp"])
+        .join(F.broadcast(kd), ["dst", "sp"])
+        .select("g", F.expr("h0 ^ ksrc ^ kdst").alias("hi"))
+    )
+    return (
+        h1full.join(h1inc, "g")
+        .select(
+            F.col("g").cast("long"),
+            F.col("hf").cast("long").alias("hash_full"),
+            F.col("hi").cast("long").alias("hash_incremental"),
+            F.when(F.col("hf") == F.col("hi"), 1).otherwise(0).cast("int")
+            .alias("agree"),
+        )
+        .orderBy("g")
+    )
