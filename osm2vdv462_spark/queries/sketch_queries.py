@@ -5676,3 +5676,147 @@ def zobrist_incremental_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ------------------------------------ STS(9) + Hadamard certificates
+
+# Two classic construction-plus-certificate pairs. The Steiner triple
+# system STS(9) is the affine plane AG(2,3): its 12 lines over
+# GF(3)^2 (three slopes plus verticals) cover every one of the
+# C(9,2) = 36 point pairs EXACTLY once — the defining design
+# property, recomputed and frozen. The Sylvester-Hadamard matrix H8,
+# H[i][j] = (-1)^popcount(i AND j), has pairwise-orthogonal rows:
+# every off-diagonal dot product is 0 and every diagonal one is 8 —
+# the orthogonality certificate behind Walsh codes (CDMA) and the
+# WHT, frozen over all 64 row pairs.
+_DESIGN_ORACLE = """
+WITH lines AS MATERIALIZED (
+  -- slope lines y = m x + b over GF(3), then verticals x = b
+  SELECT m * 3 + b AS line_id, x AS px, (m * x + b) % 3 AS py
+  FROM (SELECT unnest(generate_series(0, 2)) AS m),
+       (SELECT unnest(generate_series(0, 2)) AS b),
+       (SELECT unnest(generate_series(0, 2)) AS x)
+  UNION ALL
+  SELECT 9 + b, b, y
+  FROM (SELECT unnest(generate_series(0, 2)) AS b),
+       (SELECT unnest(generate_series(0, 2)) AS y)
+),
+pts AS MATERIALIZED (
+  SELECT line_id, px * 3 + py AS pt FROM lines
+),
+paircover AS MATERIALIZED (
+  SELECT a.pt AS p1, b.pt AS p2, count(*) AS cov
+  FROM pts a JOIN pts b ON b.line_id = a.line_id AND b.pt > a.pt
+  GROUP BY 1, 2
+),
+sts AS MATERIALIZED (
+  SELECT count(*) AS n_pairs, min(cov) AS min_cov, max(cov) AS max_cov
+  FROM paircover
+),
+had AS MATERIALIZED (
+  SELECT a.i AS r1, b.i AS r2,
+         sum(CASE WHEN bit_count(a.i & j.j) % 2 = bit_count(b.i & j.j) % 2
+                  THEN 1 ELSE -1 END) AS dot
+  FROM (SELECT unnest(generate_series(0, 7)) AS i) a,
+       (SELECT unnest(generate_series(0, 7)) AS i) b,
+       (SELECT unnest(generate_series(0, 7)) AS j) j
+  GROUP BY a.i, b.i
+),
+hsum AS MATERIALIZED (
+  SELECT count(*) FILTER (r1 <> r2 AND dot = 0) AS n_orth,
+         count(*) FILTER (r1 = r2 AND dot = 8) AS n_diag
+  FROM had
+)
+SELECT CAST(s.n_pairs AS BIGINT) AS sts_pairs,
+       CAST(s.min_cov AS BIGINT) AS sts_min_cover,
+       CAST(s.max_cov AS BIGINT) AS sts_max_cover,
+       CAST(h.n_orth AS BIGINT) AS hadamard_orthogonal_pairs,
+       CAST(h.n_diag AS BIGINT) AS hadamard_diagonal_ok,
+       CAST(CASE WHEN s.n_pairs = 36 AND s.min_cov = 1
+                  AND s.max_cov = 1 AND h.n_orth = 56
+                  AND h.n_diag = 8 THEN 1 ELSE 0 END AS INT)
+         AS certified
+FROM sts s CROSS JOIN hsum h
+"""
+
+
+@register_extra("design_certificates", _DESIGN_ORACLE)
+def design_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STS(9) pair-coverage and H8 orthogonality certificates (see
+    oracle comment) — pure constructive column algebra, one frozen
+    row."""
+    sess = spark
+    r3 = sess.range(0, 3).select(F.col("id").cast("int"))
+    m = r3.select(F.col("id").alias("m"))
+    b = r3.select(F.col("id").alias("b"))
+    x = r3.select(F.col("id").alias("x"))
+    slope = (
+        m.crossJoin(b).crossJoin(x)
+        .selectExpr("m * 3 + b AS line_id", "x AS px", "(m * x + b) % 3 AS py")
+    )
+    vert = (
+        b.crossJoin(r3.select(F.col("id").alias("y")))
+        .selectExpr("9 + b AS line_id", "b AS px", "y AS py")
+    )
+    pts = slope.unionByName(vert).selectExpr(
+        "line_id", "px * 3 + py AS pt"
+    )
+    p2 = pts.select(
+        F.col("line_id").alias("l2"), F.col("pt").alias("pt2")
+    )
+    cover = (
+        pts.join(
+            p2,
+            (F.col("l2") == F.col("line_id")) & (F.col("pt2") > F.col("pt")),
+        )
+        .groupBy("pt", "pt2")
+        .agg(F.count(F.lit(1)).alias("cov"))
+    )
+    sts = cover.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cov").alias("min_cov"),
+        F.max("cov").alias("max_cov"),
+    )
+    r8 = sess.range(0, 8).select(F.col("id").cast("int"))
+    had = (
+        r8.select(F.col("id").alias("r1"))
+        .crossJoin(r8.select(F.col("id").alias("r2")))
+        .crossJoin(r8.select(F.col("id").alias("j")))
+        .groupBy("r1", "r2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "IF(bit_count(r1 & j) % 2 = bit_count(r2 & j) % 2,"
+                    " 1, -1)"
+                )
+            ).alias("dot")
+        )
+    )
+    hsum = had.agg(
+        F.sum(
+            F.when((F.col("r1") != F.col("r2")) & (F.col("dot") == 0), 1)
+            .otherwise(0)
+        ).alias("n_orth"),
+        F.sum(
+            F.when((F.col("r1") == F.col("r2")) & (F.col("dot") == 8), 1)
+            .otherwise(0)
+        ).alias("n_diag"),
+    )
+    return sts.crossJoin(hsum).select(
+        F.col("n_pairs").cast("long").alias("sts_pairs"),
+        F.col("min_cov").cast("long").alias("sts_min_cover"),
+        F.col("max_cov").cast("long").alias("sts_max_cover"),
+        F.col("n_orth").cast("long").alias("hadamard_orthogonal_pairs"),
+        F.col("n_diag").cast("long").alias("hadamard_diagonal_ok"),
+        F.when(
+            (F.col("n_pairs") == 36)
+            & (F.col("min_cov") == 1)
+            & (F.col("max_cov") == 1)
+            & (F.col("n_orth") == 56)
+            & (F.col("n_diag") == 8),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("certified"),
+    )
