@@ -5820,3 +5820,161 @@ def design_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("certified"),
     )
+
+
+# ------------------------------------ Costas array + magic square
+
+# Two more construction/certificate pairs. The Welch-Costas array
+# (Welch 1965 / Costas 1965, the radar-sonar waveform design):
+# a_i = 2^i mod 11 for i = 0..9 is a permutation whose difference
+# vectors are distinct within every row shift — the zero-ambiguity
+# autocorrelation property, checked exhaustively. The 5x5 Siamese
+# magic square in closed form M[i][j] = 5((i+j+3) mod 5)
+# + ((i+2j+1) mod 5) + 1: all rows, columns and both diagonals sum
+# to the magic constant 65, and the entries are a permutation of
+# 1..25 — all recomputed and frozen in one row.
+_COSTAS_ORACLE = """
+WITH RECURSIVE cost(i, v) AS (
+  SELECT 0, 1
+  UNION ALL
+  SELECT i + 1, (v * 2) % 11 FROM cost WHERE i < 9
+),
+cdiffs AS MATERIALIZED (
+  SELECT d.d, a.v - b.v AS diff
+  FROM (SELECT unnest(generate_series(1, 9)) AS d) d
+  JOIN cost a ON true JOIN cost b ON b.i = a.i - d.d
+),
+cprop AS MATERIALIZED (
+  SELECT CASE WHEN max(cnt) = 1 THEN 1 ELSE 0 END AS costas_ok,
+         sum(cnt) AS n_diffs
+  FROM (SELECT d, diff, count(*) AS cnt FROM cdiffs GROUP BY 1, 2)
+),
+cperm AS MATERIALIZED (
+  SELECT CASE WHEN count(DISTINCT v) = 10 AND min(v) = 1
+               AND max(v) = 10 THEN 1 ELSE 0 END AS perm_ok
+  FROM cost
+),
+magic AS MATERIALIZED (
+  SELECT i.i, j.j,
+         5 * ((i.i + j.j + 3) % 5) + ((i.i + 2 * j.j + 1) % 5) + 1 AS v
+  FROM (SELECT unnest(generate_series(0, 4)) AS i) i,
+       (SELECT unnest(generate_series(0, 4)) AS j) j
+),
+msums AS MATERIALIZED (
+  SELECT min(s) AS mn, max(s) AS mx, count(*) AS nlines FROM (
+    SELECT sum(v) AS s FROM magic GROUP BY i
+    UNION ALL SELECT sum(v) FROM magic GROUP BY j
+    UNION ALL SELECT sum(v) FROM magic WHERE i = j
+    UNION ALL SELECT sum(v) FROM magic WHERE i + j = 4
+  )
+),
+mperm AS MATERIALIZED (
+  SELECT CASE WHEN count(DISTINCT v) = 25 AND min(v) = 1
+               AND max(v) = 25 THEN 1 ELSE 0 END AS perm_ok
+  FROM magic
+)
+SELECT CAST(c.costas_ok AS INT) AS costas_ok,
+       CAST(c.n_diffs AS BIGINT) AS costas_n_diffs,
+       CAST(cp.perm_ok AS INT) AS costas_perm_ok,
+       CAST(m.mn AS BIGINT) AS magic_min_sum,
+       CAST(m.mx AS BIGINT) AS magic_max_sum,
+       CAST(m.nlines AS BIGINT) AS magic_n_lines,
+       CAST(mp.perm_ok AS INT) AS magic_perm_ok,
+       CAST(CASE WHEN c.costas_ok = 1 AND cp.perm_ok = 1
+                  AND m.mn = 65 AND m.mx = 65 AND m.nlines = 12
+                  AND mp.perm_ok = 1 THEN 1 ELSE 0 END AS INT)
+         AS certified
+FROM cprop c CROSS JOIN cperm cp CROSS JOIN msums m CROSS JOIN mperm mp
+"""
+
+
+@register_extra("costas_magic_certificates", _COSTAS_ORACLE)
+def costas_magic_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch-Costas difference-vector and Siamese magic-square
+    certificates (see oracle comment) — constructive column algebra,
+    one frozen row."""
+    sess = spark
+    cost = sess.range(0, 10).selectExpr(
+        "CAST(id AS INT) AS i",
+        "CAST(IF(id = 0, 1L, aggregate(sequence(1, CAST(id AS INT)),"
+        " 1L, (a, k) -> (a * 2) % 11)) AS BIGINT) AS v",
+    ).localCheckpoint(eager=True)
+    b = cost.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    ds = sess.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    cdiffs = (
+        ds.crossJoin(cost)
+        .join(b, F.col("ib") == F.col("i") - F.col("d"))
+        .select("d", (F.col("v") - F.col("vb")).alias("diff"))
+    )
+    cprop = (
+        cdiffs.groupBy("d", "diff")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.when(F.max("cnt") == 1, 1).otherwise(0).alias("costas_ok"),
+            F.sum("cnt").alias("n_diffs"),
+        )
+    )
+    cperm = cost.agg(
+        F.when(
+            (F.countDistinct("v") == 10)
+            & (F.min("v") == 1)
+            & (F.max("v") == 10),
+            1,
+        )
+        .otherwise(0)
+        .alias("costas_perm_ok")
+    )
+    ii = sess.range(0, 5).select(F.col("id").cast("int").alias("i"))
+    jj = sess.range(0, 5).select(F.col("id").cast("int").alias("j"))
+    magic = ii.crossJoin(jj).selectExpr(
+        "i", "j",
+        "5 * ((i + j + 3) % 5) + ((i + 2 * j + 1) % 5) + 1 AS v",
+    ).localCheckpoint(eager=True)
+    lines = (
+        magic.groupBy("i").agg(F.sum("v").alias("s")).select("s")
+        .unionAll(magic.groupBy("j").agg(F.sum("v").alias("s")).select("s"))
+        .unionAll(
+            magic.filter("i = j").agg(F.sum("v").alias("s")).select("s")
+        )
+        .unionAll(
+            magic.filter("i + j = 4").agg(F.sum("v").alias("s")).select("s")
+        )
+    )
+    msums = lines.agg(
+        F.min("s").alias("mn"), F.max("s").alias("mx"),
+        F.count(F.lit(1)).alias("nlines"),
+    )
+    mperm = magic.agg(
+        F.when(
+            (F.countDistinct("v") == 25)
+            & (F.min("v") == 1)
+            & (F.max("v") == 25),
+            1,
+        )
+        .otherwise(0)
+        .alias("magic_perm_ok")
+    )
+    return (
+        cprop.crossJoin(cperm).crossJoin(msums).crossJoin(mperm)
+        .select(
+            F.col("costas_ok").cast("int"),
+            F.col("n_diffs").cast("long").alias("costas_n_diffs"),
+            F.col("costas_perm_ok").cast("int"),
+            F.col("mn").cast("long").alias("magic_min_sum"),
+            F.col("mx").cast("long").alias("magic_max_sum"),
+            F.col("nlines").cast("long").alias("magic_n_lines"),
+            F.col("magic_perm_ok").cast("int"),
+            F.when(
+                (F.col("costas_ok") == 1)
+                & (F.col("costas_perm_ok") == 1)
+                & (F.col("mn") == 65)
+                & (F.col("mx") == 65)
+                & (F.col("nlines") == 12)
+                & (F.col("magic_perm_ok") == 1),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("certified"),
+        )
+    )
