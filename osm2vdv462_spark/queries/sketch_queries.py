@@ -5978,3 +5978,60 @@ def costas_magic_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("certified"),
         )
     )
+
+
+# --------------------------------------------- Lucas-Lehmer test
+
+# The Lucas-Lehmer test (1878/1930) — still how the largest known
+# primes are found: M_p = 2^p - 1 is prime iff s_{p-2} = 0 mod M_p
+# where s_0 = 4, s <- s^2 - 2. For every odd prime p <= 31 the
+# squares stay under 2^62, so the whole GIMPS kernel runs in exact
+# int64 folds; the famous verdict table is frozen — Mersenne primes
+# at p = 3, 5, 7, 13, 17, 19, 31 and composites at p = 11 (= 23*89),
+# 23, 29.
+_LL_ORACLE = """
+WITH RECURSIVE ps AS MATERIALIZED (
+  SELECT unnest([3, 5, 7, 11, 13, 17, 19, 23, 29, 31]) AS p
+),
+st(p, mp, i, s) AS (
+  SELECT p, (1::BIGINT << p) - 1, 0, CAST(4 AS BIGINT) FROM ps
+  UNION ALL
+  SELECT p, mp, i + 1, (s * s - 2) % mp
+  FROM st WHERE i < p - 2
+)
+SELECT CAST(p AS INT) AS p, CAST(mp AS BIGINT) AS mersenne,
+       CAST(s AS BIGINT) AS ll_residue,
+       CAST(CASE WHEN s = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_mersenne_prime
+FROM st WHERE i = p - 2
+ORDER BY p
+"""
+
+
+@register_extra("lucas_lehmer_mersenne", _LL_ORACLE)
+def lucas_lehmer_mersenne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucas-Lehmer Mersenne verdicts (see oracle comment) — one
+    guarded fold per exponent; the known prime/composite table is
+    hash-fatal."""
+    sess = spark
+    ps = sess.createDataFrame(
+        [(p,) for p in [3, 5, 7, 11, 13, 17, 19, 23, 29, 31]], "p int"
+    )
+    return (
+        ps.withColumn("mp", F.expr("shiftleft(1L, p) - 1"))
+        .withColumn(
+            "s",
+            F.expr(
+                "aggregate(sequence(1, p - 2), 4L,"
+                " (s, i) -> (s * s - 2) % mp)"
+            ),
+        )
+        .select(
+            F.col("p").cast("int"),
+            F.col("mp").cast("long").alias("mersenne"),
+            F.col("s").cast("long").alias("ll_residue"),
+            F.when(F.col("s") == 0, 1).otherwise(0).cast("int")
+            .alias("is_mersenne_prime"),
+        )
+        .orderBy("p")
+    )
