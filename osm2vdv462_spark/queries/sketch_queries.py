@@ -6035,3 +6035,106 @@ def lucas_lehmer_mersenne(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# --------------------------------------------- Wilson's theorem
+
+# Wilson's theorem (Lagrange 1771): n > 1 is prime iff
+# (n-1)! = -1 mod n — the only clean factorial-based primality
+# characterization. One mulmod fold per n in 2..150 (products
+# < 150^2, trivially exact); the Wilson verdict must agree with the
+# trial-division verdict recomputed relationally in the same query —
+# theorem equality frozen on every n (and for composites > 4 the
+# factorial residue is 0, also classic, also frozen).
+_WILSON_ORACLE = """
+WITH RECURSIVE ns AS MATERIALIZED (
+  SELECT unnest(generate_series(2, 150)) AS n
+),
+st(n, i, f) AS (
+  SELECT n, 1, CAST(1 AS BIGINT) FROM ns
+  UNION ALL
+  SELECT n, i + 1, (f * (i + 1)) % n FROM st WHERE i < n - 1
+),
+wil AS MATERIALIZED (
+  SELECT n, f AS residue,
+         CASE WHEN f = n - 1 THEN 1 ELSE 0 END AS wilson_prime
+  FROM st WHERE i = n - 1
+),
+td AS MATERIALIZED (
+  SELECT n.n,
+         CASE WHEN NOT EXISTS (
+           SELECT 1 FROM (SELECT unnest(generate_series(2, 12)) AS d) d
+           WHERE d.d * d.d <= n.n AND n.n % d.d = 0)
+         THEN 1 ELSE 0 END AS td_prime
+  FROM ns n
+)
+SELECT CAST(w.n AS INT) AS n, CAST(w.residue AS BIGINT) AS residue,
+       CAST(w.wilson_prime AS INT) AS wilson_prime,
+       CAST(t.td_prime AS INT) AS td_prime,
+       CAST(CASE WHEN w.wilson_prime = t.td_prime THEN 1 ELSE 0 END
+            AS INT) AS theorem_holds,
+       CAST(CASE WHEN t.td_prime = 0 AND w.n > 4 AND w.residue = 0
+                 THEN 1
+                 WHEN t.td_prime = 1 OR w.n = 4 THEN 1
+                 ELSE 0 END AS INT) AS composite_residue_zero
+FROM wil w JOIN td t ON t.n = w.n
+ORDER BY n
+"""
+
+
+@register_extra("wilson_primality", _WILSON_ORACLE)
+def wilson_primality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson's theorem vs trial division (see oracle comment) —
+    one factorial-mod fold per n plus a relational divisor test;
+    both equivalences frozen."""
+    sess = spark
+    ns = sess.range(2, 151).select(F.col("id").cast("int").alias("n"))
+    ds = sess.range(2, 13).select(F.col("id").cast("long").alias("d"))
+    wil = ns.withColumn(
+        "residue",
+        F.expr(
+            "IF(n = 2, 1L,"
+            " aggregate(sequence(2, n - 1), 1L, (f, i) -> (f * i) % n))"
+        ),
+    ).withColumn(
+        "wilson_prime",
+        F.when(F.col("residue") == F.col("n") - 1, 1).otherwise(0),
+    )
+    td = (
+        ns.crossJoin(F.broadcast(ds))
+        .filter((F.col("d") * F.col("d") <= F.col("n")))
+        .groupBy("n")
+        .agg(
+            F.max(
+                F.when(F.col("n") % F.col("d") == 0, 1).otherwise(0)
+            ).alias("has_div")
+        )
+    )
+    return (
+        wil.join(td, "n", "left")
+        .withColumn(
+            "td_prime",
+            F.when(F.coalesce("has_div", F.lit(0)) == 0, 1).otherwise(0),
+        )
+        .select(
+            F.col("n").cast("int"),
+            F.col("residue").cast("long"),
+            F.col("wilson_prime").cast("int"),
+            F.col("td_prime").cast("int"),
+            F.when(F.col("wilson_prime") == F.col("td_prime"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("theorem_holds"),
+            F.when(
+                (F.col("td_prime") == 0)
+                & (F.col("n") > 4)
+                & (F.col("residue") == 0),
+                1,
+            )
+            .when((F.col("td_prime") == 1) | (F.col("n") == 4), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("composite_residue_zero"),
+        )
+        .orderBy("n")
+    )
