@@ -6138,3 +6138,109 @@ def wilson_primality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------- Pell equations
+
+# Pell's equation x^2 - D y^2 = 1 solved the classical way: the
+# continued fraction of sqrt(D) (the (m, d, a) quadratic-irrational
+# recurrence) generates convergents h/k until one satisfies the
+# equation exactly (Lagrange 1768). The frozen table includes the
+# showpiece D = 61 — Fermat's challenge — whose fundamental solution
+# x = 1766319049 squares to 3.1e18, JUST inside int64, so the
+# in-query certificate x^2 - D y^2 = 1 is still exact integer
+# arithmetic. Eighty fold steps cover every period here.
+_PELL_ORACLE = """
+WITH RECURSIVE ds AS MATERIALIZED (
+  SELECT unnest([2, 3, 5, 13, 19, 22, 23, 29, 61]) AS dd
+),
+init AS MATERIALIZED (
+  SELECT dd, CAST(floor(sqrt(dd)) AS BIGINT) AS a0 FROM ds
+),
+st(dd, a0, i, m, d, a, h0, h1, k0, k1, x, y) AS (
+  SELECT dd, a0, 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT), a0,
+         CAST(1 AS BIGINT), a0, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM init
+  UNION ALL
+  SELECT dd, a0, i + 1, m2, d2, a2,
+         h1, a2 * h1 + h0, k1, a2 * k1 + k0,
+         CASE WHEN x = 0 AND h1 * h1 - dd * k1 * k1 = 1
+              THEN h1 ELSE x END,
+         CASE WHEN x = 0 AND h1 * h1 - dd * k1 * k1 = 1
+              THEN k1 ELSE y END
+  FROM (
+    SELECT st.*, d2, (a0 + m2) // d2 AS a2, m2
+    FROM (
+      SELECT st.*, da - m AS m2,
+             (dd - (da - m) * (da - m)) // d AS d2
+      FROM (SELECT st.*, d * a AS da FROM st
+            WHERE st.x = 0 AND st.i < 80) st
+    ) st
+  ) st
+),
+fin AS MATERIALIZED (
+  SELECT dd, max(x) AS x, max(y) AS y FROM st GROUP BY dd
+)
+SELECT CAST(dd AS INT) AS d,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CASE WHEN x * x - dd * y * y = 1 THEN 1 ELSE 0 END AS INT)
+         AS pell_holds
+FROM fin ORDER BY d
+"""
+
+
+@register_extra("pell_fundamental_solutions", _PELL_ORACLE)
+def pell_fundamental_solutions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pell fundamental solutions via the sqrt-D continued fraction
+    (see oracle comment) — one guarded fold per D, the equation
+    certificate recomputed and frozen (including Fermat's D = 61)."""
+    sess = spark
+    ds = sess.createDataFrame(
+        [(d,) for d in [2, 3, 5, 13, 19, 22, 23, 29, 61]], "dd int"
+    )
+    # 4-phase fold: i%4 = 0 -> m, 1 -> d, 2 -> a, 3 -> convergents +
+    # solution check; keeps every branch expression small (the single
+    # -step form exploded textually — see the engine-semantics note)
+    fold = (
+        "aggregate(sequence(0, 319),"
+        " named_struct('m', 0L, 'd', 1L, 'a', a0,"
+        "   'h0', 1L, 'h1', a0, 'k0', 0L, 'k1', 1L, 'x', 0L, 'y', 0L),"
+        " (s, i) -> IF(s.x > 0, s,"
+        "  IF(i % 4 = 0,"
+        "   named_struct('m', s.d * s.a - s.m, 'd', s.d, 'a', s.a,"
+        "     'h0', s.h0, 'h1', s.h1, 'k0', s.k0, 'k1', s.k1,"
+        "     'x', s.x, 'y', s.y),"
+        "  IF(i % 4 = 1,"
+        "   named_struct('m', s.m, 'd', (dd - s.m * s.m) div s.d,"
+        "     'a', s.a, 'h0', s.h0, 'h1', s.h1, 'k0', s.k0,"
+        "     'k1', s.k1, 'x', s.x, 'y', s.y),"
+        "  IF(i % 4 = 2,"
+        "   named_struct('m', s.m, 'd', s.d, 'a', (a0 + s.m) div s.d,"
+        "     'h0', s.h0, 'h1', s.h1, 'k0', s.k0, 'k1', s.k1,"
+        "     'x', s.x, 'y', s.y),"
+        "   named_struct('m', s.m, 'd', s.d, 'a', s.a,"
+        "     'h0', s.h1, 'h1', s.a * s.h1 + s.h0,"
+        "     'k0', s.k1, 'k1', s.a * s.k1 + s.k0,"
+        "     'x', IF((s.a * s.h1 + s.h0) * (s.a * s.h1 + s.h0)"
+        "           - dd * (s.a * s.k1 + s.k0) * (s.a * s.k1 + s.k0)"
+        "           = 1, s.a * s.h1 + s.h0, 0L),"
+        "     'y', IF((s.a * s.h1 + s.h0) * (s.a * s.h1 + s.h0)"
+        "           - dd * (s.a * s.k1 + s.k0) * (s.a * s.k1 + s.k0)"
+        "           = 1, s.a * s.k1 + s.k0, 0L)))))))"
+    )
+    return (
+        ds.withColumn(
+            "a0", F.expr("CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS BIGINT)")
+        )
+        .withColumn("st", F.expr(fold))
+        .select(
+            F.col("dd").cast("int").alias("d"),
+            F.col("st.x").cast("long").alias("x"),
+            F.col("st.y").cast("long").alias("y"),
+            F.expr(
+                "CAST(IF(st.x * st.x - dd * st.y * st.y = 1, 1, 0) AS INT)"
+            ).alias("pell_holds"),
+        )
+        .orderBy("d")
+    )
