@@ -6244,3 +6244,159 @@ def pell_fundamental_solutions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ------------------------------------ Farey + Pythagorean triples
+
+# Two closing number-theory certificates. The Farey sequence F_9
+# (all reduced fractions 0..1 with denominator <= 9, in order)
+# satisfies the NEIGHBOR UNIMODULARITY b*c - a*d = 1 for every
+# consecutive pair a/b < c/d — the mediant/Stern-Brocot property,
+# checked on all |F_9| - 1 = 54 adjacent pairs. Euclid's formula
+# (m^2 - n^2, 2mn, m^2 + n^2) over coprime opposite-parity (m, n)
+# generates exactly the PRIMITIVE Pythagorean triples: the query
+# certifies a^2 + b^2 = c^2 and pairwise-coprimality for every
+# generated triple with c <= 100, and the famous count — 16
+# primitive triples under 100 — is frozen.
+_FAREY_ORACLE = """
+WITH fr AS MATERIALIZED (
+  SELECT a.a, b.b
+  FROM (SELECT unnest(generate_series(0, 9)) AS a) a,
+       (SELECT unnest(generate_series(1, 9)) AS b) b
+  WHERE a.a <= b.b AND gcd(a.a, b.b) = 1
+),
+ordered AS MATERIALIZED (
+  SELECT a, b, row_number() OVER (ORDER BY a * 2520 / b, b) AS r
+  FROM fr
+),
+uni AS MATERIALIZED (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN x.b * y.a - x.a * y.b = 1 THEN 1 ELSE 0 END)
+           AS n_unimodular
+  FROM ordered x JOIN ordered y ON y.r = x.r + 1
+),
+mn AS MATERIALIZED (
+  SELECT m.m, n.n, m.m * m.m - n.n * n.n AS a, 2 * m.m * n.n AS b,
+         m.m * m.m + n.n * n.n AS c
+  FROM (SELECT unnest(generate_series(2, 9)) AS m) m,
+       (SELECT unnest(generate_series(1, 8)) AS n) n
+  WHERE n.n < m.m AND gcd(m.m, n.n) = 1 AND (m.m + n.n) % 2 = 1
+    AND m.m * m.m + n.n * n.n <= 100
+),
+pyth AS MATERIALIZED (
+  SELECT count(*) AS n_triples,
+         sum(CASE WHEN a * a + b * b = c * c THEN 1 ELSE 0 END)
+           AS n_pythagorean,
+         sum(CASE WHEN gcd(gcd(a, b), c) = 1 THEN 1 ELSE 0 END)
+           AS n_primitive
+  FROM mn
+)
+SELECT CAST(u.n_pairs AS BIGINT) AS farey_pairs,
+       CAST(u.n_unimodular AS BIGINT) AS farey_unimodular,
+       CAST(p.n_triples AS BIGINT) AS triples_c_le_100,
+       CAST(p.n_pythagorean AS BIGINT) AS triples_pythagorean,
+       CAST(p.n_primitive AS BIGINT) AS triples_primitive,
+       CAST(CASE WHEN u.n_pairs = u.n_unimodular
+                  AND p.n_triples = 16
+                  AND p.n_pythagorean = 16
+                  AND p.n_primitive = 16 THEN 1 ELSE 0 END AS INT)
+         AS certified
+FROM uni u CROSS JOIN pyth p
+"""
+
+
+@register_extra("farey_pythagoras_certificates", _FAREY_ORACLE)
+def farey_pythagoras_certificates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Farey neighbor unimodularity and Euclid's primitive triples
+    (see oracle comment) — exact ordering via the common-denominator
+    integer key a*2520/b, gcd via a bounded Euclid fold; one frozen
+    row."""
+    sess = spark
+    gcdf = (
+        "aggregate(sequence(1, 12), named_struct('u', %s, 'v', %s),"
+        " (s, k) -> IF(s.v = 0, s, named_struct('u', s.v,"
+        " 'v', s.u %% s.v)), s -> s.u)"
+    )
+    fr = (
+        sess.range(0, 10)
+        .select(F.col("id").cast("long").alias("a"))
+        .crossJoin(
+            sess.range(1, 10).select(F.col("id").cast("long").alias("b"))
+        )
+        .filter(F.col("a") <= F.col("b"))
+        .filter(F.expr((gcdf % ("a", "b")) + " = 1"))
+    )
+    ordered = fr.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.expr("a * 2520 div b"), F.col("b"))
+        ),
+    )
+    o2 = ordered.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"),
+        F.col("r").alias("r2"),
+    )
+    uni = (
+        ordered.join(o2, F.col("r2") == F.col("r") + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("b") * F.col("a2") - F.col("a") * F.col("b2")
+                    == 1,
+                    1,
+                ).otherwise(0)
+            ).alias("n_unimodular"),
+        )
+    )
+    mn = (
+        sess.range(2, 10)
+        .select(F.col("id").cast("long").alias("m"))
+        .crossJoin(
+            sess.range(1, 9).select(F.col("id").cast("long").alias("n"))
+        )
+        .filter(F.col("n") < F.col("m"))
+        .filter(F.expr((gcdf % ("m", "n")) + " = 1"))
+        .filter((F.col("m") + F.col("n")) % 2 == 1)
+        .selectExpr(
+            "m * m - n * n AS a", "2 * m * n AS b", "m * m + n * n AS c"
+        )
+        .filter(F.col("c") <= 100)
+    )
+    pyth = mn.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(
+            F.when(
+                F.col("a") * F.col("a") + F.col("b") * F.col("b")
+                == F.col("c") * F.col("c"),
+                1,
+            ).otherwise(0)
+        ).alias("n_pythagorean"),
+        F.sum(
+            F.when(
+                F.expr(
+                    (gcdf % ((gcdf % ("a", "b")), "c")) + " = 1"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_primitive"),
+    )
+    return uni.crossJoin(pyth).select(
+        F.col("n_pairs").cast("long").alias("farey_pairs"),
+        F.col("n_unimodular").cast("long").alias("farey_unimodular"),
+        F.col("n_triples").cast("long").alias("triples_c_le_100"),
+        F.col("n_pythagorean").cast("long").alias("triples_pythagorean"),
+        F.col("n_primitive").cast("long").alias("triples_primitive"),
+        F.when(
+            (F.col("n_pairs") == F.col("n_unimodular"))
+            & (F.col("n_triples") == 16)
+            & (F.col("n_pythagorean") == 16)
+            & (F.col("n_primitive") == 16),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("certified"),
+    )
