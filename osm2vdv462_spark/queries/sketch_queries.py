@@ -6252,7 +6252,7 @@ def pell_fundamental_solutions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all reduced fractions 0..1 with denominator <= 9, in order)
 # satisfies the NEIGHBOR UNIMODULARITY b*c - a*d = 1 for every
 # consecutive pair a/b < c/d — the mediant/Stern-Brocot property,
-# checked on all |F_9| - 1 = 54 adjacent pairs. Euclid's formula
+# checked on all |F_9| - 1 = 28 adjacent pairs. Euclid's formula
 # (m^2 - n^2, 2mn, m^2 + n^2) over coprime opposite-parity (m, n)
 # generates exactly the PRIMITIVE Pythagorean triples: the query
 # certifies a^2 + b^2 = c^2 and pairwise-coprimality for every
