@@ -6400,3 +6400,133 @@ def farey_pythagoras_certificates(
         .cast("int")
         .alias("certified"),
     )
+
+
+# --------------------------------------------- Kaprekar's constant
+
+# Kaprekar's routine (1949): take a 4-digit number (not all digits
+# equal), sort digits descending minus ascending, repeat — EVERY
+# seed reaches 6174 within 7 steps, and 6174 is a fixed point. 250
+# md5 seeds (repdigits excluded) run an 8-step fold whose digit
+# sort is a 5-comparator sorting network in min/max expressions;
+# convergence (reached = 1) and the step count are frozen, and the
+# fixed-point property is visible in the g = -1 row seeded at 6174
+# itself (0 steps).
+_KAPREKAR_ORACLE = """
+WITH RECURSIVE grp AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % 250 AS g FROM customer
+),
+seeds AS MATERIALIZED (
+  SELECT g, n FROM (
+    SELECT g, 1 + ('0x' || substr(md5('kp:' || CAST(g AS VARCHAR)),
+                                  1, 6))::BIGINT % 9998 AS n
+    FROM grp
+  ) WHERE n % 1111 <> 0
+  UNION ALL
+  SELECT -1, 6174
+),
+st(g, n0, i, n, steps) AS (
+  SELECT g, n, 0, n, CASE WHEN n = 6174 THEN 0 ELSE -1 END FROM seeds
+  UNION ALL
+  SELECT g, n0, i + 1, nx,
+         CASE WHEN steps >= 0 THEN steps
+              WHEN nx = 6174 THEN i + 1 ELSE -1 END
+  FROM (
+    SELECT s.*,
+           (d1 * 1000 + d2 * 100 + d3 * 10 + d4)
+           - (d4 * 1000 + d3 * 100 + d2 * 10 + d1) AS nx
+    FROM (
+      -- 5-comparator sorting network on the four digits (desc)
+      SELECT s.*,
+             greatest(h1, h2) AS d1,
+             greatest(least(h1, h2), greatest(l1, l2)) AS d2,
+             least(greatest(l1, l2), least(h1, h2)) AS d3,
+             least(l1, l2) AS d4
+      FROM (
+        SELECT st.*,
+               greatest(st.n // 1000, (st.n // 100) % 10) AS h1,
+               least(st.n // 1000, (st.n // 100) % 10) AS l1,
+               greatest((st.n // 10) % 10, st.n % 10) AS h2,
+               least((st.n // 10) % 10, st.n % 10) AS l2
+        FROM st WHERE st.steps < 0 AND st.i < 8
+      ) s
+    ) s
+  ) s
+),
+fin AS (
+  SELECT g, n0, max(steps) AS steps FROM st GROUP BY g, n0
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(n0 AS BIGINT) AS seed,
+       CAST(steps AS BIGINT) AS steps_to_6174,
+       CAST(CASE WHEN steps >= 0 THEN 1 ELSE 0 END AS INT) AS reached
+FROM fin ORDER BY g
+"""
+
+
+@register_extra("kaprekar_6174", _KAPREKAR_ORACLE)
+def kaprekar_6174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaprekar convergence audit (see oracle comment) — one guarded
+    8-step fold per seed with the digit sort as a min/max comparator
+    network; universal convergence frozen."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    grp = c.select((F.col("c_custkey") % 250).alias("g")).distinct()
+    seeds = (
+        grp.select(
+            "g",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("kp:"), F.col("g").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 9998
+            ).alias("n"),
+        )
+        .filter(F.col("n") % 1111 != 0)
+        .unionByName(
+            c.sparkSession.createDataFrame([(-1, 6174)], "g long, n long")
+        )
+    )
+    # build desc-digit number and asc reverse via helper exprs
+    d1 = ("greatest(greatest(n div 1000, (n div 100) % 10),"
+          " greatest((n div 10) % 10, n % 10))")
+    l1 = "least(n div 1000, (n div 100) % 10)"
+    h1 = "greatest(n div 1000, (n div 100) % 10)"
+    l2 = "least((n div 10) % 10, n % 10)"
+    h2 = "greatest((n div 10) % 10, n % 10)"
+    d2 = f"greatest(least({h1}, {h2}), greatest({l1}, {l2}))"
+    d3 = f"least(greatest({l1}, {l2}), least({h1}, {h2}))"
+    d4 = f"least({l1}, {l2})"
+    nx = (
+        f"(({d1}) * 1000 + ({d2}) * 100 + ({d3}) * 10 + ({d4}))"
+        f" - (({d4}) * 1000 + ({d3}) * 100 + ({d2}) * 10 + ({d1}))"
+    ).replace("n div", "a.n div").replace("n % 10", "a.n % 10")
+    fold = (
+        "aggregate(sequence(1, 8),"
+        " named_struct('n', n, 'steps',"
+        "   IF(n = 6174, 0L, CAST(-1 AS BIGINT))),"
+        " (a, i) -> IF(a.steps >= 0, a,"
+        f"   named_struct('n', {nx},"
+        f"     'steps', IF(({nx}) = 6174, CAST(i AS BIGINT),"
+        "       CAST(-1 AS BIGINT)))))"
+    )
+    return (
+        seeds.withColumn("st", F.expr(fold))
+        .select(
+            F.col("g").cast("long"),
+            F.col("n").cast("long").alias("seed"),
+            F.col("st.steps").cast("long").alias("steps_to_6174"),
+            F.when(F.col("st.steps") >= 0, 1).otherwise(0).cast("int")
+            .alias("reached"),
+        )
+        .orderBy("g")
+    )
