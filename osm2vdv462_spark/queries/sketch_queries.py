@@ -6530,3 +6530,105 @@ def kaprekar_6174(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --------------------------------------------- Catalan two ways
+
+# Catalan numbers derived TWO independent ways and frozen equal:
+# binomially as C_n = binom(2n, n) / (n+1) with the binomial read
+# out of a 24-row Pascal-triangle fold (exact adds, exact final
+# division), and via Segner's 1758 recurrence
+# C_{n+1} = sum_i C_i C_{n-i} as twelve staged self-convolution
+# joins. Any drift in either derivation breaks the equality; the
+# classical values (C_10 = 16796, C_12 = 208012) ride in the rows.
+_CATALAN_SEG_SQL = """
+seg{n} AS MATERIALIZED (
+  SELECT * FROM seg{p}
+  UNION ALL
+  SELECT {n}, sum(a.c * b.c)
+  FROM seg{p} a JOIN seg{p} b ON b.n = {n} - 1 - a.n
+)
+"""
+
+_CATALAN_ORACLE = (
+    """
+WITH pascal AS MATERIALIZED (
+  SELECT nn.nn,
+         list_reduce(list_prepend([CAST(1 AS BIGINT)],
+           list_transform(generate_series(1, 2 * nn.nn),
+                          x -> [CAST(0 AS BIGINT)])),
+           (row, _) -> list_concat(list_concat([CAST(1 AS BIGINT)],
+             list_transform(generate_series(1, len(row) - 1),
+               i -> row[i] + row[i + 1])), [CAST(1 AS BIGINT)]))
+           AS row
+  FROM (SELECT unnest(generate_series(1, 12)) AS nn) nn
+),
+bino AS MATERIALIZED (
+  SELECT nn AS n, row[nn + 1] AS b,
+         row[nn + 1] // (nn + 1) AS c_binom
+  FROM pascal
+),
+seg0 AS MATERIALIZED (SELECT 0 AS n, CAST(1 AS BIGINT) AS c),
+"""
+    + ",".join(
+        _CATALAN_SEG_SQL.format(n=n, p=n - 1) for n in range(1, 13)
+    )
+    + """
+SELECT CAST(b.n AS INT) AS n, CAST(b.b AS BIGINT) AS binom_2n_n,
+       CAST(b.c_binom AS BIGINT) AS catalan_binom,
+       CAST(s.c AS BIGINT) AS catalan_segner,
+       CAST(CASE WHEN b.c_binom = s.c THEN 1 ELSE 0 END AS INT)
+         AS derivations_agree
+FROM bino b JOIN seg12 s ON s.n = b.n
+ORDER BY n
+"""
+)
+
+
+@register_extra("catalan_two_ways", _CATALAN_ORACLE)
+def catalan_two_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalan numbers by Pascal-fold binomials and by Segner's
+    recurrence (see oracle comment); equality frozen for n = 1..12."""
+    sess = spark
+    ns = sess.range(1, 13).select(F.col("id").cast("int").alias("n"))
+    pascal_fold = (
+        "aggregate(sequence(1, 2 * n), array(1L),"
+        " (row, k) -> IF(size(row) = 1, array(1L, 1L),"
+        "   concat(concat(array(1L),"
+        "   transform(sequence(1, size(row) - 1),"
+        "     i -> element_at(row, CAST(i AS INT))"
+        "          + element_at(row, CAST(i AS INT) + 1))),"
+        "   array(1L))))"
+    )
+    bino = ns.withColumn("row", F.expr(pascal_fold)).selectExpr(
+        "n",
+        "element_at(row, n + 1) AS b",
+        "element_at(row, n + 1) div (n + 1) AS c_binom",
+    )
+    seg = sess.createDataFrame([(0, 1)], "n int, c long")
+    for n in range(1, 13):
+        b2 = seg.select(
+            F.col("n").alias("n2"), F.col("c").alias("c2")
+        )
+        new = (
+            seg.join(b2, F.col("n2") == F.lit(n) - 1 - F.col("n"))
+            .agg(F.sum(F.col("c") * F.col("c2")).alias("c"))
+            .select(F.lit(n).cast("int").alias("n"), F.col("c"))
+        )
+        seg = seg.unionByName(new).localCheckpoint(eager=True)
+    return (
+        bino.join(
+            seg.select(F.col("n"), F.col("c").alias("c_seg")), "n"
+        )
+        .select(
+            F.col("n").cast("int"),
+            F.col("b").cast("long").alias("binom_2n_n"),
+            F.col("c_binom").cast("long").alias("catalan_binom"),
+            F.col("c_seg").cast("long").alias("catalan_segner"),
+            F.when(F.col("c_binom") == F.col("c_seg"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("derivations_agree"),
+        )
+        .orderBy("n")
+    )
