@@ -6632,3 +6632,98 @@ def catalan_two_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------- Heronian triangles
+
+# Heronian triangles (integer sides AND integer area): by Heron's
+# formula 16 A^2 = (a+b+c)(-a+b+c)(a-b+c)(a+b-c), so the census over
+# all side triples a <= b <= c <= 25 needs only an exact integer
+# square test — isqrt comes from floor(sqrt(double)) verified by
+# EXACT squaring (r*r = x), so float error cannot leak. The classic
+# examples lead the rows ((3,4,5) area 6, the (5,5,6) and (5,5,8)
+# twins both area 12); counts (27 Heronian / 18 primitive) and every
+# area are hash-frozen.
+_HERON_ORACLE = """
+WITH tri AS MATERIALIZED (
+  SELECT a.a, b.b, c.c,
+         (a.a + b.b + c.c) * (-a.a + b.b + c.c)
+         * (a.a - b.b + c.c) * (a.a + b.b - c.c) AS s16
+  FROM (SELECT unnest(generate_series(1, 25)) AS a) a,
+       (SELECT unnest(generate_series(1, 25)) AS b) b,
+       (SELECT unnest(generate_series(1, 25)) AS c) c
+  WHERE a.a <= b.b AND b.b <= c.c AND a.a + b.b > c.c
+),
+hq AS MATERIALIZED (
+  SELECT a, b, c, s16, CAST(floor(sqrt(s16)) AS BIGINT) AS r0
+  FROM tri
+),
+her AS MATERIALIZED (
+  SELECT a, b, c, s16,
+         CASE WHEN r0 * r0 = s16 THEN r0
+              WHEN (r0 + 1) * (r0 + 1) = s16 THEN r0 + 1
+              ELSE -1 END AS r
+  FROM hq
+)
+SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b, CAST(c AS INT) AS c,
+       CAST(r // 4 AS BIGINT) AS area,
+       CAST(CASE WHEN gcd(gcd(a, b), c) = 1 THEN 1 ELSE 0 END AS INT)
+         AS primitive
+FROM her
+WHERE r >= 0 AND r % 4 = 0 AND r > 0
+ORDER BY a, b, c
+"""
+
+
+@register_extra("heronian_triangles", _HERON_ORACLE)
+def heronian_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heronian triangle census to side 25 (see oracle comment) —
+    Heron 16A^2 with a square-verified isqrt; 27 rows, every area
+    exact."""
+    sess = spark
+    r25 = sess.range(1, 26).select(F.col("id").cast("long"))
+    tri = (
+        r25.select(F.col("id").alias("a"))
+        .crossJoin(r25.select(F.col("id").alias("b")))
+        .crossJoin(r25.select(F.col("id").alias("c")))
+        .filter(
+            (F.col("a") <= F.col("b"))
+            & (F.col("b") <= F.col("c"))
+            & (F.col("a") + F.col("b") > F.col("c"))
+        )
+        .withColumn(
+            "s16",
+            F.expr(
+                "(a + b + c) * (-a + b + c) * (a - b + c) * (a + b - c)"
+            ),
+        )
+    )
+    her = tri.withColumn(
+        "r0", F.expr("CAST(floor(sqrt(CAST(s16 AS DOUBLE))) AS BIGINT)")
+    ).withColumn(
+        "r",
+        F.expr(
+            "CASE WHEN r0 * r0 = s16 THEN r0"
+            " WHEN (r0 + 1) * (r0 + 1) = s16 THEN r0 + 1"
+            " ELSE -1 END"
+        ),
+    )
+    gcdf = (
+        "aggregate(sequence(1, 12), named_struct('u', %s, 'v', %s),"
+        " (s, k) -> IF(s.v = 0, s, named_struct('u', s.v,"
+        " 'v', s.u %% s.v)), s -> s.u)"
+    )
+    return (
+        her.filter((F.col("r") > 0) & (F.col("r") % 4 == 0))
+        .select(
+            F.col("a").cast("int"),
+            F.col("b").cast("int"),
+            F.col("c").cast("int"),
+            F.expr("r div 4").cast("long").alias("area"),
+            F.expr(
+                "CAST(IF(" + (gcdf % ((gcdf % ("a", "b")), "c")) + " = 1,"
+                " 1, 0) AS INT)"
+            ).alias("primitive"),
+        )
+        .orderBy("a", "b", "c")
+    )
