@@ -6727,3 +6727,90 @@ def heronian_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b", "c")
     )
+
+
+# --------------------------------------------- Ramsey R(3,3) = 6
+
+# Ramsey's theorem, smallest case, certified EXHAUSTIVELY: among any
+# six people, some three are mutual friends or mutual strangers. The
+# query enumerates ALL 2^15 = 32768 two-colorings of K6's edges and
+# finds a monochromatic triangle in every single one (escape count
+# frozen at 0), while on K5 exactly the 12 pentagon/pentagram
+# colorings escape (frozen at 12) — so R(3,3) = 6, both bounds
+# proved by enumeration inside the gate hash. Triangle->edge-index
+# tables are frozen literals shared by both engines.
+_RAMSEY_TRIS = [(5, 0, 0, 1, 4), (5, 1, 0, 2, 5), (5, 2, 0, 3, 6), (5, 3, 1, 2, 7), (5, 4, 1, 3, 8), (5, 5, 2, 3, 9), (5, 6, 4, 5, 7), (5, 7, 4, 6, 8), (5, 8, 5, 6, 9), (5, 9, 7, 8, 9), (6, 0, 0, 1, 5), (6, 1, 0, 2, 6), (6, 2, 0, 3, 7), (6, 3, 0, 4, 8), (6, 4, 1, 2, 9), (6, 5, 1, 3, 10), (6, 6, 1, 4, 11), (6, 7, 2, 3, 12), (6, 8, 2, 4, 13), (6, 9, 3, 4, 14), (6, 10, 5, 6, 9), (6, 11, 5, 7, 10), (6, 12, 5, 8, 11), (6, 13, 6, 7, 12), (6, 14, 6, 8, 13), (6, 15, 7, 8, 14), (6, 16, 9, 10, 12), (6, 17, 9, 11, 13), (6, 18, 10, 11, 14), (6, 19, 12, 13, 14)]
+
+_RAMSEY_ORACLE = """
+WITH tris(n, t, e1, e2, e3) AS (VALUES (5, 0, 0, 1, 4), (5, 1, 0, 2, 5), (5, 2, 0, 3, 6), (5, 3, 1, 2, 7), (5, 4, 1, 3, 8), (5, 5, 2, 3, 9), (5, 6, 4, 5, 7), (5, 7, 4, 6, 8), (5, 8, 5, 6, 9), (5, 9, 7, 8, 9), (6, 0, 0, 1, 5), (6, 1, 0, 2, 6), (6, 2, 0, 3, 7), (6, 3, 0, 4, 8), (6, 4, 1, 2, 9), (6, 5, 1, 3, 10), (6, 6, 1, 4, 11), (6, 7, 2, 3, 12), (6, 8, 2, 4, 13), (6, 9, 3, 4, 14), (6, 10, 5, 6, 9), (6, 11, 5, 7, 10), (6, 12, 5, 8, 11), (6, 13, 6, 7, 12), (6, 14, 6, 8, 13), (6, 15, 7, 8, 14), (6, 16, 9, 10, 12), (6, 17, 9, 11, 13), (6, 18, 10, 11, 14), (6, 19, 12, 13, 14)),
+cfg AS MATERIALIZED (
+  SELECT n, ne FROM (VALUES (5, 10), (6, 15)) v(n, ne)
+),
+masks AS MATERIALIZED (
+  SELECT c.n, m.m
+  FROM cfg c, (SELECT unnest(generate_series(0, 32767)) AS m) m
+  WHERE m.m < (1 << c.ne)
+),
+bad AS MATERIALIZED (
+  SELECT DISTINCT k.n, k.m
+  FROM masks k
+  JOIN tris t ON t.n = k.n
+  WHERE ((k.m >> t.e1) & 1) = ((k.m >> t.e2) & 1)
+    AND ((k.m >> t.e2) & 1) = ((k.m >> t.e3) & 1)
+)
+SELECT CAST(c.n AS INT) AS n,
+       CAST((1 << c.ne) AS BIGINT) AS n_colorings,
+       CAST((1 << c.ne) - count(b.m) AS BIGINT) AS n_escaping,
+       CAST(CASE WHEN c.n = 6 AND (1 << c.ne) - count(b.m) = 0 THEN 1
+                 WHEN c.n = 5 AND (1 << c.ne) - count(b.m) = 12 THEN 1
+                 ELSE 0 END AS INT) AS ramsey_certified
+FROM cfg c LEFT JOIN bad b ON b.n = c.n
+GROUP BY c.n, c.ne ORDER BY n
+"""
+
+
+@register_extra("ramsey_r33_certificate", _RAMSEY_ORACLE)
+def ramsey_r33_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive R(3,3) = 6 certificate (see oracle comment) — one
+    coloring x triangle join per clique size; both bounds frozen."""
+    sess = spark
+    tris = sess.createDataFrame(
+        _RAMSEY_TRIS, "n int, t int, e1 int, e2 int, e3 int"
+    )
+    cfg = sess.createDataFrame([(5, 10), (6, 15)], "n int, ne int")
+    masks = (
+        cfg.crossJoin(
+            sess.range(0, 32768).select(F.col("id").cast("long").alias("m"))
+        )
+        .filter(F.expr("m < shiftleft(1L, ne)"))
+    )
+    bad = (
+        masks.join(F.broadcast(tris), "n")
+        .filter(
+            F.expr(
+                "((m >> e1) & 1) = ((m >> e2) & 1)"
+                " AND ((m >> e2) & 1) = ((m >> e3) & 1)"
+            )
+        )
+        .select("n", "m")
+        .distinct()
+    )
+    return (
+        cfg.join(
+            bad.groupBy("n").agg(F.count(F.lit(1)).alias("n_bad")),
+            "n",
+            "left",
+        )
+        .selectExpr(
+            "CAST(n AS INT) AS n",
+            "CAST(shiftleft(1L, ne) AS BIGINT) AS n_colorings",
+            "CAST(shiftleft(1L, ne) - coalesce(n_bad, 0) AS BIGINT)"
+            " AS n_escaping",
+            "CAST(CASE WHEN n = 6 AND shiftleft(1L, ne)"
+            " - coalesce(n_bad, 0) = 0 THEN 1"
+            " WHEN n = 5 AND shiftleft(1L, ne)"
+            " - coalesce(n_bad, 0) = 12 THEN 1 ELSE 0 END AS INT)"
+            " AS ramsey_certified",
+        )
+        .orderBy("n")
+    )
