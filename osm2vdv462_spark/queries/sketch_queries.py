@@ -6814,3 +6814,47 @@ def ramsey_r33_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------- Hanoi ruler census
+
+# Tower of Hanoi, closed form: in the optimal 2^n - 1 move solution,
+# move k moves disk = (number of trailing zeros of k) — the ruler
+# sequence — so disk d moves exactly 2^(n-1-d) times. For n = 10 the
+# query derives every move's disk via the trailing-zero bit trick
+# tz(k) = bit_count((k & -k) - 1), aggregates the per-disk move
+# counts and freezes the 2^(n-1-d) law plus the 1023-move total.
+_HANOI_ORACLE = """
+WITH mv AS MATERIALIZED (
+  SELECT k.k, bit_count((k.k & (-k.k)) - 1) AS disk
+  FROM (SELECT unnest(generate_series(1, 1023)) AS k) k
+)
+SELECT CAST(disk AS INT) AS disk,
+       CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(1::BIGINT << (9 - disk) AS BIGINT) AS predicted,
+       CAST(CASE WHEN count(*) = (1::BIGINT << (9 - disk))
+            THEN 1 ELSE 0 END AS INT) AS law_holds
+FROM mv GROUP BY disk ORDER BY disk
+"""
+
+
+@register_extra("hanoi_ruler_census", _HANOI_ORACLE)
+def hanoi_ruler_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hanoi move census via the ruler sequence (see oracle comment)
+    — per-disk counts match 2^(n-1-d) exactly, frozen."""
+    sess = spark
+    return (
+        sess.range(1, 1024)
+        .select(F.col("id").cast("long").alias("k"))
+        .withColumn("disk", F.expr("bit_count((k & -k) - 1)"))
+        .groupBy("disk")
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+        .selectExpr(
+            "CAST(disk AS INT) AS disk",
+            "CAST(n_moves AS BIGINT) AS n_moves",
+            "CAST(shiftleft(1L, 9 - disk) AS BIGINT) AS predicted",
+            "CAST(IF(n_moves = shiftleft(1L, 9 - disk), 1, 0) AS INT)"
+            " AS law_holds",
+        )
+        .orderBy("disk")
+    )
