@@ -6858,3 +6858,410 @@ def hanoi_ruler_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disk")
     )
+
+
+# --------------------------------------------- Bouton's Nim theorem
+
+# Bouton's theorem (1901) — the first solved combinatorial game:
+# a Nim position is losing iff the XOR of its pile sizes is zero.
+# The query proves it exhaustively for three piles <= 5: backward
+# induction over 12 simultaneous rounds (a position is W once some
+# move reaches a known L, L once every move reaches a known W)
+# classifies all 216 positions, and the verdict must equal the XOR
+# rule on every row — agreement frozen, 28 losing positions.
+_NIM_ORACLE = """
+WITH pos AS MATERIALIZED (
+  SELECT a.a, b.b, c.c
+  FROM (SELECT unnest(generate_series(0, 5)) AS a) a,
+       (SELECT unnest(generate_series(0, 5)) AS b) b,
+       (SELECT unnest(generate_series(0, 5)) AS c) c
+),
+mv AS MATERIALIZED (
+  SELECT p.a, p.b, p.c, v.v AS ta, p.b AS tb, p.c AS tc
+  FROM pos p, (SELECT unnest(generate_series(0, 4)) AS v) v
+  WHERE v.v < p.a
+  UNION ALL
+  SELECT p.a, p.b, p.c, p.a, v.v, p.c
+  FROM pos p, (SELECT unnest(generate_series(0, 4)) AS v) v
+  WHERE v.v < p.b
+  UNION ALL
+  SELECT p.a, p.b, p.c, p.a, p.b, v.v
+  FROM pos p, (SELECT unnest(generate_series(0, 4)) AS v) v
+  WHERE v.v < p.c
+),
+st0 AS MATERIALIZED (
+  SELECT 0 AS a, 0 AS b, 0 AS c, 'L' AS s
+),
+st1 AS MATERIALIZED (
+  SELECT * FROM st0
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st0 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st0 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st0 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st0 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st2 AS MATERIALIZED (
+  SELECT * FROM st1
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st1 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st1 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st1 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st1 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st3 AS MATERIALIZED (
+  SELECT * FROM st2
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st2 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st2 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st2 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st2 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st4 AS MATERIALIZED (
+  SELECT * FROM st3
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st3 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st3 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st3 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st3 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st5 AS MATERIALIZED (
+  SELECT * FROM st4
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st4 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st4 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st4 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st4 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st6 AS MATERIALIZED (
+  SELECT * FROM st5
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st5 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st5 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st5 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st5 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st7 AS MATERIALIZED (
+  SELECT * FROM st6
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st6 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st6 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st6 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st6 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st8 AS MATERIALIZED (
+  SELECT * FROM st7
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st7 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st7 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st7 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st7 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st9 AS MATERIALIZED (
+  SELECT * FROM st8
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st8 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st8 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st8 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st8 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st10 AS MATERIALIZED (
+  SELECT * FROM st9
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st9 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st9 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st9 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st9 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st11 AS MATERIALIZED (
+  SELECT * FROM st10
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st10 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st10 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st10 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st10 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+),
+st12 AS MATERIALIZED (
+  SELECT * FROM st11
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'W' AS s
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st11 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND EXISTS (SELECT 1 FROM mv m
+                JOIN st11 z ON z.a = m.ta AND z.b = m.tb
+                             AND z.c = m.tc AND z.s = 'L'
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+  UNION ALL
+  SELECT q.a, q.b, q.c, 'L'
+  FROM pos q
+  WHERE NOT EXISTS (SELECT 1 FROM st11 z
+                    WHERE z.a = q.a AND z.b = q.b AND z.c = q.c)
+    AND NOT EXISTS (SELECT 1 FROM mv m
+                    LEFT JOIN st11 z ON z.a = m.ta AND z.b = m.tb
+                                      AND z.c = m.tc AND z.s = 'W'
+                    WHERE m.a = q.a AND m.b = q.b AND m.c = q.c
+                      AND z.a IS NULL)
+    AND EXISTS (SELECT 1 FROM mv m
+                WHERE m.a = q.a AND m.b = q.b AND m.c = q.c)
+)
+SELECT CAST(f.a AS INT) AS a, CAST(f.b AS INT) AS b,
+       CAST(f.c AS INT) AS c, f.s AS verdict,
+       CAST(xor(xor(f.a, f.b), f.c) AS INT) AS pile_xor,
+       CAST(CASE WHEN (f.s = 'L') = (xor(xor(f.a, f.b), f.c) = 0)
+            THEN 1 ELSE 0 END AS INT) AS bouton_agrees
+FROM st12 f
+ORDER BY a, b, c
+"""
+
+
+@register_extra("nim_bouton_theorem", _NIM_ORACLE)
+def nim_bouton_theorem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bouton's Nim theorem proved exhaustively (see oracle comment)
+    — 12 backward-induction rounds over the 216-position lattice in
+    Spark mirror the staged SQL; XOR-rule agreement frozen per
+    position."""
+    sess = spark
+    r6 = sess.range(0, 6).select(F.col("id").cast("int"))
+    pos = (
+        r6.select(F.col("id").alias("a"))
+        .crossJoin(r6.select(F.col("id").alias("b")))
+        .crossJoin(r6.select(F.col("id").alias("c")))
+        .localCheckpoint(eager=True)
+    )
+    v5 = sess.range(0, 5).select(F.col("id").cast("int").alias("v"))
+    mv = (
+        pos.crossJoin(F.broadcast(v5))
+        .filter(F.col("v") < F.col("a"))
+        .selectExpr("a", "b", "c", "v AS ta", "b AS tb", "c AS tc")
+        .unionByName(
+            pos.crossJoin(F.broadcast(v5))
+            .filter(F.col("v") < F.col("b"))
+            .selectExpr("a", "b", "c", "a AS ta", "v AS tb", "c AS tc")
+        )
+        .unionByName(
+            pos.crossJoin(F.broadcast(v5))
+            .filter(F.col("v") < F.col("c"))
+            .selectExpr("a", "b", "c", "a AS ta", "b AS tb", "v AS tc")
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = sess.createDataFrame([(0, 0, 0, "L")], "a int, b int, c int, s string")
+    for _ in range(12):
+        zl = st.filter(F.col("s") == "L").select(
+            F.col("a").alias("ta"), F.col("b").alias("tb"),
+            F.col("c").alias("tc"),
+        )
+        zw = st.filter(F.col("s") == "W").select(
+            F.col("a").alias("ta"), F.col("b").alias("tb"),
+            F.col("c").alias("tc"), F.lit(1).alias("isw"),
+        )
+        uncls = pos.join(st.select("a", "b", "c"), ["a", "b", "c"],
+                         "left_anti")
+        wnew = (
+            uncls.join(mv, ["a", "b", "c"])
+            .join(F.broadcast(zl), ["ta", "tb", "tc"])
+            .select("a", "b", "c")
+            .distinct()
+            .withColumn("s", F.lit("W"))
+        )
+        lnew = (
+            uncls.join(mv, ["a", "b", "c"])
+            .join(F.broadcast(zw), ["ta", "tb", "tc"], "left")
+            .groupBy("a", "b", "c")
+            .agg(
+                F.count(F.lit(1)).alias("nm"),
+                F.sum(F.coalesce("isw", F.lit(0))).alias("nw"),
+            )
+            .filter(F.col("nm") == F.col("nw"))
+            .select("a", "b", "c")
+            .join(wnew.select("a", "b", "c"), ["a", "b", "c"], "left_anti")
+            .withColumn("s", F.lit("L"))
+        )
+        st = st.unionByName(wnew).unionByName(lnew)
+        st = sess.createDataFrame(st.rdd.cache(), st.schema)
+    return st.select(
+        F.col("a").cast("int"),
+        F.col("b").cast("int"),
+        F.col("c").cast("int"),
+        F.col("s").alias("verdict"),
+        F.expr("CAST(a ^ b ^ c AS INT)").alias("pile_xor"),
+        F.expr(
+            "CAST(IF((s = 'L') = ((a ^ b ^ c) = 0), 1, 0) AS INT)"
+        ).alias("bouton_agrees"),
+    ).orderBy("a", "b", "c")
