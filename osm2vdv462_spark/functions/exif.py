@@ -130,6 +130,11 @@ def parse_gps(jpeg: bytes):
     while pos + 4 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             return None
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(jpeg):
+            return None
         marker = jpeg[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

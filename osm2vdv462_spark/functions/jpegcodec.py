@@ -232,6 +232,9 @@ def parse_dqt_raw(data: bytes) -> dict[int, bytes]:
         if data[i] != 0xFF:
             i += 1
             continue
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 3 < n and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -625,6 +628,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
         if i + 3 >= n:  # truncated stream: no room for marker + length
             break
         marker = data[i + 1]
@@ -945,6 +951,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
         if i + 1 >= n:
             break
         marker = data[i + 1]

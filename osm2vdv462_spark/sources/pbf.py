@@ -147,7 +147,11 @@ def _blob_payload(raw: bytes) -> bytes:
         elif fno == 7 and wt == 2:
             raise ValueError(
                 "unsupported PBF Blob compression 'zstd' (field 7);"
-                " raw/zlib/lzma/bzip2/lz4 blobs are readable here"
+                " raw/zlib/lzma/bzip2/lz4 blobs are readable here."
+                " Workaround: recompress the extract once with"
+                " `osmium cat in.osm.pbf -o out.osm.pbf -f"
+                " pbf,pbf_compression=zlib` (see README 'Input"
+                " formats')"
             )
     if data is None:
         raise ValueError("PBF Blob carries no recognized payload")

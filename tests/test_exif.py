@@ -98,6 +98,17 @@ class TestForeignLayouts:
         got = exif.parse_gps(stitched)
         assert got is not None and got[0] == "N" and got[2] == "E"
 
+    def test_fill_bytes_before_app1_marker(self):
+        """JPEG B.1.1.2 fill bytes (0xFF padding) before segment markers
+        must not derail the APP1 scan (r4 ADVICE fill-byte fix)."""
+        data = _jpeg()
+        app1 = exif.build_gps_app1(
+            "N", [(1, 1), (2, 1), (3, 1)], "E", [(4, 1), (5, 1), (6, 1)]
+        )
+        padded = data[:2] + b"\xff\xff\xff" + app1 + b"\xff\xff" + data[2:]
+        got = exif.parse_gps(padded)
+        assert got == ("N", [(1, 1), (2, 1), (3, 1)], "E", [(4, 1), (5, 1), (6, 1)])
+
     def test_truncated_and_corrupt_bodies_return_none(self):
         app1 = exif.build_gps_app1(
             "N", [(1, 1), (2, 1), (3, 1)], "E", [(4, 1), (5, 1), (6, 1)]

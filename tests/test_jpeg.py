@@ -282,6 +282,33 @@ class TestQualityEstimate:
         est, n = J.estimate_quality(bytes(data))
         assert n == 2 and est == -1
 
+    def test_fill_bytes_before_markers(self):
+        # JPEG B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes; a padded real-world file must parse identically
+        # (r4 ADVICE: the scan used to treat the fill byte itself as a
+        # marker id and misread segment lengths).
+        px = ic.synth_pixels_smooth(5, 16, 16)
+        clean = J.encode_jpeg(px, quality=64)
+        padded = bytearray()
+        i = 0
+        while i < len(clean):
+            # pad in the header region only (before SOS): inside the
+            # entropy stream 0xFF is data, not marker space
+            if (
+                clean[i] == 0xFF
+                and clean[i + 1] in (0xDB, 0xC0, 0xC4, 0xDA)
+            ):
+                padded += b"\xff\xff\xff"
+            padded.append(clean[i])
+            i += 1
+            if padded[-2:] == b"\xff\xda":  # copy the rest verbatim
+                padded += clean[i:]
+                break
+        padded = bytes(padded)
+        assert J.estimate_quality(padded) == J.estimate_quality(clean)
+        assert J.parse_dqt_raw(padded) == J.parse_dqt_raw(clean)
+        assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(clean))
+
     def test_parse_dqt_raw_layout(self):
         px = ic.synth_pixels_smooth(3, 16, 16)
         data = J.encode_jpeg(px, quality=85)
