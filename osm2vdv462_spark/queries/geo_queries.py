@@ -479,7 +479,7 @@ def _s2_sql_expr(level: int) -> str:
     return s2cells.s2_sql("lon", "lat", level)
 
 
-@register_extra(
+@register(
     "s2_cell_counts",
     f"""
     {_IMAGES_CTE}
@@ -560,7 +560,7 @@ def s2_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LON_CUT = 0.1
 
 
-@register_extra(
+@register(
     "image_geo_assign_pruned",
     f"""
     WITH p AS (SELECT * FROM ({_IMAGES_SELECT}) WHERE lon >= {_LON_CUT}),
@@ -750,7 +750,7 @@ def image_pipeline_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WDS_DIRS: dict = {}
 
 
-@register_extra(
+@register(
     "wds_geo_assign",
     f"""
     {_IMAGES_CTE}, t AS ({datagen.SQL_QUAYS}),
@@ -996,7 +996,7 @@ def image_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVW_DIRS: dict = {}
 
 
-@register_extra(
+@register(
     "image_tiles_incremental",
     f"""
     {_IMAGES_CTE},
@@ -6947,8 +6947,9 @@ SELECT CAST(r.radius AS INT) AS radius,
        CAST(agg.n AS BIGINT) AS n_points,
        CAST(CASE r.radius WHEN 25 THEN p25 WHEN 50 THEN p50
             ELSE p100 END AS BIGINT) AS pair_count,
-       CAST(40000000000 * CASE r.radius WHEN 25 THEN p25 WHEN 50 THEN p50
-            ELSE p100 END // (agg.n * (agg.n - 1)) AS BIGINT) AS k_scaled
+       CAST(40000000000::HUGEINT * CASE r.radius WHEN 25 THEN p25 WHEN 50
+            THEN p50 ELSE p100 END
+            // (agg.n * (agg.n - 1)) AS BIGINT) AS k_scaled
 FROM r CROSS JOIN agg
 ORDER BY radius
 """
@@ -7025,7 +7026,12 @@ def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_points"),
         pc.cast("bigint").alias("pair_count"),
         F.expr(
-            "CAST(40000000000 * "
+            # 4e10 * pair_count exceeds int64 once pair_count > ~2.3e8
+            # (denser lattice / larger SF): route the product through
+            # HUGEINT / DECIMAL(38,0) so both engines stay exact instead
+            # of Spark wrapping silently where DuckDB raises (r4 ADVICE).
+            # Quotient <= 4e10 by construction (pair_count <= n*(n-1)).
+            "CAST(CAST(40000000000 AS DECIMAL(38,0)) * "
             "CASE radius WHEN 25 THEN p25 WHEN 50 THEN p50 ELSE p100 END"
             " div (n * (n - 1)) AS BIGINT)"
         ).alias("k_scaled"),

@@ -33,7 +33,7 @@ def image_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("image_id", "fmt", "pixel_ok", "caption_ok", "phash_ok")
 
 
-@register_extra(
+@register(
     "image_integrity_prog",
     """
     SELECT 'img_' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS image_id,
@@ -338,7 +338,7 @@ FROM hx WHERE ham <= 6 ORDER BY 1, 2
 )
 
 
-@register("image_phash_neardup", _PHASH_NEARDUP_ORACLE)
+@register_extra("image_phash_neardup", _PHASH_NEARDUP_ORACLE)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup: decode -> thumbnail aHash -> 4x16-bit
     banded blocking -> exact Hamming verify (<= 6 bits) on candidates
@@ -531,7 +531,7 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return im.with_pixel_stats(imgs).orderBy("image_id")
 
 
-@register("dedup_clusters", _cluster_oracle())
+@register_extra("dedup_clusters", _cluster_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified
     MinHash-LSH pair graph (iterative min-label propagation — Spark
@@ -812,7 +812,7 @@ def _near_dup_oracle() -> str:
     """
 
 
-@register("embedding_near_dup", _near_dup_oracle())
+@register_extra("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
     candidates + exact cosine >= 0.98, over embeddings plus injected
@@ -888,7 +888,7 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("ivf_cosine_top3", _ivf_oracle())
+@register_extra("ivf_cosine_top3", _ivf_oracle())
 def ivf_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 cosine neighbors (coarse quantizer cells +
     n_probe inverted lists + exact rerank — the second ANN family from
@@ -1034,7 +1034,7 @@ FROM sad ORDER BY video_id, frame_no
 """
 
 
-@register_extra("video_scene_cuts", _SCENE_CUT_ORACLE)
+@register("video_scene_cuts", _SCENE_CUT_ORACLE)
 def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection (the curation pass that segments clips
     into shots before sampling): per consecutive frame pair, integer
@@ -1156,7 +1156,7 @@ FROM seg ORDER BY doc_id, seg_idx
 """
 
 
-@register_extra("audio_vad_segments", _VAD_ORACLE)
+@register("audio_vad_segments", _VAD_ORACLE)
 def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy VAD + speech segmentation over the silence-gated corpus
     (the curation pass that trims silence before transcription/packing).
@@ -1205,7 +1205,7 @@ FROM c ORDER BY doc_id, frame_idx, bin
 """
 
 
-@register("audio_spectral_bins", _SPECTRAL_ORACLE)
+@register_extra("audio_spectral_bins", _SPECTRAL_ORACLE)
 def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed integer-DFT spectrogram (the spectral-feature pass a
     speech/music curation pipeline filters on): per clip frame and
@@ -1526,7 +1526,7 @@ def _edge_oracle() -> str:
     """
 
 
-@register("image_edge_stats", _edge_oracle())
+@register_extra("image_edge_stats", _edge_oracle())
 def image_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sobel edge density through the REAL PNG decode path: L1 gradient
     magnitude stats over interior pixels — the busy-image curation

@@ -286,7 +286,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "dataset_split",
     """
     WITH t AS (
@@ -331,7 +331,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "sequence_packing",
     """
     WITH t AS (
@@ -383,7 +383,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "repetition_stats",
     """
     WITH t AS (
@@ -483,7 +483,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "embedding_normalize",
     """
     WITH s AS (
@@ -854,7 +854,7 @@ FROM red2
 """
 
 
-@register_extra("pii_redact", _PII_ORACLE)
+@register("pii_redact", _PII_ORACLE)
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (operators/textops.py::pii_redact): email / phone /
     IPv4 detection counts + redacted-text md5. The synthetic corpus
@@ -923,7 +923,7 @@ GROUP BY 1, 2
 """
 
 
-@register_extra("contamination_check", _CONTAMINATION_ORACLE)
+@register("contamination_check", _CONTAMINATION_ORACLE)
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination audit (operators/textops.py::
     ngram_contamination): every doc_id % 50 == 0 document plays the
@@ -1122,7 +1122,7 @@ SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
 """
 
 
-@register_extra("bpe_pair_counts", _BPE_PAIR_ORACLE)
+@register("bpe_pair_counts", _BPE_PAIR_ORACLE)
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE trainer's per-round kernel (operators/bpe.py): word-
     frequency dict (the trainer's ONE corpus pass) -> symbolize ->
