@@ -548,7 +548,7 @@ class _HuffTable:
     cost per coefficient, and a corpus decodes the same 4 standard
     tables millions of times."""
 
-    __slots__ = ("sym", "length")
+    __slots__ = ("sym", "length", "ac_fast")
 
     def __init__(self, bits: list[int], vals: list[int]):
         sym = np.zeros(1 << 16, np.int16)
@@ -566,6 +566,70 @@ class _HuffTable:
             code <<= 1
         self.sym = sym.tolist()
         self.length = length.tolist()
+        self.ac_fast = None  # built lazily by _ac_fast (AC tables only)
+
+
+def _ac_fast(table: _HuffTable) -> list:
+    """Multi-symbol AC decode table (the libjpeg-turbo trick, r4
+    verdict item 7): entry[peek16] packs EVERY complete
+    (code + magnitude) unit that fits in the 16-bit peek window —
+    typically 2-4 quantized coefficients per Python loop iteration
+    instead of 1 (short busy-block codes are 3-6 bits incl. magnitude).
+    Entry = (bits_consumed, ops, k_tail, term) with ops a tuple of
+    (zigzag_advance, value, cum_bits); term 0 = continue, 1 = EOB,
+    2 = fall back to the single-symbol path (unit spans past the
+    window), 3 = invalid code. cum_bits is the stream position after
+    that unit: a block can complete (k = 64) MID-entry, in which case
+    the remaining units were speculatively decoded from the NEXT
+    block's bits and must not be consumed. Build cost ~0.3 s per
+    table, paid once per worker process and cached on the table object
+    (_HUFF_CACHE persists across images — web corpora reuse the two
+    Annex-K tables)."""
+    if table.ac_fast is not None:
+        return table.ac_fast
+    alen, asym = table.length, table.sym
+    tab = [None] * 65536
+    for p in range(65536):
+        bits = 0
+        ops = []
+        ktail = 0
+        term = 0
+        while True:
+            pk = (p << bits) & 0xFFFF
+            ln = alen[pk]
+            if ln == 0:
+                # bits==0: the full 16-bit peek is known -> truly
+                # invalid; otherwise the zero-padded tail just failed
+                # to resolve — stop with what we have
+                if bits == 0:
+                    term = 3
+                elif not ops and ktail == 0:
+                    term = 2
+                break
+            if bits + ln > 16:
+                term = 0 if (ops or ktail) else 2
+                break
+            s = asym[pk]
+            run, size = s >> 4, s & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    bits += ln
+                    ktail += 16
+                    continue
+                bits += ln  # EOB
+                term = 1
+                break
+            if bits + ln + size > 16:
+                term = 0 if (ops or ktail) else 2
+                break
+            mag = (p >> (16 - bits - ln - size)) & ((1 << size) - 1)
+            val = mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+            ops.append((ktail + run, val, bits + ln + size))
+            ktail = 0
+            bits += ln + size
+        tab[p] = (bits, tuple(ops), ktail, term)
+    table.ac_fast = tab
+    return tab
 
 
 def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
@@ -736,7 +800,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for ci in range(len(comps)):
         td, ta = tsel_by_comp[ci]
         dct, act = huff[(0, td)], huff[(1, ta)]
-        tabs.append((dct.sym, dct.length, act.sym, act.length))
+        tabs.append((dct.sym, dct.length, act.sym, act.length, _ac_fast(act)))
     # zigzag coefficient rows + block-grid coords, batched per component
     comp_coeffs: list[list[list[int]]] = [[] for _ in comps]
     comp_by: list[list[int]] = [[] for _ in comps]
@@ -754,13 +818,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             seg_count = 0
         my, mx = divmod(mcu_index, mcus_x)
         for ci, dy, dx in order:
-            dsym, dlen, asym, alen = tabs[ci]
+            dsym, dlen, asym, alen, afast = tabs[ci]
             # --- DC: one fill guarantees >= 32 bits, enough for the
-            # longest code (16) + magnitude extra bits (<= 15)
-            while nb < 32:
-                acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFFFFFF
-                pos += 1
-                nb += 8
+            # longest code (16) + magnitude extra bits (<= 15).
+            # Refill 4 bytes in ONE int.from_bytes (nb < 32 here, so
+            # nb+32 < 64 and the 64-bit mask bounds int size) — the
+            # byte-at-a-time loop paid 4 Python rounds per refill.
+            if nb < 32:
+                acc = (
+                    (acc << 32) | int.from_bytes(seg[pos : pos + 4], "big")
+                ) & 0xFFFFFFFFFFFFFFFF
+                pos += 4
+                nb += 32
             peek = (acc >> (nb - 16)) & 0xFFFF
             ln = dlen[peek]
             if ln == 0:
@@ -775,22 +844,46 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             blk[0] = pred[ci]
             k = 1
             while k < 64:
-                while nb < 32:
-                    acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFFFFFF
-                    pos += 1
-                    nb += 8
+                if nb < 32:
+                    acc = (
+                        (acc << 32)
+                        | int.from_bytes(seg[pos : pos + 4], "big")
+                    ) & 0xFFFFFFFFFFFFFFFF
+                    pos += 4
+                    nb += 32
                 peek = (acc >> (nb - 16)) & 0xFFFF
-                ln = alen[peek]
-                if ln == 0:
+                bits, ops, ktail, term = afast[peek]
+                if term < 2:  # fast path: every unit sat inside peek
+                    done = False
+                    for kadv, v, cb in ops:
+                        k += kadv
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        blk[k] = v
+                        k += 1
+                        if k > 63:
+                            # block complete mid-entry: the rest of the
+                            # entry was decoded from the NEXT block's
+                            # bits — consume only up to this unit
+                            nb -= cb
+                            done = True
+                            break
+                    if done:
+                        break
+                    nb -= bits
+                    if term:  # EOB
+                        break
+                    k += ktail
+                    continue
+                if term == 3:
                     raise ValueError("invalid AC Huffman code")
+                # term == 2: single symbol whose code+magnitude spans
+                # past the 16-bit window (nb >= 32 here, so code (<=16)
+                # + magnitude (<=15) are both in acc)
+                ln = alen[peek]
                 sym = asym[peek]
                 nb -= ln
                 run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
                 k += run
                 if k > 63:
                     raise ValueError("AC run past end of block")
@@ -868,10 +961,14 @@ class _Bits:
         self.nb = 0
 
     def _fill(self):
-        while self.nb < 25:
-            self.acc = ((self.acc << 8) | self.seg[self.pos]) & 0xFFFFFFFFFF
-            self.pos += 1
-            self.nb += 8
+        # 4-byte refill in one int.from_bytes (callers guarantee
+        # nb < 32 here, so nb+32 < 64 and the mask bounds int size)
+        self.acc = (
+            (self.acc << 32)
+            | int.from_bytes(self.seg[self.pos : self.pos + 4], "big")
+        ) & 0xFFFFFFFFFFFFFFFF
+        self.pos += 4
+        self.nb += 32
 
     def huff(self, table: _HuffTable) -> int:
         if self.nb < 16:
