@@ -41,6 +41,22 @@ def ensure_shipped(spark: SparkSession) -> None:
             spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     except Exception:
         pass
+    # Arrow batches must be bounded by BYTES, not records: the image /
+    # video / audio tables carry KB-scale binary rows, and at sf1 the
+    # default 10000-record batches reach ~20-40 MB each — with 32
+    # concurrent tasks the JVM-side transfer buffers exceeded a plain
+    # session's 1g direct-memory cap and killed the JVM
+    # (BENCH/sf1_round5.json first pass, arrow OutOfMemoryException in
+    # the image_integrity stage). 8 MB x 32 tasks x a-few-in-flight
+    # stays comfortably under 1g; numeric rows (~24 B) never hit the
+    # bytes cap, so the record cap still governs the fast paths.
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxBytesPerBatch", str(8 * 1024 * 1024)
+    )
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxBytesPerOutputBatch",
+        str(8 * 1024 * 1024),
+    )
     # a 200-partition shuffle default is pathological for the engine's
     # many small dimension-side stages (and for a default 1g driver heap
     # in local mode); only override when the caller left the default
@@ -56,6 +72,40 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     spark.sparkContext.addPyFile(build_zip())
     _SHIPPED.add(key)
+
+
+def binary_stage_parallelism(spark: SparkSession, mult: int = 2) -> int:
+    """Partition count for binary-heavy Arrow stages (image / audio /
+    video codec mapInPandas), capped by the JVM's DIRECT-memory budget.
+
+    Arrow's netty allocation manager services every JVM<->Python
+    crossing from pooled 16 MiB arena chunks, so a running decode task
+    holds ~32-64 MiB of direct memory REGARDLESS of Arrow batch size
+    (two stacked crossings x up to two chunks each; measured on the
+    sf1 image_integrity incident, BENCH/sf1_round5.json first pass —
+    32 concurrent tasks ~= 1 GiB and the default direct cap of a plain
+    1 GiB-heap session is 1 GiB, so the JVM died with
+    arrow OutOfMemoryException). The unsafe exact-size allocation
+    manager is not on Spark's classpath (arrow-memory-netty only), so
+    the deployable control is CONCURRENCY: cap the stage's partition
+    count so concurrent crossings fit the budget netty itself reports.
+    On a real cluster executor with sized memoryOverhead (>= 4 GiB
+    direct) the cap exceeds the core count and this is a no-op; under
+    a default local session it degrades parallelism instead of dying.
+    """
+    par = spark.sparkContext.defaultParallelism * mult
+    try:
+        max_direct = int(
+            spark._jvm.io.netty.util.internal.PlatformDependent.maxDirectMemory()
+        )
+    except Exception:
+        return par
+    if max_direct <= 0:
+        return par
+    per_task = 64 << 20  # two crossings x two 16 MiB arena chunks
+    reserve = 256 << 20  # Spark RPC / shuffle netty pools share the cap
+    cap = max(4, (max_direct - reserve) // per_task)
+    return min(par, int(cap))
 
 
 def build_zip(zpath: str | None = None) -> str:

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import deploy
 from ..functions import audiocodec
 
 SR = 16000
@@ -144,7 +145,7 @@ def audio_df(
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(deploy.binary_stage_parallelism(spark, mult=1))
     )
 
     def _gen(batches):

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import imagecodec as ic
+from .. import deploy
 from . import datagen
 
 
@@ -74,7 +75,7 @@ def images_df(
         pts = pts.filter(F.col("event_id") % every == 0)
     # the source parquet is one split at small SF — repartition so the
     # per-image python work (encode/decode/phash ~1ms each) parallelizes
-    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
+    pts = pts.repartition(deploy.binary_stage_parallelism(spark))
 
     def _gen(batches):
         for pdf in batches:
@@ -372,7 +373,7 @@ def gif_images_df(
     pts = datagen.geo_points(spark, sf_dir)
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
-    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
+    pts = pts.repartition(deploy.binary_stage_parallelism(spark))
     pal = gif_palette()
 
     def _gen(batches):
@@ -418,7 +419,7 @@ def exif_images_df(
     pts = datagen.geo_points(spark, sf_dir)
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
-    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
+    pts = pts.repartition(deploy.binary_stage_parallelism(spark))
 
     def _gen(batches):
         for pdf in batches:

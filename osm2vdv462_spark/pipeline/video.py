@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import imagecodec as ic
 from ..functions import videocodec as vc
+from .. import deploy
 from . import datagen
 
 N_FRAMES = 8
@@ -108,7 +109,7 @@ def videos_df(
     pts = datagen.geo_points(spark, sf_dir).select("event_id")
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
-    pts = pts.repartition(spark.sparkContext.defaultParallelism)
+    pts = pts.repartition(deploy.binary_stage_parallelism(spark, mult=1))
 
     def _gen(batches):
         for pdf in batches:

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import deploy
 from ..operators import dedup, similarity
 from ..pipeline import images as im
 from ..pipeline import video as vid
@@ -2215,7 +2216,7 @@ def jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id")
         .filter(F.col("event_id") % 7 == 0)
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .repartition(deploy.binary_stage_parallelism(spark))
     )
 
     def _gen(batches):
@@ -2666,7 +2667,7 @@ def audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(deploy.binary_stage_parallelism(spark, mult=1))
     )
     corpus = docs.mapInPandas(
         _gen(0), "doc_id long, codec string, n_samples int, pcm binary"

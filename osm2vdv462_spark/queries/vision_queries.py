@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import deploy
 from ..functions import imagecodec as ic
 from ..pipeline import images as im
 from . import register_extra
@@ -3170,7 +3171,7 @@ def barcode_ean13_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id")
         .filter(F.col("event_id") % 11 == 0)
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .repartition(deploy.binary_stage_parallelism(spark))
     )
 
     def _render(batches):

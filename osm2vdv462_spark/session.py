@@ -39,6 +39,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
         )
+        # bytes-bounded Arrow batches: binary-heavy rows (images/video/
+        # audio) must not ride the record cap into multi-GB JVM transfer
+        # buffers (see deploy.ensure_shipped for the sf1 incident)
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(8 * 1024 * 1024),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerOutputBatch",
+            str(8 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # jsonb_concat semantics: right operand wins on duplicate keys
         # (ref stop_places.sql:935-939 jsonb_combine) — map_concat must

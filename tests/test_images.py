@@ -248,3 +248,35 @@ class TestDctPhash:
         pairs = [(i, j) for i in range(len(hs)) for j in range(i + 1, len(hs))]
         dists = [ham(hs[i], hs[j]) for i, j in pairs]
         assert min(dists) >= 10  # unrelated patterns don't collide
+
+
+class TestBinaryStageParallelism:
+    """Direct-memory-aware decode concurrency (sf1 incident: netty's
+    16 MiB arena chunks x 32 concurrent Arrow crossings exceeded the
+    1 GiB direct cap of a plain session and killed the JVM — see
+    deploy.binary_stage_parallelism and BENCH/sf1_round5.json)."""
+
+    def test_capped_by_reported_direct_memory(self, spark):
+        from osm2vdv462_spark import deploy
+
+        par = deploy.binary_stage_parallelism(spark)
+        max_direct = int(
+            spark._jvm.io.netty.util.internal.PlatformDependent.maxDirectMemory()
+        )
+        budget_cap = max(4, (max_direct - (256 << 20)) // (64 << 20))
+        assert par == min(
+            spark.sparkContext.defaultParallelism * 2, budget_cap
+        )
+        assert par >= 4  # floor: never serializes the stage entirely
+        # test session (8g driver) must NOT be capped below its cores
+        assert par >= spark.sparkContext.defaultParallelism
+
+    def test_decode_stage_partition_count_follows_cap(self, spark, sf_dir):
+        from osm2vdv462_spark import deploy
+        from osm2vdv462_spark.pipeline import images as im
+
+        df = im.images_df(spark, sf_dir, size=8, every=50)
+        assert (
+            df.rdd.getNumPartitions()
+            == deploy.binary_stage_parallelism(spark)
+        )
