@@ -312,6 +312,30 @@ def flagship_images_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+def image_integrity_png_comparator(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Same-shape PNG-only decode-verify row (r4 verdict minor 4): the
+    r3-era image_integrity job (all-PNG corpus through the same
+    images_df -> with_decode_verify -> 5-col select) timed alongside
+    the mixed-corpus headline row, so per-round codec-capability cost
+    (JPEG decode share) separates from genuine regressions in the
+    archived record."""
+    from osm2vdv462_spark.pipeline import images as im
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(
+            im.with_decode_verify(
+                im.images_df(spark, sf_dir, mixed_formats=False)
+            ).select("image_id", "fmt", "pixel_ok", "caption_ok", "phash_ok")
+        )
+        times.append(time.perf_counter() - t0)
+    return {
+        "cold_sec": round(times[0], 3),
+        "median_sec": round(sorted(times)[len(times) // 2], 3),
+    }
+
+
 def jpeg_codec_rates(seconds: float = 2.0) -> dict:
     """Single-core JPEG decode ceiling, stated explicitly (r4 verdict
     item 7): images/s and MB/s for baseline and progressive decode at
@@ -877,6 +901,7 @@ def main() -> None:
     s2_rate = s2_index_rate(spark)
     real_world = real_data_bench(spark)
     codec_rates = jpeg_codec_rates()
+    png_row = image_integrity_png_comparator(spark, sf_dir)
     detail = {
         "metric": "geotagged-images/sec through H3-style PIP + kNN join"
         " (headline suite total in value)",
@@ -897,6 +922,7 @@ def main() -> None:
         "flagship_images_table": images_flagship,
         "s2_index_cells_per_sec_warm_32M": round(s2_rate, 1),
         "jpeg_codec_rates": codec_rates,
+        "image_integrity_png_only": png_row,
         "real_data": real_world,
         "cores": cpus,
         "page_fault_ms_per_mb": round(pf_ms, 1),

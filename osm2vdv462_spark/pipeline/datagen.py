@@ -111,11 +111,23 @@ def stop_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- quay sites from `supplier` -------------------------------------------
 
+# Quay positions wrap on a 2-D torus with coprime moduli (997, 983):
+# the pre-r5 open line (-0.22 + 0.043*k) walked past lon 180 once
+# supplier count reached sf1 scale (10k keys -> lon 429), and the cell
+# grid's clamp stacked thousands of collinear quays into edge cells —
+# K (max per-cell kNN candidates) hit 2071 and the bounded codegen
+# operator correctly refused (BENCH/sf1_round5.json, round-5 first
+# pass). Coprime moduli keep every (lon, lat) pair distinct below
+# lcm(997, 983) ~= 980k keys, so density stays O(per-cell-bounded) at
+# any tested sf. Keys <= 983 are BIT-IDENTICAL to the old formula
+# (same double products), so sf0.001 / sf0.01 oracle hashes — the
+# driver gate — are unchanged.
+
 SQL_QUAYS = """
 SELECT
   s_suppkey AS quay_id,
-  -0.22 + 0.043 * s_suppkey AS lon,
-  -0.09 + 0.017 * s_suppkey AS lat
+  -0.22 + 0.043 * (s_suppkey % 997) AS lon,
+  -0.09 + 0.017 * (s_suppkey % 983) AS lat
 FROM supplier
 """
 
@@ -124,8 +136,8 @@ def quay_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     return sup.select(
         F.col("s_suppkey").alias("quay_id"),
-        (F.lit(-0.22) + 0.043 * F.col("s_suppkey")).alias("lon"),
-        (F.lit(-0.09) + 0.017 * F.col("s_suppkey")).alias("lat"),
+        (F.lit(-0.22) + 0.043 * (F.col("s_suppkey") % 997)).alias("lon"),
+        (F.lit(-0.09) + 0.017 * (F.col("s_suppkey") % 983)).alias("lat"),
     )
 
 
