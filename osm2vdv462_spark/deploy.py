@@ -89,11 +89,19 @@ def binary_stage_parallelism(spark: SparkSession, mult: int = 2) -> int:
     manager is not on Spark's classpath (arrow-memory-netty only), so
     the deployable control is CONCURRENCY: cap the stage's partition
     count so concurrent crossings fit the budget netty itself reports.
-    On a real cluster executor with sized memoryOverhead (>= 4 GiB
-    direct) the cap exceeds the core count and this is a no-op; under
-    a default local session it degrades parallelism instead of dying.
+    LOCAL MODE ONLY: there the driver JVM *is* the executor, so its
+    direct budget bounds concurrent crossings and the stage's
+    partition count is the concurrency knob. On a real cluster the
+    probe below would read the DRIVER's direct memory while the
+    crossings run on executors, and a stage-wide partition cap would
+    throttle the whole cluster to one JVM's budget — per-executor
+    crossing concurrency is already bounded by spark.executor.cores
+    there, and the direct budget is a deployment number
+    (memoryOverhead; see README "Deploying at 100 TB").
     """
     par = spark.sparkContext.defaultParallelism * mult
+    if not spark.sparkContext.master.startswith("local"):
+        return par
     try:
         max_direct = int(
             spark._jvm.io.netty.util.internal.PlatformDependent.maxDirectMemory()

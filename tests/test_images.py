@@ -280,3 +280,18 @@ class TestBinaryStageParallelism:
             df.rdd.getNumPartitions()
             == deploy.binary_stage_parallelism(spark)
         )
+
+    def test_cap_is_local_mode_only(self, spark, monkeypatch):
+        """On a real cluster the probe would read the DRIVER's direct
+        memory while crossings run on executors — the cap must not
+        throttle a cluster-wide stage to one JVM's budget."""
+        from osm2vdv462_spark import deploy
+
+        class FakeSC:
+            master = "spark://head:7077"
+            defaultParallelism = 4096
+
+        class FakeSpark:
+            sparkContext = FakeSC()
+
+        assert deploy.binary_stage_parallelism(FakeSpark()) == 8192
