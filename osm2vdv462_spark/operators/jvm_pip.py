@@ -69,7 +69,10 @@ def _poly_cell_rows(prows: list[tuple], res: int) -> list[tuple]:
 
 
 def _target_cell_arrays(
-    trows: list[tuple], res: int, pad_cells: int = 4
+    trows: list[tuple],
+    res: int,
+    pad_cells: int = 4,
+    abort_k: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
     """Per-cell exact-nearest candidate lists for the cells within
     ``pad_cells`` of any target (the region where points actually live;
@@ -104,8 +107,26 @@ def _target_cell_arrays(
     order = np.argsort(ids, kind="stable")
     ids_o = ids[order]
     lon_o, lat_o = tlon[order], tlat[order]
-    T_lon, T_lat = tlon[None, :], tlat[None, :]
-    abs_tlat = np.abs(tlat)[None, :]
+    # everything below works in the id-sorted domain directly (the
+    # pre-r5 code computed bounds unsorted and reordered columns with
+    # a[:, order] — identical results, but the sorted domain lets the
+    # per-chunk window prune return slot positions without a remap)
+    T_lon, T_lat = lon_o[None, :], lat_o[None, :]
+    abs_tlat = np.abs(lat_o)[None, :]
+    tix_o, tiy_o = tix[order], tiy[order]
+    # Window prune (r5): the build was O(cells x targets) PER CHUNK over
+    # the full target set, which goes quadratic for metro-density
+    # dimensions (20k uniform targets -> minutes per resolution). Both
+    # sides of the inclusion rule are provably local: every mapped cell
+    # is within Chebyshev ``pad_cells`` of its generating target, so
+    # d2ub <= 2*((pad+1)*d)^2, hence (a) the d2ub argmin and (b) every
+    # candidate (lat gap <= sqrt(d2ub); cos-scaled lon gap <=
+    # sqrt(d2ub)) lie within DY = ceil(sqrt(2)*(pad+1))+1 rows and
+    # DX = ceil(DY/cos(lat bound))+1 columns of the chunk's cell bbox.
+    # Targets outside the y-window are excluded by their lat gap alone,
+    # so the cos bound only needs to hold for targets INSIDE it.
+    DY = int(np.ceil(np.sqrt(2.0) * (pad_cells + 1))) + 1
+    prune = len(ids) > 2048  # windowing costs an O(nt) mask per chunk
     # preallocated, REUSED chunk buffers with out= everywhere: on this
     # sandbox kernel first-touch page faults cost ~10-25 ms/MB, so fresh
     # (cells x targets) temporaries dominated the whole map build.
@@ -123,14 +144,35 @@ def _target_cell_arrays(
         m = min(CH, len(cell_ids) - s)
         x0 = cx0[s : s + m][:, None]
         y0 = cy0[s : s + m][:, None]
-        a, b, u, v = fx[:m], fy[:m], t1[:m], t2[:m]
+        if prune:
+            cs = slice(s, s + m)
+            lat_bound = min(
+                89.0, float(np.abs(cy0[cs]).max()) + (DY + 1) * d
+            )
+            cosb = float(np.cos(np.radians(lat_bound)))
+            DX = max(DY, int(np.ceil(DY / max(cosb, 1e-6))) + 1)
+            widx = np.nonzero(
+                (tiy_o >= int(iy[cs].min()) - DY)
+                & (tiy_o <= int(iy[cs].max()) + DY)
+                & (tix_o >= int(ix[cs].min()) - DX)
+                & (tix_o <= int(ix[cs].max()) + DX)
+            )[0]
+            w = len(widx)
+            if w == 0:  # unreachable: each cell's generator is in-window
+                continue
+            Tl, Tt, Ta = T_lon[:, widx], T_lat[:, widx], abs_tlat[:, widx]
+        else:
+            w = nt
+            widx = None
+            Tl, Tt, Ta = T_lon, T_lat, abs_tlat
+        a, b, u, v = fx[:m, :w], fy[:m, :w], t1[:m, :w], t2[:m, :w]
         # farthest-edge degree distances; gaps follow as f - d clipped
         # (R*radians is linear: every bound compares in degree^2 space)
-        np.subtract(T_lon, x0, out=a)
-        np.subtract(x0 + d, T_lon, out=u)
+        np.subtract(Tl, x0, out=a)
+        np.subtract(x0 + d, Tl, out=u)
         np.maximum(a, u, out=a)
-        np.subtract(T_lat, y0, out=b)
-        np.subtract(y0 + d, T_lat, out=u)
+        np.subtract(Tt, y0, out=b)
+        np.subtract(y0 + d, Tt, out=u)
         np.maximum(b, u, out=b)
         np.multiply(a, a, out=u)
         np.multiply(b, b, out=v)
@@ -144,15 +186,26 @@ def _target_cell_arrays(
         # lower bound: lat gap exact; lon gap scaled by cos of an upper
         # bound on |lat| over cell+target (|y0|+d dominates the cell's
         # lats; targets past the gap only shrink cos further)
-        np.maximum(abs_tlat, np.abs(y0) + d, out=u)
+        np.maximum(Ta, np.abs(y0) + d, out=u)
         np.minimum(u, 89.0, out=u)
         np.radians(u, out=u)
         np.cos(u, out=u)
         a *= u
         np.maximum(a, b, out=a)
         np.multiply(a, a, out=a)
-        keep_sorted = a[:, order] <= d2ub
+        keep_sorted = a <= d2ub
+        # ``abort_k``: the auto-res probe only needs to know whether
+        # SOME cell's candidate list exceeds k_target — per-cell counts
+        # are chunk-exact (chunking is by cells), so bail the moment one
+        # does instead of finishing an O(cells x targets) build whose
+        # resolution can never be accepted on K. The probe's budget-
+        # accept path rebuilds the chosen res in full (built is None).
+        if abort_k is not None and int(keep_sorted.sum(axis=1).max()) > abort_k:
+            all_t = [(int(ids[i]), float(tlon[i]), float(tlat[i])) for i in order]
+            return cell_ids, None, None, None, all_t
         ck, ti = np.nonzero(keep_sorted)
+        if widx is not None:
+            ti = widx[ti]  # ascending widx keeps slot order id-ascending
         rows.append((ck + s, ti))
     if rows:
         ck = np.concatenate([r[0] for r in rows])
@@ -278,11 +331,14 @@ def _auto_target_build(
         return hit
     choice, built = min_res, None
     for res in range(min_res, max_res + 1):
-        b = _target_cell_arrays(trows, res, _pad_for(res))
+        b = _target_cell_arrays(trows, res, _pad_for(res), abort_k=k_target)
         if res > min_res and len(b[0]) > cell_budget:
             break
-        choice, built = res, b
-        if b[1].shape[1] <= k_target:
+        # b[1] is None when the probe build aborted on K > k_target —
+        # the res stays eligible for the budget-accept fallback, whose
+        # full build happens once below
+        choice, built = res, (b if b[1] is not None else None)
+        if b[1] is not None and b[1].shape[1] <= k_target:
             break
     if built is None:
         built = _target_cell_arrays(trows, choice, _pad_for(choice))
