@@ -966,8 +966,19 @@ def main() -> None:
         "document_cold_sec": doc_queries.get("netex_stop_places_xml"),
         "flagship_points_per_sec": round(tp, 1),
         "flagship_codegen_warm_32M_pts_per_sec": round(tp_cg_warm, 1),
+        # hash ONLY the plan-shaping fields — the full warm_config dict
+        # also records per-rep measured rates, which made the hash a
+        # run fingerprint instead of a config fingerprint (r5 fix; the
+        # point is that two runs with identical plan shape hash equal)
         "warm_config_hash": hashlib.md5(
-            json.dumps(warm_config, sort_keys=True).encode()
+            json.dumps(
+                {
+                    k: v
+                    for k, v in warm_config.items()
+                    if "points_per_sec" not in k
+                },
+                sort_keys=True,
+            ).encode()
         ).hexdigest()[:8],
         "images_per_sec": images_flagship.get("images_per_sec"),
         "jpeg_decode_256_img_per_sec_core": codec_rates[
