@@ -50,8 +50,10 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """PNG filter reconstruction (types 0-4), scanline loop in numpy."""
-    out = np.zeros((h, stride), np.uint8)
     rows = raw.reshape(h, stride + 1)
+    if not rows[:, 0].any():  # all filter 0 (our own encoder's output):
+        return rows[:, 1:].copy()  # no reconstruction, no per-row loop
+    out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
     for y in range(h):
         ft = rows[y, 0]
@@ -197,6 +199,72 @@ def synth_pixels_smooth(image_id: int, w: int = 32, h: int = 32) -> np.ndarray:
     g = 127.5 + 127.5 * np.sin(2 * np.pi * (yy / h + b / 241.0))
     bl = 127.5 + 127.5 * np.sin(2 * np.pi * ((xx + yy) / (w + h) + c / 239.0))
     return np.clip(np.round(np.stack([r, g, bl], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# ----------------------------------------------------- batched variants
+# Vectorized-across-images twins of phash64 / psnr_db / synth_pixels*
+# for the Arrow-batched image operators (guide §4.2): same float/int
+# ops applied by the same ufuncs, so results are bit-identical to the
+# per-image functions (pinned in tests/test_images.py).
+
+
+def phash64_batch(px: np.ndarray) -> np.ndarray:
+    """(B, h, w, 3) uint8 with 8-divisible h/w -> int64[B] equal to
+    [phash64(p) for p]."""
+    B, h, w, _ = px.shape
+    assert h % 8 == 0 and w % 8 == 0
+    t = px.astype(np.int64).sum(axis=3)
+    cells = t.reshape(B, 8, h // 8, 8, w // 8).sum(axis=(2, 4))
+    flat = cells.reshape(B, 64)
+    bits = flat * 64 > flat.sum(axis=1, keepdims=True)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64)
+    )
+    return (
+        (bits.astype(np.uint64) * weights)
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
+
+
+def psnr_db_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(B, h, w, 3) x2 -> double[B] equal to [psnr_db(x, y) for x, y]."""
+    mse = np.mean(
+        (a.astype(np.float64) - b.astype(np.float64)) ** 2, axis=(1, 2, 3)
+    )
+    with np.errstate(divide="ignore"):
+        return np.where(
+            mse == 0, np.inf, 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300))
+        )
+
+
+def synth_pixels_batch(ids: np.ndarray, w: int = 32, h: int = 32) -> np.ndarray:
+    """int64[B] -> (B, h, w, 3) uint8 equal to [synth_pixels(i, w, h)]."""
+    ids = np.asarray(ids, np.int64)[:, None, None]
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx[None] * 7 + ids * 13) % 256
+    g = (yy[None] * 11 + ids * 29) % 256
+    b = ((xx + yy)[None] * 5 + ids * 53) % 256
+    return np.stack([r, g, b], axis=3).astype(np.uint8)
+
+
+def synth_pixels_smooth_batch(
+    ids: np.ndarray, w: int = 32, h: int = 32
+) -> np.ndarray:
+    """int64[B] -> (B, h, w, 3) uint8 equal to [synth_pixels_smooth(i)]."""
+    ids = np.asarray(ids, np.int64)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    a = ((ids * 13) % 251)[:, None, None]
+    b = ((ids * 29) % 241)[:, None, None]
+    c = ((ids * 53) % 239)[:, None, None]
+    r = 127.5 + 127.5 * np.sin(2 * np.pi * (xx[None] / w + a / 251.0))
+    g = 127.5 + 127.5 * np.sin(2 * np.pi * (yy[None] / h + b / 241.0))
+    bl = 127.5 + 127.5 * np.sin(
+        2 * np.pi * ((xx + yy)[None] / (w + h) + c / 239.0)
+    )
+    return np.clip(np.round(np.stack([r, g, bl], axis=3)), 0, 255).astype(
         np.uint8
     )
 

@@ -535,6 +535,244 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ----------------------------------------------------- batched encoder
+# Vectorized 4:4:4 batch encoder: byte-identical output to encode_jpeg
+# (same DCT/quant math, same Huffman tables, same bit/stuffing/flush
+# semantics), but the entropy stage runs as numpy array passes over ALL
+# blocks of ALL images at once instead of a per-symbol Python loop —
+# guide §4.2 (vectorize inside the Arrow batch). The per-symbol
+# emit_block loop was ~60% of encode time at corpus-thumbnail sizes.
+
+# symbol-indexed numpy (code, length) tables for the fixed encoder tables
+def _code_arrays(code_list: list) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.array([c for c, _ in code_list], np.int64),
+        np.array([l for _, l in code_list], np.int64),
+    )
+
+
+_DC_CODE_ARR = tuple(_code_arrays(c) for c in _DC_CODES)
+_AC_CODE_ARR = tuple(_code_arrays(c) for c in _AC_CODES)
+
+
+def _bitlen_u(x: np.ndarray) -> np.ndarray:
+    """Vector bit_length for non-negative int64 < 2^53 (frexp exponent
+    is exactly bit_length for positive ints; 0 -> 0)."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+_HEADER_CACHE: dict = {}
+
+
+def _baseline_header_444(h: int, w: int, quality: int) -> bytes:
+    """Container markers up to (and including) SOS for the 4:4:4
+    baseline encoder — identical bytes to encode_jpeg's marker section."""
+    key = (h, w, quality)
+    hit = _HEADER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ql, qc = quant_tables(quality)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, ql), (1, qc)):
+        zz = q[ZIGZAG_ROW, ZIGZAG_COL].astype(np.uint8).tobytes()
+        out += seg(0xFFDB, bytes([tid]) + zz)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    hdr = bytes(out)
+    if len(_HEADER_CACHE) < 64:
+        _HEADER_CACHE[key] = hdr
+    return hdr
+
+
+def encode_jpeg_batch(
+    pixels: np.ndarray, quality: int = 92
+) -> tuple[list[bytes], list[np.ndarray]]:
+    """(B, h, w, 3) uint8 -> ([jpeg bytes] * B, per-component quantized
+    coefficient stacks [(B, nblocks, 8, 8)] * 3). Baseline 4:4:4, no
+    restart markers — byte-identical to [encode_jpeg(p, quality) for p]
+    (pinned by tests/test_jpeg.py). The coefficient stacks let callers
+    derive decode-identical stored pixels via decoded_pixels_from_coeffs
+    without re-running the entropy decode."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 4 and pixels.shape[3] == 3
+    B, h, w = pixels.shape[:3]
+    ql, qc = quant_tables(quality)
+    f = pixels.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    ycc = np.stack([y, cb, cr], axis=-1)
+    ph_, pw_ = (-h) % 8, (-w) % 8
+    if ph_ or pw_:
+        ycc = np.pad(ycc, ((0, 0), (0, ph_), (0, pw_), (0, 0)), mode="edge")
+    H, W = ycc.shape[1:3]
+    nby, nbx = H // 8, W // 8
+    nb = nby * nbx
+    zz_flat = ZIGZAG_ROW * 8 + ZIGZAG_COL
+
+    comp_coeffs: list[np.ndarray] = []
+    # token fields across comps (sorted into stream order at the end)
+    t_img, t_blk, t_comp, t_seq, t_val, t_len = [], [], [], [], [], []
+    N = B * nb
+    img_of_block = np.arange(N) // nb
+    for ci in range(3):
+        plane = ycc[..., ci] - 128.0
+        blocks = (
+            plane.reshape(B, nby, 8, nbx, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, 8, 8)
+        )
+        q = ql if ci == 0 else qc
+        coeffs = np.round(((_C @ blocks) @ _C.T) / q).astype(np.int64)
+        comp_coeffs.append(coeffs.reshape(B, nb, 8, 8))
+        zz = coeffs.reshape(N, 64)[:, zz_flat]
+        tsel = 0 if ci == 0 else 1
+        dc_code, dc_len = _DC_CODE_ARR[tsel]
+        ac_code, ac_len = _AC_CODE_ARR[tsel]
+
+        # DC: per-image prediction chain over the block raster
+        dc = zz[:, 0].reshape(B, nb)
+        diff = dc.copy()
+        diff[:, 1:] -= dc[:, :-1]
+        dflat = diff.reshape(-1)
+        dsize = _bitlen_u(np.abs(dflat))
+        dbits = np.where(
+            dflat > 0, dflat, dflat + np.left_shift(np.int64(1), dsize) - 1
+        )
+        t_img.append(img_of_block)
+        t_blk.append(np.tile(np.arange(nb), B))
+        t_comp.append(np.full(N, ci, np.int64))
+        t_seq.append(np.zeros(N, np.int64))
+        t_val.append((dc_code[dsize] << dsize) | dbits)
+        t_len.append(dc_len[dsize] + dsize)
+
+        # AC: nonzero positions in zigzag order; runs between them
+        ac = zz[:, 1:]
+        rows, cols = np.nonzero(ac)
+        if len(rows):
+            v = ac[rows, cols]
+            first = np.empty(len(rows), bool)
+            first[0] = True
+            first[1:] = rows[1:] != rows[:-1]
+            prev = np.empty_like(cols)
+            prev[0] = -1
+            prev[1:] = cols[:-1]
+            prev = np.where(first, -1, prev)
+            run = cols - prev - 1
+            nzrl = run >> 4
+            rem = run & 15
+            size = _bitlen_u(np.abs(v))
+            bits = np.where(
+                v > 0, v, v + np.left_shift(np.int64(1), size) - 1
+            )
+            sym = (rem << 4) | size
+            mval = (ac_code[sym] << size) | bits
+            mlen = ac_len[sym] + size
+            reps = nzrl + 1
+            idx = np.repeat(np.arange(len(v)), reps)
+            ends = np.cumsum(reps)
+            posg = np.arange(len(idx)) - np.repeat(ends - reps, reps)
+            is_zrl = posg < nzrl[idx]
+            zc, zl = int(ac_code[0xF0]), int(ac_len[0xF0])
+            t_img.append(rows[idx] // nb)
+            t_blk.append(rows[idx] % nb)
+            t_comp.append(np.full(len(idx), ci, np.int64))
+            # stream position within the block: DC is 0, each nonzero's
+            # ZRL group + symbol occupy (col*8 + 1 ..); nzrl <= 3 so the
+            # per-col stride of 8 never collides across columns
+            t_seq.append(cols[idx] * 8 + posg + 1)
+            t_val.append(np.where(is_zrl, zc, mval[idx]))
+            t_len.append(np.where(is_zrl, zl, mlen[idx]))
+        # EOB where the block's last nonzero zigzag position < 63
+        lastc = np.full(N, -1, np.int64)
+        if len(rows):
+            np.maximum.at(lastc, rows, cols)
+        eb = np.nonzero(lastc < 62)[0]
+        t_img.append(eb // nb)
+        t_blk.append(eb % nb)
+        t_comp.append(np.full(len(eb), ci, np.int64))
+        t_seq.append(np.full(len(eb), 1 << 20, np.int64))
+        t_val.append(np.full(len(eb), int(ac_code[0x00]), np.int64))
+        t_len.append(np.full(len(eb), int(ac_len[0x00]), np.int64))
+
+    img = np.concatenate(t_img)
+    order = np.lexsort(
+        (
+            np.concatenate(t_seq),
+            np.concatenate(t_comp),
+            np.concatenate(t_blk),
+            img,
+        )
+    )
+    img = img[order]
+    val = np.concatenate(t_val)[order]
+    ln = np.concatenate(t_len)[order]
+    header = _baseline_header_444(h, w, quality)
+    bounds = np.searchsorted(img, np.arange(B + 1))
+    blobs: list[bytes] = []
+    for i in range(B):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        V, L = val[s:e], ln[s:e]
+        maxL = int(L.max())
+        sh = L[:, None] - 1 - np.arange(maxL)[None, :]
+        valid = sh >= 0
+        bm = ((V[:, None] >> np.where(valid, sh, 0)) & 1).astype(np.uint8)
+        bits = bm[valid]  # row-major: each token's bits MSB-first, in order
+        pad = (-len(bits)) % 8
+        if pad:  # flush pads the final partial byte with 1s
+            bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+        sbytes = np.packbits(bits)
+        ff = np.nonzero(sbytes == 0xFF)[0]
+        if len(ff):  # byte stuffing
+            sbytes = np.insert(sbytes, ff + 1, 0)
+        blobs.append(header + sbytes.tobytes() + b"\xff\xd9")
+    return blobs, comp_coeffs
+
+
+def decoded_pixels_from_coeffs(
+    comp_coeffs: list[np.ndarray], quality: int, h: int, w: int
+) -> np.ndarray:
+    """Quantized 4:4:4 coefficient stacks (encode_jpeg_batch's second
+    return) -> the EXACT pixels decode_jpeg would produce for the
+    encoded bytes (same dequant/IDCT/color float ops in the same order;
+    pinned bit-identical by tests/test_jpeg.py). Lets the synth path
+    compute the stored-pixel phash without an entropy decode."""
+    ql, qc = quant_tables(quality)
+    B, nb = comp_coeffs[0].shape[:2]
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    for ci in range(3):
+        q = ql if ci == 0 else qc
+        deq = comp_coeffs[ci].reshape(B * nb, 8, 8) * q
+        spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
+        plane = (
+            spat.reshape(B, nby, nbx, 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, nby * 8, nbx * 8)
+        )
+        planes.append(plane[:, :h, :w])
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 # -------------------------------------------------------------- decoder
 
 
@@ -674,8 +912,123 @@ def _destuff(scan: bytes) -> list[bytes]:
     return segs
 
 
+class _ProgressiveStream(Exception):
+    """Internal signal: the stream is SOF2 — decode via the progressive
+    path (decode_jpeg delegates; decode_jpeg_many falls back per-image)."""
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> RGB uint8 (h, w, 3)."""
+    try:
+        comps, h, w, hmax, vmax, mcus_x, mcus_y, qt, coeffs, by, bx = (
+            _decode_entropy(data)
+        )
+    except _ProgressiveStream:
+        return _decode_progressive(data)
+    planes = _assemble_planes(
+        comps, hmax, vmax, mcus_x, mcus_y, qt, coeffs, by, bx
+    )
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_planes(comps, hmax, vmax, mcus_x, mcus_y, qt, comp_coeffs,
+                     comp_by, comp_bx) -> list[np.ndarray]:
+    """Batched dezigzag + dequant + IDCT + scatter per component (the
+    per-block numpy alloc/fancy-index/einsum-path was ~half the cost)."""
+    planes = []
+    for ci, (cid, hs, vs, qsel) in enumerate(comps):
+        plane = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        planes.append(plane)
+        blks = comp_coeffs[ci]
+        if not blks:
+            continue
+        arr = np.array(blks, np.int64)  # (n, 64) in zigzag order
+        deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(-1, 8, 8)
+        spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
+        view = plane.reshape(plane.shape[0] // 8, 8, plane.shape[1] // 8, 8)
+        view[np.asarray(comp_by[ci]), :, np.asarray(comp_bx[ci]), :] = spat
+    return planes
+
+
+def decode_jpeg_many(
+    blobs: list[bytes], skip_errors: bool = False
+) -> list[np.ndarray]:
+    """Decode a batch of JPEGs, batching the dequant/IDCT/color math of
+    same-geometry baseline images across the whole batch (the entropy
+    stage stays per-image — Huffman is sequential). Results are
+    bit-identical to [decode_jpeg(b) for b] (pinned in
+    tests/test_jpeg.py): the per-block IDCT matmul is independent of
+    how many blocks are stacked. Progressive or odd-geometry members
+    fall back to decode_jpeg individually. With ``skip_errors`` a
+    member that raises NotImplementedError yields None instead of
+    failing the batch (the decode-verify contract: unsupported codec
+    features skip loudly-typed, malformed bytes still raise)."""
+    out: list = [None] * len(blobs)
+    groups: dict = {}
+    metas: list = [None] * len(blobs)
+    for i, data in enumerate(blobs):
+        try:
+            meta = _decode_entropy(data)
+        except _ProgressiveStream:
+            try:
+                out[i] = _decode_progressive(data)
+            except NotImplementedError:
+                if not skip_errors:
+                    raise
+            continue
+        except NotImplementedError:
+            if not skip_errors:
+                raise
+            continue
+        metas[i] = meta
+        comps, h, w, hmax, vmax, mcus_x, mcus_y, qt, coeffs, by, bx = meta
+        # group key: identical structure + quant tables -> one IDCT stack
+        key = (
+            tuple(comps), h, w, hmax, vmax, mcus_x, mcus_y,
+            tuple(sorted((k, v.tobytes()) for k, v in qt.items())),
+        )
+        groups.setdefault(key, []).append(i)
+    for members in groups.values():
+        comps, h, w, hmax, vmax, mcus_x, mcus_y, qt = metas[members[0]][:8]
+        per_member_planes = {i: [] for i in members}
+        for ci, (cid, hs, vs, qsel) in enumerate(comps):
+            counts = [len(metas[i][8][ci]) for i in members]
+            if sum(counts):
+                arr = np.array(
+                    [blk for i in members for blk in metas[i][8][ci]],
+                    np.int64,
+                )
+                deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(
+                    -1, 8, 8
+                )
+                spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
+            pos = 0
+            for i, n in zip(members, counts):
+                plane = np.zeros(
+                    (mcus_y * vs * 8, mcus_x * hs * 8), np.float64
+                )
+                if n:
+                    view = plane.reshape(
+                        plane.shape[0] // 8, 8, plane.shape[1] // 8, 8
+                    )
+                    view[
+                        np.asarray(metas[i][9][ci]), :,
+                        np.asarray(metas[i][10][ci]), :,
+                    ] = spat[pos : pos + n]
+                    pos += n
+                per_member_planes[i].append(plane)
+        for i in members:
+            out[i] = _planes_to_rgb(
+                per_member_planes[i], comps, h, w, hmax, vmax
+            )
+    return out
+
+
+def _decode_entropy(data: bytes):
+    """Marker parse + Huffman/magnitude entropy decode of a baseline
+    JFIF stream. Returns (comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
+    comp_coeffs (zigzag 64-lists per block), comp_by, comp_bx); raises
+    _ProgressiveStream for SOF2."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -729,7 +1082,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, sf, qsel = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, sf >> 4, sf & 0xF, qsel))
         elif marker == 0xC2:  # SOF2: progressive — separate scan loop
-            return _decode_progressive(data)
+            raise _ProgressiveStream()
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
@@ -765,13 +1118,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcw, mch = 8 * hmax, 8 * vmax
     mcus_x = (w + mcw - 1) // mcw
     mcus_y = (h + mch - 1) // mch
-
-    # per-component coefficient planes (padded to MCU grid)
-    planes = []
-    for cid, hs, vs, qsel in comps:
-        planes.append(
-            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
-        )
 
     order = []  # per-MCU block emission order: (comp_idx, dy, dx)
     for ci, (cid, hs, vs, qsel) in enumerate(comps):
@@ -898,20 +1244,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seg_count += 1
         mcu_index += 1
 
-    # batched dezigzag + dequant + IDCT + scatter per component (the
-    # per-block numpy alloc/fancy-index/einsum-path was ~half the cost)
-    for ci, (cid, hs, vs, qsel) in enumerate(comps):
-        blks = comp_coeffs[ci]
-        if not blks:
-            continue
-        arr = np.array(blks, np.int64)  # (n, 64) in zigzag order
-        deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(-1, 8, 8)
-        spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
-        plane = planes[ci]
-        view = plane.reshape(plane.shape[0] // 8, 8, plane.shape[1] // 8, 8)
-        view[np.asarray(comp_by[ci]), :, np.asarray(comp_bx[ci]), :] = spat
-
-    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+    return (
+        comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
+        comp_coeffs, comp_by, comp_bx,
+    )
 
 
 def _planes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:

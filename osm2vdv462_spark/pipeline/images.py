@@ -77,31 +77,86 @@ def images_df(
     # per-image python work (encode/decode/phash ~1ms each) parallelizes
     pts = pts.repartition(deploy.binary_stage_parallelism(spark))
 
+    batchable = size % 8 == 0 and mixed_formats != "prog"
+
     def _gen(batches):
+        from ..functions import jpegcodec
+
         for pdf in batches:
-            out = []
-            for eid, lon, lat in zip(pdf["event_id"], pdf["lon"], pdf["lat"]):
-                eid = int(eid)
-                data, fmt, ph = _synth_row(eid, size, mixed_formats)
-                out.append(
-                    (
-                        f"img_{eid:09d}",
-                        data,
-                        size,
-                        size,
-                        fmt,
-                        f"caption for image {eid}",
-                        ph,
-                        float(lon),
-                        float(lat),
+            n = len(pdf)
+            if n == 0:
+                continue
+            if not batchable:  # odd sizes / progressive: per-row path
+                out = []
+                for eid, lon, lat in zip(
+                    pdf["event_id"], pdf["lon"], pdf["lat"]
+                ):
+                    eid = int(eid)
+                    data, fmt, ph = _synth_row(eid, size, mixed_formats)
+                    out.append(
+                        (
+                            f"img_{eid:09d}", data, size, size, fmt,
+                            f"caption for image {eid}", ph,
+                            float(lon), float(lat),
+                        )
                     )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash", "lon", "lat",
+                    ],
                 )
+                continue
+            # batched synth (guide §4.2): one vectorized pass per format
+            # class instead of per-image codec calls; outputs are
+            # bit-identical to _synth_row (tests/test_images.py pins it)
+            eids = pdf["event_id"].to_numpy(np.int64)
+            datas: list = [None] * n
+            fmts: list = [None] * n
+            phs = np.empty(n, np.int64)
+            jsel = (
+                np.nonzero(eids % 2 == 1)[0]
+                if mixed_formats
+                else np.empty(0, np.int64)
+            )
+            psel = (
+                np.nonzero(eids % 2 == 0)[0]
+                if mixed_formats
+                else np.arange(n)
+            )
+            if len(jsel):
+                px = ic.synth_pixels_smooth_batch(eids[jsel], size, size)
+                blobs, coeffs = jpegcodec.encode_jpeg_batch(
+                    px, quality=JPEG_QUALITY
+                )
+                stored = jpegcodec.decoded_pixels_from_coeffs(
+                    coeffs, JPEG_QUALITY, size, size
+                )
+                jph = ic.phash64_batch(stored)
+                for k, i in enumerate(jsel):
+                    datas[i] = blobs[k]
+                    fmts[i] = "jpeg"
+                phs[jsel] = jph
+            if len(psel):
+                px = ic.synth_pixels_batch(eids[psel], size, size)
+                pph = ic.phash64_batch(px)
+                for k, i in enumerate(psel):
+                    datas[i] = ic.encode_png(px[k])
+                    fmts[i] = "png"
+                phs[psel] = pph
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption",
-                    "phash", "lon", "lat",
-                ],
+                {
+                    "image_id": [f"img_{e:09d}" for e in eids],
+                    "bytes": datas,
+                    "w": np.full(n, size, np.int32),
+                    "h": np.full(n, size, np.int32),
+                    "fmt": fmts,
+                    "caption": [f"caption for image {e}" for e in eids],
+                    "phash": phs,
+                    "lon": pdf["lon"].to_numpy(np.float64),
+                    "lat": pdf["lat"].to_numpy(np.float64),
+                }
             )
 
     return pts.mapInPandas(
@@ -118,32 +173,83 @@ def with_decode_verify(images: DataFrame) -> DataFrame:
     psnr columns."""
 
     def _verify(batches):
+        from ..functions import jpegcodec
+
         for pdf in batches:
-            psnr, pok, cok, hok = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                eid = int(row.image_id.split("_")[1])
-                gen = (
-                    ic.synth_pixels_smooth
-                    if row.fmt in ("jpeg", "jpg", "jpeg_prog")
-                    else ic.synth_pixels
+            n = len(pdf)
+            if n == 0:
+                continue
+            eids = np.array(
+                [int(s.split("_")[1]) for s in pdf["image_id"]], np.int64
+            )
+            fmts = pdf["fmt"].tolist()
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            blobs = pdf["bytes"].tolist()
+            phashes = pdf["phash"].to_numpy(np.int64)
+            jpegish = np.array(
+                [f in ("jpeg", "jpg", "jpeg_prog") for f in fmts], bool
+            )
+            got: list = [None] * n
+            # decode: JPEGs batched (shared IDCT stacks), rest per image
+            jidx = np.nonzero(jpegish)[0]
+            if len(jidx):
+                dec = jpegcodec.decode_jpeg_many(
+                    [bytes(blobs[i]) for i in jidx], skip_errors=True
                 )
-                ref = gen(eid, row.w, row.h)
+                for k, i in enumerate(jidx):
+                    got[i] = dec[k]
+            for i in np.nonzero(~jpegish)[0]:
                 try:
-                    got = ic.decode_image(bytes(row.bytes), row.fmt)
-                    p = ic.psnr_db(ref, got)
+                    got[i] = ic.decode_image(bytes(blobs[i]), fmts[i])
                 except NotImplementedError:
-                    got, p = None, float("nan")
-                psnr.append(p)
-                pok.append(bool(p >= 40.0) if p == p else False)
-                cok.append(row.caption == f"caption for image {eid}")
-                hok.append(
-                    got is not None and ic.phash64(got) == row.phash
+                    got[i] = None
+            # reference synth + PSNR + phash recompute, vectorized per
+            # (pattern, w, h) group — bit-identical to the per-image
+            # functions (batched twins pinned in tests)
+            psnr = np.full(n, np.nan)
+            hok = np.zeros(n, bool)
+            groups: dict = {}
+            for i in range(n):
+                groups.setdefault(
+                    (bool(jpegish[i]), int(ws[i]), int(hs[i])), []
+                ).append(i)
+            for (smooth, w_, h_), idxs in groups.items():
+                gen_b = (
+                    ic.synth_pixels_smooth_batch
+                    if smooth
+                    else ic.synth_pixels_batch
                 )
+                ref = gen_b(eids[idxs], w_, h_)
+                ok = [
+                    k
+                    for k, i in enumerate(idxs)
+                    if got[i] is not None and got[i].shape == (h_, w_, 3)
+                ]
+                if not ok:
+                    continue
+                gstack = np.stack([got[idxs[k]] for k in ok])
+                pv = ic.psnr_db_batch(ref[ok], gstack)
+                if h_ % 8 == 0 and w_ % 8 == 0:
+                    hv = ic.phash64_batch(gstack)
+                else:
+                    hv = np.array(
+                        [ic.phash64(g) for g in gstack], np.int64
+                    )
+                for j, k in enumerate(ok):
+                    i = idxs[k]
+                    psnr[i] = pv[j]
+                    hok[i] = int(hv[j]) == int(phashes[i])
             out = pdf.copy()
             out["psnr"] = psnr
-            out["pixel_ok"] = pok
-            out["caption_ok"] = cok
-            out["phash_ok"] = hok
+            out["pixel_ok"] = [
+                bool(p >= 40.0) if p == p else False for p in psnr
+            ]
+            out["caption_ok"] = [
+                c == f"caption for image {e}"
+                for c, e in zip(pdf["caption"], eids)
+            ]
+            out["phash_ok"] = hok.tolist()
             yield out
 
     schema = (
@@ -423,8 +529,16 @@ def exif_images_df(
 
     def _gen(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            eids = pdf["event_id"].to_numpy(np.int64)
+            # batched synth + JPEG encode (byte-identical to the
+            # per-image encoder — tests/test_jpeg.py); the APP1 splice
+            # stays per image (tiny byte surgery)
+            px = ic.synth_pixels_smooth_batch(eids, size, size)
+            blobs, _ = jpegcodec.encode_jpeg_batch(px, quality=JPEG_QUALITY)
             out = []
-            for eid in pdf["event_id"]:
+            for eid, blob in zip(eids, blobs):
                 eid = int(eid)
                 m_lon = (eid * 37 + 11) % 2000
                 m_lat = (eid * 73 + 29) % 2000
@@ -437,11 +551,7 @@ def exif_images_df(
                     lon_dms,
                     byte_order="MM" if eid % 2 else "II",
                 )
-                px = ic.synth_pixels_smooth(eid, size, size)
-                data = exif.insert_app1(
-                    jpegcodec.encode_jpeg(px, quality=JPEG_QUALITY), app1
-                )
-                out.append((eid, bytearray(data)))
+                out.append((eid, bytearray(exif.insert_app1(blob, app1))))
             yield pd.DataFrame(out, columns=["event_id", "data"])
 
     return pts.select("event_id").mapInPandas(
