@@ -142,6 +142,22 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return 2.0 * _kernel.EARTH_R * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """SQL-string twin of haversine_col: parses to the node-identical
+    Catalyst tree (same function calls, same literal types — the
+    leading constant is the SAME pre-folded double the Column form
+    produces, suffixed D so it parses as DOUBLE not DECIMAL), so
+    results are bit-identical. Exists because Column-API construction
+    pays a py4j round trip per node — building this tree K times per
+    operator call cost more than executing it (round-6 measurement)."""
+    return (
+        f"{2.0 * _kernel.EARTH_R!r}D * ASIN(SQRT(LEAST("
+        f"POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2), 1.0D)))"
+    )
+
+
 def est_width_m(wkb_col):
     """Column: estimated platform width in meters for (Multi)Polygons,
     NULL otherwise.

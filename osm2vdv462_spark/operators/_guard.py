@@ -16,12 +16,43 @@ from pyspark.sql import DataFrame
 MAX_DIM_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_DIM_ROWS", "10000000"))
 
 
+# fast-path probe size: small enough that materializing PROBE_ROWS Row
+# objects is harmless even under a 1g plain-session driver heap (~100k
+# rows x ~100B), large enough that every sane dimension table fits and
+# pays ONE Spark job instead of two (count probe + collect) — the probe
+# job was a fixed ~0.2-0.4 s tax on every broadcast spatial operator
+# call at bench scale (guide §1.2: remove unnecessary passes).
+PROBE_ROWS = 100_000
+
+
 def collect_dim(df: DataFrame, what: str) -> list:
-    """collect() with a fail-fast cardinality guard: probes cardinality
-    with a LIMIT'd count first (cheap, no driver materialization), and
-    only collects once the cap check passes — an oversized dimension
-    must raise the clear error below, not OOM the driver building 10M+1
-    Row objects under a 1g plain-session heap."""
+    """collect() with a fail-fast cardinality guard. One LIMIT'd collect
+    resolves the common case (dimension <= PROBE_ROWS) in a single job;
+    only larger dimensions pay the count-probe-then-collect path, which
+    checks the cap WITHOUT materializing 10M+1 Row objects on the
+    driver — an oversized dimension must raise the clear error below,
+    not OOM a 1g plain-session heap."""
+    try:  # driver-held dimension (createDataFrame): the data already
+        # lives in the plan, so the LIMIT probe only adds a job — plain
+        # collect is the cheap local fast path and cannot OOM beyond
+        # what the caller already materialized to BUILD the relation
+        plan_cls = (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+        )
+    except Exception:
+        plan_cls = None
+    if plan_cls == "LocalRelation":
+        rows = df.collect()
+        if len(rows) > MAX_DIM_ROWS:
+            raise ValueError(
+                f"{what}: dimension side exceeds {MAX_DIM_ROWS} rows — "
+                "this side is collected+broadcast; use the shuffle "
+                "variant or raise SPARK_GRAFT_MAX_DIM_ROWS"
+            )
+        return rows
+    rows = df.limit(PROBE_ROWS + 1).collect()
+    if len(rows) <= PROBE_ROWS:
+        return rows
     if df.limit(MAX_DIM_ROWS + 1).count() > MAX_DIM_ROWS:
         raise ValueError(
             f"{what}: dimension side exceeds {MAX_DIM_ROWS} rows — this "

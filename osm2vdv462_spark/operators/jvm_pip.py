@@ -610,30 +610,41 @@ def pip_knn_assign_codegen(
     pid_type = polys_df.select(poly_id).schema[0].dataType.simpleString()
     tid_type = targets_df.select(target_id).schema[0].dataType.simpleString()
 
-    def pid_expr() -> Column:
+    # Expressions are built as ONE SQL string each and handed to
+    # selectExpr / F.expr: the Column-API construction of these wide
+    # unrolled trees cost a py4j round trip per node (~1.3 s per call at
+    # K=16/S=8 — more than the query's own execution). The parsed trees
+    # are node-identical to the Column forms (same functions, same
+    # literal types), so plans, codegen and results are unchanged.
+    LONQ, LATQ = f"`{lon}`", f"`{lat}`"
+
+    def pid_sql() -> str:
         # PIP: unrolled ray-cast parity per poly slot; least() over the
         # matching slots' ids == array_min of the filtered pids
-        pid_hits = []
+        hits = []
         for p in range(P):
-            crossings = None
+            terms = []
             for s in range(S):
-                x0 = F.col(f"_p{p}s{s}_x0")
-                y0 = F.col(f"_p{p}s{s}_y0")
-                x1 = F.col(f"_p{p}s{s}_x1")
-                y1 = F.col(f"_p{p}s{s}_y1")
-                cond = ((y0 > LAT) != (y1 > LAT)) & (
-                    LON < x0 + (LAT - y0) / (y1 - y0) * (x1 - x0)
+                x0, y0 = f"_p{p}s{s}_x0", f"_p{p}s{s}_y0"
+                x1, y1 = f"_p{p}s{s}_x1", f"_p{p}s{s}_y1"
+                terms.append(
+                    f"CASE WHEN (({y0} > {LATQ}) != ({y1} > {LATQ})) AND "
+                    f"({LONQ} < {x0} + ({LATQ} - {y0}) / ({y1} - {y0})"
+                    f" * ({x1} - {x0})) THEN 1 ELSE 0 END"
                 )
-                term = F.when(cond, 1).otherwise(0)
-                crossings = term if crossings is None else crossings + term
-            inside = (crossings % 2 == 1) & F.col(f"_p{p}_id").isNotNull()
-            pid_hits.append(F.when(inside, F.col(f"_p{p}_id")))
-        return pid_hits[0] if P == 1 else F.least(*pid_hits)
+            crossings = " + ".join(terms)
+            hits.append(
+                f"CASE WHEN (({crossings}) % 2 = 1)"
+                f" AND _p{p}_id IS NOT NULL THEN _p{p}_id END"
+            )
+        return hits[0] if P == 1 else "LEAST(" + ", ".join(hits) + ")"
+
+    PID_SQL = pid_sql()
 
     def render(df: DataFrame, best_id: Column, best_d: Column) -> DataFrame:
         return df.select(
             *point_keep,
-            pid_expr().cast(pid_type).alias(poly_id),
+            F.expr(PID_SQL).cast(pid_type).alias(poly_id),
             best_id.cast(tid_type).alias(target_id),
             best_d.alias("dist_m"),
         )
@@ -644,28 +655,24 @@ def pip_knn_assign_codegen(
     # elimination; measured fastest of the formulations tried (scalar
     # dmin + tie re-scan duplicates the haversine tree K x and stalls;
     # see BENCH/BASELINE.md round-2 notes).
-    cand_structs = [
-        F.when(
-            F.col(f"_t{k}_id").isNotNull(),
-            F.struct(
-                haversine_col(
-                    LON, LAT, F.col(f"_t{k}_lon"), F.col(f"_t{k}_lat")
-                ).alias("d"),
-                F.col(f"_t{k}_id").alias("id"),
-            ),
-        )
+    from ..geo.columns import haversine_sql
+
+    cand_sql = [
+        f"CASE WHEN _t{k}_id IS NOT NULL THEN named_struct("
+        f"'d', {haversine_sql(LONQ, LATQ, f'_t{k}_lon', f'_t{k}_lat')},"
+        f" 'id', _t{k}_id) END"
         for k in range(K)
     ]
-    best_m = F.least(*cand_structs)
-    out_m = (
-        matched.select(*point_keep, pid_expr().cast(pid_type).alias(poly_id),
-                       best_m.alias("_best"))
-        .select(
-            *point_keep,
-            poly_id,
-            F.col("_best.id").cast(tid_type).alias(target_id),
-            F.col("_best.d").alias("dist_m"),
-        )
+    keep_q = [f"`{c}`" for c in point_keep]
+    out_m = matched.selectExpr(
+        *keep_q,
+        f"CAST(({PID_SQL}) AS {pid_type}) AS `{poly_id}`",
+        "LEAST(" + ", ".join(cand_sql) + ") AS _best",
+    ).selectExpr(
+        *keep_q,
+        f"`{poly_id}`",
+        f"CAST(_best.id AS {tid_type}) AS `{target_id}`",
+        "_best.d AS dist_m",
     )
     if assume_covered:
         # caller guarantees every point's cell is within the mapped
