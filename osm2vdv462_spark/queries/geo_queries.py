@@ -1636,7 +1636,14 @@ def image_exif_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipeline import images as im
 
-    dec = im.with_exif_gps(im.exif_images_df(spark, sf_dir, size=16, every=5))
+    # the synth+parse subtree feeds BOTH the PIP branch and the final
+    # join-back; without a lineage cut Spark executes it twice per run
+    # (guide §1.2: don't compute things twice) — localCheckpoint
+    # materializes the 20k thin parsed rows once (bytes column already
+    # dropped by with_exif_gps)
+    dec = im.with_exif_gps(
+        im.exif_images_df(spark, sf_dir, size=16, every=5)
+    ).localCheckpoint()
     polys = datagen.stop_area_octagons(spark, sf_dir)
     assign = pip_join_broadcast(
         dec.select("event_id", "lon_deg", "lat_deg"),
