@@ -74,17 +74,16 @@ def ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
-def binary_stage_parallelism(spark: SparkSession, mult: int = 4) -> int:
+def binary_stage_parallelism(spark: SparkSession, mult: int = 2) -> int:
     """Partition count for binary-heavy Arrow stages (image / audio /
     video codec mapInPandas), capped by the JVM's DIRECT-memory budget.
 
-    ``mult=4`` (was 2, round 6): the image stages chain two Python
-    runners per task (synth then verify), and finer tasks overlap the
-    two stages' workers markedly better — measured 64 -> 128 partitions
-    cuts image_integrity ~15% at 32 cores while 256 regresses (task
-    overhead). Concurrent JVM<->Python crossings stay bounded by the
-    core count, not the partition count, so the direct-memory cap
-    reasoning below is unchanged.
+    mult stays 2: a round-6 sequential sweep suggested mult=4 (128
+    partitions) was ~15% faster on image_integrity, but a drift-
+    cancelling INTERLEAVED A/B (64/128 alternating in one session)
+    showed 64 consistently ahead on both the mixed and PNG-only rows —
+    the earlier reading was page-fault-weather confounding, not task
+    overlap (BENCH/BASELINE.md box pathology).
 
     Arrow's netty allocation manager services every JVM<->Python
     crossing from pooled 16 MiB arena chunks, so a running decode task

@@ -78,86 +78,90 @@ def images_df(
     pts = pts.repartition(deploy.binary_stage_parallelism(spark))
 
     batchable = size % 8 == 0 and mixed_formats != "prog"
+    # input rows are ~24 B, so Arrow's record cap (65536) governs batch
+    # size — unchunked, the batched encoder's (B x blocks x 64) int64 /
+    # float64 temporaries would reach GBs per worker at sf1+. 2048 rows
+    # keeps peak ~150 MB while the vectorization is long saturated.
+    CHUNK = 2048
 
-    def _gen(batches):
+    def _chunk_rows(pdf):
         from ..functions import jpegcodec
 
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            if not batchable:  # odd sizes / progressive: per-row path
-                out = []
-                for eid, lon, lat in zip(
-                    pdf["event_id"], pdf["lon"], pdf["lat"]
-                ):
-                    eid = int(eid)
-                    data, fmt, ph = _synth_row(eid, size, mixed_formats)
-                    out.append(
-                        (
-                            f"img_{eid:09d}", data, size, size, fmt,
-                            f"caption for image {eid}", ph,
-                            float(lon), float(lat),
-                        )
+        n = len(pdf)
+        if not batchable:  # odd sizes / progressive: per-row path
+            out = []
+            for eid, lon, lat in zip(
+                pdf["event_id"], pdf["lon"], pdf["lat"]
+            ):
+                eid = int(eid)
+                data, fmt, ph = _synth_row(eid, size, mixed_formats)
+                out.append(
+                    (
+                        f"img_{eid:09d}", data, size, size, fmt,
+                        f"caption for image {eid}", ph,
+                        float(lon), float(lat),
                     )
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "image_id", "bytes", "w", "h", "fmt", "caption",
-                        "phash", "lon", "lat",
-                    ],
                 )
-                continue
-            # batched synth (guide §4.2): one vectorized pass per format
-            # class instead of per-image codec calls; outputs are
-            # bit-identical to _synth_row (tests/test_images.py pins it)
-            eids = pdf["event_id"].to_numpy(np.int64)
-            datas: list = [None] * n
-            fmts: list = [None] * n
-            phs = np.empty(n, np.int64)
-            jsel = (
-                np.nonzero(eids % 2 == 1)[0]
-                if mixed_formats
-                else np.empty(0, np.int64)
+            return pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash", "lon", "lat",
+                ],
             )
-            psel = (
-                np.nonzero(eids % 2 == 0)[0]
-                if mixed_formats
-                else np.arange(n)
+        # batched synth (guide §4.2): one vectorized pass per format
+        # class instead of per-image codec calls; outputs are
+        # bit-identical to _synth_row (tests/test_batch_codec.py)
+        eids = pdf["event_id"].to_numpy(np.int64)
+        datas: list = [None] * n
+        fmts: list = [None] * n
+        phs = np.empty(n, np.int64)
+        jsel = (
+            np.nonzero(eids % 2 == 1)[0]
+            if mixed_formats
+            else np.empty(0, np.int64)
+        )
+        psel = (
+            np.nonzero(eids % 2 == 0)[0] if mixed_formats else np.arange(n)
+        )
+        if len(jsel):
+            px = ic.synth_pixels_smooth_batch(eids[jsel], size, size)
+            blobs, coeffs = jpegcodec.encode_jpeg_batch(
+                px, quality=JPEG_QUALITY
             )
-            if len(jsel):
-                px = ic.synth_pixels_smooth_batch(eids[jsel], size, size)
-                blobs, coeffs = jpegcodec.encode_jpeg_batch(
-                    px, quality=JPEG_QUALITY
-                )
-                stored = jpegcodec.decoded_pixels_from_coeffs(
-                    coeffs, JPEG_QUALITY, size, size
-                )
-                jph = ic.phash64_batch(stored)
-                for k, i in enumerate(jsel):
-                    datas[i] = blobs[k]
-                    fmts[i] = "jpeg"
-                phs[jsel] = jph
-            if len(psel):
-                px = ic.synth_pixels_batch(eids[psel], size, size)
-                pph = ic.phash64_batch(px)
-                for k, i in enumerate(psel):
-                    datas[i] = ic.encode_png(px[k])
-                    fmts[i] = "png"
-                phs[psel] = pph
-            yield pd.DataFrame(
-                {
-                    "image_id": [f"img_{e:09d}" for e in eids],
-                    "bytes": datas,
-                    "w": np.full(n, size, np.int32),
-                    "h": np.full(n, size, np.int32),
-                    "fmt": fmts,
-                    "caption": [f"caption for image {e}" for e in eids],
-                    "phash": phs,
-                    "lon": pdf["lon"].to_numpy(np.float64),
-                    "lat": pdf["lat"].to_numpy(np.float64),
-                }
+            stored = jpegcodec.decoded_pixels_from_coeffs(
+                coeffs, JPEG_QUALITY, size, size
             )
+            phs[jsel] = ic.phash64_batch(stored)
+            for k, i in enumerate(jsel):
+                datas[i] = blobs[k]
+                fmts[i] = "jpeg"
+        if len(psel):
+            px = ic.synth_pixels_batch(eids[psel], size, size)
+            phs[psel] = ic.phash64_batch(px)
+            for k, i in enumerate(psel):
+                datas[i] = ic.encode_png(px[k])
+                fmts[i] = "png"
+        return pd.DataFrame(
+            {
+                "image_id": [f"img_{e:09d}" for e in eids],
+                "bytes": datas,
+                "w": np.full(n, size, np.int32),
+                "h": np.full(n, size, np.int32),
+                "fmt": fmts,
+                "caption": [f"caption for image {e}" for e in eids],
+                "phash": phs,
+                "lon": pdf["lon"].to_numpy(np.float64),
+                "lat": pdf["lat"].to_numpy(np.float64),
+            }
+        )
+
+    def _gen(batches):
+        for pdf0 in batches:
+            for s0 in range(0, len(pdf0), CHUNK):
+                pdf = pdf0.iloc[s0 : s0 + CHUNK]
+                if len(pdf):
+                    yield _chunk_rows(pdf)
 
     return pts.mapInPandas(
         _gen,
@@ -528,31 +532,39 @@ def exif_images_df(
     pts = pts.repartition(deploy.binary_stage_parallelism(spark))
 
     def _gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            eids = pdf["event_id"].to_numpy(np.int64)
-            # batched synth + JPEG encode (byte-identical to the
-            # per-image encoder — tests/test_jpeg.py); the APP1 splice
-            # stays per image (tiny byte surgery)
-            px = ic.synth_pixels_smooth_batch(eids, size, size)
-            blobs, _ = jpegcodec.encode_jpeg_batch(px, quality=JPEG_QUALITY)
-            out = []
-            for eid, blob in zip(eids, blobs):
-                eid = int(eid)
-                m_lon = (eid * 37 + 11) % 2000
-                m_lat = (eid * 73 + 29) % 2000
-                lat_dms = [(0, 1), (abs(m_lat - 1000) * 60, 4000), (0, 1)]
-                lon_dms = [(0, 1), (abs(m_lon - 1000) * 60, 4000), (0, 1)]
-                app1 = exif.build_gps_app1(
-                    "S" if m_lat < 1000 else "N",
-                    lat_dms,
-                    "W" if m_lon < 1000 else "E",
-                    lon_dms,
-                    byte_order="MM" if eid % 2 else "II",
-                )
-                out.append((eid, bytearray(exif.insert_app1(blob, app1))))
-            yield pd.DataFrame(out, columns=["event_id", "data"])
+        for pdf0 in batches:
+            # sub-chunk: input rows are 8 B, so Arrow batches reach the
+            # 65536-record cap and the batch encoder's temporaries
+            # would grow to hundreds of MB per worker at sf1+
+            for s0 in range(0, len(pdf0), 4096):
+                pdf = pdf0.iloc[s0 : s0 + 4096]
+                if len(pdf) == 0:
+                    continue
+                yield _chunk(pdf)
+
+    def _chunk(pdf):
+        eids = pdf["event_id"].to_numpy(np.int64)
+        # batched synth + JPEG encode (byte-identical to the per-image
+        # encoder — tests/test_jpeg.py); the APP1 splice stays per
+        # image (tiny byte surgery)
+        px = ic.synth_pixels_smooth_batch(eids, size, size)
+        blobs, _ = jpegcodec.encode_jpeg_batch(px, quality=JPEG_QUALITY)
+        out = []
+        for eid, blob in zip(eids, blobs):
+            eid = int(eid)
+            m_lon = (eid * 37 + 11) % 2000
+            m_lat = (eid * 73 + 29) % 2000
+            lat_dms = [(0, 1), (abs(m_lat - 1000) * 60, 4000), (0, 1)]
+            lon_dms = [(0, 1), (abs(m_lon - 1000) * 60, 4000), (0, 1)]
+            app1 = exif.build_gps_app1(
+                "S" if m_lat < 1000 else "N",
+                lat_dms,
+                "W" if m_lon < 1000 else "E",
+                lon_dms,
+                byte_order="MM" if eid % 2 else "II",
+            )
+            out.append((eid, bytearray(exif.insert_app1(blob, app1))))
+        return pd.DataFrame(out, columns=["event_id", "data"])
 
     return pts.select("event_id").mapInPandas(
         _gen, "event_id bigint, data binary"
