@@ -151,7 +151,12 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "band_hash"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the self-join below broadcasts one side, so without a lineage
+    # cut the whole signature pass (shingle md5 + 64 minhashes over the
+    # full corpus) executes TWICE per run (round-6 plan audit: two
+    # MapInPandas subtrees in the physical plan). The checkpointed frame
+    # is (id, band, band_hash) — bands x n_docs tiny rows, never text.
     cand = (
         banded.alias("x")
         .join(
