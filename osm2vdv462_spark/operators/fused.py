@@ -44,19 +44,13 @@ def pip_knn_assign(
     polygon), inner on the nearest target (always exists if targets
     nonempty). Output: point_keep..., <poly_id>, <target_id>, dist_m."""
     spark = points_df.sparkSession
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    prows = [
-        (r[0], r[1])
-        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
-    ]
+    prows = collect_dim_cols(polys_df, [poly_id, poly_wkb], "polygons")
     pidx = build_poly_index(prows, poly_res)
-    trows = [
-        (r[0], r[1], r[2])
-        for r in collect_dim(
-            targets_df.select(target_id, target_lon, target_lat), "targets"
-        )
-    ]
+    trows = collect_dim_cols(
+        targets_df, [target_id, target_lon, target_lat], "targets"
+    )
     tidx = build_target_index(trows, target_res)
     bc = spark.sparkContext.broadcast((pidx, tidx))
 

@@ -372,18 +372,12 @@ def pip_knn_assign_jvm(
     point_keep..., <poly_id> (NULL if in no polygon; min id on overlap
     ties), <target_id>, dist_m."""
     spark = points_df.sparkSession
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    prows = [
-        (r[0], r[1])
-        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
-    ]
-    trows = [
-        (r[0], r[1], r[2])
-        for r in collect_dim(
-            targets_df.select(target_id, target_lon, target_lat), "targets"
-        )
-    ]
+    prows = collect_dim_cols(polys_df, [poly_id, poly_wkb], "polygons")
+    trows = collect_dim_cols(
+        targets_df, [target_id, target_lon, target_lat], "targets"
+    )
     if target_res is None:
         target_res, auto_pad = _auto_target_res(trows)
         if target_pad_cells is None:
@@ -501,18 +495,12 @@ def pip_knn_assign_codegen(
     (max_slots, max_segs) should use pip_knn_assign_jvm / the Python
     kernels instead; this function raises so the caller chooses."""
     spark = points_df.sparkSession
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    prows = [
-        (r[0], r[1])
-        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
-    ]
-    trows = [
-        (r[0], r[1], r[2])
-        for r in collect_dim(
-            targets_df.select(target_id, target_lon, target_lat), "targets"
-        )
-    ]
+    prows = collect_dim_cols(polys_df, [poly_id, poly_wkb], "polygons")
+    trows = collect_dim_cols(
+        targets_df, [target_id, target_lon, target_lat], "targets"
+    )
     if target_res is None:
         target_res, built = _auto_target_build(trows)
         if target_pad_cells is None:

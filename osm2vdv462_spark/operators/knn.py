@@ -260,14 +260,11 @@ def dwithin_join_broadcast(
     Output: point_keep..., <target_id>, dist_m.
     """
     spark = points_df.sparkSession
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    rows = [
-        (r[0], r[1], r[2])
-        for r in collect_dim(
-            targets_df.select(target_id, target_lon, target_lat), "targets"
-        )
-    ]
+    rows = collect_dim_cols(
+        targets_df, [target_id, target_lon, target_lat], "targets"
+    )
     if res is None:
         # cell ≥ D so ring radius stays ≤ 2 at any latitude we cover
         res = _cells.choose_resolution(distance_m)
@@ -346,14 +343,11 @@ def knn_join_broadcast(
     Map-side only — no shuffle of the point table.
     """
     spark = points_df.sparkSession
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    rows = [
-        (r[0], r[1], r[2])
-        for r in collect_dim(
-            targets_df.select(target_id, target_lon, target_lat), "targets"
-        )
-    ]
+    rows = collect_dim_cols(
+        targets_df, [target_id, target_lon, target_lat], "targets"
+    )
     if res is None:
         # density heuristic: ~>=2 targets expected per ring-1 disk
         import math

@@ -145,12 +145,9 @@ def pip_join_broadcast(
     spark = points_df.sparkSession
     if res is None:
         res = choose_poly_resolution(polys_df, poly_wkb)
-    from ._guard import collect_dim
+    from ._guard import collect_dim_cols
 
-    rows = [
-        (r[0], r[1])
-        for r in collect_dim(polys_df.select(poly_id, poly_wkb), "polygons")
-    ]
+    rows = collect_dim_cols(polys_df, [poly_id, poly_wkb], "polygons")
     index = build_poly_index(rows, res)
     bc = spark.sparkContext.broadcast(index)
 

@@ -106,7 +106,11 @@ def stop_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
         cx = GRID_LON0 + GRID_STEP * (key % 5)
         cy = GRID_LAT0 + GRID_STEP * (key // 5)
         rows.append((int(key), bytearray(_wkb.encode_polygon([_octagon_ring(cx, cy)]))))
-    return spark.createDataFrame(rows, "relation_id int, geom binary")
+    df = spark.createDataFrame(rows, "relation_id int, geom binary")
+    # the rows already live on the driver — let broadcast operators skip
+    # the redundant collect job (operators/_guard.collect_dim_cols)
+    df._graft_dim_rows = rows
+    return df
 
 
 # ---- quay sites from `supplier` -------------------------------------------
