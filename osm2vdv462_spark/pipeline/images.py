@@ -529,7 +529,10 @@ def exif_images_df(
     pts = datagen.geo_points(spark, sf_dir)
     if every > 1:
         pts = pts.filter(F.col("event_id") % every == 0)
-    pts = pts.repartition(deploy.binary_stage_parallelism(spark))
+    # mult=1: the batched 16x16 encode leaves ~0.25 ms/row of Python —
+    # at that grain one task per core beats 2x (interleaved A/B, round 6:
+    # 1.7-2.0 s vs 2.5-2.6 s for the full exif query at 32 cores)
+    pts = pts.repartition(deploy.binary_stage_parallelism(spark, mult=1))
 
     def _gen(batches):
         for pdf0 in batches:
