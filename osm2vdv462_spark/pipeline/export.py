@@ -198,23 +198,24 @@ def export_data(
 # --------------------------------------------------------- XML assembly
 
 
-def _element_xml(df: DataFrame) -> DataFrame:
-    """Per-element XML fragment (the inner xmlelement per category,
-    SP:1369-1443)."""
-    # stage 1: ingredients (geometry UDFs + every parser result) computed
-    # ONCE per row and materialized — the fragment assembly then
-    # references plain columns, keeping each codegen unit small enough
-    # for a default-sized driver heap (the inlined version compiles
-    # methods too large for janino under 1g)
+_TEMPLATE_CACHE: dict = {}
+
+
+def _stop_place_templates(spark: SparkSession) -> dict:
+    """Unbound Column trees for every per-element / per-area XML
+    template, built ONCE per application and reused. The templates only
+    reference column NAMES (tags, _c, relation_id, ...), never data, so
+    the same tree is valid for every DataFrame of the export shape —
+    but each fresh build costs ~2-3 s of py4j round trips (the DELFI
+    ladders are thousands of Column ops), which the e2e pipeline paid on
+    every run. Same per-session memo pattern as jvm_pip._AUTO_BUILD_CACHE
+    and pipeline_queries._stages; keyed on applicationId so a new
+    session rebuilds against its own JVM objects."""
+    key = spark.sparkContext.applicationId
+    hit = _TEMPLATE_CACHE.get(key)
+    if hit is not None:
+        return hit
     ing = X.parsed_ingredients(F.col("tags"))
-    df = (
-        df.withColumn("_c", centroid(F.col("geom")))
-        .withColumn("_gt", geom_type(F.col("geom")))
-        .withColumn("_ln", geodesic_length_m(F.col("geom")))
-        .withColumn("_pl", poslist(F.col("geom")))
-        .withColumns(ing)
-        .localCheckpoint(eager=False)
-    )
     pre = {k: F.col(k) for k in ing}
     tags = F.col("tags")
     c = F.col("_c")
@@ -273,18 +274,45 @@ def _element_xml(df: DataFrame) -> DataFrame:
         ),
         **attrs,
     )
+    hit = {
+        "ing": ing,
+        "frags": [
+            ("QUAY", quay),
+            ("ENTRANCE", entrance),
+            ("ACCESS_SPACE", access),
+            ("SITE_PATH_LINK", link),
+        ],
+        "head": _area_head_template(),
+    }
+    _TEMPLATE_CACHE.clear()  # exactly one entry (old sessions' JVM refs)
+    _TEMPLATE_CACHE[key] = hit
+    return hit
+
+
+def _element_xml(df: DataFrame) -> DataFrame:
+    """Per-element XML fragment (the inner xmlelement per category,
+    SP:1369-1443)."""
+    # stage 1: ingredients (geometry UDFs + every parser result) computed
+    # ONCE per row and materialized — the fragment assembly then
+    # references plain columns, keeping each codegen unit small enough
+    # for a default-sized driver heap (the inlined version compiles
+    # methods too large for janino under 1g)
+    tmpl = _stop_place_templates(df.sparkSession)
+    df = (
+        df.withColumn("_c", centroid(F.col("geom")))
+        .withColumn("_gt", geom_type(F.col("geom")))
+        .withColumn("_ln", geodesic_length_m(F.col("geom")))
+        .withColumn("_pl", poslist(F.col("geom")))
+        .withColumns(tmpl["ing"])
+        .localCheckpoint(eager=False)
+    )
     # four separate plans instead of one when() chain over all four
     # element builders: each branch alone is already a very large
     # expression tree (DELFI ladders inline the tag parsers repeatedly);
     # combined they exceed what janino can compile in a default-sized
     # driver heap. Union of filtered selects keeps codegen units small.
     parts = []
-    for cat, frag in [
-        ("QUAY", quay),
-        ("ENTRANCE", entrance),
-        ("ACCESS_SPACE", access),
-        ("SITE_PATH_LINK", link),
-    ]:
+    for cat, frag in tmpl["frags"]:
         parts.append(
             df.filter(F.col("category") == cat).withColumn("frag", frag)
         )
@@ -300,6 +328,50 @@ _WRAPPER = {
     "ACCESS_SPACE": "accessSpaces",
     "SITE_PATH_LINK": "pathLinks",
 }
+
+
+def _area_head_template():
+    """Unbound Column for the per-area <StopPlace> head (keylist, names,
+    centroid, org ref, levels) — cached via _stop_place_templates."""
+    area_tags = F.col("area_tags")
+    levels_xml = F.concat(
+        F.lit("<levels>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.map_entries(F.col("levels")),
+                    lambda a, b: F.when(a["key"] < b["key"], -1)
+                    .when(a["key"] > b["key"], 1)
+                    .otherwise(0),
+                ),
+                lambda e: F.concat(
+                    F.lit('<Level id="'),
+                    create_level_id(F.col("relation_id"), e["key"]),
+                    F.lit('" version="any"><ShortName>'),
+                    # inside a HOF lambda: Python-UDF render is banned;
+                    # level keys are k / k.5 so the JVM render is exact
+                    X.esc(F.coalesce(e["value"], X._num_str_lambda(e["key"]))),
+                    F.lit("</ShortName></Level>"),
+                ),
+            ),
+        ),
+        F.lit("</levels>"),
+    )
+    return F.concat_ws(
+        "",
+        X.ex_keylist_stop_place(area_tags),
+        X.ex_name(area_tags),
+        X.ex_short_name(area_tags),
+        X.ex_description(area_tags),
+        X.ex_centroid(F.col("area_lon"), F.col("area_lat")),
+        X.ex_alternative_names(area_tags),
+        F.coalesce(
+            X.ex_operator_ref(F.col("operator_id")),
+            X.ex_authority_ref(F.col("network_id")),
+        ),
+        levels_xml,
+    )
 
 
 def xml_stop_places(export_df: DataFrame) -> DataFrame:
@@ -337,45 +409,7 @@ def xml_stop_places(export_df: DataFrame) -> DataFrame:
         "cat_rank", _rank(F.col("category"))
     )
 
-    area_tags = F.col("area_tags")
-    levels_xml = F.concat(
-        F.lit("<levels>"),
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.map_entries(F.col("levels")),
-                    lambda a, b: F.when(a["key"] < b["key"], -1)
-                    .when(a["key"] > b["key"], 1)
-                    .otherwise(0),
-                ),
-                lambda e: F.concat(
-                    F.lit('<Level id="'),
-                    create_level_id(F.col("relation_id"), e["key"]),
-                    F.lit('" version="any"><ShortName>'),
-                    # inside a HOF lambda: Python-UDF render is banned;
-                    # level keys are k / k.5 so the JVM render is exact
-                    X.esc(F.coalesce(e["value"], X._num_str_lambda(e["key"]))),
-                    F.lit("</ShortName></Level>"),
-                ),
-            ),
-        ),
-        F.lit("</levels>"),
-    )
-    head = F.concat_ws(
-        "",
-        X.ex_keylist_stop_place(area_tags),
-        X.ex_name(area_tags),
-        X.ex_short_name(area_tags),
-        X.ex_description(area_tags),
-        X.ex_centroid(F.col("area_lon"), F.col("area_lat")),
-        X.ex_alternative_names(area_tags),
-        F.coalesce(
-            X.ex_operator_ref(F.col("operator_id")),
-            X.ex_authority_ref(F.col("network_id")),
-        ),
-        levels_xml,
-    )
+    head = _stop_place_templates(export_df.sparkSession)["head"]
     return (
         per_cat.groupBy("relation_id", "area_id")
         .agg(

@@ -76,3 +76,90 @@ class TestCheckpoint:
         out = run_full_pipeline(spark, wd, n_areas=1, seed=7)  # new generator
         assert not out["stats"]["world_platforms"]["skipped"]
         assert not out["stats"]["final_quays"]["skipped"]
+
+
+class TestObserveMetrics:
+    """r6: stage metrics ride the write job (observe + parquet footers)
+    instead of a second full read-back scan — pin the replacements
+    against the old computations."""
+
+    def test_parquet_footer_rows_match_spark(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.pipeline.checkpoint import parquet_num_rows
+
+        p = str(tmp_path / "t")
+        (
+            spark.range(0, 5000, 1, 9)
+            .select(
+                "id",
+                F.map_from_arrays(
+                    F.array(F.lit("a")), F.array(F.col("id").cast("string"))
+                ).alias("m"),
+                F.encode(F.col("id").cast("string"), "utf-8").alias("b"),
+            )
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        import os
+
+        per_file_spark = {
+            r["f"].rsplit("/", 1)[-1]: r["n"]
+            for r in spark.read.parquet(p)
+            .groupBy(F.input_file_name().alias("f"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        checked = 0
+        for fn in os.listdir(p):
+            if fn.endswith(".parquet"):
+                mine = parquet_num_rows(os.path.join(p, fn))
+                assert mine == per_file_spark.get(fn, 0), fn
+                checked += 1
+        assert checked >= 9 and sum(per_file_spark.values()) == 5000
+
+    def test_observed_hash_equals_readback_hash(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from osm2vdv462_spark.pipeline.checkpoint import (
+            StageCheckpoint,
+            content_hash,
+        )
+
+        ck = StageCheckpoint(spark, str(tmp_path))
+        df = spark.range(0, 777, 1, 5).select(
+            "id",
+            (F.col("id") * -1.5).alias("d"),
+            F.map_from_arrays(
+                F.array(F.lit("k"), F.lit("z")),
+                F.array(F.col("id").cast("string"), F.lit("v")),
+            ).alias("m"),
+        )
+        ck.materialize("s", lambda: df, {"i": "1"})
+        st = ck.stats["s"]
+        rb = content_hash(spark.read.parquet(str(tmp_path / "s")))
+        assert st["content_hash"] == rb  # pre-write == post-read
+        assert st["rows"] == 777
+
+    def test_empty_stage_materializes(self, spark, tmp_path):
+        from osm2vdv462_spark.pipeline.checkpoint import StageCheckpoint
+
+        ck = StageCheckpoint(spark, str(tmp_path))
+        empty = spark.createDataFrame([], "id string, label string")
+        ck.materialize("e", lambda: empty, {"i": "1"})
+        assert ck.stats["e"]["rows"] == 0
+        assert ck.stats["e"]["content_hash"] == 0
+
+
+class TestTemplateCache:
+    def test_xml_templates_cached_per_app(self, spark):
+        from osm2vdv462_spark.pipeline import export as ex_mod
+
+        a = ex_mod._stop_place_templates(spark)
+        b = ex_mod._stop_place_templates(spark)
+        assert a is b  # second call is a dict lookup, not a rebuild
+        assert set(a) == {"ing", "frags", "head"}
+        assert [c for c, _ in a["frags"]] == [
+            "QUAY", "ENTRANCE", "ACCESS_SPACE", "SITE_PATH_LINK",
+        ]
