@@ -199,6 +199,33 @@ def export_data(
 
 
 _TEMPLATE_CACHE: dict = {}
+_TEMPLATE_LOCK = None
+
+
+def _template_lock():
+    global _TEMPLATE_LOCK
+    if _TEMPLATE_LOCK is None:
+        import threading
+
+        _TEMPLATE_LOCK = threading.RLock()
+    return _TEMPLATE_LOCK
+
+
+def prewarm_templates(spark: SparkSession):
+    """Kick the template build on a background driver thread. The
+    document DAG runs ~10 eager stage jobs before it needs the XML
+    templates; the ~2-3 s py4j construction can overlap them instead of
+    serializing after (guide §2.6: the driver is idle while executors
+    work). Returns the thread; callers need not join — the next
+    _stop_place_templates call blocks on the lock until the build
+    lands."""
+    from pyspark import InheritableThread
+
+    t = InheritableThread(
+        target=lambda: _stop_place_templates(spark), daemon=True
+    )
+    t.start()
+    return t
 
 
 def _stop_place_templates(spark: SparkSession) -> dict:
@@ -214,6 +241,14 @@ def _stop_place_templates(spark: SparkSession) -> dict:
     key = spark.sparkContext.applicationId
     hit = _TEMPLATE_CACHE.get(key)
     if hit is not None:
+        return hit
+    with _template_lock():
+        return _build_templates(key)
+
+
+def _build_templates(key: str) -> dict:
+    hit = _TEMPLATE_CACHE.get(key)
+    if hit is not None:  # built while we waited on the lock
         return hit
     ing = X.parsed_ingredients(F.col("tags"))
     pre = {k: F.col(k) for k in ing}

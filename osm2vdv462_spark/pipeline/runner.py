@@ -34,6 +34,9 @@ def run_full_pipeline(
     start empty (supply the CSV source separately if available)."""
     os.makedirs(workdir, exist_ok=True)
     ck = StageCheckpoint(spark, workdir)
+    # overlap the ~2-3 s XML-template construction with the stage jobs
+    # below (no-op when the per-app template cache is already warm)
+    ex_mod.prewarm_templates(spark)
     if pbf_path is not None:
         gen = {"generator": f"pbf:{os.path.abspath(pbf_path)}"}
         # world_from_pbf runs the scan + dispatch + the ref->node

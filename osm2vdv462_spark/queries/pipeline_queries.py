@@ -268,6 +268,9 @@ def netex_stop_places_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form world in plain DuckDB SQL."""
     from ..pipeline import export as ex_mod
 
+    # overlap the ~2-3 s XML-template py4j construction with the stage
+    # jobs of _stages + the export phase (no-op once per-app cache warm)
+    ex_mod.prewarm_templates(spark)
     st = _stages(spark, sf_dir)
     w = st["world"]
     # same small-parallelism scoping as _stages: the export phase runs
