@@ -939,10 +939,9 @@ def _assemble_planes(comps, hmax, vmax, mcus_x, mcus_y, qt, comp_coeffs,
     for ci, (cid, hs, vs, qsel) in enumerate(comps):
         plane = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
         planes.append(plane)
-        blks = comp_coeffs[ci]
-        if not blks:
+        arr = comp_coeffs[ci]  # (n, 64) int64 in zigzag order
+        if not len(arr):
             continue
-        arr = np.array(blks, np.int64)  # (n, 64) in zigzag order
         deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(-1, 8, 8)
         spat = (_C.T @ deq.astype(np.float64)) @ _C + 128.0
         view = plane.reshape(plane.shape[0] // 8, 8, plane.shape[1] // 8, 8)
@@ -994,10 +993,7 @@ def decode_jpeg_many(
         for ci, (cid, hs, vs, qsel) in enumerate(comps):
             counts = [len(metas[i][8][ci]) for i in members]
             if sum(counts):
-                arr = np.array(
-                    [blk for i in members for blk in metas[i][8][ci]],
-                    np.int64,
-                )
+                arr = np.concatenate([metas[i][8][ci] for i in members])
                 deq = (arr[:, _ZZ_INV] * qt[qsel].reshape(64)).reshape(
                     -1, 8, 8
                 )
@@ -1027,8 +1023,8 @@ def decode_jpeg_many(
 def _decode_entropy(data: bytes):
     """Marker parse + Huffman/magnitude entropy decode of a baseline
     JFIF stream. Returns (comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
-    comp_coeffs (zigzag 64-lists per block), comp_by, comp_bx); raises
-    _ProgressiveStream for SOF2."""
+    comp_coeffs ((n, 64) int64 zigzag rows per component), comp_by,
+    comp_bx); raises _ProgressiveStream for SOF2."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -1244,9 +1240,18 @@ def _decode_entropy(data: bytes):
         seg_count += 1
         mcu_index += 1
 
+    # convert to (n, 64) int64 HERE, per component: np.array's nested-
+    # sequence path is fastest at this granularity, and returning arrays
+    # lets decode_jpeg_many concatenate per-image arrays instead of
+    # re-scanning a million-element nested list per batch (was ~160 ms
+    # per 1024-image chunk, now ~40 ms; measured round 6)
     return (
         comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
-        comp_coeffs, comp_by, comp_bx,
+        [
+            np.array(c, np.int64) if c else np.empty((0, 64), np.int64)
+            for c in comp_coeffs
+        ],
+        comp_by, comp_bx,
     )
 
 
