@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..geo import wkb as _wkb
+from ..sources import tinyparquet
 
 # ---- geotagged points from `events` --------------------------------------
 # lon/lat in [-0.25, 0.25): pure integer LCG on event_id, identical in
@@ -94,15 +95,28 @@ def _octagon_ring(cx: float, cy: float, a: float = OCT_A, b: float = OCT_B) -> n
 
 def stop_area_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One octagonal 'stop area' polygon per nation row (WKB)."""
-    from ..operators._guard import collect_dim
-
-    nat = collect_dim(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey"),
-        "stop_area_octagons nation dim",
+    # dimension-sized input: read the key column straight off the parquet
+    # footer/pages on the driver (sources/tinyparquet) — the Spark
+    # collect of 25 ints was a fixed ~0.2 s job per broadcast-operator
+    # call (guide §1.2). Falls back to the normal collect for anything
+    # outside the tiny-reader's scope (directory outputs, other codecs).
+    keys = tinyparquet.read_int_column(
+        f"{sf_dir}/nation.parquet", "n_nationkey"
     )
+    if keys is None or any(k is None for k in keys):
+        from ..operators._guard import collect_dim
+
+        keys = [
+            r["n_nationkey"]
+            for r in collect_dim(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey"
+                ),
+                "stop_area_octagons nation dim",
+            )
+        ]
     rows = []
-    for r in nat:
-        key = r["n_nationkey"]
+    for key in keys:
         cx = GRID_LON0 + GRID_STEP * (key % 5)
         cy = GRID_LAT0 + GRID_STEP * (key // 5)
         rows.append((int(key), bytearray(_wkb.encode_polygon([_octagon_ring(cx, cy)]))))
