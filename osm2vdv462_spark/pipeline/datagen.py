@@ -152,11 +152,27 @@ FROM supplier
 
 def quay_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    return sup.select(
+    df = sup.select(
         F.col("s_suppkey").alias("quay_id"),
         (F.lit(-0.22) + 0.043 * (F.col("s_suppkey") % 997)).alias("lon"),
         (F.lit(-0.09) + 0.017 * (F.col("s_suppkey") % 983)).alias("lat"),
     )
+    # zero-job fast path for broadcast-operator collects: the quay
+    # formula is closed-form double arithmetic over s_suppkey, and both
+    # IEEE-754 ops (int->double exact, one mul, one add) are correctly
+    # rounded in JVM and CPython alike, so the driver-computed rows are
+    # BIT-identical to a Spark collect of the frame (pinned in
+    # tests/test_tinyparquet.py). Out-of-scope parquet -> no attach ->
+    # operators collect normally.
+    keys = tinyparquet.read_int_column(
+        f"{sf_dir}/supplier.parquet", "s_suppkey"
+    )
+    if keys is not None and not any(k is None for k in keys):
+        df._graft_dim_rows = [
+            (k, -0.22 + 0.043 * (k % 997), -0.09 + 0.017 * (k % 983))
+            for k in keys
+        ]
+    return df
 
 
 # ---- edge segments from `nation` ------------------------------------------

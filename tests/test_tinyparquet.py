@@ -115,6 +115,24 @@ class TestSparkWritten:
         assert read_int_column(path, "event_id", max_bytes=1024) is None
 
 
+class TestQuayDimRows:
+    @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+    def test_driver_rows_bit_identical_to_spark_collect(self, spark, sf):
+        import struct
+
+        from osm2vdv462_spark.pipeline import datagen
+
+        df = datagen.quay_sites(spark, f"/root/testdata/sf{sf}")
+        fast = getattr(df, "_graft_dim_rows", None)
+        assert fast is not None, "supplier dim fell out of reader scope"
+        slow = [tuple(r) for r in df.collect()]
+        assert len(fast) == len(slow)
+        for f_, s_ in zip(sorted(fast), sorted(slow)):
+            assert f_[0] == s_[0]
+            # doubles must match to the BIT, not approximately
+            assert struct.pack("<dd", *f_[1:]) == struct.pack("<dd", *s_[1:])
+
+
 class TestOctagonDimUsesReader:
     def test_octagons_identical_to_fallback(self, spark):
         from osm2vdv462_spark.operators._guard import collect_dim
