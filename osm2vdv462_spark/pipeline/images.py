@@ -163,11 +163,17 @@ def images_df(
                 if len(pdf):
                     yield _chunk_rows(pdf)
 
-    return pts.mapInPandas(
+    df = pts.mapInPandas(
         _gen,
         "image_id string, bytes binary, w int, h int, fmt string,"
         " caption string, phash long, lon double, lat double",
     )
+    # operator-fusion marker (guide §4.1: fewer JVM<->Python crossings):
+    # with_decode_verify composes its kernel with _gen in ONE mapInPandas
+    # when fed this frame directly, skipping a full Arrow round trip of
+    # the blob corpus. Inert everywhere else; dropped by any transform.
+    df._graft_gen = (pts, _gen)
+    return df
 
 
 def with_decode_verify(images: DataFrame) -> DataFrame:
@@ -262,6 +268,18 @@ def with_decode_verify(images: DataFrame) -> DataFrame:
         " psnr double, pixel_ok boolean, caption_ok boolean,"
         " phash_ok boolean"
     )
+    fused = getattr(images, "_graft_gen", None)
+    if fused is not None:
+        # synth + verify in ONE Python task: the per-chunk pandas frames
+        # _gen yields stream straight into _verify — identical rows, one
+        # MapInPandas node instead of two (no Arrow round trip of the
+        # blob corpus between them)
+        pts, gen_fn = fused
+
+        def _fused(batches):
+            yield from _verify(gen_fn(batches))
+
+        return pts.mapInPandas(_fused, schema)
     return images.mapInPandas(_verify, schema)
 
 
@@ -569,9 +587,13 @@ def exif_images_df(
             out.append((eid, bytearray(exif.insert_app1(blob, app1))))
         return pd.DataFrame(out, columns=["event_id", "data"])
 
-    return pts.select("event_id").mapInPandas(
+    df = pts.select("event_id").mapInPandas(
         _gen, "event_id bigint, data binary"
     )
+    # fusion marker: with_exif_gps composes with _gen in one crossing
+    # (same pattern as images_df / with_decode_verify)
+    df._graft_gen = (pts.select("event_id"), _gen)
+    return df
 
 
 def with_exif_gps(images: DataFrame, bytes_col: str = "data") -> DataFrame:
@@ -624,6 +646,14 @@ def with_exif_gps(images: DataFrame, bytes_col: str = "data") -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=keep + extra)
 
+    fused = getattr(images, "_graft_gen", None)
+    if fused is not None and bytes_col == "data":
+        pts, gen_fn = fused
+
+        def _fused(batches):
+            yield from _parse(gen_fn(batches))
+
+        return pts.mapInPandas(_fused, schema)
     return images.mapInPandas(_parse, schema)
 
 
