@@ -786,7 +786,7 @@ class _HuffTable:
     cost per coefficient, and a corpus decodes the same 4 standard
     tables millions of times."""
 
-    __slots__ = ("sym", "length", "ac_fast")
+    __slots__ = ("sym", "length", "ac_fast", "vec")
 
     def __init__(self, bits: list[int], vals: list[int]):
         sym = np.zeros(1 << 16, np.int16)
@@ -805,6 +805,7 @@ class _HuffTable:
         self.sym = sym.tolist()
         self.length = length.tolist()
         self.ac_fast = None  # built lazily by _ac_fast (AC tables only)
+        self.vec = None  # built lazily by _vec_tables (lockstep decoder)
 
 
 def _ac_fast(table: _HuffTable) -> list:
@@ -868,6 +869,259 @@ def _ac_fast(table: _HuffTable) -> list:
         tab[p] = (bits, tuple(ops), ktail, term)
     table.ac_fast = tab
     return tab
+
+
+class _BatchBail(Exception):
+    """Internal: a stream hit a condition the lockstep decoder does not
+    model (invalid code, run past block end, size-0 slow symbol) — the
+    caller re-decodes the group per image so errors surface identically
+    to the scalar path."""
+
+
+def _vec_dc(table: _HuffTable) -> dict:
+    """numpy (len, sym) twins for the lockstep DC step (no ac_fast)."""
+    if table.vec is not None:
+        return table.vec
+    vec = {
+        "len": np.asarray(table.length, np.int64),
+        "sym": np.asarray(table.sym, np.int64),
+    }
+    table.vec = vec
+    return vec
+
+
+def _vec_tables(table: _HuffTable) -> dict:
+    """numpy twins of (sym, length, ac_fast) for the lockstep decoder:
+    fixed-shape per-peek arrays so a whole batch of streams can take
+    one decode step per numpy pass. Cached on the table object — the
+    build flattens _ac_fast's variable-length ops into (65536, U)
+    matrices once per worker process (~0.2 s, amortized by worker
+    reuse across a corpus)."""
+    if table.vec is not None and "bits" in table.vec:
+        return table.vec
+    vec = {
+        "len": np.asarray(table.length, np.int64),
+        "sym": np.asarray(table.sym, np.int64),
+    }
+    if table.ac_fast is None:
+        _ac_fast(table)
+    tab = table.ac_fast
+    U = max((len(e[1]) for e in tab), default=0)
+    n = 1 << 16
+    bits = np.empty(n, np.int64)
+    term = np.empty(n, np.int64)
+    ktail = np.empty(n, np.int64)
+    nunits = np.empty(n, np.int64)
+    off = np.zeros((n, max(U, 1)), np.int64)  # write offset rel. to k
+    val = np.zeros((n, max(U, 1)), np.int64)
+    cb = np.zeros((n, max(U, 1)), np.int64)  # cum bits through unit u
+    for p in range(n):
+        b, ops, kt, tm = tab[p]
+        bits[p] = b
+        term[p] = tm
+        ktail[p] = kt
+        nunits[p] = len(ops)
+        o = 0
+        for u, (kadv, v, c) in enumerate(ops):
+            o += kadv
+            off[p, u] = o
+            val[p, u] = v
+            cb[p, u] = c
+            o += 1  # the write itself advances k
+    vec.update(
+        bits=bits, term=term, ktail=ktail, nunits=nunits,
+        off=off, val=val, cb=cb, U=max(U, 1),
+    )
+    table.vec = vec
+    return vec
+
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _decode_entropy_lockstep(parsed_group: list, segs: list[bytes]):
+    """Entropy-decode a GROUP of same-structure baseline streams in
+    lockstep: one numpy pass per decode step across all streams (the
+    audio codec's lockstep-across-the-clip-axis discipline applied to
+    Huffman decode). All streams share comps/size/tables and have no
+    restart intervals (the caller guarantees it). Returns the per-image
+    meta tuples of _decode_entropy, bit-identical; raises _BatchBail on
+    any condition the scalar path treats as an error (caller falls back
+    per image so exceptions match exactly)."""
+    comps, h, w, restart, qt, huff, scan_comps, _ = parsed_group[0]
+    hmax, vmax, mcus_x, mcus_y, order, tsel_by_comp = _block_layout(
+        comps, h, w, scan_comps
+    )
+    ncomp = len(comps)
+    total_mcus = mcus_y * mcus_x
+    per_mcu = len(order)
+    n_blocks = total_mcus * per_mcu
+    B = len(segs)
+    rows = np.arange(B)
+
+    dc_vecs, ac_vecs = [], []
+    for ci in range(ncomp):
+        td, ta = tsel_by_comp[ci]
+        dc_vecs.append(_vec_dc(huff[(0, td)]))
+        ac_vecs.append(_vec_tables(huff[(1, ta)]))
+
+    lmax = max(len(s) for s in segs)
+    M = np.zeros((B, lmax + 68), np.uint8)  # zero tail == scalar's pad
+    for i, s in enumerate(segs):
+        M[i, : len(s)] = np.frombuffer(s, np.uint8)
+
+    acc = np.zeros(B, np.uint64)
+    nb = np.zeros(B, np.int64)
+    pos = np.zeros(B, np.int64)
+    pred = np.zeros((B, ncomp), np.int64)
+    coeffs = np.zeros((B, n_blocks, 64), np.int64)
+
+    def refill(mask):
+        need = mask & (nb < 32)
+        if not need.any():
+            return
+        r = rows[need]
+        p = pos[need]
+        w32 = (
+            (M[r, p].astype(np.uint64) << np.uint64(24))
+            | (M[r, p + 1].astype(np.uint64) << np.uint64(16))
+            | (M[r, p + 2].astype(np.uint64) << np.uint64(8))
+            | M[r, p + 3].astype(np.uint64)
+        )
+        acc[need] = ((acc[need] << np.uint64(32)) | w32) & _M64
+        pos[need] += 4
+        nb[need] += 32
+
+    all_on = np.ones(B, bool)
+    one = np.int64(1)
+    for b_idx in range(n_blocks):
+        ci = order[b_idx % per_mcu][0]
+        dcv, acv = dc_vecs[ci], ac_vecs[ci]
+        # ---- DC
+        refill(all_on)
+        peek = ((acc >> (nb - 16).astype(np.uint64)) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        ln = dcv["len"][peek]
+        if not ln.all():
+            raise _BatchBail("invalid DC code")
+        size = dcv["sym"][peek]
+        nb -= ln
+        has = size > 0
+        sh = (nb - size).astype(np.uint64)
+        v = (
+            (acc >> sh) & ((np.uint64(1) << size.astype(np.uint64)) - np.uint64(1))
+        ).astype(np.int64)
+        nb -= size
+        s1 = np.maximum(size, 1)
+        signed = np.where(v >= (one << (s1 - 1)), v, v - (one << s1) + 1)
+        pred[:, ci] += np.where(has, signed, 0)
+        coeffs[:, b_idx, 0] = pred[:, ci]
+        # ---- AC
+        k = np.ones(B, np.int64)
+        act = all_on.copy()
+        while act.any():
+            refill(act)
+            peek = (
+                (acc >> (nb - 16).astype(np.uint64)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+            term = acv["term"][peek]
+            if (act & (term == 3)).any():
+                raise _BatchBail("invalid AC code")
+            slow = act & (term == 2)
+            fast = act & (term < 2)
+            if fast.any():
+                nu = acv["nunits"][peek]
+                offm = acv["off"][peek]  # (B, U)
+                wk = k[:, None] + offm
+                U = acv["U"]
+                validu = (np.arange(U)[None, :] < nu[:, None]) & fast[:, None]
+                terminal = validu & (wk >= 63)
+                # first terminal unit per stream (U if none)
+                first_t = np.where(
+                    terminal.any(axis=1), terminal.argmax(axis=1), U
+                )
+                cut = fast & (first_t < U)
+                # a terminal write PAST 63 is the scalar's
+                # "AC run past end of block" error; exactly 63 completes
+                bad = cut & (wk[rows, np.minimum(first_t, U - 1)] > 63)
+                if bad.any():
+                    raise _BatchBail("AC run past end of block")
+                apply_m = validu & (
+                    np.arange(U)[None, :] <= first_t[:, None]
+                )
+                if apply_m.any():
+                    rr = np.broadcast_to(rows[:, None], wk.shape)[apply_m]
+                    coeffs[rr, b_idx, wk[apply_m]] = acv["val"][peek][
+                        apply_m
+                    ]
+                # bits: cut streams consume through their cut unit only
+                cbm = acv["cb"][peek]
+                nb[cut] -= cbm[rows, np.minimum(first_t, U - 1)][cut]
+                nocut = fast & ~cut
+                nb[nocut] -= acv["bits"][peek][nocut]
+                # k after all units + trailing ZRL advance
+                last_off = np.where(
+                    nu > 0, offm[rows, np.maximum(nu - 1, 0)] + 1, 0
+                )
+                k = np.where(nocut, k + last_off + acv["ktail"][peek], k)
+                eob = nocut & (term == 1)
+                act = act & ~cut & ~eob & ~(fast & (k > 63))
+            if slow.any():
+                ln = acv["len"][peek]
+                sym = acv["sym"][peek]
+                run = sym >> 4
+                size = sym & 15
+                if (slow & (size == 0)).any():
+                    raise _BatchBail("size-0 slow symbol")
+                nb_s = nb - ln
+                kk = k + run
+                if (slow & (kk > 63)).any():
+                    raise _BatchBail("AC run past end of block")
+                sh = (nb_s - size).astype(np.uint64)
+                v = (
+                    (acc >> sh)
+                    & ((np.uint64(1) << size.astype(np.uint64)) - np.uint64(1))
+                ).astype(np.int64)
+                s1 = np.maximum(size, 1)
+                sv = np.where(v >= (one << (s1 - 1)), v, v - (one << s1) + 1)
+                srows = rows[slow]
+                coeffs[srows, b_idx, kk[slow]] = sv[slow]
+                nb = np.where(slow, nb_s - size, nb)
+                k = np.where(slow, kk + 1, k)
+                act = act & ~(slow & (k > 63))
+
+    # scalar pads each segment with 64 zero bytes; past THAT it reads
+    # short slices (different values). A stream that consumed into that
+    # regime must take the scalar path to stay bit-identical.
+    lens = np.array([len(s) for s in segs], np.int64)
+    if (pos > lens + 60).any():
+        raise _BatchBail("stream ran past the zero pad")
+
+    # ---- assemble per-image metas (same shapes as _decode_entropy)
+    comp_sel = [
+        [b for b in range(n_blocks) if order[b % per_mcu][0] == ci]
+        for ci in range(ncomp)
+    ]
+    comp_by: list[list[int]] = [[] for _ in range(ncomp)]
+    comp_bx: list[list[int]] = [[] for _ in range(ncomp)]
+    for mcu in range(total_mcus):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, dy, dx in order:
+            _, hs, vs, _ = comps[ci]
+            comp_by[ci].append(my * vs + dy)
+            comp_bx[ci].append(mx * hs + dx)
+    per_comp = [coeffs[:, sel, :] for sel in comp_sel]
+    out = []
+    for i in range(B):
+        out.append(
+            (
+                comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
+                [per_comp[ci][i] for ci in range(ncomp)],
+                comp_by, comp_bx,
+            )
+        )
+    return out
 
 
 def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
@@ -965,9 +1219,10 @@ def decode_jpeg_many(
     out: list = [None] * len(blobs)
     groups: dict = {}
     metas: list = [None] * len(blobs)
+    lock_groups: dict = {}
     for i, data in enumerate(blobs):
         try:
-            meta = _decode_entropy(data)
+            parsed = _parse_stream(data)
         except _ProgressiveStream:
             try:
                 out[i] = _decode_progressive(data)
@@ -979,7 +1234,43 @@ def decode_jpeg_many(
             if not skip_errors:
                 raise
             continue
-        metas[i] = meta
+        comps_p, h_p, w_p, restart_p, qt_p, huff_p, scomps_p, sdata_p = parsed
+        segs_p = _destuff(sdata_p)
+        if restart_p == 0 and len(segs_p) == 1:
+            # lockstep key: identical structure + tables (table objects
+            # are content-deduped by _HUFF_CACHE, so id() works)
+            lkey = (
+                tuple(comps_p), h_p, w_p, tuple(scomps_p),
+                tuple(sorted((kk, id(t)) for kk, t in huff_p.items())),
+                tuple(sorted((kk, v.tobytes()) for kk, v in qt_p.items())),
+            )
+            lock_groups.setdefault(lkey, []).append(
+                (i, parsed, segs_p[0])
+            )
+        else:
+            metas[i] = _decode_entropy(data)
+    # entropy: lockstep across every same-structure group; per image for
+    # small groups or anything the lockstep decoder bails on (errors
+    # then surface exactly as the scalar path raises them)
+    for members in lock_groups.values():
+        # >= 16: below that the one-time (per process, worker-reuse-
+        # amortized) vec-table flatten outweighs the lockstep gain
+        if len(members) >= 16:
+            try:
+                got = _decode_entropy_lockstep(
+                    [m[1] for m in members], [m[2] for m in members]
+                )
+                for (i, _, _), meta in zip(members, got):
+                    metas[i] = meta
+                continue
+            except _BatchBail:
+                pass
+        for i, _, _ in members:
+            metas[i] = _decode_entropy(blobs[i])
+    for i in range(len(blobs)):
+        meta = metas[i]
+        if meta is None:
+            continue
         comps, h, w, hmax, vmax, mcus_x, mcus_y, qt, coeffs, by, bx = meta
         # group key: identical structure + quant tables -> one IDCT stack
         key = (
@@ -1020,11 +1311,11 @@ def decode_jpeg_many(
     return out
 
 
-def _decode_entropy(data: bytes):
-    """Marker parse + Huffman/magnitude entropy decode of a baseline
-    JFIF stream. Returns (comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
-    comp_coeffs ((n, 64) int64 zigzag rows per component), comp_by,
-    comp_bx); raises _ProgressiveStream for SOF2."""
+def _parse_stream(data: bytes):
+    """Marker parse of a baseline JFIF stream up to SOS. Returns
+    (comps, h, w, restart, qt, huff, scan_comps, scan_data); raises
+    _ProgressiveStream for SOF2 and NotImplementedError for the loud
+    codec boundaries (precision, lossless/arithmetic, sampling > 2)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -1106,11 +1397,18 @@ def _decode_entropy(data: bytes):
         # APPn / COM / others: skipped
     if comps is None or scan_data is None:
         raise ValueError("JPEG missing SOF/SOS")
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         raise NotImplementedError("sampling factors > 2 unsupported")
+    return comps, h, w, restart, qt, huff, scan_comps, scan_data
+
+
+def _block_layout(comps, h, w, scan_comps):
+    """(hmax, vmax, mcus_x, mcus_y, order, tsel_by_comp) — the shared
+    block-emission geometry of a scan."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     mcw, mch = 8 * hmax, 8 * vmax
     mcus_x = (w + mcw - 1) // mcw
     mcus_y = (h + mch - 1) // mch
@@ -1125,6 +1423,20 @@ def _decode_entropy(data: bytes):
         for ci, (c2, hs, vs, qsel) in enumerate(comps):
             if c2 == cid:
                 tsel_by_comp[ci] = (td, ta)
+    return hmax, vmax, mcus_x, mcus_y, order, tsel_by_comp
+
+
+def _decode_entropy(data: bytes):
+    """Marker parse + Huffman/magnitude entropy decode of a baseline
+    JFIF stream. Returns (comps, h, w, hmax, vmax, mcus_x, mcus_y, qt,
+    comp_coeffs ((n, 64) int64 zigzag rows per component), comp_by,
+    comp_bx); raises _ProgressiveStream for SOF2."""
+    comps, h, w, restart, qt, huff, scan_comps, scan_data = _parse_stream(
+        data
+    )
+    hmax, vmax, mcus_x, mcus_y, order, tsel_by_comp = _block_layout(
+        comps, h, w, scan_comps
+    )
 
     segments = _destuff(scan_data)
     mcu_per_seg = restart if restart else mcus_y * mcus_x
