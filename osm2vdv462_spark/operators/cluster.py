@@ -35,12 +35,18 @@ def connected_components(
     vertices: one column ``vid`` (long). edges: ``src``,``dst`` (long,
     undirected; self-loops/duplicates fine). Returns (vid, component).
     """
+    from pyspark.sql import Observation
+
     # materialize the edge list once — the loop below must not re-derive
-    # its (possibly expensive: spatial-join) lineage every iteration
+    # its (possibly expensive: spatial-join) lineage every iteration.
+    # The edge count rides the checkpoint job via observe (guide §1.2):
+    # a separate count() was one more job per operator call.
+    obs_e = Observation()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     labels = vertices.select(
@@ -50,7 +56,7 @@ def connected_components(
     # default: at gate scale a 100-edge graph under a 64-partition
     # default burns hundreds of empty tasks per iteration; at 10^12
     # edges the same formula scales the partition count with the data
-    n_edges = sym.count()
+    n_edges = int(obs_e.get["n"] or 0)
     parts = str(max(2, min(2048, n_edges // 500_000 + 2)))
     spark = edges.sparkSession
     prior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -62,6 +68,8 @@ def connected_components(
 
 
 def _cc_loop(sym, labels, vid: str, max_iter: int) -> DataFrame:
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # neighbor minimum
         nbr_min = (
@@ -69,24 +77,26 @@ def _cc_loop(sym, labels, vid: str, max_iter: int) -> DataFrame:
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # the did-anything-change signal rides the SAME job that
+        # materializes the new labels (observe fires through the eager
+        # localCheckpoint) — the old join-back change-count was a
+        # second job per iteration
+        new = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
+        )
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "a", "left")
             .select(
                 "a",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                new.alias("component"),
+                (new != F.col("component")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)  # BEFORE the change-count read
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            .observe(obs, F.max(F.col("_chg").cast("int")).alias("chg"))
+            .drop("_chg")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["chg"] or 0) == 0:
             break
     return labels.select(F.col("a").alias(vid), "component")
