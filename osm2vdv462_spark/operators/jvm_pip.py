@@ -312,6 +312,18 @@ def _auto_target_res(
 
 
 _AUTO_BUILD_CACHE: dict = {}
+_DIM_FRAME_CACHE: dict = {}
+
+
+def _dim_cache_put(key, value) -> None:
+    """Insert with eviction: drop other sessions' entries (stale JVM
+    refs) and cap the per-session count (the parity sweep builds many
+    distinct dimension sets)."""
+    for k in [k for k in _DIM_FRAME_CACHE if k[0] != key[0]]:
+        del _DIM_FRAME_CACHE[k]
+    while len(_DIM_FRAME_CACHE) >= 8:
+        del _DIM_FRAME_CACHE[next(iter(_DIM_FRAME_CACHE))]
+    _DIM_FRAME_CACHE[key] = value
 
 
 def _auto_target_build(
@@ -531,51 +543,84 @@ def pip_knn_assign_codegen(
             S=S,
         )
 
-    # polygon map: one row per cell; P poly slots x (pid + S segments)
-    prow_flat = []
-    for c, v in pcell:
-        row = [c]
+    # polygon map: one row per cell; P poly slots x (pid + S segments).
+    # The built frame is memoized per (app, dim content, res) — the
+    # dims are still collected and fingerprinted on EVERY call (no
+    # cross-run result reuse), only the driver-side frame construction
+    # is skipped when the collected content is unchanged (same pattern
+    # as _AUTO_BUILD_CACHE above).
+    pm_key = (
+        spark.sparkContext.applicationId,
+        hash(tuple((r[0], bytes(r[1])) for r in prows)),
+        poly_res, P, S,
+    )
+    pm = _DIM_FRAME_CACHE.get(pm_key)
+    if pm is None:
+        prow_flat = []
+        for c, v in pcell:
+            row = [c]
+            for p in range(P):
+                if p < len(v):
+                    pid, segs = v[p]
+                    row.append(pid)
+                    flat = [
+                        x for s in _pad(list(segs), S, (None,) * 4) for x in s
+                    ]
+                else:
+                    row.append(None)
+                    flat = [None] * (4 * S)
+                row.extend(flat)
+            prow_flat.append(tuple(row))
+        pcols = ["_pc bigint"]
         for p in range(P):
-            if p < len(v):
-                pid, segs = v[p]
-                row.append(pid)
-                flat = [x for s in _pad(list(segs), S, (None,) * 4) for x in s]
-            else:
-                row.append(None)
-                flat = [None] * (4 * S)
-            row.extend(flat)
-        prow_flat.append(tuple(row))
-    pcols = ["_pc bigint"]
-    for p in range(P):
-        pcols.append(f"_p{p}_id bigint")
-        for s in range(S):
-            pcols.extend(
-                f"_p{p}s{s}_{c} double" for c in ("x0", "y0", "x1", "y1")
-            )
-    pm = spark.createDataFrame(prow_flat, ", ".join(pcols))
+            pcols.append(f"_p{p}_id bigint")
+            for s in range(S):
+                pcols.extend(
+                    f"_p{p}s{s}_{c} double" for c in ("x0", "y0", "x1", "y1")
+                )
+        pm = spark.createDataFrame(prow_flat, ", ".join(pcols))
+        _dim_cache_put(pm_key, pm)
 
     # target map: one row per cell; K (id, lon, lat) slots. Built as ONE
     # Arrow table straight from the numpy matrices — no per-row Python
-    # tuples (that conversion used to cost more than the query itself)
-    import pyarrow as pa
+    # tuples (that conversion used to cost more than the query itself).
+    # Memoized per (app, collected content, res) like the polygon map.
+    tm_key = (
+        spark.sparkContext.applicationId,
+        hash(tuple(trows)), target_res, target_pad_cells, K,
+    )
+    hit = _DIM_FRAME_CACHE.get(tm_key)
+    if hit is not None:
+        tm, fallback = hit
+    else:
+        import pyarrow as pa
 
-    n_cells = len(tc_ids)
-    tdata: dict = {"_tc": pa.array(tc_ids.astype(np.int64), type=pa.int64())}
-    for k in range(K):
-        if k < tc_id_mat.shape[1]:
-            col = tc_id_mat[:, k]
-            tdata[f"_t{k}_id"] = pa.array(col, mask=col < 0, type=pa.int64())
-            tdata[f"_t{k}_lon"] = pa.array(tc_lon_mat[:, k], type=pa.float64())
-            tdata[f"_t{k}_lat"] = pa.array(tc_lat_mat[:, k], type=pa.float64())
-        else:  # K floor of 2 (least() needs two operands): all-null slot
-            tdata[f"_t{k}_id"] = pa.nulls(n_cells, pa.int64())
-            tdata[f"_t{k}_lon"] = pa.nulls(n_cells, pa.float64())
-            tdata[f"_t{k}_lat"] = pa.nulls(n_cells, pa.float64())
-    tm = spark.createDataFrame(pa.table(tdata))
-    # the rare out-of-region stragglers take the ARRAY full list + HOF
-    # minimum (exact; interpreted is fine on a ~0-row branch — unrolling
-    # it would force K = n_targets columns on every row)
-    fallback = spark.createDataFrame([(all_t,)], f"_cands_all {_CAND_T}")
+        n_cells = len(tc_ids)
+        tdata: dict = {
+            "_tc": pa.array(tc_ids.astype(np.int64), type=pa.int64())
+        }
+        for k in range(K):
+            if k < tc_id_mat.shape[1]:
+                col = tc_id_mat[:, k]
+                tdata[f"_t{k}_id"] = pa.array(
+                    col, mask=col < 0, type=pa.int64()
+                )
+                tdata[f"_t{k}_lon"] = pa.array(
+                    tc_lon_mat[:, k], type=pa.float64()
+                )
+                tdata[f"_t{k}_lat"] = pa.array(
+                    tc_lat_mat[:, k], type=pa.float64()
+                )
+            else:  # K floor of 2 (least() needs two operands): null slot
+                tdata[f"_t{k}_id"] = pa.nulls(n_cells, pa.int64())
+                tdata[f"_t{k}_lon"] = pa.nulls(n_cells, pa.float64())
+                tdata[f"_t{k}_lat"] = pa.nulls(n_cells, pa.float64())
+        tm = spark.createDataFrame(pa.table(tdata))
+        # the rare out-of-region stragglers take the ARRAY full list +
+        # HOF minimum (exact; interpreted is fine on a ~0-row branch —
+        # unrolling it would force K = n_targets columns on every row)
+        fallback = spark.createDataFrame([(all_t,)], f"_cands_all {_CAND_T}")
+        _dim_cache_put(tm_key, (tm, fallback))
 
     LON, LAT = F.col(lon), F.col(lat)
     pts = points_df.select(*point_keep, lon, lat).withColumns(
